@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session configuration for the engine.
+  *
+  * Tuned for the harness (`local[N]`, single JVM) but every setting is the
+  * one you'd want on a real cluster too: AQE on (runtime re-plan, skew-join
+  * handling, partition coalescing), shuffle partitions sized to parallelism
+  * (overridden by AQE at scale), UTC session time, nanos-as-long so
+  * TIMESTAMP(NANOS) parquet is readable.
+  */
+object Sessions {
+  def builder(master: String, cpus: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      .config("spark.ui.enabled", "false")
+
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
