@@ -1,0 +1,89 @@
+package graft.destinations
+
+import graft.config._
+import graft.sources.ObjectStores
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Destination writers (reference: aqueducts/core/src/destinations/,
+  * aqueducts/delta/src/lib.rs, aqueducts/odbc/src/lib.rs:87-211).
+  */
+object Destinations {
+
+  /** Destination preparation runs before any source/stage (reference
+    * core/src/lib.rs:82-91): managed tables are created if absent so stages
+    * can rely on their existence; other destinations need no preparation.
+    */
+  def prepare(spark: SparkSession, dest: Destination): Unit = dest match {
+    case d: ManagedTableDestination =>
+      ObjectStores.configure(spark, d.location.scheme, d.storageConfig)
+      ManagedTable.createIfAbsent(spark, d.location, d.schema, d.partitionColumns,
+        d.tableProperties ++ d.metadata)
+    case d: InMemoryDestination =>
+      require(!spark.catalog.tableExists(d.name),
+        s"InMemory destination '${d.name}' already exists in the session")
+    case _ => ()
+  }
+
+  def write(spark: SparkSession, dest: Destination, df: DataFrame): Unit = dest match {
+    case InMemoryDestination(name) =>
+      df.cache()
+      df.createTempView(name) // errors if the name is taken, like the reference
+
+    case d: FileDestination =>
+      ObjectStores.configure(spark, d.location.scheme, d.storageConfig)
+      writeFile(spark, d, df)
+
+    case d: ManagedTableDestination =>
+      d.writeMode match {
+        case TableAppend => ManagedTable.append(spark, d.location, df)
+        case TableUpsert(keys) => ManagedTable.upsert(spark, d.location, df, keys)
+        case TableReplace(conds) => ManagedTable.replace(spark, d.location, df, conds)
+      }
+
+    case d: JdbcDestination => Jdbc.write(spark, d, df)
+  }
+
+  // ------------------------------------------------------------------ file
+
+  private def writeFile(spark: SparkSession, d: FileDestination, df: DataFrame): Unit = {
+    val (fmt, options) = d.format match {
+      case CsvDestFormat(hasHeader, delimiter, compression) =>
+        ("csv", Map("header" -> hasHeader.toString, "delimiter" -> delimiter.toString) ++
+          compression.map("compression" -> _))
+      case ParquetDestFormat(opts) => ("parquet", opts)
+      case JsonDestFormat => ("json", Map.empty[String, String])
+    }
+
+    if (d.singleFile) {
+      require(d.partitionColumns.isEmpty,
+        "single_file output cannot be combined with partition_columns")
+      writeSingleFile(spark, d.location, df, fmt, options)
+    } else {
+      val w = df.write.mode(SaveMode.Overwrite).format(fmt).options(options)
+      (if (d.partitionColumns.nonEmpty) w.partitionBy(d.partitionColumns: _*) else w)
+        .save(d.location.spark)
+    }
+  }
+
+  /** Spark writes a directory of part files; `single_file` means "exactly the
+    * file at this path" (reference destinations/file.rs:12-14), so write a
+    * 1-partition frame to a temp dir and rename the part file into place.
+    */
+  private def writeSingleFile(
+      spark: SparkSession, location: Location, df: DataFrame,
+      fmt: String, options: Map[String, String]): Unit = {
+    val target = new Path(location.spark)
+    val fs: FileSystem = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(target.getParent, s".graft-tmp-${java.util.UUID.randomUUID()}")
+    df.coalesce(1).write.mode(SaveMode.Overwrite).format(fmt).options(options).save(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"No part file produced under $tmp"))
+    fs.mkdirs(target.getParent)
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(part, target))
+      throw new IllegalStateException(s"Failed to move $part to $target")
+    fs.delete(tmp, true)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConfigParserSpec extends AnyFunSuite {
+
+  test("templating substitutes ${param} and errors on missing, listing all") {
+    assert(ConfigParser.substitute("a ${x} b ${y}", Map("x" -> "1", "y" -> "2")) == "a 1 b 2")
+    val e = intercept[ConfigParser.ConfigError](
+      ConfigParser.substitute("${x} ${miss1} ${miss2}", Map("x" -> "1")))
+    assert(e.message.contains("miss1") && e.message.contains("miss2"))
+  }
+
+  test("reference example pipeline YAML deserializes unchanged") {
+    val p = java.nio.file.Paths.get("/root/reference/examples/aqueduct_pipeline_example.yml")
+    val aq = ConfigParser.fromFile(p, Map("local_path" -> "/tmp/x", "run_id" -> "r1"))
+    assert(aq.version == "v2")
+    assert(aq.sources.length == 2)
+    val src = aq.sources.head.asInstanceOf[FileSource]
+    assert(src.name == "jan_data")
+    assert(src.format.asInstanceOf[CsvFormat].hasHeader)
+    assert(src.location.spark.endsWith("examples/temp_readings_jan_2024.csv"))
+    assert(aq.stages.length == 2)           // two sequential groups
+    assert(aq.stages.head.length == 2)      // first group: two concurrent stages
+    assert(aq.stages.head.head.show.contains(20))
+    assert(aq.stages.head(1).show.contains(0))
+    assert(aq.stages(1).head.printSchema)
+    val dest = aq.destination.get.asInstanceOf[ManagedTableDestination]
+    assert(dest.writeMode == TableUpsert(Seq("date")))
+    assert(dest.partitionColumns == Seq("date"))
+    assert(dest.schema.length == 8)
+    assert(dest.schema.head.name == "date")
+    assert(dest.schema.head.dataType == org.apache.spark.sql.types.DateType)
+  }
+
+  test("reference example pipeline JSON deserializes") {
+    val p = java.nio.file.Paths.get("/root/reference/examples/aqueduct_pipeline_example.json")
+    val aq = ConfigParser.fromFile(p, Map("local_path" -> "/tmp/x", "run_id" -> "r1"))
+    assert(aq.sources.length == 2 && aq.destination.nonEmpty)
+  }
+
+  test("serde aliases: file_type, storage_options, partition_cols, query, mode") {
+    val yaml =
+      """sources:
+        |  - type: dir
+        |    name: d
+        |    file_type: { type: parquet }
+        |    location: /tmp/d
+        |    partition_cols:
+        |      - [year, int32]
+        |      - { name: month, data_type: int32 }
+        |    storage_options: { "fs.s3a.endpoint": "http://x" }
+        |  - type: database
+        |    name: db
+        |    query: SELECT 1
+        |    connection_string: jdbc:derby:memory:x
+        |stages:
+        |  - - name: s1
+        |      query: SELECT * FROM d
+        |destination:
+        |  type: delta
+        |  name: out
+        |  location: /tmp/out
+        |  mode: { operation: replace, params: [{ column: year, value: "2024" }] }
+        |""".stripMargin
+    val aq = ConfigParser.fromYaml(yaml)
+    val d = aq.sources.head.asInstanceOf[DirSource]
+    assert(d.partitionColumns.map(_._1) == Seq("year", "month"))
+    assert(d.storageConfig("fs.s3a.endpoint") == "http://x")
+    val db = aq.sources(1).asInstanceOf[JdbcSource]
+    assert(db.loadQuery == "SELECT 1")
+    val dest = aq.destination.get.asInstanceOf[ManagedTableDestination]
+    assert(dest.writeMode == TableReplace(Seq(ReplaceCondition("year", "2024"))))
+  }
+
+  test("csv source options with declared schema") {
+    val yaml =
+      """sources:
+        |  - type: file
+        |    name: f
+        |    location: /tmp/f.csv
+        |    format:
+        |      type: csv
+        |      options:
+        |        has_header: false
+        |        delimiter: ";"
+        |        schema:
+        |          - { name: id, data_type: int64, nullable: false }
+        |          - { name: tags, data_type: list<string> }
+        |stages: []
+        |""".stripMargin
+    val aq = ConfigParser.fromYaml(yaml)
+    val f = aq.sources.head.asInstanceOf[FileSource].format.asInstanceOf[CsvFormat]
+    assert(!f.hasHeader && f.delimiter == ';')
+    assert(f.schema.map(_.name) == Seq("id", "tags"))
+    assert(!f.schema.head.nullable)
+  }
+
+  test("odbc destination with custom transaction") {
+    val yaml =
+      """sources: []
+        |stages:
+        |  - - { name: s, query: SELECT 1 }
+        |destination:
+        |  type: odbc
+        |  name: t
+        |  connection_string: jdbc:derby:memory:y
+        |  batch_size: 500
+        |  write_mode:
+        |    operation: custom
+        |    transaction:
+        |      pre_insert: DELETE FROM t
+        |      insert: INSERT INTO t VALUES (?)
+        |""".stripMargin
+    val d = ConfigParser.fromYaml(yaml).destination.get.asInstanceOf[JdbcDestination]
+    assert(d.batchSize == 500)
+    assert(d.writeMode == JdbcCustom(Some("DELETE FROM t"), "INSERT INTO t VALUES (?)"))
+  }
+
+  test("location newtype: bare paths become absolute file URIs") {
+    assert(Location("/tmp/a.csv").scheme == "file")
+    assert(Location("s3a://bucket/key").scheme == "s3a")
+    assert(Location("relative/p.csv").uri.isAbsolute)
+  }
+}

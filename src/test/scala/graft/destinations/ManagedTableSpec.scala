@@ -1,0 +1,158 @@
+package graft.destinations
+
+import graft.SparkSpec
+import graft.config.{Location, ReplaceCondition, Types}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Golden semantics ported from the reference delta integration suite
+  * (aqueducts/delta/tests/integration.rs:36-349): create/append/read-back,
+  * keyed upsert (incl. null-safe and list-set-equality keys), predicate
+  * replace — plus our commit-log specifics: time travel and append without
+  * rewriting existing files.
+  */
+class ManagedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = Seq(
+    Types.FieldSpec("id", LongType, nullable = false),
+    Types.FieldSpec("name", StringType),
+    Types.FieldSpec("value", DoubleType))
+
+  private def newTable(prefix: String): Location = {
+    val loc = Location(tmpDir(prefix).resolve("tbl").toString)
+    ManagedTable.createIfAbsent(spark, loc, schema, Nil, Map("owner" -> "test"))
+    loc
+  }
+
+  test("create is idempotent; empty table reads back with declared schema") {
+    val loc = newTable("mt-create")
+    ManagedTable.createIfAbsent(spark, loc, schema, Nil, Map.empty) // second call: no-op
+    val df = ManagedTable.read(spark, loc)
+    assert(df.count() == 0)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "name", "value"))
+    assert(ManagedTable.commits(spark, loc).map(_.version) == Seq(0L))
+  }
+
+  test("append casts to schema, adds files without rewriting existing ones") {
+    val loc = newTable("mt-append")
+    // ints + missing nullable column: cast/cast-null semantics (delta lib.rs:331-362)
+    ManagedTable.append(spark, loc, Seq((1, "a"), (2, "b")).toDF("id", "name"))
+    val v1Files = ManagedTable.commits(spark, loc).last.files.toSet
+    ManagedTable.append(spark, loc, Seq((3, "c", 3.5)).toDF("id", "name", "value"))
+    val v2Files = ManagedTable.commits(spark, loc).last.files.toSet
+    assert(v1Files.subsetOf(v2Files), "append must not rewrite existing data files")
+    val rows = ManagedTable.read(spark, loc).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(0).isNullAt(2) && rows(2).getDouble(2) == 3.5)
+  }
+
+  test("append fails when a non-nullable column is missing") {
+    val loc = newTable("mt-nonnull")
+    assertThrows[IllegalArgumentException](
+      ManagedTable.append(spark, loc, Seq(("x", 1.0)).toDF("name", "value")))
+  }
+
+  test("upsert: matched keys updated, unmatched inserted (delta integration.rs:189-272)") {
+    val loc = newTable("mt-upsert")
+    ManagedTable.append(spark, loc,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("id", "name", "value"))
+    ManagedTable.upsert(spark, loc,
+      Seq((2L, "b2", 20.0), (4L, "d", 4.0)).toDF("id", "name", "value"), Seq("id"))
+    val rows = ManagedTable.read(spark, loc).orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+  }
+
+  test("upsert key equality is null-safe (<=> semantics, delta lib.rs:279-284)") {
+    val loc = Location(tmpDir("mt-nullkey").resolve("tbl").toString)
+    ManagedTable.createIfAbsent(spark, loc, Seq(
+      Types.FieldSpec("k", StringType), Types.FieldSpec("v", LongType)), Nil, Map.empty)
+    ManagedTable.append(spark, loc,
+      Seq((Some("a"), 1L), (None, 2L)).toDF("k", "v"))
+    // a null key must MATCH the existing null-key row, not duplicate it
+    ManagedTable.upsert(spark, loc, Seq((Option.empty[String], 20L)).toDF("k", "v"), Seq("k"))
+    val rows = ManagedTable.read(spark, loc).orderBy(col("v")).collect()
+    assert(rows.length == 2)
+    assert(rows.find(_.isNullAt(0)).get.getLong(1) == 20L)
+  }
+
+  test("upsert list keys: order-insensitive set equality incl. empty/null (delta lib.rs:266-278)") {
+    val loc = Location(tmpDir("mt-listkey").resolve("tbl").toString)
+    ManagedTable.createIfAbsent(spark, loc, Seq(
+      Types.FieldSpec("tags", ArrayType(StringType)), Types.FieldSpec("v", LongType)), Nil, Map.empty)
+    ManagedTable.append(spark, loc, Seq(
+      (Seq("x", "y"), 1L),
+      (Seq.empty[String], 2L),
+      (null.asInstanceOf[Seq[String]], 3L)).toDF("tags", "v"))
+    // ["y","x"] is the same set as ["x","y"]; [] matches []; null matches null
+    ManagedTable.upsert(spark, loc, Seq(
+      (Seq("y", "x"), 10L),
+      (Seq.empty[String], 20L),
+      (null.asInstanceOf[Seq[String]], 30L)).toDF("tags", "v"), Seq("tags"))
+    val rows = ManagedTable.read(spark, loc).orderBy(col("v")).collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(10L, 20L, 30L))
+  }
+
+  test("upsert rewrites only touched files (file-level pruning)") {
+    val loc = newTable("mt-prune")
+    // two appends → disjoint file sets
+    ManagedTable.append(spark, loc, Seq((1L, "a", 1.0)).toDF("id", "name", "value"))
+    val afterFirst = ManagedTable.commits(spark, loc).last.files.toSet
+    ManagedTable.append(spark, loc, Seq((2L, "b", 2.0)).toDF("id", "name", "value"))
+    val afterSecond = ManagedTable.commits(spark, loc).last.files.toSet
+    val secondOnly = afterSecond -- afterFirst
+    // upsert touching only id=2 must keep the id=1 file(s) byte-identical
+    ManagedTable.upsert(spark, loc, Seq((2L, "b2", 20.0)).toDF("id", "name", "value"), Seq("id"))
+    val finalFiles = ManagedTable.commits(spark, loc).last.files.toSet
+    assert(afterFirst.subsetOf(finalFiles), "untouched files must survive the upsert")
+    assert(secondOnly.intersect(finalFiles).isEmpty, "touched files must be replaced")
+  }
+
+  test("replace: predicate-scoped delete + insert (delta integration.rs:274-349)") {
+    val loc = Location(tmpDir("mt-replace").resolve("tbl").toString)
+    ManagedTable.createIfAbsent(spark, loc, Seq(
+      Types.FieldSpec("region", StringType), Types.FieldSpec("v", LongType)), Nil, Map.empty)
+    ManagedTable.append(spark, loc,
+      Seq(("eu", 1L), ("eu", 2L), ("us", 3L)).toDF("region", "v"))
+    ManagedTable.replace(spark, loc,
+      Seq(("eu", 10L)).toDF("region", "v"),
+      Seq(ReplaceCondition("region", "eu")))
+    val rows = ManagedTable.read(spark, loc).orderBy("v").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("us", 3L), ("eu", 10L)))
+  }
+
+  test("replace with empty predicate = full overwrite (delta lib.rs:365-375)") {
+    val loc = newTable("mt-overwrite")
+    ManagedTable.append(spark, loc, Seq((1L, "a", 1.0)).toDF("id", "name", "value"))
+    ManagedTable.replace(spark, loc, Seq((9L, "z", 9.0)).toDF("id", "name", "value"), Nil)
+    val rows = ManagedTable.read(spark, loc).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 9L)
+  }
+
+  test("time travel: by version and by timestamp (delta lib.rs:45-74)") {
+    val loc = newTable("mt-travel")
+    ManagedTable.append(spark, loc, Seq((1L, "a", 1.0)).toDF("id", "name", "value"))
+    val tsAfterV1 = java.time.Instant.now()
+    Thread.sleep(20)
+    ManagedTable.append(spark, loc, Seq((2L, "b", 2.0)).toDF("id", "name", "value"))
+    assert(ManagedTable.read(spark, loc, version = Some(0)).count() == 0)
+    assert(ManagedTable.read(spark, loc, version = Some(1)).count() == 1)
+    assert(ManagedTable.read(spark, loc).count() == 2)
+    assert(ManagedTable.read(spark, loc, timestamp = Some(tsAfterV1)).count() == 1)
+    assertThrows[IllegalArgumentException](
+      ManagedTable.read(spark, loc, version = Some(99)))
+  }
+
+  test("partitioned table: writes hive layout, reads partition column back") {
+    val loc = Location(tmpDir("mt-hive").resolve("tbl").toString)
+    ManagedTable.createIfAbsent(spark, loc, Seq(
+      Types.FieldSpec("id", LongType), Types.FieldSpec("year", IntegerType)),
+      partitionColumns = Seq("year"), Map.empty)
+    ManagedTable.append(spark, loc, Seq((1L, 2024), (2L, 2025)).toDF("id", "year"))
+    val files = ManagedTable.commits(spark, loc).last.files
+    assert(files.forall(f => f.contains("year=")))
+    val rows = ManagedTable.read(spark, loc).orderBy("id").collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(2024, 2025))
+  }
+}

@@ -1,0 +1,205 @@
+package graft.run
+
+import graft.SparkSpec
+import graft.config._
+import org.apache.spark.sql.Row
+
+class RunnerSpec extends SparkSpec {
+
+  test("e2e: CSV source → SQL stage → in-memory destination (reference integration.rs:13-52)") {
+    val dir = tmpDir("runner-mem")
+    val csv = writeFixtureCsv(dir)
+    val aq = Aqueduct(
+      sources = Seq(FileSource("raw_mem", CsvFormat(), Location(csv.toString))),
+      stages = Seq(Seq(Stage("filtered_mem",
+        "SELECT id, name, value FROM raw_mem WHERE active = true ORDER BY id"))),
+      destination = Some(InMemoryDestination("result_mem")))
+    val out = Runner.run(spark, aq, new CollectingTracker)
+    assert(out.nonEmpty)
+    val rows = spark.table("result_mem").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("alpha", "gamma", "epsilon"))
+    // destination stage view was deregistered after the write
+    assert(!spark.catalog.tableExists("filtered_mem"))
+  }
+
+  test("e2e: no destination leaves the last stage registered (integration.rs:96-122)") {
+    val dir = tmpDir("runner-nodest")
+    val csv = writeFixtureCsv(dir)
+    val aq = Aqueduct(
+      sources = Seq(FileSource("raw_nd", CsvFormat(), Location(csv.toString))),
+      stages = Seq(Seq(Stage("summary_nd",
+        "SELECT count(*) AS n, round(sum(value), 2) AS total FROM raw_nd"))))
+    Runner.run(spark, aq)
+    val r = spark.table("summary_nd").collect().head
+    assert(r.getLong(0) == 5L && r.getDouble(1) == 151.5)
+  }
+
+  test("e2e: parquet source → filter stage → single-file CSV destination (integration.rs:54-94)") {
+    val dir = tmpDir("runner-file")
+    writeFixtureCsv(dir)
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(dir.resolve("data.csv").toString)
+      .write.mode("overwrite").parquet(dir.resolve("in.parquet").toString)
+    val target = dir.resolve("out").resolve("result.csv")
+    val aq = Aqueduct(
+      sources = Seq(FileSource("raw_pq", ParquetFormat(), Location(dir.resolve("in.parquet").toString))),
+      stages = Seq(Seq(Stage("active_rows",
+        "SELECT id, name FROM raw_pq WHERE active = true ORDER BY id"))),
+      destination = Some(FileDestination("result", Location(target.toString), CsvDestFormat())))
+    Runner.run(spark, aq)
+    assert(java.nio.file.Files.isRegularFile(target)) // exact path, not a directory
+    val back = spark.read.option("header", "true").csv(target.toString).collect()
+    assert(back.length == 3)
+  }
+
+  test("file destination: partitioned multi-file parquet with writer options") {
+    val dir = tmpDir("runner-part")
+    val csv = writeFixtureCsv(dir)
+    val outDir = dir.resolve("out_part")
+    val aq = Aqueduct(
+      sources = Seq(FileSource("raw_part", CsvFormat(), Location(csv.toString))),
+      stages = Seq(Seq(Stage("all_rows", "SELECT * FROM raw_part"))),
+      destination = Some(FileDestination("out", Location(outDir.toString),
+        ParquetDestFormat(Map("compression" -> "snappy")),
+        singleFile = false, partitionColumns = Seq("active"))))
+    Runner.run(spark, aq)
+    val sub = outDir.toFile.list().toSeq
+    assert(sub.exists(_.startsWith("active=true")) && sub.exists(_.startsWith("active=false")))
+    val back = spark.read.parquet(outDir.toString)
+    assert(back.count() == 5)
+    assert(back.columns.contains("active")) // partition column recovered
+  }
+
+  test("parallel stage groups + TTL eviction + stage chaining") {
+    val dir = tmpDir("runner-groups")
+    val csv = writeFixtureCsv(dir)
+    val tracker = new CollectingTracker
+    val aq = Aqueduct(
+      sources = Seq(FileSource("raw_g", CsvFormat(), Location(csv.toString))),
+      stages = Seq(
+        Seq( // concurrent group
+          Stage("actives_g", "SELECT * FROM raw_g WHERE active = true"),
+          Stage("inactives_g", "SELECT * FROM raw_g WHERE active = false")),
+        Seq(Stage("unioned_g",
+          "SELECT * FROM actives_g UNION ALL SELECT * FROM inactives_g")),
+        Seq(Stage("final_g", "SELECT count(*) AS n FROM unioned_g"))),
+      destination = None)
+    Runner.run(spark, aq, tracker)
+    assert(spark.table("final_g").collect().head.getLong(0) == 5L)
+    // TTL: intermediates evicted after their last consumer group
+    assert(!spark.catalog.tableExists("actives_g"))
+    assert(!spark.catalog.tableExists("inactives_g"))
+    assert(!spark.catalog.tableExists("unioned_g"))
+    assert(spark.catalog.tableExists("final_g"))
+    // progress event sequence sanity
+    val evts = tracker.events
+    assert(evts.contains(ProgressEvent.Started))
+    assert(evts.exists { case ProgressEvent.SourceRegistered("raw_g") => true; case _ => false })
+    assert(evts.count { case _: ProgressEvent.StageCompleted => true; case _ => false } == 4)
+    assert(evts.exists { case _: ProgressEvent.Completed => true; case _ => false })
+  }
+
+  test("debug outputs: show (cap 500 at 0), explain, print_schema routed to tracker") {
+    val dir = tmpDir("runner-debug")
+    val csv = writeFixtureCsv(dir)
+    val tracker = new CollectingTracker
+    val aq = Aqueduct(
+      sources = Seq(FileSource("raw_dbg", CsvFormat(), Location(csv.toString))),
+      stages = Seq(Seq(Stage("dbg", "SELECT id, name FROM raw_dbg ORDER BY id",
+        show = Some(0), explain = true, printSchema = true))))
+    Runner.run(spark, aq, tracker)
+    val byType = tracker.outputs.groupBy(_._2)
+    assert(byType(OutputType.Show).head._3.contains("alpha"))
+    assert(byType(OutputType.Explain).head._3.contains("Physical Plan"))
+    assert(byType(OutputType.PrintSchema).head._3.contains("id"))
+  }
+
+  test("directory source with typed hive partitions") {
+    val dir = tmpDir("runner-dir")
+    import spark.implicits._
+    Seq((1, "a", "2024"), (2, "b", "2024"), (3, "c", "2025"))
+      .toDF("id", "v", "year")
+      .write.partitionBy("year").mode("overwrite")
+      .parquet(dir.resolve("data").toString)
+    val aq = Aqueduct(
+      sources = Seq(DirSource("dirsrc", ParquetFormat(), Location(dir.resolve("data").toString),
+        partitionColumns = Seq(("year", org.apache.spark.sql.types.IntegerType)))),
+      stages = Seq(Seq(Stage("by_year",
+        "SELECT year, count(*) AS n FROM dirsrc GROUP BY year ORDER BY year"))))
+    Runner.run(spark, aq)
+    val rows = spark.table("by_year").collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((2024, 2L), (2025, 1L)))
+  }
+
+  test("validation: DDL/DML rejected at load time, before anything runs") {
+    val aq = Aqueduct(
+      sources = Nil,
+      stages = Seq(Seq(Stage("bad", "DROP TABLE raw"))))
+    assertThrows[SqlGuard.SqlValidationError](Runner.run(spark, aq))
+    Seq("CREATE TABLE t (a INT)", "INSERT INTO t VALUES (1)", "SET spark.foo=1",
+      "DELETE FROM t WHERE a = 1", "UPDATE t SET a = 2").foreach { q =>
+      assertThrows[SqlGuard.SqlValidationError](SqlGuard.validate(spark, "s", q))
+    }
+    // pure queries pass, including CTEs and VALUES
+    SqlGuard.validate(spark, "s", "WITH x AS (SELECT 1 AS a) SELECT * FROM x")
+    SqlGuard.validate(spark, "s", "SELECT * FROM VALUES (1, 'a') AS t(id, name)")
+    // syntax error carries position info
+    val e = intercept[SqlGuard.SqlValidationError](SqlGuard.validate(spark, "s", "SELEC 1"))
+    assert(e.getMessage.contains("s"))
+  }
+
+  test("duplicate stage names rejected") {
+    val aq = Aqueduct(stages = Seq(
+      Seq(Stage("dup", "SELECT 1")), Seq(Stage("dup", "SELECT 2"))))
+    assertThrows[Runner.PipelineError](Runner.run(spark, aq))
+  }
+
+  test("in-memory source must pre-exist") {
+    val aq = Aqueduct(
+      sources = Seq(InMemorySource("never_registered_xyz")),
+      stages = Seq(Seq(Stage("s_mem", "SELECT * FROM never_registered_xyz"))))
+    assertThrows[Exception](Runner.run(spark, aq))
+
+    import spark.implicits._
+    Seq((1, "x")).toDF("id", "v").createOrReplaceTempView("pre_registered")
+    val ok = Aqueduct(
+      sources = Seq(InMemorySource("pre_registered")),
+      stages = Seq(Seq(Stage("s_mem2", "SELECT count(*) AS n FROM pre_registered"))))
+    Runner.run(spark, ok)
+    assert(spark.table("s_mem2").collect().head.getLong(0) == 1L)
+  }
+
+  test("README example pipeline runs end-to-end (reference examples/aqueduct_pipeline_example.yml)") {
+    // Stage the reference's CSV fixtures in a writable dir (the config's
+    // ${local_path} prefix covers both inputs and the output table).
+    val base = tmpDir("example-pipeline")
+    val ex = base.resolve("examples")
+    java.nio.file.Files.createDirectories(ex)
+    Seq("temp_readings_jan_2024.csv", "temp_readings_feb_2024.csv", "location_dict.csv").foreach { f =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"/root/reference/examples/$f"), ex.resolve(f))
+    }
+    val tracker = new CollectingTracker
+    Runner.runFile(spark,
+      java.nio.file.Paths.get("/root/reference/examples/aqueduct_pipeline_example.yml"),
+      Map("local_path" -> base.toString, "run_id" -> "t1"),
+      tracker)
+    val tableLoc = Location(base.resolve("examples/output_delta_example/t1").toString)
+    val out = graft.destinations.ManagedTable.read(spark, tableLoc)
+    assert(out.count() > 0)
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("date", "location_id", "min_temp_c", "min_humidity", "max_temp_c",
+        "max_humidity", "avg_temp_c", "avg_humidity"))
+    assert(out.schema("date").dataType == org.apache.spark.sql.types.DateType)
+    assert(out.schema("location_id").dataType == org.apache.spark.sql.types.IntegerType)
+    // stage debug outputs fired: show 20, show 0, print_schema
+    assert(tracker.outputs.count(_._2 == OutputType.Show) == 2)
+    assert(tracker.outputs.count(_._2 == OutputType.PrintSchema) == 1)
+    // re-running upserts on `date` keys: identical source ⇒ stable row count
+    Runner.runFile(spark,
+      java.nio.file.Paths.get("/root/reference/examples/aqueduct_pipeline_example.yml"),
+      Map("local_path" -> base.toString, "run_id" -> "t1"))
+    val again = graft.destinations.ManagedTable.read(spark, tableLoc)
+    assert(again.count() == out.count())
+  }
+}
