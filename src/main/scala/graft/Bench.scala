@@ -1,18 +1,49 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-contract benchmark main: one JSON line with per-query wall times.
+  *
+  * Round-1 verdict fixes baked in:
+  *   - queries materialize through the `noop` sink (full evaluation of the
+  *     exact graded plan) instead of `.count()`, which let Catalyst prune
+  *     most of the work;
+  *   - one untimed warm-up pass absorbs session/codegen/first-scan costs so
+  *     per-query numbers are attributable;
+  *   - failures are recorded explicitly (`errors` map + 1e9-second sentinel)
+  *     instead of silently improving the total.
+  */
 object Bench {
+
+  private def materialize(spark: SparkSession, sfDir: String,
+      name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =
+    try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+    catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}") }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
+
+    // untimed warm-up: JVM/codegen/parquet-footer costs land here, not on q01
+    SparkEntry.queries.foreach { case (name, fn) => materialize(spark, sfDir, name, fn) }
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = materialize(spark, sfDir, name, fn)
+      val sec = err match {
+        case None => (System.nanoTime() - t0) / 1e9
+        case Some(msg) => errors += name -> msg; 1e9 // sentinel: failures must hurt the metric
+      }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
+    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,581 @@
+package graft
+
+import graft.config._
+import graft.functions.Text
+import graft.ops.{Ann, Dedup, Multimodal}
+import graft.run.{CollectingTracker, Runner}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.immutable.ListMap
+
+/** Round-2 query surface: SQL-operator gap fillers (q07, q21-q28), the
+  * LLM-data-pipeline operators over `documents`/`embeddings` (q29-q39), and
+  * engine-executed pipelines (p01-p06) that push Runner/sources/destinations
+  * through the DuckDB oracle gate.
+  *
+  * Exactness rules for oracle parity (same as SparkEntry): money sums go
+  * through fixed-scale decimals; ratios that must filter exactly are compared
+  * in integer arithmetic; fp outputs are either exact copies or IEEE-exact
+  * ops (sqrt, power-of-two, ×2).
+  */
+object EngineQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(spark, dir, name)
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Engine-run helper: quiet tracker, returns the final stage frame. */
+  private def pipe(spark: SparkSession, aq: Aqueduct): DataFrame =
+    Runner.run(spark, aq, new CollectingTracker).get
+
+  private def tmp(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  // words of the lowercased text, identical construction on the oracle side
+  private def docWords(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // Left outer join: customers kept even with zero orders.
+    "q07_outer_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_custkey") < 300)
+      val ord = t(s, dir, "orders")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("spend"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // SELECT DISTINCT + COUNT(DISTINCT ...) single and multi column.
+    "q21_distinct_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // GROUPING SETS with grouping() markers (not value coalescing — the
+    // round-1 advice: labels must distinguish super-aggregate rows).
+    "q22_grouping_sets" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT n_name, c_mktsegment,
+               CAST(grouping(n_name) AS INT) AS g_nation,
+               CAST(grouping(c_mktsegment) AS INT) AS g_segment,
+               count(*) AS n_cust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment), ())
+        ORDER BY g_nation, g_segment, n_name NULLS FIRST, c_mktsegment NULLS FIRST""")
+    }),
+
+    // lag/lead analytics + RANGE frame over a numeric ordering key.
+    "q23_lag_lead" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT o_custkey, o_orderkey,
+               lag(o_totalprice, 1) OVER w AS prev_price,
+               lead(o_totalprice, 1) OVER w AS next_price,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY CAST(o_totalprice AS DECIMAL(18,2))
+                          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum
+        FROM orders WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")
+    }),
+
+    // Array explode + top-k word counts over the document corpus.
+    "q24_word_topk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(docWords(col("text"))).as("word"))
+        .filter(length(col("word")) > 2)
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(25)
+    }),
+
+    // Array functions + struct build/access (flattened output).
+    "q25_struct_array" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_partkey") <= 200)
+        .withColumn("words", split(col("p_type"), " "))
+        .withColumn("info", struct(col("p_brand").as("brand"), col("p_retailprice").as("price")))
+      p.select(
+        col("p_partkey"),
+        element_at(col("words"), 1).as("first_word"),
+        size(col("words")).as("n_words"),
+        array_contains(col("words"), "BRUSHED").as("has_brushed"),
+        element_at(sort_array(col("words")), 1).as("min_word"),
+        col("info").getField("brand").as("brand"),
+        col("info").getField("price").as("price"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // VALUES literal table joined against a real table.
+    "q26_values_join" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT r_regionkey, t.rname, t.bonus
+        FROM region JOIN (VALUES ('ASIA', 10), ('EUROPE', 20), ('AFRICA', 30)) AS t(rname, bonus)
+          ON r_name = t.rname
+        ORDER BY r_regionkey""")
+    }),
+
+    // Approximate aggregates (sketch-based; no exact oracle by nature —
+    // the driver records a rows-only check).
+    "q27_approx_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        expr("percentile_approx(l_quantity, 0.5)").as("median_qty"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // Math function pack restricted to cross-engine-exact ops: abs/ceil/
+    // floor (int results), decimal round, IEEE sqrt, power-of-two, pmod.
+    "q28_math_funcs" -> ((s, dir) => {
+      t(s, dir, "part").filter(col("p_partkey") <= 100)
+        .select(
+          col("p_partkey"),
+          abs(col("p_retailprice") - 1000).as("abs_diff"),
+          ceil(col("p_retailprice")).as("ceil_price"),
+          floor(col("p_retailprice")).as("floor_price"),
+          round(col("p_retailprice").cast(DecimalType(12, 2)), 1).as("round_price"),
+          sqrt(col("p_partkey").cast("double")).as("sqrt_key"),
+          pow(lit(2.0), pmod(col("p_partkey"), lit(10))).as("pow2"),
+          pmod(col("p_partkey"), lit(7)).as("mod7"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---------------------------------------------------- LLM pipeline ops
+
+    // Text statistics: token counts (whitespace + BPE-ish regex), punctuation
+    // counts, exact char sums — pure map + one hash aggregate; all regexes
+    // shared verbatim with the oracle.
+    "q29_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))).as("n_tokens"),
+        sum(size(regexp_extract_all(col("text"), lit(Text.bpeishPattern), lit(0)))).as("n_bpeish"),
+        sum(size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))).as("n_punct"),
+        sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // Stopword-list language ID with an explicit deterministic tie-break
+    // chain (en > de > es > fr on equal hits; no hits ⇒ 'und').
+    "q30_langid" -> ((s, dir) => {
+      def hits(c: Column, ws: Seq[String]): Column =
+        size(filter(docWords(c), w => w.isInCollection(ws)))
+      val d = t(s, dir, "documents")
+        .withColumn("h_en", hits(col("text"), Text.stopwords("en")))
+        .withColumn("h_de", hits(col("text"), Text.stopwords("de")))
+        .withColumn("h_es", hits(col("text"), Text.stopwords("es")))
+        .withColumn("h_fr", hits(col("text"), Text.stopwords("fr")))
+        .withColumn("predicted",
+          when(col("h_en") >= col("h_de") && col("h_en") >= col("h_es") &&
+            col("h_en") >= col("h_fr") && col("h_en") > 0, "en")
+            .when(col("h_de") >= col("h_es") && col("h_de") >= col("h_fr") &&
+              col("h_de") > 0, "de")
+            .when(col("h_es") >= col("h_fr") && col("h_es") > 0, "es")
+            .when(col("h_fr") > 0, "fr")
+            .otherwise("und"))
+      d.groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // Exact dedup by key columns over documents (hash-shuffle groupBy; the
+    // generic operator behind it is Dedup.exactGroups).
+    "q31_dedup_docs" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), Seq("lang", "source"), "doc_id")
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs via inverted-index join (never
+    // all-pairs). Threshold j >= 0.5 applied in integer arithmetic
+    // (2·common >= union) so both engines filter identically.
+    "q32_ngram_jaccard" -> ((s, dir) => {
+      // no size(sh)>0 filter: explode drops empties, and an explicit filter
+      // would be predicate-pushed into the scan, re-inlining the shingle
+      // expression (see Dedup.ngramJaccardPairs)
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism) // single-file input → parallelize shingling
+        .select(col("doc_id"), Text.words(lower(col("text"))).as("w"))
+        .select(col("doc_id"), Text.shinglesOf(col("w"), 3).as("sh"))
+        .withColumn("n", size(col("sh")))
+      val inv = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
+      val a = inv.select(col("g"), col("doc_id").as("id_a"), col("n").as("na"))
+      val b = inv.select(col("g"), col("doc_id").as("id_b"), col("n").as("nb"))
+      a.join(b, Seq("g"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("common"))
+        .filter(col("common") * 2 >= col("na") + col("nb") - col("common"))
+        .select(col("id_a"), col("id_b"), col("common"),
+          (col("na") + col("nb") - col("common")).as("union_size"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash + banded LSH near-dup (probabilistic recall ⇒ rows-only check;
+    // the exact-verify step means zero false positives).
+    "q33_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup pairs (hash-dependent ⇒ rows-only check).
+    "q34_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDistance = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Exact cosine top-k: broadcast query set, single corpus scan.
+    "q35_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      Ann.bruteTopK(emb, "vec_id", "v", queries, "qid", "qv", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN with multi-probe + exact re-rank (approximate recall
+    // ⇒ rows-only check).
+    "q36_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      Ann.lshTopK(emb, "vec_id", "v", queries, "qid", "qv",
+        k = 10, m = 12, dim = 64, probeDistance = 1)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Document fingerprint: min-md5 over word 3-gram shingles (1-row MinHash
+    // blocking key; md5 keeps it engine-portable).
+    "q37_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), Text.words(lower(col("text"))).as("w"))
+        .select(col("doc_id"),
+          array_min(transform(Text.shinglesOf(col("w"), 3), g => md5(g))).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata, byte
+    // frame-sampling, stub feature extraction (portable columns only).
+    "q38_multimodal" -> ((s, dir) => {
+      Multimodal.featurize(
+          t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+        .select(col("doc_id"), col("format"), col("n_bytes"), col("n_frames"),
+          col("features").getField("content_hash").as("content_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Reference JSON UDF pack (json_get_int / json_get_str aliases).
+    "q39_json_udfs" -> ((s, dir) => {
+      graft.functions.JsonUdfs.register(s)
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("json_get_int(props, 'k')").as("k"),
+          expr("json_get_str(props, 'k')").as("k_str"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"), max(col("k_str")).as("k_max_str"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ------------------------------------------- engine-executed pipelines
+
+    // Parquet source → chained stages → (no destination) result.
+    "p01_pipeline_agg" -> ((s, dir) => {
+      pipe(s, Aqueduct(
+        sources = Seq(FileSource("p1_orders", ParquetFormat(),
+          Location(s"$dir/orders.parquet"))),
+        stages = Seq(
+          Seq(Stage("p1_filtered",
+            "SELECT o_custkey, o_totalprice, o_orderstatus FROM p1_orders WHERE o_totalprice > 50000")),
+          Seq(Stage("p1_result",
+            """SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+               FROM p1_filtered GROUP BY o_orderstatus ORDER BY o_orderstatus""")))))
+    }),
+
+    // Concurrent stage group + FULL OUTER join of the two branches.
+    "p02_pipeline_parallel" -> ((s, dir) => {
+      pipe(s, Aqueduct(
+        sources = Seq(FileSource("p2_orders", ParquetFormat(),
+          Location(s"$dir/orders.parquet"))),
+        stages = Seq(
+          Seq(
+            Stage("p2_hi",
+              "SELECT o_custkey, count(*) AS n_hi FROM p2_orders WHERE o_totalprice >= 150000 GROUP BY o_custkey"),
+            Stage("p2_lo",
+              "SELECT o_custkey, count(*) AS n_lo FROM p2_orders WHERE o_totalprice < 150000 GROUP BY o_custkey")),
+          Seq(Stage("p2_result",
+            """SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+               coalesce(a.n_hi, 0) AS n_hi, coalesce(b.n_lo, 0) AS n_lo
+               FROM p2_hi a FULL OUTER JOIN p2_lo b ON a.o_custkey = b.o_custkey
+               ORDER BY o_custkey""")))))
+    }),
+
+    // File destination: hive-partitioned parquet written by the engine, read
+    // back for the oracle compare.
+    "p03_pipeline_filedest" -> ((s, dir) => {
+      val out = tmp("graft-p03").resolve("out").toString
+      pipe(s, Aqueduct(
+        sources = Seq(FileSource("p3_orders", ParquetFormat(),
+          Location(s"$dir/orders.parquet"))),
+        stages = Seq(Seq(Stage("p3_sel",
+          "SELECT o_orderstatus, o_orderkey, o_totalprice FROM p3_orders WHERE o_orderkey < 2000"))),
+        destination = Some(FileDestination("p3_out", Location(out), ParquetDestFormat(),
+          singleFile = false, partitionColumns = Seq("o_orderstatus")))))
+      s.read.parquet(out)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Managed-table destination: create+append then keyed upsert (engine
+    // write modes end-to-end), final table state checked against the oracle.
+    "p04_pipeline_upsert" -> ((s, dir) => {
+      val tbl = Location(tmp("graft-p04").resolve("tbl").toString)
+      val schema = Seq(
+        Types.FieldSpec("o_orderkey", LongType),
+        Types.FieldSpec("o_custkey", LongType),
+        Types.FieldSpec("o_totalprice", DoubleType))
+      val src = FileSource("p4_orders", ParquetFormat(), Location(s"$dir/orders.parquet"))
+      pipe(s, Aqueduct(
+        sources = Seq(src),
+        stages = Seq(Seq(Stage("p4_initial",
+          "SELECT o_orderkey, o_custkey, o_totalprice FROM p4_orders WHERE o_orderkey % 3 = 0"))),
+        destination = Some(ManagedTableDestination("p4_tbl", tbl, TableAppend, schema = schema))))
+      pipe(s, Aqueduct(
+        sources = Seq(src),
+        stages = Seq(Seq(Stage("p4_updates",
+          "SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice FROM p4_orders WHERE o_orderkey % 2 = 0"))),
+        destination = Some(ManagedTableDestination("p4_tbl", tbl,
+          TableUpsert(Seq("o_orderkey")), schema = schema))))
+      graft.destinations.ManagedTable.read(s, tbl).orderBy(col("o_orderkey"))
+    }),
+
+    // Managed-table replace: predicate-scoped delete + insert on a
+    // hive-partitioned table.
+    "p05_pipeline_replace" -> ((s, dir) => {
+      val tbl = Location(tmp("graft-p05").resolve("tbl").toString)
+      val schema = Seq(
+        Types.FieldSpec("o_orderkey", LongType),
+        Types.FieldSpec("o_orderstatus", StringType),
+        Types.FieldSpec("o_totalprice", DoubleType))
+      val src = FileSource("p5_orders", ParquetFormat(), Location(s"$dir/orders.parquet"))
+      pipe(s, Aqueduct(
+        sources = Seq(src),
+        stages = Seq(Seq(Stage("p5_all",
+          "SELECT o_orderkey, o_orderstatus, o_totalprice FROM p5_orders"))),
+        destination = Some(ManagedTableDestination("p5_tbl", tbl, TableAppend,
+          partitionColumns = Seq("o_orderstatus"), schema = schema))))
+      pipe(s, Aqueduct(
+        sources = Seq(src),
+        stages = Seq(Seq(Stage("p5_repl",
+          """SELECT o_orderkey, o_orderstatus, CAST(0.0 AS DOUBLE) AS o_totalprice
+             FROM p5_orders WHERE o_orderstatus = 'F' AND o_orderkey < 500"""))),
+        destination = Some(ManagedTableDestination("p5_tbl", tbl,
+          TableReplace(Seq(ReplaceCondition("o_orderstatus", "F"))),
+          partitionColumns = Seq("o_orderstatus"), schema = schema))))
+      graft.destinations.ManagedTable.read(s, tbl).orderBy(col("o_orderkey"))
+    }),
+
+    // ${param} templating through the YAML front door.
+    "p06_pipeline_template" -> ((s, dir) => {
+      val yaml =
+        """version: "v2"
+          |sources:
+          |  - type: file
+          |    name: tpl_lineitem
+          |    format: { type: parquet }
+          |    location: ${sf_dir}/lineitem.parquet
+          |stages:
+          |  - - name: p6_result
+          |      query: >
+          |        SELECT l_returnflag, count(*) AS n
+          |        FROM tpl_lineitem WHERE l_quantity >= ${min_qty}
+          |        GROUP BY l_returnflag ORDER BY l_returnflag
+          |""".stripMargin
+      val aq = ConfigParser.fromYaml(yaml, Map("sf_dir" -> dir, "min_qty" -> "30"))
+      pipe(s, aq)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q07_outer_join" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+         coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS spend
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         WHERE c_custkey < 300
+         GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    "q21_distinct_agg" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+         (SELECT count(*) FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem) t) AS n_flag_status,
+         count(*) AS n_rows FROM lineitem""",
+    "q22_grouping_sets" ->
+      """SELECT n_name, c_mktsegment,
+         CAST(grouping(n_name) AS INT) AS g_nation,
+         CAST(grouping(c_mktsegment) AS INT) AS g_segment,
+         count(*) AS n_cust,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment), ())
+         ORDER BY g_nation, g_segment, n_name NULLS FIRST, c_mktsegment NULLS FIRST""",
+    "q23_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         lead(o_totalprice, 1) OVER w AS next_price,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey
+                    ORDER BY CAST(o_totalprice AS DECIMAL(18,2))
+                    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum
+         FROM orders WHERE o_custkey < 100
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q24_word_topk" ->
+      """SELECT word, count(*) AS n
+         FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents) w
+         WHERE length(word) > 2
+         GROUP BY word ORDER BY n DESC, word LIMIT 25""",
+    "q25_struct_array" ->
+      """SELECT p_partkey,
+         string_split(p_type, ' ')[1] AS first_word,
+         len(string_split(p_type, ' ')) AS n_words,
+         list_contains(string_split(p_type, ' '), 'BRUSHED') AS has_brushed,
+         list_sort(string_split(p_type, ' '))[1] AS min_word,
+         p_brand AS brand, p_retailprice AS price
+         FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""",
+    "q26_values_join" ->
+      """SELECT r_regionkey, t.rname, t.bonus
+         FROM region JOIN (VALUES ('ASIA', 10), ('EUROPE', 20), ('AFRICA', 30)) t(rname, bonus)
+           ON r_name = t.rname
+         ORDER BY r_regionkey""",
+    "q28_math_funcs" ->
+      """SELECT p_partkey,
+         abs(p_retailprice - 1000) AS abs_diff,
+         CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+         CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+         round(CAST(p_retailprice AS DECIMAL(12,2)), 1) AS round_price,
+         sqrt(CAST(p_partkey AS DOUBLE)) AS sqrt_key,
+         power(2.0, p_partkey % 10) AS pow2,
+         p_partkey % 7 AS mod7
+         FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""",
+    "q29_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         sum(len(regexp_extract_all(text, '\S+'))) AS n_tokens,
+         sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS n_bpeish,
+         sum(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))) AS n_punct,
+         sum(n_chars) AS total_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q30_langid" ->
+      """WITH scored AS (
+           SELECT lang,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               w -> w IN ('the','and','of','to','in','is','that','for','with','was'))) AS h_en,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               w -> w IN ('der','die','und','das','ist','nicht','ein','mit','für','von'))) AS h_de,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               w -> w IN ('el','la','los','que','de','en','es','por','con','para'))) AS h_es,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               w -> w IN ('le','la','les','et','des','est','pour','dans','une','que'))) AS h_fr
+           FROM documents)
+         SELECT lang,
+           CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+                WHEN h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+                WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+                WHEN h_fr > 0 THEN 'fr'
+                ELSE 'und' END AS predicted,
+           count(*) AS n
+         FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""",
+    "q31_dedup_docs" ->
+      """SELECT lang, source, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY lang, source HAVING count(*) >= 2
+         ORDER BY lang, source""",
+    "q32_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 1, 1)),
+               i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+2])) AS grams
+           FROM documents),
+         inv AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh WHERE len(grams) > 0)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common,
+                a.n + b.n - count(*) AS union_size
+         FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id, a.n, b.n
+         HAVING count(*) * 2 >= a.n + b.n - count(*)
+         ORDER BY id_a, id_b""",
+    "q35_ann_brute" ->
+      """WITH c AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+              q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5)
+         SELECT query_id, rank, item_id, cos FROM (
+           SELECT query_id, item_id,
+             round(list_cosine_similarity(cv, qv), 6) AS cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY list_cosine_similarity(cv, qv) DESC, item_id) AS rank
+           FROM c CROSS JOIN q) t
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q37_fingerprint" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 1, 1)),
+               i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+2])) AS grams
+           FROM documents WHERE doc_id < 100)
+         SELECT doc_id, list_min(list_transform(grams, g -> md5(g))) AS fp
+         FROM sh ORDER BY doc_id""",
+    "q38_multimodal" ->
+      """SELECT doc_id, 'text/utf-8' AS format,
+         octet_length(encode(text)) AS n_bytes,
+         greatest(octet_length(encode(text)) - 256, 0) // 128 + 1 AS n_frames,
+         md5(text) AS content_hash
+         FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    "q39_json_udfs" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+         max(json_extract_string(props, '$.k')) AS k_max_str
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "p01_pipeline_agg" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders WHERE o_totalprice > 50000
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "p02_pipeline_parallel" ->
+      """WITH hi AS (SELECT o_custkey, count(*) AS n_hi FROM orders WHERE o_totalprice >= 150000 GROUP BY o_custkey),
+              lo AS (SELECT o_custkey, count(*) AS n_lo FROM orders WHERE o_totalprice < 150000 GROUP BY o_custkey)
+         SELECT coalesce(hi.o_custkey, lo.o_custkey) AS o_custkey,
+                coalesce(hi.n_hi, 0) AS n_hi, coalesce(lo.n_lo, 0) AS n_lo
+         FROM hi FULL OUTER JOIN lo ON hi.o_custkey = lo.o_custkey
+         ORDER BY o_custkey""",
+    "p03_pipeline_filedest" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderkey < 2000 ORDER BY o_orderkey""",
+    "p04_pipeline_upsert" ->
+      """SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+         FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 2 = 0
+         ORDER BY o_orderkey""",
+    "p05_pipeline_replace" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus <> 'F'
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus, 0.0 AS o_totalprice FROM orders
+         WHERE o_orderstatus = 'F' AND o_orderkey < 500
+         ORDER BY o_orderkey""",
+    "p06_pipeline_template" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+         WHERE l_quantity >= 30 GROUP BY l_returnflag ORDER BY l_returnflag"""
+  )
+}

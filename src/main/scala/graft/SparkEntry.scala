@@ -29,7 +29,13 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
+  /** Full query surface: round-1 SQL core (below) + round-2 engine/LLM-ops
+    * queries ([[EngineQueries]]). Ordering is stable (ListMap ++ ListMap).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ EngineQueries.queries
+
+  private def coreQueries: scala.collection.immutable.ListMap[String, (SparkSession, String) => DataFrame] =
     scala.collection.immutable.ListMap(
 
       // TPC-H Q1 flavor: wide hash aggregate with partial (map-side) combine.
@@ -260,7 +266,9 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- oracle
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracle ++ EngineQueries.oracleSql
+
+  private def coreOracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale document pipelines.
+  *
+  * Everything here is a pure `Column` expression built from Spark built-ins
+  * (split / transform / aggregate / regexp_*), so it stays inside
+  * whole-stage codegen and distributes trivially — no Scala UDFs, no
+  * collect, no state. At 100 TB these are embarrassingly parallel map
+  * operations over the document table.
+  */
+object Text {
+
+  /** Whitespace word tokenization (empty-token free). */
+  def words(c: Column): Column =
+    filter(split(trim(c), "\\s+"), w => length(w) > 0)
+
+  def tokenCount(c: Column): Column = size(words(c))
+
+  /** BPE-ish subword-ish tokenization: letter runs, digit runs, and single
+    * punctuation marks — the standard pre-tokenizer split (the real merge
+    * table of a trained BPE is model-specific; this is the deterministic,
+    * engine-side approximation used for token accounting).
+    */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokens(c: Column): Column = regexp_extract_all(c, lit(bpeishPattern), lit(0))
+  def bpeishCount(c: Column): Column = size(bpeishTokens(c))
+
+  /** Word n-gram shingles: `["a b c", "b c d", ...]` (distinct). Documents
+    * shorter than n words yield an empty array (sequence() would otherwise
+    * run backwards on a negative upper bound).
+    */
+  def wordShingles(c: Column, n: Int): Column = shinglesOf(words(c), n)
+
+  /** Shingles over an already-computed word-array column. Prefer projecting
+    * the words into their own column first (`.withColumn("w", Text.words(c))`)
+    * and shingling that attribute: higher-order-function lambdas are
+    * interpreted, so an embedded words-expression would be re-evaluated per
+    * sequence element — O(words²) per row — while an attribute reference is
+    * computed once (and CollapseProject keeps multi-referenced non-cheap
+    * projections staged).
+    */
+  def shinglesOf(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(w) - n), i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Character n-gram shingles over the lowercased text (distinct). */
+  def charShingles(c: Column, n: Int): Column = {
+    val t = lower(c)
+    when(length(t) >= n,
+      array_distinct(
+        transform(sequence(lit(1), length(t) - (n - 1)), i => substring(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(c: Column): Column = {
+    val total = greatest(length(c), lit(1))
+    size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") / total
+  }
+
+  /** Ratio of uppercase letters to letters. */
+  def upperRatio(c: Column): Column = {
+    val letters = greatest(size(regexp_extract_all(c, lit("[A-Za-z]"), lit(0))), lit(1))
+    size(regexp_extract_all(c, lit("[A-Z]"), lit(0))).cast("double") / letters
+  }
+
+  def meanWordLength(c: Column): Column = {
+    val w = words(c)
+    (length(c) - size(w) + 1).cast("double") / greatest(size(w), lit(1))
+  }
+
+  /** Small per-language stopword lists for n-gram-free language ID. Public
+    * common words; enough signal for coarse routing (the real system would
+    * swap in fastText-style models behind the same column contract).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "für", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "pour", "dans", "une", "que"),
+    "es" -> Seq("el", "la", "los", "que", "de", "en", "es", "por", "con", "para"))
+
+  /** Count of tokens that appear in `list` (case-insensitive). */
+  def stopwordHits(c: Column, list: Seq[String]): Column = {
+    val set = array(list.map(lit): _*)
+    size(filter(words(lower(c)), w => array_contains(set, w)))
+  }
+
+  def stopwordRatio(c: Column, list: Seq[String]): Column =
+    stopwordHits(c, list).cast("double") / greatest(tokenCount(c), lit(1))
+
+  /** Heuristic language ID: the language whose stopword list scores the most
+    * hits; ties and zero-hit documents resolve to "und" (undetermined).
+    */
+  def langId(c: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, list) =>
+      struct(stopwordHits(c, list).as("hits"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, moderate
+    * punctuation, known-language stopword density. Deterministic and cheap;
+    * the weights are heuristic by design.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(tokenCount(c).cast("double") / 20.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(c) * 4.0, lit(1.0))
+    val stopScore = least(stopwordRatio(c, stopwords.values.flatten.toSeq) * 5.0, lit(1.0))
+    round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3), 4)
+  }
+
+  /** Document fingerprint: the minimum md5 over word 3-gram shingles — a
+    * 1-value MinHash, stable under shingle reordering, usable as a cheap
+    * near-dup blocking key. md5 keeps it portable across engines.
+    */
+  def fingerprint(c: Column, n: Int = 3): Column =
+    array_min(transform(wordShingles(c, n), s => md5(s)))
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers, same output contract:
+  *   - [[bruteTopK]] — exact cosine top-k: broadcast the (small) query set,
+  *     one scan of the corpus, per-query top-k via aggregate, no shuffle of
+  *     the corpus itself. The correct baseline and the right answer whenever
+  *     the query set fits in a broadcast.
+  *   - [[lshTopK]] — random-hyperplane LSH: corpus is bucketed by an m-bit
+  *     signature; queries probe only buckets within `probeDistance` bits of
+  *     their own signature, candidates are re-ranked exactly. The scale path:
+  *     scan cost drops to the probed buckets' share of the corpus
+  *     (~C(m,≤d)/2^m), the standard IVF/LSH trade of recall for scan
+  *     fraction.
+  *
+  * All vector math is expression-level (`zip_with` + `aggregate`), inside
+  * codegen, executor-side only.
+  */
+object Ann {
+
+  /** Cosine similarity of two float-array columns (expression, no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+    def norm(x: Column): Column = sqrt(dot(x, x))
+    dot(a, b) / (norm(a) * norm(b))
+  }
+
+  /** Exact top-k neighbours per query vector.
+    *
+    * `queries` must be broadcast-small (the common "embed the prompt, search
+    * the corpus" shape). Plan: broadcast-nested-loop join (query set × corpus
+    * scan) → per-query window top-k. One pass over the corpus, no corpus
+    * shuffle beyond the top-k aggregation.
+    */
+  def bruteTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = corpus.select(col(corpusId).as("item_id"), col(corpusVec).as("cv"))
+      .crossJoin(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))))
+      .withColumn("cos", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("item_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic random hyperplanes: `m` unit-free direction vectors of
+    * dimension `dim`, from a seeded PRNG, as a literal column (tiny: m×dim
+    * doubles shipped with the plan).
+    */
+  private def hyperplanes(m: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(m)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-pattern signature of a vector against the hyperplanes (m bits in a
+    * long, m ≤ 63).
+    */
+  private def signature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(vec, plane, (v, h) => v * h), lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k: LSH-bucketed candidate pruning + exact re-rank.
+    *
+    * Queries probe every bucket whose signature differs from theirs by at
+    * most `probeDistance` bits (multi-probe: recall without re-hashing).
+    */
+  def lshTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, m: Int = 12, dim: Int, probeDistance: Int = 1, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m <= 20, "signature width beyond 20 bits makes multi-probe enumeration explode")
+    val planes = hyperplanes(m, dim, seed)
+
+    val bucketed = corpus.select(
+      col(corpusId).as("item_id"), col(corpusVec).as("cv"),
+      signature(col(corpusVec), planes).as("bucket"))
+
+    // enumerate probe masks within hamming distance `probeDistance` of 0
+    val masks: Seq[Long] = {
+      def combos(bits: Seq[Int], d: Int): Seq[Seq[Int]] =
+        if (d == 0) Seq(Nil)
+        else combos(bits, d - 1) ++ bits.combinations(d).toSeq
+      combos(0 until m, probeDistance).distinct
+        .map(_.foldLeft(0L)((acc, b) => acc | (1L << b)))
+    }
+    val probed = queries.select(
+        col(queryId).as("query_id"), col(queryVec).as("qv"),
+        signature(col(queryVec), planes).as("qsig"))
+      .withColumn("bucket", explode(array(masks.map(mk => col("qsig").bitwiseXOR(lit(mk))): _*)))
+
+    val candidates = bucketed.join(broadcast(probed), Seq("bucket"))
+      .withColumn("cos", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("item_id"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,150 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.{JsonUdfs, Text}
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different text about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (5L, "ab")                                             // shorter than any shingle
+  ).toDF("doc_id", "text")
+
+  test("Text: words/tokenCount/shingles incl. short-document guard") {
+    val r = docs.select(
+      Text.tokenCount(col("text")).as("n"),
+      Text.wordShingles(col("text"), 3).as("sh")).collect()
+    assert(r(0).getInt(0) == 9)
+    assert(r(0).getSeq[String](1).contains("the quick brown"))
+    assert(r(4).getSeq[String](1).isEmpty) // "ab" has < 3 words: empty, no crash
+    val ch = docs.select(Text.charShingles(lit("abcd"), 3)).head().getSeq[String](0)
+    assert(ch == Seq("abc", "bcd"))
+  }
+
+  test("Text: langId picks the stopword-dominant language, und otherwise") {
+    val r = Seq("the cat is on the mat and it was fine",
+      "der hund ist nicht mit der katze",
+      "xyzzy qwerty").toDF("t")
+      .select(Text.langId(col("t"))).collect().map(_.getString(0))
+    assert(r.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("Text: fingerprint is order-stable and md5-shaped") {
+    val fp = docs.filter(col("doc_id") === 1).select(Text.fingerprint(col("text"))).head().getString(0)
+    val fp2 = docs.filter(col("doc_id") === 4).select(Text.fingerprint(col("text"))).head().getString(0)
+    assert(fp == fp2 && fp.matches("[0-9a-f]{32}"))
+  }
+
+  test("Dedup.exactByContent groups identical texts") {
+    val r = Dedup.exactByContent(docs, "doc_id", "text")
+      .filter(col("n_copies") >= 2).collect()
+    assert(r.length == 1 && r.head.getAs[Long]("keep_id") == 1L && r.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("Dedup.ngramJaccardPairs finds near-dups via inverted index, exact scores") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(keys.contains((1L, 2L)) && keys.contains((2L, 4L))) // near-dups
+    assert(!keys.exists { case (a, b) => a == 3L || b == 3L }) // unrelated doc excluded
+    val exact = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 4L).get
+    assert(exact.getDouble(2) == 1.0)
+  }
+
+  test("Dedup.ngramJaccardPairs stop-shingle cap bounds hot-key fan-out") {
+    // with a cap of 1 every shared shingle is dropped → no pairs at all
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.1, maxShingleDocFreq = Some(1))
+    assert(pairs.count() == 0)
+  }
+
+  test("Dedup.minhashLshPairs: candidates via bands, exact verification, no false positives") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 16, threshold = 0.5).collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((1L, 4L))) // identical docs always collide in every band
+    assert(pairs.forall(_.getDouble(2) >= 0.5)) // exact-verify: no false positives
+    assert(!keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("Dedup.simhash: identical docs hash identically; pairs at distance 0") {
+    val h = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(4L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDistance = 3)
+    val p14 = pairs.filter(col("id_a") === 1 && col("id_b") === 4).collect()
+    assert(p14.length == 1 && p14.head.getInt(2) == 0)
+  }
+
+  test("Ann: bruteTopK ranks self-match first with cosine 1.0") {
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.9, 0.1, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0)), (4L, Seq(0.0, 0.0, 1.0))).toDF("id", "v")
+    val q = emb.filter(col("id") === 1).select(col("id").as("qid"), col("v").as("qv"))
+    val r = Ann.bruteTopK(emb, "id", "v", q, "qid", "qv", k = 3)
+      .orderBy("rank").collect()
+    assert(r(0).getLong(2) == 1L && r(0).getDouble(3) == 1.0)
+    assert(r(1).getLong(2) == 2L) // nearest non-self
+  }
+
+  test("Ann: lshTopK finds the same top result as brute force on clustered data") {
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(16)(rnd.nextGaussian())
+    def jitter(eps: Double) = base.map(_ + eps * rnd.nextGaussian())
+    val rows = (1L to 40L).map(i => (i, jitter(if (i <= 20) 0.05 else 5.0)))
+    val emb = rows.toDF("id", "v")
+    val q = emb.filter(col("id") === 1).select(col("id").as("qid"), col("v").as("qv"))
+    val brute = Ann.bruteTopK(emb, "id", "v", q, "qid", "qv", k = 5).collect()
+    val lsh = Ann.lshTopK(emb, "id", "v", q, "qid", "qv", k = 5,
+      m = 8, dim = 16, probeDistance = 2).collect()
+    assert(lsh.head.getLong(2) == brute.head.getLong(2)) // top-1 agrees
+    assert(lsh.length <= 5 && lsh.nonEmpty)
+  }
+
+  test("Multimodal: featurize plumbing — schema, frame counts, content hash") {
+    val r = Multimodal.featurize(docs.filter(col("doc_id") === 1), "doc_id", "text").head()
+    assert(r.getAs[String]("format") == "text/utf-8")
+    val nBytes = r.getAs[Int]("n_bytes")
+    assert(nBytes == "the quick brown fox jumps over the lazy dog".length)
+    assert(r.getAs[Int]("n_frames") == 1) // short payload: single truncated frame
+    val features = r.getAs[org.apache.spark.sql.Row]("features")
+    assert(features.getAs[String]("content_hash").matches("[0-9a-f]{32}"))
+  }
+
+  test("Multimodal: frameSample yields ceil-style chunk counts on big payloads") {
+    val df = Seq(("x" * 1000)).toDF("t").select(encode(col("t"), "UTF-8").as("b"))
+    val n = df.select(Multimodal.frameCount(col("b"), 256, 128)).head().getInt(0)
+    assert(n == (1000 - 256) / 128 + 1)
+  }
+
+  test("JsonUdfs: unnest_json_array semantics (custom_udfs.rs:72-162)") {
+    assert(JsonUdfs.unnestJsonArray("""["a", 1, {"k": 2}, [3]]""") ==
+      Seq("a", "1", """{"k":2}""", "[3]"))
+    assert(JsonUdfs.unnestJsonArray(null) == null)
+    assertThrows[IllegalArgumentException](JsonUdfs.unnestJsonArray("""{"not": "array"}"""))
+    assertThrows[IllegalArgumentException](JsonUdfs.unnestJsonArray("not json"))
+  }
+
+  test("JsonUdfs: alias pack navigates nested paths in SQL") {
+    JsonUdfs.register(spark)
+    val r = spark.sql(
+      """SELECT json_get_int(j, 'a.b') AS i, json_get_str(j, 'c[1]') AS s,
+                json_contains(j, 'a') AS has_a, json_contains(j, 'zz') AS has_zz,
+                json_length(j, 'c') AS len, json_object_keys(j, '') AS keys,
+                json_get_float(j, 'f') AS f, json_get_bool(j, 'g') AS g
+         FROM VALUES ('{"a": {"b": 7}, "c": ["x", "y"], "f": 1.5, "g": true}') AS t(j)""").head()
+    assert(r.getLong(0) == 7L && r.getString(1) == "y")
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getInt(4) == 2)
+    assert(r.getSeq[String](5) == Seq("a", "c", "f", "g"))
+    assert(r.getDouble(6) == 1.5 && r.getBoolean(7))
+    val arr = spark.sql("""SELECT unnest_json_array('[1, "two"]') AS a""").head().getSeq[String](0)
+    assert(arr == Seq("1", "two"))
+  }
+}
