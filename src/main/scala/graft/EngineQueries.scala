@@ -292,6 +292,42 @@ object EngineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Map functions: build, access, keys/values (flattened exact output).
+    "q40_map_funcs" -> ((s, dir) => {
+      val r = t(s, dir, "region")
+        .withColumn("m", map_from_arrays(
+          array(lit("name"), lit("comment")),
+          array(col("r_name"), lit("x"))))
+      r.select(
+        col("r_regionkey"),
+        element_at(col("m"), "name").as("name_val"),
+        size(col("m")).as("m_size"),
+        array_join(map_keys(col("m")), ",").as("keys_joined"))
+        .orderBy(col("r_regionkey"))
+    }),
+
+    // UNION with dedup semantics (vs the UNION ALL already covered in q15).
+    "q41_union_dedup" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val a = ord.filter(col("o_totalprice") >= 100000).select(col("o_custkey").as("k"))
+      val b = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      a.union(b).distinct().orderBy(col("k"))
+    }),
+
+    // INTERSECT ALL / EXCEPT ALL (bag semantics; counts preserved).
+    "q42_set_ops_all" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        WITH f AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+             o AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+        SELECT 'intersect_all' AS op, k, count(*) AS n
+        FROM (SELECT k FROM f INTERSECT ALL SELECT k FROM o) t1 GROUP BY k
+        UNION ALL
+        SELECT 'except_all' AS op, k, count(*) AS n
+        FROM (SELECT k FROM f EXCEPT ALL SELECT k FROM o) t2 GROUP BY k
+        ORDER BY op, k""")
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -548,6 +584,24 @@ object EngineQueries {
          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
          max(json_extract_string(props, '$.k')) AS k_max_str
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q40_map_funcs" ->
+      """SELECT r_regionkey, r_name AS name_val, 2 AS m_size,
+         'name,comment' AS keys_joined
+         FROM region ORDER BY r_regionkey""",
+    "q41_union_dedup" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_totalprice >= 100000
+         UNION
+         SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY k""",
+    "q42_set_ops_all" ->
+      """WITH f AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+              o AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+         SELECT 'intersect_all' AS op, k, count(*) AS n
+         FROM (SELECT k FROM f INTERSECT ALL SELECT k FROM o) t1 GROUP BY k
+         UNION ALL
+         SELECT 'except_all' AS op, k, count(*) AS n
+         FROM (SELECT k FROM f EXCEPT ALL SELECT k FROM o) t2 GROUP BY k
+         ORDER BY op, k""",
     "p01_pipeline_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

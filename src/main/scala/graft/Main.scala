@@ -1,0 +1,51 @@
+package graft
+
+import graft.run.{LoggingTracker, Runner}
+
+/** CLI entry point: run a declarative pipeline file locally.
+  *
+  * Usage mirrors the reference CLI's local mode
+  * (aqueducts-cli/src/main.rs:122-144 → local_exec.rs:7-25):
+  *
+  * {{{
+  *   graft.Main run -f pipeline.yml -p key=value -p key2=value2
+  * }}}
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val parsed = parse(args.toList, CliArgs())
+    parsed match {
+      case Left(err) =>
+        System.err.println(err)
+        System.err.println("usage: run -f <pipeline.{yml|yaml|json}> [-p key=value ...]")
+        sys.exit(2)
+      case Right(cli) =>
+        val spark = Sessions.local()
+        try {
+          functions.JsonUdfs.register(spark) // reference-named UDFs available in stage SQL
+          Runner.runFile(spark, java.nio.file.Paths.get(cli.file), cli.params, new LoggingTracker)
+          ()
+        } catch {
+          case e: Exception =>
+            System.err.println(s"pipeline failed: ${e.getMessage}")
+            sys.exit(1)
+        } finally spark.stop()
+    }
+  }
+
+  private[graft] final case class CliArgs(file: String = "", params: Map[String, String] = Map.empty)
+
+  private[graft] def parse(args: List[String], acc: CliArgs): Either[String, CliArgs] = args match {
+    case Nil =>
+      if (acc.file.isEmpty) Left("missing -f <pipeline file>") else Right(acc)
+    case "run" :: rest => parse(rest, acc)
+    case ("-f" | "--file") :: f :: rest => parse(rest, acc.copy(file = f))
+    case ("-p" | "--param") :: kv :: rest =>
+      kv.split("=", 2) match {
+        case Array(k, v) => parse(rest, acc.copy(params = acc.params + (k -> v)))
+        case _ => Left(s"malformed param (expected key=value): $kv")
+      }
+    case other :: _ => Left(s"unknown argument: $other")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming extension (beyond reference parity — the reference
+  * is strictly batch, SURVEY.md §0; the `events` test table is the intended
+  * streaming shape: event_id, ts, user_id, event_type, value, props).
+  *
+  * Everything composes the engine's batch operators with `readStream`/
+  * `writeStream`: same DataFrame surface, incremental execution. State is
+  * bounded by watermarks (windowed aggs) or explicit timeouts (custom
+  * state), so these run indefinitely on a cluster without state blow-up.
+  */
+object Streams {
+
+  /** File-based streaming source over a directory of event files — new files
+    * are discovered incrementally; schema must be declared (streaming scans
+    * can't infer).
+    */
+  def fileSource(spark: SparkSession, dir: String, schema: StructType, format: String = "parquet"): DataFrame =
+    spark.readStream.format(format).schema(schema).load(dir)
+
+  /** Tumbling-window event counts + value sums with watermark-bounded state.
+    * Late events beyond `watermark` are dropped; completed windows emit once
+    * (append mode) — the canonical streaming aggregation shape.
+    */
+  def windowedEventStats(
+      events: DataFrame,
+      windowLength: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("value_sum"))
+
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful aggregation: running per-user totals via
+    * mapGroupsWithState.
+    *
+    * `idleTimeout = Some(duration)` evicts idle users' state via
+    * processing-time timeouts — required for unbounded key spaces on a
+    * long-running cluster. Note the timeout keeps the micro-batch engine
+    * perpetually scheduling (timeouts may fire without data), so
+    * `processAllAvailable`-style draining never settles; finite/test
+    * workloads should use `None` (NoTimeout).
+    */
+  def runningUserStats(
+      events: Dataset[UserEvent],
+      idleTimeout: Option[String] = None): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(timeoutConf) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0))
+            val updated = batch.foldLeft(prev)((acc, e) =>
+              UserStats(userId, acc.n_events + 1, acc.total_value + e.value))
+            state.update(updated)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            updated
+          }
+      }
+  }
+
+  /** Drive a streaming frame into an in-memory sink and block until all
+    * currently-available input is processed (test/debug harness).
+    */
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

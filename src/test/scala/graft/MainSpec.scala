@@ -1,0 +1,13 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class MainSpec extends AnyFunSuite {
+  test("CLI argument parsing: file, repeated params, errors") {
+    val ok = Main.parse(List("run", "-f", "p.yml", "-p", "a=1", "-p", "b=x=y"), Main.CliArgs())
+    assert(ok == Right(Main.CliArgs("p.yml", Map("a" -> "1", "b" -> "x=y"))))
+    assert(Main.parse(List("run"), Main.CliArgs()).isLeft)             // missing -f
+    assert(Main.parse(List("-f", "p.yml", "-p", "nope"), Main.CliArgs()).isLeft)
+    assert(Main.parse(List("--bogus"), Main.CliArgs()).isLeft)
+  }
+}

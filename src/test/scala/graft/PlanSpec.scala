@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression tests: the properties that make these queries scale
+  * (pushdown, pruning, broadcast choice, top-k physical operator, partial
+  * aggregation) asserted against the actual Catalyst plans, so a future
+  * "correct but 10× slower" rewrite fails loudly.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: filter and projection reach the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity"), p)
+    // pruned read schema: only the 5 projected columns + filter columns
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("q03: dimension side broadcast, top-k via TakeOrderedAndProject") {
+    val p = plan("q03_top_orders")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q05: snowflake dims broadcast; no cartesian/BNL joins") {
+    val p = plan("q05_nation_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q01: hash aggregation with map-side partial aggregates") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum"), p) // map-side combine before the shuffle
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+  }
+
+  test("q16: global top-k never materializes a full sort") {
+    val p = plan("q16_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("\nSort "), p)
+  }
+
+  test("q32: inverted-index join is an equi-join on the shingle key, not a cartesian") {
+    val p = plan("q32_ngram_jaccard")
+    // tiny sf broadcasts a side; at scale the same plan shuffles on `g` —
+    // either way it must be a hash-keyed equi-join, never all-pairs
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q35: ANN brute force broadcasts the query set (single corpus scan)") {
+    val p = plan("q35_ann_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("engine pipeline stages keep scan pushdown through temp-view boundaries") {
+    val df = SparkEntry.queries("p01_pipeline_agg")(spark, dir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // single-consumer stage was NOT materialized: filter fused into the scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+}

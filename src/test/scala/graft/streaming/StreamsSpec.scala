@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed aggregation with watermark drops late events in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.windowedEventStats(events, "1 minute", "1 minute")
+
+    val q = agg.writeStream.format("memory").queryName("win_append")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: events in minute 0
+    input.addData(
+      (ts("2024-01-01 00:00:10"), "click", 1.0),
+      (ts("2024-01-01 00:00:40"), "click", 2.0))
+    q.processAllAvailable()
+    // batch 2: an event far enough ahead to close minute-0's window...
+    input.addData((ts("2024-01-01 00:05:00"), "view", 5.0))
+    q.processAllAvailable()
+    // ...and a LATE event for minute 0 that the watermark must drop
+    input.addData((ts("2024-01-01 00:00:50"), "click", 99.0))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 00:10:00"), "view", 1.0)) // close minute-5 window
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_append")
+      .orderBy("window_start", "event_type").collect()
+    val clicks = rows.filter(_.getString(2) == "click")
+    assert(clicks.length == 1)
+    assert(clicks.head.getLong(3) == 2L)          // late 99.0 event NOT counted
+    assert(clicks.head.getDouble(4) == 3.0)
+  }
+
+  test("windowed aggregation in complete mode reflects every on-time event") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    input.addData(
+      (ts("2024-01-01 00:00:05"), "click", 1.0),
+      (ts("2024-01-01 00:00:55"), "view", 2.0),
+      (ts("2024-01-01 00:01:05"), "click", 4.0))
+    val out = Streams.runToMemory(
+      Streams.windowedEventStats(events, "1 minute", "10 minutes"),
+      "win_complete", OutputMode.Complete)
+    val m = out.collect().map(r => (r.getTimestamp(0).toString, r.getString(2)) -> r.getLong(3)).toMap
+    assert(m(("2024-01-01 00:00:00.0", "click")) == 1L)
+    assert(m(("2024-01-01 00:00:00.0", "view")) == 1L)
+    assert(m(("2024-01-01 00:01:00.0", "click")) == 1L)
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.UserEvent]
+    val stats = Streams.runningUserStats(input.toDS()) // NoTimeout: drains deterministically
+
+    val q = stats.writeStream.format("memory").queryName("user_stats")
+      .outputMode(OutputMode.Update).start()
+    input.addData(
+      Streams.UserEvent(1L, "click", 1.0), Streams.UserEvent(1L, "view", 2.0),
+      Streams.UserEvent(2L, "click", 10.0))
+    q.processAllAvailable()
+    input.addData(Streams.UserEvent(1L, "click", 4.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.table("user_stats")
+      .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(last(1L) == (3L, 7.0))
+    assert(last(2L) == (1L, 10.0))
+  }
+
+  test("file streaming source processes incrementally-arriving files") {
+    val dir = tmpDir("stream-files")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    Seq((ts("2024-01-01 00:00:10"), "click", 1.0)).toDF("ts", "event_type", "value")
+      .write.mode("append").parquet(dir.toString)
+    val streamed = Streams.fileSource(spark, dir.toString, schema)
+    assert(streamed.isStreaming)
+    val out = Streams.runToMemory(
+      Streams.windowedEventStats(streamed, "1 minute", "1 minute"),
+      "file_stream_out", OutputMode.Complete)
+    assert(out.collect().map(_.getLong(3)).sum == 1L)
+  }
+}
