@@ -203,13 +203,11 @@ object EngineQueries {
     // all-pairs). Threshold j >= 0.5 applied in integer arithmetic
     // (2·common >= union) so both engines filter identically.
     "q32_ngram_jaccard" -> ((s, dir) => {
-      // no size(sh)>0 filter: explode drops empties, and an explicit filter
-      // would be predicate-pushed into the scan, re-inlining the shingle
-      // expression (see Dedup.ngramJaccardPairs)
+      // native codegen'd WordShingles expression; no size(sh)>0 filter
+      // (explode drops empties — see Dedup.ngramJaccardPairs)
       val docs = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism) // single-file input → parallelize shingling
-        .select(col("doc_id"), Text.words(lower(col("text"))).as("w"))
-        .select(col("doc_id"), Text.shinglesOf(col("w"), 3).as("sh"))
+        .select(col("doc_id"), graft.functions.WordShingles(lower(col("text")), 3).as("sh"))
         .withColumn("n", size(col("sh")))
       val inv = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
       val a = inv.select(col("g"), col("doc_id").as("id_a"), col("n").as("na"))
@@ -264,9 +262,8 @@ object EngineQueries {
     // blocking key; md5 keeps it engine-portable).
     "q37_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").filter(col("doc_id") < 100)
-        .select(col("doc_id"), Text.words(lower(col("text"))).as("w"))
-        .select(col("doc_id"),
-          array_min(transform(Text.shinglesOf(col("w"), 3), g => md5(g))).as("fp"))
+        .select(col("doc_id"), graft.functions.WordShingles(lower(col("text")), 3).as("sh"))
+        .select(col("doc_id"), array_min(transform(col("sh"), g => md5(g))).as("fp"))
         .orderBy(col("doc_id"))
     }),
 

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native word n-gram shingling.
+  *
+  * The pure-`functions._` formulation (split → filter → transform/slice/
+  * concat_ws → array_distinct) is semantically right but executes as
+  * interpreted higher-order-function lambdas — and worse, optimizer rules
+  * (InferFiltersFromGenerate + predicate pushdown) clone the whole
+  * expression into scan-level filters, so the O(words·n) work runs 2-3× per
+  * row on one pre-shuffle partition. This custom Catalyst [[WordShingles]]
+  * expression computes the same array in one tight native pass and
+  * participates in whole-stage codegen (`doGenCode` emits a single static
+  * call), so cloning it is cheap and nothing breaks the codegen pipeline.
+  *
+  * Semantics are identical to the composed form (and to the DuckDB oracle's
+  * `string_split_regex`-based construction): ASCII-regex whitespace split,
+  * empty tokens dropped, shingles joined by single spaces, first-occurrence
+  * distinct order, `[]` for documents shorter than n words.
+  */
+object ShingleUtil {
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val words = s.toString.split("\\s+")
+    var wc = 0
+    var i = 0
+    while (i < words.length) { if (!words(i).isEmpty) { words(wc) = words(i); wc += 1 }; i += 1 }
+    if (wc < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](wc * 2)
+    i = 0
+    while (i <= wc - n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class WordShingles(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == org.apache.spark.sql.types.NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleUtil.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  /** DataFrame-API entry: `WordShingles(lower(col("text")), 3)`. */
+  def apply(c: Column, n: Int): Column =
+    GraftShims.column(WordShingles(GraftShims.expression(c), n))
+}

@@ -56,13 +56,14 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8,
       maxShingleDocFreq: Option[Int] = None): DataFrame = {
-    // No `size(shingles) > 0` row filter: explode() drops empty arrays for
-    // free, while an explicit filter would be predicate-pushed below the
-    // projection and re-inline the whole O(words²) shingle expression into
-    // the scan (measured 3-4× slowdown).
+    // Native WordShingles expression: codegen'd single-pass shingling. (The
+    // composed functions._ form is interpreted per-lambda-element AND gets
+    // cloned into scan filters by InferFiltersFromGenerate + pushdown;
+    // measured 3-4× slower.) No `size > 0` row filter: explode() drops
+    // empty arrays for free.
     val shingled = spread(docs)
-      .select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("w"))
-      .select(col("doc_id"), Text.shinglesOf(col("w"), n).as("shingles"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.WordShingles(col(textCol), n).as("shingles"))
       .withColumn("n_shingles", size(col("shingles")))
 
     val inverted0 = shingled
@@ -121,8 +122,8 @@ object Dedup {
     // (no row filter on shingle count — see ngramJaccardPairs; empty docs
     // get null signatures below and fall out of the equi-join)
     val shingled = spread(docs)
-      .select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("w"))
-      .select(col("doc_id"), Text.shinglesOf(col("w"), n).as("shingles"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.WordShingles(col(textCol), n).as("shingles"))
       // hash each shingle ONCE; the k hash functions then run over ints,
       // not k× re-hashed strings
       .withColumn("hs", transform(col("shingles"), s => crc32(s) % p))

@@ -1,0 +1,24 @@
+package graft.plans
+
+import graft.functions.WordShingles
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
+
+/** Engine session extensions (`spark.sql.extensions=graft.plans.GraftExtensions`):
+  * registers the native [[WordShingles]] expression as the SQL function
+  * `word_shingles(text, n)` so declarative pipeline stages get the codegen'd
+  * implementation too, not just the Scala API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, IntegerLiteral(n)) => WordShingles(text, n)
+        case _ => throw new IllegalArgumentException(
+          "word_shingles(text, n) expects a string column and an integer literal")
+      }))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ShingleExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val samples = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b",                         // shorter than shingle size
+    "",                            // empty
+    "  padded   with    spaces  ",
+    "repeat repeat repeat repeat", // duplicate shingles → distinct
+    "tabs\tand\nnewlines mixed in here")
+
+  test("native WordShingles is result-identical to the composed expression form") {
+    val df = samples.toDF("t")
+    val both = df.select(
+      WordShingles(col("t"), 3).as("native"),
+      Text.wordShingles(col("t"), 3).as("composed"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"mismatch for: $r")
+    }
+  }
+
+  test("interpreted eval path (nullSafeEval) matches too, and nulls propagate") {
+    val r = spark.sql("SELECT word_shingles(NULL, 3)").head()
+    assert(r.isNullAt(0))
+    val arr = ShingleUtil.shingles(
+      org.apache.spark.unsafe.types.UTF8String.fromString("x y z w"), 2)
+    assert(arr.numElements() == 3)
+  }
+
+  test("word_shingles is registered as SQL via GraftExtensions") {
+    val r = spark.sql("SELECT word_shingles('a b c d', 3) AS sh").head().getSeq[String](0)
+    assert(r == Seq("a b c", "b c d"))
+    // non-literal n is rejected with a clear message
+    val e = intercept[Exception](spark.sql("SELECT word_shingles('a', length('xx'))").collect())
+    assert(e.getMessage.contains("integer literal"))
+  }
+
+  test("codegen path executes (expression inside a wholestage-codegen'd project)") {
+    val df = samples.toDF("t").repartition(2)
+      .select(explode(WordShingles(lower(col("t")), 2)).as("g"))
+      .groupBy("g").count()
+    assert(df.collect().map(_.getLong(1)).sum > 0)
+  }
+}
