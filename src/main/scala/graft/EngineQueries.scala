@@ -325,6 +325,16 @@ object EngineQueries {
         ORDER BY op, k""")
     }),
 
+    // Time-window aggregation over the events stream table (batch form of
+    // the streaming tumbling window; window() → bucketed hash aggregate).
+    "q43_time_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("value_sum"))
+        .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("value_sum"))
+        .orderBy(col("bucket"), col("event_type"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -599,6 +609,11 @@ object EngineQueries {
          SELECT 'except_all' AS op, k, count(*) AS n
          FROM (SELECT k FROM f EXCEPT ALL SELECT k FROM o) t2 GROUP BY k
          ORDER BY op, k""",
+    "q43_time_window" ->
+      """SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS bucket, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
     "p01_pipeline_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -37,6 +37,34 @@ final class LoggingTracker extends ProgressTracker {
     println(s"--- $stageName ($outputType) ---\n$body")
 }
 
+/** Percent-progress decorator: mirrors the reference executor's step
+  * accounting — `total_steps = sources + 2·stages + destination`, a step per
+  * SourceRegistered / StageStarted / StageCompleted / DestinationCompleted
+  * (aqueducts-executor/src/executor/mod.rs:78-89).
+  */
+final class PercentTracker(inner: ProgressTracker, pipeline: graft.config.Aqueduct)
+  extends ProgressTracker {
+  private val total = math.max(1,
+    pipeline.sources.size + 2 * pipeline.stages.map(_.size).sum +
+      pipeline.destination.size)
+  private val done = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Last observed progress, 0-100. */
+  def percent: Int = math.min(100, done.get() * 100 / total)
+
+  override def onProgress(event: ProgressEvent): Unit = {
+    event match {
+      case _: ProgressEvent.SourceRegistered | _: ProgressEvent.StageStarted |
+           _: ProgressEvent.StageCompleted | _: ProgressEvent.DestinationCompleted =>
+        done.incrementAndGet()
+      case _ => ()
+    }
+    inner.onProgress(event)
+  }
+  override def onOutput(stageName: String, outputType: OutputType, body: String): Unit =
+    inner.onOutput(stageName, outputType, body)
+}
+
 /** Test tracker: records everything, thread-safe (stages run concurrently). */
 final class CollectingTracker extends ProgressTracker {
   private val evts = new java.util.concurrent.ConcurrentLinkedQueue[ProgressEvent]()

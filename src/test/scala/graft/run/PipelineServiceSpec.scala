@@ -1,0 +1,53 @@
+package graft.run
+
+import graft.SparkSpec
+import graft.config._
+import scala.concurrent.Await
+import scala.concurrent.duration._
+
+class PipelineServiceSpec extends SparkSpec {
+
+  private def pipelineOf(stage: String, query: String) = Aqueduct(
+    stages = Seq(Seq(Stage(stage, query))))
+
+  test("FIFO single-concurrency execution with queue positions (manager.rs:13-27)") {
+    val svc = new PipelineService(spark)
+    try {
+      val h1 = svc.submit(pipelineOf("svc_a", "SELECT 1 AS x"), new CollectingTracker)
+      val h2 = svc.submit(pipelineOf("svc_b", "SELECT 2 AS x"), new CollectingTracker)
+      val r1 = Await.result(h1.result, 60.seconds)
+      val r2 = Await.result(h2.result, 60.seconds)
+      assert(r1.get.collect().head.getInt(0) == 1)
+      assert(r2.get.collect().head.getInt(0) == 2)
+      assert(h1.queuePosition == -1 && h2.queuePosition == -1) // both done
+    } finally svc.close()
+  }
+
+  test("queued submission can be cancelled before it runs (manager.rs:62-70)") {
+    val svc = new PipelineService(spark)
+    try {
+      // a slow head-of-queue keeps the next submission queued long enough
+      val slow = pipelineOf("svc_slow",
+        "SELECT count(*) AS n FROM (SELECT explode(sequence(1, 2000000)) v) t")
+      val h1 = svc.submit(slow, new CollectingTracker)
+      val h2 = svc.submit(pipelineOf("svc_never", "SELECT 3 AS x"), new CollectingTracker)
+      assert(svc.cancel(h2.id))
+      assertThrows[java.util.concurrent.CancellationException](
+        Await.result(h2.result, 60.seconds))
+      Await.result(h1.result, 120.seconds) // head still completes normally
+      assert(!svc.cancel("graft-nonexistent"))
+    } finally svc.close()
+  }
+
+  test("PercentTracker reaches 100 over the reference step accounting") {
+    val dir = tmpDir("svc-pct")
+    val csv = writeFixtureCsv(dir)
+    val aq = Aqueduct(
+      sources = Seq(FileSource("pct_src", CsvFormat(), Location(csv.toString))),
+      stages = Seq(Seq(Stage("pct_stage", "SELECT count(*) AS n FROM pct_src"))),
+      destination = Some(InMemoryDestination("pct_out")))
+    val pct = new PercentTracker(new CollectingTracker, aq)
+    Runner.run(spark, aq, pct)
+    assert(pct.percent == 100) // 1 source + 2*1 stage + 1 destination steps
+  }
+}

@@ -37,7 +37,7 @@ for name, sql in sorted(oracle.items()):
     cols = list(got.columns)
     g = got.sort_values(cols, kind="mergesort").reset_index(drop=True)
     w = want.sort_values(cols, kind="mergesort").reset_index(drop=True)
-    exact = True; near = True; detail = ""
+    details = []
     for c in cols:
         gv, wv = g[c], w[c]
         try:
@@ -45,18 +45,16 @@ for name, sql in sorted(oracle.items()):
         except Exception:
             eq = gv.astype(str) == wv.astype(str)
         if not eq.all():
-            exact = False
             i = (~eq).idxmax()
             a, b = gv[i], wv[i]
-            detail = f"col={c} row={i}: spark={a!r} oracle={b!r}"
+            d = f"col={c} row={i}: spark={a!r} oracle={b!r}"
             if isinstance(a, float) and isinstance(b, float) and \
                math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12):
-                detail += " (NEAR: fp ulp)"
-            else:
-                near = False
-    if exact:
+                d += " (NEAR: fp ulp)"
+            details.append(d)
+    if not details:
         print(f"PASS {name} ({len(got)} rows)"); ok += 1
     else:
-        print(f"FAIL {name}: {detail}"); bad += 1
+        print(f"FAIL {name}: " + "; ".join(details)); bad += 1
 print(f"\n{ok}/{ok+bad} pass")
 sys.exit(1 if bad else 0)
