@@ -335,6 +335,43 @@ object EngineQueries {
         .orderBy(col("bucket"), col("event_type"))
     }),
 
+    // As-of join: every click picks up the latest prior purchase of the
+    // same user — union + single key shuffle + running window (Joins.asofJoin),
+    // checked against DuckDB's native ASOF JOIN.
+    "q44_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      ops.Joins.asofJoin(clicks, purchases,
+          keys = Seq("user_id"), timeCol = "ts", rightCols = Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts").as("purchase_ts"), col("purchase_value_r").as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Theta (non-equi) join: small side broadcast → nested-loop over 5 rows.
+    "q45_theta_join" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      nation.join(broadcast(region), nation("n_regionkey") =!= region("r_regionkey"))
+        .select(col("n_name"), col("r_name"))
+        .orderBy(col("n_name"), col("r_name"))
+    }),
+
+    // Embedding-cosine near-dup pairs via multi-probe LSH + exact verify
+    // (approximate recall ⇒ rows-only check).
+    "q46_embed_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      ops.Ann.cosinePairs(emb, "vec_id", "v", threshold = 0.95, m = 14, dim = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -614,6 +651,22 @@ object EngineQueries {
          count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
          FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
+    "q44_asof_join" ->
+      """WITH clicks AS (
+           SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+         p0 AS (
+           SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_type = 'purchase'),
+         purchases AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1)
+         SELECT c.event_id, c.user_id, c.ts,
+                p.ts AS purchase_ts, p.value AS purchase_value
+         FROM clicks c ASOF JOIN purchases p
+           ON c.user_id = p.user_id AND c.ts >= p.ts
+         ORDER BY c.event_id""",
+    "q45_theta_join" ->
+      """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey <> r_regionkey
+         ORDER BY n_name, r_name""",
     "p01_pipeline_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -71,6 +71,39 @@ object Ann {
       when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Embedding-cosine near-duplicate pairs: multi-probe LSH buckets generate
+    * candidates (one shuffle join on the bucket key, never all-pairs), exact
+    * cosine filters them — zero false positives, recall set by (m,
+    * probeDistance). The embedding-space sibling of Dedup.minhashLshPairs.
+    */
+  def cosinePairs(
+      corpus: DataFrame, id: String, vec: String,
+      threshold: Double, m: Int = 14, dim: Int, probeDistance: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(m, dim, seed)
+    val sigd = corpus.select(col(id).as("vid"), col(vec).as("v"),
+      signature(col(vec), planes).as("sig"))
+    val masks = probeMasks(m, probeDistance)
+    val a = sigd
+      .withColumn("bucket", explode(array(masks.map(mk => col("sig").bitwiseXOR(lit(mk))): _*)))
+      .select(col("bucket"), col("vid").as("id_a"), col("v").as("va"))
+    val b = sigd.select(col("sig").as("bucket"), col("vid").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** All bit-masks within `d` flips of zero (multi-probe enumeration). */
+  private def probeMasks(m: Int, d: Int): Seq[Long] = {
+    def combos(bits: Seq[Int], k: Int): Seq[Seq[Int]] =
+      if (k == 0) Seq(Nil)
+      else combos(bits, k - 1) ++ bits.combinations(k).toSeq
+    combos(0 until m, d).distinct.map(_.foldLeft(0L)((acc, b) => acc | (1L << b)))
+  }
+
   /** Approximate top-k: LSH-bucketed candidate pruning + exact re-rank.
     *
     * Queries probe every bucket whose signature differs from theirs by at
@@ -88,14 +121,7 @@ object Ann {
       col(corpusId).as("item_id"), col(corpusVec).as("cv"),
       signature(col(corpusVec), planes).as("bucket"))
 
-    // enumerate probe masks within hamming distance `probeDistance` of 0
-    val masks: Seq[Long] = {
-      def combos(bits: Seq[Int], d: Int): Seq[Seq[Int]] =
-        if (d == 0) Seq(Nil)
-        else combos(bits, d - 1) ++ bits.combinations(d).toSeq
-      combos(0 until m, probeDistance).distinct
-        .map(_.foldLeft(0L)((acc, b) => acc | (1L << b)))
-    }
+    val masks = probeMasks(m, probeDistance)
     val probed = queries.select(
         col(queryId).as("query_id"), col(queryVec).as("qv"),
         signature(col(queryVec), planes).as("qsig"))

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators Spark lacks natively, composed from built-ins.
+  *
+  * [[asofJoin]] is the union+window formulation of a time-series as-of
+  * join: instead of a per-key range join (which Spark would plan as a
+  * broadcast-nested-loop or an exploding theta join), both sides are
+  * unioned, shuffled ONCE on the key, and each left row picks up the most
+  * recent right values via a running `last(ignoreNulls)` window. Cost is
+  * one shuffle + one sort over |L|+|R| rows — the optimal distributed
+  * shape, and it inherits AQE skew splitting on the key.
+  */
+object Joins {
+
+  /** As-of (backward) join: for every left row, attach `rightCols` from the
+    * latest right row with the same `keys` and `right.timeCol <= left
+    * .timeCol` (inclusive). Inner semantics: left rows with no prior right
+    * row are dropped; set `keepUnmatched = true` for the left-outer form.
+    *
+    * The carried right timestamp is exposed as `asof_ts`, each right value
+    * column as `<name><suffix>`. Right rows should be unique per
+    * (keys, timeCol); on exact ties the carried row is the last in an
+    * implementation-defined order — dedupe upstream if it matters.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      timeCol: String,
+      rightCols: Seq[String],
+      suffix: String = "_r",
+      keepUnmatched: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "asofJoin requires at least one key column")
+    val leftCols = left.columns.toSeq
+
+    val l = left
+      .withColumn("_is_left", lit(1))
+      .withColumn("_asof_ts", lit(null).cast(right.schema(timeCol).dataType))
+      .select(
+        (keys.map(col) :+ col(timeCol) :+ col("_is_left") :+ col("_asof_ts")) ++
+          leftCols.filterNot(c => keys.contains(c) || c == timeCol).map(col) ++
+          rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"$c$suffix")): _*)
+
+    val r = right
+      .withColumn("_is_left", lit(0))
+      .withColumn("_asof_ts", col(timeCol))
+      .select(
+        (keys.map(col) :+ col(timeCol) :+ col("_is_left") :+ col("_asof_ts")) ++
+          leftCols.filterNot(c => keys.contains(c) || c == timeCol)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          rightCols.map(c => col(c).as(s"$c$suffix")): _*)
+
+    // right rows sort before left rows at the same timestamp → inclusive match
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col("_is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = l.unionByName(r)
+      .withColumn("asof_ts", last(col("_asof_ts"), ignoreNulls = true).over(w))
+    val withVals = rightCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"$c$suffix", last(col(s"$c$suffix"), ignoreNulls = true).over(w))
+    }
+    val leftOnly = withVals.filter(col("_is_left") === 1).drop("_is_left", "_asof_ts")
+    val matched = if (keepUnmatched) leftOnly else leftOnly.filter(col("asof_ts").isNotNull)
+    matched.select(
+      (leftCols.map(col) :+ col("asof_ts")) ++ rightCols.map(c => col(s"$c$suffix")): _*)
+  }
+}

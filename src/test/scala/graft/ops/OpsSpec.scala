@@ -107,6 +107,37 @@ class OpsSpec extends SparkSpec {
     assert(lsh.length <= 5 && lsh.nonEmpty)
   }
 
+  test("Joins.asofJoin: latest prior right row per key, inclusive ties, inner/outer") {
+    val left = Seq(
+      (1L, 10L, "l1"), (1L, 20L, "l2"), (1L, 5L, "l0"), (2L, 50L, "l3")
+    ).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 60L, 600.0)
+    ).toDF("k", "t", "price")
+    val inner = Joins.asofJoin(left, right, Seq("k"), "t", Seq("price"))
+      .orderBy("t").collect()
+    // l0 (t=5): no prior right row → dropped; l1 (t=10): inclusive match 100;
+    // l2 (t=20): latest prior is t=15 → 150; l3 (t=50): right at 60 is later → dropped
+    assert(inner.map(r => (r.getString(2), r.getLong(3), r.getDouble(4))).toSeq ==
+      Seq(("l1", 10L, 100.0), ("l2", 15L, 150.0)))
+    val outer = Joins.asofJoin(left, right, Seq("k"), "t", Seq("price"), keepUnmatched = true)
+    assert(outer.count() == 4)
+    assert(outer.filter(col("name") === "l0").head().isNullAt(3))
+  }
+
+  test("Ann.cosinePairs: LSH candidates + exact filter, no false positives") {
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(16)(rnd.nextGaussian())
+    val rows =
+      Seq((1L, base), (2L, base.map(_ * 1.001 + 0.0005))) ++     // near-identical pair
+        (3L to 30L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    val emb = rows.toDF("id", "v")
+    val pairs = Ann.cosinePairs(emb, "id", "v", threshold = 0.99, m = 10, dim = 16)
+      .collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(pairs.forall(_.getDouble(2) >= 0.99)) // exact verification
+  }
+
   test("Multimodal: featurize plumbing — schema, frame counts, content hash") {
     val r = Multimodal.featurize(docs.filter(col("doc_id") === 1), "doc_id", "text").head()
     assert(r.getAs[String]("format") == "text/utf-8")
