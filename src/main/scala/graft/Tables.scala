@@ -29,11 +29,16 @@ object Tables {
   }
 
   /** Register every table as a temp view (for SQL-surface queries).
-    * Temp-view registration is lazy/cheap; safe to call per query.
+    * Cached per (session, dir): repeated calls would otherwise re-read ten
+    * parquet footers per query (round-1 verdict note on q15).
     */
-  def register(spark: SparkSession, dir: String): Unit =
+  private val registered = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def register(spark: SparkSession, dir: String): Unit = {
+    if (registered.put(String.valueOf(System.identityHashCode(spark)), dir) == dir) return // same dir already live
     all.foreach { n =>
       val p = new java.io.File(s"$dir/$n.parquet")
       if (p.exists()) t(spark, dir, n).createOrReplaceTempView(n)
     }
+  }
 }

@@ -114,6 +114,62 @@ class RunnerSpec extends SparkSpec {
     assert(byType(OutputType.PrintSchema).head._3.contains("id"))
   }
 
+  test("JSONL source and JSON destination round-trip") {
+    val dir = tmpDir("runner-jsonl")
+    val jsonl = dir.resolve("in.jsonl")
+    java.nio.file.Files.writeString(jsonl,
+      """{"id": 1, "name": "a", "score": 1.5}
+        |{"id": 2, "name": "b", "score": 2.5}
+        |{"id": 3, "name": "c", "score": 3.5}
+        |""".stripMargin)
+    val out = dir.resolve("out.jsonl")
+    val aq = Aqueduct(
+      sources = Seq(FileSource("raw_jl", JsonFormat(), Location(jsonl.toString))),
+      stages = Seq(Seq(Stage("jl_sel", "SELECT id, name FROM raw_jl WHERE score > 2 ORDER BY id"))),
+      destination = Some(FileDestination("jl_out", Location(out.toString), JsonDestFormat)))
+    Runner.run(spark, aq)
+    val back = spark.read.json(out.toString)
+    assert(back.count() == 2)
+    assert(back.select("name").collect().map(_.getString(0)).sorted.toSeq == Seq("b", "c"))
+  }
+
+  test("managed-table source with time travel through the config pipeline") {
+    val dir = tmpDir("runner-mtsrc")
+    val tblLoc = Location(dir.resolve("tbl").toString)
+    import org.apache.spark.sql.types._
+    graft.destinations.ManagedTable.createIfAbsent(spark, tblLoc,
+      Seq(graft.config.Types.FieldSpec("id", LongType), graft.config.Types.FieldSpec("v", StringType)),
+      Nil, Map.empty)
+    import spark.implicits._
+    graft.destinations.ManagedTable.append(spark, tblLoc, Seq((1L, "a")).toDF("id", "v"))
+    graft.destinations.ManagedTable.append(spark, tblLoc, Seq((2L, "b")).toDF("id", "v"))
+    // latest
+    val latest = Aqueduct(
+      sources = Seq(ManagedTableSource("mt_latest", tblLoc)),
+      stages = Seq(Seq(Stage("mt_n", "SELECT count(*) AS n FROM mt_latest"))))
+    Runner.run(spark, latest)
+    assert(spark.table("mt_n").head().getLong(0) == 2L)
+    // version 1 (after first append) via config `version`
+    val v1 = Aqueduct(
+      sources = Seq(ManagedTableSource("mt_v1", tblLoc, version = Some(1))),
+      stages = Seq(Seq(Stage("mt_n1", "SELECT count(*) AS n FROM mt_v1"))))
+    Runner.run(spark, v1)
+    assert(spark.table("mt_n1").head().getLong(0) == 1L)
+  }
+
+  test("explain_analyze emits an executed plan with metrics") {
+    val dir = tmpDir("runner-ea")
+    val csv = writeFixtureCsv(dir)
+    val tracker = new CollectingTracker
+    val aq = Aqueduct(
+      sources = Seq(FileSource("raw_ea", CsvFormat(), Location(csv.toString))),
+      stages = Seq(Seq(Stage("ea_stage", "SELECT count(*) AS n FROM raw_ea",
+        explainAnalyze = true))))
+    Runner.run(spark, aq, tracker)
+    val body = tracker.outputs.find(_._2 == OutputType.ExplainAnalyze).get._3
+    assert(body.contains("HashAggregate") || body.contains("AdaptiveSparkPlan"), body)
+  }
+
   test("directory source with typed hive partitions") {
     val dir = tmpDir("runner-dir")
     import spark.implicits._
