@@ -39,6 +39,24 @@ class ConfigParserSpec extends AnyFunSuite {
     assert(aq.sources.length == 2 && aq.destination.nonEmpty)
   }
 
+  test("every YAML/JSON example pipeline file deserializes (schemas/tests/integration.rs:91-131)") {
+    val dir = java.nio.file.Paths.get("/root/reference/examples")
+    val params = Map("local_path" -> "/tmp/x", "run_id" -> "r1",
+      "month" -> "01", "year" -> "2024", "user" -> "u", "pass" -> "p")
+    val files = java.nio.file.Files.list(dir).iterator()
+    var n = 0
+    while (files.hasNext) {
+      val f = files.next()
+      val name = f.getFileName.toString
+      if (name.endsWith(".yml") || name.endsWith(".yaml") || name.endsWith(".json")) {
+        val aq = ConfigParser.fromFile(f, params)
+        assert(aq.stages.nonEmpty, s"no stages parsed from $name")
+        n += 1
+      }
+    }
+    assert(n >= 4) // example.yml, example.json, simple.yml, odbc.yml
+  }
+
   test("serde aliases: file_type, storage_options, partition_cols, query, mode") {
     val yaml =
       """sources:
