@@ -372,6 +372,24 @@ object EngineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Gap-based sessionization: a new session starts after >30 min of user
+    // inactivity; composed windows (lag → flag → running sum) in one shuffle.
+    "q47_sessionize" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        WITH e AS (
+          SELECT user_id, event_id, unix_micros(ts) AS us FROM events),
+        flagged AS (
+          SELECT user_id, event_id, us,
+            CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        SELECT user_id,
+               CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM flagged GROUP BY user_id ORDER BY user_id""")
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -667,6 +685,18 @@ object EngineQueries {
     "q45_theta_join" ->
       """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey <> r_regionkey
          ORDER BY n_name, r_name""",
+    "q47_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         flagged AS (
+           SELECT user_id, event_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+         SELECT user_id,
+                CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                count(*) AS n_events
+         FROM flagged GROUP BY user_id ORDER BY user_id""",
     "p01_pipeline_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
