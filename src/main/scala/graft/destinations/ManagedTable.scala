@@ -262,6 +262,39 @@ object ManagedTable {
     commitNext(spark, loc, last, "replace", untouched ++ newFiles)
   }
 
+  // ------------------------------------------------------------ maintenance
+
+  /** Commit history as a DataFrame (version, timestamp, operation, file and
+    * row-free stats) — the DESCRIBE HISTORY equivalent.
+    */
+  def history(spark: SparkSession, loc: Location): DataFrame = {
+    import spark.implicits._
+    commits(spark, loc)
+      .map(c => (c.version, new java.sql.Timestamp(c.timestampMs), c.operation, c.files.size))
+      .toDF("version", "timestamp", "operation", "n_files")
+  }
+
+  /** Drop history: keep only the latest `keepVersions` commits, delete data
+    * files referenced by no kept commit. Bounds storage growth from
+    * upsert/replace rewrites; time travel beyond the horizon is gone.
+    * Returns the number of data files deleted.
+    */
+  def vacuum(spark: SparkSession, loc: Location, keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val all = commits(spark, loc)
+    require(all.nonEmpty, s"Managed table does not exist at ${loc.spark}")
+    val (dropped, kept) = all.splitAt(math.max(0, all.size - keepVersions))
+    val keptFiles = kept.flatMap(_.files).toSet
+    val root = new Path(loc.spark)
+    val f = fs(spark, root)
+    var removed = 0
+    dropped.flatMap(_.files).distinct.filterNot(keptFiles.contains).foreach { rel =>
+      if (f.delete(new Path(root, rel), false)) removed += 1
+    }
+    dropped.foreach(c => f.delete(commitPath(root, c.version), false))
+    removed
+  }
+
   // -------------------------------------------------------------- internals
 
   private def latest(spark: SparkSession, loc: Location): Commit = {

@@ -144,6 +144,23 @@ class ManagedTableSpec extends SparkSpec {
       ManagedTable.read(spark, loc, version = Some(99)))
   }
 
+  test("history lists commits; vacuum prunes old versions and orphaned files") {
+    val loc = newTable("mt-vacuum")
+    ManagedTable.append(spark, loc, Seq((1L, "a", 1.0)).toDF("id", "name", "value"))
+    // upsert rewrites the only data file → v1's file becomes orphaned history
+    ManagedTable.upsert(spark, loc, Seq((1L, "a2", 2.0)).toDF("id", "name", "value"), Seq("id"))
+    val hist = ManagedTable.history(spark, loc).orderBy("version").collect()
+    assert(hist.map(_.getString(2)).toSeq == Seq("create", "append", "upsert"))
+    val removed = ManagedTable.vacuum(spark, loc, keepVersions = 1)
+    assert(removed == 1) // the rewritten v1 file
+    assert(ManagedTable.commits(spark, loc).map(_.version) == Seq(2L))
+    // latest state still fully readable after vacuum
+    val rows = ManagedTable.read(spark, loc).collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "a2")
+    // time travel beyond the horizon is gone
+    assertThrows[IllegalArgumentException](ManagedTable.read(spark, loc, version = Some(1)))
+  }
+
   test("partitioned table: writes hive layout, reads partition column back") {
     val loc = Location(tmpDir("mt-hive").resolve("tbl").toString)
     ManagedTable.createIfAbsent(spark, loc, Seq(

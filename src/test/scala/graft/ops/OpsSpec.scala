@@ -34,6 +34,15 @@ class OpsSpec extends SparkSpec {
     assert(r.toSeq == Seq("en", "de", "und"))
   }
 
+  test("Text: qualityScore is bounded, higher for fluent text than noise") {
+    val r = Seq(
+      "the quick brown fox jumps over the lazy dog and it was a fine day for running",
+      "@@@ ### !!! $$$ %%% ^^^ &&& *** ((()))").toDF("t")
+      .select(Text.qualityScore(col("t"))).collect().map(_.getDouble(0))
+    assert(r.forall(v => v >= 0.0 && v <= 1.0))
+    assert(r(0) > r(1))
+  }
+
   test("Text: fingerprint is order-stable and md5-shaped") {
     val fp = docs.filter(col("doc_id") === 1).select(Text.fingerprint(col("text"))).head().getString(0)
     val fp2 = docs.filter(col("doc_id") === 4).select(Text.fingerprint(col("text"))).head().getString(0)
