@@ -77,17 +77,23 @@ object Runner {
           Future {
             tracker.onProgress(ProgressEvent.StageStarted(stage.name, gi))
             val s0 = System.nanoTime()
-            SqlGuard.validate(spark, stage.name, stage.query)
-            val df = spark.sql(stage.query)
-            val consumers = consumerCount(pipeline, stage, lastStage)
-            if (consumers >= 2 || stage.explainAnalyze) {
-              df.persist()
-              df.count() // materialize now so concurrent consumers share it
-              persisted.put(stage.name, df)
+            try {
+              SqlGuard.validate(spark, stage.name, stage.query)
+              val df = spark.sql(stage.query)
+              val consumers = consumerCount(pipeline, stage, lastStage)
+              if (consumers >= 2 || stage.explainAnalyze) {
+                df.persist()
+                df.count() // materialize now so concurrent consumers share it
+                persisted.put(stage.name, df)
+              }
+              debugOutputs(stage, df, tracker)
+              df.createOrReplaceTempView(stage.name)
+              results.put(stage.name, df)
+            } catch {
+              case e: SqlGuard.SqlValidationError => throw e
+              case e: Exception =>
+                throw PipelineError(s"stage '${stage.name}' failed: ${e.getMessage}")
             }
-            debugOutputs(stage, df, tracker)
-            df.createOrReplaceTempView(stage.name)
-            results.put(stage.name, df)
             tracker.onProgress(
               ProgressEvent.StageCompleted(stage.name, gi, (System.nanoTime() - s0) / 1000000))
           }

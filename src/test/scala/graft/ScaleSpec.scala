@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+
+/** Scale-technique demonstrations: salting and bucketing produce the same
+  * answers as the naive formulation with the intended physical shape.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin: same result as the plain join, hot key split across salts") {
+    // 10k rows on ONE key (worst-case skew) + a tail
+    val fact = ((1 to 10000).map(i => ("hot", i.toLong)) ++
+      (1 to 100).map(i => (s"k$i", i.toLong))).toDF("key", "event_id")
+    val dim = (Seq(("hot", "H")) ++ (1 to 100).map(i => (s"k$i", s"v$i"))).toDF("key", "label")
+
+    val plain = fact.join(dim, Seq("key")).groupBy("key").count()
+    val salted = Skew.saltedJoin(fact, dim, "key", "event_id", salts = 8)
+      .groupBy("key").count()
+    val p = plain.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s = salted.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s == p)
+    assert(s("hot") == 10000L)
+
+    // the salted fact really is spread: >1 distinct salt for the hot key
+    val saltSpread = fact.filter(col("key") === "hot")
+      .select(pmod(xxhash64(col("event_id")), lit(8)).cast("int").as("salt"))
+      .distinct().count()
+    assert(saltSpread > 4)
+  }
+
+  test("bucketed tables: co-located join plans without a shuffle exchange") {
+    val wh = tmpDir("warehouse")
+    val db = "bucketdemo" // database LOCATION keeps table files in the temp dir
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '${wh.resolve(db)}'")
+    try {
+      (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
+        .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(s"$db.bk_a")
+      (1L to 1000L).map(i => (i, i * 2.0)).toDF("k", "vb")
+        .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(s"$db.bk_b")
+      val joined = spark.table(s"$db.bk_a").join(spark.table(s"$db.bk_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 1000L)
+    } finally {
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+}

@@ -204,6 +204,19 @@ class RunnerSpec extends SparkSpec {
     assert(e.getMessage.contains("s"))
   }
 
+  test("stage failures carry the stage name; missing tables fail cleanly") {
+    val aq = Aqueduct(
+      stages = Seq(Seq(Stage("boom_stage", "SELECT * FROM table_that_does_not_exist_xyz"))))
+    val e = intercept[Runner.PipelineError](Runner.run(spark, aq))
+    assert(e.getMessage.contains("boom_stage"))
+
+    // a missing file source location fails at registration, not mid-query
+    val aq2 = Aqueduct(
+      sources = Seq(FileSource("no_such", ParquetFormat(), Location("/tmp/definitely/missing.parquet"))),
+      stages = Seq(Seq(Stage("s_ns", "SELECT 1"))))
+    assertThrows[Exception](Runner.run(spark, aq2))
+  }
+
   test("duplicate stage names rejected") {
     val aq = Aqueduct(stages = Seq(
       Seq(Stage("dup", "SELECT 1")), Seq(Stage("dup", "SELECT 2"))))
