@@ -390,6 +390,19 @@ object EngineQueries {
         FROM flagged GROUP BY user_id ORDER BY user_id""")
     }),
 
+    // IVF ANN: k-means cells + nprobe probing + exact re-rank (index
+    // training is seeded but k-means cell boundaries are engine-specific ⇒
+    // rows-only check).
+    "q48_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      ops.Ann.ivfTopK(emb, "vec_id", "v", queries, "qid", "qv",
+        k = 10, nlist = 16, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.

@@ -104,6 +104,65 @@ object Ann {
     combos(0 until m, d).distinct.map(_.foldLeft(0L)((acc, b) => acc | (1L << b)))
   }
 
+  /** IVF-style approximate top-k: k-means centroids partition the corpus
+    * into `nlist` cells; each query probes its `nprobe` nearest cells and
+    * re-ranks candidates exactly.
+    *
+    * The index-build (one MLlib k-means fit, seeded/deterministic) is an
+    * offline step amortized over all queries — at 100 TB you train on a
+    * sample, persist centroid assignments as a column, and every search
+    * scans ~nprobe/nlist of the corpus. Search-time plan: broadcast the
+    * probed (query, cell) pairs, shuffle-free filter join on the cell id,
+    * window top-k.
+    */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val train = corpus.select(array_to_vector(col(corpusVec)).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
+    val centroids = model.clusterCenters.map(_.toArray)
+
+    // nearest-cell assignment as a pure expression over the (small) centroid
+    // literals: argmin over squared L2 — no UDF, stays in codegen
+    def cellOf(vec: Column): Column = {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        val cArr = array(c.map(lit): _*)
+        val d2 = aggregate(zip_with(vec, cArr, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v)
+        struct(d2.as("d2"), lit(i).as("cell"))
+      }
+      least(scored.toIndexedSeq: _*).getField("cell")
+    }
+    def cellsOf(vec: Column, n: Int): Column = {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        val cArr = array(c.map(lit): _*)
+        val d2 = aggregate(zip_with(vec, cArr, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v)
+        struct(d2.as("d2"), lit(i).as("cell"))
+      }
+      slice(array_sort(array(scored.toIndexedSeq: _*)), 1, n)
+    }
+
+    val bucketed = corpus.select(col(corpusId).as("item_id"), col(corpusVec).as("cv"),
+      cellOf(col(corpusVec)).as("cell"))
+    val probed = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"),
+        explode(cellsOf(col(queryVec), nprobe)).as("probe"))
+      .select(col("query_id"), col("qv"), col("probe").getField("cell").as("cell"))
+
+    val candidates = bucketed.join(broadcast(probed), Seq("cell"))
+      .withColumn("cos", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("item_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Approximate top-k: LSH-bucketed candidate pruning + exact re-rank.
     *
     * Queries probe every bucket whose signature differs from theirs by at

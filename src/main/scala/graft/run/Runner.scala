@@ -60,7 +60,11 @@ object Runner {
     Await.result(
       Future.traverse(pipeline.sources) { src =>
         Future {
-          Sources.register(spark, src)
+          try Sources.register(spark, src)
+          catch {
+            case e: Exception =>
+              throw PipelineError(s"source '${src.name}' failed to register: ${e.getMessage}")
+          }
           tracker.onProgress(ProgressEvent.SourceRegistered(src.name))
         }
       }, Duration.Inf)

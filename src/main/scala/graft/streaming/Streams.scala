@@ -78,6 +78,41 @@ object Streams {
       }
   }
 
+  final case class SessionEvent(user_id: Long, ts_ms: Long)
+  final case class SessionState(start_ms: Long, last_ms: Long, n_events: Long)
+  final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** Streaming gap sessionization via flatMapGroupsWithState: a session
+    * closes after `gapMs` of user inactivity (event-time, driven by
+    * arriving batches) and is emitted exactly once. State per user is one
+    * small struct — bounded by active users, not event volume.
+    */
+  def streamingSessionize(
+      events: Dataset[SessionEvent], gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(_.ts_ms)
+          var closed = List.empty[ClosedSession]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_ms - s.last_ms <= gapMs =>
+                cur = Some(SessionState(s.start_ms, e.ts_ms, s.n_events + 1))
+              case Some(s) =>
+                closed ::= ClosedSession(userId, s.start_ms, s.last_ms, s.n_events)
+                cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+              case None =>
+                cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverseIterator
+      }
+  }
+
   /** Drive a streaming frame into an in-memory sink and block until all
     * currently-available input is processed (test/debug harness).
     */

@@ -147,6 +147,21 @@ class OpsSpec extends SparkSpec {
     assert(pairs.forall(_.getDouble(2) >= 0.99)) // exact verification
   }
 
+  test("Ann.ivfTopK: probed cells recover the brute-force top result") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 60L).map { i =>
+      val center = if (i <= 30) 5.0 else -5.0
+      (i, Seq.fill(8)(center + rnd.nextGaussian() * 0.3))
+    }
+    val emb = rows.toDF("id", "v")
+    val q = emb.filter(col("id") === 1).select(col("id").as("qid"), col("v").as("qv"))
+    val brute = Ann.bruteTopK(emb, "id", "v", q, "qid", "qv", k = 5).collect()
+    val ivf = Ann.ivfTopK(emb, "id", "v", q, "qid", "qv", k = 5, nlist = 4, nprobe = 2)
+      .collect()
+    assert(ivf.head.getLong(2) == brute.head.getLong(2))
+    assert(ivf.map(_.getLong(2)).toSet.subsetOf((1L to 30L).toSet)) // same cluster only
+  }
+
   test("Multimodal: featurize plumbing — schema, frame counts, content hash") {
     val r = Multimodal.featurize(docs.filter(col("doc_id") === 1), "doc_id", "text").head()
     assert(r.getAs[String]("format") == "text/utf-8")

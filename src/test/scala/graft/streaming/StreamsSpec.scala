@@ -81,6 +81,28 @@ class StreamsSpec extends SparkSpec {
     assert(last(2L) == (1L, 10.0))
   }
 
+  test("flatMapGroupsWithState sessionization emits closed sessions exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.SessionEvent]
+    val sessions = Streams.streamingSessionize(input.toDS(), gapMs = 1000L)
+    val q = sessions.writeStream.format("memory").queryName("closed_sessions")
+      .outputMode(OutputMode.Append).start()
+    // session 1: three events within the gap; then a jump closes it
+    input.addData(
+      Streams.SessionEvent(1L, 100L), Streams.SessionEvent(1L, 500L),
+      Streams.SessionEvent(1L, 1200L))
+    q.processAllAvailable()
+    input.addData(Streams.SessionEvent(1L, 10000L)) // gap > 1000ms → closes first session
+    q.processAllAvailable()
+    input.addData(Streams.SessionEvent(1L, 20000L)) // closes second session
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("closed_sessions").orderBy("start_ms").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(1) == 100L && rows(0).getLong(2) == 1200L && rows(0).getLong(3) == 3L)
+    assert(rows(1).getLong(1) == 10000L && rows(1).getLong(3) == 1L)
+  }
+
   test("file streaming source processes incrementally-arriving files") {
     val dir = tmpDir("stream-files")
     import org.apache.spark.sql.types._
