@@ -16,6 +16,18 @@ final case class Aqueduct(
     stages: Seq[Seq[Stage]] = Nil,
     destination: Option[Destination] = None)
 
+/** Library-embedding entry points (reference `Aqueduct::from_file`/`from_str`,
+  * README.md:203-226): load a definition, then `Runner.run(spark, aqueduct)`.
+  */
+object Aqueduct {
+  def fromFile(path: java.nio.file.Path, params: Map[String, String] = Map.empty): Aqueduct =
+    ConfigParser.fromFile(path, params)
+  def fromYaml(raw: String, params: Map[String, String] = Map.empty): Aqueduct =
+    ConfigParser.fromYaml(raw, params)
+  def fromJson(raw: String, params: Map[String, String] = Map.empty): Aqueduct =
+    ConfigParser.fromJson(raw, params)
+}
+
 // ----------------------------------------------------------------- sources
 
 sealed trait Source { def name: String }
