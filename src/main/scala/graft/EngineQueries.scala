@@ -403,6 +403,50 @@ object EngineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // SQL-level IN / EXISTS / NOT EXISTS subqueries (Catalyst rewrites all
+    // three to semi/anti joins — the declarative form users actually write).
+    "q49_in_exists" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+          AND EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
+    // Correlated scalar subquery in the SELECT list (decorrelated to a
+    // left outer aggregate join by Catalyst — no per-row execution).
+    "q50_scalar_correlated" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT c_custkey, c_acctbal,
+               (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""")
+    }),
+
+    // Window-function completion: ntile / first_value / last_value /
+    // nth_value over explicit ROWS frames (deterministic: unique order key).
+    "q51_window_funcs" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT o_custkey, o_orderkey,
+               ntile(4) OVER w AS quartile,
+               first_value(o_orderkey) OVER w AS first_ok,
+               last_value(o_orderkey) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+               nth_value(o_orderkey, 2) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ok
+        FROM orders WHERE o_custkey < 50
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey""")
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -710,6 +754,32 @@ object EngineQueries {
                 CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                 count(*) AS n_events
          FROM flagged GROUP BY user_id ORDER BY user_id""",
+    "q49_in_exists" ->
+      """SELECT o_orderpriority, count(*) AS n
+         FROM orders
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+           AND EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q50_scalar_correlated" ->
+      """SELECT c_custkey, c_acctbal,
+         (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+         FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""",
+    "q51_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+         ntile(4) OVER w AS quartile,
+         first_value(o_orderkey) OVER w AS first_ok,
+         last_value(o_orderkey) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+         nth_value(o_orderkey, 2) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ok
+         FROM orders WHERE o_custkey < 50
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
     "p01_pipeline_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

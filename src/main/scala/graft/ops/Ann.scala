@@ -81,8 +81,11 @@ object Ann {
       threshold: Double, m: Int = 14, dim: Int, probeDistance: Int = 1,
       seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(m, dim, seed)
+    // persisted: both self-join sides read this frame and differ only by
+    // alias, so without it the m-hyperplane signature pass runs twice
     val sigd = corpus.select(col(id).as("vid"), col(vec).as("v"),
       signature(col(vec), planes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val masks = probeMasks(m, probeDistance)
     val a = sigd
       .withColumn("bucket", explode(array(masks.map(mk => col("sig").bitwiseXOR(lit(mk))): _*)))

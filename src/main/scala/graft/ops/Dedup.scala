@@ -3,6 +3,7 @@ package graft.ops
 import graft.functions.Text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed deduplication operators for document corpora.
   *
@@ -66,8 +67,13 @@ object Dedup {
         graft.functions.WordShingles(col(textCol), n).as("shingles"))
       .withColumn("n_shingles", size(col("shingles")))
 
+    // Persist the exploded inverted index: both sides of the self-join below
+    // read it, and the two subtrees differ only by alias, so Catalyst cannot
+    // reuse the exchange — without this the scan + shingling + explode all
+    // run twice. DISK spill keeps the persisted posting list safe at scale.
     val inverted0 = shingled
       .select(col("doc_id"), col("n_shingles"), explode(col("shingles")).as("shingle"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val inverted = maxShingleDocFreq match {
       case Some(cap) =>
         // stop-shingle cut: bound join fan-out on pathological shared shingles
@@ -132,7 +138,9 @@ object Dedup {
     val sigCols = coef.zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("hs"), x => (x * a + b) % p)).as(s"h$i")
     }
+    // persisted for the same alias-only self-join reason as ngramJaccardPairs
     val signed = shingled.select(col("doc_id") +: col("shingles") +: sigCols: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // band buckets: hash the signature slice of each band; empty-shingle
     // docs carry null minhashes → null sig → dropped by the equi-join (so
@@ -192,7 +200,9 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDistance: Int = 3): DataFrame = {
     val chunks = maxDistance + 1
     val bitsPer = 64 / chunks
-    val hashed = simhash(docs, idCol, textCol)
+    // 16 bytes/doc — trivially cacheable at any scale; avoids running the
+    // 64-sum hash aggregate once per self-join side
+    val hashed = simhash(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     val keyed = hashed.select(col("doc_id"), col("simhash"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),
