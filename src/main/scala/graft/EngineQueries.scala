@@ -447,6 +447,21 @@ object EngineQueries {
         ORDER BY o_custkey, o_orderkey""")
     }),
 
+    // CUBE: all 2^n grouping combinations (completes the ROLLUP q10 /
+    // GROUPING SETS q22 family), grouping() labels per survey advice.
+    "q52_cube" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -780,6 +795,15 @@ object EngineQueries {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY o_custkey, o_orderkey""",
+    "q52_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(grouping(o_orderstatus) AS INT) AS g_status,
+         CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+         count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "p01_pipeline_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -113,6 +113,27 @@ object Streams {
       }
   }
 
+  /** CDC-style streaming upsert: every micro-batch is merged into a managed
+    * table by key (`foreachBatch` → [[graft.destinations.ManagedTable.upsert]]).
+    * The table's file-pruned merge means each micro-batch rewrites only the
+    * files its keys touch — the standard "stream into a lakehouse table"
+    * shape. Exactly-once per key comes from upsert idempotence (replaying a
+    * batch re-merges the same rows), not sink transactions.
+    */
+  def upsertSink(
+      df: DataFrame,
+      table: graft.config.Location,
+      keys: Seq[String],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.destinations.ManagedTable.upsert(batch.sparkSession, table, batch, keys): Unit
+      }
+      .start()
+
   /** Drive a streaming frame into an in-memory sink and block until all
     * currently-available input is processed (test/debug harness).
     */

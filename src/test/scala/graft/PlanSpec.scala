@@ -64,6 +64,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("q49: IN/EXISTS/NOT EXISTS rewrite to semi/anti joins, no per-row subqueries") {
+    val p = plan("q49_in_exists")
+    assert(p.contains("LeftSemi") || p.contains("Semi"), p)
+    assert(p.contains("LeftAnti") || p.contains("Anti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q50: correlated scalar subquery decorrelates to one aggregate join") {
+    val p = plan("q50_scalar_correlated")
+    // decorrelated: orders is aggregated once and joined — not executed per
+    // customer row (no nested subquery execution nodes in the physical plan)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+    assert(!p.toLowerCase.contains("subquery"), p)
+  }
+
   test("engine pipeline stages keep scan pushdown through temp-view boundaries") {
     val df = SparkEntry.queries("p01_pipeline_agg")(spark, dir)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
