@@ -82,6 +82,25 @@ class OpsSpec extends SparkSpec {
     assert(!keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("Dedup.minhashLshPairs recall vs exact Jaccard ground truth on the real corpus") {
+    val corpus = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5)
+    val exactHigh = pairSet(exact.filter(col("jaccard") >= 0.7))
+    val exactAll = pairSet(exact)
+    val lsh = pairSet(Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, threshold = 0.5))
+    // exact-verify step ⇒ zero false positives vs the exact ground truth
+    assert(lsh.subsetOf(exactAll), (lsh -- exactAll).take(5))
+    // S-curve recall: pairs well above threshold (j ≥ 0.7) are near-certain
+    // candidates at (8 bands × 4 rows); require ≥ 70% found
+    assert(exactHigh.nonEmpty, "corpus has no high-similarity pairs — test is vacuous")
+    val recall = (lsh & exactHigh).size.toDouble / exactHigh.size
+    assert(recall >= 0.7, s"LSH recall $recall over ${exactHigh.size} high-sim pairs")
+  }
+
   test("Dedup.simhash: identical docs hash identically; pairs at distance 0") {
     val h = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
