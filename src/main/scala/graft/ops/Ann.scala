@@ -121,12 +121,19 @@ object Ann {
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L): DataFrame = {
+      k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
+      maxTrainVectors: Int = 65536): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val train = corpus.select(array_to_vector(col(corpusVec)).as("features"))
+    // Train centroids on a bounded deterministic sample, never the full
+    // corpus: cell quality converges with a few thousand vectors per cell,
+    // and at 100 TB a full-corpus k-means would dwarf the search itself.
+    val train = corpus
+      .select(col(corpusId).as("tid"), array_to_vector(col(corpusVec)).as("features"))
+      .orderBy(xxhash64(col("tid"), lit(seed))).limit(maxTrainVectors)
+      .select("features")
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
     val centroids = model.clusterCenters.map(_.toArray)
 
