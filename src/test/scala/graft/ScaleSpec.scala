@@ -30,6 +30,32 @@ class ScaleSpec extends SparkSpec {
     assert(saltSpread > 4)
   }
 
+  test("directory source: partition filters prune files at planning time") {
+    import graft.config.{DirSource, Location, ParquetFormat}
+    import org.apache.spark.sql.types.StringType
+    val root = tmpDir("part-prune")
+    // hive-partitioned layout: region=A|B|C, one file each
+    Seq(("A", 1L), ("A", 2L)).toDF("region", "v").write.mode("append")
+      .partitionBy("region").parquet(root.toString)
+    Seq(("B", 3L)).toDF("region", "v").write.mode("append")
+      .partitionBy("region").parquet(root.toString)
+    Seq(("C", 4L)).toDF("region", "v").write.mode("append")
+      .partitionBy("region").parquet(root.toString)
+
+    val src = graft.sources.Sources.load(spark,
+      DirSource("pruned", ParquetFormat(), Location(root.toString),
+        partitionColumns = Seq("region" -> StringType)))
+    val q = src.filter(col("region") === "B")
+    val executed = q.queryExecution.executedPlan.toString
+    // the partition predicate is applied to the file listing, not row-by-row
+    assert(executed.contains("PartitionFilters"), executed)
+    assert(executed.contains("region"), executed)
+    // only partition B's file is actually scanned
+    val scanned = q.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(scanned.length == 1 && scanned.head.contains("region=B"), scanned.mkString(","))
+    assert(q.select("v").head().getLong(0) == 3L)
+  }
+
   test("bucketed tables: co-located join plans without a shuffle exchange") {
     val wh = tmpDir("warehouse")
     val db = "bucketdemo" // database LOCATION keeps table files in the temp dir

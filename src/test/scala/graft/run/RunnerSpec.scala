@@ -271,4 +271,30 @@ class RunnerSpec extends SparkSpec {
     val again = graft.destinations.ManagedTable.read(spark, tableLoc)
     assert(again.count() == out.count())
   }
+
+  test("repo examples/ pipelines run end-to-end against the test data") {
+    val sf = "/root/testdata/sf0.001"
+    val out = tmpDir("repo-examples")
+
+    Runner.runFile(spark, java.nio.file.Paths.get("examples/orders_summary.yml"),
+      Map("sf_dir" -> sf, "out_dir" -> out.toString), new CollectingTracker)
+    val csv = spark.read.option("header", "true")
+      .csv(out.resolve("orders_summary.csv").toString)
+    assert(csv.columns.toSeq == Seq("dim", "value", "n") && csv.count() > 0)
+
+    Runner.runFile(spark, java.nio.file.Paths.get("examples/managed_table_upsert.yml"),
+      Map("sf_dir" -> sf, "table_dir" -> out.resolve("customers").toString), new CollectingTracker)
+    val tbl = graft.destinations.ManagedTable.read(
+      spark, Location(out.resolve("customers").toString))
+    assert(tbl.count() > 0)
+    assert(tbl.schema("balance").dataType == org.apache.spark.sql.types.DoubleType)
+
+    Runner.runFile(spark, java.nio.file.Paths.get("examples/documents_dedup.yml"),
+      Map("sf_dir" -> sf, "out_dir" -> out.resolve("docs").toString), new CollectingTracker)
+    val clean = spark.read.parquet(out.resolve("docs/clean").toString)
+    assert(clean.columns.contains("lang") && clean.count() > 0)
+    // dedup really deduplicated: fewer or equal rows than the corpus
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(clean.count() <= corpus)
+  }
 }
