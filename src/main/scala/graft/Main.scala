@@ -24,8 +24,18 @@ object Main {
         val spark = Sessions.local()
         try {
           functions.JsonUdfs.register(spark) // reference-named UDFs available in stage SQL
-          Runner.runFile(spark, java.nio.file.Paths.get(cli.file), cli.params, new LoggingTracker)
-          ()
+          val path = java.nio.file.Paths.get(cli.file)
+          if (cli.validateOnly) {
+            // parse config + templating + stage-SQL validation, no execution
+            val aq = config.ConfigParser.fromFile(path, cli.params)
+            Runner.validate(spark, aq)
+            println(s"OK: ${aq.sources.size} sources, " +
+              s"${aq.stages.map(_.size).sum} stages, " +
+              s"destination=${aq.destination.map(_.getClass.getSimpleName).getOrElse("none")}")
+          } else {
+            Runner.runFile(spark, path, cli.params, new LoggingTracker)
+            ()
+          }
         } catch {
           case e: Exception =>
             System.err.println(s"pipeline failed: ${e.getMessage}")
@@ -34,7 +44,10 @@ object Main {
     }
   }
 
-  private[graft] final case class CliArgs(file: String = "", params: Map[String, String] = Map.empty)
+  private[graft] final case class CliArgs(
+      file: String = "",
+      params: Map[String, String] = Map.empty,
+      validateOnly: Boolean = false)
 
   private[graft] def parse(args: List[String], acc: CliArgs): Either[String, CliArgs] = args match {
     case Nil =>
@@ -46,6 +59,7 @@ object Main {
         case Array(k, v) => parse(rest, acc.copy(params = acc.params + (k -> v)))
         case _ => Left(s"malformed param (expected key=value): $kv")
       }
+    case "--validate-only" :: rest => parse(rest, acc.copy(validateOnly = true))
     case other :: _ => Left(s"unknown argument: $other")
   }
 }

@@ -9,5 +9,7 @@ class MainSpec extends AnyFunSuite {
     assert(Main.parse(List("run"), Main.CliArgs()).isLeft)             // missing -f
     assert(Main.parse(List("-f", "p.yml", "-p", "nope"), Main.CliArgs()).isLeft)
     assert(Main.parse(List("--bogus"), Main.CliArgs()).isLeft)
+    assert(Main.parse(List("run", "-f", "p.yml", "--validate-only"), Main.CliArgs()) ==
+      Right(Main.CliArgs("p.yml", Map.empty, validateOnly = true)))
   }
 }
