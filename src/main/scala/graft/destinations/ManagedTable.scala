@@ -144,7 +144,7 @@ object ManagedTable {
         .option("basePath", dataDir(root).toString)
         .schema(schema)
         .parquet(paths: _*)
-      df.select(schema.fieldNames.map(col): _*)
+      df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
     }
   }
 
@@ -213,7 +213,7 @@ object ManagedTable {
         val touchedDf = readFiles(spark, loc, last, touched.toSeq)
         val srcKeys = broadcastIfSmall(source.select(keys.map(col): _*).distinct())
         val cond = keys.map(k => keyEquals(touchedDf(k), srcKeys(k), schema(k).dataType)).reduce(_ && _)
-        Some(touchedDf.join(srcKeys, cond, "left_anti").select(schema.fieldNames.map(col): _*))
+        Some(touchedDf.join(srcKeys, cond, "left_anti").select(schema.fieldNames.toIndexedSeq.map(col): _*))
       }
     val rewritten = survivors.map(_.unionByName(source)).getOrElse(source)
     val newFiles = writeDataFiles(spark, loc, rewritten, last.partitionColumns)
@@ -256,7 +256,7 @@ object ManagedTable {
     val survivors =
       if (touched.isEmpty) None
       else Some(readFiles(spark, loc, last, touched.toSeq).filter(!pred)
-        .select(schema.fieldNames.map(col): _*))
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*))
     val rewritten = survivors.map(_.unionByName(data)).getOrElse(data)
     val newFiles = writeDataFiles(spark, loc, rewritten, last.partitionColumns)
     commitNext(spark, loc, last, "replace", untouched ++ newFiles)

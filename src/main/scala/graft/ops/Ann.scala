@@ -141,7 +141,7 @@ object Ann {
     // literals: argmin over squared L2 — no UDF, stays in codegen
     def cellOf(vec: Column): Column = {
       val scored = centroids.zipWithIndex.map { case (c, i) =>
-        val cArr = array(c.map(lit): _*)
+        val cArr = array(c.toIndexedSeq.map(lit): _*)
         val d2 = aggregate(zip_with(vec, cArr, (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, v) => acc + v)
         struct(d2.as("d2"), lit(i).as("cell"))
@@ -150,7 +150,7 @@ object Ann {
     }
     def cellsOf(vec: Column, n: Int): Column = {
       val scored = centroids.zipWithIndex.map { case (c, i) =>
-        val cArr = array(c.map(lit): _*)
+        val cArr = array(c.toIndexedSeq.map(lit): _*)
         val d2 = aggregate(zip_with(vec, cArr, (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, v) => acc + v)
         struct(d2.as("d2"), lit(i).as("cell"))

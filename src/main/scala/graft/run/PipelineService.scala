@@ -17,14 +17,13 @@ import scala.concurrent.{Future, Promise}
   */
 final class PipelineService(spark: SparkSession, maxQueue: Int = 16) {
 
-  final case class Handle(id: String, result: Future[Option[DataFrame]]) {
+  final class Handle private[PipelineService] (
+      val id: String, val result: Future[Option[DataFrame]]) {
     /** 0 = running, n>0 = position in queue, -1 = finished/not found. */
     def queuePosition: Int = positionOf(id)
   }
 
-  private final case class Submission(
-      id: String, pipeline: Aqueduct, tracker: ProgressTracker,
-      promise: Promise[Option[DataFrame]])
+  import PipelineService.Submission
 
   private val queue = new java.util.concurrent.LinkedBlockingDeque[Submission](maxQueue)
   @volatile private var current: Option[Submission] = None
@@ -35,7 +34,7 @@ final class PipelineService(spark: SparkSession, maxQueue: Int = 16) {
     val sub = Submission(id, pipeline, new PercentTracker(tracker, pipeline), Promise())
     if (!queue.offerLast(sub))
       throw new IllegalStateException(s"Pipeline queue full (max $maxQueue)")
-    Handle(id, sub.promise.future)
+    new Handle(id, sub.promise.future)
   }
 
   /** Cancel a queued submission (removed, promise fails) or the running one
@@ -95,4 +94,10 @@ final class PipelineService(spark: SparkSession, maxQueue: Int = 16) {
   worker.start()
 
   def close(): Unit = { shutdown = true }
+}
+
+object PipelineService {
+  private final case class Submission(
+      id: String, pipeline: Aqueduct, tracker: ProgressTracker,
+      promise: Promise[Option[DataFrame]])
 }
