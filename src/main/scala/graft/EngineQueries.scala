@@ -462,6 +462,29 @@ object EngineQueries {
         ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
     }),
 
+    // Pivot: long → wide on a known domain (DataFrame pivot; the oracle is
+    // the equivalent conditional aggregation — what pivot compiles to).
+    "q53_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Sorted list aggregation: collect_list is order-nondeterministic, so
+    // sort_array + array_join makes it exact — the standard trick for
+    // deterministic grouped concatenation (e.g. doc grouping in LLM prep).
+    "q54_collect_sorted" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(
+          array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -804,6 +827,17 @@ object EngineQueries {
          FROM orders
          GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q53_pivot" ->
+      """SELECT o_orderpriority,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+         count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q54_collect_sorted" ->
+      """SELECT n_regionkey,
+         string_agg(n_name, ',' ORDER BY n_name) AS nations,
+         count(*) AS n
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "p01_pipeline_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
