@@ -274,6 +274,30 @@ object ManagedTable {
       .toDF("version", "timestamp", "operation", "n_files")
   }
 
+  /** Bin-pack small data files into ~`targetFileBytes` files (the OPTIMIZE /
+    * compaction maintenance op). Only files under half the target are
+    * rewritten; large files carry over by reference, so compaction cost
+    * tracks the small-file debt, not the table size. Data is unchanged —
+    * the new commit just swaps N small files for ceil(bytes/target) bigger
+    * ones. Returns the new version (or the current one if nothing to do).
+    */
+  def compact(spark: SparkSession, loc: Location, targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val last = latest(spark, loc)
+    val root = new Path(loc.spark)
+    val f = fs(spark, root)
+    val sizes = last.files.map(rel => rel -> f.getFileStatus(new Path(root, rel)).getLen)
+    val small = sizes.filter(_._2 < targetFileBytes / 2).map(_._1)
+    if (small.size < 2) return last.version
+    val smallBytes = sizes.filter(s => small.contains(s._1)).map(_._2).sum
+    val nOut = math.max(1, math.ceil(smallBytes.toDouble / targetFileBytes).toInt)
+    val rewritten = readFiles(spark, loc, last, small)
+      .select(tableSchema(last).fieldNames.toIndexedSeq.map(col): _*)
+      .coalesce(nOut)
+    val newFiles = writeDataFiles(spark, loc, rewritten, last.partitionColumns)
+    val smallSet = small.toSet
+    commitNext(spark, loc, last, "compact", last.files.filterNot(smallSet.contains) ++ newFiles)
+  }
+
   /** Drop history: keep only the latest `keepVersions` commits, delete data
     * files referenced by no kept commit. Bounds storage growth from
     * upsert/replace rewrites; time travel beyond the horizon is gone.

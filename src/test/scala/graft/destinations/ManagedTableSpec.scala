@@ -161,6 +161,29 @@ class ManagedTableSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](ManagedTable.read(spark, loc, version = Some(1)))
   }
 
+  test("compact bin-packs small files into one, same data, new version") {
+    val loc = newTable("mt-compact")
+    // 4 appends, each repartitioned to 3 → 12 tiny files
+    (1 to 4).foreach { i =>
+      ManagedTable.append(spark, loc,
+        (1 to 6).map(j => (i * 100L + j, s"r$i-$j", j.toDouble))
+          .toDF("id", "name", "value").repartition(3))
+    }
+    val before = ManagedTable.commits(spark, loc).last.files
+    assert(before.size == 12)
+    val expected = ManagedTable.read(spark, loc).orderBy("id").collect().toSeq
+
+    val v = ManagedTable.compact(spark, loc) // everything under 64 MB → one file
+    val after = ManagedTable.commits(spark, loc).last
+    assert(after.version == v && after.operation == "compact")
+    assert(after.files.size == 1, after.files)
+    assert(ManagedTable.read(spark, loc).orderBy("id").collect().toSeq == expected)
+    // compaction again is a no-op (nothing left to pack)
+    assert(ManagedTable.compact(spark, loc) == v)
+    // old small files remain referenced by history until vacuumed
+    assert(ManagedTable.read(spark, loc, version = Some(v - 1)).count() == 24)
+  }
+
   test("partitioned table: writes hive layout, reads partition column back") {
     val loc = Location(tmpDir("mt-hive").resolve("tbl").toString)
     ManagedTable.createIfAbsent(spark, loc, Seq(
