@@ -485,6 +485,18 @@ object EngineQueries {
         .orderBy(col("n_regionkey"))
     }),
 
+    // unnest_json_array (reference U1) end-to-end in SQL: explode the
+    // element texts with positions; oracle is the expected literal rows.
+    "q55_unnest_json" -> ((s, dir) => {
+      graft.functions.JsonUdfs.register(s)
+      s.sql("""
+        SELECT id, pos, el
+        FROM (SELECT id, posexplode(unnest_json_array(c)) AS (pos, el)
+              FROM VALUES (1, '["a", 1, {"k": 2}, [3]]'),
+                          (2, '[true, null]') AS t(id, c))
+        ORDER BY id, pos""")
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -838,6 +850,11 @@ object EngineQueries {
          string_agg(n_name, ',' ORDER BY n_name) AS nations,
          count(*) AS n
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q55_unnest_json" ->
+      """SELECT id, pos, el FROM (VALUES
+           (1, 0, 'a'), (1, 1, '1'), (1, 2, '{"k":2}'), (1, 3, '[3]'),
+           (2, 0, 'true'), (2, 1, 'null')) AS t(id, pos, el)
+         ORDER BY id, pos""",
     "p01_pipeline_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
