@@ -43,7 +43,17 @@ object Bench {
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // like-for-like trend vs BENCH_r01 (which covered only the 19 round-1
+    // queries): the same subset's total, so totals compare apples-to-apples
+    // even as the query count grows round over round
+    val r1Names = Set("q01_pricing_summary", "q02_filter_pushdown", "q03_top_orders",
+      "q04_priority_semi", "q05_nation_revenue", "q06_forecast_revenue",
+      "q08_window_topn", "q09_window_running", "q10_rollup", "q11_intersect",
+      "q12_except", "q13_case_buckets", "q14_scalar_subquery", "q15_union_cte",
+      "q16_topk", "q17_strings", "q18_monthly_revenue", "q19_json_extract",
+      "q20_dedup_exact")
+    val r1Subset = results.collect { case (k, v) if r1Names(k) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","r1_subset_sec":$r1Subset,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
