@@ -19,6 +19,11 @@ import org.apache.spark.storage.StorageLevel
   *     join key's fan-out (N² pairs max per shingle).
   *   - Everything is expression-level (no UDFs) so Catalyst/AQE handle
   *     pushdown, codegen, and skew.
+  *   - Pair-mining operators persist their compact signature frame (both
+  *     self-join sides read it; alias-differing subtrees defeat exchange
+  *     reuse). The cached blocks follow Spark's normal lifecycle;
+  *     long-running services should `spark.catalog.clearCache()` between
+  *     large corpora runs.
   */
 object Dedup {
 
