@@ -55,6 +55,22 @@ object Runner {
 
     pipeline.destination.foreach(Destinations.prepare(spark, _))
 
+    // Unlike the reference, whose per-run SessionContext dies with a failed
+    // pipeline, our SparkSession is shared (service/embedding reuse) — so a
+    // failed run must clean up every view and cached frame it created.
+    val persisted = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    val results = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    def cleanupOnFailure(): Unit = {
+      persisted.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+      results.keys.foreach(n => try spark.catalog.dropTempView(n) catch { case _: Throwable => () })
+      pipeline.sources.foreach {
+        case _: InMemorySource => () // caller-owned, never ours to drop
+        case src => try spark.catalog.dropTempView(src.name) catch { case _: Throwable => () }
+      }
+    }
+
+    try {
+
     // -- sources, registered concurrently (view registration is cheap but
     //    schema inference / footer reads are IO: parallelism is real here)
     Await.result(
@@ -72,8 +88,6 @@ object Runner {
     // -- stage groups
     val allStages = pipeline.stages.flatten
     val lastStage = allStages.lastOption
-    val persisted = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-    val results = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
     pipeline.stages.zipWithIndex.foreach { case (group, gi) =>
       Await.result(
@@ -131,6 +145,8 @@ object Runner {
 
     tracker.onProgress(ProgressEvent.Completed((System.nanoTime() - t0) / 1000000))
     finalDf
+
+    } catch { case e: Throwable => cleanupOnFailure(); throw e }
   }
 
   // ------------------------------------------------------------ validation

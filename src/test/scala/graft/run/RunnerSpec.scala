@@ -272,6 +272,28 @@ class RunnerSpec extends SparkSpec {
     assert(again.count() == out.count())
   }
 
+  test("failed pipeline leaves the shared session clean (views + cache)") {
+    val dir = tmpDir("runner-fail")
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").write.parquet(dir.resolve("in.parquet").toString)
+    // caller-owned in-memory source must survive the failure
+    Seq((9L, "keep")).toDF("id", "name").createOrReplaceTempView("caller_owned")
+    val aq = Aqueduct(
+      sources = Seq(
+        InMemorySource("caller_owned"),
+        FileSource("f_src", ParquetFormat(), Location(dir.resolve("in.parquet").toString))),
+      stages = Seq(
+        // two consumers → s1 gets persisted before the failure downstream
+        Seq(Stage("s1", "SELECT id, name FROM f_src")),
+        Seq(Stage("s2a", "SELECT count(*) AS n FROM s1"),
+            Stage("s2b", "SELECT CAST(name AS BIGINT) + nosuchcol AS boom FROM s1"))))
+    assertThrows[Runner.PipelineError](Runner.run(spark, aq, new CollectingTracker))
+    // pipeline-owned views and caches are gone; caller's view is untouched
+    Seq("f_src", "s1", "s2a").foreach(v => assert(!spark.catalog.tableExists(v), v))
+    assert(spark.catalog.tableExists("caller_owned"))
+    spark.catalog.dropTempView("caller_owned")
+  }
+
   test("repo examples/ pipelines run end-to-end against the test data") {
     val sf = "/root/testdata/sf0.001"
     val out = tmpDir("repo-examples")
