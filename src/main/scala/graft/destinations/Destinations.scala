@@ -76,14 +76,15 @@ object Destinations {
     val target = new Path(location.spark)
     val fs: FileSystem = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(target.getParent, s".graft-tmp-${java.util.UUID.randomUUID()}")
-    df.coalesce(1).write.mode(SaveMode.Overwrite).format(fmt).options(options).save(tmp.toString)
-    val part = fs.listStatus(tmp).map(_.getPath)
-      .find(p => p.getName.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException(s"No part file produced under $tmp"))
-    fs.mkdirs(target.getParent)
-    if (fs.exists(target)) fs.delete(target, false)
-    if (!fs.rename(part, target))
-      throw new IllegalStateException(s"Failed to move $part to $target")
-    fs.delete(tmp, true)
+    try {
+      df.coalesce(1).write.mode(SaveMode.Overwrite).format(fmt).options(options).save(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(p => p.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"No part file produced under $tmp"))
+      fs.mkdirs(target.getParent)
+      if (fs.exists(target)) fs.delete(target, false)
+      if (!fs.rename(part, target))
+        throw new IllegalStateException(s"Failed to move $part to $target")
+    } finally fs.delete(tmp, true)
   }
 }
