@@ -497,6 +497,21 @@ object EngineQueries {
         ORDER BY id, pos""")
     }),
 
+    // Ranking-function completion: rank / dense_rank over ties, plus
+    // percent_rank and cume_dist (exact small-integer divisions in double).
+    "q56_rank_funcs" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               percent_rank() OVER w AS prnk,
+               cume_dist() OVER w AS cdist
+        FROM lineitem WHERE l_orderkey < 100
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity)
+        ORDER BY l_orderkey, l_linenumber""")
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -855,6 +870,15 @@ object EngineQueries {
            (1, 0, 'a'), (1, 1, '1'), (1, 2, '{"k":2}'), (1, 3, '[3]'),
            (2, 0, 'true'), (2, 1, 'null')) AS t(id, pos, el)
          ORDER BY id, pos""",
+    "q56_rank_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         percent_rank() OVER w AS prnk,
+         cume_dist() OVER w AS cdist
+         FROM lineitem WHERE l_orderkey < 100
+         WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity)
+         ORDER BY l_orderkey, l_linenumber""",
     "p01_pipeline_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
