@@ -693,10 +693,10 @@ object EngineQueries {
          FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""",
     "q29_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
-         sum(len(regexp_extract_all(text, '\S+'))) AS n_tokens,
-         sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS n_bpeish,
-         sum(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))) AS n_punct,
-         sum(n_chars) AS total_chars
+         CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens,
+         CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpeish,
+         CAST(sum(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))) AS BIGINT) AS n_punct,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY lang ORDER BY lang""",
     "q30_langid" ->
       """WITH scored AS (

@@ -30,15 +30,19 @@ object Tables {
 
   /** Register every table as a temp view (for SQL-surface queries).
     * Cached per (session, dir): repeated calls would otherwise re-read ten
-    * parquet footers per query (round-1 verdict note on q15).
+    * parquet footers per query (round-1 verdict note on q15). Keyed on the
+    * session object itself (identity hashes can collide / be recycled), and
+    * registration happens inside the atomic `compute` so a concurrent first
+    * caller only returns once the views exist.
     */
-  private val registered = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val registered = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
-  def register(spark: SparkSession, dir: String): Unit = {
-    if (registered.put(String.valueOf(System.identityHashCode(spark)), dir) == dir) return // same dir already live
-    all.foreach { n =>
-      val p = new java.io.File(s"$dir/$n.parquet")
-      if (p.exists()) t(spark, dir, n).createOrReplaceTempView(n)
-    }
-  }
+  def register(spark: SparkSession, dir: String): Unit =
+    registered.compute(spark, (_, prev) => {
+      if (prev != dir) all.foreach { n =>
+        val p = new java.io.File(s"$dir/$n.parquet")
+        if (p.exists()) t(spark, dir, n).createOrReplaceTempView(n)
+      }
+      dir
+    })
 }

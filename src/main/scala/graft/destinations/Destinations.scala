@@ -16,7 +16,7 @@ object Destinations {
     */
   def prepare(spark: SparkSession, dest: Destination): Unit = dest match {
     case d: ManagedTableDestination =>
-      ObjectStores.configure(spark, d.location.scheme, d.storageConfig)
+      ObjectStores.configure(spark, d.location, d.storageConfig)
       ManagedTable.createIfAbsent(spark, d.location, d.schema, d.partitionColumns,
         d.tableProperties ++ d.metadata)
     case d: InMemoryDestination =>
@@ -31,7 +31,7 @@ object Destinations {
       df.createTempView(name) // errors if the name is taken, like the reference
 
     case d: FileDestination =>
-      ObjectStores.configure(spark, d.location.scheme, d.storageConfig)
+      ObjectStores.configure(spark, d.location, d.storageConfig)
       writeFile(spark, d, df)
 
     case d: ManagedTableDestination =>

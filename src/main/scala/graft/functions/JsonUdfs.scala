@@ -65,12 +65,21 @@ object JsonUdfs {
     spark.udf.register("unnest_json_array", (s: String) => unnestJsonArray(s))
     spark.udf.register("json_get_str", (j: String, p: String) =>
       nav0(j, p).map(n => if (n.isTextual) n.asText() else n.toString).orNull)
+    // textual nodes convert only when they parse as the target type —
+    // Jackson's asLong()/asDouble() would silently yield 0 for "abc", where
+    // the reference pack and a SQL CAST produce NULL
     spark.udf.register("json_get_int", (j: String, p: String) =>
-      nav0(j, p).collect { case n if n.isNumber || n.isTextual => n.asLong() }
-        .map(java.lang.Long.valueOf).orNull)
+      nav0(j, p).flatMap {
+        case n if n.isNumber => Some(n.asLong())
+        case n if n.isTextual => scala.util.Try(n.asText().trim.toLong).toOption
+        case _ => None
+      }.map(java.lang.Long.valueOf).orNull)
     spark.udf.register("json_get_float", (j: String, p: String) =>
-      nav0(j, p).collect { case n if n.isNumber || n.isTextual => n.asDouble() }
-        .map(java.lang.Double.valueOf).orNull)
+      nav0(j, p).flatMap {
+        case n if n.isNumber => Some(n.asDouble())
+        case n if n.isTextual => scala.util.Try(n.asText().trim.toDouble).toOption
+        case _ => None
+      }.map(java.lang.Double.valueOf).orNull)
     spark.udf.register("json_get_bool", (j: String, p: String) =>
       nav0(j, p).collect { case n if n.isBoolean => n.asBoolean() }
         .map(java.lang.Boolean.valueOf).orNull)

@@ -37,22 +37,28 @@ object Joins {
     require(keys.nonEmpty, "asofJoin requires at least one key column")
     val leftCols = left.columns.toSeq
 
+    // One payload struct carries timeCol + ALL right value columns together,
+    // so every carried field comes from the SAME matched right row — a
+    // genuine NULL in a right value column stays NULL instead of being
+    // back-filled from an older row. (Also one window pass instead of N.)
+    val payload = struct(
+      (col(timeCol).as("_asof_time") +: rightCols.map(c => col(c).as(c))): _*)
+    val payloadType = right.select(payload.as("p")).schema.head.dataType
+
     val l = left
       .withColumn("_is_left", lit(1))
-      .withColumn("_asof_ts", lit(null).cast(right.schema(timeCol).dataType))
       .select(
-        (keys.map(col) :+ col(timeCol) :+ col("_is_left") :+ col("_asof_ts")) ++
-          leftCols.filterNot(c => keys.contains(c) || c == timeCol).map(col) ++
-          rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"$c$suffix")): _*)
+        (keys.map(col) :+ col(timeCol) :+ col("_is_left")) ++
+          leftCols.filterNot(c => keys.contains(c) || c == timeCol).map(col) :+
+          lit(null).cast(payloadType).as("_payload"): _*)
 
     val r = right
       .withColumn("_is_left", lit(0))
-      .withColumn("_asof_ts", col(timeCol))
       .select(
-        (keys.map(col) :+ col(timeCol) :+ col("_is_left") :+ col("_asof_ts")) ++
+        (keys.map(col) :+ col(timeCol) :+ col("_is_left")) ++
           leftCols.filterNot(c => keys.contains(c) || c == timeCol)
-            .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          rightCols.map(c => col(c).as(s"$c$suffix")): _*)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          payload.as("_payload"): _*)
 
     // right rows sort before left rows at the same timestamp → inclusive match
     val w = Window.partitionBy(keys.map(col): _*)
@@ -60,11 +66,12 @@ object Joins {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = l.unionByName(r)
-      .withColumn("asof_ts", last(col("_asof_ts"), ignoreNulls = true).over(w))
+      .withColumn("_carry", last(col("_payload"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts", col("_carry").getField("_asof_time"))
     val withVals = rightCols.foldLeft(carried) { (df, c) =>
-      df.withColumn(s"$c$suffix", last(col(s"$c$suffix"), ignoreNulls = true).over(w))
+      df.withColumn(s"$c$suffix", col("_carry").getField(c))
     }
-    val leftOnly = withVals.filter(col("_is_left") === 1).drop("_is_left", "_asof_ts")
+    val leftOnly = withVals.filter(col("_is_left") === 1)
     val matched = if (keepUnmatched) leftOnly else leftOnly.filter(col("asof_ts").isNotNull)
     matched.select(
       (leftCols.map(col) :+ col("asof_ts")) ++ rightCols.map(c => col(s"$c$suffix")): _*)

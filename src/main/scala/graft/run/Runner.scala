@@ -51,7 +51,20 @@ object Runner {
     validate(spark, pipeline)
     tracker.onProgress(ProgressEvent.Started)
 
-    implicit val ec: ExecutionContext = Runner.ec
+    // Per-run executor, not a shared pool: Spark job-group / local properties
+    // are InheritableThreadLocals, so pooled threads keep whatever group was
+    // active when they were first created — under a shared pool,
+    // PipelineService.cancel(id) could miss the running pipeline or cancel a
+    // different one. Fresh threads are created by tasks submitted from THIS
+    // call stack and inherit the caller's job group. Thread churn is noise
+    // next to the Spark jobs these threads merely drive.
+    val pool = java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-runner")
+      t.setDaemon(true)
+      t
+    })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
 
     pipeline.destination.foreach(Destinations.prepare(spark, _))
 
@@ -147,6 +160,7 @@ object Runner {
     finalDf
 
     } catch { case e: Throwable => cleanupOnFailure(); throw e }
+    } finally pool.shutdown()
   }
 
   // ------------------------------------------------------------ validation
@@ -222,14 +236,4 @@ object Runner {
     baos.toString("UTF-8")
   }
 
-  /** Shared pool for source/stage concurrency — daemon threads, unbounded
-    * queue; actual data parallelism lives in Spark tasks, these threads only
-    * drive job submission.
-    */
-  private lazy val ec: ExecutionContext = ExecutionContext.fromExecutorService(
-    java.util.concurrent.Executors.newCachedThreadPool(r => {
-      val t = new Thread(r, "graft-runner")
-      t.setDaemon(true)
-      t
-    }))
 }

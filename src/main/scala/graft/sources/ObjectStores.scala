@@ -11,17 +11,57 @@ import org.apache.spark.sql.SparkSession
   * credentials and endpoints from there. Keys already in Hadoop form
   * (`fs.*`) pass through untouched, so users can always reach the full
   * connector surface.
+  *
+  * Scoping: the Hadoop configuration is session-global, while the reference
+  * contract is per-source. For s3a we restore per-source isolation with
+  * hadoop-aws per-bucket keys (`fs.s3a.bucket.<bucket>.*`), so two sources on
+  * different buckets can carry different credentials. Azure account keys are
+  * naturally scoped per account. For connectors with no scoped form (gs, or
+  * s3a without a resolvable bucket), conflicting values for the same global
+  * key are rejected up front — last-writer-wins against lazy scans would
+  * otherwise pick credentials nondeterministically.
   */
 object ObjectStores {
 
-  def configure(spark: SparkSession, scheme: String, storageConfig: Map[String, String]): Unit = {
+  /** Preferred entry: derives scheme + bucket from the location so s3a keys
+    * can be bucket-scoped.
+    */
+  def configure(spark: SparkSession, location: graft.config.Location,
+      storageConfig: Map[String, String]): Unit =
+    configure(spark, location.scheme, storageConfig,
+      Option(location.uri.getAuthority).filter(_.nonEmpty))
+
+  def configure(spark: SparkSession, scheme: String, storageConfig: Map[String, String],
+      bucket: Option[String] = None): Unit = {
     if (storageConfig.isEmpty) return
     val conf = spark.sparkContext.hadoopConfiguration
     storageConfig.foreach { case (k, v) =>
       translate(scheme, k.toLowerCase, storageConfig).getOrElse(Seq(k -> v)).foreach {
-        case (hk, hv) => conf.set(hk, hv)
+        case (hk, hv) =>
+          val scoped = bucket match {
+            case Some(b) if (scheme == "s3" || scheme == "s3a") && hk.startsWith("fs.s3a.") =>
+              s"fs.s3a.bucket.$b.${hk.stripPrefix("fs.s3a.")}"
+            case _ => hk
+          }
+          checkNoConflict(spark, scoped, hv)
+          conf.set(scoped, hv)
       }
     }
+  }
+
+  // Values this engine has applied, per SparkContext: re-configuring the same
+  // (possibly bucket-scoped) key with a DIFFERENT value is a config error,
+  // not a race to be lost by whichever scan executes last.
+  private val applied =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), String]()
+
+  private def checkNoConflict(spark: SparkSession, key: String, value: String): Unit = {
+    val prev = applied.put((spark.sparkContext, key), value)
+    if (prev != null && prev != value)
+      throw new IllegalArgumentException(
+        s"Conflicting storage_config for '$key': a previous source/destination set a different " +
+          "value. Hadoop object-store config is global per key — scope it per bucket " +
+          "(s3a supports fs.s3a.bucket.<bucket>.*; pass a bucketed location) or unify the configs.")
   }
 
   /** Map one object_store-style key to its Hadoop equivalent(s); None ⇒ pass

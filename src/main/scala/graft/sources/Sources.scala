@@ -26,11 +26,11 @@ object Sources {
       spark.table(name)
 
     case FileSource(_, format, location, storage) =>
-      ObjectStores.configure(spark, location.scheme, storage)
+      ObjectStores.configure(spark, location, storage)
       reader(spark, format).load(location.spark)
 
     case DirSource(_, format, location, partitionCols, storage) =>
-      ObjectStores.configure(spark, location.scheme, storage)
+      ObjectStores.configure(spark, location, storage)
       // Spark auto-discovers hive-style k=v partition dirs; declared partition
       // types are enforced by casting the discovered columns.
       val df = reader(spark, format).load(location.spark)
@@ -41,7 +41,7 @@ object Sources {
       }
 
     case ManagedTableSource(_, location, version, timestamp, storage) =>
-      ObjectStores.configure(spark, location.scheme, storage)
+      ObjectStores.configure(spark, location, storage)
       ManagedTable.read(spark, location, version, timestamp)
 
     case JdbcSource(_, loadQuery, connectionString) =>
