@@ -200,39 +200,41 @@ object EngineQueries {
     }),
 
     // Exact n-gram Jaccard near-dup pairs via inverted-index join (never
-    // all-pairs). Threshold j >= 0.5 applied in integer arithmetic
-    // (2·common >= union) so both engines filter identically.
+    // all-pairs), through the library operator: persisted inverted index
+    // (both self-join sides share one shingling pass) and the default
+    // corpus-derived stop-shingle cap (a no-op at oracle scale — the cap
+    // floor of 1000 exceeds the sf0.01 doc count). j >= 0.5 in double is
+    // exact here: c/u >= 0.5 ⟺ 2c >= u for integers (u = 2c gives exactly
+    // representable 0.5), matching the oracle's integer HAVING.
     "q32_ngram_jaccard" -> ((s, dir) => {
-      // native codegen'd WordShingles expression; no size(sh)>0 filter
-      // (explode drops empties — see Dedup.ngramJaccardPairs)
       val docs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism) // single-file input → parallelize shingling
-        .select(col("doc_id"), graft.functions.WordShingles(lower(col("text")), 3).as("sh"))
-        .withColumn("n", size(col("sh")))
-      val inv = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
-      val a = inv.select(col("g"), col("doc_id").as("id_a"), col("n").as("na"))
-      val b = inv.select(col("g"), col("doc_id").as("id_b"), col("n").as("nb"))
-      a.join(b, Seq("g"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("common"))
-        .filter(col("common") * 2 >= col("na") + col("nb") - col("common"))
-        .select(col("id_a"), col("id_b"), col("common"),
-          (col("na") + col("nb") - col("common")).as("union_size"))
+        .select(col("doc_id"), lower(col("text")).as("text_lc"))
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text_lc",
+          n = 3, threshold = 0.5, withCounts = true)
+        .select(col("id_a"), col("id_b"), col("common"), col("union_size"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // MinHash + banded LSH near-dup (probabilistic recall ⇒ rows-only check;
-    // the exact-verify step means zero false positives).
+    // MinHash + banded LSH near-dup. 32 bands × 2 rows puts the S-curve
+    // candidate probability at ≥ 0.9999 for any pair at j ≥ 0.5, and the
+    // exact-verify step re-scores candidates with true Jaccard — so at
+    // oracle scale the output equals the exact inverted-index pair set and
+    // is hash-checked against it (deterministic seeded hashes; recall on
+    // harder corpora is asserted separately in OpsSpec).
     "q33_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        n = 3, numHashes = 64, bands = 32, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash near-dup pairs (hash-dependent ⇒ rows-only check).
+    // SimHash near-dup pairs over the portable md5-derived word hash.
+    // Pigeonhole blocking is COMPLETE for hamming ≤ maxDistance, so the
+    // output is exactly "all pairs at distance ≤ 3" — and with the portable
+    // hash DuckDB recomputes the fingerprints bit-for-bit (hash-checked,
+    // was rows-only).
     "q34_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDistance = 3)
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxDistance = 3, portableHash = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -363,12 +365,17 @@ object EngineQueries {
         .orderBy(col("n_name"), col("r_name"))
     }),
 
-    // Embedding-cosine near-dup pairs via multi-probe LSH + exact verify
-    // (approximate recall ⇒ rows-only check).
+    // Embedding-cosine near-dup pairs, exhaustive-probe configuration
+    // (probeDistance = m ⇒ every bucket probed, candidate generation is
+    // complete): the output is exactly all pairs with cosine ≥ 0.35 and the
+    // oracle hash-checks it. Round-2 verdict: the old threshold (0.95) had
+    // EMPTY ground truth, so the rows-only check proved nothing. The pruned
+    // scale path (probeDistance 1–2) is recall-asserted in OpsSpec.
     "q46_embed_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      ops.Ann.cosinePairs(emb, "vec_id", "v", threshold = 0.95, m = 14, dim = 64)
+      ops.Ann.cosinePairs(emb, "vec_id", "v", threshold = 0.35,
+          m = 6, dim = 64, probeDistance = 6)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -390,9 +397,9 @@ object EngineQueries {
         FROM flagged GROUP BY user_id ORDER BY user_id""")
     }),
 
-    // IVF ANN: k-means cells + nprobe probing + exact re-rank (index
-    // training is seeded but k-means cell boundaries are engine-specific ⇒
-    // rows-only check).
+    // IVF ANN, realistic pruned configuration: k-means cells + nprobe
+    // probing + exact re-rank (cell boundaries are engine-specific ⇒
+    // rows-only check here; the exhaustive hash-checked variant is q58).
     "q48_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -510,6 +517,39 @@ object EngineQueries {
         FROM lineitem WHERE l_orderkey < 100
         WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity)
         ORDER BY l_orderkey, l_linenumber""")
+    }),
+
+    // LSH top-k in exhaustive-probe mode (probeDistance = m ⇒ every bucket
+    // probed): the signature/probe/re-rank machinery must reproduce brute
+    // force exactly — hash-checked against the DuckDB cosine top-k oracle.
+    // q36 keeps the realistic pruned configuration (recall asserted vs brute
+    // force in OpsSpec); this entry pins the machinery's correctness.
+    "q57_ann_lsh_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      Ann.lshTopK(emb, "vec_id", "v", queries, "qid", "qv",
+        k = 10, m = 6, dim = 64, probeDistance = 6)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF index built ONCE and searched twice (two query batches over the
+    // persisted cell-assigned corpus) — the amortized build/search split the
+    // round-2 verdict asked for. Exhaustive nprobe = nlist makes each search
+    // equal brute force, so the union is hash-checked exactly.
+    "q58_ann_ivf_reuse" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val index = Ann.ivfBuild(emb, "vec_id", "v", nlist = 16)
+      index.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qa = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val qb = emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      Ann.ivfSearch(index, qa, "qid", "qv", k = 10, nprobe = 16)
+        .unionByName(Ann.ivfSearch(index, qb, "qid", "qv", k = 10, nprobe = 16))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // ------------------------------------------- engine-executed pipelines
@@ -737,6 +777,50 @@ object EngineQueries {
          GROUP BY a.doc_id, b.doc_id, a.n, b.n
          HAVING count(*) * 2 >= a.n + b.n - count(*)
          ORDER BY id_a, id_b""",
+    // exact ground truth: at (32 bands × 2 rows) + exact-verify, the LSH
+    // output provably-with-near-certainty equals the exact j >= 0.5 pair set
+    // on this corpus (deterministic seeded hashes; verified at sf0.01)
+    "q33_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+           FROM w),
+         inv AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh WHERE len(grams) > 0)
+         SELECT id_a, id_b, round(CAST(common AS DOUBLE) / u, 6) AS jaccard FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common,
+                  a.n + b.n - count(*) AS u
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n, b.n
+           HAVING count(*) * 2 >= a.n + b.n - count(*)) t
+         ORDER BY id_a, id_b""",
+    // full portable-SimHash recompute: md5-nibble bit decode, ±1 votes,
+    // sign bits, hamming — the all-pairs form is fine at oracle scale
+    "q34_simhash" ->
+      """WITH w AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS word
+           FROM documents),
+         h AS (SELECT doc_id, substr(md5(word), 1, 16) AS hx FROM w),
+         bits AS (
+           SELECT doc_id, j,
+             CASE WHEN (((strpos('0123456789abcdef', substr(hx, (j // 4) + 1, 1)) - 1)
+                         >> (3 - (j % 4))) & 1) = 1 THEN 1 ELSE -1 END AS vote
+           FROM h, range(0, 64) r(j)),
+         sums AS (SELECT doc_id, j, sum(vote) AS s FROM bits GROUP BY doc_id, j),
+         fp AS (
+           SELECT doc_id,
+             bit_or(CASE WHEN s > 0 THEN
+                 (CASE WHEN j = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                       ELSE (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) END)
+               ELSE CAST(0 AS BIGINT) END) AS f
+           FROM sums GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS distance
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.f, b.f)) <= 3
+         ORDER BY id_a, id_b""",
     "q35_ann_brute" ->
       """WITH c AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
               q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5)
@@ -807,6 +891,15 @@ object EngineQueries {
     "q45_theta_join" ->
       """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey <> r_regionkey
          ORDER BY n_name, r_name""",
+    // exhaustive probing ⇒ complete candidate generation ⇒ exactly the
+    // cosine >= 0.35 pair set
+    "q46_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+         ORDER BY id_a, id_b""",
     "q47_sessionize" ->
       """WITH e AS (
            SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
@@ -879,6 +972,28 @@ object EngineQueries {
          FROM lineitem WHERE l_orderkey < 100
          WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity)
          ORDER BY l_orderkey, l_linenumber""",
+    // exhaustive probing ⇒ LSH equals brute force exactly (same oracle as q35)
+    "q57_ann_lsh_exhaustive" ->
+      """WITH c AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+              q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5)
+         SELECT query_id, rank, item_id, cos FROM (
+           SELECT query_id, item_id,
+             round(list_cosine_similarity(cv, qv), 6) AS cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY list_cosine_similarity(cv, qv) DESC, item_id) AS rank
+           FROM c CROSS JOIN q) t
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // nprobe = nlist ⇒ each IVF search equals brute force; two query batches
+    "q58_ann_ivf_reuse" ->
+      """WITH c AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+              q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10)
+         SELECT query_id, rank, item_id, cos FROM (
+           SELECT query_id, item_id,
+             round(list_cosine_similarity(cv, qv), 6) AS cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY list_cosine_similarity(cv, qv) DESC, item_id) AS rank
+           FROM c CROSS JOIN q) t
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "p01_pipeline_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -75,11 +75,17 @@ object Ann {
     * candidates (one shuffle join on the bucket key, never all-pairs), exact
     * cosine filters them — zero false positives, recall set by (m,
     * probeDistance). The embedding-space sibling of Dedup.minhashLshPairs.
+    *
+    * `probeDistance = m` probes every bucket — candidate generation becomes
+    * exhaustive (exact pairs, no recall loss), useful as a correctness gate
+    * at small scale. `maxBucketSize` drops signature buckets above the cap
+    * (mega-clusters of identical embeddings belong to an exact groupBy
+    * dedup, not a pairwise miner).
     */
   def cosinePairs(
       corpus: DataFrame, id: String, vec: String,
       threshold: Double, m: Int = 14, dim: Int, probeDistance: Int = 1,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
     val planes = hyperplanes(m, dim, seed)
     // persisted: both self-join sides read this frame and differ only by
     // alias, so without it the m-hyperplane signature pass runs twice
@@ -87,10 +93,16 @@ object Ann {
       signature(col(vec), planes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val masks = probeMasks(m, probeDistance)
-    val a = sigd
+    val okBuckets = maxBucketSize.map { bcap =>
+      sigd.groupBy(col("sig").as("bucket")).agg(count(lit(1)).as("bs"))
+        .filter(col("bs") <= bcap).select("bucket")
+    }
+    def capped(df: DataFrame): DataFrame =
+      okBuckets.map(ok => df.join(ok, Seq("bucket"))).getOrElse(df)
+    val a = capped(sigd
       .withColumn("bucket", explode(array(masks.map(mk => col("sig").bitwiseXOR(lit(mk))): _*)))
-      .select(col("bucket"), col("vid").as("id_a"), col("v").as("va"))
-    val b = sigd.select(col("sig").as("bucket"), col("vid").as("id_b"), col("v").as("vb"))
+      .select(col("bucket"), col("vid").as("id_a"), col("v").as("va")))
+    val b = capped(sigd.select(col("sig").as("bucket"), col("vid").as("id_b"), col("v").as("vb")))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -107,70 +119,95 @@ object Ann {
     combos(0 until m, d).distinct.map(_.foldLeft(0L)((acc, b) => acc | (1L << b)))
   }
 
-  /** IVF-style approximate top-k: k-means centroids partition the corpus
-    * into `nlist` cells; each query probes its `nprobe` nearest cells and
-    * re-ranks candidates exactly.
+  /** An IVF index: k-means centroids plus the corpus with its nearest-cell
+    * assignment precomputed as a `cell` column (`item_id`, `cv`, `cell`).
     *
-    * The index-build (one MLlib k-means fit, seeded/deterministic) is an
-    * offline step amortized over all queries — at 100 TB you train on a
-    * sample, persist centroid assignments as a column, and every search
-    * scans ~nprobe/nlist of the corpus. Search-time plan: broadcast the
-    * probed (query, cell) pairs, shuffle-free filter join on the cell id,
-    * window top-k.
+    * Build ONCE with [[ivfBuild]], persist `assigned` (or write it out — the
+    * cell column is just data, e.g. a ManagedTable partition/column), then
+    * run [[ivfSearch]] per query batch. At 100 TB the index build is the
+    * expensive amortized step; a search only scans ~nprobe/nlist of the
+    * corpus.
     */
-  def ivfTopK(
+  final case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** Distance of `vec` to each centroid as (d2, cell) structs — a pure
+    * expression over the centroid literals, inside codegen. The inline
+    * argmin is linear in nlist; beyond a few hundred cells the generated
+    * code stops being practical (hence the `require` in ivfBuild).
+    */
+  private def centroidScores(vec: Column, centroids: Array[Array[Double]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val cArr = array(c.toIndexedSeq.map(lit): _*)
+      val d2 = aggregate(zip_with(vec, cArr, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v)
+      struct(d2.as("d2"), lit(i).as("cell"))
+    }.toIndexedSeq
+
+  /** Build the IVF index: fit seeded k-means on a bounded sample, assign
+    * every corpus vector to its nearest cell.
+    *
+    * Sampling never sorts the corpus: an optional seeded Bernoulli
+    * `sample()` for spread, then an early-stopping `limit`. Set
+    * `trainFraction ≈ maxTrainVectors / |corpus|` at scale so the sample is
+    * corpus-wide; cell quality converges with a few thousand vectors per
+    * cell, so training on everything would dwarf the search itself.
+    */
+  def ivfBuild(
       corpus: DataFrame, corpusId: String, corpusVec: String,
-      queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
-      maxTrainVectors: Int = 65536): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      nlist: Int = 16, seed: Long = 42L,
+      maxTrainVectors: Int = 65536, trainFraction: Double = 1.0): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-
-    // Train centroids on a bounded deterministic sample, never the full
-    // corpus: cell quality converges with a few thousand vectors per cell,
-    // and at 100 TB a full-corpus k-means would dwarf the search itself.
-    val train = corpus
-      .select(col(corpusId).as("tid"), array_to_vector(col(corpusVec)).as("features"))
-      .orderBy(xxhash64(col("tid"), lit(seed))).limit(maxTrainVectors)
-      .select("features")
+    require(nlist >= 1 && nlist <= 256,
+      "nlist beyond 256: the inline centroid argmin expression stops codegen-ing — " +
+        "shard the corpus or extend to a broadcast-join argmin")
+    val base = corpus.select(col(corpusId).as("item_id"), col(corpusVec).as("cv"))
+    val sampled = if (trainFraction < 1.0) base.sample(false, trainFraction, seed) else base
+    val train = sampled.limit(maxTrainVectors)
+      .select(array_to_vector(col("cv")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
     val centroids = model.clusterCenters.map(_.toArray)
+    val assigned = base.withColumn("cell",
+      least(centroidScores(col("cv"), centroids): _*).getField("cell"))
+    IvfIndex(centroids, assigned)
+  }
 
-    // nearest-cell assignment as a pure expression over the (small) centroid
-    // literals: argmin over squared L2 — no UDF, stays in codegen
-    def cellOf(vec: Column): Column = {
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        val cArr = array(c.toIndexedSeq.map(lit): _*)
-        val d2 = aggregate(zip_with(vec, cArr, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, v) => acc + v)
-        struct(d2.as("d2"), lit(i).as("cell"))
-      }
-      least(scored.toIndexedSeq: _*).getField("cell")
-    }
-    def cellsOf(vec: Column, n: Int): Column = {
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        val cArr = array(c.toIndexedSeq.map(lit): _*)
-        val d2 = aggregate(zip_with(vec, cArr, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, v) => acc + v)
-        struct(d2.as("d2"), lit(i).as("cell"))
-      }
-      slice(array_sort(array(scored.toIndexedSeq: _*)), 1, n)
-    }
-
-    val bucketed = corpus.select(col(corpusId).as("item_id"), col(corpusVec).as("cv"),
-      cellOf(col(corpusVec)).as("cell"))
+  /** Search a built IVF index: each query probes its `nprobe` nearest cells
+    * and candidates are re-ranked with exact cosine. Plan: broadcast the
+    * probed (query, cell) pairs, equi-join on the precomputed cell column
+    * (cell-pruned corpus scan when `assigned` is partitioned by cell),
+    * window top-k. `nprobe = nlist` probes everything — exhaustive, equals
+    * brute force; the small-scale correctness gate.
+    */
+  def ivfSearch(
+      index: IvfIndex, queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nprobe0 = math.min(nprobe, index.centroids.length)
     val probed = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"),
-        explode(cellsOf(col(queryVec), nprobe)).as("probe"))
+        explode(slice(array_sort(array(centroidScores(col(queryVec), index.centroids): _*)),
+          1, nprobe0)).as("probe"))
       .select(col("query_id"), col("qv"), col("probe").getField("cell").as("cell"))
-
-    val candidates = bucketed.join(broadcast(probed), Seq("cell"))
+    val candidates = index.assigned.join(broadcast(probed), Seq("cell"))
       .withColumn("cos", cosine(col("cv"), col("qv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
     candidates
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("item_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** One-shot IVF top-k: build + search. Prefer [[ivfBuild]] once +
+    * [[ivfSearch]] per batch when querying repeatedly — this convenience
+    * form re-trains on every call.
+    */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
+      maxTrainVectors: Int = 65536): DataFrame = {
+    val index = ivfBuild(corpus, corpusId, corpusVec, nlist, seed, maxTrainVectors)
+    ivfSearch(index, queries, queryId, queryVec, k, nprobe)
   }
 
   /** Approximate top-k: LSH-bucketed candidate pruning + exact re-rank.

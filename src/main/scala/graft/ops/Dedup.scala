@@ -48,12 +48,25 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Sentinel for `maxShingleDocFreq`: derive the stop-shingle cap from the
+    * corpus size as `max(1000, ndocs/1000)` — large enough never to touch a
+    * real near-dup signal, small enough that one corpus-wide shingle cannot
+    * fan a single join key out quadratically.
+    */
+  val AutoCap = 0
+
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
     *
     * Inverted-index join: doc→distinct shingles→explode; self-join on the
     * shingle key with `id_a < id_b`; |A∩B| = count of shared shingles;
     * |A∪B| = |A|+|B|-|A∩B|. Output: (id_a, id_b, jaccard) with
-    * jaccard ≥ `threshold`.
+    * jaccard ≥ `threshold`; `withCounts` adds the exact (common, union_size)
+    * integers.
+    *
+    * The stop-shingle cap is ON by default ([[AutoCap]]): shingles shared by
+    * more than the cap's doc count are dropped from the index before the
+    * self-join. Pairs whose overlap is exclusively stop-shingles are lost —
+    * the standard trade; at 100 TB an uncapped hot shingle is an N² join key.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -61,7 +74,8 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.8,
-      maxShingleDocFreq: Option[Int] = None): DataFrame = {
+      maxShingleDocFreq: Option[Int] = Some(AutoCap),
+      withCounts: Boolean = false): DataFrame = {
     // Native WordShingles expression: codegen'd single-pass shingling. (The
     // composed functions._ form is interpreted per-lambda-element AND gets
     // cloned into scan filters by InferFiltersFromGenerate + pushdown;
@@ -79,11 +93,15 @@ object Dedup {
     val inverted0 = shingled
       .select(col("doc_id"), col("n_shingles"), explode(col("shingles")).as("shingle"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val inverted = maxShingleDocFreq match {
-      case Some(cap) =>
+    val cap: Option[Long] = maxShingleDocFreq.map {
+      case AutoCap => math.max(1000L, docs.select(idCol).count() / 1000L)
+      case c => c.toLong
+    }
+    val inverted = cap match {
+      case Some(c) =>
         // stop-shingle cut: bound join fan-out on pathological shared shingles
         val freq = inverted0.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap)
+          .filter(col("df") <= c)
         inverted0.join(freq.select("shingle"), "shingle")
       case None => inverted0
     }
@@ -92,14 +110,18 @@ object Dedup {
       col("shingle"), col("doc_id").as("id_a"), col("n_shingles").as("na"))
     val b = inverted.select(
       col("shingle"), col("doc_id").as("id_b"), col("n_shingles").as("nb"))
-    a.join(b, Seq("shingle"))
+    val scored = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .withColumn("union_size", col("na") + col("nb") - col("common"))
+      .withColumn("jaccard", col("common").cast("double") / col("union_size"))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    if (withCounts)
+      scored.select(col("id_a"), col("id_b"), col("common"), col("union_size"),
+        round(col("jaccard"), 6).as("jaccard"))
+    else
+      scored.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Deterministic MinHash signature + banded LSH candidate pairs, verified
@@ -112,6 +134,12 @@ object Dedup {
     * candidates — one shuffle join on the bucket key. Candidates are then
     * re-ranked with exact Jaccard so the output has no false positives;
     * recall is the standard LSH S-curve at (bands, rows).
+    *
+    * `maxBucketSize` drops band buckets holding more docs than the cap
+    * before the self-join. A bucket of B docs is B² candidate pairs — a
+    * mega-cluster of near-identical boilerplate would otherwise dominate the
+    * whole job. Pairwise output is the wrong contract for such clusters
+    * anyway: run [[exactByContent]] first, then pair-mine the survivors.
     */
   def minhashLshPairs(
       docs: DataFrame,
@@ -121,7 +149,8 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     // Mersenne prime 2^31-1: coefficients and hashes stay < 2^31, so a·x
@@ -155,10 +184,19 @@ object Dedup {
       struct(lit(bi).as("band"),
         when(slice.head.isNull, lit(null).cast("long")).otherwise(xxhash64(slice: _*)).as("sig"))
     }
-    val buckets = signed
+    val buckets0 = signed
       .select(col("doc_id"), col("shingles"), explode(array(bandCols: _*)).as("bucket"))
       .select(col("doc_id"), col("shingles"),
         col("bucket").getField("band").as("band"), col("bucket").getField("sig").as("sig"))
+    val buckets = maxBucketSize match {
+      case Some(bcap) =>
+        // mega-bucket cut: the membership count re-reads the persisted
+        // signature frame, so this is one extra hash aggregate, not a rescan
+        val sizes = buckets0.groupBy("band", "sig").agg(count(lit(1)).as("bs"))
+          .filter(col("bs") <= bcap)
+        buckets0.join(sizes.select("band", "sig"), Seq("band", "sig"))
+      case None => buckets0
+    }
 
     val a = buckets.select(col("band"), col("sig"), col("doc_id").as("id_a"), col("shingles").as("sh_a"))
     val b = buckets.select(col("band"), col("sig"), col("doc_id").as("id_b"), col("shingles").as("sh_b"))
@@ -178,18 +216,38 @@ object Dedup {
 
   /** 64-bit SimHash of the document's word set.
     *
-    * Each word votes ±1 on every bit of its xxhash64; the sign of the per-bit
-    * sum is the fingerprint bit. Computed as 64 conditional sums inside one
-    * hash aggregate — fully codegen'd, one shuffle on doc_id.
+    * Each word votes ±1 on every bit of its 64-bit hash; the sign of the
+    * per-bit sum is the fingerprint bit. Computed as 64 conditional sums
+    * inside one hash aggregate — fully codegen'd, one shuffle on doc_id.
+    *
+    * Word-hash options: the default `xxhash64(word)` is the fast path (one
+    * native hash per word). `portableHash = true` decodes the 64 bits from
+    * the 16 leading hex chars of `md5(word)` instead — slightly more
+    * expression work, but bit-for-bit reproducible in any engine with a
+    * standard md5 (the oracle-checked q34 uses it so DuckDB can recompute
+    * the exact fingerprints).
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      portableHash: Boolean = false): DataFrame = {
     val exploded = spread(docs)
       .select(col(idCol).as("doc_id"), explode(Text.words(col(textCol))).as("word"))
-      .withColumn("wh", xxhash64(col("word")))
+    val (hashed, bit) =
+      if (portableHash) {
+        // 16 nibble columns decoded once per word; bit j is then a cheap
+        // shift+mask inside the aggregate (not 64 separate hex decodes)
+        val withHex = exploded.withColumn("hx", substring(md5(col("word")), 1, 16))
+        val withNibs = (0 until 16).foldLeft(withHex) { (d, k) =>
+          d.withColumn(s"nb$k", conv(substring(col("hx"), k + 1, 1), 16, 10).cast("int"))
+        }
+        (withNibs, (j: Int) => shiftright(col(s"nb${j / 4}"), 3 - j % 4).bitwiseAND(1))
+      } else {
+        (exploded.withColumn("wh", xxhash64(col("word"))),
+          (j: Int) => shiftright(col("wh"), j).bitwiseAND(1))
+      }
     val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("wh"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+      sum(when(bit(j) === 1, 1).otherwise(-1)).as(s"b$j")
     }
-    val summed = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val summed = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val sh = (0 until 64).map { j =>
       when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
@@ -201,19 +259,30 @@ object Dedup {
     * Pigeonhole blocking: split the 64-bit hash into `maxDistance + 1`
     * chunks — any pair within the distance must agree on at least one chunk,
     * so joining per-chunk finds all of them without an all-pairs scan.
+    *
+    * `maxBucketSize` drops chunk buckets above the cap (see
+    * [[minhashLshPairs]] — identical-content mega-clusters belong to
+    * [[exactByContent]], not a pairwise miner).
     */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDistance: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDistance: Int = 3,
+      maxBucketSize: Option[Int] = Some(10000), portableHash: Boolean = false): DataFrame = {
     val chunks = maxDistance + 1
     val bitsPer = 64 / chunks
     // 16 bytes/doc — trivially cacheable at any scale; avoids running the
     // 64-sum hash aggregate once per self-join side
-    val hashed = simhash(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
-    val keyed = hashed.select(col("doc_id"), col("simhash"),
+    val hashed = simhash(docs, idCol, textCol, portableHash).persist(StorageLevel.MEMORY_AND_DISK)
+    val keyed0 = hashed.select(col("doc_id"), col("simhash"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),
           shiftright(col("simhash"), c * bitsPer)
             .bitwiseAND((1L << bitsPer) - 1).as("bits"))
       }: _*)).as("key"))
+    val keyed = maxBucketSize match {
+      case Some(bcap) =>
+        val sizes = keyed0.groupBy("key").agg(count(lit(1)).as("bs")).filter(col("bs") <= bcap)
+        keyed0.join(sizes.select("key"), Seq("key"))
+      case None => keyed0
+    }
     val a = keyed.select(col("key"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val b = keyed.select(col("key"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("key"))

@@ -56,6 +56,34 @@ class ScaleSpec extends SparkSpec {
     assert(q.select("v").head().getLong(0) == 3L)
   }
 
+  test("ngramJaccardPairs: stop-shingle cap bounds fan-out on a corpus-wide shingle") {
+    // every doc shares ONE hot shingle ("common hot shingle"); the rest are
+    // unique — the round-2 verdict's quadratic-fan-out scenario
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"common hot shingle unique$i tail$i word$i end$i")).toDF("doc_id", "text")
+    val capped = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.1, maxShingleDocFreq = Some(50))
+    // all cross-doc overlap is the hot shingle → dropped → zero pairs
+    assert(capped.count() == 0)
+    // without the cap the single hot join key fans out to every pair
+    val uncapped = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.1, maxShingleDocFreq = None)
+    assert(uncapped.count() == 300L * 299 / 2)
+  }
+
+  test("minhash/simhash pair miners: mega-bucket cap drops identical-content buckets") {
+    // 60 byte-identical docs: every LSH band bucket / simhash chunk bucket
+    // holds all of them — exactly the cluster that belongs to exactByContent
+    val docs = (1 to 60).map(i =>
+      (i.toLong, "all these documents carry exactly the same text payload")).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      maxBucketSize = Some(10)).count() == 0)
+    assert(graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      maxBucketSize = None).count() == 60L * 59 / 2)
+    assert(graft.ops.Dedup.simhashPairs(docs, "doc_id", "text",
+      maxBucketSize = Some(10)).count() == 0)
+  }
+
   test("bucketed tables: co-located join plans without a shuffle exchange") {
     val wh = tmpDir("warehouse")
     val db = "bucketdemo" // database LOCATION keeps table files in the temp dir

@@ -110,6 +110,35 @@ class OpsSpec extends SparkSpec {
     assert(p14.length == 1 && p14.head.getInt(2) == 0)
   }
 
+  test("Dedup.simhash portable hash matches xxhash semantics: dups collide, pairs at distance 0") {
+    val h = Dedup.simhash(docs, "doc_id", "text", portableHash = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(4L)) // identical text → identical portable fingerprint
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDistance = 3, portableHash = true)
+    val p14 = pairs.filter(col("id_a") === 1 && col("id_b") === 4).collect()
+    assert(p14.length == 1 && p14.head.getInt(2) == 0)
+  }
+
+  test("Ann.ivfBuild/ivfSearch: build once, search repeatedly; exhaustive probe equals brute force") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 60L).map { i =>
+      val center = if (i <= 30) 5.0 else -5.0
+      (i, Seq.fill(8)(center + rnd.nextGaussian() * 0.3))
+    }
+    val emb = rows.toDF("id", "v")
+    val index = Ann.ivfBuild(emb, "id", "v", nlist = 4)
+    index.assigned.persist()
+    try {
+      def q(id: Long) = emb.filter(col("id") === id).select(col("id").as("qid"), col("v").as("qv"))
+      // two searches over ONE build; nprobe = nlist ⇒ must equal brute force
+      for (qid <- Seq(1L, 40L)) {
+        val ivf = Ann.ivfSearch(index, q(qid), "qid", "qv", k = 5, nprobe = 4).collect()
+        val brute = Ann.bruteTopK(emb, "id", "v", q(qid), "qid", "qv", k = 5).collect()
+        assert(ivf.map(_.getLong(2)).toSeq == brute.map(_.getLong(2)).toSeq)
+      }
+    } finally index.assigned.unpersist()
+  }
+
   test("Ann: bruteTopK ranks self-match first with cosine 1.0") {
     val emb = Seq(
       (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.9, 0.1, 0.0)),
