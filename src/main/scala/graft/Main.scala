@@ -1,14 +1,18 @@
 package graft
 
-import graft.run.{LoggingTracker, Runner}
+import graft.run.{LoggingTracker, Runner, Server}
 
-/** CLI entry point: run a declarative pipeline file locally.
+/** CLI entry point: run a declarative pipeline file locally, or serve the
+  * remote-execution endpoint.
   *
   * Usage mirrors the reference CLI's local mode
-  * (aqueducts-cli/src/main.rs:122-144 → local_exec.rs:7-25):
+  * (aqueducts-cli/src/main.rs:122-144 → local_exec.rs:7-25) and the
+  * executor's serve mode (aqueducts-executor/src/main.rs:20-45, default
+  * port 3031):
   *
   * {{{
   *   graft.Main run -f pipeline.yml -p key=value -p key2=value2
+  *   graft.Main serve --port 3031 --api-key SECRET
   * }}}
   */
 object Main {
@@ -18,12 +22,23 @@ object Main {
     parsed match {
       case Left(err) =>
         System.err.println(err)
-        System.err.println("usage: run -f <pipeline.{yml|yaml|json}> [-p key=value ...]")
+        System.err.println(
+          """usage: run -f <pipeline.{yml|yaml|json}> [-p key=value ...] [--validate-only]
+            |       serve [--port N] [--api-key KEY]""".stripMargin)
         sys.exit(2)
+      case Right(cli) if cli.mode == "serve" =>
+        val spark = Sessions.local()
+        functions.JsonUdfs.register(spark) // reference-named UDFs available in stage SQL
+        val server = new Server(spark, cli.port, cli.apiKey)
+        System.err.println(s"[graft] executor listening on port ${server.boundPort}" +
+          cli.apiKey.map(_ => " (API key required)").getOrElse(""))
+        // serve until the process is killed; the accept loop runs on daemon
+        // threads, so the main thread must block
+        Thread.currentThread().join()
       case Right(cli) =>
         val spark = Sessions.local()
         try {
-          functions.JsonUdfs.register(spark) // reference-named UDFs available in stage SQL
+          functions.JsonUdfs.register(spark)
           val path = java.nio.file.Paths.get(cli.file)
           if (cli.validateOnly) {
             // parse config + templating + stage-SQL validation, no execution
@@ -45,14 +60,18 @@ object Main {
   }
 
   private[graft] final case class CliArgs(
+      mode: String = "run",
       file: String = "",
       params: Map[String, String] = Map.empty,
-      validateOnly: Boolean = false)
+      validateOnly: Boolean = false,
+      port: Int = 3031, // reference executor default (main.rs:31)
+      apiKey: Option[String] = None)
 
   private[graft] def parse(args: List[String], acc: CliArgs): Either[String, CliArgs] = args match {
     case Nil =>
-      if (acc.file.isEmpty) Left("missing -f <pipeline file>") else Right(acc)
-    case "run" :: rest => parse(rest, acc)
+      if (acc.mode == "run" && acc.file.isEmpty) Left("missing -f <pipeline file>") else Right(acc)
+    case "run" :: rest => parse(rest, acc.copy(mode = "run"))
+    case "serve" :: rest => parse(rest, acc.copy(mode = "serve"))
     case ("-f" | "--file") :: f :: rest => parse(rest, acc.copy(file = f))
     case ("-p" | "--param") :: kv :: rest =>
       kv.split("=", 2) match {
@@ -60,6 +79,9 @@ object Main {
         case _ => Left(s"malformed param (expected key=value): $kv")
       }
     case "--validate-only" :: rest => parse(rest, acc.copy(validateOnly = true))
+    case "--port" :: p :: rest =>
+      p.toIntOption.toRight(s"malformed port: $p").flatMap(n => parse(rest, acc.copy(port = n)))
+    case "--api-key" :: k :: rest => parse(rest, acc.copy(apiKey = Some(k)))
     case other :: _ => Left(s"unknown argument: $other")
   }
 }
