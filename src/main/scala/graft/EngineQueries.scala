@@ -669,6 +669,59 @@ object EngineQueries {
           |""".stripMargin
       val aq = ConfigParser.fromYaml(yaml, Map("sf_dir" -> dir, "min_qty" -> "30"))
       pipe(s, aq)
+    }),
+
+    // Reference-style JSON operators in stage SQL: `->` / `->>` are
+    // text-rewritten to json_get/json_as_text (SqlRewrite), mirroring the
+    // datafusion-functions-json operator planner the reference registers.
+    "p07_pipeline_json_ops" -> ((s, dir) => {
+      pipe(s, Aqueduct(
+        sources = Seq(FileSource("p7_events", ParquetFormat(),
+          Location(s"$dir/events.parquet"))),
+        stages = Seq(Seq(Stage("p7_result",
+          """SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+             max(props->'k') AS k_json
+             FROM p7_events GROUP BY event_type ORDER BY event_type""")))))
+    }),
+
+    // CSV file source with declared schema through the engine front door
+    // (S2 through the oracle gate): the fixture is generated from
+    // orders.parquet, so DuckDB checks the same rows via parquet.
+    "p08_pipeline_csv" -> ((s, dir) => {
+      val csvDir = tmp("graft-p08").resolve("csv").toString
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
+      val schema = Seq(
+        Types.FieldSpec("o_orderkey", LongType),
+        Types.FieldSpec("o_custkey", LongType),
+        Types.FieldSpec("o_orderstatus", StringType),
+        Types.FieldSpec("o_totalprice", DoubleType))
+      pipe(s, Aqueduct(
+        sources = Seq(FileSource("p8_orders",
+          CsvFormat(hasHeader = true, schema = schema), Location(csvDir))),
+        stages = Seq(Seq(Stage("p8_result",
+          """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             FROM p8_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")))))
+    }),
+
+    // Hive-partitioned directory source with typed partition columns (S5
+    // through the oracle gate); the stage's partition filter prunes at
+    // planning time (plan-asserted in ScaleSpec).
+    "p09_pipeline_dirsource" -> ((s, dir) => {
+      val dirRoot = tmp("graft-p09").resolve("orders_dir").toString
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dirRoot)
+      pipe(s, Aqueduct(
+        sources = Seq(DirSource("p9_orders", ParquetFormat(), Location(dirRoot),
+          partitionColumns = Seq("o_orderstatus" -> StringType))),
+        stages = Seq(Seq(Stage("p9_result",
+          """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             FROM p9_orders WHERE o_orderstatus = 'F' AND o_custkey < 500
+             ORDER BY o_orderkey""")))))
     })
   )
 
@@ -1022,6 +1075,18 @@ object EngineQueries {
          ORDER BY o_orderkey""",
     "p06_pipeline_template" ->
       """SELECT l_returnflag, count(*) AS n FROM lineitem
-         WHERE l_quantity >= 30 GROUP BY l_returnflag ORDER BY l_returnflag"""
+         WHERE l_quantity >= 30 GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "p07_pipeline_json_ops" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+         max(CAST(json_extract(props, '$.k') AS VARCHAR)) AS k_json
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "p08_pipeline_csv" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "p09_pipeline_dirsource" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+         WHERE o_orderstatus = 'F' AND o_custkey < 500 ORDER BY o_orderkey"""
   )
 }

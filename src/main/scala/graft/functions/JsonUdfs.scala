@@ -60,9 +60,21 @@ object JsonUdfs {
         s"unnest_json_array could not parse JSON: ${s.take(40)}")
     }
 
+  /** Register once per session — avoids the "replaced a previously registered
+    * function" log storm when pipelines run repeatedly in one session.
+    */
+  private val registeredSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  def registerOnce(spark: SparkSession): Unit =
+    if (registeredSessions.add(spark)) register(spark)
+
   /** Register the whole pack on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("unnest_json_array", (s: String) => unnestJsonArray(s))
+    // json_get: the `->` operator's function form (SqlRewrite maps X->'k'
+    // here); keeps the JSON form of the extracted node, like the reference
+    spark.udf.register("json_get", (j: String, p: String) =>
+      nav0(j, p).map(_.toString).orNull)
     spark.udf.register("json_get_str", (j: String, p: String) =>
       nav0(j, p).map(n => if (n.isTextual) n.asText() else n.toString).orNull)
     // textual nodes convert only when they parse as the target type —

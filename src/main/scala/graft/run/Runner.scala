@@ -48,6 +48,8 @@ object Runner {
       pipeline: Aqueduct,
       tracker: ProgressTracker = new LoggingTracker): Option[DataFrame] = {
     val t0 = System.nanoTime()
+    // stage SQL may use the reference's JSON pack (incl. ->/->> rewrites)
+    graft.functions.JsonUdfs.registerOnce(spark)
     validate(spark, pipeline)
     tracker.onProgress(ProgressEvent.Started)
 
@@ -109,8 +111,9 @@ object Runner {
             tracker.onProgress(ProgressEvent.StageStarted(stage.name, gi))
             val s0 = System.nanoTime()
             try {
-              SqlGuard.validate(spark, stage.name, stage.query)
-              val df = spark.sql(stage.query)
+              val sql = SqlRewrite.jsonOperators(stage.query)
+              SqlGuard.validate(spark, stage.name, sql)
+              val df = spark.sql(sql)
               val consumers = consumerCount(pipeline, stage, lastStage)
               if (consumers >= 2 || stage.explainAnalyze) {
                 df.persist()
@@ -172,7 +175,8 @@ object Runner {
     val names = pipeline.sources.map(_.name) ++ pipeline.stages.flatten.map(_.name)
     val dup = names.diff(names.distinct).distinct
     if (dup.nonEmpty) throw PipelineError(s"Duplicate source/stage names: ${dup.mkString(", ")}")
-    pipeline.stages.flatten.foreach(s => SqlGuard.validate(spark, s.name, s.query))
+    pipeline.stages.flatten.foreach(s =>
+      SqlGuard.validate(spark, s.name, SqlRewrite.jsonOperators(s.query)))
     if (pipeline.stages.flatten.isEmpty && pipeline.destination.nonEmpty)
       throw PipelineError("A destination requires at least one stage")
   }

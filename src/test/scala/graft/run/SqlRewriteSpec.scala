@@ -1,0 +1,49 @@
+package graft.run
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SqlRewriteSpec extends AnyFunSuite {
+  import SqlRewrite.jsonOperators
+
+  test("-> and ->> rewrite to json_get / json_as_text") {
+    assert(jsonOperators("SELECT props -> 'k' FROM t") ==
+      "SELECT json_get(props, 'k') FROM t")
+    assert(jsonOperators("SELECT props->>'k' FROM t") ==
+      "SELECT json_as_text(props, 'k') FROM t")
+    assert(jsonOperators("SELECT t.props ->> 'a' AS a FROM t") ==
+      "SELECT json_as_text(t.props, 'a') AS a FROM t")
+  }
+
+  test("integer right operand becomes an index path") {
+    assert(jsonOperators("SELECT arr -> 0 FROM t") ==
+      "SELECT json_get(arr, '[0]') FROM t")
+  }
+
+  test("chains resolve left-to-right through the generated call") {
+    assert(jsonOperators("SELECT p->'a'->>'b' FROM t") ==
+      "SELECT json_as_text(json_get(p, 'a'), 'b') FROM t")
+    assert(jsonOperators("SELECT p -> 'a' -> 0 -> 'c' FROM t") ==
+      "SELECT json_get(json_get(json_get(p, 'a'), '[0]'), 'c') FROM t")
+  }
+
+  test("lambdas, literals, and comments are untouched") {
+    val lambda = "SELECT transform(a, x -> x * 2) FROM t"
+    assert(jsonOperators(lambda) == lambda)
+    val lambda2 = "SELECT filter(a, (x, i) -> x > i) FROM t"
+    assert(jsonOperators(lambda2) == lambda2)
+    val inString = "SELECT '-> not an op' AS s, p ->> 'k' FROM t"
+    assert(jsonOperators(inString) == "SELECT '-> not an op' AS s, json_as_text(p, 'k') FROM t")
+    val comment = "SELECT x FROM t -- p -> 'k'"
+    assert(jsonOperators(comment) == comment)
+  }
+
+  test("mixed: lambda and JSON operator in one statement") {
+    assert(jsonOperators("SELECT transform(a, x -> x + 1), p->'k' FROM t") ==
+      "SELECT transform(a, x -> x + 1), json_get(p, 'k') FROM t")
+  }
+
+  test("function-call left operand is wrapped whole") {
+    assert(jsonOperators("SELECT get_json_object(j, '$.a') ->> 'b' FROM t") ==
+      "SELECT json_as_text(get_json_object(j, '$.a'), 'b') FROM t")
+  }
+}
