@@ -102,11 +102,24 @@ object ManagedTable {
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     finally out.close()
     val target = commitPath(root, c.version)
-    if (f.exists(target) || !f.rename(tmp, target)) {
-      f.delete(tmp, false)
+    // Atomic create-exclusive commit. On HDFS-like filesystems rename()
+    // refuses an existing destination, so exists+rename is already
+    // exclusive. On LOCAL filesystems Hadoop delegates to POSIX rename(),
+    // which silently OVERWRITES — an exists() pre-check is a TOCTOU race
+    // that loses commits under contention. There, hard-link creation gives
+    // true O_EXCL semantics: exactly one contender gets the version, the
+    // rest see FileAlreadyExists.
+    val won =
+      if (f.getUri.getScheme == "file") {
+        val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+        val targetNio = java.nio.file.Paths.get(target.toUri.getPath)
+        try { java.nio.file.Files.createLink(targetNio, tmpNio); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else !f.exists(target) && f.rename(tmp, target)
+    f.delete(tmp, false) // tmp is spent either way (the link carries the data)
+    if (!won)
       throw new IllegalStateException(
-        s"Concurrent commit detected for version ${c.version} at $root (single-writer table)")
-    }
+        s"Concurrent commit detected for version ${c.version} at $root")
   }
 
   // ----------------------------------------------------------------- read
@@ -174,11 +187,32 @@ object ManagedTable {
 
   // ----------------------------------------------------------------- write
 
+  /** Append with bounded retry-with-rebase: an append only ADDS files, so a
+    * lost commit race (another writer took the version) is resolved by
+    * re-reading the new latest commit, re-attaching this append's (already
+    * written, uniquely named) data files, and retrying the manifest write.
+    * Schema and partitioning are fixed at create time, so a rebase cannot
+    * invalidate the written files. Upsert/replace stay single-writer: their
+    * read-modify-write depends on the exact base snapshot.
+    */
   def append(spark: SparkSession, loc: Location, df: DataFrame): Long = {
-    val last = latest(spark, loc)
-    val data = castToSchema(df, tableSchema(last))
-    val newFiles = writeDataFiles(spark, loc, data, last.partitionColumns)
-    commitNext(spark, loc, last, "append", last.files ++ newFiles)
+    val first = latest(spark, loc)
+    val data = castToSchema(df, tableSchema(first))
+    val newFiles = writeDataFiles(spark, loc, data, first.partitionColumns)
+    val maxRetries = 5
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val cur = latest(spark, loc)
+      try committed = commitNext(spark, loc, cur, "append", cur.files ++ newFiles)
+      catch {
+        case e: IllegalStateException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+          Thread.sleep(5L << attempt) // backoff so contending writers interleave
+      }
+    }
+    committed
   }
 
   /** MERGE: rows whose key columns match (null-safe scalars, set-equal lists)

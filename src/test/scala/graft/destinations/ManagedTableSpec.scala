@@ -47,6 +47,27 @@ class ManagedTableSpec extends SparkSpec {
     assert(rows(0).isNullAt(2) && rows(2).getDouble(2) == 3.5)
   }
 
+  test("concurrent appends: losers rebase and retry, no rows or files lost") {
+    val loc = newTable("mt-race")
+    val writers = 6
+    implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
+    val futures = (1 to writers).map { w =>
+      scala.concurrent.Future {
+        ManagedTable.append(spark, loc,
+          Seq((w.toLong, s"writer$w", w * 1.0)).toDF("id", "name", "value"))
+      }
+    }
+    import scala.concurrent.duration._
+    scala.concurrent.Await.result(scala.concurrent.Future.sequence(futures), 120.seconds)
+    // every writer committed exactly one version beyond the create
+    assert(ManagedTable.commits(spark, loc).map(_.version) == (0L to writers.toLong))
+    val ids = ManagedTable.read(spark, loc).select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (1L to writers.toLong)) // no lost appends, no duplicates
+    // the final manifest carries every earlier version's files
+    val commits = ManagedTable.commits(spark, loc)
+    assert(commits.init.forall(c => c.files.toSet.subsetOf(commits.last.files.toSet)))
+  }
+
   test("append fails when a non-nullable column is missing") {
     val loc = newTable("mt-nonnull")
     assertThrows[IllegalArgumentException](
