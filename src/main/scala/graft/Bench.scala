@@ -17,7 +17,15 @@ object Bench {
 
   private def materialize(spark: SparkSession, sfDir: String,
       name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =
-    try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+    try {
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // pair-mining queries persist signature frames (documented lifecycle:
+      // services clear between corpora); without this, cached blocks pile up
+      // across 60+ queries and later queries pay eviction/GC pressure that
+      // is not theirs — per-query attribution wants per-query isolation
+      spark.catalog.clearCache()
+      None
+    }
     catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}") }
 
   def main(args: Array[String]): Unit = {
@@ -53,7 +61,12 @@ object Bench {
       "q16_topk", "q17_strings", "q18_monthly_revenue", "q19_json_extract",
       "q20_dedup_exact")
     val r1Subset = results.collect { case (k, v) if r1Names(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","r1_subset_sec":$r1Subset,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // same idea one round later: the 62-query round-2 surface = everything
+    // except the queries added in round 3
+    val r3New = Set("q57_ann_lsh_exhaustive", "q58_ann_ivf_reuse",
+      "p07_pipeline_json_ops", "p08_pipeline_csv", "p09_pipeline_dirsource")
+    val r2Subset = results.collect { case (k, v) if !r3New(k) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","r1_subset_sec":$r1Subset,"r2_subset_sec":$r2Subset,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

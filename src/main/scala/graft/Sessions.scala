@@ -22,6 +22,11 @@ object Sessions {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      // default 100 entries: a workload with 60+ distinct queries (or one
+      // long-running service) evicts and re-Janino-compiles whole-stage
+      // codegen classes on every revisit — expensive exactly for the widest
+      // generated methods (multi-aggregate stages)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = {

@@ -22,13 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cosine similarity of two float-array columns (expression, no UDF). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
-    def norm(x: Column): Column = sqrt(dot(x, x))
-    dot(a, b) / (norm(a) * norm(b))
-  }
+  /** Dot product of two array columns (expression, no UDF). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm of an array column. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two float-array columns (expression, no UDF).
+    *
+    * In the pair-mining / top-k operators below the norms are hoisted into
+    * per-vector columns computed once at scan time — higher-order-function
+    * lambdas are interpreted, so evaluating norm(a)·norm(b) per PAIR would
+    * triple the dominant cost. The per-pair arithmetic (dot / (na·nb)) is
+    * kept bit-identical to this definition.
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k neighbours per query vector.
     *
@@ -43,8 +52,10 @@ object Ann {
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val joined = corpus.select(col(corpusId).as("item_id"), col(corpusVec).as("cv"))
-      .crossJoin(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))))
-      .withColumn("cos", cosine(col("cv"), col("qv")))
+      .withColumn("cnrm", norm(col("cv"))) // norm once per vector, not per pair
+      .crossJoin(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+        .withColumn("qnrm", norm(col("qv")))))
+      .withColumn("cos", dot(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
     joined
       .withColumn("rank", row_number().over(w))
@@ -90,23 +101,28 @@ object Ann {
     // persisted: both self-join sides read this frame and differ only by
     // alias, so without it the m-hyperplane signature pass runs twice
     val sigd = corpus.select(col(id).as("vid"), col(vec).as("v"),
+      norm(col(vec)).as("nrm"), // norm once per vector, not per candidate pair
       signature(col(vec), planes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val masks = probeMasks(m, probeDistance)
-    val okBuckets = maxBucketSize.map { bcap =>
+    // hot-bucket cut via anti-join against the (small) oversize set — an
+    // inner join with the full allowed set would shuffle everything instead;
+    // skipped when the whole corpus fits under the cap
+    val hot = maxBucketSize.filter(_ < corpus.select(id).count()).map { bcap =>
       sigd.groupBy(col("sig").as("bucket")).agg(count(lit(1)).as("bs"))
-        .filter(col("bs") <= bcap).select("bucket")
+        .filter(col("bs") > bcap).select("bucket")
     }
     def capped(df: DataFrame): DataFrame =
-      okBuckets.map(ok => df.join(ok, Seq("bucket"))).getOrElse(df)
+      hot.map(h => df.join(broadcast(h), Seq("bucket"), "left_anti")).getOrElse(df)
     val a = capped(sigd
       .withColumn("bucket", explode(array(masks.map(mk => col("sig").bitwiseXOR(lit(mk))): _*)))
-      .select(col("bucket"), col("vid").as("id_a"), col("v").as("va")))
-    val b = capped(sigd.select(col("sig").as("bucket"), col("vid").as("id_b"), col("v").as("vb")))
+      .select(col("bucket"), col("vid").as("id_a"), col("v").as("va"), col("nrm").as("na")))
+    val b = capped(sigd.select(col("sig").as("bucket"), col("vid").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb")))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
@@ -187,9 +203,11 @@ object Ann {
     val probed = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"),
         explode(slice(array_sort(array(centroidScores(col(queryVec), index.centroids): _*)),
           1, nprobe0)).as("probe"))
-      .select(col("query_id"), col("qv"), col("probe").getField("cell").as("cell"))
-    val candidates = index.assigned.join(broadcast(probed), Seq("cell"))
-      .withColumn("cos", cosine(col("cv"), col("qv")))
+      .withColumn("qnrm", norm(col("qv")))
+      .select(col("query_id"), col("qv"), col("qnrm"), col("probe").getField("cell").as("cell"))
+    val candidates = index.assigned.withColumn("cnrm", norm(col("cv")))
+      .join(broadcast(probed), Seq("cell"))
+      .withColumn("cos", dot(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
     candidates
       .withColumn("rank", row_number().over(w))
@@ -225,16 +243,18 @@ object Ann {
 
     val bucketed = corpus.select(
       col(corpusId).as("item_id"), col(corpusVec).as("cv"),
+      norm(col(corpusVec)).as("cnrm"),
       signature(col(corpusVec), planes).as("bucket"))
 
     val masks = probeMasks(m, probeDistance)
     val probed = queries.select(
         col(queryId).as("query_id"), col(queryVec).as("qv"),
+        norm(col(queryVec)).as("qnrm"),
         signature(col(queryVec), planes).as("qsig"))
       .withColumn("bucket", explode(array(masks.map(mk => col("qsig").bitwiseXOR(lit(mk))): _*)))
 
     val candidates = bucketed.join(broadcast(probed), Seq("bucket"))
-      .withColumn("cos", cosine(col("cv"), col("qv")))
+      .withColumn("cos", dot(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
     candidates
       .withColumn("rank", row_number().over(w))

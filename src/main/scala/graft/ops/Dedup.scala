@@ -93,17 +93,23 @@ object Dedup {
     val inverted0 = shingled
       .select(col("doc_id"), col("n_shingles"), explode(col("shingles")).as("shingle"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cap: Option[Long] = maxShingleDocFreq.map {
-      case AutoCap => math.max(1000L, docs.select(idCol).count() / 1000L)
-      case c => c.toLong
-    }
-    val inverted = cap match {
-      case Some(c) =>
-        // stop-shingle cut: bound join fan-out on pathological shared shingles
-        val freq = inverted0.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= c)
-        inverted0.join(freq.select("shingle"), "shingle")
+    val inverted = maxShingleDocFreq match {
       case None => inverted0
+      case Some(spec) =>
+        val ndocs = docs.select(idCol).count()
+        val c = if (spec == AutoCap) math.max(1000L, ndocs / 1000L) else spec.toLong
+        if (ndocs <= c) inverted0 // df ≤ ndocs ≤ cap ⇒ the cut is provably empty
+        else {
+          // stop-shingle cut: bound join fan-out on pathological shared
+          // shingles. Anti-join against the HOT set (shingles over the
+          // cap) — small by construction (≤ occurrences/cap), so this is a
+          // broadcast anti-join, not a shuffle against the full vocabulary;
+          // the freq aggregate is map-side-combined, so the hot key itself
+          // cannot skew it.
+          val hot = inverted0.groupBy("shingle").agg(count(lit(1)).as("df"))
+            .filter(col("df") > c).select("shingle")
+          inverted0.join(broadcast(hot), Seq("shingle"), "left_anti")
+        }
     }
 
     val a = inverted.select(
@@ -188,13 +194,15 @@ object Dedup {
       .select(col("doc_id"), col("shingles"), explode(array(bandCols: _*)).as("bucket"))
       .select(col("doc_id"), col("shingles"),
         col("bucket").getField("band").as("band"), col("bucket").getField("sig").as("sig"))
-    val buckets = maxBucketSize match {
+    // mega-bucket cut (skipped when the whole corpus fits under the cap —
+    // bucket membership is bounded by ndocs): the membership count re-reads
+    // the persisted signature frame, and the oversize set is small by
+    // construction → broadcast anti-join
+    val buckets = maxBucketSize.filter(_ < docs.select(idCol).count()) match {
       case Some(bcap) =>
-        // mega-bucket cut: the membership count re-reads the persisted
-        // signature frame, so this is one extra hash aggregate, not a rescan
-        val sizes = buckets0.groupBy("band", "sig").agg(count(lit(1)).as("bs"))
-          .filter(col("bs") <= bcap)
-        buckets0.join(sizes.select("band", "sig"), Seq("band", "sig"))
+        val hot = buckets0.groupBy("band", "sig").agg(count(lit(1)).as("bs"))
+          .filter(col("bs") > bcap).select("band", "sig")
+        buckets0.join(broadcast(hot), Seq("band", "sig"), "left_anti")
       case None => buckets0
     }
 
@@ -277,10 +285,11 @@ object Dedup {
           shiftright(col("simhash"), c * bitsPer)
             .bitwiseAND((1L << bitsPer) - 1).as("bits"))
       }: _*)).as("key"))
-    val keyed = maxBucketSize match {
+    val keyed = maxBucketSize.filter(_ < docs.select(idCol).count()) match {
       case Some(bcap) =>
-        val sizes = keyed0.groupBy("key").agg(count(lit(1)).as("bs")).filter(col("bs") <= bcap)
-        keyed0.join(sizes.select("key"), Seq("key"))
+        val hot = keyed0.groupBy("key").agg(count(lit(1)).as("bs"))
+          .filter(col("bs") > bcap).select("key")
+        keyed0.join(broadcast(hot), Seq("key"), "left_anti")
       case None => keyed0
     }
     val a = keyed.select(col("key"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
