@@ -12,6 +12,7 @@ import graft.run.{LoggingTracker, Runner, Server}
   *
   * {{{
   *   graft.Main run -f pipeline.yml -p key=value -p key2=value2
+  *   graft.Main run -f pipeline.yml --executor host:3031 --api-key SECRET
   *   graft.Main serve --port 3031 --api-key SECRET
   * }}}
   */
@@ -24,8 +25,18 @@ object Main {
         System.err.println(err)
         System.err.println(
           """usage: run -f <pipeline.{yml|yaml|json}> [-p key=value ...] [--validate-only]
+            |           [--executor host:port] [--api-key KEY]
             |       serve [--port N] [--api-key KEY]""".stripMargin)
         sys.exit(2)
+      case Right(cli) if cli.mode == "run" && cli.executor.nonEmpty =>
+        // remote execution: no local SparkSession, just the wire client
+        val (host, port) = cli.executor.get.split(":", 2) match {
+          case Array(h, p) => (h, p.toInt)
+          case Array(h) => (h, 3031)
+        }
+        val ok = run.RemoteClient.runRemote(
+          java.nio.file.Paths.get(cli.file), cli.params, host, port, cli.apiKey)
+        if (!ok) sys.exit(1)
       case Right(cli) if cli.mode == "serve" =>
         val spark = Sessions.local()
         functions.JsonUdfs.register(spark) // reference-named UDFs available in stage SQL
@@ -65,7 +76,8 @@ object Main {
       params: Map[String, String] = Map.empty,
       validateOnly: Boolean = false,
       port: Int = 3031, // reference executor default (main.rs:31)
-      apiKey: Option[String] = None)
+      apiKey: Option[String] = None,
+      executor: Option[String] = None)
 
   private[graft] def parse(args: List[String], acc: CliArgs): Either[String, CliArgs] = args match {
     case Nil =>
@@ -82,6 +94,7 @@ object Main {
     case "--port" :: p :: rest =>
       p.toIntOption.toRight(s"malformed port: $p").flatMap(n => parse(rest, acc.copy(port = n)))
     case "--api-key" :: k :: rest => parse(rest, acc.copy(apiKey = Some(k)))
+    case "--executor" :: url :: rest => parse(rest, acc.copy(executor = Some(url)))
     case other :: _ => Left(s"unknown argument: $other")
   }
 }

@@ -131,6 +131,36 @@ class ServerSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("RemoteClient round trip: submit, stream progress, succeed; cancel path errors") {
+    spark.udf.register("graft_rc_sleep", (x: Long) => { Thread.sleep(8); x })
+    val server = new Server(spark, apiKey = Some("rckey"))
+    try {
+      val csv = writeFixtureCsv(tmpDir("srv-client"))
+      val progress = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      val h1 = RemoteClient.submit("127.0.0.1", server.boundPort,
+        yamlOf(csv, "rc1", "SELECT count(*) AS n FROM rc1_src"), Some("rckey"), {
+          case Protocol.ProgressUpdate(_, pct, _) => progress.add(pct)
+          case _ => ()
+        })
+      assert(h1.result(120) == Right(()))
+      assert(!progress.isEmpty && progress.toArray.last == 100)
+      h1.close()
+
+      // occupy the worker, then cancel a queued submission from the client
+      val slow = RemoteClient.submit("127.0.0.1", server.boundPort,
+        yamlOf(csv, "rcslow",
+          "SELECT sum(graft_rc_sleep(CAST(id AS BIGINT) + s)) AS n FROM rcslow_src LATERAL VIEW explode(sequence(1, 40)) t AS s"),
+        Some("rckey"))
+      val queued = RemoteClient.submit("127.0.0.1", server.boundPort,
+        yamlOf(csv, "rcq", "SELECT count(*) AS n FROM rcq_src"), Some("rckey"))
+      queued.cancel()
+      val cancelled = queued.result(120)
+      assert(cancelled.isLeft && cancelled.left.exists(_.contains("cancelled")), cancelled)
+      assert(slow.result(120) == Right(()))
+      slow.close(); queued.close()
+    } finally server.close()
+  }
+
   test("malformed pipeline and malformed message produce execution_error, server keeps serving") {
     val server = new Server(spark)
     try {
