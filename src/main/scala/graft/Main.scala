@@ -37,6 +37,9 @@ object Main {
         val ok = run.RemoteClient.runRemote(
           java.nio.file.Paths.get(cli.file), cli.params, host, port, cli.apiKey)
         if (!ok) sys.exit(1)
+      case Right(cli) if cli.mode == "schema" =>
+        // JSON Schema for pipeline configs (reference schema_gen equivalent)
+        println(config.SchemaGen.schemaJson)
       case Right(cli) if cli.mode == "serve" =>
         val spark = Sessions.local()
         functions.JsonUdfs.register(spark) // reference-named UDFs available in stage SQL
@@ -84,6 +87,7 @@ object Main {
       if (acc.mode == "run" && acc.file.isEmpty) Left("missing -f <pipeline file>") else Right(acc)
     case "run" :: rest => parse(rest, acc.copy(mode = "run"))
     case "serve" :: rest => parse(rest, acc.copy(mode = "serve"))
+    case "schema" :: rest => parse(rest, acc.copy(mode = "schema"))
     case ("-f" | "--file") :: f :: rest => parse(rest, acc.copy(file = f))
     case ("-p" | "--param") :: kv :: rest =>
       kv.split("=", 2) match {
