@@ -64,6 +64,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("q58: IVF search joins broadcast probes against the cell-assigned corpus") {
+    val p = plan("q58_ann_ivf_reuse")
+    // the probed (query, cell) side is explicitly broadcast: the corpus is
+    // never shuffled for a search, only filtered by the equi-join on cell
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q46: cosine pair mining is an equi-join on the LSH bucket, never all-pairs") {
+    val p = plan("q46_embed_neardup")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q44: as-of join is one shuffle on the key + window, no range-join explosion") {
+    val p = plan("q44_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q49: IN/EXISTS/NOT EXISTS rewrite to semi/anti joins, no per-row subqueries") {
     val p = plan("q49_in_exists")
     assert(p.contains("LeftSemi") || p.contains("Semi"), p)
