@@ -555,6 +555,36 @@ object EngineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Composite document quality score (length sweet-spot, punctuation,
+    // stopword density) — the formula is pure arithmetic over counts, so
+    // DuckDB reproduces it exactly.
+    "q59_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental exact dedup — the ingest-time shape: new docs (id ≥ 250)
+    // anti-joined against the existing corpus's content digests.
+    "q60_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.exactNewOnly(
+          docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250), "text")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental near-dup: fresh docs vs the existing corpus via the
+    // cross-corpus inverted-index join (exact jaccard, hash-checked).
+    "q61_cross_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("text_lc"))
+      Dedup.ngramJaccardAgainst(
+          docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+          "doc_id", "text_lc", n = 3, threshold = 0.5)
+        .orderBy(col("id_in"), col("id_corpus"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1051,6 +1081,48 @@ object EngineQueries {
                                 ORDER BY list_cosine_similarity(cv, qv) DESC, item_id) AS rank
            FROM c CROSS JOIN q) t
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // mirrors Text.qualityScore term by term (same op order for fp identity)
+    "q59_quality_score" ->
+      """WITH s AS (
+           SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS n_tok,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               w -> w IN ('the','and','of','to','in','is','that','for','with','was',
+                          'der','die','und','das','ist','nicht','ein','mit','für','von',
+                          'le','la','les','et','des','est','pour','dans','une','que',
+                          'el','los','de','en','es','por','con','para'))) AS n_stop,
+             greatest(length(text), 1) AS n_chars
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) AS len_score,
+             1.0 - least((CAST(n_punct AS DOUBLE) / n_chars) * 4.0, 1.0) AS punct_score,
+             least((CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 5.0, 1.0) AS stop_score
+           FROM s)
+         SELECT doc_id,
+                round(len_score * 0.4 + punct_score * 0.3 + stop_score * 0.3, 4) AS quality
+         FROM c ORDER BY doc_id""",
+    "q60_incremental_dedup" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE doc_id >= 250
+           AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 250)
+         ORDER BY doc_id""",
+    "q61_cross_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+           FROM w),
+         inv AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh WHERE len(grams) > 0)
+         SELECT id_in, id_corpus, round(CAST(common AS DOUBLE) / u, 6) AS jaccard FROM (
+           SELECT a.doc_id AS id_in, b.doc_id AS id_corpus, count(*) AS common,
+                  a.n + b.n - count(*) AS u
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id >= 250 AND b.doc_id < 250
+           GROUP BY a.doc_id, b.doc_id, a.n, b.n
+           HAVING count(*) * 2 >= a.n + b.n - count(*)) t
+         ORDER BY id_in, id_corpus""",
     "p01_pipeline_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

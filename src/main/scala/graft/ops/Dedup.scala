@@ -48,6 +48,68 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup: rows of `incoming` whose content digest does
+    * not already exist in `corpus` — the ingest-time filter (drop what the
+    * lake already holds) as one anti-join on the digest. At 100 TB the
+    * corpus side reduces to its distinct digests before the join (a 16-byte
+    * column, typically pre-computed/stored); nothing ever pairs row-to-row.
+    */
+  def exactNewOnly(incoming: DataFrame, corpus: DataFrame, textCol: String): DataFrame = {
+    val corpusDigests = corpus.select(md5(col(textCol)).as("_digest")).distinct()
+    incoming.withColumn("_digest", md5(col(textCol)))
+      .join(corpusDigests, Seq("_digest"), "left_anti")
+      .drop("_digest")
+  }
+
+  /** Near-dup pairs BETWEEN two corpora (fresh crawl vs existing lake):
+    * the inverted-index join of [[ngramJaccardPairs]], but across sides —
+    * each emitted pair is (incoming id, corpus id, exact jaccard ≥
+    * threshold). The stop-shingle cap is derived from (and applied to)
+    * both sides' combined posting lists.
+    */
+  def ngramJaccardAgainst(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxShingleDocFreq: Option[Int] = Some(AutoCap)): DataFrame = {
+    def index(df: DataFrame): DataFrame =
+      spread(df)
+        .select(col(idCol).as("doc_id"),
+          graft.functions.WordShingles(col(textCol), n).as("shingles"))
+        .withColumn("n_shingles", size(col("shingles")))
+        .select(col("doc_id"), col("n_shingles"), explode(col("shingles")).as("shingle"))
+    // no persist: each side is scanned exactly once (no alias-only self-join)
+    val left = index(incoming)
+    val right = index(corpus)
+    val capped = maxShingleDocFreq match {
+      case None => (left, right)
+      case Some(spec) =>
+        val ndocs = incoming.select(idCol).count() + corpus.select(idCol).count()
+        val c = if (spec == AutoCap) math.max(1000L, ndocs / 1000L) else spec.toLong
+        if (ndocs <= c) (left, right)
+        else {
+          val hot = left.select("shingle").unionAll(right.select("shingle"))
+            .groupBy("shingle").agg(count(lit(1)).as("df"))
+            .filter(col("df") > c).select("shingle")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          (left.join(broadcast(hot), Seq("shingle"), "left_anti"),
+            right.join(broadcast(hot), Seq("shingle"), "left_anti"))
+        }
+    }
+    val a = capped._1.select(col("shingle"), col("doc_id").as("id_in"), col("n_shingles").as("na"))
+    val b = capped._2.select(col("shingle"), col("doc_id").as("id_corpus"), col("n_shingles").as("nb"))
+    a.join(b, Seq("shingle"))
+      .groupBy(col("id_in"), col("id_corpus"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_in"), col("id_corpus"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Sentinel for `maxShingleDocFreq`: derive the stop-shingle cap from the
     * corpus size as `max(1000, ndocs/1000)` — large enough never to touch a
     * real near-dup signal, small enough that one corpus-wide shingle cannot

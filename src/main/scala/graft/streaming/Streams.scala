@@ -23,6 +23,20 @@ object Streams {
   def fileSource(spark: SparkSession, dir: String, schema: StructType, format: String = "parquet"): DataFrame =
     spark.readStream.format(format).schema(schema).load(dir)
 
+  /** Streaming exact dedup: drop rows whose key was already seen within the
+    * event-time watermark horizon — `dropDuplicatesWithinWatermark`, so the
+    * dedup state is bounded by the watermark instead of growing forever
+    * (the ingest-time shape of Dedup.exactNewOnly: dedupe the stream itself,
+    * then anti-join against the lake's digests in foreachBatch if needed).
+    */
+  def dedupedStream(
+      events: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Tumbling-window event counts + value sums with watermark-bounded state.
     * Late events beyond `watermark` are dropped; completed windows emit once
     * (append mode) — the canonical streaming aggregation shape.

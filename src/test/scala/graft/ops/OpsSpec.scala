@@ -101,6 +101,18 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"LSH recall $recall over ${exactHigh.size} high-sim pairs")
   }
 
+  test("Dedup incremental shapes: exactNewOnly filters known content, ngramJaccardAgainst pairs across corpora") {
+    val corpus = docs.filter(col("doc_id") <= 3)
+    val incoming = docs.filter(col("doc_id") >= 4) // doc 4 = exact dup of 1; doc 5 unique
+    val fresh = Dedup.exactNewOnly(incoming, corpus, "text").collect()
+    assert(fresh.map(_.getLong(0)).toSeq == Seq(5L)) // dup-of-corpus dropped, novel kept
+    val pairs = Dedup.ngramJaccardAgainst(incoming, corpus, "doc_id", "text",
+      n = 3, threshold = 0.5).collect()
+    assert(pairs.exists(r => r.getLong(0) == 4L && r.getLong(1) == 1L && r.getDouble(2) == 1.0))
+    assert(pairs.forall(r => r.getLong(0) >= 4L && r.getLong(1) <= 3L)) // strictly cross-side
+    assert(!pairs.exists(r => r.getLong(1) == 3L)) // unrelated corpus doc never pairs
+  }
+
   test("Dedup.simhash: identical docs hash identically; pairs at distance 0") {
     val h = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -42,6 +42,26 @@ class StreamsSpec extends SparkSpec {
     assert(clicks.head.getDouble(4) == 3.0)
   }
 
+  test("dedupedStream drops in-horizon duplicate keys, state bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "doc_id", "text")
+    val dedup = Streams.dedupedStream(events, "ts", Seq("doc_id"), "1 minute")
+    val q = dedup.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      (ts("2024-01-01 00:00:10"), 1L, "a"),
+      (ts("2024-01-01 00:00:20"), 1L, "a dup"),   // same key within horizon: dropped
+      (ts("2024-01-01 00:00:30"), 2L, "b"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 00:00:40"), 2L, "b dup")) // still within horizon
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_stream").orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(rows.map(_.getString(2)).toSeq == Seq("a", "b")) // first occurrence kept
+  }
+
   test("windowed aggregation in complete mode reflects every on-time event") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
