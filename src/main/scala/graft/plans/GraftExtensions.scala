@@ -20,5 +20,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "word_shingles(text, n) expects a string column and an integer literal")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) =>
+          import org.apache.spark.sql.catalyst.expressions.Cast
+          import org.apache.spark.sql.types.{ArrayType, DoubleType}
+          graft.functions.DotProduct(
+            Cast(a, ArrayType(DoubleType)), Cast(b, ArrayType(DoubleType)))
+        case _ => throw new IllegalArgumentException(
+          "dot_product(a, b) expects two double-array columns")
+      }))
   }
 }
