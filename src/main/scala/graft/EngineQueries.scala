@@ -585,6 +585,21 @@ object EngineQueries {
         .orderBy(col("id_in"), col("id_corpus"))
     }),
 
+    // Interval-containment join (attribution windows): every click paired
+    // with the 1-hour purchase windows containing it — bucketized equi-join
+    // instead of the nested-loop theta join Spark would otherwise plan.
+    "q62_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("w_start"), (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      ops.Joins.intervalJoin(clicks, windows, Seq("user_id"), "ts", "w_start", "w_end")
+        .select(col("event_id"), col("user_id"), col("purchase_id_r").as("purchase_id"))
+        .orderBy(col("event_id"), col("purchase_id"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1123,6 +1138,17 @@ object EngineQueries {
            GROUP BY a.doc_id, b.doc_id, a.n, b.n
            HAVING count(*) * 2 >= a.n + b.n - count(*)) t
          ORDER BY id_in, id_corpus""",
+    "q62_interval_join" ->
+      """WITH clicks AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (
+           SELECT user_id, event_id AS purchase_id, ts AS w_start,
+                  ts + INTERVAL 1 HOUR AS w_end
+           FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, p.purchase_id
+         FROM clicks c JOIN p
+           ON c.user_id = p.user_id AND c.ts >= p.w_start AND c.ts < p.w_end
+         ORDER BY c.event_id, p.purchase_id""",
     "p01_pipeline_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

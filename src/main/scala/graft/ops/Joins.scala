@@ -76,4 +76,55 @@ object Joins {
     matched.select(
       (leftCols.map(col) :+ col("asof_ts")) ++ rightCols.map(c => col(s"$c$suffix")): _*)
   }
+
+  /** Interval (range-containment) join: pair each left row with every right
+    * interval `[startCol, endCol)` of the same `keys` that contains its
+    * `timeCol` — e.g. clicks against attribution windows.
+    *
+    * Spark plans a raw `t >= start AND t < end` predicate as a
+    * broadcast-nested-loop (quadratic per key). Here both sides are mapped
+    * onto fixed time buckets — each interval exploded into the buckets it
+    * overlaps, each left row into its single bucket — so the range predicate
+    * becomes one hash equi-join on (keys, bucket) plus an exact residual
+    * filter. Cost: |L| + Σ interval bucket spans, shuffled once; AQE skew
+    * handling applies. Pick `bucketSeconds` near the typical interval
+    * length (≈1 bucket per interval); intervals spanning more than
+    * `maxIntervalBuckets` buckets fail fast rather than exploding.
+    *
+    * Right columns (except `keys`) are carried with `suffix` appended.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      timeCol: String,
+      startCol: String,
+      endCol: String,
+      bucketSeconds: Long = 3600,
+      suffix: String = "_r",
+      maxIntervalBuckets: Int = 1024): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val w = bucketSeconds * 1000000L // bucket width in microseconds
+    val l = left.withColumn("_gb", floor(unix_micros(col(timeCol)) / w))
+    val renamed = right.columns.foldLeft(right) { (df, c) =>
+      if (keys.contains(c)) df else df.withColumnRenamed(c, s"$c$suffix")
+    }
+    val s0 = col(s"$startCol$suffix")
+    val e0 = col(s"$endCol$suffix")
+    val r = renamed
+      .withColumn("_b0", floor(unix_micros(s0) / w))
+      // end is exclusive: the last overlapped bucket holds end - 1µs
+      .withColumn("_b1", floor((unix_micros(e0) - 1) / w))
+      .filter(col("_b1") >= col("_b0")) // empty/negative intervals match nothing
+      .withColumn("_gb", explode(sequence(col("_b0"),
+        when(col("_b1") - col("_b0") < maxIntervalBuckets, col("_b1"))
+          .otherwise(raise_error(concat(
+            lit(s"intervalJoin: interval spans >= $maxIntervalBuckets buckets of "),
+            lit(s"${bucketSeconds}s — raise bucketSeconds or split the interval"))))
+      )))
+      .drop("_b0", "_b1")
+    l.join(r, keys :+ "_gb")
+      .filter(col(timeCol) >= s0 && col(timeCol) < e0)
+      .drop("_gb")
+  }
 }

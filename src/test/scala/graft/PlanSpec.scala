@@ -78,6 +78,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q62: interval join plans as a hash equi-join on (key, bucket), not a nested loop") {
+    val p = plan("q62_interval_join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q44: as-of join is one shuffle on the key + window, no range-join explosion") {
     val p = plan("q44_asof_join")
     assert(p.contains("Window"), p)

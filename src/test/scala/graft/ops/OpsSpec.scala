@@ -194,6 +194,33 @@ class OpsSpec extends SparkSpec {
     assert(outer.filter(col("name") === "l0").head().isNullAt(3))
   }
 
+  test("Joins.intervalJoin: containment semantics, bucket-boundary crossing, span guard") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = Seq(
+      (1L, 10L, t("2024-01-01 10:30:00")), // inside w1
+      (2L, 10L, t("2024-01-01 11:59:59")), // inside w2 (started 11:30, crosses bucket)
+      (3L, 10L, t("2024-01-01 12:31:00")), // after w2 ended 12:30 → no match
+      (4L, 20L, t("2024-01-01 10:30:00"))  // other user: no windows
+    ).toDF("event_id", "user_id", "ts")
+    val windows = Seq(
+      (10L, 100L, t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00")),
+      (10L, 200L, t("2024-01-01 11:30:00"), t("2024-01-01 12:30:00"))
+    ).toDF("user_id", "win_id", "w_start", "w_end")
+    val joined = Joins.intervalJoin(clicks, windows, Seq("user_id"), "ts", "w_start", "w_end")
+      .select(col("event_id"), col("win_id_r")).orderBy("event_id").collect()
+    assert(joined.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 100L), (2L, 200L)))
+    // end-exclusive: a click exactly at w_end does not match
+    val atEnd = Seq((9L, 10L, t("2024-01-01 11:00:00"))).toDF("event_id", "user_id", "ts")
+    assert(Joins.intervalJoin(atEnd, windows, Seq("user_id"), "ts", "w_start", "w_end").count() == 0)
+    // span guard: a week-long interval at 1s buckets fails fast
+    val wide = Seq((10L, 1L, t("2024-01-01 00:00:00"), t("2024-01-08 00:00:00")))
+      .toDF("user_id", "win_id", "w_start", "w_end")
+    assertThrows[Exception] {
+      Joins.intervalJoin(clicks, wide, Seq("user_id"), "ts", "w_start", "w_end",
+        bucketSeconds = 1, maxIntervalBuckets = 100).count()
+    }
+  }
+
   test("Ann.cosinePairs: LSH candidates + exact filter, no false positives") {
     val rnd = new scala.util.Random(11)
     val base = Seq.fill(16)(rnd.nextGaussian())
