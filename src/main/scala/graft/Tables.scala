@@ -30,19 +30,21 @@ object Tables {
 
   /** Register every table as a temp view (for SQL-surface queries).
     * Cached per (session, dir): repeated calls would otherwise re-read ten
-    * parquet footers per query (round-1 verdict note on q15). Keyed on the
-    * session object itself (identity hashes can collide / be recycled), and
-    * registration happens inside the atomic `compute` so a concurrent first
-    * caller only returns once the views exist.
+    * parquet footers per query (round-1 verdict note on q15). Keyed weakly
+    * on the session object itself (identity hashes can collide / be
+    * recycled; strong keys would pin dead sessions in a long-lived
+    * service), and registration happens inside the lock so a concurrent
+    * first caller only returns once the views exist.
     */
-  private val registered = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  private val registered = new java.util.WeakHashMap[SparkSession, String]()
 
-  def register(spark: SparkSession, dir: String): Unit =
-    registered.compute(spark, (_, prev) => {
-      if (prev != dir) all.foreach { n =>
+  def register(spark: SparkSession, dir: String): Unit = registered.synchronized {
+    if (registered.get(spark) != dir) {
+      all.foreach { n =>
         val p = new java.io.File(s"$dir/$n.parquet")
         if (p.exists()) t(spark, dir, n).createOrReplaceTempView(n)
       }
-      dir
-    })
+      registered.put(spark, dir)
+    }
+  }
 }

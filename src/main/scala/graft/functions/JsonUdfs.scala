@@ -19,7 +19,11 @@ import scala.jdk.CollectionConverters._
   * when unused.
   *
   * Path syntax: plain key (`"a"`), dotted (`"a.b"`), or array index
-  * (`"a[0].b"`), mirroring the reference pack's nested-key access.
+  * (`"a[0].b"`). Documented divergence: the reference pack treats each key
+  * argument literally (a key named `"a.b"` is one key), while this pack
+  * interprets `.`/`[n]` as path navigation — a superset for the common
+  * case, but a JSON object whose key text itself contains `.` or `[` needs
+  * the nested form here.
   */
 object JsonUdfs {
 
@@ -62,9 +66,12 @@ object JsonUdfs {
 
   /** Register once per session — avoids the "replaced a previously registered
     * function" log storm when pipelines run repeatedly in one session.
+    * Weakly keyed: a long-lived service creating per-job sessions must not
+    * pin them here forever.
     */
-  private val registeredSessions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  private val registeredSessions = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
   def registerOnce(spark: SparkSession): Unit =
     if (registeredSessions.add(spark)) register(spark)
 

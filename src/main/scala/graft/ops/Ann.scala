@@ -76,13 +76,12 @@ object Ann {
   }
 
   /** Sign-pattern signature of a vector against the hyperplanes (m bits in a
-    * long, m ≤ 63).
+    * long, m ≤ 63) — native dot products, m per vector, inside codegen.
     */
   private def signature(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val plane = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(vec, plane, (v, h) => v * h), lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      when(dot(vec, plane) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** Embedding-cosine near-duplicate pairs: multi-probe LSH buckets generate
@@ -109,9 +108,11 @@ object Ann {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val masks = probeMasks(m, probeDistance)
     // hot-bucket cut via anti-join against the (small) oversize set — an
-    // inner join with the full allowed set would shuffle everything instead;
-    // skipped when the whole corpus fits under the cap
-    val hot = maxBucketSize.filter(_ < corpus.select(id).count()).map { bcap =>
+    // inner join with the full allowed set would shuffle everything instead.
+    // Built lazily into the plan (the aggregate reads the persisted
+    // signature frame and is empty under the cap): an eager corpus count at
+    // construction time would fire Spark jobs before the query even runs
+    val hot = maxBucketSize.map { bcap =>
       sigd.groupBy(col("sig").as("bucket")).agg(count(lit(1)).as("bs"))
         .filter(col("bs") > bcap).select("bucket")
     }
@@ -166,14 +167,16 @@ object Ann {
     }.toIndexedSeq
   }
 
-  /** Build the IVF index: fit seeded k-means on a bounded sample, assign
-    * every corpus vector to its nearest cell.
+  /** Build the IVF index: fit seeded k-means on a bounded corpus-wide
+    * sample, assign every corpus vector to its nearest cell.
     *
-    * Sampling never sorts the corpus: an optional seeded Bernoulli
-    * `sample()` for spread, then an early-stopping `limit`. Set
-    * `trainFraction ≈ maxTrainVectors / |corpus|` at scale so the sample is
-    * corpus-wide; cell quality converges with a few thousand vectors per
-    * cell, so training on everything would dwarf the search itself.
+    * Sampling never sorts the corpus: a deterministic hash filter on the id
+    * (`trainFraction` of rows, spread across the whole corpus regardless of
+    * data order or partition layout — a bare `limit` would train on a
+    * data-order prefix and bias the centroids) followed by an
+    * early-stopping `limit` cap. Set `trainFraction ≈ maxTrainVectors /
+    * |corpus|` at scale; cell quality converges with a few thousand vectors
+    * per cell, so training on everything would dwarf the search itself.
     */
   def ivfBuild(
       corpus: DataFrame, corpusId: String, corpusVec: String,
@@ -184,15 +187,21 @@ object Ann {
     require(nlist >= 1 && nlist <= 256,
       "nlist beyond 256: the inline centroid argmin expression stops codegen-ing — " +
         "shard the corpus or extend to a broadcast-join argmin")
+    require(trainFraction > 0.0 && trainFraction <= 1.0, "trainFraction must be in (0, 1]")
     val base = corpus.select(col(corpusId).as("item_id"), col(corpusVec).as("cv"))
-    val sampled = if (trainFraction < 1.0) base.sample(false, trainFraction, seed) else base
+    val sampled =
+      if (trainFraction < 1.0)
+        base.filter(pmod(xxhash64(col("item_id"), lit(seed)), lit(1000000L))
+          < lit((trainFraction * 1000000L).toLong))
+      else base
     val train = sampled.limit(maxTrainVectors)
       .select(array_to_vector(col("cv")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
     val centroids = model.clusterCenters.map(_.toArray)
-    val assigned = base.withColumn("cell",
-      least(centroidScores(col("cv"), centroids): _*).getField("cell"))
-    IvfIndex(centroids, assigned)
+    val cell =
+      if (centroids.length == 1) lit(0) // least() needs ≥ 2 args
+      else least(centroidScores(col("cv"), centroids): _*).getField("cell")
+    IvfIndex(centroids, base.withColumn("cell", cell))
   }
 
   /** Search a built IVF index: each query probes its `nprobe` nearest cells
@@ -230,8 +239,8 @@ object Ann {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
-      maxTrainVectors: Int = 65536): DataFrame = {
-    val index = ivfBuild(corpus, corpusId, corpusVec, nlist, seed, maxTrainVectors)
+      maxTrainVectors: Int = 65536, trainFraction: Double = 1.0): DataFrame = {
+    val index = ivfBuild(corpus, corpusId, corpusVec, nlist, seed, maxTrainVectors, trainFraction)
     ivfSearch(index, queries, queryId, queryVec, k, nprobe)
   }
 

@@ -37,6 +37,40 @@ object Dedup {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Resolve the stop-shingle cap: AutoCap derives it from the corpus size
+    * (one cheap count job — unavoidable, the cap IS a function of ndocs)
+    * and skips the cut entirely when doc frequency provably cannot exceed
+    * it; explicit caps apply lazily with no eager job.
+    */
+  private def resolveCap(spec: Option[Int], docs: DataFrame, idCol: String): Option[Long] =
+    spec.flatMap {
+      case AutoCap =>
+        val ndocs = docs.select(idCol).count()
+        val c = math.max(1000L, ndocs / 1000L)
+        if (ndocs <= c) None else Some(c) // df ≤ ndocs ≤ cap ⇒ provably empty cut
+      case c => Some(c.toLong)
+    }
+
+  /** Stop-shingle cut over an exploded inverted index (doc_id, n_shingles,
+    * shingle): drop shingles whose doc frequency exceeds `cap` — anti-join
+    * against the HOT set (small by construction, ≤ occurrences/cap; the
+    * freq aggregate is map-side-combined so the hot key cannot skew its own
+    * detection) — then RE-SIZE each doc over the surviving universe, so the
+    * downstream jaccard is the exact jaccard of the capped shingle space
+    * (sizing over the original universe would deflate scores and silently
+    * drop pairs whose true similarity is above threshold).
+    */
+  private def stopShingleCut(inverted: DataFrame, cap: Long): DataFrame = {
+    val hot = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("shingle")
+      .persist(StorageLevel.MEMORY_AND_DISK) // two consumers below
+    val cut = inverted.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sizes = cut.groupBy("doc_id").agg(count(lit(1)).as("n_eff"))
+    cut.drop("n_shingles")
+      .join(sizes, Seq("doc_id"))
+      .withColumnRenamed("n_eff", "n_shingles")
+  }
+
   /** Exact duplicate groups by key columns (hash-shuffle groupBy). */
   def exactGroups(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
     df.groupBy(keys.map(col): _*)
@@ -81,26 +115,36 @@ object Dedup {
           graft.functions.WordShingles(col(textCol), n).as("shingles"))
         .withColumn("n_shingles", size(col("shingles")))
         .select(col("doc_id"), col("n_shingles"), explode(col("shingles")).as("shingle"))
-    // no persist: each side is scanned exactly once (no alias-only self-join)
-    val left = index(incoming)
-    val right = index(corpus)
-    val capped = maxShingleDocFreq match {
-      case None => (left, right)
-      case Some(spec) =>
+    val capSpec = maxShingleDocFreq.flatMap {
+      case AutoCap =>
         val ndocs = incoming.select(idCol).count() + corpus.select(idCol).count()
-        val c = if (spec == AutoCap) math.max(1000L, ndocs / 1000L) else spec.toLong
-        if (ndocs <= c) (left, right)
-        else {
-          val hot = left.select("shingle").unionAll(right.select("shingle"))
-            .groupBy("shingle").agg(count(lit(1)).as("df"))
-            .filter(col("df") > c).select("shingle")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          (left.join(broadcast(hot), Seq("shingle"), "left_anti"),
-            right.join(broadcast(hot), Seq("shingle"), "left_anti"))
-        }
+        val c = math.max(1000L, ndocs / 1000L)
+        if (ndocs <= c) None else Some(c)
+      case c => Some(c.toLong)
     }
-    val a = capped._1.select(col("shingle"), col("doc_id").as("id_in"), col("n_shingles").as("na"))
-    val b = capped._2.select(col("shingle"), col("doc_id").as("id_corpus"), col("n_shingles").as("nb"))
+    val (left, right) = capSpec match {
+      // no cut ⇒ no persist: each side is scanned exactly once
+      case None => (index(incoming), index(corpus))
+      case Some(c) =>
+        // the hot aggregate AND the cut both read each side: persist the
+        // exploded indexes or the shingling pass runs twice per side —
+        // exactly at the scale where the cap matters
+        val l0 = index(incoming).persist(StorageLevel.MEMORY_AND_DISK)
+        val r0 = index(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+        val hot = l0.select("shingle").unionAll(r0.select("shingle"))
+          .groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > c).select("shingle")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        def cut(df: DataFrame): DataFrame = {
+          val kept = df.join(broadcast(hot), Seq("shingle"), "left_anti")
+          val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_eff"))
+          kept.drop("n_shingles").join(sizes, Seq("doc_id"))
+            .withColumnRenamed("n_eff", "n_shingles")
+        }
+        (cut(l0), cut(r0))
+    }
+    val a = left.select(col("shingle"), col("doc_id").as("id_in"), col("n_shingles").as("na"))
+    val b = right.select(col("shingle"), col("doc_id").as("id_corpus"), col("n_shingles").as("nb"))
     a.join(b, Seq("shingle"))
       .groupBy(col("id_in"), col("id_corpus"), col("na"), col("nb"))
       .agg(count(lit(1)).as("common"))
@@ -127,8 +171,10 @@ object Dedup {
     *
     * The stop-shingle cap is ON by default ([[AutoCap]]): shingles shared by
     * more than the cap's doc count are dropped from the index before the
-    * self-join. Pairs whose overlap is exclusively stop-shingles are lost —
-    * the standard trade; at 100 TB an uncapped hot shingle is an N² join key.
+    * self-join, and doc sizes are re-computed over the surviving universe —
+    * so the emitted jaccard is the EXACT jaccard of the capped shingle
+    * space. Pairs whose overlap is exclusively stop-shingles are lost — the
+    * standard trade; at 100 TB an uncapped hot shingle is an N² join key.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -155,23 +201,9 @@ object Dedup {
     val inverted0 = shingled
       .select(col("doc_id"), col("n_shingles"), explode(col("shingles")).as("shingle"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val inverted = maxShingleDocFreq match {
+    val inverted = resolveCap(maxShingleDocFreq, docs, idCol) match {
       case None => inverted0
-      case Some(spec) =>
-        val ndocs = docs.select(idCol).count()
-        val c = if (spec == AutoCap) math.max(1000L, ndocs / 1000L) else spec.toLong
-        if (ndocs <= c) inverted0 // df ≤ ndocs ≤ cap ⇒ the cut is provably empty
-        else {
-          // stop-shingle cut: bound join fan-out on pathological shared
-          // shingles. Anti-join against the HOT set (shingles over the
-          // cap) — small by construction (≤ occurrences/cap), so this is a
-          // broadcast anti-join, not a shuffle against the full vocabulary;
-          // the freq aggregate is map-side-combined, so the hot key itself
-          // cannot skew it.
-          val hot = inverted0.groupBy("shingle").agg(count(lit(1)).as("df"))
-            .filter(col("df") > c).select("shingle")
-          inverted0.join(broadcast(hot), Seq("shingle"), "left_anti")
-        }
+      case Some(c) => stopShingleCut(inverted0, c)
     }
 
     val a = inverted.select(
@@ -256,11 +288,11 @@ object Dedup {
       .select(col("doc_id"), col("shingles"), explode(array(bandCols: _*)).as("bucket"))
       .select(col("doc_id"), col("shingles"),
         col("bucket").getField("band").as("band"), col("bucket").getField("sig").as("sig"))
-    // mega-bucket cut (skipped when the whole corpus fits under the cap —
-    // bucket membership is bounded by ndocs): the membership count re-reads
-    // the persisted signature frame, and the oversize set is small by
-    // construction → broadcast anti-join
-    val buckets = maxBucketSize.filter(_ < docs.select(idCol).count()) match {
+    // mega-bucket cut, built lazily into the plan (no eager count job at
+    // construction time): the membership aggregate re-reads the persisted
+    // signature frame and is empty under the cap; the oversize set is small
+    // by construction → broadcast anti-join
+    val buckets = maxBucketSize match {
       case Some(bcap) =>
         val hot = buckets0.groupBy("band", "sig").agg(count(lit(1)).as("bs"))
           .filter(col("bs") > bcap).select("band", "sig")
@@ -347,7 +379,7 @@ object Dedup {
           shiftright(col("simhash"), c * bitsPer)
             .bitwiseAND((1L << bitsPer) - 1).as("bits"))
       }: _*)).as("key"))
-    val keyed = maxBucketSize.filter(_ < docs.select(idCol).count()) match {
+    val keyed = maxBucketSize match {
       case Some(bcap) =>
         val hot = keyed0.groupBy("key").agg(count(lit(1)).as("bs"))
           .filter(col("bs") > bcap).select("key")

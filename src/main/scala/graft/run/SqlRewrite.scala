@@ -78,10 +78,16 @@ object SqlRewrite {
     if (r >= s.length) return None
     val (rhsPath, rhsEnd) =
       if (s(r) == '\'') {
+        // scan to the closing quote, treating '' as an escaped quote
         var e = r + 1
-        while (e < s.length && s(e) != '\'') e += 1
-        if (e >= s.length) return None
-        (s.substring(r, e + 1), e + 1)
+        var closed = -1
+        while (closed < 0 && e < s.length) {
+          if (s(e) == '\'') {
+            if (e + 1 < s.length && s(e + 1) == '\'') e += 2 else { closed = e; }
+          } else e += 1
+        }
+        if (closed < 0) return None
+        (s.substring(r, closed + 1), closed + 1)
       } else if (s(r).isDigit) {
         var e = r
         while (e < s.length && s(e).isDigit) e += 1

@@ -51,12 +51,21 @@ object ObjectStores {
 
   // Values this engine has applied, per SparkContext: re-configuring the same
   // (possibly bucket-scoped) key with a DIFFERENT value is a config error,
-  // not a race to be lost by whichever scan executes last.
-  private val applied =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), String]()
+  // not a race to be lost by whichever scan executes last. Weak outer keys:
+  // stopped contexts must not be pinned forever in a long-lived service.
+  private val applied = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
 
   private def checkNoConflict(spark: SparkSession, key: String, value: String): Unit = {
-    val prev = applied.put((spark.sparkContext, key), value)
+    val perCtx = applied.synchronized {
+      applied.computeIfAbsent(spark.sparkContext,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+    }
+    // record only the WINNING value: writing the conflicting one first would
+    // let an immediate retry of the same pipeline slip past the guard and
+    // silently flip the global conf
+    val prev = perCtx.putIfAbsent(key, value)
     if (prev != null && prev != value)
       throw new IllegalArgumentException(
         s"Conflicting storage_config for '$key': a previous source/destination set a different " +

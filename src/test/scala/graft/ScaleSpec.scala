@@ -71,6 +71,21 @@ class ScaleSpec extends SparkSpec {
     assert(uncapped.count() == 300L * 299 / 2)
   }
 
+  test("stop-shingle cut re-sizes docs: near-dups survive with exact capped-universe jaccard") {
+    // each pair (2k, 2k+1) shares its entire non-hot shingle set; ALL docs
+    // share one hot 3-gram. Sizing over the ORIGINAL universe would score
+    // these 4/6 = 0.67 and drop them at 0.9 — the capped-universe jaccard
+    // is exactly 1.0
+    val docs = (0 until 100).map { i =>
+      val k = i / 2
+      (i.toLong, s"hot shared prefix unique$k tail$k word$k end$k")
+    }.toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.9, maxShingleDocFreq = Some(10)).collect()
+    assert(pairs.length == 50, pairs.length)
+    assert(pairs.forall(_.getDouble(2) == 1.0))
+  }
+
   test("minhash/simhash pair miners: mega-bucket cap drops identical-content buckets") {
     // 60 byte-identical docs: every LSH band bucket / simhash chunk bucket
     // holds all of them — exactly the cluster that belongs to exactByContent

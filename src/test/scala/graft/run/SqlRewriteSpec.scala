@@ -42,6 +42,11 @@ class SqlRewriteSpec extends AnyFunSuite {
       "SELECT transform(a, x -> x + 1), json_get(p, 'k') FROM t")
   }
 
+  test("escaped quotes in the key survive the rewrite") {
+    assert(jsonOperators("SELECT p ->> 'it''s' FROM t") ==
+      "SELECT json_as_text(p, 'it''s') FROM t")
+  }
+
   test("function-call left operand is wrapped whole") {
     assert(jsonOperators("SELECT get_json_object(j, '$.a') ->> 'b' FROM t") ==
       "SELECT json_as_text(get_json_object(j, '$.a'), 'b') FROM t")
