@@ -39,6 +39,36 @@ class PipelineServiceSpec extends SparkSpec {
     } finally svc.close()
   }
 
+  test("RUNNING pipeline cancels promptly via its job group (per-run executor threads)") {
+    spark.udf.register("graft_svc_sleep", (x: Long) => { Thread.sleep(5); x })
+    val svc = new PipelineService(spark)
+    try {
+      // a REAL distributed job: a parquet scan cannot be constant-folded
+      // into a LocalRelation (a literal explode would be, and the sleep UDF
+      // would run inside the optimizer with no job to cancel). ~6000 rows ×
+      // 5ms over local[4] ≈ 7.5s if cancellation failed to land.
+      // explain_analyze forces persist+count INSIDE the stage Future, i.e.
+      // on a Runner pool thread — the exact path the job-group fix covers.
+      val slow = Aqueduct(
+        sources = Seq(FileSource("svc_li", ParquetFormat(),
+          Location("/root/testdata/sf0.001/lineitem.parquet"))),
+        stages = Seq(Seq(Stage("svc_running",
+          "SELECT sum(graft_svc_sleep(l_orderkey)) AS s FROM svc_li",
+          explainAnalyze = true))))
+      val h = svc.submit(slow, new CollectingTracker)
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (h.queuePosition != 0 && System.nanoTime() < deadline) Thread.sleep(10)
+      Thread.sleep(500) // let the stage's Spark job actually start
+      val t0 = System.nanoTime()
+      assert(svc.cancel(h.id))
+      intercept[Exception](Await.result(h.result, 60.seconds))
+      val cancelledAfterMs = (System.nanoTime() - t0) / 1000000
+      // the pre-fix failure mode: job-group props pinned to a pooled thread's
+      // creation-time group ⇒ cancel is a no-op and the job runs to the end
+      assert(cancelledAfterMs < 8000, s"cancel took ${cancelledAfterMs}ms — job group not applied?")
+    } finally svc.close()
+  }
+
   test("PercentTracker reaches 100 over the reference step accounting") {
     val dir = tmpDir("svc-pct")
     val csv = writeFixtureCsv(dir)
