@@ -758,6 +758,26 @@ object EngineQueries {
     // Hive-partitioned directory source with typed partition columns (S5
     // through the oracle gate); the stage's partition filter prunes at
     // planning time (plan-asserted in ScaleSpec).
+    // Text-prep pipeline using the extension-registered native function in
+    // declarative stage SQL (word_shingles via GraftExtensions): per-doc
+    // features then a per-language dedup/shingle summary — the LLM-pipeline
+    // shape expressed entirely through the engine front door.
+    "p10_pipeline_textprep" -> ((s, dir) => {
+      pipe(s, Aqueduct(
+        sources = Seq(FileSource("tp_docs", ParquetFormat(),
+          Location(s"$dir/documents.parquet"))),
+        stages = Seq(
+          Seq(Stage("tp_feat",
+            """SELECT doc_id, lang, md5(text) AS digest,
+               size(word_shingles(lower(text), 3)) AS n_shingles
+               FROM tp_docs""")),
+          Seq(Stage("tp_result",
+            """SELECT lang, count(*) AS n_docs,
+               count(DISTINCT digest) AS n_unique,
+               CAST(sum(n_shingles) AS BIGINT) AS total_shingles
+               FROM tp_feat GROUP BY lang ORDER BY lang""")))))
+    }),
+
     "p09_pipeline_dirsource" -> ((s, dir) => {
       val dirRoot = tmp("graft-p09").resolve("orders_dir").toString
       t(s, dir, "orders")
@@ -1189,6 +1209,19 @@ object EngineQueries {
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "p09_pipeline_dirsource" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
-         WHERE o_orderstatus = 'F' AND o_custkey < 500 ORDER BY o_orderkey"""
+         WHERE o_orderstatus = 'F' AND o_custkey < 500 ORDER BY o_orderkey""",
+    "p10_pipeline_textprep" ->
+      """WITH w AS (
+           SELECT doc_id, lang, md5(text) AS digest,
+                  string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         f AS (
+           SELECT doc_id, lang, digest,
+             len(list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS n_shingles
+           FROM w)
+         SELECT lang, count(*) AS n_docs, count(DISTINCT digest) AS n_unique,
+                CAST(sum(n_shingles) AS BIGINT) AS total_shingles
+         FROM f GROUP BY lang ORDER BY lang"""
   )
 }
