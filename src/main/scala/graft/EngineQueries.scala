@@ -9,15 +9,19 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import scala.collection.immutable.ListMap
 
-/** Round-2 query surface: SQL-operator gap fillers (q07, q21-q28), the
-  * LLM-data-pipeline operators over `documents`/`embeddings` (q29-q39), and
-  * engine-executed pipelines (p01-p06) that push Runner/sources/destinations
-  * through the DuckDB oracle gate.
+/** Rounds 2-3 query surface: SQL-operator gap fillers (q07, q21-q28), the
+  * LLM-data-pipeline operators over `documents`/`embeddings` (q29-q48),
+  * exhaustive-probe exact twins of the pruned ANN configs (q57/q58),
+  * quality scoring / incremental dedup / interval join (q59-q62), and
+  * engine-executed pipelines (p01-p10) that push Runner/sources/
+  * destinations/extensions through the DuckDB oracle gate.
   *
   * Exactness rules for oracle parity (same as SparkEntry): money sums go
   * through fixed-scale decimals; ratios that must filter exactly are compared
-  * in integer arithmetic; fp outputs are either exact copies or IEEE-exact
-  * ops (sqrt, power-of-two, ×2).
+  * in integer arithmetic (or at thresholds where the double comparison is
+  * provably equivalent, e.g. j >= 0.5); fp outputs are either exact copies,
+  * IEEE-exact ops, or formulas mirrored operation-for-operation so both
+  * engines round the same double.
   */
 object EngineQueries {
 
