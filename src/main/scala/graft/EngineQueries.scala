@@ -604,6 +604,22 @@ object EngineQueries {
         .orderBy(col("event_id"), col("purchase_id"))
     }),
 
+    // Character n-gram Jaccard near-dup — the tokenization-free dedup path
+    // (CJK/code/URLs); same inverted-index machinery as q32, exact oracle.
+    "q63_char_jaccard" -> ((s, dir) => {
+      Dedup.charJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Deterministic content-hash sampling: reproducible in any engine with
+    // md5, stable under repartitioning, nested across fractions.
+    "q64_deterministic_sample" -> ((s, dir) => {
+      ops.Sampling.byContentHash(t(s, dir, "documents"), "text", 0.25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -762,6 +778,17 @@ object EngineQueries {
     // Hive-partitioned directory source with typed partition columns (S5
     // through the oracle gate); the stage's partition filter prunes at
     // planning time (plan-asserted in ScaleSpec).
+    // Vector math through the engine front door: the extension-registered
+    // native dot_product in declarative stage SQL (float input coerced).
+    "p11_pipeline_vector" -> ((s, dir) => {
+      pipe(s, Aqueduct(
+        sources = Seq(FileSource("p11_emb", ParquetFormat(),
+          Location(s"$dir/embeddings.parquet"))),
+        stages = Seq(Seq(Stage("p11_result",
+          """SELECT vec_id, round(dot_product(embedding, embedding), 6) AS self_dot
+             FROM p11_emb WHERE vec_id < 100 ORDER BY vec_id""")))))
+    }),
+
     // Text-prep pipeline using the extension-registered native function in
     // declarative stage SQL (word_shingles via GraftExtensions): per-doc
     // features then a per-language dedup/shingle summary — the LLM-pipeline
@@ -1173,6 +1200,30 @@ object EngineQueries {
          FROM clicks c JOIN p
            ON c.user_id = p.user_id AND c.ts >= p.w_start AND c.ts < p.w_end
          ORDER BY c.event_id, p.purchase_id""",
+    "q63_char_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, length(lower(text)) - 6),
+               i -> substr(lower(text), i, 8))) AS grams
+           FROM documents WHERE length(lower(text)) >= 8),
+         inv AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh)
+         SELECT id_a, id_b, round(CAST(common AS DOUBLE) / u, 6) AS jaccard FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common,
+                  a.n + b.n - count(*) AS u
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n, b.n
+           HAVING count(*) * 2 >= a.n + b.n - count(*)) t
+         ORDER BY id_a, id_b""",
+    // cutoff = 0.25 × 16^32 in hex; md5 hex strings of equal length compare
+    // lexicographically as numbers
+    "q64_deterministic_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE md5(text) < '40000000000000000000000000000000'
+         ORDER BY doc_id""",
+    "p11_pipeline_vector" ->
+      """SELECT vec_id,
+         round(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), 6) AS self_dot
+         FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""",
     "p01_pipeline_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

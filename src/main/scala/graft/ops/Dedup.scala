@@ -192,13 +192,38 @@ object Dedup {
     val shingled = spread(docs)
       .select(col(idCol).as("doc_id"),
         graft.functions.WordShingles(col(textCol), n).as("shingles"))
-      .withColumn("n_shingles", size(col("shingles")))
+    minePairs(shingled, docs, idCol, threshold, maxShingleDocFreq, withCounts)
+  }
 
+  /** Character n-gram Jaccard near-dup pairs — the word-free sibling of
+    * [[ngramJaccardPairs]] for text without useful whitespace tokenization
+    * (CJK, code, URLs): distinct char n-grams of the lowercased text feed
+    * the same inverted-index machinery, caps included. Documents shorter
+    * than `n` characters have no shingles and never pair.
+    */
+  def charJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      threshold: Double = 0.8,
+      maxShingleDocFreq: Option[Int] = Some(AutoCap),
+      withCounts: Boolean = false): DataFrame = {
+    val shingled = spread(docs)
+      .select(col(idCol).as("doc_id"), Text.charShingles(col(textCol), n).as("shingles"))
+    minePairs(shingled, docs, idCol, threshold, maxShingleDocFreq, withCounts)
+  }
+
+  /** Shared inverted-index pair miner over a (doc_id, shingles) frame. */
+  private def minePairs(
+      shingled: DataFrame, docs: DataFrame, idCol: String,
+      threshold: Double, maxShingleDocFreq: Option[Int], withCounts: Boolean): DataFrame = {
     // Persist the exploded inverted index: both sides of the self-join below
     // read it, and the two subtrees differ only by alias, so Catalyst cannot
     // reuse the exchange — without this the scan + shingling + explode all
     // run twice. DISK spill keeps the persisted posting list safe at scale.
     val inverted0 = shingled
+      .withColumn("n_shingles", size(col("shingles")))
       .select(col("doc_id"), col("n_shingles"), explode(col("shingles")).as("shingle"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val inverted = resolveCap(maxShingleDocFreq, docs, idCol) match {

@@ -113,6 +113,34 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(1) == 3L)) // unrelated corpus doc never pairs
   }
 
+  test("Dedup.charJaccardPairs: tokenization-free near-dups; short docs never pair") {
+    val pairs = Dedup.charJaccardPairs(docs, "doc_id", "text", n = 8, threshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((1L, 4L))) // exact dup
+    val exact = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 4L).get
+    assert(exact.getDouble(2) == 1.0)
+    assert(!keys.exists { case (a, b) => a == 5L || b == 5L }) // "ab" < 8 chars: no shingles
+    assert(!keys.exists { case (a, b) => a == 3L || b == 3L }) // unrelated text
+  }
+
+  test("Sampling.byContentHash: deterministic, content-keyed, nested across fractions") {
+    val corpus = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    def ids(f: Double) = Sampling.byContentHash(corpus, "text", f)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val p10 = ids(0.10)
+    val p50 = ids(0.50)
+    assert(ids(0.10) == p10)          // reproducible
+    assert(p10.subsetOf(p50))         // nested
+    assert(ids(0.0).isEmpty && ids(1.0).size == corpus.count())
+    val n = corpus.count().toDouble
+    assert(math.abs(p50.size / n - 0.5) < 0.15, s"${p50.size} of $n") // roughly proportional
+    // repartitioning must not change membership (content-keyed, not row-keyed)
+    val reparted = Sampling.byContentHash(corpus.repartition(7), "text", 0.10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reparted == p10)
+  }
+
   test("Dedup.simhash: identical docs hash identically; pairs at distance 0") {
     val h = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
