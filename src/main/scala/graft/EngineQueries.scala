@@ -606,9 +606,11 @@ object EngineQueries {
 
     // Character n-gram Jaccard near-dup — the tokenization-free dedup path
     // (CJK/code/URLs); same inverted-index machinery as q32, exact oracle.
+    // Stride 4 (winnowing-style): ~L/4 shingles per doc instead of ~L keeps
+    // the posting list tractable at any corpus size.
     "q63_char_jaccard" -> ((s, dir) => {
       Dedup.charJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 8, threshold = 0.5)
+        n = 8, threshold = 0.5, stride = 4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1203,7 +1205,7 @@ object EngineQueries {
     "q63_char_jaccard" ->
       """WITH sh AS (
            SELECT doc_id,
-             list_distinct(list_transform(range(1, length(lower(text)) - 6),
+             list_distinct(list_transform(range(1, length(lower(text)) - 6, 4),
                i -> substr(lower(text), i, 8))) AS grams
            FROM documents WHERE length(lower(text)) >= 8),
          inv AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh)

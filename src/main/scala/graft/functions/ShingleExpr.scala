@@ -81,3 +81,60 @@ object WordShingles {
   def apply(c: Column, n: Int): Column =
     GraftShims.column(WordShingles(GraftShims.expression(c), n))
 }
+
+/** Native character n-gram shingling with stride (see Text.charShingles for
+  * semantics: lowercasing is the CALLER's job here, distinct first-occurrence
+  * order, `[]` under n chars). One tight pass per row, whole-stage codegen —
+  * the composed transform/substring form is interpreted per window and gets
+  * cloned by optimizer rules exactly like the word form.
+  */
+object CharShingleUtil {
+  // positions are UTF-16 units: identical to codepoint positions for BMP
+  // text (the oracle corpus is ASCII); documents with surrogate pairs get
+  // consistent-but-unit-based windows
+  def shingles(s: UTF8String, n: Int, stride: Int): ArrayData = {
+    val str = s.toString
+    if (str.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](str.length / stride * 2)
+    var i = 0
+    while (i <= str.length - n) {
+      seen.add(str.substring(i, i + n))
+      i += stride
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class CharShingles(child: Expression, n: Int, stride: Int)
+  extends UnaryExpression {
+
+  require(n >= 1, "shingle size must be >= 1")
+  require(stride >= 1, "stride must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == org.apache.spark.sql.types.NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_shingles expects a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    CharShingleUtil.shingles(input.asInstanceOf[UTF8String], n, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharShingleUtil.shingles($c, $n, $stride)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
+object CharShingles {
+  /** DataFrame-API entry: `CharShingles(lower(col("text")), 8, 4)`. */
+  def apply(c: Column, n: Int, stride: Int): Column =
+    GraftShims.column(CharShingles(GraftShims.expression(c), n, stride))
+}

@@ -48,12 +48,21 @@ object Text {
         transform(sequence(lit(0), size(w) - n), i => concat_ws(" ", slice(w, i + 1, lit(n))))))
       .otherwise(array().cast("array<string>"))
 
-  /** Character n-gram shingles over the lowercased text (distinct). */
-  def charShingles(c: Column, n: Int): Column = {
+  /** Character n-gram shingles over the lowercased text (distinct).
+    *
+    * `stride` keeps only every stride-th window position (1 = all) — the
+    * winnowing-style downsampling that keeps char-shingle posting lists
+    * tractable: a document of L chars has ~L/stride shingles instead of ~L,
+    * and Jaccard over the strided universe remains a well-defined exact
+    * similarity both engines can mirror.
+    */
+  def charShingles(c: Column, n: Int, stride: Int = 1): Column = {
+    require(stride >= 1, "stride must be >= 1")
     val t = lower(c)
     when(length(t) >= n,
       array_distinct(
-        transform(sequence(lit(1), length(t) - (n - 1)), i => substring(t, i, lit(n)))))
+        transform(sequence(lit(1), length(t) - (n - 1), lit(stride)),
+          i => substring(t, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
 

@@ -207,10 +207,13 @@ object Dedup {
       textCol: String,
       n: Int = 8,
       threshold: Double = 0.8,
+      stride: Int = 1,
       maxShingleDocFreq: Option[Int] = Some(AutoCap),
       withCounts: Boolean = false): DataFrame = {
+    // native codegen'd expression; lowercasing mirrors Text.charShingles
     val shingled = spread(docs)
-      .select(col(idCol).as("doc_id"), Text.charShingles(col(textCol), n).as("shingles"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.CharShingles(lower(col(textCol)), n, stride).as("shingles"))
     minePairs(shingled, docs, idCol, threshold, maxShingleDocFreq, withCounts)
   }
 

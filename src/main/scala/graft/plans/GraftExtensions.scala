@@ -21,6 +21,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "word_shingles(text, n) expects a string column and an integer literal")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("char_shingles"),
+      new ExpressionInfo(classOf[graft.functions.CharShingles].getName, "char_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, IntegerLiteral(n), IntegerLiteral(stride)) =>
+          graft.functions.CharShingles(text, n, stride)
+        case Seq(text, IntegerLiteral(n)) => graft.functions.CharShingles(text, n, 1)
+        case _ => throw new IllegalArgumentException(
+          "char_shingles(text, n[, stride]) expects a string column and integer literals")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => args match {
