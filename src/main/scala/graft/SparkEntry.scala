@@ -35,7 +35,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ EngineQueries.queries
 
-  private def coreQueries: scala.collection.immutable.ListMap[String, (SparkSession, String) => DataFrame] =
+  private[graft] def coreQueries: scala.collection.immutable.ListMap[String, (SparkSession, String) => DataFrame] =
     scala.collection.immutable.ListMap(
 
       // TPC-H Q1 flavor: wide hash aggregate with partial (map-side) combine.
