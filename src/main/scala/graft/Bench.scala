@@ -66,6 +66,7 @@ object Bench {
     val r3New = Set("q57_ann_lsh_exhaustive", "q58_ann_ivf_reuse",
       "q59_quality_score", "q60_incremental_dedup", "q61_cross_jaccard",
       "q62_interval_join", "q63_char_jaccard", "q64_deterministic_sample",
+      "q65_sequence_pack",
       "p07_pipeline_json_ops", "p08_pipeline_csv", "p09_pipeline_dirsource",
       "p10_pipeline_textprep", "p11_pipeline_vector")
     val r2Subset = results.collect { case (k, v) if !r3New(k) => v }.sum

@@ -622,6 +622,17 @@ object EngineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Concat-and-chunk sequence packing: each doc assigned to the 512-token
+    // training chunk its first token lands in (per-language streams, doc_id
+    // order) — one running-sum window, integer-exact in any engine.
+    "q65_sequence_pack" -> ((s, dir) => {
+      ops.Packing.concatChunkBins(t(s, dir, "documents"),
+          partitionCols = Seq("lang"), orderCol = "doc_id",
+          tokens = Text.tokenCount(col("text")), budget = 512L)
+        .select(col("doc_id"), col("lang"), col("tok"), col("offset"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1226,6 +1237,18 @@ object EngineQueries {
       """SELECT vec_id,
          round(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), 6) AS self_dot
          FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""",
+    "q65_sequence_pack" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> len(x) > 0)) AS BIGINT) AS tok
+           FROM documents)
+         SELECT doc_id, lang, tok,
+           CAST(coalesce(sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+           CAST(floor(coalesce(sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin
+         FROM t ORDER BY doc_id""",
     "p01_pipeline_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

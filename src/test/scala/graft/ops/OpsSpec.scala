@@ -141,6 +141,18 @@ class OpsSpec extends SparkSpec {
     assert(reparted == p10)
   }
 
+  test("Packing.concatChunkBins: per-stream deterministic chunk assignment, exact offsets") {
+    val df = Seq(
+      (1L, "en", "a b c"), (2L, "en", "d e"), (3L, "en", "f g h i"),
+      (4L, "de", "x y")).toDF("doc_id", "lang", "text")
+    val r = Packing.concatChunkBins(df, Seq("lang"), "doc_id",
+      Text.tokenCount(col("text")), budget = 4)
+      .orderBy("doc_id").collect()
+    // en tokens 3,2,4 → offsets 0,3,5 → bins 0,0,1; de stream restarts at 0
+    assert(r.map(x => (x.getAs[Long]("offset"), x.getAs[Long]("bin"))).toSeq ==
+      Seq((0L, 0L), (3L, 0L), (5L, 1L), (0L, 0L)))
+  }
+
   test("Dedup.simhash: identical docs hash identically; pairs at distance 0") {
     val h = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
