@@ -138,3 +138,45 @@ object CharShingles {
   def apply(c: Column, n: Int, stride: Int): Column =
     GraftShims.column(CharShingles(GraftShims.expression(c), n, stride))
 }
+
+/** The upper 64 bits of md5(input) as a big-endian long — the native form
+  * of "decode the first 16 hex chars of md5": bit j (j = 0 the MSB of the
+  * first hex digit) is `(value >> (63 - j)) & 1`, exactly the bit numbering
+  * the portable SimHash and its DuckDB oracle use. One digest + one
+  * 8-byte read per value instead of 16 interpreted hex-digit decodes.
+  */
+object Md5Bits64Util {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def bits(s: UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong // big-endian = hex-digit order
+  }
+}
+
+case class Md5Bits64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == org.apache.spark.sql.types.NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"md5_bits64 expects a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "md5_bits64"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Bits64Util.bits(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Bits64Util.bits($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Bits64 =
+    copy(child = newChild)
+}
+
+object Md5Bits64 {
+  def apply(c: Column): Column = GraftShims.column(Md5Bits64(GraftShims.expression(c)))
+}

@@ -363,13 +363,12 @@ object Dedup {
       .select(col(idCol).as("doc_id"), explode(Text.words(col(textCol))).as("word"))
     val (hashed, bit) =
       if (portableHash) {
-        // 16 nibble columns decoded once per word; bit j is then a cheap
-        // shift+mask inside the aggregate (not 64 separate hex decodes)
-        val withHex = exploded.withColumn("hx", substring(md5(col("word")), 1, 16))
-        val withNibs = (0 until 16).foldLeft(withHex) { (d, k) =>
-          d.withColumn(s"nb$k", conv(substring(col("hx"), k + 1, 1), 16, 10).cast("int"))
-        }
-        (withNibs, (j: Int) => shiftright(col(s"nb${j / 4}"), 3 - j % 4).bitwiseAND(1))
+        // native Md5Bits64: upper 64 md5 bits as one big-endian long; bit j
+        // (= bit 3-j%4 of hex digit j/4, the oracle's numbering) is then a
+        // cheap shift+mask — one digest per word instead of 16 interpreted
+        // hex-digit decodes
+        (exploded.withColumn("wh", graft.functions.Md5Bits64(col("word"))),
+          (j: Int) => shiftright(col("wh"), 63 - j).bitwiseAND(1))
       } else {
         (exploded.withColumn("wh", xxhash64(col("word"))),
           (j: Int) => shiftright(col("wh"), j).bitwiseAND(1))
