@@ -4,8 +4,8 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
 import scala.jdk.CollectionConverters._
 
-/** Pipeline-definition loading: raw YAML/JSON text → `${param}` templating →
-  * [[Aqueduct]] case-class model.
+/** Pipeline-definition loading: raw YAML/JSON/TOML text → `${param}`
+  * templating → [[Aqueduct]] case-class model.
   *
   * The accepted document shape (tags, aliases, defaults) mirrors the
   * reference's serde contract so its example pipelines deserialize unchanged
@@ -43,7 +43,8 @@ object ConfigParser {
     val name = path.getFileName.toString.toLowerCase
     if (name.endsWith(".yml") || name.endsWith(".yaml")) fromYaml(raw, params)
     else if (name.endsWith(".json")) fromJson(raw, params)
-    else throw ConfigError(s"Unsupported config format (expected .yml/.yaml/.json): $name")
+    else if (name.endsWith(".toml")) fromToml(raw, params)
+    else throw ConfigError(s"Unsupported config format (expected .yml/.yaml/.json/.toml): $name")
   }
 
   def fromYaml(raw: String, params: Map[String, String] = Map.empty): Aqueduct =
@@ -51,6 +52,12 @@ object ConfigParser {
 
   def fromJson(raw: String, params: Map[String, String] = Map.empty): Aqueduct =
     fromTree(new ObjectMapper().readTree(substitute(raw, params)))
+
+  /** TOML via the in-repo [[Toml]] parser (no external TOML library resolves
+    * in the offline build) — same templating and tree walk as YAML/JSON.
+    */
+  def fromToml(raw: String, params: Map[String, String] = Map.empty): Aqueduct =
+    fromTree(Toml.parse(substitute(raw, params)))
 
   // ------------------------------------------------------------- tree walk
 

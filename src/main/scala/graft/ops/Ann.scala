@@ -170,13 +170,15 @@ object Ann {
   /** Build the IVF index: fit seeded k-means on a bounded corpus-wide
     * sample, assign every corpus vector to its nearest cell.
     *
-    * Sampling never sorts the corpus: a deterministic hash filter on the id
-    * (`trainFraction` of rows, spread across the whole corpus regardless of
-    * data order or partition layout — a bare `limit` would train on a
-    * data-order prefix and bias the centroids) followed by an
-    * early-stopping `limit` cap. Set `trainFraction ≈ maxTrainVectors /
-    * |corpus|` at scale; cell quality converges with a few thousand vectors
-    * per cell, so training on everything would dwarf the search itself.
+    * The sample is deterministic and order-free in every path: rows are
+    * ranked by a seeded id hash and the lowest `maxTrainVectors` win
+    * (TakeOrdered: per-partition top-k then a single merge — never a full
+    * corpus sort, and never a bare `limit`, which would train on a
+    * data-order prefix and vary with partition layout). `trainFraction`
+    * pre-thins with a hash filter so the top-k pass scans fewer rows — set
+    * it ≈ maxTrainVectors / |corpus| at scale; cell quality converges with
+    * a few thousand vectors per cell, so training on everything would dwarf
+    * the search itself.
     */
   def ivfBuild(
       corpus: DataFrame, corpusId: String, corpusVec: String,
@@ -194,7 +196,9 @@ object Ann {
         base.filter(pmod(xxhash64(col("item_id"), lit(seed)), lit(1000000L))
           < lit((trainFraction * 1000000L).toLong))
       else base
-    val train = sampled.limit(maxTrainVectors)
+    val train = sampled
+      .orderBy(xxhash64(col("item_id"), lit(seed)), col("item_id"))
+      .limit(maxTrainVectors)
       .select(array_to_vector(col("cv")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
     val centroids = model.clusterCenters.map(_.toArray)

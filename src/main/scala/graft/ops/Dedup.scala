@@ -25,6 +25,31 @@ import org.apache.spark.storage.StorageLevel
   *     long-running services should `spark.catalog.clearCache()` between
   *     large corpora runs.
   */
+/** Stop-shingle cap specification for the inverted-index pair miners.
+  *
+  * A dedicated ADT rather than an `Option[Int]` with a magic value: every
+  * cap state is spelled out, `Fixed(0)` is unrepresentable instead of
+  * silently meaning "auto", and call sites read as policy
+  * (`CapSpec.Auto` / `CapSpec.Fixed(50)` / `CapSpec.Off`).
+  */
+sealed trait CapSpec
+object CapSpec {
+  /** Derive the cap from the corpus size as `max(1000, ndocs/1000)` — large
+    * enough never to touch a real near-dup signal, small enough that one
+    * corpus-wide shingle cannot fan a single join key out quadratically.
+    * Costs one count job; skipped when doc frequency provably can't exceed
+    * the derived cap. The default since round 3 — see SCALE.md for the
+    * behavioral note vs the round-2 uncapped default.
+    */
+  case object Auto extends CapSpec
+  /** Drop shingles shared by more than `maxDocFreq` documents. */
+  final case class Fixed(maxDocFreq: Long) extends CapSpec {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+  }
+  /** No stop-shingle cut (round-2 behavior; unsafe on hot-key corpora). */
+  case object Off extends CapSpec
+}
+
 object Dedup {
 
   /** Ensure enough partitions to parallelize expression-heavy per-row work.
@@ -37,18 +62,19 @@ object Dedup {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** Resolve the stop-shingle cap: AutoCap derives it from the corpus size
-    * (one cheap count job — unavoidable, the cap IS a function of ndocs)
-    * and skips the cut entirely when doc frequency provably cannot exceed
-    * it; explicit caps apply lazily with no eager job.
+  /** Resolve the stop-shingle cap: [[CapSpec.Auto]] derives it from the
+    * corpus size (one cheap count job — unavoidable, the cap IS a function
+    * of ndocs) and skips the cut entirely when doc frequency provably cannot
+    * exceed it; explicit caps apply lazily with no eager job.
     */
-  private def resolveCap(spec: Option[Int], docs: DataFrame, idCol: String): Option[Long] =
-    spec.flatMap {
-      case AutoCap =>
+  private def resolveCap(spec: CapSpec, docs: DataFrame, idCol: String): Option[Long] =
+    spec match {
+      case CapSpec.Auto =>
         val ndocs = docs.select(idCol).count()
         val c = math.max(1000L, ndocs / 1000L)
         if (ndocs <= c) None else Some(c) // df ≤ ndocs ≤ cap ⇒ provably empty cut
-      case c => Some(c.toLong)
+      case CapSpec.Fixed(c) => Some(c)
+      case CapSpec.Off => None
     }
 
   /** Stop-shingle cut over an exploded inverted index (doc_id, n_shingles,
@@ -108,19 +134,20 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.8,
-      maxShingleDocFreq: Option[Int] = Some(AutoCap)): DataFrame = {
+      maxShingleDocFreq: CapSpec = CapSpec.Auto): DataFrame = {
     def index(df: DataFrame): DataFrame =
       spread(df)
         .select(col(idCol).as("doc_id"),
           graft.functions.WordShingles(col(textCol), n).as("shingles"))
         .withColumn("n_shingles", size(col("shingles")))
         .select(col("doc_id"), col("n_shingles"), explode(col("shingles")).as("shingle"))
-    val capSpec = maxShingleDocFreq.flatMap {
-      case AutoCap =>
+    val capSpec = maxShingleDocFreq match {
+      case CapSpec.Auto =>
         val ndocs = incoming.select(idCol).count() + corpus.select(idCol).count()
         val c = math.max(1000L, ndocs / 1000L)
         if (ndocs <= c) None else Some(c)
-      case c => Some(c.toLong)
+      case CapSpec.Fixed(c) => Some(c)
+      case CapSpec.Off => None
     }
     val (left, right) = capSpec match {
       // no cut ⇒ no persist: each side is scanned exactly once
@@ -154,13 +181,6 @@ object Dedup {
       .select(col("id_in"), col("id_corpus"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Sentinel for `maxShingleDocFreq`: derive the stop-shingle cap from the
-    * corpus size as `max(1000, ndocs/1000)` — large enough never to touch a
-    * real near-dup signal, small enough that one corpus-wide shingle cannot
-    * fan a single join key out quadratically.
-    */
-  val AutoCap = 0
-
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
     *
     * Inverted-index join: doc→distinct shingles→explode; self-join on the
@@ -169,7 +189,7 @@ object Dedup {
     * jaccard ≥ `threshold`; `withCounts` adds the exact (common, union_size)
     * integers.
     *
-    * The stop-shingle cap is ON by default ([[AutoCap]]): shingles shared by
+    * The stop-shingle cap is ON by default ([[CapSpec.Auto]]): shingles shared by
     * more than the cap's doc count are dropped from the index before the
     * self-join, and doc sizes are re-computed over the surviving universe —
     * so the emitted jaccard is the EXACT jaccard of the capped shingle
@@ -182,7 +202,7 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.8,
-      maxShingleDocFreq: Option[Int] = Some(AutoCap),
+      maxShingleDocFreq: CapSpec = CapSpec.Auto,
       withCounts: Boolean = false): DataFrame = {
     // Native WordShingles expression: codegen'd single-pass shingling. (The
     // composed functions._ form is interpreted per-lambda-element AND gets
@@ -208,7 +228,7 @@ object Dedup {
       n: Int = 8,
       threshold: Double = 0.8,
       stride: Int = 1,
-      maxShingleDocFreq: Option[Int] = Some(AutoCap),
+      maxShingleDocFreq: CapSpec = CapSpec.Auto,
       withCounts: Boolean = false): DataFrame = {
     // native codegen'd expression; lowercasing mirrors Text.charShingles
     val shingled = spread(docs)
@@ -220,7 +240,7 @@ object Dedup {
   /** Shared inverted-index pair miner over a (doc_id, shingles) frame. */
   private def minePairs(
       shingled: DataFrame, docs: DataFrame, idCol: String,
-      threshold: Double, maxShingleDocFreq: Option[Int], withCounts: Boolean): DataFrame = {
+      threshold: Double, maxShingleDocFreq: CapSpec, withCounts: Boolean): DataFrame = {
     // Persist the exploded inverted index: both sides of the self-join below
     // read it, and the two subtrees differ only by alias, so Catalyst cannot
     // reuse the exchange — without this the scan + shingling + explode all

@@ -19,9 +19,11 @@ import scala.util.{Failure, Success}
   *     `execution_succeeded` / `execution_error`
   *
   * Auth mirrors the reference's API-key middleware (api/auth.rs): when
-  * constructed with an `apiKey`, the first line of every connection must be
-  * `AUTH <key>` or the connection is refused. The literal line `HEALTH`
-  * answers `{"status":"OK"}` (the /api/health equivalent, api/mod.rs:43-49).
+  * constructed with an `apiKey`, the first non-HEALTH line of a connection
+  * must be `AUTH <key>` (compared constant-time) or the connection is
+  * refused. The literal line `HEALTH` answers `{"status":"OK"}` before or
+  * after auth — the reference's /api/health is likewise unauthenticated
+  * (api/mod.rs:43-49).
   *
   * Plain `java.net` sockets — zero dependencies, embeddable anywhere a
   * SparkSession lives. Like the reference (which recommends fronting the
@@ -88,8 +90,18 @@ final class Server(
 
     try {
       apiKey.foreach { key =>
-        val first = in.readLine()
-        if (first != s"AUTH $key") {
+        // HEALTH stays reachable without credentials, matching the
+        // reference's unauthenticated /api/health (api/mod.rs:43-49)
+        var first = in.readLine()
+        while (first != null && first.trim == "HEALTH") {
+          sendRaw("""{"status":"OK"}""")
+          first = in.readLine()
+        }
+        // constant-time comparison: this is an unauthenticated TCP endpoint,
+        // so a bytewise-early-exit == would leak key prefixes via timing
+        val ok = first != null && java.security.MessageDigest.isEqual(
+          s"AUTH $key".getBytes("UTF-8"), first.getBytes("UTF-8"))
+        if (!ok) {
           sendRaw("""{"type":"execution_error","request_id":"","message":"unauthorized"}""")
           socket.close()
           return

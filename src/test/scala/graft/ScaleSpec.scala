@@ -62,12 +62,12 @@ class ScaleSpec extends SparkSpec {
     val docs = (1 to 300).map(i =>
       (i.toLong, s"common hot shingle unique$i tail$i word$i end$i")).toDF("doc_id", "text")
     val capped = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      n = 3, threshold = 0.1, maxShingleDocFreq = Some(50))
+      n = 3, threshold = 0.1, maxShingleDocFreq = graft.ops.CapSpec.Fixed(50))
     // all cross-doc overlap is the hot shingle → dropped → zero pairs
     assert(capped.count() == 0)
     // without the cap the single hot join key fans out to every pair
     val uncapped = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      n = 3, threshold = 0.1, maxShingleDocFreq = None)
+      n = 3, threshold = 0.1, maxShingleDocFreq = graft.ops.CapSpec.Off)
     assert(uncapped.count() == 300L * 299 / 2)
   }
 
@@ -81,7 +81,7 @@ class ScaleSpec extends SparkSpec {
       (i.toLong, s"hot shared prefix unique$k tail$k word$k end$k")
     }.toDF("doc_id", "text")
     val pairs = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      n = 3, threshold = 0.9, maxShingleDocFreq = Some(10)).collect()
+      n = 3, threshold = 0.9, maxShingleDocFreq = graft.ops.CapSpec.Fixed(10)).collect()
     assert(pairs.length == 50, pairs.length)
     assert(pairs.forall(_.getDouble(2) == 1.0))
   }

@@ -48,7 +48,8 @@ class ConfigParserSpec extends AnyFunSuite {
     while (files.hasNext) {
       val f = files.next()
       val name = f.getFileName.toString
-      if (name.endsWith(".yml") || name.endsWith(".yaml") || name.endsWith(".json")) {
+      if (name.endsWith(".yml") || name.endsWith(".yaml") || name.endsWith(".json") ||
+          name.endsWith(".toml")) {
         val aq = ConfigParser.fromFile(f, params)
         assert(aq.stages.nonEmpty, s"no stages parsed from $name")
         n += 1

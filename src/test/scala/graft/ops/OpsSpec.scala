@@ -69,7 +69,7 @@ class OpsSpec extends SparkSpec {
   test("Dedup.ngramJaccardPairs stop-shingle cap bounds hot-key fan-out") {
     // with a cap of 1 every shared shingle is dropped → no pairs at all
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      n = 3, threshold = 0.1, maxShingleDocFreq = Some(1))
+      n = 3, threshold = 0.1, maxShingleDocFreq = graft.ops.CapSpec.Fixed(1))
     assert(pairs.count() == 0)
   }
 

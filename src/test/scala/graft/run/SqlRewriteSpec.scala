@@ -51,4 +51,38 @@ class SqlRewriteSpec extends AnyFunSuite {
     assert(jsonOperators("SELECT get_json_object(j, '$.a') ->> 'b' FROM t") ==
       "SELECT json_as_text(get_json_object(j, '$.a'), 'b') FROM t")
   }
+
+  test("constant lambdas inside higher-order functions are untouched") {
+    val constInt = "SELECT transform(a, x -> 2) FROM t"
+    assert(jsonOperators(constInt) == constInt)
+    val constStr = "SELECT transform(a, x -> 'hi') FROM t"
+    assert(jsonOperators(constStr) == constStr)
+    val firstArg = "SELECT array_sort(a, (l, r) -> 1) FROM t"
+    assert(jsonOperators(firstArg) == firstArg)
+    val nested = "SELECT aggregate(a, 0, (acc, x) -> acc, acc -> 0) FROM t"
+    assert(jsonOperators(nested) == nested)
+  }
+
+  test("JSON access on a column argument of a non-HOF call still rewrites") {
+    assert(jsonOperators("SELECT coalesce(props -> 'k', 'none') FROM t") ==
+      "SELECT coalesce(json_get(props, 'k'), 'none') FROM t")
+    // qualified identifiers are never lambda params, even inside a HOF
+    assert(jsonOperators("SELECT transform(a, x -> t.props) , t.p -> 'k' FROM t") ==
+      "SELECT transform(a, x -> t.props) , json_get(t.p, 'k') FROM t")
+  }
+
+  test("lambda param used with a JSON operator inside the body rewrites") {
+    assert(jsonOperators("SELECT exists(arr, x -> x ->> 'k' = 'v') FROM t") ==
+      "SELECT exists(arr, x -> json_as_text(x, 'k') = 'v') FROM t")
+  }
+
+  test("escaped quote inside a call argument does not skew paren balancing") {
+    assert(jsonOperators("SELECT get_json_object(c, 'don''t') -> 'k' FROM t") ==
+      "SELECT json_get(get_json_object(c, 'don''t'), 'k') FROM t")
+  }
+
+  test("top-level select-list items after a comma still rewrite") {
+    assert(jsonOperators("SELECT a, props -> 'k' FROM t") ==
+      "SELECT a, json_get(props, 'k') FROM t")
+  }
 }
