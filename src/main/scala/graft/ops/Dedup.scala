@@ -1,6 +1,5 @@
 package graft.ops
 
-import graft.functions.Text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -309,17 +308,17 @@ object Dedup {
 
     // (no row filter on shingle count — see ngramJaccardPairs; empty docs
     // get null signatures below and fall out of the equi-join)
+    //
+    // Native MinHashSig: all k running minima update in ONE pass over the
+    // shingle array with one CRC per shingle — same arithmetic as the
+    // compositional array_min(transform(...)) × k form, minus k interpreted
+    // array walks per document.
     val shingled = spread(docs)
       .select(col(idCol).as("doc_id"),
         graft.functions.WordShingles(col(textCol), n).as("shingles"))
-      // hash each shingle ONCE; the k hash functions then run over ints,
-      // not k× re-hashed strings
-      .withColumn("hs", transform(col("shingles"), s => crc32(s) % p))
-
-    // minhash_i = min over shingle hashes of (a_i * x + b_i) mod p
-    val sigCols = coef.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("hs"), x => (x * a + b) % p)).as(s"h$i")
-    }
+      .withColumn("mh", graft.functions.MinHashSig(
+        col("shingles"), coef.map(_._1), coef.map(_._2), p))
+    val sigCols = (0 until numHashes).map(i => col("mh").getItem(i).as(s"h$i"))
     // persisted for the same alias-only self-join reason as ngramJaccardPairs
     val signed = shingled.select(col("doc_id") +: col("shingles") +: sigCols: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -378,30 +377,17 @@ object Dedup {
     * the exact fingerprints).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-      portableHash: Boolean = false): DataFrame = {
-    val exploded = spread(docs)
-      .select(col(idCol).as("doc_id"), explode(Text.words(col(textCol))).as("word"))
-    val (hashed, bit) =
-      if (portableHash) {
-        // native Md5Bits64: upper 64 md5 bits as one big-endian long; bit j
-        // (= bit 3-j%4 of hex digit j/4, the oracle's numbering) is then a
-        // cheap shift+mask — one digest per word instead of 16 interpreted
-        // hex-digit decodes
-        (exploded.withColumn("wh", graft.functions.Md5Bits64(col("word"))),
-          (j: Int) => shiftright(col("wh"), 63 - j).bitwiseAND(1))
-      } else {
-        (exploded.withColumn("wh", xxhash64(col("word"))),
-          (j: Int) => shiftright(col("wh"), j).bitwiseAND(1))
-      }
-    val bitSums = (0 until 64).map { j =>
-      sum(when(bit(j) === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    val summed = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sh = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    summed.select(col("doc_id"), sh.as("simhash"))
-  }
+      portableHash: Boolean = false): DataFrame =
+    // Native one-pass SimHash64 expression: the sketch is a pure per-document
+    // function, so it computes inside the scan stage — no word explode, no
+    // shuffle, no 64-column aggregate (which was too wide for whole-stage
+    // codegen and dominated the job). Wordless documents hash to null and
+    // are dropped, matching the explode→aggregate form which emitted no row
+    // for them.
+    spread(docs)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.SimHash64(col(textCol), portableHash).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Near-dup pairs with Hamming distance ≤ `maxDistance` over SimHash.
     *
@@ -437,9 +423,12 @@ object Dedup {
     val b = keyed.select(col("key"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("key"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      // distance filter BEFORE the dedup shuffle: bit_count is free map-side
+      // work, and pairs beyond the radius (the vast majority) never enter
+      // the dropDuplicates exchange
       .withColumn("distance", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("distance") <= maxDistance)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "distance")
   }
 }
