@@ -76,24 +76,46 @@ object Dedup {
       case CapSpec.Off => None
     }
 
-  /** Stop-shingle cut over an exploded inverted index (doc_id, n_shingles,
-    * shingle): drop shingles whose doc frequency exceeds `cap` — anti-join
-    * against the HOT set (small by construction, ≤ occurrences/cap; the
-    * freq aggregate is map-side-combined so the hot key cannot skew its own
-    * detection) — then RE-SIZE each doc over the surviving universe, so the
-    * downstream jaccard is the exact jaccard of the capped shingle space
-    * (sizing over the original universe would deflate scores and silently
-    * drop pairs whose true similarity is above threshold).
+  /** Per-document frequency-ordered shingle profiles from a hashed posting
+    * list `(groupCols..., h)`: the full doc-frequency-sorted hash array
+    * `hs` (for exact verification), its size `n_shingles`, and the
+    * PPJoin-style `prefix` (for candidate generation).
+    *
+    * Prefix filtering (Bayardo et al., "Scaling Up All Pairs Similarity
+    * Search", WWW'07; Xiao et al., "Efficient Similarity Joins for Near
+    * Duplicate Detection", WWW'08): under any global total order on
+    * shingles, two sets with jaccard ≥ t must share an element within their
+    * `n - ⌈t·n⌉ + 1` prefixes — if the globally-smallest common element sat
+    * outside A's prefix, all common elements would fit in A's ⌈t·n⌉ − 1
+    * suffix, contradicting |A∩B| ≥ ⌈t·|A|⌉. Ordering ascending by document
+    * frequency puts every hot shingle in the (unindexed) suffixes, so the
+    * candidate join's per-key fan-out collapses to the rare-shingle buckets
+    * — the quadratic hot-key blowup of a full inverted-index self-join
+    * never materializes, at any corpus size.
+    *
+    * The optional `cap` (stop-shingle cut) drops shingles with doc
+    * frequency above it BEFORE sizing, so downstream jaccard is the exact
+    * jaccard of the capped shingle space; with frequency data already
+    * joined for the ordering, the cut is a plain `df <= cap` filter.
     */
-  private def stopShingleCut(inverted: DataFrame, cap: Long): DataFrame = {
-    val hot = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap).select("shingle")
-      .persist(StorageLevel.MEMORY_AND_DISK) // two consumers below
-    val cut = inverted.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val sizes = cut.groupBy("doc_id").agg(count(lit(1)).as("n_eff"))
-    cut.drop("n_shingles")
-      .join(sizes, Seq("doc_id"))
-      .withColumnRenamed("n_eff", "n_shingles")
+  private def buildProfiles(posting: DataFrame, groupCols: Seq[String],
+      threshold: Double, cap: Option[Long]): DataFrame = {
+    val freq = posting.groupBy("h").agg(count(lit(1)).as("df"))
+    val kept = cap match {
+      case Some(c) => posting.join(freq, Seq("h")).filter(col("df") <= c)
+      case None => posting.join(freq, Seq("h"))
+    }
+    kept
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("sorted"))
+      .select(groupCols.map(col) ++ Seq(
+        transform(col("sorted"), s => s.getField("h")).as("hs"),
+        size(col("sorted")).as("n_shingles")): _*)
+      // ⌈t·n⌉ with an epsilon guard: double rounding up (0.3·10 = 3.0000…04)
+      // would shorten the prefix below the lemma's bound and admit false
+      // negatives; the epsilon can only lengthen the prefix (always safe)
+      .withColumn("prefix", slice(col("hs"), lit(1),
+        (col("n_shingles") - ceil(lit(threshold) * col("n_shingles") - lit(1e-9)) + 1).cast("int")))
   }
 
   /** Exact duplicate groups by key columns (hash-shuffle groupBy). */
@@ -134,12 +156,15 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8,
       maxShingleDocFreq: CapSpec = CapSpec.Auto): DataFrame = {
-    def index(df: DataFrame): DataFrame =
+    // one tagged posting list: document frequency (the prefix order AND the
+    // cap) is computed over the COMBINED corpus, giving both sides the same
+    // global shingle order — required by the prefix-filter lemma
+    def posting(df: DataFrame, side: Int): DataFrame =
       spread(df)
         .select(col(idCol).as("doc_id"),
           graft.functions.WordShingles(col(textCol), n).as("shingles"))
-        .withColumn("n_shingles", size(col("shingles")))
-        .select(col("doc_id"), col("n_shingles"), explode(col("shingles")).as("shingle"))
+        .select(col("doc_id"), explode(col("shingles")).as("sh_str"))
+        .select(lit(side).as("side"), col("doc_id"), xxhash64(col("sh_str")).as("h"))
     val capSpec = maxShingleDocFreq match {
       case CapSpec.Auto =>
         val ndocs = incoming.select(idCol).count() + corpus.select(idCol).count()
@@ -148,43 +173,35 @@ object Dedup {
       case CapSpec.Fixed(c) => Some(c)
       case CapSpec.Off => None
     }
-    val (left, right) = capSpec match {
-      // no cut ⇒ no persist: each side is scanned exactly once
-      case None => (index(incoming), index(corpus))
-      case Some(c) =>
-        // the hot aggregate AND the cut both read each side: persist the
-        // exploded indexes or the shingling pass runs twice per side —
-        // exactly at the scale where the cap matters
-        val l0 = index(incoming).persist(StorageLevel.MEMORY_AND_DISK)
-        val r0 = index(corpus).persist(StorageLevel.MEMORY_AND_DISK)
-        val hot = l0.select("shingle").unionAll(r0.select("shingle"))
-          .groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") > c).select("shingle")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        def cut(df: DataFrame): DataFrame = {
-          val kept = df.join(broadcast(hot), Seq("shingle"), "left_anti")
-          val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_eff"))
-          kept.drop("n_shingles").join(sizes, Seq("doc_id"))
-            .withColumnRenamed("n_eff", "n_shingles")
-        }
-        (cut(l0), cut(r0))
-    }
-    val a = left.select(col("shingle"), col("doc_id").as("id_in"), col("n_shingles").as("na"))
-    val b = right.select(col("shingle"), col("doc_id").as("id_corpus"), col("n_shingles").as("nb"))
-    a.join(b, Seq("shingle"))
-      .groupBy(col("id_in"), col("id_corpus"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("common"))
+    val prof = buildProfiles(
+        posting(incoming, 0).unionAll(posting(corpus, 1)),
+        Seq("side", "doc_id"), threshold, capSpec)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def side(s: Int): DataFrame = prof.filter(col("side") === s)
+    val preIn = side(0).select(col("doc_id").as("id_in"), explode(col("prefix")).as("h"))
+    val preCo = side(1).select(col("doc_id").as("id_corpus"), explode(col("prefix")).as("h"))
+    val cand = preIn.join(preCo, Seq("h"))
+      .select("id_in", "id_corpus")
+      .dropDuplicates("id_in", "id_corpus")
+    cand
+      .join(side(0).select(col("doc_id").as("id_in"), col("hs").as("hs_a"),
+        col("n_shingles").as("na")), Seq("id_in"))
+      .join(side(1).select(col("doc_id").as("id_corpus"), col("hs").as("hs_b"),
+        col("n_shingles").as("nb")), Seq("id_corpus"))
+      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_in"), col("id_corpus"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+  /** Exact n-gram Jaccard similarity for all pairs at or above `threshold`.
     *
-    * Inverted-index join: doc→distinct shingles→explode; self-join on the
-    * shingle key with `id_a < id_b`; |A∩B| = count of shared shingles;
-    * |A∪B| = |A|+|B|-|A∩B|. Output: (id_a, id_b, jaccard) with
+    * Prefix-filtered similarity join (see [[buildProfiles]]): candidates
+    * come from an equi-join on the docs' frequency-ordered shingle
+    * prefixes — complete for pairs with jaccard ≥ threshold — and are then
+    * verified exactly: |A∩B| via array intersection of the full shingle-hash
+    * sets, |A∪B| = |A|+|B|-|A∩B|. Output: (id_a, id_b, jaccard) with
     * jaccard ≥ `threshold`; `withCounts` adds the exact (common, union_size)
     * integers.
     *
@@ -236,31 +253,43 @@ object Dedup {
     minePairs(shingled, docs, idCol, threshold, maxShingleDocFreq, withCounts)
   }
 
-  /** Shared inverted-index pair miner over a (doc_id, shingles) frame. */
+  /** Shared prefix-filtered pair miner over a (doc_id, shingles) frame.
+    *
+    * Postings carry xxhash64(shingle), not the shingle string: every
+    * shuffle moves 8-byte longs, and a collision would need two distinct
+    * shingles colliding within one candidate pair's union (p ≈ |union|²/2⁶⁴
+    * — vanishing), so jaccard over hashed-shingle space is the exact
+    * string-space jaccard. Candidates come from the [[buildProfiles]]
+    * prefix join (complete for pairs ≥ threshold), then verify exactly via
+    * array_intersect of the full sorted hash arrays — candidate count is
+    * prefix-bounded, never n².
+    */
   private def minePairs(
       shingled: DataFrame, docs: DataFrame, idCol: String,
       threshold: Double, maxShingleDocFreq: CapSpec, withCounts: Boolean): DataFrame = {
-    // Persist the exploded inverted index: both sides of the self-join below
-    // read it, and the two subtrees differ only by alias, so Catalyst cannot
-    // reuse the exchange — without this the scan + shingling + explode all
-    // run twice. DISK spill keeps the persisted posting list safe at scale.
-    val inverted0 = shingled
-      .withColumn("n_shingles", size(col("shingles")))
-      .select(col("doc_id"), col("n_shingles"), explode(col("shingles")).as("shingle"))
+    val posting = shingled
+      .select(col("doc_id"), explode(col("shingles")).as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("h"))
+    // Persist the compact profile frame (arrays of longs, one row per doc):
+    // the prefix explode and both verification joins read it, and the
+    // alias-differing subtrees defeat exchange reuse. The raw posting list
+    // is NOT persisted — its two consumers (frequency aggregate and the
+    // frequency join) shuffle on the same key, so the exchange is reused.
+    val prof = buildProfiles(posting, Seq("doc_id"), threshold,
+        resolveCap(maxShingleDocFreq, docs, idCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val inverted = resolveCap(maxShingleDocFreq, docs, idCol) match {
-      case None => inverted0
-      case Some(c) => stopShingleCut(inverted0, c)
-    }
-
-    val a = inverted.select(
-      col("shingle"), col("doc_id").as("id_a"), col("n_shingles").as("na"))
-    val b = inverted.select(
-      col("shingle"), col("doc_id").as("id_b"), col("n_shingles").as("nb"))
-    val scored = a.join(b, Seq("shingle"))
+    val pre = prof.select(col("doc_id"), explode(col("prefix")).as("h"))
+    val cand = pre.select(col("h"), col("doc_id").as("id_a"))
+      .join(pre.select(col("h"), col("doc_id").as("id_b")), Seq("h"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("common"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val scored = cand
+      .join(prof.select(col("doc_id").as("id_a"), col("hs").as("hs_a"),
+        col("n_shingles").as("na")), Seq("id_a"))
+      .join(prof.select(col("doc_id").as("id_b"), col("hs").as("hs_b"),
+        col("n_shingles").as("nb")), Seq("id_b"))
+      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("union_size", col("na") + col("nb") - col("common"))
       .withColumn("jaccard", col("common").cast("double") / col("union_size"))
       .filter(col("jaccard") >= threshold)
