@@ -76,10 +76,10 @@ object Dedup {
       case CapSpec.Off => None
     }
 
-  /** Per-document frequency-ordered shingle profiles from a hashed posting
-    * list `(groupCols..., h)`: the full doc-frequency-sorted hash array
-    * `hs` (for exact verification), its size `n_shingles`, and the
-    * PPJoin-style `prefix` (for candidate generation).
+  /** Per-document shingle profiles from a hashed posting list
+    * `(groupCols..., h)`: the ascending-h-sorted hash array `hs` (for exact
+    * merge-intersect verification), its size `n_shingles`, and the
+    * PPJoin-style frequency-ordered `prefix` (for candidate generation).
     *
     * Prefix filtering (Bayardo et al., "Scaling Up All Pairs Similarity
     * Search", WWW'07; Xiao et al., "Efficient Similarity Joins for Near
@@ -92,6 +92,10 @@ object Dedup {
     * candidate join's per-key fan-out collapses to the rare-shingle buckets
     * — the quadratic hot-key blowup of a full inverted-index self-join
     * never materializes, at any corpus size.
+    *
+    * The prefix keeps each element's 1-based position in the frequency
+    * order (`struct(h, pos)`), feeding PPJoin's positional filter at the
+    * candidate join (see [[minePairs]]).
     *
     * The optional `cap` (stop-shingle cut) drops shingles with doc
     * frequency above it BEFORE sizing, so downstream jaccard is the exact
@@ -108,14 +112,34 @@ object Dedup {
     kept
       .groupBy(groupCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("sorted"))
-      .select(groupCols.map(col) ++ Seq(
-        transform(col("sorted"), s => s.getField("h")).as("hs"),
-        size(col("sorted")).as("n_shingles")): _*)
+      .withColumn("n_shingles", size(col("sorted")))
       // ⌈t·n⌉ with an epsilon guard: double rounding up (0.3·10 = 3.0000…04)
       // would shorten the prefix below the lemma's bound and admit false
       // negatives; the epsilon can only lengthen the prefix (always safe)
-      .withColumn("prefix", slice(col("hs"), lit(1),
-        (col("n_shingles") - ceil(lit(threshold) * col("n_shingles") - lit(1e-9)) + 1).cast("int")))
+      .withColumn("prefix",
+        transform(
+          slice(col("sorted"), lit(1),
+            (col("n_shingles") - ceil(lit(threshold) * col("n_shingles") - lit(1e-9)) + 1).cast("int")),
+          (s, i) => struct(s.getField("h").as("h"), (i + 1).as("pos"))))
+      .select(groupCols.map(col) ++ Seq(
+        sort_array(transform(col("sorted"), s => s.getField("h"))).as("hs"),
+        col("n_shingles"), col("prefix")): _*)
+  }
+
+  /** PPJoin length + positional filters for one shared prefix element at
+    * 1-based frequency-order positions `pa`/`pb` of docs sized `na`/`nb`
+    * (Xiao et al., WWW'08 §3): jaccard ≥ t requires overlap
+    * `common ≥ t/(1+t)·(na+nb)` (= α); the match at (pa, pb) bounds it by
+    * `1 + min(na−pa, nb−pb)`, and the sizes alone require
+    * `min(na,nb) ≥ t·max(na,nb)`. Epsilon slack only loosens the bounds
+    * (never drops a true pair). Applied INSIDE the candidate join, so
+    * non-viable matches die before the dedup shuffle.
+    */
+  private def ppjoinFilter(threshold: Double): Column = {
+    val alpha = lit(threshold / (1.0 + threshold)) * (col("na") + col("nb")) - lit(1e-9)
+    (least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9)) &&
+      ((lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))).cast("double") >= alpha)
   }
 
   /** Exact duplicate groups by key columns (hash-shuffle groupBy). */
@@ -177,18 +201,22 @@ object Dedup {
         posting(incoming, 0).unionAll(posting(corpus, 1)),
         Seq("side", "doc_id"), threshold, capSpec)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def side(s: Int): DataFrame = prof.filter(col("side") === s)
-    val preIn = side(0).select(col("doc_id").as("id_in"), explode(col("prefix")).as("h"))
-    val preCo = side(1).select(col("doc_id").as("id_corpus"), explode(col("prefix")).as("h"))
-    val cand = preIn.join(preCo, Seq("h"))
+    def pre(s: Int, idName: String, nName: String, pName: String): DataFrame =
+      prof.filter(col("side") === s)
+        .select(col("doc_id").as(idName), col("n_shingles").as(nName),
+          explode(col("prefix")).as("pe"))
+        .select(col(idName), col(nName), col("pe.h").as("h"), col("pe.pos").as(pName))
+    val preIn = pre(0, "id_in", "na", "pa")
+    val preCo = pre(1, "id_corpus", "nb", "pb")
+    val cand = preIn.join(preCo, preIn("h") === preCo("h") && ppjoinFilter(threshold))
       .select("id_in", "id_corpus")
       .dropDuplicates("id_in", "id_corpus")
     cand
-      .join(side(0).select(col("doc_id").as("id_in"), col("hs").as("hs_a"),
-        col("n_shingles").as("na")), Seq("id_in"))
-      .join(side(1).select(col("doc_id").as("id_corpus"), col("hs").as("hs_b"),
-        col("n_shingles").as("nb")), Seq("id_corpus"))
-      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .join(prof.filter(col("side") === 0).select(col("doc_id").as("id_in"),
+        col("hs").as("hs_a"), col("n_shingles").as("na")), Seq("id_in"))
+      .join(prof.filter(col("side") === 1).select(col("doc_id").as("id_corpus"),
+        col("hs").as("hs_b"), col("n_shingles").as("nb")), Seq("id_corpus"))
+      .withColumn("common", graft.functions.SortedIntersectCount(col("hs_a"), col("hs_b")))
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -260,8 +288,10 @@ object Dedup {
     * shingles colliding within one candidate pair's union (p ≈ |union|²/2⁶⁴
     * — vanishing), so jaccard over hashed-shingle space is the exact
     * string-space jaccard. Candidates come from the [[buildProfiles]]
-    * prefix join (complete for pairs ≥ threshold), then verify exactly via
-    * array_intersect of the full sorted hash arrays — candidate count is
+    * prefix join — complete for pairs ≥ threshold, pruned in-join by the
+    * PPJoin length/positional bounds ([[ppjoinFilter]]) — then verify
+    * exactly via a native merge intersect over the full sorted hash arrays
+    * ([[graft.functions.SortedIntersectCount]]) — candidate count is
     * prefix-bounded, never n².
     */
   private def minePairs(
@@ -278,10 +308,14 @@ object Dedup {
     val prof = buildProfiles(posting, Seq("doc_id"), threshold,
         resolveCap(maxShingleDocFreq, docs, idCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pre = prof.select(col("doc_id"), explode(col("prefix")).as("h"))
-    val cand = pre.select(col("h"), col("doc_id").as("id_a"))
-      .join(pre.select(col("h"), col("doc_id").as("id_b")), Seq("h"))
-      .filter(col("id_a") < col("id_b"))
+    val pre = prof.select(col("doc_id"), col("n_shingles"), explode(col("prefix")).as("pe"))
+      .select(col("doc_id"), col("n_shingles"), col("pe.h").as("h"), col("pe.pos").as("pos"))
+    val a = pre.select(col("h"), col("doc_id").as("id_a"), col("n_shingles").as("na"),
+      col("pos").as("pa"))
+    val b = pre.select(col("h"), col("doc_id").as("id_b"), col("n_shingles").as("nb"),
+      col("pos").as("pb"))
+    val cand = a.join(b,
+        a("h") === b("h") && col("id_a") < col("id_b") && ppjoinFilter(threshold))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     val scored = cand
@@ -289,7 +323,7 @@ object Dedup {
         col("n_shingles").as("na")), Seq("id_a"))
       .join(prof.select(col("doc_id").as("id_b"), col("hs").as("hs_b"),
         col("n_shingles").as("nb")), Seq("id_b"))
-      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("common", graft.functions.SortedIntersectCount(col("hs_a"), col("hs_b")))
       .withColumn("union_size", col("na") + col("nb") - col("common"))
       .withColumn("jaccard", col("common").cast("double") / col("union_size"))
       .filter(col("jaccard") >= threshold)
@@ -348,8 +382,16 @@ object Dedup {
       .withColumn("mh", graft.functions.MinHashSig(
         col("shingles"), coef.map(_._1), coef.map(_._2), p))
     val sigCols = (0 until numHashes).map(i => col("mh").getItem(i).as(s"h$i"))
-    // persisted for the same alias-only self-join reason as ngramJaccardPairs
-    val signed = shingled.select(col("doc_id") +: col("shingles") +: sigCols: _*)
+    // Verification payload: the sorted xxhash64 array, not the shingle
+    // strings — band-bucket shuffles move fixed 8-byte longs and candidate
+    // verification is a native merge intersect (jaccard over hashed-shingle
+    // space = string-space jaccard, see minePairs collision note).
+    // Persisted for the same alias-only self-join reason as
+    // ngramJaccardPairs.
+    val signed = shingled
+      .select(col("doc_id") +:
+        sort_array(transform(col("shingles"), s => xxhash64(s))).as("shingles") +:
+        sigCols: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // band buckets: hash the signature slice of each band; empty-shingle
@@ -385,7 +427,7 @@ object Dedup {
 
     // exact-verify candidates (candidate count is LSH-bounded, not n²)
     candidates
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("common", graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= threshold)
