@@ -180,26 +180,28 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8,
       maxShingleDocFreq: CapSpec = CapSpec.Auto): DataFrame = {
-    // one tagged posting list: document frequency (the prefix order AND the
+    // One tagged posting list: document frequency (the prefix order AND the
     // cap) is computed over the COMBINED corpus, giving both sides the same
-    // global shingle order — required by the prefix-filter lemma
-    def posting(df: DataFrame, side: Int): DataFrame =
-      spread(df)
-        .select(col(idCol).as("doc_id"),
-          graft.functions.WordShingles(col(textCol), n).as("shingles"))
-        .select(col("doc_id"), explode(col("shingles")).as("sh_str"))
-        .select(lit(side).as("side"), col("doc_id"), xxhash64(col("sh_str")).as("h"))
+    // global shingle order — required by the prefix-filter lemma. Sides are
+    // tagged BEFORE the spread so the union shingles through a single
+    // repartition + codegen pipeline (two per-side spreads would shuffle
+    // the full text twice and duplicate the shingling stage).
+    def tag(df: DataFrame, side: Int): DataFrame =
+      df.select(lit(side).as("side"), col(idCol).as("doc_id"), col(textCol).as("_text"))
+    val tagged = tag(incoming, 0).unionAll(tag(corpus, 1))
     val capSpec = maxShingleDocFreq match {
       case CapSpec.Auto =>
-        val ndocs = incoming.select(idCol).count() + corpus.select(idCol).count()
+        val ndocs = tagged.count() // one job over the pre-spread union
         val c = math.max(1000L, ndocs / 1000L)
         if (ndocs <= c) None else Some(c)
       case CapSpec.Fixed(c) => Some(c)
       case CapSpec.Off => None
     }
-    val prof = buildProfiles(
-        posting(incoming, 0).unionAll(posting(corpus, 1)),
-        Seq("side", "doc_id"), threshold, capSpec)
+    val posting = spread(tagged)
+      .select(col("side"), col("doc_id"),
+        explode(graft.functions.WordShingles(col("_text"), n)).as("sh_str"))
+      .select(col("side"), col("doc_id"), xxhash64(col("sh_str")).as("h"))
+    val prof = buildProfiles(posting, Seq("side", "doc_id"), threshold, capSpec)
       .persist(StorageLevel.MEMORY_AND_DISK)
     def pre(s: Int, idName: String, nName: String, pName: String): DataFrame =
       prof.filter(col("side") === s)
