@@ -633,6 +633,22 @@ object EngineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Near-dup GROUP resolution: jaccard pairs (as in q32) contracted to
+    // connected components via alternating large-star/small-star — every
+    // document labeled with the min doc_id of its transitive near-dup
+    // cluster (itself when isolated). The full pairs→groups dedup pipeline
+    // in one query, exact-oracle-checked against a recursive-CTE closure.
+    "q66_dedup_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("text_lc"))
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text_lc",
+        n = 3, threshold = 0.5)
+      ops.Components.labelNodes(
+          docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
+        .select(col("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1249,6 +1265,30 @@ object EngineQueries {
            CAST(floor(coalesce(sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin
          FROM t ORDER BY doc_id""",
+    // transitive closure of the q32 pair set (threshold via the HAVING) as
+    // a recursive CTE — exponentially slower than star contraction but
+    // exact at oracle scale, and engine-independent
+    "q66_dedup_components" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 1, 1)),
+               i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\s+')[i+2])) AS grams
+           FROM documents),
+         inv AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh WHERE len(grams) > 0),
+         pairs AS (
+           SELECT a.doc_id AS u, b.doc_id AS v
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n, b.n
+           HAVING count(*) * 2 >= a.n + b.n - count(*)),
+         sym AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+         reach(node, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.node)
+         SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
+         FROM reach GROUP BY node ORDER BY doc_id""",
     "p01_pipeline_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
