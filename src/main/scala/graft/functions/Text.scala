@@ -104,10 +104,15 @@ object Text {
 
   /** Heuristic language ID: the language whose stopword list scores the most
     * hits; ties and zero-hit documents resolve to "und" (undetermined).
+    * Hit counts come from one native [[TextStats]] pass over the text
+    * (hash-set membership) instead of an interpreted filter +
+    * array_contains scan per language — same integers, same tie-break.
     */
   def langId(c: Column): Column = {
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, list) =>
-      struct(stopwordHits(c, list).as("hits"), lit(lang).as("lang"))
+    val langs = stopwords.toSeq.sortBy(_._1)
+    val st = TextStats(c, langs.map(_._2))
+    val scored = langs.zipWithIndex.map { case ((lang, _), i) =>
+      struct(st.getField("hits").getItem(i).as("hits"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
@@ -116,11 +121,21 @@ object Text {
   /** Composite quality score in [0,1]: length sweet-spot, moderate
     * punctuation, known-language stopword density. Deterministic and cheap;
     * the weights are heuristic by design.
+    *
+    * All three counts come from one native [[TextStats]] pass; each term
+    * keeps the exact arithmetic shape of its compositional definition
+    * (tokenCount / punctRatio / stopwordRatio), so scores are bit-identical
+    * to the pre-native form — q59's oracle mirrors the terms in SQL.
     */
   def qualityScore(c: Column): Column = {
-    val lenScore = least(tokenCount(c).cast("double") / 20.0, lit(1.0))
-    val punctScore = lit(1.0) - least(punctRatio(c) * 4.0, lit(1.0))
-    val stopScore = least(stopwordRatio(c, stopwords.values.flatten.toSeq) * 5.0, lit(1.0))
+    val st = TextStats(c, Seq(stopwords.values.flatten.toSeq))
+    val nWords = st.getField("n_words")
+    val lenScore = least(nWords.cast("double") / 20.0, lit(1.0))
+    val pRatio = st.getField("n_punct").cast("double") /
+      greatest(st.getField("n_chars"), lit(1))
+    val punctScore = lit(1.0) - least(pRatio * 4.0, lit(1.0))
+    val sRatio = st.getField("hits").getItem(0).cast("double") / greatest(nWords, lit(1))
+    val stopScore = least(sRatio * 5.0, lit(1.0))
     round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3), 4)
   }
 
