@@ -649,6 +649,32 @@ object EngineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Intra-document repetition filter (Gopher/RefinedWeb-style): fraction
+    // of repeated words / bigrams per doc, docs above 50% word repetition
+    // dropped — templated boilerplate detection as pure per-row scan work.
+    "q67_repetition_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+          Text.dupNgramRatio(col("text"), 1).as("word_rep_raw"),
+          Text.dupNgramRatio(col("text"), 2).as("bigram_rep_raw"))
+        .filter(col("word_rep_raw") <= 0.5)
+        .select(col("doc_id"),
+          round(col("word_rep_raw"), 6).as("word_rep"),
+          round(col("bigram_rep_raw"), 6).as("bigram_rep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Domain mixing: per-source deterministic content-hash sampling — 50%
+    // of src0, 25% of src1, 10% of everything else, reproducible in any
+    // engine with md5 and pushable to the scan as one predicate.
+    "q68_domain_mix" -> ((s, dir) => {
+      ops.Sampling.stratifiedByContentHash(t(s, dir, "documents"),
+          "text", "source", Map("src0" -> 0.5, "src1" -> 0.25),
+          defaultFraction = 0.1)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1289,6 +1315,32 @@ object EngineQueries {
            SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.node)
          SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
          FROM reach GROUP BY node ORDER BY doc_id""",
+    "q67_repetition_filter" ->
+      """WITH t AS (
+           SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS nw,
+             len(list_distinct(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0))) AS d1,
+             len(list_distinct(list_transform(range(1, greatest(len(string_split_regex(trim(text), '\s+')), 1)),
+               i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                    string_split_regex(trim(text), '\s+')[i+1]))) AS d2
+           FROM documents),
+         r AS (
+           SELECT doc_id,
+             CASE WHEN nw <= 0 THEN 0.0
+                  ELSE 1.0 - CAST(d1 AS DOUBLE) / nw END AS word_rep_raw,
+             CASE WHEN nw - 1 <= 0 THEN 0.0
+                  ELSE 1.0 - CAST(d2 AS DOUBLE) / (nw - 1) END AS bigram_rep_raw
+           FROM t)
+         SELECT doc_id, round(word_rep_raw, 6) AS word_rep,
+                round(bigram_rep_raw, 6) AS bigram_rep
+         FROM r WHERE word_rep_raw <= 0.5 ORDER BY doc_id""",
+    "q68_domain_mix" ->
+      """SELECT doc_id, source, lang FROM documents
+         WHERE md5(text) < CASE
+           WHEN source = 'src0' THEN '80000000000000000000000000000000'
+           WHEN source = 'src1' THEN '40000000000000000000000000000000'
+           ELSE '19999999999999999999999999999999' END
+         ORDER BY doc_id""",
     "p01_pipeline_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -145,4 +145,18 @@ object Text {
     */
   def fingerprint(c: Column, n: Int = 3): Column =
     array_min(transform(wordShingles(c, n), s => md5(s)))
+
+  /** Fraction of the document's word n-grams that are repeats of an earlier
+    * n-gram: `1 − distinct/total` (0 for docs shorter than n words) — the
+    * Gopher/RefinedWeb-style intra-document repetition signal; docs above
+    * ~0.2-0.3 are templated boilerplate or crawler loops. Distinct count
+    * rides the native [[WordShingles]] pass; total is arithmetic on the
+    * word count — pure per-row scan work at any corpus size.
+    */
+  def dupNgramRatio(c: Column, n: Int = 3): Column = {
+    val total = greatest(tokenCount(c) - lit(n - 1), lit(0))
+    val distinctN = size(WordShingles(c, n))
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) - distinctN.cast("double") / total)
+  }
 }

@@ -25,10 +25,43 @@ object Sampling {
     else df.filter(md5(col(keyCol)) < lit(hexCutoff(fraction)))
   }
 
+  /** Per-stratum deterministic sampling — the domain-mixing primitive: each
+    * stratum (source, language, quality bucket, ...) keeps its own fraction
+    * of rows, so a training mix like "50% src0, 25% src1, 10% of the rest"
+    * is one scan predicate. Same guarantees as [[byContentHash]]
+    * (reproducible, content-keyed, nested across fractions) per stratum;
+    * strata absent from `fractions` use `defaultFraction`.
+    *
+    * The per-stratum cutoff is a literal CASE chain (the mix spec is
+    * config-sized), so the filter stays a pushable scan predicate — no
+    * join, no shuffle, no broadcast at any corpus size.
+    */
+  def stratifiedByContentHash(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 1.0): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, "fractions must be in [0, 1]"))
+    val cutoff = fractions.toSeq.sortBy(_._1) match {
+      case Seq() => lit(hexCutoff(defaultFraction))
+      case (s0, f0) +: rest =>
+        rest.foldLeft(when(col(stratumCol) === s0, lit(hexCutoff(f0)))) {
+          case (acc, (s, f)) => acc.when(col(stratumCol) === s, lit(hexCutoff(f)))
+        }.otherwise(lit(hexCutoff(defaultFraction)))
+    }
+    df.filter(md5(col(keyCol)) < cutoff)
+  }
+
   /** 32-hex-digit cutoff = floor(fraction · 16^32), zero-padded — md5 hex
-    * strings of equal length compare lexicographically as numbers.
+    * strings of equal length compare lexicographically as numbers. Fraction
+    * 1.0 yields `"g"`, which every lowercase hex string sorts below (the
+    * 33-digit `0x1000…0` would otherwise win the length-sensitive string
+    * compare against only 1/16th of the digests).
     */
   private[ops] def hexCutoff(fraction: Double): String = {
+    if (fraction >= 1.0) return "g"
     val max = BigInt(1) << 128
     val cut = (BigDecimal(max) * BigDecimal(fraction)).toBigInt
     val hex = cut.toString(16)

@@ -141,6 +141,40 @@ class OpsSpec extends SparkSpec {
     assert(reparted == p10)
   }
 
+  test("Sampling.stratifiedByContentHash: per-stratum fractions, consistent with flat sampling") {
+    val corpus = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val mixed = Sampling.stratifiedByContentHash(corpus, "text", "source",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultFraction = 0.5)
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = corpus.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == totals("src0"))        // fraction 1.0 keeps all
+    assert(!bySrc.contains("src1"))                // fraction 0.0 keeps none
+    // a stratum at fraction f holds exactly the flat-f sample of its rows
+    // (same md5 cutoff ⇒ nested/reproducible per stratum)
+    val flat = Sampling.byContentHash(corpus.filter(col("source") === "src2"), "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val strat = mixed.filter(col("source") === "src2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strat == flat)
+  }
+
+  test("Text.dupNgramRatio: exact repeat fractions incl. short-doc guard") {
+    val df = Seq(
+      "a a a a",          // 4 words, 1 distinct -> 0.75; 3 bigrams, 1 distinct -> 2/3
+      "a b c d",          // all distinct -> 0.0, 0.0
+      "x",                // 1 word -> 0.0; no bigrams -> 0.0
+      "").toDF("t")
+    val r = df.select(
+      Text.dupNgramRatio(col("t"), 1).as("w"),
+      Text.dupNgramRatio(col("t"), 2).as("b")).collect()
+    assert(r(0).getDouble(0) == 0.75 && math.abs(r(0).getDouble(1) - 2.0 / 3) < 1e-12)
+    assert(r(1).getDouble(0) == 0.0 && r(1).getDouble(1) == 0.0)
+    assert(r(2).getDouble(0) == 0.0 && r(2).getDouble(1) == 0.0)
+    assert(r(3).getDouble(0) == 0.0 && r(3).getDouble(1) == 0.0)
+  }
+
   test("Packing.concatChunkBins: per-stream deterministic chunk assignment, exact offsets") {
     val df = Seq(
       (1L, "en", "a b c"), (2L, "en", "d e"), (3L, "en", "f g h i"),
