@@ -675,6 +675,26 @@ object EngineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Overlapping token-window chunking (RAG / context-window prep): each
+    // doc → windows of 40 tokens every 20, full coverage, no shuffle.
+    "q69_token_windows" -> ((s, dir) => {
+      ops.Packing.tokenWindows(t(s, dir, "documents"), "doc_id", "text",
+          window = 40, stride = 20)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Symmetric int8 embedding quantization (serialized as CSV text so the
+    // compare stays scalar): engine-portable floor(x+0.5) rounding.
+    "q70_quantize_int8" -> ((s, dir) => {
+      val q = ops.Ann.quantizeInt8(col("embedding"))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), q.as("qz"))
+        .select(col("vec_id"),
+          array_join(transform(col("qz.q"), x => x.cast("string")), ",").as("qvec"),
+          round(col("qz.scale"), 6).as("scale"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1341,6 +1361,32 @@ object EngineQueries {
            WHEN source = 'src1' THEN '40000000000000000000000000000000'
            ELSE '19999999999999999999999999999999' END
          ORDER BY doc_id""",
+    "q69_token_windows" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS ws
+           FROM documents),
+         c AS (
+           SELECT doc_id, ws,
+             unnest(range(0, CAST(floor(CAST(greatest(len(ws) - 40, 0) AS DOUBLE) / 20) AS INT) + 1)) AS chunk_idx
+           FROM w WHERE len(ws) > 0)
+         SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(list_slice(ws, chunk_idx * 20 + 1, chunk_idx * 20 + 40), ' ') AS chunk,
+           CAST(len(list_slice(ws, chunk_idx * 20 + 1, chunk_idx * 20 + 40)) AS INT) AS n_tokens
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "q70_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (SELECT vec_id, v,
+                 coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS ma
+               FROM e),
+         q AS (SELECT vec_id, v,
+                 CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END AS sc
+               FROM s)
+         SELECT vec_id,
+           array_to_string(list_transform(v,
+             x -> CAST(greatest(-127, least(127, floor(x * sc + 0.5))) AS INT)), ',') AS qvec,
+           round(sc, 6) AS scale
+         FROM q ORDER BY vec_id""",
     "p01_pipeline_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -43,4 +43,33 @@ object Packing {
       .withColumn("offset", coalesce(sum(col("tok")).over(w), lit(0L)))
       .withColumn("bin", floor(col("offset") / budget))
   }
+
+  /** Overlapping token windows per document — the RAG / context-window
+    * chunker: each doc splits into windows of `window` tokens starting
+    * every `stride` tokens, the last start position being the largest
+    * multiple of `stride` ≤ max(n − window, 0) (full coverage, no trailing
+    * fragment; docs shorter than `window` yield themselves as one chunk;
+    * empty docs yield nothing). Pure per-row generate — tokenize once,
+    * explode the start indices, slice — no shuffle at any corpus size.
+    *
+    * Output: (idCol, chunk_idx, chunk, n_tokens).
+    */
+  def tokenWindows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1, "window and stride must be >= 1")
+    val ws = filter(split(trim(col(textCol)), "\\s+"), w => length(w) > 0)
+    df.select(col(idCol), ws.as("_ws"))
+      .filter(size(col("_ws")) > 0)
+      .select(col(idCol), col("_ws"),
+        explode(sequence(lit(0),
+          floor(greatest(size(col("_ws")) - window, lit(0)).cast("double") / stride)
+            .cast("int"))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("_ws"), col("chunk_idx") * stride + 1, lit(window)), " ").as("chunk"),
+        size(slice(col("_ws"), col("chunk_idx") * stride + 1, lit(window))).as("n_tokens"))
+  }
 }

@@ -175,6 +175,35 @@ class OpsSpec extends SparkSpec {
     assert(r(3).getDouble(0) == 0.0 && r(3).getDouble(1) == 0.0)
   }
 
+  test("Packing.tokenWindows: overlap, short docs, full coverage, empty drop") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words, W=4 S=2 -> starts 0,2,4,6
+      (2L, "a b"),                                    // shorter than W -> itself
+      (3L, "   ")                                     // no tokens -> no rows
+    ).toDF("doc_id", "text")
+    val r = Packing.tokenWindows(df, "doc_id", "text", window = 4, stride = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = r.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    assert(d1.head.getString(2) == "w1 w2 w3 w4")
+    assert(d1.last.getString(2) == "w7 w8 w9 w10")
+    assert(d1.forall(_.getInt(3) == 4))
+    val d2 = r.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getString(2) == "a b" && d2.head.getInt(3) == 2)
+    assert(!r.exists(_.getLong(0) == 3L))
+  }
+
+  test("Ann.quantizeInt8: clamp, zero-vector guard, round-trip error bound") {
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.5f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "v")
+    val r = df.select(col("vec_id"), Ann.quantizeInt8(col("v")).as("qz"))
+      .select(col("vec_id"), col("qz.q"), col("qz.scale")).orderBy("vec_id").collect()
+    assert(r(0).getSeq[Int](1) == Seq(64, -127, 32)) // scale 63.5: 63.5->64, -127, 31.75->32
+    assert(r(0).getDouble(2) == 63.5)
+    assert(r(1).getSeq[Int](1) == Seq(0, 0, 0) && r(1).getDouble(2) == 0.0)
+  }
+
   test("Packing.concatChunkBins: per-stream deterministic chunk assignment, exact offsets") {
     val df = Seq(
       (1L, "en", "a b c"), (2L, "en", "d e"), (3L, "en", "f g h i"),
