@@ -884,6 +884,25 @@ object EngineQueries {
                FROM tp_feat GROUP BY lang ORDER BY lang""")))))
     }),
 
+    // Declarative text-curation pipeline over the extension SQL functions
+    // (quality_score / lang_id / token_count / dup_word_ratio are the same
+    // native-expression implementations the Scala API uses).
+    "p12_pipeline_curation" -> ((s, dir) => {
+      pipe(s, Aqueduct(
+        sources = Seq(FileSource("pc_docs", ParquetFormat(),
+          Location(s"$dir/documents.parquet"))),
+        stages = Seq(
+          Seq(Stage("pc_scored",
+            """SELECT doc_id, lang_id(text) AS lid, quality_score(text) AS q,
+               token_count(text) AS tok, dup_word_ratio(text) AS rep
+               FROM pc_docs""")),
+          Seq(Stage("pc_result",
+            """SELECT lid, count(*) AS n_docs, round(avg(q), 6) AS avg_quality,
+               CAST(sum(tok) AS BIGINT) AS total_tokens,
+               round(avg(rep), 6) AS avg_rep
+               FROM pc_scored WHERE q >= 0.5 GROUP BY lid ORDER BY lid""")))))
+    }),
+
     "p09_pipeline_dirsource" -> ((s, dir) => {
       val dirRoot = tmp("graft-p09").resolve("orders_dir").toString
       t(s, dir, "orders")
@@ -1428,6 +1447,44 @@ object EngineQueries {
     "p09_pipeline_dirsource" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
          WHERE o_orderstatus = 'F' AND o_custkey < 500 ORDER BY o_orderkey""",
+    "p12_pipeline_curation" ->
+      """WITH s AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ltoks,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+             greatest(length(text), 1) AS n_chars
+           FROM documents),
+         h AS (
+           SELECT doc_id, len(toks) AS n_tok, n_punct, n_chars,
+             len(list_distinct(toks)) AS n_dist,
+             len(list_filter(ltoks, w -> w IN ('the','and','of','to','in','is','that','for','with','was'))) AS h_en,
+             len(list_filter(ltoks, w -> w IN ('der','die','und','das','ist','nicht','ein','mit','für','von'))) AS h_de,
+             len(list_filter(ltoks, w -> w IN ('el','la','los','que','de','en','es','por','con','para'))) AS h_es,
+             len(list_filter(ltoks, w -> w IN ('le','la','les','et','des','est','pour','dans','une','que'))) AS h_fr,
+             len(list_filter(ltoks, w -> w IN ('the','and','of','to','in','is','that','for','with','was',
+                        'der','die','und','das','ist','nicht','ein','mit','für','von',
+                        'le','la','les','et','des','est','pour','dans','une','que',
+                        'el','los','de','en','es','por','con','para'))) AS n_stop
+           FROM s),
+         c AS (
+           SELECT doc_id,
+             CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+                  WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
+                  WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+                  WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+                  ELSE 'de' END AS lid,
+             round(least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
+               + (1.0 - least((CAST(n_punct AS DOUBLE) / n_chars) * 4.0, 1.0)) * 0.3
+               + least((CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 5.0, 1.0) * 0.3, 4) AS q,
+             n_tok AS tok,
+             CASE WHEN n_tok <= 0 THEN 0.0
+                  ELSE 1.0 - CAST(n_dist AS DOUBLE) / n_tok END AS rep
+           FROM h)
+         SELECT lid, count(*) AS n_docs, round(avg(q), 6) AS avg_quality,
+                CAST(sum(tok) AS BIGINT) AS total_tokens,
+                round(avg(rep), 6) AS avg_rep
+         FROM c WHERE q >= 0.5 GROUP BY lid ORDER BY lid""",
     "p10_pipeline_textprep" ->
       """WITH w AS (
            SELECT doc_id, lang, md5(text) AS digest,

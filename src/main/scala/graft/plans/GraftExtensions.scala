@@ -42,5 +42,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "dot_product(a, b) expects two double-array columns")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[graft.functions.SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.functions.SortedIntersectCount(a, b)
+        case _ => throw new IllegalArgumentException(
+          "sorted_intersect_count(a, b) expects two sorted bigint-array columns")
+      }))
+    // Column-built text functions exposed to stage SQL: the builder wraps
+    // the argument expression as a Column, reuses the library definition,
+    // and unwraps the resulting expression tree — one definition, two APIs.
+    def columnFn(name: String, build: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+        : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+      new FunctionIdentifier(name),
+      new ExpressionInfo(graft.functions.Text.getClass.getName, name),
+      (args: Seq[Expression]) => args match {
+        case Seq(e) => org.apache.spark.sql.GraftShims.convertedExpression(
+          build(org.apache.spark.sql.GraftShims.column(e)))
+        case _ => throw new IllegalArgumentException(s"$name(text) expects one string column")
+      })
+    ext.injectFunction(columnFn("quality_score", graft.functions.Text.qualityScore))
+    ext.injectFunction(columnFn("lang_id", graft.functions.Text.langId))
+    ext.injectFunction(columnFn("token_count", c => graft.functions.Text.tokenCount(c)))
+    ext.injectFunction(columnFn("dup_word_ratio", c => graft.functions.Text.dupNgramRatio(c, 1)))
   }
 }

@@ -8,4 +8,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column's node tree to a Catalyst expression tree
+    * (function calls become `UnresolvedFunction`s the analyzer resolves).
+    * `expression` wraps lazily in a `ColumnNodeExpression`, which only the
+    * DataFrame construction path converts — an expression returned from an
+    * injected SQL FunctionBuilder must already be a plain Catalyst tree.
+    */
+  def convertedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -46,6 +46,25 @@ class TextStatsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1), r.toString))
   }
 
+  test("SQL-registered text functions match the Scala API column forms") {
+    val sqlR = spark.sql(
+      """SELECT quality_score('the quick brown fox and the lazy dog') AS q,
+                lang_id('der hund ist nicht mit der katze') AS l,
+                token_count('  a b   c ') AS t,
+                dup_word_ratio('a a b b') AS r,
+                sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS c""").head()
+    val apiR = Seq(("x")).toDF("ignore").select(
+      Text.qualityScore(lit("the quick brown fox and the lazy dog")),
+      Text.langId(lit("der hund ist nicht mit der katze")),
+      Text.tokenCount(lit("  a b   c ")),
+      Text.dupNgramRatio(lit("a a b b"), 1)).head()
+    assert(sqlR.getDouble(0) == apiR.getDouble(0))
+    assert(sqlR.getString(1) == apiR.getString(1) && sqlR.getString(1) == "de")
+    assert(sqlR.getInt(2) == apiR.getInt(2) && sqlR.getInt(2) == 3)
+    assert(sqlR.getDouble(3) == apiR.getDouble(3) && sqlR.getDouble(3) == 0.5)
+    assert(sqlR.getInt(4) == 2)
+  }
+
   test("TextStats: null text yields null struct; no lists yields empty hits") {
     val df = Seq[Option[String]](None, Some("x y")).toDF("t")
     val r = df.select(TextStats(col("t"), Seq.empty)).collect()
