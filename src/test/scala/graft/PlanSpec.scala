@@ -59,6 +59,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  // the only allowed exchange is the final rangepartitioning sort the
+  // oracle-determinism orderBy adds — the operator itself must not shuffle
+  // (joins/aggregations would show a hashpartitioning exchange)
+  private def onlyOutputSortExchanges(p: String): Boolean =
+    !p.contains("hashpartitioning") && !p.contains("SinglePartition")
+
+  test("q69: token-window chunking never shuffles (pure per-row generate)") {
+    val p = plan("q69_token_windows")
+    assert(onlyOutputSortExchanges(p), p)
+    assert(p.contains("Generate"), p) // explode of window starts
+  }
+
+  test("q68: domain-mix sampling is a single scan filter, no join or shuffle") {
+    val p = plan("q68_domain_mix")
+    assert(onlyOutputSortExchanges(p), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Filter"), p)
+  }
+
+  test("q66: component contraction joins stay hash-keyed (no cartesian at any round)") {
+    val p = plan("q66_dedup_components")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q35: ANN brute force broadcasts the query set (single corpus scan)") {
     val p = plan("q35_ann_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
