@@ -59,6 +59,13 @@ class ComponentsSpec extends SparkSpec {
     assert(keep == Set(1L, 9L))
   }
 
+  test("connectedComponents: string ids use lexicographic ordering") {
+    val edges = Seq(("b", "c"), ("c", "a"), ("x", "y")).toDF("s", "d")
+    val got = Components.connectedComponents(edges, "s", "d")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("connectedComponents: long path needs multiple rounds, still exact") {
     // 0-1-2-...-63: worst case for naive propagation; star alternation
     // contracts it in O(log n) rounds
