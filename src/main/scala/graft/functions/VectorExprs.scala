@@ -79,3 +79,76 @@ object DotProduct {
       GraftShims.expression(a.cast("array<double>")),
       GraftShims.expression(b.cast("array<double>"))))
 }
+
+object QuantizeUtil {
+  /** Symmetric int8 quantization in one pass: scale = 127/max|v|, q_i =
+    * clamp(⌊v_i·scale + 0.5⌋, ±127); zero/empty vectors quantize to zeros
+    * with scale 0. Null elements poison the result to NULL (same as the
+    * compositional transform form). Arithmetic matches the documented
+    * engine-portable definition bit-for-bit (floor(x+0.5) half-up).
+    */
+  def quantize(v: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val a = math.abs(v.getDouble(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = if (maxAbs > 0) 127.0 / maxAbs else 0.0
+    val q = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      val x = math.floor(v.getDouble(i) * scale + 0.5)
+      q(i) = Integer.valueOf(math.max(-127.0, math.min(127.0, x)).toInt)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new org.apache.spark.sql.catalyst.util.GenericArrayData(q), scale))
+  }
+}
+
+/** `quantize_int8(v)`: one-pass native form of [[graft.ops.Ann.quantizeInt8]]
+  * — `struct(q: array<int>, scale: double)`. The compositional transform
+  * form walks the array once per HOF lambda, interpreted; this is a single
+  * codegen'd loop.
+  */
+case class QuantizeInt8(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | NullType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"quantize_int8 expects an array<double> input, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("q",
+      ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)),
+    org.apache.spark.sql.types.StructField("scale",
+      DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "quantize_int8"
+
+  override def nullSafeEval(v: Any): Any =
+    QuantizeUtil.quantize(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("qz")
+      s"""
+         |InternalRow $r = graft.functions.QuantizeUtil.quantize($a);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+}
+
+object QuantizeInt8 {
+  def apply(v: Column): Column =
+    GraftShims.column(QuantizeInt8(GraftShims.expression(v.cast("array<double>"))))
+}

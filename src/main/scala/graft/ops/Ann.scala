@@ -253,19 +253,12 @@ object Ann {
     * serving tier: `scale = 127 / max|v_i|`, `q_i = clamp(⌊v_i·scale +
     * 0.5⌋, ±127)` (half-up rounding spelled as floor(x+0.5) so every
     * engine reproduces it bit-for-bit; an all-zero vector quantizes to
-    * zeros with scale 0). Returns `struct(q: array<int>, scale: double)`;
-    * dequantize as `q_i / scale`. Pure per-row expression work — no
-    * shuffle, no UDF.
+    * zeros with scale 0; a null element nulls the result). Returns
+    * `struct(q: array<int>, scale: double)`; dequantize as `q_i / scale`.
+    * One native codegen'd pass ([[graft.functions.QuantizeInt8]]) — no
+    * shuffle, no UDF, no interpreted per-element lambdas.
     */
-  def quantizeInt8(vec: Column): Column = {
-    val v = vec.cast("array<double>")
-    val maxAbs = array_max(transform(v, x => abs(x)))
-    val scale = when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0))
-    struct(
-      transform(v, x =>
-        greatest(lit(-127), least(lit(127), floor(x * scale + 0.5).cast("int")))).as("q"),
-      scale.as("scale"))
-  }
+  def quantizeInt8(vec: Column): Column = graft.functions.QuantizeInt8(vec)
 
   /** Approximate top-k: LSH-bucketed candidate pruning + exact re-rank.
     *
