@@ -148,6 +148,40 @@ object Streams {
       }
       .start()
 
+  /** Streaming near-dup-filtered ingest: each micro-batch is exact-checked
+    * against the STATIC lake corpus — content digests (exact dups) AND
+    * cross-corpus n-gram jaccard (near-dups) — and only the survivors reach
+    * `write`. Runs the full batch operators per micro-batch via
+    * `foreachBatch` (the standard shape for stream-vs-static dedup: micro-
+    * batches are bounded, so the prefix-filtered jaccard join is a small
+    * batch job; no stream-stream join restrictions, no unbounded state).
+    * The corpus frame is re-read per batch — point it at the lake table the
+    * survivors land in to also catch dups against earlier batches.
+    */
+  def nearDupFilteredSink(
+      df: DataFrame,
+      corpus: () => DataFrame,
+      idCol: String,
+      textCol: String,
+      checkpointDir: String,
+      n: Int = 3,
+      threshold: Double = 0.8)(
+      write: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val c = corpus()
+          val fresh = graft.ops.Dedup.exactNewOnly(batch, c, textCol)
+          val nearIds = graft.ops.Dedup.ngramJaccardAgainst(
+              fresh, c, idCol, textCol, n = n, threshold = threshold)
+            .select(org.apache.spark.sql.functions.col("id_in").as(idCol)).distinct()
+          write(fresh.join(nearIds, Seq(idCol), "left_anti"))
+        }
+      }
+      .start()
+
   /** Drive a streaming frame into an in-memory sink and block until all
     * currently-available input is processed (test/debug harness).
     */

@@ -42,6 +42,32 @@ class StreamsSpec extends SparkSpec {
     assert(clicks.head.getDouble(4) == 3.0)
   }
 
+  test("nearDupFilteredSink drops exact and near dups vs the static corpus per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (101L, "completely unrelated corpus text about spark engines and big data")
+    ).toDF("doc_id", "text")
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val landed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ckpt = tmpDir("graft-neardup-ckpt").toString
+    val q = Streams.nearDupFilteredSink(stream, () => corpus, "doc_id", "text",
+        ckpt, n = 3, threshold = 0.5) { batch =>
+      landed.synchronized { landed ++= batch.select("doc_id").collect().map(_.getLong(0)) }
+    }
+    input.addData(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"), // exact dup
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away now"),  // near dup
+      (3L, "a genuinely fresh document with entirely novel words nobody wrote"))
+    q.processAllAvailable()
+    input.addData((4L, "another fresh one arriving in a later micro batch entirely"))
+    q.processAllAvailable()
+    q.stop()
+    assert(landed.sorted == Seq(3L, 4L), landed)
+  }
+
   test("dedupedStream drops in-horizon duplicate keys, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
