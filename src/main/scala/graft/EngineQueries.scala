@@ -695,6 +695,17 @@ object EngineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Token-budget data selection: best-quality docs per language until a
+    // 2000-token budget fills — greedy window admission, deterministic.
+    "q71_budget_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("q", Text.qualityScore(col("text")))
+      ops.Packing.selectByTokenBudget(docs, Seq("lang"), col("q"), "doc_id",
+          Text.tokenCount(col("text")), budget = 2000L)
+        .select(col("doc_id"), col("lang"), col("q"), col("tok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1380,6 +1391,32 @@ object EngineQueries {
            WHEN source = 'src1' THEN '40000000000000000000000000000000'
            ELSE '19999999999999999999999999999999' END
          ORDER BY doc_id""",
+    "q71_budget_select" ->
+      """WITH s AS (
+           SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS tok,
+             len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS n_tok,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               w -> w IN ('the','and','of','to','in','is','that','for','with','was',
+                          'der','die','und','das','ist','nicht','ein','mit','für','von',
+                          'le','la','les','et','des','est','pour','dans','une','que',
+                          'el','los','de','en','es','por','con','para'))) AS n_stop,
+             greatest(length(text), 1) AS n_chars
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, tok,
+             round(least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
+               + (1.0 - least((CAST(n_punct AS DOUBLE) / n_chars) * 4.0, 1.0)) * 0.3
+               + least((CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 5.0, 1.0) * 0.3, 4) AS q
+           FROM s),
+         b AS (
+           SELECT doc_id, lang, q, tok,
+             coalesce(sum(tok) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_tok
+           FROM c)
+         SELECT doc_id, lang, q, tok FROM b
+         WHERE before_tok < 2000 ORDER BY doc_id""",
     "q69_token_windows" ->
       """WITH w AS (
            SELECT doc_id,

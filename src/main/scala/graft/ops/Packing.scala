@@ -44,6 +44,33 @@ object Packing {
       .withColumn("bin", floor(col("offset") / budget))
   }
 
+  /** Greedy token-budget selection — "take the best documents until the
+    * budget fills": within each partition stream, documents are admitted in
+    * priority order (ties broken by `orderCol` for determinism) while the
+    * cumulative token count of already-admitted documents is below
+    * `budget`. One window per stream, no driver state; the admitted set is
+    * deterministic and engine-reproducible when `priority` is (e.g. the
+    * 4-dp quality score). The standard data-selection shape for assembling
+    * a fixed-size training mix from a quality-ranked corpus.
+    */
+  def selectByTokenBudget(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      priority: Column,
+      orderCol: String,
+      tokens: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w0 = if (partitionCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partitionCols.map(col): _*)
+    val w = w0.orderBy(priority.desc, col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("tok", tokens.cast("long"))
+      .withColumn("_before", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .filter(col("_before") < budget)
+      .drop("_before")
+  }
+
   /** Overlapping token windows per document — the RAG / context-window
     * chunker: each doc splits into windows of `window` tokens starting
     * every `stride` tokens, the last start position being the largest

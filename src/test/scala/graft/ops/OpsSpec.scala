@@ -193,6 +193,20 @@ class OpsSpec extends SparkSpec {
     assert(!r.exists(_.getLong(0) == 3L))
   }
 
+  test("Packing.selectByTokenBudget: greedy per-stream admission, deterministic ties") {
+    val df = Seq(
+      ("en", 1L, 0.9, 50L), ("en", 2L, 0.8, 60L), ("en", 3L, 0.7, 10L),
+      ("de", 4L, 0.5, 100L), ("de", 5L, 0.9, 100L),
+      ("fr", 6L, 0.5, 500L)) // over budget alone, but first in its stream
+      .toDF("lang", "doc_id", "q", "ntok")
+    val got = Packing.selectByTokenBudget(df, Seq("lang"), col("q"), "doc_id",
+        col("ntok"), budget = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // en: 0.9 (before 0) + 0.8 (before 50) admitted; 0.7 (before 110) not.
+    // de: 0.9 first (before 0); 0.5 (before 100) not. fr: first doc always.
+    assert(got == Set(1L, 2L, 5L, 6L))
+  }
+
   test("Ann.quantizeInt8: clamp, zero-vector guard, round-trip error bound") {
     val df = Seq(
       (1L, Seq(1.0f, -2.0f, 0.5f)),
