@@ -706,6 +706,19 @@ object EngineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Benchmark-contamination scoring: fraction of each training doc's
+    // word 3-grams present anywhere in the "benchmark" reference slice —
+    // one corpus pass, reference set broadcast-small.
+    "q72_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramOverlapScore(
+          docs.filter(col("doc_id") >= 250), "doc_id", "text",
+          docs.filter(col("doc_id") < 100), "text", n = 3)
+        .select(col("doc_id"), col("n_shingles"), col("n_matched"),
+          round(col("overlap"), 6).as("overlap"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1391,6 +1404,24 @@ object EngineQueries {
            WHEN source = 'src1' THEN '40000000000000000000000000000000'
            ELSE '19999999999999999999999999999999' END
          ORDER BY doc_id""",
+    "q72_contamination" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+               i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                    string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(text), '\s+')[i+2])) AS grams
+           FROM documents),
+         ref AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id < 100),
+         d AS (SELECT doc_id, grams FROM sh WHERE doc_id >= 250),
+         inv AS (SELECT doc_id, unnest(grams) AS g FROM d),
+         m AS (SELECT i.doc_id, count(*) AS n_matched
+               FROM inv i JOIN ref r ON i.g = r.g GROUP BY i.doc_id)
+         SELECT d.doc_id, CAST(len(d.grams) AS BIGINT) AS n_shingles,
+                CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+                round(CAST(coalesce(m.n_matched, 0) AS DOUBLE) /
+                      greatest(len(d.grams), 1), 6) AS overlap
+         FROM d LEFT JOIN m ON d.doc_id = m.doc_id ORDER BY d.doc_id""",
     "q71_budget_select" ->
       """WITH s AS (
            SELECT doc_id, lang,

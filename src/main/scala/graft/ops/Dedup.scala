@@ -336,6 +336,54 @@ object Dedup {
       scored.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** N-gram overlap (contamination) scoring against a reference corpus —
+    * the benchmark-decontamination primitive: for every document, the
+    * fraction of its distinct word n-grams that appear anywhere in
+    * `reference` (eval sets, held-out data). Docs above a small threshold
+    * are contamination suspects.
+    *
+    * Plan shape at scale: the reference's distinct shingle hashes are a
+    * compact single-column frame (benchmark sets are tiny next to a
+    * training corpus — Catalyst broadcasts them; AQE decides otherwise when
+    * not). The corpus explodes once, a left join against the reference set
+    * marks matches, and a single per-doc aggregate counts totals and
+    * matches together — one pass over the corpus, no corpus self-join,
+    * nothing driver-side. Docs shorter than n words
+    * have no shingles and score 0 over 0 shingles (reported, not dropped).
+    */
+  def ngramOverlapScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      reference: DataFrame,
+      refTextCol: String,
+      n: Int = 8): DataFrame = {
+    val refHashes = spread(reference)
+      .select(explode(graft.functions.WordShingles(col(refTextCol), n)).as("sh"))
+      .select(xxhash64(col("sh")).as("h"))
+      .distinct()
+    val docHashes = spread(docs)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.WordShingles(col(textCol), n).as("shingles"))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    // one shingle pass: a left join against the (distinct) reference set
+    // marks matches, and a single aggregate counts both totals — count(_m)
+    // skips the nulls of unmatched shingles
+    val agg = docHashes
+      .join(refHashes.withColumn("_m", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("_m")).as("n_matched"))
+    // every input doc gets a row: short docs (no shingles) score 0 over 0
+    docs.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("overlap",
+        col("n_matched").cast("double") / greatest(col("n_shingles"), lit(1L)))
+  }
+
   /** Deterministic MinHash signature + banded LSH candidate pairs, verified
     * with exact Jaccard.
     *

@@ -124,6 +124,21 @@ class OpsSpec extends SparkSpec {
     assert(!keys.exists { case (a, b) => a == 3L || b == 3L }) // unrelated text
   }
 
+  test("Dedup.ngramOverlapScore: exact contamination fractions incl. short docs") {
+    val ref = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta"),      // all 2 3-grams in ref -> 1.0
+      (11L, "alpha beta gamma other words"), // 1 of 3 -> 1/3
+      (12L, "totally novel content here"),   // 0 of 2 -> 0.0
+      (13L, "short one")                     // no 3-grams -> 0 over 0
+    ).toDF("doc_id", "text")
+    val r = Dedup.ngramOverlapScore(corpus, "doc_id", "text", ref, "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((10L, 2L, 2L), (11L, 3L, 1L), (12L, 2L, 0L), (13L, 0L, 0L)))
+    assert(r(0).getDouble(3) == 1.0 && r(3).getDouble(3) == 0.0)
+  }
+
   test("Sampling.byContentHash: deterministic, content-keyed, nested across fractions") {
     val corpus = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
     def ids(f: Double) = Sampling.byContentHash(corpus, "text", f)
