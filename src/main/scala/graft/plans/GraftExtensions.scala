@@ -43,6 +43,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "dot_product(a, b) expects two double-array columns")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("quantize_int8"),
+      new ExpressionInfo(classOf[graft.functions.QuantizeInt8].getName, "quantize_int8"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) =>
+          import org.apache.spark.sql.catalyst.expressions.Cast
+          import org.apache.spark.sql.types.{ArrayType, DoubleType}
+          graft.functions.QuantizeInt8(Cast(v, ArrayType(DoubleType)))
+        case _ => throw new IllegalArgumentException(
+          "quantize_int8(v) expects one numeric-array column")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[graft.functions.SortedIntersectCount].getName,
         "sorted_intersect_count"),

@@ -63,6 +63,9 @@ class TextStatsSpec extends SparkSpec {
     assert(sqlR.getInt(2) == apiR.getInt(2) && sqlR.getInt(2) == 3)
     assert(sqlR.getDouble(3) == apiR.getDouble(3) && sqlR.getDouble(3) == 0.5)
     assert(sqlR.getInt(4) == 2)
+    val qz = spark.sql(
+      "SELECT quantize_int8(array(1.0F, -2.0F, 0.5F)) AS z").head().getStruct(0)
+    assert(qz.getSeq[Int](0) == Seq(64, -127, 32) && qz.getDouble(1) == 63.5)
   }
 
   test("TextStats: null text yields null struct; no lists yields empty hits") {
