@@ -48,12 +48,15 @@ object Components {
       dstCol: String,
       maxRounds: Int = 50): DataFrame = {
     // canonical undirected edge (big, small), self-loops dropped
+    // lazy localCheckpoint: the signature aggregate below is the action
+    // that materializes AND truncates each round — one job per round, not
+    // an eager-checkpoint job plus a signature job
     var e = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.select(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
@@ -68,7 +71,7 @@ object Components {
       if (round > maxRounds)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxRounds rounds")
-      val next = smallStar(largeStar(e)).distinct().localCheckpoint()
+      val next = smallStar(largeStar(e)).distinct().localCheckpoint(eager = false)
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig

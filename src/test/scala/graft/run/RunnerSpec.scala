@@ -318,5 +318,12 @@ class RunnerSpec extends SparkSpec {
     // dedup really deduplicated: fewer or equal rows than the corpus
     val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(clean.count() <= corpus)
+
+    Runner.runFile(spark, java.nio.file.Paths.get("examples/text_curation.yml"),
+      Map("sf_dir" -> sf, "out_dir" -> out.resolve("cur").toString), new CollectingTracker)
+    val curated = spark.read.parquet(out.resolve("cur/curated").toString)
+    assert(curated.columns.toSet ==
+      Set("doc_id", "lang", "lang_pred", "quality", "n_tokens"))
+    assert(curated.count() > 0 && curated.count() < corpus) // filter has bite
   }
 }
