@@ -71,6 +71,18 @@ class ScaleSpec extends SparkSpec {
     assert(uncapped.count() == 300L * 299 / 2)
   }
 
+  test("PPJoin frequency-ordered prefixes sideline a hot shingle without any cap") {
+    // same corpus-wide hot shingle, but at a threshold its 1-shingle overlap
+    // cannot reach: the hot shingle has maximal doc frequency, so it sorts
+    // into every doc's (unindexed) suffix — the candidate join never fans
+    // out on it, and the result is the true empty set even with CapSpec.Off
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"common hot shingle unique$i tail$i word$i end$i")).toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxShingleDocFreq = graft.ops.CapSpec.Off)
+    assert(pairs.count() == 0)
+  }
+
   test("stop-shingle cut re-sizes docs: near-dups survive with exact capped-universe jaccard") {
     // each pair (2k, 2k+1) shares its entire non-hot shingle set; ALL docs
     // share one hot 3-gram. Sizing over the ORIGINAL universe would score
