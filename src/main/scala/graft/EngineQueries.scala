@@ -1455,7 +1455,7 @@ object EngineQueries {
            FROM documents),
          c AS (
            SELECT doc_id, ws,
-             unnest(range(0, CAST(floor(CAST(greatest(len(ws) - 40, 0) AS DOUBLE) / 20) AS INT) + 1)) AS chunk_idx
+             unnest(range(0, CAST(ceil(CAST(greatest(len(ws) - 40, 0) AS DOUBLE) / 20) AS INT) + 1)) AS chunk_idx
            FROM w WHERE len(ws) > 0)
          SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
            array_to_string(list_slice(ws, chunk_idx * 20 + 1, chunk_idx * 20 + 40), ' ') AS chunk,

@@ -40,7 +40,7 @@ object ConfigParser {
 
   def fromFile(path: java.nio.file.Path, params: Map[String, String] = Map.empty): Aqueduct = {
     val raw = java.nio.file.Files.readString(path)
-    val name = path.getFileName.toString.toLowerCase
+    val name = path.getFileName.toString.toLowerCase(java.util.Locale.ROOT)
     if (name.endsWith(".yml") || name.endsWith(".yaml")) fromYaml(raw, params)
     else if (name.endsWith(".json")) fromJson(raw, params)
     else if (name.endsWith(".toml")) fromToml(raw, params)
@@ -157,7 +157,7 @@ object ConfigParser {
   }
 
   private def parseTableWriteMode(n: JsonNode): TableWriteMode = {
-    str(n, "operation").map(_.toLowerCase) match {
+    str(n, "operation").map(_.toLowerCase(java.util.Locale.ROOT)) match {
       case Some("append") => TableAppend
       case Some("upsert") =>
         TableUpsert(strArr(Option(n.get("params"))))
@@ -169,7 +169,7 @@ object ConfigParser {
   }
 
   private def parseJdbcWriteMode(n: JsonNode): JdbcWriteMode =
-    str(n, "operation").map(_.toLowerCase) match {
+    str(n, "operation").map(_.toLowerCase(java.util.Locale.ROOT)) match {
       case Some("append") => JdbcAppend
       case Some("custom") =>
         val tx = Option(n.get("transaction")).filterNot(_.isNull)
@@ -202,7 +202,7 @@ object ConfigParser {
   // ---------------------------------------------------------------- helpers
 
   private def tag(n: JsonNode, what: String): String =
-    str(n, "type").map(_.toLowerCase).getOrElse(fail(n, s"$what requires a 'type' tag"))
+    str(n, "type").map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse(fail(n, s"$what requires a 'type' tag"))
 
   private def formatNode(n: JsonNode): JsonNode =
     first(n, "format", "file_type").getOrElse(fail(n, "file source/destination requires 'format'"))

@@ -43,7 +43,7 @@ object Types {
 
   def parse(s: String): DataType = {
     val t = s.trim
-    simple.get(t.toLowerCase) match {
+    simple.get(t.toLowerCase(java.util.Locale.ROOT)) match {
       case Some(dt) => dt
       case None     => parseParameterized(t)
     }
@@ -72,7 +72,7 @@ object Types {
   private def parseParameterized(s: String): DataType = {
     val open = s.indexOf('<')
     require(open > 0 && s.endsWith(">"), s"Unknown data type: $s")
-    val name = s.substring(0, open).trim.toLowerCase
+    val name = s.substring(0, open).trim.toLowerCase(java.util.Locale.ROOT)
     val params = splitTopLevel(s.substring(open + 1, s.length - 1))
     name match {
       case "list" | "large_list" =>
@@ -104,7 +104,7 @@ object Types {
         validateTimeUnit(params.head)
         DayTimeIntervalType()
       case "interval" =>
-        params.map(_.trim.toLowerCase) match {
+        params.map(_.trim.toLowerCase(java.util.Locale.ROOT)) match {
           case Seq("year_month") => YearMonthIntervalType()
           case Seq("day_time")   => DayTimeIntervalType()
           case Seq("month_day_nano") => CalendarIntervalType
@@ -130,7 +130,7 @@ object Types {
     StructField(p.substring(0, idx).trim, parse(p.substring(idx + 1)), nullable = true)
   }
 
-  private def validateTimeUnit(s: String): Unit = s.trim.toLowerCase match {
+  private def validateTimeUnit(s: String): Unit = s.trim.toLowerCase(java.util.Locale.ROOT) match {
     case "second" | "s" | "millisecond" | "ms" | "microsecond" | "us" | "nanosecond" | "ns" => ()
     case other => throw new IllegalArgumentException(s"Unknown time unit: $other")
   }

@@ -26,8 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * distinct order, `[]` for documents shorter than n words.
   */
 object ShingleUtil {
+  /** Precompiled: String.split(regex) recompiles the pattern per call for
+    * multi-char regexes — per-document cost on every shingling/sketch path.
+    */
+  val Whitespace: java.util.regex.Pattern = java.util.regex.Pattern.compile("\\s+")
+
   def shingles(s: UTF8String, n: Int): ArrayData = {
-    val words = s.toString.split("\\s+")
+    val words = Whitespace.split(s.toString)
     var wc = 0
     var i = 0
     while (i < words.length) { if (!words(i).isEmpty) { words(wc) = words(i); wc += 1 }; i += 1 }

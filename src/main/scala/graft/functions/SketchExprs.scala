@@ -38,7 +38,7 @@ object SimHash64Util {
     */
   def simhash(s: UTF8String, portable: Boolean): java.lang.Long = {
     val counters = new Array[Int](64)
-    val words = s.toString.split("\\s+")
+    val words = ShingleUtil.Whitespace.split(s.toString)
     var any = false
     var i = 0
     while (i < words.length) {

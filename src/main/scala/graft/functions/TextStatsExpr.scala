@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * words are maximal runs of non-`\s` characters (Java regex `\s` =
   * `[ \t\n\f\r]` exactly, NOT Unicode whitespace), matching
   * `filter(split(trim(c), "\\s+"), length > 0)`; stopword matching
-  * lowercases each word (`java.lang.String.toLowerCase`, identical to
+  * lowercases each word (`String.toLowerCase(Locale.ROOT)`, identical to
   * Spark's `lower` for the ASCII range); the punct count matches
   * `size(regexp_extract_all(c, "[^A-Za-z0-9\\s]"))` for BMP text; and
   * `n_chars` is `length(c)` (codepoint count).
@@ -51,7 +51,7 @@ object TextStatsUtil {
       } else if (wordStart >= 0) {
         nWords += 1
         if (sets.length > 0) {
-          val w = s.substring(wordStart, i).toLowerCase
+          val w = s.substring(wordStart, i).toLowerCase(java.util.Locale.ROOT)
           var k = 0
           while (k < sets.length) {
             if (sets(k).contains(w)) hits(k) += 1
@@ -77,7 +77,7 @@ case class TextStats(child: Expression, lists: Seq[Seq[String]])
   @transient private lazy val sets: Array[java.util.HashSet[String]] =
     lists.map { l =>
       val s = new java.util.HashSet[String](l.size * 2)
-      l.foreach(w => s.add(w.toLowerCase))
+      l.foreach(w => s.add(w.toLowerCase(java.util.Locale.ROOT)))
       s
     }.toArray
 

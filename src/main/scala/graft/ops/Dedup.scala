@@ -172,6 +172,12 @@ object Dedup {
     * threshold). The stop-shingle cap is derived from (and applied to)
     * both sides' combined posting lists.
     */
+  /** @param persistProfiles cache the per-doc profile frame for the
+    *   4 plan subtrees that read it (default). Pass `false` from
+    *   long-running callers that cannot clear the session cache (e.g. a
+    *   per-micro-batch streaming filter): profiles are recomputed per
+    *   consumer instead of accumulating persisted frames across calls.
+    */
   def ngramJaccardAgainst(
       incoming: DataFrame,
       corpus: DataFrame,
@@ -179,7 +185,8 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.8,
-      maxShingleDocFreq: CapSpec = CapSpec.Auto): DataFrame = {
+      maxShingleDocFreq: CapSpec = CapSpec.Auto,
+      persistProfiles: Boolean = true): DataFrame = {
     // One tagged posting list: document frequency (the prefix order AND the
     // cap) is computed over the COMBINED corpus, giving both sides the same
     // global shingle order — required by the prefix-filter lemma. Sides are
@@ -201,8 +208,8 @@ object Dedup {
       .select(col("side"), col("doc_id"),
         explode(graft.functions.WordShingles(col("_text"), n)).as("sh_str"))
       .select(col("side"), col("doc_id"), xxhash64(col("sh_str")).as("h"))
-    val prof = buildProfiles(posting, Seq("side", "doc_id"), threshold, capSpec)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prof0 = buildProfiles(posting, Seq("side", "doc_id"), threshold, capSpec)
+    val prof = if (persistProfiles) prof0.persist(StorageLevel.MEMORY_AND_DISK) else prof0
     def pre(s: Int, idName: String, nName: String, pName: String): DataFrame =
       prof.filter(col("side") === s)
         .select(col("doc_id").as(idName), col("n_shingles").as(nName),

@@ -52,6 +52,11 @@ object Packing {
     * deterministic and engine-reproducible when `priority` is (e.g. the
     * 4-dp quality score). The standard data-selection shape for assembling
     * a fixed-size training mix from a quality-ranked corpus.
+    *
+    * Adds (and overwrites, like [[concatChunkBins]]) a `tok` column with
+    * the evaluated token count. Empty `partitionCols` means one GLOBAL
+    * stream — a single-partition window sort; fine for bounded corpora,
+    * partition by language/source at scale.
     */
   def selectByTokenBudget(
       df: DataFrame,
@@ -73,9 +78,10 @@ object Packing {
 
   /** Overlapping token windows per document — the RAG / context-window
     * chunker: each doc splits into windows of `window` tokens starting
-    * every `stride` tokens, the last start position being the largest
-    * multiple of `stride` ≤ max(n − window, 0) (full coverage, no trailing
-    * fragment; docs shorter than `window` yield themselves as one chunk;
+    * every `stride` tokens, the last start position being the SMALLEST
+    * multiple of `stride` ≥ n − window (every token lands in at least one
+    * chunk; the final chunk may run short when stride doesn't divide
+    * n − window; docs shorter than `window` yield themselves as one chunk;
     * empty docs yield nothing). Pure per-row generate — tokenize once,
     * explode the start indices, slice — no shuffle at any corpus size.
     *
@@ -88,12 +94,15 @@ object Packing {
       window: Int,
       stride: Int): DataFrame = {
     require(window >= 1 && stride >= 1, "window and stride must be >= 1")
-    val ws = filter(split(trim(col(textCol)), "\\s+"), w => length(w) > 0)
-    df.select(col(idCol), ws.as("_ws"))
+    require(stride <= window,
+      "stride beyond window leaves inter-window gaps (and a phantom final chunk)")
+    df.select(col(idCol), graft.functions.Text.words(col(textCol)).as("_ws"))
       .filter(size(col("_ws")) > 0)
+      // ceil, not floor: a floor'd last start strands up to stride−1
+      // trailing tokens outside every window
       .select(col(idCol), col("_ws"),
         explode(sequence(lit(0),
-          floor(greatest(size(col("_ws")) - window, lit(0)).cast("double") / stride)
+          ceil(greatest(size(col("_ws")) - window, lit(0)).cast("double") / stride)
             .cast("int"))).as("chunk_idx"))
       .select(col(idCol), col("chunk_idx"),
         array_join(slice(col("_ws"), col("chunk_idx") * stride + 1, lit(window)), " ").as("chunk"),

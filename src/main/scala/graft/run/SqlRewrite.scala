@@ -119,7 +119,7 @@ object SqlRewrite {
     while (k >= 0 && s(k).isWhitespace) k -= 1
     val end = k
     while (k >= 0 && isIdentChar(s(k))) k -= 1
-    if (k == end) None else Some(s.substring(k + 1, end + 1).toLowerCase)
+    if (k == end) None else Some(s.substring(k + 1, end + 1).toLowerCase(java.util.Locale.ROOT))
   }
 
   /** Name of the call the position sits directly inside (the nearest

@@ -36,7 +36,7 @@ object ObjectStores {
     if (storageConfig.isEmpty) return
     val conf = spark.sparkContext.hadoopConfiguration
     storageConfig.foreach { case (k, v) =>
-      translate(scheme, k.toLowerCase, storageConfig).getOrElse(Seq(k -> v)).foreach {
+      translate(scheme, k.toLowerCase(java.util.Locale.ROOT), storageConfig).getOrElse(Seq(k -> v)).foreach {
         case (hk, hv) =>
           val scoped = bucket match {
             case Some(b) if (scheme == "s3" || scheme == "s3a") && hk.startsWith("fs.s3a.") =>

@@ -173,11 +173,21 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val c = corpus()
+          // batch-scoped persist: the exact-dedup result feeds the cap
+          // count, the profile build, and the final anti-join — and is
+          // released before the next batch. persistProfiles=false keeps the
+          // jaccard miner from accumulating one cached profile frame per
+          // micro-batch (nothing here can safely clearCache a shared
+          // session).
           val fresh = graft.ops.Dedup.exactNewOnly(batch, c, textCol)
-          val nearIds = graft.ops.Dedup.ngramJaccardAgainst(
-              fresh, c, idCol, textCol, n = n, threshold = threshold)
-            .select(org.apache.spark.sql.functions.col("id_in").as(idCol)).distinct()
-          write(fresh.join(nearIds, Seq(idCol), "left_anti"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val nearIds = graft.ops.Dedup.ngramJaccardAgainst(
+                fresh, c, idCol, textCol, n = n, threshold = threshold,
+                persistProfiles = false)
+              .select(org.apache.spark.sql.functions.col("id_in").as(idCol)).distinct()
+            write(fresh.join(nearIds, Seq(idCol), "left_anti"))
+          } finally fresh.unpersist()
         }
       }
       .start()

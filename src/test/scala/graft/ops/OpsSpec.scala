@@ -194,7 +194,8 @@ class OpsSpec extends SparkSpec {
     val df = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words, W=4 S=2 -> starts 0,2,4,6
       (2L, "a b"),                                    // shorter than W -> itself
-      (3L, "   ")                                     // no tokens -> no rows
+      (3L, "   "),                                    // no tokens -> no rows
+      (4L, "x1 x2 x3 x4 x5")                          // stride misaligned: short final chunk
     ).toDF("doc_id", "text")
     val r = Packing.tokenWindows(df, "doc_id", "text", window = 4, stride = 2)
       .orderBy("doc_id", "chunk_idx").collect()
@@ -206,6 +207,11 @@ class OpsSpec extends SparkSpec {
     val d2 = r.filter(_.getLong(0) == 2L)
     assert(d2.length == 1 && d2.head.getString(2) == "a b" && d2.head.getInt(3) == 2)
     assert(!r.exists(_.getLong(0) == 3L))
+    // 5 words, W=4 S=2: the last token MUST be covered (ceil'd last start),
+    // via a short final chunk
+    val d4 = r.filter(_.getLong(0) == 4L)
+    assert(d4.map(x => (x.getInt(1), x.getString(2))).toSeq ==
+      Seq((0, "x1 x2 x3 x4"), (1, "x3 x4 x5")))
   }
 
   test("Packing.selectByTokenBudget: greedy per-stream admission, deterministic ties") {
