@@ -89,11 +89,15 @@ object ManagedTable {
   private def writeCommit(spark: SparkSession, root: Path, c: Commit): Unit = {
     val f = fs(spark, root)
     f.mkdirs(logDir(root))
+    val nonce = java.util.UUID.randomUUID().toString
     val node = mapper.createObjectNode()
     node.put("version", c.version)
     node.put("timestampMs", c.timestampMs)
     node.put("operation", c.operation)
     node.put("schema", c.schemaJson)
+    // identifies WHOSE bytes survived a commit race on filesystems without
+    // atomic create-exclusive (readCommit ignores unknown fields)
+    node.put("writerNonce", nonce)
     val pc = node.putArray("partitionColumns"); c.partitionColumns.foreach(pc.add)
     val fl = node.putArray("files"); c.files.foreach(fl.add)
     val pr = node.putObject("properties"); c.properties.foreach { case (k, v) => pr.put(k, v) }
@@ -108,14 +112,32 @@ object ManagedTable {
     // which silently OVERWRITES — an exists() pre-check is a TOCTOU race
     // that loses commits under contention. There, hard-link creation gives
     // true O_EXCL semantics: exactly one contender gets the version, the
-    // rest see FileAlreadyExists.
+    // rest see FileAlreadyExists. Object stores (s3a/gs/abfss) implement
+    // rename as copy with an equally racy destination check, so the rename
+    // is followed by a read-back: exactly one contender's nonce survives,
+    // and the loser(s) detect the lost race instead of silently dropping a
+    // commit. (True S3 safety needs conditional PUT or a lock service —
+    // out of scope for the generic FileSystem API; the read-back converts
+    // silent loss into a detected, retryable failure.)
     val won =
       if (f.getUri.getScheme == "file") {
         val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
         val targetNio = java.nio.file.Paths.get(target.toUri.getPath)
         try { java.nio.file.Files.createLink(targetNio, tmpNio); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else !f.exists(target) && f.rename(tmp, target)
+      } else {
+        val renamed = !f.exists(target) && f.rename(tmp, target)
+        renamed && {
+          val observed =
+            try {
+              val in = f.open(target)
+              try Option(mapper.readTree(new String(in.readAllBytes(), "UTF-8"))
+                .get("writerNonce")).map(_.asText)
+              finally in.close()
+            } catch { case _: Exception => None }
+          observed.contains(nonce)
+        }
+      }
     f.delete(tmp, false) // tmp is spent either way (the link carries the data)
     if (!won)
       throw new IllegalStateException(
@@ -225,6 +247,7 @@ object ManagedTable {
     val schema = tableSchema(last)
     keys.foreach(k => require(schema.fieldNames.contains(k), s"upsert key '$k' not in table schema"))
     val source = castToSchema(df, schema).cache()
+    try {
 
     val existingFiles = last.files
     val touched: Set[String] =
@@ -251,8 +274,11 @@ object ManagedTable {
       }
     val rewritten = survivors.map(_.unionByName(source)).getOrElse(source)
     val newFiles = writeDataFiles(spark, loc, rewritten, last.partitionColumns)
-    source.unpersist()
     commitNext(spark, loc, last, "upsert", untouched ++ newFiles)
+
+    // finally, not inline: a failed write or lost commit race must release
+    // the cached source too, or a retrying service leaks one cache per try
+    } finally source.unpersist()
   }
 
   /** Delete rows matching ALL `conditions` (empty ⇒ full overwrite), then
@@ -335,9 +361,18 @@ object ManagedTable {
   /** Drop history: keep only the latest `keepVersions` commits, delete data
     * files referenced by no kept commit. Bounds storage growth from
     * upsert/replace rewrites; time travel beyond the horizon is gone.
+    *
+    * Also reclaims ORPHANS: data files referenced by no commit at all —
+    * left behind by writers that crashed or lost a commit race after
+    * writing their part files (writes land data before the commit, so a
+    * failed commit strands them). Only orphans older than `orphanGraceMs`
+    * are deleted, so a concurrent writer's just-written, not-yet-committed
+    * files are never swept (the standard lakehouse-VACUUM retention rule).
+    *
     * Returns the number of data files deleted.
     */
-  def vacuum(spark: SparkSession, loc: Location, keepVersions: Int = 1): Int = {
+  def vacuum(spark: SparkSession, loc: Location, keepVersions: Int = 1,
+      orphanGraceMs: Long = 7L * 24 * 3600 * 1000): Int = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val all = commits(spark, loc)
     require(all.nonEmpty, s"Managed table does not exist at ${loc.spark}")
@@ -350,15 +385,42 @@ object ManagedTable {
       if (f.delete(new Path(root, rel), false)) removed += 1
     }
     dropped.foreach(c => f.delete(commitPath(root, c.version), false))
+    // orphan sweep: anything under data/ no commit (kept or dropped) refers to
+    val referenced = all.flatMap(_.files).toSet
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
+    val dd = dataDir(root)
+    if (f.exists(dd)) {
+      val it = f.listFiles(dd, true)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getModificationTime < cutoff &&
+            !referenced.contains(relativize(spark, loc, f.makeQualified(s.getPath).toString))) {
+          if (f.delete(s.getPath, false)) removed += 1
+        }
+      }
+    }
     removed
   }
 
   // -------------------------------------------------------------- internals
 
+  /** The newest commit, by reading ONE log file. Commits are self-contained
+    * (each carries the full file list, schema, and properties), so only the
+    * max-version name needs parsing — `commits()`'s read-everything walk is
+    * for history/time-travel/vacuum, and would make every write O(table
+    * history) in log reads on a long-lived streaming table.
+    */
   private def latest(spark: SparkSession, loc: Location): Commit = {
-    val all = commits(spark, loc)
-    require(all.nonEmpty, s"Managed table does not exist at ${loc.spark} — create it first")
-    all.last
+    val root = new Path(loc.spark)
+    val f = fs(spark, root)
+    val names =
+      if (!f.exists(logDir(root))) Seq.empty
+      else f.listStatus(logDir(root)).toSeq.map(_.getPath)
+        .filter(_.getName.matches("v\\d{8}\\.json"))
+    require(names.nonEmpty, s"Managed table does not exist at ${loc.spark} — create it first")
+    val in = f.open(names.maxBy(_.getName))
+    try readCommit(new String(in.readAllBytes(), "UTF-8"))
+    finally in.close()
   }
 
   private def tableSchema(c: Commit): StructType =

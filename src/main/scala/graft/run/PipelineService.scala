@@ -30,6 +30,7 @@ final class PipelineService(spark: SparkSession, maxQueue: Int = 16) {
   @volatile private var shutdown = false
 
   def submit(pipeline: Aqueduct, tracker: ProgressTracker = new LoggingTracker): Handle = {
+    if (shutdown) throw new IllegalStateException("PipelineService is closed")
     val id = s"graft-${java.util.UUID.randomUUID()}"
     val sub = Submission(id, pipeline, new PercentTracker(tracker, pipeline), Promise())
     if (!queue.offerLast(sub))
@@ -38,7 +39,9 @@ final class PipelineService(spark: SparkSession, maxQueue: Int = 16) {
   }
 
   /** Cancel a queued submission (removed, promise fails) or the running one
-    * (its Spark job group is cancelled; the runner fails promptly).
+    * (its cancelled flag is set AND its Spark job group is cancelled: the
+    * group kill aborts jobs already running, the flag stops the runner from
+    * submitting the remaining stages when the cancel lands between jobs).
     */
   def cancel(id: String): Boolean = {
     val it = queue.iterator()
@@ -52,6 +55,7 @@ final class PipelineService(spark: SparkSession, maxQueue: Int = 16) {
     }
     current match {
       case Some(s) if s.id == id =>
+        s.cancelled.set(true)
         spark.sparkContext.cancelJobGroup(s.id)
         true
       case _ => false
@@ -78,7 +82,8 @@ final class PipelineService(spark: SparkSession, maxQueue: Int = 16) {
           try {
             // group id scopes cancellation to this pipeline's Spark jobs
             spark.sparkContext.setJobGroup(sub.id, s"pipeline ${sub.id}", interruptOnCancel = true)
-            val out = Runner.run(spark, sub.pipeline, sub.tracker)
+            val out = Runner.run(spark, sub.pipeline, sub.tracker,
+              shouldAbort = () => sub.cancelled.get)
             sub.promise.success(out)
           } catch {
             case e: Throwable => sub.promise.tryFailure(e)
@@ -93,11 +98,25 @@ final class PipelineService(spark: SparkSession, maxQueue: Int = 16) {
   worker.setDaemon(true)
   worker.start()
 
-  def close(): Unit = { shutdown = true }
+  /** Stop the worker and fail every still-queued submission — a caller
+    * awaiting a queued handle must see a prompt CancellationException, not
+    * hang until its own timeout.
+    */
+  def close(): Unit = {
+    shutdown = true
+    var s = queue.pollFirst()
+    while (s != null) {
+      s.promise.tryFailure(
+        new java.util.concurrent.CancellationException(s"service closed: ${s.id}"))
+      s = queue.pollFirst()
+    }
+  }
 }
 
 object PipelineService {
   private final case class Submission(
       id: String, pipeline: Aqueduct, tracker: ProgressTracker,
-      promise: Promise[Option[DataFrame]])
+      promise: Promise[Option[DataFrame]],
+      cancelled: java.util.concurrent.atomic.AtomicBoolean =
+        new java.util.concurrent.atomic.AtomicBoolean(false))
 }

@@ -43,10 +43,17 @@ object Runner {
       tracker: ProgressTracker = new LoggingTracker): Option[DataFrame] =
     run(spark, ConfigParser.fromFile(path, params), tracker)
 
+  /** @param shouldAbort polled between units of work (source registration,
+    *   each stage group, the destination write): job-group cancellation
+    *   kills RUNNING Spark jobs, but a cancel that lands between jobs
+    *   would otherwise let the remaining stages run to completion. The
+    *   service wires this to its per-submission cancelled flag.
+    */
   def run(
       spark: SparkSession,
       pipeline: Aqueduct,
-      tracker: ProgressTracker = new LoggingTracker): Option[DataFrame] = {
+      tracker: ProgressTracker = new LoggingTracker,
+      shouldAbort: () => Boolean = () => false): Option[DataFrame] = {
     val t0 = System.nanoTime()
     // stage SQL may use the reference's JSON pack (incl. ->/->> rewrites)
     graft.functions.JsonUdfs.registerOnce(spark)
@@ -84,54 +91,68 @@ object Runner {
       }
     }
 
+    // Await ALL futures to settle (success or failure) before rethrowing the
+    // first failure: fail-fast Await.result would run cleanupOnFailure while
+    // sibling futures are still registering views / persisting frames, and
+    // whatever they register after the cleanup pass leaks in the shared
+    // session forever.
+    def awaitSettled(fs: Seq[Future[Unit]]): Unit = {
+      val settled = Await.result(
+        Future.traverse(fs)(f => f.transform(scala.util.Success(_))), Duration.Inf)
+      settled.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+    }
+    def abortCheck(): Unit =
+      if (shouldAbort())
+        throw new java.util.concurrent.CancellationException("pipeline cancelled")
+
     try {
 
     // -- sources, registered concurrently (view registration is cheap but
     //    schema inference / footer reads are IO: parallelism is real here)
-    Await.result(
-      Future.traverse(pipeline.sources) { src =>
-        Future {
-          try Sources.register(spark, src)
-          catch {
-            case e: Exception =>
-              throw PipelineError(s"source '${src.name}' failed to register: ${e.getMessage}")
-          }
-          tracker.onProgress(ProgressEvent.SourceRegistered(src.name))
+    abortCheck()
+    awaitSettled(pipeline.sources.map { src =>
+      Future {
+        try Sources.register(spark, src)
+        catch {
+          case e: Exception =>
+            throw PipelineError(s"source '${src.name}' failed to register: ${e.getMessage}")
         }
-      }, Duration.Inf)
+        tracker.onProgress(ProgressEvent.SourceRegistered(src.name))
+      }
+    })
 
     // -- stage groups
     val allStages = pipeline.stages.flatten
     val lastStage = allStages.lastOption
 
     pipeline.stages.zipWithIndex.foreach { case (group, gi) =>
-      Await.result(
-        Future.traverse(group) { stage =>
-          Future {
-            tracker.onProgress(ProgressEvent.StageStarted(stage.name, gi))
-            val s0 = System.nanoTime()
-            try {
-              val sql = SqlRewrite.jsonOperators(stage.query)
-              SqlGuard.validate(spark, stage.name, sql)
-              val df = spark.sql(sql)
-              val consumers = consumerCount(pipeline, stage, lastStage)
-              if (consumers >= 2 || stage.explainAnalyze) {
-                df.persist()
-                df.count() // materialize now so concurrent consumers share it
-                persisted.put(stage.name, df)
-              }
-              debugOutputs(stage, df, tracker)
-              df.createOrReplaceTempView(stage.name)
-              results.put(stage.name, df)
-            } catch {
-              case e: SqlGuard.SqlValidationError => throw e
-              case e: Exception =>
-                throw PipelineError(s"stage '${stage.name}' failed: ${e.getMessage}")
+      abortCheck()
+      awaitSettled(group.map { stage =>
+        Future {
+          tracker.onProgress(ProgressEvent.StageStarted(stage.name, gi))
+          val s0 = System.nanoTime()
+          try {
+            val sql = SqlRewrite.jsonOperators(stage.query)
+            SqlGuard.validate(spark, stage.name, sql)
+            val df = spark.sql(sql)
+            val consumers = consumerCount(pipeline, stage, lastStage)
+            if (consumers >= 2 || stage.explainAnalyze) {
+              df.persist()
+              df.count() // materialize now so concurrent consumers share it
+              persisted.put(stage.name, df)
             }
-            tracker.onProgress(
-              ProgressEvent.StageCompleted(stage.name, gi, (System.nanoTime() - s0) / 1000000))
+            debugOutputs(stage, df, tracker)
+            df.createOrReplaceTempView(stage.name)
+            results.put(stage.name, df)
+          } catch {
+            case e: SqlGuard.SqlValidationError => throw e
+            case e: Exception =>
+              throw PipelineError(s"stage '${stage.name}' failed: ${e.getMessage}")
           }
-        }, Duration.Inf)
+          tracker.onProgress(
+            ProgressEvent.StageCompleted(stage.name, gi, (System.nanoTime() - s0) / 1000000))
+        }
+      })
 
       // TTL eviction: drop every stage registered so far whose last consumer
       // group is <= gi (never the final stage — it feeds the destination).
@@ -146,6 +167,7 @@ object Runner {
     }
 
     // -- destination
+    abortCheck()
     val finalDf = lastStage.map(s => results(s.name))
     (pipeline.destination, finalDf) match {
       case (Some(dest), Some(df)) =>
@@ -172,7 +194,12 @@ object Runner {
     * must parse as a pure SELECT; names must be unique.
     */
   def validate(spark: SparkSession, pipeline: Aqueduct): Unit = {
-    val names = pipeline.sources.map(_.name) ++ pipeline.stages.flatten.map(_.name)
+    // an in_memory destination registers a view under ITS name at the end of
+    // the run — a collision with a source/stage must fail at load time, not
+    // after the whole pipeline has executed
+    val destViewName = pipeline.destination.collect { case d: InMemoryDestination => d.name }
+    val names = pipeline.sources.map(_.name) ++ pipeline.stages.flatten.map(_.name) ++
+      destViewName
     val dup = names.diff(names.distinct).distinct
     if (dup.nonEmpty) throw PipelineError(s"Duplicate source/stage names: ${dup.mkString(", ")}")
     pipeline.stages.flatten.foreach(s =>

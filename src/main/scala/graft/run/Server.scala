@@ -98,9 +98,11 @@ final class Server(
           first = in.readLine()
         }
         // constant-time comparison: this is an unauthenticated TCP endpoint,
-        // so a bytewise-early-exit == would leak key prefixes via timing
+        // so a bytewise-early-exit == would leak key prefixes via timing.
+        // Trimmed like every other line (HEALTH, dispatch): a CRLF client's
+        // trailing \r must not fail an otherwise-correct key.
         val ok = first != null && java.security.MessageDigest.isEqual(
-          s"AUTH $key".getBytes("UTF-8"), first.getBytes("UTF-8"))
+          s"AUTH $key".getBytes("UTF-8"), first.trim.getBytes("UTF-8"))
         if (!ok) {
           sendRaw("""{"type":"execution_error","request_id":"","message":"unauthorized"}""")
           socket.close()

@@ -72,7 +72,12 @@ object SqlRewrite {
           var closed = false
           while (!closed && i < s.length) {
             mask(i) = true
-            if (s(i) == '\'') {
+            if (s(i) == '\\' && i + 1 < s.length) {
+              // Spark's default lexer honors backslash escapes inside string
+              // literals ('it\'s'): skip the escaped char or the mask would
+              // close the literal early and desync from the real parser
+              mask(i + 1) = true; i += 2
+            } else if (s(i) == '\'') {
               if (i + 1 < s.length && s(i + 1) == '\'') { mask(i + 1) = true; i += 2 }
               else { closed = true; i += 1 }
             } else i += 1
@@ -159,11 +164,12 @@ object SqlRewrite {
     if (r >= s.length) return None
     val (rhsPath, rhsEnd) =
       if (s(r) == '\'') {
-        // scan to the closing quote, treating '' as an escaped quote
+        // scan to the closing quote, treating '' and \' as escaped quotes
         var e = r + 1
         var closed = -1
         while (closed < 0 && e < s.length) {
-          if (s(e) == '\'') {
+          if (s(e) == '\\' && e + 1 < s.length) e += 2
+          else if (s(e) == '\'') {
             if (e + 1 < s.length && s(e + 1) == '\'') e += 2 else closed = e
           } else e += 1
         }

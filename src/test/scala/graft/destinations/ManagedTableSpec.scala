@@ -182,6 +182,28 @@ class ManagedTableSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](ManagedTable.read(spark, loc, version = Some(1)))
   }
 
+  test("vacuum sweeps unreferenced orphan data files past the grace window") {
+    val loc = newTable("mt-orphan")
+    ManagedTable.append(spark, loc, Seq((1L, "a", 1.0)).toDF("id", "name", "value"))
+    // simulate a crashed writer: a data file no commit references
+    val root = new org.apache.hadoop.fs.Path(loc.spark)
+    val orphan = new org.apache.hadoop.fs.Path(root, "data/part-orphan-crashed.parquet")
+    Seq((9L, "x", 9.0)).toDF("id", "name", "value").coalesce(1)
+      .write.mode("overwrite").parquet(root.toString + "/_tmp-orphan")
+    val f = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = f.listStatus(new org.apache.hadoop.fs.Path(root, "_tmp-orphan"))
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+    f.rename(part, orphan)
+    f.delete(new org.apache.hadoop.fs.Path(root, "_tmp-orphan"), true)
+    // inside the grace window: untouched (could be an in-flight writer)
+    assert(ManagedTable.vacuum(spark, loc, keepVersions = 10) == 0)
+    assert(f.exists(orphan))
+    // past the grace window: swept, table contents unchanged
+    assert(ManagedTable.vacuum(spark, loc, keepVersions = 10, orphanGraceMs = 0L) == 1)
+    assert(!f.exists(orphan))
+    assert(ManagedTable.read(spark, loc).count() == 1)
+  }
+
   test("compact bin-packs small files into one, same data, new version") {
     val loc = newTable("mt-compact")
     // 4 appends, each repartitioned to 3 → 12 tiny files

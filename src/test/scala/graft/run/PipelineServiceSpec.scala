@@ -69,6 +69,28 @@ class PipelineServiceSpec extends SparkSpec {
     } finally svc.close()
   }
 
+  test("close() promptly fails queued submissions instead of hanging callers") {
+    val svc = new PipelineService(spark)
+    val slow = pipelineOf("svc_close_slow",
+      "SELECT count(*) AS n FROM (SELECT explode(sequence(1, 2000000)) v) t")
+    svc.submit(slow, new CollectingTracker)
+    val queued = svc.submit(pipelineOf("svc_close_q", "SELECT 1 AS x"), new CollectingTracker)
+    svc.close()
+    assertThrows[java.util.concurrent.CancellationException](
+      Await.result(queued.result, 60.seconds))
+    assertThrows[IllegalStateException](
+      svc.submit(pipelineOf("svc_after_close", "SELECT 1 AS x"), new CollectingTracker))
+  }
+
+  test("abort flag stops a runner between stages (cancel landing between jobs)") {
+    // shouldAbort polled at group boundaries: an immediately-true flag must
+    // abort before any stage work, not run the pipeline to completion
+    assertThrows[java.util.concurrent.CancellationException](
+      Runner.run(spark, pipelineOf("svc_abort", "SELECT 1 AS x"),
+        new CollectingTracker, shouldAbort = () => true))
+    assert(!spark.catalog.tableExists("svc_abort"))
+  }
+
   test("PercentTracker reaches 100 over the reference step accounting") {
     val dir = tmpDir("svc-pct")
     val csv = writeFixtureCsv(dir)

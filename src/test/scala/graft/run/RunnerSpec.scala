@@ -238,6 +238,18 @@ class RunnerSpec extends SparkSpec {
     assert(spark.table("s_mem2").collect().head.getLong(0) == 1L)
   }
 
+  test("in_memory destination name colliding with a stage fails at validate time") {
+    val dir = tmpDir("runner-dest-collide")
+    val csv = writeFixtureCsv(dir)
+    val aq = Aqueduct(
+      sources = Seq(FileSource("dc_src", CsvFormat(hasHeader = true), Location(csv.toString))),
+      stages = Seq(Seq(Stage("dc_report", "SELECT * FROM dc_src"))),
+      destination = Some(InMemoryDestination("dc_report")))
+    val e = intercept[Runner.PipelineError](Runner.run(spark, aq, new CollectingTracker))
+    assert(e.getMessage.contains("Duplicate"))
+    assert(!spark.catalog.tableExists("dc_src")) // nothing ran, nothing leaked
+  }
+
   test("README example pipeline runs end-to-end (reference examples/aqueduct_pipeline_example.yml)") {
     // Stage the reference's CSV fixtures in a writable dir (the config's
     // ${local_path} prefix covers both inputs and the output table).

@@ -47,6 +47,16 @@ class SqlRewriteSpec extends AnyFunSuite {
       "SELECT json_as_text(p, 'it''s') FROM t")
   }
 
+  test("backslash-escaped quotes do not desync the literal mask") {
+    // Spark's default lexer reads 'it\\'s fine' as ONE literal; a mask that
+    // closed at the backslashed quote would hide the arrow that follows
+    assert(jsonOperators("SELECT 'it\\'s fine' AS a, p -> 'k' AS b FROM t") ==
+      "SELECT 'it\\'s fine' AS a, json_get(p, 'k') AS b FROM t")
+    // and a backslash-escaped quote in the KEY scans to the real closing quote
+    assert(jsonOperators("SELECT p ->> 'don\\'t' FROM t") ==
+      "SELECT json_as_text(p, 'don\\'t') FROM t")
+  }
+
   test("function-call left operand is wrapped whole") {
     assert(jsonOperators("SELECT get_json_object(j, '$.a') ->> 'b' FROM t") ==
       "SELECT json_as_text(get_json_object(j, '$.a'), 'b') FROM t")
