@@ -719,6 +719,93 @@ object EngineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PII redaction: the corpus has no natural PII, so both engines append
+    // the same deterministic synthetic email/IP/phone per doc before
+    // counting and redacting — the check has real ground truth (the
+    // round-2 "zero-power check" lesson), and the redacted strings are
+    // exact text the hash compare verifies byte-for-byte.
+    "q73_pii_redact" -> ((s, dir) => {
+      val salted = t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com from 10.0."),
+            pmod(col("doc_id"), lit(256)), lit(".7 call 555-"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+            lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0")).as("txt"))
+      salted.select(col("doc_id"),
+          Text.piiCounts(col("txt")).as("pii"),
+          Text.piiRedact(col("txt")).as("redacted"))
+        .select(col("doc_id"),
+          col("pii.n_email").cast("bigint").as("n_email"),
+          col("pii.n_ipv4").cast("bigint").as("n_ipv4"),
+          col("pii.n_phone").cast("bigint").as("n_phone"),
+          col("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Line-level dedup (CCNet-style): the corpus has no newlines, so both
+    // engines insert one every 5 words with the same regex, then drop lines
+    // shared by more than 3 documents and reassemble. Rebuilt text, line
+    // counts and kept counts are all exact.
+    "q74_line_dedup" -> ((s, dir) => {
+      val withLines = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), "((\\S+\\s+){4}\\S+)\\s+", "$1\n").as("text"))
+      ops.Lines.dropCommonLines(withLines, "doc_id", "text", maxDocFreq = 3)
+        .select(col("doc_id"), col("text"),
+          col("n_lines").cast("bigint").as("n_lines"), col("n_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bloom-prefiltered incremental dedup: same exact semantics as q60's
+    // anti-join (the oracle is the plain NOT IN), but rows the broadcast
+    // Bloom filter proves new never reach the shuffle — the steady-state
+    // ingest path where almost everything is new. The corpus has no exact
+    // duplicate texts at any sf, so a fifth of the corpus is re-keyed into
+    // the incoming side — those rows MUST be dropped, giving the check
+    // non-trivial ground truth on both the keep and drop paths.
+    "q75_bloom_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val corpus = docs.filter(col("doc_id") < 250)
+      val incoming = docs.filter(col("doc_id") >= 250)
+        .unionAll(corpus.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.exactNewOnlyBloom(incoming, corpus, "text", expectedItems = 100000L)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Higher-order array functions (transform/filter/aggregate/exists) —
+    // the codegen-fused per-row array path mirrored by DuckDB list_* calls.
+    "q76_hof_arrays" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .select(col("doc_id"),
+          size(col("w")).cast("bigint").as("n_words"),
+          size(filter(col("w"), x => length(x) > 4)).cast("bigint").as("n_long"),
+          aggregate(col("w"), lit(0L), (acc, x) => acc + length(x)).as("total_len"),
+          aggregate(col("w"), lit(0L), (acc, x) => acc + length(x) * length(x)).as("sq_len"),
+          exists(col("w"), x => length(x) >= 7).cast("bigint").as("has_long"),
+          array_max(transform(col("w"), x => length(x))).cast("bigint").as("max_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Statistical aggregates: stddev/variance/corr/covar/exact median per
+    // group — rounded at 6 dp so both engines land on the same double.
+    "q77_stats_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("cov_qp"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("med_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1422,6 +1509,73 @@ object EngineQueries {
                 round(CAST(coalesce(m.n_matched, 0) AS DOUBLE) /
                       greatest(len(d.grams), 1), 6) AS overlap
          FROM d LEFT JOIN m ON d.doc_id = m.doc_id ORDER BY d.doc_id""",
+    "q73_pii_redact" ->
+      """WITH salted AS (
+           SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com from 10.0.' ||
+             (doc_id % 256) || '.7 call 555-' ||
+             lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+             lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS txt
+           FROM documents WHERE doc_id < 200)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(txt, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(txt, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS redacted
+         FROM salted ORDER BY doc_id""",
+    "q74_line_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+             regexp_replace(text, '((\S+\s+){4}\S+)\s+', '\1' || chr(10), 'g') AS txt
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+             unnest(string_split(txt, chr(10))) AS line,
+             unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS pos
+           FROM t),
+         f AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line),
+         k AS (SELECT l.doc_id, l.pos, l.line FROM l JOIN f ON l.line = f.line WHERE f.df <= 3),
+         r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                      count(*) AS n_kept
+               FROM k GROUP BY doc_id),
+         n AS (SELECT doc_id, len(string_split(txt, chr(10))) AS n_lines FROM t)
+         SELECT n.doc_id, coalesce(r.text, '') AS text,
+                CAST(n.n_lines AS BIGINT) AS n_lines,
+                CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+         FROM n LEFT JOIN r ON n.doc_id = r.doc_id ORDER BY n.doc_id""",
+    "q75_bloom_dedup" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id < 250),
+         incoming AS (
+           SELECT doc_id, text, lang, source FROM documents WHERE doc_id >= 250
+           UNION ALL
+           SELECT doc_id + 10000 AS doc_id, text, lang, source
+           FROM corpus WHERE doc_id % 5 = 0)
+         SELECT doc_id, lang, source FROM incoming
+         WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)
+         ORDER BY doc_id""",
+    "q76_hof_arrays" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+         SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(list_filter(ws, x -> len(x) > 4)) AS BIGINT) AS n_long,
+           CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT) AS total_len,
+           CAST(list_sum(list_transform(ws, x -> len(x) * len(x))) AS BIGINT) AS sq_len,
+           CAST(CASE WHEN len(list_filter(ws, x -> len(x) >= 7)) > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_long,
+           CAST(list_max(list_transform(ws, x -> len(x))) AS BIGINT) AS max_len
+         FROM w ORDER BY doc_id""",
+    "q77_stats_agg" ->
+      """SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qp,
+           round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+           count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q71_budget_select" ->
       """WITH s AS (
            SELECT doc_id, lang,

@@ -146,6 +146,39 @@ object Text {
   def fingerprint(c: Column, n: Int = 3): Column =
     array_min(transform(wordShingles(c, n), s => md5(s)))
 
+  /** PII detection/redaction patterns. Kept to constructs shared by Java
+    * regex and RE2 (character classes, bounded repetition, `\b`) so the
+    * DuckDB oracle can apply the byte-identical pattern. The usual caveat
+    * applies: regex PII scrubbing is a coarse first pass, not a guarantee —
+    * the patterns are deliberately high-precision (they under-match rather
+    * than mangle prose).
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phonePattern = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+  /** Count of PII matches per class as a struct `(n_email, n_ipv4,
+    * n_phone)`. One regexp_extract_all per class — three codegen'd scans of
+    * the string, no UDF.
+    */
+  def piiCounts(c: Column): Column = struct(
+    size(regexp_extract_all(c, lit(emailPattern), lit(0))).as("n_email"),
+    size(regexp_extract_all(c, lit(ipv4Pattern), lit(0))).as("n_ipv4"),
+    size(regexp_extract_all(c, lit(phonePattern), lit(0))).as("n_phone"))
+
+  /** Replace each PII class with a typed placeholder. Emails are redacted
+    * first: an address like `user@10.0.0.1.net` must not leave an IPv4
+    * fragment behind for the later passes; the IP and phone patterns cannot
+    * match inside the inserted placeholders (no digits), so the chain is
+    * order-safe after that.
+    */
+  def piiRedact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(emailPattern), lit("<EMAIL>")),
+        lit(ipv4Pattern), lit("<IP>")),
+      lit(phonePattern), lit("<PHONE>"))
+
   /** Fraction of the document's word n-grams that are repeats of an earlier
     * n-gram: `1 − distinct/total` (0 for docs shorter than n words) — the
     * Gopher/RefinedWeb-style intra-document repetition signal; docs above

@@ -166,6 +166,41 @@ object Dedup {
       .drop("_digest")
   }
 
+  /** [[exactNewOnly]] with a Bloom-filter pre-pass: same output (rows of
+    * `incoming` whose content is absent from `corpus`), but rows the filter
+    * proves new skip the anti-join entirely.
+    *
+    * Why this matters at 100 TB: in steady-state ingest almost everything
+    * incoming IS new, so the plain anti-join shuffles the whole incoming
+    * corpus to prove a negative. The Bloom filter — a fixed-size sketch
+    * built with one aggregate over the corpus digests (~1.2 GB at 1e9 items
+    * / 1% fpp; scale `expectedItems` to the corpus) and broadcast once —
+    * answers "definitely new" locally at the scan, so only the ~fpp false
+    * positives plus the true duplicates reach the exchange. The anti-join
+    * confirm on md5 keeps the result exact: a Bloom "maybe" is never
+    * trusted, so output equals [[exactNewOnly]] row-for-row.
+    *
+    * The membership probe is a Scala UDF (Spark's codegen'd bloom
+    * `might_contain` expression is not on the public registry); it gates
+    * only which join path a row takes, never the result, and costs a few
+    * hash probes per row.
+    */
+  def exactNewOnlyBloom(
+      incoming: DataFrame, corpus: DataFrame, textCol: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val spark = incoming.sparkSession
+    val bf = corpus.select(xxhash64(col(textCol)).as("_h"))
+      .stat.bloomFilter("_h", expectedItems, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+
+    val probed = incoming.withColumn("_maybe", mightContain(xxhash64(col(textCol))))
+    val definitelyNew = probed.filter(!col("_maybe")).drop("_maybe")
+    val confirmed = exactNewOnly(probed.filter(col("_maybe")).drop("_maybe"),
+      corpus, textCol)
+    definitelyNew.unionAll(confirmed)
+  }
+
   /** Near-dup pairs BETWEEN two corpora (fresh crawl vs existing lake):
     * the inverted-index join of [[ngramJaccardPairs]], but across sides —
     * each emitted pair is (incoming id, corpus id, exact jaccard ≥
