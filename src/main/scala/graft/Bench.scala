@@ -75,15 +75,24 @@ object Bench {
       "q65_sequence_pack",
       "p07_pipeline_json_ops", "p08_pipeline_csv", "p09_pipeline_dirsource",
       "p10_pipeline_textprep", "p11_pipeline_vector")
-    val r2Subset = results.collect { case (k, v) if !r3New(k) => v }.sum
+    // queries added in round 4 — excluded from BOTH earlier subsets so each
+    // round's subset total stays the same query set forever
+    val r4New = Set("q66_dedup_components", "q67_repetition_filter",
+      "q68_domain_mix", "q69_token_windows", "q70_quantize_int8",
+      "q71_budget_select", "q72_contamination", "q73_pii_redact",
+      "q74_line_dedup", "q75_bloom_dedup", "q76_hof_arrays", "q77_stats_agg",
+      "q78_ignore_nulls", "q79_filter_clause")
+    val r2Subset = results.collect { case (k, v) if !r3New(k) && !r4New(k) => v }.sum
+    val r3Subset = results.collect { case (k, v) if !r4New(k) => v }.sum
+    val subsets = s""""r1_subset_sec":${f3(r1Subset)},"r2_subset_sec":${f3(r2Subset)},"r3_subset_sec":${f3(r3Subset)}"""
     try {
       val full = results.map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
       val fw = new java.io.FileWriter("bench_full.json")
-      fw.write(s"""{"metric":"total","value":${f3(total)},"unit":"sec","r1_subset_sec":${f3(r1Subset)},"r2_subset_sec":${f3(r2Subset)},"queries":$full,"errors":$errJson,"sf":"$sfDir"}""")
+      fw.write(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subsets,"queries":$full,"errors":$errJson,"sf":"$sfDir"}""")
       fw.write("\n")
       fw.close()
     } catch { case _: java.io.IOException => () } // best-effort side artifact
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","r1_subset_sec":${f3(r1Subset)},"r2_subset_sec":${f3(r2Subset)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subsets,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -569,7 +569,10 @@ object EngineQueries {
     }),
 
     // Incremental exact dedup — the ingest-time shape: new docs (id ≥ 250)
-    // anti-joined against the existing corpus's content digests.
+    // anti-joined against the existing corpus's content digests. All texts
+    // in the corpus are distinct, so this checks the everything-passes
+    // identity path; q75 (which plants real duplicates) checks the drop
+    // path of the same contract.
     "q60_incremental_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.exactNewOnly(
@@ -804,6 +807,38 @@ object EngineQueries {
           round(expr("percentile(l_quantity, 0.5)"), 6).as("med_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // IGNORE NULLS window carry-forward: per event, the most recent click
+    // value for the user — `last(col, ignoreNulls) OVER (... ROWS UNBOUNDED
+    // PRECEDING)`, the gap-fill idiom.
+    "q78_ignore_nulls" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("click_val",
+          when(col("event_type") === "click", col("value")))
+        .select(col("event_id"), col("user_id"),
+          round(last(col("click_val"), ignoreNulls = true).over(w), 6)
+            .as("last_click_val"))
+        .filter(col("user_id") < 20)
+        .orderBy(col("event_id"))
+    }),
+
+    // FILTER-clause aggregates (SQL surface): conditional counts/sums
+    // without CASE scaffolding — exercised through spark.sql so the parser
+    // path is what's graded.
+    "q79_filter_clause" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("q79_events")
+      s.sql("""
+        SELECT user_id,
+          count(*) AS n,
+          count(*) FILTER (WHERE event_type = 'click') AS n_click,
+          count(*) FILTER (WHERE event_type = 'view') AS n_view,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click_sum
+        FROM q79_events GROUP BY user_id ORDER BY user_id""")
     }),
 
     // ------------------------------------------- engine-executed pipelines
@@ -1567,6 +1602,19 @@ object EngineQueries {
            CAST(CASE WHEN len(list_filter(ws, x -> len(x) >= 7)) > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_long,
            CAST(list_max(list_transform(ws, x -> len(x))) AS BIGINT) AS max_len
          FROM w ORDER BY doc_id""",
+    "q78_ignore_nulls" ->
+      """SELECT event_id, user_id,
+           round(last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS last_click_val
+         FROM events WHERE user_id < 20 ORDER BY event_id""",
+    "q79_filter_clause" ->
+      """SELECT user_id,
+           count(*) AS n,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           count(*) FILTER (WHERE event_type = 'view') AS n_view,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click_sum
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q77_stats_agg" ->
       """SELECT l_returnflag,
            round(stddev_samp(l_quantity), 6) AS sd_qty,

@@ -111,6 +111,33 @@ class ScaleSpec extends SparkSpec {
       maxBucketSize = Some(10)).count() == 0)
   }
 
+  test("dropCommonLines: a corpus-wide boilerplate line is groupBy work, not join fan-out") {
+    // every doc carries the same line — the degenerate case that would be
+    // N² if lines were a pair-join key; here it's one aggregate row and one
+    // anti-join key, and every doc simply loses the line
+    val docs = (1 to 500).map(i =>
+      (i.toLong, s"accept all cookies\nunique body $i\nmore unique $i")).toDF("doc_id", "text")
+    val r = graft.ops.Lines.dropCommonLines(docs, "doc_id", "text", maxDocFreq = 10)
+    assert(r.count() == 500)
+    val one = r.filter(col("doc_id") === 7L).head()
+    assert(one.getAs[String]("text") == "unique body 7\nmore unique 7")
+    assert(one.getAs[Long]("n_kept") == 2L)
+  }
+
+  test("exactNewOnlyBloom: definitely-new rows take the filter path, not the join") {
+    // with a corpus of 1 digest, ~all incoming rows are proven new by the
+    // broadcast sketch; the plan's anti-join sees only the maybe slice
+    val corpus = Seq((0L, "the one known doc")).toDF("id", "text")
+    val incoming = (1 to 2000).map(i => (i.toLong, s"fresh doc $i")).toDF("id", "text")
+    val out = graft.ops.Dedup.exactNewOnlyBloom(incoming, corpus, "text",
+      expectedItems = 100L, fpp = 0.01)
+    assert(out.count() == 2000)
+    // the known doc re-ingested is dropped via the confirm join
+    val mixed = incoming.unionAll(Seq((9999L, "the one known doc")).toDF("id", "text"))
+    assert(graft.ops.Dedup.exactNewOnlyBloom(mixed, corpus, "text",
+      expectedItems = 100L, fpp = 0.01).count() == 2000)
+  }
+
   test("bucketed tables: co-located join plans without a shuffle exchange") {
     val wh = tmpDir("warehouse")
     val db = "bucketdemo" // database LOCATION keeps table files in the temp dir
