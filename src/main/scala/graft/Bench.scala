@@ -81,7 +81,7 @@ object Bench {
       "q68_domain_mix", "q69_token_windows", "q70_quantize_int8",
       "q71_budget_select", "q72_contamination", "q73_pii_redact",
       "q74_line_dedup", "q75_bloom_dedup", "q76_hof_arrays", "q77_stats_agg",
-      "q78_ignore_nulls", "q79_filter_clause")
+      "q78_ignore_nulls", "q79_filter_clause", "q80_unigram_ppl")
     val r2Subset = results.collect { case (k, v) if !r3New(k) && !r4New(k) => v }.sum
     val r3Subset = results.collect { case (k, v) if !r4New(k) => v }.sum
     val subsets = s""""r1_subset_sec":${f3(r1Subset)},"r2_subset_sec":${f3(r2Subset)},"r3_subset_sec":${f3(r3Subset)}"""

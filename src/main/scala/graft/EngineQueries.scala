@@ -841,6 +841,21 @@ object EngineQueries {
         FROM q79_events GROUP BY user_id ORDER BY user_id""")
     }),
 
+    // Unigram LM perplexity (CCNet-style quality filter, n=1): train the
+    // LM in one aggregate over the corpus, score each doc's average token
+    // log-prob + perplexity. Both engines compute identical per-token
+    // ln(c/N) terms; sums differ only in fp association, absorbed by the
+    // 6/4-dp rounding.
+    "q80_unigram_ppl" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = ops.LangModel.unigramTrain(docs, "text")
+      ops.LangModel.unigramScore(docs, "doc_id", "text", lm)
+        .select(col("doc_id"), col("n_tok"),
+          round(col("avg_logprob"), 6).as("avg_logprob"),
+          round(col("ppl"), 4).as("ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1602,6 +1617,20 @@ object EngineQueries {
            CAST(CASE WHEN len(list_filter(ws, x -> len(x) >= 7)) > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_long,
            CAST(list_max(list_transform(ws, x -> len(x))) AS BIGINT) AS max_len
          FROM w ORDER BY doc_id""",
+    "q80_unigram_ppl" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS w
+           FROM documents),
+         freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+         tot AS (SELECT sum(c) AS n FROM freq),
+         sc AS (SELECT t.doc_id, count(*) AS n_tok,
+                       sum(ln(f.c / (SELECT n FROM tot))) AS lp
+                FROM tok t JOIN freq f ON t.w = f.w GROUP BY t.doc_id)
+         SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           round(lp / n_tok, 6) AS avg_logprob,
+           round(exp(-lp / n_tok), 4) AS ppl
+         FROM sc ORDER BY doc_id""",
     "q78_ignore_nulls" ->
       """SELECT event_id, user_id,
            round(last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)

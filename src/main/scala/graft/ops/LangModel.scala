@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram language-model scoring — the distributed shape of CCNet-style
+  * perplexity filtering (Wenzek et al., LREC'20: docs are kept/binned by LM
+  * perplexity; the production model is a 5-gram KenLM, this is the same
+  * contract over the n=1 model the engine can train in one aggregate).
+  *
+  * Scale design: training is one groupBy over exploded tokens (map-side
+  * partial aggregation collapses each partition's repeats before the
+  * exchange — the shuffle carries vocabulary, not corpus). Scoring joins
+  * tokens to the frequency table on the word key — the LM is vocabulary-
+  * sized, orders of magnitude smaller than the corpus, so AQE broadcasts
+  * it when it fits and hash-joins otherwise — then one groupBy per doc
+  * re-aggregates. Hot words ("the" in every doc) are join keys on the
+  * BUILD side exactly once; the probe side fans out per occurrence, which
+  * is linear in corpus size, never quadratic.
+  */
+object LangModel {
+
+  /** Train a unigram LM: one row per word with its count, total-corpus
+    * token count attached as a column (`n_total`) so the frame is
+    * self-contained. */
+  def unigramTrain(corpus: DataFrame, textCol: String): DataFrame = {
+    val freq = corpus
+      .select(explode(Text.words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // the scalar total rides along as a window-free cross join of one row —
+    // Spark plans it as a broadcast nested loop of a single-row relation
+    freq.crossJoin(freq.agg(sum(col("c")).as("n_total")))
+  }
+
+  /** Score each document under a trained unigram LM: token count, average
+    * token log-probability, and perplexity `exp(-avg_logprob)`.
+    *
+    * `smoothK` is add-k smoothing applied at score time — p(w) =
+    * (c + k) / (n_total + k·|V|) — so out-of-vocabulary tokens (scored
+    * against an LM trained on a DIFFERENT corpus) get a proper nonzero
+    * probability instead of -inf. With k = 0, OOV tokens are dropped from
+    * the average (self-scoring never produces them).
+    */
+  def unigramScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, smoothK: Double = 0.0): DataFrame = {
+    val tok = docs.select(col(idCol).as("_id"),
+      explode(Text.words(col(textCol))).as("w"))
+    val joined =
+      if (smoothK == 0.0) tok.join(model, Seq("w"))
+        .withColumn("lp", log(col("c").cast("double") / col("n_total")))
+      else {
+        // two scalars to the driver (an aggregate result, same contract as
+        // any count()) — NOT per-row state; they become literals in the plan
+        val r = model.agg(max(col("n_total")).as("n"), count(lit(1)).as("v")).head()
+        val (nTotal, vsize) = (r.getLong(0), r.getLong(1))
+        tok.join(model.select(col("w"), col("c")), Seq("w"), "left")
+          .withColumn("lp",
+            log((coalesce(col("c"), lit(0L)).cast("double") + lit(smoothK)) /
+              lit(nTotal.toDouble + smoothK * vsize)))
+      }
+    joined.groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lp")).as("lp_sum"))
+      .select(col("_id").as(idCol), col("n_tok"),
+        (col("lp_sum") / col("n_tok")).as("avg_logprob"),
+        exp(-col("lp_sum") / col("n_tok")).as("ppl"))
+  }
+}
