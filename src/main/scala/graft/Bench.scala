@@ -82,9 +82,12 @@ object Bench {
       "q71_budget_select", "q72_contamination", "q73_pii_redact",
       "q74_line_dedup", "q75_bloom_dedup", "q76_hof_arrays", "q77_stats_agg",
       "q78_ignore_nulls", "q79_filter_clause", "q80_unigram_ppl")
-    val r2Subset = results.collect { case (k, v) if !r3New(k) && !r4New(k) => v }.sum
-    val r3Subset = results.collect { case (k, v) if !r4New(k) => v }.sum
-    val subsets = s""""r1_subset_sec":${f3(r1Subset)},"r2_subset_sec":${f3(r2Subset)},"r3_subset_sec":${f3(r3Subset)}"""
+    // queries added in round 5
+    val r5New = Set("q81_semantic_dedup", "q82_gopher_rules")
+    val r2Subset = results.collect { case (k, v) if !r3New(k) && !r4New(k) && !r5New(k) => v }.sum
+    val r3Subset = results.collect { case (k, v) if !r4New(k) && !r5New(k) => v }.sum
+    val r4Subset = results.collect { case (k, v) if !r5New(k) => v }.sum
+    val subsets = s""""r1_subset_sec":${f3(r1Subset)},"r2_subset_sec":${f3(r2Subset)},"r3_subset_sec":${f3(r3Subset)},"r4_subset_sec":${f3(r4Subset)}"""
     try {
       val full = results.map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
       val fw = new java.io.FileWriter("bench_full.json")

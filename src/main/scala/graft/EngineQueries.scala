@@ -856,6 +856,56 @@ object EngineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SemDeDup semantic dedup keep-list (cluster → within-cluster exact
+    // cosine → components → keep-min-id): nlist = 1 makes candidate
+    // generation exhaustive, so the oracle reproduces the full pipeline
+    // exactly (all-pairs cosine + recursive-CTE closure). The clustered
+    // scale path (nlist > 1, candidates pruned to Σ|cell|²) is
+    // subset/recall-asserted in OpsSpec. Bounded to the first 1000 vectors:
+    // the exhaustive gate is inherently quadratic (no-op at oracle scale).
+    "q81_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      ops.Ann.semanticClusters(emb, "vec_id", "v", threshold = 0.35, nlist = 1)
+        .select(col("vec_id"), col("component"), col("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Gopher quality rules (Rae et al. 2021 A1.1): the seven rule metrics
+    // and the combined keep/drop decision per document — all exact integer
+    // counts and their ratios, reproduced bit-for-bit by the oracle.
+    "q82_gopher_rules" -> ((s, dir) => {
+      val g = Text.gopherFlags(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), g.as("g"))
+        .select(col("doc_id"),
+          col("g.word_count").as("word_count"),
+          round(col("g.mean_word_len"), 6).as("mean_word_len"),
+          round(col("g.sym_ratio"), 6).as("sym_ratio"),
+          round(col("g.frac_bullet"), 6).as("frac_bullet"),
+          round(col("g.frac_ellipsis"), 6).as("frac_ellipsis"),
+          round(col("g.frac_alpha"), 6).as("frac_alpha"),
+          col("g.n_stop").as("n_stop"),
+          col("g.pass").as("pass"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Ingest text normalization: Unicode NFC (native expression) +
+    // whitespace collapse + trim. The corpus is ASCII/single-spaced, so
+    // both engines append the same decomposed-accent + messy-whitespace
+    // salt per doc before normalizing (the round-2 "zero-power check"
+    // lesson) — NFC composition and the collapse both have real ground
+    // truth, and the normalized strings hash-compare byte-for-byte.
+    "q83_normalize" -> ((s, dir) => {
+      val salted = concat(col("text"),
+        lit(" café  du\tmonde Å "), col("doc_id").cast("string"), lit("  "))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.normalizeText(salted).as("norm_text"),
+          length(Text.normalizeText(salted)).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1631,6 +1681,73 @@ object EngineQueries {
            round(lp / n_tok, 6) AS avg_logprob,
            round(exp(-lp / n_tok), 4) AS ppl
          FROM sc ORDER BY doc_id""",
+    // exhaustive candidate generation (nlist = 1) ⇒ the pair set is exactly
+    // all cosine >= 0.35 pairs; the closure + keep-min-id labeling is then
+    // engine-independent
+    "q81_semantic_dedup" ->
+      """WITH RECURSIVE emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+           WHERE vec_id < 1000),
+         pairs AS (
+           SELECT a.vec_id AS u, b.vec_id AS w
+           FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.vec, b.vec) >= 0.35),
+         sym AS (SELECT u, w FROM pairs UNION SELECT w AS u, u AS w FROM pairs),
+         reach(node, r) AS (
+           SELECT vec_id, vec_id FROM emb
+           UNION
+           SELECT s.w, reach.r FROM reach JOIN sym s ON s.u = reach.node),
+         lab AS (SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS component
+                 FROM reach GROUP BY node)
+         SELECT vec_id, component, (vec_id = component) AS keep
+         FROM lab ORDER BY vec_id""",
+    // the salt is spelled with chr() codepoints so no tool in the chain can
+    // silently re-normalize the SQL text: chr(769) = combining acute,
+    // chr(8491) = angstrom sign (an NFC singleton that composes to U+00C5)
+    "q83_normalize" ->
+      """WITH salted_n AS (
+           SELECT doc_id,
+             text || ' cafe' || chr(769) || '  du' || chr(9) || 'monde ' || chr(8491)
+               || ' ' || CAST(doc_id AS VARCHAR) || '  ' AS t
+           FROM documents)
+         SELECT doc_id,
+           trim(regexp_replace(nfc_normalize(t), '\s+', ' ', 'g')) AS norm_text,
+           CAST(length(trim(regexp_replace(nfc_normalize(t), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
+         FROM salted_n ORDER BY doc_id""",
+    "q82_gopher_rules" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS ws,
+             string_split(text, chr(10)) AS lines,
+             len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             len(ws) AS word_count,
+             CAST(coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS DOUBLE)
+               / greatest(len(ws), 1) AS mean_word_len,
+             CAST(n_sym AS DOUBLE) / greatest(len(ws), 1) AS sym_ratio,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-•*]'))) AS DOUBLE)
+               / greatest(len(lines), 1) AS frac_bullet,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+               / greatest(len(lines), 1) AS frac_ellipsis,
+             CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / greatest(len(ws), 1) AS frac_alpha,
+             len(list_distinct(list_intersect(list_transform(ws, x -> lower(x)),
+               ['the','be','to','of','and','that','have','with']))) AS n_stop
+           FROM w)
+         SELECT doc_id,
+           CAST(word_count AS BIGINT) AS word_count,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(sym_ratio, 6) AS sym_ratio,
+           round(frac_bullet, 6) AS frac_bullet,
+           round(frac_ellipsis, 6) AS frac_ellipsis,
+           round(frac_alpha, 6) AS frac_alpha,
+           CAST(n_stop AS BIGINT) AS n_stop,
+           (word_count BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND sym_ratio <= 0.1 AND frac_bullet <= 0.9 AND frac_ellipsis <= 0.3
+            AND frac_alpha >= 0.8 AND n_stop >= 2) AS pass
+         FROM m ORDER BY doc_id""",
     "q78_ignore_nulls" ->
       """SELECT event_id, user_id,
            round(last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)

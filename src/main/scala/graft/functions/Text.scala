@@ -179,6 +179,59 @@ object Text {
         lit(ipv4Pattern), lit("<IP>")),
       lit(phonePattern), lit("<PHONE>"))
 
+  /** Canonical text-cleaning pass for ingest, applied BEFORE any content
+    * hashing / shingling / fingerprinting: Unicode NFC (composed and
+    * decomposed spellings of the same string must dedup together — the
+    * native [[NfcNormalize]] expression), then collapse every whitespace
+    * run to one space and trim. Pure per-row scan work.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(NfcNormalize(c), "\\s+", " "))
+
+  /** Gopher quality-filter rules (Rae et al. 2021, arXiv:2112.11446,
+    * appendix A1.1 — public method). Returns one struct of the rule metrics
+    * plus the combined `pass` flag:
+    *
+    *   - `word_count` in [50, 100000]
+    *   - `mean_word_len` in [3, 10]
+    *   - `sym_ratio` (hash / ellipsis symbols per word) ≤ 0.1
+    *   - `frac_bullet` (lines starting with a bullet) ≤ 0.9
+    *   - `frac_ellipsis` (lines ending in an ellipsis) ≤ 0.3
+    *   - `frac_alpha` (words containing a letter) ≥ 0.8
+    *   - `n_stop` (distinct hits in Gopher's 8-word stop list) ≥ 2
+    *
+    * Pure per-row expression work (split / filter / regexp), no shuffle —
+    * embarrassingly parallel at any corpus size. Every term is arithmetic
+    * on exact integer counts, so an external engine reproduces the doubles
+    * bit-for-bit.
+    */
+  def gopherFlags(c: Column): Column = {
+    val w = words(c)
+    val nw = size(w)
+    val nwSafe = greatest(nw, lit(1))
+    val meanLen = aggregate(w, lit(0), (acc, x) => acc + length(x)).cast("double") / nwSafe
+    val symRatio = size(regexp_extract_all(c, lit("#|\\.\\.\\.|…"), lit(0))).cast("double") / nwSafe
+    val lines = split(c, "\n")
+    val nLines = greatest(size(lines), lit(1))
+    val fracBullet = size(filter(lines, l => l.rlike("^\\s*[-•*]"))).cast("double") / nLines
+    val fracEllipsis = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") / nLines
+    val fracAlpha = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") / nwSafe
+    val gopherStops = array(
+      Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)
+    val nStop = size(array_intersect(transform(w, x => lower(x)), gopherStops))
+    struct(
+      nw.cast("long").as("word_count"),
+      meanLen.as("mean_word_len"),
+      symRatio.as("sym_ratio"),
+      fracBullet.as("frac_bullet"),
+      fracEllipsis.as("frac_ellipsis"),
+      fracAlpha.as("frac_alpha"),
+      nStop.cast("long").as("n_stop"),
+      (nw.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+        symRatio <= 0.1 && fracBullet <= 0.9 && fracEllipsis <= 0.3 &&
+        fracAlpha >= 0.8 && nStop >= 2).as("pass"))
+  }
+
   /** Fraction of the document's word n-grams that are repeats of an earlier
     * n-gram: `1 − distinct/total` (0 for docs shorter than n words) — the
     * Gopher/RefinedWeb-style intra-document repetition signal; docs above

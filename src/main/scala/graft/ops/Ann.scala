@@ -191,6 +191,10 @@ object Ann {
         "shard the corpus or extend to a broadcast-join argmin")
     require(trainFraction > 0.0 && trainFraction <= 1.0, "trainFraction must be in (0, 1]")
     val base = corpus.select(col(corpusId).as("item_id"), col(corpusVec).as("cv"))
+    // nlist = 1 is the exhaustive degenerate (every vector in cell 0): no
+    // training pass, and Spark ML's KMeans rejects k = 1 anyway
+    if (nlist == 1)
+      return IvfIndex(Array(Array.empty[Double]), base.withColumn("cell", lit(0)))
     val sampled =
       if (trainFraction < 1.0)
         base.filter(pmod(xxhash64(col("item_id"), lit(seed)), lit(1000000L))
@@ -220,11 +224,16 @@ object Ann {
       k: Int, nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nprobe0 = math.min(nprobe, index.centroids.length)
-    val probed = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"),
-        explode(slice(array_sort(array(centroidScores(col(queryVec), index.centroids): _*)),
-          1, nprobe0)).as("probe"))
-      .withColumn("qnrm", norm(col("qv")))
-      .select(col("query_id"), col("qv"), col("qnrm"), col("probe").getField("cell").as("cell"))
+    val probed =
+      if (index.centroids.length == 1)
+        // single-cell index (nlist = 1 exhaustive degenerate): nothing to rank
+        queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"),
+          norm(col(queryVec)).as("qnrm"), lit(0).as("cell"))
+      else queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"),
+          explode(slice(array_sort(array(centroidScores(col(queryVec), index.centroids): _*)),
+            1, nprobe0)).as("probe"))
+        .withColumn("qnrm", norm(col("qv")))
+        .select(col("query_id"), col("qv"), col("qnrm"), col("probe").getField("cell").as("cell"))
     val candidates = index.assigned.withColumn("cnrm", norm(col("cv")))
       .join(broadcast(probed), Seq("cell"))
       .withColumn("cos", dot(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
@@ -246,6 +255,46 @@ object Ann {
       maxTrainVectors: Int = 65536, trainFraction: Double = 1.0): DataFrame = {
     val index = ivfBuild(corpus, corpusId, corpusVec, nlist, seed, maxTrainVectors, trainFraction)
     ivfSearch(index, queries, queryId, queryVec, k, nprobe)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public method): cluster the embedding space with
+    * k-means (the [[ivfBuild]] index), mine near-duplicate pairs WITHIN
+    * each cluster by exact cosine, contract the pairs to connected
+    * components, and label every item with the minimum id of its semantic
+    * cluster. Output: `(id, component, keep)` — `keep` marks the one
+    * canonical copy per duplicate group, so the dedup'd corpus is
+    * `result.filter(col("keep"))`.
+    *
+    * Scale shape: candidate generation is an equi-join on the cell key, so
+    * the pair-mining cost drops from n² to Σ|cell|² — the SemDeDup trade
+    * (cross-cluster duplicates are missed by design; the paper's recall
+    * argument is that near-identical embeddings land in the same cell).
+    * `nlist = 1` degenerates to exact all-pairs: complete, quadratic, and
+    * exactly reproducible by an oracle — the correctness-gate
+    * configuration. Norms are computed once per vector before the join,
+    * never per pair, and the assigned frame is persisted because both join
+    * sides read it.
+    */
+  def semanticClusters(
+      corpus: DataFrame, id: String, vec: String,
+      threshold: Double, nlist: Int = 16, seed: Long = 42L,
+      maxTrainVectors: Int = 65536, trainFraction: Double = 1.0): DataFrame = {
+    val index = ivfBuild(corpus, id, vec, nlist, seed, maxTrainVectors, trainFraction)
+    val sigd = index.assigned
+      .withColumn("nrm", norm(col("cv"))) // norm once per vector, not per pair
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sigd.select(col("cell"), col("item_id").as("id_a"),
+      col("cv").as("va"), col("nrm").as("na"))
+    val b = sigd.select(col("cell"), col("item_id").as("id_b"),
+      col("cv").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    Components.labelNodes(corpus.select(col(id)), id, pairs, "id_a", "id_b")
+      .withColumn("keep", col(id) === col("component"))
   }
 
   /** Symmetric int8 quantization of an embedding column — the standard

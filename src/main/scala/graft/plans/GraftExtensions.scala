@@ -74,6 +74,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           build(org.apache.spark.sql.GraftShims.column(e)))
         case _ => throw new IllegalArgumentException(s"$name(text) expects one string column")
       })
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => graft.functions.NfcNormalize(s)
+        case _ => throw new IllegalArgumentException(
+          "nfc_normalize(text) expects one string column")
+      }))
     ext.injectFunction(columnFn("quality_score", graft.functions.Text.qualityScore))
     ext.injectFunction(columnFn("lang_id", graft.functions.Text.langId))
     ext.injectFunction(columnFn("token_count", c => graft.functions.Text.tokenCount(c)))

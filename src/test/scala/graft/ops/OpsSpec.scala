@@ -43,6 +43,43 @@ class OpsSpec extends SparkSpec {
     assert(r(0) > r(1))
   }
 
+  test("Text: normalizeText — NFC composition, singleton fold, whitespace collapse") {
+    val r = Seq("café  du\tmonde Å x ").toDF("t")
+      .select(Text.normalizeText(col("t"))).head().getString(0)
+    assert(r == "café du monde Å x")
+    // already-normalized ASCII is returned unchanged (fast path)
+    val ascii = Seq("plain text").toDF("t")
+      .select(Text.normalizeText(col("t"))).head().getString(0)
+    assert(ascii == "plain text")
+    // SQL surface via GraftExtensions
+    val sq = spark.sql("SELECT nfc_normalize('é') AS n").head().getString(0)
+    assert(sq == "é")
+  }
+
+  test("Text: gopherFlags rule metrics and combined pass decision") {
+    val good = (Seq.fill(8)("the quality of the data and the model have") :+
+      "improved with that scale").mkString(" ") // 76 words, stopword-rich
+    val rows = Seq(
+      (1L, good),
+      (2L, "too short to pass"),                              // word_count < 50
+      (3L, (1 to 60).map(_ => "• bullet line").mkString("\n")), // all-bullet lines
+      (4L, Seq.fill(60)("trailing...").mkString("\n")),       // all-ellipsis lines
+      (5L, Seq.fill(60)("### #### #####").mkString(" "))      // symbols, no letters
+    ).toDF("doc_id", "t")
+    val g = rows.select(col("doc_id"), Text.gopherFlags(col("t")).as("g"))
+      .orderBy("doc_id").collect()
+    def f(i: Int, name: String) = g(i).getStruct(1).getAs[Any](name)
+    assert(f(0, "pass") == true)
+    assert(f(0, "word_count") == 76L && f(0, "n_stop").asInstanceOf[Long] >= 5L)
+    assert(f(1, "pass") == false) // short
+    assert(f(2, "frac_bullet") == 1.0 && f(2, "pass") == false)
+    assert(f(3, "frac_ellipsis") == 1.0 && f(3, "pass") == false)
+    assert(f(4, "frac_alpha") == 0.0 && f(4, "pass") == false)
+    // mean word length of the good doc: exact integer arithmetic
+    val expectedMean = good.split("\\s+").map(_.length).sum.toDouble / 76
+    assert(f(0, "mean_word_len") == expectedMean)
+  }
+
   test("Text: fingerprint is order-stable and md5-shaped") {
     val fp = docs.filter(col("doc_id") === 1).select(Text.fingerprint(col("text"))).head().getString(0)
     val fp2 = docs.filter(col("doc_id") === 4).select(Text.fingerprint(col("text"))).head().getString(0)
@@ -385,6 +422,31 @@ class OpsSpec extends SparkSpec {
       .collect()
     assert(ivf.head.getLong(2) == brute.head.getLong(2))
     assert(ivf.map(_.getLong(2)).toSet.subsetOf((1L to 30L).toSet)) // same cluster only
+  }
+
+  test("Ann.semanticClusters: clustered path matches exhaustive on separated data") {
+    val rnd = new scala.util.Random(31)
+    // two well-separated centers; ids 1-3 and 11-13 are near-dup groups
+    // inside their cluster, the rest are spread-out singletons
+    def around(c: Double, eps: Double) = Seq.fill(8)(c + rnd.nextGaussian() * eps)
+    val rows =
+      (1L to 3L).map(i => (i, around(5.0, 0.01))) ++
+        (11L to 13L).map(i => (i, around(-5.0, 0.01))) ++
+        (21L to 26L).map(i => (i, Seq.fill(8)(rnd.nextGaussian() * 3)))
+    val emb = rows.toDF("id", "v")
+    val clustered = Ann.semanticClusters(emb, "id", "v", threshold = 0.999, nlist = 2)
+      .orderBy("id").collect()
+    // each near-dup group resolves to its min id; singletons keep themselves
+    val label = clustered.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 3L).forall(label(_) == 1L))
+    assert((11L to 13L).forall(label(_) == 11L))
+    assert((21L to 26L).forall(i => label(i) == i))
+    // exactly one keep per component, and keep = (id == component)
+    assert(clustered.count(_.getBoolean(2)) == label.values.toSet.size)
+    // cluster pruning loses nothing here: exhaustive (nlist = 1) agrees
+    val exhaustive = Ann.semanticClusters(emb, "id", "v", threshold = 0.999, nlist = 1)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(label == exhaustive)
   }
 
   test("Multimodal: featurize plumbing — schema, frame counts, content hash") {

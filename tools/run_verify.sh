@@ -17,4 +17,4 @@ exec java $ADD_OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-  "$MAIN" "$SF" "$OUT"
+  "$MAIN" "$SF" "$OUT" ${4:+"$4"}
