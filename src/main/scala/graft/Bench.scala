@@ -83,7 +83,8 @@ object Bench {
       "q74_line_dedup", "q75_bloom_dedup", "q76_hof_arrays", "q77_stats_agg",
       "q78_ignore_nulls", "q79_filter_clause", "q80_unigram_ppl")
     // queries added in round 5
-    val r5New = Set("q81_semantic_dedup", "q82_gopher_rules")
+    val r5New = Set("q81_semantic_dedup", "q82_gopher_rules", "q83_normalize",
+      "q84_heavy_hitters")
     val r2Subset = results.collect { case (k, v) if !r3New(k) && !r4New(k) && !r5New(k) => v }.sum
     val r3Subset = results.collect { case (k, v) if !r4New(k) && !r5New(k) => v }.sum
     val r4Subset = results.collect { case (k, v) if !r5New(k) => v }.sum

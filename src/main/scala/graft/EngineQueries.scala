@@ -906,6 +906,27 @@ object EngineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Heavy hitters via the SpaceSaving aggregate: per-language top-10
+    // words from capacity-bounded summaries (map-side partials ship
+    // ≤ capacity entries each — never the full vocabulary). Capacity 4096
+    // far exceeds the corpus vocabulary, so the sketch is provably exact
+    // (err = 0) and the oracle compares against true counts.
+    "q84_heavy_hitters" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hh = graft.functions.HeavyHitters.topK(4096)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("word"))
+      t(s, dir, "documents")
+        .select(col("lang"), explode(Text.words(col("text"))).as("word"))
+        .groupBy(col("lang")).agg(hh(col("word")).as("summary"))
+        .select(col("lang"), explode(col("summary")).as("h"))
+        .select(col("lang"), col("h.term").as("word"),
+          col("h.count").as("n"), col("h.err").as("err"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1701,6 +1722,19 @@ object EngineQueries {
                  FROM reach GROUP BY node)
          SELECT vec_id, component, (vec_id = component) AS keep
          FROM lab ORDER BY vec_id""",
+    // capacity ≫ vocabulary ⇒ SpaceSaving counts are exact with err 0, so
+    // the oracle is plain exact top-10 word counts per language
+    "q84_heavy_hitters" ->
+      """WITH w AS (
+           SELECT lang,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS word
+           FROM documents),
+         c AS (SELECT lang, word, count(*) AS n FROM w GROUP BY lang, word),
+         r AS (SELECT lang, word, n, CAST(0 AS BIGINT) AS err,
+                 row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rank
+               FROM c)
+         SELECT lang, word, n, err, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 10 ORDER BY lang, rank""",
     // the salt is spelled with chr() codepoints so no tool in the chain can
     // silently re-normalize the SQL text: chr(769) = combining acute,
     // chr(8491) = angstrom sign (an NFC singleton that composes to U+00C5)

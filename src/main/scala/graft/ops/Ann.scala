@@ -276,11 +276,12 @@ object Ann {
     * never per pair, and the assigned frame is persisted because both join
     * sides read it.
     */
-  def semanticClusters(
-      corpus: DataFrame, id: String, vec: String,
-      threshold: Double, nlist: Int = 16, seed: Long = 42L,
-      maxTrainVectors: Int = 65536, trainFraction: Double = 1.0): DataFrame = {
-    val index = ivfBuild(corpus, id, vec, nlist, seed, maxTrainVectors, trainFraction)
+  /** The pair-mining half of [[semanticClusters]]: within-cell exact-cosine
+    * near-duplicate pairs `(id_a, id_b, cos)` over a built index. Exposed
+    * separately so callers can persist/inspect pairs (and so the join shape
+    * is plan-testable without running the components contraction).
+    */
+  def semanticPairs(index: IvfIndex, threshold: Double): DataFrame = {
     val sigd = index.assigned
       .withColumn("nrm", norm(col("cv"))) // norm once per vector, not per pair
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -288,11 +289,19 @@ object Ann {
       col("cv").as("va"), col("nrm").as("na"))
     val b = sigd.select(col("cell"), col("item_id").as("id_b"),
       col("cv").as("vb"), col("nrm").as("nb"))
-    val pairs = a.join(b, Seq("cell"))
+    a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  def semanticClusters(
+      corpus: DataFrame, id: String, vec: String,
+      threshold: Double, nlist: Int = 16, seed: Long = 42L,
+      maxTrainVectors: Int = 65536, trainFraction: Double = 1.0): DataFrame = {
+    val index = ivfBuild(corpus, id, vec, nlist, seed, maxTrainVectors, trainFraction)
+    val pairs = semanticPairs(index, threshold).select(col("id_a"), col("id_b"))
     Components.labelNodes(corpus.select(col(id)), id, pairs, "id_a", "id_b")
       .withColumn("keep", col(id) === col("component"))
   }

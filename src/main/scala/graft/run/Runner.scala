@@ -57,6 +57,8 @@ object Runner {
     val t0 = System.nanoTime()
     // stage SQL may use the reference's JSON pack (incl. ->/->> rewrites)
     graft.functions.JsonUdfs.registerOnce(spark)
+    // ... and the SpaceSaving heavy-hitters aggregate
+    graft.functions.HeavyHitters.registerOnce(spark)
     validate(spark, pipeline)
     tracker.onProgress(ProgressEvent.Started)
 

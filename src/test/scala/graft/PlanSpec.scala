@@ -130,6 +130,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("subquery"), p)
   }
 
+  test("q84: SpaceSaving aggregate ships bounded partials (partial + final object agg)") {
+    val p = plan("q84_heavy_hitters")
+    // map-side partial summary then one exchange on lang then final merge —
+    // the exchange carries capacity-bounded summaries, not the vocabulary
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q83: NFC normalization is pure scan work (no operator shuffle)") {
+    val p = plan("q83_normalize")
+    assert(p.contains("nfc_normalize"), p)
+    assert(onlyOutputSortExchanges(p), p)
+  }
+
+  test("semanticPairs: within-cell mining is an equi-join on the cell key, never all-pairs") {
+    import org.apache.spark.sql.functions.col
+    val spark0 = spark
+    import spark0.implicits._
+    val emb = (1L to 40L).map(i => (i, Seq.fill(8)(i.toDouble % 5))).toDF("id", "v")
+    val index = ops.Ann.ivfBuild(emb, "id", "v", nlist = 2, maxTrainVectors = 40)
+    val p = ops.Ann.semanticPairs(index, threshold = 0.9)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("engine pipeline stages keep scan pushdown through temp-view boundaries") {
     val df = SparkEntry.queries("p01_pipeline_agg")(spark, dir)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

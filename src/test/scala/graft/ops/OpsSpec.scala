@@ -449,6 +449,34 @@ class OpsSpec extends SparkSpec {
     assert(label == exhaustive)
   }
 
+  test("HeavyHitters: exact under capacity, bounded + containing the hot key over it") {
+    import graft.functions.HeavyHitters
+    // 60×"a", 30×"b", 10×"c", singletons d..k
+    val words = Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c") ++
+      ('d' to 'k').map(_.toString)
+    val df = scala.util.Random.shuffle(words).toDF("w")
+    val exact = df.groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // capacity above distinct count: every count exact, err 0
+    val full = df.agg(HeavyHitters.topK(64)(col("w")).as("s"))
+      .select(explode(col("s")).as("h")).select(col("h.term"), col("h.count"), col("h.err"))
+      .collect()
+    assert(full.length == exact.size)
+    assert(full.forall(r => r.getLong(2) == 0L && r.getLong(1) == exact(r.getString(0))))
+    // capacity below distinct count: summary stays bounded, the dominant
+    // key survives with its true count within the reported error bound
+    val tight = df.repartition(1).agg(HeavyHitters.topK(4)(col("w")).as("s"))
+      .select(explode(col("s")).as("h")).select(col("h.term"), col("h.count"), col("h.err"))
+      .collect()
+    assert(tight.length <= 4)
+    val a = tight.find(_.getString(0) == "a").get
+    assert(a.getLong(1) >= 60L && a.getLong(1) - a.getLong(2) <= 60L)
+    // SQL surface: registered aggregate is usable from stage SQL
+    HeavyHitters.register(spark, 64)
+    df.createOrReplaceTempView("hh_words")
+    assert(spark.sql("SELECT size(approx_top_terms(w)) FROM hh_words")
+      .head().getInt(0) == exact.size)
+  }
+
   test("Multimodal: featurize plumbing — schema, frame counts, content hash") {
     val r = Multimodal.featurize(docs.filter(col("doc_id") === 1), "doc_id", "text").head()
     assert(r.getAs[String]("format") == "text/utf-8")
