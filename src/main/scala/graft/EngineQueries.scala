@@ -927,6 +927,25 @@ object EngineQueries {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // Exactly-k-per-group deterministic sample (hash-ranked): 10 docs per
+    // language, reproducible in any engine with md5 — the eval/inspection
+    // primitive the fraction-based samplers can't provide.
+    "q85_group_sample" -> ((s, dir) => {
+      ops.Sampling.perGroupSample(t(s, dir, "documents"),
+          Seq("lang"), keyCol = "text", idCol = "doc_id", k = 10)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))
+        .orderBy(col("lang"), col("sample_rank"))
+    }),
+
+    // BPE tokenizer-training step: corpus-wide adjacent-pair frequencies
+    // over the BPE-ish pre-tokenization, top-50 merge candidates — exact
+    // integer counts, TakeOrdered top-k (never a full sort).
+    "q86_bpe_pairs" -> ((s, dir) => {
+      ops.LangModel.bpePairCounts(t(s, dir, "documents"), "text")
+        .select(concat_ws(" ", col("a"), col("b")).as("pair"), col("n"))
+        .orderBy(col("n").desc, col("pair")).limit(50)
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1722,6 +1741,23 @@ object EngineQueries {
                  FROM reach GROUP BY node)
          SELECT vec_id, component, (vec_id = component) AS keep
          FROM lab ORDER BY vec_id""",
+    "q85_group_sample" ->
+      """WITH r AS (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS sample_rank
+           FROM documents)
+         SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+         FROM r WHERE sample_rank <= 10 ORDER BY lang, sample_rank""",
+    "q86_bpe_pairs" ->
+      """WITH tk AS (
+           SELECT regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS t
+           FROM documents),
+         p AS (SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                 i -> t[i] || ' ' || t[i+1])) AS pair
+               FROM tk),
+         c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair),
+         r AS (SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rk FROM c)
+         SELECT pair, n FROM r WHERE rk <= 50 ORDER BY n DESC, pair""",
     // capacity ≫ vocabulary ⇒ SpaceSaving counts are exact with err 0, so
     // the oracle is plain exact top-10 word counts per language
     "q84_heavy_hitters" ->

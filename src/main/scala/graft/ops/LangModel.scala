@@ -66,4 +66,27 @@ object LangModel {
         (col("lp_sum") / col("n_tok")).as("avg_logprob"),
         exp(-col("lp_sum") / col("n_tok")).as("ppl"))
   }
+
+  /** Adjacent-pair frequencies over the BPE-ish pre-tokenization — the core
+    * distributed step of BPE tokenizer training (Sennrich et al. 2016): each
+    * merge round ranks candidate pairs by corpus frequency; this computes
+    * that ranking for the current token stream. Pair generation is pure
+    * per-row transform work; the count is one groupBy whose exchange
+    * carries the pair vocabulary (map-side combine collapses each
+    * partition's repeats), not the corpus — the same shape as
+    * [[unigramTrain]]. Pairs never cross document boundaries.
+    */
+  def bpePairCounts(corpus: DataFrame, textCol: String): DataFrame = {
+    val toks = Text.bpeishTokens(lower(col(textCol)))
+    val pairs = corpus
+      .select(toks.as("t"))
+      .select(when(size(col("t")) >= 2,
+        transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("a"),
+            element_at(col("t"), i + 2).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>")).as("ps"))
+      .select(explode(col("ps")).as("p"))
+    pairs.groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -54,6 +54,30 @@ object Sampling {
     df.filter(md5(col(keyCol)) < cutoff)
   }
 
+  /** Exactly-k-per-group deterministic sample: rank rows within each group
+    * by `(md5(keyCol), idCol)` and keep the first k — a uniform
+    * without-replacement sample that is reproducible across engines and
+    * partition layouts (the hash is the "random" order; the id breaks
+    * digest ties, so identical content is still totally ordered). The
+    * inspection/eval primitive: "k docs per domain/language", exact count
+    * per group where the fraction forms can't promise one.
+    *
+    * One shuffle on the group key; the window sort is per-group. A group
+    * with billions of rows pays its size in sort — pre-thin giant groups
+    * with [[byContentHash]] first (nesting makes the composition still
+    * deterministic and still uniform).
+    */
+  def perGroupSample(
+      df: DataFrame, groupCols: Seq[String], keyCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(col(keyCol)), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** 32-hex-digit cutoff = floor(fraction · 16^32), zero-padded — md5 hex
     * strings of equal length compare lexicographically as numbers. Fraction
     * 1.0 yields `"g"`, which every lowercase hex string sorts below (the

@@ -449,6 +449,31 @@ class OpsSpec extends SparkSpec {
     assert(label == exhaustive)
   }
 
+  test("Sampling.perGroupSample: exactly k per group, deterministic, id tie-break") {
+    val rows = (1L to 30L).map(i => (i, if (i <= 20) "g1" else "g2", s"text $i")) :+
+      (31L, "g2", "text 25") // duplicate content of id 25: md5 tie → id order
+    val df = rows.toDF("id", "grp", "t")
+    val s1 = Sampling.perGroupSample(df, Seq("grp"), "t", "id", k = 5)
+      .orderBy("grp", "sample_rank").collect()
+    assert(s1.count(_.getString(1) == "g1") == 5)
+    assert(s1.count(_.getString(1) == "g2") == 5)
+    // deterministic: a repartitioned re-run yields the identical sample
+    val s2 = Sampling.perGroupSample(df.repartition(7), Seq("grp"), "t", "id", k = 5)
+      .orderBy("grp", "sample_rank").collect()
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq)
+    // a group smaller than k yields the whole group
+    val small = Sampling.perGroupSample(df.filter(col("id") > 28), Seq("grp"), "t", "id", k = 5)
+    assert(small.count() == 3)
+  }
+
+  test("LangModel.bpePairCounts: exact adjacent-pair frequencies, no cross-doc pairs") {
+    val df = Seq("ab ab cd", "ab ab", "x").toDF("t")
+    val counts = LangModel.bpePairCounts(df, "t")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // doc1: (ab,ab),(ab,cd); doc2: (ab,ab); doc3: no pairs
+    assert(counts == Map(("ab", "ab") -> 2L, ("ab", "cd") -> 1L))
+  }
+
   test("HeavyHitters: exact under capacity, bounded + containing the hot key over it") {
     import graft.functions.HeavyHitters
     // 60×"a", 30×"b", 10×"c", singletons d..k
