@@ -156,6 +156,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q86: pair generation tokenizes each doc once (no generate-filter re-derivation)") {
+    val p = plan("q86_bpe_pairs")
+    // the regex tokenization must appear in exactly one Project node: a
+    // plain explode's inferred size-filter used to inline it (and the full
+    // pair transform) into a scan-level Filter — 30× slower at sf0.1
+    assert("regexp_extract_all".r.findAllIn(p).size == 1, p)
+    assert(p.contains("HashAggregate"), p) // map-side combine: pair vocab, not corpus
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("engine pipeline stages keep scan pushdown through temp-view boundaries") {
     val df = SparkEntry.queries("p01_pipeline_agg")(spark, dir)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
