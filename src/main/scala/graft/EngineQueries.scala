@@ -98,9 +98,11 @@ object EngineQueries {
     }),
 
     // Array explode + top-k word counts over the document corpus.
+    // (explode_outer: a plain explode's inferred generate filter re-runs
+    // the tokenization split at the scan — see Dedup.minePairs)
     "q24_word_topk" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(explode(docWords(col("text"))).as("word"))
+        .select(explode_outer(docWords(col("text"))).as("word"))
         .filter(length(col("word")) > 2)
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word"))
@@ -917,7 +919,8 @@ object EngineQueries {
       val w = Window.partitionBy(col("lang"))
         .orderBy(col("n").desc, col("word"))
       t(s, dir, "documents")
-        .select(col("lang"), explode(Text.words(col("text"))).as("word"))
+        .select(col("lang"), explode_outer(Text.words(col("text"))).as("word"))
+        .filter(col("word").isNotNull)
         .groupBy(col("lang")).agg(hh(col("word")).as("summary"))
         .select(col("lang"), explode(col("summary")).as("h"))
         .select(col("lang"), col("h.term").as("word"),

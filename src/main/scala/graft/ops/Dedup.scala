@@ -239,9 +239,14 @@ object Dedup {
       case CapSpec.Fixed(c) => Some(c)
       case CapSpec.Off => None
     }
+    // explode_outer + null filter: a plain explode triggers
+    // InferFiltersFromGenerate, whose size() pre-filter is pushed below the
+    // projection and re-derives the whole shingle pass in a scan Filter
+    // (2× the dominant cost; see bpePairCounts for the measured case)
     val posting = spread(tagged)
       .select(col("side"), col("doc_id"),
-        explode(graft.functions.WordShingles(col("_text"), n)).as("sh_str"))
+        explode_outer(graft.functions.WordShingles(col("_text"), n)).as("sh_str"))
+      .filter(col("sh_str").isNotNull)
       .select(col("side"), col("doc_id"), xxhash64(col("sh_str")).as("h"))
     val prof0 = buildProfiles(posting, Seq("side", "doc_id"), threshold, capSpec)
     val prof = if (persistProfiles) prof0.persist(StorageLevel.MEMORY_AND_DISK) else prof0
@@ -341,8 +346,11 @@ object Dedup {
   private def minePairs(
       shingled: DataFrame, docs: DataFrame, idCol: String,
       threshold: Double, maxShingleDocFreq: CapSpec, withCounts: Boolean): DataFrame = {
+    // explode_outer + null filter: see ngramJaccardAgainst — the inferred
+    // generate filter would re-run the native shingle expression at the scan
     val posting = shingled
-      .select(col("doc_id"), explode(col("shingles")).as("sh_str"))
+      .select(col("doc_id"), explode_outer(col("shingles")).as("sh_str"))
+      .filter(col("sh_str").isNotNull)
       .select(col("doc_id"), xxhash64(col("sh_str")).as("h"))
     // Persist the compact profile frame (arrays of longs, one row per doc):
     // the prefix explode and both verification joins read it, and the
@@ -400,14 +408,18 @@ object Dedup {
       reference: DataFrame,
       refTextCol: String,
       n: Int = 8): DataFrame = {
+    // explode_outer + null filter on both sides: the inferred generate
+    // filter would re-run the shingle expression at the scan (see minePairs)
     val refHashes = spread(reference)
-      .select(explode(graft.functions.WordShingles(col(refTextCol), n)).as("sh"))
+      .select(explode_outer(graft.functions.WordShingles(col(refTextCol), n)).as("sh"))
+      .filter(col("sh").isNotNull)
       .select(xxhash64(col("sh")).as("h"))
       .distinct()
     val docHashes = spread(docs)
       .select(col(idCol).as("doc_id"),
         graft.functions.WordShingles(col(textCol), n).as("shingles"))
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
+      .filter(col("sh").isNotNull)
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
     // one shingle pass: a left join against the (distinct) reference set
     // marks matches, and a single aggregate counts both totals — count(_m)
@@ -567,14 +579,22 @@ object Dedup {
     val chunks = maxDistance + 1
     val bitsPer = 64 / chunks
     // 16 bytes/doc — trivially cacheable at any scale; avoids running the
-    // 64-sum hash aggregate once per self-join side
-    val hashed = simhash(docs, idCol, textCol, portableHash).persist(StorageLevel.MEMORY_AND_DISK)
+    // 64-sum hash aggregate once per self-join side. Deliberately NOT
+    // simhash() (whose isNotNull filter gets pushed below the projection
+    // and re-runs the sketch inside a scan Filter — 2× the dominant cost);
+    // wordless docs keep their null signature here and die on the cheap
+    // post-explode bits filter, which cannot be pushed through the Generate.
+    val hashed = spread(docs)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.SimHash64(col(textCol), portableHash).as("simhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val keyed0 = hashed.select(col("doc_id"), col("simhash"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),
           shiftright(col("simhash"), c * bitsPer)
             .bitwiseAND((1L << bitsPer) - 1).as("bits"))
       }: _*)).as("key"))
+      .filter(col("key.bits").isNotNull)
     val keyed = maxBucketSize match {
       case Some(bcap) =>
         val hot = keyed0.groupBy("key").agg(count(lit(1)).as("bs"))

@@ -25,8 +25,11 @@ object LangModel {
     * token count attached as a column (`n_total`) so the frame is
     * self-contained. */
   def unigramTrain(corpus: DataFrame, textCol: String): DataFrame = {
+    // explode_outer + null filter: a plain explode's inferred generate
+    // filter re-runs the tokenization split at the scan (see bpePairCounts)
     val freq = corpus
-      .select(explode(Text.words(col(textCol))).as("w"))
+      .select(explode_outer(Text.words(col(textCol))).as("w"))
+      .filter(col("w").isNotNull)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     // the scalar total rides along as a window-free cross join of one row —
     // Spark plans it as a broadcast nested loop of a single-row relation
@@ -46,7 +49,8 @@ object LangModel {
       docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, smoothK: Double = 0.0): DataFrame = {
     val tok = docs.select(col(idCol).as("_id"),
-      explode(Text.words(col(textCol))).as("w"))
+      explode_outer(Text.words(col(textCol))).as("w"))
+      .filter(col("w").isNotNull)
     val joined =
       if (smoothK == 0.0) tok.join(model, Seq("w"))
         .withColumn("lp", log(col("c").cast("double") / col("n_total")))

@@ -46,9 +46,12 @@ object Lines {
     require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
     val sepLit = java.util.regex.Pattern.quote(sep)
 
+    // posexplode_outer + null filter: a plain posexplode's inferred generate
+    // filter re-runs the split at the scan (see Dedup.minePairs)
     val lines = docs
       .select(col(idCol).as("_id"),
-        posexplode(split(col(textCol), sepLit)).as(Seq("_pos", "_line")))
+        posexplode_outer(split(col(textCol), sepLit)).as(Seq("_pos", "_line")))
+      .filter(col("_line").isNotNull)
       .withColumn("_k",
         xxhash64(if (normalize) lower(trim(col("_line"))) else col("_line")))
 

@@ -96,14 +96,19 @@ object Packing {
     require(window >= 1 && stride >= 1, "window and stride must be >= 1")
     require(stride <= window,
       "stride beyond window leaves inter-window gaps (and a phantom final chunk)")
+    // empty docs fall out via explode_outer + null filter rather than a
+    // size() pre-filter: the pushed-down pre-filter (and a plain explode's
+    // inferred one) re-runs the tokenization split inside a scan Filter
+    // (see Dedup.minePairs); the null filter sits above the Generate where
+    // _ws is a computed-once attribute.
+    // ceil, not floor: a floor'd last start strands up to stride−1
+    // trailing tokens outside every window
     df.select(col(idCol), graft.functions.Text.words(col(textCol)).as("_ws"))
-      .filter(size(col("_ws")) > 0)
-      // ceil, not floor: a floor'd last start strands up to stride−1
-      // trailing tokens outside every window
       .select(col(idCol), col("_ws"),
-        explode(sequence(lit(0),
+        explode_outer(when(size(col("_ws")) > 0, sequence(lit(0),
           ceil(greatest(size(col("_ws")) - window, lit(0)).cast("double") / stride)
-            .cast("int"))).as("chunk_idx"))
+            .cast("int")))).as("chunk_idx"))
+      .filter(col("chunk_idx").isNotNull)
       .select(col(idCol), col("chunk_idx"),
         array_join(slice(col("_ws"), col("chunk_idx") * stride + 1, lit(window)), " ").as("chunk"),
         size(slice(col("_ws"), col("chunk_idx") * stride + 1, lit(window))).as("n_tokens"))

@@ -166,6 +166,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("text/sketch passes never re-derive inside scan filters (generate-filter trap)") {
+    // InferFiltersFromGenerate + predicate pushdown can clone an expensive
+    // expression (tokenization, shingling, sketching) into a scan-level
+    // Filter below its staged projection — the whole pass then runs twice
+    // (or more) per row. Every explode over a computed array uses
+    // explode_outer + a generator-output null filter instead; this pins it.
+    val heavy = Seq("word_shingles", "char_shingles", "simhash64", "minhash_sig",
+      "regexp_extract_all", "split(")
+    for (q <- Seq("q24_word_topk", "q32_ngram_jaccard", "q33_minhash_lsh",
+        "q34_simhash", "q61_cross_jaccard", "q63_char_jaccard", "q66_dedup_components",
+        "q69_token_windows", "q72_contamination", "q74_line_dedup",
+        "q80_unigram_ppl", "q84_heavy_hitters", "q86_bpe_pairs")) {
+      val bad = plan(q).linesIterator.filter(_.contains("Condition :"))
+        .filter(l => heavy.exists(l.contains)).toSeq
+      assert(bad.isEmpty, s"$q re-derives a heavy pass in a filter:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("engine pipeline stages keep scan pushdown through temp-view boundaries") {
     val df = SparkEntry.queries("p01_pipeline_agg")(spark, dir)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
