@@ -900,7 +900,7 @@ object EngineQueries {
     // truth, and the normalized strings hash-compare byte-for-byte.
     "q83_normalize" -> ((s, dir) => {
       val salted = concat(col("text"),
-        lit(" café  du\tmonde Å "), col("doc_id").cast("string"), lit("  "))
+        lit(" cafe\u0301  du\tmonde \u212B "), col("doc_id").cast("string"), lit("  "))
       t(s, dir, "documents")
         .select(col("doc_id"),
           Text.normalizeText(salted).as("norm_text"),

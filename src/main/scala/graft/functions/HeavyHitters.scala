@@ -15,12 +15,15 @@ import scala.collection.mutable
   * The SpaceSaving aggregate instead keeps a capacity-bounded summary per
   * map task (ObjectHashAggregate partials), ships only `capacity` entries
   * per partition, and merges them associatively — shuffle volume is
-  * O(partitions × capacity), independent of corpus size. Guarantees are the
-  * standard ones: every true count c is within [reported − err, reported],
-  * any item with true count > N/capacity is retained, and when the distinct
-  * count never exceeds `capacity` (per partial) no eviction happens so
-  * counts are EXACT with err = 0 — the correctness-gate configuration
-  * (q84's oracle compares against exact counts).
+  * O(partitions × capacity), independent of corpus size.
+  *
+  * Guarantees (maintained across merges via the `floor` bound — the
+  * largest count ever evicted or trimmed away, which upper-bounds any
+  * absent item's true count): every reported count satisfies
+  * `reported − err ≤ true ≤ reported`; and when no summary in the tree
+  * ever evicts or trims (distinct count ≤ capacity throughout) counts are
+  * EXACT with err = 0 — the correctness-gate configuration (q84's oracle
+  * compares against exact counts).
   */
 object HeavyHitters {
 
@@ -29,59 +32,104 @@ object HeavyHitters {
     */
   final case class Hit(term: String, count: Long, err: Long)
 
-  /** Summary buffer: term → (count, err). Mutated in place per partial. */
-  type Buf = mutable.HashMap[String, (Long, Long)]
+  /** Mutable summary buffer.
+    *
+    * `floor` is the SpaceSaving absence bound: any term NOT in `map` has
+    * true count ≤ floor in the stream this summary has absorbed (0 until
+    * the first eviction/trim). Merges use it as the absent side's
+    * count/err contribution, which is what keeps the per-entry guarantee
+    * valid across arbitrary merge trees.
+    *
+    * `minCount`/`candidates` implement amortized O(1) eviction: candidates
+    * holds the terms whose stored count equaled `minCount` at the last
+    * rebuild, in term order (the same victim sequence the naive global
+    * `minBy((count, term))` scan would produce — stored counts never drop
+    * below minCount, so the cohort IS the global minimum until it drains).
+    * Entries incremented past minCount are skipped lazily at pop time.
+    */
+  final class Buf(
+      val map: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty,
+      var floor: Long = 0L) extends Serializable {
+    @transient private var minCount: Long = 0L
+    @transient private var candidates: mutable.ArrayDeque[String] = null
+
+    def invalidateEvictionState(): Unit = { candidates = null }
+
+    /** Remove and return a minimal (count, term) entry. O(capacity) only
+      * when the min-count cohort drains; O(1) otherwise.
+      */
+    def evictVictim(): (String, (Long, Long)) = {
+      while (candidates == null || candidates.isEmpty) {
+        minCount = map.valuesIterator.map(_._1).min
+        candidates = mutable.ArrayDeque.from(
+          map.iterator.collect { case (t, (c, _)) if c == minCount => t }.toSeq.sorted)
+      }
+      val t = candidates.removeHead()
+      map.get(t) match {
+        case Some((c, e)) if c == minCount => map.remove(t); (t, (c, e))
+        case _ => evictVictim() // stale candidate (incremented since rebuild)
+      }
+    }
+  }
 
   final class SpaceSavingTopK(capacity: Int)
       extends Aggregator[String, Buf, Seq[Hit]] {
     require(capacity >= 1, "capacity must be >= 1")
 
-    override def zero: Buf = mutable.HashMap.empty
-
-    // deterministic victim choice on count ties (smallest count, then
-    // smallest term) keeps results stable for a fixed partition layout;
-    // exactness never depends on it
-    private def victim(b: Buf): (String, (Long, Long)) =
-      b.minBy { case (t, (c, _)) => (c, t) }
+    override def zero: Buf = new Buf()
 
     override def reduce(b: Buf, term: String): Buf = {
       if (term == null) return b
-      b.get(term) match {
-        case Some((c, e)) => b.update(term, (c + 1, e))
-        case None if b.size < capacity => b.update(term, (1L, 0L))
+      b.map.get(term) match {
+        case Some((c, e)) => b.map.update(term, (c + 1, e))
+        case None if b.map.size < capacity =>
+          // absent ⇒ true count so far ≤ floor: admit at the bound
+          b.map.update(term, (b.floor + 1, b.floor))
+          b.invalidateEvictionState()
         case None =>
           // SpaceSaving eviction: the new item inherits the victim's count
           // as its overcount bound
-          val (vt, (vc, _)) = victim(b)
-          b.remove(vt)
-          b.update(term, (vc + 1, vc))
+          val (_, (vc, _)) = b.evictVictim()
+          b.floor = math.max(b.floor, vc)
+          b.map.update(term, (vc + 1, vc))
       }
       b
     }
 
     override def merge(b1: Buf, b2: Buf): Buf = {
-      // pointwise sum of counts and error bounds (mergeable-summaries
-      // merge), then trim back to capacity keeping the largest counts
-      b2.foreach { case (t, (c2, e2)) =>
-        b1.get(t) match {
-          case Some((c1, e1)) => b1.update(t, (c1 + c2, e1 + e2))
-          case None => b1.update(t, (c2, e2))
+      // mergeable-summaries merge: pointwise sum, an absent side
+      // contributing its floor as both count and error bound
+      b2.map.foreach { case (t, (c2, e2)) =>
+        b1.map.get(t) match {
+          case Some((c1, e1)) => b1.map.update(t, (c1 + c2, e1 + e2))
+          case None => b1.map.update(t, (b1.floor + c2, b1.floor + e2))
         }
       }
-      if (b1.size <= capacity) b1
-      else {
-        val kept = b1.toSeq.sortBy { case (t, (c, _)) => (-c, t) }.take(capacity)
-        val nb: Buf = mutable.HashMap.empty
-        kept.foreach { case (t, ce) => nb.update(t, ce) }
-        nb
+      if (b2.floor > 0)
+        b1.map.keysIterator.filterNot(b2.map.contains).toSeq.foreach { t =>
+          val (c1, e1) = b1.map(t)
+          b1.map.update(t, (c1 + b2.floor, e1 + b2.floor))
+        }
+      b1.floor = math.max(b1.floor, b2.floor)
+      if (b1.map.size > capacity) {
+        // trim back to capacity keeping the largest counts; anything
+        // dropped raises the absence floor so a reappearance in a later
+        // merge is bounded, not silently undercounted
+        val all = b1.map.toSeq.sortBy { case (t, (c, _)) => (-c, t) }
+        all.drop(capacity).foreach { case (t, (c, _)) =>
+          b1.floor = math.max(b1.floor, c)
+          b1.map.remove(t)
+        }
       }
+      b1.invalidateEvictionState()
+      b1
     }
 
     /** Full summary, deterministically ordered (count desc, term asc);
       * callers explode and window for per-group top-k.
       */
     override def finish(b: Buf): Seq[Hit] =
-      b.toSeq.sortBy { case (t, (c, _)) => (-c, t) }
+      b.map.toSeq.sortBy { case (t, (c, _)) => (-c, t) }
         .map { case (t, (c, e)) => Hit(t, c, e) }
 
     override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]

@@ -18,14 +18,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Spark has no normalization built-in; a Scala UDF would box every row and
   * block codegen. This expression calls `java.text.Normalizer` (ICU-correct,
-  * in the JDK) directly from generated code, with an ASCII fast path:
-  * `Normalizer.isNormalized` is O(n) with no allocation, and real corpora
-  * are overwhelmingly already-NFC, so the common row costs one scan and
-  * zero copies. Oracle-portable: DuckDB's `nfc_normalize` implements the
-  * same Unicode normalization, so results hash-compare exactly.
+  * in the JDK) directly from generated code, with an ASCII fast path on the
+  * raw UTF8String bytes (ASCII is always NFC): the overwhelmingly-common
+  * ASCII row costs one byte scan — no String decode, no allocation. Non-ASCII
+  * rows check `isNormalized` before paying for a normalize copy.
+  * Oracle-portable: DuckDB's `nfc_normalize` implements the same Unicode
+  * normalization, so results hash-compare exactly.
   */
 object NfcNormalizeUtil {
   def nfc(s: UTF8String): UTF8String = {
+    // ASCII fast path on the raw bytes: ASCII is always NFC, and real
+    // corpora are overwhelmingly ASCII — the common row costs one byte
+    // scan, no String decode, no allocation
+    var i = 0
+    val n = s.numBytes()
+    var ascii = true
+    while (ascii && i < n) { ascii = s.getByte(i) >= 0; i += 1 }
+    if (ascii) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

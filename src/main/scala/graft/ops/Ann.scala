@@ -281,7 +281,14 @@ object Ann {
     * separately so callers can persist/inspect pairs (and so the join shape
     * is plan-testable without running the components contraction).
     */
-  def semanticPairs(index: IvfIndex, threshold: Double): DataFrame = {
+  def semanticPairs(index: IvfIndex, threshold: Double): DataFrame =
+    semanticPairsWithCache(index, threshold)._1
+
+  /** [[semanticPairs]] plus the persisted signature frame backing it, so
+    * callers that fully consume the pairs can release the cache.
+    */
+  private def semanticPairsWithCache(
+      index: IvfIndex, threshold: Double): (DataFrame, DataFrame) = {
     val sigd = index.assigned
       .withColumn("nrm", norm(col("cv"))) // norm once per vector, not per pair
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -289,11 +296,12 @@ object Ann {
       col("cv").as("va"), col("nrm").as("na"))
     val b = sigd.select(col("cell"), col("item_id").as("id_b"),
       col("cv").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("cell"))
+    val pairs = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+    (pairs, sigd)
   }
 
   def semanticClusters(
@@ -301,9 +309,16 @@ object Ann {
       threshold: Double, nlist: Int = 16, seed: Long = 42L,
       maxTrainVectors: Int = 65536, trainFraction: Double = 1.0): DataFrame = {
     val index = ivfBuild(corpus, id, vec, nlist, seed, maxTrainVectors, trainFraction)
-    val pairs = semanticPairs(index, threshold).select(col("id_a"), col("id_b"))
-    Components.labelNodes(corpus.select(col(id)), id, pairs, "id_a", "id_b")
+    val (pairs0, sigd) = semanticPairsWithCache(index, threshold)
+    val pairs = pairs0.select(col("id_a"), col("id_b"))
+    // labelNodes runs the contraction loop eagerly (per-round actions), and
+    // every round is localCheckpoint'ed — by the time it returns, the
+    // persisted signature frame behind `pairs` has been fully consumed and
+    // would otherwise leak executor storage for the session lifetime
+    val labeled = Components.labelNodes(corpus.select(col(id)), id, pairs, "id_a", "id_b")
       .withColumn("keep", col(id) === col("component"))
+    sigd.unpersist(blocking = false)
+    labeled
   }
 
   /** Symmetric int8 quantization of an embedding column — the standard

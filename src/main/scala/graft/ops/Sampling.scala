@@ -72,8 +72,11 @@ object Sampling {
       k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     import org.apache.spark.sql.expressions.Window
+    // asc_nulls_last: Spark's default NULLS FIRST would rank null-content
+    // rows into every sample while DuckDB's default (nulls last) ranks
+    // them out — the cross-engine reproducibility contract must pin one
     val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(md5(col(keyCol)), col(idCol))
+      .orderBy(md5(col(keyCol)).asc_nulls_last, col(idCol))
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
   }

@@ -44,16 +44,16 @@ class OpsSpec extends SparkSpec {
   }
 
   test("Text: normalizeText — NFC composition, singleton fold, whitespace collapse") {
-    val r = Seq("café  du\tmonde Å x ").toDF("t")
+    val r = Seq("cafe\u0301  du\tmonde \u212B x ").toDF("t")
       .select(Text.normalizeText(col("t"))).head().getString(0)
-    assert(r == "café du monde Å x")
+    assert(r == "caf\u00E9 du monde \u00C5 x")
     // already-normalized ASCII is returned unchanged (fast path)
     val ascii = Seq("plain text").toDF("t")
       .select(Text.normalizeText(col("t"))).head().getString(0)
     assert(ascii == "plain text")
     // SQL surface via GraftExtensions
-    val sq = spark.sql("SELECT nfc_normalize('é') AS n").head().getString(0)
-    assert(sq == "é")
+    val sq = spark.sql("SELECT nfc_normalize('e\u0301') AS n").head().getString(0)
+    assert(sq == "\u00E9")
   }
 
   test("Text: gopherFlags rule metrics and combined pass decision") {
@@ -495,6 +495,19 @@ class OpsSpec extends SparkSpec {
     assert(tight.length <= 4)
     val a = tight.find(_.getString(0) == "a").get
     assert(a.getLong(1) >= 60L && a.getLong(1) - a.getLong(2) <= 60L)
+    // multi-partition + trim regime: the floor bound must keep EVERY
+    // reported entry inside [count − err, count] across merge trees, and
+    // the dominant key (true count > N/capacity) must survive the trims
+    val multi = df.repartition(8).agg(HeavyHitters.topK(4)(col("w")).as("s"))
+      .select(explode(col("s")).as("h"))
+      .select(col("h.term"), col("h.count"), col("h.err")).collect()
+    assert(multi.length <= 4)
+    multi.foreach { r =>
+      val t = exact(r.getString(0))
+      assert(r.getLong(1) >= t && r.getLong(1) - r.getLong(2) <= t,
+        s"${r.getString(0)}: reported ${r.getLong(1)}±${r.getLong(2)} vs true $t")
+    }
+    assert(multi.exists(_.getString(0) == "a"))
     // SQL surface: registered aggregate is usable from stage SQL
     HeavyHitters.register(spark, 64)
     df.createOrReplaceTempView("hh_words")
