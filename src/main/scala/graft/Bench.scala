@@ -84,7 +84,7 @@ object Bench {
       "q78_ignore_nulls", "q79_filter_clause", "q80_unigram_ppl")
     // queries added in round 5
     val r5New = Set("q81_semantic_dedup", "q82_gopher_rules", "q83_normalize",
-      "q84_heavy_hitters", "q85_group_sample", "q86_bpe_pairs")
+      "q84_heavy_hitters", "q85_group_sample", "q86_bpe_pairs", "q87_bigram_lm")
     val r2Subset = results.collect { case (k, v) if !r3New(k) && !r4New(k) && !r5New(k) => v }.sum
     val r3Subset = results.collect { case (k, v) if !r4New(k) && !r5New(k) => v }.sum
     val r4Subset = results.collect { case (k, v) if !r5New(k) => v }.sum

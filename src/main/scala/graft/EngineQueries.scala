@@ -949,6 +949,25 @@ object EngineQueries {
         .orderBy(col("n").desc, col("pair")).limit(50)
     }),
 
+    // Bigram LM with stupid backoff (one step closer to CCNet's KenLM
+    // scoring than q80's unigram): per-token CASE over (first | observed
+    // bigram | backoff), identical ln-ratio arithmetic in both engines.
+    // Trained on the doc_id < 250 slice and scored over the full corpus so
+    // the backoff branch has real ground truth (self-scoring never backs
+    // off — every bigram is its own training evidence); OOV tokens drop in
+    // the inner vocabulary join identically in both engines.
+    "q87_bigram_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") < 250)
+      val uni = ops.LangModel.unigramTrain(train, "text")
+      val bi = ops.LangModel.bigramTrain(train, "text")
+      ops.LangModel.bigramScore(docs, "doc_id", "text", uni, bi)
+        .select(col("doc_id"), col("n_tok"),
+          round(col("avg_logscore"), 6).as("avg_logscore"),
+          round(col("ppl"), 4).as("ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1744,6 +1763,36 @@ object EngineQueries {
                  FROM reach GROUP BY node)
          SELECT vec_id, component, (vec_id = component) AS keep
          FROM lab ORDER BY vec_id""",
+    "q87_bigram_lm" ->
+      """WITH tokd AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS ws
+           FROM documents),
+         tok AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(ws), 0) + 1),
+               i -> {'w': ws[i],
+                     'prev': CASE WHEN i = 1 THEN NULL ELSE ws[i-1] END})) AS s
+           FROM tokd),
+         flat AS (SELECT doc_id, s.w AS w, s.prev AS prev FROM tok WHERE s.w IS NOT NULL),
+         uni AS (SELECT w, count(*) AS c FROM flat WHERE doc_id < 250 GROUP BY w),
+         tot AS (SELECT sum(c) AS n FROM uni),
+         bi AS (SELECT prev, w, count(*) AS c2 FROM flat
+                WHERE prev IS NOT NULL AND doc_id < 250
+                GROUP BY prev, w),
+         sc AS (
+           SELECT f.doc_id,
+             CASE WHEN f.prev IS NULL THEN ln(u.c / (SELECT n FROM tot))
+                  WHEN b.c2 IS NOT NULL THEN ln(b.c2 / up.c)
+                  ELSE ln(0.4 * u.c / (SELECT n FROM tot)) END AS lp
+           FROM flat f
+           JOIN uni u ON f.w = u.w
+           LEFT JOIN bi b ON b.prev = f.prev AND b.w = f.w
+           LEFT JOIN uni up ON up.w = f.prev)
+         SELECT doc_id, count(*) AS n_tok,
+           round(sum(lp) / count(*), 6) AS avg_logscore,
+           round(exp(-sum(lp) / count(*)), 4) AS ppl
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "q85_group_sample" ->
       """WITH r AS (
            SELECT doc_id, lang,

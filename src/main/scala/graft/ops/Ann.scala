@@ -281,21 +281,38 @@ object Ann {
     * separately so callers can persist/inspect pairs (and so the join shape
     * is plan-testable without running the components contraction).
     */
-  def semanticPairs(index: IvfIndex, threshold: Double): DataFrame =
-    semanticPairsWithCache(index, threshold)._1
+  def semanticPairs(
+      index: IvfIndex, threshold: Double,
+      maxCellSize: Option[Int] = Some(1000000)): DataFrame =
+    semanticPairsWithCache(index, threshold, maxCellSize)._1
 
   /** [[semanticPairs]] plus the persisted signature frame backing it, so
     * callers that fully consume the pairs can release the cache.
+    *
+    * `maxCellSize` is the mega-cell guard: a degenerate k-means cell (all
+    * embeddings near one point — boilerplate, zero vectors) makes the
+    * within-cell self-join |cell|², so cells above the cap are excluded
+    * from pair mining (an identical-embedding mega-cluster belongs to an
+    * exact groupBy dedup, not a pairwise miner). Anti-join against the
+    * (tiny) oversize set, like [[cosinePairs]]'s hot-bucket cut; built
+    * lazily so no job fires at construction time. `None` disables.
     */
   private def semanticPairsWithCache(
-      index: IvfIndex, threshold: Double): (DataFrame, DataFrame) = {
+      index: IvfIndex, threshold: Double,
+      maxCellSize: Option[Int]): (DataFrame, DataFrame) = {
     val sigd = index.assigned
       .withColumn("nrm", norm(col("cv"))) // norm once per vector, not per pair
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = sigd.select(col("cell"), col("item_id").as("id_a"),
-      col("cv").as("va"), col("nrm").as("na"))
-    val b = sigd.select(col("cell"), col("item_id").as("id_b"),
-      col("cv").as("vb"), col("nrm").as("nb"))
+    val hot = maxCellSize.map { cap =>
+      sigd.groupBy(col("cell")).agg(count(lit(1)).as("cs"))
+        .filter(col("cs") > cap).select("cell")
+    }
+    def capped(df: DataFrame): DataFrame =
+      hot.map(h => df.join(broadcast(h), Seq("cell"), "left_anti")).getOrElse(df)
+    val a = capped(sigd.select(col("cell"), col("item_id").as("id_a"),
+      col("cv").as("va"), col("nrm").as("na")))
+    val b = capped(sigd.select(col("cell"), col("item_id").as("id_b"),
+      col("cv").as("vb"), col("nrm").as("nb")))
     val pairs = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
@@ -307,9 +324,10 @@ object Ann {
   def semanticClusters(
       corpus: DataFrame, id: String, vec: String,
       threshold: Double, nlist: Int = 16, seed: Long = 42L,
-      maxTrainVectors: Int = 65536, trainFraction: Double = 1.0): DataFrame = {
+      maxTrainVectors: Int = 65536, trainFraction: Double = 1.0,
+      maxCellSize: Option[Int] = Some(1000000)): DataFrame = {
     val index = ivfBuild(corpus, id, vec, nlist, seed, maxTrainVectors, trainFraction)
-    val (pairs0, sigd) = semanticPairsWithCache(index, threshold)
+    val (pairs0, sigd) = semanticPairsWithCache(index, threshold, maxCellSize)
     val pairs = pairs0.select(col("id_a"), col("id_b"))
     // labelNodes runs the contraction loop eagerly (per-round actions), and
     // every round is localCheckpoint'ed — by the time it returns, the

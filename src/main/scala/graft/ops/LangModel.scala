@@ -71,6 +71,64 @@ object LangModel {
         exp(-col("lp_sum") / col("n_tok")).as("ppl"))
   }
 
+  /** Per-token (prev, w) frame: one generate over the word array, position
+    * 1's prev is null. explode_outer + null filter (see [[bpePairCounts]]
+    * for the generate-filter trap this avoids).
+    */
+  private def tokensWithPrev(df: DataFrame, textCol: String, keepNames: Seq[String]): DataFrame = {
+    val keep = keepNames.map(col)
+    df.select(keep :+ Text.words(col(textCol)).as("_ws"): _*)
+      .select(keep :+ explode_outer(when(size(col("_ws")) > 0,
+        transform(sequence(lit(1), size(col("_ws"))),
+          i => struct(element_at(col("_ws"), i).as("w"),
+            when(i === 1, lit(null).cast("string"))
+              .otherwise(element_at(col("_ws"), i - 1)).as("prev"))))).as("_s"): _*)
+      .filter(col("_s").isNotNull)
+      .select(keep :+ col("_s.w").as("w") :+ col("_s.prev").as("prev"): _*)
+  }
+
+  /** Train the bigram table: `(prev, w, c2)` adjacent-word counts. Use with
+    * [[unigramTrain]]'s output in [[bigramScore]]. Same exchange shape as
+    * unigram training: the shuffle carries the bigram vocabulary.
+    */
+  def bigramTrain(corpus: DataFrame, textCol: String): DataFrame =
+    tokensWithPrev(corpus, textCol, Seq.empty)
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
+
+  /** Score documents under a bigram LM with stupid backoff (Brants et al.
+    * 2007, "Large Language Models in Machine Translation"): per token,
+    *
+    *   - first token:        ln(c(w) / N)
+    *   - bigram observed:    ln(c(prev,w) / c(prev))
+    *   - else (backoff):     ln(α · c(w) / N)
+    *
+    * Distribution shape matches [[unigramScore]]: tokens join the
+    * vocabulary-sized model tables on their word keys (AQE broadcasts
+    * when they fit), then one per-doc re-aggregate. Self-corpus scoring
+    * only (an OOV token would need unigram smoothing — see `smoothK`
+    * there).
+    */
+  def bigramScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      unigrams: DataFrame, bigrams: DataFrame, alpha: Double = 0.4): DataFrame = {
+    val tok = tokensWithPrev(
+      docs.select(col(idCol).as("_id"), col(textCol)), textCol, Seq("_id"))
+    val joined = tok
+      .join(unigrams.select(col("w"), col("c"), col("n_total")), Seq("w"))
+      .join(bigrams, Seq("prev", "w"), "left")
+      .join(unigrams.select(col("w").as("prev"), col("c").as("cprev")), Seq("prev"), "left")
+      .withColumn("lp",
+        when(col("prev").isNull, log(col("c").cast("double") / col("n_total")))
+          .when(col("c2").isNotNull, log(col("c2").cast("double") / col("cprev")))
+          .otherwise(log(lit(alpha) * col("c").cast("double") / col("n_total"))))
+    joined.groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lp")).as("lp_sum"))
+      .select(col("_id").as(idCol), col("n_tok"),
+        (col("lp_sum") / col("n_tok")).as("avg_logscore"),
+        exp(-col("lp_sum") / col("n_tok")).as("ppl"))
+  }
+
   /** Adjacent-pair frequencies over the BPE-ish pre-tokenization — the core
     * distributed step of BPE tokenizer training (Sennrich et al. 2016): each
     * merge round ranks candidate pairs by corpus frequency; this computes

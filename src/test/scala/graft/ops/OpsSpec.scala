@@ -466,6 +466,30 @@ class OpsSpec extends SparkSpec {
     assert(small.count() == 3)
   }
 
+  test("LangModel.bigramScore: stupid backoff — first/bigram/backoff branches exact") {
+    // train: "a b a b", "a c" → uni a:3 b:2 c:1, N=6; bi (a,b):2 (b,a):1 (a,c):1
+    val train = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val uni = LangModel.unigramTrain(train, "text")
+    val bi = LangModel.bigramTrain(train, "text")
+    // score "b c": 'b' first → ln(2/6); 'c' after 'b' → bigram (b,c) unseen
+    // → backoff ln(0.4 · 1/6)
+    val scored = LangModel.bigramScore(
+        Seq((9L, "b c")).toDF("doc_id", "text"), "doc_id", "text", uni, bi)
+      .head()
+    val expected = (math.log(2.0 / 6) + math.log(0.4 * 1.0 / 6)) / 2
+    assert(scored.getAs[Long]("n_tok") == 2L)
+    assert(math.abs(scored.getAs[Double]("avg_logscore") - expected) < 1e-12)
+    // observed-bigram branch: "a c" scores ln(3/6) + ln(c2(a,c)/c(a)) = ln(1/3)
+    val ac = LangModel.bigramScore(
+        Seq((8L, "a c")).toDF("doc_id", "text"), "doc_id", "text", uni, bi).head()
+    val expAc = (math.log(3.0 / 6) + math.log(1.0 / 3)) / 2
+    assert(math.abs(ac.getAs[Double]("avg_logscore") - expAc) < 1e-12)
+    // OOV tokens drop in the vocabulary join
+    val oov = LangModel.bigramScore(
+        Seq((7L, "z a")).toDF("doc_id", "text"), "doc_id", "text", uni, bi).head()
+    assert(oov.getAs[Long]("n_tok") == 1L)
+  }
+
   test("LangModel.bpePairCounts: exact adjacent-pair frequencies, no cross-doc pairs") {
     val df = Seq("ab ab cd", "ab ab", "x").toDF("t")
     val counts = LangModel.bpePairCounts(df, "t")
@@ -513,6 +537,23 @@ class OpsSpec extends SparkSpec {
     df.createOrReplaceTempView("hh_words")
     assert(spark.sql("SELECT size(approx_top_terms(w)) FROM hh_words")
       .head().getInt(0) == exact.size)
+  }
+
+  test("Ann.semanticPairs: mega-cell cap excludes degenerate clusters from pair mining") {
+    val rnd = new scala.util.Random(41)
+    // 40 near-identical vectors around one center (the mega-cell) + a
+    // small tight pair at the other
+    val rows = (1L to 40L).map(i => (i, Seq.fill(8)(5.0 + rnd.nextGaussian() * 0.001))) ++
+      Seq((101L, Seq.fill(8)(-5.0)), (102L, Seq.fill(8)(-5.001)))
+    val emb = rows.toDF("id", "v")
+    val index = Ann.ivfBuild(emb, "id", "v", nlist = 2, maxTrainVectors = 100)
+    val capped = Ann.semanticPairs(index, threshold = 0.999, maxCellSize = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 40-vector cell is over the cap: none of its ~780 pairs emitted;
+    // the small cell's pair survives
+    assert(capped == Set((101L, 102L)), capped.take(5))
+    val uncapped = Ann.semanticPairs(index, threshold = 0.999, maxCellSize = None).count()
+    assert(uncapped > 700)
   }
 
   test("Multimodal: featurize plumbing — schema, frame counts, content hash") {
