@@ -81,10 +81,12 @@ object Bench {
       "q68_domain_mix", "q69_token_windows", "q70_quantize_int8",
       "q71_budget_select", "q72_contamination", "q73_pii_redact",
       "q74_line_dedup", "q75_bloom_dedup", "q76_hof_arrays", "q77_stats_agg",
-      "q78_ignore_nulls", "q79_filter_clause", "q80_unigram_ppl")
+      "q78_ignore_nulls", "q79_filter_clause", "q80_unigram_ppl",
+      "p12_pipeline_curation")
     // queries added in round 5
     val r5New = Set("q81_semantic_dedup", "q82_gopher_rules", "q83_normalize",
-      "q84_heavy_hitters", "q85_group_sample", "q86_bpe_pairs", "q87_bigram_lm")
+      "q84_heavy_hitters", "q85_group_sample", "q86_bpe_pairs", "q87_bigram_lm",
+      "q88_c4_clean", "p13_pipeline_stats")
     val r2Subset = results.collect { case (k, v) if !r3New(k) && !r4New(k) && !r5New(k) => v }.sum
     val r3Subset = results.collect { case (k, v) if !r4New(k) && !r5New(k) => v }.sum
     val r4Subset = results.collect { case (k, v) if !r5New(k) => v }.sum

@@ -968,6 +968,27 @@ object EngineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // C4-style page cleaning: line-level keep rules (terminal punctuation +
+    // minimum words) and page-level drops (lorem ipsum, braces, too few
+    // surviving lines). The corpus has no newlines or punctuation, so both
+    // engines build the same deterministic messy page per doc (the salting
+    // pattern of q73/q83): some lines pass, some fail each rule, and
+    // doc_id-keyed cases exercise both page-drop predicates.
+    "q88_c4_clean" -> ((s, dir) => {
+      val salted = t(s, dir, "documents")
+        .select(col("doc_id"), concat_ws("\n",
+          concat(lit("First sentence line number "), col("doc_id"), lit(".")),
+          lit("too short."),
+          lit("this line has no terminal punctuation at all"),
+          lit("Another proper sentence with enough words here!"),
+          concat(col("text"), when(col("doc_id") % 11 === 0,
+            lit(" lorem ipsum filler?")).otherwise(lit(" tail words making it long enough?"))),
+          when(col("doc_id") % 7 === 0, lit("contains { brace"))
+            .otherwise(lit("Clean closing line with plenty of words."))).as("page"))
+      ops.Lines.c4Clean(salted, "doc_id", "page")
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1174,6 +1195,28 @@ object EngineQueries {
                CAST(sum(tok) AS BIGINT) AS total_tokens,
                round(avg(rep), 6) AS avg_rep
                FROM pc_scored WHERE q >= 0.5 GROUP BY lid ORDER BY lid""")))))
+    }),
+
+    // The round's SQL-facing additions through the engine front door:
+    // nfc_normalize (GraftExtensions) in one stage, the approx_top_terms
+    // SpaceSaving aggregate (Runner-registered UDAF) in the next —
+    // capacity ≫ vocabulary, so the oracle compares exact counts.
+    "p13_pipeline_stats" -> ((s, dir) => {
+      pipe(s, Aqueduct(
+        sources = Seq(FileSource("p13_docs", ParquetFormat(),
+          Location(s"$dir/documents.parquet"))),
+        stages = Seq(
+          Seq(Stage("p13_words",
+            """SELECT lang, explode(filter(split(trim(nfc_normalize(text)), '\\s+'),
+               x -> length(x) > 0)) AS word
+               FROM p13_docs""")),
+          Seq(Stage("p13_result",
+            """SELECT lang, word, n, CAST(rank AS BIGINT) AS rank FROM (
+                 SELECT lang, h.term AS word, h.count AS n,
+                   row_number() OVER (PARTITION BY lang ORDER BY h.count DESC, h.term) AS rank
+                 FROM (SELECT lang, explode(approx_top_terms(word)) AS h
+                       FROM p13_words GROUP BY lang))
+               WHERE rank <= 10 ORDER BY lang, rank""")))))
     }),
 
     "p09_pipeline_dirsource" -> ((s, dir) => {
@@ -1763,6 +1806,45 @@ object EngineQueries {
                  FROM reach GROUP BY node)
          SELECT vec_id, component, (vec_id = component) AS keep
          FROM lab ORDER BY vec_id""",
+    "p13_pipeline_stats" ->
+      """WITH w AS (
+           SELECT lang,
+             unnest(list_filter(string_split_regex(trim(nfc_normalize(text)), '\s+'),
+               x -> len(x) > 0)) AS word
+           FROM documents),
+         c AS (SELECT lang, word, count(*) AS n FROM w GROUP BY lang, word),
+         r AS (SELECT lang, word, n,
+                 row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rank
+               FROM c)
+         SELECT lang, word, n, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 10 ORDER BY lang, rank""",
+    "q88_c4_clean" ->
+      """WITH salted AS (
+           SELECT doc_id,
+             'First sentence line number ' || CAST(doc_id AS VARCHAR) || '.' || chr(10) ||
+             'too short.' || chr(10) ||
+             'this line has no terminal punctuation at all' || chr(10) ||
+             'Another proper sentence with enough words here!' || chr(10) ||
+             text || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum filler?'
+                          ELSE ' tail words making it long enough?' END || chr(10) ||
+             CASE WHEN doc_id % 7 = 0 THEN 'contains { brace'
+                  ELSE 'Clean closing line with plenty of words.' END AS page
+           FROM documents),
+         k AS (
+           SELECT doc_id, page,
+             list_filter(string_split(page, chr(10)),
+               l -> regexp_matches(l, '[.!?"]\s*$')
+                 AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                       x -> len(x) > 0)) >= 5) AS kept
+           FROM salted)
+         SELECT doc_id,
+           array_to_string(kept, chr(10)) AS text_clean,
+           CAST(len(kept) AS BIGINT) AS n_kept
+         FROM k
+         WHERE NOT contains(lower(page), 'lorem ipsum')
+           AND NOT contains(page, '{')
+           AND len(kept) >= 3
+         ORDER BY doc_id""",
     "q87_bigram_lm" ->
       """WITH tokd AS (
            SELECT doc_id,

@@ -81,4 +81,36 @@ object Lines {
         col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  /** C4-style page cleaning (Raffel et al. 2020, arXiv:1910.10683 §2.2 —
+    * public method): keep only lines that end in terminal punctuation AND
+    * have at least `minWordsPerLine` words; drop the whole page when it
+    * contains "lorem ipsum" or a curly brace (code markers), or when fewer
+    * than `minLines` lines survive. Output: survivors only, with the
+    * rebuilt text and the kept-line count.
+    *
+    * Pure per-row expression work — the line predicate is a higher-order
+    * `filter` over the split array, no explode, no shuffle at any corpus
+    * size (contrast [[dropCommonLines]], whose frequency rule needs a
+    * corpus aggregate).
+    */
+  def c4Clean(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWordsPerLine: Int = 5,
+      minLines: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]\\s*$") &&
+        size(graft.functions.Text.words(l)) >= minWordsPerLine)
+    docs
+      .select(col(idCol), col(textCol), kept.as("_kept"))
+      .filter(!lower(col(textCol)).contains("lorem ipsum") &&
+        !col(textCol).contains("{") &&
+        size(col("_kept")) >= minLines)
+      .select(col(idCol),
+        array_join(col("_kept"), "\n").as("text_clean"),
+        size(col("_kept")).cast("long").as("n_kept"))
+  }
 }

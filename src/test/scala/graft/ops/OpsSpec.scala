@@ -466,6 +466,24 @@ class OpsSpec extends SparkSpec {
     assert(small.count() == 3)
   }
 
+  test("Lines.c4Clean: line keep rules and page drop rules") {
+    val pages = Seq(
+      (1L, "Good first sentence with words.\nshort.\nno terminal punctuation here at all\n" +
+        "A second proper sentence right here!\nA third proper sentence also here?"),
+      (2L, "Only one good sentence in this page.\nmeh\nnope"), // < 3 kept → dropped
+      (3L, "Has lorem ipsum somewhere in it.\nA second proper sentence right here!\n" +
+        "A third proper sentence also here?"),                 // lorem ipsum → dropped
+      (4L, "Contains a { brace marker here.\nA second proper sentence right here!\n" +
+        "A third proper sentence also here?")                  // brace → dropped
+    ).toDF("doc_id", "t")
+    val r = Lines.c4Clean(pages, "doc_id", "t").orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(r.head.getLong(2) == 3L) // short + unpunctuated lines removed
+    assert(r.head.getString(1) ==
+      "Good first sentence with words.\nA second proper sentence right here!\n" +
+        "A third proper sentence also here?")
+  }
+
   test("LangModel.bigramScore: stupid backoff — first/bigram/backoff branches exact") {
     // train: "a b a b", "a c" → uni a:3 b:2 c:1, N=6; bi (a,b):2 (b,a):1 (a,c):1
     val train = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
