@@ -989,6 +989,16 @@ object EngineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 topic scoring (targeted-domain selection): every doc scored
+    // against a 3-term keyword list — term stats from one aggregate, score
+    // arithmetic mirrored operation-for-operation by the oracle.
+    "q89_bm25" -> ((s, dir) => {
+      ops.Ranking.bm25(t(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("spark", "table", "hash"))
+        .select(col("doc_id"), col("doc_len"), round(col("bm25"), 6).as("bm25"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1806,6 +1816,35 @@ object EngineQueries {
                  FROM reach GROUP BY node)
          SELECT vec_id, component, (vec_id = component) AS keep
          FROM lab ORDER BY vec_id""",
+    // constants spelled as the same computations ((1.2 + 1), (1 - 0.75)) so
+    // both engines evaluate identical doubles; term order + left-assoc sum
+    // mirror the Scala reduce
+    "q89_bm25" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS ws
+           FROM documents),
+         t AS (
+           SELECT doc_id, len(ws) AS dl,
+             len(list_filter(ws, x -> x = 'spark')) AS tf0,
+             len(list_filter(ws, x -> x = 'table')) AS tf1,
+             len(list_filter(ws, x -> x = 'hash')) AS tf2
+           FROM d),
+         s AS (
+           SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+           FROM t)
+         SELECT doc_id, CAST(dl AS BIGINT) AS doc_len,
+           round(
+             ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 * (1.2 + 1)
+               / (tf0 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+             + ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * (1.2 + 1)
+               / (tf1 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+             + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * (1.2 + 1)
+               / (tf2 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)), 6) AS bm25
+         FROM t, s ORDER BY doc_id""",
     "p13_pipeline_stats" ->
       """WITH w AS (
            SELECT lang,

@@ -466,6 +466,24 @@ class OpsSpec extends SparkSpec {
     assert(small.count() == 3)
   }
 
+  test("Ranking.bm25: tf/df/length normalization wiring against hand arithmetic") {
+    val corpus = Seq(
+      (1L, "spark spark fast engine"),   // tf(spark)=2, dl=4
+      (2L, "slow table scan here"),      // tf=0
+      (3L, "spark on a cluster")         // tf=1, dl=4
+    ).toDF("doc_id", "text")
+    val r = Ranking.bm25(corpus, "doc_id", "text", Seq("spark"))
+      .orderBy("doc_id").collect()
+    val n = 3L; val df = 2L; val avgdl = 4.0
+    def expected(tf: Double, dl: Double) =
+      math.log((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert(math.abs(r(0).getDouble(2) - expected(2, 4)) < 1e-12)
+    assert(r(1).getDouble(2) == 0.0) // no term hits
+    assert(math.abs(r(2).getDouble(2) - expected(1, 4)) < 1e-12)
+    assert(r(0).getDouble(2) > r(2).getDouble(2)) // higher tf, same length
+  }
+
   test("Lines.c4Clean: line keep rules and page drop rules") {
     val pages = Seq(
       (1L, "Good first sentence with words.\nshort.\nno terminal punctuation here at all\n" +

@@ -42,6 +42,34 @@ class StreamsSpec extends SparkSpec {
     assert(clicks.head.getDouble(4) == 3.0)
   }
 
+  test("curation expressions run unchanged over a stream (quality filter at ingest)") {
+    // the per-row curation surface (normalize, language ID, Gopher rules,
+    // quality score) is pure expression work, so the same columns drive a
+    // streaming ingest filter with no stateful operator at all
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val g = graft.functions.Text.gopherFlags(col("text"))
+    val curated = docs.select(col("doc_id"),
+        graft.functions.Text.normalizeText(col("text")).as("norm"),
+        graft.functions.Text.langId(col("text")).as("lid"),
+        g.getField("pass").as("keep"))
+      .filter(col("keep"))
+    val q = curated.writeStream.format("memory").queryName("curated_stream")
+      .outputMode(OutputMode.Append).start()
+    val good = (Seq.fill(8)("the quality of the data and the model have") :+
+      "improved with that scale").mkString(" ")
+    input.addData((1L, good), (2L, "too short to pass"))
+    q.processAllAvailable()
+    input.addData((3L, good + "  with   extra\tspaces"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("curated_stream").orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L)) // short doc filtered
+    assert(rows.forall(_.getString(2) == "en"))
+    assert(rows(1).getString(1).endsWith("with extra spaces")) // normalized
+  }
+
   test("nearDupFilteredSink drops exact and near dups vs the static corpus per batch") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
