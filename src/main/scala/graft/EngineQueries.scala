@@ -999,6 +999,16 @@ object EngineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-label embedding centroids (class prototypes): element-wise means
+    // in long format. 4-dp rounding absorbs the sum-association fp noise
+    // of a distributed mean (the q77 pattern).
+    "q90_group_centroids" -> ((s, dir) => {
+      ops.Ann.groupCentroids(t(s, dir, "embeddings"), "label", "embedding")
+        .select(col("grp").as("label"), col("idx"), col("n"),
+          round(col("mean_v"), 4).as("mean_v"))
+        .orderBy(col("label"), col("idx"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1816,6 +1826,11 @@ object EngineQueries {
                  FROM reach GROUP BY node)
          SELECT vec_id, component, (vec_id = component) AS keep
          FROM lab ORDER BY vec_id""",
+    "q90_group_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS idx, count(*) AS n,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS mean_v
+         FROM embeddings, range(1, 65) t(i)
+         GROUP BY label, i ORDER BY label, idx""",
     // constants spelled as the same computations ((1.2 + 1), (1 - 0.75)) so
     // both engines evaluate identical doubles; term order + left-assoc sum
     // mirror the Scala reduce

@@ -339,6 +339,24 @@ object Ann {
     labeled
   }
 
+  /** Element-wise mean embedding per group — the data-cartography /
+    * class-prototype primitive (domain centroids, label prototypes, k-means
+    * seeding). Output: one row per (group, dimension index) with the count
+    * and mean — long format, so no array rebuild and downstream SQL can
+    * pivot or re-assemble as needed.
+    *
+    * Scale shape: posexplode spreads (group, idx, value) — corpus × dim
+    * rows, but the aggregate's map-side combine collapses each partition
+    * to groups × dim partials before the exchange, so the shuffle carries
+    * the centroid matrix, not the corpus. explode_outer + null filter for
+    * the usual generate-filter reason.
+    */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"), posexplode_outer(col(vecCol)).as(Seq("idx", "v")))
+      .filter(col("v").isNotNull)
+      .groupBy(col("grp"), col("idx"))
+      .agg(count(lit(1)).as("n"), avg(col("v").cast("double")).as("mean_v"))
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * 4×-compression step before shipping vectors to an ANN index or a
     * serving tier: `scale = 127 / max|v_i|`, `q_i = clamp(⌊v_i·scale +
