@@ -902,9 +902,9 @@ object EngineQueries {
       val salted = concat(col("text"),
         lit(" cafe\u0301  du\tmonde \u212B "), col("doc_id").cast("string"), lit("  "))
       t(s, dir, "documents")
-        .select(col("doc_id"),
-          Text.normalizeText(salted).as("norm_text"),
-          length(Text.normalizeText(salted)).cast("long").as("n_chars"))
+        .select(col("doc_id"), Text.normalizeText(salted).as("norm_text"))
+        .select(col("doc_id"), col("norm_text"),
+          length(col("norm_text")).cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
     }),
 

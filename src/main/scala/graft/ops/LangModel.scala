@@ -71,13 +71,15 @@ object LangModel {
         exp(-col("lp_sum") / col("n_tok")).as("ppl"))
   }
 
-  /** Per-token (prev, w) frame: one generate over the word array, position
-    * 1's prev is null. explode_outer + null filter (see [[bpePairCounts]]
-    * for the generate-filter trap this avoids).
+  /** Per-token (prev, w) frame over an arbitrary token-array expression:
+    * one generate, position 1's prev is null. explode_outer + null filter
+    * (a plain explode's inferred generate filter would re-run the
+    * tokenization at the scan — measured 30× slower at sf0.1; see
+    * SCALE.md "generate-filter trap").
     */
-  private def tokensWithPrev(df: DataFrame, textCol: String, keepNames: Seq[String]): DataFrame = {
+  private def tokensWithPrev(df: DataFrame, toks: Column, keepNames: Seq[String]): DataFrame = {
     val keep = keepNames.map(col)
-    df.select(keep :+ Text.words(col(textCol)).as("_ws"): _*)
+    df.select(keep :+ toks.as("_ws"): _*)
       .select(keep :+ explode_outer(when(size(col("_ws")) > 0,
         transform(sequence(lit(1), size(col("_ws"))),
           i => struct(element_at(col("_ws"), i).as("w"),
@@ -92,7 +94,7 @@ object LangModel {
     * unigram training: the shuffle carries the bigram vocabulary.
     */
   def bigramTrain(corpus: DataFrame, textCol: String): DataFrame =
-    tokensWithPrev(corpus, textCol, Seq.empty)
+    tokensWithPrev(corpus, Text.words(col(textCol)), Seq.empty)
       .filter(col("prev").isNotNull)
       .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
 
@@ -113,7 +115,8 @@ object LangModel {
       docs: DataFrame, idCol: String, textCol: String,
       unigrams: DataFrame, bigrams: DataFrame, alpha: Double = 0.4): DataFrame = {
     val tok = tokensWithPrev(
-      docs.select(col(idCol).as("_id"), col(textCol)), textCol, Seq("_id"))
+      docs.select(col(idCol).as("_id"), col(textCol)),
+      Text.words(col(textCol)), Seq("_id"))
     val joined = tok
       .join(unigrams.select(col("w"), col("c"), col("n_total")), Seq("w"))
       .join(bigrams, Seq("prev", "w"), "left")
@@ -138,25 +141,9 @@ object LangModel {
     * partition's repeats), not the corpus — the same shape as
     * [[unigramTrain]]. Pairs never cross document boundaries.
     */
-  def bpePairCounts(corpus: DataFrame, textCol: String): DataFrame = {
-    val toks = Text.bpeishTokens(lower(col(textCol)))
-    // explode_OUTER, then drop the null rows: a plain explode makes
-    // InferFiltersFromGenerate add a `size(ps) > 0` pre-filter that
-    // PushDownPredicates inlines BELOW the staged token projection — the
-    // regex tokenization and the whole pair-transform re-evaluate per row
-    // inside the filter (measured 30× slower at sf0.1). The outer variant
-    // infers nothing; empty docs surface as one null row and die on a
-    // cheap attribute filter above the generate.
-    val pairs = corpus
-      .select(toks.as("t"))
-      .select(when(size(col("t")) >= 2,
-        transform(sequence(lit(0), size(col("t")) - 2),
-          i => struct(element_at(col("t"), i + 1).as("a"),
-            element_at(col("t"), i + 2).as("b"))))
-        .otherwise(array().cast("array<struct<a:string,b:string>>")).as("ps"))
-      .select(explode_outer(col("ps")).as("p"))
-      .filter(col("p").isNotNull)
-    pairs.groupBy(col("p.a").as("a"), col("p.b").as("b"))
+  def bpePairCounts(corpus: DataFrame, textCol: String): DataFrame =
+    tokensWithPrev(corpus, Text.bpeishTokens(lower(col(textCol))), Seq.empty)
+      .filter(col("prev").isNotNull) // position 1 has no left neighbor
+      .groupBy(col("prev").as("a"), col("w").as("b"))
       .agg(count(lit(1)).as("n"))
-  }
 }

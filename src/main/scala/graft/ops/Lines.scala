@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.Text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -103,7 +104,7 @@ object Lines {
     val lines = split(col(textCol), "\n")
     val kept = filter(lines, l =>
       l.rlike("[.!?\"]\\s*$") &&
-        size(graft.functions.Text.words(l)) >= minWordsPerLine)
+        size(Text.words(l)) >= minWordsPerLine)
     docs
       .select(col(idCol), col(textCol), kept.as("_kept"))
       .filter(!lower(col(textCol)).contains("lorem ipsum") &&
