@@ -337,5 +337,13 @@ class RunnerSpec extends SparkSpec {
     assert(curated.columns.toSet ==
       Set("doc_id", "lang", "lang_pred", "quality", "n_tokens"))
     assert(curated.count() > 0 && curated.count() < corpus) // filter has bite
+
+    Runner.runFile(spark, java.nio.file.Paths.get("examples/corpus_stats.yml"),
+      Map("sf_dir" -> sf, "out_dir" -> out.resolve("stats").toString), new CollectingTracker)
+    val terms = spark.read.option("header", "true")
+      .csv(out.resolve("stats/top_terms").toString)
+    assert(terms.columns.toSeq == Seq("lang", "word", "n", "rank"))
+    // 10 terms per language present in the corpus slice
+    assert(terms.groupBy("lang").count().collect().forall(_.getLong(1) == 10L))
   }
 }
