@@ -86,5 +86,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(columnFn("lang_id", graft.functions.Text.langId))
     ext.injectFunction(columnFn("token_count", c => graft.functions.Text.tokenCount(c)))
     ext.injectFunction(columnFn("dup_word_ratio", c => graft.functions.Text.dupNgramRatio(c, 1)))
+    ext.injectFunction(columnFn("normalize_text", graft.functions.Text.normalizeText))
+    // the full rule-metric struct; `gopher_pass` is the common filter form
+    ext.injectFunction(columnFn("gopher_flags", graft.functions.Text.gopherFlags))
+    ext.injectFunction(columnFn("gopher_pass",
+      c => graft.functions.Text.gopherFlags(c).getField("pass")))
+    ext.injectFunction(columnFn("pii_redact", graft.functions.Text.piiRedact))
   }
 }

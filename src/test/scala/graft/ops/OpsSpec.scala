@@ -54,6 +54,13 @@ class OpsSpec extends SparkSpec {
     // SQL surface via GraftExtensions
     val sq = spark.sql("SELECT nfc_normalize('e\u0301') AS n").head().getString(0)
     assert(sq == "\u00E9")
+    val row = spark.sql(
+      """SELECT normalize_text(' a  b ') AS nt,
+                gopher_pass('too short') AS gp,
+                gopher_flags('x').word_count AS wc,
+                pii_redact('mail a@b.co now') AS pr""").head()
+    assert(row.getString(0) == "a b" && !row.getBoolean(1))
+    assert(row.getLong(2) == 1L && row.getString(3) == "mail <EMAIL> now")
   }
 
   test("Text: gopherFlags rule metrics and combined pass decision") {

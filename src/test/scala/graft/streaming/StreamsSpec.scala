@@ -70,6 +70,26 @@ class StreamsSpec extends SparkSpec {
     assert(rows(1).getString(1).endsWith("with extra spaces")) // normalized
   }
 
+  test("approx_top_terms aggregates over a stream (trending terms, complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.HeavyHitters.register(spark, 64)
+    val input = MemoryStream[String]
+    val words = input.toDF().toDF("w")
+    val top = words.groupBy().agg(expr("approx_top_terms(w)").as("s"))
+    val q = top.writeStream.format("memory").queryName("trending")
+      .outputMode(OutputMode.Complete).start()
+    input.addData("a", "a", "b")
+    q.processAllAvailable()
+    input.addData("a", "c", "c", "c", "c")
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("trending").head().getSeq[org.apache.spark.sql.Row](0)
+    val byTerm = hits.map(h => h.getString(0) -> h.getLong(1)).toMap
+    // counts accumulate across micro-batches: a=3, c=4, b=1
+    assert(byTerm == Map("c" -> 4L, "a" -> 3L, "b" -> 1L))
+    assert(hits.map(_.getString(0)).toSeq == Seq("c", "a", "b")) // count-desc order
+  }
+
   test("nearDupFilteredSink drops exact and near dups vs the static corpus per batch") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
