@@ -1597,7 +1597,8 @@ object EngineQueries {
              least((CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 5.0, 1.0) AS stop_score
            FROM s)
          SELECT doc_id,
-                round(len_score * 0.4 + punct_score * 0.3 + stop_score * 0.3, 4) AS quality
+                floor((len_score * 0.4 + punct_score * 0.3 + stop_score * 0.3)
+                  * 10000 + 0.5) / 10000 AS quality
          FROM c ORDER BY doc_id""",
     "q60_incremental_dedup" ->
       """SELECT doc_id, lang, source FROM documents
@@ -1630,19 +1631,29 @@ object EngineQueries {
          FROM clicks c JOIN p
            ON c.user_id = p.user_id AND c.ts >= p.w_start AND c.ts < p.w_end
          ORDER BY c.event_id, p.purchase_id""",
+    // models the library's CapSpec.Auto stop-shingle cut exactly: shingles
+    // in more than max(1000, ndocs/1000) docs are dropped and sizes are
+    // recomputed over the surviving universe. A no-op at sf0.01 (df ≤ 500),
+    // ACTIVE at sf0.1 — the sf0.1 cross-check caught the uncapped oracle
     "q63_char_jaccard" ->
       """WITH sh AS (
            SELECT doc_id,
              list_distinct(list_transform(range(1, length(lower(text)) - 6, 4),
                i -> substr(lower(text), i, 8))) AS grams
            FROM documents WHERE length(lower(text)) >= 8),
-         inv AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh)
+         inv0 AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+         dfreq AS (SELECT g, count(*) AS df FROM inv0 GROUP BY g),
+         inv AS (SELECT i.doc_id, i.g FROM inv0 i JOIN dfreq d ON i.g = d.g
+                 WHERE d.df <= (SELECT greatest(1000, count(*) // 1000) FROM documents)),
+         sz AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id)
          SELECT id_a, id_b, round(CAST(common AS DOUBLE) / u, 6) AS jaccard FROM (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common,
-                  a.n + b.n - count(*) AS u
+                  sa.n + sb.n - count(*) AS u
            FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-           GROUP BY a.doc_id, b.doc_id, a.n, b.n
-           HAVING count(*) * 2 >= a.n + b.n - count(*)) t
+           JOIN sz sa ON sa.doc_id = a.doc_id
+           JOIN sz sb ON sb.doc_id = b.doc_id
+           GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+           HAVING count(*) * 2 >= sa.n + sb.n - count(*)) t
          ORDER BY id_a, id_b""",
     // cutoff = 0.25 × 16^32 in hex; md5 hex strings of equal length compare
     // lexicographically as numbers
@@ -2043,9 +2054,10 @@ object EngineQueries {
            FROM documents),
          c AS (
            SELECT doc_id, lang, tok,
-             round(least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
+             floor((least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
                + (1.0 - least((CAST(n_punct AS DOUBLE) / n_chars) * 4.0, 1.0)) * 0.3
-               + least((CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 5.0, 1.0) * 0.3, 4) AS q
+               + least((CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 5.0, 1.0) * 0.3)
+               * 10000 + 0.5) / 10000 AS q
            FROM s),
          b AS (
            SELECT doc_id, lang, q, tok,
@@ -2148,9 +2160,10 @@ object EngineQueries {
                   WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
                   WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
                   ELSE 'de' END AS lid,
-             round(least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
+             floor((least(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
                + (1.0 - least((CAST(n_punct AS DOUBLE) / n_chars) * 4.0, 1.0)) * 0.3
-               + least((CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 5.0, 1.0) * 0.3, 4) AS q,
+               + least((CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 5.0, 1.0) * 0.3)
+               * 10000 + 0.5) / 10000 AS q,
              n_tok AS tok,
              CASE WHEN n_tok <= 0 THEN 0.0
                   ELSE 1.0 - CAST(n_dist AS DOUBLE) / n_tok END AS rep

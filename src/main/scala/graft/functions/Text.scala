@@ -136,7 +136,12 @@ object Text {
     val punctScore = lit(1.0) - least(pRatio * 4.0, lit(1.0))
     val sRatio = st.getField("hits").getItem(0).cast("double") / greatest(nWords, lit(1))
     val stopScore = least(sRatio * 5.0, lit(1.0))
-    round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3), 4)
+    // engine-portable half-up rounding (floor(x·10⁴ + 0.5)/10⁴, the q70
+    // pattern): round() implementations disagree exactly at half
+    // boundaries (BigDecimal-exact vs multiply-round-divide), and the
+    // score's rational terms DO land on them — caught by the sf0.1
+    // cross-check; the floor form is bit-identical in any engine
+    floor((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3) * 10000 + 0.5) / 10000
   }
 
   /** Document fingerprint: the minimum md5 over word 3-gram shingles — a

@@ -541,6 +541,34 @@ class OpsSpec extends SparkSpec {
     assert(counts == Map(("ab", "ab") -> 2L, ("ab", "cd") -> 1L))
   }
 
+  test("HeavyHitters: SpaceSaving invariants under random streams and merge trees") {
+    import graft.functions.HeavyHitters
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val capacity = 2 + rnd.nextInt(15)
+      val agg = new HeavyHitters.SpaceSavingTopK(capacity)
+      val n = 200 + rnd.nextInt(800)
+      // skewed stream: quadratic transform concentrates mass on low ids
+      val words = Seq.fill(n)("w" + (math.pow(rnd.nextDouble(), 2) * 30).toInt)
+      val truth = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // random partials, reduced independently, merged in arrival order
+      val parts = words.grouped(math.max(1, n / (1 + rnd.nextInt(8)))).toSeq
+      val bufs = parts.map(_.foldLeft(agg.zero)((b, w) => agg.reduce(b, w)))
+      val hits = agg.finish(bufs.reduce((a, b) => agg.merge(a, b)))
+      assert(hits.size <= capacity)
+      // per-entry bound: true count always inside [reported − err, reported]
+      hits.foreach { h =>
+        val t = truth(h.term)
+        assert(h.count >= t && h.count - h.err <= t,
+          s"cap=$capacity ${h.term}: reported ${h.count}±${h.err} vs true $t")
+      }
+      // mergeable-summaries retention: clearly-heavy items survive trims
+      truth.filter(_._2 > 2.0 * n / capacity).keys.foreach { t =>
+        assert(hits.exists(_.term == t), s"cap=$capacity heavy '$t' (${truth(t)}) missing")
+      }
+    }
+  }
+
   test("HeavyHitters: exact under capacity, bounded + containing the hot key over it") {
     import graft.functions.HeavyHitters
     // 60×"a", 30×"b", 10×"c", singletons d..k
