@@ -1837,8 +1837,11 @@ object EngineQueries {
                  FROM reach GROUP BY node)
          SELECT vec_id, component, (vec_id = component) AS keep
          FROM lab ORDER BY vec_id""",
+    // count(embedding[i]) (non-null elements), not count(*): mirrors the
+    // engine's per-dimension null filter so ragged/null vectors can't
+    // diverge; range bound 65 = the fixture's dim 64 + 1
     "q90_group_centroids" ->
-      """SELECT label, CAST(i - 1 AS INT) AS idx, count(*) AS n,
+      """SELECT label, CAST(i - 1 AS INT) AS idx, count(embedding[i]) AS n,
            round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS mean_v
          FROM embeddings, range(1, 65) t(i)
          GROUP BY label, i ORDER BY label, idx""",

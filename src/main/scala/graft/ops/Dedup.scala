@@ -550,12 +550,12 @@ object Dedup {
     * expression work, but bit-for-bit reproducible in any engine with a
     * standard md5 (the oracle-checked q34 uses it so DuckDB can recompute
     * the exact fingerprints).
-    */
-  /** Note: Catalyst pushes the null filter below the projection, so the
-    * sketch expression evaluates twice per row in THIS form; the pairing
-    * path ([[simhashPairs]]) avoids that by filtering after its generate.
-    * When consuming signatures at scale, select the raw expression and
-    * handle nulls at the consumer instead.
+    *
+    * @note Catalyst pushes the null filter below the projection, so the
+    *       sketch expression evaluates twice per row in THIS form; the
+    *       pairing path ([[simhashPairs]]) avoids that by filtering after
+    *       its generate. When consuming signatures at scale, select the
+    *       raw expression and handle nulls at the consumer instead.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       portableHash: Boolean = false): DataFrame =

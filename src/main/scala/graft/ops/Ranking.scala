@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * tokenized text (no inverted index, no shuffle); the corpus statistics
   * (N, avgdl, per-term document frequencies) are ONE aggregate whose
   * scalar row becomes plan literals — the standard aggregate-to-driver
-  * contract, never per-row driver state. Net cost: two scans (stats, then
-  * score), each embarrassingly parallel; persist `docs` across the two at
-  * scale.
+  * contract, never per-row driver state. The stats aggregate runs eagerly
+  * at call time (the [[Ann.ivfBuild]] precedent); the tokenized
+  * term-frequency frame is persisted across the stats and scoring passes
+  * (the pair-miner convention), so the corpus tokenizes once.
   */
 object Ranking {
 
@@ -37,6 +38,7 @@ object Ranking {
         terms.zipWithIndex.map { case (t, i) =>
           size(filter(col("_ws"), w => w === t)).as(s"_tf$i")
         }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aggExprs =
       sum(col("_dl").cast("long")).as("dlsum") +: count(lit(1)).as("n") +:
         terms.indices.map(i => sum((col(s"_tf$i") > 0).cast("long")).as(s"_df$i"))

@@ -88,6 +88,10 @@ class StreamsSpec extends SparkSpec {
     // counts accumulate across micro-batches: a=3, c=4, b=1
     assert(byTerm == Map("c" -> 4L, "a" -> 3L, "b" -> 1L))
     assert(hits.map(_.getString(0)).toSeq == Seq("c", "a", "b")) // count-desc order
+    // restore the default-capacity registration: the session is JVM-shared,
+    // and a lingering 64-slot sketch would silently approximate any later
+    // Runner-driven test that assumes capacity >> vocabulary
+    graft.functions.HeavyHitters.register(spark)
   }
 
   test("nearDupFilteredSink drops exact and near dups vs the static corpus per batch") {
