@@ -1009,6 +1009,37 @@ object EngineQueries {
         .orderBy(col("label"), col("idx"))
     }),
 
+    // Unicode script-mix detection: per-script character counts + dominant
+    // script. The corpus is ASCII, so both engines append the same CJK /
+    // Cyrillic salt to doc_id-keyed slices (the q83 pattern) — every branch
+    // of the router has ground truth, including the tie-break.
+    "q91_script_mix" -> ((s, dir) => {
+      // salt: doc_id%3==0 gains 12 CJK chars, doc_id%5==0 gains 20 Cyrillic
+      val salted = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" 漢字漢字漢字漢字漢字漢字")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" ддддддддддддддддддд" + "д")).otherwise(lit("")))
+      val m = Text.scriptMix(salted)
+      t(s, dir, "documents")
+        .select(col("doc_id"), m.as("m"))
+        .select(col("doc_id"), col("m.n_latin"), col("m.n_digit"),
+          col("m.n_cyrillic"), col("m.n_cjk"), col("m.n_arabic"), col("m.main_script"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Winnowing fingerprints (MOSS): the native one-pass expression
+    // (digest-byte window minima; the composed HOF form was 12.7s at
+    // sf0.1, this is scan work). Output stays compact as a per-doc digest
+    // over the sorted fingerprint set + the count.
+    "q92_winnow" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.WinnowFingerprints(lower(col("text")), 8, 4).as("fp"))
+        .select(col("doc_id"),
+          size(col("fp")).cast("long").as("n_fp"),
+          md5(array_join(array_sort(col("fp")), ",")).as("fp_digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1837,6 +1868,55 @@ object EngineQueries {
                  FROM reach GROUP BY node)
          SELECT vec_id, component, (vec_id = component) AS keep
          FROM lab ORDER BY vec_id""",
+    // salt armored with chr() codepoints (28450/23383 = 漢字, 1076 = д);
+    // tie-break CASE order = struct-greatest name-desc (latin > digit >
+    // cyrillic > cjk > arabic)
+    "q91_script_mix" ->
+      """WITH s AS (
+           SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' ' || repeat(chr(28450) || chr(23383), 6) ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' ' || repeat(chr(1076), 20) ELSE '' END AS t
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z]')) AS n_latin,
+             len(regexp_extract_all(t, '[0-9]')) AS n_digit,
+             len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]')) AS n_cyrillic,
+             len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}]')) AS n_cjk,
+             len(regexp_extract_all(t, '[\x{0600}-\x{06FF}]')) AS n_arabic
+           FROM s)
+         SELECT doc_id,
+           CAST(n_latin AS BIGINT) AS n_latin, CAST(n_digit AS BIGINT) AS n_digit,
+           CAST(n_cyrillic AS BIGINT) AS n_cyrillic, CAST(n_cjk AS BIGINT) AS n_cjk,
+           CAST(n_arabic AS BIGINT) AS n_arabic,
+           CASE WHEN greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic) = 0 THEN 'none'
+                WHEN n_latin = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic) THEN 'latin'
+                WHEN n_digit = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic) THEN 'digit'
+                WHEN n_cyrillic = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic) THEN 'cyrillic'
+                WHEN n_cjk = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic) THEN 'cjk'
+                ELSE 'arabic' END AS main_script
+         FROM c ORDER BY doc_id""",
+    "q92_winnow" ->
+      """WITH h AS (
+           SELECT doc_id,
+             CASE WHEN length(lower(text)) >= 8 THEN
+               list_transform(range(1, length(lower(text)) - 6),
+                 i -> md5(substr(lower(text), i, 8)))
+             ELSE [] END AS hs
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+             CASE WHEN len(hs) >= 4 THEN
+               list_distinct(list_transform(range(1, len(hs) - 2),
+                 j -> list_min(hs[j:j+3])))
+             ELSE [] END AS fp
+           FROM h)
+         SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+           md5(array_to_string(list_sort(fp), ',')) AS fp_digest
+         FROM f ORDER BY doc_id""",
     // count(embedding[i]) (non-null elements), not count(*): mirrors the
     // engine's per-dimension null filter so ragged/null vectors can't
     // diverge; range bound 65 = the fixture's dim 64 + 1

@@ -144,6 +144,64 @@ object Text {
     floor((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3) * 10000 + 0.5) / 10000
   }
 
+  /** Unicode script mix: per-script character counts plus the dominant
+    * script — the multilingual-corpus router (mixed-script documents are a
+    * spam/boilerplate signal; CJK routes to the char-shingle dedup path).
+    * Ranges via `\x{...}` classes, shared by Java regex and RE2 so the
+    * oracle applies byte-identical patterns. Dominant-script ties break to
+    * the lexicographically larger name (the [[langId]] struct-greatest
+    * pattern); all-zero counts yield "none".
+    */
+  def scriptMix(c: Column): Column = {
+    val counts = Seq(
+      "latin" -> "[A-Za-z]",
+      "digit" -> "[0-9]",
+      "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+      "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+      "arabic" -> "[\\x{0600}-\\x{06FF}]").map { case (name, re) =>
+      name -> size(regexp_extract_all(c, lit(re), lit(0)))
+    }
+    val best = greatest(counts.map { case (name, n) =>
+      struct(n.as("n"), lit(name).as("s"))
+    }: _*)
+    struct(
+      (counts.map { case (name, n) => n.cast("long").as(s"n_$name") } :+
+        when(best.getField("n") > 0, best.getField("s")).otherwise(lit("none"))
+          .as("main_script")): _*)
+  }
+
+  /** Positional (non-distinct, in-order) character n-gram md5s of the
+    * lowercased text — the input sequence for [[winnowMinima]]. Bind this
+    * into its OWN column before winnowing: as an attribute it computes
+    * once per row, while embedding it inside the winnow lambda would
+    * re-derive the whole O(L) hash array per window position (O(L²)).
+    */
+  def positionalShingleHashes(c: Column, n: Int): Column = {
+    require(n >= 2, "need n >= 2")
+    val t = lower(c)
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)), i => md5(substring(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS local document-fingerprinting algorithm, public
+    * method): the distinct minimum hash of each window of `w` consecutive
+    * positions of a [[positionalShingleHashes]] column. Guarantees a
+    * fingerprint in every w-position gap (any match of length
+    * ≥ n + w − 1 chars is detected) while keeping ~2/(w+1) of positions —
+    * the density/recall dial the min-md5 [[fingerprint]] (a 1-value
+    * MinHash) doesn't have. Empty when fewer than w positions exist.
+    * Pure per-row expression work: O(w) per window over the attribute.
+    */
+  def winnowMinima(hashes: Column, w: Int): Column = {
+    require(w >= 1, "need w >= 1")
+    when(size(hashes) >= w,
+      array_distinct(transform(sequence(lit(1), size(hashes) - (w - 1)),
+        j => array_min(slice(hashes, j, lit(w))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Document fingerprint: the minimum md5 over word 3-gram shingles — a
     * 1-value MinHash, stable under shingle reordering, usable as a cheap
     * near-dup blocking key. md5 keeps it portable across engines.

@@ -75,6 +75,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(s"$name(text) expects one string column")
       })
     ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[graft.functions.WinnowFingerprints].getName,
+        "winnow_fingerprints"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, IntegerLiteral(n), IntegerLiteral(w)) =>
+          graft.functions.WinnowFingerprints(text, n, w)
+        case _ => throw new IllegalArgumentException(
+          "winnow_fingerprints(text, n, w) expects a string column and integer literals")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
       (args: Seq[Expression]) => args match {

@@ -87,6 +87,57 @@ class OpsSpec extends SparkSpec {
     assert(f(0, "mean_word_len") == expectedMean)
   }
 
+  test("Text: scriptMix counts and dominant-script routing incl. tie-break") {
+    val rows = Seq(
+      "hello world",          // latin only
+      "漢字漢字漢字 hi",       // cjk dominant (6 > 2)
+      "дом дом",              // cyrillic
+      "12345",                // digit
+      "",                     // nothing → none
+      "ab дд"                 // 2-2 tie → name-desc: latin
+    ).toDF("t")
+    val m = rows.select(Text.scriptMix(col("t")).as("m"))
+      .select(col("m.main_script"), col("m.n_cjk"), col("m.n_cyrillic")).collect()
+    assert(m.map(_.getString(0)).toSeq ==
+      Seq("latin", "cjk", "cyrillic", "digit", "none", "latin"))
+    assert(m(1).getLong(1) == 6L && m(2).getLong(2) == 6L)
+  }
+
+  test("Text: winnowMinima — window guarantee, shared-substring fingerprint overlap") {
+    val df = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz0123"),
+      (2L, "XXXXabcdefghijklmnopqrstuvwxyz"), // shares a 26-char run with 1
+      (3L, "totally unrelated content here")
+    ).toDF("id", "t")
+    val fp = df.withColumn("_h", Text.positionalShingleHashes(col("t"), 8))
+      .select(col("id"), Text.winnowMinima(col("_h"), 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    // a shared run of length >= n + w - 1 = 11 guarantees a common fingerprint
+    assert((fp(1L) & fp(2L)).nonEmpty)
+    assert((fp(1L) & fp(3L)).isEmpty)
+    // density: winnowing keeps far fewer than all positions
+    assert(fp(1L).size < 30 - 7)
+    // short doc: no window → empty
+    val short = Seq("abc").toDF("t")
+      .select(Text.winnowMinima(Text.positionalShingleHashes(col("t"), 8), 4))
+      .head().getSeq[String](0)
+    assert(short.isEmpty)
+    // the native one-pass expression is element-for-element identical to
+    // the composed form (incl. first-occurrence distinct order)
+    val both = df.withColumn("_h", Text.positionalShingleHashes(col("t"), 8))
+      .select(
+        Text.winnowMinima(col("_h"), 4).as("composed"),
+        graft.functions.WinnowFingerprints(lower(col("t")), 8, 4).as("native"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    val uniNative = Seq("héllo wörld héllo wörld accent").toDF("t")
+      .select(
+        Text.winnowMinima(Text.positionalShingleHashes(col("t"), 8), 4).as("c"),
+        graft.functions.WinnowFingerprints(lower(col("t")), 8, 4).as("n"))
+      .head()
+    assert(uniNative.getSeq[String](0) == uniNative.getSeq[String](1))
+  }
+
   test("Text: fingerprint is order-stable and md5-shaped") {
     val fp = docs.filter(col("doc_id") === 1).select(Text.fingerprint(col("text"))).head().getString(0)
     val fp2 = docs.filter(col("doc_id") === 4).select(Text.fingerprint(col("text"))).head().getString(0)
