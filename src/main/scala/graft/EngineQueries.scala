@@ -1040,6 +1040,24 @@ object EngineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR-style data selection: importance weights (target-vs-raw unigram
+    // log-likelihood ratio, 'en' slice as the target domain) + deterministic
+    // Gumbel top-50 resampling keyed on content hashes. Weights are rounded
+    // to 6 dp BEFORE the Gumbel key so the selected SET is identical across
+    // engines (raw sums differ in final ulps; the key arithmetic after
+    // rounding is bit-identical).
+    "q93_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tLm = ops.LangModel.unigramTrain(docs.filter(col("lang") === "en"), "text")
+      val rLm = ops.LangModel.unigramTrain(docs, "text")
+      val wts = ops.LangModel.importanceWeights(docs, "doc_id", "text", tLm, rLm)
+        .withColumn("weight", round(col("weight"), 6))
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      ops.LangModel.gumbelTopK(wts, "doc_id", "text", "weight", k = 50)
+        .select(col("doc_id"), col("n_tok"), col("weight"),
+          round(col("gumbel_key"), 6).as("gumbel_key"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1868,6 +1886,41 @@ object EngineQueries {
                  FROM reach GROUP BY node)
          SELECT vec_id, component, (vec_id = component) AS keep
          FROM lab ORDER BY vec_id""",
+    // the content-hash uniform is the hex value of md5's first 8 digits
+    // (digit-sum form here = conv() on the engine side; both compute the
+    // same exact integer), shifted by +0.5 so u is never 0 or 1
+    "q93_dsir_select" ->
+      """WITH w0 AS (
+           SELECT doc_id, lang, text,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS ws
+           FROM documents),
+         tok AS (SELECT doc_id, lang, unnest(ws) AS w FROM w0),
+         tlm AS (SELECT w, count(*) AS c FROM tok WHERE lang = 'en' GROUP BY w),
+         tN AS (SELECT sum(c) AS n, count(*) AS v FROM tlm),
+         rlm AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+         rN AS (SELECT sum(c) AS n, count(*) AS v FROM rlm),
+         sc AS (
+           SELECT t.doc_id, count(*) AS n_tok,
+             sum(ln((coalesce(tl.c, 0) + 0.5)
+               / ((SELECT n FROM tN) + 0.5 * (SELECT v FROM tN)))) AS lp_t,
+             sum(ln((coalesce(rl.c, 0) + 0.5)
+               / ((SELECT n FROM rN) + 0.5 * (SELECT v FROM rN)))) AS lp_r
+           FROM tok t
+           LEFT JOIN tlm tl ON t.w = tl.w
+           LEFT JOIN rlm rl ON t.w = rl.w
+           GROUP BY t.doc_id),
+         wt AS (SELECT doc_id, n_tok,
+                  round(lp_t / n_tok - lp_r / n_tok, 6) AS weight FROM sc),
+         g AS (
+           SELECT w2.doc_id, w2.n_tok, w2.weight,
+             w2.weight - ln(-ln((list_sum(list_transform(range(1, 9),
+               i -> (strpos('0123456789abcdef', substr(md5(d.text), i, 1)) - 1)
+                    * power(16, 8 - i))) + 0.5) / 4294967296)) AS gkey
+           FROM wt w2 JOIN documents d ON d.doc_id = w2.doc_id),
+         r AS (SELECT doc_id, n_tok, weight, gkey,
+                 row_number() OVER (ORDER BY gkey DESC, doc_id) AS rk FROM g)
+         SELECT doc_id, n_tok, weight, round(gkey, 6) AS gumbel_key
+         FROM r WHERE rk <= 50 ORDER BY gkey DESC, doc_id""",
     // salt armored with chr() codepoints (28450/23383 = 漢字, 1076 = д);
     // tie-break CASE order = struct-greatest name-desc (latin > digit >
     // cyrillic > cjk > arabic)

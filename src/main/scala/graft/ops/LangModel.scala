@@ -132,6 +132,51 @@ object LangModel {
         exp(-col("lp_sum") / col("n_tok")).as("ppl"))
   }
 
+  /** DSIR-style importance weight (Xie et al. 2023, arXiv:2302.03169 —
+    * "Data Selection for Language Models via Importance Resampling",
+    * public method): per document, the average per-token log-likelihood
+    * ratio between a TARGET-domain unigram LM and a RAW-corpus unigram LM,
+    * `w(d) = avg_t [ln p_target(t) − ln p_raw(t)]`. Positive ⇒ the doc
+    * looks more like the target domain than the generic corpus — the
+    * standard cheap proxy for "select raw data that resembles the target".
+    * Both scores come from [[unigramScore]] with add-k smoothing (OOV
+    * tokens get proper nonzero mass under both models).
+    *
+    * Output: (idCol, n_tok, weight). Two scoring joins against
+    * vocabulary-sized models — same distribution shape as unigramScore.
+    */
+  def importanceWeights(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetLm: DataFrame, rawLm: DataFrame, smoothK: Double = 0.5): DataFrame = {
+    val t = unigramScore(docs, idCol, textCol, targetLm, smoothK)
+      .select(col(idCol), col("n_tok"), col("avg_logprob").as("_lp_t"))
+    val r = unigramScore(docs, idCol, textCol, rawLm, smoothK)
+      .select(col(idCol), col("avg_logprob").as("_lp_r"))
+    t.join(r, Seq(idCol))
+      .select(col(idCol), col("n_tok"), (col("_lp_t") - col("_lp_r")).as("weight"))
+  }
+
+  /** Deterministic Gumbel top-k importance resampling (Vieira 2014's
+    * "Gumbel-max trick for top-k sampling" made reproducible): sampling k
+    * docs with probability ∝ exp(weight / temperature) is equivalent to
+    * taking the top k by `weight/T + G` with independent Gumbel noise
+    * `G = −ln(−ln u)`; drawing `u` from the doc's content hash
+    * (md5 first 8 hex digits / 16⁸) makes the "noise" a pure function of
+    * the content — the same docs are selected on any engine, any partition
+    * layout, any run. One TakeOrdered top-k, no shuffle beyond it.
+    */
+  def gumbelTopK(
+      weighted: DataFrame, idCol: String, keyCol: String, weightCol: String,
+      k: Int, temperature: Double = 1.0): DataFrame = {
+    require(k >= 1 && temperature > 0, "need k >= 1 and temperature > 0")
+    val u = (conv(substring(md5(col(keyCol)), 1, 8), 16, 10).cast("double") + 0.5) /
+      lit(4294967296.0) // (int + ½) / 16⁸: u ∈ (0,1), never exactly 0 or 1
+    weighted
+      .withColumn("gumbel_key", col(weightCol) / temperature - log(-log(u)))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Adjacent-pair frequencies over the BPE-ish pre-tokenization — the core
     * distributed step of BPE tokenizer training (Sennrich et al. 2016): each
     * merge round ranks candidate pairs by corpus frequency; this computes

@@ -584,6 +584,31 @@ class OpsSpec extends SparkSpec {
     assert(oov.getAs[Long]("n_tok") == 1L)
   }
 
+  test("LangModel.importanceWeights + gumbelTopK: target affinity and deterministic sampling") {
+    val docs = Seq(
+      (1L, "en", "alpha beta alpha beta"),
+      (2L, "en", "alpha beta gamma"),
+      (3L, "de", "delta epsilon delta"),
+      (4L, "de", "zeta eta theta")
+    ).toDF("doc_id", "lang", "text")
+    val tLm = LangModel.unigramTrain(docs.filter(col("lang") === "en"), "text")
+    val rLm = LangModel.unigramTrain(docs, "text")
+    val w = LangModel.importanceWeights(docs, "doc_id", "text", tLm, rLm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // target-looking docs score above raw-only docs
+    assert(w(1L) > 0 && w(2L) > 0 && w(3L) < w(1L) && w(4L) < w(1L))
+    // gumbel selection: deterministic under repartitioning, k respected,
+    // and an overwhelming weight always selected
+    val wdf = LangModel.importanceWeights(docs, "doc_id", "text", tLm, rLm)
+      .join(docs.select("doc_id", "text"), Seq("doc_id"))
+      .withColumn("weight", when(col("doc_id") === 1L, lit(1000.0)).otherwise(col("weight")))
+    val s1 = LangModel.gumbelTopK(wdf, "doc_id", "text", "weight", k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = LangModel.gumbelTopK(wdf.repartition(5), "doc_id", "text", "weight", k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2 && s1.length == 2 && s1.head == 1L)
+  }
+
   test("LangModel.bpePairCounts: exact adjacent-pair frequencies, no cross-doc pairs") {
     val df = Seq("ab ab cd", "ab ab", "x").toDF("t")
     val counts = LangModel.bpePairCounts(df, "t")
