@@ -1260,9 +1260,10 @@ object EngineQueries {
                token_count(text) AS tok, dup_word_ratio(text) AS rep
                FROM pc_docs""")),
           Seq(Stage("pc_result",
-            """SELECT lid, count(*) AS n_docs, round(avg(q), 6) AS avg_quality,
+            """SELECT lid, count(*) AS n_docs,
+               floor(avg(q) * 1000000 + 0.5) / 1000000 AS avg_quality,
                CAST(sum(tok) AS BIGINT) AS total_tokens,
-               round(avg(rep), 6) AS avg_rep
+               floor(avg(rep) * 1000000 + 0.5) / 1000000 AS avg_rep
                FROM pc_scored WHERE q >= 0.5 GROUP BY lid ORDER BY lid""")))))
     }),
 
@@ -1945,24 +1946,28 @@ object EngineQueries {
            CAST(n_latin AS BIGINT) AS n_latin, CAST(n_digit AS BIGINT) AS n_digit,
            CAST(n_cyrillic AS BIGINT) AS n_cyrillic, CAST(n_cjk AS BIGINT) AS n_cjk,
            CAST(n_arabic AS BIGINT) AS n_arabic,
-           CASE WHEN greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic) = 0 THEN 'none'
+           CASE WHEN coalesce(greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic), 0) = 0 THEN 'none'
                 WHEN n_latin = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic) THEN 'latin'
                 WHEN n_digit = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic) THEN 'digit'
                 WHEN n_cyrillic = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic) THEN 'cyrillic'
                 WHEN n_cjk = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic) THEN 'cjk'
                 ELSE 'arabic' END AS main_script
          FROM c ORDER BY doc_id""",
+    // null text propagates null (Spark's null-safe expression semantics),
+    // never an empty fingerprint set
     "q92_winnow" ->
       """WITH h AS (
            SELECT doc_id,
-             CASE WHEN length(lower(text)) >= 8 THEN
+             CASE WHEN text IS NULL THEN NULL
+                  WHEN length(lower(text)) >= 8 THEN
                list_transform(range(1, length(lower(text)) - 6),
                  i -> md5(substr(lower(text), i, 8)))
              ELSE [] END AS hs
            FROM documents),
          f AS (
            SELECT doc_id,
-             CASE WHEN len(hs) >= 4 THEN
+             CASE WHEN hs IS NULL THEN NULL
+                  WHEN len(hs) >= 4 THEN
                list_distinct(list_transform(range(1, len(hs) - 2),
                  j -> list_min(hs[j:j+3])))
              ELSE [] END AS fp
@@ -2304,9 +2309,10 @@ object EngineQueries {
              CASE WHEN n_tok <= 0 THEN 0.0
                   ELSE 1.0 - CAST(n_dist AS DOUBLE) / n_tok END AS rep
            FROM h)
-         SELECT lid, count(*) AS n_docs, round(avg(q), 6) AS avg_quality,
+         SELECT lid, count(*) AS n_docs,
+                floor(avg(q) * 1000000 + 0.5) / 1000000 AS avg_quality,
                 CAST(sum(tok) AS BIGINT) AS total_tokens,
-                round(avg(rep), 6) AS avg_rep
+                floor(avg(rep) * 1000000 + 0.5) / 1000000 AS avg_rep
          FROM c WHERE q >= 0.5 GROUP BY lid ORDER BY lid""",
     "p10_pipeline_textprep" ->
       """WITH w AS (

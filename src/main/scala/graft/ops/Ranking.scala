@@ -25,10 +25,24 @@ object Ranking {
 
   /** Per-document BM25 score against `terms`. Output: (idCol, doc_len,
     * bm25), every input doc scored (zero when no term matches).
+    *
+    * Long-lived services scoring many keyword lists should use
+    * [[bm25WithCache]] and unpersist the returned handle once the result
+    * is consumed — this form's internal cache lives until the session
+    * clears caches.
     */
   def bm25(
       docs: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25WithCache(docs, idCol, textCol, terms, k1, b)._1
+
+  /** [[bm25]] plus the persisted term-frequency frame backing it, so
+    * callers that fully consume the scores can release the cache
+    * (`handle.unpersist()`) — the [[Ann.semanticPairs]] convention.
+    */
+  def bm25WithCache(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): (DataFrame, DataFrame) = {
     require(terms.nonEmpty, "terms must be non-empty")
     require(terms.size <= 64, "terms beyond ~64: build an inverted index instead of per-row filters")
     val base = docs.select(col(idCol), Text.words(col(textCol)).as("_ws"))
@@ -53,6 +67,7 @@ object Ranking {
       lit(idf) * tf * lit(k1 + 1) /
         (tf + lit(k1) * (lit(1 - b) + lit(b) * col("_dl").cast("double") / lit(avgdl)))
     }.reduce(_ + _)
-    withTf.select(col(idCol), col("_dl").cast("long").as("doc_len"), score.as("bm25"))
+    (withTf.select(col(idCol), col("_dl").cast("long").as("doc_len"), score.as("bm25")),
+      withTf)
   }
 }

@@ -78,20 +78,24 @@ class StreamsSpec extends SparkSpec {
     val top = words.groupBy().agg(expr("approx_top_terms(w)").as("s"))
     val q = top.writeStream.format("memory").queryName("trending")
       .outputMode(OutputMode.Complete).start()
-    input.addData("a", "a", "b")
-    q.processAllAvailable()
-    input.addData("a", "c", "c", "c", "c")
-    q.processAllAvailable()
-    q.stop()
-    val hits = spark.table("trending").head().getSeq[org.apache.spark.sql.Row](0)
-    val byTerm = hits.map(h => h.getString(0) -> h.getLong(1)).toMap
-    // counts accumulate across micro-batches: a=3, c=4, b=1
-    assert(byTerm == Map("c" -> 4L, "a" -> 3L, "b" -> 1L))
-    assert(hits.map(_.getString(0)).toSeq == Seq("c", "a", "b")) // count-desc order
-    // restore the default-capacity registration: the session is JVM-shared,
-    // and a lingering 64-slot sketch would silently approximate any later
-    // Runner-driven test that assumes capacity >> vocabulary
-    graft.functions.HeavyHitters.register(spark)
+    try {
+      input.addData("a", "a", "b")
+      q.processAllAvailable()
+      input.addData("a", "c", "c", "c", "c")
+      q.processAllAvailable()
+      val hits = spark.table("trending").head().getSeq[org.apache.spark.sql.Row](0)
+      val byTerm = hits.map(h => h.getString(0) -> h.getLong(1)).toMap
+      // counts accumulate across micro-batches: a=3, c=4, b=1
+      assert(byTerm == Map("c" -> 4L, "a" -> 3L, "b" -> 1L))
+      assert(hits.map(_.getString(0)).toSeq == Seq("c", "a", "b")) // count-desc order
+    } finally {
+      // even on assertion failure: stop the query and restore the
+      // default-capacity registration — the session is JVM-shared, and a
+      // lingering 64-slot sketch would silently approximate any later
+      // Runner-driven test that assumes capacity >> vocabulary
+      q.stop()
+      graft.functions.HeavyHitters.register(spark)
+    }
   }
 
   test("nearDupFilteredSink drops exact and near dups vs the static corpus per batch") {
