@@ -138,6 +138,30 @@ class OpsSpec extends SparkSpec {
     assert(uniNative.getSeq[String](0) == uniNative.getSeq[String](1))
   }
 
+  test("Text: winnowing guarantee property — planted shared runs always share a fingerprint") {
+    import graft.functions.WinnowUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(13)
+    val n = 8; val w = 4
+    def rndStr(len: Int) = Seq.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+    def fps(s: String): Set[String] = {
+      val a = WinnowUtil.fingerprints(UTF8String.fromString(s), n, w)
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString).toSet
+    }
+    for (_ <- 1 to 30) {
+      // a shared run of exactly n + w - 1 chars planted at random offsets
+      // inside otherwise-unrelated strings MUST yield a common fingerprint
+      val shared = rndStr(n + w - 1)
+      val s1 = rndStr(rnd.nextInt(40)) + shared + rndStr(rnd.nextInt(40))
+      val s2 = rndStr(rnd.nextInt(40)) + shared + rndStr(rnd.nextInt(40))
+      assert((fps(s1) & fps(s2)).nonEmpty, s"no shared fp for run '$shared'")
+      // density: never more fingerprints than windows, never zero for
+      // strings long enough to have one
+      val f1 = fps(s1)
+      assert(f1.nonEmpty && f1.size <= s1.length - n - w + 2)
+    }
+  }
+
   test("Text: fingerprint is order-stable and md5-shaped") {
     val fp = docs.filter(col("doc_id") === 1).select(Text.fingerprint(col("text"))).head().getString(0)
     val fp2 = docs.filter(col("doc_id") === 4).select(Text.fingerprint(col("text"))).head().getString(0)
