@@ -110,7 +110,12 @@ object HeavyHitters {
           val (c1, e1) = b1.map(t)
           b1.map.update(t, (c1 + b2.floor, e1 + b2.floor))
         }
-      b1.floor = math.max(b1.floor, b2.floor)
+      // Error bounds ADD under merging (Agarwal et al. §3): a term absent
+      // from both sides can have true count up to floor1 + floor2, so the
+      // combined absence bound is the sum, not the max. (The per-entry
+      // absent-side contributions above each used their own side's
+      // pre-merge floor, which stays consistent with this.)
+      b1.floor = b1.floor + b2.floor
       if (b1.map.size > capacity) {
         // trim back to capacity keeping the largest counts; anything
         // dropped raises the absence floor so a reappearance in a later

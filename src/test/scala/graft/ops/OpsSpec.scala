@@ -669,6 +669,51 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("HeavyHitters: merge floors add — multi-way merges keep true ≤ reported") {
+    import graft.functions.HeavyHitters
+    // Minimal counterexample for the max-floor merge: three partials at
+    // capacity 3 whose summaries share key sets. Each [x,a,b,c,d,e] partial
+    // evicts under pressure and ends with floor > 0; merging them with
+    // floor = max(f1, f2) (instead of f1 + f2) understates the absent-side
+    // contribution for x in the later merge, dropping reported(x) below its
+    // true count of 7 and violating the summary's upper-bound guarantee.
+    val agg = new HeavyHitters.SpaceSavingTopK(3)
+    val streams = Seq(
+      Seq("x", "a", "b", "c", "d", "e"),
+      Seq("x", "a", "b", "c", "d", "e"),
+      Seq("x", "x", "x", "x", "x"))
+    val truth = streams.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // all left-fold orders and a balanced tree, to pin associativity too
+    val merged = Seq(
+      streams.map(_.foldLeft(agg.zero)(agg.reduce)).reduceLeft(agg.merge),
+      streams.reverse.map(_.foldLeft(agg.zero)(agg.reduce)).reduceLeft(agg.merge))
+    merged.foreach { buf =>
+      agg.finish(buf).foreach { h =>
+        val t = truth(h.term)
+        assert(h.count >= t && h.count - h.err <= t,
+          s"${h.term}: reported ${h.count}±${h.err} vs true $t")
+      }
+    }
+    // random multi-way merges over a shared small vocabulary: every partial
+    // sees every key, so trims cannot mask a floor understatement
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 40) {
+      val capacity = 2 + rnd.nextInt(4)
+      val a2 = new HeavyHitters.SpaceSavingTopK(capacity)
+      val vocab = (0 until capacity + 3).map("k" + _)
+      val parts = Seq.fill(3 + rnd.nextInt(4)) {
+        Seq.fill(10 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+      }
+      val truth2 = parts.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val hits = a2.finish(parts.map(_.foldLeft(a2.zero)(a2.reduce)).reduceLeft(a2.merge))
+      hits.foreach { h =>
+        val t = truth2(h.term)
+        assert(h.count >= t && h.count - h.err <= t,
+          s"cap=$capacity ${h.term}: reported ${h.count}±${h.err} vs true $t")
+      }
+    }
+  }
+
   test("HeavyHitters: exact under capacity, bounded + containing the hot key over it") {
     import graft.functions.HeavyHitters
     // 60×"a", 30×"b", 10×"c", singletons d..k
