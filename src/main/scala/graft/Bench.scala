@@ -32,11 +32,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
 
+    // attribution tooling (driver contract untouched when unset): run only
+    // queries whose name contains one of the comma-separated substrings —
+    // lets a regression be timed in isolation vs inside the full run
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_SUBSET")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = subset match {
+      case Some(pats) => SparkEntry.queries.filter { case (n, _) => pats.exists(n.contains) }
+      case None => SparkEntry.queries
+    }
+
     // untimed warm-up: JVM/codegen/parquet-footer costs land here, not on q01
-    SparkEntry.queries.foreach { case (name, fn) => materialize(spark, sfDir, name, fn) }
+    selected.foreach { case (name, fn) => materialize(spark, sfDir, name, fn) }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = materialize(spark, sfDir, name, fn)
       val sec = err match {

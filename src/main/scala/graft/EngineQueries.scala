@@ -659,13 +659,19 @@ object EngineQueries {
     // dropped — templated boilerplate detection as pure per-row scan work.
     "q67_repetition_filter" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // The ratios ride through a single-element explode_outer so the
+      // filter references a generator output: predicate pushdown cannot
+      // substitute through a Generate, so the tokenization+shingle pass
+      // runs exactly once per row instead of re-deriving in the scan
+      // filter (the generate-filter trap — see the PlanSpec sweep).
       docs.select(col("doc_id"),
-          Text.dupNgramRatio(col("text"), 1).as("word_rep_raw"),
-          Text.dupNgramRatio(col("text"), 2).as("bigram_rep_raw"))
-        .filter(col("word_rep_raw") <= 0.5)
+          explode_outer(array(struct(
+            Text.dupNgramRatio(col("text"), 1).as("word_rep_raw"),
+            Text.dupNgramRatio(col("text"), 2).as("bigram_rep_raw")))).as("rep"))
+        .filter(col("rep.word_rep_raw") <= 0.5)
         .select(col("doc_id"),
-          round(col("word_rep_raw"), 6).as("word_rep"),
-          round(col("bigram_rep_raw"), 6).as("bigram_rep"))
+          round(col("rep.word_rep_raw"), 6).as("word_rep"),
+          round(col("rep.bigram_rep_raw"), 6).as("bigram_rep"))
         .orderBy(col("doc_id"))
     }),
 
