@@ -44,6 +44,115 @@ object EngineQueries {
   // words of the lowercased text, identical construction on the oracle side
   private def docWords(c: Column): Column = split(trim(lower(c)), "\\s+")
 
+  /** q48's trained k-means centroids, captured when the query runs.
+    * Verify dumps oracle_sql.json AFTER running every query, so the
+    * dynamically-built q48 oracle embeds the exact centroids this run
+    * assigned cells with; everything downstream of training (assignment,
+    * probing, candidate generation, top-k) is then independently
+    * re-derived by DuckDB. Falls back to the exhaustive brute-force form
+    * when q48 never ran (nothing to compare in that case anyway).
+    */
+  @volatile private[graft] var q48CentroidsCaptured: Option[Array[Array[Double]]] = None
+
+  // shortest-round-trip double literal: both JVM and DuckDB parse it back
+  // to the identical bits, so embedded plane/centroid constants are exact
+  private def dlit(d: Double): String =
+    if (d == Math.floor(d) && !d.isInfinite && math.abs(d) < 1e15) s"${d.toLong}.0"
+    else d.toString
+
+  /** DuckDB oracle for the PRUNED multi-probe LSH top-k (q36): embeds the
+    * seeded hyperplanes as literals (algorithm parameters, like any
+    * threshold) and independently recomputes corpus/query signatures, the
+    * probe-bucket expansion, the candidate equi-join and the exact cosine
+    * re-rank. Sign bits depend on exact dot products: plane literals are
+    * shortest-round-trip doubles and both engines sum element-for-element
+    * left-to-right, so signatures agree bit-for-bit.
+    */
+  private def lshOracleSql(
+      m: Int, dim: Int, seed: Long, k: Int, probeDistance: Int): String = {
+    val planes = Ann.hyperplanes(m, dim, seed)
+    val planeRows = planes.zipWithIndex
+      .map { case (p, j) => s"($j, [${p.map(dlit).mkString(", ")}])" }
+      .mkString(",\n                ")
+    val probeList = Ann.probeMasks(m, probeDistance)
+      .map(mk => if (mk == 0L) "qsig" else s"xor(qsig, ${mk})")
+      .mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              planes(j, p) AS (VALUES
+                $planeRows),
+              sigs AS (
+                SELECT e.vec_id,
+                  CAST(sum(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
+                         i -> e.v[i] * pl.p[i])) >= 0
+                       THEN 1::BIGINT << pl.j ELSE 0 END) AS BIGINT) AS sig
+                FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+              corpus AS (SELECT e.vec_id AS item_id, e.v AS cv, s.sig AS bucket
+                         FROM e JOIN sigs s ON e.vec_id = s.vec_id),
+              probes AS (
+                SELECT query_id, qv, unnest([$probeList]) AS bucket FROM (
+                  SELECT e.vec_id AS query_id, e.v AS qv, s.sig AS qsig
+                  FROM e JOIN sigs s ON e.vec_id = s.vec_id WHERE e.vec_id < 5)),
+              cand AS (
+                SELECT p.query_id, c.item_id,
+                       list_cosine_similarity(c.cv, p.qv) AS cosr
+                FROM corpus c JOIN probes p ON c.bucket = p.bucket),
+              ranked AS (
+                SELECT query_id, item_id, round(cosr, 6) AS cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosr DESC, item_id) AS rank
+                FROM cand)
+         SELECT query_id, rank, item_id, cos FROM ranked
+         WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** DuckDB oracle for the PRUNED IVF top-k (q48), built from the captured
+    * centroids: re-derives every corpus vector's cell (argmin of the same
+    * d2 = |v|^2 - 2 v.c + |c|^2 expression, |c|^2 embedded as the same
+    * Scala-computed literal Spark used, ties to the lower cell), each
+    * query's nprobe nearest cells, the cell equi-join and the exact cosine
+    * top-k.
+    */
+  private def ivfOracleSql(
+      centroids: Array[Array[Double]], dim: Int, k: Int, nprobe: Int): String = {
+    val centRows = centroids.zipWithIndex
+      .map { case (c, i) =>
+        s"($i, [${c.map(dlit).mkString(", ")}], ${dlit(c.map(x => x * x).sum)})"
+      }
+      .mkString(",\n                ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              cents(cell, c, cc) AS (VALUES
+                $centRows),
+              vv AS (SELECT vec_id, v,
+                       list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i])) AS vv
+                     FROM e),
+              scored AS (
+                SELECT vv.vec_id, vv.v, ct.cell,
+                  vv.vv - 2 * list_sum(list_transform(range(1, ${dim + 1}),
+                    i -> vv.v[i] * ct.c[i])) + ct.cc AS d2
+                FROM vv CROSS JOIN cents ct),
+              assign AS (
+                SELECT vec_id, v, cell FROM (
+                  SELECT vec_id, v, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                  FROM scored) WHERE rn = 1),
+              probes AS (
+                SELECT vec_id AS query_id, v AS qv, cell FROM (
+                  SELECT vec_id, v, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                  FROM scored WHERE vec_id < 5) WHERE rn <= $nprobe),
+              cand AS (
+                SELECT p.query_id, a.vec_id AS item_id,
+                       list_cosine_similarity(a.v, p.qv) AS cosr
+                FROM assign a JOIN probes p ON a.cell = p.cell),
+              ranked AS (
+                SELECT query_id, item_id, round(cosr, 6) AS cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosr DESC, item_id) AS rank
+                FROM cand)
+         SELECT query_id, rank, item_id, cos FROM ranked
+         WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
 
     // Left outer join: customers kept even with zero orders.
@@ -135,13 +244,22 @@ object EngineQueries {
         ORDER BY r_regionkey""")
     }),
 
-    // Approximate aggregates (sketch-based; no exact oracle by nature —
-    // the driver records a rows-only check).
+    // Approximate aggregates, oracle-checkable form: the HLL++ estimate is
+    // emitted as a within-tolerance boolean against the exact distinct
+    // count (which DuckDB cross-checks independently), and the approximate
+    // median is emitted raw — at default accuracy the rank error (±n/104)
+    // is far smaller than any value's run length in this data, so
+    // percentile_approx returns exactly the discrete median DuckDB computes.
     "q27_approx_agg" -> ((s, dir) => {
       t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        expr("percentile_approx(l_quantity, 0.5)").as("median_qty"),
-        count(lit(1)).as("n_rows"))
+          approx_count_distinct(col("l_partkey")).as("approx_parts_raw"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          expr("percentile_approx(l_quantity, 0.5)").as("median_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          (abs(col("approx_parts_raw") - col("exact_parts")).cast("double")
+            / col("exact_parts") <= 0.05).as("parts_within_5pct"),
+          col("exact_parts"), col("median_qty"), col("n_rows"))
     }),
 
     // Math function pack restricted to cross-engine-exact ops: abs/ceil/
@@ -254,8 +372,9 @@ object EngineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LSH-bucketed ANN with multi-probe + exact re-rank (approximate recall
-    // ⇒ rows-only check).
+    // LSH-bucketed ANN with multi-probe + exact re-rank. Hash-checked even
+    // though pruned: the oracle embeds the seeded hyperplanes as literals
+    // and re-derives signatures, probe buckets and the re-rank in DuckDB.
     "q36_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -407,15 +526,20 @@ object EngineQueries {
     }),
 
     // IVF ANN, realistic pruned configuration: k-means cells + nprobe
-    // probing + exact re-rank (cell boundaries are engine-specific ⇒
-    // rows-only check here; the exhaustive hash-checked variant is q58).
+    // probing + exact re-rank. The trained centroids are captured here and
+    // embedded as literals in a dynamically-built oracle (Verify dumps
+    // oracle_sql.json after the queries run), so DuckDB independently
+    // re-derives cell assignment, probe selection, candidate generation
+    // and the exact top-k — everything downstream of k-means training is
+    // hash-checked, not rows-only.
     "q48_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-      ops.Ann.ivfTopK(emb, "vec_id", "v", queries, "qid", "qv",
-        k = 10, nlist = 16, nprobe = 3)
+      val index = ops.Ann.ivfBuild(emb, "vec_id", "v", nlist = 16)
+      q48CentroidsCaptured = Some(index.centroids)
+      ops.Ann.ivfSearch(index, queries, "qid", "qv", k = 10, nprobe = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1469,6 +1593,22 @@ object EngineQueries {
                                 ORDER BY list_cosine_similarity(cv, qv) DESC, item_id) AS rank
            FROM c CROSS JOIN q) t
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // exact oracle for the PRUNED multi-probe config: DuckDB recomputes
+    // signatures from the embedded hyperplanes and replays probe + re-rank
+    "q36_ann_lsh" -> lshOracleSql(m = 12, dim = 64, seed = 42L, k = 10, probeDistance = 1),
+    // exact oracle downstream of k-means: centroids captured from the run
+    // (fallback only used when q48 never ran, so nothing compares against it)
+    "q48_ann_ivf" -> q48CentroidsCaptured
+      .map(c => ivfOracleSql(c, dim = 64, k = 10, nprobe = 3))
+      .getOrElse(
+        """SELECT NULL AS query_id, NULL AS rank, NULL AS item_id, NULL AS cos
+           WHERE FALSE"""),
+    "q27_approx_agg" ->
+      """SELECT TRUE AS parts_within_5pct,
+                count(DISTINCT l_partkey) AS exact_parts,
+                quantile_disc(l_quantity, 0.5) AS median_qty,
+                count(*) AS n_rows
+         FROM lineitem""",
     "q37_fingerprint" ->
       """WITH sh AS (
            SELECT doc_id,

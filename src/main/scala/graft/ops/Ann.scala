@@ -70,7 +70,7 @@ object Ann {
     * dimension `dim`, from a seeded PRNG, as a literal column (tiny: m×dim
     * doubles shipped with the plan).
     */
-  private def hyperplanes(m: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+  private[graft] def hyperplanes(m: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(m)(Seq.fill(dim)(rnd.nextGaussian()))
   }
@@ -132,7 +132,7 @@ object Ann {
   }
 
   /** All bit-masks within `d` flips of zero (multi-probe enumeration). */
-  private def probeMasks(m: Int, d: Int): Seq[Long] = {
+  private[graft] def probeMasks(m: Int, d: Int): Seq[Long] = {
     def combos(bits: Seq[Int], k: Int): Seq[Seq[Int]] =
       if (k == 0) Seq(Nil)
       else combos(bits, k - 1) ++ bits.combinations(k).toSeq

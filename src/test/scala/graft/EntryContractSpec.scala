@@ -14,14 +14,15 @@ class EntryContractSpec extends AnyFunSuite {
       s"core and engine queries share names (silently shadowed in ++): ${overlap.mkString(", ")}")
   }
 
-  test("every oracle entry has a query; rows-only queries are the documented three") {
+  test("every oracle entry has a query; every query has an oracle") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"orphaned oracle entries: ${(o -- q).mkString(", ")}")
-    val rowsOnly = q -- o
-    assert(rowsOnly == Set("q27_approx_agg", "q36_ann_lsh", "q48_ann_ivf"),
-      s"rows-only set changed: ${rowsOnly.mkString(", ")} — every new query needs an oracle " +
-        "unless its output is inherently engine-specific (and then document it here)")
+    // zero rows-only queries since round 5: the pruned-ANN configs carry
+    // full signature/centroid-replay oracles and q27 emits its sketch
+    // results in exactly-checkable form
+    assert((q -- o).isEmpty,
+      s"rows-only queries: ${(q -- o).mkString(", ")} — every query needs an oracle")
   }
 
   test("oracle SQL is non-empty and names every aliased column on both sides") {
