@@ -94,16 +94,20 @@ object WordShingles {
   * cloned by optimizer rules exactly like the word form.
   */
 object CharShingleUtil {
-  // positions are UTF-16 units: identical to codepoint positions for BMP
-  // text (the oracle corpus is ASCII); documents with surrogate pairs get
-  // consistent-but-unit-based windows
+  // positions are CODEPOINTS, matching Spark's length/substring and the
+  // DuckDB oracle's substr: the BMP fast path windows by UTF-16 units
+  // (identical for surrogate-free text), supplementary-plane text takes
+  // the codepoint-array path so emoji are never split mid-character
   def shingles(s: UTF8String, n: Int, stride: Int): ArrayData = {
     val str = s.toString
-    if (str.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String](str.length / stride * 2)
+    val bmp = str.codePointCount(0, str.length) == str.length
+    val cps: Array[Int] = if (bmp) null else str.codePoints().toArray
+    val len = if (bmp) str.length else cps.length
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](len / stride * 2)
     var i = 0
-    while (i <= str.length - n) {
-      seen.add(str.substring(i, i + n))
+    while (i <= len - n) {
+      seen.add(if (bmp) str.substring(i, i + n) else new String(cps, i, n))
       i += stride
     }
     val out = new Array[Any](seen.size)
@@ -154,7 +158,8 @@ object CharShingles {
   * allocations. The composed HOF form was 12.7s at sf0.1 — interpreted
   * lambdas paying a digest per position AND a string alloc per window.
   * Lowercasing is the CALLER's job (the [[CharShingleUtil]] contract);
-  * positions are UTF-16 units, same caveat as char shingles.
+  * positions index codepoints, matching the composed form and the oracle
+  * (see [[CharShingleUtil]]).
   */
 object WinnowUtil {
   private val digest = new ThreadLocal[java.security.MessageDigest] {
@@ -187,17 +192,25 @@ object WinnowUtil {
 
   def fingerprints(s: UTF8String, n: Int, w: Int): ArrayData = {
     val str = s.toString
-    val positions = str.length - n + 1
-    if (positions < w) return new GenericArrayData(Array.empty[Any])
-    val md = digest.get()
     val bytes = s.getBytes
     val ascii = bytes.length == str.length
+    // positions index CODEPOINTS (Spark length/substring and DuckDB substr
+    // semantics): ASCII hashes byte slices in place; surrogate-free BMP
+    // slices by UTF-16 units (equal to codepoints); astral text slices a
+    // codepoint array so surrogate pairs are never split mid-character
+    val bmp = ascii || str.codePointCount(0, str.length) == str.length
+    val cps: Array[Int] = if (bmp) null else str.codePoints().toArray
+    val positions = (if (bmp) str.length else cps.length) - n + 1
+    if (positions < w) return new GenericArrayData(Array.empty[Any])
+    val md = digest.get()
     val ds = new Array[Array[Byte]](positions)
     var i = 0
     while (i < positions) {
       md.reset()
       if (ascii) md.update(bytes, i, n)
-      else md.update(str.substring(i, i + n)
+      else if (bmp) md.update(str.substring(i, i + n)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      else md.update(new String(cps, i, n)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       ds(i) = md.digest()
       i += 1

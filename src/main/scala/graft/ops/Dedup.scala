@@ -55,10 +55,24 @@ object Dedup {
     * Single-file/single-row-group local inputs scan as ONE partition, which
     * serializes shingling onto one core; on a real multi-file table this is
     * a no-op (the scan already has ≥ cluster parallelism).
+    *
+    * Decides from the optimized plan's size statistics (bytes ÷
+    * `files.maxPartitionBytes` ≈ scan parallelism) — never `df.rdd`, which
+    * would force physical planning and RDD conversion on every miner call
+    * even for well-partitioned tables. Inputs whose estimated parallelism
+    * already covers the cluster (or is unknown: stats default to huge)
+    * pass through untouched.
     */
   private[ops] def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxBytes =
+      math.max(1L, org.apache.spark.sql.GraftShims.filesMaxPartitionBytes(spark))
+    val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estParts =
+      if (sizeBytes > BigInt(Long.MaxValue)) Long.MaxValue
+      else math.max(1L, (sizeBytes.toLong + maxBytes - 1) / maxBytes)
+    if (estParts < target) df.repartition(target) else df
   }
 
   /** Resolve the stop-shingle cap: [[CapSpec.Auto]] derives it from the

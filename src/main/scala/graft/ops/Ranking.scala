@@ -26,15 +26,22 @@ object Ranking {
   /** Per-document BM25 score against `terms`. Output: (idCol, doc_len,
     * bm25), every input doc scored (zero when no term matches).
     *
-    * Long-lived services scoring many keyword lists should use
-    * [[bm25WithCache]] and unpersist the returned handle once the result
-    * is consumed — this form's internal cache lives until the session
-    * clears caches.
+    * Leak-free: the internal term-frequency cache only needs to live
+    * across the eager stats aggregate, so this form releases it before
+    * returning — the scoring frame recomputes the tokenization in its
+    * (single) consumption pass, which costs the same one corpus pass the
+    * cached read would. Callers that score AND re-consume repeatedly
+    * should use [[bm25WithCache]] and manage the handle themselves.
     */
   def bm25(
       docs: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    bm25WithCache(docs, idCol, textCol, terms, k1, b)._1
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (scores, handle) = bm25WithCache(docs, idCol, textCol, terms, k1, b)
+    // stats already ran (eager aggregate inside bm25WithCache): nothing
+    // holds the cache after this, so executor storage is returned now
+    handle.unpersist()
+    scores
+  }
 
   /** [[bm25]] plus the persisted term-frequency frame backing it, so
     * callers that fully consume the scores can release the cache

@@ -17,4 +17,10 @@ object GraftShims {
     */
   def convertedExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** `spark.sql.files.maxPartitionBytes` as a Long (the typed SQLConf
+    * accessor is sql-package-private).
+    */
+  def filesMaxPartitionBytes(spark: SparkSession): Long =
+    spark.sessionState.conf.filesMaxPartitionBytes
 }

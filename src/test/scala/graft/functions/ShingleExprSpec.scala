@@ -40,6 +40,35 @@ class ShingleExprSpec extends SparkSpec {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("astral chars: native char/winnow expressions index codepoints like the composed forms") {
+    // web corpora carry supplementary-plane characters (emoji): Spark's
+    // length/substring index codepoints, so the native fast paths must
+    // never split a surrogate pair. 🎉 and 😀 are U+1F389/U+1F600 (two
+    // UTF-16 units each); mixed with BMP accents and ASCII.
+    val astral = Seq(
+      "ab🎉cd😀ef",
+      "🎉🎉🎉🎉🎉🎉🎉🎉",
+      "héllo 🎉 wörld 😀 mixed text here",
+      "plain ascii stays on the byte path")
+    val df = astral.toDF("t")
+    val cs = df.select(
+      CharShingles(lower(col("t")), 3, 1).as("native"),
+      Text.charShingles(col("t"), 3).as("composed"))
+    cs.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"char_shingles mismatch: $r")
+    }
+    val wn = df.select(
+      WinnowFingerprints(lower(col("t")), 4, 2).as("native"),
+      Text.winnowMinima(Text.positionalShingleHashes(col("t"), 4), 2).as("composed"))
+    wn.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"winnow mismatch: $r")
+    }
+    // a shingle containing an astral char is a whole-codepoint string
+    val sh = df.filter(col("t").startsWith("ab")).select(CharShingles(col("t"), 2, 1))
+      .head().getSeq[String](0)
+    assert(sh.contains("b🎉") && sh.contains("🎉c"), sh.toString)
+  }
+
   test("codegen path executes (expression inside a wholestage-codegen'd project)") {
     val df = samples.toDF("t").repartition(2)
       .select(explode(WordShingles(lower(col("t")), 2)).as("g"))
