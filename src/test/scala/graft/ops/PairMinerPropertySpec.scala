@@ -52,6 +52,52 @@ class PairMinerPropertySpec extends SparkSpec {
     }
   }
 
+  test("ngramJaccardPairs with a stop-shingle cap equals brute force over the capped space") {
+    // the cap drops shingles with doc frequency > c BEFORE profile sizing,
+    // so the exact semantics are "jaccard of the capped shingle space" —
+    // the brute force replicates the cut from corpus-wide doc frequencies
+    for (seed <- Seq(4, 5); t <- Seq(0.3, 0.5, 0.8); c <- Seq(3L, 8L)) {
+      val corpus = randomCorpus(seed, 40)
+      val docFreq = corpus
+        .flatMap { case (id, text) => wordSet(text, 2).map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+      def capped(text: String): Set[String] =
+        wordSet(text, 2).filter(sh => docFreq(sh) <= c)
+      val want = (for {
+        (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+        sa = capped(ta); sb = capped(tb)
+        if sa.nonEmpty && sb.nonEmpty
+        common = (sa & sb).size
+        if common.toDouble / (sa.size + sb.size - common) >= t
+      } yield (ia, ib)).toSet
+      val got = Dedup.ngramJaccardPairs(corpus.toDF("doc_id", "text"), "doc_id", "text",
+          n = 2, threshold = t, maxShingleDocFreq = CapSpec.Fixed(c))
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"seed=$seed t=$t cap=$c missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("charJaccardPairs equals brute force (stride 1, lowercased codepoint shingles)") {
+    def charSet(text: String, n: Int): Set[String] = {
+      val t = text.toLowerCase
+      if (t.length < n) Set.empty else t.sliding(n).toSet
+    }
+    for (seed <- Seq(6, 9); t <- Seq(0.3, 0.6)) {
+      val corpus = randomCorpus(seed, 30)
+      val want = (for {
+        (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+        sa = charSet(ta, 5); sb = charSet(tb, 5)
+        if sa.nonEmpty && sb.nonEmpty
+        common = (sa & sb).size
+        if common.toDouble / (sa.size + sb.size - common) >= t
+      } yield (ia, ib)).toSet
+      val got = Dedup.charJaccardPairs(corpus.toDF("doc_id", "text"), "doc_id", "text",
+          n = 5, threshold = t, maxShingleDocFreq = CapSpec.Off)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"seed=$seed t=$t missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("ngramJaccardAgainst equals brute force across corpora") {
     val corpus = randomCorpus(7, 40)
     val (incoming, lake) = corpus.partition(_._1 >= 20)
