@@ -5,12 +5,19 @@ import org.apache.spark.sql.SparkSession
 import scala.concurrent.ExecutionContext
 import scala.util.{Failure, Success}
 
-/** NDJSON-over-TCP remote-execution server: the transport that binds
-  * [[PipelineService]] (FIFO manager) and [[Protocol]] (wire contract)
-  * together — the runnable counterpart of the reference executor's WebSocket
-  * endpoint (aqueducts-executor/src/api/mod.rs:78-160, main.rs:1-199).
+/** Remote-execution server: the transport that binds [[PipelineService]]
+  * (FIFO manager) and [[Protocol]] (wire contract) together — the runnable
+  * counterpart of the reference executor's WebSocket endpoint
+  * (aqueducts-executor/src/api/mod.rs:78-160, main.rs:1-199).
   *
-  * Connection contract, one JSON message per line:
+  * Two transports share one port, sniffed from the first line:
+  *   - NDJSON-over-TCP (a raw JSON line connects directly), and
+  *   - HTTP: GET /api/health plus a WebSocket upgrade (any other path)
+  *     carrying the same Protocol messages one per text frame, API key via
+  *     the reference's X-API-Key header — a reference-shaped WS client
+  *     connects unchanged (RFC 6455 framing in [[WebSocket]]).
+  *
+  * Connection contract, one JSON message per line (or text frame):
   *   - client → server: `execution_request` (rendered pipeline config),
   *     `cancellation_request`
   *   - server → client: `queue_position` updates while queued,
@@ -76,52 +83,160 @@ final class Server(
 
   // ------------------------------------------------------------ connection
 
+  /** One byte-level line (LF-terminated, CR stripped, UTF-8); null on EOF.
+    * Reads the raw stream so a connection can switch to binary WebSocket
+    * frames after the HTTP handshake without a reader buffering ahead.
+    */
+  private def readLine(in: java.io.InputStream): String = {
+    val buf = new java.io.ByteArrayOutputStream(128)
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+    val s = new String(buf.toByteArray, "UTF-8")
+    if (s.endsWith("\r")) s.dropRight(1) else s
+  }
+
   private def handle(socket: java.net.Socket): Unit = {
-    val in = new java.io.BufferedReader(
-      new java.io.InputStreamReader(socket.getInputStream, "UTF-8"))
-    val out = new java.io.BufferedWriter(
-      new java.io.OutputStreamWriter(socket.getOutputStream, "UTF-8"))
+    val in = new java.io.BufferedInputStream(socket.getInputStream)
+    val out = new java.io.BufferedOutputStream(socket.getOutputStream)
+    try {
+      val first = readLine(in)
+      if (first == null) ()
+      // an HTTP request line means a reference-shaped client: health probe
+      // or WebSocket upgrade (the reference's /api/health + /ws/connect)
+      else if (first.startsWith("GET ") || first.startsWith("HEAD "))
+        handleHttp(first, in, out)
+      else handleNdjson(first, in, out)
+    } catch {
+      case _: java.io.IOException => () // disconnect: running pipelines proceed
+    } finally {
+      try socket.close() catch { case _: java.io.IOException => () }
+    }
+  }
+
+  private def handleNdjson(
+      first: String, in: java.io.InputStream, out: java.io.OutputStream): Unit = {
     val writeLock = new Object
     def sendRaw(line: String): Unit = writeLock.synchronized {
-      try { out.write(line); out.write("\n"); out.flush() }
+      try { out.write((line + "\n").getBytes("UTF-8")); out.flush() }
       catch { case _: java.io.IOException => () } // client gone: drop output
     }
     def send(m: AnyRef): Unit = sendRaw(Protocol.write(m))
 
-    try {
-      apiKey.foreach { key =>
+    var line = first
+    apiKey match {
+      case Some(key) =>
         // HEALTH stays reachable without credentials, matching the
         // reference's unauthenticated /api/health (api/mod.rs:43-49)
-        var first = in.readLine()
-        while (first != null && first.trim == "HEALTH") {
+        while (line != null && line.trim == "HEALTH") {
           sendRaw("""{"status":"OK"}""")
-          first = in.readLine()
+          line = readLine(in)
         }
         // constant-time comparison: this is an unauthenticated TCP endpoint,
         // so a bytewise-early-exit == would leak key prefixes via timing.
         // Trimmed like every other line (HEALTH, dispatch): a CRLF client's
         // trailing \r must not fail an otherwise-correct key.
-        val ok = first != null && java.security.MessageDigest.isEqual(
-          s"AUTH $key".getBytes("UTF-8"), first.trim.getBytes("UTF-8"))
+        val ok = line != null && java.security.MessageDigest.isEqual(
+          s"AUTH $key".getBytes("UTF-8"), line.trim.getBytes("UTF-8"))
         if (!ok) {
           sendRaw("""{"type":"execution_error","request_id":"","message":"unauthorized"}""")
-          socket.close()
           return
         }
+        line = readLine(in)
+      case None => ()
+    }
+    while (line != null && !closed) {
+      line.trim match {
+        case "" => ()
+        case "HEALTH" => sendRaw("""{"status":"OK"}""")
+        case text => dispatch(text, send)
       }
-      var line = in.readLine()
-      while (line != null && !closed) {
-        line.trim match {
-          case "" => ()
-          case "HEALTH" => sendRaw("""{"status":"OK"}""")
-          case text => dispatch(text, send)
+      line = readLine(in)
+    }
+  }
+
+  // ------------------------------------------------------- HTTP / WebSocket
+
+  /** The reference executor's HTTP surface (api/mod.rs:27-31): GET
+    * /api/health unauthenticated; /ws/connect behind the X-API-Key header
+    * (auth.rs:11-35), upgraded to a WebSocket carrying the same Protocol
+    * JSON messages, one per text frame.
+    */
+  private def handleHttp(
+      requestLine: String, in: java.io.InputStream, out: java.io.OutputStream): Unit = {
+    val headers = scala.collection.mutable.Map.empty[String, String]
+    var l = readLine(in)
+    while (l != null && l.nonEmpty) {
+      val i = l.indexOf(':')
+      if (i > 0) headers += (l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim)
+      l = readLine(in)
+    }
+    def respond(status: String, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      out.write((s"HTTP/1.1 $status\r\nConnection: close\r\n" +
+        s"Content-Type: application/json\r\nContent-Length: ${bytes.length}\r\n\r\n")
+        .getBytes("UTF-8"))
+      out.write(bytes)
+      out.flush()
+    }
+    val path = requestLine.split(" ").lift(1).getOrElse("/").takeWhile(_ != '?')
+    if (path == "/api/health") { respond("200 OK", """{"status":"OK"}"""); return }
+    val authorized = apiKey.forall(key => headers.get("x-api-key").exists(v =>
+      java.security.MessageDigest.isEqual(key.getBytes("UTF-8"), v.getBytes("UTF-8"))))
+    if (!authorized) { respond("401 Unauthorized", """{"error":"unauthorized"}"""); return }
+    (headers.get("upgrade").map(_.toLowerCase), headers.get("sec-websocket-key")) match {
+      case (Some("websocket"), Some(wsKey)) =>
+        out.write(("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n" +
+          s"Connection: Upgrade\r\nSec-WebSocket-Accept: ${WebSocket.acceptKey(wsKey)}\r\n\r\n")
+          .getBytes("UTF-8"))
+        out.flush()
+        wsLoop(in, out)
+      case _ => respond("400 Bad Request", """{"error":"expected websocket upgrade"}""")
+    }
+  }
+
+  /** Frame loop after a completed upgrade: text messages dispatch exactly
+    * like NDJSON lines; ping answered with pong, close echoed then closed,
+    * continuation frames reassembled. Server output is one unmasked text
+    * frame per Protocol message.
+    */
+  private def wsLoop(in: java.io.InputStream, out: java.io.OutputStream): Unit = {
+    val writeLock = new Object
+    def frame(opcode: Int, payload: Array[Byte]): Unit = writeLock.synchronized {
+      try WebSocket.writeFrame(out, opcode, payload)
+      catch { case _: java.io.IOException => () } // client gone: drop output
+    }
+    def sendText(s: String): Unit = frame(WebSocket.OpText, s.getBytes("UTF-8"))
+    def send(m: AnyRef): Unit = sendText(Protocol.write(m))
+
+    val pending = new java.io.ByteArrayOutputStream()
+    var open = true
+    while (open && !closed) {
+      WebSocket.readFrame(in) match {
+        case None => open = false
+        case Some(WebSocket.Frame(fin, op, payload)) => op match {
+          case WebSocket.OpClose =>
+            frame(WebSocket.OpClose, payload.take(2)) // echo the status code
+            open = false
+          case WebSocket.OpPing => frame(WebSocket.OpPong, payload)
+          case WebSocket.OpPong => ()
+          case WebSocket.OpText | WebSocket.OpBinary | WebSocket.OpContinuation =>
+            pending.write(payload, 0, payload.length)
+            if (pending.size > WebSocket.MaxFrameBytes)
+              throw new java.io.IOException("fragmented message exceeds cap")
+            if (fin) {
+              val text = new String(pending.toByteArray, "UTF-8")
+              pending.reset()
+              text.trim match {
+                case "" => ()
+                case "HEALTH" => sendText("""{"status":"OK"}""")
+                case t => dispatch(t, send)
+              }
+            }
+          case other =>
+            throw new java.io.IOException(s"unsupported opcode $other")
         }
-        line = in.readLine()
       }
-    } catch {
-      case _: java.io.IOException => () // disconnect: running pipelines proceed
-    } finally {
-      try socket.close() catch { case _: java.io.IOException => () }
     }
   }
 

@@ -161,6 +161,202 @@ class ServerSpec extends SparkSpec {
     } finally server.close()
   }
 
+  // ------------------------------------------------- WebSocket test client
+
+  private def rawLine(in: java.io.InputStream): String = {
+    val buf = new java.io.ByteArrayOutputStream()
+    var b = in.read()
+    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+    new String(buf.toByteArray, "UTF-8").stripSuffix("\r")
+  }
+
+  /** HTTP request over a fresh socket; returns (status line, headers, body). */
+  private def httpGet(port: Int, path: String, headers: Seq[(String, String)])
+      : (String, Map[String, String], String) = {
+    val s = new java.net.Socket("127.0.0.1", port)
+    s.setSoTimeout(120000)
+    try {
+      val out = s.getOutputStream
+      out.write(((s"GET $path HTTP/1.1" +: "Host: t" +: headers.map { case (k, v) => s"$k: $v" })
+        .mkString("\r\n") + "\r\n\r\n").getBytes("UTF-8"))
+      out.flush()
+      val in = new java.io.BufferedInputStream(s.getInputStream)
+      val status = rawLine(in)
+      val hs = Iterator.continually(rawLine(in)).takeWhile(_.nonEmpty)
+        .map { l => val i = l.indexOf(':'); l.take(i).toLowerCase -> l.drop(i + 1).trim }.toMap
+      val body = hs.get("content-length").map { n =>
+        val buf = new Array[Byte](n.toInt)
+        var off = 0
+        while (off < buf.length) {
+          val r = in.read(buf, off, buf.length - off); assert(r >= 0); off += r
+        }
+        new String(buf, "UTF-8")
+      }.getOrElse("")
+      (status, hs, body)
+    } finally s.close()
+  }
+
+  /** Open a socket and complete the RFC 6455 upgrade on `/ws/connect`. */
+  private def wsConnect(port: Int, apiKey: Option[String])
+      : (java.net.Socket, java.io.InputStream, java.io.OutputStream) = {
+    val s = new java.net.Socket("127.0.0.1", port)
+    s.setSoTimeout(120000)
+    val in = new java.io.BufferedInputStream(s.getInputStream)
+    val out = new java.io.BufferedOutputStream(s.getOutputStream)
+    val key = java.util.Base64.getEncoder.encodeToString(Array.tabulate(16)(_.toByte))
+    val headers = Seq("Host: t", "Upgrade: websocket", "Connection: Upgrade",
+      s"Sec-WebSocket-Key: $key", "Sec-WebSocket-Version: 13") ++
+      apiKey.map(k => s"X-API-Key: $k")
+    out.write((("GET /ws/connect HTTP/1.1" +: headers).mkString("\r\n") + "\r\n\r\n")
+      .getBytes("UTF-8"))
+    out.flush()
+    val status = rawLine(in)
+    assert(status.contains("101"), status)
+    var accept = ""
+    var l = rawLine(in)
+    while (l.nonEmpty) {
+      if (l.toLowerCase.startsWith("sec-websocket-accept:")) accept = l.drop(21).trim
+      l = rawLine(in)
+    }
+    assert(accept == WebSocket.acceptKey(key), s"bad accept key: $accept")
+    (s, in, out)
+  }
+
+  /** One masked client frame (RFC 6455 §5.1 requires client masking). */
+  private def wsSend(out: java.io.OutputStream, payload: Array[Byte],
+      opcode: Int, fin: Boolean = true): Unit = {
+    out.write((if (fin) 0x80 else 0x00) | opcode)
+    if (payload.length < 126) out.write(0x80 | payload.length)
+    else { out.write(0x80 | 126); out.write(payload.length >> 8); out.write(payload.length & 0xff) }
+    val mask = Array[Byte](7, 11, 13, 17)
+    out.write(mask)
+    payload.indices.foreach(i => out.write(payload(i) ^ mask(i & 3)))
+    out.flush()
+  }
+
+  private def wsSendText(out: java.io.OutputStream, text: String): Unit =
+    wsSend(out, text.getBytes("UTF-8"), WebSocket.OpText)
+
+  /** One server frame (servers never mask). Returns (opcode, payload). */
+  private def wsRead(in: java.io.InputStream): (Int, Array[Byte]) = {
+    def rb(): Int = { val b = in.read(); assert(b >= 0, "EOF mid-frame"); b }
+    val b0 = rb(); val b1 = rb()
+    assert((b1 & 0x80) == 0, "server frame must be unmasked")
+    val len7 = b1 & 0x7f
+    val n =
+      if (len7 < 126) len7
+      else if (len7 == 126) (rb() << 8) | rb()
+      else (0 until 8).foldLeft(0L)((a, _) => (a << 8) | rb()).toInt
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) { val r = in.read(buf, off, n - off); assert(r >= 0); off += r }
+    (b0 & 0x0f, buf)
+  }
+
+  /** Read Protocol messages off text frames until `requestId` terminates. */
+  private def wsDrain(in: java.io.InputStream, requestId: String): Seq[AnyRef] = {
+    val seen = Seq.newBuilder[AnyRef]
+    var done = false
+    while (!done) {
+      val (op, payload) = wsRead(in)
+      if (op == WebSocket.OpText) {
+        val m = Protocol.read(new String(payload, "UTF-8"))
+        seen += m
+        m match {
+          case Protocol.ExecutionSucceeded(id) if id == requestId => done = true
+          case Protocol.ExecutionError(id, _) if id == requestId => done = true
+          case _ => ()
+        }
+      }
+    }
+    seen.result()
+  }
+
+  test("WebSocket: upgrade, ping/pong, fragmented request, progress + chunks to succeeded") {
+    val server = new Server(spark, apiKey = Some("wskey"))
+    try {
+      val csv = writeFixtureCsv(tmpDir("srv-ws"))
+      val (sock, in, out) = wsConnect(server.boundPort, Some("wskey"))
+      try {
+        // control frames round-trip
+        wsSend(out, "hello?".getBytes("UTF-8"), WebSocket.OpPing)
+        val (pongOp, pongBody) = wsRead(in)
+        assert(pongOp == WebSocket.OpPong && new String(pongBody, "UTF-8") == "hello?")
+
+        // the execution request arrives split across text + continuation
+        val req = Protocol.write(Protocol.ExecutionRequest("ws-1",
+          yamlOf(csv, "ws1", "SELECT active, count(*) AS n FROM ws1_src GROUP BY active ORDER BY active", show = 5)))
+        val bytes = req.getBytes("UTF-8")
+        val cut = bytes.length / 2
+        wsSend(out, bytes.take(cut), WebSocket.OpText, fin = false)
+        wsSend(out, bytes.drop(cut), WebSocket.OpContinuation)
+
+        val msgs = wsDrain(in, "ws-1")
+        assert(msgs.exists { case Protocol.QueuePosition("ws-1", p) => p >= 0; case _ => false })
+        val progress = msgs.collect { case Protocol.ProgressUpdate("ws-1", pct, _) => pct }
+        assert(progress.nonEmpty && progress.last == 100, progress)
+        val chunks = msgs.collect { case c: Protocol.StageOutputChunk => c }
+        assert(chunks.nonEmpty && chunks.head.outputType == "Show")
+        assert(msgs.last == Protocol.ExecutionSucceeded("ws-1"))
+
+        // clean close: echo with the client's status code
+        wsSend(out, Array[Byte](0x03, 0xe8.toByte), WebSocket.OpClose)
+        val (closeOp, closeBody) = wsRead(in)
+        assert(closeOp == WebSocket.OpClose && closeBody.toSeq == Seq[Byte](0x03, 0xe8.toByte))
+      } finally sock.close()
+    } finally server.close()
+  }
+
+  test("WebSocket: cancellation over the wire reaches a queued request") {
+    spark.udf.register("graft_ws_sleep", (x: Long) => { Thread.sleep(8); x })
+    val server = new Server(spark)
+    try {
+      val csv = writeFixtureCsv(tmpDir("srv-ws-cancel"))
+      val (sock, in, out) = wsConnect(server.boundPort, None)
+      try {
+        val slow = yamlOf(csv, "wsslow",
+          "SELECT sum(graft_ws_sleep(CAST(id AS BIGINT) + s)) AS n FROM wsslow_src LATERAL VIEW explode(sequence(1, 40)) t AS s")
+        val quick = yamlOf(csv, "wsq", "SELECT count(*) AS n FROM wsq_src")
+        wsSendText(out, Protocol.write(Protocol.ExecutionRequest("ws-slow", slow)))
+        wsSendText(out, Protocol.write(Protocol.ExecutionRequest("ws-b", quick)))
+        // wait until the server has REPORTED ws-b queued before cancelling:
+        // an instant cancel can beat the position forwarder's first poll,
+        // which then (correctly) never reports a position for a dead request
+        val preCancel = Seq.newBuilder[AnyRef]
+        var queued = false
+        while (!queued) {
+          val (op, payload) = wsRead(in)
+          if (op == WebSocket.OpText) {
+            val m = Protocol.read(new String(payload, "UTF-8"))
+            preCancel += m
+            queued = m match {
+              case Protocol.QueuePosition("ws-b", p) => p >= 1
+              case _ => false
+            }
+          }
+        }
+        wsSendText(out, Protocol.write(Protocol.CancellationRequest("ws-b")))
+        val msgs = preCancel.result() ++ wsDrain(in, "ws-b")
+        val terminal = msgs.collect { case Protocol.ExecutionError("ws-b", m) => m }
+        assert(terminal.nonEmpty && terminal.head.contains("cancelled"), msgs.mkString("\n"))
+        val rest = wsDrain(in, "ws-slow")
+        assert(rest.exists { case Protocol.ExecutionSucceeded("ws-slow") => true; case _ => false })
+      } finally sock.close()
+    } finally server.close()
+  }
+
+  test("HTTP: /api/health open, /ws/connect enforces X-API-Key, non-upgrade is 400") {
+    val server = new Server(spark, apiKey = Some("sekrit"))
+    try {
+      val (st, _, body) = httpGet(server.boundPort, "/api/health", Nil)
+      assert(st.contains("200") && body.contains("OK"))
+      val (st401, _, _) = httpGet(server.boundPort, "/ws/connect", Seq("X-API-Key" -> "wrong"))
+      assert(st401.contains("401"))
+      val (st400, _, _) = httpGet(server.boundPort, "/ws/connect", Seq("X-API-Key" -> "sekrit"))
+      assert(st400.contains("400")) // authorized but no upgrade headers
+    } finally server.close()
+  }
+
   test("malformed pipeline and malformed message produce execution_error, server keeps serving") {
     val server = new Server(spark)
     try {
