@@ -97,7 +97,8 @@ object Bench {
     val r5New = Set("q81_semantic_dedup", "q82_gopher_rules", "q83_normalize",
       "q84_heavy_hitters", "q85_group_sample", "q86_bpe_pairs", "q87_bigram_lm",
       "q88_c4_clean", "q89_bm25", "q90_group_centroids", "q91_script_mix",
-      "q92_winnow", "q93_dsir_select", "p13_pipeline_stats")
+      "q92_winnow", "q93_dsir_select", "q94_bpe_train", "q95_bpe_encode",
+      "p13_pipeline_stats")
     val r2Subset = results.collect { case (k, v) if !r3New(k) && !r4New(k) && !r5New(k) => v }.sum
     val r3Subset = results.collect { case (k, v) if !r4New(k) && !r5New(k) => v }.sum
     val r4Subset = results.collect { case (k, v) if !r5New(k) => v }.sum

@@ -60,6 +60,72 @@ object EngineQueries {
     if (d == Math.floor(d) && !d.isInfinite && math.abs(d) < 1e15) s"${d.toLong}.0"
     else d.toString
 
+  /** Unrolled DuckDB replay of BPE training (q94/q95): K merge iterations
+    * as chained CTEs (recursive CTEs cannot aggregate over the recursive
+    * table, so the fixed iteration count unrolls instead). Each iteration
+    * counts adjacent pairs over the delimited-token strings, picks the
+    * argmax (count desc, pair asc — the engine's tie-break), and applies
+    * the merge with the same literal `replace` on the chr(31)-delimited
+    * encoding, so DuckDB re-learns the merge table from the raw parquet
+    * with zero constants captured from the engine.
+    */
+  private def bpeTrainCtes(k: Int): String = {
+    val sep = "chr(31)"
+    val iters = (1 to k).map { i =>
+      s"""t$i AS (SELECT list_filter(string_split(s, $sep), x -> x <> '') AS t, freq FROM v${i - 1}),
+              p$i AS (SELECT p[1] AS a, p[2] AS b, sum(freq) AS n FROM (
+                SELECT unnest(list_transform(range(1, len(t)), j -> [t[j], t[j+1]])) AS p, freq FROM t$i)
+                GROUP BY 1, 2),
+              b$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+              v$i AS MATERIALIZED (SELECT CASE WHEN b.a IS NULL THEN v.s
+                       ELSE replace(v.s, $sep||b.a||$sep||b.b||$sep, $sep||b.a||b.b||$sep) END AS s,
+                       v.freq
+                     FROM v${i - 1} v LEFT JOIN b$i b ON TRUE)"""
+    }.mkString(",\n              ")
+    s"""w0 AS (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                x -> len(x) > 0)) AS w FROM documents),
+              v0 AS MATERIALIZED (SELECT $sep || regexp_replace(w, '(?s)(.)', '\\1' || $sep, 'g') AS s,
+                       count(*) AS freq
+                     FROM w0 GROUP BY w),
+              $iters"""
+  }
+
+  private def bpeTrainOracleSql(k: Int): String = {
+    val union = (1 to k)
+      .map(i => s"SELECT $i AS rank, a, b, n FROM b$i")
+      .mkString("\n              UNION ALL ")
+    s"""WITH ${bpeTrainCtes(k)}
+         SELECT rank, a, b, n FROM (
+              $union)
+         ORDER BY rank"""
+  }
+
+  private def bpeEncodeOracleSql(k: Int): String = {
+    val sep = "chr(31)"
+    val sepsep = s"$sep || $sep" // impossible pattern: s strictly alternates
+    val mcols = (1 to k).map { i =>
+      s"""coalesce((SELECT $sep||a||$sep||b||$sep FROM b$i), $sepsep) AS pat$i,
+                coalesce((SELECT $sep||a||b||$sep FROM b$i), $sepsep) AS rep$i"""
+    }.mkString(",\n                ")
+    val nested = (1 to k).foldLeft(
+      s"$sep || regexp_replace(w, '(?s)(.)', '\\1' || $sep, 'g')") {
+      (acc, i) => s"replace($acc, m.pat$i, m.rep$i)"
+    }
+    s"""WITH ${bpeTrainCtes(k)},
+              mrow AS (SELECT
+                $mcols),
+              docs0 AS (SELECT doc_id,
+                  list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    x -> len(x) > 0) AS ws
+                FROM documents WHERE doc_id < 100),
+              encd AS (SELECT doc_id, flatten(list_transform(ws, w ->
+                  list_filter(string_split($nested, $sep), x -> x <> ''))) AS tokens
+                FROM docs0 CROSS JOIN mrow m)
+         SELECT doc_id, CAST(len(tokens) AS INT) AS n_tokens,
+                array_to_string(tokens, ' ') AS token_str
+         FROM encd ORDER BY doc_id"""
+  }
+
   /** DuckDB oracle for the PRUNED multi-probe LSH top-k (q36): embeds the
     * seeded hyperplanes as literals (algorithm parameters, like any
     * threshold) and independently recomputes corpus/query signatures, the
@@ -1188,6 +1254,34 @@ object EngineQueries {
           round(col("gumbel_key"), 6).as("gumbel_key"))
     }),
 
+    // BPE tokenizer TRAINING (Sennrich et al., ACL'16): 20 merge rounds
+    // over the vocabulary-sized (word, freq) frame — each round one
+    // pair-count aggregate whose argmax row is all the driver sees. The
+    // oracle replays the full iterative training independently in DuckDB
+    // (20 unrolled merge iterations over the same delimited-token strings),
+    // so the learned merge table is hash-checked end to end.
+    "q94_bpe_train" -> ((s, dir) => {
+      val merges = ops.LangModel.bpeTrain(t(s, dir, "documents"), "text", 20)
+      import s.implicits._
+      merges.map(m => (m.rank, m.a, m.b, m.n)).toDF("rank", "a", "b", "n")
+        .orderBy(col("rank"))
+    }),
+
+    // BPE ENCODE with the learned merges applied in rank order (Sennrich's
+    // sequential apply-bpe semantics): per-row scan work, merges ride as
+    // plan literals. Oracle: DuckDB re-derives the merges itself (same
+    // unrolled training) and re-encodes — fully independent.
+    "q95_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = ops.LangModel.bpeTrain(docs, "text", 20)
+      ops.LangModel.bpeEncode(docs.filter(col("doc_id") < 100), "doc_id", "text", merges)
+        // tokens joined on a space (lossless: tokens are substrings of
+        // whitespace-free words) — the gate's row compare wants scalars
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(col("tokens"), " ").as("token_str"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1603,6 +1697,8 @@ object EngineQueries {
       .getOrElse(
         """SELECT NULL AS query_id, NULL AS rank, NULL AS item_id, NULL AS cos
            WHERE FALSE"""),
+    "q94_bpe_train" -> bpeTrainOracleSql(20),
+    "q95_bpe_encode" -> bpeEncodeOracleSql(20),
     "q27_approx_agg" ->
       """SELECT TRUE AS parts_within_5pct,
                 count(DISTINCT l_partkey) AS exact_parts,

@@ -191,4 +191,121 @@ object LangModel {
       .filter(col("prev").isNotNull) // position 1 has no left neighbor
       .groupBy(col("prev").as("a"), col("w").as("b"))
       .agg(count(lit(1)).as("n"))
+
+  // ------------------------------------------------------------------ BPE
+
+  /** Delimiter for the delimited-token string encoding of a word:
+    * `␟low␟` ⇒ `<SEP>l<SEP>o<SEP>w<SEP>`. Tokens are substrings of
+    * whitespace-delimited words so they can never contain it (and even if
+    * dirty text did, both the engine and the oracle build the string the
+    * same way, so results stay consistent). The encoding makes "merge all
+    * non-overlapping occurrences of pair (a,b) left-to-right" — the BPE
+    * merge step — a single literal `replace(s, ␟a␟b␟, ␟ab␟)`: the shared
+    * delimiter between consecutive occurrences means replace() consumes
+    * exactly the non-overlapping occurrences, which is the standard BPE
+    * semantics (`aaa` + (a,a) → `aa a`).
+    */
+  private[graft] val BpeSep = "\u001f"
+
+  /** A word as its delimited character-token string. `(?s)(.)` matches any
+    * codepoint (incl. line separators — identical under Java regex and
+    * RE2, which differ on `.` vs U+2028 without the flag).
+    */
+  private def bpeDelimited(word: Column): Column =
+    concat(lit(BpeSep), regexp_replace(word, "(?s)(.)", "$1" + BpeSep))
+
+  final case class BpeMerge(rank: Int, a: String, b: String, n: Long)
+
+  /** Learn `numMerges` BPE merges (Sennrich et al., ACL'16 — the
+    * byte-pair-encoding tokenizer-training loop) over the whitespace words
+    * of lowercased `textCol`.
+    *
+    * Scale design: the corpus collapses ONCE to the distinct-word frame
+    * `(word, freq)` — vocabulary-sized, like [[unigramTrain]]'s exchange —
+    * and every merge iteration runs on that small frame: one adjacent-pair
+    * aggregate (map-side combined, pair-vocabulary-sized) whose argmax row
+    * is the only thing the driver sees per round (the aggregate-to-driver
+    * scalar convention of BM25/unigram stats). The merge applies as one
+    * literal `replace` over the delimited-token string; per-iteration
+    * `localCheckpoint` keeps plan analysis linear in rounds (the
+    * [[Components.connectedComponents]] precedent). Ties break
+    * deterministically: count desc, then (a, b) ascending.
+    *
+    * Stops early when no adjacent pair remains. `numMerges <= 64` — this
+    * is tokenizer TRAINING, whose merge count is a config constant;
+    * real-vocab encoders belong in [[bpeEncode]] whose cost is per-row.
+    */
+  def bpeTrain(corpus: DataFrame, textCol: String, numMerges: Int): Seq[BpeMerge] = {
+    require(numMerges >= 1 && numMerges <= 64,
+      "numMerges beyond 64: train offline and pass the merge list to bpeEncode")
+    var vocab = corpus
+      .select(explode_outer(Text.words(lower(col(textCol)))).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(bpeDelimited(col("w")).as("s"), col("freq"))
+      .localCheckpoint(eager = false)
+    val merges = Seq.newBuilder[BpeMerge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val toks = filter(split(col("s"), BpeSep), t => t =!= "")
+      val best = vocab
+        .select(col("freq"), toks.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("freq"), explode(
+          zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
+            slice(col("t"), lit(2), size(col("t")) - 1),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += BpeMerge(rank, a, b, n)
+        vocab = vocab.select(
+            call_function("replace", col("s"),
+              lit(BpeSep + a + BpeSep + b + BpeSep),
+              lit(BpeSep + a + b + BpeSep)).as("s"),
+            col("freq"))
+          .localCheckpoint(eager = false)
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Encode each document with a learned merge list: every whitespace word
+    * of the lowercased text gets the merges applied IN RANK ORDER
+    * (Sennrich's sequential apply_bpe semantics), then the document's
+    * token stream is the concatenation over its words.
+    *
+    * Pure per-row scan work: the merges are plan literals (the tokenizer
+    * model ships with the plan like a broadcast dict), each application is
+    * one literal `replace` on the delimited string — no shuffle, no state.
+    * For production-sized merge lists (tens of thousands), fold the loop
+    * into a single native expression holding the merge table; the chained
+    * form is capped to keep the expression tree (and codegen) bounded.
+    */
+  def bpeEncode(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    require(merges.size <= 64,
+      "merge chains beyond 64: use a native merge-table expression instead")
+    val ordered = merges.sortBy(_.rank)
+    docs.select(col(idCol),
+        transform(
+          filter(split(trim(lower(col(textCol))), "\\s+"), w => w =!= ""),
+          w => {
+            val encoded = ordered.foldLeft(bpeDelimited(w)) { (s, m) =>
+              call_function("replace", s,
+                lit(BpeSep + m.a + BpeSep + m.b + BpeSep),
+                lit(BpeSep + m.a + m.b + BpeSep))
+            }
+            filter(split(encoded, BpeSep), t => t =!= "")
+          }).as("_tw"))
+      .select(col(idCol), flatten(col("_tw")).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")))
+  }
 }

@@ -166,6 +166,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q95: BPE encode is pure per-row scan work (no shuffle, merges as plan literals)") {
+    val p = plan("q95_bpe_encode")
+    // encode = transform+replace chain per row; the only exchange allowed
+    // is the output ordering's range partitioning (node header and its
+    // Arguments line are separate in formatted explain, so count blocks)
+    val exchangeNodes = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    val rangeParts = "Arguments: rangepartitioning".r.findAllIn(p).size
+    assert(exchangeNodes == rangeParts,
+      s"unexpected non-range shuffle in encode ($exchangeNodes exchanges, $rangeParts range):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("text/sketch passes never re-derive inside scan filters (generate-filter trap)") {
     // InferFiltersFromGenerate + predicate pushdown can clone an expensive
     // expression (tokenization, shingling, sketching) into a scan-level

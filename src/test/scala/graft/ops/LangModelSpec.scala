@@ -42,4 +42,61 @@ class LangModelSpec extends SparkSpec {
     assert(math.abs(smooth.getAs[Double]("avg_logprob") - lp) < 1e-12)
     assert(!smooth.getAs[Double]("ppl").isInfinite)
   }
+
+  test("bpeTrain: learns the classic merges; independent reference replay agrees") {
+    import spark.implicits._
+    // Sennrich's running example shape: 'low'×5, 'lower'×2, 'newest'×6,
+    // 'widest'×3 as repeated whitespace words
+    val corpus = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    ).mkString(" ")
+    val df = Seq(corpus).toDF("text")
+    val merges = LangModel.bpeTrain(df, "text", 6)
+    assert(merges.size == 6)
+    assert(merges.map(_.rank) == (1 to 6))
+
+    // independent reference: plain Scala BPE trainer over (word, freq)
+    def pairs(toks: Vector[String]): Seq[(String, String)] =
+      toks.sliding(2).collect { case Vector(a, b) => (a, b) }.toSeq
+    def mergeAll(toks: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.result()
+    }
+    var vocab: Map[Vector[String], Long] =
+      corpus.split("\\s+").groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.length.toLong
+      }
+    val expect = Seq.newBuilder[(String, String)]
+    for (_ <- 1 to 6) {
+      val counts = vocab.toSeq.flatMap { case (t, f) => pairs(t).map(_ -> f) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val (a, b) = counts.toSeq.sortBy { case ((x, y), n) => (-n, x, y) }.head._1
+      expect += ((a, b))
+      vocab = vocab.toSeq.map { case (t, f) => mergeAll(t, a, b) -> f }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+    assert(merges.map(m => (m.a, m.b)) == expect.result(),
+      s"got ${merges.map(m => (m.a, m.b))}")
+
+    // encode: sequential rank-order application over each word
+    val enc = LangModel.bpeEncode(
+      Seq((1L, "lowest low"), (2L, ""), (3L, "x")).toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+    val t1 = enc(0).getSeq[String](1)
+    // 'low' must have merged into a single token by rank order, and every
+    // token concatenation reconstructs the input words
+    assert(t1.mkString == "lowestlow", t1.toString)
+    assert(t1.contains("low"), t1.toString)
+    assert(enc(1).getSeq[String](1).isEmpty)
+    assert(enc(2).getSeq[String](1) == Seq("x"))
+    assert(enc(0).getInt(2) == t1.size)
+  }
 }
