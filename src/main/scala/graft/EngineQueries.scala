@@ -54,6 +54,12 @@ object EngineQueries {
     */
   @volatile private[graft] var q48CentroidsCaptured: Option[Array[Array[Double]]] = None
 
+  /** q96's trained LR model, captured like the centroids above: the oracle
+    * embeds the coefficients and re-derives features + sigmoid in DuckDB,
+    * so everything downstream of LBFGS training is hash-checked.
+    */
+  @volatile private[graft] var q96ModelCaptured: Option[ops.Quality.LinearModel] = None
+
   // shortest-round-trip double literal: both JVM and DuckDB parse it back
   // to the identical bits, so embedded plane/centroid constants are exact
   private def dlit(d: Double): String =
@@ -124,6 +130,31 @@ object EngineQueries {
          SELECT doc_id, CAST(len(tokens) AS INT) AS n_tokens,
                 array_to_string(tokens, ' ') AS token_str
          FROM encd ORDER BY doc_id"""
+  }
+
+  /** DuckDB oracle for the LR quality classifier (q96): coefficients from
+    * the captured model as literals; the hashed features (md5-fold bucket
+    * per token, the q93 hex-parse trick) and sigmoid re-derived in SQL.
+    * Sum order matches the native dot product (left-to-right); round(…, 6)
+    * absorbs exp()'s last-ulp libm differences (the q93 ln precedent).
+    */
+  private def qualityOracleSql(m: ops.Quality.LinearModel, nDocs: Int): String = {
+    val n = m.coefficients.length
+    val coefs = m.coefficients.map(dlit).mkString(", ")
+    s"""WITH d AS (SELECT doc_id,
+                list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                  x -> len(x) > 0) AS ws
+              FROM documents WHERE doc_id < $nDocs),
+              f AS (SELECT doc_id, list_transform(range(0, $n), i ->
+                CAST(len(list_filter(ws, w ->
+                  CAST(list_sum(list_transform(range(1, 9),
+                    j -> (strpos('0123456789abcdef', substr(md5(w), j, 1)) - 1)
+                         * power(16, 8 - j))) AS BIGINT) % $n = i)) AS DOUBLE)) AS x
+              FROM d)
+         SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(list_sum(list_transform(range(1, ${n + 1}),
+             i -> x[i] * ([$coefs])[i])) + ${dlit(m.intercept)}))), 6) AS quality_prob
+         FROM f ORDER BY doc_id"""
   }
 
   /** DuckDB oracle for the PRUNED multi-probe LSH top-k (q36): embeds the
@@ -1282,6 +1313,21 @@ object EngineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Model-based quality classifier (fastText/GPT-3-style LR filter):
+    // trained in Spark ML on hashed bag-of-words features with a weak
+    // "looks English" label, scored as pure per-row expression work
+    // (coefficients are plan literals, native dot product + sigmoid).
+    // Oracle: captured coefficients, features + score re-derived in SQL.
+    "q96_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("_lc", lower(col("text")))
+      val labeled = docs.withColumn("label", (col("lang") === "en").cast("int"))
+      val model = ops.Quality.train(labeled, "_lc", "label", nFeatures = 64)
+      q96ModelCaptured = Some(model)
+      ops.Quality.score(docs.filter(col("doc_id") < 200), "doc_id", "_lc", model)
+        .select(col("doc_id"), round(col("quality_prob"), 6).as("quality_prob"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1697,6 +1743,10 @@ object EngineQueries {
       .getOrElse(
         """SELECT NULL AS query_id, NULL AS rank, NULL AS item_id, NULL AS cos
            WHERE FALSE"""),
+    "q96_quality_classifier" -> q96ModelCaptured
+      .map(m => qualityOracleSql(m, nDocs = 200))
+      .getOrElse(
+        """SELECT NULL AS doc_id, NULL AS quality_prob WHERE FALSE"""),
     "q94_bpe_train" -> bpeTrainOracleSql(20),
     "q95_bpe_encode" -> bpeEncodeOracleSql(20),
     "q27_approx_agg" ->

@@ -755,6 +755,34 @@ class OpsSpec extends SparkSpec {
       .head().getInt(0) == exact.size)
   }
 
+  test("Quality: LR classifier separates an obvious corpus; buckets are md5-derived") {
+    import graft.ops.Quality
+    // two clearly separable vocabularies with a deterministic label
+    val rnd = new scala.util.Random(3)
+    val docs = (0 until 120).map { i =>
+      val good = i % 2 == 0
+      val vocab = if (good) Seq("clean", "prose", "article", "writing")
+                  else Seq("zz9", "spamword", "clickbait", "garbage")
+      (i.toLong, Seq.fill(8)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        if (good) 1 else 0)
+    }
+    val df = docs.toDF("doc_id", "text", "label")
+    val model = Quality.train(df, "text", "label", nFeatures = 32)
+    assert(model.coefficients.length == 32)
+    val scored = Quality.score(df, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    docs.foreach { case (id, _, label) =>
+      val p = scored(id)
+      assert(if (label == 1) p > 0.5 else p < 0.5, s"doc $id label $label p $p")
+    }
+    // bucket = first 8 md5 hex digits mod nFeatures (the oracle's contract)
+    val b = df.select(Quality.featureBucket(lit("clean"), 32)).head().getLong(0)
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("clean".getBytes("UTF-8")).take(4)
+      .foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL))
+    assert(b == md5hex % 32, s"bucket $b vs ${md5hex % 32}")
+  }
+
   test("Ann.semanticPairs: mega-cell cap excludes degenerate clusters from pair mining") {
     val rnd = new scala.util.Random(41)
     // 40 near-identical vectors around one center (the mega-cell) + a
