@@ -152,3 +152,61 @@ object QuantizeInt8 {
   def apply(v: Column): Column =
     GraftShims.column(QuantizeInt8(GraftShims.expression(v.cast("array<double>"))))
 }
+
+/** One-pass hashed bag-of-words featurizer for the quality classifier
+  * ([[graft.ops.Quality]]): md5 each token ONCE, bucket by the first 4
+  * digest bytes mod `nFeatures`, accumulate counts. The composed HOF form
+  * (`transform(0..n-1, i => size(filter(buckets, _ === i)))`) re-walks the
+  * token array — re-evaluating every md5 — once per feature index, i.e.
+  * O(nFeatures × tokens) digests per row; this is O(tokens). Measured at
+  * sf0.1 / 64 features that is the difference between ~39 s and ~1 s for
+  * q96. Null tokens are skipped (the HOF form filters them out the same
+  * way); a null array yields NULL.
+  */
+object HashedBowUtil {
+  def counts(words: ArrayData, nFeatures: Int): ArrayData = {
+    val acc = new Array[Double](nFeatures)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val len = words.numElements()
+    var i = 0
+    while (i < len) {
+      if (!words.isNullAt(i)) {
+        val d = md.digest(words.getUTF8String(i).getBytes)
+        val b = ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % nFeatures).toInt
+        acc(b) += 1.0
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(acc)
+  }
+}
+
+case class HashedBow(child: Expression, nFeatures: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) | NullType =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"hashed_bow expects an array<string> input, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "hashed_bow"
+
+  override def nullSafeEval(v: Any): Any =
+    HashedBowUtil.counts(v.asInstanceOf[ArrayData], nFeatures)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashedBowUtil.counts($a, $nFeatures);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedBow =
+    copy(child = newChild)
+}
+
+object HashedBow {
+  def apply(words: Column, nFeatures: Int): Column =
+    GraftShims.column(HashedBow(GraftShims.expression(words), nFeatures))
+}

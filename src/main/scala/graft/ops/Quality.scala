@@ -32,15 +32,13 @@ object Quality {
 
   /** Hashed bag-of-words feature vector of a text column: an
     * `array<double>` of length `nFeatures` with per-bucket token counts.
-    * O(nFeatures × tokens) per row as composed higher-order functions —
-    * fine for the tens-of-features regime of a quality classifier; a
-    * native expression is the upgrade path for wide feature spaces.
+    * Native one-pass expression — each token is digested once
+    * ([[graft.functions.HashedBowUtil]]); bucket contract is exactly
+    * [[featureBucket]], which the oracle re-derives in SQL.
     */
   def hashedFeatures(textCol: Column, nFeatures: Int): Column = {
     require(nFeatures >= 2 && nFeatures <= 1024, "nFeatures out of range")
-    val buckets = transform(Text.words(textCol), w => featureBucket(w, nFeatures))
-    transform(sequence(lit(0), lit(nFeatures - 1)),
-      i => size(filter(buckets, b => b === i)).cast("double"))
+    graft.functions.HashedBow(Text.words(textCol), nFeatures)
   }
 
   final case class LinearModel(coefficients: Array[Double], intercept: Double)

@@ -783,6 +783,23 @@ class OpsSpec extends SparkSpec {
     assert(b == md5hex % 32, s"bucket $b vs ${md5hex % 32}")
   }
 
+  test("Quality: native HashedBow matches the composed featureBucket form") {
+    import graft.functions.{HashedBow, Text}
+    val texts = Seq("the quick brown fox", "héllo wörld héllo", "", "a a a b",
+      "emoji 😀 token mix 123").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "text")
+    val n = 16
+    val composed = transform(sequence(lit(0), lit(n - 1)), i =>
+      size(filter(transform(Text.words(col("text")),
+        w => Quality.featureBucket(w, n)), b => b === i)).cast("double"))
+    val rows = df.select(col("id"), HashedBow(Text.words(col("text")), n).as("nat"),
+      composed.as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Double](1) == r.getSeq[Double](2), s"row ${r.getLong(0)}")
+    }
+  }
+
   test("Ann.semanticPairs: mega-cell cap excludes degenerate clusters from pair mining") {
     val rnd = new scala.util.Random(41)
     // 40 near-identical vectors around one center (the mega-cell) + a
