@@ -178,6 +178,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q27: sketch aggregates never run keyed by the DISTINCT column") {
+    // Mixing countDistinct with TypedImperativeAggregates (percentile_approx,
+    // HLL) in ONE agg makes the distinct rewrite group by the distinct key
+    // first — materializing a partial percentile buffer PER KEY (20k
+    // QuantileSummaries at sf0.1, ~21s vs ~0.7s split). q27 runs them as
+    // separate one-row passes; this pins that every aggregate node holding
+    // a sketch function stays global (Keys: []).
+    val blocks = plan("q27_approx_agg").split("\\n\\(\\d+\\) ")
+    val sketchBlocks = blocks.filter(b =>
+      b.contains("percentile_approx") || b.contains("approx_count_distinct"))
+    assert(sketchBlocks.nonEmpty)
+    sketchBlocks.foreach { b =>
+      assert(!b.contains("Keys [1]"),
+        s"sketch aggregate is keyed (distinct-rewrite trap):\n$b")
+    }
+  }
+
   test("text/sketch passes never re-derive inside scan filters (generate-filter trap)") {
     // InferFiltersFromGenerate + predicate pushdown can clone an expensive
     // expression (tokenization, shingling, sketching) into a scan-level
