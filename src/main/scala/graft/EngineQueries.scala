@@ -1346,6 +1346,16 @@ object EngineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact duplicated-substring spans (Lee et al. 2022 sub-document
+    // dedup): maximal character regions assembled from 20-char windows
+    // recurring corpus-wide. Bounded-key hash aggregate + equi-join +
+    // per-doc run merge; oracle re-derives the identical window hashes,
+    // duplicate set and span merge in SQL.
+    "q97_dup_spans" -> ((s, dir) => {
+      ops.Spans.dupSpans(t(s, dir, "documents"), "doc_id", "text", n = 20)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -2266,6 +2276,28 @@ object EngineQueries {
          FROM c ORDER BY doc_id""",
     // null text propagates null (Spark's null-safe expression semantics),
     // never an empty fingerprint set
+    "q97_dup_spans" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         w AS (SELECT doc_id, t,
+                 unnest(range(1, greatest(length(t) - 18, 1))) AS pos
+               FROM d),
+         p AS (SELECT doc_id, pos,
+                 substr(md5(substr(t, pos, 20)), 1, 16) AS h
+               FROM w),
+         c AS (SELECT h FROM p GROUP BY h HAVING count(*) >= 2),
+         m AS (SELECT p.doc_id, p.pos FROM p JOIN c USING (h)),
+         f AS (SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                        OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 20
+                      THEN 1 ELSE 0 END AS ns
+               FROM m),
+         g AS (SELECT doc_id, pos,
+                 sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS sid
+               FROM f)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 19 AS span_end,
+                count(*) AS n_windows
+         FROM g GROUP BY doc_id, sid ORDER BY doc_id, span_start""",
     "q92_winnow" ->
       """WITH h AS (
            SELECT doc_id,

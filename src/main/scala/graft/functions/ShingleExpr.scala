@@ -302,3 +302,80 @@ case class Md5Bits64(child: Expression) extends UnaryExpression {
 object Md5Bits64 {
   def apply(c: Column): Column = GraftShims.column(Md5Bits64(GraftShims.expression(c)))
 }
+
+/** Per-position 64-bit window hashes for exact duplicated-substring span
+  * detection ([[graft.ops.Spans]]): element `i` (0-based) is the upper 64
+  * bits of md5 of the length-`n` window starting at codepoint `i` — the
+  * [[Md5Bits64Util]] value of what `substring(text, i+1, n)` returns, so
+  * the DuckDB oracle's `substr(md5(substr(t, pos, n)), 1, 16)` is the
+  * bijective hex image of each element. One digest pass per row (ASCII
+  * hashes byte slices in place, zero substring allocations — the
+  * [[WinnowUtil]] structure) and an 8-byte posting key: the composed
+  * `transform(sequence(...), md5(substring(...)))` form paid interpreted
+  * lambdas plus a 32-char string key through two corpus exchanges
+  * (measured 13.8s → the native form is the q92 winnow cut applied to the
+  * span miner). Empty array under `n` codepoints; null in, null out.
+  */
+object PositionalHashUtil {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def hashes(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val bytes = s.getBytes
+    val ascii = bytes.length == str.length
+    // positions index CODEPOINTS (Spark substring / DuckDB substr), same
+    // three-tier path as WinnowUtil: ASCII → byte slices, surrogate-free
+    // BMP → UTF-16 slices, astral → codepoint-array slices
+    val bmp = ascii || str.codePointCount(0, str.length) == str.length
+    val cps: Array[Int] = if (bmp) null else str.codePoints().toArray
+    val positions = (if (bmp) str.length else cps.length) - n + 1
+    if (positions < 1) return new GenericArrayData(Array.empty[Any])
+    val md = digest.get()
+    val out = new Array[Any](positions)
+    var i = 0
+    while (i < positions) {
+      md.reset()
+      if (ascii) md.update(bytes, i, n)
+      else if (bmp) md.update(str.substring(i, i + n)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      else md.update(new String(cps, i, n)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(i) = java.nio.ByteBuffer.wrap(md.digest(), 0, 8).getLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class PositionalHashes64(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  require(n >= 2, "need n >= 2")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == org.apache.spark.sql.types.NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"positional_hashes64 expects a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "positional_hashes64"
+
+  override def nullSafeEval(input: Any): Any =
+    PositionalHashUtil.hashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PositionalHashUtil.hashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalHashes64 =
+    copy(child = newChild)
+}
+
+object PositionalHashes64 {
+  /** DataFrame-API entry: `PositionalHashes64(lower(col("text")), 20)`. */
+  def apply(c: Column, n: Int): Column =
+    GraftShims.column(PositionalHashes64(GraftShims.expression(c), n))
+}

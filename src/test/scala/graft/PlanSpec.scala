@@ -203,13 +203,14 @@ class PlanSpec extends SparkSpec {
     // explode_outer + a generator-output null filter instead; this pins it.
     val heavy = Seq("word_shingles", "char_shingles", "simhash64", "minhash_sig",
       "regexp_extract_all", "split(", "text_stats", "winnow_fingerprints",
-      "nfc_normalize")
+      "nfc_normalize", "md5(substring", "positional_hashes64")
     for (q <- Seq("q24_word_topk", "q32_ngram_jaccard", "q33_minhash_lsh",
         "q34_simhash", "q59_quality_score", "q61_cross_jaccard", "q63_char_jaccard",
         "q66_dedup_components", "q67_repetition_filter", "q69_token_windows",
         "q71_budget_select", "q72_contamination", "q74_line_dedup",
         "q80_unigram_ppl", "q82_gopher_rules", "q84_heavy_hitters",
-        "q86_bpe_pairs", "q88_c4_clean", "q91_script_mix", "q92_winnow")) {
+        "q86_bpe_pairs", "q88_c4_clean", "q91_script_mix", "q92_winnow",
+        "q97_dup_spans")) {
       val bad = plan(q).linesIterator.filter(_.contains("Condition :"))
         .filter(l => heavy.exists(l.contains)).toSeq
       assert(bad.isEmpty, s"$q re-derives a heavy pass in a filter:\n${bad.mkString("\n")}")

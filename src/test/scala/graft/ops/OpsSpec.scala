@@ -800,6 +800,51 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Spans.dupSpans matches a brute-force duplicated-window span scan") {
+    import graft.ops.Spans
+    // doc 0 and 1 share an exact 34-char block mid-document; doc 2 repeats
+    // a 25-char block within itself; doc 3 is clean; doc 4 too short
+    val shared = "the quick brown fox jumps over it"
+    val inner = "repeat me repeat me again"
+    val docs = Seq(
+      (0L, s"unique preamble zero. $shared. unique tail zero."),
+      (1L, s"different lead-in one... $shared. other ending."),
+      (2L, s"$inner -- filler filler filler -- $inner"),
+      (3L, "entirely original text with no duplication at all, long enough."),
+      (4L, "short")).toDF("doc_id", "text")
+    val n = 20
+    val got = Spans.dupSpans(docs, "doc_id", "text", n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    // brute force: count every lowercased n-gram corpus-wide, mark
+    // positions whose window recurs, merge runs with gap <= n
+    val texts = Seq((0L, s"unique preamble zero. $shared. unique tail zero."),
+      (1L, s"different lead-in one... $shared. other ending."),
+      (2L, s"$inner -- filler filler filler -- $inner"),
+      (3L, "entirely original text with no duplication at all, long enough."),
+      (4L, "short")).map { case (id, t) => (id, t.toLowerCase) }
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    texts.foreach { case (_, t) =>
+      (0 to t.length - n).foreach(i => counts(t.substring(i, i + n)) =
+        counts.getOrElse(t.substring(i, i + n), 0) + 1)
+    }
+    val expected = texts.flatMap { case (id, t) =>
+      val marked = (0 to t.length - n).filter(i => counts(t.substring(i, i + n)) >= 2)
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+      marked.foreach { p =>
+        spans.lastOption match {
+          case Some((s0, e0, k)) if p <= e0 - (n - 1) + n =>
+            spans(spans.size - 1) = (s0, p + n - 1, k + 1)
+          case _ => spans += ((p, p + n - 1, 1))
+        }
+      }
+      spans.map { case (s0, e0, k) => (id, s0 + 1L, e0 + 1L, k.toLong) }
+    }.toSet
+    assert(expected.nonEmpty && expected.exists(_._1 == 2L)) // within-doc repeat found
+    assert(got == expected, s"got ${got.toSeq.sorted} expected ${expected.toSeq.sorted}")
+  }
+
   test("Ann.semanticPairs: mega-cell cap excludes degenerate clusters from pair mining") {
     val rnd = new scala.util.Random(41)
     // 40 near-identical vectors around one center (the mega-cell) + a
