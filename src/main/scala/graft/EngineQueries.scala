@@ -1356,6 +1356,23 @@ object EngineQueries {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // Sub-document dedup end-to-end: keep-first duplicated spans cut from
+    // every non-canonical location (the Lee et al. "keep one copy"
+    // semantic). Runs over the lowercased text so span positions and the
+    // cut text share one coordinate system; oracle re-derives the
+    // canonical pick (struct min — both engines order (id, pos)
+    // lexicographically), the span merge, and a per-character rebuild.
+    "q98_dedup_spans_removed" -> ((s, dir) => {
+      val docsLc = t(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      val spans = ops.Spans.dupSpans(docsLc, "doc_id", "text", n = 20,
+        keepFirst = true)
+      ops.Spans.removeSpans(docsLc, "doc_id", "text", spans)
+        .select(col("doc_id"), md5(col("text")).as("clean_digest"),
+          col("n_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -2298,6 +2315,48 @@ object EngineQueries {
          SELECT doc_id, min(pos) AS span_start, max(pos) + 19 AS span_end,
                 count(*) AS n_windows
          FROM g GROUP BY doc_id, sid ORDER BY doc_id, span_start""",
+    "q98_dedup_spans_removed" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         w AS (SELECT doc_id, t,
+                 unnest(range(1, greatest(length(t) - 18, 1))) AS pos
+               FROM d),
+         p AS (SELECT doc_id, pos,
+                 substr(md5(substr(t, pos, 20)), 1, 16) AS h
+               FROM w),
+         c AS (SELECT h, min({'d': doc_id, 'p': pos}) AS fst
+               FROM p GROUP BY h HAVING count(*) >= 2),
+         m AS (SELECT p.doc_id, p.pos FROM p JOIN c USING (h)
+               WHERE NOT (p.doc_id = c.fst.d AND p.pos = c.fst.p)),
+         f AS (SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                        OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 20
+                      THEN 1 ELSE 0 END AS ns
+               FROM m),
+         g AS (SELECT doc_id, pos,
+                 sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS sid
+               FROM f),
+         spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 19 AS e
+                   FROM g GROUP BY doc_id, sid),
+         cov AS (SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS pos
+                 FROM spans),
+         chars AS (SELECT doc_id, t,
+                     unnest(range(1, length(t) + 1)) AS pos
+                   FROM d),
+         kept AS (SELECT ch.doc_id,
+                    string_agg(CASE WHEN cv.pos IS NULL
+                                    THEN substr(ch.t, CAST(ch.pos AS INTEGER), 1) END,
+                               '' ORDER BY ch.pos) AS tc
+                  FROM chars ch LEFT JOIN cov cv
+                    ON ch.doc_id = cv.doc_id AND ch.pos = cv.pos
+                  GROUP BY ch.doc_id)
+         SELECT d.doc_id,
+           md5(CASE WHEN k.doc_id IS NULL THEN d.t
+                    ELSE coalesce(k.tc, '') END) AS clean_digest,
+           length(d.t) - length(CASE WHEN k.doc_id IS NULL THEN d.t
+                                     ELSE coalesce(k.tc, '') END) AS n_removed
+         FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
+         ORDER BY d.doc_id""",
     "q92_winnow" ->
       """WITH h AS (
            SELECT doc_id,

@@ -48,12 +48,23 @@ object Spans {
     * starts only where the gap between consecutive marked positions
     * exceeds the window length.
     */
+  /** With `keepFirst`, the lexicographically first occurrence
+    * (`(id, pos)` min, per window hash) is NOT marked — the paper's
+    * "keep one copy" dedup semantic at window granularity: a block
+    * repeated verbatim across documents yields spans everywhere except
+    * the lowest-id document holding it, so `removeDupSpans` on the
+    * result deduplicates rather than deletes. The canonical pick is a
+    * per-hash aggregate (map-side combined, never a per-key window), and
+    * both engines order the `(id, pos)` struct the same way, so the
+    * choice is deterministic and oracle-checkable.
+    */
   def dupSpans(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      minCount: Long = 2L): DataFrame = {
+      minCount: Long = 2L,
+      keepFirst: Boolean = false): DataFrame = {
     require(n >= 4, "window below 4 chars matches ambient text, not reuse")
     require(minCount >= 2, "minCount < 2 would mark every position")
 
@@ -73,12 +84,20 @@ object Spans {
 
     val dup = postings
       .groupBy(col("_h"))
-      .agg(count(lit(1)).as("_cnt"))
+      .agg(count(lit(1)).as("_cnt"),
+        min(struct(col("_id"), col("_pos"))).as("_first"))
       .filter(col("_cnt") >= minCount)
-      .select(col("_h"))
+      .select(col("_h"), col("_first"))
+
+    val joined = postings.join(dup, Seq("_h"))
+    val marked =
+      if (keepFirst)
+        joined.filter(!(col("_id") === col("_first._id") &&
+          col("_pos") === col("_first._pos")))
+      else joined
 
     val byDoc = Window.partitionBy(col("_id")).orderBy(col("_pos"))
-    postings.join(dup, Seq("_h"))
+    marked
       .withColumn("_prev", lag(col("_pos"), 1).over(byDoc))
       .withColumn("_new_span",
         when(col("_prev").isNull || col("_pos") > col("_prev") + n, 1L)
@@ -93,5 +112,47 @@ object Spans {
         count(lit(1)).as("n_windows"))
       .select(col("_id").as(idCol),
         col("span_start"), col("span_end"), col("n_windows"))
+  }
+
+  /** Documents with the given spans cut out — the removal half of
+    * sub-document dedup: feed it [[dupSpans]]`(keepFirst = true)` output
+    * and every duplicated block survives in exactly one place. `spans`
+    * must carry `idCol`/`span_start`/`span_end` (1-based inclusive
+    * codepoint positions into THIS frame's `textCol`); unsorted or
+    * overlapping spans are tolerated (the cut clamps forward). Documents
+    * with no spans pass through unchanged.
+    *
+    * Output: `idCol`, rebuilt `textCol`, `n_removed` codepoints. One
+    * bounded-key aggregate on the span side + an equi-join; the cut is a
+    * per-row fold over the document's own spans, so per-key work is
+    * bounded by document size and nothing lands on the driver.
+    */
+  def removeSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spans: DataFrame): DataFrame = {
+    val perDoc = spans
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(
+        struct(col("span_start"), col("span_end")))).as("_spans"))
+    val t = col(textCol)
+    val cur = (st: org.apache.spark.sql.Column) => st.getField("cur")
+    val acc = (st: org.apache.spark.sql.Column) => st.getField("acc")
+    docs.join(perDoc, Seq(idCol), "left")
+      .withColumn("_cut",
+        when(col("_spans").isNull, t).otherwise(
+          aggregate(col("_spans"),
+            struct(lit(1L).as("cur"), lit("").as("acc")),
+            (st, s) => struct(
+              greatest(cur(st), s.getField("span_end") + 1).as("cur"),
+              concat(acc(st), t.substr(cur(st).cast("int"),
+                greatest(s.getField("span_start") - cur(st), lit(0L))
+                  .cast("int"))).as("acc")),
+            st => concat(acc(st), t.substr(cur(st).cast("int"),
+              greatest(length(t) - cur(st) + 1, lit(0L)).cast("int")))))
+      )
+      .select(col(idCol), col("_cut").as(textCol),
+        (length(t) - length(col("_cut"))).cast("long").as("n_removed"))
   }
 }

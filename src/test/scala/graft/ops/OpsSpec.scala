@@ -845,6 +845,33 @@ class OpsSpec extends SparkSpec {
     assert(got == expected, s"got ${got.toSeq.sorted} expected ${expected.toSeq.sorted}")
   }
 
+  test("Spans: keepFirst + removeSpans deduplicates, keeping one copy") {
+    import graft.ops.Spans
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (0L, s"alpha opening words here. $shared. alpha closing words."),
+      (1L, s"beta different opening.. $shared. beta other close."),
+      (2L, "gamma has nothing repeated anywhere in this corpus at all."),
+      (3L, "tiny")).toDF("doc_id", "text")
+    val lc = docs.select(col("doc_id"), lower(col("text")).as("text"))
+    val spans = Spans.dupSpans(lc, "doc_id", "text", n = 20, keepFirst = true)
+    val spanRows = spans.collect()
+    // only the non-canonical holder (doc 1) gets a span
+    assert(spanRows.forall(_.getLong(0) == 1L), spanRows.mkString(", "))
+    assert(spanRows.nonEmpty)
+
+    val cleaned = Spans.removeSpans(lc, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(cleaned(0L)._1.contains(shared) && cleaned(0L)._2 == 0L)
+    assert(!cleaned(1L)._1.contains(shared) && cleaned(1L)._2 > 0L)
+    // untouched docs round-trip byte-identically
+    assert(cleaned(2L)._1 == "gamma has nothing repeated anywhere in this corpus at all.")
+    assert(cleaned(2L)._2 == 0L && cleaned(3L)._2 == 0L)
+    // n_removed is exactly the length delta
+    val lens = lc.collect().map(r => r.getLong(0) -> r.getString(1).length).toMap
+    cleaned.foreach { case (id, (t2, nr)) => assert(lens(id) - t2.length == nr) }
+  }
+
   test("Ann.semanticPairs: mega-cell cap excludes degenerate clusters from pair mining") {
     val rnd = new scala.util.Random(41)
     // 40 near-identical vectors around one center (the mega-cell) + a
