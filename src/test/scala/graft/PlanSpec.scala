@@ -210,7 +210,7 @@ class PlanSpec extends SparkSpec {
         "q71_budget_select", "q72_contamination", "q74_line_dedup",
         "q80_unigram_ppl", "q82_gopher_rules", "q84_heavy_hitters",
         "q86_bpe_pairs", "q88_c4_clean", "q91_script_mix", "q92_winnow",
-        "q97_dup_spans")) {
+        "q97_dup_spans", "q98_dedup_spans_removed")) {
       val bad = plan(q).linesIterator.filter(_.contains("Condition :"))
         .filter(l => heavy.exists(l.contains)).toSeq
       assert(bad.isEmpty, s"$q re-derives a heavy pass in a filter:\n${bad.mkString("\n")}")

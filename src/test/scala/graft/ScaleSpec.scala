@@ -124,6 +124,29 @@ class ScaleSpec extends SparkSpec {
     assert(one.getAs[Long]("n_kept") == 2L)
   }
 
+  test("dupSpans: a corpus-wide boilerplate block is aggregate + equi-join work, not pair fan-out") {
+    // every doc carries the same 40-char block — the degenerate case that
+    // would be N² if duplicated windows were a pair-join key; here each
+    // window hash is one aggregate row (map-side combined) and one
+    // equi-join key, every non-canonical doc gets exactly one span, and
+    // the plan never goes all-pairs
+    val block = "please accept all our cookies to continue !!"
+    val docs = (1 to 500).map(i =>
+      (i.toLong, s"unique lead $i. $block trailing bit $i")).toDF("doc_id", "text")
+    val spans = graft.ops.Spans.dupSpans(docs, "doc_id", "text", n = 20,
+      keepFirst = true)
+    val p = spans.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val rows = spans.collect()
+    // doc 1 is canonical for the shared block windows; every other doc
+    // carries marked windows covering its copy of the block
+    assert(rows.map(_.getLong(0)).distinct.length >= 498, rows.length.toString)
+    assert(!rows.exists(_.getLong(0) == 1L) ||
+      rows.filter(_.getLong(0) == 1L).forall(_.getLong(3) < 5),
+      "canonical doc should hold at most stray marks")
+  }
+
   test("exactNewOnlyBloom: definitely-new rows take the filter path, not the join") {
     // with a corpus of 1 digest, ~all incoming rows are proven new by the
     // broadcast sketch; the plan's anti-join sees only the maybe slice
