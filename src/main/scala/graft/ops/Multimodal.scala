@@ -7,19 +7,143 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` payloads
   * with typed metadata.
   *
-  * The Spark-side contract is the real deliverable here — schema, batch
-  * shape, partition-friendly operations — while the codec itself is a
-  * clearly-marked STUB (no image/audio libraries ship in this container).
-  * Swapping [[stubDecodeFeatures]] for a real decoder (JNI/ONNX on
-  * executors, or `mapInPandas`+PIL on a PySpark session) changes one
-  * function and nothing else.
+  * Decode is REAL for every codec the JDK itself ships: PNG / JPEG / BMP /
+  * GIF via `javax.imageio` ([[decodeImageFeatures]], [[resizeImages]]) and
+  * PCM WAV via `javax.sound.sampled` ([[decodeAudioFeatures]]) — per-row
+  * work inside `mapPartitions`, payloads never on the driver. Formats the
+  * JDK has no codec for (video containers, webp, mp3, …) still go through
+  * [[stubDecodeFeatures]], the clearly-marked seam where a JNI/ONNX
+  * executor codec or `mapInPandas`+PIL would slot in; the schema and
+  * batch shape are identical on both paths.
   *
   * Scale notes: payloads never move to the driver; chunking/sampling are
-  * byte-slice expressions (codegen); per-row decode would run inside
-  * `mapPartitions`, amortizing codec init per partition — the standard shape
-  * for 100 TB media tables.
+  * byte-slice expressions (codegen); decode runs inside `mapPartitions`,
+  * amortizing codec/registry init per partition — the standard shape
+  * for 100 TB media tables. Feature math samples a bounded pixel grid, so
+  * per-row cost is independent of image size once decoded.
   */
 object Multimodal {
+
+  /** Decoded-image features: `ok = false` rows carry zeros (undecodable
+    * bytes never kill a 100 TB job — they get filtered by `ok`).
+    */
+  final case class ImageFeatures(
+      id: Long, ok: Boolean, width: Int, height: Int, mean_luma: Double)
+
+  /** Real image decode + feature extraction (JDK `javax.imageio`: PNG,
+    * JPEG, BMP, GIF). Mean luminance (ITU-R BT.601) is sampled on a
+    * ≤ 64×64 grid, so cost per row is bounded regardless of resolution.
+    */
+  def decodeImageFeatures(df: DataFrame, idCol: String, dataCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(dataCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) ImageFeatures(id, ok = false, 0, 0, 0.0)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val sx = math.max(1, w / 64)
+            val sy = math.max(1, h / 64)
+            var sum = 0.0
+            var cnt = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                cnt += 1
+                x += sx
+              }
+              y += sy
+            }
+            ImageFeatures(id, ok = true, w, h, sum / cnt)
+          }
+        }
+      }.toDF(idCol, "ok", "width", "height", "mean_luma")
+  }
+
+  /** Real thumbnail resize (longest side → `maxDim`, aspect preserved),
+    * re-encoded as PNG. Undecodable rows pass through with `ok = false`
+    * and empty bytes.
+    */
+  def resizeImages(df: DataFrame, idCol: String, dataCol: String, maxDim: Int): DataFrame = {
+    require(maxDim >= 1, "maxDim must be >= 1")
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(dataCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) (id, false, Array.empty[Byte], 0, 0)
+          else {
+            val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+            val tw = math.max(1, math.round(img.getWidth * scale).toInt)
+            val th = math.max(1, math.round(img.getHeight * scale).toInt)
+            val out = new java.awt.image.BufferedImage(
+              tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, tw, th, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            (id, true, bos.toByteArray, tw, th)
+          }
+        }
+      }.toDF(idCol, "ok", "thumbnail_png", "width", "height")
+  }
+
+  /** Decoded-audio features (JDK `javax.sound.sampled`: PCM WAV/AIFF/AU).
+    * RMS amplitude is computed over 16-bit samples, normalized to [0, 1].
+    */
+  final case class AudioFeatures(
+      id: Long, ok: Boolean, sample_rate: Double, channels: Int,
+      n_frames: Long, duration_ms: Long, rms: Double)
+
+  def decodeAudioFeatures(df: DataFrame, idCol: String, dataCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(dataCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = in.getFormat
+            val frames = in.getFrameLength
+            val durMs = (frames * 1000.0 / fmt.getSampleRate).toLong
+            // RMS over 16-bit samples; non-16-bit PCM reports rms = 0
+            var rms = 0.0
+            if (fmt.getSampleSizeInBits == 16) {
+              val data = in.readAllBytes()
+              val bb = java.nio.ByteBuffer.wrap(data).order(
+                if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                else java.nio.ByteOrder.LITTLE_ENDIAN)
+              var sum = 0.0
+              val nSamples = data.length / 2
+              var i = 0
+              while (i < nSamples) {
+                val s = bb.getShort(i * 2) / 32768.0
+                sum += s * s
+                i += 1
+              }
+              if (nSamples > 0) rms = math.sqrt(sum / nSamples)
+            }
+            AudioFeatures(id, ok = true, fmt.getSampleRate.toDouble,
+              fmt.getChannels, frames, durMs, rms)
+          } catch {
+            case _: Exception => AudioFeatures(id, ok = false, 0.0, 0, 0L, 0L, 0.0)
+          }
+        }
+      }.toDF(idCol, "ok", "sample_rate", "channels", "n_frames", "duration_ms", "rms")
+  }
 
   /** Typed metadata carried next to every payload. */
   val metadataSchema: StructType = StructType(Seq(
@@ -51,10 +175,11 @@ object Multimodal {
   def frameCount(data: Column, frameSize: Int, stride: Int): Column =
     size(frameSample(data, frameSize, stride))
 
-  /** STUB decoder ??? — deterministic fake features standing in for a real
-    * codec: byte length, a content hash, and a pseudo-"brightness" (mean of
-    * a sampled byte prefix). The schema and distribution contract match what
-    * a real `decode → feature-extract` would produce; only the math is fake.
+  /** STUB decoder ??? for formats the JDK has no codec for (video, webp,
+    * mp3, …) — deterministic fake features: byte length, a content hash,
+    * and a pseudo-"brightness" (mean of a sampled byte prefix). The schema
+    * and distribution contract match the real [[decodeImageFeatures]]
+    * path; swap in a JNI/ONNX executor codec here and nothing else moves.
     */
   def stubDecodeFeatures(data: Column): Column = {
     val prefix = substring(data, 1, 64)

@@ -905,6 +905,69 @@ class OpsSpec extends SparkSpec {
     assert(n == (1000 - 256) / 128 + 1)
   }
 
+  test("Multimodal: real PNG decode — dimensions, luminance, resize round-trip") {
+    // synthesize real PNGs with the JDK encoder: a dark one and a bright one
+    def png(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (0L, png(120, 80, 40)), (1L, png(33, 200, 220)),
+      (2L, "not an image at all".getBytes("UTF-8")))
+    val df = rows.toDF("id", "data")
+
+    val feats = Multimodal.decodeImageFeatures(df, "id", "data")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getInt(2), r.getInt(3), r.getDouble(4))).toMap
+    assert(feats(0L) == ((true, 120, 80, 40.0)))
+    assert(feats(1L) == ((true, 33, 200, 220.0)))
+    assert(feats(2L)._1 == false) // junk bytes: flagged, never a crash
+
+    val thumbs = Multimodal.resizeImages(df, "id", "data", maxDim = 32)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getAs[Array[Byte]](2), r.getInt(3), r.getInt(4))).toMap
+    assert(thumbs(0L)._3 == 32 && thumbs(0L)._4 == 21) // 120x80 -> 32x21
+    assert(thumbs(1L)._3 == 5 && thumbs(1L)._4 == 32)  // 33x200 -> 5x32
+    assert(!thumbs(2L)._1 && thumbs(2L)._2.isEmpty)
+    // the thumbnail is itself a decodable PNG with the claimed dimensions
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(thumbs(0L)._2))
+    assert(back.getWidth == 32 && back.getHeight == 21)
+  }
+
+  test("Multimodal: real WAV decode — format, duration, RMS of a sine") {
+    // synthesize a 440 Hz sine, 16-bit mono PCM, 8 kHz, 0.5 s
+    val sr = 8000f
+    val n = 4000
+    val pcm = new Array[Byte](n * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach { i =>
+      bb.putShort((math.sin(2 * math.Pi * 440 * i / sr) * 16384).toShort)
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val df = Seq((7L, bos.toByteArray), (8L, Array[Byte](1, 2, 3))).toDF("id", "data")
+
+    val r = Multimodal.decodeAudioFeatures(df, "id", "data")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val good = r(7L)
+    assert(good.getBoolean(1) && good.getDouble(2) == 8000.0)
+    assert(good.getInt(3) == 1 && good.getLong(4) == 4000L)
+    assert(good.getLong(5) == 500L)
+    // RMS of a 0.5-amplitude sine = 0.5/sqrt(2) ~ 0.3536
+    assert(math.abs(good.getDouble(6) - 0.3536) < 0.01, good.getDouble(6).toString)
+    assert(!r(8L).getBoolean(1))
+  }
+
   test("JsonUdfs: unnest_json_array semantics (custom_udfs.rs:72-162)") {
     assert(JsonUdfs.unnestJsonArray("""["a", 1, {"k": 2}, [3]]""") ==
       Seq("a", "1", """{"k":2}""", "[3]"))
