@@ -596,8 +596,6 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDistance: Int = 3,
       maxBucketSize: Option[Int] = Some(10000), portableHash: Boolean = false): DataFrame = {
-    val chunks = maxDistance + 1
-    val bitsPer = 64 / chunks
     // 16 bytes/doc — trivially cacheable at any scale; avoids running the
     // 64-sum hash aggregate once per self-join side. Deliberately NOT
     // simhash() (whose isNotNull filter gets pushed below the projection
@@ -608,6 +606,23 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         graft.functions.SimHash64(col(textCol), portableHash).as("simhash"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    hamming64Pairs(hashed, "doc_id", "simhash", maxDistance, maxBucketSize)
+  }
+
+  /** Near-dup pairs with Hamming distance ≤ `maxDistance` over ANY 64-bit
+    * signature column — the pigeonhole chunk join of [[simhashPairs]],
+    * signature-agnostic so image perceptual hashes
+    * ([[Multimodal.perceptualHash]]), portable md5 sketches, or any other
+    * 64-bit fingerprint mine pairs through the same bounded plan. Null
+    * signatures die on the cheap post-explode bits filter (which cannot
+    * be pushed through the Generate and re-derive upstream work).
+    */
+  def hamming64Pairs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxDistance: Int = 3, maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
+    require(maxDistance >= 0 && maxDistance <= 15, "maxDistance out of range")
+    val chunks = maxDistance + 1
+    val bitsPer = 64 / chunks
+    val hashed = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("simhash"))
     val keyed0 = hashed.select(col("doc_id"), col("simhash"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),

@@ -101,6 +101,61 @@ object Multimodal {
       }.toDF(idCol, "ok", "thumbnail_png", "width", "height")
   }
 
+  /** 64-bit perceptual image hash (aHash: bilinear-reduce to 8×8
+    * grayscale, one bit per cell above the mean — Average Hash, the
+    * public pHash-family baseline). Near-identical images (recompression,
+    * small edits, minor noise) land within a few bits, so
+    * [[imageNearDupPairs]] mines visual duplicates through the same
+    * pigeonhole machinery as text SimHash. Undecodable rows hash to null.
+    * Bit j (MSB-first, row-major cells) = cell luma > mean.
+    */
+  def perceptualHash(df: DataFrame, idCol: String, dataCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(dataCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) (id, None: Option[Long])
+          else {
+            val small = new java.awt.image.BufferedImage(
+              8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = small.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, 8, 8, null)
+            g.dispose()
+            val luma = new Array[Double](64)
+            var i = 0
+            while (i < 64) {
+              val rgb = small.getRGB(i % 8, i / 8)
+              luma(i) = 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              i += 1
+            }
+            val mean = luma.sum / 64
+            var h = 0L
+            i = 0
+            while (i < 64) {
+              if (luma(i) > mean) h |= 1L << (63 - i)
+              i += 1
+            }
+            (id, Some(h))
+          }
+        }
+      }.toDF(idCol, "phash")
+  }
+
+  /** Visual near-dup pairs: perceptual hash + the signature-agnostic
+    * pigeonhole Hamming join ([[Dedup.hamming64Pairs]]) — never all-pairs,
+    * hot buckets capped, undecodable rows excluded by their null hash.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, dataCol: String,
+      maxDistance: Int = 5, maxBucketSize: Option[Int] = Some(10000)): DataFrame =
+    Dedup.hamming64Pairs(perceptualHash(df, idCol, dataCol),
+      idCol, "phash", maxDistance, maxBucketSize)
+
   /** Decoded-audio features (JDK `javax.sound.sampled`: PCM WAV/AIFF/AU).
     * RMS amplitude is computed over 16-bit samples, normalized to [0, 1].
     */

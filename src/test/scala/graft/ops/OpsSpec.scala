@@ -940,6 +940,48 @@ class OpsSpec extends SparkSpec {
     assert(back.getWidth == 32 && back.getHeight == 21)
   }
 
+  test("Multimodal: perceptual hash clusters visual near-dups, separates distinct images") {
+    def gradientPng(seed: Int, noise: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach { y =>
+        (0 until 64).foreach { x =>
+          val v = ((x + y) * 2) & 0xff
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+      }
+      // flip a handful of random pixels — survives 8x8 averaging
+      (0 until noise).foreach { _ =>
+        img.setRGB(rnd.nextInt(64), rnd.nextInt(64), 0xffffff)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def checkerPng(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach { y =>
+        (0 until 64).foreach { x =>
+          img.setRGB(x, y, if (((x / 8) + (y / 8)) % 2 == 0) 0xffffff else 0)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (0L, gradientPng(1, 0)), (1L, gradientPng(2, 12)),   // visual near-dups
+      (2L, checkerPng()),                                  // structurally different
+      (3L, "junk".getBytes("UTF-8"))).toDF("id", "data")   // undecodable
+    val pairs = Multimodal.imageNearDupPairs(df, "id", "data", maxDistance = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), pairs.toString)
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), pairs.toString)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), pairs.toString)
+  }
+
   test("Multimodal: real WAV decode — format, duration, RMS of a sine") {
     // synthesize a 440 Hz sine, 16-bit mono PCM, 8 kHz, 0.5 s
     val sr = 8000f
