@@ -195,6 +195,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q96: classifier scoring is pure scan work — no hash exchange, one range sort") {
+    // training runs its own Spark ML jobs when the query is BUILT; the
+    // returned frame is the scoring side, which must stay a projection
+    // over the scan (coefficients are plan literals) plus the final
+    // order-by. A hash exchange here would mean the featurizer or the dot
+    // product grew a shuffle.
+    val p = plan("q96_quality_classifier")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    val range = "rangepartitioning".r.findAllIn(p).size
+    assert(exchanges == 1 && range >= 1,
+      s"scoring grew a non-sort exchange ($exchanges exchanges, $range range):\n$p")
+    assert(p.contains("hashed_bow"), p)
+  }
+
   test("text/sketch passes never re-derive inside scan filters (generate-filter trap)") {
     // InferFiltersFromGenerate + predicate pushdown can clone an expensive
     // expression (tokenization, shingling, sketching) into a scan-level
