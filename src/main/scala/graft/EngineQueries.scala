@@ -77,6 +77,9 @@ object EngineQueries {
     */
   private def bpeTrainCtes(k: Int): String = {
     val sep = "chr(31)"
+    // double-separator boundaries (see LangModel.BpeBound): the merge
+    // pattern consumes only the inner half of each outer boundary, making
+    // replace() exactly the greedy left-to-right standard BPE merge
     val iters = (1 to k).map { i =>
       s"""t$i AS (SELECT list_filter(string_split(s, $sep), x -> x <> '') AS t, freq FROM v${i - 1}),
               p$i AS (SELECT p[1] AS a, p[2] AS b, sum(freq) AS n FROM (
@@ -84,13 +87,14 @@ object EngineQueries {
                 GROUP BY 1, 2),
               b$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
               v$i AS MATERIALIZED (SELECT CASE WHEN b.a IS NULL THEN v.s
-                       ELSE replace(v.s, $sep||b.a||$sep||b.b||$sep, $sep||b.a||b.b||$sep) END AS s,
+                       ELSE replace(v.s, $sep||b.a||$sep||$sep||b.b||$sep, $sep||b.a||b.b||$sep) END AS s,
                        v.freq
                      FROM v${i - 1} v LEFT JOIN b$i b ON TRUE)"""
     }.mkString(",\n              ")
     s"""w0 AS (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                 x -> len(x) > 0)) AS w FROM documents),
-              v0 AS MATERIALIZED (SELECT $sep || regexp_replace(w, '(?s)(.)', '\\1' || $sep, 'g') AS s,
+              v0 AS MATERIALIZED (SELECT $sep || $sep ||
+                         regexp_replace(w, '(?s)(.)', '\\1' || $sep || $sep, 'g') AS s,
                        count(*) AS freq
                      FROM w0 GROUP BY w),
               $iters"""
@@ -108,13 +112,13 @@ object EngineQueries {
 
   private def bpeEncodeOracleSql(k: Int): String = {
     val sep = "chr(31)"
-    val sepsep = s"$sep || $sep" // impossible pattern: s strictly alternates
+    val sepsep = s"$sep || $sep" // identity fallback: pattern = replacement
     val mcols = (1 to k).map { i =>
-      s"""coalesce((SELECT $sep||a||$sep||b||$sep FROM b$i), $sepsep) AS pat$i,
+      s"""coalesce((SELECT $sep||a||$sep||$sep||b||$sep FROM b$i), $sepsep) AS pat$i,
                 coalesce((SELECT $sep||a||b||$sep FROM b$i), $sepsep) AS rep$i"""
     }.mkString(",\n                ")
     val nested = (1 to k).foldLeft(
-      s"$sep || regexp_replace(w, '(?s)(.)', '\\1' || $sep, 'g')") {
+      s"$sep || $sep || regexp_replace(w, '(?s)(.)', '\\1' || $sep || $sep, 'g')") {
       (acc, i) => s"replace($acc, m.pat$i, m.rep$i)"
     }
     s"""WITH ${bpeTrainCtes(k)},

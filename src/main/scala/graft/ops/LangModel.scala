@@ -194,25 +194,40 @@ object LangModel {
 
   // ------------------------------------------------------------------ BPE
 
-  /** Delimiter for the delimited-token string encoding of a word:
-    * `␟low␟` ⇒ `<SEP>l<SEP>o<SEP>w<SEP>`. Tokens are substrings of
+  /** Delimiter for the delimited-token string encoding of a word. Every
+    * token boundary (both ends included) is a DOUBLE separator:
+    * `low` ⇒ `␟␟l␟␟o␟␟w␟␟`. Tokens are substrings of
     * whitespace-delimited words so they can never contain it (and even if
     * dirty text did, both the engine and the oracle build the string the
-    * same way, so results stay consistent). The encoding makes "merge all
-    * non-overlapping occurrences of pair (a,b) left-to-right" — the BPE
-    * merge step — a single literal `replace(s, ␟a␟b␟, ␟ab␟)`: the shared
-    * delimiter between consecutive occurrences means replace() consumes
-    * exactly the non-overlapping occurrences, which is the standard BPE
-    * semantics (`aaa` + (a,a) → `aa a`).
+    * same way, so results stay consistent).
+    *
+    * The double boundary makes "merge all occurrences of pair (a,b)
+    * greedily left-to-right" — the standard BPE merge step (Sennrich's
+    * apply_bpe) — a single literal `replace(s, ␟a␟␟b␟, ␟ab␟)`: the
+    * pattern consumes only the INNER half of each outer boundary, so
+    * back-to-back occurrences keep a leading `␟` to match on and merge
+    * in the same pass (`abab` + (a,b) → `ab ab`), while overlapping
+    * occurrences still skip (`aaa` + (a,a) → `aa a`). A single-separator
+    * encoding would eat the shared delimiter between consecutive
+    * occurrences and silently leave `abab` as `ab a b`. The replacement
+    * restores both outer halves, so the boundary invariant (always
+    * `␟␟` between tokens) survives every merge.
     */
   private[graft] val BpeSep = "\u001f"
+
+  /** A full token boundary. */
+  private[graft] val BpeBound: String = BpeSep + BpeSep
 
   /** A word as its delimited character-token string. `(?s)(.)` matches any
     * codepoint (incl. line separators — identical under Java regex and
     * RE2, which differ on `.` vs U+2028 without the flag).
     */
   private def bpeDelimited(word: Column): Column =
-    concat(lit(BpeSep), regexp_replace(word, "(?s)(.)", "$1" + BpeSep))
+    concat(lit(BpeBound), regexp_replace(word, "(?s)(.)", "$1" + BpeBound))
+
+  /** Greedy-exact merge (pattern, replacement) literals for pair (a, b). */
+  private def bpeMergeLits(a: String, b: String): (String, String) =
+    (BpeSep + a + BpeBound + b + BpeSep, BpeSep + a + b + BpeSep)
 
   final case class BpeMerge(rank: Int, a: String, b: String, n: Long)
 
@@ -264,10 +279,9 @@ object LangModel {
       else {
         val (a, b, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += BpeMerge(rank, a, b, n)
+        val (pat, rep) = bpeMergeLits(a, b)
         vocab = vocab.select(
-            call_function("replace", col("s"),
-              lit(BpeSep + a + BpeSep + b + BpeSep),
-              lit(BpeSep + a + b + BpeSep)).as("s"),
+            call_function("replace", col("s"), lit(pat), lit(rep)).as("s"),
             col("freq"))
           .localCheckpoint(eager = false)
         rank += 1
@@ -299,9 +313,8 @@ object LangModel {
           filter(split(trim(lower(col(textCol))), "\\s+"), w => w =!= ""),
           w => {
             val encoded = ordered.foldLeft(bpeDelimited(w)) { (s, m) =>
-              call_function("replace", s,
-                lit(BpeSep + m.a + BpeSep + m.b + BpeSep),
-                lit(BpeSep + m.a + m.b + BpeSep))
+              val (pat, rep) = bpeMergeLits(m.a, m.b)
+              call_function("replace", s, lit(pat), lit(rep))
             }
             filter(split(encoded, BpeSep), t => t =!= "")
           }).as("_tw"))

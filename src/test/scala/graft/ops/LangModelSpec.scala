@@ -99,4 +99,33 @@ class LangModelSpec extends SparkSpec {
     assert(enc(2).getSeq[String](1) == Seq("x"))
     assert(enc(0).getInt(2) == t1.size)
   }
+
+  test("bpe merges are greedy-exact on back-to-back pair occurrences") {
+    import spark.implicits._
+    // 'abab': both (a,b) occurrences are back to back — a single-separator
+    // delimited replace would consume the shared boundary and leave
+    // [ab, a, b]; standard BPE (and this engine) yields [ab, ab].
+    // 'aaaaa': overlapping run — greedy left-to-right gives [aa, aa, a].
+    val corpus = (Seq.fill(8)("abab") ++ Seq.fill(3)("aaaaa")).mkString(" ")
+    val merges = LangModel.bpeTrain(Seq(corpus).toDF("text"), "text", 2)
+    // rank 1: (a,b) appears 16 times (2 per 'abab' word × 8)
+    assert((merges(0).a, merges(0).b, merges(0).n) == (("a", "b", 16L)), merges.toString)
+    val enc = LangModel.bpeEncode(
+      Seq((1L, "abab"), (2L, "aaaaa"), (3L, "ababab")).toDF("doc_id", "text"),
+      "doc_id", "text", merges.take(1))
+      .orderBy("doc_id").collect()
+    assert(enc(0).getSeq[String](1) == Seq("ab", "ab"), enc(0).toString)
+    assert(enc(1).getSeq[String](1) == Seq("a", "a", "a", "a", "a"))
+    assert(enc(2).getSeq[String](1) == Seq("ab", "ab", "ab"), enc(2).toString)
+
+    // (a,a) merge applies greedily left-to-right over the run
+    val aa = LangModel.BpeMerge(1, "a", "a", 0L)
+    val enc2 = LangModel.bpeEncode(
+      Seq((1L, "aaaaa"), (2L, "aaaa"), (3L, "aaa")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq(aa))
+      .orderBy("doc_id").collect()
+    assert(enc2(0).getSeq[String](1) == Seq("aa", "aa", "a"), enc2(0).toString)
+    assert(enc2(1).getSeq[String](1) == Seq("aa", "aa"))
+    assert(enc2(2).getSeq[String](1) == Seq("aa", "a"))
+  }
 }
