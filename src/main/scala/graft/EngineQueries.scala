@@ -60,6 +60,13 @@ object EngineQueries {
     */
   @volatile private[graft] var q96ModelCaptured: Option[ops.Quality.LinearModel] = None
 
+  /** q99's computed quota table, captured like the centroids/model above:
+    * the quotas involve cross-libm pow() whose last ulp could flip a
+    * floor(), so the oracle replays the captured integers rather than
+    * re-deriving them.
+    */
+  @volatile private[graft] var q99QuotasCaptured: Option[Map[String, Long]] = None
+
   // shortest-round-trip double literal: both JVM and DuckDB parse it back
   // to the identical bits, so embedded plane/centroid constants are exact
   private def dlit(d: Double): String =
@@ -1377,6 +1384,20 @@ object EngineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature-scaled domain mixing (XLM-R/mT5 sampling rule): quotas
+    // from the alpha-flattened language distribution, drawn as exact-k
+    // deterministic hash samples. Oracle replays the captured quota table
+    // and re-derives the rank and the cut in SQL.
+    "q99_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      q99QuotasCaptured =
+        Some(ops.Sampling.temperatureQuotas(docs, "lang", alpha = 0.5, budget = 300L))
+      ops.Sampling.temperatureMix(docs, "doc_id", "text", "lang",
+          alpha = 0.5, budget = 300L)
+        .select(col("doc_id"), col("lang"), col("sample_rank"), col("mix_quota"))
+        .orderBy(col("lang"), col("sample_rank"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1796,6 +1817,23 @@ object EngineQueries {
       .map(m => qualityOracleSql(m, nDocs = 200))
       .getOrElse(
         """SELECT NULL AS doc_id, NULL AS quality_prob WHERE FALSE"""),
+    "q99_temperature_mix" -> q99QuotasCaptured
+      .map { qs =>
+        val vals = qs.toSeq.sortBy(_._1)
+          .map { case (d, q) => s"('${d}', CAST($q AS BIGINT))" }
+          .mkString(", ")
+        s"""WITH q(lang, quota) AS (VALUES $vals),
+           r AS (SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY md5(text) ASC NULLS LAST, doc_id) AS sample_rank
+                 FROM documents WHERE lang IS NOT NULL)
+           SELECT r.doc_id, r.lang, r.sample_rank, q.quota AS mix_quota
+           FROM r JOIN q USING (lang) WHERE r.sample_rank <= q.quota
+           ORDER BY lang, sample_rank"""
+      }
+      .getOrElse(
+        """SELECT NULL AS doc_id, NULL AS lang, NULL AS sample_rank,
+                  NULL AS mix_quota WHERE FALSE"""),
     "q94_bpe_train" -> bpeTrainOracleSql(20),
     "q95_bpe_encode" -> bpeEncodeOracleSql(20),
     "q27_approx_agg" ->

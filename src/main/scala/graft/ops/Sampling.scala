@@ -81,6 +81,60 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Temperature-scaled domain mixing — the multilingual sampling rule of
+    * XLM-R / mT5 (Conneau et al. 2020; Xue et al. 2021, public method):
+    * allocate a document `budget` across domains by the temperature-
+    * flattened size distribution p_d ∝ n_d^alpha, then draw each domain's
+    * quota as an exactly-k deterministic hash sample ([[perGroupSample]]
+    * order: `(md5(key), id)`, nulls last).
+    *
+    * alpha = 1 keeps natural proportions, alpha = 0 equalizes domains;
+    * in between, low-resource domains are upsampled relative to their
+    * share. Quotas cap at the domain's size and capped leftovers are NOT
+    * redistributed, so every quota is a pure function of
+    * (counts, alpha, budget) — reproducible and engine-checkable.
+    * Null-domain rows get quota 0 (dropped).
+    *
+    * Scale: one bounded aggregate (#domains rows — the aggregate-to-driver
+    * scalar contract) for the quota computation, then one window per
+    * domain with the quotas as plan literals. A domain with billions of
+    * rows pays its size in the window sort — pre-thin with
+    * [[byContentHash]] (the composition stays deterministic and uniform).
+    *
+    * Returns the sampled rows plus `sample_rank` and `mix_quota`.
+    */
+  def temperatureMix(
+      df: DataFrame, idCol: String, keyCol: String, domainCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    require(budget >= 1L, "budget must be >= 1")
+    val quotas = temperatureQuotas(df, domainCol, alpha, budget)
+    import org.apache.spark.sql.expressions.Window
+    val quotaExpr = quotas.toSeq.sortBy(_._1).foldLeft(
+      when(lit(false), lit(0L))) {
+      case (acc, (d, q)) => acc.when(col(domainCol) === d, lit(q))
+    }.otherwise(lit(0L))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(keyCol)).asc_nulls_last, col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .withColumn("mix_quota", quotaExpr)
+      .filter(col("sample_rank") <= col("mix_quota"))
+  }
+
+  /** The quota table behind [[temperatureMix]]:
+    * `min(n_d, floor(budget · n_d^alpha / Σ n^alpha))` per non-null domain.
+    */
+  def temperatureQuotas(
+      df: DataFrame, domainCol: String, alpha: Double, budget: Long): Map[String, Long] = {
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wsum = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
+    counts.map { case (d, n) =>
+      d -> math.min(n, (budget * math.pow(n.toDouble, alpha) / wsum).toLong)
+    }
+  }
+
   /** 32-hex-digit cutoff = floor(fraction · 16^32), zero-padded — md5 hex
     * strings of equal length compare lexicographically as numbers. Fraction
     * 1.0 yields `"g"`, which every lowercase hex string sorts below (the

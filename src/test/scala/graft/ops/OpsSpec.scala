@@ -800,6 +800,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Sampling.temperatureMix: alpha-flattened quotas, exact counts, determinism") {
+    import graft.ops.Sampling
+    // three domains with very different sizes + a null-domain row
+    val rows = (0 until 800).map(i => (i.toLong, s"text body $i", "big")) ++
+      (800 until 900).map(i => (i.toLong, s"text body $i", "mid")) ++
+      (900 until 910).map(i => (i.toLong, s"text body $i", "small")) :+
+      ((910L, "orphan", null: String))
+    val df = rows.toDF("doc_id", "text", "domain")
+
+    // alpha = 1: natural proportions; alpha = 0: equal quotas
+    val q1 = Sampling.temperatureQuotas(df, "domain", alpha = 1.0, budget = 91L)
+    assert(q1 == Map("big" -> 80L, "mid" -> 10L, "small" -> 1L), q1.toString)
+    val q0 = Sampling.temperatureQuotas(df, "domain", alpha = 0.0, budget = 30L)
+    assert(q0 == Map("big" -> 10L, "mid" -> 10L, "small" -> 10L), q0.toString)
+    // quota caps at domain size (never upsample beyond n_d)
+    val qBig = Sampling.temperatureQuotas(df, "domain", alpha = 0.0, budget = 600L)
+    assert(qBig("small") == 10L, qBig.toString)
+
+    // the draw honors quotas exactly, drops null domains, reproduces
+    val s1 = Sampling.temperatureMix(df, "doc_id", "text", "domain", 0.5, 100L)
+    val got = s1.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = Sampling.temperatureQuotas(df, "domain", 0.5, 100L)
+    assert(got == expect, s"got $got expect $expect")
+    val again = Sampling.temperatureMix(df, "doc_id", "text", "domain", 0.5, 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == s1.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("Spans.dupSpans matches a brute-force duplicated-window span scan") {
     import graft.ops.Spans
     // doc 0 and 1 share an exact 34-char block mid-document; doc 2 repeats
