@@ -1819,8 +1819,9 @@ object EngineQueries {
         """SELECT NULL AS doc_id, NULL AS quality_prob WHERE FALSE"""),
     "q99_temperature_mix" -> q99QuotasCaptured
       .map { qs =>
+        // domain values come from DATA — escape for the SQL literal
         val vals = qs.toSeq.sortBy(_._1)
-          .map { case (d, q) => s"('${d}', CAST($q AS BIGINT))" }
+          .map { case (d, q) => s"('${d.replace("'", "''")}', CAST($q AS BIGINT))" }
           .mkString(", ")
         s"""WITH q(lang, quota) AS (VALUES $vals),
            r AS (SELECT doc_id, lang,
