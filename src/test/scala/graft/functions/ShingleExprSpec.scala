@@ -67,6 +67,23 @@ class ShingleExprSpec extends SparkSpec {
     val sh = df.filter(col("t").startsWith("ab")).select(CharShingles(col("t"), 2, 1))
       .head().getSeq[String](0)
     assert(sh.contains("b🎉") && sh.contains("🎉c"), sh.toString)
+
+    // positional 64-bit window hashes: element i must be md5-upper-64 of
+    // the window at codepoint i — surrogate pairs intact, ASCII byte path
+    // and astral codepoint path agreeing with a driver-side reference
+    astral.foreach { s =>
+      val t = s.toLowerCase
+      val cps = t.codePoints().toArray
+      val expect = (0 to cps.length - 4).map { i =>
+        val w = new String(cps, i, 4)
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8"))
+        java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+      }
+      val got = Seq(s).toDF("t")
+        .select(PositionalHashes64(lower(col("t")), 4)).head().getSeq[Long](0)
+      assert(got == expect, s"positional_hashes64 mismatch on '$s'")
+    }
   }
 
   test("codegen path executes (expression inside a wholestage-codegen'd project)") {
