@@ -156,6 +156,70 @@ object Multimodal {
     Dedup.hamming64Pairs(perceptualHash(df, idCol, dataCol),
       idCol, "phash", maxDistance, maxBucketSize)
 
+  /** 64-bit audio fingerprint — the envelope analogue of [[perceptualHash]]:
+    * decode 16-bit PCM, split the sample stream into 64 equal-time bins,
+    * one bit per bin with RMS above the mean bin RMS. Robust to small
+    * noise/level changes (the mean threshold is self-normalizing), so
+    * re-encoded or slightly-degraded copies land within a few bits and
+    * [[audioNearDupPairs]] mines them through [[Dedup.hamming64Pairs]].
+    * Undecodable or non-16-bit payloads hash to null.
+    */
+  def audioFingerprint(df: DataFrame, idCol: String, dataCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(dataCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = in.getFormat
+            if (fmt.getSampleSizeInBits != 16) (id, None: Option[Long])
+            else {
+              val data = in.readAllBytes()
+              val bb = java.nio.ByteBuffer.wrap(data).order(
+                if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                else java.nio.ByteOrder.LITTLE_ENDIAN)
+              val nSamples = data.length / 2
+              if (nSamples < 64) (id, None: Option[Long])
+              else {
+                val rms = new Array[Double](64)
+                var b = 0
+                while (b < 64) {
+                  val from = (b.toLong * nSamples / 64).toInt
+                  val until = ((b + 1).toLong * nSamples / 64).toInt
+                  var sum = 0.0
+                  var i = from
+                  while (i < until) {
+                    val s = bb.getShort(i * 2) / 32768.0
+                    sum += s * s
+                    i += 1
+                  }
+                  rms(b) = math.sqrt(sum / math.max(1, until - from))
+                  b += 1
+                }
+                val mean = rms.sum / 64
+                var h = 0L
+                b = 0
+                while (b < 64) {
+                  if (rms(b) > mean) h |= 1L << (63 - b)
+                  b += 1
+                }
+                (id, Some(h))
+              }
+            }
+          } catch { case _: Exception => (id, None: Option[Long]) }
+        }
+      }.toDF(idCol, "afp")
+  }
+
+  /** Audible near-dup pairs: envelope fingerprint + the signature-agnostic
+    * pigeonhole Hamming join — same bounded plan as text/image near-dup.
+    */
+  def audioNearDupPairs(df: DataFrame, idCol: String, dataCol: String,
+      maxDistance: Int = 5, maxBucketSize: Option[Int] = Some(10000)): DataFrame =
+    Dedup.hamming64Pairs(audioFingerprint(df, idCol, dataCol),
+      idCol, "afp", maxDistance, maxBucketSize)
+
   /** Decoded-audio features (JDK `javax.sound.sampled`: PCM WAV/AIFF/AU).
     * RMS amplitude is computed over 16-bit samples, normalized to [0, 1].
     */

@@ -1011,6 +1011,41 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), pairs.toString)
   }
 
+  test("Multimodal: audio fingerprint clusters noisy copies, separates different envelopes") {
+    // amplitude-modulated sine: the envelope pattern IS the identity
+    def wav(pattern: IndexedSeq[Double], noiseSeed: Int, noise: Double): Array[Byte] = {
+      val rnd = new scala.util.Random(noiseSeed)
+      val sr = 8000f
+      val n = 8000
+      val pcm = new Array[Byte](n * 2)
+      val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach { i =>
+        val amp = pattern(i * pattern.size / n) * 0.8
+        val s = math.sin(2 * math.Pi * 440 * i / sr) * amp +
+          rnd.nextGaussian() * noise
+        bb.putShort((math.max(-1, math.min(1, s)) * 32767).toShort)
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rampUp = (0 until 64).map(i => 0.2 + 0.8 * i / 63.0)
+    val rampDown = rampUp.reverse
+    val df = Seq(
+      (0L, wav(rampUp, 1, 0.0)), (1L, wav(rampUp, 2, 0.01)), // same envelope ± noise
+      (2L, wav(rampDown, 3, 0.0)),                            // different envelope
+      (3L, "not audio".getBytes("UTF-8"))).toDF("id", "data")
+    val pairs = Multimodal.audioNearDupPairs(df, "id", "data", maxDistance = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), pairs.toString)
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), pairs.toString)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), pairs.toString)
+  }
+
   test("Multimodal: real WAV decode — format, duration, RMS of a sine") {
     // synthesize a 440 Hz sine, 16-bit mono PCM, 8 kHz, 0.5 s
     val sr = 8000f
