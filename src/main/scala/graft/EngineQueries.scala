@@ -89,7 +89,7 @@ object EngineQueries {
     // replace() exactly the greedy left-to-right standard BPE merge
     val iters = (1 to k).map { i =>
       s"""t$i AS (SELECT list_filter(string_split(s, $sep), x -> x <> '') AS t, freq FROM v${i - 1}),
-              p$i AS (SELECT p[1] AS a, p[2] AS b, sum(freq) AS n FROM (
+              p$i AS (SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS n FROM (
                 SELECT unnest(list_transform(range(1, len(t)), j -> [t[j], t[j+1]])) AS p, freq FROM t$i)
                 GROUP BY 1, 2),
               b$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
@@ -101,7 +101,8 @@ object EngineQueries {
     s"""w0 AS (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                 x -> len(x) > 0)) AS w FROM documents),
               v0 AS MATERIALIZED (SELECT $sep || $sep ||
-                         regexp_replace(w, '(?s)(.)', '\\1' || $sep || $sep, 'g') AS s,
+                         list_aggregate(list_transform(string_split(w, ''),
+                           c -> c || $sep || $sep), 'string_agg', '') AS s,
                        count(*) AS freq
                      FROM w0 GROUP BY w),
               $iters"""
@@ -125,7 +126,8 @@ object EngineQueries {
                 coalesce((SELECT $sep||a||b||$sep FROM b$i), $sepsep) AS rep$i"""
     }.mkString(",\n                ")
     val nested = (1 to k).foldLeft(
-      s"$sep || $sep || regexp_replace(w, '(?s)(.)', '\\1' || $sep || $sep, 'g')") {
+      s"$sep || $sep || list_aggregate(list_transform(string_split(w, ''), " +
+        s"c -> c || $sep || $sep), 'string_agg', '')") {
       (acc, i) => s"replace($acc, m.pat$i, m.rep$i)"
     }
     s"""WITH ${bpeTrainCtes(k)},
