@@ -15,6 +15,47 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  // ---- frozen cross-round subsets ----------------------------------------
+  // like-for-like trend vs BENCH_r01 (which covered only the 19 round-1
+  // queries): each rN_subset_sec totals the exact query set that existed at
+  // round N, forever, so totals compare apples-to-apples as the count grows.
+  // BenchSetsSpec pins that these sets partition SparkEntry.queries — adding
+  // a query without recording it in the CURRENT round's set fails the build.
+  private[graft] val r1Names = Set("q01_pricing_summary", "q02_filter_pushdown",
+    "q03_top_orders", "q04_priority_semi", "q05_nation_revenue",
+    "q06_forecast_revenue", "q08_window_topn", "q09_window_running",
+    "q10_rollup", "q11_intersect", "q12_except", "q13_case_buckets",
+    "q14_scalar_subquery", "q15_union_cte", "q16_topk", "q17_strings",
+    "q18_monthly_revenue", "q19_json_extract", "q20_dedup_exact")
+  // queries added in round 3 (the round-2 surface = everything earlier)
+  private[graft] val r3New = Set("q57_ann_lsh_exhaustive", "q58_ann_ivf_reuse",
+    "q59_quality_score", "q60_incremental_dedup", "q61_cross_jaccard",
+    "q62_interval_join", "q63_char_jaccard", "q64_deterministic_sample",
+    "q65_sequence_pack",
+    "p07_pipeline_json_ops", "p08_pipeline_csv", "p09_pipeline_dirsource",
+    "p10_pipeline_textprep", "p11_pipeline_vector")
+  // queries added in round 4
+  private[graft] val r4New = Set("q66_dedup_components", "q67_repetition_filter",
+    "q68_domain_mix", "q69_token_windows", "q70_quantize_int8",
+    "q71_budget_select", "q72_contamination", "q73_pii_redact",
+    "q74_line_dedup", "q75_bloom_dedup", "q76_hof_arrays", "q77_stats_agg",
+    "q78_ignore_nulls", "q79_filter_clause", "q80_unigram_ppl",
+    "p12_pipeline_curation")
+  // queries added in round 5 (q96-q99 landed late in round 5 — ADVICE r5
+  // caught their omission here before any cross-round total was skewed)
+  private[graft] val r5New = Set("q81_semantic_dedup", "q82_gopher_rules",
+    "q83_normalize", "q84_heavy_hitters", "q85_group_sample", "q86_bpe_pairs",
+    "q87_bigram_lm", "q88_c4_clean", "q89_bm25", "q90_group_centroids",
+    "q91_script_mix", "q92_winnow", "q93_dsir_select", "q94_bpe_train",
+    "q95_bpe_encode", "q96_quality_classifier", "q97_dup_spans",
+    "q98_dedup_spans_removed", "q99_temperature_mix", "p13_pipeline_stats")
+  // queries added in round 6
+  private[graft] val r6New = Set.empty[String]
+  private[graft] val laterRounds = Seq(r3New, r4New, r5New, r6New)
+  private def newer(from: Int)(k: String): Boolean =
+    laterRounds.drop(from).exists(_(k))
+  // ------------------------------------------------------------------------
+
   private def materialize(spark: SparkSession, sfDir: String,
       name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =
     try {
@@ -28,7 +69,22 @@ object Bench {
     }
     catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}") }
 
+  /** 1-minute loadavg — external-load attribution for the round-wrap bench.
+    * Sampled before the Spark session spins up (so it reflects co-located
+    * load, not this process) and again at the end.
+    */
+  private def load1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  private def processCpuNanos(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = load1() // before the session exists: pure external load
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
 
@@ -46,15 +102,41 @@ object Bench {
     selected.foreach { case (name, fn) => materialize(spark, sfDir, name, fn) }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val c0 = processCpuNanos(); val t0 = System.nanoTime()
       val err = materialize(spark, sfDir, name, fn)
-      val sec = err match {
-        case None => (System.nanoTime() - t0) / 1e9
-        case Some(msg) => errors += name -> msg; 1e9 // sentinel: failures must hurt the metric
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = (processCpuNanos() - c0) / 1e9
+      err match {
+        case None => (wall, cpu)
+        case Some(msg) => errors += name -> msg; (1e9, cpu) // sentinel: failures must hurt the metric
       }
-      name -> sec
     }
+    val firstPass = selected.map { case (name, fn) => name -> timed(name, fn) }
+
+    // Self-attribution (round-5 verdict): external load stretched two
+    // round-wrap benches 2-5x while idle re-runs reproduced the real times.
+    // Re-time the slowest queries once and keep the per-query min — a
+    // transient load spike hits one pass, not both — and record load/CPU
+    // evidence so the artifact says for itself whether it can be trusted.
+    val rerunN = 10
+    val slowest = firstPass.toSeq.filter { case (n, _) => !errors.contains(n) }
+      .sortBy { case (_, (w, _)) => -w }.take(rerunN).map(_._1).toSet
+    val results = firstPass.map { case (name, (w1, c1)) =>
+      if (slowest(name)) {
+        val (w2, c2) = timed(name, SparkEntry.queries(name))
+        name -> (math.min(w1, w2), if (w2 < w1) c2 else c1, w1)
+      } else name -> (w1, c1, w1)
+    }
+    val loadEnd = load1()
+    val firstTotal = firstPass.collect { case (n, (w, _)) if !errors.contains(n) => w }.sum
+    val keptTotal = results.collect { case (n, (w, _, _)) if !errors.contains(n) => w }.sum
+    // contaminated if the box was already loaded when we started, or if the
+    // re-run pass shaved >15% AND >5s off the first-pass total (a quiet box
+    // reproduces within ~10% run-to-run; the absolute floor keeps sub-second
+    // noise at toy scale factors from tripping the flag)
+    val rerunGain = if (firstTotal > 0) (firstTotal - keptTotal) / firstTotal else 0.0
+    val contaminated = loadStart > 2.0 || (rerunGain > 0.15 && firstTotal - keptTotal > 5.0)
 
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
@@ -64,53 +146,29 @@ object Bench {
     // "p03" prefixes (unique by construction) and seconds carry 3 decimals.
     // The full-name per-query map goes to bench_full.json alongside, for
     // human/judge consumption.
-    val qs = results.map { case (k, v) => s""""${k.takeWhile(_ != '_')}":${f3(v)}""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, (w, _, _)) => s""""${k.takeWhile(_ != '_')}":${f3(w)}""" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
-    val total = results.values.sum
-    // like-for-like trend vs BENCH_r01 (which covered only the 19 round-1
-    // queries): the same subset's total, so totals compare apples-to-apples
-    // even as the query count grows round over round
-    val r1Names = Set("q01_pricing_summary", "q02_filter_pushdown", "q03_top_orders",
-      "q04_priority_semi", "q05_nation_revenue", "q06_forecast_revenue",
-      "q08_window_topn", "q09_window_running", "q10_rollup", "q11_intersect",
-      "q12_except", "q13_case_buckets", "q14_scalar_subquery", "q15_union_cte",
-      "q16_topk", "q17_strings", "q18_monthly_revenue", "q19_json_extract",
-      "q20_dedup_exact")
-    val r1Subset = results.collect { case (k, v) if r1Names(k) => v }.sum
-    // same idea one round later: the 62-query round-2 surface = everything
-    // except the queries added in round 3
-    val r3New = Set("q57_ann_lsh_exhaustive", "q58_ann_ivf_reuse",
-      "q59_quality_score", "q60_incremental_dedup", "q61_cross_jaccard",
-      "q62_interval_join", "q63_char_jaccard", "q64_deterministic_sample",
-      "q65_sequence_pack",
-      "p07_pipeline_json_ops", "p08_pipeline_csv", "p09_pipeline_dirsource",
-      "p10_pipeline_textprep", "p11_pipeline_vector")
-    // queries added in round 4 — excluded from BOTH earlier subsets so each
-    // round's subset total stays the same query set forever
-    val r4New = Set("q66_dedup_components", "q67_repetition_filter",
-      "q68_domain_mix", "q69_token_windows", "q70_quantize_int8",
-      "q71_budget_select", "q72_contamination", "q73_pii_redact",
-      "q74_line_dedup", "q75_bloom_dedup", "q76_hof_arrays", "q77_stats_agg",
-      "q78_ignore_nulls", "q79_filter_clause", "q80_unigram_ppl",
-      "p12_pipeline_curation")
-    // queries added in round 5
-    val r5New = Set("q81_semantic_dedup", "q82_gopher_rules", "q83_normalize",
-      "q84_heavy_hitters", "q85_group_sample", "q86_bpe_pairs", "q87_bigram_lm",
-      "q88_c4_clean", "q89_bm25", "q90_group_centroids", "q91_script_mix",
-      "q92_winnow", "q93_dsir_select", "q94_bpe_train", "q95_bpe_encode",
-      "p13_pipeline_stats")
-    val r2Subset = results.collect { case (k, v) if !r3New(k) && !r4New(k) && !r5New(k) => v }.sum
-    val r3Subset = results.collect { case (k, v) if !r4New(k) && !r5New(k) => v }.sum
-    val r4Subset = results.collect { case (k, v) if !r5New(k) => v }.sum
-    val subsets = s""""r1_subset_sec":${f3(r1Subset)},"r2_subset_sec":${f3(r2Subset)},"r3_subset_sec":${f3(r3Subset)},"r4_subset_sec":${f3(r4Subset)}"""
+    val total = results.map(_._2._1).sum
+    val r1Subset = results.collect { case (k, (v, _, _)) if r1Names(k) => v }.sum
+    val r2Subset = results.collect { case (k, (v, _, _)) if !newer(0)(k) => v }.sum
+    val r3Subset = results.collect { case (k, (v, _, _)) if !newer(1)(k) => v }.sum
+    val r4Subset = results.collect { case (k, (v, _, _)) if !newer(2)(k) => v }.sum
+    val r5Subset = results.collect { case (k, (v, _, _)) if !newer(3)(k) => v }.sum
+    val subsets = s""""r1_subset_sec":${f3(r1Subset)},"r2_subset_sec":${f3(r2Subset)},"r3_subset_sec":${f3(r3Subset)},"r4_subset_sec":${f3(r4Subset)},"r5_subset_sec":${f3(r5Subset)}"""
+    val loadJson = s""""load1_start":${f3(loadStart)},"load1_end":${f3(loadEnd)},"rerun_gain":${f3(rerunGain)},"contaminated":$contaminated"""
     try {
-      val full = results.map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
+      // full per-query detail: kept wall, process-CPU seconds (wall >> cpu/32
+      // on an idle box; wall inflated with cpu flat = external load), and
+      // the first-pass wall for the re-timed slowest queries
+      val full = results.map { case (k, (w, c, w1)) =>
+        s""""$k":{"sec":${f3(w)},"cpu_sec":${f3(c)},"first_sec":${f3(w1)}}"""
+      }.mkString("{", ",", "}")
       val fw = new java.io.FileWriter("bench_full.json")
-      fw.write(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subsets,"queries":$full,"errors":$errJson,"sf":"$sfDir"}""")
+      fw.write(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subsets,$loadJson,"queries":$full,"errors":$errJson,"sf":"$sfDir"}""")
       fw.write("\n")
       fw.close()
     } catch { case _: java.io.IOException => () } // best-effort side artifact
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subsets,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subsets,$loadJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
