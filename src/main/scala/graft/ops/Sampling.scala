@@ -95,11 +95,17 @@ object Sampling {
     * (counts, alpha, budget) — reproducible and engine-checkable.
     * Null-domain rows get quota 0 (dropped).
     *
-    * Scale: one bounded aggregate (#domains rows — the aggregate-to-driver
-    * scalar contract) for the quota computation, then one window per
-    * domain with the quotas as plan literals. A domain with billions of
-    * rows pays its size in the window sort — pre-thin with
-    * [[byContentHash]] (the composition stays deterministic and uniform).
+    * Scale: selection is hash-threshold, not a per-domain sort. One bounded
+    * aggregate counts rows per (domain, 2-hex-digit md5 prefix) — #domains
+    * × ≤257 rows to the driver (the aggregate-to-driver scalar contract).
+    * The driver locates each domain's selection boundary bucket by
+    * cumulative count; buckets strictly before it are selected outright and
+    * only the boundary bucket is ranked, so no task ever sorts more than
+    * ~1/256th of one domain. A 60%-of-corpus hot domain costs 256 parallel
+    * bucket sorts, not one single-reducer domain sort (the round-5 scale
+    * flag). The per-bucket stats ride a broadcast join (#domains × 257
+    * rows), and ranks within a bucket offset by the bucket's cumulative
+    * count, so `sample_rank` is still the exact global (md5, id) rank.
     *
     * Returns the sampled rows plus `sample_rank` and `mix_quota`.
     */
@@ -108,17 +114,44 @@ object Sampling {
       alpha: Double, budget: Long): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
     require(budget >= 1L, "budget must be >= 1")
-    val quotas = temperatureQuotas(df, domainCol, alpha, budget)
-    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(keyCol))
+    // null-key rows bucket to "zz" (> every hex prefix): same position the
+    // old global asc_nulls_last rank order gave them
+    val bucket = coalesce(substring(h, 1, 2), lit("zz"))
+    val bcounts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).as("_mix_d"), bucket.as("_mix_b"))
+      .agg(count(lit(1)).as("_mix_n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val counts = bcounts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val quotas = quotasFromCounts(counts, alpha, budget)
+    // per (domain, bucket): rows in earlier buckets (cum) and how many of
+    // this bucket make the quota; buckets contributing nothing are dropped
+    // HERE, so wholly-unselected buckets never reach the window at all
+    val stats = bcounts.groupBy(_._1).toSeq.flatMap { case (d, bs) =>
+      val q = quotas(d)
+      var cum = 0L
+      bs.sortBy(_._2).map { case (_, b, n) =>
+        val out = (d, b, cum, math.max(0L, math.min(q - cum, n)))
+        cum += n; out
+      }
+    }.filter(_._4 > 0L)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val statsDf = stats.toDF("_mix_d", "_mix_b", "_mix_cum", "_mix_sel")
     val quotaExpr = quotas.toSeq.sortBy(_._1).foldLeft(
       when(lit(false), lit(0L))) {
       case (acc, (d, q)) => acc.when(col(domainCol) === d, lit(q))
     }.otherwise(lit(0L))
-    val w = Window.partitionBy(col(domainCol))
-      .orderBy(md5(col(keyCol)).asc_nulls_last, col(idCol))
-    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_mix_d"), col("_mix_b"))
+      .orderBy(h.asc_nulls_last, col(idCol))
+    df.join(broadcast(statsDf),
+        col(domainCol) === col("_mix_d") && bucket === col("_mix_b"))
+      .withColumn("sample_rank",
+        (col("_mix_cum") + row_number().over(w)).cast("long"))
       .withColumn("mix_quota", quotaExpr)
       .filter(col("sample_rank") <= col("mix_quota"))
+      .drop("_mix_d", "_mix_b", "_mix_cum", "_mix_sel")
   }
 
   /** The quota table behind [[temperatureMix]]:
@@ -129,7 +162,19 @@ object Sampling {
     val counts = df.filter(col(domainCol).isNotNull)
       .groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val wsum = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
+    quotasFromCounts(counts, alpha, budget)
+  }
+
+  /** Quotas from domain counts. The weight sum runs in sorted-domain order
+    * so [[temperatureMix]] (counts summed from hash-prefix buckets) and
+    * [[temperatureQuotas]] (counts aggregated directly) produce
+    * bit-identical quotas — q99's oracle replays quotas captured via the
+    * latter against a mix drawn via the former.
+    */
+  private def quotasFromCounts(
+      counts: Map[String, Long], alpha: Double, budget: Long): Map[String, Long] = {
+    val wsum = counts.toSeq.sortBy(_._1)
+      .map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
     counts.map { case (d, n) =>
       d -> math.min(n, (budget * math.pow(n.toDouble, alpha) / wsum).toLong)
     }

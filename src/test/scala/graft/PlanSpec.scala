@@ -209,6 +209,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashed_bow"), p)
   }
 
+  test("q99: temperature mix never sorts a whole domain in one task") {
+    val p = plan("q99_temperature_mix")
+    // selection is hash-threshold: the only window partitions by
+    // (domain, md5-prefix bucket), so a hot domain spreads over 256 tasks
+    // instead of funneling through one reducer (round-5 scale flag)
+    val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpecs.nonEmpty, p)
+    winSpecs.foreach(s => assert(s.contains("_mix_b"), s))
+    // bucket stats ride a broadcast, not a shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("text/sketch passes never re-derive inside scan filters (generate-filter trap)") {
     // InferFiltersFromGenerate + predicate pushdown can clone an expensive
     // expression (tokenization, shingling, sketching) into a scan-level
