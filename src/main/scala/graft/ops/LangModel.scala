@@ -295,30 +295,22 @@ object LangModel {
     * (Sennrich's sequential apply_bpe semantics), then the document's
     * token stream is the concatenation over its words.
     *
-    * Pure per-row scan work: the merges are plan literals (the tokenizer
-    * model ships with the plan like a broadcast dict), each application is
-    * one literal `replace` on the delimited string — no shuffle, no state.
-    * For production-sized merge lists (tens of thousands), fold the loop
-    * into a single native expression holding the merge table; the chained
-    * form is capped to keep the expression tree (and codegen) bounded.
+    * Pure per-row scan work with NO cap on the merge count: the whole
+    * rank-ordered table rides in one native
+    * [[graft.functions.BpeEncodeExpr]] as a single plan reference object
+    * (the tokenizer model ships with the serialized plan once, like a
+    * broadcast dict), so the expression tree and generated code stay O(1)
+    * in table size — production vocabularies of tens of thousands of
+    * merges plan identically to the 20-merge demos. No shuffle, no state.
+    * `BpeExprSpec` property-checks the native pass against the literal
+    * delimited-`replace` chain the DuckDB oracle replays.
     */
   def bpeEncode(
       docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[BpeMerge]): DataFrame = {
-    require(merges.size <= 64,
-      "merge chains beyond 64: use a native merge-table expression instead")
-    val ordered = merges.sortBy(_.rank)
+    val ordered = merges.sortBy(_.rank).map(m => (m.a, m.b))
     docs.select(col(idCol),
-        transform(
-          filter(split(trim(lower(col(textCol))), "\\s+"), w => w =!= ""),
-          w => {
-            val encoded = ordered.foldLeft(bpeDelimited(w)) { (s, m) =>
-              val (pat, rep) = bpeMergeLits(m.a, m.b)
-              call_function("replace", s, lit(pat), lit(rep))
-            }
-            filter(split(encoded, BpeSep), t => t =!= "")
-          }).as("_tw"))
-      .select(col(idCol), flatten(col("_tw")).as("tokens"))
+        graft.functions.BpeEncodeExpr(lower(col(textCol)), ordered).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")))
   }
 }
