@@ -1351,7 +1351,10 @@ object EngineQueries {
     // Oracle: captured coefficients, features + score re-derived in SQL.
     "q96_quality_classifier" -> ((s, dir) => {
       val docs = t(s, dir, "documents").withColumn("_lc", lower(col("text")))
-      val labeled = docs.withColumn("label", (col("lang") === "en").cast("int"))
+      // null lang must not reach fit(): Spark ML LR rejects null labels,
+      // and a null-lang row is simply "not confidently English" → 0
+      val labeled = docs.withColumn("label",
+        coalesce((col("lang") === "en").cast("int"), lit(0)))
       val model = ops.Quality.train(labeled, "_lc", "label", nFeatures = 64)
       q96ModelCaptured = Some(model)
       ops.Quality.score(docs.filter(col("doc_id") < 200), "doc_id", "_lc", model)

@@ -164,9 +164,18 @@ object QuantizeInt8 {
   * way); a null array yields NULL.
   */
 object HashedBowUtil {
+  // per-row getInstance("MD5") pays a provider lookup + allocation in the
+  // scoring scan; the ThreadLocal + reset pattern matches WinnowUtil /
+  // PositionalHashUtil (ADVICE r5)
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def counts(words: ArrayData, nFeatures: Int): ArrayData = {
     val acc = new Array[Double](nFeatures)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = digest.get()
+    md.reset()
     val len = words.numElements()
     var i = 0
     while (i < len) {

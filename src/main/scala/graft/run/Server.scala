@@ -103,8 +103,10 @@ final class Server(
       val first = readLine(in)
       if (first == null) ()
       // an HTTP request line means a reference-shaped client: health probe
-      // or WebSocket upgrade (the reference's /api/health + /ws/connect)
-      else if (first.startsWith("GET ") || first.startsWith("HEAD "))
+      // or WebSocket upgrade (the reference's /api/health + /ws/connect).
+      // Sniff on the HTTP-version suffix, not a method allowlist — a POST
+      // must get a clean 405, not be dispatched as NDJSON junk
+      else if (first.matches(".* HTTP/\\d\\.\\d"))
         handleHttp(first, in, out)
       else handleNdjson(first, in, out)
     } catch {
@@ -171,13 +173,22 @@ final class Server(
       if (i > 0) headers += (l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim)
       l = readLine(in)
     }
-    def respond(status: String, body: String): Unit = {
+    val method = requestLine.takeWhile(_ != ' ')
+    // HEAD answers like GET minus the body (RFC 9110 §9.3.2): headers —
+    // including Content-Length — describe the representation, none is sent
+    val withBody = method != "HEAD"
+    def respond(status: String, body: String, extra: String = ""): Unit = {
       val bytes = body.getBytes("UTF-8")
-      out.write((s"HTTP/1.1 $status\r\nConnection: close\r\n" +
+      out.write((s"HTTP/1.1 $status\r\nConnection: close\r\n$extra" +
         s"Content-Type: application/json\r\nContent-Length: ${bytes.length}\r\n\r\n")
         .getBytes("UTF-8"))
-      out.write(bytes)
+      if (withBody) out.write(bytes)
       out.flush()
+    }
+    if (method != "GET" && method != "HEAD") {
+      respond("405 Method Not Allowed", """{"error":"method not allowed"}""",
+        extra = "Allow: GET, HEAD\r\n")
+      return
     }
     val path = requestLine.split(" ").lift(1).getOrElse("/").takeWhile(_ != '?')
     if (path == "/api/health") { respond("200 OK", """{"status":"OK"}"""); return }
@@ -185,7 +196,8 @@ final class Server(
       java.security.MessageDigest.isEqual(key.getBytes("UTF-8"), v.getBytes("UTF-8"))))
     if (!authorized) { respond("401 Unauthorized", """{"error":"unauthorized"}"""); return }
     (headers.get("upgrade").map(_.toLowerCase), headers.get("sec-websocket-key")) match {
-      case (Some("websocket"), Some(wsKey)) =>
+      // RFC 6455 §4.1: the opening handshake must be a GET
+      case (Some("websocket"), Some(wsKey)) if method == "GET" =>
         out.write(("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n" +
           s"Connection: Upgrade\r\nSec-WebSocket-Accept: ${WebSocket.acceptKey(wsKey)}\r\n\r\n")
           .getBytes("UTF-8"))
@@ -214,7 +226,13 @@ final class Server(
     while (open && !closed) {
       WebSocket.readFrame(in) match {
         case None => open = false
-        case Some(WebSocket.Frame(fin, op, payload)) => op match {
+        case Some(WebSocket.Frame(fin, op, payload)) =>
+          // RFC 6455 §5.5: control frames must not be fragmented and carry
+          // at most 125 payload bytes — enforce rather than mis-handle
+          if (op >= WebSocket.OpClose && (!fin || payload.length > 125))
+            throw new java.io.IOException(
+              s"control frame violates RFC 6455 (fin=$fin, ${payload.length} bytes)")
+          op match {
           case WebSocket.OpClose =>
             frame(WebSocket.OpClose, payload.take(2)) // echo the status code
             open = false

@@ -172,26 +172,34 @@ class ServerSpec extends SparkSpec {
 
   /** HTTP request over a fresh socket; returns (status line, headers, body). */
   private def httpGet(port: Int, path: String, headers: Seq[(String, String)])
-      : (String, Map[String, String], String) = {
+      : (String, Map[String, String], String) =
+    httpReq(port, "GET", path, headers)
+
+  private def httpReq(port: Int, method: String, path: String,
+      headers: Seq[(String, String)]): (String, Map[String, String], String) = {
     val s = new java.net.Socket("127.0.0.1", port)
     s.setSoTimeout(120000)
     try {
       val out = s.getOutputStream
-      out.write(((s"GET $path HTTP/1.1" +: "Host: t" +: headers.map { case (k, v) => s"$k: $v" })
+      out.write(((s"$method $path HTTP/1.1" +: "Host: t" +: headers.map { case (k, v) => s"$k: $v" })
         .mkString("\r\n") + "\r\n\r\n").getBytes("UTF-8"))
       out.flush()
       val in = new java.io.BufferedInputStream(s.getInputStream)
       val status = rawLine(in)
       val hs = Iterator.continually(rawLine(in)).takeWhile(_.nonEmpty)
         .map { l => val i = l.indexOf(':'); l.take(i).toLowerCase -> l.drop(i + 1).trim }.toMap
-      val body = hs.get("content-length").map { n =>
-        val buf = new Array[Byte](n.toInt)
+      // HEAD advertises Content-Length but sends no body — read what the
+      // server actually closes with, not what the header promises
+      val expect = if (method == "HEAD") 0 else hs.get("content-length").fold(0)(_.toInt)
+      val body = {
+        val buf = new Array[Byte](expect)
         var off = 0
         while (off < buf.length) {
           val r = in.read(buf, off, buf.length - off); assert(r >= 0); off += r
         }
         new String(buf, "UTF-8")
-      }.getOrElse("")
+      }
+      if (method == "HEAD") assert(in.read() == -1, "HEAD response carried a body")
       (status, hs, body)
     } finally s.close()
   }
@@ -354,6 +362,44 @@ class ServerSpec extends SparkSpec {
       assert(st401.contains("401"))
       val (st400, _, _) = httpGet(server.boundPort, "/ws/connect", Seq("X-API-Key" -> "sekrit"))
       assert(st400.contains("400")) // authorized but no upgrade headers
+    } finally server.close()
+  }
+
+  test("HTTP conformance: POST is 405 (not NDJSON junk), HEAD omits the body") {
+    val server = new Server(spark, apiKey = Some("sekrit"))
+    try {
+      val (st405, hs405, _) = httpReq(server.boundPort, "POST", "/api/health", Nil)
+      assert(st405.contains("405"), st405)
+      assert(hs405.get("allow").exists(_.contains("GET")), hs405.toString)
+      val (stHead, hsHead, body) = httpReq(server.boundPort, "HEAD", "/api/health", Nil)
+      assert(stHead.contains("200"), stHead)
+      assert(hsHead.get("content-length").exists(_.toInt > 0), hsHead.toString)
+      assert(body.isEmpty)
+    } finally server.close()
+  }
+
+  test("WebSocket: oversized and fragmented control frames are rejected (RFC 6455 §5.5)") {
+    val server = new Server(spark)
+    try {
+      // ping with a 126-byte payload: connection must drop, not pong
+      val (s1, in1, out1) = wsConnect(server.boundPort, None)
+      try {
+        wsSend(out1, new Array[Byte](126), WebSocket.OpPing); out1.flush()
+        assert(in1.read() == -1, "server kept the connection after an oversized ping")
+      } finally s1.close()
+      // fragmented close (FIN clear): same
+      val (s2, in2, out2) = wsConnect(server.boundPort, None)
+      try {
+        wsSend(out2, Array[Byte](3, -24), WebSocket.OpClose, fin = false); out2.flush()
+        assert(in2.read() == -1, "server kept the connection after a fragmented close")
+      } finally s2.close()
+      // and a healthy connection still works afterwards
+      val (s3, in3, out3) = wsConnect(server.boundPort, None)
+      try {
+        wsSend(out3, "HEALTH".getBytes("UTF-8"), WebSocket.OpText); out3.flush()
+        val (_, payload) = wsRead(in3)
+        assert(new String(payload, "UTF-8").contains("OK"))
+      } finally s3.close()
     } finally server.close()
   }
 
