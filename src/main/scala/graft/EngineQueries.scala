@@ -1403,6 +1403,24 @@ object EngineQueries {
         .orderBy(col("lang"), col("sample_rank"))
     }),
 
+    // IVF index persisted to a managed table and RELOADED before searching —
+    // the cross-job production shape (build once, search from any session).
+    // Exhaustive nprobe = nlist makes the reloaded search equal brute force,
+    // so the round-trip is hash-checked exactly; the assignment table is
+    // hive-partitioned by cell so probed-cell scans prune directories.
+    "q100_ann_ivf_persist" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val index = Ann.ivfBuild(emb, "vec_id", "v", nlist = 16)
+      val root = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      Ann.ivfSave(index, root)
+      val loaded = Ann.ivfLoad(s, root)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      Ann.ivfSearch(loaded, q, "qid", "qv", k = 10, nprobe = 16)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -2006,6 +2024,17 @@ object EngineQueries {
     "q58_ann_ivf_reuse" ->
       """WITH c AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
               q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10)
+         SELECT query_id, rank, item_id, cos FROM (
+           SELECT query_id, item_id,
+             round(list_cosine_similarity(cv, qv), 6) AS cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY list_cosine_similarity(cv, qv) DESC, item_id) AS rank
+           FROM c CROSS JOIN q) t
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // reloaded exhaustive IVF == brute force (the q57/q58 oracle shape)
+    "q100_ann_ivf_persist" ->
+      """WITH c AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+              q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5)
          SELECT query_id, rank, item_id, cos FROM (
            SELECT query_id, item_id,
              round(list_cosine_similarity(cv, qv), 6) AS cos,

@@ -244,6 +244,51 @@ object Ann {
       .select(col("query_id"), col("rank"), col("item_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Persist a built IVF index under `root` as two managed tables —
+    * `<root>/centroids` (cell, centroid) and `<root>/assigned`
+    * (item_id, cv, cell) — so a pipeline builds once and searches across
+    * jobs and sessions (corpora re-embed rarely; query batches arrive
+    * daily). Re-saving replaces each table's snapshot atomically (full-
+    * overwrite commit); prior versions stay time-travelable until vacuumed.
+    *
+    * The assignment table is hive-partitioned by `cell`, so a reloaded
+    * search's equi-join on the probed cells prunes whole directories at
+    * the scan — at 100 TB the probe cost is the probed cells' share of the
+    * corpus, not a full pass.
+    */
+  def ivfSave(index: IvfIndex, root: String): Unit = {
+    import graft.config.{Location, Types}
+    import graft.destinations.ManagedTable
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    def save(df: DataFrame, loc: Location, partitionCols: Seq[String]): Unit = {
+      val fields = df.schema.fields.toIndexedSeq
+        .map(f => Types.FieldSpec(f.name, f.dataType, f.nullable))
+      ManagedTable.createIfAbsent(spark, loc, fields, partitionCols, Map.empty)
+      ManagedTable.replace(spark, loc, df, Seq.empty)
+    }
+    val centDf = index.centroids.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toIndexedSeq) }
+      .toDF("cell", "centroid")
+    save(centDf, Location(s"$root/centroids"), Nil)
+    save(index.assigned.select(col("item_id"), col("cv"), col("cell")),
+      Location(s"$root/assigned"), Seq("cell"))
+  }
+
+  /** Reload a persisted IVF index (latest snapshot). The centroid table is
+    * cell-count-sized (collect is bounded); assignments stay a lazy
+    * DataFrame over the managed table's parquet, so [[ivfSearch]] plans
+    * cell-pruned scans against it directly.
+    */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, root: String): IvfIndex = {
+    import graft.config.Location
+    import graft.destinations.ManagedTable
+    val centroids = ManagedTable.read(spark, Location(s"$root/centroids"))
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    IvfIndex(centroids, ManagedTable.read(spark, Location(s"$root/assigned")))
+  }
+
   /** One-shot IVF top-k: build + search. Prefer [[ivfBuild]] once +
     * [[ivfSearch]] per batch when querying repeatedly — this convenience
     * form re-trains on every call.

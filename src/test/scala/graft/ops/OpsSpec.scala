@@ -408,6 +408,35 @@ class OpsSpec extends SparkSpec {
     } finally index.assigned.unpersist()
   }
 
+  test("Ann.ivfSave/ivfLoad: build-write-reload-search round trip equals in-session search") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1L to 50L).map { i =>
+      val center = if (i <= 25) 3.0 else -3.0
+      (i, Seq.fill(6)(center + rnd.nextGaussian() * 0.4))
+    }
+    val emb = rows.toDF("id", "v")
+    val index = Ann.ivfBuild(emb, "id", "v", nlist = 4)
+    val root = tmpDir("ivf-persist").toString
+    Ann.ivfSave(index, root)
+    val loaded = Ann.ivfLoad(spark, root)
+    // centroids bit-identical, in cell order
+    assert(loaded.centroids.map(_.toSeq).toSeq == index.centroids.map(_.toSeq).toSeq)
+    // assignments identical as a set
+    val a0 = index.assigned.collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2))).toSet
+    val a1 = loaded.assigned.collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2))).toSet
+    assert(a1 == a0)
+    // search results identical, pruned and exhaustive
+    val q = emb.filter(col("id") === 7L).select(col("id").as("qid"), col("v").as("qv"))
+    for (nprobe <- Seq(1, 4)) {
+      val fresh = Ann.ivfSearch(index, q, "qid", "qv", k = 5, nprobe = nprobe).collect()
+      val reload = Ann.ivfSearch(loaded, q, "qid", "qv", k = 5, nprobe = nprobe).collect()
+      assert(reload.map(_.toSeq).toSeq == fresh.map(_.toSeq).toSeq)
+    }
+    // re-save replaces the snapshot (idempotent), and the table time-travels
+    Ann.ivfSave(index, root)
+    assert(Ann.ivfLoad(spark, root).centroids.length == index.centroids.length)
+  }
+
   test("Ann: bruteTopK ranks self-match first with cosine 1.0") {
     val emb = Seq(
       (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.9, 0.1, 0.0)),
