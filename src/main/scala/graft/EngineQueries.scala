@@ -1421,6 +1421,48 @@ object EngineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // SpaceSaving in its APPROXIMATE regime (capacity 32 ≪ vocabulary) —
+    // the regime where the r4 merge-floor bug lived, previously gated only
+    // by property tests. Summary CONTENTS are stream/merge-order dependent
+    // there, so the query emits order-invariant guarantees only (the q27
+    // within-bound pattern): overcount-only (est ≥ true), error window
+    // (est − err ≤ true), err ≤ N/capacity, and the frequent-item promise
+    // (every word with true count > N/capacity present in the summary).
+    // All four are theorems of the (fixed) merge, so the oracle states
+    // them as literals beside the exact per-language word totals.
+    "q101_heavy_hitters_approx" -> ((s, dir) => {
+      val cap = 32
+      val words = t(s, dir, "documents")
+        .select(col("lang"), explode_outer(Text.words(col("text"))).as("word"))
+        .filter(col("word").isNotNull)
+      val sk = words.groupBy(col("lang"))
+        .agg(graft.functions.HeavyHitters.topK(cap)(col("word")).as("summary"),
+          count(lit(1)).as("n_words"))
+        .select(col("lang"), col("n_words"), explode(col("summary")).as("h"))
+        .select(col("lang"), col("n_words"), col("h.term").as("word"),
+          col("h.count").as("est"), col("h.err").as("err"))
+      val exact = words.groupBy(col("lang"), col("word"))
+        .agg(count(lit(1)).as("true_n"))
+      // coalesce(…, FALSE): bool_and ignores NULLs, and a sketch term
+      // missing from the exact counts must fail loudly, not slip through
+      val bounds = sk.join(exact, Seq("lang", "word"), "left")
+        .groupBy(col("lang")).agg(
+          max(col("n_words")).as("n_words"),
+          expr("bool_and(coalesce(est >= true_n, FALSE))").as("never_undercounts"),
+          expr("bool_and(coalesce(est - err <= true_n, FALSE))").as("err_window_holds"),
+          expr(s"bool_and(coalesce(err * $cap <= n_words, FALSE))").as("err_bounded"))
+      val missed = exact
+        .join(sk.select(col("lang"), col("word")), Seq("lang", "word"), "left_anti")
+        .join(bounds.select(col("lang"), col("n_words").as("nw")), Seq("lang"))
+        .filter(col("true_n") * cap > col("nw"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_missed"))
+      bounds.join(missed, Seq("lang"), "left")
+        .select(col("lang"), col("n_words"),
+          col("never_undercounts"), col("err_window_holds"), col("err_bounded"),
+          (coalesce(col("n_missed"), lit(0L)) === 0L).as("heavy_all_found"))
+        .orderBy(col("lang"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -2031,6 +2073,17 @@ object EngineQueries {
                                 ORDER BY list_cosine_similarity(cv, qv) DESC, item_id) AS rank
            FROM c CROSS JOIN q) t
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // approximate-regime guarantees are theorems — stated as literals
+    // beside the exact totals (the q27 pattern)
+    "q101_heavy_hitters_approx" ->
+      """WITH w AS (
+           SELECT lang,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS word
+           FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+           TRUE AS never_undercounts, TRUE AS err_window_holds,
+           TRUE AS err_bounded, TRUE AS heavy_all_found
+         FROM w GROUP BY lang ORDER BY lang""",
     // reloaded exhaustive IVF == brute force (the q57/q58 oracle shape)
     "q100_ann_ivf_persist" ->
       """WITH c AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
