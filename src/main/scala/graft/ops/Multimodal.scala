@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * Decode is REAL for every codec the JDK itself ships: PNG / JPEG / BMP /
   * GIF via `javax.imageio` ([[decodeImageFeatures]], [[resizeImages]]) and
   * PCM WAV via `javax.sound.sampled` ([[decodeAudioFeatures]]) — per-row
-  * work inside `mapPartitions`, payloads never on the driver. Formats the
-  * JDK has no codec for (video containers, webp, mp3, …) still go through
-  * [[stubDecodeFeatures]], the clearly-marked seam where a JNI/ONNX
-  * executor codec or `mapInPandas`+PIL would slot in; the schema and
-  * batch shape are identical on both paths.
+  * work inside `mapPartitions`, payloads never on the driver. Video
+  * CONTAINERS are real too: [[Mp4]] walks the ISO BMFF box structure
+  * (public spec, format-not-codec) to extract metadata and keyframe byte
+  * ranges without decoding. Only pixel/sample CODECS the JDK lacks
+  * (h264 frames, webp, mp3, …) go through [[stubDecodeFeatures]], the
+  * clearly-marked seam where a JNI/ONNX executor codec or
+  * `mapInPandas`+PIL would slot in; the schema and batch shape are
+  * identical on both paths.
   *
   * Scale notes: payloads never move to the driver; chunking/sampling are
   * byte-slice expressions (codegen); decode runs inside `mapPartitions`,
@@ -294,11 +297,14 @@ object Multimodal {
   def frameCount(data: Column, frameSize: Int, stride: Int): Column =
     size(frameSample(data, frameSize, stride))
 
-  /** STUB decoder ??? for formats the JDK has no codec for (video, webp,
-    * mp3, …) — deterministic fake features: byte length, a content hash,
-    * and a pseudo-"brightness" (mean of a sampled byte prefix). The schema
-    * and distribution contract match the real [[decodeImageFeatures]]
-    * path; swap in a JNI/ONNX executor codec here and nothing else moves.
+  /** STUB decoder ??? for CODECS the JDK does not ship (h264/vp9 frame
+    * pixels, webp, mp3, …) — deterministic fake features: byte length, a
+    * content hash, and a pseudo-"brightness" (mean of a sampled byte
+    * prefix). The schema and distribution contract match the real
+    * [[decodeImageFeatures]] path; swap in a JNI/ONNX executor codec here
+    * and nothing else moves. Video payloads should first go through
+    * [[Mp4.keyframeRanges]] (real container parsing), so this stub only
+    * ever sees kilobyte keyframe ranges, not whole files.
     */
   def stubDecodeFeatures(data: Column): Column = {
     val prefix = substring(data, 1, 64)
