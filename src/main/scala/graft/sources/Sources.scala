@@ -42,7 +42,13 @@ object Sources {
 
     case ManagedTableSource(_, location, version, timestamp, storage) =>
       ObjectStores.configure(spark, location, storage)
-      ManagedTable.read(spark, location, version, timestamp)
+      // a location with a _delta_log is a REAL Delta table — read it through
+      // the protocol bridge (snapshot + time travel); otherwise it is one of
+      // our own managed tables. `type: delta` configs written against the
+      // reference thus open actual Delta lakehouse inputs unchanged.
+      if (DeltaLog.isDeltaTable(spark, location.spark))
+        DeltaLog.read(spark, location.spark, version, timestamp)
+      else ManagedTable.read(spark, location, version, timestamp)
 
     case JdbcSource(_, loadQuery, connectionString) =>
       // Lazy JDBC scan with the query pushed down to the database — strictly

@@ -1,0 +1,143 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Generated `_delta_log` fixtures exercising the public Delta protocol:
+  * JSON commits with metaData/add/remove, URL-encoded relative paths,
+  * partition values injected from the log (Delta data files do not embed
+  * partition columns), version/timestamp travel, and checkpoint seeding.
+  */
+class DeltaLogSpec extends SparkSpec {
+
+  private val schemaJson =
+    """{"type":"struct","fields":[
+      |{"name":"id","type":"long","nullable":true,"metadata":{}},
+      |{"name":"v","type":"string","nullable":true,"metadata":{}},
+      |{"name":"part","type":"string","nullable":true,"metadata":{}}]}"""
+      .stripMargin.replace("\n", "")
+
+  /** Write one data parquet (id, v) under the table dir; returns rel path. */
+  private def dataFile(table: java.nio.file.Path, rel: String, rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    val tmp = table.resolve("_tmp_write")
+    rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val dest = table.resolve(rel)
+    java.nio.file.Files.createDirectories(dest.getParent)
+    java.nio.file.Files.move(part, dest)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  private implicit class IterOps[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+  }
+
+  private def commit(table: java.nio.file.Path, version: Long, lines: Seq[String]): Unit = {
+    val log = table.resolve("_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    java.nio.file.Files.writeString(log.resolve(f"$version%020d.json"),
+      lines.mkString("", "\n", "\n"))
+  }
+
+  private def metaLine: String =
+    s"""{"metaData":{"id":"fixture","schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build().writeValueAsString(schemaJson)},"partitionColumns":["part"],"format":{"provider":"parquet"}}}"""
+
+  private def addLine(path: String, part: String): String =
+    s"""{"add":{"path":"$path","partitionValues":{"part":"$part"},"size":1,"modificationTime":1,"dataChange":true}}"""
+
+  test("snapshot replay: add/remove across commits, partition injection, time travel") {
+    val table = tmpDir("delta-fix")
+    dataFile(table, "part=a/f1.parquet", Seq((1L, "one"), (2L, "two")))
+    dataFile(table, "part=b/f2.parquet", Seq((3L, "three")))
+    dataFile(table, "part=a/f3.parquet", Seq((4L, "four")))
+    commit(table, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine,
+      addLine("part=a/f1.parquet", "a"),
+      addLine("part=b/f2.parquet", "b")))
+    // v1: adds f3, removes f1 — and the path is URL-encoded to exercise decode
+    commit(table, 1L, Seq(
+      addLine("part%3Da/f3.parquet", "a"),
+      """{"remove":{"path":"part=a/f1.parquet","dataChange":true}}"""))
+
+    val latest = DeltaLog.read(spark, table.toString).orderBy("id").collect()
+    assert(latest.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((3L, "three", "b"), (4L, "four", "a")))
+
+    val v0 = DeltaLog.read(spark, table.toString, versionAsOf = Some(0L)).orderBy("id").collect()
+    assert(v0.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // partition column comes from the log, not the files
+    assert(v0.map(_.getString(2)).toSeq == Seq("a", "a", "b"))
+
+    // timestamp travel: anything after the last commit's mtime sees latest
+    val ts = java.time.Instant.now().plusSeconds(60)
+    assert(DeltaLog.read(spark, table.toString, timestampAsOf = Some(ts)).count() == 2)
+
+    val snap = DeltaLog.snapshot(spark, table.toString)
+    assert(snap.version == 1L && snap.partitionColumns == Seq("part"))
+    assert(snap.files.map(_.path).toSet ==
+      Set("part=b/f2.parquet", "part%3Da/f3.parquet"))
+  }
+
+  test("checkpoint seeds the state; later JSON commits replay on top") {
+    val table = tmpDir("delta-cp")
+    dataFile(table, "part=a/f1.parquet", Seq((1L, "one")))
+    dataFile(table, "part=b/f2.parquet", Seq((2L, "two")))
+    commit(table, 0L, Seq(metaLine, addLine("part=a/f1.parquet", "a")))
+
+    // checkpoint at version 0 carrying the complete state (metaData + add),
+    // written as parquet with the protocol's column layout plus extras
+    import spark.implicits._
+    val cp = Seq(
+      (Some(("part=a/f1.parquet", Map("part" -> "a"))), None: Option[String],
+        Some((schemaJson, Seq("part")))))
+      .toDF("addRaw", "removeRaw", "metaRaw")
+      .select(
+        struct(col("addRaw._1").as("path"), col("addRaw._2").as("partitionValues")).as("add"),
+        struct(col("removeRaw").as("path")).as("remove"),
+        struct(col("metaRaw._1").as("schemaString"),
+          col("metaRaw._2").as("partitionColumns")).as("metaData"))
+    val cpTmp = table.resolve("_cp_tmp")
+    cp.coalesce(1).write.parquet(cpTmp.toString)
+    val part = java.nio.file.Files.list(cpTmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(part,
+      table.resolve("_delta_log").resolve(f"${0L}%020d.checkpoint.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(cpTmp.toFile)
+
+    // v1 exists only as JSON: adds f2
+    commit(table, 1L, Seq(addLine("part=b/f2.parquet", "b")))
+
+    val rows = DeltaLog.read(spark, table.toString).orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("a `type: delta` pipeline source opens a real Delta table via the bridge") {
+    val table = tmpDir("delta-src")
+    dataFile(table, "part=a/f1.parquet", Seq((1L, "one"), (2L, "two")))
+    commit(table, 0L, Seq(metaLine, addLine("part=a/f1.parquet", "a")))
+    val src = graft.config.ManagedTableSource("delta_in", graft.config.Location(table.toString))
+    val df = Sources.load(spark, src)
+    assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(df.columns.toSeq == Seq("id", "v", "part"))
+    // version travel flows through the same config field
+    val v0 = Sources.load(spark,
+      src.copy(version = Some(0L)))
+    assert(v0.count() == 2)
+  }
+
+  test("non-Delta directories and unknown versions fail with clear errors") {
+    val empty = tmpDir("delta-none")
+    val e1 = intercept[IllegalArgumentException](DeltaLog.snapshot(spark, empty.toString))
+    assert(e1.getMessage.contains("_delta_log"))
+    val table = tmpDir("delta-v")
+    dataFile(table, "part=a/f1.parquet", Seq((1L, "one")))
+    commit(table, 0L, Seq(metaLine, addLine("part=a/f1.parquet", "a")))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLog.snapshot(spark, table.toString, versionAsOf = Some(7L)))
+    assert(e2.getMessage.contains("version 7"))
+  }
+}
