@@ -1,0 +1,356 @@
+package graft.destinations
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.DeltaLog
+
+/** Write REAL Delta Lake tables: emits the `_delta_log` commit protocol
+  * (the public Delta transaction-log spec) so the output is readable by any
+  * Delta reader — delta-spark, delta-rs, DuckDB's delta extension, and our
+  * own [[graft.sources.DeltaLog]] bridge.
+  *
+  * Protocol surface written per commit (`_delta_log/<version %020d>.json`,
+  * NDJSON one action per line):
+  *   - `commitInfo` — operation metadata (plus a writer nonce used to
+  *     detect lost commit races on object stores, see [[publishCommit]]);
+  *   - `protocol` (v0 only) — `minReaderVersion` 1 / `minWriterVersion` 2;
+  *   - `metaData` (v0, and again when overwrite changes the schema) —
+  *     table id, parquet format, Spark-JSON `schemaString`,
+  *     `partitionColumns`;
+  *   - `add` — table-relative URI-encoded `path`, `partitionValues`
+  *     (hive-style nulls mapped to JSON null), `size`,
+  *     `modificationTime`, `dataChange: true`;
+  *   - `remove` — `path`, `deletionTimestamp`, `dataChange: true`.
+  *
+  * Data files are plain parquet WITHOUT the partition columns (partition
+  * values live only in the log, per the spec), laid out in hive-style
+  * `col=value/` directories like delta-spark's writer.
+  *
+  * Not written: checkpoints and `_last_checkpoint` (optional per spec —
+  * readers, including ours, replay JSON commits without them; long-lived
+  * tables get them from whichever maintenance job compacts the log).
+  *
+  * Scale: commits are driver-side file-manifest metadata, bounded by file
+  * count; the data write is a normal distributed parquet write. `upsert` /
+  * `replace` rewrite the table through one distributed read-modify-write
+  * (documented divergence from delta-spark's file-pruned MERGE: correct,
+  * not minimal I/O — the pruned path needs per-file stats the bridge does
+  * not yet track). Reference parity:
+  * /root/reference/aqueducts/delta/src/lib.rs:141-328 (create + write
+  * modes against the same protocol).
+  */
+object DeltaWrite {
+
+  private val mapper = new ObjectMapper()
+
+  private def logDir(table: Path) = new Path(table, "_delta_log")
+  private def commitPath(table: Path, v: Long) =
+    new Path(logDir(table), f"$v%020d.json")
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  // ------------------------------------------------------------- write API
+
+  /** Create an empty Delta table at `tablePath` (version 0: protocol +
+    * metaData, no data) unless one already exists. Returns true if created.
+    */
+  def createIfAbsent(
+      spark: SparkSession,
+      tablePath: String,
+      schema: StructType,
+      partitionBy: Seq[String] = Nil): Boolean = {
+    if (DeltaLog.isDeltaTable(spark, tablePath)) return false
+    partitionBy.foreach(pc => require(schema.fieldNames.contains(pc),
+      s"partition column $pc not in schema"))
+    commit(spark, new Path(tablePath), 0L, "CREATE TABLE",
+      withMeta = Some((schema, partitionBy)), adds = Nil, removes = Nil)
+    true
+  }
+
+  /** Append `df` (cast to the table schema) as a new commit. Blind appends
+    * never conflict logically, so a lost commit race is retried against the
+    * re-read latest version.
+    */
+  def append(spark: SparkSession, tablePath: String, df: DataFrame): Long = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val data = ManagedTable.castToSchema(df, snap.schema)
+    val adds = writeDataFiles(spark, new Path(tablePath), data, snap.partitionColumns)
+    var version = snap.version + 1
+    var attempts = 0
+    while (true) {
+      try {
+        commit(spark, new Path(tablePath), version, "WRITE",
+          withMeta = None, adds = adds, removes = Nil)
+        return version
+      } catch {
+        case _: IllegalStateException if attempts < 5 =>
+          attempts += 1
+          version = DeltaLog.snapshot(spark, tablePath).version + 1
+      }
+    }
+    version // unreachable
+  }
+
+  /** Replace the table contents with `df`: removes every live file, adds
+    * the new ones. `newSchema = true` re-emits metaData from `df`'s schema
+    * (schema overwrite); otherwise `df` is cast to the existing schema.
+    */
+  def overwrite(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      newSchema: Boolean = false): Long = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val data = if (newSchema) df else ManagedTable.castToSchema(df, snap.schema)
+    val adds = writeDataFiles(spark, new Path(tablePath), data, snap.partitionColumns)
+    val meta =
+      if (newSchema) {
+        val dataSchema = data.schema
+        val full = StructType(dataSchema.fields ++
+          snap.schema.fields.filter(f => snap.partitionColumns.contains(f.name))
+            .filterNot(f => dataSchema.fieldNames.contains(f.name)))
+        Some((full, snap.partitionColumns))
+      } else None
+    commit(spark, new Path(tablePath), snap.version + 1, "WRITE",
+      withMeta = meta, adds = adds, removes = snap.files.map(_.path))
+  }
+
+  /** MERGE keyed on `keys` via read-modify-write: existing rows whose key
+    * matches an incoming row are replaced, everything else is kept. Same
+    * semantics as [[ManagedTable.upsert]] (reference delta/src/lib.rs:249-286),
+    * expressed as one distributed anti-join + overwrite commit.
+    */
+  def upsert(spark: SparkSession, tablePath: String, df: DataFrame, keys: Seq[String]): Long = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    keys.foreach(k => require(snap.schema.fieldNames.contains(k), s"upsert key $k not in table"))
+    val incoming = ManagedTable.castToSchema(df, snap.schema)
+    val current = DeltaLog.read(spark, tablePath)
+    val keyCols = keys.map(k => (k, snap.schema(k).dataType))
+    val cond = keyCols.map { case (k, dt) =>
+      ManagedTable.keyEquals(current(k), incoming(k), dt)
+    }.reduce(_ && _)
+    val kept = current.join(incoming, cond, "left_anti")
+    val merged = kept.unionByName(incoming)
+    overwrite(spark, tablePath, merged)
+  }
+
+  /** Delete rows matching ALL `conditions` (empty ⇒ full overwrite), then
+    * write `df` — [[ManagedTable.replace]] semantics over the Delta
+    * protocol, as one filtered rewrite commit.
+    */
+  def replace(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      conditions: Seq[graft.config.ReplaceCondition]): Long = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val incoming = ManagedTable.castToSchema(df, snap.schema)
+    if (conditions.isEmpty) return overwrite(spark, tablePath, incoming)
+    val current = DeltaLog.read(spark, tablePath)
+    val pred = conditions.map { c =>
+      val dt = snap.schema(c.column).dataType
+      col(c.column) <=> lit(c.value).cast(dt)
+    }.reduce(_ && _)
+    overwrite(spark, tablePath, current.filter(not(pred)).unionByName(incoming))
+  }
+
+  // ------------------------------------------------------------ data files
+
+  /** Hive-unescape one `%XX`-escaped path segment (Spark's escapePathName
+    * encoding — NOT URLDecoder, which also corrupts '+' into a space).
+    */
+  private[destinations] def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Write `df` as parquet under the table root (hive `col=value/` layout,
+    * partition columns dropped from the file data per the Delta spec) and
+    * return the add-action descriptors. Same move-dont-copy publication as
+    * [[ManagedTable]]: temp-dir write, one rename per part file.
+    */
+  private def writeDataFiles(
+      spark: SparkSession,
+      table: Path,
+      df: DataFrame,
+      partitionColumns: Seq[String]): Seq[AddDescriptor] = {
+    val f = fs(spark, table)
+    val tmp = new Path(table, s"_tmp-${java.util.UUID.randomUUID()}")
+    val writer = df.write.mode("overwrite")
+    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
+      .parquet(tmp.toString)
+
+    val adds = Seq.newBuilder[AddDescriptor]
+    val qtmp = f.makeQualified(tmp) // listFiles returns qualified paths
+    val it = f.listFiles(tmp, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (s.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        val relDir = {
+          val b = qtmp.toString; val d = f.makeQualified(s.getPath.getParent).toString
+          if (d == b) "" else d.substring(b.length).dropWhile(_ == '/')
+        }
+        val destDir = if (relDir.isEmpty) table else new Path(table, relDir)
+        f.mkdirs(destDir)
+        val unique = s"part-${java.util.UUID.randomUUID()}.snappy.parquet"
+        val dest = new Path(destDir, unique)
+        if (!f.rename(s.getPath, dest))
+          throw new IllegalStateException(s"Failed to move ${s.getPath} to $dest")
+        val st = f.getFileStatus(dest)
+        val rel = if (relDir.isEmpty) unique else s"$relDir/$unique"
+        // partitionValues from the hive dir segments; __HIVE_DEFAULT_PARTITION__
+        // (Spark's null marker) becomes a JSON null per the Delta spec
+        val pv: Seq[(String, Option[String])] =
+          if (relDir.isEmpty) Nil
+          else relDir.split('/').toSeq.map { seg =>
+            val eq = seg.indexOf('=')
+            require(eq > 0, s"unexpected non-hive partition dir: $seg")
+            val k = unescapePathName(seg.substring(0, eq))
+            val v = unescapePathName(seg.substring(eq + 1))
+            k -> (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v))
+          }
+        adds += AddDescriptor(rel, pv, st.getLen, st.getModificationTime)
+      }
+    }
+    f.delete(tmp, true)
+    adds.result()
+  }
+
+  private[destinations] final case class AddDescriptor(
+      relPath: String,
+      partitionValues: Seq[(String, Option[String])],
+      size: Long,
+      modificationTime: Long)
+
+  // --------------------------------------------------------------- commits
+
+  /** URI-encode a table-relative path for `add.path`/`remove.path` (RFC
+    * percent-encoding preserving '/', per the Delta spec; the read bridge
+    * and delta-spark both decode it).
+    */
+  private def encodePath(rel: String): String =
+    new java.net.URI(null, null, rel, null).getRawPath
+
+  private def commit(
+      spark: SparkSession,
+      table: Path,
+      version: Long,
+      operation: String,
+      withMeta: Option[(StructType, Seq[String])],
+      adds: Seq[AddDescriptor],
+      removes: Seq[String]): Long = {
+    val now = System.currentTimeMillis()
+    val nonce = java.util.UUID.randomUUID().toString
+    val lines = Seq.newBuilder[String]
+
+    val ci = mapper.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("timestamp", now)
+    info.put("operation", operation)
+    info.putObject("operationParameters")
+    info.put("engineInfo", "graft")
+    info.put("txnId", nonce)
+    lines += mapper.writeValueAsString(ci)
+
+    if (version == 0L) {
+      val pn = mapper.createObjectNode()
+      val proto = pn.putObject("protocol")
+      proto.put("minReaderVersion", 1)
+      proto.put("minWriterVersion", 2)
+      lines += mapper.writeValueAsString(pn)
+    }
+    withMeta.foreach { case (schema, partitionBy) =>
+      val mn = mapper.createObjectNode()
+      val meta = mn.putObject("metaData")
+      meta.put("id", java.util.UUID.randomUUID().toString)
+      val fmt = meta.putObject("format")
+      fmt.put("provider", "parquet")
+      fmt.putObject("options")
+      meta.put("schemaString", schema.json)
+      val pcs = meta.putArray("partitionColumns"); partitionBy.foreach(pcs.add)
+      meta.putObject("configuration")
+      meta.put("createdTime", now)
+      lines += mapper.writeValueAsString(mn)
+    }
+    removes.foreach { p =>
+      val rn = mapper.createObjectNode()
+      val rm = rn.putObject("remove")
+      rm.put("path", p) // already encoded in the log we replayed it from
+      rm.put("deletionTimestamp", now)
+      rm.put("dataChange", true)
+      lines += mapper.writeValueAsString(rn)
+    }
+    adds.foreach { a =>
+      val an = mapper.createObjectNode()
+      val add = an.putObject("add")
+      add.put("path", encodePath(a.relPath))
+      val pv = add.putObject("partitionValues")
+      a.partitionValues.foreach {
+        case (k, Some(v)) => pv.put(k, v)
+        case (k, None) => pv.putNull(k)
+      }
+      add.put("size", a.size)
+      add.put("modificationTime", a.modificationTime)
+      add.put("dataChange", true)
+      lines += mapper.writeValueAsString(an)
+    }
+
+    publishCommit(spark, table, version, lines.result().mkString("", "\n", "\n"))
+    version
+  }
+
+  /** Atomic create-exclusive publication of a commit file — the same race
+    * discipline as [[ManagedTable]]'s writeCommit: hard-link creation on
+    * local filesystems (true O_EXCL), exists+rename with full byte
+    * read-back elsewhere so a lost race on object stores is a detected
+    * IllegalStateException, never a silently dropped commit.
+    */
+  private def publishCommit(
+      spark: SparkSession, table: Path, version: Long, content: String): Unit = {
+    val f = fs(spark, table)
+    f.mkdirs(logDir(table))
+    val target = commitPath(table, version)
+    val bytes = content.getBytes("UTF-8")
+    val tmp = new Path(logDir(table), s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(bytes) finally out.close()
+    val won =
+      if (f.getUri.getScheme == "file") {
+        val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+        val targetNio = java.nio.file.Paths.get(target.toUri.getPath)
+        try { java.nio.file.Files.createLink(targetNio, tmpNio); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        val renamed = !f.exists(target) && f.rename(tmp, target)
+        renamed && {
+          val observed =
+            try {
+              val in = f.open(target)
+              try java.util.Arrays.equals(in.readAllBytes(), bytes)
+              finally in.close()
+            } catch { case _: Exception => false }
+          observed
+        }
+      }
+    f.delete(tmp, false)
+    if (!won)
+      throw new IllegalStateException(
+        s"Concurrent Delta commit detected for version $version at $table")
+  }
+}

@@ -17,8 +17,19 @@ object Destinations {
   def prepare(spark: SparkSession, dest: Destination): Unit = dest match {
     case d: ManagedTableDestination =>
       ObjectStores.configure(spark, d.location, d.storageConfig)
-      ManagedTable.createIfAbsent(spark, d.location, d.schema, d.partitionColumns,
-        d.tableProperties ++ d.metadata)
+      // real-Delta routing, symmetric with the source side: a target that
+      // already carries a `_delta_log` is written via the Delta protocol;
+      // `format: delta_log` in table properties creates a new real Delta
+      // table. Everything else stays on the managed-table log.
+      if (graft.sources.DeltaLog.isDeltaTable(spark, d.location.spark)) ()
+      else if (d.tableProperties.get("format").contains("delta_log")) {
+        require(d.schema.nonEmpty,
+          s"Creating a Delta table at ${d.location.spark} requires a declared schema")
+        DeltaWrite.createIfAbsent(spark, d.location.spark,
+          graft.config.Types.toStruct(d.schema), d.partitionColumns)
+      } else
+        ManagedTable.createIfAbsent(spark, d.location, d.schema, d.partitionColumns,
+          d.tableProperties ++ d.metadata)
     case d: InMemoryDestination =>
       require(!spark.catalog.tableExists(d.name),
         s"InMemory destination '${d.name}' already exists in the session")
@@ -35,11 +46,18 @@ object Destinations {
       writeFile(spark, d, df)
 
     case d: ManagedTableDestination =>
-      d.writeMode match {
-        case TableAppend => ManagedTable.append(spark, d.location, df)
-        case TableUpsert(keys) => ManagedTable.upsert(spark, d.location, df, keys)
-        case TableReplace(conds) => ManagedTable.replace(spark, d.location, df, conds)
-      }
+      if (graft.sources.DeltaLog.isDeltaTable(spark, d.location.spark))
+        d.writeMode match {
+          case TableAppend => DeltaWrite.append(spark, d.location.spark, df)
+          case TableUpsert(keys) => DeltaWrite.upsert(spark, d.location.spark, df, keys)
+          case TableReplace(conds) => DeltaWrite.replace(spark, d.location.spark, df, conds)
+        }
+      else
+        d.writeMode match {
+          case TableAppend => ManagedTable.append(spark, d.location, df)
+          case TableUpsert(keys) => ManagedTable.upsert(spark, d.location, df, keys)
+          case TableReplace(conds) => ManagedTable.replace(spark, d.location, df, conds)
+        }
 
     case d: JdbcDestination => Jdbc.write(spark, d, df)
   }

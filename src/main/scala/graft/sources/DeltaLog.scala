@@ -144,9 +144,12 @@ object DeltaLog {
           val add = node.get("add")
           if (add != null && !add.isNull) {
             val p = add.get("path").asText()
+            // a JSON-null partition value is a NULL partition (the spec's
+            // encoding) — asText() would stringify it to "null"
             val pv = Option(add.get("partitionValues"))
               .filterNot(_.isNull)
-              .map(n => n.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+              .map(n => n.fields().asScala.map(e =>
+                e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
               .getOrElse(Map.empty[String, String])
             live += p -> AddFile(p, pv)
           }
@@ -158,6 +161,16 @@ object DeltaLog {
     require(schema != null, s"no metaData action found up to version $targetVersion")
     Snapshot(targetVersion, schema, partCols, live.values.toSeq)
   }
+
+  /** Percent-decode an `add.path` (RFC URI decoding — NOT URLDecoder,
+    * whose form-encoding rules would corrupt a literal '+' into a space).
+    * Paths that fail URI parsing are taken verbatim.
+    */
+  private[graft] def decodePath(p: String): String =
+    try {
+      val u = new java.net.URI(p)
+      if (u.getPath != null) u.getPath else p
+    } catch { case _: java.net.URISyntaxException => p }
 
   /** Open the table as a DataFrame (latest / `versionAsOf` /
     * `timestampAsOf`). Partition columns are injected from the log's
@@ -180,8 +193,7 @@ object DeltaLog {
       .sortBy(_._1.toSeq.sorted.mkString("\u0000")) // deterministic plan order
     val parts = groups.map { case (pv, files) =>
       // paths are table-root-relative and URL-encoded per the spec
-      val paths = files.map(f =>
-        new Path(table, java.net.URLDecoder.decode(f.path, "UTF-8")).toString)
+      val paths = files.map(f => new Path(table, decodePath(f.path)).toString)
       val base = spark.read.schema(dataSchema).parquet(paths: _*)
       s.partitionColumns.foldLeft(base) { (df, pc) =>
         val dt = s.schema(pc).dataType

@@ -1,0 +1,189 @@
+package graft.destinations
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import graft.config.{Location, ManagedTableDestination, ReplaceCondition, TableAppend, TableUpsert, Types}
+import graft.sources.DeltaLog
+
+/** The Delta WRITE half of the protocol bridge: every table written here is
+  * read back through [[DeltaLog]] (the independent read path), and the raw
+  * `_delta_log` JSON is parsed directly to pin protocol conformance — the
+  * shape any external Delta reader would see.
+  */
+class DeltaWriteSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+
+  private def logLines(table: java.nio.file.Path, version: Long): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    val f = table.resolve("_delta_log").resolve(f"$version%020d.json")
+    java.nio.file.Files.readString(f).linesIterator
+      .filter(_.trim.nonEmpty).map(mapper.readTree).toSeq
+  }
+
+  private def action(nodes: Seq[com.fasterxml.jackson.databind.JsonNode], name: String) =
+    nodes.flatMap(n => Option(n.get(name)))
+
+  test("create + append round-trips through the read bridge; v0 is protocol-conformant") {
+    import spark.implicits._
+    val table = tmpDir("dw-basic")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    assert(DeltaWrite.createIfAbsent(spark, table.toString, schema))
+    assert(!DeltaWrite.createIfAbsent(spark, table.toString, schema)) // idempotent
+
+    val v0 = logLines(table, 0L)
+    val proto = action(v0, "protocol").head
+    assert(proto.get("minReaderVersion").asInt == 1 && proto.get("minWriterVersion").asInt == 2)
+    val meta = action(v0, "metaData").head
+    assert(meta.get("format").get("provider").asText == "parquet")
+    assert(meta.get("schemaString").asText.contains("\"id\""))
+    assert(meta.get("id").asText.nonEmpty)
+    assert(action(v0, "commitInfo").nonEmpty)
+
+    val ver1 = DeltaWrite.append(spark, table.toString,
+      Seq((1L, "one"), (2L, "two")).toDF("id", "v"))
+    assert(ver1 == 1L)
+    val adds = action(logLines(table, 1L), "add")
+    assert(adds.nonEmpty)
+    adds.foreach { a =>
+      assert(!a.get("path").asText.startsWith("/")) // table-relative
+      assert(a.get("size").asLong > 0)
+      assert(a.get("modificationTime").asLong > 0)
+      assert(a.get("dataChange").asBoolean)
+      assert(a.get("partitionValues").size == 0)
+    }
+
+    DeltaWrite.append(spark, table.toString, Seq((3L, "three")).toDF("id", "v"))
+    val back = DeltaLog.read(spark, table.toString).orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "one"), (2L, "two"), (3L, "three")))
+    // time travel still works against our own commits
+    assert(DeltaLog.read(spark, table.toString, versionAsOf = Some(1L)).count() == 2)
+  }
+
+  test("partitioned writes: hive layout, partitionValues in the log, null partitions") {
+    import spark.implicits._
+    val table = tmpDir("dw-part")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("part", StringType)))
+    DeltaWrite.createIfAbsent(spark, table.toString, schema, partitionBy = Seq("part"))
+    DeltaWrite.append(spark, table.toString,
+      Seq((1L, "one", "a"), (2L, "two", "b"), (3L, "three", null))
+        .toDF("id", "v", "part"))
+
+    val adds = action(logLines(table, 1L), "add")
+    val pvs = adds.map(a => Option(a.get("partitionValues").get("part"))
+      .filterNot(_.isNull).map(_.asText))
+    assert(pvs.toSet == Set(Some("a"), Some("b"), None))
+    adds.foreach(a => assert(a.get("path").asText.contains("part=")))
+
+    // data files must NOT embed the partition column (spec: log-only)
+    val firstData = adds.head.get("path").asText
+    val raw = spark.read.parquet(table.resolve(
+      java.net.URLDecoder.decode(firstData, "UTF-8")).toString)
+    assert(!raw.columns.contains("part"))
+
+    val back = DeltaLog.read(spark, table.toString).orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), Option(r.getString(2)))).toSeq ==
+      Seq((1L, Some("a")), (2L, Some("b")), (3L, None)))
+  }
+
+  test("overwrite removes the previous snapshot's files in the log") {
+    import spark.implicits._
+    val table = tmpDir("dw-ow")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, table.toString, schema)
+    DeltaWrite.append(spark, table.toString, Seq((1L, "old")).toDF("id", "v"))
+    val addedV1 = action(logLines(table, 1L), "add").map(_.get("path").asText).toSet
+
+    DeltaWrite.overwrite(spark, table.toString, Seq((9L, "new")).toDF("id", "v"))
+    val v2 = logLines(table, 2L)
+    val removed = action(v2, "remove").map(_.get("path").asText).toSet
+    assert(removed == addedV1)
+    action(v2, "remove").foreach { r =>
+      assert(r.get("deletionTimestamp").asLong > 0 && r.get("dataChange").asBoolean)
+    }
+    val back = DeltaLog.read(spark, table.toString).collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "new")))
+    // the overwritten history is still readable (no physical delete)
+    assert(DeltaLog.read(spark, table.toString, versionAsOf = Some(1L))
+      .collect().head.getString(1) == "old")
+  }
+
+  test("upsert and replace compose to ManagedTable semantics over the Delta protocol") {
+    import spark.implicits._
+    val table = tmpDir("dw-merge")
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, table.toString, schema)
+    DeltaWrite.append(spark, table.toString,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+
+    DeltaWrite.upsert(spark, table.toString,
+      Seq((2L, "B"), (4L, "D")).toDF("k", "v"), keys = Seq("k"))
+    val afterUpsert = DeltaLog.read(spark, table.toString).orderBy("k").collect()
+    assert(afterUpsert.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+
+    DeltaWrite.replace(spark, table.toString,
+      Seq((7L, "r")).toDF("k", "v"), Seq(ReplaceCondition("v", "B")))
+    val afterReplace = DeltaLog.read(spark, table.toString).orderBy("k").collect()
+    assert(afterReplace.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (3L, "c"), (4L, "D"), (7L, "r")))
+  }
+
+  test("append survives a lost commit race by rebasing onto the new version") {
+    import spark.implicits._
+    val table = tmpDir("dw-race")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, table.toString, schema)
+    // steal version 1 the way a concurrent writer would
+    val log = table.resolve("_delta_log")
+    java.nio.file.Files.writeString(log.resolve(f"${1L}%020d.json"),
+      """{"commitInfo":{"operation":"WRITE"}}""" + "\n")
+    val v = DeltaWrite.append(spark, table.toString, Seq((1L, "one")).toDF("id", "v"))
+    assert(v == 2L)
+    assert(DeltaLog.read(spark, table.toString).count() == 1)
+  }
+
+  test("a `type: delta` destination writes the real Delta protocol when the target is one") {
+    import spark.implicits._
+    val table = tmpDir("dw-dest")
+    val fields = Seq(
+      Types.FieldSpec("id", LongType), Types.FieldSpec("v", StringType))
+    val dest = ManagedTableDestination("dw_tbl", Location(table.toString), TableAppend,
+      schema = fields, tableProperties = Map("format" -> "delta_log"))
+    Destinations.prepare(spark, dest)
+    assert(DeltaLog.isDeltaTable(spark, table.toString)) // created as REAL Delta
+    Destinations.write(spark, dest, Seq((1L, "one")).toDF("id", "v"))
+    Destinations.write(spark,
+      dest.copy(writeMode = TableUpsert(Seq("id"))),
+      Seq((1L, "ONE"), (2L, "two")).toDF("id", "v"))
+    // no managed-table log was ever created — this is pure Delta protocol
+    assert(!java.nio.file.Files.exists(table.resolve("_log")))
+    val back = DeltaLog.read(spark, table.toString).orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "ONE"), (2L, "two")))
+  }
+
+  test("hive-escaped partition values unescape into the log (and '+' survives)") {
+    assert(DeltaWrite.unescapePathName("a%20b") == "a b")
+    assert(DeltaWrite.unescapePathName("a+b") == "a+b") // URLDecoder would break this
+    assert(DeltaWrite.unescapePathName("plain") == "plain")
+    assert(DeltaWrite.unescapePathName("bad%zz") == "bad%zz")
+    import spark.implicits._
+    val table = tmpDir("dw-esc")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("part", StringType)))
+    DeltaWrite.createIfAbsent(spark, table.toString, schema, partitionBy = Seq("part"))
+    DeltaWrite.append(spark, table.toString,
+      Seq((1L, "x y"), (2L, "a+b")).toDF("id", "part"))
+    val pvs = action(logLines(table, 1L), "add")
+      .map(_.get("partitionValues").get("part").asText).toSet
+    assert(pvs == Set("x y", "a+b"))
+    val back = DeltaLog.read(spark, table.toString).orderBy("id").collect()
+    assert(back.map(_.getString(1)).toSeq == Seq("x y", "a+b"))
+  }
+}
