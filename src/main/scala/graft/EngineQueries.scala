@@ -1706,6 +1706,40 @@ object EngineQueries {
           """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
              FROM p9_orders WHERE o_orderstatus = 'F' AND o_custkey < 500
              ORDER BY o_orderkey""")))))
+    }),
+
+    // REAL Delta protocol end-to-end: `format: delta_log` creates an actual
+    // `_delta_log` table (hive-partitioned), the second pipeline MERGEs into
+    // it through the Delta write path, and the result is read back through
+    // the independent read bridge — engine-written log, engine-replayed log,
+    // oracle-checked final state.
+    "p14_pipeline_delta" -> ((s, dir) => {
+      val tbl = tmp("graft-p14").resolve("tbl").toString
+      val schema = Seq(
+        Types.FieldSpec("o_orderkey", LongType),
+        Types.FieldSpec("o_custkey", LongType),
+        Types.FieldSpec("o_totalprice", DoubleType),
+        Types.FieldSpec("o_orderstatus", StringType))
+      val src = FileSource("p14_orders", ParquetFormat(), Location(s"$dir/orders.parquet"))
+      def dest(mode: TableWriteMode) = ManagedTableDestination("p14_tbl",
+        Location(tbl), mode, partitionColumns = Seq("o_orderstatus"),
+        tableProperties = Map("format" -> "delta_log"), schema = schema)
+      pipe(s, Aqueduct(
+        sources = Seq(src),
+        stages = Seq(Seq(Stage("p14_initial",
+          """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             FROM p14_orders WHERE o_orderkey % 3 = 0"""))),
+        destination = Some(dest(TableAppend))))
+      pipe(s, Aqueduct(
+        sources = Seq(src),
+        stages = Seq(Seq(Stage("p14_updates",
+          """SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+             FROM p14_orders WHERE o_orderkey % 2 = 0"""))),
+        destination = Some(dest(TableUpsert(Seq("o_orderkey"))))))
+      require(graft.sources.DeltaLog.isDeltaTable(s, tbl), "p14 target is not a real Delta table")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -2806,6 +2840,12 @@ object EngineQueries {
     "p09_pipeline_dirsource" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
          WHERE o_orderstatus = 'F' AND o_custkey < 500 ORDER BY o_orderkey""",
+    "p14_pipeline_delta" ->
+      """SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+         FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 2 = 0
+         ORDER BY o_orderkey""",
     "p12_pipeline_curation" ->
       """WITH s AS (
            SELECT doc_id,
