@@ -85,6 +85,7 @@ object DeltaWrite {
       try {
         commit(spark, new Path(tablePath), version, "WRITE",
           withMeta = None, adds = adds, removes = Nil)
+        maybeCheckpoint(spark, tablePath, version)
         return version
       } catch {
         case _: IllegalStateException if attempts < 5 =>
@@ -115,8 +116,10 @@ object DeltaWrite {
             .filterNot(f => dataSchema.fieldNames.contains(f.name)))
         Some((full, snap.partitionColumns))
       } else None
-    commit(spark, new Path(tablePath), snap.version + 1, "WRITE",
+    val v = commit(spark, new Path(tablePath), snap.version + 1, "WRITE",
       withMeta = meta, adds = adds, removes = snap.files.map(_.path))
+    maybeCheckpoint(spark, tablePath, v)
+    v
   }
 
   /** MERGE keyed on `keys` via read-modify-write: existing rows whose key
@@ -158,6 +161,99 @@ object DeltaWrite {
     }.reduce(_ && _)
     overwrite(spark, tablePath, current.filter(not(pred)).unionByName(incoming))
   }
+
+  // ------------------------------------------------------------ checkpoint
+
+  /** Auto-checkpoint cadence for append/overwrite commits (delta-spark's
+    * default interval): every 10th version gets a parquet checkpoint so
+    * snapshot replay stays bounded on long-lived tables.
+    */
+  val checkpointInterval = 10
+
+  /** Write a protocol checkpoint (`<version %020d>.checkpoint.parquet` +
+    * `_last_checkpoint`) of the CURRENT snapshot: one parquet row per
+    * action — protocol, metaData (the table's original identity, carried
+    * through [[DeltaLog.Snapshot.metaDataRaw]]), and every live add with
+    * `dataChange: false`. Remove tombstones are not checkpointed (they
+    * only coordinate vacuum retention, which stays with the maintenance
+    * job). Returns the checkpointed version.
+    */
+  def checkpoint(spark: SparkSession, tablePath: String): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val table = new Path(tablePath)
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val strMap = MapType(StringType, StringType, valueContainsNull = true)
+    val cpSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", strMap)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", strMap),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", strMap),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    val metaNode = snap.metaDataRaw.map(mapper.readTree)
+    def metaField(f: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+      metaNode.flatMap(n => Option(n.get(f)).filterNot(_.isNull))
+    val metaRow = Row(
+      metaField("id").map(_.asText).getOrElse(java.util.UUID.randomUUID().toString),
+      Row("parquet", Map.empty[String, String]),
+      snap.schema.json,
+      snap.partitionColumns,
+      Map.empty[String, String],
+      metaField("createdTime").map(_.asLong()).getOrElse(System.currentTimeMillis()))
+    val rows: Seq[Row] =
+      Seq(Row(Row(1, 2), null, null), Row(null, metaRow, null)) ++
+        snap.files.map(f =>
+          Row(null, null, Row(f.path, f.partitionValues, f.size, f.modificationTime, false)))
+    val f = fs(spark, table)
+    val tmp = new Path(logDir(table), s".cp-tmp-${java.util.UUID.randomUUID()}")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), cpSchema)
+      .coalesce(1).write.parquet(tmp.toString)
+    val part = {
+      val it = f.listFiles(tmp, false)
+      var found: Path = null
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet")) found = s.getPath
+      }
+      require(found != null, s"checkpoint write produced no parquet part in $tmp")
+      found
+    }
+    val target = new Path(logDir(table), f"${snap.version}%020d.checkpoint.parquet")
+    f.delete(target, false) // re-checkpointing a version is idempotent
+    if (!f.rename(part, target))
+      throw new IllegalStateException(s"Failed to publish checkpoint $target")
+    f.delete(tmp, true)
+    // _last_checkpoint is advisory (plain overwrite per spec)
+    val lc = mapper.createObjectNode()
+    lc.put("version", snap.version)
+    lc.put("size", rows.length.toLong)
+    val out = f.create(new Path(logDir(table), "_last_checkpoint"), true)
+    try out.write(mapper.writeValueAsBytes(lc)) finally out.close()
+    snap.version
+  }
+
+  /** Best-effort auto-checkpoint: the commit it follows is already
+    * durable, so a checkpoint failure must not fail the write — the next
+    * interval-crossing commit simply retries it.
+    */
+  private def maybeCheckpoint(spark: SparkSession, tablePath: String, version: Long): Unit =
+    if (version > 0 && version % checkpointInterval == 0)
+      try checkpoint(spark, tablePath)
+      catch { case scala.util.control.NonFatal(_) => () }
 
   // ------------------------------------------------------------ data files
 

@@ -30,13 +30,22 @@ import scala.jdk.CollectionConverters._
   */
 object DeltaLog {
 
-  final case class AddFile(path: String, partitionValues: Map[String, String])
+  final case class AddFile(
+      path: String,
+      partitionValues: Map[String, String],
+      size: Long = 0L,
+      modificationTime: Long = 0L)
 
+  /** `metaDataRaw` is the latest metaData action's raw JSON object —
+    * carried so checkpoint writers can re-emit the table's identity (id,
+    * format, configuration) without inventing a new one.
+    */
   final case class Snapshot(
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
-      files: Seq[AddFile])
+      files: Seq[AddFile],
+      metaDataRaw: Option[String] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -68,60 +77,82 @@ object DeltaLog {
         case _ => None
       }
     }.sortBy(_._1)
-    require(commits.nonEmpty, s"empty _delta_log at $tablePath")
+    val allCheckpointVersions = entries.flatMap { st =>
+      st.getPath.getName match {
+        case CheckpointRe(v, _) => Some(v.toLong)
+        case _ => None
+      }
+    }.distinct.sorted
+    require(commits.nonEmpty || allCheckpointVersions.nonEmpty,
+      s"empty _delta_log at $tablePath")
 
     // timestamp travel: last commit whose file modification time <= ts
     // (the Delta spec's in-commit timestamps are optional; modification
     // time is the protocol's documented fallback)
+    val latestVersion = (commits.map(_._1) ++ allCheckpointVersions).max
     val targetVersion = (versionAsOf, timestampAsOf) match {
       case (Some(v), _) =>
-        require(commits.exists(_._1 == v),
-          s"version $v not in _delta_log (have ${commits.head._1}..${commits.last._1})")
+        // a version is reachable via its JSON commit OR a checkpoint at it
+        // (JSON commits at/below a checkpoint may have been cleaned up)
+        require(commits.exists(_._1 == v) || allCheckpointVersions.contains(v),
+          s"version $v not in _delta_log (latest: $latestVersion)")
         v
       case (None, Some(ts)) =>
         val upTo = commits.filter(_._2.getModificationTime <= ts.toEpochMilli)
         require(upTo.nonEmpty, s"no Delta version at or before $ts")
         upTo.last._1
-      case _ => commits.last._1
+      case _ => latestVersion
     }
 
     // newest checkpoint at or below the target version seeds the state;
     // JSON commits after it replay on top
-    val checkpointVersions = entries.flatMap { st =>
-      st.getPath.getName match {
-        case CheckpointRe(v, _) => Some(v.toLong)
-        case _ => None
-      }
-    }.distinct.filter(_ <= targetVersion)
-    val fromCheckpoint = checkpointVersions.sorted.lastOption
+    val fromCheckpoint = allCheckpointVersions.filter(_ <= targetVersion).lastOption
 
     var schema: StructType = null
     var partCols: Seq[String] = Nil
+    var metaRaw: Option[String] = None
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+
+    def applyMeta(meta: JsonNode): Unit = {
+      schema = DataType.fromJson(meta.get("schemaString").asText())
+        .asInstanceOf[StructType]
+      partCols = Option(meta.get("partitionColumns"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+      metaRaw = Some(meta.toString)
+    }
+    def applyAdd(add: JsonNode): Unit = {
+      val p = add.get("path").asText()
+      // a JSON-null partition value is a NULL partition (the spec's
+      // encoding) — asText() would stringify it to "null"
+      val pv = Option(add.get("partitionValues"))
+        .filterNot(_.isNull)
+        .map(n => n.fields().asScala.map(e =>
+          e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+        .getOrElse(Map.empty[String, String])
+      val size = Option(add.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L)
+      val mt = Option(add.get("modificationTime")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L)
+      live += p -> AddFile(p, pv, size, mt)
+    }
 
     fromCheckpoint.foreach { cv =>
       val parts = entries.filter(_.getPath.getName match {
         case CheckpointRe(v, _) => v.toLong == cv
         case _ => false
       }).map(_.getPath.toString)
-      // checkpoint = parquet rows of the same actions; tolerate extra
-      // columns by selecting only the protocol fields the replay needs
+      // checkpoint = parquet rows of the same actions. Serializing each
+      // action struct back to JSON funnels both log representations
+      // through ONE parser, carrying whatever optional fields (id,
+      // size, configuration, …) the checkpoint writer recorded.
       val cp = spark.read.parquet(parts: _*)
       val cols = cp.columns.toSet
       if (cols.contains("metaData"))
-        cp.select(col("metaData.schemaString"), col("metaData.partitionColumns"))
-          .filter(col("metaData.schemaString").isNotNull)
-          .collect().lastOption.foreach { r =>
-            schema = DataType.fromJson(r.getString(0)).asInstanceOf[StructType]
-            partCols = r.getSeq[String](1)
-          }
+        cp.filter(col("metaData.schemaString").isNotNull)
+          .select(to_json(col("metaData")))
+          .collect().lastOption.foreach(r => applyMeta(mapper.readTree(r.getString(0))))
       if (cols.contains("add"))
-        cp.select(col("add.path"), col("add.partitionValues"))
-          .filter(col("add.path").isNotNull)
-          .collect().foreach { r =>
-            val pv = Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)
-            live += r.getString(0) -> AddFile(r.getString(0), pv)
-          }
+        cp.filter(col("add.path").isNotNull)
+          .select(to_json(col("add")))
+          .collect().foreach(r => applyAdd(mapper.readTree(r.getString(0))))
       // a checkpoint is a complete state: removes already applied
     }
 
@@ -135,31 +166,16 @@ object DeltaLog {
         content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
           val node = mapper.readTree(line)
           val meta = node.get("metaData")
-          if (meta != null && !meta.isNull) {
-            schema = DataType.fromJson(meta.get("schemaString").asText())
-              .asInstanceOf[StructType]
-            partCols = Option(meta.get("partitionColumns"))
-              .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
-          }
+          if (meta != null && !meta.isNull) applyMeta(meta)
           val add = node.get("add")
-          if (add != null && !add.isNull) {
-            val p = add.get("path").asText()
-            // a JSON-null partition value is a NULL partition (the spec's
-            // encoding) — asText() would stringify it to "null"
-            val pv = Option(add.get("partitionValues"))
-              .filterNot(_.isNull)
-              .map(n => n.fields().asScala.map(e =>
-                e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
-              .getOrElse(Map.empty[String, String])
-            live += p -> AddFile(p, pv)
-          }
+          if (add != null && !add.isNull) applyAdd(add)
           val remove = node.get("remove")
           if (remove != null && !remove.isNull)
             live -= remove.get("path").asText()
         }
       }
     require(schema != null, s"no metaData action found up to version $targetVersion")
-    Snapshot(targetVersion, schema, partCols, live.values.toSeq)
+    Snapshot(targetVersion, schema, partCols, live.values.toSeq, metaRaw)
   }
 
   /** Percent-decode an `add.path` (RFC URI decoding — NOT URLDecoder,

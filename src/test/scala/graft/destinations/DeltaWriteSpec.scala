@@ -168,6 +168,55 @@ class DeltaWriteSpec extends SparkSpec {
       Seq((1L, "ONE"), (2L, "two")))
   }
 
+  test("checkpoint seeds replay after JSON-commit cleanup; auto-checkpoint fires at the interval") {
+    import spark.implicits._
+    val table = tmpDir("dw-cp")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("part", StringType)))
+    DeltaWrite.createIfAbsent(spark, table.toString, schema, partitionBy = Seq("part"))
+    DeltaWrite.append(spark, table.toString, Seq((1L, "a"), (2L, null)).toDF("id", "part"))
+    DeltaWrite.append(spark, table.toString, Seq((3L, "b")).toDF("id", "part"))
+
+    val cpVersion = DeltaWrite.checkpoint(spark, table.toString)
+    assert(cpVersion == 2L)
+    val log = table.resolve("_delta_log")
+    val cpFile = log.resolve(f"${2L}%020d.checkpoint.parquet")
+    assert(java.nio.file.Files.exists(cpFile))
+    val lc = mapper.readTree(java.nio.file.Files.readString(log.resolve("_last_checkpoint")))
+    assert(lc.get("version").asLong == 2L && lc.get("size").asLong > 0)
+
+    // checkpoint content: protocol + metaData rows present, adds carry
+    // dataChange=false and real sizes — what an external reader expects
+    val cp = spark.read.parquet(cpFile.toString)
+    assert(cp.filter(col("protocol.minReaderVersion") === 1).count() == 1)
+    val metaRows = cp.filter(col("metaData.schemaString").isNotNull)
+    assert(metaRows.count() == 1)
+    assert(metaRows.select("metaData.partitionColumns").as[Seq[String]].head == Seq("part"))
+    val addRows = cp.filter(col("add.path").isNotNull)
+    assert(addRows.count() == 3) // a, null, b partitions — one file each
+    assert(addRows.filter(col("add.size") <= 0 || col("add.dataChange")).count() == 0)
+
+    // delete the JSON commits the checkpoint covers (log cleanup) — the
+    // snapshot must rebuild from the checkpoint alone and replay the tail
+    (0L to 2L).foreach(v => java.nio.file.Files.delete(log.resolve(f"$v%020d.json")))
+    val back = DeltaLog.read(spark, table.toString).orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((1L, Some("a")), (2L, None), (3L, Some("b"))))
+    // the table identity survives the checkpoint round trip
+    val snap = DeltaLog.snapshot(spark, table.toString)
+    assert(snap.metaDataRaw.exists(m => mapper.readTree(m).get("id").asText.nonEmpty))
+    // and writes continue on top of a checkpoint-seeded snapshot
+    DeltaWrite.append(spark, table.toString, Seq((4L, "a")).toDF("id", "part"))
+    assert(DeltaLog.read(spark, table.toString).count() == 4)
+
+    // auto-checkpoint: cross version 10 with appends → checkpoint appears
+    (DeltaLog.snapshot(spark, table.toString).version until 10L).foreach { _ =>
+      DeltaWrite.append(spark, table.toString, Seq((9L, "a")).toDF("id", "part"))
+    }
+    assert(DeltaLog.snapshot(spark, table.toString).version >= 10L)
+    assert(java.nio.file.Files.exists(log.resolve(f"${10L}%020d.checkpoint.parquet")))
+  }
+
   test("hive-escaped partition values unescape into the log (and '+' survives)") {
     assert(DeltaWrite.unescapePathName("a%20b") == "a b")
     assert(DeltaWrite.unescapePathName("a+b") == "a+b") // URLDecoder would break this
