@@ -122,28 +122,85 @@ object DeltaWrite {
     v
   }
 
-  /** MERGE keyed on `keys` via read-modify-write: existing rows whose key
-    * matches an incoming row are replaced, everything else is kept. Same
-    * semantics as [[ManagedTable.upsert]] (reference delta/src/lib.rs:249-286),
-    * expressed as one distributed anti-join + overwrite commit.
+  /** MERGE keyed on `keys`: existing rows whose key matches an incoming
+    * row are replaced, everything else is kept — [[ManagedTable.upsert]]
+    * semantics (reference delta/src/lib.rs:249-286) over the Delta
+    * protocol, with two-stage file pruning: add-action stats range-exclude
+    * files driver-side (never read), then an exact `_metadata.file_path`
+    * semi-join over the surviving candidates finds the files that really
+    * hold matching keys. Only touched files are removed and rewritten; the
+    * rest of the table is untouched bytes AND untouched log entries — a
+    * sparse upsert into a 100 TB table reads the candidate slice and
+    * rewrites only the hit files.
     */
   def upsert(spark: SparkSession, tablePath: String, df: DataFrame, keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, max => smax, min => smin, sum}
+    require(keys.nonEmpty, "upsert requires at least one key column")
     val snap = DeltaLog.snapshot(spark, tablePath)
     keys.foreach(k => require(snap.schema.fieldNames.contains(k), s"upsert key $k not in table"))
-    val incoming = ManagedTable.castToSchema(df, snap.schema)
-    val current = DeltaLog.read(spark, tablePath)
-    val keyCols = keys.map(k => (k, snap.schema(k).dataType))
-    val cond = keyCols.map { case (k, dt) =>
-      ManagedTable.keyEquals(current(k), incoming(k), dt)
-    }.reduce(_ && _)
-    val kept = current.join(incoming, cond, "left_anti")
-    val merged = kept.unionByName(incoming)
-    overwrite(spark, tablePath, merged)
+    val incoming = ManagedTable.castToSchema(df, snap.schema).cache()
+    try {
+      val keyTypes = keys.map(k => k -> snap.schema(k).dataType).toMap
+
+      // stage 1: incoming per-key min/max/has-null (one small aggregate to
+      // the driver) range-prunes files on their add-action stats
+      val candidates =
+        if (snap.files.isEmpty) Nil
+        else {
+          val aggs = keys.flatMap(k => Seq(
+            smin(col(k)).as(s"_min_$k"), smax(col(k)).as(s"_max_$k"),
+            sum(col(k).isNull.cast("long")).as(s"_null_$k")))
+          val r = incoming.agg(aggs.head, aggs.tail: _*).collect()(0)
+          val inMin = keys.map(k => k -> r.get(r.fieldIndex(s"_min_$k"))).toMap
+          val inMax = keys.map(k => k -> r.get(r.fieldIndex(s"_max_$k"))).toMap
+          val inHasNull = keys.map(k => k -> (r.getLong(r.fieldIndex(s"_null_$k")) > 0L)).toMap
+          snap.files.filter(f => keys.forall(k =>
+            StatsPrune.mayContain(f.stats, k, keyTypes(k),
+              inMin(k), inMax(k), inHasNull(k))))
+        }
+
+      // stage 2: exact file-level hit detection over candidates only
+      val srcKeys = incoming.select(keys.map(col): _*).distinct()
+      val srcKeysB = if (snap.files.size > 4) broadcast(srcKeys) else srcKeys
+      val touched: Seq[DeltaLog.AddFile] =
+        if (candidates.isEmpty) Nil
+        else {
+          val cand = DeltaLog.readFiles(spark, tablePath, snap, candidates, withFilePath = true)
+          val cond = keys.map(k =>
+            ManagedTable.keyEquals(cand(k), srcKeysB(k), keyTypes(k))).reduce(_ && _)
+          val hit = cand.join(srcKeysB, cond, "left_semi")
+            .select(col("_graft_file")).distinct()
+            .collect().map(r => new Path(r.getString(0)).toString).toSet
+          val table = new Path(tablePath)
+          val f = fs(spark, table)
+          candidates.filter(c => hit.contains(
+            new Path(f.makeQualified(new Path(table, DeltaLog.decodePath(c.path))).toString).toString))
+        }
+
+      // survivors of touched files keep their non-matching rows
+      val rewritten =
+        if (touched.isEmpty) incoming
+        else {
+          val touchedDf = DeltaLog.readFiles(spark, tablePath, snap, touched)
+          val cond = keys.map(k =>
+            ManagedTable.keyEquals(touchedDf(k), srcKeysB(k), keyTypes(k))).reduce(_ && _)
+          touchedDf.join(srcKeysB, cond, "left_anti")
+            .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+            .unionByName(incoming)
+        }
+      val adds = writeDataFiles(spark, new Path(tablePath), rewritten, snap.partitionColumns)
+      commit(spark, new Path(tablePath), snap.version + 1, "MERGE",
+        withMeta = None, adds = adds, removes = touched.map(_.path))
+    } finally incoming.unpersist()
   }
 
   /** Delete rows matching ALL `conditions` (empty ⇒ full overwrite), then
     * write `df` — [[ManagedTable.replace]] semantics over the Delta
-    * protocol, as one filtered rewrite commit.
+    * protocol. Files are pruned before any read: partition-column
+    * conditions match against the log's `partitionValues` exactly, other
+    * conditions range-check add-action stats; only files that can hold
+    * matching rows are scanned, and of those only the ones that DO get
+    * removed and rewritten.
     */
   def replace(
       spark: SparkSession,
@@ -154,12 +211,44 @@ object DeltaWrite {
     val snap = DeltaLog.snapshot(spark, tablePath)
     val incoming = ManagedTable.castToSchema(df, snap.schema)
     if (conditions.isEmpty) return overwrite(spark, tablePath, incoming)
-    val current = DeltaLog.read(spark, tablePath)
+    conditions.foreach(c => require(snap.schema.fieldNames.contains(c.column),
+      s"replace column '${c.column}' not in table"))
     val pred = conditions.map { c =>
-      val dt = snap.schema(c.column).dataType
-      col(c.column) <=> lit(c.value).cast(dt)
+      col(c.column) <=> lit(c.value).cast(snap.schema(c.column).dataType)
     }.reduce(_ && _)
-    overwrite(spark, tablePath, current.filter(not(pred)).unionByName(incoming))
+
+    val candidates = snap.files.filter { f =>
+      conditions.forall { c =>
+        if (snap.partitionColumns.contains(c.column))
+          f.partitionValues.get(c.column) match {
+            case Some(null) => false // NULL partition never <=> a value
+            case Some(v) => StatsPrune.partitionValueMatches(v, c.value)
+            case None => true // value not recorded — stay a candidate
+          }
+        else
+          StatsPrune.mayContainValue(f.stats, c.column,
+            snap.schema(c.column).dataType, c.value)
+      }
+    }
+    val touched: Seq[DeltaLog.AddFile] =
+      if (candidates.isEmpty) Nil
+      else {
+        val cand = DeltaLog.readFiles(spark, tablePath, snap, candidates, withFilePath = true)
+        val hit = cand.filter(pred).select(col("_graft_file")).distinct()
+          .collect().map(r => new Path(r.getString(0)).toString).toSet
+        val table = new Path(tablePath)
+        val f = fs(spark, table)
+        candidates.filter(c => hit.contains(
+          new Path(f.makeQualified(new Path(table, DeltaLog.decodePath(c.path))).toString).toString))
+      }
+    val rewritten =
+      if (touched.isEmpty) incoming
+      else DeltaLog.readFiles(spark, tablePath, snap, touched).filter(not(pred))
+        .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+        .unionByName(incoming)
+    val adds = writeDataFiles(spark, new Path(tablePath), rewritten, snap.partitionColumns)
+    commit(spark, new Path(tablePath), snap.version + 1, "DELETE+WRITE",
+      withMeta = None, adds = adds, removes = touched.map(_.path))
   }
 
   // ------------------------------------------------------------ checkpoint
@@ -202,7 +291,8 @@ object DeltaWrite {
         StructField("partitionValues", strMap),
         StructField("size", LongType),
         StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType))))))
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType))))))
     val metaNode = snap.metaDataRaw.map(mapper.readTree)
     def metaField(f: String): Option[com.fasterxml.jackson.databind.JsonNode] =
       metaNode.flatMap(n => Option(n.get(f)).filterNot(_.isNull))
@@ -216,7 +306,8 @@ object DeltaWrite {
     val rows: Seq[Row] =
       Seq(Row(Row(1, 2), null, null), Row(null, metaRow, null)) ++
         snap.files.map(f =>
-          Row(null, null, Row(f.path, f.partitionValues, f.size, f.modificationTime, false)))
+          Row(null, null,
+            Row(f.path, f.partitionValues, f.size, f.modificationTime, false, f.stats.orNull)))
     val f = fs(spark, table)
     val tmp = new Path(logDir(table), s".cp-tmp-${java.util.UUID.randomUUID()}")
     spark.createDataFrame(
@@ -325,14 +416,203 @@ object DeltaWrite {
       }
     }
     f.delete(tmp, true)
-    adds.result()
+    val raw = adds.result()
+    // one columnar scan of the new files attaches per-file pruning stats
+    val dataSchema = StructType(df.schema.fields.filterNot(fd => partitionColumns.contains(fd.name)))
+    val statsMap = computeStats(spark, table, raw, dataSchema)
+    raw.map(a => a.copy(stats = statsMap.get(a.relPath)))
   }
 
   private[destinations] final case class AddDescriptor(
       relPath: String,
       partitionValues: Seq[(String, Option[String])],
       size: Long,
-      modificationTime: Long)
+      modificationTime: Long,
+      stats: Option[String] = None)
+
+  /** Driver-side pruning decisions over add-action stats. Every method is
+    * CONSERVATIVE: it returns false only when the stats PROVE a file cannot
+    * hold a matching row — parse failures, missing columns, truncated or
+    * incomparable values all keep the file a candidate (the exact
+    * file-level pass downstream restores precision; pruning only ever
+    * saves work, never rows).
+    */
+  private[destinations] object StatsPrune {
+    import com.fasterxml.jackson.databind.JsonNode
+    import org.apache.spark.sql.types._
+    import scala.util.control.NonFatal
+
+    private val statsMapper = new ObjectMapper()
+
+    private def str(a: Any): String = a match {
+      case n: JsonNode => if (n.isNumber) n.decimalValue.toPlainString else n.asText
+      case d: java.sql.Date => d.toString
+      case x => x.toString
+    }
+
+    private def compareCodePoints(x: String, y: String): Int = {
+      val xi = x.codePoints().toArray; val yi = y.codePoints().toArray
+      var i = 0
+      while (i < xi.length && i < yi.length) {
+        if (xi(i) != yi(i)) return Integer.compare(xi(i), yi(i))
+        i += 1
+      }
+      Integer.compare(xi.length, yi.length)
+    }
+
+    /** None = incomparable (caller must treat as overlapping). Strings
+      * compare by code point — UTF-16 `compareTo` disagrees with Spark's
+      * UTF-8 binary ordering for astral characters.
+      */
+    private def cmp(dt: DataType, a: Any, b: Any): Option[Int] =
+      try dt match {
+        case _: NumericType =>
+          Some(new java.math.BigDecimal(str(a)).compareTo(new java.math.BigDecimal(str(b))))
+        case StringType => Some(compareCodePoints(str(a), str(b)))
+        case DateType => Some(str(a).compareTo(str(b))) // ISO yyyy-MM-dd
+        case BooleanType =>
+          Some(java.lang.Boolean.compare(str(a).toBoolean, str(b).toBoolean))
+        case _ => None
+      } catch { case NonFatal(_) => None }
+
+    /** Could the file hold a key in [inMin, inMax] (or a null key, when
+      * `inHasNull`)? `inMin == null` means the incoming side is all-null
+      * for this column.
+      */
+    def mayContain(
+        stats: Option[String], colName: String, dt: DataType,
+        inMin: Any, inMax: Any, inHasNull: Boolean): Boolean = stats match {
+      case None => true
+      case Some(js) =>
+        try {
+          val n = statsMapper.readTree(js)
+          val numRecords = Option(n.get("numRecords")).filterNot(_.isNull).map(_.asLong)
+          val nullCount = Option(n.get("nullCount")).flatMap(o => Option(o.get(colName)))
+            .filterNot(_.isNull).map(_.asLong)
+          val fMin = Option(n.get("minValues")).flatMap(o => Option(o.get(colName))).filterNot(_.isNull)
+          val fMax = Option(n.get("maxValues")).flatMap(o => Option(o.get(colName))).filterNot(_.isNull)
+          val nullHit = inHasNull && nullCount.forall(_ > 0L) // unknown → possible
+          val allNullFile = (numRecords, nullCount) match {
+            case (Some(nr), Some(nc)) => nc == nr
+            case _ => false
+          }
+          val rangeHit =
+            if (inMin == null) false // incoming keys all null: only nullHit applies
+            else (fMin, fMax) match {
+              case (Some(lo), Some(hi)) =>
+                cmp(dt, lo, inMax).forall(_ <= 0) && cmp(dt, inMin, hi).forall(_ <= 0)
+              case _ => !allNullFile // no recorded range: prunable only if provably all-null
+            }
+          nullHit || rangeHit
+        } catch { case NonFatal(_) => true }
+    }
+
+    /** Could the file hold `col <=> CAST(value AS dt)` rows? */
+    def mayContainValue(
+        stats: Option[String], colName: String, dt: DataType, value: String): Boolean =
+      mayContain(stats, colName, dt, value, value, inHasNull = false)
+
+    /** Exact partition-value match for replace pruning: false only when the
+      * stored hive value provably differs from the condition value.
+      */
+    def partitionValueMatches(stored: String, v: String): Boolean = {
+      if (stored == v) return true
+      def dec(s: String) =
+        try Some(new java.math.BigDecimal(s)) catch { case NonFatal(_) => None }
+      def date(s: String) =
+        try Some(java.sql.Date.valueOf(s).toString) catch { case NonFatal(_) => None }
+      (dec(stored), dec(v)) match {
+        case (Some(a), Some(b)) => a.compareTo(b) == 0
+        case (None, None) =>
+          (date(stored), date(v)) match {
+            case (Some(a), Some(b)) => a == b
+            case (None, None) => false // two plain strings that differ
+            case _ => true // mixed forms — can't prove, stay a candidate
+          }
+        case _ => true // mixed numeric/non-numeric — can't prove
+      }
+    }
+  }
+
+  // ----------------------------------------------------------- file stats
+
+  /** Columns that get per-file stats: top-level atomic types whose min/max
+    * compare unambiguously from their JSON form. Timestamps are skipped
+    * (documented: their canonical stats form is ISO-with-timezone, whose
+    * cross-engine ordering semantics aren't worth the pruning they'd buy
+    * here); skipped columns simply never prune.
+    */
+  private def statsEligible(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.NumericType => true
+    case org.apache.spark.sql.types.StringType => true
+    case org.apache.spark.sql.types.DateType => true
+    case org.apache.spark.sql.types.BooleanType => true
+    case _ => false
+  }
+
+  private val StatsStringPrefix = 32
+
+  /** One distributed scan over the just-written files → per-file
+    * `{"numRecords":…,"minValues":{…},"maxValues":{…},"nullCount":{…}}`
+    * stats JSON, keyed by table-relative path. Long strings truncate: min
+    * to a prefix (safe — only widens the interval), max to a prefix plus
+    * U+FFFF (delta-spark's tie-breaker, keeping it an upper bound).
+    */
+  private def computeStats(
+      spark: SparkSession,
+      table: Path,
+      adds: Seq[AddDescriptor],
+      dataSchema: StructType): Map[String, String] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max => smax, min => smin, sum}
+    val cols = dataSchema.fields.filter(f => statsEligible(f.dataType)).map(_.name).toSeq
+    if (adds.isEmpty) return Map.empty
+    val f = fs(spark, table)
+    val absToRel = adds.map(a =>
+      f.makeQualified(new Path(table, a.relPath)).toString -> a.relPath).toMap
+    val aggs =
+      count(lit(1)).as("_n") +:
+        cols.flatMap(c => Seq(
+          smin(col(c)).as(s"_min_$c"), smax(col(c)).as(s"_max_$c"),
+          sum(col(c).isNull.cast("long")).as(s"_null_$c")))
+    val rows = spark.read.schema(dataSchema).parquet(absToRel.keys.toSeq: _*)
+      .groupBy(col("_metadata.file_path").as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.flatMap { r =>
+      val abs = new Path(r.getString(0)).toString
+      absToRel.get(abs).orElse(
+        absToRel.find { case (k, _) => new Path(k).toString == abs }.map(_._2)
+      ).map { rel =>
+        val node = mapper.createObjectNode()
+        node.put("numRecords", r.getLong(r.fieldIndex("_n")))
+        val minV = node.putObject("minValues")
+        val maxV = node.putObject("maxValues")
+        val nullC = node.putObject("nullCount")
+        cols.foreach { c =>
+          def put(o: com.fasterxml.jackson.databind.node.ObjectNode, v: Any, upper: Boolean): Unit =
+            v match {
+              case null => ()
+              case s: String =>
+                if (s.length <= StatsStringPrefix) o.put(c, s)
+                else if (upper) o.put(c, s.substring(0, StatsStringPrefix) + "￿")
+                else o.put(c, s.substring(0, StatsStringPrefix))
+              case b: Boolean => o.put(c, b)
+              case d: java.sql.Date => o.put(c, d.toString)
+              case n: java.math.BigDecimal => o.put(c, n)
+              case n: Number =>
+                // NaN/Infinity have no JSON-number form — omit (never prunes)
+                try o.put(c, new java.math.BigDecimal(n.toString))
+                catch { case _: NumberFormatException => () }
+              case other => o.put(c, other.toString)
+            }
+          put(minV, r.get(r.fieldIndex(s"_min_$c")), upper = false)
+          put(maxV, r.get(r.fieldIndex(s"_max_$c")), upper = true)
+          nullC.put(c, r.getLong(r.fieldIndex(s"_null_$c")))
+        }
+        rel -> mapper.writeValueAsString(node)
+      }
+    }.toMap
+  }
 
   // --------------------------------------------------------------- commits
 
@@ -404,6 +684,7 @@ object DeltaWrite {
       add.put("size", a.size)
       add.put("modificationTime", a.modificationTime)
       add.put("dataChange", true)
+      a.stats.foreach(add.put("stats", _))
       lines += mapper.writeValueAsString(an)
     }
 

@@ -34,7 +34,8 @@ object DeltaLog {
       path: String,
       partitionValues: Map[String, String],
       size: Long = 0L,
-      modificationTime: Long = 0L)
+      modificationTime: Long = 0L,
+      stats: Option[String] = None)
 
   /** `metaDataRaw` is the latest metaData action's raw JSON object —
     * carried so checkpoint writers can re-emit the table's identity (id,
@@ -131,7 +132,8 @@ object DeltaLog {
         .getOrElse(Map.empty[String, String])
       val size = Option(add.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L)
       val mt = Option(add.get("modificationTime")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L)
-      live += p -> AddFile(p, pv, size, mt)
+      val stats = Option(add.get("stats")).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
+      live += p -> AddFile(p, pv, size, mt, stats)
     }
 
     fromCheckpoint.foreach { cv =>
@@ -200,17 +202,36 @@ object DeltaLog {
       versionAsOf: Option[Long] = None,
       timestampAsOf: Option[java.time.Instant] = None): DataFrame = {
     val s = snapshot(spark, tablePath, versionAsOf, timestampAsOf)
+    readFiles(spark, tablePath, s, s.files)
+  }
+
+  /** Read a subset of a snapshot's files (the write path's file-pruned
+    * rewrites read only candidate files through this). `withFilePath`
+    * appends the physical path as `_graft_file` for file-level semi-joins.
+    */
+  private[graft] def readFiles(
+      spark: SparkSession,
+      tablePath: String,
+      s: Snapshot,
+      files: Seq[AddFile],
+      withFilePath: Boolean = false): DataFrame = {
     val table = new Path(tablePath)
     val dataSchema = StructType(s.schema.fields.filterNot(f => s.partitionColumns.contains(f.name)))
-    if (s.files.isEmpty)
-      return spark.createDataFrame(
+    if (files.isEmpty) {
+      val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-    val groups = s.files.groupBy(_.partitionValues).toSeq
+      return if (withFilePath) empty.withColumn("_graft_file", lit(null).cast("string"))
+             else empty
+    }
+    val groups = files.groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sorted.mkString("\u0000")) // deterministic plan order
-    val parts = groups.map { case (pv, files) =>
+    val parts = groups.map { case (pv, group) =>
       // paths are table-root-relative and URL-encoded per the spec
-      val paths = files.map(f => new Path(table, decodePath(f.path)).toString)
-      val base = spark.read.schema(dataSchema).parquet(paths: _*)
+      val paths = group.map(f => new Path(table, decodePath(f.path)).toString)
+      val scan = spark.read.schema(dataSchema).parquet(paths: _*)
+      val base =
+        if (withFilePath) scan.withColumn("_graft_file", col("_metadata.file_path"))
+        else scan
       s.partitionColumns.foldLeft(base) { (df, pc) =>
         val dt = s.schema(pc).dataType
         // Delta encodes partition NULL as missing/null entry in the map
@@ -218,6 +239,8 @@ object DeltaLog {
         df.withColumn(pc, raw.map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
       }
     }
-    parts.reduce(_ unionByName _).select(s.schema.fieldNames.toIndexedSeq.map(col): _*)
+    val cols = s.schema.fieldNames.toIndexedSeq.map(col) ++
+      (if (withFilePath) Seq(col("_graft_file")) else Nil)
+    parts.reduce(_ unionByName _).select(cols: _*)
   }
 }

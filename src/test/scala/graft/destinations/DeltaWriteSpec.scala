@@ -168,6 +168,80 @@ class DeltaWriteSpec extends SparkSpec {
       Seq((1L, "ONE"), (2L, "two")))
   }
 
+  test("add actions carry pruning stats; upsert/replace rewrite only the files that hold hits") {
+    import spark.implicits._
+    val table = tmpDir("dw-prune")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, table.toString, schema)
+    // two appends → two files with disjoint id ranges
+    DeltaWrite.append(spark, table.toString,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1))
+    DeltaWrite.append(spark, table.toString,
+      Seq((100L, "x"), (200L, "y")).toDF("id", "v").repartition(1))
+
+    val adds1 = action(logLines(table, 1L), "add")
+    assert(adds1.size == 1)
+    val stats = mapper.readTree(adds1.head.get("stats").asText)
+    assert(stats.get("numRecords").asLong == 2L)
+    assert(stats.get("minValues").get("id").asLong == 1L)
+    assert(stats.get("maxValues").get("id").asLong == 2L)
+    assert(stats.get("nullCount").get("id").asLong == 0L)
+    assert(stats.get("minValues").get("v").asText == "a")
+
+    val lowFile = adds1.head.get("path").asText
+    val highFile = action(logLines(table, 2L), "add").head.get("path").asText
+
+    // upsert hitting only the high range: the low file must survive untouched
+    DeltaWrite.upsert(spark, table.toString,
+      Seq((100L, "X"), (150L, "Z")).toDF("id", "v"), keys = Seq("id"))
+    val v3 = logLines(table, 3L)
+    val removed = action(v3, "remove").map(_.get("path").asText).toSet
+    assert(removed == Set(highFile), s"expected only $highFile removed, got $removed")
+    assert(!removed.contains(lowFile))
+    val afterUpsert = DeltaLog.read(spark, table.toString).orderBy("id").collect()
+    assert(afterUpsert.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (100L, "X"), (150L, "Z"), (200L, "y")))
+
+    // a null incoming key must reach files that hold null keys (null-safe merge)
+    DeltaWrite.append(spark, table.toString,
+      Seq((null.asInstanceOf[java.lang.Long], "n1")).toDF("id", "v").repartition(1))
+    DeltaWrite.upsert(spark, table.toString,
+      Seq((null.asInstanceOf[java.lang.Long], "N2")).toDF("id", "v"), keys = Seq("id"))
+    val nullRows = DeltaLog.read(spark, table.toString).filter(col("id").isNull).collect()
+    assert(nullRows.map(_.getString(1)).toSeq == Seq("N2"))
+
+    // replace on a stats-pruned value: only the file containing it rewrites
+    val before = DeltaLog.snapshot(spark, table.toString)
+    DeltaWrite.replace(spark, table.toString,
+      Seq((2L, "b2")).toDF("id", "v"), Seq(graft.config.ReplaceCondition("id", "2")))
+    val after = DeltaLog.snapshot(spark, table.toString)
+    val removedNow = before.files.map(_.path).toSet -- after.files.map(_.path).toSet
+    assert(removedNow.size == 1) // only the low file held id=2
+    val res = DeltaLog.read(spark, table.toString).filter(col("id") === 2L).collect()
+    assert(res.map(_.getString(1)).toSeq == Seq("b2"))
+  }
+
+  test("partition-condition replace prunes by partitionValues before any scan") {
+    import spark.implicits._
+    val table = tmpDir("dw-prune-part")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("part", StringType)))
+    DeltaWrite.createIfAbsent(spark, table.toString, schema, partitionBy = Seq("part"))
+    DeltaWrite.append(spark, table.toString,
+      Seq((1L, "a"), (2L, "b"), (3L, null)).toDF("id", "part"))
+    val before = DeltaLog.snapshot(spark, table.toString)
+    DeltaWrite.replace(spark, table.toString,
+      Seq((9L, "b")).toDF("id", "part"), Seq(graft.config.ReplaceCondition("part", "b")))
+    val after = DeltaLog.snapshot(spark, table.toString)
+    val removed = before.files.map(_.path).toSet -- after.files.map(_.path).toSet
+    assert(removed.size == 1 && removed.head.contains("part=b"))
+    // null-partition and 'a' files untouched; contents correct
+    val back = DeltaLog.read(spark, table.toString).orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((1L, Some("a")), (3L, None), (9L, Some("b"))))
+  }
+
   test("checkpoint seeds replay after JSON-commit cleanup; auto-checkpoint fires at the interval") {
     import spark.implicits._
     val table = tmpDir("dw-cp")

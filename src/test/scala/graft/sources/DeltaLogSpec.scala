@@ -129,6 +129,24 @@ class DeltaLogSpec extends SparkSpec {
     assert(v0.count() == 2)
   }
 
+  test("filter pushdown and column pruning reach the parquet scans through the bridge") {
+    val table = tmpDir("delta-push")
+    dataFile(table, "part=a/f1.parquet", Seq((1L, "one"), (2L, "two")))
+    dataFile(table, "part=b/f2.parquet", Seq((3L, "three")))
+    commit(table, 0L, Seq(metaLine,
+      addLine("part=a/f1.parquet", "a"), addLine("part=b/f2.parquet", "b")))
+    val df = DeltaLog.read(spark, table.toString)
+      .filter(col("id") > 1L).select("id", "part")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the bridge is a union of per-partition scans — the filter must reach
+    // EVERY scan, and the untouched `v` column must be pruned from reads
+    assert(p.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"), p)
+    assert(p.contains("ReadSchema: struct<id:bigint>"), p)
+    assert(!p.contains("v:string"), s"v should be pruned from every scan:\n$p")
+    assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
   test("non-Delta directories and unknown versions fail with clear errors") {
     val empty = tmpDir("delta-none")
     val e1 = intercept[IllegalArgumentException](DeltaLog.snapshot(spark, empty.toString))
