@@ -251,6 +251,109 @@ object DeltaWrite {
       withMeta = None, adds = adds, removes = touched.map(_.path))
   }
 
+  // ----------------------------------------------------------- maintenance
+
+  /** DESCRIBE HISTORY: one row per commit, from the log's commitInfo
+    * lines and action counts. Driver-side, bounded by commit count.
+    */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val table = new Path(tablePath)
+    val f = fs(spark, table)
+    val CommitName = """(\d{20})\.json""".r
+    val rows = f.listStatus(logDir(table)).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case CommitName(v) => Some((v.toLong, st))
+        case _ => None
+      })
+      .sortBy(_._1)
+      .map { case (v, st) =>
+        val in = f.open(st.getPath)
+        val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        var op: String = null; var ts = st.getModificationTime
+        var nAdd = 0; var nRemove = 0
+        content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
+          val n = mapper.readTree(line)
+          val ci = n.get("commitInfo")
+          if (ci != null && !ci.isNull) {
+            Option(ci.get("operation")).filterNot(_.isNull).foreach(o => op = o.asText)
+            Option(ci.get("timestamp")).filterNot(_.isNull).foreach(t => ts = t.asLong)
+          }
+          if (n.has("add") && !n.get("add").isNull) nAdd += 1
+          if (n.has("remove") && !n.get("remove").isNull) nRemove += 1
+        }
+        (v, ts, op, nAdd, nRemove)
+      }
+    rows.toDF("version", "timestamp_ms", "operation", "num_added_files", "num_removed_files")
+  }
+
+  /** Bin-pack small live files (< target/2) into ~`targetFileBytes` files,
+    * per partition. The commit carries `dataChange: false` on both sides —
+    * a compaction changes layout, not data, and downstream incremental
+    * consumers must be able to skip it. Returns the new version (or the
+    * current one when there is nothing to compact).
+    */
+  def compact(
+      spark: SparkSession,
+      tablePath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    import org.apache.spark.sql.functions.col
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val table = new Path(tablePath)
+    val f = fs(spark, table)
+    def sizeOf(a: DeltaLog.AddFile): Long =
+      if (a.size > 0) a.size
+      else f.getFileStatus(new Path(table, DeltaLog.decodePath(a.path))).getLen
+    val small = snap.files.filter(sizeOf(_) < targetFileBytes / 2)
+    // only partitions holding 2+ small files shrink their file count
+    val byPart = small.groupBy(_.partitionValues).filter(_._2.size >= 2)
+    val toCompact = byPart.values.flatten.toSeq
+    if (toCompact.isEmpty) return snap.version
+    val totalBytes = toCompact.map(sizeOf).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val rewritten = DeltaLog.readFiles(spark, tablePath, snap, toCompact)
+      .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+      .coalesce(nOut)
+    val adds = writeDataFiles(spark, table, rewritten, snap.partitionColumns)
+    commit(spark, table, snap.version + 1, "OPTIMIZE",
+      withMeta = None, adds = adds, removes = toCompact.map(_.path),
+      dataChange = false)
+  }
+
+  /** Delete data files the CURRENT snapshot no longer references —
+    * tombstoned by past removes or stranded by crashed writers — once they
+    * are older than `retainMs` (the retention guard that keeps concurrent
+    * readers of recent versions and in-flight writers safe). Time travel
+    * to versions whose files are vacuumed stops working, like any Delta
+    * VACUUM. Returns the number of files deleted.
+    */
+  def vacuum(
+      spark: SparkSession,
+      tablePath: String,
+      retainMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val table = new Path(tablePath)
+    val f = fs(spark, table)
+    val live = snap.files.map(a =>
+      f.makeQualified(new Path(table, DeltaLog.decodePath(a.path))).toString).toSet
+    val cutoff = System.currentTimeMillis() - retainMs
+    var removed = 0
+    val it = f.listFiles(table, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = f.makeQualified(st.getPath).toString
+      val name = st.getPath.getName
+      // never touch the log, hidden/temp paths, or anything inside them
+      val rel = p.stripPrefix(f.makeQualified(table).toString).dropWhile(_ == '/')
+      val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
+      if (st.isFile && !hidden && !name.startsWith("_") && !name.startsWith(".") &&
+          !live.contains(p) && st.getModificationTime < cutoff) {
+        if (f.delete(st.getPath, false)) removed += 1
+      }
+    }
+    removed
+  }
+
   // ------------------------------------------------------------ checkpoint
 
   /** Auto-checkpoint cadence for append/overwrite commits (delta-spark's
@@ -630,7 +733,8 @@ object DeltaWrite {
       operation: String,
       withMeta: Option[(StructType, Seq[String])],
       adds: Seq[AddDescriptor],
-      removes: Seq[String]): Long = {
+      removes: Seq[String],
+      dataChange: Boolean = true): Long = {
     val now = System.currentTimeMillis()
     val nonce = java.util.UUID.randomUUID().toString
     val lines = Seq.newBuilder[String]
@@ -669,7 +773,7 @@ object DeltaWrite {
       val rm = rn.putObject("remove")
       rm.put("path", p) // already encoded in the log we replayed it from
       rm.put("deletionTimestamp", now)
-      rm.put("dataChange", true)
+      rm.put("dataChange", dataChange)
       lines += mapper.writeValueAsString(rn)
     }
     adds.foreach { a =>
@@ -683,7 +787,7 @@ object DeltaWrite {
       }
       add.put("size", a.size)
       add.put("modificationTime", a.modificationTime)
-      add.put("dataChange", true)
+      add.put("dataChange", dataChange)
       a.stats.foreach(add.put("stats", _))
       lines += mapper.writeValueAsString(an)
     }

@@ -291,6 +291,51 @@ class DeltaWriteSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(log.resolve(f"${10L}%020d.checkpoint.parquet")))
   }
 
+  test("maintenance: history lists commits, compact bin-packs with dataChange=false, vacuum reclaims") {
+    import spark.implicits._
+    val table = tmpDir("dw-maint")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, table.toString, schema)
+    (1L to 3L).foreach(i =>
+      DeltaWrite.append(spark, table.toString, Seq((i, s"v$i")).toDF("id", "v").repartition(1)))
+
+    val hist = DeltaWrite.history(spark, table.toString).orderBy("version").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(hist.map(_.getString(2)).toSeq == Seq("CREATE TABLE", "WRITE", "WRITE", "WRITE"))
+    assert(hist.map(_.getInt(3)).toSeq == Seq(0, 1, 1, 1)) // files added per commit
+
+    val cv = DeltaWrite.compact(spark, table.toString)
+    assert(cv == 4L)
+    val snap = DeltaLog.snapshot(spark, table.toString)
+    assert(snap.files.size == 1, s"expected 1 compacted file, got ${snap.files.size}")
+    // compaction commits must be invisible to incremental consumers
+    val v4 = logLines(table, 4L)
+    assert(action(v4, "add").forall(!_.get("dataChange").asBoolean))
+    assert(action(v4, "remove").size == 3)
+    assert(action(v4, "remove").forall(!_.get("dataChange").asBoolean))
+    val back = DeltaLog.read(spark, table.toString).orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "v1"), (2L, "v2"), (3L, "v3")))
+
+    def dataFilesOnDisk: Int = {
+      val it = java.nio.file.Files.walk(table)
+      try it.iterator().asScala.count { p =>
+        val n = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) && n.endsWith(".parquet") &&
+          !p.toString.contains("_delta_log")
+      } finally it.close()
+    }
+    assert(dataFilesOnDisk == 4) // 3 tombstoned + 1 live
+    assert(DeltaWrite.vacuum(spark, table.toString) == 0) // retention guards recent files
+    assert(DeltaWrite.vacuum(spark, table.toString, retainMs = 0L) == 3)
+    assert(dataFilesOnDisk == 1)
+    assert(DeltaLog.read(spark, table.toString).count() == 3) // live data intact
+  }
+
+  private implicit class IterOps[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+  }
+
   test("hive-escaped partition values unescape into the log (and '+' survives)") {
     assert(DeltaWrite.unescapePathName("a%20b") == "a b")
     assert(DeltaWrite.unescapePathName("a+b") == "a+b") // URLDecoder would break this

@@ -145,6 +145,18 @@ class DeltaLogSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<id:bigint>"), p)
     assert(!p.contains("v:string"), s"v should be pruned from every scan:\n$p")
     assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+
+    // partition pruning: the injected partition literal constant-folds, so
+    // a partition filter must ELIMINATE non-matching scan branches, not
+    // just filter their rows
+    val dfa = DeltaLog.read(spark, table.toString).filter(col("part") === "a")
+    val pa = dfa.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val scans = "Location: InMemoryFileIndex".r.findAllIn(pa).size
+    assert(scans == 1, s"expected 1 surviving scan branch, got $scans:\n$pa")
+    assert(pa.contains("part=a"), pa)
+    assert(!pa.contains("part=b"), s"part=b branch should be pruned:\n$pa")
+    assert(dfa.count() == 2)
   }
 
   test("non-Delta directories and unknown versions fail with clear errors") {
