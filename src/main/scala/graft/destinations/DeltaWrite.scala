@@ -251,6 +251,44 @@ object DeltaWrite {
       withMeta = None, adds = adds, removes = touched.map(_.path))
   }
 
+  /** CONVERT TO DELTA, metadata-only: turn an existing managed table into
+    * a real Delta table by emitting a version-0 `_delta_log` whose add
+    * actions reference the managed table's CURRENT data files in place —
+    * zero data bytes move. Partition values are recovered from the hive
+    * path segments. The managed log is renamed to `_log_converted`
+    * (frozen): after conversion the Delta log is the single source of
+    * truth, and a silent stale read through the old log would be worse
+    * than the managed history going cold. Returns the file count.
+    */
+  def convertFromManaged(spark: SparkSession, loc: graft.config.Location): Int = {
+    val tablePath = loc.spark
+    require(!DeltaLog.isDeltaTable(spark, tablePath),
+      s"$tablePath is already a Delta table")
+    val all = ManagedTable.commits(spark, loc)
+    require(all.nonEmpty, s"no managed table at $tablePath")
+    val last = all.last
+    val schema = org.apache.spark.sql.types.DataType.fromJson(last.schemaJson)
+      .asInstanceOf[StructType]
+    val table = new Path(tablePath)
+    val f = fs(spark, table)
+    val adds = last.files.map { rel =>
+      val st = f.getFileStatus(new Path(table, rel))
+      val pv: Seq[(String, Option[String])] = rel.split('/').dropRight(1).toSeq
+        .filter(_.contains('=')).map { seg =>
+          val eq = seg.indexOf('=')
+          val k = unescapePathName(seg.substring(0, eq))
+          val v = unescapePathName(seg.substring(eq + 1))
+          k -> (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v))
+        }
+      AddDescriptor(rel, pv, st.getLen, st.getModificationTime)
+    }
+    commit(spark, table, 0L, "CONVERT", withMeta = Some((schema, last.partitionColumns)),
+      adds = adds, removes = Nil)
+    if (!f.rename(ManagedTable.logDir(table), new Path(table, "_log_converted")))
+      throw new IllegalStateException(s"converted, but could not freeze the managed log at $table")
+    adds.size
+  }
+
   // ----------------------------------------------------------- maintenance
 
   /** DESCRIBE HISTORY: one row per commit, from the log's commitInfo

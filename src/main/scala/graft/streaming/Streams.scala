@@ -148,6 +148,26 @@ object Streams {
       }
       .start()
 
+  /** Streaming append into a REAL Delta table (`foreachBatch` →
+    * [[graft.destinations.DeltaWrite.append]]): each micro-batch is one
+    * protocol commit, so any Delta reader tails the stream's output and
+    * the auto-checkpoint cadence keeps replay bounded as versions pile
+    * up. At-least-once per batch (a replayed batch re-appends); pair with
+    * the upsert sink's keyed merge when exactly-once per key matters.
+    */
+  def deltaAppendSink(
+      df: DataFrame,
+      tablePath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.destinations.DeltaWrite.append(batch.sparkSession, tablePath, batch): Unit
+      }
+      .start()
+
   /** Streaming near-dup-filtered ingest: each micro-batch is exact-checked
     * against the STATIC lake corpus — content digests (exact dups) AND
     * cross-corpus n-gram jaccard (near-dups) — and only the survivors reach

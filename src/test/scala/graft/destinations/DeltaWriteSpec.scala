@@ -291,6 +291,39 @@ class DeltaWriteSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(log.resolve(f"${10L}%020d.checkpoint.parquet")))
   }
 
+  test("convertFromManaged promotes a managed table to Delta in place, zero bytes moved") {
+    import spark.implicits._
+    import graft.config.{Location, Types}
+    val root = tmpDir("dw-convert")
+    val loc = Location(root.toString)
+    ManagedTable.createIfAbsent(spark, loc,
+      schema = Seq(Types.FieldSpec("id", LongType), Types.FieldSpec("part", StringType)),
+      partitionColumns = Seq("part"), properties = Map.empty)
+    ManagedTable.append(spark, loc,
+      Seq((1L, "a"), (2L, "b"), (3L, null)).toDF("id", "part"))
+    val beforeFiles = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(p => p -> java.nio.file.Files.getLastModifiedTime(p)).toMap
+
+    val n = DeltaWrite.convertFromManaged(spark, loc)
+    assert(n == 3)
+    assert(DeltaLog.isDeltaTable(spark, root.toString))
+    assert(!java.nio.file.Files.exists(root.resolve("_log"))) // frozen, not live
+    assert(java.nio.file.Files.exists(root.resolve("_log_converted")))
+    // identical data through the Delta log, partition values recovered
+    val back = DeltaLog.read(spark, root.toString).orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((1L, Some("a")), (2L, Some("b")), (3L, None)))
+    // no data file moved or rewritten
+    beforeFiles.foreach { case (p, mt) =>
+      assert(java.nio.file.Files.exists(p) && java.nio.file.Files.getLastModifiedTime(p) == mt)
+    }
+    // the converted table is immediately writable as Delta
+    DeltaWrite.append(spark, root.toString, Seq((4L, "a")).toDF("id", "part"))
+    assert(DeltaLog.read(spark, root.toString).count() == 4)
+    intercept[IllegalArgumentException](DeltaWrite.convertFromManaged(spark, loc))
+  }
+
   test("maintenance: history lists commits, compact bin-packs with dataChange=false, vacuum reclaims") {
     import spark.implicits._
     val table = tmpDir("dw-maint")

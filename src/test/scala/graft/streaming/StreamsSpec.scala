@@ -234,6 +234,34 @@ class StreamsSpec extends SparkSpec {
       Seq("create", "upsert", "upsert"))
   }
 
+  test("foreachBatch delta sink appends micro-batches as real Delta commits") {
+    import graft.destinations.DeltaWrite
+    import graft.sources.DeltaLog
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("stream-delta")
+    val tbl = root.resolve("tbl").toString
+    DeltaWrite.createIfAbsent(spark, tbl, StructType(Seq(
+      StructField("user_id", LongType), StructField("total", DoubleType))))
+
+    val input = MemoryStream[(Long, Double)]
+    val df = input.toDF().toDF("user_id", "total")
+    val q = Streams.deltaAppendSink(df, tbl, root.resolve("ckpt").toString)
+    input.addData((1L, 10.0), (2L, 20.0))
+    q.processAllAvailable()
+    input.addData((3L, 30.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val snap = DeltaLog.snapshot(spark, tbl)
+    assert(snap.version == 2L) // create + one commit per micro-batch
+    val rows = DeltaLog.read(spark, tbl).orderBy("user_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(rows.toSeq == Seq(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    // a Delta reader can tail the stream's output version by version
+    assert(DeltaLog.read(spark, tbl, versionAsOf = Some(1L)).count() == 2)
+  }
+
   test("file streaming source processes incrementally-arriving files") {
     val dir = tmpDir("stream-files")
     import org.apache.spark.sql.types._
