@@ -134,7 +134,7 @@ object DeltaWrite {
     * rewrites only the hit files.
     */
   def upsert(spark: SparkSession, tablePath: String, df: DataFrame, keys: Seq[String]): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit, max => smax, min => smin, sum}
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin, sum}
     require(keys.nonEmpty, "upsert requires at least one key column")
     val snap = DeltaLog.snapshot(spark, tablePath)
     keys.foreach(k => require(snap.schema.fieldNames.contains(k), s"upsert key $k not in table"))
@@ -160,8 +160,8 @@ object DeltaWrite {
         }
 
       // stage 2: exact file-level hit detection over candidates only
-      val srcKeys = incoming.select(keys.map(col): _*).distinct()
-      val srcKeysB = if (snap.files.size > 4) broadcast(srcKeys) else srcKeys
+      val srcKeysB = ManagedTable.broadcastIfSmall(
+        incoming.select(keys.map(col): _*).distinct())
       val touched: Seq[DeltaLog.AddFile] =
         if (candidates.isEmpty) Nil
         else {

@@ -466,7 +466,7 @@ object ManagedTable {
   /** Broadcast the key set when small enough for a map-side semi/anti join —
     * the common case (incremental upserts are small vs the table).
     */
-  private def broadcastIfSmall(df: DataFrame): DataFrame = {
+  private[destinations] def broadcastIfSmall(df: DataFrame): DataFrame = {
     val n = df.limit(100001).count()
     if (n <= 100000) broadcast(df) else df
   }
