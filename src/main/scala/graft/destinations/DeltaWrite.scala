@@ -22,23 +22,24 @@ import graft.sources.DeltaLog
   *     `partitionColumns`;
   *   - `add` — table-relative URI-encoded `path`, `partitionValues`
   *     (hive-style nulls mapped to JSON null), `size`,
-  *     `modificationTime`, `dataChange: true`;
-  *   - `remove` — `path`, `deletionTimestamp`, `dataChange: true`.
+  *     `modificationTime`, `dataChange`, and per-file `stats`
+  *     (numRecords / minValues / maxValues / nullCount);
+  *   - `remove` — `path`, `deletionTimestamp`, `dataChange`.
   *
   * Data files are plain parquet WITHOUT the partition columns (partition
   * values live only in the log, per the spec), laid out in hive-style
-  * `col=value/` directories like delta-spark's writer.
-  *
-  * Not written: checkpoints and `_last_checkpoint` (optional per spec —
-  * readers, including ours, replay JSON commits without them; long-lived
-  * tables get them from whichever maintenance job compacts the log).
+  * `col=value/` directories like delta-spark's writer. Every 10th
+  * append/overwrite also emits a parquet checkpoint + `_last_checkpoint`
+  * so replay stays bounded; `history`/`compact`/`vacuum` cover
+  * maintenance, and `convertFromManaged` promotes a managed table in
+  * place.
   *
   * Scale: commits are driver-side file-manifest metadata, bounded by file
-  * count; the data write is a normal distributed parquet write. `upsert` /
-  * `replace` rewrite the table through one distributed read-modify-write
-  * (documented divergence from delta-spark's file-pruned MERGE: correct,
-  * not minimal I/O — the pruned path needs per-file stats the bridge does
-  * not yet track). Reference parity:
+  * count; the data write is a normal distributed parquet write. `upsert`
+  * and `replace` prune in two stages (driver-side stats range check, then
+  * an exact `_metadata.file_path` semi-join) and rewrite only the files
+  * that hold hits — see [[graft.sources.DeltaStats]] for the shared
+  * conservative pruning rules. Reference parity:
   * /root/reference/aqueducts/delta/src/lib.rs:141-328 (create + write
   * modes against the same protocol).
   */
@@ -155,7 +156,8 @@ object DeltaWrite {
           val inMax = keys.map(k => k -> r.get(r.fieldIndex(s"_max_$k"))).toMap
           val inHasNull = keys.map(k => k -> (r.getLong(r.fieldIndex(s"_null_$k")) > 0L)).toMap
           snap.files.filter(f => keys.forall(k =>
-            StatsPrune.mayContain(f.stats, k, keyTypes(k),
+            graft.sources.DeltaStats.mayContain(
+              graft.sources.DeltaStats.interval(snap, f, k), keyTypes(k),
               inMin(k), inMax(k), inHasNull(k))))
         }
 
@@ -222,12 +224,13 @@ object DeltaWrite {
         if (snap.partitionColumns.contains(c.column))
           f.partitionValues.get(c.column) match {
             case Some(null) => false // NULL partition never <=> a value
-            case Some(v) => StatsPrune.partitionValueMatches(v, c.value)
+            case Some(v) => graft.sources.DeltaStats.partitionValueMatches(v, c.value)
             case None => true // value not recorded — stay a candidate
           }
         else
-          StatsPrune.mayContainValue(f.stats, c.column,
-            snap.schema(c.column).dataType, c.value)
+          graft.sources.DeltaStats.mayContain(
+            graft.sources.DeltaStats.interval(snap, f, c.column),
+            snap.schema(c.column).dataType, c.value, c.value, inHasNull = false)
       }
     }
     val touched: Seq[DeltaLog.AddFile] =
@@ -328,13 +331,18 @@ object DeltaWrite {
   /** Bin-pack small live files (< target/2) into ~`targetFileBytes` files,
     * per partition. The commit carries `dataChange: false` on both sides —
     * a compaction changes layout, not data, and downstream incremental
-    * consumers must be able to skip it. Returns the new version (or the
-    * current one when there is nothing to compact).
+    * consumers must be able to skip it. `clusterBy` range-partitions and
+    * sorts the rewrite on the given columns (linear clustering), which
+    * tightens every output file's min/max stats so [[DeltaLog.readWhere]]
+    * and upsert pruning skip more — the OPTIMIZE ZORDER role for the
+    * single-dimension case. Returns the new version (or the current one
+    * when there is nothing to compact).
     */
   def compact(
       spark: SparkSession,
       tablePath: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
     val snap = DeltaLog.snapshot(spark, tablePath)
     val table = new Path(tablePath)
@@ -349,9 +357,12 @@ object DeltaWrite {
     if (toCompact.isEmpty) return snap.version
     val totalBytes = toCompact.map(sizeOf).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val rewritten = DeltaLog.readFiles(spark, tablePath, snap, toCompact)
+    val base = DeltaLog.readFiles(spark, tablePath, snap, toCompact)
       .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
-      .coalesce(nOut)
+    val rewritten =
+      if (clusterBy.isEmpty) base.coalesce(nOut)
+      else base.repartitionByRange(nOut, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
     val adds = writeDataFiles(spark, table, rewritten, snap.partitionColumns)
     commit(spark, table, snap.version + 1, "OPTIMIZE",
       withMeta = None, adds = adds, removes = toCompact.map(_.path),
@@ -570,110 +581,6 @@ object DeltaWrite {
       size: Long,
       modificationTime: Long,
       stats: Option[String] = None)
-
-  /** Driver-side pruning decisions over add-action stats. Every method is
-    * CONSERVATIVE: it returns false only when the stats PROVE a file cannot
-    * hold a matching row — parse failures, missing columns, truncated or
-    * incomparable values all keep the file a candidate (the exact
-    * file-level pass downstream restores precision; pruning only ever
-    * saves work, never rows).
-    */
-  private[destinations] object StatsPrune {
-    import com.fasterxml.jackson.databind.JsonNode
-    import org.apache.spark.sql.types._
-    import scala.util.control.NonFatal
-
-    private val statsMapper = new ObjectMapper()
-
-    private def str(a: Any): String = a match {
-      case n: JsonNode => if (n.isNumber) n.decimalValue.toPlainString else n.asText
-      case d: java.sql.Date => d.toString
-      case x => x.toString
-    }
-
-    private def compareCodePoints(x: String, y: String): Int = {
-      val xi = x.codePoints().toArray; val yi = y.codePoints().toArray
-      var i = 0
-      while (i < xi.length && i < yi.length) {
-        if (xi(i) != yi(i)) return Integer.compare(xi(i), yi(i))
-        i += 1
-      }
-      Integer.compare(xi.length, yi.length)
-    }
-
-    /** None = incomparable (caller must treat as overlapping). Strings
-      * compare by code point — UTF-16 `compareTo` disagrees with Spark's
-      * UTF-8 binary ordering for astral characters.
-      */
-    private def cmp(dt: DataType, a: Any, b: Any): Option[Int] =
-      try dt match {
-        case _: NumericType =>
-          Some(new java.math.BigDecimal(str(a)).compareTo(new java.math.BigDecimal(str(b))))
-        case StringType => Some(compareCodePoints(str(a), str(b)))
-        case DateType => Some(str(a).compareTo(str(b))) // ISO yyyy-MM-dd
-        case BooleanType =>
-          Some(java.lang.Boolean.compare(str(a).toBoolean, str(b).toBoolean))
-        case _ => None
-      } catch { case NonFatal(_) => None }
-
-    /** Could the file hold a key in [inMin, inMax] (or a null key, when
-      * `inHasNull`)? `inMin == null` means the incoming side is all-null
-      * for this column.
-      */
-    def mayContain(
-        stats: Option[String], colName: String, dt: DataType,
-        inMin: Any, inMax: Any, inHasNull: Boolean): Boolean = stats match {
-      case None => true
-      case Some(js) =>
-        try {
-          val n = statsMapper.readTree(js)
-          val numRecords = Option(n.get("numRecords")).filterNot(_.isNull).map(_.asLong)
-          val nullCount = Option(n.get("nullCount")).flatMap(o => Option(o.get(colName)))
-            .filterNot(_.isNull).map(_.asLong)
-          val fMin = Option(n.get("minValues")).flatMap(o => Option(o.get(colName))).filterNot(_.isNull)
-          val fMax = Option(n.get("maxValues")).flatMap(o => Option(o.get(colName))).filterNot(_.isNull)
-          val nullHit = inHasNull && nullCount.forall(_ > 0L) // unknown → possible
-          val allNullFile = (numRecords, nullCount) match {
-            case (Some(nr), Some(nc)) => nc == nr
-            case _ => false
-          }
-          val rangeHit =
-            if (inMin == null) false // incoming keys all null: only nullHit applies
-            else (fMin, fMax) match {
-              case (Some(lo), Some(hi)) =>
-                cmp(dt, lo, inMax).forall(_ <= 0) && cmp(dt, inMin, hi).forall(_ <= 0)
-              case _ => !allNullFile // no recorded range: prunable only if provably all-null
-            }
-          nullHit || rangeHit
-        } catch { case NonFatal(_) => true }
-    }
-
-    /** Could the file hold `col <=> CAST(value AS dt)` rows? */
-    def mayContainValue(
-        stats: Option[String], colName: String, dt: DataType, value: String): Boolean =
-      mayContain(stats, colName, dt, value, value, inHasNull = false)
-
-    /** Exact partition-value match for replace pruning: false only when the
-      * stored hive value provably differs from the condition value.
-      */
-    def partitionValueMatches(stored: String, v: String): Boolean = {
-      if (stored == v) return true
-      def dec(s: String) =
-        try Some(new java.math.BigDecimal(s)) catch { case NonFatal(_) => None }
-      def date(s: String) =
-        try Some(java.sql.Date.valueOf(s).toString) catch { case NonFatal(_) => None }
-      (dec(stored), dec(v)) match {
-        case (Some(a), Some(b)) => a.compareTo(b) == 0
-        case (None, None) =>
-          (date(stored), date(v)) match {
-            case (Some(a), Some(b)) => a == b
-            case (None, None) => false // two plain strings that differ
-            case _ => true // mixed forms — can't prove, stay a candidate
-          }
-        case _ => true // mixed numeric/non-numeric — can't prove
-      }
-    }
-  }
 
   // ----------------------------------------------------------- file stats
 

@@ -205,6 +205,28 @@ object DeltaLog {
     readFiles(spark, tablePath, s, s.files)
   }
 
+  /** Read with FILE-LEVEL data skipping: `predicate` (a SQL boolean
+    * expression over the table's columns) is evaluated conservatively
+    * against each live file's add-action stats and partition values, files
+    * that provably cannot hold a matching row are never opened, and the
+    * full predicate then filters the surviving scans row-wise. At lake
+    * scale this is the difference between opening millions of parquet
+    * footers and opening the handful whose min/max ranges overlap the
+    * query — the same skipping delta-spark derives from its stats, driven
+    * by the stats this engine's writer records.
+    */
+  def readWhere(
+      spark: SparkSession,
+      tablePath: String,
+      predicate: String,
+      versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[java.time.Instant] = None): DataFrame = {
+    val s = snapshot(spark, tablePath, versionAsOf, timestampAsOf)
+    val expr = spark.sessionState.sqlParser.parseExpression(predicate)
+    val candidates = s.files.filter(f => DeltaStats.mayMatch(s, f, expr))
+    readFiles(spark, tablePath, s, candidates).filter(predicate)
+  }
+
   /** Read a subset of a snapshot's files (the write path's file-pruned
     * rewrites read only candidate files through this). `withFilePath`
     * appends the physical path as `_graft_file` for file-level semi-joins.

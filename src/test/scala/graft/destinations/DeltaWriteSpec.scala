@@ -291,6 +291,67 @@ class DeltaWriteSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(log.resolve(f"${10L}%020d.checkpoint.parquet")))
   }
 
+  test("readWhere skips files by stats; clustered compaction makes skipping possible") {
+    import spark.implicits._
+    val table = tmpDir("dw-skip")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, table.toString, schema)
+    DeltaWrite.append(spark, table.toString,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1))
+    DeltaWrite.append(spark, table.toString,
+      Seq((100L, "x"), (200L, "y")).toDF("id", "v").repartition(1))
+
+    val lowFile = action(logLines(table, 1L), "add").head.get("path").asText
+    val highFile = action(logLines(table, 2L), "add").head.get("path").asText
+    // read the scanned file list from the executed plan — explain-string
+    // Location lines truncate and would hide paths
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.toSeq
+      }.flatten
+
+    // range predicate: only the high-range file is opened
+    val hi = DeltaLog.readWhere(spark, table.toString, "id >= 150")
+    assert(scannedFiles(hi).forall(_.endsWith(highFile)) && scannedFiles(hi).size == 1)
+    assert(hi.collect().map(_.getLong(0)).toSeq == Seq(200L))
+
+    // reversed operand order and null guards prune the same way
+    val eq = DeltaLog.readWhere(spark, table.toString, "50 > id AND v IS NOT NULL")
+    assert(scannedFiles(eq).forall(_.endsWith(lowFile)) && scannedFiles(eq).size == 1)
+    assert(eq.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+
+    // an OR that spans both files keeps both; an unprunable conjunct never drops rows
+    val both = DeltaLog.readWhere(spark, table.toString, "id = 2 OR id = 100")
+    assert(scannedFiles(both).size == 2)
+    assert(both.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 100L))
+    assert(DeltaLog.readWhere(spark, table.toString, "length(v) = 1").count() == 4)
+
+    // interleave the ranges, compact WITH clustering → stats disjoint again
+    DeltaWrite.append(spark, table.toString,
+      Seq((3L, "c"), (150L, "z")).toDF("id", "v").repartition(1))
+    DeltaWrite.append(spark, table.toString,
+      Seq((4L, "d"), (160L, "w")).toDF("id", "v").repartition(1))
+    // pick the target so every file is "small" (target/2 > max size) and
+    // the bin-packing lands on exactly two outputs (total/2 <= target < total)
+    val sizes = DeltaLog.snapshot(spark, table.toString).files.map(_.size)
+    val target = sizes.sum * 3 / 4
+    assert(target / 2 > sizes.max, s"fixture sizes defeat the small-file cut: $sizes")
+    DeltaWrite.compact(spark, table.toString, targetFileBytes = target,
+      clusterBy = Seq("id"))
+    val snap = DeltaLog.snapshot(spark, table.toString)
+    val intervals = snap.files.map { f =>
+      val s = mapper.readTree(f.stats.get)
+      (s.get("minValues").get("id").asLong, s.get("maxValues").get("id").asLong)
+    }.sortBy(_._1)
+    assert(intervals.size >= 2, s"expected multiple clustered files, got $intervals")
+    intervals.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 < lo2, s"overlapping clusters: $intervals")
+      case _ => ()
+    }
+    assert(DeltaLog.read(spark, table.toString).count() == 8)
+  }
+
   test("convertFromManaged promotes a managed table to Delta in place, zero bytes moved") {
     import spark.implicits._
     import graft.config.{Location, Types}
