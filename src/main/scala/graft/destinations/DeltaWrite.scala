@@ -331,12 +331,13 @@ object DeltaWrite {
   /** Bin-pack small live files (< target/2) into ~`targetFileBytes` files,
     * per partition. The commit carries `dataChange: false` on both sides —
     * a compaction changes layout, not data, and downstream incremental
-    * consumers must be able to skip it. `clusterBy` range-partitions and
-    * sorts the rewrite on the given columns (linear clustering), which
-    * tightens every output file's min/max stats so [[DeltaLog.readWhere]]
-    * and upsert pruning skip more — the OPTIMIZE ZORDER role for the
-    * single-dimension case. Returns the new version (or the current one
-    * when there is nothing to compact).
+    * consumers must be able to skip it. `clusterBy` tightens every output
+    * file's min/max stats so [[DeltaLog.readWhere]] and upsert pruning
+    * skip more: one column gets linear range clustering (exact); two or
+    * more get Z-order via [[ZOrder.cluster]] (Morton interleave of
+    * range-bucket ids), so predicates on ANY clustered column skip files.
+    * Returns the new version (or the current one when there is nothing to
+    * compact).
     */
   def compact(
       spark: SparkSession,
@@ -361,8 +362,15 @@ object DeltaWrite {
       .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
     val rewritten =
       if (clusterBy.isEmpty) base.coalesce(nOut)
-      else base.repartitionByRange(nOut, clusterBy.map(col): _*)
-        .sortWithinPartitions(clusterBy.map(col): _*)
+      else if (clusterBy.size == 1)
+        base.repartitionByRange(nOut, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      else {
+        val counts = toCompact.map(graft.sources.DeltaStats.numRecords)
+        val approxRows =
+          if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+        ZOrder.cluster(base, clusterBy, nOut, approxRows)
+      }
     val adds = writeDataFiles(spark, table, rewritten, snap.partitionColumns)
     commit(spark, table, snap.version + 1, "OPTIMIZE",
       withMeta = None, adds = adds, removes = toCompact.map(_.path),

@@ -101,6 +101,12 @@ private[graft] object DeltaStats {
     nullHit || rangeHit
   }
 
+  /** The add action's recorded row count, when its stats carry one. */
+  def numRecords(f: DeltaLog.AddFile): Option[Long] = f.stats.flatMap { js =>
+    try Option(mapper.readTree(js).get("numRecords")).filterNot(_.isNull).map(_.asLong)
+    catch { case NonFatal(_) => None }
+  }
+
   // --------------------------------------------- predicate-driven pruning
 
   /** Extract a literal's comparable form for [[cmp]] against stats values

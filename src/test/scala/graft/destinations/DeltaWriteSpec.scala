@@ -352,6 +352,50 @@ class DeltaWriteSpec extends SparkSpec {
     assert(DeltaLog.read(spark, table.toString).count() == 8)
   }
 
+  test("z-order compaction: predicates on EITHER clustered column skip files") {
+    import spark.implicits._
+    val table = tmpDir("dw-zorder")
+    val schema = StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType),
+      StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, table.toString, schema)
+    // 20x20 grid appended in 8 striped slices: every input file spans the
+    // FULL x and y ranges, so before compaction nothing can be skipped
+    val grid = for (x <- 0L until 20L; y <- 0L until 20L) yield (x, y, s"$x/$y")
+    grid.groupBy(t => (t._1 + t._2) % 8).toSeq.sortBy(_._1).foreach { case (_, slice) =>
+      DeltaWrite.append(spark, table.toString,
+        slice.toDF("x", "y", "v").repartition(1))
+    }
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.toSeq
+      }.flatten
+    assert(scannedFiles(DeltaLog.readWhere(spark, table.toString, "y < 3")).size == 8)
+
+    val sizes = DeltaLog.snapshot(spark, table.toString).files.map(_.size)
+    val target = sizes.sum * 3 / 10 // nOut = ceil(10/3) = 4 clustered files
+    assert(target / 2 > sizes.max, s"fixture sizes defeat the small-file cut: $sizes")
+    DeltaWrite.compact(spark, table.toString, targetFileBytes = target,
+      clusterBy = Seq("x", "y"))
+
+    val snap = DeltaLog.snapshot(spark, table.toString)
+    assert(snap.files.size >= 3, s"expected multiple z-ordered files, got ${snap.files.size}")
+    // z-order boxes: some file's x-interval AND some file's y-interval
+    // exclude the low corner — linear clustering on (x, y) would only ever
+    // skip on x, never on y
+    val xScan = DeltaLog.readWhere(spark, table.toString, "x < 3")
+    val yScan = DeltaLog.readWhere(spark, table.toString, "y < 3")
+    assert(scannedFiles(xScan).size < snap.files.size, "x predicate skipped nothing")
+    assert(scannedFiles(yScan).size < snap.files.size, "y predicate skipped nothing")
+    assert(xScan.count() == 60 && yScan.count() == 60)
+    val corner = DeltaLog.readWhere(spark, table.toString, "x >= 15 AND y >= 15")
+    assert(scannedFiles(corner).size < snap.files.size)
+    assert(corner.count() == 25)
+    assert(DeltaLog.read(spark, table.toString).count() == 400)
+  }
+
   test("convertFromManaged promotes a managed table to Delta in place, zero bytes moved") {
     import spark.implicits._
     import graft.config.{Location, Types}
