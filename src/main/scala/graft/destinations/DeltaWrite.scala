@@ -54,6 +54,64 @@ object DeltaWrite {
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
+  // ----------------------------------------------- writer capability gate
+
+  /** Writer features this engine implements under `minWriterVersion` 7.
+    * `appendOnly`/`invariants`/`checkConstraints` are "supported" by
+    * ENFORCEMENT-OR-REFUSAL in [[requireWritable]]: a table that defines
+    * an obligation we cannot evaluate refuses writes instead of silently
+    * violating it.
+    */
+  private val supportedWriterFeatures: Set[String] =
+    Set("appendOnly", "invariants", "checkConstraints", "timestampNtz",
+      "vacuumProtocolCheck", "variantType-preview")
+
+  /** Refuse to commit to tables whose protocol demands semantics we don't
+    * implement — a commit that ignores row tracking, CDF, or a CHECK
+    * constraint corrupts the table for every OTHER client, which is the
+    * cardinal sin of a multi-writer log. Legacy versions (≤ 6) imply their
+    * obligations via table config / schema metadata, all checked below;
+    * version 7 names its features explicitly.
+    */
+  private def requireWritable(
+      tablePath: String,
+      snap: DeltaLog.Snapshot,
+      op: String,
+      removesData: Boolean): Unit = {
+    snap.protocol.foreach { p =>
+      if (p.minWriterVersion >= 7) {
+        val unsupported = p.writerFeatures -- supportedWriterFeatures
+        require(unsupported.isEmpty,
+          s"Delta table $tablePath requires writer features not supported by " +
+            s"this engine: ${unsupported.toSeq.sorted.mkString(", ")}")
+      }
+    }
+    val conf = snap.configuration
+    if (removesData)
+      require(!conf.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")),
+        s"Delta table $tablePath is append-only (delta.appendOnly=true); " +
+          s"$op would remove data")
+    require(!conf.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")),
+      s"Delta table $tablePath has change data feed enabled; this writer " +
+        "does not emit change data files")
+    require(conf.getOrElse("delta.columnMapping.mode", "none") == "none",
+      s"Delta table $tablePath uses column mapping; this writer does not")
+    val constraints = conf.keys.filter(_.startsWith("delta.constraints.")).toSeq.sorted
+    require(constraints.isEmpty,
+      s"Delta table $tablePath defines CHECK constraints " +
+        s"(${constraints.mkString(", ")}) this writer cannot enforce")
+    val obliged = Seq(
+      "delta.invariants" -> "column invariants",
+      "delta.generationExpression" -> "generated columns",
+      "delta.identity.start" -> "identity columns")
+    for ((key, what) <- obliged) {
+      val cols = snap.schema.fields.filter(_.metadata.contains(key)).map(_.name)
+      require(cols.isEmpty,
+        s"Delta table $tablePath defines $what on ${cols.mkString(", ")}; " +
+          "this writer cannot honor them")
+    }
+  }
+
   // ------------------------------------------------------------- write API
 
   /** Create an empty Delta table at `tablePath` (version 0: protocol +
@@ -78,6 +136,7 @@ object DeltaWrite {
     */
   def append(spark: SparkSession, tablePath: String, df: DataFrame): Long = {
     val snap = DeltaLog.snapshot(spark, tablePath)
+    requireWritable(tablePath, snap, "append", removesData = false)
     val data = ManagedTable.castToSchema(df, snap.schema)
     val adds = writeDataFiles(spark, new Path(tablePath), data, snap.partitionColumns)
     var version = snap.version + 1
@@ -107,6 +166,7 @@ object DeltaWrite {
       df: DataFrame,
       newSchema: Boolean = false): Long = {
     val snap = DeltaLog.snapshot(spark, tablePath)
+    requireWritable(tablePath, snap, "overwrite", removesData = true)
     val data = if (newSchema) df else ManagedTable.castToSchema(df, snap.schema)
     val adds = writeDataFiles(spark, new Path(tablePath), data, snap.partitionColumns)
     val meta =
@@ -138,6 +198,7 @@ object DeltaWrite {
     import org.apache.spark.sql.functions.{col, max => smax, min => smin, sum}
     require(keys.nonEmpty, "upsert requires at least one key column")
     val snap = DeltaLog.snapshot(spark, tablePath)
+    requireWritable(tablePath, snap, "upsert", removesData = true)
     keys.foreach(k => require(snap.schema.fieldNames.contains(k), s"upsert key $k not in table"))
     val incoming = ManagedTable.castToSchema(df, snap.schema).cache()
     try {
@@ -211,6 +272,7 @@ object DeltaWrite {
       conditions: Seq[graft.config.ReplaceCondition]): Long = {
     import org.apache.spark.sql.functions.{col, lit, not}
     val snap = DeltaLog.snapshot(spark, tablePath)
+    requireWritable(tablePath, snap, "replace", removesData = true)
     val incoming = ManagedTable.castToSchema(df, snap.schema)
     if (conditions.isEmpty) return overwrite(spark, tablePath, incoming)
     conditions.foreach(c => require(snap.schema.fieldNames.contains(c.column),
@@ -346,6 +408,8 @@ object DeltaWrite {
       clusterBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
     val snap = DeltaLog.snapshot(spark, tablePath)
+    // layout-only (dataChange=false), so appendOnly tables may compact
+    requireWritable(tablePath, snap, "compact", removesData = false)
     val table = new Path(tablePath)
     val f = fs(spark, table)
     def sizeOf(a: DeltaLog.AddFile): Long =
@@ -389,6 +453,9 @@ object DeltaWrite {
       tablePath: String,
       retainMs: Long = 7L * 24 * 3600 * 1000): Int = {
     val snap = DeltaLog.snapshot(spark, tablePath)
+    // the vacuumProtocolCheck feature's contract: check writer capability
+    // before deleting anything (physical cleanup, no data change)
+    requireWritable(tablePath, snap, "vacuum", removesData = false)
     val table = new Path(tablePath)
     val f = fs(spark, table)
     val live = snap.files.map(a =>
@@ -432,11 +499,19 @@ object DeltaWrite {
     import org.apache.spark.sql.types._
     val table = new Path(tablePath)
     val snap = DeltaLog.snapshot(spark, tablePath)
+    // a checkpoint REPLACES log replay below it — emitting one that drops
+    // actions we don't model would corrupt a foreign table, so gate first
+    requireWritable(tablePath, snap, "checkpoint", removesData = false)
     val strMap = MapType(StringType, StringType, valueContainsNull = true)
     val cpSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType)))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(
@@ -463,10 +538,17 @@ object DeltaWrite {
       snap.partitionColumns,
       Map.empty[String, String],
       metaField("createdTime").map(_.asLong()).getOrElse(System.currentTimeMillis()))
+    val p = snap.protocol.getOrElse(DeltaLog.Protocol(1, 2))
+    def feats(s: Set[String]) = if (s.isEmpty) null else s.toSeq.sorted
+    val protoRow = Row(p.minReaderVersion, p.minWriterVersion,
+      feats(p.readerFeatures), feats(p.writerFeatures))
     val rows: Seq[Row] =
-      Seq(Row(Row(1, 2), null, null), Row(null, metaRow, null)) ++
+      Seq(Row(protoRow, null, null, null), Row(null, null, metaRow, null)) ++
+        snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+          Row(null, Row(app, v), null, null)
+        } ++
         snap.files.map(f =>
-          Row(null, null,
+          Row(null, null, null,
             Row(f.path, f.partitionValues, f.size, f.modificationTime, false, f.stats.orNull)))
     val f = fs(spark, table)
     val tmp = new Path(logDir(table), s".cp-tmp-${java.util.UUID.randomUUID()}")

@@ -35,18 +35,35 @@ object DeltaLog {
       partitionValues: Map[String, String],
       size: Long = 0L,
       modificationTime: Long = 0L,
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      deletionVector: Option[String] = None)
+
+  /** The table's `protocol` action. Under `minReaderVersion` 3 /
+    * `minWriterVersion` 7 the feature lists name exactly what a client
+    * must implement; below that, the version numbers imply a fixed set
+    * (reader 2 = column mapping, writer 2 = appendOnly + invariants).
+    */
+  final case class Protocol(
+      minReaderVersion: Int,
+      minWriterVersion: Int,
+      readerFeatures: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty)
 
   /** `metaDataRaw` is the latest metaData action's raw JSON object —
     * carried so checkpoint writers can re-emit the table's identity (id,
-    * format, configuration) without inventing a new one.
+    * format, configuration) without inventing a new one. `configuration`
+    * is that action's table-property map (`delta.appendOnly`,
+    * `delta.columnMapping.mode`, …).
     */
   final case class Snapshot(
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
       files: Seq[AddFile],
-      metaDataRaw: Option[String] = None)
+      metaDataRaw: Option[String] = None,
+      protocol: Option[Protocol] = None,
+      configuration: Map[String, String] = Map.empty,
+      txns: Map[String, Long] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -112,14 +129,31 @@ object DeltaLog {
     var schema: StructType = null
     var partCols: Seq[String] = Nil
     var metaRaw: Option[String] = None
+    var config: Map[String, String] = Map.empty
+    var protocol: Option[Protocol] = None
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    // setTransaction high-water marks (streaming writers' exactly-once
+    // state) — carried so OUR checkpoints don't erase THEIR guarantees
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
 
     def applyMeta(meta: JsonNode): Unit = {
       schema = DataType.fromJson(meta.get("schemaString").asText())
         .asInstanceOf[StructType]
       partCols = Option(meta.get("partitionColumns"))
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+      config = Option(meta.get("configuration"))
+        .filterNot(_.isNull)
+        .map(n => n.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty)
       metaRaw = Some(meta.toString)
+    }
+    def applyProtocol(p: JsonNode): Unit = {
+      def features(f: String): Set[String] = Option(p.get(f)).filterNot(_.isNull)
+        .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty)
+      protocol = Some(Protocol(
+        Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
+        Option(p.get("minWriterVersion")).map(_.asInt()).getOrElse(2),
+        features("readerFeatures"), features("writerFeatures")))
     }
     def applyAdd(add: JsonNode): Unit = {
       val p = add.get("path").asText()
@@ -133,7 +167,8 @@ object DeltaLog {
       val size = Option(add.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L)
       val mt = Option(add.get("modificationTime")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L)
       val stats = Option(add.get("stats")).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
-      live += p -> AddFile(p, pv, size, mt, stats)
+      val dv = Option(add.get("deletionVector")).filterNot(_.isNull).map(_.toString)
+      live += p -> AddFile(p, pv, size, mt, stats, dv)
     }
 
     fromCheckpoint.foreach { cv =>
@@ -147,6 +182,14 @@ object DeltaLog {
       // size, configuration, …) the checkpoint writer recorded.
       val cp = spark.read.parquet(parts: _*)
       val cols = cp.columns.toSet
+      if (cols.contains("protocol"))
+        cp.filter(col("protocol.minReaderVersion").isNotNull)
+          .select(to_json(col("protocol")))
+          .collect().lastOption.foreach(r => applyProtocol(mapper.readTree(r.getString(0))))
+      if (cols.contains("txn"))
+        cp.filter(col("txn.appId").isNotNull)
+          .select(col("txn.appId"), col("txn.version"))
+          .collect().foreach(r => txns += r.getString(0) -> r.getLong(1))
       if (cols.contains("metaData"))
         cp.filter(col("metaData.schemaString").isNotNull)
           .select(to_json(col("metaData")))
@@ -167,8 +210,13 @@ object DeltaLog {
           finally in.close()
         content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
           val node = mapper.readTree(line)
+          val proto = node.get("protocol")
+          if (proto != null && !proto.isNull) applyProtocol(proto)
           val meta = node.get("metaData")
           if (meta != null && !meta.isNull) applyMeta(meta)
+          val txn = node.get("txn")
+          if (txn != null && !txn.isNull)
+            txns += txn.get("appId").asText() -> txn.get("version").asLong()
           val add = node.get("add")
           if (add != null && !add.isNull) applyAdd(add)
           val remove = node.get("remove")
@@ -177,7 +225,47 @@ object DeltaLog {
         }
       }
     require(schema != null, s"no metaData action found up to version $targetVersion")
-    Snapshot(targetVersion, schema, partCols, live.values.toSeq, metaRaw)
+    val snap = Snapshot(targetVersion, schema, partCols, live.values.toSeq,
+      metaRaw, protocol, config, txns.toMap)
+    requireReadable(tablePath, snap)
+    snap
+  }
+
+  // ------------------------------------------------- protocol capability gate
+
+  /** Reader features this bridge actually implements. Anything else on a
+    * table's protocol action makes reads REFUSE loudly — replaying a log
+    * whose semantics we don't understand (deletion vectors, v2
+    * checkpoints, …) would silently return wrong rows, which for a lake
+    * reader is strictly worse than an error.
+    */
+  private val supportedReaderFeatures: Set[String] =
+    Set("timestampNtz", "vacuumProtocolCheck", "variantType-preview")
+
+  private def requireReadable(tablePath: String, s: Snapshot): Unit = {
+    s.protocol.foreach { p =>
+      // legacy versions imply fixed feature sets; v3 names them explicitly
+      val required: Set[String] =
+        if (p.minReaderVersion >= 3) p.readerFeatures
+        else if (p.minReaderVersion == 2) Set("columnMapping")
+        else Set.empty
+      // deletionVectors is commonly ENABLED but unused (delta 3.x default);
+      // gate it on actual use below instead of on the feature flag
+      val unsupported = required - "deletionVectors" -- supportedReaderFeatures
+      require(unsupported.isEmpty,
+        s"Delta table $tablePath requires reader features not supported by this " +
+          s"bridge: ${unsupported.toSeq.sorted.mkString(", ")} " +
+          s"(minReaderVersion ${p.minReaderVersion})")
+    }
+    val mappingMode = s.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(mappingMode == "none",
+      s"Delta table $tablePath uses column mapping mode '$mappingMode', " +
+        "which this bridge does not support yet")
+    val withDv = s.files.filter(_.deletionVector.isDefined)
+    require(withDv.isEmpty,
+      s"Delta table $tablePath has ${withDv.size} data files with deletion " +
+        "vectors, which this bridge does not support yet — reading them " +
+        "would resurrect deleted rows")
   }
 
   /** Percent-decode an `add.path` (RFC URI decoding — NOT URLDecoder,

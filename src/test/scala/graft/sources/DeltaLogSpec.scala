@@ -159,6 +159,122 @@ class DeltaLogSpec extends SparkSpec {
     assert(dfa.count() == 2)
   }
 
+  test("protocol gate: unsupported reader features refuse; supported or unused ones read") {
+    // v3 protocol whose features we implement (or that are enabled-but-
+    // unused, like deletionVectors on delta 3.x defaults) must read fine
+    val ok = tmpDir("delta-proto-ok")
+    dataFile(ok, "part=a/f1.parquet", Seq((1L, "one")))
+    commit(ok, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz","deletionVectors"],"writerFeatures":["timestampNtz","deletionVectors","appendOnly"]}}""",
+      metaLine, addLine("part=a/f1.parquet", "a")))
+    assert(DeltaLog.read(spark, ok.toString).count() == 1)
+    val snap = DeltaLog.snapshot(spark, ok.toString)
+    assert(snap.protocol.exists(p =>
+      p.minReaderVersion == 3 && p.readerFeatures.contains("deletionVectors")))
+
+    // a feature we genuinely don't implement refuses loudly, naming it
+    val bad = tmpDir("delta-proto-bad")
+    dataFile(bad, "part=a/f1.parquet", Seq((1L, "one")))
+    commit(bad, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      metaLine, addLine("part=a/f1.parquet", "a")))
+    val e = intercept[IllegalArgumentException](DeltaLog.read(spark, bad.toString))
+    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
+
+    // legacy minReaderVersion 2 implies column mapping
+    val cm = tmpDir("delta-proto-cm")
+    dataFile(cm, "part=a/f1.parquet", Seq((1L, "one")))
+    commit(cm, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine, addLine("part=a/f1.parquet", "a")))
+    val e2 = intercept[IllegalArgumentException](DeltaLog.snapshot(spark, cm.toString))
+    assert(e2.getMessage.contains("columnMapping"), e2.getMessage)
+  }
+
+  test("protocol gate: files carrying deletion vectors refuse instead of resurrecting rows") {
+    val table = tmpDir("delta-dv")
+    dataFile(table, "part=a/f1.parquet", Seq((1L, "one"), (2L, "two")))
+    commit(table, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaLine,
+      s"""{"add":{"path":"part=a/f1.parquet","partitionValues":{"part":"a"},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-aqEqRvsDkWe(aQ(o","offset":1,"sizeInBytes":36,"cardinality":1}}}"""))
+    val e = intercept[IllegalArgumentException](DeltaLog.read(spark, table.toString))
+    assert(e.getMessage.contains("deletion"), e.getMessage)
+  }
+
+  test("txn actions replay into the snapshot (latest per appId wins)") {
+    val table = tmpDir("delta-txn")
+    dataFile(table, "part=a/f1.parquet", Seq((1L, "one")))
+    commit(table, 0L, Seq(metaLine, addLine("part=a/f1.parquet", "a"),
+      """{"txn":{"appId":"stream-1","version":4}}"""))
+    commit(table, 1L, Seq(
+      """{"txn":{"appId":"stream-1","version":5}}""",
+      """{"txn":{"appId":"stream-2","version":1}}"""))
+    val snap = DeltaLog.snapshot(spark, table.toString)
+    assert(snap.txns == Map("stream-1" -> 5L, "stream-2" -> 1L))
+    assert(DeltaLog.snapshot(spark, table.toString, versionAsOf = Some(0L)).txns ==
+      Map("stream-1" -> 4L))
+  }
+
+  private def metaLineWith(config: String): String =
+    s"""{"metaData":{"id":"fixture","schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build().writeValueAsString(schemaJson)},"partitionColumns":["part"],"format":{"provider":"parquet"},"configuration":$config}}"""
+
+  test("writer gate: table obligations are enforced or refused, never ignored") {
+    import graft.destinations.DeltaWrite
+    import spark.implicits._
+    def freshTable(name: String, lines: Seq[String]): java.nio.file.Path = {
+      val t = tmpDir(name)
+      dataFile(t, "part=a/f1.parquet", Seq((1L, "one")))
+      commit(t, 0L, lines :+ addLine("part=a/f1.parquet", "a"))
+      t
+    }
+    val row = Seq((9L, "nine", "a")).toDF("id", "v", "part")
+
+    // appendOnly: appends land, data-changing removes refuse
+    val ao = freshTable("dw-appendonly", Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLineWith("""{"delta.appendOnly":"true"}""")))
+    DeltaWrite.append(spark, ao.toString, row)
+    assert(DeltaLog.read(spark, ao.toString).count() == 2)
+    val e1 = intercept[IllegalArgumentException](
+      DeltaWrite.upsert(spark, ao.toString, row, Seq("id")))
+    assert(e1.getMessage.contains("append-only"), e1.getMessage)
+
+    // CHECK constraints: no evaluator here, so ANY write refuses
+    val ck = freshTable("dw-check", Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
+      metaLineWith("""{"delta.constraints.positive":"id > 0"}""")))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaWrite.append(spark, ck.toString, row))
+    assert(e2.getMessage.contains("delta.constraints.positive"), e2.getMessage)
+
+    // v7 writer feature we don't implement (row tracking) refuses by name
+    val rt = freshTable("dw-rowtracking", Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
+      metaLine))
+    val e3 = intercept[IllegalArgumentException](
+      DeltaWrite.append(spark, rt.toString, row))
+    assert(e3.getMessage.contains("rowTracking"), e3.getMessage)
+  }
+
+  test("checkpoint preserves a foreign table's protocol and txn state") {
+    import graft.destinations.DeltaWrite
+    val table = tmpDir("delta-cp-proto")
+    dataFile(table, "part=a/f1.parquet", Seq((1L, "one")))
+    commit(table, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz","appendOnly"]}}""",
+      metaLine, addLine("part=a/f1.parquet", "a"),
+      """{"txn":{"appId":"stream-1","version":9}}"""))
+    DeltaWrite.checkpoint(spark, table.toString)
+    // drop the JSON commit: replay must now come from the checkpoint alone
+    java.nio.file.Files.delete(table.resolve("_delta_log").resolve(f"${0L}%020d.json"))
+    val snap = DeltaLog.snapshot(spark, table.toString)
+    assert(snap.protocol.contains(DeltaLog.Protocol(3, 7,
+      Set("timestampNtz"), Set("timestampNtz", "appendOnly"))))
+    assert(snap.txns == Map("stream-1" -> 9L))
+    assert(DeltaLog.read(spark, table.toString).count() == 1)
+  }
+
   test("non-Delta directories and unknown versions fail with clear errors") {
     val empty = tmpDir("delta-none")
     val e1 = intercept[IllegalArgumentException](DeltaLog.snapshot(spark, empty.toString))
