@@ -63,7 +63,41 @@ object DeltaLog {
       metaDataRaw: Option[String] = None,
       protocol: Option[Protocol] = None,
       configuration: Map[String, String] = Map.empty,
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty) {
+
+    def columnMappingMode: String =
+      configuration.getOrElse("delta.columnMapping.mode", "none")
+
+    /** Logical → physical top-level column names. Under column mapping the
+      * parquet files, the add-action `partitionValues` keys, and the stats
+      * objects all speak PHYSICAL names; the schema carries the rename in
+      * each field's `delta.columnMapping.physicalName` metadata.
+      */
+    lazy val physicalNames: Map[String, String] =
+      if (columnMappingMode == "none") Map.empty
+      else schema.fields.iterator.map(f => f.name -> physicalFieldName(f)).toMap
+
+    def physicalName(logical: String): String =
+      physicalNames.getOrElse(logical, logical)
+  }
+
+  private[graft] def physicalFieldName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** The schema as the parquet files spell it: every struct field (at any
+    * nesting depth) renamed to its physical name.
+    */
+  private[graft] def physicalDataType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(name = physicalFieldName(f), dataType = physicalDataType(f.dataType))))
+    case org.apache.spark.sql.types.ArrayType(et, n) =>
+      org.apache.spark.sql.types.ArrayType(physicalDataType(et), n)
+    case org.apache.spark.sql.types.MapType(k, v, n) =>
+      org.apache.spark.sql.types.MapType(physicalDataType(k), physicalDataType(v), n)
+    case other => other
+  }
 
   private val mapper = new ObjectMapper()
 
@@ -240,14 +274,14 @@ object DeltaLog {
     * reader is strictly worse than an error.
     */
   private val supportedReaderFeatures: Set[String] =
-    Set("timestampNtz", "vacuumProtocolCheck", "variantType-preview")
+    Set("columnMapping", "timestampNtz", "vacuumProtocolCheck", "variantType-preview")
 
   private def requireReadable(tablePath: String, s: Snapshot): Unit = {
     s.protocol.foreach { p =>
       // legacy versions imply fixed feature sets; v3 names them explicitly
       val required: Set[String] =
         if (p.minReaderVersion >= 3) p.readerFeatures
-        else if (p.minReaderVersion == 2) Set("columnMapping")
+        else if (p.minReaderVersion == 2) Set("columnMapping") // legacy implication
         else Set.empty
       // deletionVectors is commonly ENABLED but unused (delta 3.x default);
       // gate it on actual use below instead of on the feature flag
@@ -257,10 +291,32 @@ object DeltaLog {
           s"bridge: ${unsupported.toSeq.sorted.mkString(", ")} " +
           s"(minReaderVersion ${p.minReaderVersion})")
     }
-    val mappingMode = s.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(mappingMode == "none",
-      s"Delta table $tablePath uses column mapping mode '$mappingMode', " +
-        "which this bridge does not support yet")
+    val mappingMode = s.columnMappingMode
+    require(Set("none", "name", "id").contains(mappingMode),
+      s"Delta table $tablePath uses unknown column mapping mode '$mappingMode'")
+    if (mappingMode != "none") {
+      // both 'name' and 'id' tables are read via physical names (writers
+      // record physicalName in either mode); a field missing the rename
+      // would silently read the WRONG parquet column, so verify all of
+      // them up front
+      def unmapped(prefix: String, st: StructType): Seq[String] = st.fields.toSeq.flatMap { f =>
+        val here =
+          if (f.metadata.contains("delta.columnMapping.physicalName")) Nil
+          else Seq(prefix + f.name)
+        here ++ (f.dataType match {
+          case nested: StructType => unmapped(prefix + f.name + ".", nested)
+          case org.apache.spark.sql.types.ArrayType(nested: StructType, _) =>
+            unmapped(prefix + f.name + ".element.", nested)
+          case org.apache.spark.sql.types.MapType(_, nested: StructType, _) =>
+            unmapped(prefix + f.name + ".value.", nested)
+          case _ => Nil
+        })
+      }
+      val missing = unmapped("", s.schema)
+      require(missing.isEmpty,
+        s"Delta table $tablePath has columnMapping.mode=$mappingMode but no " +
+          s"physicalName for: ${missing.mkString(", ")}")
+    }
     val withDv = s.files.filter(_.deletionVector.isDefined)
     require(withDv.isEmpty,
       s"Delta table $tablePath has ${withDv.size} data files with deletion " +
@@ -326,7 +382,14 @@ object DeltaLog {
       files: Seq[AddFile],
       withFilePath: Boolean = false): DataFrame = {
     val table = new Path(tablePath)
-    val dataSchema = StructType(s.schema.fields.filterNot(f => s.partitionColumns.contains(f.name)))
+    val logicalData = s.schema.fields.filterNot(f => s.partitionColumns.contains(f.name))
+    val mapped = s.columnMappingMode != "none"
+    // under column mapping the files spell PHYSICAL names; scan with those
+    // and restore logical names after (struct casts rename nested levels
+    // by position)
+    val dataSchema =
+      if (mapped) physicalDataType(StructType(logicalData)).asInstanceOf[StructType]
+      else StructType(logicalData)
     if (files.isEmpty) {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
@@ -338,14 +401,26 @@ object DeltaLog {
     val parts = groups.map { case (pv, group) =>
       // paths are table-root-relative and URL-encoded per the spec
       val paths = group.map(f => new Path(table, decodePath(f.path)).toString)
-      val scan = spark.read.schema(dataSchema).parquet(paths: _*)
+      val scan0 = spark.read.schema(dataSchema).parquet(paths: _*)
+      // capture the metadata column BEFORE any projection — it resolves
+      // only against the file-scan relation itself
+      val withMeta =
+        if (withFilePath) scan0.withColumn("_graft_file", col("_metadata.file_path"))
+        else scan0
       val base =
-        if (withFilePath) scan.withColumn("_graft_file", col("_metadata.file_path"))
-        else scan
+        if (!mapped) withMeta
+        else {
+          val renames = logicalData.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+            col(dataSchema(i).name).cast(f.dataType).as(f.name)
+          }
+          withMeta.select(renames ++
+            (if (withFilePath) Seq(col("_graft_file")) else Nil): _*)
+        }
       s.partitionColumns.foldLeft(base) { (df, pc) =>
         val dt = s.schema(pc).dataType
-        // Delta encodes partition NULL as missing/null entry in the map
-        val raw = pv.get(pc).filter(_ != null)
+        // Delta encodes partition NULL as missing/null entry in the map;
+        // mapped tables key partitionValues by PHYSICAL name
+        val raw = pv.get(s.physicalName(pc)).orElse(pv.get(pc)).filter(_ != null)
         df.withColumn(pc, raw.map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
       }
     }

@@ -61,8 +61,10 @@ private[graft] object DeltaStats {
     * partition columns, else from the add action's stats JSON.
     */
   def interval(s: DeltaLog.Snapshot, f: DeltaLog.AddFile, colName: String): ColInterval = {
+    // column-mapped tables key partitionValues and stats by PHYSICAL name
+    val key = s.physicalName(colName)
     if (s.partitionColumns.contains(colName))
-      return f.partitionValues.get(colName) match {
+      return f.partitionValues.get(key).orElse(f.partitionValues.get(colName)) match {
         case Some(null) => ColInterval(None, None, nullsPossible = true, allNull = true)
         case Some(v) => ColInterval(Some(v), Some(v), nullsPossible = false, allNull = false)
         case None => Unknown
@@ -73,7 +75,7 @@ private[graft] object DeltaStats {
         try {
           val n = mapper.readTree(js)
           def field(group: String): Option[JsonNode] =
-            Option(n.get(group)).flatMap(o => Option(o.get(colName))).filterNot(_.isNull)
+            Option(n.get(group)).flatMap(o => Option(o.get(key))).filterNot(_.isNull)
           val numRecords = Option(n.get("numRecords")).filterNot(_.isNull).map(_.asLong)
           val nullCount = field("nullCount").map(_.asLong)
           val allNull = (numRecords, nullCount) match {

@@ -181,14 +181,23 @@ class DeltaLogSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](DeltaLog.read(spark, bad.toString))
     assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
 
-    // legacy minReaderVersion 2 implies column mapping
+    // legacy minReaderVersion 2 implies column mapping, which IS
+    // implemented — a v2 table (here with mode none) reads fine
     val cm = tmpDir("delta-proto-cm")
     dataFile(cm, "part=a/f1.parquet", Seq((1L, "one")))
     commit(cm, 0L, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       metaLine, addLine("part=a/f1.parquet", "a")))
-    val e2 = intercept[IllegalArgumentException](DeltaLog.snapshot(spark, cm.toString))
-    assert(e2.getMessage.contains("columnMapping"), e2.getMessage)
+    assert(DeltaLog.read(spark, cm.toString).count() == 1)
+
+    // a reader version beyond anything this bridge knows refuses
+    val hv = tmpDir("delta-proto-hv")
+    dataFile(hv, "part=a/f1.parquet", Seq((1L, "one")))
+    commit(hv, 0L, Seq(
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":8,"readerFeatures":["somethingNew"]}}""",
+      metaLine, addLine("part=a/f1.parquet", "a")))
+    val e3 = intercept[IllegalArgumentException](DeltaLog.snapshot(spark, hv.toString))
+    assert(e3.getMessage.contains("somethingNew"), e3.getMessage)
   }
 
   test("protocol gate: files carrying deletion vectors refuse instead of resurrecting rows") {
@@ -273,6 +282,87 @@ class DeltaLogSpec extends SparkSpec {
       Set("timestampNtz"), Set("timestampNtz", "appendOnly"))))
     assert(snap.txns == Map("stream-1" -> 9L))
     assert(DeltaLog.read(spark, table.toString).count() == 1)
+  }
+
+  // ---- column mapping fixtures: files + partitionValues + stats all speak
+  // physical names ("col-…"), the schema carries the renames in metadata
+
+  private val mappedSchemaJson =
+    """{"type":"struct","fields":[
+      |{"name":"id","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-id9"}},
+      |{"name":"meta","type":{"type":"struct","fields":[
+      |{"name":"a","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":3,"delta.columnMapping.physicalName":"col-na"}},
+      |{"name":"b","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":4,"delta.columnMapping.physicalName":"col-nb"}}]},"nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-meta"}},
+      |{"name":"part","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":5,"delta.columnMapping.physicalName":"col-part"}}]}"""
+      .stripMargin.replace("\n", "")
+
+  private def mappedMetaLine: String =
+    s"""{"metaData":{"id":"fixture-cm","schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build().writeValueAsString(mappedSchemaJson)},"partitionColumns":["part"],"format":{"provider":"parquet"},"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"5"}}}"""
+
+  private def mappedDataFile(
+      table: java.nio.file.Path, rel: String, rows: Seq[(Long, Long, String)]): Unit = {
+    import spark.implicits._
+    val tmp = table.resolve("_tmp_write")
+    rows.toDF("i", "na", "nb")
+      .select(col("i").as("col-id9"),
+        struct(col("na").as("col-na"), col("nb").as("col-nb")).as("col-meta"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val dest = table.resolve(rel)
+    java.nio.file.Files.createDirectories(dest.getParent)
+    java.nio.file.Files.move(part, dest)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("column mapping: physical files read back under logical names, stats still skip") {
+    val table = tmpDir("delta-cm-read")
+    mappedDataFile(table, "f1.parquet", Seq((1L, 10L, "x"), (2L, 20L, "y")))
+    mappedDataFile(table, "f2.parquet", Seq((100L, 30L, "z")))
+    def add(path: String, mn: Long, mx: Long) =
+      s"""{"add":{"path":"$path","partitionValues":{"col-part":"a"},"size":1,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"col-id9\\":$mn},\\"maxValues\\":{\\"col-id9\\":$mx},\\"nullCount\\":{\\"col-id9\\":0}}"}}"""
+    commit(table, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      mappedMetaLine, add("f1.parquet", 1L, 2L), add("f2.parquet", 100L, 100L)))
+
+    val df = DeltaLog.read(spark, table.toString)
+    assert(df.columns.toSeq == Seq("id", "meta", "part"))
+    val rows = df.orderBy("id")
+      .selectExpr("id", "meta.a", "meta.b", "part").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
+    assert(rows == Seq((1L, 10L, "x", "a"), (2L, 20L, "y", "a"), (100L, 30L, "z", "a")))
+
+    // stats skipping: the predicate speaks logical names, the stats
+    // physical ones — only f1 may hold id < 5
+    val skipped = DeltaLog.readWhere(spark, table.toString, "id < 5")
+    val scanned = skipped.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.relation.location.inputFiles.toSeq
+    }.flatten
+    assert(scanned.size == 1 && scanned.head.contains("f1.parquet"), scanned)
+    assert(skipped.count() == 2)
+
+    // writer gate: this engine does not write mapped tables
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException](graft.destinations.DeltaWrite.append(
+      spark, table.toString, Seq((5L, 1L, "q", "a")).toDF("id", "a", "b", "part")))
+    assert(e.getMessage.contains("column mapping"), e.getMessage)
+  }
+
+  test("column mapping: a field missing its physicalName refuses by name") {
+    val table = tmpDir("delta-cm-miss")
+    mappedDataFile(table, "f1.parquet", Seq((1L, 10L, "x")))
+    val badSchema = mappedSchemaJson.replace(
+      """{"name":"id","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-id9"}}""",
+      """{"name":"id","type":"long","nullable":true,"metadata":{}}""")
+    val badMeta =
+      s"""{"metaData":{"id":"fixture-cm2","schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build().writeValueAsString(badSchema)},"partitionColumns":["part"],"format":{"provider":"parquet"},"configuration":{"delta.columnMapping.mode":"name"}}}"""
+    commit(table, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      badMeta,
+      """{"add":{"path":"f1.parquet","partitionValues":{"col-part":"a"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val e = intercept[IllegalArgumentException](DeltaLog.snapshot(spark, table.toString))
+    assert(e.getMessage.contains("physicalName") && e.getMessage.contains("id"), e.getMessage)
   }
 
   test("non-Delta directories and unknown versions fail with clear errors") {
