@@ -317,11 +317,6 @@ object DeltaLog {
         s"Delta table $tablePath has columnMapping.mode=$mappingMode but no " +
           s"physicalName for: ${missing.mkString(", ")}")
     }
-    val withDv = s.files.filter(_.deletionVector.isDefined)
-    require(withDv.isEmpty,
-      s"Delta table $tablePath has ${withDv.size} data files with deletion " +
-        "vectors, which this bridge does not support yet — reading them " +
-        "would resurrect deleted rows")
   }
 
   /** Percent-decode an `add.path` (RFC URI decoding — NOT URLDecoder,
@@ -396,17 +391,35 @@ object DeltaLog {
       return if (withFilePath) empty.withColumn("_graft_file", lit(null).cast("string"))
              else empty
     }
-    val groups = files.groupBy(_.partitionValues).toSeq
+    // files carrying a deletion vector scan alone: their row filter is a
+    // per-FILE bitmap over `_metadata.row_index`, decoded once driver-side
+    val (dvFiles, plain) = files.partition(_.deletionVector.isDefined)
+    val plainGroups = plain.groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sorted.mkString("\u0000")) // deterministic plan order
-    val parts = groups.map { case (pv, group) =>
+      .map { case (pv, g) => (pv, g, None: Option[DeletionVectors.RoaringArray]) }
+    val dvGroups = dvFiles.sortBy(_.path).map { f =>
+      val d = DeletionVectors.parse(f.deletionVector.get)
+      (f.partitionValues, Seq(f), Some(DeletionVectors.readBitmap(spark, tablePath, d)))
+    }
+    val groups = plainGroups ++ dvGroups
+    val parts = groups.map { case (pv, group, dv) =>
       // paths are table-root-relative and URL-encoded per the spec
       val paths = group.map(f => new Path(table, decodePath(f.path)).toString)
       val scan0 = spark.read.schema(dataSchema).parquet(paths: _*)
-      // capture the metadata column BEFORE any projection — it resolves
+      // capture the metadata columns BEFORE any projection — they resolve
       // only against the file-scan relation itself
-      val withMeta =
+      val withFile =
         if (withFilePath) scan0.withColumn("_graft_file", col("_metadata.file_path"))
         else scan0
+      val withMeta = dv match {
+        case None => withFile
+        case Some(bitmap) =>
+          val live = udf((idx: Long) => !bitmap.contains(idx))
+          withFile
+            .withColumn("_graft_row_index", col("_metadata.row_index"))
+            .filter(live(col("_graft_row_index")))
+            .drop("_graft_row_index")
+      }
       val base =
         if (!mapped) withMeta
         else {

@@ -200,17 +200,6 @@ class DeltaLogSpec extends SparkSpec {
     assert(e3.getMessage.contains("somethingNew"), e3.getMessage)
   }
 
-  test("protocol gate: files carrying deletion vectors refuse instead of resurrecting rows") {
-    val table = tmpDir("delta-dv")
-    dataFile(table, "part=a/f1.parquet", Seq((1L, "one"), (2L, "two")))
-    commit(table, 0L, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
-      metaLine,
-      s"""{"add":{"path":"part=a/f1.parquet","partitionValues":{"part":"a"},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-aqEqRvsDkWe(aQ(o","offset":1,"sizeInBytes":36,"cardinality":1}}}"""))
-    val e = intercept[IllegalArgumentException](DeltaLog.read(spark, table.toString))
-    assert(e.getMessage.contains("deletion"), e.getMessage)
-  }
-
   test("txn actions replay into the snapshot (latest per appId wins)") {
     val table = tmpDir("delta-txn")
     dataFile(table, "part=a/f1.parquet", Seq((1L, "one")))
