@@ -133,18 +133,38 @@ object DeltaWrite {
   /** Append `df` (cast to the table schema) as a new commit. Blind appends
     * never conflict logically, so a lost commit race is retried against the
     * re-read latest version.
+    *
+    * `mergeSchema` widens the table on the fly (delta-spark's
+    * mergeSchema=true): top-level columns in `df` that the table lacks are
+    * appended (nullable) and a new metaData action records the merged
+    * schema. Old files simply lack the column — parquet scans null-fill
+    * it, and their stats answer "unknown" for it, so nothing is rewritten.
+    * Existing columns keep their table type; partition columns cannot be
+    * added this way.
     */
-  def append(spark: SparkSession, tablePath: String, df: DataFrame): Long = {
+  def append(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      mergeSchema: Boolean = false): Long = {
     val snap = DeltaLog.snapshot(spark, tablePath)
     requireWritable(tablePath, snap, "append", removesData = false)
-    val data = ManagedTable.castToSchema(df, snap.schema)
+    val existing = snap.schema.fieldNames.map(_.toLowerCase).toSet
+    val newCols = df.schema.fields.filter(f => !existing.contains(f.name.toLowerCase))
+    val (schema, meta) =
+      if (!mergeSchema || newCols.isEmpty) (snap.schema, None)
+      else {
+        val merged = StructType(snap.schema.fields ++ newCols.map(_.copy(nullable = true)))
+        (merged, Some((merged, snap.partitionColumns)))
+      }
+    val data = ManagedTable.castToSchema(df, schema)
     val adds = writeDataFiles(spark, new Path(tablePath), data, snap.partitionColumns)
     var version = snap.version + 1
     var attempts = 0
     while (true) {
       try {
         commit(spark, new Path(tablePath), version, "WRITE",
-          withMeta = None, adds = adds, removes = Nil)
+          withMeta = meta, adds = adds, removes = Nil)
         maybeCheckpoint(spark, tablePath, version)
         return version
       } catch {

@@ -396,6 +396,50 @@ class DeltaWriteSpec extends SparkSpec {
     assert(DeltaLog.read(spark, table.toString).count() == 400)
   }
 
+  test("mergeSchema append widens the table; old files null-fill and still prune sanely") {
+    import spark.implicits._
+    val table = tmpDir("dw-merge-schema")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, table.toString, schema)
+    DeltaWrite.append(spark, table.toString, Seq((1L, "one"), (2L, "two")).toDF("id", "v"))
+
+    // extra column WITHOUT mergeSchema: dropped (cast-to-schema semantics)
+    DeltaWrite.append(spark, table.toString,
+      Seq((3L, "three", 0.5)).toDF("id", "v", "score"))
+    assert(DeltaLog.snapshot(spark, table.toString).schema.fieldNames.toSeq ==
+      Seq("id", "v"))
+
+    // WITH mergeSchema: schema widens, a new metaData action records it
+    val v = DeltaWrite.append(spark, table.toString,
+      Seq((4L, "four", 0.9), (5L, "five", 0.1)).toDF("id", "v", "score"),
+      mergeSchema = true)
+    val snap = DeltaLog.snapshot(spark, table.toString)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    assert(snap.schema("score").nullable)
+    assert(action(logLines(table, v), "metaData").nonEmpty,
+      "widening append must re-emit metaData")
+
+    // old rows read back null-filled; new rows carry their values
+    val rows = DeltaLog.read(spark, table.toString).orderBy("id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.toSeq == Seq(
+      (1L, None), (2L, None), (3L, None), (4L, Some(0.9)), (5L, Some(0.1))))
+
+    // stats pruning on the NEW column: old files have no interval for it
+    // (unknown ⇒ always scanned), new files prune by range — and results
+    // stay exact either way
+    val hi = DeltaLog.readWhere(spark, table.toString, "score > 0.5")
+    assert(hi.collect().map(_.getLong(0)).toSeq == Seq(4L))
+
+    // the incoming frame keeps the TABLE's type for existing columns
+    val v2 = DeltaWrite.append(spark, table.toString,
+      Seq(("6", "six", 1)).toDF("id", "v", "score"), mergeSchema = true)
+    assert(DeltaLog.snapshot(spark, table.toString).schema("id").dataType == LongType)
+    assert(DeltaLog.read(spark, table.toString).filter("id = 6").count() == 1)
+    assert(v2 == v + 1)
+  }
+
   test("convertFromManaged promotes a managed table to Delta in place, zero bytes moved") {
     import spark.implicits._
     import graft.config.{Location, Types}
