@@ -297,14 +297,18 @@ object Multimodal {
   def frameCount(data: Column, frameSize: Int, stride: Int): Column =
     size(frameSample(data, frameSize, stride))
 
-  /** STUB decoder ??? for CODECS the JDK does not ship (h264/vp9 frame
-    * pixels, webp, mp3, …) — deterministic fake features: byte length, a
-    * content hash, and a pseudo-"brightness" (mean of a sampled byte
-    * prefix). The schema and distribution contract match the real
-    * [[decodeImageFeatures]] path; swap in a JNI/ONNX executor codec here
-    * and nothing else moves. Video payloads should first go through
-    * [[Mp4.keyframeRanges]] (real container parsing), so this stub only
-    * ever sees kilobyte keyframe ranges, not whole files.
+  /** STUB decoder ??? strictly for PIXEL/PCM work of CODECS the JDK does
+    * not ship (h264/vp9 frame pixels, webp pixels, mp3 PCM) —
+    * deterministic fake features: byte length, a content hash, and a
+    * pseudo-"brightness" (mean of a sampled byte prefix). The schema and
+    * distribution contract match the real [[decodeImageFeatures]] path;
+    * swap in a JNI/ONNX executor codec here and nothing else moves. The
+    * FORMAT layer around those codecs is real: [[Mp4.keyframeRanges]]
+    * (ISO BMFF), [[Mp3.frameRanges]] (MPEG audio frame walk — duration,
+    * bitrate, channels, frame byte ranges), and [[WebP.features]]
+    * (RIFF/VP8/VP8L/VP8X — dimensions, alpha, animation) run distributed
+    * over the raw binary columns, so this stub only ever sees the
+    * kilobyte frame ranges they select, not whole files.
     */
   def stubDecodeFeatures(data: Column): Column = {
     val prefix = substring(data, 1, 64)
