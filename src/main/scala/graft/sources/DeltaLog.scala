@@ -138,10 +138,29 @@ object DeltaLog {
     require(commits.nonEmpty || allCheckpointVersions.nonEmpty,
       s"empty _delta_log at $tablePath")
 
-    // timestamp travel: last commit whose file modification time <= ts
-    // (the Delta spec's in-commit timestamps are optional; modification
-    // time is the protocol's documented fallback)
+    // timestamp travel: last commit at or before ts. Tables with the
+    // inCommitTimestamps feature carry the authoritative clock in each
+    // commit's commitInfo (file mtimes lie after copies/restores); others
+    // fall back to modification time, the protocol's documented default.
+    // The commitInfo probe reads only each commit's FIRST line, only when
+    // timestamp travel is actually requested.
     val latestVersion = (commits.map(_._1) ++ allCheckpointVersions).max
+    def commitTimestamp(st: org.apache.hadoop.fs.FileStatus): Long = {
+      val in = fs.open(st.getPath)
+      val firstLine =
+        try {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+          br.readLine()
+        } finally in.close()
+      val ict =
+        try Option(firstLine).map(mapper.readTree)
+          .flatMap(n => Option(n.get("commitInfo")).filterNot(_.isNull))
+          .flatMap(ci => Option(ci.get("inCommitTimestamp")).filterNot(_.isNull))
+          .map(_.asLong())
+        catch { case scala.util.control.NonFatal(_) => None }
+      ict.getOrElse(st.getModificationTime)
+    }
     val targetVersion = (versionAsOf, timestampAsOf) match {
       case (Some(v), _) =>
         // a version is reachable via its JSON commit OR a checkpoint at it
@@ -150,7 +169,7 @@ object DeltaLog {
           s"version $v not in _delta_log (latest: $latestVersion)")
         v
       case (None, Some(ts)) =>
-        val upTo = commits.filter(_._2.getModificationTime <= ts.toEpochMilli)
+        val upTo = commits.filter(c => commitTimestamp(c._2) <= ts.toEpochMilli)
         require(upTo.nonEmpty, s"no Delta version at or before $ts")
         upTo.last._1
       case _ => latestVersion

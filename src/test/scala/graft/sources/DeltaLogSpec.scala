@@ -200,6 +200,31 @@ class DeltaLogSpec extends SparkSpec {
     assert(e3.getMessage.contains("somethingNew"), e3.getMessage)
   }
 
+  test("timestamp travel prefers in-commit timestamps over file mtimes") {
+    val table = tmpDir("delta-ict")
+    dataFile(table, "part=a/f1.parquet", Seq((1L, "one")))
+    dataFile(table, "part=a/f2.parquet", Seq((2L, "two")))
+    // both commit FILES are written "now", but their in-commit clocks say
+    // v0 = 1 000 000, v1 = 2 000 000 — travel must follow the latter
+    commit(table, 0L, Seq(
+      """{"commitInfo":{"timestamp":1000000,"inCommitTimestamp":1000000,"operation":"WRITE"}}""",
+      metaLine, addLine("part=a/f1.parquet", "a")))
+    commit(table, 1L, Seq(
+      """{"commitInfo":{"timestamp":2000000,"inCommitTimestamp":2000000,"operation":"WRITE"}}""",
+      addLine("part=a/f2.parquet", "a")))
+    val atV0 = DeltaLog.read(spark, table.toString,
+      timestampAsOf = Some(java.time.Instant.ofEpochMilli(1500000L)))
+    assert(atV0.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val atV1 = DeltaLog.read(spark, table.toString,
+      timestampAsOf = Some(java.time.Instant.ofEpochMilli(2000000L)))
+    assert(atV1.count() == 2)
+    // before the first in-commit timestamp: no version exists yet, even
+    // though the files' mtimes are in the past relative to "now"
+    val e = intercept[IllegalArgumentException](DeltaLog.read(spark, table.toString,
+      timestampAsOf = Some(java.time.Instant.ofEpochMilli(999999L))))
+    assert(e.getMessage.contains("no Delta version"), e.getMessage)
+  }
+
   test("txn actions replay into the snapshot (latest per appId wins)") {
     val table = tmpDir("delta-txn")
     dataFile(table, "part=a/f1.parquet", Seq((1L, "one")))
