@@ -51,7 +51,7 @@ object Bench {
     "q98_dedup_spans_removed", "q99_temperature_mix", "p13_pipeline_stats")
   // queries added in round 6
   private[graft] val r6New = Set("q100_ann_ivf_persist",
-    "q101_heavy_hitters_approx", "p14_pipeline_delta")
+    "q101_heavy_hitters_approx", "q102_delta_evolve", "p14_pipeline_delta")
   private[graft] val laterRounds = Seq(r3New, r4New, r5New, r6New)
   private def newer(from: Int)(k: String): Boolean =
     laterRounds.drop(from).exists(_(k))

@@ -1463,6 +1463,33 @@ object EngineQueries {
         .orderBy(col("lang"))
     }),
 
+    // Round-6 Delta surface end-to-end under the exact-oracle gate:
+    // multiple small appends, a SCHEMA-WIDENING append (mergeSchema:
+    // metaData re-emit, old files null-fill), a 2-column Z-order
+    // compaction (Morton rewrite must move bytes, never rows), and a
+    // stats-skipped readWhere — all through the engine-written,
+    // engine-replayed protocol, checked against DuckDB on raw orders.
+    "q102_delta_evolve" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q102").resolve("tbl").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val base = orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        base.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+      (0 until 4).foreach(i => DeltaWrite.append(s, tbl,
+        base.filter(col("o_custkey") % 4 === i).repartition(1)))
+      DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 3 === 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus")),
+        mergeSchema = true)
+      DeltaWrite.compact(s, tbl, targetFileBytes = 1L << 20,
+        clusterBy = Seq("o_orderkey", "o_custkey"))
+      graft.sources.DeltaLog.readWhere(s, tbl, "o_orderkey < 5000")
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -2107,6 +2134,14 @@ object EngineQueries {
                                 ORDER BY list_cosine_similarity(cv, qv) DESC, item_id) AS rank
            FROM c CROSS JOIN q) t
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // the Delta layer under test must be RESULT-invisible: the oracle
+    // recomputes the final state straight from raw orders
+    "q102_delta_evolve" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+         CASE WHEN o_orderkey % 3 = 1 THEN o_orderstatus END AS o_orderstatus
+         FROM orders
+         WHERE (o_orderkey % 3 = 0 OR o_orderkey % 3 = 1) AND o_orderkey < 5000
+         ORDER BY o_orderkey""",
     // approximate-regime guarantees are theorems — stated as literals
     // beside the exact totals (the q27 pattern)
     "q101_heavy_hitters_approx" ->
