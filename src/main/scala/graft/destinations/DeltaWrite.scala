@@ -461,6 +461,43 @@ object DeltaWrite {
       dataChange = false)
   }
 
+  /** RESTORE the table to an earlier version as a NEW commit (time travel
+    * made durable — the history stays intact, delta-spark's `RESTORE TABLE
+    * … TO VERSION AS OF`). Pure manifest surgery: files in the current
+    * snapshot but not the target are removed, files in the target but not
+    * the current are re-added by reference with their original stats — no
+    * data bytes move. Refuses when a needed file was already vacuumed, and
+    * re-emits metaData when the schemas differ (e.g. restoring to before a
+    * mergeSchema append). Returns the new version.
+    */
+  def restore(spark: SparkSession, tablePath: String, version: Long): Long = {
+    val cur = DeltaLog.snapshot(spark, tablePath)
+    requireWritable(tablePath, cur, "restore", removesData = true)
+    if (version == cur.version) return cur.version
+    val target = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(version))
+    val curPaths = cur.files.map(_.path).toSet
+    val tgtPaths = target.files.map(_.path).toSet
+    val removes = cur.files.filterNot(f => tgtPaths(f.path)).map(_.path)
+    val readds = target.files.filterNot(f => curPaths(f.path))
+    val table = new Path(tablePath)
+    val f = fs(spark, table)
+    readds.foreach(a => require(
+      f.exists(new Path(table, DeltaLog.decodePath(a.path))),
+      s"cannot restore to version $version: data file ${a.path} was vacuumed"))
+    val adds = readds.map(a => AddDescriptor(
+      DeltaLog.decodePath(a.path),
+      a.partitionValues.toSeq.sortBy(_._1).map { case (k, v) => k -> Option(v) },
+      a.size, a.modificationTime, a.stats))
+    val meta =
+      if (target.schema != cur.schema || target.partitionColumns != cur.partitionColumns)
+        Some((target.schema, target.partitionColumns))
+      else None
+    val v = commit(spark, table, cur.version + 1, "RESTORE",
+      withMeta = meta, adds = adds, removes = removes)
+    maybeCheckpoint(spark, tablePath, v)
+    v
+  }
+
   /** Delete data files the CURRENT snapshot no longer references —
     * tombstoned by past removes or stranded by crashed writers — once they
     * are older than `retainMs` (the retention guard that keeps concurrent

@@ -103,6 +103,22 @@ object DeltaLog {
 
   private def logDir(table: Path) = new Path(table, "_delta_log")
 
+  private def parseAddAction(add: JsonNode): AddFile = {
+    val p = add.get("path").asText()
+    // a JSON-null partition value is a NULL partition (the spec's
+    // encoding) — asText() would stringify it to "null"
+    val pv = Option(add.get("partitionValues"))
+      .filterNot(_.isNull)
+      .map(n => n.fields().asScala.map(e =>
+        e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+      .getOrElse(Map.empty[String, String])
+    val size = Option(add.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L)
+    val mt = Option(add.get("modificationTime")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L)
+    val stats = Option(add.get("stats")).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
+    val dv = Option(add.get("deletionVector")).filterNot(_.isNull).map(_.toString)
+    AddFile(p, pv, size, mt, stats, dv)
+  }
+
   /** True when `path` holds a real Delta table (a `_delta_log` dir). */
   def isDeltaTable(spark: SparkSession, path: String): Boolean = {
     val log = logDir(new Path(path))
@@ -209,19 +225,8 @@ object DeltaLog {
         features("readerFeatures"), features("writerFeatures")))
     }
     def applyAdd(add: JsonNode): Unit = {
-      val p = add.get("path").asText()
-      // a JSON-null partition value is a NULL partition (the spec's
-      // encoding) — asText() would stringify it to "null"
-      val pv = Option(add.get("partitionValues"))
-        .filterNot(_.isNull)
-        .map(n => n.fields().asScala.map(e =>
-          e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
-        .getOrElse(Map.empty[String, String])
-      val size = Option(add.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L)
-      val mt = Option(add.get("modificationTime")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L)
-      val stats = Option(add.get("stats")).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
-      val dv = Option(add.get("deletionVector")).filterNot(_.isNull).map(_.toString)
-      live += p -> AddFile(p, pv, size, mt, stats, dv)
+      val a = parseAddAction(add)
+      live += a.path -> a
     }
 
     fromCheckpoint.foreach { cv =>
@@ -293,7 +298,8 @@ object DeltaLog {
     * reader is strictly worse than an error.
     */
   private val supportedReaderFeatures: Set[String] =
-    Set("columnMapping", "timestampNtz", "vacuumProtocolCheck", "variantType-preview")
+    Set("columnMapping", "deletionVectors", "timestampNtz",
+      "vacuumProtocolCheck", "variantType-preview")
 
   private def requireReadable(tablePath: String, s: Snapshot): Unit = {
     s.protocol.foreach { p =>
@@ -302,9 +308,7 @@ object DeltaLog {
         if (p.minReaderVersion >= 3) p.readerFeatures
         else if (p.minReaderVersion == 2) Set("columnMapping") // legacy implication
         else Set.empty
-      // deletionVectors is commonly ENABLED but unused (delta 3.x default);
-      // gate it on actual use below instead of on the feature flag
-      val unsupported = required - "deletionVectors" -- supportedReaderFeatures
+      val unsupported = required -- supportedReaderFeatures
       require(unsupported.isEmpty,
         s"Delta table $tablePath requires reader features not supported by this " +
           s"bridge: ${unsupported.toSeq.sorted.mkString(", ")} " +
@@ -383,6 +387,55 @@ object DeltaLog {
     val expr = spark.sessionState.sqlParser.parseExpression(predicate)
     val candidates = s.files.filter(f => DeltaStats.mayMatch(s, f, expr))
     readFiles(spark, tablePath, s, candidates).filter(predicate)
+  }
+
+  /** Incremental tail WITHOUT change-data-feed: the rows appended by
+    * commits in `(fromVersionExclusive, latest]`. The contract every
+    * Delta-tailing consumer relies on: data-changing `add`s in range are
+    * returned; layout-only commits (compaction, `dataChange: false`) are
+    * invisible; a data-changing `remove` in range means the table moved
+    * non-incrementally and the call REFUSES (the consumer must full-
+    * refresh) rather than silently over- or under-delivering. Commits
+    * cleaned past a checkpoint refuse the same way. Reads happen under
+    * the LATEST snapshot's schema/mapping/protocol context, so mergeSchema
+    * appends and DV'd files tail correctly.
+    */
+  def readChanges(
+      spark: SparkSession,
+      tablePath: String,
+      fromVersionExclusive: Long): DataFrame = {
+    val snap = snapshot(spark, tablePath) // protocol gate + read context
+    require(fromVersionExclusive <= snap.version,
+      s"fromVersion $fromVersionExclusive is beyond latest ${snap.version}")
+    val table = new Path(tablePath)
+    val fs = logDir(table).getFileSystem(spark.sessionState.newHadoopConf())
+    val adds = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    ((fromVersionExclusive + 1) to snap.version).foreach { v =>
+      val p = new Path(logDir(table), f"$v%020d.json")
+      require(fs.exists(p),
+        s"commit $v no longer in _delta_log (checkpoint-cleaned); " +
+          "incremental read impossible — full refresh required")
+      val in = fs.open(p)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        val add = node.get("add")
+        if (add != null && !add.isNull) {
+          val dc = Option(add.get("dataChange")).filterNot(_.isNull).forall(_.asBoolean())
+          if (dc) { val a = parseAddAction(add); adds += a.path -> a }
+        }
+        val remove = node.get("remove")
+        if (remove != null && !remove.isNull) {
+          val dc = Option(remove.get("dataChange")).filterNot(_.isNull).forall(_.asBoolean())
+          require(!dc,
+            s"version $v removed data (${remove.get("path").asText()}); " +
+              "the range is not append-only — full refresh required")
+        }
+      }
+    }
+    readFiles(spark, tablePath, snap, adds.values.toSeq)
   }
 
   /** Read a subset of a snapshot's files (the write path's file-pruned

@@ -440,6 +440,73 @@ class DeltaWriteSpec extends SparkSpec {
     assert(v2 == v + 1)
   }
 
+  test("restore rewinds to an old version as a new commit; history survives") {
+    import spark.implicits._
+    val table = tmpDir("dw-restore")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, table.toString, schema)
+    DeltaWrite.append(spark, table.toString, Seq((1L, "one"), (2L, "two")).toDF("id", "v")) // v1
+    DeltaWrite.append(spark, table.toString, Seq((3L, "three")).toDF("id", "v")) // v2
+    DeltaWrite.upsert(spark, table.toString,
+      Seq((2L, "TWO"), (4L, "four")).toDF("id", "v"), Seq("id")) // v3: rewrites
+
+    val v = DeltaWrite.restore(spark, table.toString, 2L)
+    assert(v == 4L)
+    val rows = DeltaLog.read(spark, table.toString).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "one"), (2L, "two"), (3L, "three")))
+    // history intact: v3's state is still reachable
+    val atV3 = DeltaLog.read(spark, table.toString, versionAsOf = Some(3L))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(atV3 == Seq("one", "TWO", "three", "four"))
+    // restore moved zero bytes: the restored files were re-added by path
+    val restoreAdds = action(logLines(table, 4L), "add")
+    assert(restoreAdds.nonEmpty && restoreAdds.forall(_.get("stats") != null))
+    // restoring to the current version is a no-op
+    assert(DeltaWrite.restore(spark, table.toString, 4L) == 4L)
+
+    // restoring to before a mergeSchema append narrows the schema again
+    DeltaWrite.append(spark, table.toString,
+      Seq((9L, "nine", 0.5)).toDF("id", "v", "score"), mergeSchema = true) // v5
+    assert(DeltaLog.snapshot(spark, table.toString).schema.fieldNames.length == 3)
+    DeltaWrite.restore(spark, table.toString, 4L) // v6
+    assert(DeltaLog.snapshot(spark, table.toString).schema.fieldNames.toSeq ==
+      Seq("id", "v"))
+  }
+
+  test("readChanges tails appended rows, ignores compaction, refuses non-append ranges") {
+    import spark.implicits._
+    val table = tmpDir("dw-changes")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, table.toString, schema)
+    DeltaWrite.append(spark, table.toString, Seq((1L, "one")).toDF("id", "v")) // v1
+    val v1 = DeltaLog.snapshot(spark, table.toString).version
+    DeltaWrite.append(spark, table.toString,
+      Seq((2L, "two"), (3L, "three")).toDF("id", "v").repartition(1)) // v2
+    DeltaWrite.append(spark, table.toString, Seq((4L, "four")).toDF("id", "v")) // v3
+
+    val tail = DeltaLog.readChanges(spark, table.toString, v1)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(tail == Seq(2L, 3L, 4L))
+    assert(DeltaLog.readChanges(spark, table.toString,
+      DeltaLog.snapshot(spark, table.toString).version).count() == 0)
+
+    // layout-only compaction in range stays invisible
+    DeltaWrite.compact(spark, table.toString) // v4 (dataChange=false)
+    assert(DeltaLog.snapshot(spark, table.toString).version == 4L)
+    val tail2 = DeltaLog.readChanges(spark, table.toString, v1)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(tail2 == Seq(2L, 3L, 4L))
+
+    // a data-changing remove in range refuses
+    DeltaWrite.upsert(spark, table.toString, Seq((2L, "TWO")).toDF("id", "v"), Seq("id")) // v5
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.readChanges(spark, table.toString, v1).count())
+    assert(e.getMessage.contains("full refresh"), e.getMessage)
+  }
+
   test("convertFromManaged promotes a managed table to Delta in place, zero bytes moved") {
     import spark.implicits._
     import graft.config.{Location, Types}
