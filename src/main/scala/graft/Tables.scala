@@ -14,18 +14,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one table as a DataFrame.
+  /** Read one table as a DataFrame, normalizing timestamp encodings.
     *
-    * Parquet TIMESTAMP(NANOS) (the `events.ts` column) is not a legal Spark
-    * type; sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (see [[Sessions.builder]]) and we convert the resulting long to a
-    * microsecond timestamp here (integer `div`, no double round-trip).
+    * The harness has shipped `events.ts` in two parquet physical forms over
+    * time, and both are normalized to a session-zoned `TIMESTAMP` here so
+    * every downstream call site (`unix_micros`, window/session logic) sees
+    * one type:
+    *   - TIMESTAMP(NANOS): not a legal Spark type; sessions set
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (see
+    *     [[Sessions.builder]]) and the long is converted to microseconds
+    *     (integer `div`, no double round-trip).
+    *   - `timestamp[us]` without timezone: Spark 4 reads `TIMESTAMP_NTZ`,
+    *     which `unix_micros` rejects. Cast to `TIMESTAMP` — lossless because
+    *     the session timezone is pinned to UTC ([[Sessions.builder]]).
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .map(_ => df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
-      .getOrElse(df)
+    df.schema.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case LongType if f.name == "ts" =>
+          d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => d
+      }
+    }
   }
 
   /** Register every table as a temp view (for SQL-surface queries).
