@@ -4,7 +4,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, MapType, StringType, StructField, StructType}
 import scala.jdk.CollectionConverters._
 
 /** Read-only bridge to REAL Delta Lake tables: replays the `_delta_log`
@@ -21,11 +21,15 @@ import scala.jdk.CollectionConverters._
   * to CONSUME lakehouse inputs. Swap in delta-spark and `spark.read
   * .format("delta")` replaces this file; nothing else moves.
   *
-  * Scale: the log replay is driver-side file-manifest metadata (the
-  * ManagedTable/file-listing contract — bounded by file count, no row
-  * data); the data read is a normal distributed parquet scan with
-  * partition values injected per the log's `partitionValues` (Delta data
-  * files do NOT embed partition columns). Reference parity:
+  * Scale: METADATA replay (protocol/metaData/txn) is driver-side and
+  * bounded by the checkpoint interval; the FILE state (checkpoint adds ∪
+  * tail commits) is reconciled as a distributed DataFrame ([[addIndex]])
+  * and only collected after pruning — [[readWhere]] evaluates file stats
+  * on executors and collects just the surviving files, so a 10M-file
+  * table never materializes its add list in driver memory. The data read
+  * is a normal distributed parquet scan with partition values injected
+  * per the log's `partitionValues` (Delta data files do NOT embed
+  * partition columns). Reference parity:
   * /root/reference/aqueducts/delta/src/lib.rs:45-74 (open + time travel).
   */
 object DeltaLog {
@@ -129,12 +133,26 @@ object DeltaLog {
   private val CommitRe = """(\d{20})\.json""".r
   private val CheckpointRe = """(\d{20})\.checkpoint(\..*)?\.parquet""".r
 
-  /** Resolve the snapshot at `versionAsOf` / `timestampAsOf` / latest. */
-  def snapshot(
+  /** Resolved `_delta_log` listing for one target version: which commits
+    * and which checkpoint (if any) constitute the snapshot.
+    */
+  private final case class LogState(
+      table: Path,
+      fs: org.apache.hadoop.fs.FileSystem,
+      commits: Seq[(Long, org.apache.hadoop.fs.FileStatus)],
+      checkpointParts: Seq[String],
+      targetVersion: Long,
+      fromCheckpoint: Option[Long]) {
+    def replayFrom: Long = fromCheckpoint.map(_ + 1).getOrElse(0L)
+    def tail: Seq[(Long, org.apache.hadoop.fs.FileStatus)] =
+      commits.filter { case (v, _) => v >= replayFrom && v <= targetVersion }
+  }
+
+  private def resolveState(
       spark: SparkSession,
       tablePath: String,
-      versionAsOf: Option[Long] = None,
-      timestampAsOf: Option[java.time.Instant] = None): Snapshot = {
+      versionAsOf: Option[Long],
+      timestampAsOf: Option[java.time.Instant]): LogState = {
     val table = new Path(tablePath)
     val fs = logDir(table).getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(logDir(table)), s"not a Delta table (no _delta_log): $tablePath")
@@ -194,13 +212,28 @@ object DeltaLog {
     // newest checkpoint at or below the target version seeds the state;
     // JSON commits after it replay on top
     val fromCheckpoint = allCheckpointVersions.filter(_ <= targetVersion).lastOption
+    val checkpointParts = fromCheckpoint.map { cv =>
+      entries.filter(_.getPath.getName match {
+        case CheckpointRe(v, _) => v.toLong == cv
+        case _ => false
+      }).map(_.getPath.toString)
+    }.getOrElse(Nil)
+    LogState(table, fs, commits, checkpointParts, targetVersion, fromCheckpoint)
+  }
 
+  /** Replay ONLY the metadata actions (protocol / metaData / txn) into a
+    * files-empty Snapshot. Driver cost is bounded regardless of table
+    * size: the checkpoint collects are single-row (protocol, metaData) or
+    * bounded by writer-app count (txn), and the JSON tail between
+    * checkpoint and target is bounded by the checkpoint interval — never
+    * proportional to the table's file count.
+    */
+  private def metaReplay(spark: SparkSession, tablePath: String, st: LogState): Snapshot = {
     var schema: StructType = null
     var partCols: Seq[String] = Nil
     var metaRaw: Option[String] = None
     var config: Map[String, String] = Map.empty
     var protocol: Option[Protocol] = None
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     // setTransaction high-water marks (streaming writers' exactly-once
     // state) — carried so OUR checkpoints don't erase THEIR guarantees
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -224,21 +257,12 @@ object DeltaLog {
         Option(p.get("minWriterVersion")).map(_.asInt()).getOrElse(2),
         features("readerFeatures"), features("writerFeatures")))
     }
-    def applyAdd(add: JsonNode): Unit = {
-      val a = parseAddAction(add)
-      live += a.path -> a
-    }
 
-    fromCheckpoint.foreach { cv =>
-      val parts = entries.filter(_.getPath.getName match {
-        case CheckpointRe(v, _) => v.toLong == cv
-        case _ => false
-      }).map(_.getPath.toString)
-      // checkpoint = parquet rows of the same actions. Serializing each
-      // action struct back to JSON funnels both log representations
-      // through ONE parser, carrying whatever optional fields (id,
-      // size, configuration, …) the checkpoint writer recorded.
-      val cp = spark.read.parquet(parts: _*)
+    if (st.checkpointParts.nonEmpty) {
+      // metadata rows only — the add actions are NOT collected here (see
+      // addIndex); serializing the structs back to JSON funnels both log
+      // representations through one parser
+      val cp = spark.read.parquet(st.checkpointParts: _*)
       val cols = cp.columns.toSet
       if (cols.contains("protocol"))
         cp.filter(col("protocol.minReaderVersion").isNotNull)
@@ -252,41 +276,148 @@ object DeltaLog {
         cp.filter(col("metaData.schemaString").isNotNull)
           .select(to_json(col("metaData")))
           .collect().lastOption.foreach(r => applyMeta(mapper.readTree(r.getString(0))))
-      if (cols.contains("add"))
-        cp.filter(col("add.path").isNotNull)
-          .select(to_json(col("add")))
-          .collect().foreach(r => applyAdd(mapper.readTree(r.getString(0))))
-      // a checkpoint is a complete state: removes already applied
     }
 
-    val replayFrom = fromCheckpoint.map(_ + 1).getOrElse(0L)
-    commits.filter { case (v, _) => v >= replayFrom && v <= targetVersion }
-      .foreach { case (_, st) =>
-        val in = fs.open(st.getPath)
-        val content =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
-          val node = mapper.readTree(line)
-          val proto = node.get("protocol")
-          if (proto != null && !proto.isNull) applyProtocol(proto)
-          val meta = node.get("metaData")
-          if (meta != null && !meta.isNull) applyMeta(meta)
-          val txn = node.get("txn")
-          if (txn != null && !txn.isNull)
-            txns += txn.get("appId").asText() -> txn.get("version").asLong()
-          val add = node.get("add")
-          if (add != null && !add.isNull) applyAdd(add)
-          val remove = node.get("remove")
-          if (remove != null && !remove.isNull)
-            live -= remove.get("path").asText()
-        }
+    st.tail.foreach { case (_, c) =>
+      val in = st.fs.open(c.getPath)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        val proto = node.get("protocol")
+        if (proto != null && !proto.isNull) applyProtocol(proto)
+        val meta = node.get("metaData")
+        if (meta != null && !meta.isNull) applyMeta(meta)
+        val txn = node.get("txn")
+        if (txn != null && !txn.isNull)
+          txns += txn.get("appId").asText() -> txn.get("version").asLong()
       }
-    require(schema != null, s"no metaData action found up to version $targetVersion")
-    val snap = Snapshot(targetVersion, schema, partCols, live.values.toSeq,
+    }
+    require(schema != null, s"no metaData action found up to version ${st.targetVersion}")
+    val snap = Snapshot(st.targetVersion, schema, partCols, Nil,
       metaRaw, protocol, config, txns.toMap)
     requireReadable(tablePath, snap)
     snap
+  }
+
+  private val dvStructType = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)))
+
+  private val pvType = MapType(StringType, StringType)
+
+  /** Commit-JSON action schema for the distributed tail read — only the
+    * fields snapshot reconciliation consumes.
+    */
+  private val commitActionSchema = StructType(Seq(
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", pvType),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("stats", StringType),
+      StructField("deletionVector", dvStructType)))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType))))))
+
+  /** The snapshot's live-file state as a DISTRIBUTED DataFrame — columns
+    * `(path, partitionValues, size, modificationTime, stats,
+    * deletionVector)`, exactly [[AddFile]]'s shape. Checkpoint parquet
+    * rows and post-checkpoint commit JSON are unioned with their commit
+    * version and reconciled per path by a window (latest action wins; a
+    * remove tombstones), so driver memory never holds the full add list —
+    * callers collect either the pruned subset ([[readWhere]]) or, when
+    * they genuinely need every file (writer rewrites), a compact typed
+    * list. This is the 100 TB path: a 10M-file table reconciles as a
+    * 10M-row shuffle, not a 10M-entry driver map.
+    */
+  private def addIndex(spark: SparkSession, st: LogState): DataFrame = {
+    val emptyPv = map().cast(pvType)
+
+    val fromCheckpoint: Option[DataFrame] = st.fromCheckpoint.map { cv =>
+      val cp = spark.read.parquet(st.checkpointParts: _*)
+      val addFields = cp.schema.find(_.name == "add")
+        .map(_.dataType.asInstanceOf[StructType].fieldNames.toSet)
+        .getOrElse(Set.empty[String])
+      def opt(name: String, dt: DataType): org.apache.spark.sql.Column =
+        if (addFields(name)) col(s"add.$name").cast(dt) else lit(null).cast(dt)
+      cp.filter(col("add.path").isNotNull).select(
+        col("add.path").as("path"),
+        coalesce(opt("partitionValues", pvType), emptyPv).as("partitionValues"),
+        coalesce(opt("size", LongType), lit(0L)).as("size"),
+        coalesce(opt("modificationTime", LongType), lit(0L)).as("modificationTime"),
+        opt("stats", StringType).as("stats"),
+        (if (addFields("deletionVector")) to_json(col("add.deletionVector"))
+         else lit(null).cast(StringType)).as("deletionVector"),
+        lit(cv).as("version"),
+        lit(true).as("isAdd"))
+    }
+
+    val tailPaths = st.tail.map(_._2.getPath.toString)
+    val fromTail: Option[DataFrame] = if (tailPaths.isEmpty) None else Some {
+      val raw = spark.read.schema(commitActionSchema).json(tailPaths: _*)
+        .withColumn("version",
+          regexp_extract(col("_metadata.file_path"), """(\d{20})\.json""", 1).cast("long"))
+      val adds = raw.filter(col("add.path").isNotNull).select(
+        col("add.path").as("path"),
+        coalesce(col("add.partitionValues"), emptyPv).as("partitionValues"),
+        coalesce(col("add.size"), lit(0L)).as("size"),
+        coalesce(col("add.modificationTime"), lit(0L)).as("modificationTime"),
+        col("add.stats").as("stats"),
+        to_json(col("add.deletionVector")).as("deletionVector"),
+        col("version"),
+        lit(true).as("isAdd"))
+      val removes = raw.filter(col("remove.path").isNotNull).select(
+        col("remove.path").as("path"),
+        emptyPv.as("partitionValues"),
+        lit(0L).as("size"),
+        lit(0L).as("modificationTime"),
+        lit(null).cast(StringType).as("stats"),
+        lit(null).cast(StringType).as("deletionVector"),
+        col("version"),
+        lit(false).as("isAdd"))
+      adds.unionByName(removes)
+    }
+
+    // resolveState requires a commit or a checkpoint, so at least one side
+    // exists: no checkpoint ⇒ the tail starts at version 0
+    val union = (fromCheckpoint.toSeq ++ fromTail.toSeq).reduce(_ unionByName _)
+    // latest action per path wins; on a same-version tie a remove beats an
+    // add (defensive — the protocol forbids that pairing in one commit)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("path"))
+      .orderBy(col("version").desc, col("isAdd").asc)
+    union
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("isAdd"))
+      .drop("_rn", "isAdd", "version")
+  }
+
+  private val addFileEncoder = org.apache.spark.sql.Encoders.product[AddFile]
+
+  private def collectAdds(index: DataFrame): Seq[AddFile] =
+    index.select(col("path"), col("partitionValues"), col("size"),
+        col("modificationTime"), col("stats"), col("deletionVector"))
+      .as(addFileEncoder).collect().toSeq
+
+  /** Resolve the snapshot at `versionAsOf` / `timestampAsOf` / latest,
+    * materializing the full file list (the writer paths — upsert/replace
+    * rewrites, checkpointing, restore — genuinely need every live file; a
+    * table's own writer is bounded by what it manages). Read paths that
+    * can prune should go through [[readWhere]], which collects only the
+    * files surviving stats-based skipping.
+    */
+  def snapshot(
+      spark: SparkSession,
+      tablePath: String,
+      versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[java.time.Instant] = None): Snapshot = {
+    val st = resolveState(spark, tablePath, versionAsOf, timestampAsOf)
+    val meta = metaReplay(spark, tablePath, st)
+    meta.copy(files = collectAdds(addIndex(spark, st)))
   }
 
   // ------------------------------------------------- protocol capability gate
@@ -363,8 +494,14 @@ object DeltaLog {
       tablePath: String,
       versionAsOf: Option[Long] = None,
       timestampAsOf: Option[java.time.Instant] = None): DataFrame = {
-    val s = snapshot(spark, tablePath, versionAsOf, timestampAsOf)
-    readFiles(spark, tablePath, s, s.files)
+    val st = resolveState(spark, tablePath, versionAsOf, timestampAsOf)
+    val meta = metaReplay(spark, tablePath, st)
+    // a full scan needs paths + partition values, never the stats strings —
+    // null them out before the collect (they are the bulk of a large
+    // table's add metadata)
+    val files = collectAdds(
+      addIndex(spark, st).withColumn("stats", lit(null).cast(StringType)))
+    readFiles(spark, tablePath, meta, files)
   }
 
   /** Read with FILE-LEVEL data skipping: `predicate` (a SQL boolean
@@ -383,10 +520,20 @@ object DeltaLog {
       predicate: String,
       versionAsOf: Option[Long] = None,
       timestampAsOf: Option[java.time.Instant] = None): DataFrame = {
-    val s = snapshot(spark, tablePath, versionAsOf, timestampAsOf)
+    val st = resolveState(spark, tablePath, versionAsOf, timestampAsOf)
+    val meta = metaReplay(spark, tablePath, st)
     val expr = spark.sessionState.sqlParser.parseExpression(predicate)
-    val candidates = s.files.filter(f => DeltaStats.mayMatch(s, f, expr))
-    readFiles(spark, tablePath, s, candidates).filter(predicate)
+    // the stats evaluation runs ON EXECUTORS over the distributed add
+    // index; only files that may hold a matching row are ever collected,
+    // so driver memory is bounded by the MATCHED-file count, not the
+    // table's total file count
+    val candidates = addIndex(spark, st)
+      .select(col("path"), col("partitionValues"), col("size"),
+        col("modificationTime"), col("stats"), col("deletionVector"))
+      .as(addFileEncoder)
+      .filter((f: AddFile) => DeltaStats.mayMatch(meta, f, expr))
+      .collect().toSeq
+    readFiles(spark, tablePath, meta, candidates).filter(predicate)
   }
 
   /** Incremental tail WITHOUT change-data-feed: the rows appended by
