@@ -120,23 +120,44 @@ object Bench {
     // Re-time the slowest queries once and keep the per-query min — a
     // transient load spike hits one pass, not both — and record load/CPU
     // evidence so the artifact says for itself whether it can be trusted.
+    // (Per-query loadavg sampling can't drive this: during the run load1 is
+    // dominated by our OWN 32 executor threads, so only the pre-session
+    // sample and the rerun delta distinguish external load.)
     val rerunN = 10
     val slowest = firstPass.toSeq.filter { case (n, _) => !errors.contains(n) }
       .sortBy { case (_, (w, _)) => -w }.take(rerunN).map(_._1).toSet
-    val results = firstPass.map { case (name, (w1, c1)) =>
-      if (slowest(name)) {
-        val (w2, c2) = timed(name, SparkEntry.queries(name))
-        name -> (math.min(w1, w2), if (w2 < w1) c2 else c1, w1)
-      } else name -> (w1, c1, w1)
+    def retime(name: String, w1: Double, c1: Double): (Double, Double, Double) = {
+      val (w2, c2) = timed(name, SparkEntry.queries(name))
+      (math.min(w1, w2), if (w2 < w1) c2 else c1, w1)
     }
-    val loadEnd = load1()
+    val afterSlowest = firstPass.map { case (name, (w1, c1)) =>
+      if (slowest(name)) name -> retime(name, w1, c1)
+      else name -> (w1, c1, w1)
+    }
     val firstTotal = firstPass.collect { case (n, (w, _)) if !errors.contains(n) => w }.sum
-    val keptTotal = results.collect { case (n, (w, _, _)) if !errors.contains(n) => w }.sum
-    // contaminated if the box was already loaded when we started, or if the
-    // re-run pass shaved >15% AND >5s off the first-pass total (a quiet box
-    // reproduces within ~10% run-to-run; the absolute floor keeps sub-second
-    // noise at toy scale factors from tripping the flag)
+    def keptOf(m: Map[String, (Double, Double, Double)]): Double =
+      m.collect { case (n, (w, _, _)) if !errors.contains(n) => w }.sum
+    // Contamination response (round-7 verdict): if the box was already
+    // loaded when we started, or the slowest-10 rerun recovered >15% AND
+    // >5s of the first-pass total (a quiet box reproduces within ~10%;
+    // the absolute floor keeps sub-second noise at toy scale factors from
+    // tripping), the WHOLE first pass is suspect — re-time every remaining
+    // query once and keep the per-query min, instead of letting 100+
+    // single-pass numbers stand on a loaded box.
+    val slowestGainAbs = firstTotal - keptOf(afterSlowest)
+    val fullRerun = loadStart > 2.0 ||
+      (firstTotal > 0 && slowestGainAbs / firstTotal > 0.15 && slowestGainAbs > 5.0)
+    val results =
+      if (!fullRerun) afterSlowest
+      else afterSlowest.map { case (name, (w1, c1, f1)) =>
+        if (slowest(name) || errors.contains(name)) name -> (w1, c1, f1)
+        else name -> retime(name, w1, c1)
+      }
+    val loadEnd = load1()
+    val keptTotal = keptOf(results)
     val rerunGain = if (firstTotal > 0) (firstTotal - keptTotal) / firstTotal else 0.0
+    // still flagged: the kept numbers are min-of-two, but the conditions
+    // that forced the full rerun mean absolute times remain suspect
     val contaminated = loadStart > 2.0 || (rerunGain > 0.15 && firstTotal - keptTotal > 5.0)
 
     def esc(s: String): String =
@@ -156,7 +177,7 @@ object Bench {
     val r4Subset = results.collect { case (k, (v, _, _)) if !newer(2)(k) => v }.sum
     val r5Subset = results.collect { case (k, (v, _, _)) if !newer(3)(k) => v }.sum
     val subsets = s""""r1_subset_sec":${f3(r1Subset)},"r2_subset_sec":${f3(r2Subset)},"r3_subset_sec":${f3(r3Subset)},"r4_subset_sec":${f3(r4Subset)},"r5_subset_sec":${f3(r5Subset)}"""
-    val loadJson = s""""load1_start":${f3(loadStart)},"load1_end":${f3(loadEnd)},"rerun_gain":${f3(rerunGain)},"contaminated":$contaminated"""
+    val loadJson = s""""load1_start":${f3(loadStart)},"load1_end":${f3(loadEnd)},"rerun_gain":${f3(rerunGain)},"full_rerun":$fullRerun,"contaminated":$contaminated"""
     try {
       // full per-query detail: kept wall, process-CPU seconds (wall >> cpu/32
       // on an idle box; wall inflated with cpu flat = external load), and

@@ -108,6 +108,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q47: sessionize composes lag→flag→sum windows + aggregate in ONE hash shuffle") {
+    val p = plan("q47_sessionize")
+    // both window passes and the groupBy key on user_id: the aggregate must
+    // reuse the window's hashpartitioning — the only other exchange allowed
+    // is the output orderBy's range partitioning
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q44: as-of join is one shuffle on the key + window, no range-join explosion") {
     val p = plan("q44_asof_join")
     assert(p.contains("Window"), p)
