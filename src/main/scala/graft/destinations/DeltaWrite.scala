@@ -64,7 +64,7 @@ object DeltaWrite {
     */
   private val supportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "timestampNtz",
-      "vacuumProtocolCheck", "variantType-preview")
+      "vacuumProtocolCheck", "variantType-preview", "deletionVectors")
 
   /** Refuse to commit to tables whose protocol demands semantics we don't
     * implement — a commit that ignores row tracking, CDF, or a CHECK
@@ -121,12 +121,14 @@ object DeltaWrite {
       spark: SparkSession,
       tablePath: String,
       schema: StructType,
-      partitionBy: Seq[String] = Nil): Boolean = {
+      partitionBy: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): Boolean = {
     if (DeltaLog.isDeltaTable(spark, tablePath)) return false
     partitionBy.foreach(pc => require(schema.fieldNames.contains(pc),
       s"partition column $pc not in schema"))
     commit(spark, new Path(tablePath), 0L, "CREATE TABLE",
-      withMeta = Some((schema, partitionBy)), adds = Nil, removes = Nil)
+      withMeta = Some((schema, partitionBy)), adds = Nil, removes = Nil,
+      metaConfig = properties)
     true
   }
 
@@ -164,7 +166,8 @@ object DeltaWrite {
     while (true) {
       try {
         commit(spark, new Path(tablePath), version, "WRITE",
-          withMeta = meta, adds = adds, removes = Nil)
+          withMeta = meta, adds = adds, removes = Nil,
+          metaConfig = snap.configuration)
         maybeCheckpoint(spark, tablePath, version)
         return version
       } catch {
@@ -198,7 +201,8 @@ object DeltaWrite {
         Some((full, snap.partitionColumns))
       } else None
     val v = commit(spark, new Path(tablePath), snap.version + 1, "WRITE",
-      withMeta = meta, adds = adds, removes = snap.files.map(_.path))
+      withMeta = meta, adds = adds, removes = snap.files.map(_.path),
+      metaConfig = snap.configuration)
     maybeCheckpoint(spark, tablePath, v)
     v
   }
@@ -334,6 +338,141 @@ object DeltaWrite {
     val adds = writeDataFiles(spark, new Path(tablePath), rewritten, snap.partitionColumns)
     commit(spark, new Path(tablePath), snap.version + 1, "DELETE+WRITE",
       withMeta = None, adds = adds, removes = touched.map(_.path))
+  }
+
+  /** DELETE rows matching `predicate` (SQL boolean over the table's
+    * columns; rows where it evaluates NULL are kept, per SQL DELETE).
+    *
+    * On tables that opt in (`delta.enableDeletionVectors=true`) this is
+    * MERGE-ON-READ: matched rows are recorded in per-file deletion
+    * vectors — roaring bitmaps built ON EXECUTORS (only the compressed
+    * bytes reach the driver), stored inline in the add action when small
+    * or framed into one `deletion_vector_<uuid>.bin` sidecar when not —
+    * and the commit re-adds the same data files with their DV
+    * descriptors. No data bytes are rewritten: a sparse delete against a
+    * 100 TB table writes kilobytes. Files whose every remaining row is
+    * deleted are dropped outright. The first DV commit upgrades the
+    * table's protocol to reader 3 / writer 7 with the `deletionVectors`
+    * feature (delta-spark's behavior); [[DeltaLog]] and DV-aware foreign
+    * readers see deleted rows filtered, pre-DV readers refuse loudly
+    * rather than resurrecting them.
+    *
+    * Without the table property the delete is COPY-ON-WRITE: stats-pruned
+    * candidate files that really hold matches are rewritten without the
+    * matching rows ([[replace]]'s shape with an arbitrary predicate).
+    * Returns the new version, or the current one when nothing matched.
+    */
+  def delete(spark: SparkSession, tablePath: String, predicate: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, collect_list, expr, lit, not}
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    requireWritable(tablePath, snap, "delete", removesData = true)
+    val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
+    val candidates = snap.files.filter(f => graft.sources.DeltaStats.mayMatch(snap, f, parsed))
+    if (candidates.isEmpty) return snap.version
+    val table = new Path(tablePath)
+    val f = fs(spark, table)
+    def absOf(a: DeltaLog.AddFile): String =
+      f.makeQualified(new Path(table, DeltaLog.decodePath(a.path))).toString
+    val byAbs = candidates.map(a => absOf(a) -> a).toMap
+    val useDv = snap.configuration.get("delta.enableDeletionVectors")
+      .exists(_.equalsIgnoreCase("true"))
+
+    if (useDv) {
+      import graft.sources.DeletionVectors
+      // live rows only (existing DVs already filtered): new deletions are
+      // serialized per file on executors; the driver sees compressed bytes
+      val scan = DeltaLog.readFiles(spark, tablePath, snap, candidates,
+        withFilePath = true, withRowIndex = true)
+      import spark.implicits._
+      val matched = scan.filter(predicate)
+        .select(col("_graft_file"), col("_graft_row_index"))
+        .groupBy(col("_graft_file"))
+        .agg(collect_list(col("_graft_row_index")).as("idx"))
+        .as[(String, Seq[Long])]
+        .map { case (file, idxs) =>
+          val arr = idxs.toArray
+          (file, DeletionVectors.serialize(arr), arr.distinct.length.toLong)
+        }
+        .collect().toSeq
+      if (matched.isEmpty) return snap.version
+
+      val touched: Seq[(DeltaLog.AddFile, Array[Byte], Long)] = matched.flatMap {
+        case (file, bytes, card) =>
+          byAbs.get(new Path(file).toString).map { a =>
+            a.deletionVector match {
+              case None => (a, bytes, card)
+              case Some(dj) => // union with the file's existing deletions
+                val old = DeletionVectors
+                  .readBitmap(spark, tablePath, DeletionVectors.parse(dj)).toLongArray
+                val merged = DeletionVectors.serialize(
+                  old ++ DeletionVectors.decode(bytes).toLongArray)
+                (a, merged, DeletionVectors.decode(merged).cardinality)
+            }
+          }
+      }
+
+      // fully-dead files (every physical row deleted) drop without a re-add
+      val (dead, marked) = touched.partition { case (a, _, card) =>
+        graft.sources.DeltaStats.numRecords(a).contains(card)
+      }
+      // small DVs inline in the add action; the rest frame into ONE .bin
+      val (inline, filed) = marked.partition(_._2.length <= DeletionVectors.InlineThresholdBytes)
+      val filedDescriptors: Seq[(DeltaLog.AddFile, String)] =
+        if (filed.isEmpty) Nil
+        else {
+          val uuid = java.util.UUID.randomUUID()
+          val (blob, offsets) = DeletionVectors.frameBinFile(filed.map(_._2))
+          val out = f.create(new Path(table, s"deletion_vector_$uuid.bin"), false)
+          try out.write(blob) finally out.close()
+          filed.zip(offsets).map { case ((a, bytes, card), off) =>
+            a -> DeletionVectors.uuidDescriptorJson(uuid, off, bytes.length, card)
+          }
+        }
+      val descriptors = inline.map { case (a, bytes, card) =>
+        a -> DeletionVectors.inlineDescriptorJson(bytes, card)
+      } ++ filedDescriptors
+
+      val adds = descriptors.map { case (a, dj) =>
+        AddDescriptor(
+          DeltaLog.decodePath(a.path),
+          a.partitionValues.toSeq.sortBy(_._1).map { case (k, v) => k -> Option(v) },
+          a.size, a.modificationTime, a.stats, Some(dj))
+      }
+      val upgrade =
+        if (snap.protocol.exists(p =>
+          p.minReaderVersion >= 3 && p.readerFeatures.contains("deletionVectors"))) None
+        else Some {
+          val p = snap.protocol.getOrElse(DeltaLog.Protocol(1, 2))
+          val legacyReader =
+            if (p.minReaderVersion >= 3) p.readerFeatures
+            else if (p.minReaderVersion == 2) Set("columnMapping")
+            else Set.empty[String]
+          val legacyWriter =
+            if (p.minWriterVersion >= 7) p.writerFeatures
+            else if (p.minWriterVersion >= 2) Set("appendOnly", "invariants")
+            else Set.empty[String]
+          DeltaLog.Protocol(3, 7,
+            legacyReader + "deletionVectors", legacyWriter + "deletionVectors")
+        }
+      commit(spark, table, snap.version + 1, "DELETE",
+        withMeta = None, adds = adds,
+        removes = (dead ++ marked).map(_._1.path),
+        protocolUpgrade = upgrade)
+    } else {
+      // copy-on-write: exact hit detection, rewrite only files with matches
+      val cand = DeltaLog.readFiles(spark, tablePath, snap, candidates, withFilePath = true)
+      val hit = cand.filter(predicate).select(col("_graft_file")).distinct()
+        .collect().map(r => new Path(r.getString(0)).toString).toSet
+      val touched = candidates.filter(c => hit.contains(new Path(absOf(c)).toString))
+      if (touched.isEmpty) return snap.version
+      // NULL-predicate rows are KEPT: not(pred) alone would drop them
+      val kept = DeltaLog.readFiles(spark, tablePath, snap, touched)
+        .filter(coalesce(not(expr(predicate)), lit(true)))
+        .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+      val adds = writeDataFiles(spark, table, kept, snap.partitionColumns)
+      commit(spark, table, snap.version + 1, "DELETE",
+        withMeta = None, adds = adds, removes = touched.map(_.path))
+    }
   }
 
   /** CONVERT TO DELTA, metadata-only: turn an existing managed table into
@@ -475,25 +614,40 @@ object DeltaWrite {
     requireWritable(tablePath, cur, "restore", removesData = true)
     if (version == cur.version) return cur.version
     val target = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(version))
-    val curPaths = cur.files.map(_.path).toSet
+    val curByPath = cur.files.map(f => f.path -> f).toMap
     val tgtPaths = target.files.map(_.path).toSet
     val removes = cur.files.filterNot(f => tgtPaths(f.path)).map(_.path)
-    val readds = target.files.filterNot(f => curPaths(f.path))
+    // re-add files the current snapshot lacks, AND files whose deletion-
+    // vector state differs — same path, different live rows (a newer add
+    // of the same path supersedes the old entry on replay)
+    val readds = target.files.filter { t =>
+      curByPath.get(t.path).forall(_.deletionVector != t.deletionVector)
+    }
     val table = new Path(tablePath)
     val f = fs(spark, table)
-    readds.foreach(a => require(
-      f.exists(new Path(table, DeltaLog.decodePath(a.path))),
-      s"cannot restore to version $version: data file ${a.path} was vacuumed"))
+    readds.foreach { a =>
+      require(f.exists(new Path(table, DeltaLog.decodePath(a.path))),
+        s"cannot restore to version $version: data file ${a.path} was vacuumed")
+      // a re-added file's DV must also still exist, or its deleted rows
+      // would resurrect
+      a.deletionVector.foreach { dj =>
+        val d = graft.sources.DeletionVectors.parse(dj)
+        if (d.storageType != "i")
+          require(f.exists(graft.sources.DeletionVectors.dvFilePath(tablePath, d)),
+            s"cannot restore to version $version: deletion vector of ${a.path} was vacuumed")
+      }
+    }
     val adds = readds.map(a => AddDescriptor(
       DeltaLog.decodePath(a.path),
       a.partitionValues.toSeq.sortBy(_._1).map { case (k, v) => k -> Option(v) },
-      a.size, a.modificationTime, a.stats))
+      a.size, a.modificationTime, a.stats, a.deletionVector))
     val meta =
       if (target.schema != cur.schema || target.partitionColumns != cur.partitionColumns)
         Some((target.schema, target.partitionColumns))
       else None
     val v = commit(spark, table, cur.version + 1, "RESTORE",
-      withMeta = meta, adds = adds, removes = removes)
+      withMeta = meta, adds = adds, removes = removes,
+      metaConfig = target.configuration)
     maybeCheckpoint(spark, tablePath, v)
     v
   }
@@ -515,8 +669,16 @@ object DeltaWrite {
     requireWritable(tablePath, snap, "vacuum", removesData = false)
     val table = new Path(tablePath)
     val f = fs(spark, table)
+    // live = referenced data files PLUS any .bin sidecar a live add's
+    // deletion vector points into — deleting one would resurrect rows
     val live = snap.files.map(a =>
-      f.makeQualified(new Path(table, DeltaLog.decodePath(a.path))).toString).toSet
+      f.makeQualified(new Path(table, DeltaLog.decodePath(a.path))).toString).toSet ++
+      snap.files.flatMap(_.deletionVector).flatMap { dj =>
+        val d = graft.sources.DeletionVectors.parse(dj)
+        if (d.storageType == "i") None
+        else Some(f.makeQualified(
+          graft.sources.DeletionVectors.dvFilePath(tablePath, d)).toString)
+      }
     val cutoff = System.currentTimeMillis() - retainMs
     var removed = 0
     val it = f.listFiles(table, true)
@@ -584,7 +746,15 @@ object DeltaWrite {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
-        StructField("stats", StringType))))))
+        StructField("stats", StringType),
+        // dropping a live add's DV from a checkpoint would resurrect its
+        // deleted rows for every reader that replays from it
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType)))))))))
     val metaNode = snap.metaDataRaw.map(mapper.readTree)
     def metaField(f: String): Option[com.fasterxml.jackson.databind.JsonNode] =
       metaNode.flatMap(n => Option(n.get(f)).filterNot(_.isNull))
@@ -593,7 +763,7 @@ object DeltaWrite {
       Row("parquet", Map.empty[String, String]),
       snap.schema.json,
       snap.partitionColumns,
-      Map.empty[String, String],
+      snap.configuration, // dropping config here would strip DV/mapping opt-ins
       metaField("createdTime").map(_.asLong()).getOrElse(System.currentTimeMillis()))
     val p = snap.protocol.getOrElse(DeltaLog.Protocol(1, 2))
     def feats(s: Set[String]) = if (s.isEmpty) null else s.toSeq.sorted
@@ -604,9 +774,16 @@ object DeltaWrite {
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
           Row(null, Row(app, v), null, null)
         } ++
-        snap.files.map(f =>
+        snap.files.map { f =>
+          val dvRow = f.deletionVector.map { dj =>
+            val d = graft.sources.DeletionVectors.parse(dj)
+            Row(d.storageType, d.pathOrInlineDv, d.offset.orNull,
+              d.sizeInBytes, d.cardinality)
+          }.orNull
           Row(null, null, null,
-            Row(f.path, f.partitionValues, f.size, f.modificationTime, false, f.stats.orNull)))
+            Row(f.path, f.partitionValues, f.size, f.modificationTime, false,
+              f.stats.orNull, dvRow))
+        }
     val f = fs(spark, table)
     val tmp = new Path(logDir(table), s".cp-tmp-${java.util.UUID.randomUUID()}")
     spark.createDataFrame(
@@ -727,7 +904,8 @@ object DeltaWrite {
       partitionValues: Seq[(String, Option[String])],
       size: Long,
       modificationTime: Long,
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      deletionVector: Option[String] = None)
 
   // ----------------------------------------------------------- file stats
 
@@ -826,7 +1004,9 @@ object DeltaWrite {
       withMeta: Option[(StructType, Seq[String])],
       adds: Seq[AddDescriptor],
       removes: Seq[String],
-      dataChange: Boolean = true): Long = {
+      dataChange: Boolean = true,
+      protocolUpgrade: Option[DeltaLog.Protocol] = None,
+      metaConfig: Map[String, String] = Map.empty): Long = {
     val now = System.currentTimeMillis()
     val nonce = java.util.UUID.randomUUID().toString
     val lines = Seq.newBuilder[String]
@@ -840,12 +1020,28 @@ object DeltaWrite {
     info.put("txnId", nonce)
     lines += mapper.writeValueAsString(ci)
 
-    if (version == 0L) {
-      val pn = mapper.createObjectNode()
-      val proto = pn.putObject("protocol")
-      proto.put("minReaderVersion", 1)
-      proto.put("minWriterVersion", 2)
-      lines += mapper.writeValueAsString(pn)
+    protocolUpgrade match {
+      case Some(p) =>
+        val pn = mapper.createObjectNode()
+        val proto = pn.putObject("protocol")
+        proto.put("minReaderVersion", p.minReaderVersion)
+        proto.put("minWriterVersion", p.minWriterVersion)
+        if (p.minReaderVersion >= 3) {
+          val rf = proto.putArray("readerFeatures")
+          p.readerFeatures.toSeq.sorted.foreach(rf.add)
+        }
+        if (p.minWriterVersion >= 7) {
+          val wf = proto.putArray("writerFeatures")
+          p.writerFeatures.toSeq.sorted.foreach(wf.add)
+        }
+        lines += mapper.writeValueAsString(pn)
+      case None if version == 0L =>
+        val pn = mapper.createObjectNode()
+        val proto = pn.putObject("protocol")
+        proto.put("minReaderVersion", 1)
+        proto.put("minWriterVersion", 2)
+        lines += mapper.writeValueAsString(pn)
+      case None => ()
     }
     withMeta.foreach { case (schema, partitionBy) =>
       val mn = mapper.createObjectNode()
@@ -856,7 +1052,11 @@ object DeltaWrite {
       fmt.putObject("options")
       meta.put("schemaString", schema.json)
       val pcs = meta.putArray("partitionColumns"); partitionBy.foreach(pcs.add)
-      meta.putObject("configuration")
+      // a re-emitted metaData REPLACES the old one wholesale: dropping the
+      // table's configuration here would silently strip properties like
+      // delta.enableDeletionVectors or the column-mapping mode
+      val cfg = meta.putObject("configuration")
+      metaConfig.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
       meta.put("createdTime", now)
       lines += mapper.writeValueAsString(mn)
     }
@@ -881,6 +1081,8 @@ object DeltaWrite {
       add.put("modificationTime", a.modificationTime)
       add.put("dataChange", dataChange)
       a.stats.foreach(add.put("stats", _))
+      a.deletionVector.foreach(dj => add.set[com.fasterxml.jackson.databind.JsonNode](
+        "deletionVector", mapper.readTree(dj)))
       lines += mapper.writeValueAsString(an)
     }
 

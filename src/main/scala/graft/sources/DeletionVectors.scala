@@ -83,6 +83,27 @@ private[graft] object DeletionVectors {
     * version byte 1 at offset 0, then per DV: 4-byte big-endian length,
     * the data bytes, 4-byte big-endian CRC-32 of the data.
     */
+  /** Resolve a file-stored descriptor ("u" UUID-derived, "p" absolute) to
+    * its `.bin` path. Used by the read path and by vacuum's live-set
+    * accounting (a DV file referenced by a live add must never be
+    * deleted). Inline ("i") descriptors have no file.
+    */
+  def dvFilePath(tablePath: String, d: Descriptor): Path = d.storageType match {
+    case "p" => new Path(d.pathOrInlineDv)
+    case "u" =>
+      val enc = d.pathOrInlineDv
+      require(enc.length >= 20, s"UUID DV path too short: $enc")
+      val prefix = enc.dropRight(20)
+      val uuidBytes = z85Decode(enc.takeRight(20))
+      val bb = ByteBuffer.wrap(uuidBytes)
+      val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+      val name = s"deletion_vector_$uuid.bin"
+      if (prefix.isEmpty) new Path(tablePath, name)
+      else new Path(new Path(tablePath, prefix), name)
+    case other =>
+      throw new IllegalArgumentException(s"DV storageType '$other' has no file")
+  }
+
   def readBitmap(spark: SparkSession, tablePath: String, d: Descriptor): RoaringArray = {
     val data: Array[Byte] = d.storageType match {
       case "i" =>
@@ -90,19 +111,7 @@ private[graft] object DeletionVectors {
         // Z85 pads to 4-byte groups; sizeInBytes is the real length
         if (b.length == d.sizeInBytes) b else java.util.Arrays.copyOf(b, d.sizeInBytes)
       case "u" | "p" =>
-        val file =
-          if (d.storageType == "p") new Path(d.pathOrInlineDv)
-          else {
-            val enc = d.pathOrInlineDv
-            require(enc.length >= 20, s"UUID DV path too short: $enc")
-            val prefix = enc.dropRight(20)
-            val uuidBytes = z85Decode(enc.takeRight(20))
-            val bb = ByteBuffer.wrap(uuidBytes)
-            val uuid = new java.util.UUID(bb.getLong, bb.getLong)
-            val name = s"deletion_vector_$uuid.bin"
-            if (prefix.isEmpty) new Path(tablePath, name)
-            else new Path(new Path(tablePath, prefix), name)
-          }
+        val file = dvFilePath(tablePath, d)
         val fs = file.getFileSystem(spark.sessionState.newHadoopConf())
         val in = fs.open(file)
         try {
@@ -128,14 +137,19 @@ private[graft] object DeletionVectors {
       case other =>
         throw new IllegalArgumentException(s"unknown DV storageType '$other'")
     }
+    val arr = decode(data)
+    require(d.cardinality < 0 || arr.cardinality == d.cardinality,
+      s"DV cardinality ${arr.cardinality} != descriptor ${d.cardinality}")
+    arr
+  }
+
+  /** Decode serialized RoaringBitmapArray bytes (LE magic + bitmaps). */
+  def decode(data: Array[Byte]): RoaringArray = {
     val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
     val magic = bb.getInt
     require(magic == portableMagic,
       s"unsupported deletion-vector serialization magic $magic (expected portable $portableMagic)")
-    val arr = RoaringArray.deserialize(bb)
-    require(d.cardinality < 0 || arr.cardinality == d.cardinality,
-      s"DV cardinality ${arr.cardinality} != descriptor ${d.cardinality}")
-    arr
+    RoaringArray.deserialize(bb)
   }
 
   // ------------------------------------------ 64-bit roaring bitmap array
@@ -150,6 +164,21 @@ private[graft] object DeletionVectors {
       high < bitmaps.length && high >= 0 && bitmaps(high).contains(v.toInt)
     }
     def cardinality: Long = bitmaps.iterator.map(_.cardinality.toLong).sum
+
+    /** Every set row index, ascending — the write path unions an existing
+      * DV with newly deleted rows through this. Bounded by one file's
+      * deleted-row count.
+      */
+    def toLongArray: Array[Long] = {
+      val out = Array.newBuilder[Long]
+      var h = 0
+      while (h < bitmaps.length) {
+        val hi = h.toLong << 32
+        bitmaps(h).foreachValue(v => out += (hi | (v & 0xFFFFFFFFL)))
+        h += 1
+      }
+      out.result()
+    }
   }
 
   object RoaringArray {
@@ -235,6 +264,34 @@ private[graft] object DeletionVectors {
       case words: Array[Long] => words.iterator.map(java.lang.Long.bitCount).sum
       case runs: Array[Int] => runs.iterator.map(r => (r >>> 16) + 1).sum
     }.sum
+
+    /** Visit every set 32-bit value in ascending order. */
+    def foreachValue(f: Int => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) {
+        val base = (keys(i) & 0xFFFF) << 16
+        containers(i) match {
+          case arr: Array[Short] => arr.foreach(s => f(base | (s & 0xFFFF)))
+          case words: Array[Long] =>
+            var w = 0
+            while (w < 1024) {
+              var bits = words(w)
+              while (bits != 0) {
+                f(base | (w << 6) | java.lang.Long.numberOfTrailingZeros(bits))
+                bits &= bits - 1
+              }
+              w += 1
+            }
+          case runs: Array[Int] =>
+            runs.foreach { r =>
+              val start = r & 0xFFFF; val len = r >>> 16
+              var v = start
+              while (v <= start + len) { f(base | v); v += 1 }
+            }
+        }
+        i += 1
+      }
+    }
   }
 
   object Roaring32 {
@@ -303,5 +360,153 @@ private[graft] object DeletionVectors {
       }
       new Roaring32(keys, containers)
     }
+  }
+
+  // ----------------------------------------------------------- write side
+
+  /** Z85-encode `bytes` (zero-padded up to a 4-byte multiple; the caller
+    * records the real length in the descriptor's `sizeInBytes`, which is
+    * how [[readBitmap]] knows to truncate).
+    */
+  def z85Encode(bytes: Array[Byte]): String = {
+    val padded =
+      if (bytes.length % 4 == 0) bytes
+      else java.util.Arrays.copyOf(bytes, (bytes.length / 4 + 1) * 4)
+    val sb = new StringBuilder(padded.length / 4 * 5)
+    var i = 0
+    while (i < padded.length) {
+      var v = ((padded(i) & 0xFFL) << 24) | ((padded(i + 1) & 0xFFL) << 16) |
+        ((padded(i + 2) & 0xFFL) << 8) | (padded(i + 3) & 0xFFL)
+      val out = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { out(j) = z85Alphabet((v % 85).toInt); v /= 85; j -= 1 }
+      sb.appendAll(out)
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** Serialize sorted-or-not row indexes into the portable
+    * RoaringBitmapArray form [[readBitmap]] (and delta-spark/delta-rs)
+    * decode: LE magic, 8-byte LE bitmap count (dense by high-32 key), then
+    * per key a standard-serialization 32-bit roaring bitmap — cookie
+    * 12346, container count, (key, cardinality-1) descriptors, offset
+    * header, then sorted-short array containers (≤4096 values) or
+    * 1024-long bitmap containers. Pure function — safe to run on
+    * executors so the driver only ever sees the compressed bytes.
+    */
+  def serialize(rowIndexes: Array[Long]): Array[Byte] = {
+    require(rowIndexes.nonEmpty, "empty deletion vector")
+    val sorted = rowIndexes.clone().distinct.sorted
+    require(sorted.head >= 0, s"negative row index ${sorted.head}")
+    val maxHigh = (sorted.last >>> 32).toInt
+    // group by high-32 key (dense array — absent keys are empty bitmaps)
+    val byHigh = Array.fill(maxHigh + 1)(Array.newBuilder[Int])
+    sorted.foreach(v => byHigh((v >>> 32).toInt) += v.toInt)
+
+    def roaring32Bytes(values: Array[Int]): Array[Byte] = {
+      // group low values by high-16 container key, preserving sorted order
+      val keys = Array.newBuilder[Short]
+      val containers = Array.newBuilder[Array[Int]]
+      var i = 0
+      while (i < values.length) {
+        val key = values(i) >>> 16
+        var j = i
+        while (j < values.length && (values(j) >>> 16) == key) j += 1
+        keys += key.toShort
+        containers += values.slice(i, j).map(_ & 0xFFFF)
+        i = j
+      }
+      val ks = keys.result(); val cs = containers.result()
+      def containerBytes(c: Array[Int]): Int = if (c.length <= 4096) 2 * c.length else 8192
+      val headerLen = 4 + 4 + 4 * ks.length + 4 * ks.length // cookie+count+desc+offsets
+      val total = headerLen + cs.iterator.map(containerBytes).sum
+      val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(12346) // SERIAL_COOKIE_NO_RUNCONTAINER
+      bb.putInt(ks.length)
+      var k = 0
+      while (k < ks.length) {
+        bb.putShort(ks(k)); bb.putShort((cs(k).length - 1).toShort); k += 1
+      }
+      var off = headerLen
+      k = 0
+      while (k < ks.length) { bb.putInt(off); off += containerBytes(cs(k)); k += 1 }
+      k = 0
+      while (k < ks.length) {
+        val c = cs(k)
+        if (c.length <= 4096) c.foreach(v => bb.putShort(v.toShort))
+        else {
+          val words = new Array[Long](1024)
+          c.foreach(v => words(v >>> 6) |= 1L << (v & 63))
+          words.foreach(bb.putLong)
+        }
+        k += 1
+      }
+      bb.array()
+    }
+
+    val bitmaps = byHigh.map(b => roaring32Bytes(b.result()))
+    val out = ByteBuffer.allocate(4 + 8 + bitmaps.iterator.map(_.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.putInt(portableMagic)
+    out.putLong(bitmaps.length.toLong)
+    bitmaps.foreach(out.put)
+    out.array()
+  }
+
+  /** Max serialized size that stays inline in the add action's JSON;
+    * larger vectors go to a `.bin` sidecar (delta-spark's shape).
+    */
+  val InlineThresholdBytes = 4096
+
+  /** Frame one or more serialized DVs into `.bin`-file bytes per the spec:
+    * version byte 1, then per DV a 4-byte big-endian length, the data, and
+    * a 4-byte big-endian CRC-32 of the data. Returns the framed blob and
+    * each input's offset (pointing at its length word, as descriptors
+    * expect).
+    */
+  def frameBinFile(dvs: Seq[Array[Byte]]): (Array[Byte], Seq[Int]) = {
+    val total = 1 + dvs.iterator.map(_.length + 8).sum
+    val bb = ByteBuffer.wrap(new Array[Byte](total)) // big-endian frames
+    bb.put(1.toByte)
+    val offsets = Seq.newBuilder[Int]
+    dvs.foreach { d =>
+      offsets += bb.position()
+      bb.putInt(d.length)
+      bb.put(d)
+      val crc = new java.util.zip.CRC32
+      crc.update(d)
+      bb.putInt(crc.getValue.toInt)
+    }
+    (bb.array(), offsets.result())
+  }
+
+  /** Descriptor JSON for an inline DV. */
+  def inlineDescriptorJson(data: Array[Byte], cardinality: Long): String = {
+    val m = new ObjectMapper()
+    val n = m.createObjectNode()
+    n.put("storageType", "i")
+    n.put("pathOrInlineDv", z85Encode(data))
+    n.put("sizeInBytes", data.length)
+    n.put("cardinality", cardinality)
+    m.writeValueAsString(n)
+  }
+
+  /** Descriptor JSON for a DV stored in a UUID-derived `.bin` under the
+    * table root (`storageType` "u").
+    */
+  def uuidDescriptorJson(
+      uuid: java.util.UUID, offset: Int, sizeInBytes: Int, cardinality: Long): String = {
+    val bb = ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits)
+    bb.putLong(uuid.getLeastSignificantBits)
+    val m = new ObjectMapper()
+    val n = m.createObjectNode()
+    n.put("storageType", "u")
+    n.put("pathOrInlineDv", z85Encode(bb.array()))
+    n.put("offset", offset)
+    n.put("sizeInBytes", sizeInBytes)
+    n.put("cardinality", cardinality)
+    m.writeValueAsString(n)
   }
 }

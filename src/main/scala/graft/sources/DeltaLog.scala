@@ -386,10 +386,12 @@ object DeltaLog {
     // resolveState requires a commit or a checkpoint, so at least one side
     // exists: no checkpoint ⇒ the tail starts at version 0
     val union = (fromCheckpoint.toSeq ++ fromTail.toSeq).reduce(_ unionByName _)
-    // latest action per path wins; on a same-version tie a remove beats an
-    // add (defensive — the protocol forbids that pairing in one commit)
+    // latest action per path wins; on a same-version tie the ADD beats the
+    // remove — a deletion-vector update legitimately pairs `remove` + re-
+    // `add` of the same path in one commit, and the file stays live with
+    // the new descriptor
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("path"))
-      .orderBy(col("version").desc, col("isAdd").asc)
+      .orderBy(col("version").desc, col("isAdd").desc)
     union
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && col("isAdd"))
@@ -587,14 +589,18 @@ object DeltaLog {
 
   /** Read a subset of a snapshot's files (the write path's file-pruned
     * rewrites read only candidate files through this). `withFilePath`
-    * appends the physical path as `_graft_file` for file-level semi-joins.
+    * appends the physical path as `_graft_file` for file-level semi-joins;
+    * `withRowIndex` appends `_metadata.row_index` as `_graft_row_index`
+    * (live rows only — DV-deleted rows are already filtered), which is
+    * what a deletion-vector writer needs to mark matched rows.
     */
   private[graft] def readFiles(
       spark: SparkSession,
       tablePath: String,
       s: Snapshot,
       files: Seq[AddFile],
-      withFilePath: Boolean = false): DataFrame = {
+      withFilePath: Boolean = false,
+      withRowIndex: Boolean = false): DataFrame = {
     val table = new Path(tablePath)
     val logicalData = s.schema.fields.filterNot(f => s.partitionColumns.contains(f.name))
     val mapped = s.columnMappingMode != "none"
@@ -605,10 +611,13 @@ object DeltaLog {
       if (mapped) physicalDataType(StructType(logicalData)).asInstanceOf[StructType]
       else StructType(logicalData)
     if (files.isEmpty) {
-      val empty = spark.createDataFrame(
+      val empty0 = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-      return if (withFilePath) empty.withColumn("_graft_file", lit(null).cast("string"))
-             else empty
+      val empty1 =
+        if (withFilePath) empty0.withColumn("_graft_file", lit(null).cast("string"))
+        else empty0
+      return if (withRowIndex) empty1.withColumn("_graft_row_index", lit(null).cast("long"))
+             else empty1
     }
     // files carrying a deletion vector scan alone: their row filter is a
     // per-FILE bitmap over `_metadata.row_index`, decoded once driver-side
@@ -630,23 +639,29 @@ object DeltaLog {
       val withFile =
         if (withFilePath) scan0.withColumn("_graft_file", col("_metadata.file_path"))
         else scan0
+      val withIdx =
+        if (withRowIndex) withFile.withColumn("_graft_row_index", col("_metadata.row_index"))
+        else withFile
       val withMeta = dv match {
-        case None => withFile
+        case None => withIdx
         case Some(bitmap) =>
           val live = udf((idx: Long) => !bitmap.contains(idx))
-          withFile
+          if (withRowIndex) withIdx.filter(live(col("_graft_row_index")))
+          else withIdx
             .withColumn("_graft_row_index", col("_metadata.row_index"))
             .filter(live(col("_graft_row_index")))
             .drop("_graft_row_index")
       }
+      val metaCols =
+        (if (withFilePath) Seq(col("_graft_file")) else Nil) ++
+          (if (withRowIndex) Seq(col("_graft_row_index")) else Nil)
       val base =
         if (!mapped) withMeta
         else {
           val renames = logicalData.toIndexedSeq.zipWithIndex.map { case (f, i) =>
             col(dataSchema(i).name).cast(f.dataType).as(f.name)
           }
-          withMeta.select(renames ++
-            (if (withFilePath) Seq(col("_graft_file")) else Nil): _*)
+          withMeta.select(renames ++ metaCols: _*)
         }
       s.partitionColumns.foldLeft(base) { (df, pc) =>
         val dt = s.schema(pc).dataType
@@ -657,7 +672,8 @@ object DeltaLog {
       }
     }
     val cols = s.schema.fieldNames.toIndexedSeq.map(col) ++
-      (if (withFilePath) Seq(col("_graft_file")) else Nil)
+      (if (withFilePath) Seq(col("_graft_file")) else Nil) ++
+      (if (withRowIndex) Seq(col("_graft_row_index")) else Nil)
     parts.reduce(_ unionByName _).select(cols: _*)
   }
 }
