@@ -1490,6 +1490,54 @@ object EngineQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Merge-on-read DELETE: a DV-enabled Delta table built from orders,
+    // two deletes (the second unions into existing per-file bitmaps), read
+    // back through the DV-aware bridge with stats skipping. The Delta+DV
+    // layer must be RESULT-invisible — the oracle recomputes the surviving
+    // rows straight from raw orders.
+    "q103_delta_dv" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q103").resolve("tbl").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val base = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        base.schema.asInstanceOf[org.apache.spark.sql.types.StructType],
+        properties = Map("delta.enableDeletionVectors" -> "true"))
+      (0 until 3).foreach(i => DeltaWrite.append(s, tbl,
+        base.filter(col("o_custkey") % 3 === i).repartition(1)))
+      DeltaWrite.delete(s, tbl, "o_orderstatus = 'F' AND o_custkey % 7 = 0")
+      DeltaWrite.delete(s, tbl, "o_totalprice > 250000") // unions into DVs
+      graft.sources.DeltaLog.readWhere(s, tbl, "o_orderkey < 8000")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Column-mapping mode `name` writes: mapped partitioned create, two
+    // appends (the second evolves the schema, assigning a fresh mapped
+    // column), a copy-on-write delete, and a partition-pruned read. The
+    // mapping layer must be RESULT-invisible — the oracle recomputes from
+    // raw customer.
+    "q104_delta_mapped" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q104").resolve("tbl").toString
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val narrow = cust.select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_mktsegment"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        narrow.schema.asInstanceOf[org.apache.spark.sql.types.StructType],
+        partitionBy = Seq("c_mktsegment"), columnMapping = true)
+      DeltaWrite.append(s, tbl, narrow.filter(col("c_custkey") % 2 === 0))
+      DeltaWrite.append(s, tbl,
+        cust.filter(col("c_custkey") % 2 === 1)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_mktsegment"), col("c_nationkey")),
+        mergeSchema = true)
+      DeltaWrite.delete(s, tbl, "c_acctbal < 0")
+      graft.sources.DeltaLog.readWhere(s, tbl, "c_mktsegment = 'BUILDING'")
+        .orderBy(col("c_custkey"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -2142,6 +2190,24 @@ object EngineQueries {
          FROM orders
          WHERE (o_orderkey % 3 = 0 OR o_orderkey % 3 = 1) AND o_orderkey < 5000
          ORDER BY o_orderkey""",
+    // the DV delete layer is result-invisible: surviving rows recomputed
+    // from raw orders with the deletes as complement predicates
+    "q103_delta_dv" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+         FROM orders
+         WHERE o_orderkey % 2 = 0
+           AND NOT (o_orderstatus = 'F' AND o_custkey % 7 = 0)
+           AND NOT (o_totalprice > 250000)
+           AND o_orderkey < 8000
+         ORDER BY o_orderkey""",
+    // the column-mapping layer is result-invisible: the evolved column is
+    // present exactly for the second append's rows
+    "q104_delta_mapped" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+         CASE WHEN c_custkey % 2 = 1 THEN c_nationkey END AS c_nationkey
+         FROM customer
+         WHERE NOT (c_acctbal < 0) AND c_mktsegment = 'BUILDING'
+         ORDER BY c_custkey""",
     // approximate-regime guarantees are theorems — stated as literals
     // beside the exact totals (the q27 pattern)
     "q101_heavy_hitters_approx" ->

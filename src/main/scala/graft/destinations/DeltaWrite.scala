@@ -64,7 +64,8 @@ object DeltaWrite {
     */
   private val supportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "timestampNtz",
-      "vacuumProtocolCheck", "variantType-preview", "deletionVectors")
+      "vacuumProtocolCheck", "variantType-preview", "deletionVectors",
+      "columnMapping")
 
   /** Refuse to commit to tables whose protocol demands semantics we don't
     * implement — a commit that ignores row tracking, CDF, or a CHECK
@@ -94,8 +95,13 @@ object DeltaWrite {
     require(!conf.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")),
       s"Delta table $tablePath has change data feed enabled; this writer " +
         "does not emit change data files")
-    require(conf.getOrElse("delta.columnMapping.mode", "none") == "none",
-      s"Delta table $tablePath uses column mapping; this writer does not")
+    // mode 'name' is writable (files + partitionValues + stats all speak
+    // physical names, which this writer emits); mode 'id' resolves columns
+    // by parquet field ids, which these files do not carry — refuse
+    val mappingMode = conf.getOrElse("delta.columnMapping.mode", "none")
+    require(mappingMode == "none" || mappingMode == "name",
+      s"Delta table $tablePath uses column mapping mode '$mappingMode'; " +
+        "this writer supports 'name' only")
     val constraints = conf.keys.filter(_.startsWith("delta.constraints.")).toSeq.sorted
     require(constraints.isEmpty,
       s"Delta table $tablePath defines CHECK constraints " +
@@ -112,23 +118,96 @@ object DeltaWrite {
     }
   }
 
+  // ---------------------------------------------------- column mapping (write)
+
+  /** Assign column-mapping metadata — a unique `delta.columnMapping.id`
+    * and a `delta.columnMapping.physicalName` (`col-<uuid>`) — to every
+    * field at every nesting depth, numbering from `fromId` (exclusive).
+    * Pre-existing id/physicalName metadata is replaced; other field
+    * metadata is kept. Returns the mapped schema and the new max id.
+    */
+  private def assignMapping(schema: StructType, fromId: Long): (StructType, Long) = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, MetadataBuilder, StructField}
+    var next = fromId
+    def mapField(f: StructField): StructField = {
+      val dt = f.dataType match {
+        case st: StructType => StructType(st.fields.map(mapField))
+        case ArrayType(st: StructType, n) => ArrayType(StructType(st.fields.map(mapField)), n)
+        case MapType(k, st: StructType, n) => MapType(k, StructType(st.fields.map(mapField)), n)
+        case other => other
+      }
+      next += 1
+      val md = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong("delta.columnMapping.id", next)
+        .putString("delta.columnMapping.physicalName", s"col-${java.util.UUID.randomUUID()}")
+        .build()
+      f.copy(dataType = dt, metadata = md)
+    }
+    (StructType(schema.fields.map(mapField)), next)
+  }
+
+  private def maxColumnId(snap: DeltaLog.Snapshot): Long =
+    snap.configuration.get("delta.columnMapping.maxColumnId")
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
+
+  /** Rewrite `df` (logical names) to the physical names `schema`'s
+    * column-mapping metadata records, at every nesting depth (nested
+    * renames ride a cast, which renames struct fields positionally), and
+    * translate the partition columns. Identity when `mode` is none.
+    * Fields absent from `df` are skipped (schema-overwrite data needn't
+    * carry the old partition columns).
+    */
+  private def toPhysical(
+      df: DataFrame,
+      schema: StructType,
+      partCols: Seq[String],
+      mode: String): (DataFrame, Seq[String]) = {
+    if (mode == "none") return (df, partCols)
+    import org.apache.spark.sql.functions.col
+    val present = df.columns.toSet
+    val cols = schema.fields.toIndexedSeq.filter(f => present(f.name)).map { f =>
+      col(f.name).cast(DeltaLog.physicalDataType(f.dataType))
+        .as(DeltaLog.physicalFieldName(f))
+    }
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    (df.select(cols: _*), partCols.map(c => DeltaLog.physicalFieldName(byName(c))))
+  }
+
   // ------------------------------------------------------------- write API
 
   /** Create an empty Delta table at `tablePath` (version 0: protocol +
     * metaData, no data) unless one already exists. Returns true if created.
+    *
+    * `columnMapping = true` creates the table in column-mapping mode
+    * `name` (delta-spark's `delta.columnMapping.mode=name`): every field
+    * gets an id + physical name, data files and partition dirs use the
+    * physical names, and the v0 protocol is reader 2 / writer 5 — the
+    * legacy versions that imply the feature. Renaming/dropping logical
+    * columns then never has to touch data files.
     */
   def createIfAbsent(
       spark: SparkSession,
       tablePath: String,
       schema: StructType,
       partitionBy: Seq[String] = Nil,
-      properties: Map[String, String] = Map.empty): Boolean = {
+      properties: Map[String, String] = Map.empty,
+      columnMapping: Boolean = false): Boolean = {
     if (DeltaLog.isDeltaTable(spark, tablePath)) return false
     partitionBy.foreach(pc => require(schema.fieldNames.contains(pc),
       s"partition column $pc not in schema"))
+    val (outSchema, outProps, proto) =
+      if (!columnMapping) (schema, properties, None)
+      else {
+        val (mapped, maxId) = assignMapping(schema, 0L)
+        (mapped,
+          properties ++ Map(
+            "delta.columnMapping.mode" -> "name",
+            "delta.columnMapping.maxColumnId" -> maxId.toString),
+          Some(DeltaLog.Protocol(2, 5)))
+      }
     commit(spark, new Path(tablePath), 0L, "CREATE TABLE",
-      withMeta = Some((schema, partitionBy)), adds = Nil, removes = Nil,
-      metaConfig = properties)
+      withMeta = Some((outSchema, partitionBy)), adds = Nil, removes = Nil,
+      metaConfig = outProps, protocolUpgrade = proto)
     true
   }
 
@@ -151,23 +230,33 @@ object DeltaWrite {
       mergeSchema: Boolean = false): Long = {
     val snap = DeltaLog.snapshot(spark, tablePath)
     requireWritable(tablePath, snap, "append", removesData = false)
+    val mode = snap.columnMappingMode
     val existing = snap.schema.fieldNames.map(_.toLowerCase).toSet
     val newCols = df.schema.fields.filter(f => !existing.contains(f.name.toLowerCase))
-    val (schema, meta) =
-      if (!mergeSchema || newCols.isEmpty) (snap.schema, None)
-      else {
+    val (schema, meta, metaCfg) =
+      if (!mergeSchema || newCols.isEmpty) (snap.schema, None, snap.configuration)
+      else if (mode == "none") {
         val merged = StructType(snap.schema.fields ++ newCols.map(_.copy(nullable = true)))
-        (merged, Some((merged, snap.partitionColumns)))
+        (merged, Some((merged, snap.partitionColumns)), snap.configuration)
+      } else {
+        // mapped evolution: new columns get fresh ids + physical names,
+        // continuing the table's id space
+        val (mappedNew, maxId) =
+          assignMapping(StructType(newCols.map(_.copy(nullable = true))), maxColumnId(snap))
+        val merged = StructType(snap.schema.fields ++ mappedNew.fields)
+        (merged, Some((merged, snap.partitionColumns)),
+          snap.configuration + ("delta.columnMapping.maxColumnId" -> maxId.toString))
       }
     val data = ManagedTable.castToSchema(df, schema)
-    val adds = writeDataFiles(spark, new Path(tablePath), data, snap.partitionColumns)
+    val (phys, physParts) = toPhysical(data, schema, snap.partitionColumns, mode)
+    val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts)
     var version = snap.version + 1
     var attempts = 0
     while (true) {
       try {
         commit(spark, new Path(tablePath), version, "WRITE",
           withMeta = meta, adds = adds, removes = Nil,
-          metaConfig = snap.configuration)
+          metaConfig = metaCfg)
         maybeCheckpoint(spark, tablePath, version)
         return version
       } catch {
@@ -190,19 +279,30 @@ object DeltaWrite {
       newSchema: Boolean = false): Long = {
     val snap = DeltaLog.snapshot(spark, tablePath)
     requireWritable(tablePath, snap, "overwrite", removesData = true)
+    val mode = snap.columnMappingMode
     val data = if (newSchema) df else ManagedTable.castToSchema(df, snap.schema)
-    val adds = writeDataFiles(spark, new Path(tablePath), data, snap.partitionColumns)
-    val meta =
-      if (newSchema) {
+    val (outSchema, meta, metaCfg) =
+      if (!newSchema) (snap.schema, None, snap.configuration)
+      else {
         val dataSchema = data.schema
         val full = StructType(dataSchema.fields ++
           snap.schema.fields.filter(f => snap.partitionColumns.contains(f.name))
             .filterNot(f => dataSchema.fieldNames.contains(f.name)))
-        Some((full, snap.partitionColumns))
-      } else None
+        if (mode == "none") (full, Some((full, snap.partitionColumns)), snap.configuration)
+        else {
+          // every old file is removed by this commit, so the whole schema
+          // can take fresh ids — continuing the id space keeps them unique
+          // against anything already written
+          val (mapped, maxId) = assignMapping(full, maxColumnId(snap))
+          (mapped, Some((mapped, snap.partitionColumns)),
+            snap.configuration + ("delta.columnMapping.maxColumnId" -> maxId.toString))
+        }
+      }
+    val (phys, physParts) = toPhysical(data, outSchema, snap.partitionColumns, mode)
+    val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts)
     val v = commit(spark, new Path(tablePath), snap.version + 1, "WRITE",
       withMeta = meta, adds = adds, removes = snap.files.map(_.path),
-      metaConfig = snap.configuration)
+      metaConfig = metaCfg)
     maybeCheckpoint(spark, tablePath, v)
     v
   }
@@ -275,7 +375,9 @@ object DeltaWrite {
             .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
             .unionByName(incoming)
         }
-      val adds = writeDataFiles(spark, new Path(tablePath), rewritten, snap.partitionColumns)
+      val (phys, physParts) =
+        toPhysical(rewritten, snap.schema, snap.partitionColumns, snap.columnMappingMode)
+      val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts)
       commit(spark, new Path(tablePath), snap.version + 1, "MERGE",
         withMeta = None, adds = adds, removes = touched.map(_.path))
     } finally incoming.unpersist()
@@ -335,7 +437,9 @@ object DeltaWrite {
       else DeltaLog.readFiles(spark, tablePath, snap, touched).filter(not(pred))
         .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
         .unionByName(incoming)
-    val adds = writeDataFiles(spark, new Path(tablePath), rewritten, snap.partitionColumns)
+    val (phys, physParts) =
+      toPhysical(rewritten, snap.schema, snap.partitionColumns, snap.columnMappingMode)
+    val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts)
     commit(spark, new Path(tablePath), snap.version + 1, "DELETE+WRITE",
       withMeta = None, adds = adds, removes = touched.map(_.path))
   }
@@ -443,14 +547,18 @@ object DeltaWrite {
           p.minReaderVersion >= 3 && p.readerFeatures.contains("deletionVectors"))) None
         else Some {
           val p = snap.protocol.getOrElse(DeltaLog.Protocol(1, 2))
+          val mapped = snap.columnMappingMode != "none"
+          // name only the legacy obligations the table actually carries:
+          // declaring unused legacy features (CDF, generated columns, …)
+          // would lock this writer out of its own table
           val legacyReader =
             if (p.minReaderVersion >= 3) p.readerFeatures
-            else if (p.minReaderVersion == 2) Set("columnMapping")
+            else if (mapped) Set("columnMapping")
             else Set.empty[String]
           val legacyWriter =
             if (p.minWriterVersion >= 7) p.writerFeatures
-            else if (p.minWriterVersion >= 2) Set("appendOnly", "invariants")
-            else Set.empty[String]
+            else Set("appendOnly", "invariants") ++
+              (if (mapped) Set("columnMapping") else Set.empty)
           DeltaLog.Protocol(3, 7,
             legacyReader + "deletionVectors", legacyWriter + "deletionVectors")
         }
@@ -469,7 +577,9 @@ object DeltaWrite {
       val kept = DeltaLog.readFiles(spark, tablePath, snap, touched)
         .filter(coalesce(not(expr(predicate)), lit(true)))
         .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
-      val adds = writeDataFiles(spark, table, kept, snap.partitionColumns)
+      val (phys, physParts) =
+        toPhysical(kept, snap.schema, snap.partitionColumns, snap.columnMappingMode)
+      val adds = writeDataFiles(spark, table, phys, physParts)
       commit(spark, table, snap.version + 1, "DELETE",
         withMeta = None, adds = adds, removes = touched.map(_.path))
     }
@@ -594,7 +704,9 @@ object DeltaWrite {
           if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
         ZOrder.cluster(base, clusterBy, nOut, approxRows)
       }
-    val adds = writeDataFiles(spark, table, rewritten, snap.partitionColumns)
+    val (phys, physParts) =
+      toPhysical(rewritten, snap.schema, snap.partitionColumns, snap.columnMappingMode)
+    val adds = writeDataFiles(spark, table, phys, physParts)
     commit(spark, table, snap.version + 1, "OPTIMIZE",
       withMeta = None, adds = adds, removes = toCompact.map(_.path),
       dataChange = false)
