@@ -195,8 +195,12 @@ object DeltaWrite {
     if (DeltaLog.isDeltaTable(spark, tablePath)) return false
     partitionBy.foreach(pc => require(schema.fieldNames.contains(pc),
       s"partition column $pc not in schema"))
+    // a declared delta.columnMapping.mode=name property is the
+    // config-surface way to ask for a mapped table
+    val wantMapping = columnMapping ||
+      properties.get("delta.columnMapping.mode").contains("name")
     val (outSchema, outProps, proto) =
-      if (!columnMapping) (schema, properties, None)
+      if (!wantMapping) (schema, properties, None)
       else {
         val (mapped, maxId) = assignMapping(schema, 0L)
         (mapped,
@@ -228,7 +232,9 @@ object DeltaWrite {
       tablePath: String,
       df: DataFrame,
       mergeSchema: Boolean = false): Long = {
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    // append never reads the file list — metadata-only snapshot, bounded
+    // driver memory regardless of table size
+    val snap = DeltaLog.lazySnapshot(spark, tablePath).meta
     requireWritable(tablePath, snap, "append", removesData = false)
     val mode = snap.columnMappingMode
     val existing = snap.schema.fieldNames.map(_.toLowerCase).toSet
@@ -262,7 +268,7 @@ object DeltaWrite {
       } catch {
         case _: IllegalStateException if attempts < 5 =>
           attempts += 1
-          version = DeltaLog.snapshot(spark, tablePath).version + 1
+          version = DeltaLog.lazySnapshot(spark, tablePath).meta.version + 1
       }
     }
     version // unreachable
@@ -321,7 +327,8 @@ object DeltaWrite {
   def upsert(spark: SparkSession, tablePath: String, df: DataFrame, keys: Seq[String]): Long = {
     import org.apache.spark.sql.functions.{col, max => smax, min => smin, sum}
     require(keys.nonEmpty, "upsert requires at least one key column")
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val ls = DeltaLog.lazySnapshot(spark, tablePath)
+    val snap = ls.meta
     requireWritable(tablePath, snap, "upsert", removesData = true)
     keys.foreach(k => require(snap.schema.fieldNames.contains(k), s"upsert key $k not in table"))
     val incoming = ManagedTable.castToSchema(df, snap.schema).cache()
@@ -329,22 +336,22 @@ object DeltaWrite {
       val keyTypes = keys.map(k => k -> snap.schema(k).dataType).toMap
 
       // stage 1: incoming per-key min/max/has-null (one small aggregate to
-      // the driver) range-prunes files on their add-action stats
-      val candidates =
-        if (snap.files.isEmpty) Nil
-        else {
-          val aggs = keys.flatMap(k => Seq(
-            smin(col(k)).as(s"_min_$k"), smax(col(k)).as(s"_max_$k"),
-            sum(col(k).isNull.cast("long")).as(s"_null_$k")))
-          val r = incoming.agg(aggs.head, aggs.tail: _*).collect()(0)
-          val inMin = keys.map(k => k -> r.get(r.fieldIndex(s"_min_$k"))).toMap
-          val inMax = keys.map(k => k -> r.get(r.fieldIndex(s"_max_$k"))).toMap
-          val inHasNull = keys.map(k => k -> (r.getLong(r.fieldIndex(s"_null_$k")) > 0L)).toMap
-          snap.files.filter(f => keys.forall(k =>
-            graft.sources.DeltaStats.mayContain(
-              graft.sources.DeltaStats.interval(snap, f, k), keyTypes(k),
-              inMin(k), inMax(k), inHasNull(k))))
-        }
+      // the driver) range-prunes files on their add-action stats — the
+      // stats check runs ON EXECUTORS over the distributed add index, so
+      // only candidate files ever reach driver memory
+      val candidates = {
+        val aggs = keys.flatMap(k => Seq(
+          smin(col(k)).as(s"_min_$k"), smax(col(k)).as(s"_max_$k"),
+          sum(col(k).isNull.cast("long")).as(s"_null_$k")))
+        val r = incoming.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val inMin = keys.map(k => k -> r.get(r.fieldIndex(s"_min_$k"))).toMap
+        val inMax = keys.map(k => k -> r.get(r.fieldIndex(s"_max_$k"))).toMap
+        val inHasNull = keys.map(k => k -> (r.getLong(r.fieldIndex(s"_null_$k")) > 0L)).toMap
+        ls.filesWhere(f => keys.forall(k =>
+          graft.sources.DeltaStats.mayContain(
+            graft.sources.DeltaStats.interval(snap, f, k), keyTypes(k),
+            inMin(k), inMax(k), inHasNull(k))))
+      }
 
       // stage 2: exact file-level hit detection over candidates only
       val srcKeysB = ManagedTable.broadcastIfSmall(
@@ -397,7 +404,8 @@ object DeltaWrite {
       df: DataFrame,
       conditions: Seq[graft.config.ReplaceCondition]): Long = {
     import org.apache.spark.sql.functions.{col, lit, not}
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val ls = DeltaLog.lazySnapshot(spark, tablePath)
+    val snap = ls.meta
     requireWritable(tablePath, snap, "replace", removesData = true)
     val incoming = ManagedTable.castToSchema(df, snap.schema)
     if (conditions.isEmpty) return overwrite(spark, tablePath, incoming)
@@ -407,10 +415,14 @@ object DeltaWrite {
       col(c.column) <=> lit(c.value).cast(snap.schema(c.column).dataType)
     }.reduce(_ && _)
 
-    val candidates = snap.files.filter { f =>
-      conditions.forall { c =>
+    // partition/stats pruning runs ON EXECUTORS over the distributed add
+    // index; only candidate files reach the driver
+    val condList = conditions.toList
+    val candidates = ls.filesWhere { f =>
+      condList.forall { c =>
         if (snap.partitionColumns.contains(c.column))
-          f.partitionValues.get(c.column) match {
+          f.partitionValues.get(snap.physicalName(c.column))
+            .orElse(f.partitionValues.get(c.column)) match {
             case Some(null) => false // NULL partition never <=> a value
             case Some(v) => graft.sources.DeltaStats.partitionValueMatches(v, c.value)
             case None => true // value not recorded — stay a candidate
@@ -468,10 +480,12 @@ object DeltaWrite {
     */
   def delete(spark: SparkSession, tablePath: String, predicate: String): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, collect_list, expr, lit, not}
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val ls = DeltaLog.lazySnapshot(spark, tablePath)
+    val snap = ls.meta
     requireWritable(tablePath, snap, "delete", removesData = true)
     val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
-    val candidates = snap.files.filter(f => graft.sources.DeltaStats.mayMatch(snap, f, parsed))
+    // stats pruning on executors; only candidates reach the driver
+    val candidates = ls.filesWhere(f => graft.sources.DeltaStats.mayMatch(snap, f, parsed))
     if (candidates.isEmpty) return snap.version
     val table = new Path(tablePath)
     val f = fs(spark, table)

@@ -25,8 +25,12 @@ object Destinations {
       else if (d.tableProperties.get("format").contains("delta_log")) {
         require(d.schema.nonEmpty,
           s"Creating a Delta table at ${d.location.spark} requires a declared schema")
+        // reference parity (delta/src/lib.rs:141-163): declared table
+        // properties reach the created table ('format' is our routing key,
+        // not a table property)
         DeltaWrite.createIfAbsent(spark, d.location.spark,
-          graft.config.Types.toStruct(d.schema), d.partitionColumns)
+          graft.config.Types.toStruct(d.schema), d.partitionColumns,
+          properties = d.tableProperties - "format")
       } else
         ManagedTable.createIfAbsent(spark, d.location, d.schema, d.partitionColumns,
           d.tableProperties ++ d.metadata)

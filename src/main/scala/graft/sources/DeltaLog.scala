@@ -406,11 +406,12 @@ object DeltaLog {
       .as(addFileEncoder).collect().toSeq
 
   /** Resolve the snapshot at `versionAsOf` / `timestampAsOf` / latest,
-    * materializing the full file list (the writer paths — upsert/replace
-    * rewrites, checkpointing, restore — genuinely need every live file; a
-    * table's own writer is bounded by what it manages). Read paths that
-    * can prune should go through [[readWhere]], which collects only the
-    * files surviving stats-based skipping.
+    * materializing the full file list (maintenance paths — overwrite,
+    * checkpoint, restore, vacuum, compact — genuinely operate on every
+    * live file). Read paths that can prune should go through
+    * [[readWhere]]; write paths that can prune (append/upsert/replace/
+    * delete) go through [[lazySnapshot]] — both collect only surviving
+    * files.
     */
   def snapshot(
       spark: SparkSession,
@@ -420,6 +421,33 @@ object DeltaLog {
     val st = resolveState(spark, tablePath, versionAsOf, timestampAsOf)
     val meta = metaReplay(spark, tablePath, st)
     meta.copy(files = collectAdds(addIndex(spark, st)))
+  }
+
+  /** Metadata-resolved snapshot whose file list stays DISTRIBUTED until a
+    * caller collects a (usually pruned) subset — the bounded-driver handle
+    * for write paths: append needs no file list at all, upsert/replace/
+    * delete collect only stats-pruned candidates. `meta` carries schema,
+    * partition columns, protocol, configuration and version with
+    * `files = Nil`.
+    */
+  final class LazySnapshot private[DeltaLog](
+      spark: SparkSession, st: LogState, val meta: Snapshot) {
+
+    /** Collect the files passing `keep`, evaluated ON EXECUTORS over the
+      * distributed add index — driver memory bounded by the kept count.
+      */
+    def filesWhere(keep: AddFile => Boolean): Seq[AddFile] =
+      addIndex(spark, st)
+        .select(col("path"), col("partitionValues"), col("size"),
+          col("modificationTime"), col("stats"), col("deletionVector"))
+        .as(addFileEncoder)
+        .filter(keep)
+        .collect().toSeq
+  }
+
+  def lazySnapshot(spark: SparkSession, tablePath: String): LazySnapshot = {
+    val st = resolveState(spark, tablePath, None, None)
+    new LazySnapshot(spark, st, metaReplay(spark, tablePath, st))
   }
 
   // ------------------------------------------------- protocol capability gate

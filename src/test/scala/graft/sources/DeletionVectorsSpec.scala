@@ -276,7 +276,7 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(e2.getMessage.contains("cardinality"), e2.getMessage)
   }
 
-  test("writes to tables whose protocol demands DV maintenance refuse") {
+  test("writes to DV-featured tables go through (r8: this writer maintains DVs)") {
     import spark.implicits._
     val table = tmpDir("delta-dv-write")
     dataFile(table, "part=a/f1.parquet", (0L until 4L).map(i => (i, s"x$i")))
@@ -284,8 +284,15 @@ class DeletionVectorsSpec extends SparkSpec {
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
       metaLine,
       """{"add":{"path":"part=a/f1.parquet","partitionValues":{"part":"a"},"size":1,"modificationTime":1,"dataChange":true}}"""))
-    val e = intercept[IllegalArgumentException](graft.destinations.DeltaWrite.append(
-      spark, table.toString, Seq((9L, "nine", "a")).toDF("id", "v", "part")))
-    assert(e.getMessage.contains("deletionVectors"), e.getMessage)
+    graft.destinations.DeltaWrite.append(
+      spark, table.toString, Seq((9L, "nine", "a")).toDF("id", "v", "part"))
+    val back = DeltaLog.read(spark, table.toString).collect().map(_.getLong(0)).toSet
+    assert(back == Set(0L, 1L, 2L, 3L, 9L))
+    // and delete() against the foreign-featured table works end-to-end
+    // (copy-on-write here — the table carries the feature but not the
+    // enableDeletionVectors opt-in that switches deletes to merge-on-read)
+    graft.destinations.DeltaWrite.delete(spark, table.toString, "id <= 1")
+    val after = DeltaLog.read(spark, table.toString).collect().map(_.getLong(0)).toSet
+    assert(after == Set(2L, 3L, 9L))
   }
 }

@@ -356,11 +356,16 @@ class DeltaLogSpec extends SparkSpec {
     assert(scanned.size == 1 && scanned.head.contains("f1.parquet"), scanned)
     assert(skipped.count() == 2)
 
-    // writer gate: this engine does not write mapped tables
+    // writer path (r8): mode-name tables are writable — the append lands
+    // physical-named data and reads back logically
     import spark.implicits._
-    val e = intercept[IllegalArgumentException](graft.destinations.DeltaWrite.append(
-      spark, table.toString, Seq((5L, 1L, "q", "a")).toDF("id", "a", "b", "part")))
-    assert(e.getMessage.contains("column mapping"), e.getMessage)
+    val incoming = Seq((5L, 1L, "q", "a")).toDF("id", "a", "b", "part")
+      .selectExpr("id", "named_struct('a', a, 'b', b) AS meta", "part")
+    graft.destinations.DeltaWrite.append(spark, table.toString, incoming)
+    val after = DeltaLog.read(spark, table.toString)
+      .selectExpr("id", "meta.a", "part").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(after == Seq((1L, 10L, "a"), (2L, 20L, "a"), (5L, 1L, "a"), (100L, 30L, "a")))
   }
 
   test("column mapping: a field missing its physicalName refuses by name") {
