@@ -831,19 +831,29 @@ object DeltaWrite {
     */
   val checkpointInterval = 10
 
-  /** Write a protocol checkpoint (`<version %020d>.checkpoint.parquet` +
-    * `_last_checkpoint`) of the CURRENT snapshot: one parquet row per
-    * action — protocol, metaData (the table's original identity, carried
-    * through [[DeltaLog.Snapshot.metaDataRaw]]), and every live add with
-    * `dataChange: false`. Remove tombstones are not checkpointed (they
-    * only coordinate vacuum retention, which stays with the maintenance
-    * job). Returns the checkpointed version.
+  /** Write a protocol checkpoint (`<version %020d>.checkpoint.parquet`, or
+    * the spec's multi-part `…checkpoint.%010d.%010d.parquet` form past
+    * [[checkpointPartActions]] actions, plus `_last_checkpoint`) of the
+    * CURRENT snapshot: one parquet row per action — protocol, metaData
+    * (the table's original identity, carried through
+    * [[DeltaLog.Snapshot.metaDataRaw]]), and every live add with
+    * `dataChange: false`. The add rows stream STRAIGHT FROM the
+    * distributed log index into the checkpoint parquet — the driver never
+    * materializes the file list, so checkpointing a 10M-file table is a
+    * distributed copy, not a driver OOM. Remove tombstones are not
+    * checkpointed (they only coordinate vacuum retention, which stays
+    * with the maintenance job). Returns the checkpointed version.
     */
-  def checkpoint(spark: SparkSession, tablePath: String): Long = {
+  def checkpoint(
+      spark: SparkSession,
+      tablePath: String,
+      partActions: Long = checkpointPartActions): Long = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    require(partActions > 0, "partActions must be positive")
     val table = new Path(tablePath)
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val ls = DeltaLog.lazySnapshot(spark, tablePath)
+    val snap = ls.meta
     // a checkpoint REPLACES log replay below it — emitting one that drops
     // actions we don't model would corrupt a foreign table, so gate first
     requireWritable(tablePath, snap, "checkpoint", removesData = false)
@@ -895,49 +905,78 @@ object DeltaWrite {
     def feats(s: Set[String]) = if (s.isEmpty) null else s.toSeq.sorted
     val protoRow = Row(p.minReaderVersion, p.minWriterVersion,
       feats(p.readerFeatures), feats(p.writerFeatures))
-    val rows: Seq[Row] =
+    val metaRows: Seq[Row] =
       Seq(Row(protoRow, null, null, null), Row(null, null, metaRow, null)) ++
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
           Row(null, Row(app, v), null, null)
-        } ++
-        snap.files.map { f =>
-          val dvRow = f.deletionVector.map { dj =>
-            val d = graft.sources.DeletionVectors.parse(dj)
-            Row(d.storageType, d.pathOrInlineDv, d.offset.orNull,
-              d.sizeInBytes, d.cardinality)
-          }.orNull
-          Row(null, null, null,
-            Row(f.path, f.partitionValues, f.size, f.modificationTime, false,
-              f.stats.orNull, dvRow))
         }
+    val metaDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(metaRows, 1), cpSchema)
+    // add actions stream from the distributed index — never collected
+    val addDf = {
+      import org.apache.spark.sql.functions.{col, from_json, lit, struct}
+      ls.indexDF.select(
+        lit(null).cast(cpSchema("protocol").dataType).as("protocol"),
+        lit(null).cast(cpSchema("txn").dataType).as("txn"),
+        lit(null).cast(cpSchema("metaData").dataType).as("metaData"),
+        struct(
+          col("path"), col("partitionValues"), col("size"),
+          col("modificationTime"), lit(false).as("dataChange"), col("stats"),
+          from_json(col("deletionVector"), graft.sources.DeltaLog.dvStructType)
+            .as("deletionVector")).as("add"))
+    }
+    val nFiles = addDf.count()
+    val nParts = math.max(1L, math.min(512L,
+      (nFiles + partActions - 1) / partActions)).toInt
+    val union = metaDf.unionByName(addDf)
+    val out = if (nParts == 1) union.coalesce(1) else union.repartition(nParts)
+
     val f = fs(spark, table)
     val tmp = new Path(logDir(table), s".cp-tmp-${java.util.UUID.randomUUID()}")
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), cpSchema)
-      .coalesce(1).write.parquet(tmp.toString)
-    val part = {
+    out.write.parquet(tmp.toString)
+    val parts = {
       val it = f.listFiles(tmp, false)
-      var found: Path = null
+      val found = Seq.newBuilder[Path]
       while (it.hasNext) {
         val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(".parquet")) found = s.getPath
+        if (s.isFile && s.getPath.getName.endsWith(".parquet")) found += s.getPath
       }
-      require(found != null, s"checkpoint write produced no parquet part in $tmp")
-      found
+      val r = found.result().sortBy(_.getName)
+      require(r.nonEmpty, s"checkpoint write produced no parquet part in $tmp")
+      r
     }
-    val target = new Path(logDir(table), f"${snap.version}%020d.checkpoint.parquet")
-    f.delete(target, false) // re-checkpointing a version is idempotent
-    if (!f.rename(part, target))
-      throw new IllegalStateException(s"Failed to publish checkpoint $target")
+    // idempotent re-checkpoint: clear any prior checkpoint files of this
+    // version (single- or multi-part) before publishing
+    val CpName = (f"${snap.version}%020d" + """\.checkpoint(\..*)?\.parquet""").r
+    f.listStatus(logDir(table)).foreach { st =>
+      if (CpName.pattern.matcher(st.getPath.getName).matches())
+        f.delete(st.getPath, false)
+    }
+    val targets =
+      if (parts.size == 1)
+        Seq(new Path(logDir(table), f"${snap.version}%020d.checkpoint.parquet"))
+      else parts.indices.map(i => new Path(logDir(table),
+        f"${snap.version}%020d.checkpoint.${i + 1}%010d.${parts.size}%010d.parquet"))
+    parts.zip(targets).foreach { case (src, dst) =>
+      if (!f.rename(src, dst))
+        throw new IllegalStateException(s"Failed to publish checkpoint $dst")
+    }
     f.delete(tmp, true)
     // _last_checkpoint is advisory (plain overwrite per spec)
     val lc = mapper.createObjectNode()
     lc.put("version", snap.version)
-    lc.put("size", rows.length.toLong)
-    val out = f.create(new Path(logDir(table), "_last_checkpoint"), true)
-    try out.write(mapper.writeValueAsBytes(lc)) finally out.close()
+    lc.put("size", metaRows.length.toLong + nFiles)
+    if (parts.size > 1) lc.put("parts", parts.size)
+    val outLc = f.create(new Path(logDir(table), "_last_checkpoint"), true)
+    try outLc.write(mapper.writeValueAsBytes(lc)) finally outLc.close()
     snap.version
   }
+
+  /** Multi-part checkpoint threshold: past this many add actions the
+    * checkpoint splits into `%010d.%010d` parts (the spec's multi-part
+    * form), each written by its own task.
+    */
+  val checkpointPartActions: Long = 1000000L
 
   /** Best-effort auto-checkpoint: the commit it follows is already
     * durable, so a checkpoint failure must not fail the write — the next

@@ -301,7 +301,7 @@ object DeltaLog {
     snap
   }
 
-  private val dvStructType = StructType(Seq(
+  private[graft] val dvStructType = StructType(Seq(
     StructField("storageType", StringType),
     StructField("pathOrInlineDv", StringType),
     StructField("offset", IntegerType),
@@ -437,12 +437,19 @@ object DeltaLog {
       * distributed add index — driver memory bounded by the kept count.
       */
     def filesWhere(keep: AddFile => Boolean): Seq[AddFile] =
-      addIndex(spark, st)
-        .select(col("path"), col("partitionValues"), col("size"),
-          col("modificationTime"), col("stats"), col("deletionVector"))
+      indexDF
         .as(addFileEncoder)
         .filter(keep)
         .collect().toSeq
+
+    /** The live-file state as a DataFrame in [[AddFile]] column shape
+      * (`deletionVector` as raw descriptor JSON) — checkpoint writers
+      * stream this straight back out without a driver materialization.
+      */
+    private[graft] def indexDF: DataFrame =
+      addIndex(spark, st)
+        .select(col("path"), col("partitionValues"), col("size"),
+          col("modificationTime"), col("stats"), col("deletionVector"))
   }
 
   def lazySnapshot(spark: SparkSession, tablePath: String): LazySnapshot = {

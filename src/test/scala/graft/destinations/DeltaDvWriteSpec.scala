@@ -146,6 +146,31 @@ class DeltaDvWriteSpec extends SparkSpec {
     assert(back == (26L to 100L).toSet)
   }
 
+  test("multi-part checkpoint replays exactly (incl. DVs) once JSON commits are gone") {
+    import spark.implicits._
+    val table = mkTable("dv-multipart", (1L to 60L).map(i => (i, s"v$i")), parts = 1)
+    // five more single-file appends → 6 live files
+    (1 to 5).foreach(i => DeltaWrite.append(spark, table.toString,
+      Seq((100L + i, s"x$i")).toDF("id", "v").repartition(1)))
+    DeltaWrite.delete(spark, table.toString, "id <= 10")
+    // force the multi-part form: 2 adds per checkpoint part
+    DeltaWrite.checkpoint(spark, table.toString, partActions = 2L)
+    val logDir = table.resolve("_delta_log")
+    val names = java.nio.file.Files.list(logDir).map[String](_.getFileName.toString)
+      .toArray.map(_.toString).toSeq
+    val cpParts = names.filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet"))
+    assert(cpParts.size == 3, cpParts.toString) // 6 files / 2 per part
+    assert(cpParts.forall(_.matches("""\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet""")), cpParts)
+    val lc = java.nio.file.Files.readString(logDir.resolve("_last_checkpoint"))
+    assert(lc.contains("\"parts\":3"), lc)
+    // drop the JSON commits: the checkpoint alone must reconstruct state
+    java.nio.file.Files.list(logDir).forEach { p =>
+      if (p.getFileName.toString.endsWith(".json")) java.nio.file.Files.delete(p)
+    }
+    val back = DeltaLog.read(spark, table.toString).collect().map(_.getLong(0)).toSet
+    assert(back == ((11L to 60L).toSet ++ (101L to 105L).toSet))
+  }
+
   test("restore across a DV delete resurrects rows; restore back re-deletes them") {
     val table = mkTable("dv-restore", (1L to 40L).map(i => (i, s"v$i")))
     val vDel = DeltaWrite.delete(spark, table.toString, "id > 30") // v2
