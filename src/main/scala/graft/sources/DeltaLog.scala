@@ -7,19 +7,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, MapType, StringType, StructField, StructType}
 import scala.jdk.CollectionConverters._
 
-/** Read-only bridge to REAL Delta Lake tables: replays the `_delta_log`
+/** Read bridge to REAL Delta Lake tables: replays the `_delta_log`
   * commit protocol (the public Delta transaction-log spec — JSON commits
   * `<version %020d>.json` of add/remove/metaData actions, plus parquet
   * checkpoints) into the current snapshot's file list and reads those
-  * parquet files directly.
-  *
-  * Scope (documented divergence, SURVEY §7.5): no delta-spark jar ships in
-  * this environment, so WRITING the Delta protocol stays with
-  * [[graft.destinations.ManagedTable]] (same semantics, own log format).
-  * This bridge makes existing Delta tables readable — snapshot + version /
-  * timestamp time travel — which is the half a data-pipeline engine needs
-  * to CONSUME lakehouse inputs. Swap in delta-spark and `spark.read
-  * .format("delta")` replaces this file; nothing else moves.
+  * parquet files directly. The WRITE half of the protocol — appends,
+  * upserts, replaces, deletion-vector deletes, column-mapped tables,
+  * checkpoints, maintenance — lives in
+  * [[graft.destinations.DeltaWrite]]; together they interoperate with
+  * delta-spark / delta-rs / DuckDB-delta without any Delta jar. Swap in
+  * delta-spark and `spark.read.format("delta")` replaces this file;
+  * nothing else moves.
   *
   * Scale: METADATA replay (protocol/metaData/txn) is driver-side and
   * bounded by the checkpoint interval; the FILE state (checkpoint adds ∪
@@ -588,7 +586,9 @@ object DeltaLog {
       spark: SparkSession,
       tablePath: String,
       fromVersionExclusive: Long): DataFrame = {
-    val snap = snapshot(spark, tablePath) // protocol gate + read context
+    // protocol gate + read context only — the tail scan below never needs
+    // the table's file list, so don't collect it
+    val snap = lazySnapshot(spark, tablePath).meta
     require(fromVersionExclusive <= snap.version,
       s"fromVersion $fromVersionExclusive is beyond latest ${snap.version}")
     val table = new Path(tablePath)

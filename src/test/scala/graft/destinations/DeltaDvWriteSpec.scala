@@ -51,6 +51,29 @@ class DeltaDvWriteSpec extends SparkSpec {
     }
   }
 
+  test("roaring serialize/decode property: random index sets round-trip exactly") {
+    val rnd = new scala.util.Random(0xD17AL)
+    // regimes: sparse scattered, dense runs, sign-boundary lows (low-32
+    // values past 2^31), cross-high-32, container-boundary cardinalities
+    val cases: Seq[Array[Long]] = Seq(
+      Array.fill(200)(rnd.nextLong(1L << 33)).map(math.abs),
+      (10000L until 10000L + 4096L).toArray, // exactly one full array container
+      (10000L until 10000L + 4097L).toArray, // tips into a bitmap container
+      Array.tabulate(300)(i => (1L << 31) + i * 7L), // low-32 sign boundary
+      Array.tabulate(50)(i => i.toLong * (1L << 30))) // spread across highs
+    cases.foreach { idxs =>
+      val arr = DeletionVectors.decode(DeletionVectors.serialize(idxs))
+      val expect = idxs.distinct.sorted
+      assert(arr.cardinality == expect.length.toLong)
+      assert(arr.toLongArray.toSeq == expect.toSeq)
+      expect.foreach(i => assert(arr.contains(i)))
+      // absent neighbors stay absent
+      expect.take(50).foreach { i =>
+        if (!expect.contains(i + 1)) assert(!arr.contains(i + 1), s"${i + 1}")
+      }
+    }
+  }
+
   test("DV delete marks rows without rewriting data files; protocol upgrades") {
     val table = mkTable("dv-basic", (1L to 100L).map(i => (i, s"v$i")))
     val dataFilesBefore = DeltaLog.snapshot(spark, table.toString).files.map(_.path).toSet
