@@ -161,6 +161,39 @@ class ScaleSpec extends SparkSpec {
       expectedItems = 100L, fpp = 0.01).count() == 2000)
   }
 
+  test("Delta log replay at 100k adds: distributed reconcile, pruned collect") {
+    // fabricate a log only — no data files needed to pin the replay shape.
+    // 100k adds with stats + 5k removes across 3 commits; the snapshot's
+    // file state reconciles as a DataFrame and a stats-pruned filesWhere
+    // collects exactly the one matching file, not 95k.
+    val table = tmpDir("delta-100k")
+    val logDir = table.resolve("_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    val meta = """{"metaData":{"id":"scale-fixture","schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"format":{"provider":"parquet"},"configuration":{}}}"""
+    def add(i: Int) =
+      s"""{"add":{"path":"f$i.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":100,\\"minValues\\":{\\"k\\":${i * 1000L}},\\"maxValues\\":{\\"k\\":${i * 1000L + 999L}},\\"nullCount\\":{\\"k\\":0}}"}}"""
+    def commitFile(v: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(logDir.resolve(f"$v%020d.json"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    commitFile(0L,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +: meta +:
+        (0 until 50000).map(add))
+    commitFile(1L, (50000 until 100000).map(add))
+    commitFile(2L, (0 until 5000).map(i => s"""{"remove":{"path":"f$i.parquet","deletionTimestamp":2,"dataChange":true}}"""))
+
+    val ls = graft.sources.DeltaLog.lazySnapshot(spark, table.toString)
+    assert(ls.meta.version == 2L && ls.meta.files.isEmpty)
+    val expr = spark.sessionState.sqlParser.parseExpression("k = 77777000")
+    val slim = ls.meta
+    val pruned = ls.filesWhere(f => graft.sources.DeltaStats.mayMatch(slim, f, expr))
+    assert(pruned.map(_.path) == Seq("f77777.parquet"), pruned.map(_.path).toString)
+    // a removed file's key range finds nothing
+    val gone = spark.sessionState.sqlParser.parseExpression("k = 1000")
+    assert(ls.filesWhere(f => graft.sources.DeltaStats.mayMatch(slim, f, gone)).isEmpty)
+    // the eager snapshot (maintenance paths) sees exactly the live count
+    assert(graft.sources.DeltaLog.snapshot(spark, table.toString).files.size == 95000)
+  }
+
   test("bucketed tables: co-located join plans without a shuffle exchange") {
     val wh = tmpDir("warehouse")
     val db = "bucketdemo" // database LOCATION keeps table files in the temp dir
