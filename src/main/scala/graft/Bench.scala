@@ -53,7 +53,8 @@ object Bench {
   private[graft] val r6New = Set("q100_ann_ivf_persist",
     "q101_heavy_hitters_approx", "q102_delta_evolve", "p14_pipeline_delta")
   // queries added in round 8 (round 7 shipped none)
-  private[graft] val r8New = Set("q103_delta_dv", "q104_delta_mapped")
+  private[graft] val r8New = Set("q103_delta_dv", "q104_delta_mapped",
+    "q105_ann_pq")
   private[graft] val laterRounds = Seq(r3New, r4New, r5New, r6New, r8New)
   private def newer(from: Int)(k: String): Boolean =
     laterRounds.drop(from).exists(_(k))

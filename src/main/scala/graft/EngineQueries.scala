@@ -67,6 +67,13 @@ object EngineQueries {
     */
   @volatile private[graft] var q99QuotasCaptured: Option[Map[String, Long]] = None
 
+  /** q105's trained PQ codebooks, captured like the IVF centroids: the
+    * oracle embeds them and independently re-derives the per-block argmin
+    * encode, the query distance tables, and the ADC ranking in DuckDB —
+    * everything downstream of the per-block k-means fits is hash-checked.
+    */
+  @volatile private[graft] var q105CodebooksCaptured: Option[Array[Array[Array[Double]]]] = None
+
   // shortest-round-trip double literal: both JVM and DuckDB parse it back
   // to the identical bits, so embedded plane/centroid constants are exact
   private def dlit(d: Double): String =
@@ -222,6 +229,67 @@ object EngineQueries {
     * query's nprobe nearest cells, the cell equi-join and the exact cosine
     * top-k.
     */
+  /** DuckDB replay of q105's PQ search from the captured codebooks: encode
+    * every corpus vector (per-block argmin over `cc − 2·sv·c`, ties by
+    * entry index — the engine's exact partial-score form), build each
+    * query's per-block distance table (`svv − 2·sv·c + cc`), and rank by
+    * the ADC sum. The per-block distances are summed through an ORDERED
+    * list with explicit left-associated additions so both engines fold the
+    * same doubles in the same order.
+    */
+  private def pqOracleSql(
+      codebooks: Array[Array[Array[Double]]], k: Int): String = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val bookRows = codebooks.zipWithIndex.flatMap { case (book, b) =>
+      book.zipWithIndex.map { case (c, j) =>
+        s"($b, $j, [${c.map(dlit).mkString(", ")}], ${dlit(c.map(x => x * x).sum)})"
+      }
+    }.mkString(",\n                ")
+    val blockSum = (1 to m).map(i => s"ll[$i]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              books(b, j, c, cc) AS (VALUES
+                $bookRows),
+              blocks AS (SELECT unnest(range(0, $m)) AS b),
+              sub AS (
+                SELECT e.vec_id, bs.b,
+                       list_slice(e.v, bs.b * $dsub + 1, (bs.b + 1) * $dsub) AS sv
+                FROM e CROSS JOIN blocks bs),
+              scored AS (
+                SELECT s.vec_id, s.b, bk.j,
+                  bk.cc - 2 * list_sum(list_transform(range(1, ${dsub + 1}),
+                    i -> s.sv[i] * bk.c[i])) AS sc
+                FROM sub s JOIN books bk ON bk.b = s.b),
+              codes AS (
+                SELECT vec_id, b, j AS code FROM (
+                  SELECT vec_id, b, j,
+                    row_number() OVER (PARTITION BY vec_id, b ORDER BY sc, j) AS rn
+                  FROM scored) WHERE rn = 1),
+              qsub AS (
+                SELECT vec_id AS query_id, b, sv,
+                  list_sum(list_transform(range(1, ${dsub + 1}), i -> sv[i] * sv[i])) AS svv
+                FROM sub WHERE vec_id < 5),
+              lut AS (
+                SELECT q.query_id, q.b, bk.j,
+                  q.svv - 2 * list_sum(list_transform(range(1, ${dsub + 1}),
+                    i -> q.sv[i] * bk.c[i])) + bk.cc AS d2
+                FROM qsub q JOIN books bk ON bk.b = q.b),
+              cand AS (
+                SELECT l.query_id, c.vec_id AS item_id, c.b, l.d2
+                FROM codes c JOIN lut l ON l.b = c.b AND l.j = c.code),
+              tot AS (
+                SELECT query_id, item_id, ll, $blockSum AS ad2 FROM (
+                  SELECT query_id, item_id, list(d2 ORDER BY b) AS ll
+                  FROM cand GROUP BY query_id, item_id)),
+              ranked AS (
+                SELECT query_id, item_id, round(ad2, 6) AS ad2,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ad2, item_id) AS rank
+                FROM tot)
+         SELECT query_id, rank, item_id, ad2 FROM ranked
+         WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   private def ivfOracleSql(
       centroids: Array[Array[Double]], dim: Int, k: Int, nprobe: Int): String = {
     val centRows = centroids.zipWithIndex
@@ -1538,6 +1606,24 @@ object EngineQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // Product quantization ANN (Jégou et al. 2011): per-block codebooks on
+    // a deterministic sample, corpus encoded to m byte codes, asymmetric-
+    // distance search via per-query lookup tables — the compressed-corpus
+    // scale path (dim·4 bytes → m bytes per vector). Pure-ADC ranking here
+    // so the oracle can replay encode + LUT + ranking from the captured
+    // codebooks; recall-vs-brute and the exact re-rank path are ScalaTest-
+    // gated (PQ is lossy by design, so brute force is not its oracle).
+    "q105_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val index = ops.Ann.pqTrain(emb, "vec_id", "v", m = 8, ksub = 16)
+      q105CodebooksCaptured = Some(index.codebooks)
+      ops.Ann.pqSearch(index, queries, "qid", "qv", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -1986,6 +2072,11 @@ object EngineQueries {
       .map(c => ivfOracleSql(c, dim = 64, k = 10, nprobe = 3))
       .getOrElse(
         """SELECT NULL AS query_id, NULL AS rank, NULL AS item_id, NULL AS cos
+           WHERE FALSE"""),
+    "q105_ann_pq" -> q105CodebooksCaptured
+      .map(b => pqOracleSql(b, k = 10))
+      .getOrElse(
+        """SELECT NULL AS query_id, NULL AS rank, NULL AS item_id, NULL AS ad2
            WHERE FALSE"""),
     "q96_quality_classifier" -> q96ModelCaptured
       .map(m => qualityOracleSql(m, nDocs = 200))

@@ -447,4 +447,171 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("item_id"), round(col("cos"), 6).as("cos"))
   }
+
+  // --------------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid 2011, "Product Quantization
+  // for Nearest Neighbor Search", IEEE TPAMI — public method).
+  //
+  // The vector is split into `m` equal sub-blocks; each block is vector-
+  // quantized against its own `ksub`-entry codebook, so a dim-d float vector
+  // compresses to `m` byte codes (d·4 bytes → m bytes; dim=64, m=8 is 32×).
+  // Search is asymmetric distance computation (ADC): the query precomputes a
+  // per-block lookup table of distances to every codebook entry, and each
+  // candidate's approximate distance is m table lookups + adds — no float
+  // vector is ever read at scan time. At 100 TB this is the difference
+  // between scanning the corpus' raw embeddings (impossible) and scanning a
+  // code table 32× smaller that lives comfortably in page cache; compose
+  // with [[ivfBuild]] (encode per cell, probe nprobe cells) for the
+  // classic IVF-PQ layout when even the full code scan is too much.
+  // --------------------------------------------------------------------------
+
+  /** A PQ index: per-block codebooks (`codebooks(b)(j)` = entry `j` of
+    * block `b`) plus the corpus encoded to `m` small int codes
+    * (`item_id`, `code: array<int>`). Build once with [[pqTrain]]; the
+    * `encoded` frame is pure data — persist it like any column.
+    */
+  final case class PqIndex(codebooks: Array[Array[Array[Double]]], encoded: DataFrame) {
+    def m: Int = codebooks.length
+    def dsub: Int = codebooks.head.head.length
+  }
+
+  /** Per-block argmin code. Within one block the candidate's sub-norm is
+    * constant across codebook entries, so the argmin ranks by the partial
+    * score c·c − 2·sv·c (same ordering, ties by entry index, one dot per
+    * entry instead of two).
+    */
+  private def pqCodeExpr(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val dsub = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (book, b) =>
+      val sv = slice(vec, b * dsub + 1, dsub)
+      val scored = book.zipWithIndex.map { case (c, j) =>
+        val cArr = array(c.toIndexedSeq.map(lit): _*)
+        struct((lit(c.map(x => x * x).sum) - lit(2.0) * dot(sv, cArr)).as("s"),
+          lit(j).as("j"))
+      }.toIndexedSeq
+      least(scored: _*).getField("j")
+    }.toIndexedSeq: _*)
+  }
+
+  /** Train PQ codebooks on a bounded deterministic sample (same sampling
+    * discipline as [[ivfBuild]]: seeded-hash top-k, never a data-order
+    * prefix) and encode the full corpus. One k-means fit per block over the
+    * SAME cached sample; the corpus-wide encode is a single scan with the
+    * codebooks folded in as literals.
+    *
+    * `m · ksub` is capped so the inline per-block argmin stays inside
+    * whole-stage codegen — dim 64 / m 8 / ksub 16 (the tested shape) is 128
+    * 8-dim dots per row, comfortably under it.
+    */
+  def pqTrain(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+      maxTrainVectors: Int = 65536, trainFraction: Double = 1.0): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(m >= 1, "m must be >= 1")
+    require(ksub >= 2 && ksub <= 256, "ksub must be in [2, 256] (codes are byte-sized)")
+    require(m * ksub <= 4096,
+      "m*ksub beyond 4096: the inline encode expression stops codegen-ing — lower m or ksub")
+    require(trainFraction > 0.0 && trainFraction <= 1.0, "trainFraction must be in (0, 1]")
+    val base = corpus.select(col(corpusId).as("item_id"),
+      transform(col(corpusVec), x => x.cast("double")).as("cv"))
+    val dim = base.select(size(col("cv"))).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim must divide evenly into m=$m blocks")
+    val dsub = dim / m
+    val sampled =
+      if (trainFraction < 1.0)
+        base.filter(pmod(xxhash64(col("item_id"), lit(seed)), lit(1000000L))
+          < lit((trainFraction * 1000000L).toLong))
+      else base
+    val train = sampled
+      .orderBy(xxhash64(col("item_id"), lit(seed)), col("item_id"))
+      .limit(maxTrainVectors)
+      .select(col("cv"))
+      .persist()
+    try {
+      val codebooks = Array.tabulate(m) { b =>
+        val feats = train.select(
+          array_to_vector(slice(col("cv"), b * dsub + 1, dsub)).as("features"))
+        new KMeans().setK(ksub).setSeed(seed + b).setMaxIter(10).fit(feats)
+          .clusterCenters.map(_.toArray)
+      }
+      PqIndex(codebooks,
+        base.select(col("item_id"), pqCodeExpr(col("cv"), codebooks).as("code")))
+    } finally { train.unpersist() }
+  }
+
+  /** ADC search: per query, a per-block distance table to every codebook
+    * entry (computed once, `m · ksub` doubles — broadcast with the query);
+    * each candidate's approximate squared distance is `m` array lookups
+    * summed in block order. Plan shape: the encoded corpus STREAMS against
+    * the broadcast query+LUT side (the deliberate full-code scan of flat
+    * PQ — no shuffle of the corpus, no float vectors read); top-k via one
+    * window over the per-query candidate rows.
+    *
+    * `rerank > 0` re-ranks each query's top-`rerank` ADC candidates with
+    * exact cosine against the ORIGINAL vectors (a broadcast-sized semi-join
+    * back into `corpus` — candidates, not corpus, drive the join), the
+    * standard recall repair for PQ's quantization error.
+    */
+  def pqSearch(
+      index: PqIndex, queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = index.m
+    val dsub = index.dsub
+    val qv = transform(col(queryVec), x => x.cast("double"))
+    val lutCols = index.codebooks.zipWithIndex.map { case (book, b) =>
+      val sv = slice(qv, b * dsub + 1, dsub)
+      val svv = dot(sv, sv)
+      array(book.toIndexedSeq.map { c =>
+        val cArr = array(c.toIndexedSeq.map(lit): _*)
+        svv - lit(2.0) * dot(sv, cArr) + lit(c.map(x => x * x).sum)
+      }: _*).as(s"lut_$b")
+    }.toIndexedSeq
+    val luts = queries.select(col(queryId).as("query_id") +: lutCols: _*)
+    val ad2 = (0 until m)
+      .map(b => element_at(col(s"lut_$b"), element_at(col("code"), b + 1) + 1))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ad2"), col("item_id"))
+    index.encoded.crossJoin(broadcast(luts))
+      .withColumn("ad2", ad2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("item_id"), round(col("ad2"), 6).as("ad2"))
+  }
+
+  /** One-shot PQ top-k with optional exact re-rank. `rerank = 0` returns
+    * the pure-ADC ranking (`ad2` ascending — the oracle-replayable form);
+    * `rerank >= k` fetches the top-`rerank` ADC candidates, joins their
+    * original vectors back, and returns exact-cosine top-k.
+    */
+  def pqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, m: Int = 8, ksub: Int = 16, rerank: Int = 0, seed: Long = 42L,
+      maxTrainVectors: Int = 65536, trainFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val index = pqTrain(corpus, corpusId, corpusVec, m, ksub, seed,
+      maxTrainVectors, trainFraction)
+    if (rerank <= 0) pqSearch(index, queries, queryId, queryVec, k)
+    else {
+      require(rerank >= k, "rerank must fetch at least k candidates")
+      val cand = pqSearch(index, queries, queryId, queryVec, rerank)
+        .select(col("query_id"), col("item_id"))
+      val qs = queries.select(col(queryId).as("query_id"),
+        transform(col(queryVec), x => x.cast("double")).as("qv"))
+        .withColumn("qnrm", norm(col("qv")))
+      val cv = corpus.select(col(corpusId).as("item_id"),
+        transform(col(corpusVec), x => x.cast("double")).as("cv"))
+        .withColumn("cnrm", norm(col("cv")))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
+      cv.join(broadcast(cand), Seq("item_id"))
+        .join(broadcast(qs), Seq("query_id"))
+        .withColumn("cos", dot(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("item_id"), round(col("cos"), 6).as("cos"))
+    }
+  }
 }

@@ -96,6 +96,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q105: PQ ADC search streams the encoded corpus against a broadcast LUT side") {
+    val p = plan("q105_ann_pq")
+    // the deliberate full-code scan of flat PQ: query+LUT rows are the
+    // broadcast side, the encoded corpus is never shuffled for scoring —
+    // the only exchange is the per-query top-k window
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // distinct shuffle nodes: the top-k window + the presentation orderBy —
+    // nothing shuffles the encoded corpus for scoring itself
+    val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange"""))
+    assert(exchanges <= 2, s"expected only window + orderBy shuffles, got $exchanges:\n$p")
+  }
+
   test("q46: cosine pair mining is an equi-join on the LSH bucket, never all-pairs") {
     val p = plan("q46_embed_neardup")
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)

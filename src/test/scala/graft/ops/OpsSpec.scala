@@ -462,6 +462,61 @@ class OpsSpec extends SparkSpec {
     assert(lsh.length <= 5 && lsh.nonEmpty)
   }
 
+  test("Ann.pqTrain/pqSearch: codes are block-local, ADC keeps the query's own cluster on top") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1L to 60L).map { i =>
+      val center = if (i <= 30) 4.0 else -4.0
+      (i, Seq.fill(8)(center + rnd.nextGaussian() * 0.3))
+    }
+    val emb = rows.toDF("id", "v")
+    val index = Ann.pqTrain(emb, "id", "v", m = 2, ksub = 4)
+    assert(index.m == 2 && index.dsub == 4)
+    val codes = index.encoded.collect()
+    assert(codes.length == 60)
+    codes.foreach { r =>
+      val c = r.getSeq[Int](1)
+      assert(c.length == 2 && c.forall(j => j >= 0 && j < 4), c)
+    }
+    val q = emb.filter(col("id") === 3L).select(col("id").as("qid"), col("v").as("qv"))
+    val r = Ann.pqSearch(index, q, "qid", "qv", k = 10).orderBy("rank").collect()
+    assert(r.length == 10)
+    // ad2 non-decreasing with rank; every hit from the query's own cluster
+    val ad2s = r.map(_.getDouble(3)).toSeq
+    assert(ad2s == ad2s.sorted, ad2s)
+    assert(r.forall(_.getLong(2) <= 30L), r.map(_.getLong(2)).toSeq)
+  }
+
+  test("Ann.pqTopK with exhaustive rerank equals brute force exactly") {
+    val rnd = new scala.util.Random(37)
+    val rows = (1L to 50L).map { i =>
+      val center = if (i <= 25) 3.0 else -3.0
+      (i, Seq.fill(8)(center + rnd.nextGaussian() * 0.5))
+    }
+    val emb = rows.toDF("id", "v")
+    val q = emb.filter(col("id") < 3L).select(col("id").as("qid"), col("v").as("qv"))
+    val pq = Ann.pqTopK(emb, "id", "v", q, "qid", "qv",
+      k = 5, m = 4, ksub = 8, rerank = 50).collect()
+    val brute = Ann.bruteTopK(emb, "id", "v", q, "qid", "qv", k = 5).collect()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getInt(1))
+    val pqM = pq.map(r => key(r) -> (r.getLong(2), r.getDouble(3))).toMap
+    val brM = brute.map(r => key(r) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(pqM == brM)
+  }
+
+  test("Ann.pqSearch: pure-ADC recall@10 on clustered data recovers the brute top-1") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1L to 80L).map { i =>
+      val center = (i % 4).toDouble * 3.0
+      (i, Seq.fill(16)(center + rnd.nextGaussian() * 0.4))
+    }
+    val emb = rows.toDF("id", "v")
+    val q = emb.filter(col("id") === 5L).select(col("id").as("qid"), col("v").as("qv"))
+    val index = Ann.pqTrain(emb, "id", "v", m = 4, ksub = 16)
+    val adc = Ann.pqSearch(index, q, "qid", "qv", k = 10).collect().map(_.getLong(2)).toSet
+    val brute = Ann.bruteTopK(emb, "id", "v", q, "qid", "qv", k = 1).collect()
+    assert(adc.contains(brute.head.getLong(2)))
+  }
+
   test("Joins.asofJoin: latest prior right row per key, inclusive ties, inner/outer") {
     val left = Seq(
       (1L, 10L, "l1"), (1L, 20L, "l2"), (1L, 5L, "l0"), (2L, 50L, "l3")
