@@ -1624,6 +1624,33 @@ object EngineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Deterministic train/valid/test splitting, both i.i.d. (hash the row
+    // id) and leakage-safe grouped (hash the `source` group key, so every
+    // document of a group lands in one split — the near-dup contamination
+    // guard). Assignment is a pure scan expression on a portable md5-prefix
+    // interval, so the oracle recomputes it from scratch in DuckDB.
+    "q106_hash_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), col("source"),
+        ops.Splits.hashSplit(col("doc_id"),
+          Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05), seed = 7L).as("split"),
+        ops.Splits.hashSplit(col("source"),
+          Seq("train" -> 0.8, "holdout" -> 0.2), seed = 7L).as("group_split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic global shuffle + balanced shard assignment for training
+    // shards: shard = equal md5-interval bucket of the id, shuffle_rank =
+    // the full seed-keyed hash (sorting by it is the stable corpus-wide
+    // permutation a data loader consumes). Same portable primitive as q106.
+    "q107_shard_assign" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        ops.Splits.shard(col("doc_id"), nShards = 8, seed = 11L).as("shard"),
+        ops.Splits.shuffleOrder(col("doc_id"), seed = 11L).as("shuffle_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------- engine-executed pipelines
 
     // Parquet source → chained stages → (no destination) result.
@@ -2078,6 +2105,30 @@ object EngineQueries {
       .getOrElse(
         """SELECT NULL AS query_id, NULL AS rank, NULL AS item_id, NULL AS ad2
            WHERE FALSE"""),
+    // split/shard assignment recomputed from scratch: identical md5-prefix
+    // thresholds embedded from the same hexThreshold the engine plans
+    "q106_hash_split" -> {
+      val t1 = ops.Splits.hexThreshold(0.9)
+      val t2 = ops.Splits.hexThreshold(0.95)
+      val tg = ops.Splits.hexThreshold(0.8)
+      s"""SELECT doc_id, source,
+            CASE WHEN substr(md5(doc_id::VARCHAR || ':7'), 1, 15) < '$t1' THEN 'train'
+                 WHEN substr(md5(doc_id::VARCHAR || ':7'), 1, 15) < '$t2' THEN 'valid'
+                 ELSE 'test' END AS split,
+            CASE WHEN substr(md5(source || ':7'), 1, 15) < '$tg' THEN 'train'
+                 ELSE 'holdout' END AS group_split
+          FROM documents ORDER BY doc_id"""
+    },
+    "q107_shard_assign" -> {
+      val cases = (1 until 8).map { i =>
+        s"WHEN substr(md5(doc_id::VARCHAR || ':11'), 1, 15) < '${ops.Splits.hexThreshold(i / 8.0)}' THEN ${i - 1}"
+      }.mkString("\n                 ")
+      s"""SELECT doc_id,
+            CASE $cases
+                 ELSE 7 END AS shard,
+            md5(doc_id::VARCHAR || ':11') AS shuffle_rank
+          FROM documents ORDER BY doc_id"""
+    },
     "q96_quality_classifier" -> q96ModelCaptured
       .map(m => qualityOracleSql(m, nDocs = 200))
       .getOrElse(

@@ -462,6 +462,48 @@ class OpsSpec extends SparkSpec {
     assert(lsh.length <= 5 && lsh.nonEmpty)
   }
 
+  test("Splits.hashSplit: grouped split is leakage-safe, fractions track weights, stable across runs") {
+    val rows = (1L to 2000L).map(i => (i, s"domain-${i % 97}"))
+    val df = rows.toDF("id", "domain")
+    val withSplits = df.select(col("id"), col("domain"),
+      Splits.hashSplit(col("id"), Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), seed = 5L).as("s"),
+      Splits.hashSplit(col("domain"), Seq("train" -> 0.8, "test" -> 0.2), seed = 5L).as("gs"))
+    val r = withSplits.collect()
+    // leakage-safety: every row of a domain gets the SAME grouped split
+    val byDomain = r.groupBy(_.getString(1)).view.mapValues(_.map(_.getString(3)).toSet)
+    assert(byDomain.values.forall(_.size == 1))
+    // i.i.d. fractions within a loose tolerance of the weights
+    val frac = r.groupBy(_.getString(2)).view.mapValues(_.length / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, frac)
+    assert(math.abs(frac.getOrElse("valid", 0.0) - 0.1) < 0.03, frac)
+    // stability: appending rows never reassigns existing ones
+    val half = df.filter(col("id") <= 1000)
+      .select(col("id"), Splits.hashSplit(col("id"),
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), seed = 5L).as("s"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    r.filter(_.getLong(0) <= 1000).foreach(x => assert(half(x.getLong(0)) == x.getString(2)))
+  }
+
+  test("Splits.writeShards: hive shard dirs, complete, balanced, rows in shuffle-rank order") {
+    val df = (1L to 800L).map(i => (i, s"text-$i")).toDF("id", "text")
+    val out = tmpDir("shards").resolve("out").toString
+    Splits.writeShards(df, col("id"), nShards = 4, out, seed = 9L)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 800)
+    // every row in its assigned shard; shards expectation-balanced
+    val mismatch = back.withColumn("expect", Splits.shard(col("id"), 4, 9L))
+      .filter(col("shard") =!= col("expect")).count()
+    assert(mismatch == 0)
+    val sizes = back.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3), sizes)
+    assert(sizes.values.forall(n => n > 120 && n < 280), sizes)
+    // within one shard's files (name order), rows stream in shuffle order
+    val s0 = spark.read.parquet(s"$out/shard=0")
+      .withColumn("rank", Splits.shuffleOrder(col("id"), 9L)).collect().map(_.getString(2))
+    assert(s0.toSeq == s0.toSeq.sorted)
+  }
+
   test("Ann.pqTrain/pqSearch: codes are block-local, ADC keeps the query's own cluster on top") {
     val rnd = new scala.util.Random(31)
     val rows = (1L to 60L).map { i =>
