@@ -74,6 +74,14 @@ object EngineQueries {
     */
   @volatile private[graft] var q105CodebooksCaptured: Option[Array[Array[Array[Double]]]] = None
 
+  /** q108's coarse centroids + residual codebooks, captured together: the
+    * oracle replays cell assignment, residuals, residual encode, probe
+    * ranking, residual LUTs, and the ADC sum — the full IVFADC pipeline
+    * downstream of the two k-means fits — in DuckDB.
+    */
+  @volatile private[graft] var q108IvfPqCaptured:
+    Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
+
   // shortest-round-trip double literal: both JVM and DuckDB parse it back
   // to the identical bits, so embedded plane/centroid constants are exact
   private def dlit(d: Double): String =
@@ -277,6 +285,105 @@ object EngineQueries {
               cand AS (
                 SELECT l.query_id, c.vec_id AS item_id, c.b, l.d2
                 FROM codes c JOIN lut l ON l.b = c.b AND l.j = c.code),
+              tot AS (
+                SELECT query_id, item_id, ll, $blockSum AS ad2 FROM (
+                  SELECT query_id, item_id, list(d2 ORDER BY b) AS ll
+                  FROM cand GROUP BY query_id, item_id)),
+              ranked AS (
+                SELECT query_id, item_id, round(ad2, 6) AS ad2,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ad2, item_id) AS rank
+                FROM tot)
+         SELECT query_id, rank, item_id, ad2 FROM ranked
+         WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** DuckDB replay of q108's IVFADC search from the captured coarse
+    * centroids and residual codebooks — [[ivfOracleSql]]'s assignment/probe
+    * stages fused with [[pqOracleSql]]'s encode/LUT/ADC stages, with the
+    * residual subtraction in between. Every fp formula mirrors the engine
+    * operation-for-operation (expanded-form distances, partial-score
+    * argmin, ordered left-assoc block sum).
+    */
+  private def ivfPqOracleSql(
+      centroids: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      dim: Int, k: Int, nprobe: Int): String = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val centRows = centroids.zipWithIndex
+      .map { case (c, i) =>
+        s"($i, [${c.map(dlit).mkString(", ")}], ${dlit(c.map(x => x * x).sum)})"
+      }
+      .mkString(",\n                ")
+    val bookRows = codebooks.zipWithIndex.flatMap { case (book, b) =>
+      book.zipWithIndex.map { case (c, j) =>
+        s"($b, $j, [${c.map(dlit).mkString(", ")}], ${dlit(c.map(x => x * x).sum)})"
+      }
+    }.mkString(",\n                ")
+    val blockSum = (1 to m).map(i => s"ll[$i]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              cents(cell, c, cc) AS (VALUES
+                $centRows),
+              books(b, j, c, cc) AS (VALUES
+                $bookRows),
+              blocks AS (SELECT unnest(range(0, $m)) AS b),
+              vv AS (SELECT vec_id, v,
+                       list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i])) AS vv
+                     FROM e),
+              cscored AS (
+                SELECT vv.vec_id, vv.v, ct.cell,
+                  vv.vv - 2 * list_sum(list_transform(range(1, ${dim + 1}),
+                    i -> vv.v[i] * ct.c[i])) + ct.cc AS d2
+                FROM vv CROSS JOIN cents ct),
+              assign AS (
+                SELECT vec_id, v, cell FROM (
+                  SELECT vec_id, v, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                  FROM cscored) WHERE rn = 1),
+              rese AS (
+                SELECT a.vec_id, a.cell,
+                  list_transform(range(1, ${dim + 1}), i -> a.v[i] - ct.c[i]) AS rv
+                FROM assign a JOIN cents ct ON ct.cell = a.cell),
+              sub AS (
+                SELECT r.vec_id, r.cell, bs.b,
+                  list_slice(r.rv, bs.b * $dsub + 1, (bs.b + 1) * $dsub) AS sv
+                FROM rese r CROSS JOIN blocks bs),
+              scored AS (
+                SELECT s.vec_id, s.cell, s.b, bk.j,
+                  bk.cc - 2 * list_sum(list_transform(range(1, ${dsub + 1}),
+                    i -> s.sv[i] * bk.c[i])) AS sc
+                FROM sub s JOIN books bk ON bk.b = s.b),
+              codes AS (
+                SELECT vec_id, cell, b, j AS code FROM (
+                  SELECT vec_id, cell, b, j,
+                    row_number() OVER (PARTITION BY vec_id, b ORDER BY sc, j) AS rn
+                  FROM scored) WHERE rn = 1),
+              probes AS (
+                SELECT vec_id AS query_id, v AS qv, cell FROM (
+                  SELECT vec_id, v, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                  FROM cscored WHERE vec_id < 5) WHERE rn <= $nprobe),
+              qres AS (
+                SELECT p.query_id, p.cell,
+                  list_transform(range(1, ${dim + 1}), i -> p.qv[i] - ct.c[i]) AS qr
+                FROM probes p JOIN cents ct ON ct.cell = p.cell),
+              qsub0 AS (
+                SELECT q.query_id, q.cell, bs.b,
+                  list_slice(q.qr, bs.b * $dsub + 1, (bs.b + 1) * $dsub) AS sv
+                FROM qres q CROSS JOIN blocks bs),
+              qsub AS (
+                SELECT query_id, cell, b, sv,
+                  list_sum(list_transform(range(1, ${dsub + 1}), i -> sv[i] * sv[i])) AS svv
+                FROM qsub0),
+              lut AS (
+                SELECT q.query_id, q.cell, q.b, bk.j,
+                  q.svv - 2 * list_sum(list_transform(range(1, ${dsub + 1}),
+                    i -> q.sv[i] * bk.c[i])) + bk.cc AS d2
+                FROM qsub q JOIN books bk ON bk.b = q.b),
+              cand AS (
+                SELECT l.query_id, cd.vec_id AS item_id, cd.b, l.d2
+                FROM codes cd JOIN lut l
+                  ON l.cell = cd.cell AND l.b = cd.b AND l.j = cd.code),
               tot AS (
                 SELECT query_id, item_id, ll, $blockSum AS ad2 FROM (
                   SELECT query_id, item_id, list(d2 ORDER BY b) AS ll
@@ -1624,6 +1731,22 @@ object EngineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ (IVFADC): coarse cells route vectors, PQ encodes the residual
+    // v − centroid(cell), queries probe 3 of 8 cells and ADC-score only
+    // those cells' codes via an equi-join on cell — the production-scale
+    // vector-search layout (probe fraction × 30× compression). Pure-ADC
+    // output so DuckDB can replay the whole post-training pipeline.
+    "q108_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val index = ops.Ann.ivfPqBuild(emb, "vec_id", "v", nlist = 8, m = 8, ksub = 16)
+      q108IvfPqCaptured = Some((index.centroids, index.codebooks))
+      ops.Ann.ivfPqSearch(index, queries, "qid", "qv", k = 10, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Deterministic train/valid/test splitting, both i.i.d. (hash the row
     // id) and leakage-safe grouped (hash the `source` group key, so every
     // document of a group lands in one split — the near-dup contamination
@@ -2102,6 +2225,12 @@ object EngineQueries {
            WHERE FALSE"""),
     "q105_ann_pq" -> q105CodebooksCaptured
       .map(b => pqOracleSql(b, k = 10))
+      .getOrElse(
+        """SELECT NULL AS query_id, NULL AS rank, NULL AS item_id, NULL AS ad2
+           WHERE FALSE"""),
+    "q108_ann_ivfpq" -> q108IvfPqCaptured
+      .map { case (cents, books) =>
+        ivfPqOracleSql(cents, books, dim = 64, k = 10, nprobe = 3) }
       .getOrElse(
         """SELECT NULL AS query_id, NULL AS rank, NULL AS item_id, NULL AS ad2
            WHERE FALSE"""),

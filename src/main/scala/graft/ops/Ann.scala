@@ -493,6 +493,68 @@ object Ann {
     }.toIndexedSeq: _*)
   }
 
+  private def pqParamCheck(m: Int, ksub: Int, trainFraction: Double): Unit = {
+    require(m >= 1, "m must be >= 1")
+    require(ksub >= 2 && ksub <= 256, "ksub must be in [2, 256] (codes are byte-sized)")
+    require(m * ksub <= 4096,
+      "m*ksub beyond 4096: the inline encode expression stops codegen-ing — lower m or ksub")
+    require(trainFraction > 0.0 && trainFraction <= 1.0, "trainFraction must be in (0, 1]")
+  }
+
+  /** One k-means fit per sub-block over the SAME cached sample frame
+    * (column `cv`, array<double> of dim `m·dsub`). */
+  private def pqFitCodebooks(
+      train: DataFrame, m: Int, dsub: Int, ksub: Int,
+      seed: Long): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    Array.tabulate(m) { b =>
+      val feats = train.select(
+        array_to_vector(slice(col("cv"), b * dsub + 1, dsub)).as("features"))
+      new KMeans().setK(ksub).setSeed(seed + b).setMaxIter(10).fit(feats)
+        .clusterCenters.map(_.toArray)
+    }
+  }
+
+  /** The deterministic bounded training sample shared by every index build
+    * here: seeded-hash pre-thin + seeded-hash top-k (never a data-order
+    * prefix). */
+  private def trainSample(
+      base: DataFrame, seed: Long, maxTrainVectors: Int,
+      trainFraction: Double): DataFrame = {
+    val sampled =
+      if (trainFraction < 1.0)
+        base.filter(pmod(xxhash64(col("item_id"), lit(seed)), lit(1000000L))
+          < lit((trainFraction * 1000000L).toLong))
+      else base
+    sampled
+      .orderBy(xxhash64(col("item_id"), lit(seed)), col("item_id"))
+      .limit(maxTrainVectors)
+  }
+
+  /** Per-block ADC distance tables of `vec` against the codebooks, as
+    * columns `lut_0 … lut_{m−1}` (each an array of ksub squared
+    * sub-distances in the expanded form svv − 2·sv·c + cc).
+    */
+  private def adcLutCols(vec: Column, codebooks: Array[Array[Array[Double]]]): Seq[Column] = {
+    val dsub = codebooks.head.head.length
+    codebooks.zipWithIndex.map { case (book, b) =>
+      val sv = slice(vec, b * dsub + 1, dsub)
+      val svv = dot(sv, sv)
+      array(book.toIndexedSeq.map { c =>
+        val cArr = array(c.toIndexedSeq.map(lit): _*)
+        svv - lit(2.0) * dot(sv, cArr) + lit(c.map(x => x * x).sum)
+      }: _*).as(s"lut_$b")
+    }.toIndexedSeq
+  }
+
+  /** ADC score from the per-block LUT columns and the `code` column: m
+    * array lookups summed left-associated in block order. */
+  private def adcScore(m: Int): Column =
+    (0 until m)
+      .map(b => element_at(col(s"lut_$b"), element_at(col("code"), b + 1) + 1))
+      .reduceLeft(_ + _)
+
   /** Train PQ codebooks on a bounded deterministic sample (same sampling
     * discipline as [[ivfBuild]]: seeded-hash top-k, never a data-order
     * prefix) and encode the full corpus. One k-means fit per block over the
@@ -507,35 +569,16 @@ object Ann {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       m: Int = 8, ksub: Int = 16, seed: Long = 42L,
       maxTrainVectors: Int = 65536, trainFraction: Double = 1.0): PqIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    require(m >= 1, "m must be >= 1")
-    require(ksub >= 2 && ksub <= 256, "ksub must be in [2, 256] (codes are byte-sized)")
-    require(m * ksub <= 4096,
-      "m*ksub beyond 4096: the inline encode expression stops codegen-ing — lower m or ksub")
-    require(trainFraction > 0.0 && trainFraction <= 1.0, "trainFraction must be in (0, 1]")
+    pqParamCheck(m, ksub, trainFraction)
     val base = corpus.select(col(corpusId).as("item_id"),
       transform(col(corpusVec), x => x.cast("double")).as("cv"))
     val dim = base.select(size(col("cv"))).head().getInt(0)
     require(dim % m == 0, s"vector dim $dim must divide evenly into m=$m blocks")
     val dsub = dim / m
-    val sampled =
-      if (trainFraction < 1.0)
-        base.filter(pmod(xxhash64(col("item_id"), lit(seed)), lit(1000000L))
-          < lit((trainFraction * 1000000L).toLong))
-      else base
-    val train = sampled
-      .orderBy(xxhash64(col("item_id"), lit(seed)), col("item_id"))
-      .limit(maxTrainVectors)
-      .select(col("cv"))
-      .persist()
+    val train = trainSample(base, seed, maxTrainVectors, trainFraction)
+      .select(col("cv")).persist()
     try {
-      val codebooks = Array.tabulate(m) { b =>
-        val feats = train.select(
-          array_to_vector(slice(col("cv"), b * dsub + 1, dsub)).as("features"))
-        new KMeans().setK(ksub).setSeed(seed + b).setMaxIter(10).fit(feats)
-          .clusterCenters.map(_.toArray)
-      }
+      val codebooks = pqFitCodebooks(train, m, dsub, ksub, seed)
       PqIndex(codebooks,
         base.select(col("item_id"), pqCodeExpr(col("cv"), codebooks).as("code")))
     } finally { train.unpersist() }
@@ -558,24 +601,11 @@ object Ann {
       index: PqIndex, queries: DataFrame, queryId: String, queryVec: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m = index.m
-    val dsub = index.dsub
     val qv = transform(col(queryVec), x => x.cast("double"))
-    val lutCols = index.codebooks.zipWithIndex.map { case (book, b) =>
-      val sv = slice(qv, b * dsub + 1, dsub)
-      val svv = dot(sv, sv)
-      array(book.toIndexedSeq.map { c =>
-        val cArr = array(c.toIndexedSeq.map(lit): _*)
-        svv - lit(2.0) * dot(sv, cArr) + lit(c.map(x => x * x).sum)
-      }: _*).as(s"lut_$b")
-    }.toIndexedSeq
-    val luts = queries.select(col(queryId).as("query_id") +: lutCols: _*)
-    val ad2 = (0 until m)
-      .map(b => element_at(col(s"lut_$b"), element_at(col("code"), b + 1) + 1))
-      .reduceLeft(_ + _)
+    val luts = queries.select(col(queryId).as("query_id") +: adcLutCols(qv, index.codebooks): _*)
     val w = Window.partitionBy(col("query_id")).orderBy(col("ad2"), col("item_id"))
     index.encoded.crossJoin(broadcast(luts))
-      .withColumn("ad2", ad2)
+      .withColumn("ad2", adcScore(index.m))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("item_id"), round(col("ad2"), 6).as("ad2"))
@@ -613,5 +643,140 @@ object Ann {
         .filter(col("rank") <= k)
         .select(col("query_id"), col("rank"), col("item_id"), round(col("cos"), 6).as("cos"))
     }
+  }
+
+  // --------------------------------------------------------------------------
+  // IVF-PQ (IVFADC, Jégou et al. 2011 §IV): the coarse quantizer routes each
+  // vector to a cell; PQ encodes the RESIDUAL v − centroid(cell) (residuals
+  // concentrate near zero, so the same codebook budget quantizes much finer
+  // than raw-vector PQ). A search probes nprobe cells and ADC-scans only
+  // those cells' codes — at 100 TB the scan is `nprobe/nlist` of a corpus
+  // already 30× compressed, the layout every production-scale vector system
+  // ships on. Cell-partitioned persistence makes the probe a directory prune.
+  // --------------------------------------------------------------------------
+
+  /** An IVF-PQ index: coarse centroids, residual codebooks, and the corpus
+    * as (item_id, cell, code). */
+  final case class IvfPqIndex(
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      encoded: DataFrame) {
+    def m: Int = codebooks.length
+    def dsub: Int = codebooks.head.head.length
+  }
+
+  /** Residual of `vec` against its assigned cell's centroid, with the
+    * centroid table folded in as one literal array-of-arrays (nlist·dim
+    * doubles shipped with the plan — tiny). */
+  private def residualExpr(vec: Column, cell: Column,
+      centroids: Array[Array[Double]]): Column =
+    if (centroids.length == 1 && centroids.head.isEmpty) vec // nlist=1 degenerate
+    else {
+      val centArr = array(centroids.toIndexedSeq.map(c =>
+        array(c.toIndexedSeq.map(lit): _*)): _*)
+      zip_with(vec, element_at(centArr, cell + 1), (a, b) => a - b)
+    }
+
+  /** Build IVF-PQ: coarse k-means cells (via [[ivfBuild]]), then PQ
+    * codebooks fit on a bounded deterministic sample of RESIDUALS, then a
+    * single corpus scan encoding every residual to m codes. */
+  def ivfPqBuild(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      nlist: Int = 16, m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+      maxTrainVectors: Int = 65536, trainFraction: Double = 1.0): IvfPqIndex = {
+    pqParamCheck(m, ksub, trainFraction)
+    val cast = corpus.select(col(corpusId),
+      transform(col(corpusVec), x => x.cast("double")).as(corpusVec))
+    val ivf = ivfBuild(cast, corpusId, corpusVec, nlist, seed,
+      maxTrainVectors, trainFraction)
+    val resid = ivf.assigned.select(col("item_id"), col("cell"),
+      residualExpr(col("cv"), col("cell"), ivf.centroids).as("cv"))
+    val dim = resid.select(size(col("cv"))).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim must divide evenly into m=$m blocks")
+    val train = trainSample(resid, seed, maxTrainVectors, trainFraction)
+      .select(col("cv")).persist()
+    try {
+      val codebooks = pqFitCodebooks(train, m, dim / m, ksub, seed)
+      IvfPqIndex(ivf.centroids, codebooks,
+        resid.select(col("item_id"), col("cell"),
+          pqCodeExpr(col("cv"), codebooks).as("code")))
+    } finally { train.unpersist() }
+  }
+
+  /** IVFADC search: probe `nprobe` cells per query (same coarse ranking as
+    * [[ivfSearch]]), compute each (query, cell)'s residual LUTs, then score
+    * ONLY the probed cells' codes via an equi-join on `cell` — the corpus
+    * is never shuffled and never read outside the probed cells (a directory
+    * prune when `encoded` is persisted cell-partitioned). */
+  def ivfPqSearch(
+      index: IvfPqIndex, queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nprobe0 = math.min(nprobe, index.centroids.length)
+    val qv = transform(col(queryVec), x => x.cast("double"))
+    val probed =
+      if (index.centroids.length == 1)
+        queries.select(col(queryId).as("query_id"), qv.as("qv"), lit(0).as("cell"))
+      else queries.select(col(queryId).as("query_id"), qv.as("qv"),
+          explode(slice(array_sort(array(centroidScores(qv, index.centroids): _*)),
+            1, nprobe0)).as("probe"))
+        .select(col("query_id"), col("qv"), col("probe").getField("cell").as("cell"))
+    val qr = residualExpr(col("qv"), col("cell"), index.centroids)
+    val luts = probed.select(
+      Seq(col("query_id"), col("cell")) ++ adcLutCols(qr, index.codebooks): _*)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ad2"), col("item_id"))
+    index.encoded.join(broadcast(luts), Seq("cell"))
+      .withColumn("ad2", adcScore(index.m))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("item_id"), round(col("ad2"), 6).as("ad2"))
+  }
+
+  /** Persist an IVF-PQ index under `root` as three managed tables:
+    * `centroids` (cell, centroid), `codebooks` (b, j, centroid), and the
+    * cell-partitioned `encoded` (item_id, code, partition cell) — so a
+    * probe on the reloaded index prunes whole cell directories at the scan.
+    * Same replace-snapshot semantics as [[ivfSave]]. */
+  def ivfPqSave(index: IvfPqIndex, root: String): Unit = {
+    import graft.config.{Location, Types}
+    import graft.destinations.ManagedTable
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    def save(df: DataFrame, loc: Location, partitionCols: Seq[String]): Unit = {
+      val fields = df.schema.fields.toIndexedSeq
+        .map(f => Types.FieldSpec(f.name, f.dataType, f.nullable))
+      ManagedTable.createIfAbsent(spark, loc, fields, partitionCols, Map.empty)
+      ManagedTable.replace(spark, loc, df, Seq.empty)
+    }
+    val centDf = index.centroids.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toIndexedSeq) }
+      .toDF("cell", "centroid")
+    val bookDf = index.codebooks.toIndexedSeq.zipWithIndex
+      .flatMap { case (book, b) => book.toIndexedSeq.zipWithIndex
+        .map { case (c, j) => (b, j, c.toIndexedSeq) } }
+      .toDF("b", "j", "centroid")
+    save(centDf, Location(s"$root/centroids"), Nil)
+    save(bookDf, Location(s"$root/codebooks"), Nil)
+    save(index.encoded.select(col("item_id"), col("code"), col("cell")),
+      Location(s"$root/encoded"), Seq("cell"))
+  }
+
+  /** Reload a persisted IVF-PQ index (latest snapshot): bounded collects
+    * for the centroid/codebook tables, lazy cell-pruned scans for the
+    * encoded corpus. */
+  def ivfPqLoad(spark: org.apache.spark.sql.SparkSession, root: String): IvfPqIndex = {
+    import graft.config.Location
+    import graft.destinations.ManagedTable
+    val centroids = ManagedTable.read(spark, Location(s"$root/centroids"))
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val bookRows = ManagedTable.read(spark, Location(s"$root/codebooks"))
+      .orderBy(col("b"), col("j")).collect()
+    val codebooks = bookRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray) }
+      .toArray
+    IvfPqIndex(centroids, codebooks,
+      ManagedTable.read(spark, Location(s"$root/encoded")))
   }
 }

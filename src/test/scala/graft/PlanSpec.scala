@@ -109,6 +109,12 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected only window + orderBy shuffles, got $exchanges:\n$p")
   }
 
+  test("q108: IVF-PQ search equi-joins broadcast probe LUTs on cell — no corpus shuffle, no all-pairs") {
+    val p = plan("q108_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q46: cosine pair mining is an equi-join on the LSH bucket, never all-pairs") {
     val p = plan("q46_embed_neardup")
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)

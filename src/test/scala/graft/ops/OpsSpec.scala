@@ -545,6 +545,57 @@ class OpsSpec extends SparkSpec {
     assert(pqM == brM)
   }
 
+  test("Ann.ivfPqBuild/ivfPqSearch: residual codes bounded, probed search recovers the cluster") {
+    val rnd = new scala.util.Random(43)
+    val rows = (1L to 80L).map { i =>
+      val center = (i % 4).toDouble * 4.0
+      (i, Seq.fill(8)(center + rnd.nextGaussian() * 0.3))
+    }
+    val emb = rows.toDF("id", "v")
+    val index = Ann.ivfPqBuild(emb, "id", "v", nlist = 4, m = 2, ksub = 8)
+    val enc = index.encoded.collect()
+    assert(enc.length == 80)
+    enc.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) < 4)
+      val c = r.getSeq[Int](2)
+      assert(c.length == 2 && c.forall(j => j >= 0 && j < 8), c)
+    }
+    val q = emb.filter(col("id") === 8L).select(col("id").as("qid"), col("v").as("qv"))
+    // exhaustive probe: ADC over every cell must put the brute top-1 in its top-10
+    val adc = Ann.ivfPqSearch(index, q, "qid", "qv", k = 10, nprobe = 4)
+      .collect()
+    assert(adc.length == 10)
+    val ad2s = adc.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+    assert(ad2s == ad2s.sorted, ad2s)
+    val brute = Ann.bruteTopK(emb, "id", "v", q, "qid", "qv", k = 1).collect()
+    assert(adc.map(_.getLong(2)).contains(brute.head.getLong(2)))
+    // pruned probe scans only the probed cells' share of the corpus
+    val pruned = Ann.ivfPqSearch(index, q, "qid", "qv", k = 10, nprobe = 1).collect()
+    assert(pruned.nonEmpty && pruned.forall(_.getDouble(3) >= 0 - 1e-9))
+  }
+
+  test("Ann.ivfPqSave/ivfPqLoad: persisted index searches identically, cell-pruned") {
+    val rnd = new scala.util.Random(47)
+    val rows = (1L to 60L).map { i =>
+      val center = if (i <= 30) 2.5 else -2.5
+      (i, Seq.fill(8)(center + rnd.nextGaussian() * 0.4))
+    }
+    val emb = rows.toDF("id", "v")
+    val index = Ann.ivfPqBuild(emb, "id", "v", nlist = 4, m = 4, ksub = 4)
+    val root = tmpDir("ivfpq-persist").toString
+    Ann.ivfPqSave(index, root)
+    val loaded = Ann.ivfPqLoad(spark, root)
+    assert(loaded.centroids.map(_.toSeq).toSeq == index.centroids.map(_.toSeq).toSeq)
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      index.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = emb.filter(col("id") === 5L).select(col("id").as("qid"), col("v").as("qv"))
+    for (nprobe <- Seq(1, 4)) {
+      val fresh = Ann.ivfPqSearch(index, q, "qid", "qv", k = 5, nprobe = nprobe).collect()
+      val reload = Ann.ivfPqSearch(loaded, q, "qid", "qv", k = 5, nprobe = nprobe).collect()
+      assert(reload.map(_.toSeq).toSeq == fresh.map(_.toSeq).toSeq)
+    }
+  }
+
   test("Ann.pqSearch: pure-ADC recall@10 on clustered data recovers the brute top-1") {
     val rnd = new scala.util.Random(41)
     val rows = (1L to 80L).map { i =>
