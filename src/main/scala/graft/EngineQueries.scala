@@ -1747,6 +1747,22 @@ object EngineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // UNPIVOT (wide → long), the inverse of q53's pivot: measures melt to
+    // (name, value) rows with the id column repeated — Spark's native
+    // unpivot operator, which plans as a Generate/Expand over the input
+    // (per-row scan work, no shuffle beyond the source aggregate).
+    "q109_unpivot" -> ((s, dir) => {
+      val agg = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum(col("l_discount"), 2).as("sum_disc"))
+      agg.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "measure", "value")
+        .orderBy(col("l_returnflag"), col("measure"))
+    }),
+
     // Deterministic train/valid/test splitting, both i.i.d. (hash the row
     // id) and leakage-safe grouped (hash the `source` group key, so every
     // document of a group lands in one split — the near-dup contamination
@@ -2234,6 +2250,17 @@ object EngineQueries {
       .getOrElse(
         """SELECT NULL AS query_id, NULL AS rank, NULL AS item_id, NULL AS ad2
            WHERE FALSE"""),
+    "q109_unpivot" ->
+      """WITH a AS (
+           SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, measure, value
+         FROM (UNPIVOT a ON sum_qty, sum_price, sum_disc
+               INTO NAME measure VALUE value)
+         ORDER BY l_returnflag, measure""",
     // split/shard assignment recomputed from scratch: identical md5-prefix
     // thresholds embedded from the same hexThreshold the engine plans
     "q106_hash_split" -> {

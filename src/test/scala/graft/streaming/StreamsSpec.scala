@@ -70,6 +70,33 @@ class StreamsSpec extends SparkSpec {
     assert(rows(1).getString(1).endsWith("with extra spaces")) // normalized
   }
 
+  test("split/shard assignment routes a stream identically to the batch expression") {
+    // hashSplit/shard are pure scan expressions, so ingest-time routing
+    // (e.g. writing arriving docs straight into their split/shard) needs no
+    // stateful operator and agrees with any later batch re-derivation
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val docs = input.toDF().toDF("doc_id")
+    val routed = docs.select(col("doc_id"),
+      graft.ops.Splits.hashSplit(col("doc_id"),
+        Seq("train" -> 0.9, "test" -> 0.1), seed = 3L).as("split"),
+      graft.ops.Splits.shard(col("doc_id"), nShards = 4, seed = 3L).as("shard"))
+    val q = routed.writeStream.format("memory").queryName("routed_stream")
+      .outputMode(OutputMode.Append).start()
+    input.addData(1L to 50L: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("routed_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    val batch = spark.range(1, 51).select(col("id").as("doc_id"),
+        graft.ops.Splits.hashSplit(col("doc_id"),
+          Seq("train" -> 0.9, "test" -> 0.1), seed = 3L).as("split"),
+        graft.ops.Splits.shard(col("doc_id"), nShards = 4, seed = 3L).as("shard"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(streamed == batch)
+    assert(streamed.size == 50)
+  }
+
   test("approx_top_terms aggregates over a stream (trending terms, complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     graft.functions.HeavyHitters.register(spark, 64)
