@@ -1725,7 +1725,10 @@ object EngineQueries {
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val index = ops.Ann.pqTrain(emb, "vec_id", "v", m = 8, ksub = 16)
+      // 16k training vectors = 1k per codebook entry — convergence needs a
+      // few hundred; the bounded sample keeps build time flat at any SF
+      val index = ops.Ann.pqTrain(emb, "vec_id", "v", m = 8, ksub = 16,
+        maxTrainVectors = 16384)
       q105CodebooksCaptured = Some(index.codebooks)
       ops.Ann.pqSearch(index, queries, "qid", "qv", k = 10)
         .orderBy(col("query_id"), col("rank"))
@@ -1741,7 +1744,8 @@ object EngineQueries {
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val index = ops.Ann.ivfPqBuild(emb, "vec_id", "v", nlist = 8, m = 8, ksub = 16)
+      val index = ops.Ann.ivfPqBuild(emb, "vec_id", "v", nlist = 8, m = 8,
+        ksub = 16, maxTrainVectors = 16384)
       q108IvfPqCaptured = Some((index.centroids, index.codebooks))
       ops.Ann.ivfPqSearch(index, queries, "qid", "qv", k = 10, nprobe = 3)
         .orderBy(col("query_id"), col("rank"))

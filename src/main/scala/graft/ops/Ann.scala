@@ -645,6 +645,47 @@ object Ann {
     }
   }
 
+  /** Persist a flat PQ index under `root` as two managed tables —
+    * `codebooks` (b, j, centroid) and `encoded` (item_id, code) — so a
+    * corpus is encoded once and ADC-searched across jobs/sessions. Same
+    * replace-snapshot semantics as [[ivfSave]]. (For the cell-partitioned
+    * variant use [[ivfPqSave]] — flat PQ's search deliberately scans every
+    * code, so there is no useful partitioning here.)
+    */
+  def pqSave(index: PqIndex, root: String): Unit = {
+    import graft.config.{Location, Types}
+    import graft.destinations.ManagedTable
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    def save(df: DataFrame, loc: Location): Unit = {
+      val fields = df.schema.fields.toIndexedSeq
+        .map(f => Types.FieldSpec(f.name, f.dataType, f.nullable))
+      ManagedTable.createIfAbsent(spark, loc, fields, Nil, Map.empty)
+      ManagedTable.replace(spark, loc, df, Seq.empty)
+    }
+    val bookDf = index.codebooks.toIndexedSeq.zipWithIndex
+      .flatMap { case (book, b) => book.toIndexedSeq.zipWithIndex
+        .map { case (c, j) => (b, j, c.toIndexedSeq) } }
+      .toDF("b", "j", "centroid")
+    save(bookDf, Location(s"$root/codebooks"))
+    save(index.encoded.select(col("item_id"), col("code")),
+      Location(s"$root/encoded"))
+  }
+
+  /** Reload a persisted flat PQ index (latest snapshot): bounded collect
+    * for the codebooks, lazy scan for the codes. */
+  def pqLoad(spark: org.apache.spark.sql.SparkSession, root: String): PqIndex = {
+    import graft.config.Location
+    import graft.destinations.ManagedTable
+    val bookRows = ManagedTable.read(spark, Location(s"$root/codebooks"))
+      .orderBy(col("b"), col("j")).collect()
+    val codebooks = bookRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray) }
+      .toArray
+    PqIndex(codebooks, ManagedTable.read(spark, Location(s"$root/encoded")))
+  }
+
   // --------------------------------------------------------------------------
   // IVF-PQ (IVFADC, Jégou et al. 2011 §IV): the coarse quantizer routes each
   // vector to a cell; PQ encodes the RESIDUAL v − centroid(cell) (residuals

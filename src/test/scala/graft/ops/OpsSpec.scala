@@ -574,6 +574,25 @@ class OpsSpec extends SparkSpec {
     assert(pruned.nonEmpty && pruned.forall(_.getDouble(3) >= 0 - 1e-9))
   }
 
+  test("Ann.pqSave/pqLoad: persisted flat-PQ index searches identically") {
+    val rnd = new scala.util.Random(53)
+    val rows = (1L to 40L).map { i =>
+      val center = if (i <= 20) 2.0 else -2.0
+      (i, Seq.fill(8)(center + rnd.nextGaussian() * 0.5))
+    }
+    val emb = rows.toDF("id", "v")
+    val index = Ann.pqTrain(emb, "id", "v", m = 4, ksub = 4)
+    val root = tmpDir("pq-persist").toString
+    Ann.pqSave(index, root)
+    val loaded = Ann.pqLoad(spark, root)
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      index.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = emb.filter(col("id") === 9L).select(col("id").as("qid"), col("v").as("qv"))
+    val fresh = Ann.pqSearch(index, q, "qid", "qv", k = 5).collect()
+    val reload = Ann.pqSearch(loaded, q, "qid", "qv", k = 5).collect()
+    assert(reload.map(_.toSeq).toSeq == fresh.map(_.toSeq).toSeq)
+  }
+
   test("Ann.ivfPqSave/ivfPqLoad: persisted index searches identically, cell-pruned") {
     val rnd = new scala.util.Random(47)
     val rows = (1L to 60L).map { i =>
