@@ -82,6 +82,12 @@ object EngineQueries {
   @volatile private[graft] var q108IvfPqCaptured:
     Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
 
+  /** q110's fitted PCA basis (mean + components), captured like the other
+    * trained models: the oracle embeds them and re-derives the centered
+    * projection per row in DuckDB.
+    */
+  @volatile private[graft] var q110PcaCaptured: Option[ops.Pca.PcaModel] = None
+
   // shortest-round-trip double literal: both JVM and DuckDB parse it back
   // to the identical bits, so embedded plane/centroid constants are exact
   private def dlit(d: Double): String =
@@ -1751,6 +1757,23 @@ object EngineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Distributed PCA: one O(d²)-state covariance pass fits the basis, the
+    // projection is k codegen'd literal-axis dots over a centered column —
+    // scan-local at any corpus size (embedding whitening / dimension
+    // reduction ahead of ANN or PQ). Long (vec_id, j, pc) output so every
+    // component score is hash-gated.
+    "q110_pca_project" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = ops.Pca.fit(emb, "embedding", k = 8)
+      q110PcaCaptured = Some(model)
+      emb.filter(col("vec_id") < 100)
+        .withColumn("cv", ops.Pca.center(col("embedding"), model))
+        .select(col("vec_id"),
+          posexplode(ops.Pca.projectCentered(col("cv"), model)).as(Seq("j", "pc")))
+        .select(col("vec_id"), col("j"), round(col("pc"), 6).as("pc"))
+        .orderBy(col("vec_id"), col("j"))
+    }),
+
     // UNPIVOT (wide → long), the inverse of q53's pivot: measures melt to
     // (name, value) rows with the id column repeated — Spark's native
     // unpivot operator, which plans as a Generate/Expand over the input
@@ -2254,6 +2277,28 @@ object EngineQueries {
       .getOrElse(
         """SELECT NULL AS query_id, NULL AS rank, NULL AS item_id, NULL AS ad2
            WHERE FALSE"""),
+    "q110_pca_project" -> q110PcaCaptured
+      .map { m =>
+        val dim = m.dim
+        val meanLit = s"[${m.mean.map(dlit).mkString(", ")}]"
+        val compRows = m.components.zipWithIndex
+          .map { case (w, j) => s"($j, [${w.map(dlit).mkString(", ")}])" }
+          .mkString(",\n                ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 100),
+                mean(mv) AS (VALUES ($meanLit)),
+                comps(j, w) AS (VALUES
+                  $compRows),
+                c AS (SELECT vec_id,
+                        list_transform(range(1, ${dim + 1}), i -> e.v[i] - m.mv[i]) AS cv
+                      FROM e CROSS JOIN mean m)
+           SELECT c.vec_id, cp.j,
+             round(list_sum(list_transform(range(1, ${dim + 1}),
+               i -> c.cv[i] * cp.w[i])), 6) AS pc
+           FROM c CROSS JOIN comps cp
+           ORDER BY vec_id, j"""
+      }
+      .getOrElse("SELECT NULL AS vec_id, NULL AS j, NULL AS pc WHERE FALSE"),
     "q109_unpivot" ->
       """WITH a AS (
            SELECT l_returnflag,

@@ -574,6 +574,38 @@ class OpsSpec extends SparkSpec {
     assert(pruned.nonEmpty && pruned.forall(_.getDouble(3) >= 0 - 1e-9))
   }
 
+  test("Pca.fit/project: orthonormal axes, top component separates clusters, centered scores") {
+    val rnd = new scala.util.Random(59)
+    // two clusters displaced along a fixed direction + isotropic noise
+    val dirV = Array.fill(6)(rnd.nextGaussian())
+    val nrm = math.sqrt(dirV.map(x => x * x).sum)
+    val d = dirV.map(_ / nrm)
+    val rows = (1L to 200L).map { i =>
+      val s = if (i % 2 == 0) 5.0 else -5.0
+      (i, (0 until 6).map(j => s * d(j) + rnd.nextGaussian() * 0.3))
+    }
+    val emb = rows.toDF("id", "v")
+    val model = Pca.fit(emb, "v", k = 3)
+    assert(model.k == 3 && model.dim == 6)
+    // axes unit-norm and pairwise orthogonal
+    for (a <- model.components) assert(math.abs(a.map(x => x * x).sum - 1.0) < 1e-6)
+    for (Seq(a, b) <- model.components.toSeq.combinations(2))
+      assert(math.abs(a.zip(b).map { case (x, y) => x * y }.sum) < 1e-6)
+    // top axis ≈ the displacement direction (up to sign)
+    val align = math.abs(model.components(0).zip(d).map { case (x, y) => x * y }.sum)
+    assert(align > 0.99, align)
+    val proj = emb.withColumn("cv", Pca.center(col("v"), model))
+      .select(col("id"), Pca.projectCentered(col("cv"), model).as("pc"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    // centered: each component's scores average ~0; pc0 separates the clusters
+    val pc0 = proj.map(_._2.head)
+    assert(math.abs(pc0.sum / pc0.length) < 0.5)
+    val (even, odd) = proj.partition(_._1 % 2 == 0)
+    assert(even.map(_._2.head).forall(x => x > 3 || x < -3))
+    assert(math.signum(even.head._2.head) != math.signum(odd.head._2.head))
+    assert(even.map(x => math.signum(x._2.head)).distinct.length == 1)
+  }
+
   test("Ann.pqSave/pqLoad: persisted flat-PQ index searches identically") {
     val rnd = new scala.util.Random(53)
     val rows = (1L to 40L).map { i =>
