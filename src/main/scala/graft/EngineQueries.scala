@@ -1757,6 +1757,33 @@ object EngineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Delta change data feed end-to-end: create a CDF table, append (v1,
+    // derived inserts — no cdc files by spec), upsert (v2, cdc files carry
+    // exactly update_preimage/update_postimage/insert — copied-over
+    // survivor rows must NOT surface), delete (v3, cdc delete rows), then
+    // read the whole change stream. The oracle reconstructs the expected
+    // change rows from the same deterministic operations in plain SQL.
+    "q111_delta_cdf" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q111").resolve("tbl").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType],
+        properties = Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaWrite.append(s, tbl, orders.filter(col("o_orderkey") < 4000))
+      val up = orders.filter(col("o_orderkey") < 1000)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+        .unionByName(orders.filter(col("o_orderkey") >= 4000 && col("o_orderkey") < 5000))
+      DeltaWrite.upsert(s, tbl, up, Seq("o_orderkey"))
+      DeltaWrite.delete(s, tbl, "o_orderkey % 10 = 0")
+      graft.sources.DeltaLog.readCdf(s, tbl, 0L)
+        .select(col("o_orderkey"), col("o_totalprice"), col("_change_type"),
+          col("_commit_version"))
+        .orderBy(col("_commit_version"), col("o_orderkey"), col("_change_type"))
+    }),
+
     // Distributed PCA: one O(d²)-state covariance pass fits the basis, the
     // projection is k codegen'd literal-axis dots over a centered column —
     // scan-local at any corpus size (embedding whitening / dimension
@@ -2277,6 +2304,32 @@ object EngineQueries {
       .getOrElse(
         """SELECT NULL AS query_id, NULL AS rank, NULL AS item_id, NULL AS ad2
            WHERE FALSE"""),
+    // the expected change stream reconstructed from the same deterministic
+    // operations: v1 inserts, v2 pre/post images + inserts, v3 deletes
+    // over the v2 table state
+    "q111_delta_cdf" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+           v1 AS (SELECT o_orderkey, o_totalprice, 'insert' AS _change_type,
+                    CAST(1 AS BIGINT) AS _commit_version
+                  FROM base WHERE o_orderkey < 4000),
+           v2pre AS (SELECT o_orderkey, o_totalprice, 'update_preimage',
+                    CAST(2 AS BIGINT) FROM base WHERE o_orderkey < 1000),
+           v2post AS (SELECT o_orderkey, o_totalprice + 1.0, 'update_postimage',
+                    CAST(2 AS BIGINT) FROM base WHERE o_orderkey < 1000),
+           v2ins AS (SELECT o_orderkey, o_totalprice, 'insert',
+                    CAST(2 AS BIGINT) FROM base
+                    WHERE o_orderkey >= 4000 AND o_orderkey < 5000),
+           state2 AS (SELECT o_orderkey,
+                    CASE WHEN o_orderkey < 1000 THEN o_totalprice + 1.0
+                         ELSE o_totalprice END AS o_totalprice
+                  FROM base WHERE o_orderkey < 5000),
+           v3 AS (SELECT o_orderkey, o_totalprice, 'delete',
+                    CAST(3 AS BIGINT) FROM state2 WHERE o_orderkey % 10 = 0)
+         SELECT * FROM (
+           SELECT * FROM v1 UNION ALL SELECT * FROM v2pre
+           UNION ALL SELECT * FROM v2post UNION ALL SELECT * FROM v2ins
+           UNION ALL SELECT * FROM v3)
+         ORDER BY _commit_version, o_orderkey, _change_type""",
     "q110_pca_project" -> q110PcaCaptured
       .map { m =>
         val dim = m.dim

@@ -63,9 +63,9 @@ object DeltaWrite {
     * violating it.
     */
   private val supportedWriterFeatures: Set[String] =
-    Set("appendOnly", "invariants", "checkConstraints", "timestampNtz",
-      "vacuumProtocolCheck", "variantType-preview", "deletionVectors",
-      "columnMapping")
+    Set("appendOnly", "invariants", "checkConstraints", "generatedColumns",
+      "changeDataFeed", "timestampNtz", "vacuumProtocolCheck",
+      "variantType-preview", "deletionVectors", "columnMapping")
 
   /** Refuse to commit to tables whose protocol demands semantics we don't
     * implement — a commit that ignores row tracking, CDF, or a CHECK
@@ -92,30 +92,110 @@ object DeltaWrite {
       require(!conf.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")),
         s"Delta table $tablePath is append-only (delta.appendOnly=true); " +
           s"$op would remove data")
-    require(!conf.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")),
-      s"Delta table $tablePath has change data feed enabled; this writer " +
-        "does not emit change data files")
+    // CDF is supported (r8): appends and full overwrites need no cdc
+    // actions by spec (readers derive from dataChange adds/removes), and
+    // the partial-rewrite paths (upsert/replace/delete) emit `_change_data`
+    // files. The one unsupported combination is CDF + column mapping —
+    // cdc files would need physical-name columns this writer doesn't
+    // produce for them yet.
+    val mappingMode = conf.getOrElse("delta.columnMapping.mode", "none")
+    require(!(cdfEnabled(snap) && mappingMode != "none"),
+      s"Delta table $tablePath combines change data feed with column " +
+        "mapping; this writer supports CDF on unmapped tables only")
     // mode 'name' is writable (files + partitionValues + stats all speak
     // physical names, which this writer emits); mode 'id' resolves columns
     // by parquet field ids, which these files do not carry — refuse
-    val mappingMode = conf.getOrElse("delta.columnMapping.mode", "none")
     require(mappingMode == "none" || mappingMode == "name",
       s"Delta table $tablePath uses column mapping mode '$mappingMode'; " +
         "this writer supports 'name' only")
-    val constraints = conf.keys.filter(_.startsWith("delta.constraints.")).toSeq.sorted
-    require(constraints.isEmpty,
-      s"Delta table $tablePath defines CHECK constraints " +
-        s"(${constraints.mkString(", ")}) this writer cannot enforce")
-    val obliged = Seq(
-      "delta.invariants" -> "column invariants",
-      "delta.generationExpression" -> "generated columns",
-      "delta.identity.start" -> "identity columns")
-    for ((key, what) <- obliged) {
-      val cols = snap.schema.fields.filter(_.metadata.contains(key)).map(_.name)
-      require(cols.isEmpty,
-        s"Delta table $tablePath defines $what on ${cols.mkString(", ")}; " +
-          "this writer cannot honor them")
+    // CHECK constraints, column invariants, and generated columns are
+    // ENFORCED per-row by [[enforceObligations]] on every write path (the
+    // delta-spark/delta-rs behavior); only identity columns still refuse —
+    // they need the high-water-mark negotiation this writer lacks.
+    val idCols = snap.schema.fields
+      .filter(_.metadata.contains("delta.identity.start")).map(_.name)
+    require(idCols.isEmpty,
+      s"Delta table $tablePath defines identity columns on " +
+        s"${idCols.mkString(", ")}; this writer cannot honor them")
+  }
+
+  // ------------------------------------------------- change data feed (write)
+
+  private def cdfEnabled(snap: DeltaLog.Snapshot): Boolean =
+    snap.configuration.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** Write one commit's change rows (`table columns + _change_type`) as
+    * `_change_data/` parquet and return the cdc descriptors for the commit.
+    * Partitioned like the table so cdc readers prune the same way; no
+    * stats (nothing data-skips cdc files).
+    */
+  private def writeChangeData(
+      spark: SparkSession, table: Path, snap: DeltaLog.Snapshot,
+      changes: DataFrame): Seq[AddDescriptor] =
+    writeDataFiles(spark, table, changes, snap.partitionColumns,
+      subdir = "_change_data", withStats = false)
+
+  // ------------------------------------ write-time obligation enforcement
+
+  /** The Delta protocol stores a column invariant as field metadata
+    * `delta.invariants` = `{"expression": {"expression": "<sql>"}}`. */
+  private def invariantSql(raw: String): String = {
+    val node = new ObjectMapper().readTree(raw)
+    val e = node.path("expression").path("expression")
+    require(e.isTextual, s"unparseable delta.invariants payload: $raw")
+    e.asText()
+  }
+
+  /** Enforce the table's row-level write obligations on the rows being
+    * written — parity with delta-spark/delta-rs instead of refusing the
+    * table:
+    *   - **generated columns** (`delta.generationExpression` field
+    *     metadata): computed when the incoming frame lacks the column,
+    *     verified value-for-value (null-safe) when it provides one;
+    *   - **CHECK constraints** (`delta.constraints.*` table properties):
+    *     violated when the expression is FALSE (NULL passes, per spec);
+    *   - **legacy column invariants** (`delta.invariants` field metadata).
+    *
+    * Each obligation compiles to an inline `assert_true` filter over the
+    * outgoing scan — no extra pass over the data, not prunable by the
+    * optimizer, and a violating row aborts the write job BEFORE any commit
+    * is attempted (files already spilled stay uncommitted: invisible to
+    * every reader, reclaimed by vacuum — exactly a failed transaction).
+    *
+    * `schemaObligations = false` skips the field-metadata obligations for
+    * schema-replacing overwrites, where the old fields (and their
+    * generation/invariant metadata) do not survive the commit; CHECK
+    * constraints are table-level configuration and always apply.
+    */
+  private def enforceObligations(
+      snap: DeltaLog.Snapshot, df: DataFrame,
+      schemaObligations: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{assert_true, coalesce, col, expr, lit}
+    var out = df
+    def check(cond: org.apache.spark.sql.Column, msg: String): Unit =
+      out = out.filter(assert_true(cond, lit(msg)).isNull)
+    if (schemaObligations) {
+      val present = df.schema.fieldNames.map(_.toLowerCase).toSet
+      for (f <- snap.schema.fields if f.metadata.contains("delta.generationExpression")) {
+        val genSql = f.metadata.getString("delta.generationExpression")
+        if (!present.contains(f.name.toLowerCase))
+          out = out.withColumn(f.name, expr(genSql).cast(f.dataType))
+        else
+          check(col(f.name) <=> expr(genSql).cast(f.dataType),
+            s"generated column ${f.name} does not match its expression $genSql")
+      }
+      for (f <- snap.schema.fields if f.metadata.contains("delta.invariants")) {
+        val sql = invariantSql(f.metadata.getString("delta.invariants"))
+        check(coalesce(expr(sql).cast("boolean"), lit(true)),
+          s"column invariant on ${f.name} violated: $sql")
+      }
     }
+    for ((key, sql) <- snap.configuration.toSeq
+        .filter(_._1.startsWith("delta.constraints.")).sortBy(_._1))
+      check(coalesce(expr(sql).cast("boolean"), lit(true)),
+        s"CHECK constraint ${key.stripPrefix("delta.constraints.")} violated: $sql")
+    out
   }
 
   // ---------------------------------------------------- column mapping (write)
@@ -199,8 +279,16 @@ object DeltaWrite {
     // config-surface way to ask for a mapped table
     val wantMapping = columnMapping ||
       properties.get("delta.columnMapping.mode").contains("name")
+    // legacy writer floors: CHECK constraints need >= 3, change data feed
+    // >= 4; column mapping already implies (2, 5) which covers both
+    val legacyWriter = Seq(2,
+      if (properties.keys.exists(_.startsWith("delta.constraints."))) 3 else 2,
+      if (properties.get("delta.enableChangeDataFeed")
+        .exists(_.equalsIgnoreCase("true"))) 4 else 2).max
+    val checkProto =
+      if (legacyWriter > 2) Some(DeltaLog.Protocol(1, legacyWriter)) else None
     val (outSchema, outProps, proto) =
-      if (!wantMapping) (schema, properties, None)
+      if (!wantMapping) (schema, properties, checkProto)
       else {
         val (mapped, maxId) = assignMapping(schema, 0L)
         (mapped,
@@ -253,7 +341,7 @@ object DeltaWrite {
         (merged, Some((merged, snap.partitionColumns)),
           snap.configuration + ("delta.columnMapping.maxColumnId" -> maxId.toString))
       }
-    val data = ManagedTable.castToSchema(df, schema)
+    val data = ManagedTable.castToSchema(enforceObligations(snap, df), schema)
     val (phys, physParts) = toPhysical(data, schema, snap.partitionColumns, mode)
     val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts)
     var version = snap.version + 1
@@ -286,7 +374,10 @@ object DeltaWrite {
     val snap = DeltaLog.snapshot(spark, tablePath)
     requireWritable(tablePath, snap, "overwrite", removesData = true)
     val mode = snap.columnMappingMode
-    val data = if (newSchema) df else ManagedTable.castToSchema(df, snap.schema)
+    // schema-replacing overwrite drops the old fields' metadata obligations
+    // with the old schema; table-level CHECK constraints still apply
+    val checked = enforceObligations(snap, df, schemaObligations = !newSchema)
+    val data = if (newSchema) checked else ManagedTable.castToSchema(checked, snap.schema)
     val (outSchema, meta, metaCfg) =
       if (!newSchema) (snap.schema, None, snap.configuration)
       else {
@@ -331,7 +422,7 @@ object DeltaWrite {
     val snap = ls.meta
     requireWritable(tablePath, snap, "upsert", removesData = true)
     keys.foreach(k => require(snap.schema.fieldNames.contains(k), s"upsert key $k not in table"))
-    val incoming = ManagedTable.castToSchema(df, snap.schema).cache()
+    val incoming = ManagedTable.castToSchema(enforceObligations(snap, df), snap.schema).cache()
     try {
       val keyTypes = keys.map(k => k -> snap.schema(k).dataType).toMap
 
@@ -372,21 +463,54 @@ object DeltaWrite {
         }
 
       // survivors of touched files keep their non-matching rows
-      val rewritten =
-        if (touched.isEmpty) incoming
-        else {
-          val touchedDf = DeltaLog.readFiles(spark, tablePath, snap, touched)
+      val cols = snap.schema.fieldNames.toIndexedSeq.map(col)
+      val touchedDfOpt =
+        if (touched.isEmpty) None
+        else Some(DeltaLog.readFiles(spark, tablePath, snap, touched))
+      val rewritten = touchedDfOpt match {
+        case None => incoming
+        case Some(touchedDf) =>
           val cond = keys.map(k =>
             ManagedTable.keyEquals(touchedDf(k), srcKeysB(k), keyTypes(k))).reduce(_ && _)
           touchedDf.join(srcKeysB, cond, "left_anti")
-            .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+            .select(cols: _*)
             .unionByName(incoming)
+      }
+      // CDF: matched old rows are update_preimage, their incoming
+      // replacements update_postimage, unmatched incoming rows insert —
+      // without cdc files a reader would mis-derive every copied-over
+      // survivor row as delete+insert, so a partial rewrite MUST emit them
+      val cdcs =
+        if (!cdfEnabled(snap)) Nil
+        else {
+          import org.apache.spark.sql.functions.lit
+          val pre = touchedDfOpt.map { touchedDf =>
+            val cond = keys.map(k =>
+              ManagedTable.keyEquals(touchedDf(k), srcKeysB(k), keyTypes(k))).reduce(_ && _)
+            touchedDf.join(srcKeysB, cond, "left_semi").select(cols: _*)
+          }
+          val (post, ins) = pre match {
+            case Some(p) =>
+              val oldKeys = ManagedTable.broadcastIfSmall(
+                p.select(keys.map(col): _*).distinct())
+              val cond = keys.map(k =>
+                ManagedTable.keyEquals(incoming(k), oldKeys(k), keyTypes(k))).reduce(_ && _)
+              (Some(incoming.join(oldKeys, cond, "left_semi").select(cols: _*)),
+                incoming.join(oldKeys, cond, "left_anti").select(cols: _*))
+            case None => (None, incoming.select(cols: _*))
+          }
+          val changes = (
+            pre.map(_.withColumn("_change_type", lit("update_preimage"))).toSeq ++
+            post.map(_.withColumn("_change_type", lit("update_postimage"))).toSeq :+
+            ins.withColumn("_change_type", lit("insert"))).reduce(_ unionByName _)
+          writeChangeData(spark, new Path(tablePath), snap, changes)
         }
       val (phys, physParts) =
         toPhysical(rewritten, snap.schema, snap.partitionColumns, snap.columnMappingMode)
       val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts)
       commit(spark, new Path(tablePath), snap.version + 1, "MERGE",
-        withMeta = None, adds = adds, removes = touched.map(_.path))
+        withMeta = None, adds = adds, removes = touched.map(_.path),
+        cdcs = cdcs)
     } finally incoming.unpersist()
   }
 
@@ -407,7 +531,7 @@ object DeltaWrite {
     val ls = DeltaLog.lazySnapshot(spark, tablePath)
     val snap = ls.meta
     requireWritable(tablePath, snap, "replace", removesData = true)
-    val incoming = ManagedTable.castToSchema(df, snap.schema)
+    val incoming = ManagedTable.castToSchema(enforceObligations(snap, df), snap.schema)
     if (conditions.isEmpty) return overwrite(spark, tablePath, incoming)
     conditions.foreach(c => require(snap.schema.fieldNames.contains(c.column),
       s"replace column '${c.column}' not in table"))
@@ -444,16 +568,32 @@ object DeltaWrite {
         candidates.filter(c => hit.contains(
           new Path(f.makeQualified(new Path(table, DeltaLog.decodePath(c.path))).toString).toString))
       }
+    val cols = snap.schema.fieldNames.toIndexedSeq.map(col)
     val rewritten =
       if (touched.isEmpty) incoming
       else DeltaLog.readFiles(spark, tablePath, snap, touched).filter(not(pred))
-        .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+        .select(cols: _*)
         .unionByName(incoming)
+    // CDF: predicate-matched rows are deletes, the new data inserts; the
+    // copied-over survivors must NOT surface as changes (hence cdc files)
+    val cdcs =
+      if (!cdfEnabled(snap)) Nil
+      else {
+        val deleted =
+          if (touched.isEmpty) None
+          else Some(DeltaLog.readFiles(spark, tablePath, snap, touched).filter(pred)
+            .select(cols: _*).withColumn("_change_type", lit("delete")))
+        val inserted = incoming.select(cols: _*)
+          .withColumn("_change_type", lit("insert"))
+        writeChangeData(spark, new Path(tablePath), snap,
+          (deleted.toSeq :+ inserted).reduce(_ unionByName _))
+      }
     val (phys, physParts) =
       toPhysical(rewritten, snap.schema, snap.partitionColumns, snap.columnMappingMode)
     val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts)
     commit(spark, new Path(tablePath), snap.version + 1, "DELETE+WRITE",
-      withMeta = None, adds = adds, removes = touched.map(_.path))
+      withMeta = None, adds = adds, removes = touched.map(_.path),
+      cdcs = cdcs)
   }
 
   /** DELETE rows matching `predicate` (SQL boolean over the table's
@@ -556,6 +696,14 @@ object DeltaWrite {
           a.partitionValues.toSeq.sortBy(_._1).map { case (k, v) => k -> Option(v) },
           a.size, a.modificationTime, a.stats, Some(dj))
       }
+      // CDF: the DV commit re-adds files with descriptors, which no reader
+      // can derive changes from — emit the matched rows as delete cdc
+      val cdcs =
+        if (!cdfEnabled(snap)) Nil
+        else writeChangeData(spark, table, snap,
+          scan.filter(predicate)
+            .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+            .withColumn("_change_type", lit("delete")))
       val upgrade =
         if (snap.protocol.exists(p =>
           p.minReaderVersion >= 3 && p.readerFeatures.contains("deletionVectors"))) None
@@ -572,14 +720,18 @@ object DeltaWrite {
           val legacyWriter =
             if (p.minWriterVersion >= 7) p.writerFeatures
             else Set("appendOnly", "invariants") ++
-              (if (mapped) Set("columnMapping") else Set.empty)
+              (if (mapped) Set("columnMapping") else Set.empty) ++
+              (if (cdfEnabled(snap)) Set("changeDataFeed") else Set.empty) ++
+              (if (snap.configuration.keys
+                .exists(_.startsWith("delta.constraints.")))
+                Set("checkConstraints") else Set.empty)
           DeltaLog.Protocol(3, 7,
             legacyReader + "deletionVectors", legacyWriter + "deletionVectors")
         }
       commit(spark, table, snap.version + 1, "DELETE",
         withMeta = None, adds = adds,
         removes = (dead ++ marked).map(_._1.path),
-        protocolUpgrade = upgrade)
+        protocolUpgrade = upgrade, cdcs = cdcs)
     } else {
       // copy-on-write: exact hit detection, rewrite only files with matches
       val cand = DeltaLog.readFiles(spark, tablePath, snap, candidates, withFilePath = true)
@@ -591,11 +743,20 @@ object DeltaWrite {
       val kept = DeltaLog.readFiles(spark, tablePath, snap, touched)
         .filter(coalesce(not(expr(predicate)), lit(true)))
         .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+      // CDF: survivors are copied over, so only cdc files can tell a reader
+      // which rows actually left
+      val cdcs =
+        if (!cdfEnabled(snap)) Nil
+        else writeChangeData(spark, table, snap,
+          DeltaLog.readFiles(spark, tablePath, snap, touched).filter(predicate)
+            .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+            .withColumn("_change_type", lit("delete")))
       val (phys, physParts) =
         toPhysical(kept, snap.schema, snap.partitionColumns, snap.columnMappingMode)
       val adds = writeDataFiles(spark, table, phys, physParts)
       commit(spark, table, snap.version + 1, "DELETE",
-        withMeta = None, adds = adds, removes = touched.map(_.path))
+        withMeta = None, adds = adds, removes = touched.map(_.path),
+        cdcs = cdcs)
     }
   }
 
@@ -1016,13 +1177,16 @@ object DeltaWrite {
       spark: SparkSession,
       table: Path,
       df: DataFrame,
-      partitionColumns: Seq[String]): Seq[AddDescriptor] = {
+      partitionColumns: Seq[String],
+      subdir: String = "",
+      withStats: Boolean = true): Seq[AddDescriptor] = {
     val f = fs(spark, table)
     val tmp = new Path(table, s"_tmp-${java.util.UUID.randomUUID()}")
     val writer = df.write.mode("overwrite")
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
       .parquet(tmp.toString)
 
+    val base = if (subdir.isEmpty) table else new Path(table, subdir)
     val adds = Seq.newBuilder[AddDescriptor]
     val qtmp = f.makeQualified(tmp) // listFiles returns qualified paths
     val it = f.listFiles(tmp, true)
@@ -1034,14 +1198,15 @@ object DeltaWrite {
           val b = qtmp.toString; val d = f.makeQualified(s.getPath.getParent).toString
           if (d == b) "" else d.substring(b.length).dropWhile(_ == '/')
         }
-        val destDir = if (relDir.isEmpty) table else new Path(table, relDir)
+        val destDir = if (relDir.isEmpty) base else new Path(base, relDir)
         f.mkdirs(destDir)
         val unique = s"part-${java.util.UUID.randomUUID()}.snappy.parquet"
         val dest = new Path(destDir, unique)
         if (!f.rename(s.getPath, dest))
           throw new IllegalStateException(s"Failed to move ${s.getPath} to $dest")
         val st = f.getFileStatus(dest)
-        val rel = if (relDir.isEmpty) unique else s"$relDir/$unique"
+        val rel0 = if (relDir.isEmpty) unique else s"$relDir/$unique"
+        val rel = if (subdir.isEmpty) rel0 else s"$subdir/$rel0"
         // partitionValues from the hive dir segments; __HIVE_DEFAULT_PARTITION__
         // (Spark's null marker) becomes a JSON null per the Delta spec
         val pv: Seq[(String, Option[String])] =
@@ -1058,6 +1223,7 @@ object DeltaWrite {
     }
     f.delete(tmp, true)
     val raw = adds.result()
+    if (!withStats) return raw // cdc files carry no stats (nothing prunes them)
     // one columnar scan of the new files attaches per-file pruning stats
     val dataSchema = StructType(df.schema.fields.filterNot(fd => partitionColumns.contains(fd.name)))
     val statsMap = computeStats(spark, table, raw, dataSchema)
@@ -1171,7 +1337,8 @@ object DeltaWrite {
       removes: Seq[String],
       dataChange: Boolean = true,
       protocolUpgrade: Option[DeltaLog.Protocol] = None,
-      metaConfig: Map[String, String] = Map.empty): Long = {
+      metaConfig: Map[String, String] = Map.empty,
+      cdcs: Seq[AddDescriptor] = Nil): Long = {
     val now = System.currentTimeMillis()
     val nonce = java.util.UUID.randomUUID().toString
     val lines = Seq.newBuilder[String]
@@ -1249,6 +1416,22 @@ object DeltaWrite {
       a.deletionVector.foreach(dj => add.set[com.fasterxml.jackson.databind.JsonNode](
         "deletionVector", mapper.readTree(dj)))
       lines += mapper.writeValueAsString(an)
+    }
+    // change-data files (CDF): readers use these EXCLUSIVELY for this
+    // commit's changes when present; dataChange is false by spec (the cdc
+    // file describes the change, it is not table data)
+    cdcs.foreach { c =>
+      val cn = mapper.createObjectNode()
+      val cdc = cn.putObject("cdc")
+      cdc.put("path", encodePath(c.relPath))
+      val pv = cdc.putObject("partitionValues")
+      c.partitionValues.foreach {
+        case (k, Some(v)) => pv.put(k, v)
+        case (k, None) => pv.putNull(k)
+      }
+      cdc.put("size", c.size)
+      cdc.put("dataChange", false)
+      lines += mapper.writeValueAsString(cn)
     }
 
     publishCommit(spark, table, version, lines.result().mkString("", "\n", "\n"))

@@ -622,6 +622,123 @@ object DeltaLog {
     readFiles(spark, tablePath, snap, adds.values.toSeq)
   }
 
+  /** Change-data-feed read: every change in `(fromVersionExclusive,
+    * toVersion ?: latest]` as table rows plus `_change_type`,
+    * `_commit_version`, `_commit_timestamp`.
+    *
+    * Per the public spec, a commit that carries `cdc` actions describes
+    * its changes EXCLUSIVELY through them (`_change_data/` files written
+    * by the partial-rewrite paths — upsert's update_preimage/postimage/
+    * insert, replace/delete's delete rows); a commit without them derives:
+    * data-changing `add`s are inserts and data-changing `remove`s are
+    * deletes, their rows read from the still-retained removed files. A
+    * removed file's partition values and deletion vector come from the
+    * PREVIOUS version's distributed add index (one executor-side lookup
+    * per remove-carrying commit — never a full file-list collect), so
+    * DV-masked rows are not resurrected as deletes. Commits cleaned past
+    * a checkpoint refuse, like [[readChanges]] — the consumer must full-
+    * refresh.
+    *
+    * All reads run under the LATEST snapshot's schema/protocol context
+    * (evolved columns null-fill for older files). The per-commit loop is
+    * driver-side over the requested range only — tail consumption reads a
+    * handful of commits regardless of table size.
+    */
+  def readCdf(
+      spark: SparkSession,
+      tablePath: String,
+      fromVersionExclusive: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    val snap = lazySnapshot(spark, tablePath).meta
+    require(snap.configuration.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true")),
+      s"$tablePath does not have change data feed enabled (delta.enableChangeDataFeed)")
+    val to = toVersion.getOrElse(snap.version)
+    require(fromVersionExclusive <= to && to <= snap.version,
+      s"CDF range ($fromVersionExclusive, $to] out of bounds (latest ${snap.version})")
+    val cdcSnap = snap.copy(schema =
+      StructType(snap.schema.fields :+ StructField("_change_type", StringType)))
+    val table = new Path(tablePath)
+    val fsys = logDir(table).getFileSystem(spark.sessionState.newHadoopConf())
+    var out: Option[DataFrame] = None
+    ((fromVersionExclusive + 1) to to).foreach { v =>
+      val p = new Path(logDir(table), f"$v%020d.json")
+      require(fsys.exists(p),
+        s"commit $v no longer in _delta_log (checkpoint-cleaned); " +
+          "CDF read impossible — full refresh required")
+      val in = fsys.open(p)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val cdcFiles = Seq.newBuilder[AddFile]
+      val addFiles = Seq.newBuilder[AddFile]
+      val removed = Seq.newBuilder[String]
+      var ts = 0L
+      content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        Option(node.get("commitInfo")).filterNot(_.isNull).foreach { ci =>
+          val t = Option(ci.get("inCommitTimestamp")).filterNot(_.isNull)
+            .orElse(Option(ci.get("timestamp")).filterNot(_.isNull))
+          t.foreach(n => ts = n.asLong())
+        }
+        Option(node.get("cdc")).filterNot(_.isNull)
+          .foreach(c => cdcFiles += parseAddAction(c))
+        Option(node.get("add")).filterNot(_.isNull).foreach { add =>
+          val dc = Option(add.get("dataChange")).filterNot(_.isNull).forall(_.asBoolean())
+          if (dc) addFiles += parseAddAction(add)
+        }
+        Option(node.get("remove")).filterNot(_.isNull).foreach { rm =>
+          val dc = Option(rm.get("dataChange")).filterNot(_.isNull).forall(_.asBoolean())
+          if (dc) removed += rm.get("path").asText()
+        }
+      }
+      if (ts == 0L) ts = fsys.getFileStatus(p).getModificationTime
+      val cdcs = cdcFiles.result()
+      val vdf: Option[DataFrame] =
+        if (cdcs.nonEmpty) Some(readFiles(spark, tablePath, cdcSnap, cdcs))
+        else {
+          val adds = addFiles.result()
+          val rems = removed.result()
+          val ins =
+            if (adds.isEmpty) None
+            else Some(readFiles(spark, tablePath, snap, adds)
+              .withColumn("_change_type", lit("insert")))
+          val del =
+            if (rems.isEmpty) None
+            else {
+              val prevSt = resolveState(spark, tablePath, Some(v - 1), None)
+              val remSet = rems.toSet
+              val files = addIndex(spark, prevSt)
+                .select(col("path"), col("partitionValues"), col("size"),
+                  col("modificationTime"), col("stats"), col("deletionVector"))
+                .as(addFileEncoder)
+                .filter((f: AddFile) => remSet.contains(f.path))
+                .collect().toSeq
+              require(files.size == remSet.size,
+                s"version $v removes files absent from version ${v - 1} " +
+                  "state; cannot derive deletes")
+              Some(readFiles(spark, tablePath, snap, files)
+                .withColumn("_change_type", lit("delete")))
+            }
+          (ins.toSeq ++ del.toSeq).reduceOption(_ unionByName _)
+        }
+      vdf.foreach { df =>
+        val stamped = df
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_commit_timestamp", timestamp_millis(lit(ts)))
+        out = Some(out.map(_.unionByName(stamped)).getOrElse(stamped))
+      }
+    }
+    out.getOrElse {
+      val schema = StructType(cdcSnap.schema.fields ++ Seq(
+        StructField("_commit_version", LongType),
+        StructField("_commit_timestamp",
+          org.apache.spark.sql.types.TimestampType)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
   /** Read a subset of a snapshot's files (the write path's file-pruned
     * rewrites read only candidate files through this). `withFilePath`
     * appends the physical path as `_graft_file` for file-level semi-joins;

@@ -25,6 +25,155 @@ class DeltaWriteSpec extends SparkSpec {
   private def action(nodes: Seq[com.fasterxml.jackson.databind.JsonNode], name: String) =
     nodes.flatMap(n => Option(n.get(name)))
 
+  test("write obligations enforced: CHECK constraints, invariants, generated columns") {
+    import spark.implicits._
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(String.valueOf(c.getMessage)); c = c.getCause }
+      sb.toString
+    }
+
+    // CHECK constraint declared at create: protocol jumps to writer 3,
+    // conforming writes land, a violating row aborts with no commit
+    val ck = tmpDir("dw-oblig-check")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("price", DoubleType)))
+    DeltaWrite.createIfAbsent(spark, ck.toString, schema,
+      properties = Map("delta.constraints.pos_price" -> "price > 0"))
+    val proto = action(logLines(ck, 0L), "protocol").head
+    assert(proto.get("minWriterVersion").asInt == 3, proto.toString)
+    DeltaWrite.append(spark, ck.toString, Seq((1L, 10.0), (2L, 0.5)).toDF("id", "price"))
+    val bad = intercept[Exception](DeltaWrite.append(spark, ck.toString,
+      Seq((3L, -1.0)).toDF("id", "price")))
+    assert(rootMsg(bad).contains("pos_price"), rootMsg(bad))
+    // NULL passes, per spec
+    DeltaWrite.append(spark, ck.toString,
+      Seq((4L, Option.empty[Double])).toDF("id", "price"))
+    assert(DeltaLog.read(spark, ck.toString).count() == 3)
+    // upsert and replace paths enforce too
+    val up = intercept[Exception](DeltaWrite.upsert(spark, ck.toString,
+      Seq((1L, -5.0)).toDF("id", "price"), Seq("id")))
+    assert(rootMsg(up).contains("pos_price"), rootMsg(up))
+
+    // legacy column invariant in field metadata: enforced on append
+    val inv = tmpDir("dw-oblig-inv")
+    val invMeta = new MetadataBuilder().putString("delta.invariants",
+      """{"expression":{"expression":"id < 100"}}""").build()
+    DeltaWrite.createIfAbsent(spark, inv.toString, StructType(Seq(
+      StructField("id", LongType, nullable = true, invMeta),
+      StructField("v", StringType))))
+    DeltaWrite.append(spark, inv.toString, Seq((1L, "ok")).toDF("id", "v"))
+    val ib = intercept[Exception](DeltaWrite.append(spark, inv.toString,
+      Seq((200L, "too big")).toDF("id", "v")))
+    assert(rootMsg(ib).contains("id < 100"), rootMsg(ib))
+
+    // generated column: computed when absent, verified when provided
+    val gen = tmpDir("dw-oblig-gen")
+    val genMeta = new MetadataBuilder().putString("delta.generationExpression",
+      "id * 2").build()
+    DeltaWrite.createIfAbsent(spark, gen.toString, StructType(Seq(
+      StructField("id", LongType),
+      StructField("doubled", LongType, nullable = true, genMeta))))
+    DeltaWrite.append(spark, gen.toString, Seq(Tuple1(3L)).toDF("id"))
+    val got = DeltaLog.read(spark, gen.toString).orderBy("id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 6L)))
+    DeltaWrite.append(spark, gen.toString, Seq((4L, 8L)).toDF("id", "doubled"))
+    val gb = intercept[Exception](DeltaWrite.append(spark, gen.toString,
+      Seq((5L, 11L)).toDF("id", "doubled")))
+    assert(rootMsg(gb).contains("doubled"), rootMsg(gb))
+    assert(DeltaLog.read(spark, gen.toString).count() == 2)
+  }
+
+  test("change data feed: appends derive, partial rewrites emit cdc, readCdf round-trips") {
+    import spark.implicits._
+    val t = tmpDir("dw-cdf")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, t.toString, schema,
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    assert(action(logLines(t, 0L), "protocol").head.get("minWriterVersion").asInt == 4)
+
+    // v1 append: no cdc action by spec — readers derive inserts from adds
+    DeltaWrite.append(spark, t.toString, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    assert(action(logLines(t, 1L), "cdc").isEmpty)
+    val c1 = DeltaLog.readCdf(spark, t.toString, 0L).collect()
+    assert(c1.length == 3 && c1.forall(_.getAs[String]("_change_type") == "insert"))
+    assert(c1.forall(_.getAs[Long]("_commit_version") == 1L))
+    assert(c1.forall(_.getAs[java.sql.Timestamp]("_commit_timestamp") != null))
+
+    // v2 upsert (update id=2, insert id=4): cdc files carry exactly the
+    // pre/post images + insert — copied-over survivors (1, 3) must NOT
+    // surface as changes (they share the rewritten file with id=2)
+    DeltaWrite.upsert(spark, t.toString, Seq((2L, "B"), (4L, "d")).toDF("id", "v"), Seq("id"))
+    val cdcActions = action(logLines(t, 2L), "cdc")
+    assert(cdcActions.nonEmpty)
+    cdcActions.foreach { c =>
+      assert(c.get("path").asText.startsWith("_change_data/"), c.toString)
+      assert(!c.get("dataChange").asBoolean)
+    }
+    val c2 = DeltaLog.readCdf(spark, t.toString, 1L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[String]("_change_type"))).toSet
+    assert(c2 == Set((2L, "b", "update_preimage"), (2L, "B", "update_postimage"),
+      (4L, "d", "insert")), c2)
+
+    // v3 copy-on-write delete: only the deleted row in cdc
+    DeltaWrite.delete(spark, t.toString, "id = 1")
+    val c3 = DeltaLog.readCdf(spark, t.toString, 2L).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("_change_type"))).toSet
+    assert(c3 == Set((1L, "delete")), c3)
+
+    // whole tail in one read; table state still correct
+    assert(DeltaLog.readCdf(spark, t.toString, 0L).count() == 3 + 3 + 1)
+    assert(DeltaLog.read(spark, t.toString).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "B"), (3L, "c"), (4L, "d")))
+
+    // v4 full overwrite: derivation mode again — old rows delete (read from
+    // the still-retained removed files via the v3 index), new rows insert
+    DeltaWrite.overwrite(spark, t.toString, Seq((9L, "z")).toDF("id", "v"))
+    assert(action(logLines(t, 4L), "cdc").isEmpty)
+    val c4 = DeltaLog.readCdf(spark, t.toString, 3L).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("_change_type"))).toSet
+    assert(c4 == Set((2L, "delete"), (3L, "delete"), (4L, "delete"), (9L, "insert")), c4)
+
+    // readCdf refuses tables without the property
+    val plain = tmpDir("dw-cdf-plain")
+    DeltaWrite.createIfAbsent(spark, plain.toString, schema)
+    DeltaWrite.append(spark, plain.toString, Seq((1L, "x")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.readCdf(spark, plain.toString, 0L))
+    assert(e.getMessage.contains("enableChangeDataFeed"), e.getMessage)
+  }
+
+  test("change data feed + deletion vectors: a DV delete emits cdc; masked rows not resurrected") {
+    import spark.implicits._
+    val t = tmpDir("dw-cdf-dv")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, t.toString, schema,
+      properties = Map("delta.enableChangeDataFeed" -> "true",
+        "delta.enableDeletionVectors" -> "true"))
+    DeltaWrite.append(spark, t.toString,
+      (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"))
+    // v2: DV delete — no data rewritten, cdc names the two rows
+    DeltaWrite.delete(spark, t.toString, "id IN (2, 5)")
+    assert(action(logLines(t, 2L), "cdc").nonEmpty)
+    val c2 = DeltaLog.readCdf(spark, t.toString, 1L).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("_change_type"))).toSet
+    assert(c2 == Set((2L, "delete"), (5L, "delete")), c2)
+    // the upgraded v7 protocol keeps the CDF obligation visible
+    val proto = action(logLines(t, 2L), "protocol").head
+    val wf = (0 until proto.get("writerFeatures").size)
+      .map(proto.get("writerFeatures").get(_).asText).toSet
+    assert(wf.contains("changeDataFeed") && wf.contains("deletionVectors"), wf.toString)
+    // v3 full overwrite: derivation must read the DV'd file WITHOUT
+    // resurrecting rows 2 and 5 as deletes
+    DeltaWrite.overwrite(spark, t.toString, Seq((10L, "w")).toDF("id", "v"))
+    val c3 = DeltaLog.readCdf(spark, t.toString, 2L).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("_change_type"))).toSet
+    assert(c3 == Set((1L, "delete"), (3L, "delete"), (4L, "delete"), (6L, "delete"),
+      (10L, "insert")), c3)
+  }
+
   test("create + append round-trips through the read bridge; v0 is protocol-conformant") {
     import spark.implicits._
     val table = tmpDir("dw-basic")

@@ -263,13 +263,34 @@ class DeltaLogSpec extends SparkSpec {
       DeltaWrite.upsert(spark, ao.toString, row, Seq("id")))
     assert(e1.getMessage.contains("append-only"), e1.getMessage)
 
-    // CHECK constraints: no evaluator here, so ANY write refuses
+    // CHECK constraints: ENFORCED per row (r8) — conforming rows land,
+    // violating rows abort the write with the constraint named, and the
+    // failed write leaves no commit behind
     val ck = freshTable("dw-check", Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
       metaLineWith("""{"delta.constraints.positive":"id > 0"}""")))
-    val e2 = intercept[IllegalArgumentException](
-      DeltaWrite.append(spark, ck.toString, row))
-    assert(e2.getMessage.contains("delta.constraints.positive"), e2.getMessage)
+    DeltaWrite.append(spark, ck.toString, row)
+    assert(DeltaLog.read(spark, ck.toString).count() == 2)
+    val bad = Seq((-9L, "minus nine", "a")).toDF("id", "v", "part")
+    val e2 = intercept[Exception](DeltaWrite.append(spark, ck.toString, bad))
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(String.valueOf(c.getMessage)); c = c.getCause }
+      sb.toString
+    }
+    assert(rootMsg(e2).contains("positive"), rootMsg(e2))
+    assert(DeltaLog.snapshot(spark, ck.toString).version == 1L) // no commit landed
+    assert(DeltaLog.read(spark, ck.toString).count() == 2)
+
+    // identity columns still refuse — no high-water-mark protocol here
+    val idMeta =
+      s"""{"metaData":{"id":"fixture","schemaString":"{\\"type\\":\\"struct\\",\\"fields\\":[{\\"name\\":\\"id\\",\\"type\\":\\"long\\",\\"nullable\\":true,\\"metadata\\":{\\"delta.identity.start\\":1,\\"delta.identity.step\\":1}},{\\"name\\":\\"v\\",\\"type\\":\\"string\\",\\"nullable\\":true,\\"metadata\\":{}},{\\"name\\":\\"part\\",\\"type\\":\\"string\\",\\"nullable\\":true,\\"metadata\\":{}}]}","partitionColumns":["part"],"format":{"provider":"parquet"},"configuration":{}}}"""
+    val idt = freshTable("dw-identity", Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""", idMeta))
+    val e2b = intercept[IllegalArgumentException](
+      DeltaWrite.append(spark, idt.toString, row))
+    assert(e2b.getMessage.contains("identity"), e2b.getMessage)
 
     // v7 writer feature we don't implement (row tracking) refuses by name
     val rt = freshTable("dw-rowtracking", Seq(
