@@ -168,6 +168,42 @@ object Streams {
       }
       .start()
 
+  /** Incrementally consume a Delta table's CHANGE DATA FEED with a durable
+    * offset: reads the change rows in `(last consumed version, latest]`
+    * ([[graft.sources.DeltaLog.readCdf]] — inserts, update pre/post
+    * images, deletes, each stamped `_commit_version`), hands them to `fn`,
+    * then advances the offset. Delivery is at-least-once — the offset
+    * write follows `fn` — and exactly-once when `fn` is idempotent (e.g.
+    * an upsert keyed on the source keys, the CDC-apply shape). The offset
+    * lives in a one-row managed table under `offsetDir`, so consumers
+    * survive restarts; each call is one bounded batch, the polling
+    * complement to the push-based sinks above (downstream syncs typically
+    * run on a schedule, not a resident stream). Returns the new offset
+    * (unchanged when there was nothing to consume — `fn` is not called).
+    */
+  def cdfConsume(
+      spark: SparkSession,
+      sourceTable: String,
+      offsetDir: String,
+      initialVersion: Long = 0L)(fn: DataFrame => Unit): Long = {
+    import graft.config.{Location, Types}
+    import graft.destinations.ManagedTable
+    import org.apache.spark.sql.types.LongType
+    import spark.implicits._
+    val loc = Location(offsetDir)
+    ManagedTable.createIfAbsent(spark, loc,
+      Seq(Types.FieldSpec("last_version", LongType, nullable = false)), Nil, Map.empty)
+    val last = ManagedTable.read(spark, loc).collect() match {
+      case rows if rows.isEmpty => initialVersion
+      case rows => rows.map(_.getLong(0)).max
+    }
+    val latest = graft.sources.DeltaLog.lazySnapshot(spark, sourceTable).meta.version
+    if (latest <= last) return last
+    fn(graft.sources.DeltaLog.readCdf(spark, sourceTable, last, Some(latest)))
+    ManagedTable.replace(spark, loc, Seq(latest).toDF("last_version"), Seq.empty)
+    latest
+  }
+
   /** Streaming near-dup-filtered ingest: each micro-batch is exact-checked
     * against the STATIC lake corpus — content digests (exact dups) AND
     * cross-corpus n-gram jaccard (near-dups) — and only the survivors reach

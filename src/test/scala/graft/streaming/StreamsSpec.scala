@@ -70,6 +70,50 @@ class StreamsSpec extends SparkSpec {
     assert(rows(1).getString(1).endsWith("with extra spaces")) // normalized
   }
 
+  test("cdfConsume: durable-offset CDC apply — each change consumed exactly once") {
+    import graft.destinations.DeltaWrite
+    import graft.sources.DeltaLog
+    val src = tmpDir("cdf-consume-src").toString
+    val off = tmpDir("cdf-consume-off").resolve("offsets").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    DeltaWrite.createIfAbsent(spark, src, schema,
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWrite.append(spark, src, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+
+    // the idempotent CDC-apply target: replayed changes land in a map
+    val applied = scala.collection.mutable.Map.empty[Long, String]
+    def apply(changes: org.apache.spark.sql.DataFrame): Unit =
+      changes.orderBy("_commit_version").collect().foreach { r =>
+        r.getAs[String]("_change_type") match {
+          case "delete" => applied.remove(r.getLong(0))
+          case "update_preimage" => ()
+          case _ => applied(r.getLong(0)) = r.getString(1)
+        }
+      }
+
+    val o1 = Streams.cdfConsume(spark, src, off)(apply)
+    assert(o1 == 1L && applied.toMap == Map(1L -> "a", 2L -> "b"))
+    // nothing new: fn not called, offset unchanged
+    val o2 = Streams.cdfConsume(spark, src, off)(_ => fail("must not be called"))
+    assert(o2 == 1L)
+    // two more commits, consumed in ONE batch; only the new versions arrive
+    DeltaWrite.upsert(spark, src, Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    DeltaWrite.delete(spark, src, "id = 1")
+    var seenVersions: Set[Long] = Set.empty
+    val o3 = Streams.cdfConsume(spark, src, off) { df =>
+      seenVersions = df.collect().map(_.getAs[Long]("_commit_version")).toSet
+      apply(df)
+    }
+    assert(o3 == 3L && seenVersions == Set(2L, 3L))
+    assert(applied.toMap == Map(2L -> "B", 3L -> "c"))
+    // the applied state equals the source table — the CDC sync contract
+    val state = DeltaLog.read(spark, src).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state == applied.toMap)
+  }
+
   test("split/shard assignment routes a stream identically to the batch expression") {
     // hashSplit/shard are pure scan expressions, so ingest-time routing
     // (e.g. writing arriving docs straight into their split/shard) needs no
