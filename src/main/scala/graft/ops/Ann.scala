@@ -131,6 +131,106 @@ object Ann {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Driver-local seeded k-means (k-means++ init, Lloyd iterations) over an
+    * already-bounded training sample.
+    *
+    * Every index build here trains on a deterministic sample capped at
+    * `maxTrainVectors` (65536 × dim 64 doubles = 33 MB worst case), so the
+    * fit is a driver-sized problem by construction — the production layout
+    * (FAISS et al. train codebooks on a sample, never the corpus). Running
+    * it locally replaces what was previously `m`+1 Spark-ML KMeans fits,
+    * each a chain of ~maxIter tiny jobs over a 16k-row frame: at ANY corpus
+    * size that chain costs the same fixed ~10 s of scheduler latency,
+    * because the sample is bounded. The distributed work — the seeded-hash
+    * top-k sampling scan and the corpus-wide encode — stays on executors.
+    *
+    * Deterministic for a given (points, k, seed): the PRNG draws are
+    * sequential; the parallel assignment step writes disjoint slots. Empty
+    * clusters re-seed from the globally farthest point (standard Lloyd
+    * repair, also deterministic).
+    */
+  private[graft] def fitKMeansLocal(
+      points: Array[Array[Double]], k: Int, seed: Long,
+      maxIter: Int = 10): Array[Array[Double]] = {
+    require(points.nonEmpty, "k-means needs a non-empty training sample")
+    val n = points.length
+    val dim = points.head.length
+    if (n <= k) return Array.tabulate(k)(i => points(i % n).clone())
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val rnd = new scala.util.Random(seed)
+    // k-means++ seeding: each next center drawn ∝ squared distance to the
+    // nearest already-chosen center
+    val centers = Array.ofDim[Array[Double]](k)
+    centers(0) = points(rnd.nextInt(n)).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var i = 0
+      while (i < n) {
+        val d = d2(points(i), centers(c - 1))
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+      var pick = rnd.nextDouble() * minD.sum
+      var j = 0
+      while (j < n - 1 && pick > minD(j)) { pick -= minD(j); j += 1 }
+      centers(c) = points(j).clone()
+      c += 1
+    }
+    val assign = new Array[Int](n)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      // assignment is ~all the arithmetic (n·k·dim) — fan it across cores
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < k) {
+          val d = d2(points(i), centers(j))
+          if (d < bd) { bd = d; best = j }
+          j += 1
+        }
+        assign(i) = best
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      var i = 0
+      while (i < n) {
+        val a = assign(i); counts(a) += 1
+        val s = sums(a); val p = points(i)
+        var j = 0
+        while (j < dim) { s(j) += p(j); j += 1 }
+        i += 1
+      }
+      moved = false
+      var j = 0
+      while (j < k) {
+        if (counts(j) == 0) {
+          var far = 0; var fd = -1.0; var i2 = 0
+          while (i2 < n) {
+            val d = d2(points(i2), centers(assign(i2)))
+            if (d > fd) { fd = d; far = i2 }
+            i2 += 1
+          }
+          centers(j) = points(far).clone()
+          moved = true
+        } else {
+          val nc = new Array[Double](dim)
+          var x = 0
+          while (x < dim) { nc(x) = sums(j)(x) / counts(j); x += 1 }
+          if (d2(nc, centers(j)) > 1e-12) moved = true
+          centers(j) = nc
+        }
+        j += 1
+      }
+      iter += 1
+    }
+    centers
+  }
+
   /** All bit-masks within `d` flips of zero (multi-probe enumeration). */
   private[graft] def probeMasks(m: Int, d: Int): Seq[Long] = {
     def combos(bits: Seq[Int], k: Int): Seq[Seq[Int]] =
@@ -150,22 +250,13 @@ object Ann {
     */
   final case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame)
 
-  /** Distance of `vec` to each centroid as (d2, cell) structs — native dot
-    * products via the expanded form v·v − 2·v·c + c·c (c·c folds to a
-    * literal; v·v is a common subexpression across all centroids). Ordering
-    * is what matters for argmin, so the fp difference vs the subtract-square
-    * form is irrelevant. The inline argmin is linear in nlist; beyond a few
-    * hundred cells the generated code stops being practical (hence the
-    * `require` in ivfBuild).
-    */
-  private def centroidScores(vec: Column, centroids: Array[Array[Double]]): Seq[Column] = {
-    val vv = dot(vec, vec)
-    centroids.zipWithIndex.map { case (c, i) =>
-      val cArr = array(c.toIndexedSeq.map(lit): _*)
-      val d2 = vv - lit(2.0) * dot(vec, cArr) + lit(c.map(x => x * x).sum)
-      struct(d2.as("d2"), lit(i).as("cell"))
-    }.toIndexedSeq
-  }
+  // Cell distances use the expanded form v·v − 2·v·c + c·c (c·c precomputed
+  // driver-side; ordering is what matters for argmin, so the fp difference
+  // vs the subtract-square form is irrelevant). Historically this was a
+  // composed `least(struct(dot…))` with one literal sub-tree per centroid —
+  // replaced by the native [[graft.functions.NearestCell]]/[[NearestCells]]
+  // expressions (same arithmetic operation-for-operation, tight loop, plan
+  // stays KB-sized at any nlist).
 
   /** Build the IVF index: fit seeded k-means on a bounded corpus-wide
     * sample, assign every corpus vector to its nearest cell.
@@ -184,11 +275,9 @@ object Ann {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       nlist: Int = 16, seed: Long = 42L,
       maxTrainVectors: Int = 65536, trainFraction: Double = 1.0): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     require(nlist >= 1 && nlist <= 256,
-      "nlist beyond 256: the inline centroid argmin expression stops codegen-ing — " +
-        "shard the corpus or extend to a broadcast-join argmin")
+      "nlist beyond 256: probe fan-out and per-row assignment cost grow linearly — " +
+        "shard the corpus or extend to a coarse two-level quantizer")
     require(trainFraction > 0.0 && trainFraction <= 1.0, "trainFraction must be in (0, 1]")
     val base = corpus.select(col(corpusId).as("item_id"), col(corpusVec).as("cv"))
     // nlist = 1 is the exhaustive degenerate (every vector in cell 0): no
@@ -203,12 +292,12 @@ object Ann {
     val train = sampled
       .orderBy(xxhash64(col("item_id"), lit(seed)), col("item_id"))
       .limit(maxTrainVectors)
-      .select(array_to_vector(col("cv")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
+      .select(transform(col("cv"), x => x.cast("double")).as("cv"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = fitKMeansLocal(train, nlist, seed)
     val cell =
-      if (centroids.length == 1) lit(0) // least() needs ≥ 2 args
-      else least(centroidScores(col("cv"), centroids): _*).getField("cell")
+      if (centroids.length == 1) lit(0)
+      else graft.functions.NearestCell(col("cv"), centroids)
     IvfIndex(centroids, base.withColumn("cell", cell))
   }
 
@@ -230,10 +319,9 @@ object Ann {
         queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"),
           norm(col(queryVec)).as("qnrm"), lit(0).as("cell"))
       else queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"),
-          explode(slice(array_sort(array(centroidScores(col(queryVec), index.centroids): _*)),
-            1, nprobe0)).as("probe"))
+          explode(graft.functions.NearestCells(col(queryVec), index.centroids, nprobe0)).as("cell"))
         .withColumn("qnrm", norm(col("qv")))
-        .select(col("query_id"), col("qv"), col("qnrm"), col("probe").getField("cell").as("cell"))
+        .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
     val candidates = index.assigned.withColumn("cnrm", norm(col("cv")))
       .join(broadcast(probed), Seq("cell"))
       .withColumn("cos", dot(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
@@ -478,20 +566,12 @@ object Ann {
   /** Per-block argmin code. Within one block the candidate's sub-norm is
     * constant across codebook entries, so the argmin ranks by the partial
     * score c·c − 2·sv·c (same ordering, ties by entry index, one dot per
-    * entry instead of two).
+    * entry instead of two). Native [[graft.functions.PqEncode]]: one tight
+    * loop, codebooks shipped as one reference object instead of m·ksub
+    * literal sub-trees.
     */
-  private def pqCodeExpr(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
-    val dsub = codebooks.head.head.length
-    array(codebooks.zipWithIndex.map { case (book, b) =>
-      val sv = slice(vec, b * dsub + 1, dsub)
-      val scored = book.zipWithIndex.map { case (c, j) =>
-        val cArr = array(c.toIndexedSeq.map(lit): _*)
-        struct((lit(c.map(x => x * x).sum) - lit(2.0) * dot(sv, cArr)).as("s"),
-          lit(j).as("j"))
-      }.toIndexedSeq
-      least(scored: _*).getField("j")
-    }.toIndexedSeq: _*)
-  }
+  private def pqCodeExpr(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqEncode(vec, codebooks)
 
   private def pqParamCheck(m: Int, ksub: Int, trainFraction: Double): Unit = {
     require(m >= 1, "m must be >= 1")
@@ -501,20 +581,17 @@ object Ann {
     require(trainFraction > 0.0 && trainFraction <= 1.0, "trainFraction must be in (0, 1]")
   }
 
-  /** One k-means fit per sub-block over the SAME cached sample frame
-    * (column `cv`, array<double> of dim `m·dsub`). */
+  /** One driver-local k-means fit per sub-block over the SAME collected
+    * sample (each block sees its dsub-wide slice). See [[fitKMeansLocal]]
+    * for why local-over-the-bounded-sample is the scale-correct layout. */
   private def pqFitCodebooks(
-      train: DataFrame, m: Int, dsub: Int, ksub: Int,
-      seed: Long): Array[Array[Array[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      sample: Array[Array[Double]], m: Int, dsub: Int, ksub: Int,
+      seed: Long): Array[Array[Array[Double]]] =
     Array.tabulate(m) { b =>
-      val feats = train.select(
-        array_to_vector(slice(col("cv"), b * dsub + 1, dsub)).as("features"))
-      new KMeans().setK(ksub).setSeed(seed + b).setMaxIter(10).fit(feats)
-        .clusterCenters.map(_.toArray)
+      fitKMeansLocal(
+        sample.map(v => java.util.Arrays.copyOfRange(v, b * dsub, (b + 1) * dsub)),
+        ksub, seed + b)
     }
-  }
 
   /** The deterministic bounded training sample shared by every index build
     * here: seeded-hash pre-thin + seeded-hash top-k (never a data-order
@@ -532,34 +609,22 @@ object Ann {
       .limit(maxTrainVectors)
   }
 
-  /** Per-block ADC distance tables of `vec` against the codebooks, as
-    * columns `lut_0 … lut_{m−1}` (each an array of ksub squared
-    * sub-distances in the expanded form svv − 2·sv·c + cc).
-    */
-  private def adcLutCols(vec: Column, codebooks: Array[Array[Array[Double]]]): Seq[Column] = {
-    val dsub = codebooks.head.head.length
-    codebooks.zipWithIndex.map { case (book, b) =>
-      val sv = slice(vec, b * dsub + 1, dsub)
-      val svv = dot(sv, sv)
-      array(book.toIndexedSeq.map { c =>
-        val cArr = array(c.toIndexedSeq.map(lit): _*)
-        svv - lit(2.0) * dot(sv, cArr) + lit(c.map(x => x * x).sum)
-      }: _*).as(s"lut_$b")
-    }.toIndexedSeq
-  }
+  /** Per-block ADC distance tables of `vec` against the codebooks, as one
+    * `lut` column of m ksub-entry arrays (expanded form svv − 2·sv·c + cc)
+    * — native [[graft.functions.PqAdcLuts]]. */
+  private def adcLutCol(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqAdcLuts(vec, codebooks).as("lut")
 
-  /** ADC score from the per-block LUT columns and the `code` column: m
-    * array lookups summed left-associated in block order. */
-  private def adcScore(m: Int): Column =
-    (0 until m)
-      .map(b => element_at(col(s"lut_$b"), element_at(col("code"), b + 1) + 1))
-      .reduceLeft(_ + _)
+  /** ADC score from the `lut` and `code` columns: m array lookups summed
+    * left-associated in block order ([[graft.functions.AdcScore]]). */
+  private def adcScore: Column =
+    graft.functions.AdcScore(col("code"), col("lut"))
 
   /** Train PQ codebooks on a bounded deterministic sample (same sampling
     * discipline as [[ivfBuild]]: seeded-hash top-k, never a data-order
-    * prefix) and encode the full corpus. One k-means fit per block over the
-    * SAME cached sample; the corpus-wide encode is a single scan with the
-    * codebooks folded in as literals.
+    * prefix) and encode the full corpus. One driver-local k-means fit per
+    * block over the SAME collected sample; the corpus-wide encode is a
+    * single scan with the codebooks folded in as literals.
     *
     * `m · ksub` is capped so the inline per-block argmin stays inside
     * whole-stage codegen — dim 64 / m 8 / ksub 16 (the tested shape) is 128
@@ -572,16 +637,14 @@ object Ann {
     pqParamCheck(m, ksub, trainFraction)
     val base = corpus.select(col(corpusId).as("item_id"),
       transform(col(corpusVec), x => x.cast("double")).as("cv"))
-    val dim = base.select(size(col("cv"))).head().getInt(0)
-    require(dim % m == 0, s"vector dim $dim must divide evenly into m=$m blocks")
-    val dsub = dim / m
     val train = trainSample(base, seed, maxTrainVectors, trainFraction)
-      .select(col("cv")).persist()
-    try {
-      val codebooks = pqFitCodebooks(train, m, dsub, ksub, seed)
-      PqIndex(codebooks,
-        base.select(col("item_id"), pqCodeExpr(col("cv"), codebooks).as("code")))
-    } finally { train.unpersist() }
+      .select(col("cv")).collect().map(_.getSeq[Double](0).toArray)
+    require(train.nonEmpty, "PQ training sample is empty")
+    val dim = train.head.length
+    require(dim % m == 0, s"vector dim $dim must divide evenly into m=$m blocks")
+    val codebooks = pqFitCodebooks(train, m, dim / m, ksub, seed)
+    PqIndex(codebooks,
+      base.select(col("item_id"), pqCodeExpr(col("cv"), codebooks).as("code")))
   }
 
   /** ADC search: per query, a per-block distance table to every codebook
@@ -602,10 +665,10 @@ object Ann {
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qv = transform(col(queryVec), x => x.cast("double"))
-    val luts = queries.select(col(queryId).as("query_id") +: adcLutCols(qv, index.codebooks): _*)
+    val luts = queries.select(col(queryId).as("query_id"), adcLutCol(qv, index.codebooks))
     val w = Window.partitionBy(col("query_id")).orderBy(col("ad2"), col("item_id"))
     index.encoded.crossJoin(broadcast(luts))
-      .withColumn("ad2", adcScore(index.m))
+      .withColumn("ad2", adcScore)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("item_id"), round(col("ad2"), 6).as("ad2"))
@@ -706,17 +769,14 @@ object Ann {
     def dsub: Int = codebooks.head.head.length
   }
 
-  /** Residual of `vec` against its assigned cell's centroid, with the
-    * centroid table folded in as one literal array-of-arrays (nlist·dim
-    * doubles shipped with the plan — tiny). */
+  /** Residual of `vec` against its assigned cell's centroid — native
+    * [[graft.functions.SubtractCentroid]] (the centroid matrix rides along
+    * as one reference object; the zip_with form it replaced was an
+    * interpreted HOF per row). */
   private def residualExpr(vec: Column, cell: Column,
       centroids: Array[Array[Double]]): Column =
     if (centroids.length == 1 && centroids.head.isEmpty) vec // nlist=1 degenerate
-    else {
-      val centArr = array(centroids.toIndexedSeq.map(c =>
-        array(c.toIndexedSeq.map(lit): _*)): _*)
-      zip_with(vec, element_at(centArr, cell + 1), (a, b) => a - b)
-    }
+    else graft.functions.SubtractCentroid(vec, cell, centroids)
 
   /** Build IVF-PQ: coarse k-means cells (via [[ivfBuild]]), then PQ
     * codebooks fit on a bounded deterministic sample of RESIDUALS, then a
@@ -732,16 +792,15 @@ object Ann {
       maxTrainVectors, trainFraction)
     val resid = ivf.assigned.select(col("item_id"), col("cell"),
       residualExpr(col("cv"), col("cell"), ivf.centroids).as("cv"))
-    val dim = resid.select(size(col("cv"))).head().getInt(0)
-    require(dim % m == 0, s"vector dim $dim must divide evenly into m=$m blocks")
     val train = trainSample(resid, seed, maxTrainVectors, trainFraction)
-      .select(col("cv")).persist()
-    try {
-      val codebooks = pqFitCodebooks(train, m, dim / m, ksub, seed)
-      IvfPqIndex(ivf.centroids, codebooks,
-        resid.select(col("item_id"), col("cell"),
-          pqCodeExpr(col("cv"), codebooks).as("code")))
-    } finally { train.unpersist() }
+      .select(col("cv")).collect().map(_.getSeq[Double](0).toArray)
+    require(train.nonEmpty, "IVF-PQ residual training sample is empty")
+    val dim = train.head.length
+    require(dim % m == 0, s"vector dim $dim must divide evenly into m=$m blocks")
+    val codebooks = pqFitCodebooks(train, m, dim / m, ksub, seed)
+    IvfPqIndex(ivf.centroids, codebooks,
+      resid.select(col("item_id"), col("cell"),
+        pqCodeExpr(col("cv"), codebooks).as("code")))
   }
 
   /** IVFADC search: probe `nprobe` cells per query (same coarse ranking as
@@ -759,15 +818,12 @@ object Ann {
       if (index.centroids.length == 1)
         queries.select(col(queryId).as("query_id"), qv.as("qv"), lit(0).as("cell"))
       else queries.select(col(queryId).as("query_id"), qv.as("qv"),
-          explode(slice(array_sort(array(centroidScores(qv, index.centroids): _*)),
-            1, nprobe0)).as("probe"))
-        .select(col("query_id"), col("qv"), col("probe").getField("cell").as("cell"))
+          explode(graft.functions.NearestCells(qv, index.centroids, nprobe0)).as("cell"))
     val qr = residualExpr(col("qv"), col("cell"), index.centroids)
-    val luts = probed.select(
-      Seq(col("query_id"), col("cell")) ++ adcLutCols(qr, index.codebooks): _*)
+    val luts = probed.select(col("query_id"), col("cell"), adcLutCol(qr, index.codebooks))
     val w = Window.partitionBy(col("query_id")).orderBy(col("ad2"), col("item_id"))
     index.encoded.join(broadcast(luts), Seq("cell"))
-      .withColumn("ad2", adcScore(index.m))
+      .withColumn("ad2", adcScore)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("item_id"), round(col("ad2"), 6).as("ad2"))
