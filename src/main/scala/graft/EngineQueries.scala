@@ -2121,6 +2121,35 @@ object EngineQueries {
       graft.sources.DeltaLog.read(s, tbl)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // ORC round-trip through the engine front door (beyond reference: the
+    // reference reads only CSV/JSONL/Parquet, sources/mod.rs:224-299; ORC is
+    // native to spark-sql so lakehouse estates holding ORC ingest with zero
+    // extra deps). Pipeline 1 writes a projected lineitem slice to a
+    // hive-partitioned ORC destination; pipeline 2 reads it back as a typed
+    // directory source and aggregates. DuckDB cannot read ORC, so the
+    // oracle computes the same aggregate from the original parquet — a
+    // valid gate because the round trip must be lossless.
+    "p15_pipeline_orc" -> ((s, dir) => {
+      val out = tmp("graft-p15").resolve("out").toString
+      pipe(s, Aqueduct(
+        sources = Seq(FileSource("p15_li", ParquetFormat(),
+          Location(s"$dir/lineitem.parquet"))),
+        stages = Seq(Seq(Stage("p15_sel",
+          """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice
+             FROM p15_li WHERE l_orderkey < 5000"""))),
+        destination = Some(FileDestination("p15_out", Location(out),
+          OrcDestFormat(Map("compression" -> "zlib")),
+          singleFile = false, partitionColumns = Seq("l_returnflag")))))
+      pipe(s, Aqueduct(
+        sources = Seq(DirSource("p15_orc", OrcFormat(), Location(out),
+          partitionColumns = Seq("l_returnflag" -> StringType))),
+        stages = Seq(Seq(Stage("p15_result",
+          """SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             FROM p15_orc GROUP BY l_returnflag ORDER BY l_returnflag""")))))
     })
   )
 
@@ -3347,6 +3376,12 @@ object EngineQueries {
          o_orderstatus
          FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 2 = 0
          ORDER BY o_orderkey""",
+    "p15_pipeline_orc" ->
+      """SELECT l_returnflag, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem WHERE l_orderkey < 5000
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "p12_pipeline_curation" ->
       """WITH s AS (
            SELECT doc_id,

@@ -104,6 +104,7 @@ object ConfigParser {
           schema = parseFields(opts.get("schema")))
       case "json" | "jsonl" => JsonFormat(parseFields(opts.get("schema")))
       case "parquet"        => ParquetFormat(parseFields(opts.get("schema")))
+      case "orc"            => OrcFormat(parseFields(opts.get("schema")))
       case other            => fail(n, s"Unknown file format: $other")
     }
   }
@@ -152,6 +153,7 @@ object ConfigParser {
           compression = str(o, "compression"))
       case "parquet" => ParquetDestFormat(opts.map(stringMapOf).getOrElse(Map.empty))
       case "json" | "jsonl" => JsonDestFormat
+      case "orc" => OrcDestFormat(opts.map(stringMapOf).getOrElse(Map.empty))
       case other => fail(n, s"Unknown destination file format: $other")
     }
   }

@@ -35,7 +35,7 @@ sealed trait Source { def name: String }
 /** Table must already exist in the session (`type: in_memory`). */
 final case class InMemorySource(name: String) extends Source
 
-/** Single-file source (`type: file`): CSV / JSONL / Parquet. */
+/** Single-file source (`type: file`): CSV / JSONL / Parquet / ORC. */
 final case class FileSource(
     name: String,
     format: FileFormat,
@@ -74,12 +74,17 @@ final case class CsvFormat(
     schema: Seq[Types.FieldSpec] = Nil) extends FileFormat
 final case class JsonFormat(schema: Seq[Types.FieldSpec] = Nil) extends FileFormat
 final case class ParquetFormat(schema: Seq[Types.FieldSpec] = Nil) extends FileFormat
+/** ORC (beyond reference: the reference reads CSV/JSONL/Parquet only —
+  * sources/mod.rs:224-299 — but ORC is native to spark-sql and common in
+  * lakehouse estates, so pipelines can ingest it with zero extra deps). */
+final case class OrcFormat(schema: Seq[Types.FieldSpec] = Nil) extends FileFormat
 
 object FileFormat {
   def sparkName(f: FileFormat): String = f match {
     case _: CsvFormat => "csv"
     case _: JsonFormat => "json"
     case _: ParquetFormat => "parquet"
+    case _: OrcFormat => "orc"
   }
   def declaredSchema(f: FileFormat): Option[StructType] =
     if (f.schema.isEmpty) None else Some(Types.toStruct(f.schema))
@@ -120,6 +125,8 @@ final case class CsvDestFormat(
     compression: Option[String] = None) extends DestFormat
 final case class ParquetDestFormat(options: Map[String, String] = Map.empty) extends DestFormat
 case object JsonDestFormat extends DestFormat
+/** ORC writer (beyond reference; options pass through like Parquet's). */
+final case class OrcDestFormat(options: Map[String, String] = Map.empty) extends DestFormat
 
 /** Versioned managed-table destination (`type: delta`). */
 final case class ManagedTableDestination(

@@ -70,6 +70,8 @@ object SchemaGen {
       "json" -> objSchema("JSON lines", req = Seq("type"),
         props = Seq("options" -> objSchema("", Nil, Seq("schema" -> arrayOf(ref("Field")))))),
       "parquet" -> objSchema("Parquet", req = Seq("type"),
+        props = Seq("options" -> objSchema("", Nil, Seq("schema" -> arrayOf(ref("Field")))))),
+      "orc" -> objSchema("ORC (beyond reference)", req = Seq("type"),
         props = Seq("options" -> objSchema("", Nil, Seq("schema" -> arrayOf(ref("Field"))))))))
 
     defs.set[ObjectNode]("Stage", objSchema(
@@ -116,6 +118,8 @@ object SchemaGen {
           "compression" -> typed("string"))))),
       "json" -> objSchema("JSON lines", req = Seq("type"), props = Nil),
       "parquet" -> objSchema("Parquet (options pass through to the writer)",
+        req = Seq("type"), props = Seq("options" -> stringMapSchema)),
+      "orc" -> objSchema("ORC (beyond reference; options pass through)",
         req = Seq("type"), props = Seq("options" -> stringMapSchema))))
 
     defs.set[ObjectNode]("TableWriteMode", oneOfByKey("operation",

@@ -75,6 +75,7 @@ object Destinations {
           compression.map("compression" -> _))
       case ParquetDestFormat(opts) => ("parquet", opts)
       case JsonDestFormat => ("json", Map.empty[String, String])
+      case OrcDestFormat(opts) => ("orc", opts)
     }
 
     if (d.singleFile) {

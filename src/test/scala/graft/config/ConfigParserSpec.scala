@@ -115,6 +115,34 @@ class ConfigParserSpec extends AnyFunSuite {
     assert(!f.schema.head.nullable)
   }
 
+  test("orc source/destination formats parse with schema and writer options") {
+    val yaml =
+      """sources:
+        |  - type: file
+        |    name: f
+        |    location: /tmp/f.orc
+        |    format:
+        |      type: orc
+        |      options:
+        |        schema:
+        |          - { name: id, data_type: int64 }
+        |stages:
+        |  - - { name: s, query: SELECT * FROM f }
+        |destination:
+        |  type: file
+        |  name: out
+        |  location: /tmp/out.orc
+        |  format:
+        |    type: orc
+        |    options: { compression: zlib }
+        |""".stripMargin
+    val aq = ConfigParser.fromYaml(yaml)
+    val f = aq.sources.head.asInstanceOf[FileSource].format.asInstanceOf[OrcFormat]
+    assert(f.schema.map(_.name) == Seq("id"))
+    val d = aq.destination.get.asInstanceOf[FileDestination].format.asInstanceOf[OrcDestFormat]
+    assert(d.options == Map("compression" -> "zlib"))
+  }
+
   test("odbc destination with custom transaction") {
     val yaml =
       """sources: []

@@ -133,6 +133,35 @@ class RunnerSpec extends SparkSpec {
     assert(back.select("name").collect().map(_.getString(0)).sorted.toSeq == Seq("b", "c"))
   }
 
+  test("ORC source and partitioned ORC destination round-trip (beyond reference)") {
+    val dir = tmpDir("runner-orc")
+    val in = dir.resolve("in.orc")
+    spark.range(1, 21)
+      .selectExpr("id", "concat('n', id) AS name",
+        "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS parity",
+        "CAST(id AS DOUBLE) * 1.5 AS score")
+      .coalesce(1).write.mode("overwrite").orc(in.toString)
+    val out = dir.resolve("out")
+    Runner.run(spark, Aqueduct(
+      sources = Seq(FileSource("raw_orc", OrcFormat(), Location(in.toString))),
+      stages = Seq(Seq(Stage("orc_sel",
+        "SELECT id, name, parity, score FROM raw_orc WHERE id <= 10"))),
+      destination = Some(FileDestination("orc_out", Location(out.toString),
+        OrcDestFormat(Map("compression" -> "zlib")),
+        singleFile = false, partitionColumns = Seq("parity")))))
+    // hive layout on disk, lossless read-back through a typed directory source
+    assert(java.nio.file.Files.isDirectory(out.resolve("parity=even")))
+    Runner.run(spark, Aqueduct(
+      sources = Seq(DirSource("orc_dir", OrcFormat(), Location(out.toString),
+        partitionColumns = Seq("parity" -> org.apache.spark.sql.types.StringType))),
+      stages = Seq(Seq(Stage("orc_back",
+        "SELECT parity, count(*) AS n, round(sum(score), 2) AS total FROM orc_dir GROUP BY parity")))))
+    val rows = spark.table("orc_back").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set(("even", 5L, 45.0), ("odd", 5L, 37.5)))
+    spark.catalog.dropTempView("orc_back")
+  }
+
   test("managed-table source with time travel through the config pipeline") {
     val dir = tmpDir("runner-mtsrc")
     val tblLoc = Location(dir.resolve("tbl").toString)
