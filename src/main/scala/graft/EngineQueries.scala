@@ -2150,6 +2150,34 @@ object EngineQueries {
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
              FROM p15_orc GROUP BY l_returnflag ORDER BY l_returnflag""")))))
+    }),
+
+    // Avro round-trip through the engine front door (beyond reference, and
+    // beyond the build's own jars: spark-avro is absent, so the engine's
+    // Hadoop-format bridge in sources/Avro.scala does the container IO).
+    // Pipeline 1 writes an orders slice to an Avro destination; pipeline 2
+    // reads it back and aggregates. DuckDB reads no Avro here, so the
+    // oracle aggregates the same slice from the source parquet — the gate
+    // passes only if the Avro round trip is lossless (incl. the timestamp
+    // column surviving micros logical-type encoding).
+    "p16_pipeline_avro" -> ((s, dir) => {
+      val out = tmp("graft-p16").resolve("out").toString
+      pipe(s, Aqueduct(
+        sources = Seq(FileSource("p16_orders", ParquetFormat(),
+          Location(s"$dir/orders.parquet"))),
+        stages = Seq(Seq(Stage("p16_sel",
+          """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+             FROM p16_orders WHERE o_orderkey < 4000"""))),
+        destination = Some(FileDestination("p16_out", Location(out),
+          AvroDestFormat(codec = Some("deflate")), singleFile = false))))
+      pipe(s, Aqueduct(
+        sources = Seq(FileSource("p16_avro", AvroFormat(), Location(out))),
+        stages = Seq(Seq(Stage("p16_result",
+          """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             CAST(min(o_orderdate) AS DATE) AS first_date,
+             CAST(max(o_orderdate) AS DATE) AS last_date
+             FROM p16_avro GROUP BY o_orderstatus ORDER BY o_orderstatus""")))))
     })
   )
 
@@ -3382,6 +3410,13 @@ object EngineQueries {
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM lineitem WHERE l_orderkey < 5000
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "p16_pipeline_avro" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         CAST(min(o_orderdate) AS DATE) AS first_date,
+         CAST(max(o_orderdate) AS DATE) AS last_date
+         FROM orders WHERE o_orderkey < 4000
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "p12_pipeline_curation" ->
       """WITH s AS (
            SELECT doc_id,

@@ -105,6 +105,7 @@ object ConfigParser {
       case "json" | "jsonl" => JsonFormat(parseFields(opts.get("schema")))
       case "parquet"        => ParquetFormat(parseFields(opts.get("schema")))
       case "orc"            => OrcFormat(parseFields(opts.get("schema")))
+      case "avro"           => AvroFormat(parseFields(opts.get("schema")))
       case other            => fail(n, s"Unknown file format: $other")
     }
   }
@@ -154,6 +155,7 @@ object ConfigParser {
       case "parquet" => ParquetDestFormat(opts.map(stringMapOf).getOrElse(Map.empty))
       case "json" | "jsonl" => JsonDestFormat
       case "orc" => OrcDestFormat(opts.map(stringMapOf).getOrElse(Map.empty))
+      case "avro" => AvroDestFormat(opts.flatMap(o => str(o, "codec")))
       case other => fail(n, s"Unknown destination file format: $other")
     }
   }

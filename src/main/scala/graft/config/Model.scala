@@ -78,6 +78,10 @@ final case class ParquetFormat(schema: Seq[Types.FieldSpec] = Nil) extends FileF
   * sources/mod.rs:224-299 — but ORC is native to spark-sql and common in
   * lakehouse estates, so pipelines can ingest it with zero extra deps). */
 final case class OrcFormat(schema: Seq[Types.FieldSpec] = Nil) extends FileFormat
+/** Avro container files (beyond reference), via [[graft.sources.Avro]] —
+  * the spark-avro connector is absent in this build, so reads/writes go
+  * through the public Hadoop Avro formats with a schema bridge. */
+final case class AvroFormat(schema: Seq[Types.FieldSpec] = Nil) extends FileFormat
 
 object FileFormat {
   def sparkName(f: FileFormat): String = f match {
@@ -85,6 +89,8 @@ object FileFormat {
     case _: JsonFormat => "json"
     case _: ParquetFormat => "parquet"
     case _: OrcFormat => "orc"
+    case _: AvroFormat =>
+      throw new IllegalStateException("avro routes through graft.sources.Avro, not a DataSource name")
   }
   def declaredSchema(f: FileFormat): Option[StructType] =
     if (f.schema.isEmpty) None else Some(Types.toStruct(f.schema))
@@ -127,6 +133,8 @@ final case class ParquetDestFormat(options: Map[String, String] = Map.empty) ext
 case object JsonDestFormat extends DestFormat
 /** ORC writer (beyond reference; options pass through like Parquet's). */
 final case class OrcDestFormat(options: Map[String, String] = Map.empty) extends DestFormat
+/** Avro writer (beyond reference); `codec`: deflate / snappy / null. */
+final case class AvroDestFormat(codec: Option[String] = None) extends DestFormat
 
 /** Versioned managed-table destination (`type: delta`). */
 final case class ManagedTableDestination(

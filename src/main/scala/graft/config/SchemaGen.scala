@@ -72,6 +72,8 @@ object SchemaGen {
       "parquet" -> objSchema("Parquet", req = Seq("type"),
         props = Seq("options" -> objSchema("", Nil, Seq("schema" -> arrayOf(ref("Field")))))),
       "orc" -> objSchema("ORC (beyond reference)", req = Seq("type"),
+        props = Seq("options" -> objSchema("", Nil, Seq("schema" -> arrayOf(ref("Field")))))),
+      "avro" -> objSchema("Avro container files (beyond reference)", req = Seq("type"),
         props = Seq("options" -> objSchema("", Nil, Seq("schema" -> arrayOf(ref("Field"))))))))
 
     defs.set[ObjectNode]("Stage", objSchema(
@@ -120,7 +122,10 @@ object SchemaGen {
       "parquet" -> objSchema("Parquet (options pass through to the writer)",
         req = Seq("type"), props = Seq("options" -> stringMapSchema)),
       "orc" -> objSchema("ORC (beyond reference; options pass through)",
-        req = Seq("type"), props = Seq("options" -> stringMapSchema))))
+        req = Seq("type"), props = Seq("options" -> stringMapSchema)),
+      "avro" -> objSchema("Avro container files (beyond reference)",
+        req = Seq("type"), props = Seq("options" -> objSchema("", Nil,
+          Seq("codec" -> typed("string", "deflate | snappy | null")))))))
 
     defs.set[ObjectNode]("TableWriteMode", oneOfByKey("operation",
       "append" -> objSchema("Add rows", req = Seq("operation"), props = Nil),

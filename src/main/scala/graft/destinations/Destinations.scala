@@ -69,6 +69,10 @@ object Destinations {
   // ------------------------------------------------------------------ file
 
   private def writeFile(spark: SparkSession, d: FileDestination, df: DataFrame): Unit = {
+    d.format match {
+      case AvroDestFormat(codec) => return writeAvro(spark, d, df, codec)
+      case _ =>
+    }
     val (fmt, options) = d.format match {
       case CsvDestFormat(hasHeader, delimiter, compression) =>
         ("csv", Map("header" -> hasHeader.toString, "delimiter" -> delimiter.toString) ++
@@ -76,6 +80,7 @@ object Destinations {
       case ParquetDestFormat(opts) => ("parquet", opts)
       case JsonDestFormat => ("json", Map.empty[String, String])
       case OrcDestFormat(opts) => ("orc", opts)
+      case _: AvroDestFormat => throw new IllegalStateException("handled above")
     }
 
     if (d.singleFile) {
@@ -86,6 +91,58 @@ object Destinations {
       val w = df.write.mode(SaveMode.Overwrite).format(fmt).options(options)
       (if (d.partitionColumns.nonEmpty) w.partitionBy(d.partitionColumns: _*) else w)
         .save(d.location.spark)
+    }
+  }
+
+  /** Avro goes through [[graft.sources.Avro.write]] (Hadoop Avro output
+    * format — no spark-avro connector in this build). Hive-style
+    * `partition_columns` are laid out by a driver loop over the distinct
+    * partition tuples (one distributed write per partition directory) —
+    * fine for the low-cardinality layouts the option is for, and guarded so
+    * a high-cardinality mistake fails loudly instead of launching thousands
+    * of jobs. `single_file` coalesces to one task and renames the single
+    * container file into place, same contract as the other formats.
+    */
+  private def writeAvro(spark: SparkSession, d: FileDestination, df: DataFrame,
+      codec: Option[String]): Unit = {
+    import graft.sources.Avro
+    val target = new Path(d.location.spark)
+    val fs: FileSystem = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (d.singleFile) {
+      require(d.partitionColumns.isEmpty,
+        "single_file output cannot be combined with partition_columns")
+      val tmp = new Path(target.getParent, s".graft-tmp-${java.util.UUID.randomUUID()}")
+      try {
+        Avro.write(df.coalesce(1), tmp.toString, codec)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(p => p.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"No part file produced under $tmp"))
+        fs.mkdirs(target.getParent)
+        if (fs.exists(target)) fs.delete(target, false)
+        if (!fs.rename(part, target))
+          throw new IllegalStateException(s"Failed to move $part to $target")
+      } finally fs.delete(tmp, true)
+    } else if (d.partitionColumns.isEmpty) {
+      if (fs.exists(target)) fs.delete(target, true)
+      Avro.write(df, target.toString, codec)
+    } else {
+      val parts = df.select(d.partitionColumns.map(org.apache.spark.sql.functions.col): _*)
+        .distinct().collect()
+      require(parts.length <= 1000,
+        s"avro partitioned write would create ${parts.length} partition directories (cap 1000)")
+      if (fs.exists(target)) fs.delete(target, true)
+      val dataCols = df.columns.filterNot(d.partitionColumns.contains)
+        .map(org.apache.spark.sql.functions.col)
+      parts.foreach { p =>
+        val dir = d.partitionColumns.zipWithIndex
+          .map { case (c, i) => s"$c=${String.valueOf(p.get(i))}" }
+          .mkString("/")
+        val slice = d.partitionColumns.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+          acc.filter(org.apache.spark.sql.functions.col(c) <=>
+            org.apache.spark.sql.functions.lit(p.get(i)))
+        }
+        Avro.write(slice.select(dataCols: _*), s"$target/$dir", codec)
+      }
     }
   }
 

@@ -27,13 +27,24 @@ object Sources {
 
     case FileSource(_, format, location, storage) =>
       ObjectStores.configure(spark, location, storage)
-      reader(spark, format).load(location.spark)
+      format match {
+        case AvroFormat(schema) => castToDeclared(Avro.read(spark, location.spark), schema)
+        case _ => reader(spark, format).load(location.spark)
+      }
 
     case DirSource(_, format, location, partitionCols, storage) =>
       ObjectStores.configure(spark, location, storage)
       // Spark auto-discovers hive-style k=v partition dirs; declared partition
       // types are enforced by casting the discovered columns.
-      val df = reader(spark, format).load(location.spark)
+      val df = format match {
+        case AvroFormat(schema) =>
+          require(partitionCols.isEmpty,
+            "avro directory sources do not support hive partition columns " +
+              "(the Hadoop Avro input format has no partition discovery) — " +
+              "read the partition directories as separate sources")
+          castToDeclared(Avro.read(spark, location.spark), schema)
+        case _ => reader(spark, format).load(location.spark)
+      }
       partitionCols.foldLeft(df) { case (d, (name, dt)) =>
         require(d.columns.contains(name),
           s"partition column '$name' not found in directory source at ${location.spark}")
@@ -58,6 +69,13 @@ object Sources {
         .option("query", loadQuery)
         .load()
   }
+
+  /** Declared-schema enforcement for formats read outside DataFrameReader:
+    * select + cast to the declared fields (the reference's Delta-destination
+    * cast semantic applied on the read side). */
+  private def castToDeclared(df: DataFrame, schema: Seq[Types.FieldSpec]): DataFrame =
+    if (schema.isEmpty) df
+    else df.select(schema.map(f => col(f.name).cast(f.dataType)): _*)
 
   private def reader(spark: SparkSession, format: FileFormat) = {
     val base = spark.read.format(FileFormat.sparkName(format))

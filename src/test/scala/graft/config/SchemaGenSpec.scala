@@ -29,7 +29,7 @@ class SchemaGenSpec extends AnyFunSuite {
       "in_memory", "memory", "inmemory", "file", "directory", "dir",
       "delta", "managed", "table", "odbc", "database", "jdbc",
       // formats
-      "csv", "json", "jsonl", "parquet", "orc",
+      "csv", "json", "jsonl", "parquet", "orc", "avro",
       // write modes
       "append", "upsert", "replace", "custom")
     tags.foreach(t => assert(text.contains(s""""$t""""), s"tag '$t' missing from schema"))

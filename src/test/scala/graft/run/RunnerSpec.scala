@@ -162,6 +162,36 @@ class RunnerSpec extends SparkSpec {
     spark.catalog.dropTempView("orc_back")
   }
 
+  test("Avro source and destination round-trip, incl. single_file and partitions (beyond reference)") {
+    val dir = tmpDir("runner-avro")
+    val in = dir.resolve("in")
+    graft.sources.Avro.write(
+      spark.range(1, 21).selectExpr("id", "concat('n', id) AS name",
+        "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS parity",
+        "CAST(id AS DOUBLE) * 1.5 AS score"),
+      in.toString)
+    // avro source → stage → single exact-path avro file
+    val single = dir.resolve("out.avro")
+    Runner.run(spark, Aqueduct(
+      sources = Seq(FileSource("raw_av", AvroFormat(), Location(in.toString))),
+      stages = Seq(Seq(Stage("av_sel",
+        "SELECT id, name, parity, score FROM raw_av WHERE id <= 10"))),
+      destination = Some(FileDestination("av_out", Location(single.toString),
+        AvroDestFormat(codec = Some("deflate"))))))
+    assert(java.nio.file.Files.isRegularFile(single))
+    // hive-partitioned avro write; partition dirs on disk
+    val parts = dir.resolve("parts")
+    Runner.run(spark, Aqueduct(
+      sources = Seq(FileSource("raw_av2", AvroFormat(), Location(single.toString))),
+      stages = Seq(Seq(Stage("av_all", "SELECT * FROM raw_av2"))),
+      destination = Some(FileDestination("av_parts", Location(parts.toString),
+        AvroDestFormat(), singleFile = false, partitionColumns = Seq("parity")))))
+    assert(java.nio.file.Files.isDirectory(parts.resolve("parity=even")))
+    val back = graft.sources.Avro.read(spark, parts.resolve("parity=odd").toString)
+    assert(back.count() == 5 &&
+      back.selectExpr("sum(id)").head().getLong(0) == (1 + 3 + 5 + 7 + 9))
+  }
+
   test("managed-table source with time travel through the config pipeline") {
     val dir = tmpDir("runner-mtsrc")
     val tblLoc = Location(dir.resolve("tbl").toString)
