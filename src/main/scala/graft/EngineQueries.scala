@@ -2178,8 +2178,54 @@ object EngineQueries {
              CAST(min(o_orderdate) AS DATE) AS first_date,
              CAST(max(o_orderdate) AS DATE) AS last_date
              FROM p16_avro GROUP BY o_orderstatus ORDER BY o_orderstatus""")))))
+    }),
+
+    // Blocklist phrase filtering: one Aho–Corasick scan per document
+    // (functions/MatchExprs) instead of one contains() pass per pattern —
+    // the automaton rides to executors as a single reference object, so a
+    // 10k-phrase blocklist stays a single corpus pass with no join. The
+    // oracle replays the same pattern list with per-pattern contains() in
+    // DuckDB (same result, the quadratic form this replaces).
+    "q112_blocklist" -> ((s, dir) => {
+      val phrases = EngineQueries.blocklistPhrases
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.MultiContains(col("text"), phrases).as("m"))
+        .filter(size(col("m")) > 0)
+        // joined string, not array<string>: the oracle hash compare is
+        // scalar-typed (no other gated query emits arrays)
+        .select(col("doc_id"), array_join(col("m"), "|").as("matched"),
+          size(col("m")).as("n_matched"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LATERAL correlated subquery join (SQL surface): per-customer top-2
+    // orders via a correlated ORDER BY…LIMIT subquery in FROM — Catalyst
+    // plans the decorrelated form; DuckDB runs the identical SQL.
+    "q113_lateral" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey < 200
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""")
     })
   )
+
+  /** Deterministic blocklist for q112 — phrases over the synthetic corpus
+    * vocabulary, incl. overlapping ones so suffix-link matching is
+    * exercised at the gate. */
+  private[graft] val blocklistPhrases: Seq[String] = Seq(
+    "hash value table", "fast merge batch", "the line sort",
+    "value table part", "table part a", "key agg row",
+    "row scan slow", "slow fast table", "spark a a",
+    "scan slow fast", "a row fast", "batch part value",
+    // shorter, denser phrases: overlap with the 3-word ones above so the
+    // automaton's suffix links fire on real rows
+    "hash value", "merge batch", "line sort", "scan slow", "spark shuffle")
 
   def oracleSql: Map[String, String] = Map(
     "q07_outer_join" ->
@@ -3410,6 +3456,23 @@ object EngineQueries {
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM lineitem WHERE l_orderkey < 5000
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q112_blocklist" -> {
+      val lits = blocklistPhrases.map(p => s"'${p.replace("'", "''")}'").mkString(", ")
+      s"""SELECT doc_id,
+            array_to_string(list_filter([$lits], p -> contains(text, p)), '|') AS matched,
+            CAST(len(list_filter([$lits], p -> contains(text, p))) AS INT) AS n_matched
+          FROM documents
+          WHERE len(list_filter([$lits], p -> contains(text, p))) > 0
+          ORDER BY doc_id"""
+    },
+    "q113_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         FROM customer c JOIN LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON TRUE
+         WHERE c.c_custkey < 200
+         ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""",
     "p16_pipeline_avro" ->
       """SELECT o_orderstatus, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
