@@ -56,7 +56,8 @@ object Bench {
   private[graft] val r8New = Set("q103_delta_dv", "q104_delta_mapped",
     "q105_ann_pq", "q106_hash_split", "q107_shard_assign", "q108_ann_ivfpq",
     "q109_unpivot", "q110_pca_project", "q111_delta_cdf", "p15_pipeline_orc",
-    "p16_pipeline_avro", "q112_blocklist", "q113_lateral")
+    "p16_pipeline_avro", "q112_blocklist", "q113_lateral",
+    "q114_sketch_union")
   private[graft] val laterRounds = Seq(r3New, r4New, r5New, r6New, r8New)
   private def newer(from: Int)(k: String): Boolean =
     laterRounds.drop(from).exists(_(k))

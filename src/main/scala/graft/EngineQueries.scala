@@ -2212,6 +2212,37 @@ object EngineQueries {
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         WHERE c.c_custkey < 200
         ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""")
+    }),
+
+    // Mergeable distinct sketches (DataSketches HLL, built into Spark 4):
+    // one sketch per source partition, union-aggregated for the corpus
+    // total — the incremental pattern where each new day/partition
+    // aggregates once into a few-KB binary sketch and history is NEVER
+    // re-scanned (contrast q27's one-shot approx_count_distinct). Estimates
+    // are approximate by design, so the gate is q27-style: exact counts
+    // hash-gated beside within-2% booleans.
+    "q114_sketch_union" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        WITH per_source AS (
+          SELECT source,
+            hll_sketch_agg(doc_id) AS sk,
+            count(DISTINCT doc_id) AS exact_distinct
+          FROM documents GROUP BY source),
+        rows_out AS (
+          SELECT source, exact_distinct,
+            abs(hll_sketch_estimate(sk) - exact_distinct)
+              <= 0.02 * exact_distinct AS est_within_2pct
+          FROM per_source
+          UNION ALL
+          SELECT '__total__',
+            (SELECT count(DISTINCT doc_id) FROM documents),
+            abs(hll_sketch_estimate(hll_union_agg(sk))
+                - (SELECT count(DISTINCT doc_id) FROM documents))
+              <= 0.02 * (SELECT count(DISTINCT doc_id) FROM documents)
+          FROM per_source)
+        SELECT source, exact_distinct, est_within_2pct
+        FROM rows_out ORDER BY source""")
     })
   )
 
@@ -3465,6 +3496,13 @@ object EngineQueries {
           WHERE len(list_filter([$lits], p -> contains(text, p))) > 0
           ORDER BY doc_id"""
     },
+    "q114_sketch_union" ->
+      """SELECT source, count(DISTINCT doc_id) AS exact_distinct,
+                TRUE AS est_within_2pct
+         FROM documents GROUP BY source
+         UNION ALL
+         SELECT '__total__', count(DISTINCT doc_id), TRUE FROM documents
+         ORDER BY source""",
     "q113_lateral" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
          FROM customer c JOIN LATERAL (
