@@ -92,6 +92,37 @@ object Streams {
       }
   }
 
+  /** Watermarked stream-stream join: both sides carry an event-time
+    * watermark and the join predicate bounds right-side time to
+    * `[l.ts, l.ts + within]`, so Spark can expire buffered state once the
+    * watermark passes — state is bounded by (watermark + within) of data,
+    * not the streams' history. `left_outer` additionally emits unmatched
+    * left rows (nulls on the right) once the watermark proves no match can
+    * arrive — the attribution shape ("which impressions never converted")
+    * that a batch join can only answer after the day closes.
+    *
+    * Columns come out prefixed (`l_`/`r_`) because both sides share names
+    * by design (same event schema, two roles).
+    */
+  def joinedStreams(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String,
+      within: String = "10 minutes",
+      joinType: String = "inner",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
+    val l = left.withWatermark(ts, watermark)
+      .select(left.columns.map(c => col(c).as(s"l_$c")).toIndexedSeq: _*)
+    val r = right.withWatermark(ts, watermark)
+      .select(right.columns.map(c => col(c).as(s"r_$c")).toIndexedSeq: _*)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col(s"r_$ts") >= col(s"l_$ts") &&
+        col(s"r_$ts") <= col(s"l_$ts") + expr(s"INTERVAL $within"),
+      joinType)
+  }
+
   final case class SessionEvent(user_id: Long, ts_ms: Long)
   final case class SessionState(start_ms: Long, last_ms: Long, n_events: Long)
   final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)

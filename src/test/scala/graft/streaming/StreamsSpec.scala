@@ -348,4 +348,61 @@ class StreamsSpec extends SparkSpec {
       "file_stream_out", OutputMode.Complete)
     assert(out.collect().map(_.getLong(3)).sum == 1L)
   }
+
+  test("watermarked stream-stream inner join matches within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long, String)]
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val joined = Streams.joinedStreams(
+      imps.toDF().toDF("ts", "user_id", "kind"),
+      clicks.toDF().toDF("ts", "user_id", "kind"),
+      key = "user_id", ts = "ts", within = "5 minutes", watermark = "2 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_inner")
+      .outputMode(OutputMode.Append).start()
+    imps.addData(
+      (ts("2024-01-01 00:00:00"), 1L, "imp"),
+      (ts("2024-01-01 00:00:00"), 2L, "imp"))
+    clicks.addData(
+      (ts("2024-01-01 00:03:00"), 1L, "click"),   // within 5 min → match
+      (ts("2024-01-01 00:09:00"), 2L, "click"),   // beyond 5 min → no match
+      (ts("2024-01-01 00:02:00"), 3L, "click"))   // no impression → no match
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_inner").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("l_user_id") == 1L &&
+      rows.head.getAs[String]("r_kind") == "click")
+  }
+
+  test("stream-stream left_outer emits unmatched rows once the watermark closes them") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long, String)]
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val joined = Streams.joinedStreams(
+      imps.toDF().toDF("ts", "user_id", "kind"),
+      clicks.toDF().toDF("ts", "user_id", "kind"),
+      key = "user_id", ts = "ts", within = "5 minutes",
+      joinType = "left_outer", watermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode(OutputMode.Append).start()
+    imps.addData(
+      (ts("2024-01-01 00:00:00"), 1L, "imp"),     // will match
+      (ts("2024-01-01 00:00:00"), 2L, "imp"))     // never clicks
+    clicks.addData((ts("2024-01-01 00:03:00"), 1L, "click"))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past imp-2's join window so the outer
+    // row can be finalized as unmatched
+    imps.addData((ts("2024-01-01 01:00:00"), 99L, "imp"))
+    clicks.addData((ts("2024-01-01 01:00:00"), 98L, "click"))
+    q.processAllAvailable()
+    imps.addData((ts("2024-01-01 02:00:00"), 97L, "imp"))
+    clicks.addData((ts("2024-01-01 02:00:00"), 96L, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val byUser = spark.table("ssj_outer").collect()
+      .groupBy(_.getAs[Long]("l_user_id"))
+    assert(byUser(1L).head.getAs[String]("r_kind") == "click")
+    assert(byUser.contains(2L) && byUser(2L).head.isNullAt(
+      spark.table("ssj_outer").columns.indexOf("r_kind")))
+  }
 }
