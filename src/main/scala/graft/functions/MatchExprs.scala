@@ -156,3 +156,39 @@ object MultiContains {
   def apply(text: Column, patterns: Seq[String]): Column =
     GraftShims.column(MultiContains(GraftShims.expression(text), patterns))
 }
+
+/** `bloom_might_contain(hash)`: membership probe against a pre-built
+  * [[org.apache.spark.util.sketch.BloomFilter]], inside codegen — replaces
+  * the boxed Scala-UDF probe (Spark's own `might_contain` expression is
+  * not on the public registry). The sketch rides as a reference object in
+  * the task broadcast, the same shipping path an explicit
+  * `sparkContext.broadcast` uses.
+  */
+case class BloomMightContain(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | NullType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain expects a long hash input, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def nullSafeEval(h: Any): Any = bloom.mightContainLong(h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.mightContainLong($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
+object BloomMightContain {
+  def apply(hash: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    GraftShims.column(BloomMightContain(GraftShims.expression(hash), bloom))
+}

@@ -194,21 +194,18 @@ object Dedup {
     * confirm on md5 keeps the result exact: a Bloom "maybe" is never
     * trusted, so output equals [[exactNewOnly]] row-for-row.
     *
-    * The membership probe is a Scala UDF (Spark's codegen'd bloom
-    * `might_contain` expression is not on the public registry); it gates
-    * only which join path a row takes, never the result, and costs a few
-    * hash probes per row.
+    * The membership probe is the native codegen'd
+    * [[graft.functions.BloomMightContain]] expression (the sketch ships as
+    * a task-broadcast reference object); it gates only which join path a
+    * row takes, never the result, and costs a few hash probes per row.
     */
   def exactNewOnlyBloom(
       incoming: DataFrame, corpus: DataFrame, textCol: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val spark = incoming.sparkSession
     val bf = corpus.select(xxhash64(col(textCol)).as("_h"))
       .stat.bloomFilter("_h", expectedItems, fpp)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
-
-    val probed = incoming.withColumn("_maybe", mightContain(xxhash64(col(textCol))))
+    val probed = incoming.withColumn("_maybe",
+      graft.functions.BloomMightContain(xxhash64(col(textCol)), bf))
     val definitelyNew = probed.filter(!col("_maybe")).drop("_maybe")
     val confirmed = exactNewOnly(probed.filter(col("_maybe")).drop("_maybe"),
       corpus, textCol)

@@ -28,6 +28,20 @@ class MatchExprSpec extends SparkSpec {
     assert(r.forall(x => x.getSeq[String](0) == x.getSeq[String](1)))
   }
 
+  test("BloomMightContain: no false negatives, stays inside codegen, null passthrough") {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    (1L to 500L).foreach(bf.putLong)
+    val df = spark.range(1, 1000).toDF("h")
+      .withColumn("maybe", BloomMightContain(col("h"), bf))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((1L to 500L).forall(rows(_)), "bloom false negative")
+    val fp = (501L to 999L).count(rows(_))
+    assert(fp < 50, s"fp rate implausibly high: $fp/499")
+    val nullRow = spark.sql("SELECT CAST(NULL AS BIGINT) AS h")
+      .select(BloomMightContain(col("h"), bf)).head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("MultiContains null/empty semantics and bad-pattern rejection") {
     val df = Seq(Tuple1(Option.empty[String]), Tuple1(Some("no hits here"))).toDF("t")
     val r = df.select(MultiContains(col("t"), Seq("zzz"))).collect()
