@@ -2243,6 +2243,43 @@ object EngineQueries {
           FROM per_source)
         SELECT source, exact_distinct, est_within_2pct
         FROM rows_out ORDER BY source""")
+    }),
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE): binary-tree ancestry walk —
+    // every customer key < 64 halves repeatedly to the root, accumulating
+    // depth and path sum. A genuine iterate-to-fixpoint in pure SQL (the
+    // shape behind org hierarchies / BOM explosions), executed by Spark's
+    // recursion operator rather than a driver loop. DuckDB runs the same
+    // recursion (// is its integer division; Spark spells it DIV).
+    "q115_recursive_cte" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        WITH RECURSIVE anc(start_key, cur_key, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 64
+          UNION ALL
+          SELECT start_key, cur_key DIV 2, depth + 1 FROM anc WHERE cur_key > 1)
+        SELECT start_key, max(depth) AS root_depth,
+               CAST(sum(cur_key) AS BIGINT) AS path_sum
+        FROM anc GROUP BY start_key ORDER BY start_key""")
+    }),
+
+    // VARIANT semi-structured path (Spark 4): props parsed ONCE into the
+    // binary variant encoding, then typed variant_get extraction per
+    // access — at scale this replaces re-parsing the JSON string per
+    // field (q19's get_json_object path) with one parse + O(1) typed
+    // reads. The oracle reads the same fields with DuckDB's JSON
+    // extraction, so the variant layer must be value-invisible.
+    "q116_variant" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        WITH v AS (SELECT event_type, parse_json(props) AS pv FROM events)
+        SELECT event_type,
+               count(*) AS n,
+               sum(variant_get(pv, '$.k', 'long')) AS k_sum,
+               min(variant_get(pv, '$.k', 'long')) AS k_min,
+               max(variant_get(pv, '$.k', 'long')) AS k_max,
+               min(schema_of_variant(pv)) AS v_schema
+        FROM v GROUP BY event_type ORDER BY event_type""")
     })
   )
 
@@ -3496,6 +3533,22 @@ object EngineQueries {
           WHERE len(list_filter([$lits], p -> contains(text, p))) > 0
           ORDER BY doc_id"""
     },
+    "q115_recursive_cte" ->
+      """WITH RECURSIVE anc(start_key, cur_key, depth) AS (
+           SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 64
+           UNION ALL
+           SELECT start_key, cur_key // 2, depth + 1 FROM anc WHERE cur_key > 1)
+         SELECT start_key, max(depth) AS root_depth,
+                CAST(sum(cur_key) AS BIGINT) AS path_sum
+         FROM anc GROUP BY start_key ORDER BY start_key""",
+    "q116_variant" ->
+      """SELECT event_type,
+                count(*) AS n,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+                CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+                CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+                'OBJECT<k: BIGINT>' AS v_schema
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q114_sketch_union" ->
       """SELECT source, count(DISTINCT doc_id) AS exact_distinct,
                 TRUE AS est_within_2pct
