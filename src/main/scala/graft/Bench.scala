@@ -57,7 +57,8 @@ object Bench {
     "q105_ann_pq", "q106_hash_split", "q107_shard_assign", "q108_ann_ivfpq",
     "q109_unpivot", "q110_pca_project", "q111_delta_cdf", "p15_pipeline_orc",
     "p16_pipeline_avro", "q112_blocklist", "q113_lateral",
-    "q114_sketch_union", "q115_recursive_cte", "q116_variant")
+    "q114_sketch_union", "q115_recursive_cte", "q116_variant",
+    "q117_editdist_join")
   private[graft] val laterRounds = Seq(r3New, r4New, r5New, r6New, r8New)
   private def newer(from: Int)(k: String): Boolean =
     laterRounds.drop(from).exists(_(k))

@@ -2280,6 +2280,18 @@ object EngineQueries {
                max(variant_get(pv, '$.k', 'long')) AS k_max,
                min(schema_of_variant(pv)) AS v_schema
         FROM v GROUP BY event_type ORDER BY event_type""")
+    }),
+
+    // Fuzzy key matching: Levenshtein ≤ 1 pairs over part names via
+    // Ed-Join q-gram prefix filtering (candidates only from each side's
+    // rarest maxDist·q+1 grams — never a plain gram join, which TPC-H's
+    // dense 92-word name vocabulary would blow up). The oracle is the
+    // definitionally-exact quadratic form with the same length prefilter;
+    // the prefix filter must lose nothing.
+    "q117_editdist_join" -> ((s, dir) => {
+      val parts = t(s, dir, "part").filter(col("p_partkey") % 4 === 0)
+      ops.Dedup.editDistancePairs(parts, "p_partkey", "p_name", maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -3533,6 +3545,15 @@ object EngineQueries {
           WHERE len(list_filter([$lits], p -> contains(text, p))) > 0
           ORDER BY doc_id"""
     },
+    "q117_editdist_join" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+         FROM part a JOIN part b
+           ON a.p_partkey < b.p_partkey
+          AND abs(length(a.p_name) - length(b.p_name)) <= 1
+          AND levenshtein(a.p_name, b.p_name) <= 1
+         WHERE a.p_partkey % 4 = 0 AND b.p_partkey % 4 = 0
+         ORDER BY id_a, id_b""",
     "q115_recursive_cte" ->
       """WITH RECURSIVE anc(start_key, cur_key, depth) AS (
            SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 64

@@ -646,4 +646,62 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "distance")
   }
+
+  /** Edit-distance (Levenshtein ≤ `maxDist`) pairs over a SHORT-string
+    * column — fuzzy key matching for titles, names, URLs, product strings
+    * (for document bodies use the Jaccard/MinHash miners; edit distance is
+    * the wrong metric there and the full strings ride through the join
+    * here).
+    *
+    * Candidate generation is Ed-Join-style q-gram prefix filtering (Xiao,
+    * Wang, Lin 2008 "Ed-Join", VLDB — public method): one edit operation
+    * changes at most `q` of a string's q-grams, so two strings within
+    * `maxDist` edits differ in at most `maxDist·q` distinct grams — if the
+    * `maxDist·q + 1` globally-RAREST grams of each side share nothing, the
+    * pair is provably beyond the radius. Candidates therefore come from an
+    * equi-join on prefix grams only (rare by construction — the hot grams
+    * that would explode a plain gram join never enter a prefix), pruned
+    * in-join by the length bound |len_a − len_b| ≤ maxDist, then verified
+    * exactly with the codegen'd `levenshtein` (with its max-distance
+    * argument, so verification bails out after the banded DP proves the
+    * bound — O(maxDist·len), not O(len²)).
+    *
+    * Scale shape: gram frequency is one bounded-key aggregate; the per-doc
+    * prefix pick is a window over ~len rows per doc; the candidate join
+    * shuffles prefix postings (≤ maxDist·q+1 per doc). Strings shorter
+    * than `q` have no grams and never pair (documented; the length filter
+    * alone would be the right plan for those).
+    */
+  def editDistancePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, q: Int = 3): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    require(q >= 2, "q-gram width must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val base = spread(docs)
+      .select(col(idCol).as("doc_id"), col(textCol).as("txt"))
+      .filter(col("txt").isNotNull && length(col("txt")) >= q)
+    val posting = base.select(col("doc_id"),
+      explode(array_distinct(graft.functions.CharShingles(col("txt"), q, 1))).as("g"))
+    // global frequency order, ties by gram text — both sides must rank
+    // prefixes under ONE total order for the filter lemma to hold
+    val freq = posting.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val prefix = posting.join(freq, Seq("g"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxDist * q + 1)
+      .select(col("doc_id"), col("g"))
+    val withTxt = prefix.join(
+      base.withColumn("len", length(col("txt"))), Seq("doc_id"))
+    val a = withTxt.select(col("g"), col("doc_id").as("id_a"),
+      col("txt").as("ta"), col("len").as("la"))
+    val b = withTxt.select(col("g"), col("doc_id").as("id_b"),
+      col("txt").as("tb"), col("len").as("lb"))
+    a.join(b, a("g") === b("g") && col("id_a") < col("id_b") &&
+        abs(col("la") - col("lb")) <= maxDist)
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("dist") >= 0) // levenshtein(..., max) returns -1 beyond the bound
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -167,6 +167,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q112: blocklist matching is pure scan work via one automaton expression") {
+    val p = plan("q112_blocklist")
+    assert(p.contains("multi_contains"), p)
+    assert(onlyOutputSortExchanges(p), p)
+  }
+
+  test("q108: IVF-PQ runs on the native index expressions, not literal trees") {
+    val p = plan("q108_ann_ivfpq")
+    // encode + scoring are single native expressions; the composed forms
+    // they replaced inlined one literal sub-tree per centroid/codebook
+    // entry (megabytes of plan, multi-MiB task binaries — r8 fix)
+    assert(p.contains("pq_encode"), p)
+    assert(p.contains("adc_score"), p)
+    assert(p.contains("nearest_cell"), p)
+    assert(!p.contains("least(struct"), p)
+    assert(p.length < 200000, s"plan blew up to ${p.length} chars")
+  }
+
   test("q83: NFC normalization is pure scan work (no operator shuffle)") {
     val p = plan("q83_normalize")
     assert(p.contains("nfc_normalize"), p)

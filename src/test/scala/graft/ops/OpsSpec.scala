@@ -1326,4 +1326,37 @@ class OpsSpec extends SparkSpec {
     val arr = spark.sql("""SELECT unnest_json_array('[1, "two"]') AS a""").head().getSeq[String](0)
     assert(arr == Seq("1", "two"))
   }
+
+  test("Dedup.editDistancePairs equals the quadratic levenshtein ground truth") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val alphabet = "abcde"
+    def mutate(s: String, edits: Int): String = {
+      var out = s
+      (1 to edits).foreach { _ =>
+        val i = rnd.nextInt(math.max(out.length, 1))
+        rnd.nextInt(3) match {
+          case 0 if out.nonEmpty => out = out.updated(i, alphabet(rnd.nextInt(5))) // sub
+          case 1 => out = out.take(i) + alphabet(rnd.nextInt(5)) + out.drop(i)     // ins
+          case _ if out.length > 4 => out = out.take(i) + out.drop(i + 1)          // del
+          case _ => ()
+        }
+      }
+      out
+    }
+    val bases = (1 to 40).map(_ => (1 to 12).map(_ => alphabet(rnd.nextInt(5))).mkString)
+    val strs = bases.zipWithIndex.flatMap { case (b, i) =>
+      Seq((i * 10L, b), (i * 10L + 1, mutate(b, 1)), (i * 10L + 2, mutate(b, 3)))
+    }
+    val df = strs.toDF("id", "s")
+    val fast = Dedup.editDistancePairs(df, "id", "s", maxDist = 2, q = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val truth = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+      d = graft.TestLev.dist(sa, sb) if d <= 2 && sa.length >= 3 && sb.length >= 3
+    } yield ((ia, ib), d)).toMap
+    assert(fast == truth, s"missing=${(truth.keySet -- fast.keySet).take(5)} " +
+      s"extra=${(fast.keySet -- truth.keySet).take(5)}")
+    assert(truth.nonEmpty, "ground truth vacuous")
+  }
 }
