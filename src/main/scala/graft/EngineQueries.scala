@@ -2289,7 +2289,7 @@ object EngineQueries {
     // definitionally-exact quadratic form with the same length prefilter;
     // the prefix filter must lose nothing.
     "q117_editdist_join" -> ((s, dir) => {
-      val parts = t(s, dir, "part").filter(col("p_partkey") % 4 === 0)
+      val parts = t(s, dir, "part").filter(col("p_partkey") % 8 === 0)
       ops.Dedup.editDistancePairs(parts, "p_partkey", "p_name", maxDist = 1)
         .orderBy(col("id_a"), col("id_b"))
     })
@@ -3552,7 +3552,7 @@ object EngineQueries {
            ON a.p_partkey < b.p_partkey
           AND abs(length(a.p_name) - length(b.p_name)) <= 1
           AND levenshtein(a.p_name, b.p_name) <= 1
-         WHERE a.p_partkey % 4 = 0 AND b.p_partkey % 4 = 0
+         WHERE a.p_partkey % 8 = 0 AND b.p_partkey % 8 = 0
          ORDER BY id_a, id_b""",
     "q115_recursive_cte" ->
       """WITH RECURSIVE anc(start_key, cur_key, depth) AS (

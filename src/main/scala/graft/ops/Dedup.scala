@@ -697,11 +697,15 @@ object Dedup {
       col("txt").as("ta"), col("len").as("la"))
     val b = withTxt.select(col("g"), col("doc_id").as("id_b"),
       col("txt").as("tb"), col("len").as("lb"))
+    // verify BEFORE the pair-dedup exchange: a candidate surviving on 2+
+    // shared prefix grams re-runs the (cheap, banded) DP, but the
+    // dropDuplicates shuffle then carries only TRUE pairs — far fewer than
+    // candidates on dense vocabularies
     a.join(b, a("g") === b("g") && col("id_a") < col("id_b") &&
         abs(col("la") - col("lb")) <= maxDist)
-      .dropDuplicates("id_a", "id_b")
       .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
       .filter(col("dist") >= 0) // levenshtein(..., max) returns -1 beyond the bound
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 }
