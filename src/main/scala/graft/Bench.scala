@@ -58,7 +58,7 @@ object Bench {
     "q109_unpivot", "q110_pca_project", "q111_delta_cdf", "p15_pipeline_orc",
     "p16_pipeline_avro", "q112_blocklist", "q113_lateral",
     "q114_sketch_union", "q115_recursive_cte", "q116_variant",
-    "q117_editdist_join")
+    "q117_editdist_join", "q118_salted_join")
   private[graft] val laterRounds = Seq(r3New, r4New, r5New, r6New, r8New)
   private def newer(from: Int)(k: String): Boolean =
     laterRounds.drop(from).exists(_(k))

@@ -2292,6 +2292,23 @@ object EngineQueries {
       val parts = t(s, dir, "part").filter(col("p_partkey") % 8 === 0)
       ops.Dedup.editDistancePairs(parts, "p_partkey", "p_name", maxDist = 1)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Salted skew join through the oracle gate: the salt layer (split hot
+    // fact keys `salts` ways, replicate each dim row per salt) must be
+    // RESULT-invisible — DuckDB computes the plain join. Previously only
+    // plan/behavior-tested in ScaleSpec.
+    "q118_salted_join" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_orderkey"),
+          col("l_extendedprice"))
+      val dim = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      ops.Skew.saltedJoin(fact, dim, "suppkey", spreadCol = "l_orderkey", salts = 8)
+        .groupBy(col("suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("total_price"))
+        .orderBy(col("suppkey"))
     })
   )
 
@@ -3545,6 +3562,11 @@ object EngineQueries {
           WHERE len(list_filter([$lits], p -> contains(text, p))) > 0
           ORDER BY doc_id"""
     },
+    "q118_salted_join" ->
+      """SELECT l_suppkey AS suppkey, s_name, count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY l_suppkey, s_name ORDER BY suppkey""",
     "q117_editdist_join" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
                 CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
