@@ -2294,17 +2294,20 @@ object EngineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Salted skew join through the oracle gate: the salt layer (split hot
-    // fact keys `salts` ways, replicate each dim row per salt) must be
-    // RESULT-invisible — DuckDB computes the plain join. Previously only
-    // plan/behavior-tested in ScaleSpec.
+    // Salted skew join through the oracle gate: the salt layer (split HOT
+    // fact keys `salts` ways, replicate their dim rows per salt, plain-join
+    // the cold majority, union) must be RESULT-invisible — DuckDB computes
+    // the plain join. Explicit hot keys so both halves of the routed plan
+    // are deterministically exercised at every scale factor; the sampled
+    // detector is pinned separately in ScaleSpec.
     "q118_salted_join" -> ((s, dir) => {
       val fact = t(s, dir, "lineitem")
         .select(col("l_suppkey").as("suppkey"), col("l_orderkey"),
           col("l_extendedprice"))
       val dim = t(s, dir, "supplier")
         .select(col("s_suppkey").as("suppkey"), col("s_name"))
-      ops.Skew.saltedJoin(fact, dim, "suppkey", spreadCol = "l_orderkey", salts = 8)
+      ops.Skew.saltedJoin(fact, dim, "suppkey", spreadCol = "l_orderkey", salts = 8,
+        hotKeys = ops.HotKeySpec.Explicit(Seq(1L, 2L, 3L, 5L, 8L)))
         .groupBy(col("suppkey"), col("s_name"))
         .agg(count(lit(1)).as("n_items"),
           dsum(col("l_extendedprice")).as("total_price"))

@@ -851,20 +851,27 @@ object DeltaWrite {
       targetFileBytes: Long = 128L * 1024 * 1024,
       clusterBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
-    val snap = DeltaLog.snapshot(spark, tablePath)
+    val ls = DeltaLog.lazySnapshot(spark, tablePath)
+    val snap = ls.meta
     // layout-only (dataChange=false), so appendOnly tables may compact
     requireWritable(tablePath, snap, "compact", removesData = false)
     val table = new Path(tablePath)
     val f = fs(spark, table)
-    def sizeOf(a: DeltaLog.AddFile): Long =
-      if (a.size > 0) a.size
-      else f.getFileStatus(new Path(table, DeltaLog.decodePath(a.path))).getLen
-    val small = snap.files.filter(sizeOf(_) < targetFileBytes / 2)
+    // candidate selection stays on executors: the driver collects only the
+    // small files (the acted-on set), never the full live list. Files with
+    // an unrecorded size (0) pass the distributed filter and are stat'ed
+    // here — bounded by the collected count.
+    val small0 = ls.filesWhere(a => a.size <= 0 || a.size < targetFileBytes / 2)
+    val small = small0
+      .map(a => if (a.size > 0) a
+        else a.copy(size =
+          f.getFileStatus(new Path(table, DeltaLog.decodePath(a.path))).getLen))
+      .filter(_.size < targetFileBytes / 2)
     // only partitions holding 2+ small files shrink their file count
     val byPart = small.groupBy(_.partitionValues).filter(_._2.size >= 2)
     val toCompact = byPart.values.flatten.toSeq
     if (toCompact.isEmpty) return snap.version
-    val totalBytes = toCompact.map(sizeOf).sum
+    val totalBytes = toCompact.map(_.size).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val base = DeltaLog.readFiles(spark, tablePath, snap, toCompact)
       .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
@@ -897,19 +904,30 @@ object DeltaWrite {
     * mergeSchema append). Returns the new version.
     */
   def restore(spark: SparkSession, tablePath: String, version: Long): Long = {
-    val cur = DeltaLog.snapshot(spark, tablePath)
+    import org.apache.spark.sql.functions.{col, lit, not}
+    val lsCur = DeltaLog.lazySnapshot(spark, tablePath)
+    val cur = lsCur.meta
     requireWritable(tablePath, cur, "restore", removesData = true)
     if (version == cur.version) return cur.version
-    val target = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(version))
-    val curByPath = cur.files.map(f => f.path -> f).toMap
-    val tgtPaths = target.files.map(_.path).toSet
-    val removes = cur.files.filterNot(f => tgtPaths(f.path)).map(_.path)
+    val lsTgt = DeltaLog.lazySnapshot(spark, tablePath, versionAsOf = Some(version))
+    val target = lsTgt.meta
+    // the current↔target file-state diff runs as distributed anti-/outer-
+    // joins of the two log indexes; the driver collects only the DIFF (the
+    // acted-on set of the commit), never either full file list
+    val curIdx = lsCur.indexDF
+      .select(col("path"), col("deletionVector").as("_dv_cur"), lit(true).as("_in_cur"))
+    val tgtIdx = lsTgt.indexDF
+    val removes = curIdx
+      .join(tgtIdx.select(col("path")), Seq("path"), "left_anti")
+      .select(col("path")).collect().map(_.getString(0)).toSeq
     // re-add files the current snapshot lacks, AND files whose deletion-
     // vector state differs — same path, different live rows (a newer add
     // of the same path supersedes the old entry on replay)
-    val readds = target.files.filter { t =>
-      curByPath.get(t.path).forall(_.deletionVector != t.deletionVector)
-    }
+    val readds = DeltaLog.collectAdds(
+      tgtIdx.join(curIdx, Seq("path"), "left_outer")
+        .filter(col("_in_cur").isNull || not(col("_dv_cur") <=> col("deletionVector")))
+        .select(col("path"), col("partitionValues"), col("size"),
+          col("modificationTime"), col("stats"), col("deletionVector")))
     val table = new Path(tablePath)
     val f = fs(spark, table)
     readds.foreach { a =>
@@ -949,39 +967,53 @@ object DeltaWrite {
   def vacuum(
       spark: SparkSession,
       tablePath: String,
-      retainMs: Long = 7L * 24 * 3600 * 1000): Int = {
-    val snap = DeltaLog.snapshot(spark, tablePath)
+      retainMs: Long = 7L * 24 * 3600 * 1000,
+      listingBatch: Int = 100000): Int = {
+    import org.apache.spark.sql.functions.col
+    val ls = DeltaLog.lazySnapshot(spark, tablePath)
+    val snap = ls.meta
     // the vacuumProtocolCheck feature's contract: check writer capability
     // before deleting anything (physical cleanup, no data change)
     requireWritable(tablePath, snap, "vacuum", removesData = false)
     val table = new Path(tablePath)
     val f = fs(spark, table)
     // live = referenced data files PLUS any .bin sidecar a live add's
-    // deletion vector points into — deleting one would resurrect rows
-    val live = snap.files.map(a =>
-      f.makeQualified(new Path(table, DeltaLog.decodePath(a.path))).toString).toSet ++
-      snap.files.flatMap(_.deletionVector).flatMap { dj =>
-        val d = graft.sources.DeletionVectors.parse(dj)
-        if (d.storageType == "i") None
-        else Some(f.makeQualified(
-          graft.sources.DeletionVectors.dvFilePath(tablePath, d)).toString)
+    // deletion vector points into — deleting one would resurrect rows.
+    // The live set stays DISTRIBUTED: the driver streams the FS listing in
+    // bounded batches and anti-joins each batch against the log index on
+    // executors, collecting only the delete list — never a full-table path
+    // set (at 10⁷ files that set is GBs of driver strings).
+    val liveRel = ls.liveRelPathsDF(tablePath).persist()
+    try {
+      import spark.implicits._
+      val cutoff = System.currentTimeMillis() - retainMs
+      var removed = 0
+      val qualifiedRoot = f.makeQualified(table).toString
+      val batch = scala.collection.mutable.ArrayBuffer.empty[String]
+      def flush(): Unit = if (batch.nonEmpty) {
+        val doomed = batch.toSeq.toDF("rel")
+          .join(liveRel, Seq("rel"), "left_anti")
+          .select(col("rel")).as[String].collect()
+        doomed.foreach { rel =>
+          if (f.delete(new Path(table, rel), false)) removed += 1
+        }
+        batch.clear()
       }
-    val cutoff = System.currentTimeMillis() - retainMs
-    var removed = 0
-    val it = f.listFiles(table, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val p = f.makeQualified(st.getPath).toString
-      val name = st.getPath.getName
-      // never touch the log, hidden/temp paths, or anything inside them
-      val rel = p.stripPrefix(f.makeQualified(table).toString).dropWhile(_ == '/')
-      val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
-      if (st.isFile && !hidden && !name.startsWith("_") && !name.startsWith(".") &&
-          !live.contains(p) && st.getModificationTime < cutoff) {
-        if (f.delete(st.getPath, false)) removed += 1
+      val it = f.listFiles(table, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val p = f.makeQualified(st.getPath).toString
+        // never touch the log, hidden/temp paths, or anything inside them
+        val rel = p.stripPrefix(qualifiedRoot).dropWhile(_ == '/')
+        val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
+        if (st.isFile && !hidden && st.getModificationTime < cutoff) {
+          batch += rel
+          if (batch.size >= listingBatch) flush()
+        }
       }
-    }
-    removed
+      flush()
+      removed
+    } finally liveRel.unpersist()
   }
 
   // ------------------------------------------------------------ checkpoint

@@ -113,7 +113,7 @@ object Destinations {
         "single_file output cannot be combined with partition_columns")
       val tmp = new Path(target.getParent, s".graft-tmp-${java.util.UUID.randomUUID()}")
       try {
-        Avro.write(df.coalesce(1), tmp.toString, codec)
+        Avro.write(oneTask(df), tmp.toString, codec)
         val part = fs.listStatus(tmp).map(_.getPath)
           .find(p => p.getName.startsWith("part-"))
           .getOrElse(throw new IllegalStateException(s"No part file produced under $tmp"))
@@ -124,7 +124,10 @@ object Destinations {
       } finally fs.delete(tmp, true)
     } else if (d.partitionColumns.isEmpty) {
       if (fs.exists(target)) fs.delete(target, true)
-      Avro.write(df, target.toString, codec)
+      // an empty zero-partition frame must still produce one schema-bearing
+      // container file, or Avro.read later rejects the directory
+      Avro.write(if (rddPartitions(df) == 0) df.repartition(1) else df,
+        target.toString, codec)
     } else {
       val parts = df.select(d.partitionColumns.map(org.apache.spark.sql.functions.col): _*)
         .distinct().collect()
@@ -135,7 +138,7 @@ object Destinations {
         .map(org.apache.spark.sql.functions.col)
       parts.foreach { p =>
         val dir = d.partitionColumns.zipWithIndex
-          .map { case (c, i) => s"$c=${String.valueOf(p.get(i))}" }
+          .map { case (c, i) => s"$c=${partitionSegment(p.get(i))}" }
           .mkString("/")
         val slice = d.partitionColumns.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
           acc.filter(org.apache.spark.sql.functions.col(c) <=>
@@ -144,6 +147,34 @@ object Destinations {
         Avro.write(slice.select(dataCols: _*), s"$target/$dir", codec)
       }
     }
+  }
+
+  /** One write task even for empty results: `coalesce(1)` cannot RAISE a
+    * zero-partition plan, and a zero-task Hadoop write produces no container
+    * file at all (breaking the single_file rename and later reads), so the
+    * empty case repartitions up to one (empty) task instead. */
+  private def oneTask(df: DataFrame): DataFrame =
+    if (rddPartitions(df) == 0) df.repartition(1) else df.coalesce(1)
+
+  private def rddPartitions(df: DataFrame): Int = df.rdd.getNumPartitions
+
+  /** One hive path segment value: null becomes Hive's default-partition
+    * sentinel and special characters are `%XX`-escaped exactly as Spark's
+    * `ExternalCatalogUtils.escapePathName` does (control chars plus
+    * {@code " # % ' * / : = ? \ DEL { [ ] ^}), so directories produced by
+    * the driver-loop Avro writer are byte-identical to `partitionBy`
+    * layouts and un-escape cleanly on read. */
+  private[destinations] def partitionSegment(value: Any): String = value match {
+    case null => "__HIVE_DEFAULT_PARTITION__"
+    case v =>
+      val s = String.valueOf(v)
+      val sb = new StringBuilder(s.length)
+      s.foreach { c =>
+        if (c < ' ' || c == '\u007F' || "\"#%'*/:=?\\{[]^".indexOf(c) >= 0)
+          sb.append(f"%%${c.toInt}%02X")
+        else sb.append(c)
+      }
+      sb.toString
   }
 
   /** Spark writes a directory of part files; `single_file` means "exactly the

@@ -206,16 +206,25 @@ object Ann {
         i += 1
       }
       moved = false
+      // several clusters can empty in the same Lloyd step; each must be
+      // re-seeded with a DISTINCT farthest point or they collapse into
+      // duplicate centroids (permanently dead cells)
+      val reseeded = new Array[Boolean](n)
       var j = 0
       while (j < k) {
         if (counts(j) == 0) {
-          var far = 0; var fd = -1.0; var i2 = 0
+          var far = -1; var fd = -1.0; var i2 = 0
           while (i2 < n) {
-            val d = d2(points(i2), centers(assign(i2)))
-            if (d > fd) { fd = d; far = i2 }
+            if (!reseeded(i2)) {
+              val d = d2(points(i2), centers(assign(i2)))
+              if (d > fd) { fd = d; far = i2 }
+            }
             i2 += 1
           }
-          centers(j) = points(far).clone()
+          if (far >= 0) {
+            reseeded(far) = true
+            centers(j) = points(far).clone()
+          }
           moved = true
         } else {
           val nc = new Array[Double](dim)

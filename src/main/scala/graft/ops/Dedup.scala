@@ -669,8 +669,15 @@ object Dedup {
     * Scale shape: gram frequency is one bounded-key aggregate; the per-doc
     * prefix pick is a window over ~len rows per doc; the candidate join
     * shuffles prefix postings (≤ maxDist·q+1 per doc). Strings shorter
-    * than `q` have no grams and never pair (documented; the length filter
-    * alone would be the right plan for those).
+    * than `q` have no grams, so they take a separate length-banded
+    * fallback: each sub-q string equi-joins (on exact length bands, so no
+    * cross product) against the only strings the length bound allows —
+    * those of length ≤ q−1+maxDist — and verifies with the same banded DP.
+    * That stratum is a dense block keyed by ≤ q distinct lengths; it is
+    * cheap when sub-q keys are rare (the normal case for titles/names/urls)
+    * and degrades to |shorts|·|near| work when they are not — which is the
+    * true output size for such keyspaces anyway (every 2-char string is
+    * within one edit of every other).
     */
   def editDistancePairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -678,9 +685,10 @@ object Dedup {
     require(maxDist >= 1, "maxDist must be >= 1")
     require(q >= 2, "q-gram width must be >= 2")
     import org.apache.spark.sql.expressions.Window
-    val base = spread(docs)
+    val all = spread(docs)
       .select(col(idCol).as("doc_id"), col(textCol).as("txt"))
-      .filter(col("txt").isNotNull && length(col("txt")) >= q)
+      .filter(col("txt").isNotNull)
+    val base = all.filter(length(col("txt")) >= q)
     val posting = base.select(col("doc_id"),
       explode(array_distinct(graft.functions.CharShingles(col("txt"), q, 1))).as("g"))
     // global frequency order, ties by gram text — both sides must rank
@@ -701,11 +709,32 @@ object Dedup {
     // shared prefix grams re-runs the (cheap, banded) DP, but the
     // dropDuplicates shuffle then carries only TRUE pairs — far fewer than
     // candidates on dense vocabularies
-    a.join(b, a("g") === b("g") && col("id_a") < col("id_b") &&
+    val mainPairs = a.join(b, a("g") === b("g") && col("id_a") < col("id_b") &&
         abs(col("la") - col("lb")) <= maxDist)
       .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
       .filter(col("dist") >= 0) // levenshtein(..., max) returns -1 beyond the bound
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("dist"))
+
+    // sub-q stratum: gram-less strings pair via a length-banded equi-join
+    // against everything the |len_a − len_b| ≤ maxDist bound allows
+    val shorts = all.filter(length(col("txt")) < q)
+      .select(col("doc_id").as("id_a"), col("txt").as("ta"),
+        length(col("txt")).as("band"))
+    val near = all.filter(length(col("txt")) <= q - 1 + maxDist)
+      .select(col("doc_id").as("id_b"), col("txt").as("tb"),
+        explode(sequence(greatest(length(col("txt")) - maxDist, lit(0)),
+          length(col("txt")) + maxDist)).as("band"))
+    val shortPairs = shorts.join(near, Seq("band"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(
+        when(col("id_a") < col("id_b"), col("id_a")).otherwise(col("id_b")).as("id_a"),
+        when(col("id_a") < col("id_b"), col("id_b")).otherwise(col("id_a")).as("id_b"),
+        col("dist"))
+      .dropDuplicates("id_a", "id_b")
+
+    mainPairs.unionByName(shortPairs)
   }
 }

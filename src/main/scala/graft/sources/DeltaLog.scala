@@ -398,18 +398,23 @@ object DeltaLog {
 
   private val addFileEncoder = org.apache.spark.sql.Encoders.product[AddFile]
 
-  private def collectAdds(index: DataFrame): Seq[AddFile] =
+  /** Collect a DataFrame in [[AddFile]] column shape (`path,
+    * partitionValues, size, modificationTime, stats, deletionVector`) into
+    * typed descriptors — for callers that have already pruned down to the
+    * acted-on subset on executors. */
+  private[graft] def collectAdds(index: DataFrame): Seq[AddFile] =
     index.select(col("path"), col("partitionValues"), col("size"),
         col("modificationTime"), col("stats"), col("deletionVector"))
       .as(addFileEncoder).collect().toSeq
 
   /** Resolve the snapshot at `versionAsOf` / `timestampAsOf` / latest,
-    * materializing the full file list (maintenance paths — overwrite,
-    * checkpoint, restore, vacuum, compact — genuinely operate on every
-    * live file). Read paths that can prune should go through
-    * [[readWhere]]; write paths that can prune (append/upsert/replace/
-    * delete) go through [[lazySnapshot]] — both collect only surviving
-    * files.
+    * materializing the full file list. The only remaining in-repo caller
+    * that needs that is `overwrite` (its acted-on set IS every live file —
+    * each one becomes a remove action in the commit). Everything else goes
+    * through [[lazySnapshot]]: reads via [[readWhere]] (stats-pruned),
+    * sparse writes (append/upsert/replace/delete) and maintenance
+    * (compact/restore/vacuum/checkpoint) collect only the acted-on subset
+    * off the distributed index.
     */
   def snapshot(
       spark: SparkSession,
@@ -448,10 +453,34 @@ object DeltaLog {
       addIndex(spark, st)
         .select(col("path"), col("partitionValues"), col("size"),
           col("modificationTime"), col("stats"), col("deletionVector"))
+
+    /** Every table-relative path the snapshot keeps alive — decoded data
+      * file paths plus the `.bin` sidecars its deletion vectors point into
+      * — as a distributed single-column (`rel`) frame. Vacuum anti-joins
+      * the FS listing against this on executors instead of holding a
+      * driver-side live set. Absolute ("p"-type) DV paths pass through
+      * unrelativized; they live outside the table root, which vacuum never
+      * lists, so they are merely unreferenced-by-construction here. */
+    private[graft] def liveRelPathsDF(tablePath: String): DataFrame = {
+      val tableStr = tablePath
+      indexDF.as(addFileEncoder).flatMap { a =>
+        val dv = a.deletionVector.toSeq.flatMap { dj =>
+          val d = DeletionVectors.parse(dj)
+          if (d.storageType == "i") Nil
+          else Seq(DeletionVectors.dvFilePath(tableStr, d).toString
+            .stripPrefix(tableStr).dropWhile(_ == '/'))
+        }
+        decodePath(a.path) +: dv
+      }(org.apache.spark.sql.Encoders.STRING).toDF("rel")
+    }
   }
 
-  def lazySnapshot(spark: SparkSession, tablePath: String): LazySnapshot = {
-    val st = resolveState(spark, tablePath, None, None)
+  def lazySnapshot(
+      spark: SparkSession,
+      tablePath: String,
+      versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[java.time.Instant] = None): LazySnapshot = {
+    val st = resolveState(spark, tablePath, versionAsOf, timestampAsOf)
     new LazySnapshot(spark, st, metaReplay(spark, tablePath, st))
   }
 

@@ -16,18 +16,58 @@ class ScaleSpec extends SparkSpec {
     val dim = (Seq(("hot", "H")) ++ (1 to 100).map(i => (s"k$i", s"v$i"))).toDF("key", "label")
 
     val plain = fact.join(dim, Seq("key")).groupBy("key").count()
-    val salted = Skew.saltedJoin(fact, dim, "key", "event_id", salts = 8)
-      .groupBy("key").count()
     val p = plain.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val s = salted.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(s == p)
-    assert(s("hot") == 10000L)
+    // every routing mode is result-invisible
+    for (spec <- Seq(graft.ops.HotKeySpec.All,
+        graft.ops.HotKeySpec.Sampled(fraction = 0.5, seed = 7L),
+        graft.ops.HotKeySpec.Explicit(Seq("hot")))) {
+      val s = Skew.saltedJoin(fact, dim, "key", "event_id", salts = 8, spec)
+        .groupBy("key").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(s == p, spec.toString)
+      assert(s("hot") == 10000L, spec.toString)
+    }
 
     // the salted fact really is spread: >1 distinct salt for the hot key
     val saltSpread = fact.filter(col("key") === "hot")
       .select(pmod(xxhash64(col("event_id")), lit(8)).cast("int").as("salt"))
       .distinct().count()
     assert(saltSpread > 4)
+  }
+
+  test("saltedJoin routes hot keys only: cold path un-replicated, no explode") {
+    val fact = ((1 to 5000).map(i => ("hot", i.toLong)) ++
+      (1 to 200).map(i => (s"k${i % 50}", i.toLong))).toDF("key", "event_id")
+    val dim = (Seq(("hot", "H")) ++ (0 until 50).map(i => (s"k$i", s"v$i"))).toDF("key", "label")
+
+    val (cold, salted) = Skew.saltedJoinParts(fact, dim, "key", "event_id",
+      salts = 8, hot = Seq("hot"))
+    // the cold half carries exactly the tail rows, the hot half exactly the
+    // hot key's rows — nothing double-routed, nothing lost
+    assert(cold.count() == 200L)
+    assert(salted.count() == 5000L)
+    // cold plan has NO salt machinery: no explode (dim replication), no salt
+    // column derivation
+    val coldPlan = cold.queryExecution.executedPlan.toString
+    assert(!coldPlan.toLowerCase.contains("explode"), coldPlan)
+    assert(!coldPlan.contains("_salt"), coldPlan)
+    val saltedPlan = salted.queryExecution.executedPlan.toString
+    assert(saltedPlan.contains("_salt"), saltedPlan)
+  }
+
+  test("HotKeys.resolve: sampled detector finds the dominant key, caps the set") {
+    val fact = ((1 to 20000).map(i => ("whale", i.toLong)) ++
+      (1 to 2000).map(i => (s"k${i % 500}", i.toLong))).toDF("key", "event_id")
+    val hot = graft.ops.HotKeys.resolve(fact, "key",
+      graft.ops.HotKeySpec.Sampled(minShare = 0.05, fraction = 0.2, seed = 11L))
+    assert(hot.isDefined)
+    assert(hot.get.contains("whale"), hot.get.mkString(","))
+    // the 500 cold keys (each ~0.018% share) stay out
+    assert(hot.get.size < 5, hot.get.mkString(","))
+    // All = None contract; Explicit passes through
+    assert(graft.ops.HotKeys.resolve(fact, "key", graft.ops.HotKeySpec.All).isEmpty)
+    assert(graft.ops.HotKeys.resolve(fact, "key",
+      graft.ops.HotKeySpec.Explicit(Seq("a", "b"))).get == Seq("a", "b"))
   }
 
   test("directory source: partition filters prune files at planning time") {

@@ -624,6 +624,30 @@ class DeltaWriteSpec extends SparkSpec {
       Seq("id", "v"))
   }
 
+  test("vacuum streams the listing in batches against the distributed live set") {
+    import spark.implicits._
+    val table = tmpDir("dw-vacuum-batched")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, table.toString, schema)
+    // 8 single-file appends, then one overwrite tombstones them all
+    (1 to 8).foreach { i =>
+      DeltaWrite.append(spark, table.toString,
+        Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+    }
+    DeltaWrite.overwrite(spark, table.toString,
+      Seq((100L, "kept")).toDF("id", "v").coalesce(1))
+    // a listing batch smaller than the dead-file count forces several
+    // anti-join flushes; every dead file must still go, every live one stay
+    val removed = DeltaWrite.vacuum(spark, table.toString,
+      retainMs = 0L, listingBatch = 3)
+    assert(removed == 8, s"removed=$removed")
+    val rows = DeltaLog.read(spark, table.toString).collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("kept"))
+    // idempotent: nothing dead remains
+    assert(DeltaWrite.vacuum(spark, table.toString, retainMs = 0L) == 0)
+  }
+
   test("readChanges tails appended rows, ignores compaction, refuses non-append ranges") {
     import spark.implicits._
     val table = tmpDir("dw-changes")

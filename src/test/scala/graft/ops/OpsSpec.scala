@@ -1345,18 +1345,26 @@ class OpsSpec extends SparkSpec {
       out
     }
     val bases = (1 to 40).map(_ => (1 to 12).map(_ => alphabet(rnd.nextInt(5))).mkString)
+    // sub-q strings (len < 3) exercise the length-banded fallback stratum:
+    // they pair among themselves AND against q..q-1+maxDist strings
+    val shorts = Seq((9000L, ""), (9001L, "a"), (9002L, "ab"), (9003L, "ae"),
+      (9004L, "abcd"), (9005L, "abc"))
     val strs = bases.zipWithIndex.flatMap { case (b, i) =>
       Seq((i * 10L, b), (i * 10L + 1, mutate(b, 1)), (i * 10L + 2, mutate(b, 3)))
-    }
+    } ++ shorts
     val df = strs.toDF("id", "s")
     val fast = Dedup.editDistancePairs(df, "id", "s", maxDist = 2, q = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     val truth = (for {
       (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
-      d = graft.TestLev.dist(sa, sb) if d <= 2 && sa.length >= 3 && sb.length >= 3
+      d = graft.TestLev.dist(sa, sb) if d <= 2
     } yield ((ia, ib), d)).toMap
     assert(fast == truth, s"missing=${(truth.keySet -- fast.keySet).take(5)} " +
       s"extra=${(fast.keySet -- truth.keySet).take(5)}")
     assert(truth.nonEmpty, "ground truth vacuous")
+    // the fallback found cross-stratum pairs (sub-q vs >= q) too
+    val byId = strs.toMap
+    assert(truth.keys.exists { case (a, b) =>
+      (byId(a).length < 3) ^ (byId(b).length < 3) })
   }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 class AvroSpec extends SparkSpec {
+  import spark.implicits._
 
   test("primitive + temporal + decimal round trip is lossless") {
     val dir = tmpDir("avro-prim")
@@ -61,6 +62,43 @@ class AvroSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       Avro.toAvroSchema(CalendarIntervalType, "x", "ns"))
     assert(e2.getMessage.contains("no Avro mapping"))
+  }
+
+  test("partitioned destination escapes special chars and nulls in dir names") {
+    import graft.config.{AvroDestFormat, FileDestination, Location}
+    import graft.destinations.Destinations
+    val dir = tmpDir("avro-part-esc")
+    val df = Seq(
+      ("a/b:c", 1L), ("plain", 2L), (null.asInstanceOf[String], 3L),
+      ("100%", 4L)).toDF("k", "v")
+    Destinations.write(spark, FileDestination("d", Location(dir.resolve("out").toString),
+      AvroDestFormat(), singleFile = false, partitionColumns = Seq("k")), df)
+    val dirs = new java.io.File(dir.resolve("out").toString).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("k=100%25", "k=__HIVE_DEFAULT_PARTITION__",
+      "k=a%2Fb%3Ac", "k=plain"), dirs.mkString(","))
+    // the escaped directory resolves and reads back the right slice
+    val got = Avro.read(spark, dir.resolve("out").toString + "/k=a%2Fb%3Ac")
+    assert(got.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("empty results still produce a readable container (single_file and directory)") {
+    import graft.config.{AvroDestFormat, FileDestination, Location}
+    import graft.destinations.Destinations
+    val dir = tmpDir("avro-empty")
+    val empty = Seq((1L, "x")).toDF("id", "s").filter(col("id") < 0)
+    assert(empty.rdd.getNumPartitions >= 0) // may be zero after AQE-empty propagation
+    val single = dir.resolve("one.avro").toString
+    Destinations.write(spark, FileDestination("d1", Location(single),
+      AvroDestFormat(), singleFile = true), empty)
+    assert(new java.io.File(single).isFile)
+    val backSingle = Avro.read(spark, single)
+    assert(backSingle.count() == 0 && backSingle.schema.fieldNames.toSeq == Seq("id", "s"))
+    val asDir = dir.resolve("dirout").toString
+    Destinations.write(spark, FileDestination("d2", Location(asDir),
+      AvroDestFormat(), singleFile = false), empty)
+    val backDir = Avro.read(spark, asDir)
+    assert(backDir.count() == 0 && backDir.schema.fieldNames.toSeq == Seq("id", "s"))
   }
 
   test("enum and fixed read as string and binary") {
