@@ -1,0 +1,185 @@
+package graft
+
+import graft.config._
+import graft.functions.Text
+import graft.ops.{Ann, Dedup, Multimodal}
+import graft.run.{CollectingTracker, Runner}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.immutable.ListMap
+
+/** Delta protocol round-trip gates: schema evolution, deletion vectors, column mapping, change data feed.
+  *
+  * Split from EngineQueries (round 9) for per-family review; entries are
+  * verbatim and the combined key set is unchanged.
+  */
+private[graft] object DeltaQueries {
+  import QueryHelpers._
+
+  def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // Round-6 Delta surface end-to-end under the exact-oracle gate:
+    // multiple small appends, a SCHEMA-WIDENING append (mergeSchema:
+    // metaData re-emit, old files null-fill), a 2-column Z-order
+    // compaction (Morton rewrite must move bytes, never rows), and a
+    // stats-skipped readWhere — all through the engine-written,
+    // engine-replayed protocol, checked against DuckDB on raw orders.
+    "q102_delta_evolve" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q102").resolve("tbl").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val base = orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        base.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+      (0 until 4).foreach(i => DeltaWrite.append(s, tbl,
+        base.filter(col("o_custkey") % 4 === i).repartition(1)))
+      DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 3 === 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus")),
+        mergeSchema = true)
+      DeltaWrite.compact(s, tbl, targetFileBytes = 1L << 20,
+        clusterBy = Seq("o_orderkey", "o_custkey"))
+      graft.sources.DeltaLog.readWhere(s, tbl, "o_orderkey < 5000")
+        .orderBy(col("o_orderkey"))
+    }),
+
+
+    // Merge-on-read DELETE: a DV-enabled Delta table built from orders,
+    // two deletes (the second unions into existing per-file bitmaps), read
+    // back through the DV-aware bridge with stats skipping. The Delta+DV
+    // layer must be RESULT-invisible — the oracle recomputes the surviving
+    // rows straight from raw orders.
+    "q103_delta_dv" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q103").resolve("tbl").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val base = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        base.schema.asInstanceOf[org.apache.spark.sql.types.StructType],
+        properties = Map("delta.enableDeletionVectors" -> "true"))
+      (0 until 3).foreach(i => DeltaWrite.append(s, tbl,
+        base.filter(col("o_custkey") % 3 === i).repartition(1)))
+      DeltaWrite.delete(s, tbl, "o_orderstatus = 'F' AND o_custkey % 7 = 0")
+      DeltaWrite.delete(s, tbl, "o_totalprice > 250000") // unions into DVs
+      graft.sources.DeltaLog.readWhere(s, tbl, "o_orderkey < 8000")
+        .orderBy(col("o_orderkey"))
+    }),
+
+
+    // Column-mapping mode `name` writes: mapped partitioned create, two
+    // appends (the second evolves the schema, assigning a fresh mapped
+    // column), a copy-on-write delete, and a partition-pruned read. The
+    // mapping layer must be RESULT-invisible — the oracle recomputes from
+    // raw customer.
+    "q104_delta_mapped" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q104").resolve("tbl").toString
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val narrow = cust.select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_mktsegment"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        narrow.schema.asInstanceOf[org.apache.spark.sql.types.StructType],
+        partitionBy = Seq("c_mktsegment"), columnMapping = true)
+      DeltaWrite.append(s, tbl, narrow.filter(col("c_custkey") % 2 === 0))
+      DeltaWrite.append(s, tbl,
+        cust.filter(col("c_custkey") % 2 === 1)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_mktsegment"), col("c_nationkey")),
+        mergeSchema = true)
+      DeltaWrite.delete(s, tbl, "c_acctbal < 0")
+      graft.sources.DeltaLog.readWhere(s, tbl, "c_mktsegment = 'BUILDING'")
+        .orderBy(col("c_custkey"))
+    }),
+
+
+    // Delta change data feed end-to-end: create a CDF table, append (v1,
+    // derived inserts — no cdc files by spec), upsert (v2, cdc files carry
+    // exactly update_preimage/update_postimage/insert — copied-over
+    // survivor rows must NOT surface), delete (v3, cdc delete rows), then
+    // read the whole change stream. The oracle reconstructs the expected
+    // change rows from the same deterministic operations in plain SQL.
+    "q111_delta_cdf" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q111").resolve("tbl").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType],
+        properties = Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaWrite.append(s, tbl, orders.filter(col("o_orderkey") < 4000))
+      val up = orders.filter(col("o_orderkey") < 1000)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+        .unionByName(orders.filter(col("o_orderkey") >= 4000 && col("o_orderkey") < 5000))
+      DeltaWrite.upsert(s, tbl, up, Seq("o_orderkey"))
+      DeltaWrite.delete(s, tbl, "o_orderkey % 10 = 0")
+      graft.sources.DeltaLog.readCdf(s, tbl, 0L)
+        .select(col("o_orderkey"), col("o_totalprice"), col("_change_type"),
+          col("_commit_version"))
+        .orderBy(col("_commit_version"), col("o_orderkey"), col("_change_type"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // the expected change stream reconstructed from the same deterministic
+    // operations: v1 inserts, v2 pre/post images + inserts, v3 deletes
+    // over the v2 table state
+    "q111_delta_cdf" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+           v1 AS (SELECT o_orderkey, o_totalprice, 'insert' AS _change_type,
+                    CAST(1 AS BIGINT) AS _commit_version
+                  FROM base WHERE o_orderkey < 4000),
+           v2pre AS (SELECT o_orderkey, o_totalprice, 'update_preimage',
+                    CAST(2 AS BIGINT) FROM base WHERE o_orderkey < 1000),
+           v2post AS (SELECT o_orderkey, o_totalprice + 1.0, 'update_postimage',
+                    CAST(2 AS BIGINT) FROM base WHERE o_orderkey < 1000),
+           v2ins AS (SELECT o_orderkey, o_totalprice, 'insert',
+                    CAST(2 AS BIGINT) FROM base
+                    WHERE o_orderkey >= 4000 AND o_orderkey < 5000),
+           state2 AS (SELECT o_orderkey,
+                    CASE WHEN o_orderkey < 1000 THEN o_totalprice + 1.0
+                         ELSE o_totalprice END AS o_totalprice
+                  FROM base WHERE o_orderkey < 5000),
+           v3 AS (SELECT o_orderkey, o_totalprice, 'delete',
+                    CAST(3 AS BIGINT) FROM state2 WHERE o_orderkey % 10 = 0)
+         SELECT * FROM (
+           SELECT * FROM v1 UNION ALL SELECT * FROM v2pre
+           UNION ALL SELECT * FROM v2post UNION ALL SELECT * FROM v2ins
+           UNION ALL SELECT * FROM v3)
+         ORDER BY _commit_version, o_orderkey, _change_type""",
+
+    // the Delta layer under test must be RESULT-invisible: the oracle
+    // recomputes the final state straight from raw orders
+    "q102_delta_evolve" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+         CASE WHEN o_orderkey % 3 = 1 THEN o_orderstatus END AS o_orderstatus
+         FROM orders
+         WHERE (o_orderkey % 3 = 0 OR o_orderkey % 3 = 1) AND o_orderkey < 5000
+         ORDER BY o_orderkey""",
+
+    // the DV delete layer is result-invisible: surviving rows recomputed
+    // from raw orders with the deletes as complement predicates
+    "q103_delta_dv" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+         FROM orders
+         WHERE o_orderkey % 2 = 0
+           AND NOT (o_orderstatus = 'F' AND o_custkey % 7 = 0)
+           AND NOT (o_totalprice > 250000)
+           AND o_orderkey < 8000
+         ORDER BY o_orderkey""",
+
+    // the column-mapping layer is result-invisible: the evolved column is
+    // present exactly for the second append's rows
+    "q104_delta_mapped" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+         CASE WHEN c_custkey % 2 = 1 THEN c_nationkey END AS c_nationkey
+         FROM customer
+         WHERE NOT (c_acctbal < 0) AND c_mktsegment = 'BUILDING'
+         ORDER BY c_custkey"""
+  )
+}

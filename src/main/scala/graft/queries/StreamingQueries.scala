@@ -1,0 +1,111 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import scala.collection.immutable.ListMap
+
+/** Streaming paths through the DuckDB oracle gate (round 9): the events
+  * table replays through `Streams.fileSource` as deterministic event-time-
+  * ordered micro-batches (QueryHelpers.writeReplay + maxFilesPerTrigger=1)
+  * and the FINAL materialized result must hash-match the equivalent batch
+  * SQL. Previously the watermarked join and the sessionizer were
+  * test-gated only (StreamsSpec).
+  *
+  * Semantics that make the gates exact:
+  *   - q119 (stream-stream inner join): with a watermark wider than the
+  *     whole replayed history nothing is dropped, so the incremental join
+  *     must emit exactly the batch theta-join — arrival order only changes
+  *     WHEN pairs emit, not whether.
+  *   - q120 (gap sessionization): flatMapGroupsWithState closes a session
+  *     only when a later-than-gap event arrives, so after a fully-ordered
+  *     replay the output is every session EXCEPT each user's last (still
+  *     open) — which the oracle states directly in SQL.
+  */
+private[graft] object StreamingQueries {
+  import QueryHelpers._
+
+  def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // Watermarked stream-stream join, gated: clicks and purchases replay as
+    // 4 in-order micro-batch files per side; every purchase within 30
+    // minutes after a click by the same user must pair exactly once.
+    "q119_stream_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val replay = tmp("q119-replay")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      writeReplay(clicks, "ts", replay.resolve("l"), n = 4)
+      writeReplay(purchases, "ts", replay.resolve("r"), n = 4)
+      val l = Streams.fileSource(s, replay.resolve("l").toString, clicks.schema,
+        maxFilesPerTrigger = Some(1))
+      val r = Streams.fileSource(s, replay.resolve("r").toString, purchases.schema,
+        maxFilesPerTrigger = Some(1))
+      val joined = Streams.joinedStreams(l, r, key = "user_id", ts = "ts",
+        within = "30 minutes", joinType = "inner", watermark = "40 days")
+      Streams.runToMemory(joined,
+        s"q119_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+        OutputMode.Append())
+        .select(col("l_event_id").as("click_id"),
+          col("l_user_id").as("user_id"),
+          col("r_event_id").as("purchase_id"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
+    // Streaming gap sessionization, gated: the full event stream replays in
+    // order; 30-minute-gap sessions close exactly once, each user's final
+    // session stays open (NoTimeout) and is excluded by the oracle too.
+    "q120_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"),
+          (unix_micros(col("ts")) / lit(1000L)).cast("long").as("ts_ms"))
+      val replay = tmp("q120-replay")
+      writeReplay(ev, "ts", replay.resolve("e"), n = 4)
+      val stream = Streams.fileSource(s, replay.resolve("e").toString, ev.schema,
+        maxFilesPerTrigger = Some(1))
+        .select(col("user_id"), col("ts_ms"))
+        .as[Streams.SessionEvent]
+      val closed = Streams.streamingSessionize(stream, gapMs = 30L * 60 * 1000)
+      Streams.runToMemory(closed.toDF(),
+        s"q120_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+        OutputMode.Append())
+        .orderBy(col("user_id"), col("start_ms"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q119_stream_join" ->
+      """SELECT c.event_id AS click_id, c.user_id AS user_id,
+                p.event_id AS purchase_id
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         ORDER BY click_id, purchase_id""",
+    // gaps-and-islands sessions minus each user's last (still-open) session
+    "q120_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+         flagged AS (
+           SELECT user_id, ms,
+             CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+         sess AS (
+           SELECT user_id, ms,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flagged),
+         agg AS (
+           SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms,
+                  count(*) AS n_events
+           FROM sess GROUP BY user_id, sid)
+         SELECT user_id, start_ms, end_ms, n_events FROM agg
+         WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+         ORDER BY user_id, start_ms"""
+  )
+}

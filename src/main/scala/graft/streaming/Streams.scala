@@ -18,10 +18,18 @@ object Streams {
 
   /** File-based streaming source over a directory of event files — new files
     * are discovered incrementally; schema must be declared (streaming scans
-    * can't infer).
+    * can't infer). `maxFilesPerTrigger` caps each micro-batch to that many
+    * files (oldest modification time first) — both the production backfill
+    * throttle and the deterministic-replay knob the streaming oracle gates
+    * use to feed pre-cut files one batch at a time.
     */
-  def fileSource(spark: SparkSession, dir: String, schema: StructType, format: String = "parquet"): DataFrame =
-    spark.readStream.format(format).schema(schema).load(dir)
+  def fileSource(spark: SparkSession, dir: String, schema: StructType,
+      format: String = "parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.format(format).schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.load(dir)
+  }
 
   /** Streaming exact dedup: drop rows whose key was already seen within the
     * event-time watermark horizon — `dropDuplicatesWithinWatermark`, so the
