@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 soak (round 9): all timing evidence so far is sf0.1 (~600k lineitem
+  * rows). This main materializes a local sf1 copy of every test table
+  * (heavy tables replicated 10× with key-space shifts, dims as-is), runs
+  * the bench's slowest queries plus the adversarial-shape gates
+  * (q117 fuzzy join, q118 salted join, q97 dup spans) once each, and
+  * asserts the physical plan stays sane under AQE at the bigger stats —
+  * no CartesianProduct, no BroadcastNestedLoopJoin. Artifact: SOAK_r09.json.
+  *
+  * Replication semantics: fact keys shift per replica so uniqueness and
+  * fact↔fact joins survive (`l_orderkey` and `o_orderkey` shift together);
+  * dimension tables keep their cardinality, so per-dim fan-out grows 10× —
+  * the right stress for join/agg plans. Document text gets a per-replica
+  * suffix token so the corpus is near-dup-rich rather than exact-dup
+  * degenerate; event timestamps shift a month per replica so temporal
+  * structure scales instead of stacking.
+  */
+object Soak {
+
+  private val SHIFT = 100000000L
+
+  /** Queries under soak: the 10 slowest of the round-8 bench plus the
+    * skew/fuzzy-join shapes round 9 touched. */
+  private[graft] val soakQueries: Seq[String] = Seq(
+    "q97_dup_spans", "q98_dedup_spans_removed", "q102_delta_evolve",
+    "q111_delta_cdf", "q95_bpe_encode", "p14_pipeline_delta",
+    "q94_bpe_train", "q66_dedup_components", "q81_semantic_dedup",
+    "q103_delta_dv", "q117_editdist_join", "q118_salted_join")
+
+  private def replicate(df: DataFrame, copies: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until copies).map(k => shift(df, k)).reduce(_ unionByName _)
+
+  /** Build the sf1 directory from an sf0.1 directory if not already there. */
+  def buildSf1(spark: SparkSession, sf01: String, out: String, copies: Int = 10): Unit = {
+    val done = new java.io.File(s"$out/_SOAK_READY")
+    if (done.exists()) return
+    val outDir = new java.io.File(out)
+    outDir.mkdirs()
+    def w(name: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part").foreach { n =>
+      w(n, Tables.t(spark, sf01, n))
+    }
+    w("orders", replicate(Tables.t(spark, sf01, "orders"), copies) { (d, k) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(k * SHIFT))
+    })
+    w("lineitem", replicate(Tables.t(spark, sf01, "lineitem"), copies) { (d, k) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(k * SHIFT))
+    })
+    w("events", replicate(Tables.t(spark, sf01, "events"), copies) { (d, k) =>
+      d.withColumn("event_id", col("event_id") + lit(k * SHIFT))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${k * 31} DAYS"))
+    })
+    w("documents", replicate(Tables.t(spark, sf01, "documents"), copies) { (d, k) =>
+      d.withColumn("doc_id", col("doc_id") + lit(k * SHIFT))
+        .withColumn("text", concat(col("text"), lit(s" replica$k")))
+    })
+    w("embeddings", replicate(Tables.t(spark, sf01, "embeddings"), copies) { (d, k) =>
+      d.withColumn("vec_id", col("vec_id") + lit(k * SHIFT))
+    })
+    done.createNewFile()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_r09.json")
+    val spark = Sessions.local()
+    val t0 = System.nanoTime()
+    buildSf1(spark, sf01, out)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Boolean, String)]
+    soakQueries.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val q0 = System.nanoTime()
+      val outcome =
+        try {
+          val df = fn(spark, out)
+          df.write.format("noop").mode("overwrite").save()
+          // AQE's FINAL plan (post-execution): the assertion that matters at
+          // scale — bigger stats must not flip any join to a product/BNL
+          val plan = df.queryExecution.executedPlan.toString
+          val ok = !plan.contains("CartesianProduct") &&
+            !plan.contains("BroadcastNestedLoopJoin")
+          spark.catalog.clearCache()
+          (ok, if (ok) "" else "plan flipped to product/BNL")
+        } catch {
+          case e: Throwable =>
+            (false, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
+        }
+      val sec = (System.nanoTime() - q0) / 1e9
+      results += name -> (sec, outcome._1, outcome._2)
+      println(f"[soak] $name%-28s ${sec}%8.2fs plan_ok=${outcome._1} ${outcome._2}")
+    }
+
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
+    val qs = results.map { case (k, (sec, ok, err)) =>
+      s""""$k":{"sec":${f3(sec)},"plan_ok":$ok${if (err.nonEmpty) s""","err":"${esc(err)}"""" else ""}}"""
+    }.mkString("{", ",", "}")
+    val allOk = results.values.forall(_._2)
+    val json = s"""{"sf":"1 (10x replicated ${sf01})","build_sec":${f3(buildSec)},"all_plans_ok":$allOk,"queries":$qs}"""
+    val fw = new java.io.FileWriter(artifact)
+    fw.write(json + "\n")
+    fw.close()
+    println(json)
+    spark.stop()
+    if (!allOk) sys.exit(1)
+  }
+}

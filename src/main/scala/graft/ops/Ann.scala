@@ -113,8 +113,7 @@ object Ann {
     // signature frame and is empty under the cap): an eager corpus count at
     // construction time would fire Spark jobs before the query even runs
     val hot = maxBucketSize.map { bcap =>
-      sigd.groupBy(col("sig").as("bucket")).agg(count(lit(1)).as("bs"))
-        .filter(col("bs") > bcap).select("bucket")
+      HotKeys.overCount(sigd, Seq(col("sig").as("bucket")), bcap)
     }
     def capped(df: DataFrame): DataFrame =
       hot.map(h => df.join(broadcast(h), Seq("bucket"), "left_anti")).getOrElse(df)

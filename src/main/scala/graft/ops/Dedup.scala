@@ -527,8 +527,7 @@ object Dedup {
     // by construction → broadcast anti-join
     val buckets = maxBucketSize match {
       case Some(bcap) =>
-        val hot = buckets0.groupBy("band", "sig").agg(count(lit(1)).as("bs"))
-          .filter(col("bs") > bcap).select("band", "sig")
+        val hot = HotKeys.overCount(buckets0, Seq(col("band"), col("sig")), bcap)
         buckets0.join(broadcast(hot), Seq("band", "sig"), "left_anti")
       case None => buckets0
     }
@@ -629,8 +628,7 @@ object Dedup {
       .filter(col("key.bits").isNotNull)
     val keyed = maxBucketSize match {
       case Some(bcap) =>
-        val hot = keyed0.groupBy("key").agg(count(lit(1)).as("bs"))
-          .filter(col("bs") > bcap).select("key")
+        val hot = HotKeys.overCount(keyed0, Seq(col("key")), bcap)
         keyed0.join(broadcast(hot), Seq("key"), "left_anti")
       case None => keyed0
     }
