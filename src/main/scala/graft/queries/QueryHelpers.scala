@@ -55,34 +55,43 @@ private[graft] object QueryHelpers {
     * Gate-scale tool: one quantile probe plus one small write job per slice.
     */
   def writeReplay(df: DataFrame, tsCol: String, dir: java.nio.file.Path, n: Int): Unit = {
-    val spark = df.sparkSession
     val us = unix_micros(col(tsCol)).cast("double")
     val probs = (1 until n).map(i => i.toDouble / n).toArray
     val cuts = df.select(us.as("_us")).stat.approxQuantile("_us", probs, 0.0)
-    java.nio.file.Files.createDirectories(dir)
-    val root = new org.apache.hadoop.fs.Path(dir.toString)
-    val fsys = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = System.currentTimeMillis() - 60000L * (n + 1)
     (0 until n).foreach { i =>
       val lo = if (i == 0) None else Some(cuts(i - 1))
       val hi = if (i == n - 1) None else Some(cuts(i))
       val slice = df.filter(
         lo.map(c => us > lit(c)).getOrElse(lit(true)) &&
           hi.map(c => us <= lit(c)).getOrElse(lit(true)))
-      val tmpd = dir.resolve(s".w$i")
-      // repartition(1), not coalesce: an empty slice must still write a
-      // schema-bearing part file (coalesce cannot raise 0 partitions)
-      slice.repartition(1).write.mode("overwrite").parquet(tmpd.toString)
-      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(tmpd.toString))
-        .map(_.getPath).find(_.getName.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException(s"no part file under $tmpd"))
-      val target = new org.apache.hadoop.fs.Path(dir.toString, f"batch-$i%03d.parquet")
-      if (!fsys.rename(part, target))
-        throw new IllegalStateException(s"failed to move $part to $target")
-      fsys.delete(new org.apache.hadoop.fs.Path(tmpd.toString), true)
-      // strictly increasing mtimes pin the file source's processing order
-      fsys.setTimes(target, base + i * 60000L, -1)
+      appendReplayFile(slice, dir, i)
     }
+  }
+
+  /** Write `df` as replay micro-batch file `index` under `dir` (one parquet
+    * file, mtime strictly increasing in `index` so the file source's
+    * processing order is pinned). Used by [[writeReplay]] for the range
+    * slices and directly by gates that append watermark-advancing sentinel
+    * batches after the real data. */
+  def appendReplayFile(df: DataFrame, dir: java.nio.file.Path, index: Int): Unit = {
+    val spark = df.sparkSession
+    java.nio.file.Files.createDirectories(dir)
+    val root = new org.apache.hadoop.fs.Path(dir.toString)
+    val fsys = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpd = dir.resolve(s".w$index")
+    // repartition(1), not coalesce: an empty slice must still write a
+    // schema-bearing part file (coalesce cannot raise 0 partitions)
+    df.repartition(1).write.mode("overwrite").parquet(tmpd.toString)
+    val part = fsys.listStatus(new org.apache.hadoop.fs.Path(tmpd.toString))
+      .map(_.getPath).find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmpd"))
+    val target = new org.apache.hadoop.fs.Path(dir.toString, f"batch-$index%03d.parquet")
+    if (!fsys.rename(part, target))
+      throw new IllegalStateException(s"failed to move $part to $target")
+    fsys.delete(new org.apache.hadoop.fs.Path(tmpd.toString), true)
+    // strictly increasing mtimes pin the file source's processing order
+    val base = 1700000000000L // fixed epoch base: only relative order matters
+    fsys.setTimes(target, base + index * 60000L, -1)
   }
 
   /** q48's trained k-means centroids, captured when the query runs.

@@ -56,6 +56,98 @@ private[graft] object StreamingQueries {
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 
+    // Stream-stream LEFT OUTER join, gated — the subtler half of the join
+    // state machine: an unmatched click may only emit (with nulls on the
+    // right) once the watermark PROVES no purchase can still arrive.
+    // Watermark-advancing sentinel batches (far-future rows on impossible
+    // user ids, two rounds because state eviction lags the watermark by a
+    // batch) flush every pending outer row, so the final table must equal
+    // the batch LEFT JOIN exactly.
+    "q121_stream_outer_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val replay = tmp("q121-replay")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      writeReplay(clicks, "ts", replay.resolve("l"), n = 4)
+      writeReplay(purchases, "ts", replay.resolve("r"), n = 4)
+      // sentinels: negative user ids never join real rows (and each side
+      // uses distinct ids so the sentinels cannot join each other)
+      def sentinel(uid: Long, plusDays: Int) = ev
+        .agg(max(col("ts")).as("m"))
+        .select(lit(-uid * 1000 - plusDays).as("event_id"), lit(uid).as("user_id"),
+          (col("m") + expr(s"INTERVAL $plusDays DAYS")).as("ts"))
+      Seq(60, 120).zipWithIndex.foreach { case (d, i) =>
+        appendReplayFile(sentinel(-1L - i, d), replay.resolve("l"), 100 + i)
+        appendReplayFile(sentinel(-11L - i, d), replay.resolve("r"), 100 + i)
+      }
+      val l = Streams.fileSource(s, replay.resolve("l").toString, clicks.schema,
+        maxFilesPerTrigger = Some(1))
+      val r = Streams.fileSource(s, replay.resolve("r").toString, purchases.schema,
+        maxFilesPerTrigger = Some(1))
+      val joined = Streams.joinedStreams(l, r, key = "user_id", ts = "ts",
+        within = "30 minutes", joinType = "left_outer", watermark = "1 hour")
+      Streams.runToMemory(joined,
+        s"q121_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+        OutputMode.Append())
+        .filter(col("l_user_id") >= 0)
+        .select(col("l_event_id").as("click_id"),
+          col("l_user_id").as("user_id"),
+          col("r_event_id").as("purchase_id"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
+    // Watermarked tumbling-window aggregation, gated: in append mode a
+    // window emits exactly once, when the watermark passes its end. Two
+    // sentinel batches on a reserved event_type push the watermark past
+    // every real window; sentinel windows themselves never close and are
+    // filtered from the output, so the final table must equal the batch
+    // 1-day tumbling aggregate exactly. (Counts only — double value sums
+    // are order-sensitive across engines, and the batch window-sum path is
+    // already decimal-gated by q43.)
+    "q122_stream_window" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"), col("value"))
+      val replay = tmp("q122-replay")
+      writeReplay(ev, "ts", replay.resolve("e"), n = 4)
+      def sentinel(plusDays: Int) = ev.agg(max(col("ts")).as("m"))
+        .select((col("m") + expr(s"INTERVAL $plusDays DAYS")).as("ts"),
+          lit("__sentinel").as("event_type"), lit(0.0).as("value"))
+      appendReplayFile(sentinel(60), replay.resolve("e"), 100)
+      appendReplayFile(sentinel(120), replay.resolve("e"), 101)
+      val stream = Streams.fileSource(s, replay.resolve("e").toString, ev.schema,
+        maxFilesPerTrigger = Some(1))
+      val agg = Streams.windowedEventStats(stream,
+        windowLength = "1 day", watermark = "1 hour")
+      Streams.runToMemory(agg,
+        s"q122_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+        OutputMode.Append())
+        .filter(col("event_type") =!= "__sentinel")
+        .select(col("window_start"), col("event_type"), col("n_events"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // Cross-batch streaming exact dedup, gated on the surviving KEY SET:
+    // dropDuplicatesWithinWatermark admits each key once across the whole
+    // replay (the horizon spans the history), so the distinct key set must
+    // equal batch SELECT DISTINCT. Keys only — which physical row survives
+    // a same-batch tie is legitimately engine-internal.
+    "q123_stream_dedup" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("ts"), col("user_id"), col("event_type"))
+      val replay = tmp("q123-replay")
+      writeReplay(ev, "ts", replay.resolve("e"), n = 4)
+      val stream = Streams.fileSource(s, replay.resolve("e").toString, ev.schema,
+        maxFilesPerTrigger = Some(1))
+      val deduped = Streams.dedupedStream(stream, "ts",
+        Seq("user_id", "event_type"), watermark = "60 days")
+      Streams.runToMemory(deduped,
+        s"q123_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+        OutputMode.Append())
+        .select(col("user_id"), col("event_type"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // Streaming gap sessionization, gated: the full event stream replays in
     // order; 30-minute-gap sessions close exactly once, each user's final
     // session stays open (NoTimeout) and is excluded by the oracle too.
@@ -87,6 +179,23 @@ private[graft] object StreamingQueries {
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
          WHERE c.event_type = 'click' AND p.event_type = 'purchase'
          ORDER BY click_id, purchase_id""",
+    "q121_stream_outer_join" ->
+      """SELECT c.event_id AS click_id, c.user_id AS user_id,
+                p.event_id AS purchase_id
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         ORDER BY click_id, purchase_id""",
+    "q122_stream_window" ->
+      """SELECT date_trunc('day', ts) AS window_start, event_type,
+                count(*) AS n_events
+         FROM events
+         GROUP BY window_start, event_type
+         ORDER BY window_start, event_type""",
+    "q123_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
     // gaps-and-islands sessions minus each user's last (still-open) session
     "q120_stream_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
