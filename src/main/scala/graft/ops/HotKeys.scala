@@ -72,19 +72,21 @@ object HotKeys {
       case s: HotKeySpec.Sampled =>
         val sampled = fact.select(col(key)).na.drop(Seq(key))
           .sample(withReplacement = false, s.fraction, s.seed)
-        val agg = sampled.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
-        // total via a grand-total window would shuffle to one partition;
-        // the per-key aggregate is tiny (distinct keys of a SAMPLE of a
-        // skewed column), so a second local aggregate is cheap
-        val rows = agg.orderBy(col("cnt").desc).limit(s.maxKeys + 1).collect()
-        val total = math.max(1L,
-          agg.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0))
-        val hot = rows.iterator
-          .filter { r =>
-            val c = r.getLong(1)
-            c >= s.minSampleRows && c.toDouble / total >= s.minShare
-          }
-          .map(_.get(0)).take(s.maxKeys).toSeq
-        Some(hot)
+        // persisted: the per-key aggregate is tiny (distinct keys of a
+        // sample), but WITHOUT pinning it the top-k and grand-total jobs
+        // would each re-scan the fact column — two full passes at lake scale
+        val agg = sampled.groupBy(col(key)).agg(count(lit(1)).as("cnt")).persist()
+        try {
+          val rows = agg.orderBy(col("cnt").desc).limit(s.maxKeys + 1).collect()
+          val total = math.max(1L,
+            agg.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0))
+          val hot = rows.iterator
+            .filter { r =>
+              val c = r.getLong(1)
+              c >= s.minSampleRows && c.toDouble / total >= s.minShare
+            }
+            .map(_.get(0)).take(s.maxKeys).toSeq
+          Some(hot)
+        } finally { agg.unpersist(); () }
     }
 }

@@ -68,6 +68,19 @@ private[graft] object QueryHelpers {
     }
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered.
+    * A streaming micro-batch pays fixed per-partition state-store overhead
+    * (checkpoint, commit, provider maintenance) for every stateful operator
+    * in every trigger; at gate scale the state is KBs, so 8 partitions beat
+    * the session's 32 by ~4× on pure overhead. The setting snaps back for
+    * everything after the gate. */
+  def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Write `df` as replay micro-batch file `index` under `dir` (one parquet
     * file, mtime strictly increasing in `index` so the file source's
     * processing order is pinned). Used by [[writeReplay]] for the range

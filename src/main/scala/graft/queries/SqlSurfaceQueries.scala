@@ -513,18 +513,17 @@ private[graft] object SqlSurfaceQueries {
             hll_sketch_agg(doc_id) AS sk,
             count(DISTINCT doc_id) AS exact_distinct
           FROM documents GROUP BY source),
+        total AS (SELECT count(DISTINCT doc_id) AS td FROM documents),
+        uni AS (SELECT hll_sketch_estimate(hll_union_agg(sk)) AS est
+                FROM per_source),
         rows_out AS (
           SELECT source, exact_distinct,
             abs(hll_sketch_estimate(sk) - exact_distinct)
               <= 0.02 * exact_distinct AS est_within_2pct
           FROM per_source
           UNION ALL
-          SELECT '__total__',
-            (SELECT count(DISTINCT doc_id) FROM documents),
-            abs(hll_sketch_estimate(hll_union_agg(sk))
-                - (SELECT count(DISTINCT doc_id) FROM documents))
-              <= 0.02 * (SELECT count(DISTINCT doc_id) FROM documents)
-          FROM per_source)
+          SELECT '__total__', td, abs(est - td) <= 0.02 * td
+          FROM uni CROSS JOIN total)
         SELECT source, exact_distinct, est_within_2pct
         FROM rows_out ORDER BY source""")
     }),

@@ -31,7 +31,7 @@ private[graft] object StreamingQueries {
     // Watermarked stream-stream join, gated: clicks and purchases replay as
     // 4 in-order micro-batch files per side; every purchase within 30
     // minutes after a click by the same user must pair exactly once.
-    "q119_stream_join" -> ((s, dir) => {
+    "q119_stream_join" -> ((s, dir) => withStatePartitions(s, 8) {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       val replay = tmp("q119-replay")
@@ -63,7 +63,7 @@ private[graft] object StreamingQueries {
     // user ids, two rounds because state eviction lags the watermark by a
     // batch) flush every pending outer row, so the final table must equal
     // the batch LEFT JOIN exactly.
-    "q121_stream_outer_join" -> ((s, dir) => {
+    "q121_stream_outer_join" -> ((s, dir) => withStatePartitions(s, 8) {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       val replay = tmp("q121-replay")
@@ -107,7 +107,7 @@ private[graft] object StreamingQueries {
     // 1-day tumbling aggregate exactly. (Counts only — double value sums
     // are order-sensitive across engines, and the batch window-sum path is
     // already decimal-gated by q43.)
-    "q122_stream_window" -> ((s, dir) => {
+    "q122_stream_window" -> ((s, dir) => withStatePartitions(s, 8) {
       val ev = t(s, dir, "events").select(col("ts"), col("event_type"), col("value"))
       val replay = tmp("q122-replay")
       writeReplay(ev, "ts", replay.resolve("e"), n = 4)
@@ -133,7 +133,7 @@ private[graft] object StreamingQueries {
     // replay (the horizon spans the history), so the distinct key set must
     // equal batch SELECT DISTINCT. Keys only — which physical row survives
     // a same-batch tie is legitimately engine-internal.
-    "q123_stream_dedup" -> ((s, dir) => {
+    "q123_stream_dedup" -> ((s, dir) => withStatePartitions(s, 8) {
       val ev = t(s, dir, "events").select(col("ts"), col("user_id"), col("event_type"))
       val replay = tmp("q123-replay")
       writeReplay(ev, "ts", replay.resolve("e"), n = 4)
@@ -151,7 +151,7 @@ private[graft] object StreamingQueries {
     // Streaming gap sessionization, gated: the full event stream replays in
     // order; 30-minute-gap sessions close exactly once, each user's final
     // session stays open (NoTimeout) and is excluded by the oracle too.
-    "q120_stream_sessionize" -> ((s, dir) => {
+    "q120_stream_sessionize" -> ((s, dir) => withStatePartitions(s, 8) {
       import s.implicits._
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("ts"),
