@@ -699,15 +699,18 @@ object Dedup {
       .select(col("doc_id"), col("g"))
     val withTxt = prefix.join(
       base.withColumn("len", length(col("txt"))), Seq("doc_id"))
-    val a = withTxt.select(col("g"), col("doc_id").as("id_a"),
+    // distinct key names per side: self-join disambiguation is Spark's job,
+    // but explicit aliases keep the plan unambiguous (and silence the
+    // trivially-true-predicate warning a shared attribute id triggers)
+    val a = withTxt.select(col("g").as("ga"), col("doc_id").as("id_a"),
       col("txt").as("ta"), col("len").as("la"))
-    val b = withTxt.select(col("g"), col("doc_id").as("id_b"),
+    val b = withTxt.select(col("g").as("gb"), col("doc_id").as("id_b"),
       col("txt").as("tb"), col("len").as("lb"))
     // verify BEFORE the pair-dedup exchange: a candidate surviving on 2+
     // shared prefix grams re-runs the (cheap, banded) DP, but the
     // dropDuplicates shuffle then carries only TRUE pairs — far fewer than
     // candidates on dense vocabularies
-    val mainPairs = a.join(b, a("g") === b("g") && col("id_a") < col("id_b") &&
+    val mainPairs = a.join(b, col("ga") === col("gb") && col("id_a") < col("id_b") &&
         abs(col("la") - col("lb")) <= maxDist)
       .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
       .filter(col("dist") >= 0) // levenshtein(..., max) returns -1 beyond the bound
