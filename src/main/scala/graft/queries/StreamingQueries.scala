@@ -148,6 +148,31 @@ private[graft] object StreamingQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // mapGroupsWithState running totals, gated on the exactly-once
+    // invariant: in update mode every batch re-emits each touched user's
+    // running count, so the MAX over a user's emitted rows equals the batch
+    // COUNT(*) iff every event incremented state exactly once — no drops,
+    // no double-counts across micro-batches. (Double value totals are
+    // arrival-order-sensitive, so the count carries the gate.)
+    "q124_stream_running_totals" -> ((s, dir) => withStatePartitions(s, 8) {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      val replay = tmp("q124-replay")
+      writeReplay(ev, "ts", replay.resolve("e"), n = 4)
+      val stream = Streams.fileSource(s, replay.resolve("e").toString, ev.schema,
+        maxFilesPerTrigger = Some(1))
+        .select(col("user_id"), col("event_type"), col("value"))
+        .as[Streams.UserEvent]
+      val stats = Streams.runningUserStats(stream, idleTimeout = None)
+      Streams.runToMemory(stats.toDF(),
+        s"q124_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+        OutputMode.Update())
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // Streaming gap sessionization, gated: the full event stream replays in
     // order; 30-minute-gap sessions close exactly once, each user's final
     // session stays open (NoTimeout) and is excluded by the oracle too.
@@ -196,6 +221,9 @@ private[graft] object StreamingQueries {
     "q123_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    "q124_stream_running_totals" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+         GROUP BY user_id ORDER BY user_id""",
     // gaps-and-islands sessions minus each user's last (still-open) session
     "q120_stream_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
