@@ -136,50 +136,33 @@ object Bench {
     }
     val firstPass = selected.map { case (name, fn) => name -> timed(name, fn) }
 
-    // Self-attribution (round-5 verdict): external load stretched two
-    // round-wrap benches 2-5x while idle re-runs reproduced the real times.
-    // Re-time the slowest queries once and keep the per-query min — a
-    // transient load spike hits one pass, not both — and record load/CPU
-    // evidence so the artifact says for itself whether it can be trusted.
-    // (Per-query loadavg sampling can't drive this: during the run load1 is
-    // dominated by our OWN 32 executor threads, so only the pre-session
-    // sample and the rerun delta distinguish external load.)
-    val rerunN = 10
-    val slowest = firstPass.toSeq.filter { case (n, _) => !errors.contains(n) }
-      .sortBy { case (_, (w, _)) => -w }.take(rerunN).map(_._1).toSet
+    // Min-of-two, UNCONDITIONALLY (round 9): earlier rounds re-timed only
+    // the slowest 10 unless contamination fired, so each round's total
+    // silently depended on WHICH mitigation ran (r8's full rerun read ~15%
+    // faster than a single-pass r9 on identical code). Every query now
+    // always gets a second timed pass and keeps the per-query min — a
+    // transient load spike hits one pass, not both, and round-over-round
+    // totals compare one policy. (Per-query loadavg sampling can't drive
+    // this: during the run load1 is dominated by our OWN 32 executor
+    // threads, so only the pre-session sample and the rerun delta
+    // distinguish external load.)
     def retime(name: String, w1: Double, c1: Double): (Double, Double, Double) = {
       val (w2, c2) = timed(name, SparkEntry.queries(name))
       (math.min(w1, w2), if (w2 < w1) c2 else c1, w1)
     }
-    val afterSlowest = firstPass.map { case (name, (w1, c1)) =>
-      if (slowest(name)) name -> retime(name, w1, c1)
-      else name -> (w1, c1, w1)
+    val results = firstPass.map { case (name, (w1, c1)) =>
+      if (errors.contains(name)) name -> (w1, c1, w1)
+      else name -> retime(name, w1, c1)
     }
     val firstTotal = firstPass.collect { case (n, (w, _)) if !errors.contains(n) => w }.sum
-    def keptOf(m: Map[String, (Double, Double, Double)]): Double =
-      m.collect { case (n, (w, _, _)) if !errors.contains(n) => w }.sum
-    // Contamination response (round-7 verdict): if the box was already
-    // loaded when we started, or the slowest-10 rerun recovered >15% AND
-    // >5s of the first-pass total (a quiet box reproduces within ~10%;
-    // the absolute floor keeps sub-second noise at toy scale factors from
-    // tripping), the WHOLE first pass is suspect — re-time every remaining
-    // query once and keep the per-query min, instead of letting 100+
-    // single-pass numbers stand on a loaded box.
-    val slowestGainAbs = firstTotal - keptOf(afterSlowest)
-    val fullRerun = loadStart > 2.0 ||
-      (firstTotal > 0 && slowestGainAbs / firstTotal > 0.15 && slowestGainAbs > 5.0)
-    val results =
-      if (!fullRerun) afterSlowest
-      else afterSlowest.map { case (name, (w1, c1, f1)) =>
-        if (slowest(name) || errors.contains(name)) name -> (w1, c1, f1)
-        else name -> retime(name, w1, c1)
-      }
+    val fullRerun = true
     val loadEnd = load1()
-    val keptTotal = keptOf(results)
+    val keptTotal = results.collect { case (n, (w, _, _)) if !errors.contains(n) => w }.sum
     val rerunGain = if (firstTotal > 0) (firstTotal - keptTotal) / firstTotal else 0.0
-    // still flagged: the kept numbers are min-of-two, but the conditions
-    // that forced the full rerun mean absolute times remain suspect
-    val contaminated = loadStart > 2.0 || (rerunGain > 0.15 && firstTotal - keptTotal > 5.0)
+    // flagged when the box was loaded at start, or min-of-two recovered far
+    // more than the ~10% a quiet box shows (absolute floor keeps sub-second
+    // noise at toy scale factors from tripping)
+    val contaminated = loadStart > 2.0 || (rerunGain > 0.2 && firstTotal - keptTotal > 10.0)
 
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
