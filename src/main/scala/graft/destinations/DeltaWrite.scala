@@ -849,19 +849,35 @@ object DeltaWrite {
       spark: SparkSession,
       tablePath: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      clusterBy: Seq[String] = Nil): Long = {
+      clusterBy: Seq[String] = Nil,
+      where: Map[String, String] = Map.empty): Long = {
     import org.apache.spark.sql.functions.col
     val ls = DeltaLog.lazySnapshot(spark, tablePath)
     val snap = ls.meta
     // layout-only (dataChange=false), so appendOnly tables may compact
     requireWritable(tablePath, snap, "compact", removesData = false)
+    // partition-scoped compaction (delta-spark's `OPTIMIZE … WHERE`):
+    // equality conditions on partition columns — the shape a daily
+    // maintenance job wants ("compact yesterday's partition") without
+    // touching the other 10⁴ partitions of a lake-scale table. Keys are
+    // logical names; under column mapping the log's partitionValues use
+    // physical names, so translate before matching.
+    val badKeys = where.keySet -- snap.partitionColumns.toSet
+    require(badKeys.isEmpty,
+      s"compact WHERE references non-partition columns: ${badKeys.mkString(", ")}")
+    val physWhere = where.map { case (k, v) =>
+      snap.physicalNames.getOrElse(k, k) -> v
+    }
+    def inScope(a: DeltaLog.AddFile): Boolean =
+      physWhere.forall { case (k, v) => a.partitionValues.get(k).contains(v) }
     val table = new Path(tablePath)
     val f = fs(spark, table)
     // candidate selection stays on executors: the driver collects only the
     // small files (the acted-on set), never the full live list. Files with
     // an unrecorded size (0) pass the distributed filter and are stat'ed
     // here — bounded by the collected count.
-    val small0 = ls.filesWhere(a => a.size <= 0 || a.size < targetFileBytes / 2)
+    val small0 = ls.filesWhere(a =>
+      inScope(a) && (a.size <= 0 || a.size < targetFileBytes / 2))
     val small = small0
       .map(a => if (a.size > 0) a
         else a.copy(size =
@@ -903,6 +919,16 @@ object DeltaWrite {
     * re-emits metaData when the schemas differ (e.g. restoring to before a
     * mergeSchema append). Returns the new version.
     */
+  /** RESTORE to the snapshot as of `timestamp` (delta-spark's `RESTORE …
+    * TO TIMESTAMP AS OF`) — resolves the version the log had at that
+    * instant, then restores to it. */
+  def restore(spark: SparkSession, tablePath: String,
+      timestamp: java.time.Instant): Long = {
+    val v = DeltaLog.lazySnapshot(spark, tablePath,
+      timestampAsOf = Some(timestamp)).meta.version
+    restore(spark, tablePath, v)
+  }
+
   def restore(spark: SparkSession, tablePath: String, version: Long): Long = {
     import org.apache.spark.sql.functions.{col, lit, not}
     val lsCur = DeltaLog.lazySnapshot(spark, tablePath)
@@ -968,7 +994,8 @@ object DeltaWrite {
       spark: SparkSession,
       tablePath: String,
       retainMs: Long = 7L * 24 * 3600 * 1000,
-      listingBatch: Int = 100000): Int = {
+      listingBatch: Int = 100000,
+      dryRun: Boolean = false): Int = {
     import org.apache.spark.sql.functions.col
     val ls = DeltaLog.lazySnapshot(spark, tablePath)
     val snap = ls.meta
@@ -995,7 +1022,10 @@ object DeltaWrite {
           .join(liveRel, Seq("rel"), "left_anti")
           .select(col("rel")).as[String].collect()
         doomed.foreach { rel =>
-          if (f.delete(new Path(table, rel), false)) removed += 1
+          // dry run (delta-spark `VACUUM … DRY RUN`): count candidates,
+          // delete nothing — the safety check before a retention change
+          if (dryRun) removed += 1
+          else if (f.delete(new Path(table, rel), false)) removed += 1
         }
         batch.clear()
       }

@@ -648,6 +648,58 @@ class DeltaWriteSpec extends SparkSpec {
     assert(DeltaWrite.vacuum(spark, table.toString, retainMs = 0L) == 0)
   }
 
+  test("partition-scoped compact merges only the targeted partition; dry-run vacuum deletes nothing") {
+    import spark.implicits._
+    val table = tmpDir("dw-compact-where")
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    DeltaWrite.createIfAbsent(spark, table.toString, schema, partitionBy = Seq("k"))
+    // 3 small files in each of two partitions
+    (1 to 3).foreach { i =>
+      DeltaWrite.append(spark, table.toString,
+        Seq(("a", i.toLong), ("b", i.toLong)).toDF("k", "v").repartition(1))
+    }
+    def filesOf(part: String): Seq[String] =
+      DeltaLog.snapshot(spark, table.toString).files
+        .filter(_.partitionValues.get("k").contains(part)).map(_.path)
+    assert(filesOf("a").size == 3 && filesOf("b").size == 3)
+
+    val e = intercept[IllegalArgumentException](
+      DeltaWrite.compact(spark, table.toString, where = Map("v" -> "1")))
+    assert(e.getMessage.contains("non-partition"))
+
+    DeltaWrite.compact(spark, table.toString, where = Map("k" -> "a"))
+    assert(filesOf("a").size == 1, filesOf("a").toString)
+    assert(filesOf("b").size == 3, "partition b must be untouched")
+    val rows = DeltaLog.read(spark, table.toString)
+      .groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("a" -> 3L, "b" -> 3L))
+
+    // the compaction tombstoned partition a's 3 small files: dry run counts
+    // them without deleting, the real vacuum then removes exactly those
+    val dry = DeltaWrite.vacuum(spark, table.toString, retainMs = 0L, dryRun = true)
+    assert(dry == 3, s"dry=$dry")
+    assert(DeltaLog.read(spark, table.toString).count() == 6)
+    assert(DeltaWrite.vacuum(spark, table.toString, retainMs = 0L) == 3)
+    assert(DeltaLog.read(spark, table.toString).count() == 6)
+  }
+
+  test("restore by timestamp resolves the version the log had at that instant") {
+    import spark.implicits._
+    val table = tmpDir("dw-restore-ts")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, table.toString, schema)
+    DeltaWrite.append(spark, table.toString, Seq((1L, "one")).toDF("id", "v")) // v1
+    Thread.sleep(150)
+    val atV1 = java.time.Instant.now()
+    Thread.sleep(150)
+    DeltaWrite.append(spark, table.toString, Seq((2L, "two")).toDF("id", "v")) // v2
+    val v = DeltaWrite.restore(spark, table.toString, atV1)
+    assert(v == 3L)
+    assert(DeltaLog.read(spark, table.toString).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("readChanges tails appended rows, ignores compaction, refuses non-append ranges") {
     import spark.implicits._
     val table = tmpDir("dw-changes")
