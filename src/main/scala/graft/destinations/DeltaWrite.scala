@@ -798,6 +798,59 @@ object DeltaWrite {
     adds.size
   }
 
+  /** CONVERT TO DELTA for a plain parquet directory (delta-spark's
+    * `CONVERT TO DELTA parquet.`…``): emit a version-0 `_delta_log` whose
+    * add actions reference the directory's parquet files in place — zero
+    * data bytes move. Schema comes from Spark's parquet reader (which also
+    * types hive partition columns discovered from `k=v/` segments);
+    * `partitionColumns` must name exactly the discovered partition
+    * columns, as a guard against converting a directory whose layout is
+    * not what the caller thinks. The listing is the acted-on set by
+    * definition (every file becomes an add action). Returns the file
+    * count.
+    */
+  def convertFromParquet(
+      spark: SparkSession,
+      tablePath: String,
+      partitionColumns: Seq[String] = Nil): Int = {
+    require(!DeltaLog.isDeltaTable(spark, tablePath),
+      s"$tablePath is already a Delta table")
+    val table = new Path(tablePath)
+    val f = fs(spark, table)
+    val schema = spark.read.parquet(tablePath).schema
+    val partCols = partitionColumns
+    val missing = partCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"declared partition columns not present in the discovered schema: ${missing.mkString(", ")}")
+    val qualifiedRoot = f.makeQualified(table).toString
+    val it = f.listFiles(table, true)
+    val adds = scala.collection.mutable.ArrayBuffer.empty[AddDescriptor]
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = f.makeQualified(st.getPath).toString
+        .stripPrefix(qualifiedRoot).dropWhile(_ == '/')
+      val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
+      if (st.isFile && !hidden && rel.endsWith(".parquet")) {
+        val pv: Seq[(String, Option[String])] = rel.split('/').dropRight(1).toSeq
+          .filter(_.contains('=')).map { seg =>
+            val eq = seg.indexOf('=')
+            val k = unescapePathName(seg.substring(0, eq))
+            val v = unescapePathName(seg.substring(eq + 1))
+            k -> (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v))
+          }
+        val pvKeys = pv.map(_._1).toSet
+        require(pvKeys == partCols.toSet,
+          s"file $rel sits under partition dirs [${pvKeys.mkString(",")}] " +
+            s"but declared partition columns are [${partCols.mkString(",")}]")
+        adds += AddDescriptor(rel, pv.sortBy(_._1), st.getLen, st.getModificationTime)
+      }
+    }
+    require(adds.nonEmpty, s"no parquet files under $tablePath")
+    commit(spark, table, 0L, "CONVERT",
+      withMeta = Some((schema, partCols)), adds = adds.toSeq, removes = Nil)
+    adds.size
+  }
+
   // ----------------------------------------------------------- maintenance
 
   /** DESCRIBE HISTORY: one row per commit, from the log's commitInfo

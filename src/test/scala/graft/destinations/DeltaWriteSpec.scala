@@ -684,6 +684,40 @@ class DeltaWriteSpec extends SparkSpec {
     assert(DeltaLog.read(spark, table.toString).count() == 6)
   }
 
+  test("convertFromParquet: plain partitioned parquet becomes a Delta table in place") {
+    import spark.implicits._
+    val dir = tmpDir("dw-convert-pq").resolve("t")
+    Seq((1L, "x", "2024-01-01"), (2L, "y", "2024-01-01"), (3L, "z", "2024-01-02"))
+      .toDF("id", "v", "day")
+      .write.partitionBy("day").parquet(dir.toString)
+
+    // partition declaration must match the layout
+    val bad = intercept[IllegalArgumentException](
+      DeltaWrite.convertFromParquet(spark, dir.toString))
+    assert(bad.getMessage.contains("partition"), bad.getMessage)
+
+    val n = DeltaWrite.convertFromParquet(spark, dir.toString, Seq("day"))
+    assert(n >= 2)
+    assert(DeltaLog.isDeltaTable(spark, dir.toString))
+    // partition inference types `day` as DATE; compare through a string cast
+    val got = DeltaLog.read(spark, dir.toString).orderBy("id")
+      .select(col("id"), col("v"), col("day").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, "x", "2024-01-01"), (2L, "y", "2024-01-01"),
+      (3L, "z", "2024-01-02")))
+
+    // the converted table is a first-class write target
+    DeltaWrite.append(spark, dir.toString,
+      Seq((4L, "w", "2024-01-03")).toDF("id", "v", "day"))
+    assert(DeltaLog.read(spark, dir.toString).count() == 4)
+    // stats-less converted adds stay conservatively readable under pruning
+    assert(DeltaLog.readWhere(spark, dir.toString, "id = 1").count() == 1)
+    // re-converting refuses
+    val again = intercept[IllegalArgumentException](
+      DeltaWrite.convertFromParquet(spark, dir.toString, Seq("day")))
+    assert(again.getMessage.contains("already"), again.getMessage)
+  }
+
   test("restore by timestamp resolves the version the log had at that instant") {
     import spark.implicits._
     val table = tmpDir("dw-restore-ts")
