@@ -122,6 +122,28 @@ private[graft] object DeltaQueries {
         .select(col("o_orderkey"), col("o_totalprice"), col("_change_type"),
           col("_commit_version"))
         .orderBy(col("_commit_version"), col("o_orderkey"), col("_change_type"))
+    }),
+
+    // CONVERT TO DELTA on a plain hive-partitioned parquet directory: the
+    // version-0 log references the files in place (zero bytes move), the
+    // converted table immediately accepts protocol appends, and the read
+    // path injects typed partition values from the recovered dirs. The
+    // oracle computes the same aggregate over the union of both slices.
+    "q125_delta_convert" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val root = tmp("graft-q125").resolve("t").toString
+      orders.filter(col("o_custkey") < 500)
+        .write.partitionBy("o_orderstatus").parquet(root)
+      DeltaWrite.convertFromParquet(s, root, Seq("o_orderstatus"))
+      DeltaWrite.append(s, root,
+        orders.filter(col("o_custkey") >= 500 && col("o_custkey") < 600))
+      graft.sources.DeltaLog.read(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
@@ -180,6 +202,12 @@ private[graft] object DeltaQueries {
          CASE WHEN c_custkey % 2 = 1 THEN c_nationkey END AS c_nationkey
          FROM customer
          WHERE NOT (c_acctbal < 0) AND c_mktsegment = 'BUILDING'
-         ORDER BY c_custkey"""
+         ORDER BY c_custkey""",
+
+    "q125_delta_convert" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders WHERE o_custkey < 600
+         GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
 }
