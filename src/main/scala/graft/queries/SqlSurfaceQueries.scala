@@ -565,10 +565,30 @@ private[graft] object SqlSurfaceQueries {
                max(variant_get(pv, '$.k', 'long')) AS k_max,
                min(schema_of_variant(pv)) AS v_schema
         FROM v GROUP BY event_type ORDER BY event_type""")
+    }),
+
+    // GROUP BY ALL / ORDER BY ALL (Spark 4 + DuckDB agree on the
+    // semantics: group on every non-aggregate select item, order on the
+    // whole select list) — the analyst shorthand that removes the
+    // copy-the-select-list failure mode from wide rollups.
+    "q126_group_by_all" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        GROUP BY ALL ORDER BY ALL""")
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q126_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus,
+         count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem
+         GROUP BY ALL ORDER BY ALL""",
     "q07_outer_join" ->
       """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
          coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS spend
