@@ -11,6 +11,43 @@ class StreamsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("writeReplay files feed the source oldest-mtime-first, one per trigger, in ts order") {
+    // the streaming oracle gates (q119-q124) are only deterministic if the
+    // replay files arrive as in-order micro-batches — pin that contract
+    val dir = tmpDir("replay-order").resolve("e")
+    val df = (1 to 400).map(i => (new Timestamp(1700000000000L + i * 60000L), i.toLong))
+      .toDF("ts", "n")
+    graft.QueryHelpers.writeReplay(df, "ts", dir, n = 4)
+    val files = new java.io.File(dir.toString).listFiles()
+      .filter(_.getName.startsWith("batch-")).sortBy(_.getName)
+    assert(files.length == 4)
+    assert(files.map(_.lastModified()).toSeq == files.map(_.lastModified()).sorted.toSeq)
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = Streams.fileSource(spark, dir.toString, df.schema,
+        maxFilesPerTrigger = Some(1))
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!b.isEmpty) {
+          val r = b.agg(min(col("n")), max(col("n"))).head()
+          batches.synchronized { batches += ((id, r.getLong(0), r.getLong(1))) }
+        }
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    // one file per trigger, batches in ascending ts-range order, no overlap
+    val ordered = batches.sortBy(_._1)
+    assert(ordered.size == 4, ordered.toString)
+    assert(ordered.map(_._2).toSeq == ordered.map(_._2).sorted.toSeq)
+    ordered.sliding(2).foreach {
+      case scala.collection.mutable.ArrayBuffer((_, _, hi1), (_, lo2, _)) =>
+        assert(hi1 < lo2, s"batch ranges overlap: $ordered")
+      case _ => ()
+    }
+    assert(ordered.map(t => t._3 - t._2 + 1).sum == 400L)
+  }
+
   test("windowed aggregation with watermark drops late events in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
