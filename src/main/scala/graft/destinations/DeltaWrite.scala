@@ -851,6 +851,39 @@ object DeltaWrite {
     adds.size
   }
 
+  /** Backfill per-file pruning stats for live adds that carry none — the
+    * state every [[convertFromParquet]] table starts in (zero-copy
+    * conversion references files it has never scanned), and what
+    * delta-spark repairs with `ANALYZE TABLE … COMPUTE DELTA STATISTICS`.
+    * One distributed columnar scan over exactly the stat-less files; each
+    * is re-added with stats in a dataChange=false commit (replay's
+    * latest-add-wins keeps the path live with the new descriptor, the same
+    * mechanism deletion-vector updates use). Files under a deletion vector
+    * keep physical-row stats — a superset interval, so pruning stays
+    * conservative. Returns the number of files that gained stats.
+    */
+  def collectStats(spark: SparkSession, tablePath: String): Int = {
+    val ls = DeltaLog.lazySnapshot(spark, tablePath)
+    val snap = ls.meta
+    requireWritable(tablePath, snap, "collectStats", removesData = false)
+    require(snap.columnMappingMode == "none",
+      "stats backfill on column-mapped tables is not supported (mapped writes always carry stats)")
+    val statless = ls.filesWhere(_.stats.isEmpty)
+    if (statless.isEmpty) return 0
+    val table = new Path(tablePath)
+    val dataSchema = StructType(
+      snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
+    val adds0 = statless.map(a => AddDescriptor(
+      DeltaLog.decodePath(a.path),
+      a.partitionValues.toSeq.sortBy(_._1).map { case (k, v) => k -> Option(v) },
+      a.size, a.modificationTime, None, a.deletionVector))
+    val statsMap = computeStats(spark, table, adds0, dataSchema)
+    val adds = adds0.map(a => a.copy(stats = statsMap.get(a.relPath)))
+    commit(spark, table, snap.version + 1, "COMPUTE STATS",
+      withMeta = None, adds = adds, removes = Nil, dataChange = false)
+    adds.count(_.stats.isDefined)
+  }
+
   // ----------------------------------------------------------- maintenance
 
   /** DESCRIBE HISTORY: one row per commit, from the log's commitInfo

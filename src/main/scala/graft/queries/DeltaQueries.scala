@@ -138,6 +138,8 @@ private[graft] object DeltaQueries {
       orders.filter(col("o_custkey") < 500)
         .write.partitionBy("o_orderstatus").parquet(root)
       DeltaWrite.convertFromParquet(s, root, Seq("o_orderstatus"))
+      // stats backfill (result-invisible; converted adds start stat-less)
+      DeltaWrite.collectStats(s, root)
       DeltaWrite.append(s, root,
         orders.filter(col("o_custkey") >= 500 && col("o_custkey") < 600))
       graft.sources.DeltaLog.read(s, root)

@@ -718,6 +718,36 @@ class DeltaWriteSpec extends SparkSpec {
     assert(again.getMessage.contains("already"), again.getMessage)
   }
 
+  test("collectStats backfills converted tables; readWhere then prunes files") {
+    import spark.implicits._
+    val dir = tmpDir("dw-stats-backfill").resolve("t")
+    // two disjoint id-range files, written as plain parquet then converted
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1)
+      .write.mode("append").parquet(dir.toString)
+    Seq((100L, "x"), (200L, "y")).toDF("id", "v").repartition(1)
+      .write.mode("append").parquet(dir.toString)
+    DeltaWrite.convertFromParquet(spark, dir.toString)
+    assert(DeltaLog.snapshot(spark, dir.toString).files.forall(_.stats.isEmpty))
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.toSeq
+      }.flatten
+    // stat-less: conservative — both files open
+    assert(scannedFiles(DeltaLog.readWhere(spark, dir.toString, "id >= 150")).size == 2)
+
+    assert(DeltaWrite.collectStats(spark, dir.toString) == 2)
+    // idempotent: second run finds nothing stat-less
+    assert(DeltaWrite.collectStats(spark, dir.toString) == 0)
+    val snap = DeltaLog.snapshot(spark, dir.toString)
+    assert(snap.files.size == 2 && snap.files.forall(_.stats.isDefined))
+    // same rows, and the range predicate now opens ONE file
+    assert(DeltaLog.read(spark, dir.toString).count() == 4)
+    val hi = DeltaLog.readWhere(spark, dir.toString, "id >= 150")
+    assert(scannedFiles(hi).size == 1, scannedFiles(hi).toString)
+    assert(hi.collect().map(_.getLong(0)).toSeq == Seq(200L))
+  }
+
   test("restore by timestamp resolves the version the log had at that instant") {
     import spark.implicits._
     val table = tmpDir("dw-restore-ts")
