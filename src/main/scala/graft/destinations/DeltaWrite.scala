@@ -851,6 +851,50 @@ object DeltaWrite {
     adds.size
   }
 
+  /** SHALLOW CLONE: create a new Delta table at `dstPath` whose version-0
+    * log references `srcPath`'s CURRENT live files by absolute path — a
+    * zero-copy fork (delta-spark `CREATE TABLE … SHALLOW CLONE src`).
+    * Schema, partition columns, table configuration, per-file stats, and
+    * the source's protocol carry over verbatim; deletion-vector
+    * descriptors are rewritten to absolute ("p") form so they keep
+    * resolving against the source's sidecars. Writes to the clone
+    * copy-on-write into the clone's own directory and never touch the
+    * source; the clone's vacuum cannot delete source files (they are
+    * outside its root). Caveat (same as delta-spark): vacuuming the
+    * SOURCE can delete files a clone still references. The manifest is
+    * the only thing written — cost is bounded by live-file count, with
+    * zero data bytes read or moved. Returns the number of cloned file
+    * references.
+    */
+  def shallowClone(spark: SparkSession, srcPath: String, dstPath: String): Int = {
+    require(!DeltaLog.isDeltaTable(spark, dstPath),
+      s"$dstPath is already a Delta table")
+    val ls = DeltaLog.lazySnapshot(spark, srcPath)
+    val snap = ls.meta
+    val srcRoot = new Path(srcPath)
+    val fsrc = fs(spark, srcRoot)
+    val qualifiedSrc = fsrc.makeQualified(srcRoot)
+    val files = ls.filesWhere(_ => true) // the clone references every live file
+    val adds = files.map { a =>
+      val abs = new Path(qualifiedSrc, DeltaLog.decodePath(a.path)).toUri.getPath
+      val dv = a.deletionVector.map { dj =>
+        val d = graft.sources.DeletionVectors.parse(dj)
+        if (d.storageType == "i" || d.storageType == "p") dj
+        else graft.sources.DeletionVectors.absoluteDescriptorJson(
+          graft.sources.DeletionVectors.dvFilePath(srcPath, d).toUri.getPath,
+          d.offset, d.sizeInBytes, d.cardinality)
+      }
+      AddDescriptor(abs,
+        a.partitionValues.toSeq.sortBy(_._1).map { case (k, v) => k -> Option(v) },
+        a.size, a.modificationTime, a.stats, dv)
+    }
+    commit(spark, new Path(dstPath), 0L, "CLONE",
+      withMeta = Some((snap.schema, snap.partitionColumns)),
+      adds = adds, removes = Nil,
+      metaConfig = snap.configuration, protocolUpgrade = snap.protocol)
+    adds.size
+  }
+
   /** Backfill per-file pruning stats for live adds that carry none — the
     * state every [[convertFromParquet]] table starts in (zero-copy
     * conversion references files it has never scanned), and what

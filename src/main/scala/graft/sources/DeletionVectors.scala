@@ -492,6 +492,21 @@ private[graft] object DeletionVectors {
     m.writeValueAsString(n)
   }
 
+  /** Descriptor JSON for a DV at an absolute path (`storageType` "p") —
+    * how shallow clones keep referencing the SOURCE table's `.bin`
+    * sidecars after the add actions move to another table's log. */
+  def absoluteDescriptorJson(
+      path: String, offset: Option[Int], sizeInBytes: Int, cardinality: Long): String = {
+    val m = new ObjectMapper()
+    val n = m.createObjectNode()
+    n.put("storageType", "p")
+    n.put("pathOrInlineDv", path)
+    offset.foreach(n.put("offset", _))
+    n.put("sizeInBytes", sizeInBytes)
+    n.put("cardinality", cardinality)
+    m.writeValueAsString(n)
+  }
+
   /** Descriptor JSON for a DV stored in a UUID-derived `.bin` under the
     * table root (`storageType` "u").
     */

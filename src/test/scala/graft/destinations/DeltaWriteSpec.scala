@@ -718,6 +718,39 @@ class DeltaWriteSpec extends SparkSpec {
     assert(again.getMessage.contains("already"), again.getMessage)
   }
 
+  test("shallowClone forks a table by reference; writes copy-on-write, source untouched") {
+    import spark.implicits._
+    val src = tmpDir("dw-clone-src").toString
+    val dst = tmpDir("dw-clone-dst").resolve("c").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, src, schema,
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    DeltaWrite.append(spark, src, (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    DeltaWrite.append(spark, src, (21L to 40L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    DeltaWrite.delete(spark, src, "id % 10 = 0") // DV-marked rows
+
+    val n = DeltaWrite.shallowClone(spark, src, dst)
+    assert(n == 2, s"cloned $n refs")
+    // no data files under the clone root — manifest only
+    val dataFiles = new java.io.File(dst).listFiles().filterNot(_.getName.startsWith("_"))
+    assert(dataFiles.isEmpty, dataFiles.mkString(","))
+    def ids(path: String): Seq[Long] =
+      DeltaLog.read(spark, path).orderBy("id").collect().map(_.getLong(0)).toSeq
+    val expect = (1L to 40L).filterNot(_ % 10 == 0)
+    assert(ids(dst) == expect)
+
+    // clone diverges copy-on-write; the source never changes
+    DeltaWrite.append(spark, dst, Seq((100L, "new")).toDF("id", "v"))
+    DeltaWrite.delete(spark, dst, "id <= 5")
+    assert(ids(dst) == (expect.filter(_ > 5) :+ 100L))
+    assert(ids(src) == expect, "source must be untouched by clone writes")
+    // the clone's vacuum reclaims nothing of the source
+    DeltaWrite.vacuum(spark, dst, retainMs = 0L)
+    assert(ids(src) == expect)
+    assert(ids(dst) == (expect.filter(_ > 5) :+ 100L))
+  }
+
   test("collectStats backfills converted tables; readWhere then prunes files") {
     import spark.implicits._
     val dir = tmpDir("dw-stats-backfill").resolve("t")
