@@ -62,7 +62,8 @@ object Bench {
   // queries added in round 9 (streaming paths through the oracle gate)
   private[graft] val r9New = Set("q119_stream_join", "q120_stream_sessionize",
     "q121_stream_outer_join", "q122_stream_window", "q123_stream_dedup",
-    "q124_stream_running_totals", "q125_delta_convert", "q126_group_by_all")
+    "q124_stream_running_totals", "q125_delta_convert", "q126_group_by_all",
+    "q127_delta_clone")
   private[graft] val laterRounds = Seq(r3New, r4New, r5New, r6New, r8New, r9New)
   private def newer(from: Int)(k: String): Boolean =
     laterRounds.drop(from).exists(_(k))

@@ -146,6 +146,31 @@ private[graft] object DeltaQueries {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // SHALLOW CLONE through the gate: fork a table by reference, diverge
+    // the clone (append + delete), and read BOTH sides — the source must
+    // still be exactly its pre-clone state, the clone exactly the diverged
+    // one. The oracle reconstructs both states from raw orders in SQL.
+    "q127_delta_clone" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val src = tmp("graft-q127").resolve("src").toString
+      val dst = tmp("graft-q127").resolve("clone").toString
+      DeltaWrite.createIfAbsent(s, src,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+      DeltaWrite.append(s, src, orders.filter(col("o_orderkey") < 3000))
+      DeltaWrite.shallowClone(s, src, dst)
+      DeltaWrite.append(s, dst,
+        orders.filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 4000))
+      DeltaWrite.delete(s, dst, "o_orderkey % 5 = 0")
+      val srcDf = graft.sources.DeltaLog.read(s, src).withColumn("side", lit("src"))
+      val cloneDf = graft.sources.DeltaLog.read(s, dst).withColumn("side", lit("clone"))
+      srcDf.unionByName(cloneDf)
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("side"))
     })
   )
 
@@ -210,6 +235,18 @@ private[graft] object DeltaQueries {
       """SELECT o_orderstatus, count(*) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders WHERE o_custkey < 600
-         GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // both sides reconstructed from raw orders: src = the pre-clone slice,
+    // clone = (src ∪ appended slice) minus the %5 delete
+    "q127_delta_clone" ->
+      """SELECT side, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM (
+           SELECT 'src' AS side, o_totalprice FROM orders WHERE o_orderkey < 3000
+           UNION ALL
+           SELECT 'clone', o_totalprice FROM orders
+           WHERE o_orderkey < 4000 AND o_orderkey % 5 <> 0)
+         GROUP BY side ORDER BY side"""
   )
 }
