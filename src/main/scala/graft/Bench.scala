@@ -187,7 +187,7 @@ object Bench {
     // compare against BENCH_r08's 81.5s, not the new grand total
     val r8Subset = results.collect { case (k, (v, _, _)) if !newer(5)(k) => v }.sum
     val subsets = s""""r1_subset_sec":${f3(r1Subset)},"r2_subset_sec":${f3(r2Subset)},"r3_subset_sec":${f3(r3Subset)},"r4_subset_sec":${f3(r4Subset)},"r5_subset_sec":${f3(r5Subset)},"r6_subset_sec":${f3(r6Subset)},"r8_subset_sec":${f3(r8Subset)}"""
-    val loadJson = s""""load1_start":${f3(loadStart)},"load1_end":${f3(loadEnd)},"rerun_gain":${f3(rerunGain)},"full_rerun":$fullRerun,"contaminated":$contaminated"""
+    val loadJson = s""""load1_initial":${f3(loadInitial)},"load1_start":${f3(loadStart)},"load1_end":${f3(loadEnd)},"rerun_gain":${f3(rerunGain)},"full_rerun":$fullRerun,"contaminated":$contaminated"""
     try {
       // full per-query detail: kept wall, process-CPU seconds (wall >> cpu/32
       // on an idle box; wall inflated with cpu flat = external load), and

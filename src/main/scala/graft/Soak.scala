@@ -83,14 +83,18 @@ object Soak {
       val outcome =
         try {
           val df = fn(spark, out)
-          df.write.format("noop").mode("overwrite").save()
-          // AQE's FINAL plan (post-execution): the assertion that matters at
-          // scale — bigger stats must not flip any join to a product/BNL
-          val plan = df.queryExecution.executedPlan.toString
+          // execute THIS QueryExecution (a separate write/count would plan
+          // its own) so the adaptive plan we inspect is the runtime-final
+          // one — AQE's re-plan under the sf1 stats is exactly what's
+          // being pinned here
+          val qe = df.queryExecution
+          qe.toRdd.foreach(_ => ())
+          val plan = qe.executedPlan.toString
           val ok = !plan.contains("CartesianProduct") &&
-            !plan.contains("BroadcastNestedLoopJoin")
+            !plan.contains("BroadcastNestedLoopJoin") &&
+            (!plan.contains("AdaptiveSparkPlan") || plan.contains("isFinalPlan=true"))
           spark.catalog.clearCache()
-          (ok, if (ok) "" else "plan flipped to product/BNL")
+          (ok, if (ok) "" else "plan flipped to product/BNL or did not finalize")
         } catch {
           case e: Throwable =>
             (false, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")

@@ -876,12 +876,16 @@ object DeltaWrite {
     val qualifiedSrc = fsrc.makeQualified(srcRoot)
     val files = ls.filesWhere(_ => true) // the clone references every live file
     val adds = files.map { a =>
-      val abs = new Path(qualifiedSrc, DeltaLog.decodePath(a.path)).toUri.getPath
+      // FULLY-QUALIFIED references (scheme + authority): a clone on another
+      // filesystem must keep resolving against the source's, not re-root
+      // the path onto its own
+      val abs = new Path(qualifiedSrc, DeltaLog.decodePath(a.path)).toString
       val dv = a.deletionVector.map { dj =>
         val d = graft.sources.DeletionVectors.parse(dj)
         if (d.storageType == "i" || d.storageType == "p") dj
         else graft.sources.DeletionVectors.absoluteDescriptorJson(
-          graft.sources.DeletionVectors.dvFilePath(srcPath, d).toUri.getPath,
+          fsrc.makeQualified(
+            graft.sources.DeletionVectors.dvFilePath(srcPath, d)).toString,
           d.offset, d.sizeInBytes, d.cardinality)
       }
       AddDescriptor(abs,

@@ -666,16 +666,21 @@ object Dedup {
     *
     * Scale shape: gram frequency is one bounded-key aggregate; the per-doc
     * prefix pick is a window over ~len rows per doc; the candidate join
-    * shuffles prefix postings (≤ maxDist·q+1 per doc). Strings shorter
-    * than `q` have no grams, so they take a separate length-banded
-    * fallback: each sub-q string equi-joins (on exact length bands, so no
-    * cross product) against the only strings the length bound allows —
-    * those of length ≤ q−1+maxDist — and verifies with the same banded DP.
-    * That stratum is a dense block keyed by ≤ q distinct lengths; it is
-    * cheap when sub-q keys are rare (the normal case for titles/names/urls)
-    * and degrades to |shorts|·|near| work when they are not — which is the
-    * true output size for such keyspaces anyway (every 2-char string is
-    * within one edit of every other).
+    * shuffles prefix postings (≤ maxDist·q+1 per doc).
+    *
+    * Completeness bound: the gram path is provably complete only when the
+    * pair's LONGER side has ≥ q·(maxDist+1) chars — below that, the
+    * count-filter floor max|G| − maxDist·q hits zero and two strings
+    * within the radius can share NO q-gram at all (e.g. "abc"/"abd" at
+    * maxDist 1, q 3), never mind a prefix gram. The whole
+    * length ≤ q·(maxDist+1)−1 stratum (which also covers gram-less sub-q
+    * strings) therefore pairs via a length-banded equi-join fallback
+    * verified by the same banded DP; any pair with a longer side falls to
+    * the gram path by the |len_a − len_b| ≤ maxDist bound. The fallback
+    * stratum is a dense block keyed by a handful of distinct lengths —
+    * cheap when short keys are rare (the normal case for titles/names/
+    * urls), and its worst case is the true output size for such keyspaces
+    * anyway (every 2-char string is within one edit of every other).
     */
   def editDistancePairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -717,12 +722,14 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("dist"))
 
-    // sub-q stratum: gram-less strings pair via a length-banded equi-join
-    // against everything the |len_a − len_b| ≤ maxDist bound allows
-    val shorts = all.filter(length(col("txt")) < q)
+    // short stratum (see scaladoc): every pair whose longer side is below
+    // q·(maxDist+1) must come from this banded join — the gram path cannot
+    // guarantee them a shared candidate gram
+    val shortBound = q * (maxDist + 1) - 1
+    val shorts = all.filter(length(col("txt")) <= shortBound)
       .select(col("doc_id").as("id_a"), col("txt").as("ta"),
         length(col("txt")).as("band"))
-    val near = all.filter(length(col("txt")) <= q - 1 + maxDist)
+    val near = all.filter(length(col("txt")) <= shortBound)
       .select(col("doc_id").as("id_b"), col("txt").as("tb"),
         explode(sequence(greatest(length(col("txt")) - maxDist, lit(0)),
           length(col("txt")) + maxDist)).as("band"))
@@ -736,6 +743,8 @@ object Dedup {
         col("dist"))
       .dropDuplicates("id_a", "id_b")
 
-    mainPairs.unionByName(shortPairs)
+    // the strata overlap in [q, shortBound]: a short pair that DOES share a
+    // prefix gram arrives from both paths — dedupe on the pair key
+    mainPairs.unionByName(shortPairs).dropDuplicates("id_a", "id_b")
   }
 }

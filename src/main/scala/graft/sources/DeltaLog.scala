@@ -544,8 +544,18 @@ object DeltaLog {
   private[graft] def decodePath(p: String): String =
     try {
       val u = new java.net.URI(p)
-      if (u.getPath != null) u.getPath else p
-    } catch { case _: java.net.URISyntaxException => p }
+      if (u.getScheme != null)
+        // fully-qualified absolute reference (shallow-clone adds, "p" DV
+        // descriptors): scheme and authority must SURVIVE decoding, or a
+        // cross-filesystem reference would re-root onto the reader's
+        // table filesystem
+        new org.apache.hadoop.fs.Path(u).toString
+      else if (u.getPath != null) u.getPath
+      else p
+    } catch {
+      case _: java.net.URISyntaxException => p
+      case _: IllegalArgumentException => p
+    }
 
   /** Open the table as a DataFrame (latest / `versionAsOf` /
     * `timestampAsOf`). Partition columns are injected from the log's

@@ -1345,10 +1345,13 @@ class OpsSpec extends SparkSpec {
       out
     }
     val bases = (1 to 40).map(_ => (1 to 12).map(_ => alphabet(rnd.nextInt(5))).mkString)
-    // sub-q strings (len < 3) exercise the length-banded fallback stratum:
-    // they pair among themselves AND against q..q-1+maxDist strings
+    // the short stratum (len <= q*(maxDist+1)-1 = 8 here) exercises the
+    // length-banded fallback: sub-q strings with no grams at all, plus the
+    // adversarial zero-shared-gram pairs the gram path provably cannot see
+    // ("abc"/"abd" at distance 1 share no 3-gram; "abcde"/"abxde" likewise)
     val shorts = Seq((9000L, ""), (9001L, "a"), (9002L, "ab"), (9003L, "ae"),
-      (9004L, "abcd"), (9005L, "abc"))
+      (9004L, "abcd"), (9005L, "abc"), (9006L, "abd"),
+      (9007L, "abcde"), (9008L, "abxde"), (9009L, "vwxyzuvw"))
     val strs = bases.zipWithIndex.flatMap { case (b, i) =>
       Seq((i * 10L, b), (i * 10L + 1, mutate(b, 1)), (i * 10L + 2, mutate(b, 3)))
     } ++ shorts
