@@ -682,6 +682,15 @@ class DeltaWriteSpec extends SparkSpec {
     assert(DeltaLog.read(spark, table.toString).count() == 6)
     assert(DeltaWrite.vacuum(spark, table.toString, retainMs = 0L) == 3)
     assert(DeltaLog.read(spark, table.toString).count() == 6)
+
+    // WHERE composes with range clustering: partition b's files merge
+    // sorted on v; a's single compacted file is untouched
+    DeltaWrite.compact(spark, table.toString, clusterBy = Seq("v"),
+      where = Map("k" -> "b"))
+    assert(filesOf("a").size == 1 && filesOf("b").size == 1)
+    assert(DeltaLog.read(spark, table.toString)
+      .groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("a" -> 3L, "b" -> 3L))
   }
 
   test("convertFromParquet: plain partitioned parquet becomes a Delta table in place") {
