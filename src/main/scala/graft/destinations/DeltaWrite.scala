@@ -1516,12 +1516,27 @@ object DeltaWrite {
 
   // --------------------------------------------------------------- commits
 
-  /** URI-encode a table-relative path for `add.path`/`remove.path` (RFC
-    * percent-encoding preserving '/', per the Delta spec; the read bridge
-    * and delta-spark both decode it).
+  /** URI-encode an `add.path`/`remove.path` (RFC percent-encoding
+    * preserving '/', per the Delta spec; the read bridge and delta-spark
+    * both decode it). Two input shapes:
+    *   - table-relative (every normal write): encode the whole string as
+    *     a URI path component;
+    *   - fully qualified with scheme(+authority) — shallowClone and
+    *     collectStats-on-clone adds: the scheme and authority MUST
+    *     survive into the log (the Delta spec stores absolute adds as
+    *     full URIs), so only the path component is percent-encoded.
+    *     Encoding `s3a://bucket/tbl/f.parquet` as a bare path would drop
+    *     scheme and bucket and silently re-root the clone reference onto
+    *     the reader's filesystem.
     */
-  private def encodePath(rel: String): String =
-    new java.net.URI(null, null, rel, null).getRawPath
+  private[graft] def encodePath(rel: String): String = {
+    val scheme = new Path(rel).toUri.getScheme
+    if (scheme == null) new java.net.URI(null, null, rel, null).getRawPath
+    else {
+      val u = new Path(rel).toUri
+      new java.net.URI(u.getScheme, u.getAuthority, u.getPath, null).toASCIIString
+    }
+  }
 
   private def commit(
       spark: SparkSession,

@@ -758,6 +758,53 @@ class DeltaWriteSpec extends SparkSpec {
     DeltaWrite.vacuum(spark, dst, retainMs = 0L)
     assert(ids(src) == expect)
     assert(ids(dst) == (expect.filter(_ > 5) :+ 100L))
+
+    // the clone manifest must store FULLY-QUALIFIED add paths — scheme
+    // intact in the raw log JSON (a scheme-less absolute path happens to
+    // resolve on the local fs but breaks cross-filesystem clones)
+    val v0 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dst, "_delta_log", "00000000000000000000.json"))
+    val clonedAdds = v0.linesIterator.filter(_.contains("\"add\"")).toSeq
+    assert(clonedAdds.size == 2)
+    assert(clonedAdds.forall(_.contains("\"path\":\"file:")), clonedAdds.head)
+  }
+
+  test("collectStats on a clone re-adds with the qualified scheme intact") {
+    import spark.implicits._
+    val srcDir = tmpDir("dw-clone-stats-src").resolve("t")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1)
+      .write.mode("append").parquet(srcDir.toString)
+    Seq((100L, "x")).toDF("id", "v").repartition(1)
+      .write.mode("append").parquet(srcDir.toString)
+    DeltaWrite.convertFromParquet(spark, srcDir.toString) // stat-less adds
+    val dst = tmpDir("dw-clone-stats-dst").resolve("c").toString
+    DeltaWrite.shallowClone(spark, srcDir.toString, dst)
+    // the backfilled re-adds must keep the fully-qualified source refs
+    assert(DeltaWrite.collectStats(spark, dst) == 2)
+    val snap = DeltaLog.snapshot(spark, dst)
+    assert(snap.files.forall(a => a.stats.isDefined && a.path.startsWith("file:")),
+      snap.files.map(_.path).mkString(","))
+    assert(DeltaLog.read(spark, dst).count() == 3)
+    assert(DeltaLog.readWhere(spark, dst, "id >= 50").collect()
+      .map(_.getLong(0)).toSeq == Seq(100L))
+  }
+
+  test("encodePath preserves scheme+authority of qualified clone refs and round-trips") {
+    def roundTrip(p: String): String = DeltaLog.decodePath(DeltaWrite.encodePath(p))
+    // table-relative paths: percent-encoded, '/' preserved
+    assert(DeltaWrite.encodePath("day=2024-01-01/part 1.parquet")
+      == "day=2024-01-01/part%201.parquet")
+    assert(roundTrip("x y/a+b.parquet") == "x y/a+b.parquet")
+    // scheme-qualified (local fs) — scheme survives
+    assert(DeltaWrite.encodePath("file:/src/tbl/part.parquet")
+      .startsWith("file:/"))
+    assert(roundTrip("file:/src/tbl/part.parquet") == "file:/src/tbl/part.parquet")
+    // authority-bearing object-store URI — scheme AND bucket survive
+    val s3 = "s3a://bucket/tbl/day=2024-01-01/part 1.parquet"
+    val enc = DeltaWrite.encodePath(s3)
+    assert(enc == "s3a://bucket/tbl/day=2024-01-01/part%201.parquet", enc)
+    assert(roundTrip(s3) == new org.apache.hadoop.fs.Path(
+      new java.net.URI("s3a", "bucket", "/tbl/day=2024-01-01/part 1.parquet", null)).toString)
   }
 
   test("collectStats backfills converted tables; readWhere then prunes files") {
