@@ -95,17 +95,22 @@ object Sampling {
     * (counts, alpha, budget) — reproducible and engine-checkable.
     * Null-domain rows get quota 0 (dropped).
     *
-    * Scale: selection is hash-threshold, not a per-domain sort. One bounded
-    * aggregate counts rows per (domain, 2-hex-digit md5 prefix) — #domains
-    * × ≤257 rows to the driver (the aggregate-to-driver scalar contract).
-    * The driver locates each domain's selection boundary bucket by
-    * cumulative count; buckets strictly before it are selected outright and
-    * only the boundary bucket is ranked, so no task ever sorts more than
-    * ~1/256th of one domain. A 60%-of-corpus hot domain costs 256 parallel
-    * bucket sorts, not one single-reducer domain sort (the round-5 scale
-    * flag). The per-bucket stats ride a broadcast join (#domains × 257
-    * rows), and ranks within a bucket offset by the bucket's cumulative
-    * count, so `sample_rank` is still the exact global (md5, id) rank.
+    * Scale: fully distributed — NOTHING proportional to domain cardinality
+    * ever reaches the driver (ScaleSpec pins this on a 100k-domain frame).
+    * The only driver value is the scalar Σ n_d^alpha, computed as an exact
+    * DECIMAL aggregate so it is order-invariant (a double sum would make
+    * quotas depend on reduction order; [[temperatureQuotas]] must replay
+    * bit-identically for q99's oracle). Selection is hash-threshold, not a
+    * per-domain sort: rows are bucketed by their 2-hex-digit md5 prefix, a
+    * per-domain cumulative-count window over the ≤257 bucket stats marks
+    * each domain's boundary bucket, buckets wholly past the quota are
+    * dropped before any sort, and ranks within a surviving bucket are
+    * offset by the bucket's exclusive cumulative count — `sample_rank` is
+    * the exact global (md5, id) rank, but no task ever sorts more than
+    * ~1/256th of one domain. The bucket-stats frame joins back on
+    * (domain, bucket) — the window that follows partitions on the same
+    * keys, so the shuffle is shared; AQE broadcasts the stats side when it
+    * is small (every realistic mix spec) and shuffle-joins otherwise.
     *
     * Returns the sampled rows plus `sample_rank` and `mix_quota`.
     */
@@ -121,63 +126,77 @@ object Sampling {
     val bcounts = df.filter(col(domainCol).isNotNull)
       .groupBy(col(domainCol).as("_mix_d"), bucket.as("_mix_b"))
       .agg(count(lit(1)).as("_mix_n"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val counts = bcounts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
-    val quotas = quotasFromCounts(counts, alpha, budget)
-    // per (domain, bucket): rows in earlier buckets (cum) and how many of
-    // this bucket make the quota; buckets contributing nothing are dropped
-    // HERE, so wholly-unselected buckets never reach the window at all
-    val stats = bcounts.groupBy(_._1).toSeq.flatMap { case (d, bs) =>
-      val q = quotas(d)
-      var cum = 0L
-      bs.sortBy(_._2).map { case (_, b, n) =>
-        val out = (d, b, cum, math.max(0L, math.min(q - cum, n)))
-        cum += n; out
-      }
-    }.filter(_._4 > 0L)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val statsDf = stats.toDF("_mix_d", "_mix_b", "_mix_cum", "_mix_sel")
-    val quotaExpr = quotas.toSeq.sortBy(_._1).foldLeft(
-      when(lit(false), lit(0L))) {
-      case (acc, (d, q)) => acc.when(col(domainCol) === d, lit(q))
-    }.otherwise(lit(0L))
+    val quotas = quotaFrame(
+      bcounts.groupBy(col("_mix_d")).agg(sum(col("_mix_n")).as("_mix_dn")),
+      col("_mix_d"), col("_mix_dn"), alpha, budget)
     import org.apache.spark.sql.expressions.Window
+    // exclusive per-domain cumulative count in bucket order → each bucket's
+    // global rank offset; buckets contributing nothing to the quota are
+    // dropped HERE, so wholly-unselected buckets never reach the data join
+    // or the window at all
+    val cumW = Window.partitionBy(col("_mix_d")).orderBy(col("_mix_b"))
+    val stats = bcounts
+      .withColumn("_mix_cum", sum(col("_mix_n")).over(cumW) - col("_mix_n"))
+      .join(quotas.select(col("_mix_d"), col("_mix_q")), "_mix_d")
+      .filter(col("_mix_q") - col("_mix_cum") > 0L)
     val w = Window.partitionBy(col("_mix_d"), col("_mix_b"))
       .orderBy(h.asc_nulls_last, col(idCol))
-    df.join(broadcast(statsDf),
+    df.join(stats,
         col(domainCol) === col("_mix_d") && bucket === col("_mix_b"))
       .withColumn("sample_rank",
         (col("_mix_cum") + row_number().over(w)).cast("long"))
-      .withColumn("mix_quota", quotaExpr)
+      .withColumn("mix_quota", col("_mix_q"))
       .filter(col("sample_rank") <= col("mix_quota"))
-      .drop("_mix_d", "_mix_b", "_mix_cum", "_mix_sel")
+      .drop("_mix_d", "_mix_b", "_mix_n", "_mix_cum", "_mix_q")
   }
 
-  /** The quota table behind [[temperatureMix]]:
-    * `min(n_d, floor(budget · n_d^alpha / Σ n^alpha))` per non-null domain.
+  /** The quota table behind [[temperatureMix]] as a DataFrame
+    * `(domain, n, quota)` — the scale-safe form (never materialized on the
+    * driver). `quota = min(n_d, floor(budget · n_d^alpha / Σ n^alpha))`
+    * per non-null domain.
+    */
+  def temperatureQuotaFrame(
+      df: DataFrame, domainCol: String, alpha: Double, budget: Long): DataFrame = {
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).as("_mix_d")).agg(count(lit(1)).as("_mix_dn"))
+    quotaFrame(counts, col("_mix_d"), col("_mix_dn"), alpha, budget)
+      .select(col("_mix_d").as("domain"), col("_mix_dn").as("n"),
+        col("_mix_q").as("quota"))
+  }
+
+  /** [[temperatureQuotaFrame]] collected to a Map — an inspection / oracle
+    * convenience for config-sized domain sets (q99 captures it to replay
+    * quotas in SQL). The Map return type IS a driver materialization; use
+    * the frame form inside pipelines.
     */
   def temperatureQuotas(
       df: DataFrame, domainCol: String, alpha: Double, budget: Long): Map[String, Long] = {
-    val counts = df.filter(col(domainCol).isNotNull)
-      .groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    quotasFromCounts(counts, alpha, budget)
+    temperatureQuotaFrame(df, domainCol, alpha, budget)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
   }
 
-  /** Quotas from domain counts. The weight sum runs in sorted-domain order
-    * so [[temperatureMix]] (counts summed from hash-prefix buckets) and
-    * [[temperatureQuotas]] (counts aggregated directly) produce
-    * bit-identical quotas — q99's oracle replays quotas captured via the
-    * latter against a mix drawn via the former.
+  /** Distributed quota derivation from a per-domain count frame. The weight
+    * sum Σ n_d^alpha is the single driver scalar, aggregated as
+    * DECIMAL(38,12) so it is EXACT and therefore reduction-order-invariant:
+    * [[temperatureMix]] and [[temperatureQuotas]] each recompute it on
+    * separate scans, and q99's oracle replays quotas captured via the
+    * latter against a mix drawn via the former — a double sum could differ
+    * in the last ulp between the two runs and flip a floor() at a quota
+    * boundary. Per-domain floor/min stay columnar (same double arithmetic
+    * as `(budget * pow / wsum).toLong` — non-negative, so floor ≡ truncate).
     */
-  private def quotasFromCounts(
-      counts: Map[String, Long], alpha: Double, budget: Long): Map[String, Long] = {
-    val wsum = counts.toSeq.sortBy(_._1)
-      .map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
-    counts.map { case (d, n) =>
-      d -> math.min(n, (budget * math.pow(n.toDouble, alpha) / wsum).toLong)
-    }
+  private def quotaFrame(
+      counts: DataFrame, d: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column, alpha: Double, budget: Long): DataFrame = {
+    val withW = counts.select(d.as("_mix_d"), n.as("_mix_dn"),
+      pow(n.cast("double"), lit(alpha)).as("_mix_w"))
+    val wsumRow = withW
+      .agg(sum(col("_mix_w").cast("decimal(38,12)")).as("_ws")).head()
+    val wsum: Double =
+      if (wsumRow.isNullAt(0)) 0.0 else wsumRow.getDecimal(0).doubleValue()
+    withW.withColumn("_mix_q",
+      least(col("_mix_dn"),
+        floor(lit(budget.toDouble) * col("_mix_w") / lit(wsum))))
   }
 
   /** 32-hex-digit cutoff = floor(fraction · 16^32), zero-padded — md5 hex

@@ -258,15 +258,23 @@ class PlanSpec extends SparkSpec {
 
   test("q99: temperature mix never sorts a whole domain in one task") {
     val p = plan("q99_temperature_mix")
-    // selection is hash-threshold: the only window partitions by
-    // (domain, md5-prefix bucket), so a hot domain spreads over 256 tasks
-    // instead of funneling through one reducer (round-5 scale flag)
+    // selection is hash-threshold: every window partitions by (or orders
+    // on) the md5-prefix bucket — the data-rank window on (domain, bucket)
+    // spreads a hot domain over 256 tasks instead of one reducer (round-5
+    // scale flag), and the cumulative-stats window sorts ≤257 bucket rows
+    // per domain, never data rows (round-9 driver-collect flag)
     val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
     assert(winSpecs.nonEmpty, p)
     winSpecs.foreach(s => assert(s.contains("_mix_b"), s))
-    // bucket stats ride a broadcast, not a shuffle join
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    // all equi-joins; the stats side is un-hinted (AQE broadcasts small
+    // stats at runtime, shuffle-joins at extreme domain cardinality)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // ... and at gate scale AQE does turn the data-side stats join into a
+    // broadcast in the executed plan
+    val df = SparkEntry.queries("q99_temperature_mix")(spark, dir)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin"), executed)
   }
 
   test("text/sketch passes never re-derive inside scan filters (generate-filter trap)") {

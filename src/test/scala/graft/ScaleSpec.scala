@@ -252,4 +252,32 @@ class ScaleSpec extends SparkSpec {
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
   }
+
+  test("temperatureMix at 100k domains: nothing domain-sized reaches the driver") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    // 100k domains × 2 rows — the extreme-cardinality regime the round-9
+    // verdict flagged: the old implementation collected per-(domain,bucket)
+    // counts and built a #domains-branch CASE literal, so its plan carried
+    // a domain-sized LocalRelation and this test could not even construct
+    val nDomains = 100000L
+    val df = spark.range(2 * nDomains).select(
+      concat(lit("d"), (col("id") % nDomains)).as("domain"),
+      col("id").as("doc_id"),
+      concat(lit("text body "), col("id")).as("text"))
+    // equal-size domains: every quota = floor(budget·√2 / (100k·√2)) = 1
+    val mix = graft.ops.Sampling.temperatureMix(
+      df, "doc_id", "text", "domain", alpha = 0.5, budget = 150000L)
+    // the plan embeds NO driver-materialized relation that grows with
+    // domain cardinality (the only driver value is the Σ n^α scalar)
+    val localRows = mix.queryExecution.optimizedPlan.collect {
+      case l: LocalRelation => l.data.size
+    }
+    assert(localRows.forall(_ <= 1), s"domain-sized LocalRelation: $localRows")
+    assert(mix.count() == nDomains)
+    // and the distributed quota frame agrees without any Map round-trip
+    val qf = graft.ops.Sampling.temperatureQuotaFrame(
+      df, "domain", alpha = 0.5, budget = 150000L)
+    assert(qf.filter(col("quota") =!= 1L).count() == 0L)
+    assert(qf.count() == nDomains)
+  }
 }
