@@ -64,7 +64,9 @@ object Bench {
     "q121_stream_outer_join", "q122_stream_window", "q123_stream_dedup",
     "q124_stream_running_totals", "q125_delta_convert", "q126_group_by_all",
     "q127_delta_clone")
-  private[graft] val laterRounds = Seq(r3New, r4New, r5New, r6New, r8New, r9New)
+  // queries added in round 10
+  private[graft] val r10New = Set("q128_ann_recall")
+  private[graft] val laterRounds = Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New)
   private def newer(from: Int)(k: String): Boolean =
     laterRounds.drop(from).exists(_(k))
   // ------------------------------------------------------------------------

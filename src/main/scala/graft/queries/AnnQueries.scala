@@ -220,6 +220,54 @@ private[graft] object AnnQueries {
     // scan-local at any corpus size (embedding whitening / dimension
     // reduction ahead of ANN or PQ). Long (vec_id, j, pc) output so every
     // component score is hash-gated.
+    // Recall gates for the PRUNED index configurations: q48/q105/q108's
+    // oracles replay the deterministic algorithm from captured state, so
+    // they prove determinism, not search QUALITY — a refactor could keep
+    // them green while silently degrading the index. This gate measures
+    // recall@10 of each production configuration against q35's exact brute
+    // force on the same corpus/queries and emits the boolean
+    // `recall >= threshold`; the oracle states the thresholds and TRUE as
+    // literals, so any quality regression hash-mismatches. Recall itself
+    // is a bounded driver scalar (one count per method).
+    "q128_ann_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val k = 10
+      val truth = Ann.bruteTopK(emb, "vec_id", "v", queries, "qid", "qv", k)
+        .select(col("query_id"), col("item_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nTrue = truth.count().toDouble
+      def recall(res: DataFrame): Double =
+        res.select(col("query_id"), col("item_id"))
+          .join(truth, Seq("query_id", "item_id")).count() / nTrue
+      val ivf = Ann.ivfBuild(emb, "vec_id", "v", nlist = 16)
+      val rIvf = recall(Ann.ivfSearch(ivf, queries, "qid", "qv", k, nprobe = 3))
+      val lsh = recall(Ann.lshTopK(emb, "vec_id", "v", queries, "qid", "qv",
+        k = k, m = 12, dim = 64, probeDistance = 1))
+      val pq = Ann.pqTrain(emb, "vec_id", "v", m = 8, ksub = 16,
+        maxTrainVectors = 16384)
+      val rPq = recall(Ann.pqSearch(pq, queries, "qid", "qv", k))
+      val ivfpq = Ann.ivfPqBuild(emb, "vec_id", "v", nlist = 8, m = 8,
+        ksub = 16, maxTrainVectors = 16384)
+      val rIvfPq = recall(Ann.ivfPqSearch(ivfpq, queries, "qid", "qv", k, nprobe = 3))
+      truth.unpersist()
+      System.err.println(f"[q128] recall ivf=$rIvf%.4f lsh=$lsh%.4f pq=$rPq%.4f ivfpq=$rIvfPq%.4f")
+      annRecallThresholds.map { case (method, (nprobe, th)) =>
+        val r = method match {
+          case "ivf" => rIvf
+          case "lsh" => lsh
+          case "pq" => rPq
+          case "ivfpq" => rIvfPq
+        }
+        (method, k, nprobe, th, r >= th)
+      }.toSeq.toDF("method", "k", "nprobe", "threshold", "recall_ok")
+        .orderBy(col("method"))
+    }),
+
+
     "q110_pca_project" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val model = ops.Pca.fit(emb, "embedding", k = 8)
@@ -233,7 +281,30 @@ private[graft] object AnnQueries {
     })
   )
 
+  /** Pinned recall@10 floors per pruned ANN configuration for q128:
+    * method -> (nprobe-or-probeDistance, threshold). The synthetic
+    * embeddings are iid-random — no cluster structure, the worst case for
+    * any pruning index — so absolute recall is low by construction
+    * (measured: ivf 0.49–0.56, lsh 0.11–0.12, pq 0.25–0.35, ivfpq ~0.33
+    * across sf0.01 and the sf0.1 cross-check). Floors sit ~35% under the
+    * cross-scale minimum so they trip on a genuine index-quality
+    * regression, not corpus-size noise.
+    */
+  private[graft] val annRecallThresholds: ListMap[String, (Int, Double)] = ListMap(
+    "ivf" -> ((3, 0.35)),
+    "ivfpq" -> ((3, 0.20)),
+    "lsh" -> ((1, 0.06)),
+    "pq" -> ((0, 0.15)))
+
   def oracleSql: Map[String, String] = Map(
+    "q128_ann_recall" -> {
+      val vals = annRecallThresholds.toSeq
+        .map { case (m, (np, th)) => s"('$m', 10, $np, CAST($th AS DOUBLE), TRUE)" }
+        .mkString(", ")
+      s"""SELECT * FROM (VALUES $vals)
+          AS t(method, k, nprobe, threshold, recall_ok) ORDER BY method"""
+    },
+
     "q35_ann_brute" ->
       """WITH c AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
               q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5)
