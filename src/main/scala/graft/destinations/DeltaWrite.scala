@@ -3,7 +3,7 @@ package graft.destinations
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.sources.DeltaLog
 
@@ -65,7 +65,8 @@ object DeltaWrite {
   private val supportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "generatedColumns",
       "changeDataFeed", "timestampNtz", "vacuumProtocolCheck",
-      "variantType-preview", "deletionVectors", "columnMapping")
+      "variantType-preview", "deletionVectors", "columnMapping",
+      "identityColumns")
 
   /** Refuse to commit to tables whose protocol demands semantics we don't
     * implement — a commit that ignores row tracking, CDF, or a CHECK
@@ -110,13 +111,143 @@ object DeltaWrite {
         "this writer supports 'name' only")
     // CHECK constraints, column invariants, and generated columns are
     // ENFORCED per-row by [[enforceObligations]] on every write path (the
-    // delta-spark/delta-rs behavior); only identity columns still refuse —
-    // they need the high-water-mark negotiation this writer lacks.
-    val idCols = snap.schema.fields
-      .filter(_.metadata.contains("delta.identity.start")).map(_.name)
-    require(idCols.isEmpty,
-      s"Delta table $tablePath defines identity columns on " +
-        s"${idCols.mkString(", ")}; this writer cannot honor them")
+    // delta-spark/delta-rs behavior). Identity columns are honored on
+    // append ([[assignIdentity]]: generation + high-water-mark metaData
+    // update in the same commit) and are value-preserving under the
+    // rewrite-only ops (delete/compact/z-order/restore move existing rows
+    // byte-for-byte); the row-ADDING merge paths refuse rather than risk
+    // null-filling or colliding a GENERATED ALWAYS column.
+    if (Set("upsert", "replace", "overwrite")(op)) {
+      val idCols = identityFields(snap.schema).map(_.name)
+      require(idCols.isEmpty,
+        s"Delta table $tablePath defines identity columns on " +
+          s"${idCols.mkString(", ")}; this writer honors identity on append " +
+          s"only — $op would bypass high-water-mark assignment")
+    }
+  }
+
+  // ------------------------------------------------------ identity columns
+
+  /** Fields declared `GENERATED { ALWAYS | BY DEFAULT } AS IDENTITY` — the
+    * Delta protocol stores start/step (and the assignment high-water mark,
+    * once any value has been generated) as field metadata.
+    */
+  private def identityFields(schema: StructType) =
+    schema.fields.filter(_.metadata.contains("delta.identity.start"))
+
+  /** Build an identity StructField for [[createIfAbsent]] — Delta identity
+    * columns are BIGINT by protocol. `allowExplicitInsert = false` is
+    * GENERATED ALWAYS (writes providing the column are refused);
+    * `true` is GENERATED BY DEFAULT (explicit values accepted and the
+    * high-water mark advanced past them).
+    */
+  def identityField(
+      name: String, start: Long = 1L, step: Long = 1L,
+      allowExplicitInsert: Boolean = false): StructField = {
+    require(step != 0L, "identity step must be non-zero")
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("delta.identity.start", start)
+      .putLong("delta.identity.step", step)
+      .putBoolean("delta.identity.allowExplicitInsert", allowExplicitInsert)
+      .build()
+    StructField(name, org.apache.spark.sql.types.LongType, nullable = true,
+      metadata = md)
+  }
+
+  /** Honor the table's identity columns on an append: columns the incoming
+    * frame LACKS are generated as `hwm + step·(1..n)` in the frame's
+    * partition order (one `zipWithIndex` pass — a lightweight count job,
+    * no row ever reaches the driver; values are unique and step-aligned
+    * past the high-water mark, which is all the protocol promises — NOT
+    * gap-free across concurrent writers); columns the frame PROVIDES
+    * require `allowExplicitInsert` (GENERATED BY DEFAULT) and advance the
+    * high-water mark past the provided extremum (one scalar aggregate).
+    * Returns the frame with every identity column populated plus, when any
+    * mark moved, the schema whose field metadata records the new
+    * high-water marks — committed as a metaData action in the SAME commit
+    * as the data, per spec (delta-spark's `delta.identity.highWaterMark`).
+    */
+  private def assignIdentity(
+      spark: SparkSession, snap: DeltaLog.Snapshot,
+      df: DataFrame): (DataFrame, Option[StructType]) = {
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+    val idFields = identityFields(snap.schema)
+    if (idFields.isEmpty) return (df, None)
+    val present = df.columns.map(_.toLowerCase).toSet
+    def start(f: StructField) = f.metadata.getLong("delta.identity.start")
+    def step(f: StructField) = f.metadata.getLong("delta.identity.step")
+    def hwm(f: StructField): Option[Long] =
+      if (f.metadata.contains("delta.identity.highWaterMark"))
+        Some(f.metadata.getLong("delta.identity.highWaterMark"))
+      else None
+    val (explicit, missing) =
+      idFields.partition(f => present(f.name.toLowerCase))
+    explicit.foreach { f =>
+      require(f.metadata.contains("delta.identity.allowExplicitInsert") &&
+          f.metadata.getBoolean("delta.identity.allowExplicitInsert"),
+        s"identity column ${f.name} is GENERATED ALWAYS; explicit values " +
+          "are not allowed (declare it GENERATED BY DEFAULT to permit them)")
+    }
+    var out = df
+    val newMarks = scala.collection.mutable.Map.empty[String, Long]
+    if (missing.nonEmpty) {
+      // zipWithIndex by hand: the per-partition counting job (bounded
+      // collect: one long per partition) also yields the total, so the
+      // new high-water mark needs no extra pass; position i in the
+      // frame's partition order gets hwm + step·(i+1)
+      val n = missing.length
+      val bases = missing.map(f => hwm(f).getOrElse(start(f) - step(f)))
+      val steps = missing.map(step)
+      val schema = StructType(out.schema.fields ++
+        missing.map(f => StructField(f.name, org.apache.spark.sql.types.LongType)))
+      val src = out.rdd
+      val counts = src.mapPartitionsWithIndex { case (pid, it) =>
+        Iterator((pid, it.size.toLong))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val total = offsets.last
+      val rows = src.mapPartitionsWithIndex { case (pid, it) =>
+        var i = offsets(pid)
+        it.map { r =>
+          i += 1
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++
+            (0 until n).map(j => bases(j) + steps(j) * i))
+        }
+      }
+      out = spark.createDataFrame(rows, schema)
+      missing.indices.foreach { j =>
+        if (total > 0) newMarks(missing(j).name) = bases(j) + steps(j) * total
+      }
+    }
+    if (explicit.nonEmpty) {
+      val aggs = explicit.map { f =>
+        val c = col(f.name).cast("long")
+        (if (step(f) > 0) smax(c) else smin(c)).as(f.name)
+      }
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      explicit.zipWithIndex.foreach { case (f, j) =>
+        if (!r.isNullAt(j)) {
+          val ext = r.getLong(j)
+          val cur = hwm(f)
+          val moved =
+            if (step(f) > 0) cur.forall(ext > _) else cur.forall(ext < _)
+          if (moved) newMarks(f.name) = ext
+        }
+      }
+    }
+    if (newMarks.isEmpty) (out, None)
+    else {
+      val updated = StructType(snap.schema.fields.map { f =>
+        newMarks.get(f.name) match {
+          case Some(m) => f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong("delta.identity.highWaterMark", m).build())
+          case None => f
+        }
+      })
+      (out, Some(updated))
+    }
   }
 
   // ------------------------------------------------- change data feed (write)
@@ -279,12 +410,19 @@ object DeltaWrite {
     // config-surface way to ask for a mapped table
     val wantMapping = columnMapping ||
       properties.get("delta.columnMapping.mode").contains("name")
+    identityFields(schema).foreach { f =>
+      require(f.dataType == org.apache.spark.sql.types.LongType,
+        s"identity column ${f.name} must be BIGINT (Delta protocol)")
+      require(f.metadata.getLong("delta.identity.step") != 0L,
+        s"identity column ${f.name} has step 0")
+    }
     // legacy writer floors: CHECK constraints need >= 3, change data feed
-    // >= 4; column mapping already implies (2, 5) which covers both
+    // >= 4, identity columns >= 6; column mapping implies (2, 5)
     val legacyWriter = Seq(2,
       if (properties.keys.exists(_.startsWith("delta.constraints."))) 3 else 2,
       if (properties.get("delta.enableChangeDataFeed")
-        .exists(_.equalsIgnoreCase("true"))) 4 else 2).max
+        .exists(_.equalsIgnoreCase("true"))) 4 else 2,
+      if (identityFields(schema).nonEmpty) 6 else 2).max
     val checkProto =
       if (legacyWriter > 2) Some(DeltaLog.Protocol(1, legacyWriter)) else None
     val (outSchema, outProps, proto) =
@@ -325,23 +463,31 @@ object DeltaWrite {
     val snap = DeltaLog.lazySnapshot(spark, tablePath).meta
     requireWritable(tablePath, snap, "append", removesData = false)
     val mode = snap.columnMappingMode
+    // identity generation / high-water-mark advance rides THIS commit's
+    // metaData action (identitySchema, merged with any schema evolution)
+    val (dfWithIds, identitySchema) = assignIdentity(spark, snap, df)
+    val baseSchema = identitySchema.getOrElse(snap.schema)
     val existing = snap.schema.fieldNames.map(_.toLowerCase).toSet
-    val newCols = df.schema.fields.filter(f => !existing.contains(f.name.toLowerCase))
-    val (schema, meta, metaCfg) =
-      if (!mergeSchema || newCols.isEmpty) (snap.schema, None, snap.configuration)
+    val newCols = dfWithIds.schema.fields.filter(f => !existing.contains(f.name.toLowerCase))
+    val (schema, meta0, metaCfg) =
+      if (!mergeSchema || newCols.isEmpty) (baseSchema, None, snap.configuration)
       else if (mode == "none") {
-        val merged = StructType(snap.schema.fields ++ newCols.map(_.copy(nullable = true)))
+        val merged = StructType(baseSchema.fields ++ newCols.map(_.copy(nullable = true)))
         (merged, Some((merged, snap.partitionColumns)), snap.configuration)
       } else {
         // mapped evolution: new columns get fresh ids + physical names,
         // continuing the table's id space
         val (mappedNew, maxId) =
           assignMapping(StructType(newCols.map(_.copy(nullable = true))), maxColumnId(snap))
-        val merged = StructType(snap.schema.fields ++ mappedNew.fields)
+        val merged = StructType(baseSchema.fields ++ mappedNew.fields)
         (merged, Some((merged, snap.partitionColumns)),
           snap.configuration + ("delta.columnMapping.maxColumnId" -> maxId.toString))
       }
-    val data = ManagedTable.castToSchema(enforceObligations(snap, df), schema)
+    val meta =
+      if (meta0.isEmpty && identitySchema.isDefined)
+        Some((schema, snap.partitionColumns))
+      else meta0
+    val data = ManagedTable.castToSchema(enforceObligations(snap, dfWithIds), schema)
     val (phys, physParts) = toPhysical(data, schema, snap.partitionColumns, mode)
     val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts)
     var version = snap.version + 1
@@ -356,6 +502,12 @@ object DeltaWrite {
       } catch {
         case _: IllegalStateException if attempts < 5 =>
           attempts += 1
+          // identity tables must NOT blind-retry: the lost race may have
+          // advanced the high-water mark, so the assigned values (and the
+          // metaData we were about to commit) are stale — restart the
+          // append against the fresh snapshot to reassign
+          if (identityFields(snap.schema).nonEmpty)
+            return append(spark, tablePath, df, mergeSchema)
           version = DeltaLog.lazySnapshot(spark, tablePath).meta.version + 1
       }
     }

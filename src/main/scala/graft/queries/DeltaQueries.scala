@@ -171,6 +171,32 @@ private[graft] object DeltaQueries {
         .groupBy(col("side"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy(col("side"))
+    }),
+
+    // Identity columns (writer feature `identityColumns`): a GENERATED
+    // ALWAYS BIGINT column assigned at append time, with the high-water
+    // mark carried in the schema field metadata of the SAME commit's
+    // metaData action. Two appends of globally-sorted slices make the
+    // assignment engine-replayable: values are hwm + step·rank in the
+    // frame's order, so the second commit must continue exactly where the
+    // first one's recorded mark left off — the oracle re-derives both
+    // assignments with window ranks over the same slices.
+    "q129_delta_identity" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val root = tmp("graft-q129").resolve("t").toString
+      val schema = StructType(Seq(
+        DeltaWrite.identityField("row_id", start = 1000L, step = 2L),
+        StructField("doc_id", LongType), StructField("lang", StringType)))
+      DeltaWrite.createIfAbsent(s, root, schema)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      DeltaWrite.append(s, root,
+        docs.filter(col("doc_id") % 2 === 0).orderBy(col("doc_id")))
+      DeltaWrite.append(s, root,
+        docs.filter(col("doc_id") % 2 === 1).orderBy(col("doc_id")))
+      graft.sources.DeltaLog.read(s, root)
+        .select(col("row_id"), col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -247,6 +273,23 @@ private[graft] object DeltaQueries {
            UNION ALL
            SELECT 'clone', o_totalprice FROM orders
            WHERE o_orderkey < 4000 AND o_orderkey % 5 <> 0)
-         GROUP BY side ORDER BY side"""
+         GROUP BY side ORDER BY side""",
+
+    // identity assignment replayed: first append assigns 1000 + 2·rank
+    // over the even slice (doc_id order), the recorded high-water mark
+    // seeds the second append over the odd slice
+    "q129_delta_identity" ->
+      """WITH ev AS (
+           SELECT doc_id, lang,
+             998 + 2 * row_number() OVER (ORDER BY doc_id) AS row_id
+           FROM documents WHERE doc_id % 2 = 0),
+         hw AS (SELECT coalesce(max(row_id), 998) AS m FROM ev),
+         od AS (
+           SELECT doc_id, lang,
+             (SELECT m FROM hw) + 2 * row_number() OVER (ORDER BY doc_id) AS row_id
+           FROM documents WHERE doc_id % 2 = 1)
+         SELECT CAST(row_id AS BIGINT) AS row_id, doc_id, lang
+         FROM (SELECT * FROM ev UNION ALL SELECT * FROM od)
+         ORDER BY doc_id"""
   )
 }

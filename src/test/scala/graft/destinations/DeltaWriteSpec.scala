@@ -789,6 +789,85 @@ class DeltaWriteSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(100L))
   }
 
+  test("identity columns: GENERATED ALWAYS assigns past the high-water mark") {
+    import spark.implicits._
+    val table = tmpDir("dw-identity").resolve("t").toString
+    val schema = StructType(Seq(
+      DeltaWrite.identityField("id", start = 10L, step = 5L),
+      StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, table, schema)
+    DeltaWrite.append(spark, table, Seq("a", "b", "c").toDF("v").coalesce(1))
+    def rows() = DeltaLog.read(spark, table).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows() == Seq((10L, "a"), (15L, "b"), (20L, "c")))
+    // the mark rode the same commit's metaData — the next append continues
+    DeltaWrite.append(spark, table, Seq("d").toDF("v"))
+    assert(rows().map(_._1) == Seq(10L, 15L, 20L, 25L))
+    val f = DeltaLog.snapshot(spark, table).schema.fields.find(_.name == "id").get
+    assert(f.metadata.getLong("delta.identity.highWaterMark") == 25L)
+    // GENERATED ALWAYS refuses explicit values
+    val e = intercept[IllegalArgumentException](
+      DeltaWrite.append(spark, table, Seq((99L, "x")).toDF("id", "v")))
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+    // ...and the row-adding merge paths refuse rather than bypass the mark
+    for (op <- Seq(
+        () => DeltaWrite.upsert(spark, table, Seq((1L, "u")).toDF("id", "v"), Seq("id")),
+        () => DeltaWrite.overwrite(spark, table, Seq((1L, "o")).toDF("id", "v")),
+        () => DeltaWrite.replace(spark, table, Seq((1L, "r")).toDF("id", "v"),
+          Seq(graft.config.ReplaceCondition("id", "1"))))) {
+      val err = intercept[IllegalArgumentException](op())
+      assert(err.getMessage.contains("identity"), err.getMessage)
+    }
+    // delete is value-preserving and allowed
+    DeltaWrite.delete(spark, table, "id = 15")
+    assert(rows().map(_._1) == Seq(10L, 20L, 25L))
+    // empty append moves nothing
+    DeltaWrite.append(spark, table, Seq.empty[String].toDF("v"))
+    assert(DeltaLog.snapshot(spark, table).schema.fields.find(_.name == "id").get
+      .metadata.getLong("delta.identity.highWaterMark") == 25L)
+  }
+
+  test("identity columns: GENERATED BY DEFAULT accepts explicit values and advances the mark") {
+    import spark.implicits._
+    val table = tmpDir("dw-identity-bd").resolve("t").toString
+    val schema = StructType(Seq(
+      DeltaWrite.identityField("id", start = 1L, step = 1L, allowExplicitInsert = true),
+      StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, table, schema)
+    DeltaWrite.append(spark, table, Seq((100L, "x"), (42L, "y")).toDF("id", "v"))
+    // the mark jumped past the explicit max, so generation cannot collide
+    DeltaWrite.append(spark, table, Seq("gen").toDF("v"))
+    val got = DeltaLog.read(spark, table).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((42L, "y"), (100L, "x"), (101L, "gen")), got.toString)
+    // a lower explicit value does NOT retreat the mark
+    DeltaWrite.append(spark, table, Seq((7L, "low")).toDF("id", "v"))
+    DeltaWrite.append(spark, table, Seq("gen2").toDF("v"))
+    val ids = DeltaLog.read(spark, table).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(7L, 42L, 100L, 101L, 102L), ids.toString)
+  }
+
+  test("identity columns: negative step descends; non-bigint or zero step refused") {
+    import spark.implicits._
+    val table = tmpDir("dw-identity-neg").resolve("t").toString
+    val schema = StructType(Seq(
+      DeltaWrite.identityField("id", start = 0L, step = -3L),
+      StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, table, schema)
+    DeltaWrite.append(spark, table, Seq("a", "b").toDF("v").coalesce(1))
+    assert(DeltaLog.read(spark, table).orderBy(col("id").desc)
+      .collect().map(_.getLong(0)).toSeq == Seq(0L, -3L))
+    intercept[IllegalArgumentException](DeltaWrite.identityField("z", step = 0L))
+    intercept[IllegalArgumentException](DeltaWrite.createIfAbsent(spark,
+      tmpDir("dw-identity-bad").resolve("t").toString,
+      StructType(Seq(StructField("id", IntegerType, nullable = true,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("delta.identity.start", 1L)
+          .putLong("delta.identity.step", 1L).build()),
+        StructField("v", StringType)))))
+  }
+
   test("encodePath preserves scheme+authority of qualified clone refs and round-trips") {
     def roundTrip(p: String): String = DeltaLog.decodePath(DeltaWrite.encodePath(p))
     // table-relative paths: percent-encoded, '/' preserved
