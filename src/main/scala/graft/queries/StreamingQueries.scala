@@ -29,18 +29,21 @@ private[graft] object StreamingQueries {
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
 
     // Watermarked stream-stream join, gated: clicks and purchases replay as
-    // 4 in-order micro-batch files per side; every purchase within 30
+    // 2 in-order micro-batch files per side; every purchase within 30
     // minutes after a click by the same user must pair exactly once.
     "q119_stream_join" -> ((s, dir) => withStatePartitions(s, 8) {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-      val replay = tmp("q119-replay")
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
-      writeReplay(clicks, "ts", replay.resolve("l"), n = 4)
-      writeReplay(purchases, "ts", replay.resolve("r"), n = 4)
+      // 2 files per side: the minimum that still crosses a micro-batch
+      // boundary (join state must carry batch 1 rows into batch 2)
+      val replay = cachedReplay(s"q119-$dir") { d =>
+        writeReplay(clicks, "ts", d.resolve("l"), n = 2)
+        writeReplay(purchases, "ts", d.resolve("r"), n = 2)
+      }
       val l = Streams.fileSource(s, replay.resolve("l").toString, clicks.schema,
         maxFilesPerTrigger = Some(1))
       val r = Streams.fileSource(s, replay.resolve("r").toString, purchases.schema,
@@ -66,22 +69,23 @@ private[graft] object StreamingQueries {
     "q121_stream_outer_join" -> ((s, dir) => withStatePartitions(s, 8) {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-      val replay = tmp("q121-replay")
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
-      writeReplay(clicks, "ts", replay.resolve("l"), n = 4)
-      writeReplay(purchases, "ts", replay.resolve("r"), n = 4)
       // sentinels: negative user ids never join real rows (and each side
       // uses distinct ids so the sentinels cannot join each other)
       def sentinel(uid: Long, plusDays: Int) = ev
         .agg(max(col("ts")).as("m"))
         .select(lit(-uid * 1000 - plusDays).as("event_id"), lit(uid).as("user_id"),
           (col("m") + expr(s"INTERVAL $plusDays DAYS")).as("ts"))
-      Seq(60, 120).zipWithIndex.foreach { case (d, i) =>
-        appendReplayFile(sentinel(-1L - i, d), replay.resolve("l"), 100 + i)
-        appendReplayFile(sentinel(-11L - i, d), replay.resolve("r"), 100 + i)
+      val replay = cachedReplay(s"q121-$dir") { rd =>
+        writeReplay(clicks, "ts", rd.resolve("l"), n = 2)
+        writeReplay(purchases, "ts", rd.resolve("r"), n = 2)
+        Seq(60, 120).zipWithIndex.foreach { case (d, i) =>
+          appendReplayFile(sentinel(-1L - i, d), rd.resolve("l"), 100 + i)
+          appendReplayFile(sentinel(-11L - i, d), rd.resolve("r"), 100 + i)
+        }
       }
       val l = Streams.fileSource(s, replay.resolve("l").toString, clicks.schema,
         maxFilesPerTrigger = Some(1))
@@ -109,13 +113,14 @@ private[graft] object StreamingQueries {
     // already decimal-gated by q43.)
     "q122_stream_window" -> ((s, dir) => withStatePartitions(s, 8) {
       val ev = t(s, dir, "events").select(col("ts"), col("event_type"), col("value"))
-      val replay = tmp("q122-replay")
-      writeReplay(ev, "ts", replay.resolve("e"), n = 4)
       def sentinel(plusDays: Int) = ev.agg(max(col("ts")).as("m"))
         .select((col("m") + expr(s"INTERVAL $plusDays DAYS")).as("ts"),
           lit("__sentinel").as("event_type"), lit(0.0).as("value"))
-      appendReplayFile(sentinel(60), replay.resolve("e"), 100)
-      appendReplayFile(sentinel(120), replay.resolve("e"), 101)
+      val replay = cachedReplay(s"q122-$dir") { rd =>
+        writeReplay(ev, "ts", rd.resolve("e"), n = 2)
+        appendReplayFile(sentinel(60), rd.resolve("e"), 100)
+        appendReplayFile(sentinel(120), rd.resolve("e"), 101)
+      }
       val stream = Streams.fileSource(s, replay.resolve("e").toString, ev.schema,
         maxFilesPerTrigger = Some(1))
       val agg = Streams.windowedEventStats(stream,
@@ -135,8 +140,9 @@ private[graft] object StreamingQueries {
     // a same-batch tie is legitimately engine-internal.
     "q123_stream_dedup" -> ((s, dir) => withStatePartitions(s, 8) {
       val ev = t(s, dir, "events").select(col("ts"), col("user_id"), col("event_type"))
-      val replay = tmp("q123-replay")
-      writeReplay(ev, "ts", replay.resolve("e"), n = 4)
+      val replay = cachedReplay(s"q123-$dir") { rd =>
+        writeReplay(ev, "ts", rd.resolve("e"), n = 2)
+      }
       val stream = Streams.fileSource(s, replay.resolve("e").toString, ev.schema,
         maxFilesPerTrigger = Some(1))
       val deduped = Streams.dedupedStream(stream, "ts",
@@ -158,8 +164,9 @@ private[graft] object StreamingQueries {
       import s.implicits._
       val ev = t(s, dir, "events")
         .select(col("ts"), col("user_id"), col("event_type"), col("value"))
-      val replay = tmp("q124-replay")
-      writeReplay(ev, "ts", replay.resolve("e"), n = 4)
+      val replay = cachedReplay(s"q124-$dir") { rd =>
+        writeReplay(ev, "ts", rd.resolve("e"), n = 2)
+      }
       val stream = Streams.fileSource(s, replay.resolve("e").toString, ev.schema,
         maxFilesPerTrigger = Some(1))
         .select(col("user_id"), col("event_type"), col("value"))
@@ -181,8 +188,9 @@ private[graft] object StreamingQueries {
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("ts"),
           (unix_micros(col("ts")) / lit(1000L)).cast("long").as("ts_ms"))
-      val replay = tmp("q120-replay")
-      writeReplay(ev, "ts", replay.resolve("e"), n = 4)
+      val replay = cachedReplay(s"q120-$dir") { rd =>
+        writeReplay(ev, "ts", rd.resolve("e"), n = 2)
+      }
       val stream = Streams.fileSource(s, replay.resolve("e").toString, ev.schema,
         maxFilesPerTrigger = Some(1))
         .select(col("user_id"), col("ts_ms"))
