@@ -164,18 +164,26 @@ object Bench {
     val rerunGain = if (firstTotal > 0) (firstTotal - keptTotal) / firstTotal else 0.0
     // flagged when the box was loaded at start, or min-of-two recovered far
     // more than the ~10% a quiet box shows (absolute floor keeps sub-second
-    // noise at toy scale factors from tripping)
+    // noise at toy scale factors from tripping). The rule itself and the
+    // round-8-era rule's verdict are BOTH emitted, so artifact consumers
+    // can tell a policy change from an environment change (ADVICE r9).
+    val contaminationRule = "load1_start>2.0 || (rerun_gain>0.2 && rerun_delta_sec>10)"
     val contaminated = loadStart > 2.0 || (rerunGain > 0.2 && firstTotal - keptTotal > 10.0)
+    val contaminatedR8Rule = loadStart > 2.0 || (rerunGain > 0.15 && firstTotal - keptTotal > 5.0)
 
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // the driver keeps only the tail of this process's output (~2000 chars),
-    // so the contract line must stay short: per-query keys are the "q07"/
-    // "p03" prefixes (unique by construction) and seconds carry 3 decimals.
-    // The full-name per-query map goes to bench_full.json alongside, for
-    // human/judge consumption.
-    val qs = results.map { case (k, (w, _, _)) => s""""${k.takeWhile(_ != '_')}":${f3(w)}""" }.mkString("{", ",", "}")
+    // the driver keeps only the ~2000-char TAIL of this process's output
+    // (which also swallows sbt's epilogue), and every BENCH_r*.json through
+    // r9 has parsed:null because the full per-query map pushed the line
+    // past that window and truncated its HEAD. The stdout line therefore
+    // carries only the 20 slowest queries (prefix keys, 3-decimal seconds
+    // — ~700 chars all in, parseable with room to spare); the complete
+    // per-query detail lives in bench_full.json, named by "queries_full".
+    val topQ = results.toSeq.filterNot { case (k, _) => errors.contains(k) }
+      .sortBy { case (_, (w, _, _)) => -w }.take(20)
+    val qs = topQ.map { case (k, (w, _, _)) => s""""${k.takeWhile(_ != '_')}":${f3(w)}""" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val r1Subset = results.collect { case (k, (v, _, _)) if r1Names(k) => v }.sum
@@ -188,8 +196,12 @@ object Bench {
     // multi-trigger micro-batch fixed costs, so THIS is the number to
     // compare against BENCH_r08's 81.5s, not the new grand total
     val r8Subset = results.collect { case (k, (v, _, _)) if !newer(5)(k) => v }.sum
-    val subsets = s""""r1_subset_sec":${f3(r1Subset)},"r2_subset_sec":${f3(r2Subset)},"r3_subset_sec":${f3(r3Subset)},"r4_subset_sec":${f3(r4Subset)},"r5_subset_sec":${f3(r5Subset)},"r6_subset_sec":${f3(r6Subset)},"r8_subset_sec":${f3(r8Subset)}"""
-    val loadJson = s""""load1_initial":${f3(loadInitial)},"load1_start":${f3(loadStart)},"load1_end":${f3(loadEnd)},"rerun_gain":${f3(rerunGain)},"full_rerun":$fullRerun,"contaminated":$contaminated"""
+    // the round-9 143-query surface: compare THIS against bench_full @
+    // 4f4c70d's 130.4s total (clean r9 run) — the grand total now includes
+    // the r10 gates
+    val r9Subset = results.collect { case (k, (v, _, _)) if !newer(6)(k) => v }.sum
+    val subsets = s""""r1_subset_sec":${f3(r1Subset)},"r2_subset_sec":${f3(r2Subset)},"r3_subset_sec":${f3(r3Subset)},"r4_subset_sec":${f3(r4Subset)},"r5_subset_sec":${f3(r5Subset)},"r6_subset_sec":${f3(r6Subset)},"r8_subset_sec":${f3(r8Subset)},"r9_subset_sec":${f3(r9Subset)}"""
+    val loadJson = s""""load1_initial":${f3(loadInitial)},"load1_start":${f3(loadStart)},"load1_end":${f3(loadEnd)},"rerun_gain":${f3(rerunGain)},"full_rerun":$fullRerun,"contaminated":$contaminated,"contamination_rule":"${esc(contaminationRule)}","contaminated_r8_rule":$contaminatedR8Rule"""
     try {
       // full per-query detail: kept wall, process-CPU seconds (wall >> cpu/32
       // on an idle box; wall inflated with cpu flat = external load), and
@@ -202,7 +214,7 @@ object Bench {
       fw.write("\n")
       fw.close()
     } catch { case _: java.io.IOException => () } // best-effort side artifact
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subsets,$loadJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},$subsets,$loadJson,"queries":$qs,"queries_shown":${topQ.size},"queries_full":"bench_full.json","errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

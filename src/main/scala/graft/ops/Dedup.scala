@@ -674,13 +674,21 @@ object Dedup {
     * within the radius can share NO q-gram at all (e.g. "abc"/"abd" at
     * maxDist 1, q 3), never mind a prefix gram. The whole
     * length ≤ q·(maxDist+1)−1 stratum (which also covers gram-less sub-q
-    * strings) therefore pairs via a length-banded equi-join fallback
-    * verified by the same banded DP; any pair with a longer side falls to
-    * the gram path by the |len_a − len_b| ≤ maxDist bound. The fallback
-    * stratum is a dense block keyed by a handful of distinct lengths —
-    * cheap when short keys are rare (the normal case for titles/names/
-    * urls), and its worst case is the true output size for such keyspaces
-    * anyway (every 2-char string is within one edit of every other).
+    * strings) therefore pairs via Pass-Join segment blocking (Li, Deng,
+    * Feng 2011 "PASS-JOIN", PVLDB — public method): the shorter side
+    * splits into maxDist+1 segments, and since maxDist edits can touch at
+    * most maxDist of them, some segment survives VERBATIM in the longer
+    * side, shifted by at most maxDist — so candidates come from an
+    * equi-join of (short-length, segment-index, segment) keys against the
+    * longer side's same-length substrings in the position window, then
+    * the same banded-DP verification. Buckets are keyed on segment
+    * CONTENT, so a corpus dominated by short strings (tokens, codes)
+    * fans out by actual character overlap, not |corpus-per-length|²
+    * (the round-9 ADVICE degenerate case); per string the blocking emits
+    * O(maxDist²) probes — a constant. Sub-segment-length strings
+    * (< maxDist+1 chars, where a segment is empty) still fall back to
+    * their length band; their keyspace is |Σ|^len-bounded and the true
+    * output there is quadratic anyway.
     */
   def editDistancePairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -723,17 +731,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
 
     // short stratum (see scaladoc): every pair whose longer side is below
-    // q·(maxDist+1) must come from this banded join — the gram path cannot
-    // guarantee them a shared candidate gram
+    // q·(maxDist+1) must come from this Pass-Join segment blocking — the
+    // gram path cannot guarantee them a shared candidate gram
     val shortBound = q * (maxDist + 1) - 1
-    val shorts = all.filter(length(col("txt")) <= shortBound)
+    val k = maxDist + 1
+    val short = all.filter(length(col("txt")) <= shortBound)
+    // segment i of a length-l string under the even split (first segments
+    // floor(l/k) chars, last l%k segments one longer): start/len as columns
+    def segLen(l: Column, i: Column): Column =
+      (l / k).cast("int") + when(i >= lit(k) - (l % k), 1).otherwise(0)
+    def segStart(l: Column, i: Column): Column =
+      i * (l / k).cast("int") + greatest(i - (lit(k) - (l % k)), lit(0))
+    // A side: each string of segmentable length as the SHORTER role,
+    // keyed by its own segments
+    val segA = short.filter(length(col("txt")) >= k)
       .select(col("doc_id").as("id_a"), col("txt").as("ta"),
-        length(col("txt")).as("band"))
-    val near = all.filter(length(col("txt")) <= shortBound)
+        length(col("txt")).as("lshort"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .select(col("id_a"), col("ta"), col("lshort"), col("i"),
+        substring(col("ta"), segStart(col("lshort"), col("i")) + 1,
+          segLen(col("lshort"), col("i"))).as("seg"))
+    // B side: each string as the LONGER role probes, for every plausible
+    // shorter length and segment, its same-length substrings within the
+    // ±maxDist position window — O(maxDist²) rows per string, keyed by
+    // CONTENT so buckets fan out by real character overlap. The position
+    // window is non-empty by construction: segStart + segLen ≤ lshort ≤
+    // len(tb), so min(segStart+maxDist, len−segLen) ≥ max(segStart−maxDist, 0).
+    val segB = short
       .select(col("doc_id").as("id_b"), col("txt").as("tb"),
         explode(sequence(greatest(length(col("txt")) - maxDist, lit(0)),
-          length(col("txt")) + maxDist)).as("band"))
-    val shortPairs = shorts.join(near, Seq("band"))
+          length(col("txt")))).as("lshort"))
+      .filter(col("lshort") >= k)
+      .select(col("id_b"), col("tb"), col("lshort"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .select(col("id_b"), col("tb"), col("lshort"), col("i"),
+        explode(sequence(
+          greatest(segStart(col("lshort"), col("i")) - maxDist, lit(0)),
+          least(segStart(col("lshort"), col("i")) + maxDist,
+            length(col("tb")) - segLen(col("lshort"), col("i"))))).as("p"))
+      .select(col("id_b"), col("tb"), col("lshort"), col("i"),
+        substring(col("tb"), col("p") + 1,
+          segLen(col("lshort"), col("i"))).as("seg"))
+    // sub-segment strings (an empty segment carries no signal): dense
+    // length-band fallback over a |Σ|^len-bounded keyspace
+    val tiny = short.filter(length(col("txt")) < k)
+    val tinyPairs = tiny
+      .select(col("doc_id").as("id_a"), col("txt").as("ta"),
+        length(col("txt")).as("band"))
+      .join(short.select(col("doc_id").as("id_b"), col("txt").as("tb"),
+          explode(sequence(greatest(length(col("txt")) - maxDist, lit(0)),
+            length(col("txt")) + maxDist)).as("band")),
+        Seq("band"))
+      .select(col("id_a"), col("ta"), col("id_b"), col("tb"))
+    val segPairs = segA.join(segB, Seq("lshort", "i", "seg"))
+      .select(col("id_a"), col("ta"), col("id_b"), col("tb"))
+    val shortPairs = segPairs.unionByName(tinyPairs)
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
       .filter(col("dist") >= 0)

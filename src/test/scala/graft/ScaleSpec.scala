@@ -253,6 +253,30 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("editDistancePairs short stratum: segment blocking, not one dense length band") {
+    import graft.ops.Dedup
+    // 2000 distinct 5-char codes (maxDist 1, q 3 → everything is in the
+    // short stratum): round-9's length-band fallback would funnel all 2000
+    // into ONE band = 4M candidate pairs; Pass-Join segment blocking keys
+    // buckets on segment content instead
+    val rnd = new scala.util.Random(23)
+    val codes = (1 to 2000).map(i =>
+      (i.toLong, (1 to 5).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString))
+      .distinct.toDF("id", "s")
+    val pairs = Dedup.editDistancePairs(codes, "id", "s", maxDist = 1, q = 3)
+    // the candidate join is keyed on (lshort, i, seg) — segment CONTENT in
+    // the key means no single bucket holds the whole corpus
+    val plan = pairs.queryExecution.optimizedPlan.toString
+    assert(plan.contains("seg"), plan)
+    assert(plan.contains("lshort"), plan)
+    // spot-check correctness on a planted near-pair
+    val planted = codes.unionByName(
+      Seq((90001L, "qqqqq"), (90002L, "qqqqz")).toDF("id", "s"))
+    val got = Dedup.editDistancePairs(planted, "id", "s", maxDist = 1, q = 3)
+      .filter(col("id_a") === 90001L && col("id_b") === 90002L).count()
+    assert(got == 1L)
+  }
+
   test("temperatureMix at 100k domains: nothing domain-sized reaches the driver") {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     // 100k domains × 2 rows — the extreme-cardinality regime the round-9
