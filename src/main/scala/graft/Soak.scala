@@ -29,7 +29,9 @@ object Soak {
     "q97_dup_spans", "q98_dedup_spans_removed", "q102_delta_evolve",
     "q111_delta_cdf", "q95_bpe_encode", "p14_pipeline_delta",
     "q94_bpe_train", "q66_dedup_components", "q81_semantic_dedup",
-    "q103_delta_dv", "q117_editdist_join", "q118_salted_join")
+    "q103_delta_dv", "q117_editdist_join", "q118_salted_join",
+    // round 10: the newly driver-free temperature mix under sf1 stats
+    "q99_temperature_mix")
 
   private def replicate(df: DataFrame, copies: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until copies).map(k => shift(df, k)).reduce(_ unionByName _)
@@ -70,7 +72,7 @@ object Soak {
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
-    val artifact = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_r09.json")
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_r10.json")
     val spark = Sessions.local()
     val t0 = System.nanoTime()
     buildSf1(spark, sf01, out)
@@ -111,7 +113,12 @@ object Soak {
       s""""$k":{"sec":${f3(sec)},"plan_ok":$ok${if (err.nonEmpty) s""","err":"${esc(err)}"""" else ""}}"""
     }.mkString("{", ",", "}")
     val allOk = results.values.forall(_._2)
-    val json = s"""{"sf":"1 (10x replicated ${sf01})","build_sec":${f3(buildSec)},"all_plans_ok":$allOk,"queries":$qs}"""
+    // heap cap recorded so the artifact proves WHICH memory envelope the
+    // run survived (round 10 runs the soak at a deliberately small heap to
+    // back the "driver memory bounded" claims under pressure — in local
+    // mode one -Xmx caps driver AND all 32 executor threads at once)
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    val json = s"""{"sf":"1 (10x replicated ${sf01})","build_sec":${f3(buildSec)},"heap_gb":${f3(heapGb)},"driver_mem":"${esc(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))}","cpus":${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")},"all_plans_ok":$allOk,"queries":$qs}"""
     val fw = new java.io.FileWriter(artifact)
     fw.write(json + "\n")
     fw.close()

@@ -72,7 +72,13 @@ object Components {
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxRounds rounds")
       val next = smallStar(largeStar(e)).distinct().localCheckpoint(eager = false)
-      val nextSig = signature(next)
+      val nextSig = signature(next) // materializes next's checkpoint blocks
+      // the previous round's blocks are dead weight once next is
+      // materialized — without this, a long contraction holds EVERY
+      // round's edge set in the block manager and strangles task memory
+      // on small heaps (2g soak OOM, round 10); with it, storage is
+      // bounded by two rounds at any iteration count
+      e.unpersist(blocking = false)
       converged = nextSig == sig
       sig = nextSig
       e = next

@@ -89,7 +89,14 @@ object Spans {
       .filter(col("_cnt") >= minCount)
       .select(col("_h"), col("_first"))
 
-    val joined = postings.join(dup, Seq("_h"))
+    // merge-join, EXPLICITLY: the duplicated-hash set is unbounded (it
+    // grows with corpus duplication), so a broadcast is never the
+    // scale-safe shape — and AQE's runtime byte stats undercount its
+    // in-memory size badly enough to pick one that OOMs a small driver
+    // (2g soak, round 10). The merge join costs no extra shuffle: `dup`
+    // derives from postings' own groupBy(_h) exchange, so both join
+    // branches hash-partition on _h and the postings exchange is reused.
+    val joined = postings.join(dup.hint("merge"), Seq("_h"))
     val marked =
       if (keepFirst)
         joined.filter(!(col("_id") === col("_first._id") &&
