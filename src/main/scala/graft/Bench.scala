@@ -65,7 +65,8 @@ object Bench {
     "q124_stream_running_totals", "q125_delta_convert", "q126_group_by_all",
     "q127_delta_clone")
   // queries added in round 10
-  private[graft] val r10New = Set("q128_ann_recall", "q129_delta_identity")
+  private[graft] val r10New = Set("q128_ann_recall", "q129_delta_identity",
+    "q130_webp_decode")
   private[graft] val laterRounds = Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New)
   private def newer(from: Int)(k: String): Boolean =
     laterRounds.drop(from).exists(_(k))

@@ -13,8 +13,10 @@ import org.apache.spark.sql.types._
   * work inside `mapPartitions`, payloads never on the driver. Video
   * CONTAINERS are real too: [[Mp4]] walks the ISO BMFF box structure
   * (public spec, format-not-codec) to extract metadata and keyframe byte
-  * ranges without decoding. Only pixel/sample CODECS the JDK lacks
-  * (h264 frames, webp, mp3, …) go through [[stubDecodeFeatures]], the
+  * ranges without decoding. Lossless WebP (VP8L) pixels decode for real
+  * through the pure-JVM [[Vp8l]] bitstream decoder (round 10). Only
+  * pixel/sample CODECS still missing
+  * (h264 frames, lossy webp, mp3, …) go through [[stubDecodeFeatures]], the
   * clearly-marked seam where a JNI/ONNX executor codec or
   * `mapInPandas`+PIL would slot in; the schema and batch shape are
   * identical on both paths.
@@ -33,9 +35,11 @@ object Multimodal {
   final case class ImageFeatures(
       id: Long, ok: Boolean, width: Int, height: Int, mean_luma: Double)
 
-  /** Real image decode + feature extraction (JDK `javax.imageio`: PNG,
-    * JPEG, BMP, GIF). Mean luminance (ITU-R BT.601) is sampled on a
-    * ≤ 64×64 grid, so cost per row is bounded regardless of resolution.
+  /** Real image decode + feature extraction: JDK `javax.imageio` (PNG,
+    * JPEG, BMP, GIF) plus the pure-JVM [[Vp8l]] decoder for lossless
+    * WebP (round 10 — webp pixels left the codec stub). Mean luminance
+    * (ITU-R BT.601) is sampled on a ≤ 64×64 grid, so cost per row is
+    * bounded regardless of resolution.
     */
   def decodeImageFeatures(df: DataFrame, idCol: String, dataCol: String): DataFrame = {
     import df.sparkSession.implicits._
@@ -45,30 +49,41 @@ object Multimodal {
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
             catch { case _: Exception => null }
-          if (img == null) ImageFeatures(id, ok = false, 0, 0, 0.0)
-          else {
+          if (img != null) {
             val w = img.getWidth
             val h = img.getHeight
-            val sx = math.max(1, w / 64)
-            val sy = math.max(1, h / 64)
-            var sum = 0.0
-            var cnt = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sum += 0.299 * ((rgb >> 16) & 0xff) +
-                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-                cnt += 1
-                x += sx
-              }
-              y += sy
-            }
+            val (sum, cnt) = sampledLumaSum(w, h, (x, y) => img.getRGB(x, y))
             ImageFeatures(id, ok = true, w, h, sum / cnt)
+          } else Vp8l.decodeWebP(bytes) match {
+            case Some(d) =>
+              val (sum, cnt) =
+                sampledLumaSum(d.width, d.height, (x, y) => d.argb(y * d.width + x))
+              ImageFeatures(id, ok = true, d.width, d.height, sum / cnt)
+            case None => ImageFeatures(id, ok = false, 0, 0, 0.0)
           }
         }
       }.toDF(idCol, "ok", "width", "height", "mean_luma")
+  }
+
+  /** BT.601 luma summed over the bounded ≤ 64×64 sample grid. */
+  private def sampledLumaSum(w: Int, h: Int, rgbAt: (Int, Int) => Int): (Double, Long) = {
+    val sx = math.max(1, w / 64)
+    val sy = math.max(1, h / 64)
+    var sum = 0.0
+    var cnt = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = rgbAt(x, y)
+        sum += 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        cnt += 1
+        x += sx
+      }
+      y += sy
+    }
+    (sum, cnt)
   }
 
   /** Real thumbnail resize (longest side → `maxDim`, aspect preserved),
@@ -298,7 +313,8 @@ object Multimodal {
     size(frameSample(data, frameSize, stride))
 
   /** STUB decoder ??? strictly for PIXEL/PCM work of CODECS the JDK does
-    * not ship (h264/vp9 frame pixels, webp pixels, mp3 PCM) —
+    * not ship (h264/vp9 frame pixels, LOSSY webp pixels, mp3 PCM —
+    * lossless WebP is real since round 10, see [[Vp8l]]) —
     * deterministic fake features: byte length, a content hash, and a
     * pseudo-"brightness" (mean of a sampled byte prefix). The schema and
     * distribution contract match the real [[decodeImageFeatures]] path;

@@ -114,7 +114,11 @@ object Vp8lEncoder {
         else twoLevelLengths(clSyms)
       bw.bits(19 - 4, 4) // num_code_lengths = 19: cover every CL position
       for (i <- 0 until 19) bw.bits(clLens.getOrElse(ClOrder(i), 0), 3)
-      val clCodes = canonical(clLens)
+      // a single used CL symbol is a LONE code: the decoder consumes zero
+      // bits per length (the single-symbol special case), so write zero
+      val clCodes =
+        if (clLens.size == 1) Map(clLens.head._1 -> ((0, 0)))
+        else canonical(clLens)
       bw.bit(0) // no max_symbol shortcut
       val lensArr = (0 until alphabetSize).map(s => lens.getOrElse(s, 0))
       lensArr.foreach { l => val (c, len) = clCodes(l); bw.code(c, len) }

@@ -93,6 +93,37 @@ private[graft] object TextQueries {
     }),
 
 
+    // VP8L (lossless WebP) pixel decode, gated: deterministic fixture
+    // images (each pixel a closed-form function of (x, y, i)) are encoded
+    // by the independent minimal encoder — mixing subtract-green and
+    // row-repeat LZ77 variants — then decoded back through the PRODUCTION
+    // decodeImageFeatures path; per-image dims + 4-dp mean luma must
+    // hash-match the oracle, which computes the expected mean from the
+    // same closed form over a generated pixel grid. A decoder bug
+    // anywhere in the Huffman/LZ77/transform chain shifts the luma.
+    // Dims stay ≤ 64 so the feature sampler's grid covers every pixel.
+    "q130_webp_decode" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = (0 until 24).map { i =>
+        val w = 8 + (i * 7) % 57
+        val h = 8 + (i * 11) % 57
+        val px = Array.tabulate(w * h) { j =>
+          val x = j % w
+          val yv = if (i % 3 == 0) (j / w) / 3 else j / w // repeated row blocks
+          (0xff << 24) | (((x * 7 + yv * 13 + i) % 256) << 16) |
+            (((x * 3 + yv * 5 + 2 * i) % 256) << 8) | ((x * 11 + yv + 3 * i) % 256)
+        }
+        (i.toLong, ops.Vp8lEncoder.encode(w, h, px,
+          subtractGreen = i % 2 == 1, rowRepeatRefs = i % 3 == 0))
+      }
+      val df = fixtures.toDF("img_id", "data").repartition(4)
+      ops.Multimodal.decodeImageFeatures(df, "img_id", "data")
+        .select(col("img_id"), col("ok"), col("width"), col("height"),
+          round(col("mean_luma"), 4).as("mean_luma"))
+        .orderBy(col("img_id"))
+    }),
+
+
     // Composite document quality score (length sweet-spot, punctuation,
     // stopword density) — the formula is pure arithmetic over counts, so
     // DuckDB reproduces it exactly.
@@ -332,6 +363,25 @@ private[graft] object TextQueries {
            FROM documents WHERE doc_id < 100)
          SELECT doc_id, list_min(list_transform(grams, g -> md5(g))) AS fp
          FROM sh ORDER BY doc_id""",
+
+    // the same closed-form pixel grid the Spark side encoded, re-derived
+    // over generate_series — dims and mean luma from first principles
+    "q130_webp_decode" ->
+      """WITH imgs AS (SELECT unnest(generate_series(0, 23)) AS i),
+           dims AS (SELECT i, 8 + (i*7) % 57 AS w, 8 + (i*11) % 57 AS h FROM imgs),
+           px AS (
+             SELECT i, w, h, xs.x AS x, ys.y AS y,
+               CASE WHEN i % 3 = 0 THEN y // 3 ELSE y END AS yv
+             FROM dims, LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+                        LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys),
+           lum AS (
+             SELECT i, w, h,
+               0.299 * ((x*7 + yv*13 + i) % 256) + 0.587 * ((x*3 + yv*5 + 2*i) % 256)
+                 + 0.114 * ((x*11 + yv + 3*i) % 256) AS l
+             FROM px)
+         SELECT CAST(i AS BIGINT) AS img_id, TRUE AS ok, CAST(w AS INT) AS width,
+                CAST(h AS INT) AS height, round(avg(l), 4) AS mean_luma
+         FROM lum GROUP BY i, w, h ORDER BY img_id""",
 
     "q38_multimodal" ->
       """SELECT doc_id, 'text/utf-8' AS format,

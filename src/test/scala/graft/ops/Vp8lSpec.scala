@@ -72,6 +72,17 @@ class Vp8lSpec extends AnyFunSuite {
     })
   }
 
+  test("round-trip: channels using ALL 256 values (single-CL-symbol tree)") {
+    // every red/green/blue value appears -> code lengths are uniform, the
+    // code-length tree has ONE used symbol, and the decoder's lone-symbol
+    // rule reads each length in zero bits; the encoder must write zero
+    // bits too (round-10 regression: it wrote one per position)
+    val px = Array.tabulate(16 * 16) { i =>
+      (0xff << 24) | (i << 16) | (((i * 7) % 256) << 8) | ((i * 11) % 256)
+    }
+    roundTrip(16, 16, px)
+  }
+
   test("malformed inputs decode to None, never throw") {
     assert(Vp8l.decodeWebP(Array[Byte]()) == None)
     assert(Vp8l.decodeWebP("RIFFxxxxWEBP".getBytes("ISO-8859-1")) == None)
