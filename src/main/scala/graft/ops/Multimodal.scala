@@ -46,23 +46,35 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(dataCol)).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Exception => null }
-          if (img != null) {
+          val img = readImage(bytes)
+          if (img == null) ImageFeatures(id, ok = false, 0, 0, 0.0)
+          else {
             val w = img.getWidth
             val h = img.getHeight
             val (sum, cnt) = sampledLumaSum(w, h, (x, y) => img.getRGB(x, y))
             ImageFeatures(id, ok = true, w, h, sum / cnt)
-          } else Vp8l.decodeWebP(bytes) match {
-            case Some(d) =>
-              val (sum, cnt) =
-                sampledLumaSum(d.width, d.height, (x, y) => d.argb(y * d.width + x))
-              ImageFeatures(id, ok = true, d.width, d.height, sum / cnt)
-            case None => ImageFeatures(id, ok = false, 0, 0, 0.0)
           }
         }
       }.toDF(idCol, "ok", "width", "height", "mean_luma")
+  }
+
+  /** Decode any supported image to a BufferedImage: JDK ImageIO formats,
+    * then the pure-JVM [[Vp8l]] path for lossless WebP. Null when neither
+    * can decode (callers emit `ok = false`).
+    */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val viaJdk =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (viaJdk != null) viaJdk
+    else Vp8l.decodeWebP(bytes) match {
+      case Some(d) =>
+        val img = new java.awt.image.BufferedImage(
+          d.width, d.height, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+        img.setRGB(0, 0, d.width, d.height, d.argb, 0, d.width)
+        img
+      case None => null
+    }
   }
 
   /** BT.601 luma summed over the bounded ≤ 64×64 sample grid. */
@@ -96,9 +108,7 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(dataCol)).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Exception => null }
+          val img = readImage(bytes)
           if (img == null) (id, false, Array.empty[Byte], 0, 0)
           else {
             val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
@@ -132,9 +142,7 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(dataCol)).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Exception => null }
+          val img = readImage(bytes)
           if (img == null) (id, None: Option[Long])
           else {
             val small = new java.awt.image.BufferedImage(

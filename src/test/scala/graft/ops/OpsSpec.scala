@@ -1197,6 +1197,24 @@ class OpsSpec extends SparkSpec {
     assert(back.getWidth == 32 && back.getHeight == 21)
   }
 
+  test("Multimodal: lossless WebP decodes through features, resize, and phash (r10)") {
+    val w = 40; val h = 30
+    val px = Array.tabulate(w * h) { j =>
+      val g = ((j % w) * 6 + (j / w) * 4) % 256
+      (0xff << 24) | (g << 16) | (g << 8) | g
+    }
+    val webp = Vp8lEncoder.encode(w, h, px, subtractGreen = true)
+    val df = Seq((7L, webp)).toDF("id", "data")
+    val f = Multimodal.decodeImageFeatures(df, "id", "data").head()
+    assert(f.getBoolean(1) && f.getInt(2) == w && f.getInt(3) == h)
+    val expectMean = px.map(p => (p >> 8) & 0xff).sum.toDouble / (w * h)
+    assert(math.abs(f.getDouble(4) - expectMean) < 1e-9) // gray: luma == g
+    val t = Multimodal.resizeImages(df, "id", "data", maxDim = 16).head()
+    assert(t.getBoolean(1) && t.getInt(3) == 16 && t.getInt(4) == 12)
+    val ph = Multimodal.perceptualHash(df, "id", "data").head()
+    assert(!ph.isNullAt(1))
+  }
+
   test("Multimodal: perceptual hash clusters visual near-dups, separates distinct images") {
     def gradientPng(seed: Int, noise: Int): Array[Byte] = {
       val rnd = new scala.util.Random(seed)
