@@ -496,13 +496,22 @@ object Vp8l {
 
   // --------------------------------------------------------------- entry
 
-  /** Decode a VP8L chunk payload (starting at the 0x2f signature byte). */
-  def decode(payload: Array[Byte]): Option[Decoded] =
+  /** Decode a VP8L chunk payload (starting at the 0x2f signature byte).
+    *
+    * `maxPixels` bounds the output allocation: a malformed (or hostile)
+    * 5-byte header can claim 16384×16384 and would otherwise force a
+    * 1 GiB buffer per row before any bitstream validation runs — a scan
+    * over untrusted payloads must bound its per-row memory. The default
+    * (2^26 ≈ 67M pixels, 256 MiB) admits any realistic training-corpus
+    * image; oversized claims return None like any other malformation.
+    */
+  def decode(payload: Array[Byte], maxPixels: Long = 1L << 26): Option[Decoded] =
     try {
       if (payload.length < 5 || (payload(0) & 0xff) != 0x2f) return None
       val br = new BitReader(java.util.Arrays.copyOfRange(payload, 1, payload.length))
       val w = br.bits(14) + 1
       val h = br.bits(14) + 1
+      if (w.toLong * h > maxPixels) return None
       br.bit() // alpha hint
       if (br.bits(3) != 0) return None // version must be 0
       val (pixels, outW) = decodeImageStream(w, h, isLevel0 = true, br)

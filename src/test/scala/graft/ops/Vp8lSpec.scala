@@ -96,6 +96,10 @@ class Vp8lSpec extends AnyFunSuite {
       val junk = Array.fill(r.nextInt(200) + 20)(r.nextInt(256).toByte)
       Vp8l.decode(junk) // must not throw
     }
+    // a hostile header claiming 16384×16384 must refuse BEFORE allocating
+    val huge = new Bits
+    huge.put(16383, 14).put(16383, 14).put(0, 1).put(0, 3)
+    assert(Vp8l.decode(huge.toPayload) == None)
   }
 
   // ------------------------------------------------- hand-scripted streams
