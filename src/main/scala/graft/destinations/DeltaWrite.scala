@@ -169,10 +169,11 @@ object DeltaWrite {
     */
   private def assignIdentity(
       spark: SparkSession, snap: DeltaLog.Snapshot,
-      df: DataFrame): (DataFrame, Option[StructType]) = {
+      df: DataFrame): (DataFrame, Option[StructType], () => Unit) = {
     import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+    val noop: () => Unit = () => ()
     val idFields = identityFields(snap.schema)
-    if (idFields.isEmpty) return (df, None)
+    if (idFields.isEmpty) return (df, None, noop)
     val present = df.columns.map(_.toLowerCase).toSet
     def start(f: StructField) = f.metadata.getLong("delta.identity.start")
     def step(f: StructField) = f.metadata.getLong("delta.identity.step")
@@ -189,6 +190,7 @@ object DeltaWrite {
           "are not allowed (declare it GENERATED BY DEFAULT to permit them)")
     }
     var out = df
+    var cleanup = noop
     val newMarks = scala.collection.mutable.Map.empty[String, Long]
     if (missing.nonEmpty) {
       // zipWithIndex by hand: the per-partition counting job (bounded
@@ -200,7 +202,13 @@ object DeltaWrite {
       val steps = missing.map(step)
       val schema = StructType(out.schema.fields ++
         missing.map(f => StructField(f.name, org.apache.spark.sql.types.LongType)))
-      val src = out.rdd
+      // persist the source: the counting job and the later write job must
+      // see the SAME rows in the same partitions — re-evaluating a
+      // nondeterministic frame (sample, rand-filter, changed source)
+      // between the two would durably write colliding or gapped values.
+      // The caller unpersists after its commit.
+      val src = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cleanup = () => { src.unpersist(blocking = false); () }
       val counts = src.mapPartitionsWithIndex { case (pid, it) =>
         Iterator((pid, it.size.toLong))
       }.collect().sortBy(_._1).map(_._2)
@@ -235,7 +243,7 @@ object DeltaWrite {
         }
       }
     }
-    if (newMarks.isEmpty) (out, None)
+    if (newMarks.isEmpty) (out, None, cleanup)
     else {
       val updated = StructType(snap.schema.fields.map { f =>
         newMarks.get(f.name) match {
@@ -246,7 +254,7 @@ object DeltaWrite {
           case None => f
         }
       })
-      (out, Some(updated))
+      (out, Some(updated), cleanup)
     }
   }
 
@@ -457,7 +465,15 @@ object DeltaWrite {
       spark: SparkSession,
       tablePath: String,
       df: DataFrame,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false): Long =
+    appendAttempt(spark, tablePath, df, mergeSchema, identityRestarts = 5)
+
+  private def appendAttempt(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      mergeSchema: Boolean,
+      identityRestarts: Int): Long = {
     // append never reads the file list — metadata-only snapshot, bounded
     // driver memory regardless of table size
     val snap = DeltaLog.lazySnapshot(spark, tablePath).meta
@@ -465,7 +481,8 @@ object DeltaWrite {
     val mode = snap.columnMappingMode
     // identity generation / high-water-mark advance rides THIS commit's
     // metaData action (identitySchema, merged with any schema evolution)
-    val (dfWithIds, identitySchema) = assignIdentity(spark, snap, df)
+    val (dfWithIds, identitySchema, identityCleanup) = assignIdentity(spark, snap, df)
+    try {
     val baseSchema = identitySchema.getOrElse(snap.schema)
     val existing = snap.schema.fieldNames.map(_.toLowerCase).toSet
     val newCols = dfWithIds.schema.fields.filter(f => !existing.contains(f.name.toLowerCase))
@@ -500,18 +517,25 @@ object DeltaWrite {
         maybeCheckpoint(spark, tablePath, version)
         return version
       } catch {
-        case _: IllegalStateException if attempts < 5 =>
+        case e: IllegalStateException if attempts < 5 =>
           attempts += 1
           // identity tables must NOT blind-retry: the lost race may have
           // advanced the high-water mark, so the assigned values (and the
           // metaData we were about to commit) are stale — restart the
-          // append against the fresh snapshot to reassign
-          if (identityFields(snap.schema).nonEmpty)
-            return append(spark, tablePath, df, mergeSchema)
+          // append against the fresh snapshot to reassign. The restart
+          // budget carries ACROSS restarts (each one re-spills the data,
+          // so an uncapped loop under contention would also leak a full
+          // copy of the batch per round).
+          if (identityFields(snap.schema).nonEmpty) {
+            if (identityRestarts == 0) throw e
+            return appendAttempt(spark, tablePath, df, mergeSchema,
+              identityRestarts - 1)
+          }
           version = DeltaLog.lazySnapshot(spark, tablePath).meta.version + 1
       }
     }
     version // unreachable
+    } finally identityCleanup()
   }
 
   /** Replace the table contents with `df`: removes every live file, adds

@@ -191,7 +191,14 @@ object Sampling {
     val withW = counts.select(d.as("_mix_d"), n.as("_mix_dn"),
       pow(n.cast("double"), lit(alpha)).as("_mix_w"))
     val wsumRow = withW
-      .agg(sum(col("_mix_w").cast("decimal(38,12)")).as("_ws")).head()
+      .agg(sum(col("_mix_w").cast("decimal(38,12)")).as("_ws"),
+        count(lit(1)).as("_n")).head()
+    // null sum with rows present = decimal overflow (unreachable with the
+    // enforced alpha <= 1, where sum(n^alpha) <= total rows, but a silent
+    // 0.0 here would divide to +Inf and quietly hand every domain its
+    // full count — fail loudly instead)
+    require(!wsumRow.isNullAt(0) || wsumRow.getLong(1) == 0L,
+      "temperature-mix weight sum overflowed decimal(38,12)")
     val wsum: Double =
       if (wsumRow.isNullAt(0)) 0.0 else wsumRow.getDecimal(0).doubleValue()
     withW.withColumn("_mix_q",

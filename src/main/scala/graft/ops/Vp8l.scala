@@ -145,8 +145,13 @@ object Vp8l {
     }
   }
 
-  private val ClOrder =
-    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 7, 8, 9, 10, 11, 12, 13, 14, 15, 6)
+  /** kCodeLengthCodeOrder per the VP8L spec — the ONE copy both the
+    * decoder and [[Vp8lEncoder]] use (round-10 review: a transposed
+    * private copy kept every round-trip green while breaking interop
+    * with real encoders; a single constant removes that failure mode).
+    */
+  private[ops] val ClOrder =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
   private def readHuffman(alphabetSize: Int, br: BitReader): Huffman = {
     if (br.bit() == 1) { // simple code
@@ -518,26 +523,21 @@ object Vp8l {
       if (outW != w || pixels.length != w * h) None
       else Some(Decoded(w, h, pixels))
     } catch {
+      // NOT OutOfMemoryError: maxPixels bounds this decoder's own
+      // allocations, so an OOME here means executor-wide heap exhaustion
+      // — masking that as a per-row "undecodable" would corrupt the scan
       case _: Eof | _: Bad | _: ArrayIndexOutOfBoundsException |
-          _: NegativeArraySizeException | _: OutOfMemoryError => None
+          _: NegativeArraySizeException => None
     }
 
   /** Decode a whole WebP container if (and only if) it is a lossless
-    * (VP8L) file — walks the RIFF chunks like [[WebP.parse]] and decodes
-    * the VP8L payload.
+    * (VP8L) file — [[WebP.riffChunks]] (the hostile-input-safe walk
+    * shared with the format layer) finds the VP8L payload.
     */
-  def decodeWebP(bytes: Array[Byte]): Option[Decoded] = {
-    if (bytes.length < 20) return None
-    def tag(p: Int): String = new String(bytes, p, 4, "ISO-8859-1")
-    if (tag(0) != "RIFF" || tag(8) != "WEBP") return None
-    var p = 12
-    while (p + 8 <= bytes.length) {
-      val size = ((bytes(p + 4) & 0xff) | ((bytes(p + 5) & 0xff) << 8) |
-        ((bytes(p + 6) & 0xff) << 16) | ((bytes(p + 7) & 0xffL) << 24)).toInt
-      if (tag(p) == "VP8L" && size >= 5 && p + 8 + size <= bytes.length)
-        return decode(java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + size))
-      p += 8 + size + (size & 1)
-    }
-    None
-  }
+  def decodeWebP(bytes: Array[Byte]): Option[Decoded] =
+    WebP.riffChunks(bytes)
+      .collectFirst { case ("VP8L", payload, size) if size >= 5 =>
+        decode(java.util.Arrays.copyOfRange(bytes, payload, payload + size))
+      }
+      .flatten
 }

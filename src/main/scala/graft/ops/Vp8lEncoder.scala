@@ -75,8 +75,7 @@ object Vp8lEncoder {
     }.toMap
   }
 
-  private val ClOrder =
-    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 7, 8, 9, 10, 11, 12, 13, 14, 15, 6)
+  private def ClOrder = Vp8l.ClOrder // the single spec-order constant
 
   private final case class Tree(write: (BitWriter, Int) => Unit)
 

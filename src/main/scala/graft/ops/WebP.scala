@@ -34,14 +34,37 @@ object WebP {
     try parseUnsafe(bytes)
     catch { case _: Exception => NotWebP }
 
+  /** RIFF chunk walk over a WebP container: `(tag, payloadOffset, size)`
+    * per chunk, hostile-input-safe — the 32-bit size is read UNSIGNED into
+    * a Long (a signed read lets 0xFFFFFFF8 advance the cursor by zero and
+    * spin forever — round-10 review), offsets advance monotonically, and
+    * truncated chunks terminate the walk. Shared by [[parse]] and
+    * [[Vp8l.decodeWebP]], the two container consumers.
+    */
+  private[ops] def riffChunks(b: Array[Byte]): Iterator[(String, Int, Int)] = {
+    if (b.length < 20 || tag(b, 0) != "RIFF" || tag(b, 8) != "WEBP")
+      return Iterator.empty
+    val riffEnd = math.min(b.length.toLong, 8L + u32le(b, 4))
+    new Iterator[(String, Int, Int)] {
+      private var p = 12L
+      def hasNext: Boolean = p + 8 <= riffEnd
+      def next(): (String, Int, Int) = {
+        val size = u32le(b, p.toInt + 4) // unsigned 32-bit in a Long
+        val payload = p + 8
+        val out = (tag(b, p.toInt),
+          payload.toInt,
+          math.max(0L, math.min(size, riffEnd - payload)).toInt)
+        p = payload + size + (size & 1) // Long arithmetic: always advances >= 8
+        out
+      }
+    }
+  }
+
   private def parseUnsafe(b: Array[Byte]): WebPInfo = {
-    if (b.length < 20 || tag(b, 0) != "RIFF" || tag(b, 8) != "WEBP") return NotWebP
-    val riffEnd = math.min(b.length.toLong, 8L + u32le(b, 4)).toInt
-    var p = 12
-    while (p + 8 <= riffEnd) {
-      val chunk = tag(b, p)
-      val size = u32le(b, p + 4).toInt
-      val payload = p + 8
+    val it = riffChunks(b)
+    if (!it.hasNext) return NotWebP
+    while (it.hasNext) {
+      val (chunk, payload, size) = it.next()
       chunk match {
         case "VP8 " if size >= 10 =>
           // key-frame header: 3-byte frame tag, sync 9D 01 2A, then
@@ -70,7 +93,6 @@ object WebP {
             hasAlpha = (flags & 0x10) != 0, animated = (flags & 0x02) != 0)
         case _ => // skip unknown chunks (padded to even size per RIFF)
       }
-      p = payload + size + (size & 1)
     }
     NotWebP
   }

@@ -184,7 +184,7 @@ class Vp8lSpec extends AnyFunSuite {
     */
   private def writeTwoSymbolNormal(b: Bits, s0: Int, s1: Int, alphabetSize: Int): Unit = {
     require(s0 < s1 && s1 < alphabetSize)
-    val order = Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 7, 8, 9, 10, 11, 12, 13, 14, 15, 6)
+    val order = Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
     b.put(0, 1) // not simple
     b.put(19 - 4, 4)
     // CL code lengths: symbol 0 -> 2, symbol 1 -> 2, symbol 18 -> 1 (for
@@ -301,7 +301,7 @@ class Vp8lSpec extends AnyFunSuite {
 
   /** normal tree over exactly four ascending symbols, 2 bits each */
   private def writeFourSymbolNormal(b: Bits, syms: Array[Int]): Unit = {
-    val order = Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 7, 8, 9, 10, 11, 12, 13, 14, 15, 6)
+    val order = Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
     b.put(0, 1)
     b.put(19 - 4, 4)
     val clLen = Map(0 -> 2, 2 -> 2, 18 -> 1)
@@ -389,7 +389,7 @@ class Vp8lSpec extends AnyFunSuite {
     * 8 -> 14, 256 -> 15 (4 bits).
     */
   private def writeNineSymbolNormal(b: Bits): Unit = {
-    val order = Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 7, 8, 9, 10, 11, 12, 13, 14, 15, 6)
+    val order = Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
     b.put(0, 1)
     b.put(19 - 4, 4)
     val clLen = Map(0 -> 3, 3 -> 2, 4 -> 3, 18 -> 1)
