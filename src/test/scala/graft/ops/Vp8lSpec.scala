@@ -282,7 +282,7 @@ class Vp8lSpec extends AnyFunSuite {
     // alphas: (0,0) carries 255 (black pred has alpha 255 -> res 0 keeps
     // 255... choose res alpha 0 everywhere: preds provide 255)
     // greens: 4 distinct -> normal tree over {1,2,3,10}
-    writeFourSymbolNormal(b, Array(1, 2, 3, 10))
+    writeUniformNormal(b, Array(1, 2, 3, 10), 256 + 24)
     simple1(b, 0) // red residuals
     simple1(b, 0) // blue residuals
     simple1(b, 0) // alpha residuals
@@ -299,15 +299,20 @@ class Vp8lSpec extends AnyFunSuite {
     assert(g(3) == (g(2) + 3) % 256) // mode L from block image
   }
 
-  /** normal tree over exactly four ascending symbols, 2 bits each */
-  private def writeFourSymbolNormal(b: Bits, syms: Array[Int]): Unit = {
+  /** normal tree over exactly 2^k ascending symbols, k bits each (uniform
+    * complete code); canonical codes are 0..n-1 in symbol order
+    */
+  private def writeUniformNormal(b: Bits, syms: Array[Int], alphabetSize: Int): Unit = {
+    val nbits = syms.length match { case 2 => 1; case 4 => 2; case 8 => 3 }
     val order = Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
     b.put(0, 1)
     b.put(19 - 4, 4)
-    val clLen = Map(0 -> 2, 2 -> 2, 18 -> 1)
+    val clLen = Map(0 -> 2, nbits -> 2, 18 -> 1)
     order.foreach(s => b.put(clLen.getOrElse(s, 0), 3))
     b.put(0, 1)
-    val cl = Map(18 -> (0, 1), 0 -> (2, 2), 2 -> (3, 2))
+    // canonical over {18: len 1, 0: len 2, nbits: len 2}: 18 -> 0;
+    // the smaller of {0, nbits} -> 10, the larger -> 11
+    val cl = Map(18 -> (0, 1), 0 -> (2, 2), nbits -> (3, 2))
     def clCode(sym: Int): Unit = { val (c, l) = cl(sym); b.code(c, l) }
     def zeros(n: Int): Unit = {
       var left = n
@@ -317,8 +322,8 @@ class Vp8lSpec extends AnyFunSuite {
       }
     }
     var prev = -1
-    syms.foreach { s => zeros(s - prev - 1); clCode(2); prev = s }
-    zeros(280 - prev - 1) // fill the green alphabet to the end
+    syms.foreach { s => zeros(s - prev - 1); clCode(nbits); prev = s }
+    zeros(alphabetSize - prev - 1) // the decoder reads lengths to the END
   }
 
   test("hand vector: color transform inverse arithmetic") {
@@ -411,6 +416,142 @@ class Vp8lSpec extends AnyFunSuite {
     zeros(256 - 9)
     clCode(4) // symbol 256
     zeros(280 - 257) // fill the green alphabet to the end
+  }
+
+  test("hand vector: meta-Huffman routes pixels to per-block tree groups") {
+    // 8×1 image, huffman_bits=2 (blocks of 4): the 2×1 meta image maps
+    // block 0 -> group 0 and block 1 -> group 1 via (red<<8)|green; the
+    // two groups carry different constant literals, so a decoder that
+    // ignores routing paints the whole row from group 0
+    val b = new Bits
+    header(b, 8, 1)
+    b.put(0, 1) // no transforms
+    b.put(0, 1) // no cache
+    b.put(1, 1).put(0, 3) // meta ON, huffman_bits = 0 + 2
+    // meta image 2×1 (is_level0=false): green = group index {0, 1}
+    b.put(0, 1) // no cache in sub-image
+    b.put(1, 1).put(1, 1).put(0, 1).put(0, 1).put(1, 8) // green simple-2: (0, 1)
+    simple1(b, 0); simple1(b, 0); simple1(b, 255); simple1(b, 0)
+    b.put(0, 1) // meta pixel 0: green 0 -> group 0
+    b.put(1, 1) // meta pixel 1: green 1 -> group 1
+    // group 0 trees: constant pixel (255, 1, 10, 2)
+    simple1(b, 10); simple1(b, 1); simple1(b, 2); simple1(b, 255); simple1(b, 0)
+    // group 1 trees: constant pixel (255, 3, 20, 4)
+    simple1(b, 20); simple1(b, 3); simple1(b, 4); simple1(b, 255); simple1(b, 0)
+    // pixel loop: every tree is 0-bit — routing alone decides the output
+    val d = Vp8l.decode(b.toPayload).getOrElse(fail("decode failed"))
+    val g0 = 0xff010a02
+    val g1 = 0xff031404
+    assert(d.argb.toSeq == Seq(g0, g0, g0, g0, g1, g1, g1, g1),
+      d.argb.map(_.toHexString).mkString(","))
+  }
+
+  test("hand vector: predictor modes 3-13 match an independent reference") {
+    // 4×3, predictor blocks of 4 -> ONE mode block covers the image; row 0
+    // is forced to L and column 0 to T, so the six interior pixels
+    // exercise the block's mode. The expected image is computed by a
+    // test-side forward simulation written straight from the spec
+    // formulas (avg2 / select / clamp-add-subtract), independent of the
+    // decoder's implementation.
+    def avg2(a: Int, b2: Int): Int = {
+      def c(sh: Int) = ((((a >>> sh) & 0xff) + ((b2 >>> sh) & 0xff)) >> 1) << sh
+      c(24) | c(16) | c(8) | c(0)
+    }
+    def clamp(v: Int) = math.max(0, math.min(255, v))
+    def addPx(a: Int, b2: Int): Int = {
+      def c(sh: Int) = ((((a >>> sh) & 0xff) + ((b2 >>> sh) & 0xff)) & 0xff) << sh
+      c(24) | c(16) | c(8) | c(0)
+    }
+    def predictRef(mode: Int, l: Int, t: Int, tl: Int, tr: Int): Int = mode match {
+      case 0 => 0xff000000
+      case 1 => l
+      case 2 => t
+      case 3 => tr
+      case 4 => tl
+      case 5 => avg2(avg2(l, tr), t)
+      case 6 => avg2(l, tl)
+      case 7 => avg2(l, t)
+      case 8 => avg2(tl, t)
+      case 9 => avg2(t, tr)
+      case 10 => avg2(avg2(l, tl), avg2(t, tr))
+      case 11 =>
+        def ch(p: Int, sh: Int) = (p >>> sh) & 0xff
+        val shifts = Seq(24, 16, 8, 0)
+        val pl = shifts.map(s => math.abs(ch(l, s) + ch(t, s) - ch(tl, s) - ch(l, s))).sum
+        val pt = shifts.map(s => math.abs(ch(l, s) + ch(t, s) - ch(tl, s) - ch(t, s))).sum
+        if (pl < pt) l else t
+      case 12 =>
+        def c(sh: Int) = clamp(((l >>> sh) & 0xff) + ((t >>> sh) & 0xff) - ((tl >>> sh) & 0xff)) << sh
+        c(24) | c(16) | c(8) | c(0)
+      case 13 =>
+        val a = avg2(l, t)
+        def c(sh: Int) = {
+          val av = (a >>> sh) & 0xff
+          clamp(av + (av - ((tl >>> sh) & 0xff)) / 2) << sh
+        }
+        c(24) | c(16) | c(8) | c(0)
+    }
+    for (mode <- 3 to 13) {
+      val w = 4; val h = 3
+      // residual greens {1,2} in a fixed pattern; r/b/alpha residuals 0
+      val resG = Array(9, 1, 2, 1, 2, 1, 2, 2, 1, 1, 2, 2)
+      val b = new Bits
+      header(b, w, h)
+      b.put(1, 1).put(0, 2) // predictor transform
+      b.put(0, 3) // size_bits = 2 -> blocks of 4 -> 1×1 mode image
+      b.put(0, 1) // sub-image: no cache
+      simple1(b, mode); simple1(b, 0); simple1(b, 0); simple1(b, 255); simple1(b, 0)
+      b.put(0, 1) // no more transforms
+      b.put(0, 1).put(0, 1) // no cache, no meta
+      writeUniformNormal(b, Array(1, 2, 9, 11), 256 + 24) // greens (11 unused filler)
+      simple1(b, 0); simple1(b, 0); simple1(b, 0); simple1(b, 0)
+      val gc = Map(1 -> 0, 2 -> 1, 9 -> 2, 11 -> 3)
+      resG.foreach(g => b.code(gc(g), 2))
+      val d = Vp8l.decode(b.toPayload).getOrElse(fail(s"decode failed mode=$mode"))
+      // forward simulation with the same border rules + linear-wrap TR
+      val px = new Array[Int](w * h)
+      for (i <- 0 until w * h) {
+        val x = i % w; val y = i / w
+        val m = if (x == 0 && y == 0) 0 else if (y == 0) 1 else if (x == 0) 2 else mode
+        val l = if (i > 0) px(i - 1) else 0
+        val t = if (i >= w) px(i - w) else 0
+        val tl = if (i >= w && x > 0) px(i - w - 1) else 0
+        val tr = if (i >= w) px(i - w + 1) else 0
+        px(i) = addPx(predictRef(m, l, t, tl, tr), resG(i) << 8)
+      }
+      assert(d.argb.toSeq == px.toSeq, s"mode=$mode")
+    }
+  }
+
+  test("hand vector: LZ77 copies re-insert into the color cache") {
+    // 2-slot cache. Literals A then C share a slot (C evicts A); a backref
+    // then copies A, which must RE-INSERT A (evicting C); the final
+    // cache-hit symbol must therefore return A — a decoder that skips
+    // insertion during copies returns C.
+    def slotOf(p: Int) = (0x1e35a7bd * p) >>> 31
+    def pix(g: Int) = 0xff000000 | (g << 8)
+    val (ga, gb) = (0 until 256).flatMap(a => (0 until 256).collect {
+      case c if c != a && slotOf(pix(a)) == slotOf(pix(c)) => (a, c)
+    }).head
+    val slot = slotOf(pix(ga))
+    val b = new Bits
+    header(b, 4, 1)
+    b.put(0, 1) // no transforms
+    b.put(1, 1).put(1, 4) // cache on, cache_bits = 1
+    b.put(0, 1) // no meta
+    val syms = Array(ga, gb, 256, 280 + slot).sorted // 256=len-code 1; cache sym
+    writeUniformNormal(b, syms, 282)
+    simple1(b, 0); simple1(b, 0); simple1(b, 255)
+    simple1(b, 4) // distance tree: lone symbol 4 -> plane code 5 or 6 w/ 1 extra bit
+    val gc = syms.zipWithIndex.toMap
+    b.code(gc(ga), 2) // literal A
+    b.code(gc(gb), 2) // literal C (same slot: evicts A)
+    b.code(gc(256), 2) // backref, length prefix code 0 -> len 1
+    b.put(1, 1) // distance extra bit: prefixValue(4)=4+1+1=6 -> plane 6 -> dist 2
+    b.code(gc(280 + slot), 2) // cache hit
+    val d = Vp8l.decode(b.toPayload).getOrElse(fail("decode failed"))
+    assert(d.argb.toSeq == Seq(pix(ga), pix(gb), pix(ga), pix(ga)),
+      d.argb.map(p => (p >> 8) & 0xff).mkString(","))
   }
 
   test("round-trip pixels feed decodeImageFeatures-equivalent luma math") {
