@@ -112,17 +112,19 @@ object DeltaWrite {
     // CHECK constraints, column invariants, and generated columns are
     // ENFORCED per-row by [[enforceObligations]] on every write path (the
     // delta-spark/delta-rs behavior). Identity columns are honored on
-    // append ([[assignIdentity]]: generation + high-water-mark metaData
-    // update in the same commit) and are value-preserving under the
-    // rewrite-only ops (delete/compact/z-order/restore move existing rows
-    // byte-for-byte); the row-ADDING merge paths refuse rather than risk
-    // null-filling or colliding a GENERATED ALWAYS column.
-    if (Set("upsert", "replace", "overwrite")(op)) {
+    // append and overwrite ([[assignIdentity]]: generation + high-water-
+    // mark metaData update in the same commit; the mark NEVER resets, per
+    // spec, even when an overwrite removes every row) and are value-
+    // preserving under the rewrite-only ops (delete/compact/z-order/
+    // restore move existing rows byte-for-byte); the row-ADDING merge
+    // paths refuse rather than risk null-filling or colliding a
+    // GENERATED ALWAYS column.
+    if (Set("upsert", "replace")(op)) {
       val idCols = identityFields(snap.schema).map(_.name)
       require(idCols.isEmpty,
         s"Delta table $tablePath defines identity columns on " +
-          s"${idCols.mkString(", ")}; this writer honors identity on append " +
-          s"only — $op would bypass high-water-mark assignment")
+          s"${idCols.mkString(", ")}; this writer honors identity on " +
+          s"append/overwrite only — $op would bypass high-water-mark assignment")
     }
   }
 
@@ -550,12 +552,25 @@ object DeltaWrite {
     val snap = DeltaLog.snapshot(spark, tablePath)
     requireWritable(tablePath, snap, "overwrite", removesData = true)
     val mode = snap.columnMappingMode
+    // identity: assignment continues past the high-water mark even though
+    // every old row is removed — the mark never retreats (Delta spec); a
+    // schema-REPLACING overwrite would silently discard the identity
+    // fields and their marks, so it refuses on identity tables
+    require(!newSchema || identityFields(snap.schema).isEmpty,
+      s"Delta table $tablePath defines identity columns; a schema-replacing " +
+        "overwrite would drop them and their high-water marks — overwrite " +
+        "with the existing schema, or drop the identity columns first")
+    val (dfWithIds, identitySchema, identityCleanup) =
+      if (newSchema) (df, None, () => ()) else assignIdentity(spark, snap, df)
+    try {
     // schema-replacing overwrite drops the old fields' metadata obligations
     // with the old schema; table-level CHECK constraints still apply
-    val checked = enforceObligations(snap, df, schemaObligations = !newSchema)
+    val checked = enforceObligations(snap, dfWithIds, schemaObligations = !newSchema)
     val data = if (newSchema) checked else ManagedTable.castToSchema(checked, snap.schema)
     val (outSchema, meta, metaCfg) =
-      if (!newSchema) (snap.schema, None, snap.configuration)
+      if (!newSchema)
+        (identitySchema.getOrElse(snap.schema),
+          identitySchema.map(s => (s, snap.partitionColumns)), snap.configuration)
       else {
         val dataSchema = data.schema
         val full = StructType(dataSchema.fields ++
@@ -578,6 +593,7 @@ object DeltaWrite {
       metaConfig = metaCfg)
     maybeCheckpoint(spark, tablePath, v)
     v
+    } finally identityCleanup()
   }
 
   /** MERGE keyed on `keys`: existing rows whose key matches an incoming

@@ -827,6 +827,31 @@ class DeltaWriteSpec extends SparkSpec {
       .metadata.getLong("delta.identity.highWaterMark") == 25L)
   }
 
+  test("identity columns: overwrite assigns past the never-retreating mark") {
+    import spark.implicits._
+    val table = tmpDir("dw-identity-ow").resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, table, StructType(Seq(
+      DeltaWrite.identityField("id"), StructField("v", StringType))))
+    DeltaWrite.append(spark, table, Seq("a", "b", "c").toDF("v").coalesce(1)) // ids 1..3
+    // overwrite removes every row, but the mark NEVER resets (spec):
+    // freshly assigned ids continue past 3
+    DeltaWrite.overwrite(spark, table, Seq("x", "y").toDF("v").coalesce(1))
+    val got = DeltaLog.read(spark, table).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((4L, "x"), (5L, "y")), got.toString)
+    assert(DeltaLog.snapshot(spark, table).schema.fields.find(_.name == "id").get
+      .metadata.getLong("delta.identity.highWaterMark") == 5L)
+    // GENERATED ALWAYS still refuses explicit values on overwrite
+    val e = intercept[IllegalArgumentException](
+      DeltaWrite.overwrite(spark, table, Seq((9L, "z")).toDF("id", "v")))
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+    // ...and a schema-replacing overwrite refuses rather than silently
+    // dropping the identity column and its mark
+    val e2 = intercept[IllegalArgumentException](
+      DeltaWrite.overwrite(spark, table, Seq((1L, "q")).toDF("k", "v"), newSchema = true))
+    assert(e2.getMessage.contains("identity"), e2.getMessage)
+  }
+
   test("identity columns: GENERATED BY DEFAULT accepts explicit values and advances the mark") {
     import spark.implicits._
     val table = tmpDir("dw-identity-bd").resolve("t").toString
