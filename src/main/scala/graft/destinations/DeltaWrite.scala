@@ -96,13 +96,10 @@ object DeltaWrite {
     // CDF is supported (r8): appends and full overwrites need no cdc
     // actions by spec (readers derive from dataChange adds/removes), and
     // the partial-rewrite paths (upsert/replace/delete) emit `_change_data`
-    // files. The one unsupported combination is CDF + column mapping —
-    // cdc files would need physical-name columns this writer doesn't
-    // produce for them yet.
+    // files — since r10 also on column-mapped tables (cdc data columns
+    // spell physical names; `_change_type` keeps its literal name, as it
+    // is not part of the table schema).
     val mappingMode = conf.getOrElse("delta.columnMapping.mode", "none")
-    require(!(cdfEnabled(snap) && mappingMode != "none"),
-      s"Delta table $tablePath combines change data feed with column " +
-        "mapping; this writer supports CDF on unmapped tables only")
     // mode 'name' is writable (files + partitionValues + stats all speak
     // physical names, which this writer emits); mode 'id' resolves columns
     // by parquet field ids, which these files do not carry — refuse
@@ -269,13 +266,32 @@ object DeltaWrite {
   /** Write one commit's change rows (`table columns + _change_type`) as
     * `_change_data/` parquet and return the cdc descriptors for the commit.
     * Partitioned like the table so cdc readers prune the same way; no
-    * stats (nothing data-skips cdc files).
+    * stats (nothing data-skips cdc files). On column-mapped tables the
+    * data columns are rewritten to their physical names (same translation
+    * as the table's own files); `_change_type` is not a table column and
+    * keeps its literal name, which is what the read bridge's pass-through
+    * rename expects.
     */
   private def writeChangeData(
       spark: SparkSession, table: Path, snap: DeltaLog.Snapshot,
-      changes: DataFrame): Seq[AddDescriptor] =
-    writeDataFiles(spark, table, changes, snap.partitionColumns,
+      changes: DataFrame): Seq[AddDescriptor] = {
+    import org.apache.spark.sql.functions.col
+    val mode = snap.columnMappingMode
+    val (phys, physParts) =
+      if (mode == "none") (changes, snap.partitionColumns)
+      else {
+        val present = changes.columns.toSet
+        val cols = snap.schema.fields.toIndexedSeq.filter(f => present(f.name)).map { f =>
+          col(f.name).cast(DeltaLog.physicalDataType(f.dataType))
+            .as(DeltaLog.physicalFieldName(f))
+        } :+ col("_change_type")
+        val byName = snap.schema.fields.map(f => f.name -> f).toMap
+        (changes.select(cols: _*),
+          snap.partitionColumns.map(c => DeltaLog.physicalFieldName(byName(c))))
+      }
+    writeDataFiles(spark, table, phys, physParts,
       subdir = "_change_data", withStats = false)
+  }
 
   // ------------------------------------ write-time obligation enforcement
 

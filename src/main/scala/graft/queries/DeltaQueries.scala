@@ -124,6 +124,37 @@ private[graft] object DeltaQueries {
         .orderBy(col("_commit_version"), col("o_orderkey"), col("_change_type"))
     }),
 
+    // CDF on a COLUMN-MAPPED, hive-PARTITIONED table (r10 — the one
+    // formerly refused combination): the same create/append/upsert/delete
+    // sequence as q111, but every cdc file spells physical column names
+    // and physical partition directories while `_change_type` keeps its
+    // literal name. The change stream must be byte-identical to the
+    // unmapped table's — the mapping layer is result-invisible, so the
+    // oracle is shared with q111.
+    "q131_delta_cdf_mapped" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q131").resolve("tbl").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType],
+        partitionBy = Seq("o_orderstatus"),
+        properties = Map("delta.enableChangeDataFeed" -> "true"),
+        columnMapping = true)
+      DeltaWrite.append(s, tbl, orders.filter(col("o_orderkey") < 4000))
+      val up = orders.filter(col("o_orderkey") < 1000)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+        .unionByName(orders.filter(col("o_orderkey") >= 4000 && col("o_orderkey") < 5000))
+      DeltaWrite.upsert(s, tbl, up, Seq("o_orderkey"))
+      DeltaWrite.delete(s, tbl, "o_orderkey % 10 = 0")
+      graft.sources.DeltaLog.readCdf(s, tbl, 0L)
+        .select(col("o_orderkey"), col("o_totalprice"), col("_change_type"),
+          col("_commit_version"))
+        .orderBy(col("_commit_version"), col("o_orderkey"), col("_change_type"))
+    }),
+
+
     // CONVERT TO DELTA on a plain hive-partitioned parquet directory: the
     // version-0 log references the files in place (zero bytes move), the
     // converted table immediately accepts protocol appends, and the read
@@ -200,12 +231,12 @@ private[graft] object DeltaQueries {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
-    // the expected change stream reconstructed from the same deterministic
-    // operations: v1 inserts, v2 pre/post images + inserts, v3 deletes
-    // over the v2 table state
-    "q111_delta_cdf" ->
-      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+  // the expected change stream reconstructed from the same deterministic
+  // operations: v1 inserts, v2 pre/post images + inserts, v3 deletes over
+  // the v2 table state. Shared by q111 and its column-mapped twin q131 —
+  // the mapping (and partitioning) layer must be result-invisible.
+  private val cdfOracleSql: String =
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
            v1 AS (SELECT o_orderkey, o_totalprice, 'insert' AS _change_type,
                     CAST(1 AS BIGINT) AS _commit_version
                   FROM base WHERE o_orderkey < 4000),
@@ -226,7 +257,11 @@ private[graft] object DeltaQueries {
            SELECT * FROM v1 UNION ALL SELECT * FROM v2pre
            UNION ALL SELECT * FROM v2post UNION ALL SELECT * FROM v2ins
            UNION ALL SELECT * FROM v3)
-         ORDER BY _commit_version, o_orderkey, _change_type""",
+         ORDER BY _commit_version, o_orderkey, _change_type"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q111_delta_cdf" -> cdfOracleSql,
+    "q131_delta_cdf_mapped" -> cdfOracleSql,
 
     // the Delta layer under test must be RESULT-invisible: the oracle
     // recomputes the final state straight from raw orders

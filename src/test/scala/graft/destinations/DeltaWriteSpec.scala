@@ -827,6 +827,24 @@ class DeltaWriteSpec extends SparkSpec {
       .metadata.getLong("delta.identity.highWaterMark") == 25L)
   }
 
+  test("identity columns: mergeSchema evolution and the mark share one metaData") {
+    import spark.implicits._
+    val table = tmpDir("dw-identity-ms").resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, table, StructType(Seq(
+      DeltaWrite.identityField("id"), StructField("v", StringType))))
+    DeltaWrite.append(spark, table, Seq("a").toDF("v")) // id 1
+    // one commit that BOTH widens the schema and advances the mark
+    DeltaWrite.append(spark, table,
+      Seq(("b", 7.5)).toDF("v", "score"), mergeSchema = true)
+    val snap = DeltaLog.snapshot(spark, table)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    assert(snap.schema.fields.find(_.name == "id").get
+      .metadata.getLong("delta.identity.highWaterMark") == 2L)
+    val got = DeltaLog.read(spark, table).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("identity columns: overwrite assigns past the never-retreating mark") {
     import spark.implicits._
     val table = tmpDir("dw-identity-ow").resolve("t").toString
