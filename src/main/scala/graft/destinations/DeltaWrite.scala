@@ -66,7 +66,7 @@ object DeltaWrite {
     Set("appendOnly", "invariants", "checkConstraints", "generatedColumns",
       "changeDataFeed", "timestampNtz", "vacuumProtocolCheck",
       "variantType-preview", "deletionVectors", "columnMapping",
-      "identityColumns")
+      "identityColumns", "inCommitTimestamp")
 
   /** Refuse to commit to tables whose protocol demands semantics we don't
     * implement — a commit that ignores row tracking, CDF, or a CHECK
@@ -451,7 +451,7 @@ object DeltaWrite {
       if (identityFields(schema).nonEmpty) 6 else 2).max
     val checkProto =
       if (legacyWriter > 2) Some(DeltaLog.Protocol(1, legacyWriter)) else None
-    val (outSchema, outProps, proto) =
+    val (outSchema, outProps, proto0) =
       if (!wantMapping) (schema, properties, checkProto)
       else {
         val (mapped, maxId) = assignMapping(schema, 0L)
@@ -460,6 +460,28 @@ object DeltaWrite {
             "delta.columnMapping.mode" -> "name",
             "delta.columnMapping.maxColumnId" -> maxId.toString),
           Some(DeltaLog.Protocol(2, 5)))
+      }
+    // in-commit timestamps have no legacy writer version — they force a
+    // feature-listed v7 protocol, which must then name EVERY feature the
+    // table relies on (v7 implies nothing)
+    val wantIct = properties.get("delta.enableInCommitTimestamps")
+      .exists(_.equalsIgnoreCase("true"))
+    val proto =
+      if (!wantIct) proto0
+      else {
+        val feats = Set("inCommitTimestamp", "invariants") ++
+          (if (properties.keys.exists(_.startsWith("delta.constraints.")))
+            Set("checkConstraints") else Set.empty[String]) ++
+          (if (properties.get("delta.enableChangeDataFeed")
+            .exists(_.equalsIgnoreCase("true"))) Set("changeDataFeed")
+          else Set.empty[String]) ++
+          (if (identityFields(schema).nonEmpty) Set("identityColumns")
+          else Set.empty[String]) ++
+          (if (wantMapping) Set("columnMapping") else Set.empty[String]) ++
+          (if (properties.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
+            Set("appendOnly") else Set.empty[String])
+        Some(DeltaLog.Protocol(if (wantMapping) 2 else 1, 7,
+          writerFeatures = feats))
       }
     commit(spark, new Path(tablePath), 0L, "CREATE TABLE",
       withMeta = Some((outSchema, partitionBy)), adds = Nil, removes = Nil,
@@ -1746,6 +1768,27 @@ object DeltaWrite {
     }
   }
 
+  /** The previous commit's `commitInfo.inCommitTimestamp` — one
+    * first-line read of `<v>.json`; None when the commit is gone
+    * (checkpoint-cleaned) or carries no in-commit clock.
+    */
+  private def prevInCommitTimestamp(
+      spark: SparkSession, table: Path, v: Long): Option[Long] =
+    try {
+      val f = fs(spark, table)
+      val p = commitPath(table, v)
+      if (!f.exists(p)) return None
+      val in = f.open(p)
+      val firstLine =
+        try new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8)).readLine()
+        finally in.close()
+      Option(firstLine).map(mapper.readTree)
+        .flatMap(n => Option(n.get("commitInfo")).filterNot(_.isNull))
+        .flatMap(ci => Option(ci.get("inCommitTimestamp")).filterNot(_.isNull))
+        .map(_.asLong())
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def commit(
       spark: SparkSession,
       table: Path,
@@ -1762,9 +1805,28 @@ object DeltaWrite {
     val nonce = java.util.UUID.randomUUID().toString
     val lines = Seq.newBuilder[String]
 
+    // in-commit timestamps: the authoritative monotonic clock lives in
+    // commitInfo (file mtimes lie after copies/restores). Enablement is
+    // read from the config riding THIS commit when one does (create /
+    // metadata / append paths pass the table config), else inherited from
+    // the previous commit's own field — so partial-rewrite commits that
+    // pass no config keep the chain. max(now, prev+1) per spec.
+    val ictEnabledHere = metaConfig.get("delta.enableInCommitTimestamps")
+      .exists(_.equalsIgnoreCase("true"))
+    lazy val prevIct: Option[Long] =
+      if (version == 0L) None
+      else prevInCommitTimestamp(spark, table, version - 1)
+    val ictEnabled =
+      if (version == 0L || metaConfig.nonEmpty) ictEnabledHere
+      else prevIct.isDefined
+    val ict: Option[Long] =
+      if (!ictEnabled) None
+      else Some(math.max(now, prevIct.map(_ + 1L).getOrElse(now)))
+
     val ci = mapper.createObjectNode()
     val info = ci.putObject("commitInfo")
     info.put("timestamp", now)
+    ict.foreach(t => info.put("inCommitTimestamp", t))
     info.put("operation", operation)
     info.putObject("operationParameters")
     info.put("engineInfo", "graft")

@@ -155,6 +155,36 @@ private[graft] object DeltaQueries {
     }),
 
 
+    // In-commit timestamps (r10 write side; read was r8): create an ICT
+    // table, three commits, then ZERO every log file's mtime — the
+    // protocol's fallback clock now lies — and time-travel to the first
+    // append via its commitInfo.inCommitTimestamp. Only the in-commit
+    // clock can resolve the target, and the state must equal the v1
+    // slice, which the oracle recomputes from raw orders.
+    "q132_delta_ict" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q132").resolve("tbl").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType],
+        properties = Map("delta.enableInCommitTimestamps" -> "true"))
+      DeltaWrite.append(s, tbl, orders.filter(col("o_orderkey") < 3000)) // v1
+      DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 5000)) // v2
+      DeltaWrite.delete(s, tbl, "o_orderkey % 7 = 0") // v3
+      val v1Line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(tbl, "_delta_log", f"${1L}%020d.json")).get(0)
+      val ict = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(v1Line).get("commitInfo").get("inCommitTimestamp").asLong()
+      java.nio.file.Files.list(java.nio.file.Paths.get(tbl, "_delta_log"))
+        .forEach(p => { p.toFile.setLastModified(1000L); () })
+      graft.sources.DeltaLog.read(s, tbl,
+          timestampAsOf = Some(java.time.Instant.ofEpochMilli(ict)))
+        .orderBy(col("o_orderkey"))
+    }),
+
+
     // CONVERT TO DELTA on a plain hive-partitioned parquet directory: the
     // version-0 log references the files in place (zero bytes move), the
     // converted table immediately accepts protocol appends, and the read
@@ -262,6 +292,11 @@ private[graft] object DeltaQueries {
   def oracleSql: Map[String, String] = Map(
     "q111_delta_cdf" -> cdfOracleSql,
     "q131_delta_cdf_mapped" -> cdfOracleSql,
+
+    // the in-commit-timestamp travel target is exactly the v1 slice
+    "q132_delta_ict" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderkey < 3000 ORDER BY o_orderkey""",
 
     // the Delta layer under test must be RESULT-invisible: the oracle
     // recomputes the final state straight from raw orders

@@ -789,6 +789,46 @@ class DeltaWriteSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(100L))
   }
 
+  test("in-commit timestamps: monotonic clock in commitInfo, v7 feature protocol") {
+    import spark.implicits._
+    val table = tmpDir("dw-ict").resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, table,
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      properties = Map("delta.enableInCommitTimestamps" -> "true"))
+    DeltaWrite.append(spark, table, Seq((1L, "a")).toDF("id", "v"))   // v1
+    DeltaWrite.append(spark, table, Seq((2L, "b")).toDF("id", "v"))   // v2
+    DeltaWrite.delete(spark, table, "id = 1")                          // v3 (no config passed)
+    def ict(v: Long): Option[Long] = {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(table, "_delta_log", f"$v%020d.json")).get(0)
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+      Option(n.get("commitInfo")).flatMap(ci =>
+        Option(ci.get("inCommitTimestamp")).map(_.asLong()))
+    }
+    val stamps = (0L to 3L).map(v => ict(v).getOrElse(fail(s"v$v missing ICT")))
+    assert(stamps == stamps.sorted && stamps.distinct == stamps,
+      s"not strictly increasing: $stamps")
+    val proto = DeltaLog.snapshot(spark, table).protocol.get
+    assert(proto.minWriterVersion == 7 &&
+      proto.writerFeatures.contains("inCommitTimestamp"), proto.toString)
+    // the in-commit clock is authoritative for timestamp travel even when
+    // file mtimes lie (restore/copy): zero every mtime and travel to v1
+    val logDir = java.nio.file.Paths.get(table, "_delta_log")
+    java.nio.file.Files.list(logDir).forEach(p =>
+      p.toFile.setLastModified(1000L))
+    val atV1 = DeltaLog.read(spark, table,
+      timestampAsOf = Some(java.time.Instant.ofEpochMilli(stamps(1))))
+    assert(atV1.collect().map(_.getLong(0)).toSet == Set(1L))
+    // a table without the property never writes the field
+    val plain = tmpDir("dw-noict").resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, plain,
+      StructType(Seq(StructField("id", LongType))))
+    DeltaWrite.append(spark, plain, Seq(Tuple1(1L)).toDF("id"))
+    val line = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(plain, "_delta_log", f"${1L}%020d.json")).get(0)
+    assert(!line.contains("inCommitTimestamp"), line)
+  }
+
   test("identity columns: GENERATED ALWAYS assigns past the high-water mark") {
     import spark.implicits._
     val table = tmpDir("dw-identity").resolve("t").toString
