@@ -130,6 +130,45 @@ object DeltaLog {
 
   private val CommitRe = """(\d{20})\.json""".r
   private val CheckpointRe = """(\d{20})\.checkpoint(\..*)?\.parquet""".r
+  // v2 checkpoint manifests may be JSON (`<v>.checkpoint.<uuid>.json`);
+  // the parquet flavor already matches CheckpointRe
+  private val CheckpointJsonRe = """(\d{20})\.checkpoint\.[^.]+\.json""".r
+
+  /** The seeding checkpoint's actions as one DataFrame — the bridge that
+    * makes every checkpoint flavor look alike to the two consumers
+    * ([[metaReplay]]'s single-row metadata collects, [[addIndex]]'s
+    * distributed add reconcile):
+    *   - classic single-file and multi-part checkpoints (parquet);
+    *   - v2 checkpoints: a parquet OR newline-JSON manifest named
+    *     `<v>.checkpoint.<uuid>.{parquet,json}`, whose file actions may
+    *     live inline or in `sidecar` actions referencing parquet files
+    *     under `_delta_log/_sidecars/` (read only when `withSidecars` —
+    *     sidecars carry exclusively add/remove per the spec).
+    * Frames union by name with missing columns null-filled, so a
+    * sidecar-only manifest (no inline `add` column) still presents the
+    * full shape. The sidecar NAME list is a bounded driver collect (one
+    * short string per sidecar file, each covering thousands of adds);
+    * the adds themselves stay distributed.
+    */
+  private def checkpointActions(
+      spark: SparkSession, st: LogState, withSidecars: Boolean): DataFrame = {
+    val (jsonParts, parquetParts) = st.checkpointParts.partition(_.endsWith(".json"))
+    val frames = Seq.newBuilder[DataFrame]
+    if (parquetParts.nonEmpty) frames += spark.read.parquet(parquetParts: _*)
+    if (jsonParts.nonEmpty) frames += spark.read.json(jsonParts: _*)
+    var out = frames.result().reduce(_.unionByName(_, allowMissingColumns = true))
+    if (withSidecars && out.columns.contains("sidecar")) {
+      val sidecarNames = out.filter(col("sidecar.path").isNotNull)
+        .select(col("sidecar.path")).collect().map(_.getString(0))
+      if (sidecarNames.nonEmpty) {
+        val sidecarDir = new Path(logDir(st.table), "_sidecars")
+        val paths = sidecarNames.map(n => new Path(sidecarDir, n).toString)
+        out = out.unionByName(spark.read.parquet(paths: _*),
+          allowMissingColumns = true)
+      }
+    }
+    out
+  }
 
   /** Resolved `_delta_log` listing for one target version: which commits
     * and which checkpoint (if any) constitute the snapshot.
@@ -164,6 +203,7 @@ object DeltaLog {
     val allCheckpointVersions = entries.flatMap { st =>
       st.getPath.getName match {
         case CheckpointRe(v, _) => Some(v.toLong)
+        case CheckpointJsonRe(v) => Some(v.toLong)
         case _ => None
       }
     }.distinct.sorted
@@ -213,6 +253,7 @@ object DeltaLog {
     val checkpointParts = fromCheckpoint.map { cv =>
       entries.filter(_.getPath.getName match {
         case CheckpointRe(v, _) => v.toLong == cv
+        case CheckpointJsonRe(v) => v.toLong == cv
         case _ => false
       }).map(_.getPath.toString)
     }.getOrElse(Nil)
@@ -259,8 +300,9 @@ object DeltaLog {
     if (st.checkpointParts.nonEmpty) {
       // metadata rows only — the add actions are NOT collected here (see
       // addIndex); serializing the structs back to JSON funnels both log
-      // representations through one parser
-      val cp = spark.read.parquet(st.checkpointParts: _*)
+      // representations through one parser. Sidecars carry only file
+      // actions per the v2 spec, so they are not opened here.
+      val cp = checkpointActions(spark, st, withSidecars = false)
       val cols = cp.columns.toSet
       if (cols.contains("protocol"))
         cp.filter(col("protocol.minReaderVersion").isNotNull)
@@ -337,7 +379,7 @@ object DeltaLog {
     val emptyPv = map().cast(pvType)
 
     val fromCheckpoint: Option[DataFrame] = st.fromCheckpoint.map { cv =>
-      val cp = spark.read.parquet(st.checkpointParts: _*)
+      val cp = checkpointActions(spark, st, withSidecars = true)
       val addFields = cp.schema.find(_.name == "add")
         .map(_.dataType.asInstanceOf[StructType].fieldNames.toSet)
         .getOrElse(Set.empty[String])
@@ -488,13 +530,14 @@ object DeltaLog {
 
   /** Reader features this bridge actually implements. Anything else on a
     * table's protocol action makes reads REFUSE loudly — replaying a log
-    * whose semantics we don't understand (deletion vectors, v2
-    * checkpoints, …) would silently return wrong rows, which for a lake
-    * reader is strictly worse than an error.
+    * whose semantics we don't understand would silently return wrong
+    * rows, which for a lake reader is strictly worse than an error.
+    * v2Checkpoint admitted since r10 ([[checkpointActions]] reads both
+    * manifest flavors and expands sidecars).
     */
   private val supportedReaderFeatures: Set[String] =
     Set("columnMapping", "deletionVectors", "timestampNtz",
-      "vacuumProtocolCheck", "variantType-preview")
+      "vacuumProtocolCheck", "variantType-preview", "v2Checkpoint")
 
   private def requireReadable(tablePath: String, s: Snapshot): Unit = {
     s.protocol.foreach { p =>

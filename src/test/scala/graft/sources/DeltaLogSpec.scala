@@ -173,13 +173,14 @@ class DeltaLogSpec extends SparkSpec {
       p.minReaderVersion == 3 && p.readerFeatures.contains("deletionVectors")))
 
     // a feature we genuinely don't implement refuses loudly, naming it
+    // (v2Checkpoint moved to the supported set in r10)
     val bad = tmpDir("delta-proto-bad")
     dataFile(bad, "part=a/f1.parquet", Seq((1L, "one")))
     commit(bad, 0L, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
       metaLine, addLine("part=a/f1.parquet", "a")))
     val e = intercept[IllegalArgumentException](DeltaLog.read(spark, bad.toString))
-    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
+    assert(e.getMessage.contains("typeWidening"), e.getMessage)
 
     // legacy minReaderVersion 2 implies column mapping, which IS
     // implemented — a v2 table (here with mode none) reads fine
@@ -403,6 +404,81 @@ class DeltaLogSpec extends SparkSpec {
       """{"add":{"path":"f1.parquet","partitionValues":{"col-part":"a"},"size":1,"modificationTime":1,"dataChange":true}}"""))
     val e = intercept[IllegalArgumentException](DeltaLog.snapshot(spark, table.toString))
     assert(e.getMessage.contains("physicalName") && e.getMessage.contains("id"), e.getMessage)
+  }
+
+  test("v2 checkpoint: JSON manifest + parquet sidecars seed the snapshot") {
+    import spark.implicits._
+    import graft.destinations.DeltaWrite
+    val table = tmpDir("delta-v2cp").resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, table, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    DeltaWrite.append(spark, table, (1L to 10L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+    DeltaWrite.append(spark, table, (11L to 20L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+    DeltaWrite.append(spark, table, (21L to 30L).map(i => (i, s"c$i")).toDF("id", "v").coalesce(1))
+    val logDir = java.nio.file.Paths.get(table, "_delta_log")
+
+    // hand-build a v2 checkpoint at version 3: newline-JSON manifest with
+    // protocol/metaData/checkpointMetadata + two sidecar refs; the adds
+    // live ONLY in the sidecar parquet files under _sidecars/
+    val adds = DeltaLog.snapshot(spark, table).files
+    assert(adds.size == 3)
+    val sidecarDir = logDir.resolve("_sidecars")
+    java.nio.file.Files.createDirectories(sidecarDir)
+    def writeSidecar(name: String, slice: Seq[DeltaLog.AddFile]): Unit = {
+      val tmp = tmpDir("v2cp-side").resolve(name)
+      slice.toDF()
+        .select(org.apache.spark.sql.functions.struct(
+          col("path"), col("partitionValues"), col("size"),
+          col("modificationTime"), col("stats")).as("add"))
+        .repartition(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+      java.nio.file.Files.move(part, sidecarDir.resolve(name))
+    }
+    writeSidecar("s1.parquet", adds.take(2))
+    writeSidecar("s2.parquet", adds.drop(2))
+    val v0Lines = java.nio.file.Files.readAllLines(
+      logDir.resolve(f"${0L}%020d.json"))
+    val protoLine = v0Lines.stream.filter(_.contains("\"protocol\"")).findFirst().get()
+    val metaLine0 = v0Lines.stream.filter(_.contains("\"metaData\"")).findFirst().get()
+    val manifest = Seq(
+      protoLine, metaLine0,
+      """{"checkpointMetadata":{"version":3}}""",
+      """{"sidecar":{"path":"s1.parquet","sizeInBytes":1}}""",
+      """{"sidecar":{"path":"s2.parquet","sizeInBytes":1}}""")
+    java.nio.file.Files.write(
+      logDir.resolve(f"${3L}%020d.checkpoint.0aa1-b2.json"),
+      manifest.mkString("\n").getBytes("UTF-8"))
+
+    // metadata-cleanup the covered commits: only the v2 checkpoint can
+    // seed the snapshot now
+    (0L to 3L).foreach(v =>
+      java.nio.file.Files.delete(logDir.resolve(f"$v%020d.json")))
+    def ids() = DeltaLog.read(spark, table).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids() == (1L to 30L).toSet)
+    // stats survive through the sidecar: a range predicate prunes files
+    assert(DeltaLog.readWhere(spark, table, "id >= 25").collect()
+      .map(_.getLong(0)).toSet == (25L to 30L).toSet)
+    // the checkpoint-seeded table keeps accepting protocol commits
+    DeltaWrite.append(spark, table, Seq((31L, "d31")).toDF("id", "v"))
+    assert(ids() == (1L to 31L).toSet)
+    DeltaWrite.delete(spark, table, "id <= 5")
+    assert(ids() == (6L to 31L).toSet)
+
+    // a table that formally DECLARES the v2Checkpoint feature stays
+    // readable; writing refuses — this writer emits classic checkpoints,
+    // which the feature forbids, and ignoring that would corrupt the
+    // table for conforming readers
+    java.nio.file.Files.write(logDir.resolve(f"${6L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""")
+        .getBytes("UTF-8"))
+    assert(ids() == (6L to 31L).toSet)
+    val err = intercept[IllegalArgumentException](
+      DeltaWrite.append(spark, table, Seq((99L, "z")).toDF("id", "v")))
+    assert(err.getMessage.contains("v2Checkpoint"), err.getMessage)
   }
 
   test("non-Delta directories and unknown versions fail with clear errors") {
