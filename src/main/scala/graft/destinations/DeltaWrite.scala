@@ -263,6 +263,13 @@ object DeltaWrite {
     snap.configuration.get("delta.enableChangeDataFeed")
       .exists(_.equalsIgnoreCase("true"))
 
+  /** Whether the snapshot's config enables in-commit timestamps — the
+    * enablement bit config-less commits thread to [[commit]].
+    */
+  private def ictOn(snap: DeltaLog.Snapshot): Boolean =
+    snap.configuration.get("delta.enableInCommitTimestamps")
+      .exists(_.equalsIgnoreCase("true"))
+
   /** Write one commit's change rows (`table columns + _change_type`) as
     * `_change_data/` parquet and return the cdc descriptors for the commit.
     * Partitioned like the table so cdc readers prune the same way; no
@@ -275,20 +282,9 @@ object DeltaWrite {
   private def writeChangeData(
       spark: SparkSession, table: Path, snap: DeltaLog.Snapshot,
       changes: DataFrame): Seq[AddDescriptor] = {
-    import org.apache.spark.sql.functions.col
-    val mode = snap.columnMappingMode
-    val (phys, physParts) =
-      if (mode == "none") (changes, snap.partitionColumns)
-      else {
-        val present = changes.columns.toSet
-        val cols = snap.schema.fields.toIndexedSeq.filter(f => present(f.name)).map { f =>
-          col(f.name).cast(DeltaLog.physicalDataType(f.dataType))
-            .as(DeltaLog.physicalFieldName(f))
-        } :+ col("_change_type")
-        val byName = snap.schema.fields.map(f => f.name -> f).toMap
-        (changes.select(cols: _*),
-          snap.partitionColumns.map(c => DeltaLog.physicalFieldName(byName(c))))
-      }
+    val (phys, physParts) = toPhysical(changes, snap.schema,
+      snap.partitionColumns, snap.columnMappingMode,
+      passthrough = Seq("_change_type"))
     writeDataFiles(spark, table, phys, physParts,
       subdir = "_change_data", withStats = false)
   }
@@ -398,14 +394,15 @@ object DeltaWrite {
       df: DataFrame,
       schema: StructType,
       partCols: Seq[String],
-      mode: String): (DataFrame, Seq[String]) = {
+      mode: String,
+      passthrough: Seq[String] = Nil): (DataFrame, Seq[String]) = {
     if (mode == "none") return (df, partCols)
     import org.apache.spark.sql.functions.col
     val present = df.columns.toSet
     val cols = schema.fields.toIndexedSeq.filter(f => present(f.name)).map { f =>
       col(f.name).cast(DeltaLog.physicalDataType(f.dataType))
         .as(DeltaLog.physicalFieldName(f))
-    }
+    } ++ passthrough.map(col) // non-schema columns (cdc `_change_type`) verbatim
     val byName = schema.fields.map(f => f.name -> f).toMap
     (df.select(cols: _*), partCols.map(c => DeltaLog.physicalFieldName(byName(c))))
   }
@@ -442,11 +439,14 @@ object DeltaWrite {
       require(f.metadata.getLong("delta.identity.step") != 0L,
         s"identity column ${f.name} has step 0")
     }
-    // legacy writer floors: CHECK constraints need >= 3, change data feed
-    // >= 4, identity columns >= 6; column mapping implies (2, 5)
+    // legacy writer floors: CHECK constraints need >= 3, generated
+    // columns and change data feed >= 4, identity columns >= 6; column
+    // mapping implies (2, 5)
+    val hasGenerated =
+      schema.fields.exists(_.metadata.contains("delta.generationExpression"))
     val legacyWriter = Seq(2,
       if (properties.keys.exists(_.startsWith("delta.constraints."))) 3 else 2,
-      if (properties.get("delta.enableChangeDataFeed")
+      if (hasGenerated || properties.get("delta.enableChangeDataFeed")
         .exists(_.equalsIgnoreCase("true"))) 4 else 2,
       if (identityFields(schema).nonEmpty) 6 else 2).max
     val checkProto =
@@ -459,7 +459,11 @@ object DeltaWrite {
           properties ++ Map(
             "delta.columnMapping.mode" -> "name",
             "delta.columnMapping.maxColumnId" -> maxId.toString),
-          Some(DeltaLog.Protocol(2, 5)))
+          // the mapping floor (2, 5) must not DISCARD a higher legacy
+          // writer floor (identity needs 6): a mapped identity table at
+          // writer 5 would let conforming foreign writers append without
+          // honoring the high-water mark
+          Some(DeltaLog.Protocol(2, math.max(5, legacyWriter))))
       }
     // in-commit timestamps have no legacy writer version — they force a
     // feature-listed v7 protocol, which must then name EVERY feature the
@@ -475,6 +479,7 @@ object DeltaWrite {
           (if (properties.get("delta.enableChangeDataFeed")
             .exists(_.equalsIgnoreCase("true"))) Set("changeDataFeed")
           else Set.empty[String]) ++
+          (if (hasGenerated) Set("generatedColumns") else Set.empty[String]) ++
           (if (identityFields(schema).nonEmpty) Set("identityColumns")
           else Set.empty[String]) ++
           (if (wantMapping) Set("columnMapping") else Set.empty[String]) ++
@@ -740,7 +745,7 @@ object DeltaWrite {
       val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts)
       commit(spark, new Path(tablePath), snap.version + 1, "MERGE",
         withMeta = None, adds = adds, removes = touched.map(_.path),
-        cdcs = cdcs)
+        cdcs = cdcs, ictEnabled = ictOn(snap))
     } finally incoming.unpersist()
   }
 
@@ -823,7 +828,7 @@ object DeltaWrite {
     val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts)
     commit(spark, new Path(tablePath), snap.version + 1, "DELETE+WRITE",
       withMeta = None, adds = adds, removes = touched.map(_.path),
-      cdcs = cdcs)
+      cdcs = cdcs, ictEnabled = ictOn(snap))
   }
 
   /** DELETE rows matching `predicate` (SQL boolean over the table's
@@ -961,7 +966,7 @@ object DeltaWrite {
       commit(spark, table, snap.version + 1, "DELETE",
         withMeta = None, adds = adds,
         removes = (dead ++ marked).map(_._1.path),
-        protocolUpgrade = upgrade, cdcs = cdcs)
+        protocolUpgrade = upgrade, cdcs = cdcs, ictEnabled = ictOn(snap))
     } else {
       // copy-on-write: exact hit detection, rewrite only files with matches
       val cand = DeltaLog.readFiles(spark, tablePath, snap, candidates, withFilePath = true)
@@ -986,7 +991,7 @@ object DeltaWrite {
       val adds = writeDataFiles(spark, table, phys, physParts)
       commit(spark, table, snap.version + 1, "DELETE",
         withMeta = None, adds = adds, removes = touched.map(_.path),
-        cdcs = cdcs)
+        cdcs = cdcs, ictEnabled = ictOn(snap))
     }
   }
 
@@ -1158,7 +1163,8 @@ object DeltaWrite {
     val statsMap = computeStats(spark, table, adds0, dataSchema)
     val adds = adds0.map(a => a.copy(stats = statsMap.get(a.relPath)))
     commit(spark, table, snap.version + 1, "COMPUTE STATS",
-      withMeta = None, adds = adds, removes = Nil, dataChange = false)
+      withMeta = None, adds = adds, removes = Nil, dataChange = false,
+      ictEnabled = ictOn(snap))
     adds.count(_.stats.isDefined)
   }
 
@@ -1271,7 +1277,7 @@ object DeltaWrite {
     val adds = writeDataFiles(spark, table, phys, physParts)
     commit(spark, table, snap.version + 1, "OPTIMIZE",
       withMeta = None, adds = adds, removes = toCompact.map(_.path),
-      dataChange = false)
+      dataChange = false, ictEnabled = ictOn(snap))
   }
 
   /** RESTORE the table to an earlier version as a NEW commit (time travel
@@ -1800,28 +1806,34 @@ object DeltaWrite {
       dataChange: Boolean = true,
       protocolUpgrade: Option[DeltaLog.Protocol] = None,
       metaConfig: Map[String, String] = Map.empty,
-      cdcs: Seq[AddDescriptor] = Nil): Long = {
+      cdcs: Seq[AddDescriptor] = Nil,
+      ictEnabled: Boolean = false): Long = {
     val now = System.currentTimeMillis()
     val nonce = java.util.UUID.randomUUID().toString
     val lines = Seq.newBuilder[String]
 
     // in-commit timestamps: the authoritative monotonic clock lives in
-    // commitInfo (file mtimes lie after copies/restores). Enablement is
-    // read from the config riding THIS commit when one does (create /
-    // metadata / append paths pass the table config), else inherited from
-    // the previous commit's own field — so partial-rewrite commits that
-    // pass no config keep the chain. max(now, prev+1) per spec.
-    val ictEnabledHere = metaConfig.get("delta.enableInCommitTimestamps")
-      .exists(_.equalsIgnoreCase("true"))
-    lazy val prevIct: Option[Long] =
-      if (version == 0L) None
-      else prevInCommitTimestamp(spark, table, version - 1)
-    val ictEnabled =
-      if (version == 0L || metaConfig.nonEmpty) ictEnabledHere
-      else prevIct.isDefined
+    // commitInfo (file mtimes lie after copies/restores). Enablement comes
+    // from the config riding THIS commit when one does (create / metadata
+    // / append paths pass the table config) or from the caller's snapshot
+    // config (`ictEnabled` — partial-rewrite commits pass no config), so
+    // the chain NEVER depends on the previous commit file's survival
+    // (checkpoint cleanup may remove it). The previous commit is read
+    // only on ICT tables, for monotonicity: max(now, prev+1) per spec;
+    // when cleanup removed it, `now` is the best available clock.
+    val enabled =
+      if (version == 0L || metaConfig.nonEmpty)
+        metaConfig.get("delta.enableInCommitTimestamps")
+          .exists(_.equalsIgnoreCase("true"))
+      else ictEnabled
     val ict: Option[Long] =
-      if (!ictEnabled) None
-      else Some(math.max(now, prevIct.map(_ + 1L).getOrElse(now)))
+      if (!enabled) None
+      else {
+        val prev =
+          if (version == 0L) None
+          else prevInCommitTimestamp(spark, table, version - 1)
+        Some(math.max(now, prev.map(_ + 1L).getOrElse(now)))
+      }
 
     val ci = mapper.createObjectNode()
     val info = ci.putObject("commitInfo")

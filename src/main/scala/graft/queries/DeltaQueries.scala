@@ -177,8 +177,9 @@ private[graft] object DeltaQueries {
         java.nio.file.Paths.get(tbl, "_delta_log", f"${1L}%020d.json")).get(0)
       val ict = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(v1Line).get("commitInfo").get("inCommitTimestamp").asLong()
-      java.nio.file.Files.list(java.nio.file.Paths.get(tbl, "_delta_log"))
-        .forEach(p => { p.toFile.setLastModified(1000L); () })
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(tbl, "_delta_log"))
+      try listing.forEach(p => { p.toFile.setLastModified(1000L); () })
+      finally listing.close()
       graft.sources.DeltaLog.read(s, tbl,
           timestampAsOf = Some(java.time.Instant.ofEpochMilli(ict)))
         .orderBy(col("o_orderkey"))

@@ -154,8 +154,8 @@ object DeltaLog {
       spark: SparkSession, st: LogState, withSidecars: Boolean): DataFrame = {
     val (jsonParts, parquetParts) = st.checkpointParts.partition(_.endsWith(".json"))
     val frames = Seq.newBuilder[DataFrame]
-    if (parquetParts.nonEmpty) frames += spark.read.parquet(parquetParts: _*)
-    if (jsonParts.nonEmpty) frames += spark.read.json(jsonParts: _*)
+    if (parquetParts.nonEmpty) frames += normalizedAdd(spark.read.parquet(parquetParts: _*))
+    if (jsonParts.nonEmpty) frames += normalizedAdd(spark.read.json(jsonParts: _*))
     var out = frames.result().reduce(_.unionByName(_, allowMissingColumns = true))
     if (withSidecars && out.columns.contains("sidecar")) {
       val sidecarNames = out.filter(col("sidecar.path").isNotNull)
@@ -163,11 +163,68 @@ object DeltaLog {
       if (sidecarNames.nonEmpty) {
         val sidecarDir = new Path(logDir(st.table), "_sidecars")
         val paths = sidecarNames.map(n => new Path(sidecarDir, n).toString)
-        out = out.unionByName(spark.read.parquet(paths: _*),
+        out = out.unionByName(normalizedAdd(spark.read.parquet(paths: _*)),
           allowMissingColumns = true)
       }
     }
     out
+  }
+
+  private lazy val canonicalAddType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("partitionValues", MapType(StringType, StringType)),
+    StructField("size", LongType),
+    StructField("modificationTime", LongType),
+    StructField("stats", StringType),
+    StructField("deletionVector", dvStructType)))
+
+  /** Rewrite a checkpoint frame's `add` column to ONE canonical struct so
+    * every source shape feeds [[addIndex]] identically and mixed flavors
+    * union: JSON-inferred manifests spell `partitionValues` as a STRUCT
+    * (JSON objects with dynamic keys infer that way, and struct→map is
+    * not a legal cast) and may order/omit `deletionVector` fields
+    * differently than parquet. Field access is BY NAME (a positional
+    * struct cast would mis-assign reordered fields); absent fields
+    * null-fill; null adds/DVs stay null (a DV struct of nulls would
+    * to_json to "{}" downstream).
+    */
+  private def normalizedAdd(df: DataFrame): DataFrame = {
+    val addType = df.schema.find(_.name == "add").map(_.dataType) match {
+      case Some(s: StructType) => s
+      case _ => return df
+    }
+    def has(n: String) = addType.fieldNames.contains(n)
+    def sub(n: String, dt: DataType): org.apache.spark.sql.Column =
+      if (has(n)) col(s"add.$n").cast(dt) else lit(null).cast(dt)
+    val pv =
+      if (!has("partitionValues")) lit(null).cast(pvType)
+      else addType("partitionValues").dataType match {
+        case _: MapType => col("add.partitionValues").cast(pvType)
+        case _: StructType =>
+          from_json(to_json(col("add.partitionValues")), pvType)
+        case _ => lit(null).cast(pvType)
+      }
+    val dv =
+      if (!has("deletionVector")) lit(null).cast(dvStructType)
+      else addType("deletionVector").dataType match {
+        case dvSt: StructType =>
+          when(col("add.deletionVector").isNotNull,
+            struct(dvStructType.fields.toIndexedSeq.map { f =>
+              (if (dvSt.fieldNames.contains(f.name))
+                col(s"add.deletionVector.${f.name}").cast(f.dataType)
+              else lit(null).cast(f.dataType)).as(f.name)
+            }: _*))
+        case _ => lit(null).cast(dvStructType)
+      }
+    df.withColumn("add",
+      when(col("add.path").isNotNull, struct(
+        sub("path", StringType).as("path"),
+        pv.as("partitionValues"),
+        sub("size", LongType).as("size"),
+        sub("modificationTime", LongType).as("modificationTime"),
+        sub("stats", StringType).as("stats"),
+        dv.as("deletionVector")))
+        .otherwise(lit(null).cast(canonicalAddType)))
   }
 
   /** Resolved `_delta_log` listing for one target version: which commits

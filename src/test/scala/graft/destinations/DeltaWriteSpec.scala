@@ -814,8 +814,9 @@ class DeltaWriteSpec extends SparkSpec {
     // the in-commit clock is authoritative for timestamp travel even when
     // file mtimes lie (restore/copy): zero every mtime and travel to v1
     val logDir = java.nio.file.Paths.get(table, "_delta_log")
-    java.nio.file.Files.list(logDir).forEach(p =>
-      p.toFile.setLastModified(1000L))
+    val listing = java.nio.file.Files.list(logDir)
+    try listing.forEach(p => p.toFile.setLastModified(1000L))
+    finally listing.close()
     val atV1 = DeltaLog.read(spark, table,
       timestampAsOf = Some(java.time.Instant.ofEpochMilli(stamps(1))))
     assert(atV1.collect().map(_.getLong(0)).toSet == Set(1L))

@@ -432,8 +432,11 @@ class DeltaLogSpec extends SparkSpec {
           col("path"), col("partitionValues"), col("size"),
           col("modificationTime"), col("stats")).as("add"))
         .repartition(1).write.parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+      val listing = java.nio.file.Files.list(tmp)
+      val part =
+        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().get()
+        finally listing.close()
       java.nio.file.Files.move(part, sidecarDir.resolve(name))
     }
     writeSidecar("s1.parquet", adds.take(2))
@@ -479,6 +482,33 @@ class DeltaLogSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException](
       DeltaWrite.append(spark, table, Seq((99L, "z")).toDF("id", "v")))
     assert(err.getMessage.contains("v2Checkpoint"), err.getMessage)
+  }
+
+  test("v2 checkpoint: JSON manifest with INLINE adds on a partitioned table") {
+    // spec-legal alternative to sidecars: the NDJSON manifest itself
+    // carries the add actions. JSON inference spells partitionValues as a
+    // STRUCT (dynamic-key objects infer that way), which the reader must
+    // normalize to the map shape — round-10 review: struct→map is not a
+    // legal cast and this shape crashed addIndex
+    val table = tmpDir("delta-v2cp-inline")
+    dataFile(table, "part=a/f1.parquet", Seq((1L, "one")))
+    dataFile(table, "part=b/f2.parquet", Seq((2L, "two")))
+    commit(table, 0L, Seq(metaLine,
+      addLine("part=a/f1.parquet", "a"), addLine("part=b/f2.parquet", "b")))
+    val logDir = table.resolve("_delta_log")
+    val manifest = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine,
+      """{"checkpointMetadata":{"version":0}}""",
+      addLine("part=a/f1.parquet", "a"),
+      addLine("part=b/f2.parquet", "b"))
+    java.nio.file.Files.write(
+      logDir.resolve(f"${0L}%020d.checkpoint.11ab-cd.json"),
+      manifest.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.delete(logDir.resolve(f"${0L}%020d.json"))
+    val got = DeltaLog.read(spark, table.toString)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == Set((1L, "a"), (2L, "b")), got.toString)
   }
 
   test("non-Delta directories and unknown versions fail with clear errors") {
