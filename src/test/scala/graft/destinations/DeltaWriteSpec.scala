@@ -830,6 +830,43 @@ class DeltaWriteSpec extends SparkSpec {
     assert(!line.contains("inCommitTimestamp"), line)
   }
 
+  test("feature matrix: identity + mapping + CDF + ICT compose in one table") {
+    import spark.implicits._
+    val table = tmpDir("dw-matrix").resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, table, StructType(Seq(
+      DeltaWrite.identityField("row_id"),
+      StructField("k", LongType), StructField("v", StringType))),
+      properties = Map(
+        "delta.enableChangeDataFeed" -> "true",
+        "delta.enableInCommitTimestamps" -> "true"),
+      columnMapping = true)
+    val proto = DeltaLog.snapshot(spark, table).protocol.get
+    assert(proto.minReaderVersion == 2 && proto.minWriterVersion == 7)
+    assert(Set("inCommitTimestamp", "identityColumns", "changeDataFeed",
+      "columnMapping").subsetOf(proto.writerFeatures), proto.toString)
+    DeltaWrite.append(spark, table,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)) // row_id 1, 2
+    DeltaWrite.delete(spark, table, "k = 1")
+    val rows = DeltaLog.read(spark, table)
+      .select("row_id", "k", "v").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set((2L, 2L, "b")), rows.toString)
+    // the change stream works on the mapped identity table, and every
+    // commit carries a strictly increasing in-commit clock
+    val cdf = DeltaLog.readCdf(spark, table, 0L)
+      .select("row_id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(cdf == Set((1L, "insert", 1L), (2L, "insert", 1L),
+      (1L, "delete", 2L)), cdf.toString)
+    val stamps = (0L to 2L).map { v =>
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(table, "_delta_log", f"$v%020d.json")).get(0)
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+        .get("commitInfo").get("inCommitTimestamp").asLong()
+    }
+    assert(stamps == stamps.sorted && stamps.distinct == stamps, stamps.toString)
+  }
+
   test("identity columns: GENERATED ALWAYS assigns past the high-water mark") {
     import spark.implicits._
     val table = tmpDir("dw-identity").resolve("t").toString
