@@ -59,6 +59,48 @@ private[graft] object StreamingQueries {
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 
+    // Stream-stream FULL OUTER join, gated (r10 — completes the join-type
+    // matrix): BOTH sides' unmatched rows may only emit once the
+    // watermark finalizes them, so the final table must equal the batch
+    // FULL JOIN exactly. Same sentinel machinery as q121; null join
+    // columns surface on whichever side missed, and the oracle pins the
+    // cross-engine null sort order explicitly.
+    "q133_stream_full_outer" -> ((s, dir) => withStatePartitions(s, 8) {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      def sentinel(uid: Long, plusDays: Int) = ev
+        .agg(max(col("ts")).as("m"))
+        .select(lit(-uid * 1000 - plusDays).as("event_id"), lit(uid).as("user_id"),
+          (col("m") + expr(s"INTERVAL $plusDays DAYS")).as("ts"))
+      val replay = cachedReplay(s"q133-$dir") { rd =>
+        writeReplay(clicks, "ts", rd.resolve("l"), n = 2)
+        writeReplay(purchases, "ts", rd.resolve("r"), n = 2)
+        Seq(60, 120).zipWithIndex.foreach { case (d, i) =>
+          appendReplayFile(sentinel(-21L - i, d), rd.resolve("l"), 100 + i)
+          appendReplayFile(sentinel(-31L - i, d), rd.resolve("r"), 100 + i)
+        }
+      }
+      val l = Streams.fileSource(s, replay.resolve("l").toString, clicks.schema,
+        maxFilesPerTrigger = Some(1))
+      val r = Streams.fileSource(s, replay.resolve("r").toString, purchases.schema,
+        maxFilesPerTrigger = Some(1))
+      val joined = Streams.joinedStreams(l, r, key = "user_id", ts = "ts",
+        within = "30 minutes", joinType = "full_outer", watermark = "1 hour")
+      Streams.runToMemory(joined,
+        s"q133_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+        OutputMode.Append())
+        .filter(coalesce(col("l_user_id"), col("r_user_id")) >= 0)
+        .select(col("l_event_id").as("click_id"),
+          coalesce(col("l_user_id"), col("r_user_id")).as("user_id"),
+          col("r_event_id").as("purchase_id"))
+        .orderBy(col("click_id").asc_nulls_first, col("purchase_id").asc_nulls_first)
+    }),
+
+
     // Stream-stream LEFT OUTER join, gated — the subtler half of the join
     // state machine: an unmatched click may only emit (with nulls on the
     // right) once the watermark PROVES no purchase can still arrive.
@@ -220,6 +262,15 @@ private[graft] object StreamingQueries {
            ON c.user_id = p.user_id
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
          ORDER BY click_id, purchase_id""",
+    "q133_stream_full_outer" ->
+      """SELECT c.event_id AS click_id,
+                coalesce(c.user_id, p.user_id) AS user_id,
+                p.event_id AS purchase_id
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""",
     "q122_stream_window" ->
       """SELECT date_trunc('day', ts) AS window_start, event_type,
                 count(*) AS n_events

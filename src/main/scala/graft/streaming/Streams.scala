@@ -118,8 +118,8 @@ object Streams {
       within: String = "10 minutes",
       joinType: String = "inner",
       watermark: String = "10 minutes"): DataFrame = {
-    require(Seq("inner", "left_outer").contains(joinType),
-      s"joinType must be inner or left_outer, got $joinType")
+    require(Seq("inner", "left_outer", "right_outer", "full_outer").contains(joinType),
+      s"joinType must be inner/left_outer/right_outer/full_outer, got $joinType")
     val l = left.withWatermark(ts, watermark)
       .select(left.columns.map(c => col(c).as(s"l_$c")).toIndexedSeq: _*)
     val r = right.withWatermark(ts, watermark)
