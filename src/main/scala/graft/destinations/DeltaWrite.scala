@@ -188,8 +188,20 @@ object DeltaWrite {
         s"identity column ${f.name} is GENERATED ALWAYS; explicit values " +
           "are not allowed (declare it GENERATED BY DEFAULT to permit them)")
     }
-    var out = df
     var cleanup = noop
+    // When the frame SUPPLIES explicit identity values, the extremum
+    // aggregate below and the later data write are two evaluations of the
+    // same frame — for a nondeterministic source (sample, rand filter) the
+    // written values could exceed the recorded mark. Persist first so both
+    // observe the same rows (the same hazard the generated path guards
+    // against with its RDD-level persist).
+    val stable =
+      if (explicit.nonEmpty) {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cleanup = () => { p.unpersist(blocking = false); () }
+        p
+      } else df
+    var out = stable
     val newMarks = scala.collection.mutable.Map.empty[String, Long]
     if (missing.nonEmpty) {
       // zipWithIndex by hand: the per-partition counting job (bounded
@@ -205,9 +217,17 @@ object DeltaWrite {
       // see the SAME rows in the same partitions — re-evaluating a
       // nondeterministic frame (sample, rand-filter, changed source)
       // between the two would durably write colliding or gapped values.
-      // The caller unpersists after its commit.
-      val src = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cleanup = () => { src.unpersist(blocking = false); () }
+      // The caller unpersists after its commit. (When `stable` is already
+      // DataFrame-persisted for the explicit path, its rdd reads the same
+      // cached blocks — no second copy.)
+      val src =
+        if (explicit.nonEmpty) stable.rdd
+        else {
+          val r = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val prev = cleanup
+          cleanup = () => { r.unpersist(blocking = false); prev() }
+          r
+        }
       val counts = src.mapPartitionsWithIndex { case (pid, it) =>
         Iterator((pid, it.size.toLong))
       }.collect().sortBy(_._1).map(_._2)
@@ -231,7 +251,7 @@ object DeltaWrite {
         val c = col(f.name).cast("long")
         (if (step(f) > 0) smax(c) else smin(c)).as(f.name)
       }
-      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val r = stable.agg(aggs.head, aggs.tail: _*).head()
       explicit.zipWithIndex.foreach { case (f, j) =>
         if (!r.isNullAt(j)) {
           val ext = r.getLong(j)
@@ -1342,13 +1362,86 @@ object DeltaWrite {
       DeltaLog.decodePath(a.path),
       a.partitionValues.toSeq.sortBy(_._1).map { case (k, v) => k -> Option(v) },
       a.size, a.modificationTime, a.stats, a.deletionVector))
+    // re-emit metaData when ANYTHING the metaData action carries changed —
+    // schema, partitioning, or configuration. Config matters for the ICT
+    // chain: restoring an ICT-enabled table to a pre-enablement version
+    // must COMMIT the disablement (a metaData action without the flag) in
+    // the same commit that stops writing inCommitTimestamp, or readers see
+    // an enabled table whose newest commit has no in-commit clock.
     val meta =
-      if (target.schema != cur.schema || target.partitionColumns != cur.partitionColumns)
+      if (target.schema != cur.schema ||
+          target.partitionColumns != cur.partitionColumns ||
+          target.configuration != cur.configuration)
         Some((target.schema, target.partitionColumns))
       else None
     val v = commit(spark, table, cur.version + 1, "RESTORE",
       withMeta = meta, adds = adds, removes = removes,
       metaConfig = target.configuration)
+    maybeCheckpoint(spark, tablePath, v)
+    v
+  }
+
+  /** Writer features a legacy (< 7) protocol version implies — the public
+    * PROTOCOL.md mapping used when a legacy protocol must convert to a
+    * feature-listed v7 (which names EVERY capability explicitly).
+    */
+  private def impliedWriterFeatures(p: DeltaLog.Protocol): Set[String] =
+    if (p.minWriterVersion >= 7) p.writerFeatures
+    else Seq(
+      2 -> Set("appendOnly", "invariants"),
+      3 -> Set("checkConstraints"),
+      4 -> Set("changeDataFeed", "generatedColumns"),
+      5 -> Set("columnMapping"),
+      6 -> Set("identityColumns")
+    ).collect { case (v, fs) if v <= p.minWriterVersion => fs }.flatten.toSet
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES as a new commit: re-emits the
+    * metaData action with the updated configuration — schema, partitioning
+    * and data untouched. Upgrades the protocol when a newly-set property
+    * demands a capability the current protocol does not declare:
+    * `delta.enableInCommitTimestamps` has no legacy writer version, so it
+    * converts the protocol to feature-listed v7 carrying every implied
+    * legacy feature plus the new one; CDF / CHECK constraints raise the
+    * legacy writer floor (4 / 3) or join the feature list on v7 tables.
+    * `delta.columnMapping.mode` cannot change this way (mapping assignment
+    * is a schema rewrite, not a property flip). Returns the new version
+    * (current version when nothing changes).
+    */
+  def setProperties(
+      spark: SparkSession,
+      tablePath: String,
+      set: Map[String, String],
+      unset: Seq[String] = Nil): Long = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    requireWritable(tablePath, snap, "setProperties", removesData = false)
+    val newCfg = snap.configuration -- unset ++ set
+    if (newCfg == snap.configuration) return snap.version
+    require(newCfg.getOrElse("delta.columnMapping.mode", "none") ==
+        snap.columnMappingMode,
+      "delta.columnMapping.mode cannot be changed via setProperties; " +
+        "column mapping is assigned at table creation")
+    def on(cfg: Map[String, String], k: String) =
+      cfg.get(k).exists(_.equalsIgnoreCase("true"))
+    val need = Set.newBuilder[String]
+    if (on(newCfg, "delta.enableInCommitTimestamps")) need += "inCommitTimestamp"
+    if (on(newCfg, "delta.enableChangeDataFeed")) need += "changeDataFeed"
+    if (newCfg.keys.exists(_.startsWith("delta.constraints.")))
+      need += "checkConstraints"
+    val cur = snap.protocol.getOrElse(DeltaLog.Protocol(1, 2))
+    val curFeats = impliedWriterFeatures(cur)
+    val missing = need.result() -- curFeats
+    val proto: Option[DeltaLog.Protocol] =
+      if (missing.isEmpty) None
+      else if (cur.minWriterVersion >= 7 || missing.contains("inCommitTimestamp"))
+        Some(DeltaLog.Protocol(cur.minReaderVersion, 7, cur.readerFeatures,
+          curFeats ++ missing))
+      else Some(cur.copy(minWriterVersion = (Seq(cur.minWriterVersion) ++
+        (if (missing.contains("checkConstraints")) Seq(3) else Nil) ++
+        (if (missing.contains("changeDataFeed")) Seq(4) else Nil)).max))
+    val v = commit(spark, new Path(tablePath), snap.version + 1,
+      "SET TBLPROPERTIES", withMeta = Some((snap.schema, snap.partitionColumns)),
+      adds = Nil, removes = Nil, dataChange = false, protocolUpgrade = proto,
+      metaConfig = newCfg)
     maybeCheckpoint(spark, tablePath, v)
     v
   }

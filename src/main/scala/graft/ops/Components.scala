@@ -77,8 +77,11 @@ object Components {
       // materialized — without this, a long contraction holds EVERY
       // round's edge set in the block manager and strangles task memory
       // on small heaps (2g soak OOM, round 10); with it, storage is
-      // bounded by two rounds at any iteration count
-      e.unpersist(blocking = false)
+      // bounded by two rounds at any iteration count. Dataset.unpersist
+      // only drops CacheManager entries, NOT the RDD blocks localCheckpoint
+      // creates — free those at the RDD level, via the LogicalRDD node the
+      // checkpoint left behind (safe: `e` is never evaluated again).
+      uncheckpoint(e)
       converged = nextSig == sig
       sig = nextSig
       e = next
@@ -89,6 +92,21 @@ object Components {
       .unionAll(
         e.select(col("v").as("node"), col("v").as("component")).distinct())
   }
+
+  /** Drops the block-manager storage of a `localCheckpoint`ed Dataset.
+    * `Dataset.unpersist` routes to `CacheManager.uncacheQuery`, which only
+    * removes `persist()`/`cache()` entries — the RDD-level blocks a local
+    * checkpoint pins stay cached until the ContextCleaner GCs the handle.
+    * The checkpointed Dataset's analyzed plan is a single [[LogicalRDD]]
+    * leaf; unpersist that RDD directly. The Dataset must not be evaluated
+    * afterwards (its checkpoint data is gone).
+    */
+  private def uncheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Large-star: for each node u, connect every LARGER neighbor to
     * m = min(Γ(u) ∪ {u}). Emitted edges (v, m) keep the (big, small)

@@ -1181,4 +1181,81 @@ class DeltaWriteSpec extends SparkSpec {
     val back = DeltaLog.read(spark, table.toString).orderBy("id").collect()
     assert(back.map(_.getString(1)).toSeq == Seq("x y", "a+b"))
   }
+
+  test("setProperties flips config mid-life; restore across the ICT boundary re-commits the config") {
+    import spark.implicits._
+    val table = tmpDir("dw-setprops")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, table.toString, schema)           // v0, no ICT
+    DeltaWrite.append(spark, table.toString, Seq((1L, "a")).toDF("id", "v")) // v1
+    def ictOf(v: Long): Option[Long] =
+      action(logLines(table, v), "commitInfo")
+        .flatMap(ci => Option(ci.get("inCommitTimestamp")).map(_.asLong())).headOption
+
+    // enable ICT mid-life: metaData + feature-listed v7 protocol carrying
+    // the legacy-implied features, and the enablement commit itself stamps
+    val v2 = DeltaWrite.setProperties(spark, table.toString,
+      Map("delta.enableInCommitTimestamps" -> "true"))
+    assert(v2 == 2L)
+    val proto = DeltaLog.snapshot(spark, table.toString).protocol.get
+    assert(proto.minWriterVersion == 7 &&
+      Set("inCommitTimestamp", "appendOnly", "invariants")
+        .subsetOf(proto.writerFeatures), proto.toString)
+    assert(ictOf(2L).nonEmpty, "enablement commit must carry the in-commit clock")
+    DeltaWrite.append(spark, table.toString, Seq((2L, "b")).toDF("id", "v")) // v3
+    assert(ictOf(3L).nonEmpty)
+
+    // a no-op property set commits nothing
+    assert(DeltaWrite.setProperties(spark, table.toString,
+      Map("delta.enableInCommitTimestamps" -> "true")) == 3L)
+
+    // restore to the PRE-enablement version: the config change must be
+    // COMMITTED (metaData without the flag) in the same commit that stops
+    // stamping, or readers see an enabled table with no in-commit clock
+    val v4 = DeltaWrite.restore(spark, table.toString, 1L)
+    assert(v4 == 4L)
+    val metas = action(logLines(table, 4L), "metaData")
+    assert(metas.nonEmpty, "restore across a config change must re-emit metaData")
+    assert(Option(metas.head.get("configuration")
+      .get("delta.enableInCommitTimestamps")).isEmpty, metas.head.toString)
+    assert(ictOf(4L).isEmpty, "post-restore commit must not stamp ICT")
+    assert(!DeltaLog.snapshot(spark, table.toString).configuration
+      .contains("delta.enableInCommitTimestamps"))
+    DeltaWrite.append(spark, table.toString, Seq((5L, "e")).toDF("id", "v")) // v5
+    assert(ictOf(5L).isEmpty)
+
+    // restore FORWARD over the boundary: ICT re-enables atomically
+    val v6 = DeltaWrite.restore(spark, table.toString, 3L)
+    assert(ictOf(v6).nonEmpty, "restoring to an ICT version must resume stamping")
+    assert(DeltaLog.read(spark, table.toString).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    // column-mapping mode cannot flip via properties
+    val e = intercept[IllegalArgumentException](DeltaWrite.setProperties(
+      spark, table.toString, Map("delta.columnMapping.mode" -> "name")))
+    assert(e.getMessage.contains("columnMapping"))
+  }
+
+  test("explicit identity values: high-water mark and written rows observe the same evaluation") {
+    import spark.implicits._
+    val table = tmpDir("dw-ident-nondet")
+    DeltaWrite.createIfAbsent(spark, table.toString, StructType(Seq(
+      DeltaWrite.identityField("id", allowExplicitInsert = true),
+      StructField("v", LongType))))
+    // a NONDETERMINISTIC source: re-evaluating between the extremum
+    // aggregate and the data write would let written ids exceed (or trail)
+    // the recorded mark — the persist-before-agg contract pins them equal
+    val df = spark.range(0, 2000, 1, 8)
+      .withColumn("id", (rand() * 1000000L).cast("long"))
+      .where(rand() < 0.5)
+      .select(col("id"), col("id").as("v"))
+    DeltaWrite.append(spark, table.toString, df)
+    val snap = DeltaLog.snapshot(spark, table.toString)
+    val hwm = snap.schema("id").metadata.getLong("delta.identity.highWaterMark")
+    val written = DeltaLog.read(spark, table.toString)
+      .agg(max("id")).head().getLong(0)
+    assert(hwm == written,
+      s"recorded mark $hwm must equal the written extremum $written")
+  }
 }

@@ -73,4 +73,20 @@ class ComponentsSpec extends SparkSpec {
     val got = labels(edges)
     assert(got.size == 64 && got.values.forall(_ == 0L))
   }
+
+  test("connectedComponents: per-round checkpoint blocks are freed, not accumulated") {
+    // Dataset.unpersist is a no-op for localCheckpoint blocks (it only
+    // clears CacheManager entries) — the contraction loop must free each
+    // superseded round at the RDD level or a long run holds every round's
+    // edge set in the block manager. A 64-node path takes several rounds;
+    // after the run at most the final round (+ its predecessor, freed
+    // non-blocking) may still be registered.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val edges = (0L until 63L).map(i => (i + 1, i))
+    labels(edges)
+    val leftover = sc.getPersistentRDDs.keySet -- before
+    assert(leftover.size <= 2,
+      s"${leftover.size} checkpoint RDDs still registered after convergence")
+  }
 }
