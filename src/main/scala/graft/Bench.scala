@@ -68,7 +68,9 @@ object Bench {
   private[graft] val r10New = Set("q128_ann_recall", "q129_delta_identity",
     "q130_webp_decode", "q131_delta_cdf_mapped", "q132_delta_ict",
     "q133_stream_full_outer")
-  private[graft] val laterRounds = Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New)
+  // queries added in round 11
+  private[graft] val r11New = Set("q134_delta_v2cp")
+  private[graft] val laterRounds = Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New, r11New)
   private def newer(from: Int)(k: String): Boolean =
     laterRounds.drop(from).exists(_(k))
   // ------------------------------------------------------------------------

@@ -66,7 +66,7 @@ object DeltaWrite {
     Set("appendOnly", "invariants", "checkConstraints", "generatedColumns",
       "changeDataFeed", "timestampNtz", "vacuumProtocolCheck",
       "variantType-preview", "deletionVectors", "columnMapping",
-      "identityColumns", "inCommitTimestamp")
+      "identityColumns", "inCommitTimestamp", "v2Checkpoint")
 
   /** Refuse to commit to tables whose protocol demands semantics we don't
     * implement — a commit that ignores row tracking, CDF, or a CHECK
@@ -485,15 +485,20 @@ object DeltaWrite {
           // honoring the high-water mark
           Some(DeltaLog.Protocol(2, math.max(5, legacyWriter))))
       }
-    // in-commit timestamps have no legacy writer version — they force a
-    // feature-listed v7 protocol, which must then name EVERY feature the
-    // table relies on (v7 implies nothing)
+    // in-commit timestamps and the v2 checkpoint policy have no legacy
+    // writer version — they force a feature-listed v7 protocol, which must
+    // then name EVERY feature the table relies on (v7 implies nothing).
+    // v2Checkpoint is ALSO a reader feature: minReaderVersion 3 naming it
+    // (and every other reader-relevant feature) explicitly.
     val wantIct = properties.get("delta.enableInCommitTimestamps")
       .exists(_.equalsIgnoreCase("true"))
+    val wantV2Cp = properties.get("delta.checkpointPolicy").contains("v2")
     val proto =
-      if (!wantIct) proto0
+      if (!wantIct && !wantV2Cp) proto0
       else {
-        val feats = Set("inCommitTimestamp", "invariants") ++
+        val feats = Set("invariants") ++
+          (if (wantIct) Set("inCommitTimestamp") else Set.empty[String]) ++
+          (if (wantV2Cp) Set("v2Checkpoint") else Set.empty[String]) ++
           (if (properties.keys.exists(_.startsWith("delta.constraints.")))
             Set("checkConstraints") else Set.empty[String]) ++
           (if (properties.get("delta.enableChangeDataFeed")
@@ -505,8 +510,13 @@ object DeltaWrite {
           (if (wantMapping) Set("columnMapping") else Set.empty[String]) ++
           (if (properties.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
             Set("appendOnly") else Set.empty[String])
-        Some(DeltaLog.Protocol(if (wantMapping) 2 else 1, 7,
-          writerFeatures = feats))
+        val readerV = if (wantV2Cp) 3 else if (wantMapping) 2 else 1
+        val readerFeats =
+          if (readerV < 3) Set.empty[String]
+          else Set("v2Checkpoint") ++
+            (if (wantMapping) Set("columnMapping") else Set.empty[String])
+        Some(DeltaLog.Protocol(readerV, 7,
+          readerFeatures = readerFeats, writerFeatures = feats))
       }
     commit(spark, new Path(tablePath), 0L, "CREATE TABLE",
       withMeta = Some((outSchema, partitionBy)), adds = Nil, removes = Nil,
@@ -1427,15 +1437,28 @@ object DeltaWrite {
     if (on(newCfg, "delta.enableChangeDataFeed")) need += "changeDataFeed"
     if (newCfg.keys.exists(_.startsWith("delta.constraints.")))
       need += "checkConstraints"
+    val wantV2Cp = newCfg.get("delta.checkpointPolicy").contains("v2")
+    if (wantV2Cp) need += "v2Checkpoint"
     val cur = snap.protocol.getOrElse(DeltaLog.Protocol(1, 2))
     val curFeats = impliedWriterFeatures(cur)
     val missing = need.result() -- curFeats
+    // v2Checkpoint is also a READER feature: raising minReaderVersion to 3
+    // requires naming every reader-relevant feature explicitly
+    val readerUp: Option[(Int, Set[String])] =
+      if (!wantV2Cp || (cur.minReaderVersion >= 3 &&
+          cur.readerFeatures.contains("v2Checkpoint"))) None
+      else Some((3, cur.readerFeatures ++ Set("v2Checkpoint") ++
+        (if (snap.columnMappingMode == "name") Set("columnMapping")
+        else Set.empty[String]) ++
+        (if (on(newCfg, "delta.enableDeletionVectors"))
+          Set("deletionVectors") else Set.empty[String])))
     val proto: Option[DeltaLog.Protocol] =
-      if (missing.isEmpty) None
-      else if (cur.minWriterVersion >= 7 || missing.contains("inCommitTimestamp"))
-        Some(DeltaLog.Protocol(cur.minReaderVersion, 7, cur.readerFeatures,
-          curFeats ++ missing))
-      else Some(cur.copy(minWriterVersion = (Seq(cur.minWriterVersion) ++
+      if (missing.isEmpty && readerUp.isEmpty) None
+      else if (cur.minWriterVersion >= 7 || missing.contains("inCommitTimestamp") ||
+          missing.contains("v2Checkpoint")) {
+        val (rv, rf) = readerUp.getOrElse((cur.minReaderVersion, cur.readerFeatures))
+        Some(DeltaLog.Protocol(rv, 7, rf, curFeats ++ missing))
+      } else Some(cur.copy(minWriterVersion = (Seq(cur.minWriterVersion) ++
         (if (missing.contains("checkConstraints")) Seq(3) else Nil) ++
         (if (missing.contains("changeDataFeed")) Seq(4) else Nil)).max))
     val v = commit(spark, new Path(tablePath), snap.version + 1,
@@ -1543,6 +1566,11 @@ object DeltaWrite {
     // a checkpoint REPLACES log replay below it — emitting one that drops
     // actions we don't model would corrupt a foreign table, so gate first
     requireWritable(tablePath, snap, "checkpoint", removesData = false)
+    // tables under the v2Checkpoint feature (or the v2 policy) forbid
+    // classic checkpoints — route to the v2 manifest + sidecar writer
+    if (snap.protocol.exists(_.writerFeatures.contains("v2Checkpoint")) ||
+        snap.configuration.get("delta.checkpointPolicy").contains("v2"))
+      return checkpointV2(spark, tablePath, partActions = partActions)
     val strMap = MapType(StringType, StringType, valueContainsNull = true)
     val cpSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
@@ -1663,6 +1691,278 @@ object DeltaWrite {
     * form), each written by its own task.
     */
   val checkpointPartActions: Long = 1000000L
+
+  /** Write a V2 checkpoint of the CURRENT snapshot (the public
+    * PROTOCOL.md v2Checkpoint spec — the same section the reader half in
+    * [[DeltaLog.checkpointActions]] was built from):
+    *
+    *   - file actions stream FROM the distributed log index into parquet
+    *     **sidecar** files under `_delta_log/_sidecars/<uuid>.parquet`
+    *     (each carrying `add`/`remove` columns only, ≤ `partActions` adds
+    *     per file, written by its own task — the driver never holds the
+    *     file list);
+    *   - one small **manifest** `<v %020d>.checkpoint.<uuid>.{parquet,json}`
+    *     carries the non-file actions — `checkpointMetadata` (v2's marker,
+    *     exactly one), `protocol`, `metaData` (the table's original
+    *     identity), every `txn` — plus one `sidecar` reference per sidecar
+    *     file; driver cost is bounded by sidecar COUNT, not file count;
+    *   - `_last_checkpoint` is refreshed (advisory, per spec — readers
+    *     that distrust it list the directory, as ours does).
+    *
+    * Long-lived v2 tables can thus compact their log: once the manifest is
+    * published, the JSON commits at/below it are replay-redundant and
+    * eligible for metadata cleanup. Both manifest encodings round-trip
+    * through the reader; `jsonManifest = true` selects NDJSON. Returns the
+    * checkpointed version.
+    */
+  def checkpointV2(
+      spark: SparkSession,
+      tablePath: String,
+      jsonManifest: Boolean = false,
+      partActions: Long = checkpointPartActions): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, from_json, lit, struct}
+    require(partActions > 0, "partActions must be positive")
+    val table = new Path(tablePath)
+    val ls = DeltaLog.lazySnapshot(spark, tablePath)
+    val snap = ls.meta
+    requireWritable(tablePath, snap, "checkpoint", removesData = false)
+    val f = fs(spark, table)
+    val uuid = java.util.UUID.randomUUID().toString
+    val strMap = MapType(StringType, StringType, valueContainsNull = true)
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", strMap),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType),
+      StructField("deletionVector", graft.sources.DeltaLog.dvStructType)))
+    // sidecars carry exclusively file actions per spec: add rows here,
+    // plus an always-null remove column so the schema names both
+    val removeType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType)))
+    val addDf = ls.indexDF.select(
+      struct(
+        col("path"), col("partitionValues"), col("size"),
+        col("modificationTime"), lit(false).as("dataChange"), col("stats"),
+        from_json(col("deletionVector"), graft.sources.DeltaLog.dvStructType)
+          .as("deletionVector")).as("add"),
+      lit(null).cast(removeType).as("remove"))
+    val nFiles = addDf.count()
+    val sidecars: Seq[(String, Long, Long)] =
+      if (nFiles == 0) Nil
+      else {
+        val nParts = math.max(1L, math.min(512L,
+          (nFiles + partActions - 1) / partActions)).toInt
+        val tmp = new Path(logDir(table), s".cp-tmp-$uuid")
+        (if (nParts == 1) addDf.coalesce(1) else addDf.repartition(nParts))
+          .write.parquet(tmp.toString)
+        val sidecarDir = new Path(logDir(table), "_sidecars")
+        f.mkdirs(sidecarDir)
+        val parts = {
+          val it = f.listFiles(tmp, false)
+          val found = Seq.newBuilder[Path]
+          while (it.hasNext) {
+            val s = it.next()
+            if (s.isFile && s.getPath.getName.endsWith(".parquet")) found += s.getPath
+          }
+          found.result().sortBy(_.getName)
+        }
+        require(parts.nonEmpty, s"sidecar write produced no parquet part in $tmp")
+        val out = parts.zipWithIndex.map { case (src, i) =>
+          // fresh uuid-based names: sidecars are immutable and shared
+          // across checkpoints that reference them — never overwritten
+          val name = f"$uuid-${i + 1}%05d.parquet"
+          val dst = new Path(sidecarDir, name)
+          if (!f.rename(src, dst))
+            throw new IllegalStateException(s"Failed to publish sidecar $dst")
+          val st = f.getFileStatus(dst)
+          (name, st.getLen, st.getModificationTime)
+        }
+        f.delete(tmp, true)
+        out
+      }
+
+    // idempotent re-checkpoint of this version: clear prior manifests
+    // (classic or v2, parquet or json) before publishing the new one
+    val CpName =
+      (f"${snap.version}%020d" + """\.checkpoint(\..*)?\.(parquet|json)""").r
+    f.listStatus(logDir(table)).foreach { st =>
+      if (CpName.pattern.matcher(st.getPath.getName).matches())
+        f.delete(st.getPath, false)
+    }
+
+    val metaNode = snap.metaDataRaw.map(mapper.readTree)
+    def metaField(n: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+      metaNode.flatMap(m => Option(m.get(n)).filterNot(_.isNull))
+    val p = snap.protocol.getOrElse(DeltaLog.Protocol(1, 2))
+    val manifestName = f"${snap.version}%020d.checkpoint.$uuid." +
+      (if (jsonManifest) "json" else "parquet")
+    val manifestPath = new Path(logDir(table), manifestName)
+
+    if (jsonManifest) {
+      val lines = Seq.newBuilder[String]
+      val cm = mapper.createObjectNode()
+      cm.putObject("checkpointMetadata").put("version", snap.version)
+      lines += mapper.writeValueAsString(cm)
+      val pn = mapper.createObjectNode()
+      val proto = pn.putObject("protocol")
+      proto.put("minReaderVersion", p.minReaderVersion)
+      proto.put("minWriterVersion", p.minWriterVersion)
+      if (p.minReaderVersion >= 3) {
+        val rf = proto.putArray("readerFeatures")
+        p.readerFeatures.toSeq.sorted.foreach(rf.add)
+      }
+      if (p.minWriterVersion >= 7) {
+        val wf = proto.putArray("writerFeatures")
+        p.writerFeatures.toSeq.sorted.foreach(wf.add)
+      }
+      lines += mapper.writeValueAsString(pn)
+      val mn = mapper.createObjectNode()
+      metaNode match {
+        case Some(raw) => mn.set[com.fasterxml.jackson.databind.JsonNode]("metaData", raw)
+        case None =>
+          val meta = mn.putObject("metaData")
+          meta.put("id", java.util.UUID.randomUUID().toString)
+          val fmt = meta.putObject("format")
+          fmt.put("provider", "parquet"); fmt.putObject("options")
+          meta.put("schemaString", snap.schema.json)
+          val pcs = meta.putArray("partitionColumns")
+          snap.partitionColumns.foreach(pcs.add)
+          val cfg = meta.putObject("configuration")
+          snap.configuration.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
+          meta.put("createdTime", System.currentTimeMillis())
+      }
+      lines += mapper.writeValueAsString(mn)
+      snap.txns.toSeq.sortBy(_._1).foreach { case (app, v) =>
+        val tn = mapper.createObjectNode()
+        val txn = tn.putObject("txn")
+        txn.put("appId", app); txn.put("version", v)
+        lines += mapper.writeValueAsString(tn)
+      }
+      sidecars.foreach { case (name, len, mt) =>
+        val sn = mapper.createObjectNode()
+        val sc = sn.putObject("sidecar")
+        sc.put("path", name); sc.put("sizeInBytes", len)
+        sc.put("modificationTime", mt)
+        lines += mapper.writeValueAsString(sn)
+      }
+      val tmpManifest = new Path(logDir(table), s".tmp-manifest-$uuid")
+      val out = f.create(tmpManifest, false)
+      try out.write(lines.result().mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      if (!f.rename(tmpManifest, manifestPath))
+        throw new IllegalStateException(s"Failed to publish manifest $manifestPath")
+    } else {
+      val manifestSchema = StructType(Seq(
+        StructField("checkpointMetadata", StructType(Seq(
+          StructField("version", LongType),
+          StructField("tags", strMap)))),
+        StructField("protocol", StructType(Seq(
+          StructField("minReaderVersion", IntegerType),
+          StructField("minWriterVersion", IntegerType),
+          StructField("readerFeatures", ArrayType(StringType)),
+          StructField("writerFeatures", ArrayType(StringType))))),
+        StructField("metaData", StructType(Seq(
+          StructField("id", StringType),
+          StructField("format", StructType(Seq(
+            StructField("provider", StringType),
+            StructField("options", strMap)))),
+          StructField("schemaString", StringType),
+          StructField("partitionColumns", ArrayType(StringType)),
+          StructField("configuration", strMap),
+          StructField("createdTime", LongType)))),
+        StructField("txn", StructType(Seq(
+          StructField("appId", StringType),
+          StructField("version", LongType)))),
+        StructField("sidecar", StructType(Seq(
+          StructField("path", StringType),
+          StructField("sizeInBytes", LongType),
+          StructField("modificationTime", LongType),
+          StructField("tags", strMap))))))
+      def feats(s: Set[String]) = if (s.isEmpty) null else s.toSeq.sorted
+      val protoRow = Row(p.minReaderVersion, p.minWriterVersion,
+        feats(p.readerFeatures), feats(p.writerFeatures))
+      val metaRow = Row(
+        metaField("id").map(_.asText).getOrElse(java.util.UUID.randomUUID().toString),
+        Row("parquet", Map.empty[String, String]),
+        snap.schema.json,
+        snap.partitionColumns,
+        snap.configuration,
+        metaField("createdTime").map(_.asLong()).getOrElse(System.currentTimeMillis()))
+      val rows: Seq[Row] =
+        Seq(
+          Row(Row(snap.version, null), null, null, null, null),
+          Row(null, protoRow, null, null, null),
+          Row(null, null, metaRow, null, null)) ++
+          snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+            Row(null, null, null, Row(app, v), null)
+          } ++
+          sidecars.map { case (name, len, mt) =>
+            Row(null, null, null, null, Row(name, len, mt, null))
+          }
+      val manifestDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), manifestSchema)
+      val tmpManifest = new Path(logDir(table), s".tmp-manifest-$uuid")
+      manifestDf.coalesce(1).write.parquet(tmpManifest.toString)
+      val part = {
+        val it = f.listFiles(tmpManifest, false)
+        var found: Option[Path] = None
+        while (it.hasNext && found.isEmpty) {
+          val s = it.next()
+          if (s.isFile && s.getPath.getName.endsWith(".parquet")) found = Some(s.getPath)
+        }
+        found.getOrElse(throw new IllegalStateException(
+          s"manifest write produced no parquet part in $tmpManifest"))
+      }
+      if (!f.rename(part, manifestPath))
+        throw new IllegalStateException(s"Failed to publish manifest $manifestPath")
+      f.delete(tmpManifest, true)
+    }
+
+    val lc = mapper.createObjectNode()
+    lc.put("version", snap.version)
+    lc.put("size", 3L + snap.txns.size + sidecars.size)
+    lc.put("sizeInBytes", sidecars.map(_._2).sum)
+    lc.put("numOfAddFiles", nFiles)
+    val outLc = f.create(new Path(logDir(table), "_last_checkpoint"), true)
+    try outLc.write(mapper.writeValueAsBytes(lc)) finally outLc.close()
+    snap.version
+  }
+
+  /** Remove JSON commit files (and superseded checkpoint files) strictly
+    * BELOW the newest checkpoint — metadata cleanup for long-lived tables
+    * (delta-spark's log-retention expiry). Only versions the checkpoint
+    * makes replay-redundant are touched; the checkpoint itself and every
+    * commit after it stay. Returns the number of files deleted.
+    */
+  def cleanupMetadata(spark: SparkSession, tablePath: String): Int = {
+    val table = new Path(tablePath)
+    val f = fs(spark, table)
+    val CommitName = """(\d{20})\.json""".r
+    val CpAnyName = """(\d{20})\.checkpoint(\..*)?\.(parquet|json)""".r
+    val entries = f.listStatus(logDir(table)).toSeq
+    val cpVersions = entries.flatMap(_.getPath.getName match {
+      case CpAnyName(v, _, _) => Some(v.toLong)
+      case _ => None
+    })
+    if (cpVersions.isEmpty) return 0
+    val newest = cpVersions.max
+    var n = 0
+    entries.foreach { st =>
+      val del = st.getPath.getName match {
+        case CommitName(v) => v.toLong <= newest
+        case CpAnyName(v, _, _) => v.toLong < newest
+        case _ => false
+      }
+      if (del && f.delete(st.getPath, false)) n += 1
+    }
+    n
+  }
 
   /** Best-effort auto-checkpoint: the commit it follows is already
     * durable, so a checkpoint failure must not fail the write — the next

@@ -243,6 +243,35 @@ private[graft] object DeltaQueries {
     // frame's order, so the second commit must continue exactly where the
     // first one's recorded mark left off — the oracle re-derives both
     // assignments with window ranks over the same slices.
+    // v2 checkpoint WRITE (r11; read was r10): a `delta.checkpointPolicy=v2`
+    // table — feature-listed (3,7) protocol — takes several appends and a
+    // delete, writes a v2 checkpoint (NDJSON manifest + parquet sidecars
+    // under _sidecars/, forced multi-sidecar), then METADATA-CLEANS every
+    // JSON commit it supersedes: the manifest alone must seed the snapshot,
+    // stats-prune, and keep accepting commits. The checkpoint layer is
+    // result-invisible — the oracle recomputes the final state from raw
+    // orders.
+    "q134_delta_v2cp" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q134").resolve("tbl").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val base = orders.filter(col("o_orderkey") % 2 === 1)
+      DeltaWrite.createIfAbsent(s, tbl,
+        base.schema.asInstanceOf[org.apache.spark.sql.types.StructType],
+        properties = Map("delta.checkpointPolicy" -> "v2"))
+      (0 until 4).foreach(i => DeltaWrite.append(s, tbl,
+        base.filter(col("o_custkey") % 4 === i).repartition(1)))
+      DeltaWrite.delete(s, tbl, "o_orderstatus = 'O' AND o_custkey % 5 = 0") // v5
+      DeltaWrite.checkpointV2(s, tbl, jsonManifest = true, partActions = 2L)
+      DeltaWrite.cleanupMetadata(s, tbl) // only the manifest can seed now
+      DeltaWrite.append(s, tbl, // post-cleanup commits replay on top
+        orders.filter(col("o_orderkey") % 2 === 0 && col("o_orderkey") < 2000))
+      graft.sources.DeltaLog.readWhere(s, tbl, "o_orderkey < 6000")
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q129_delta_identity" -> ((s, dir) => {
       import graft.destinations.DeltaWrite
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -345,6 +374,17 @@ private[graft] object DeltaQueries {
            SELECT 'clone', o_totalprice FROM orders
            WHERE o_orderkey < 4000 AND o_orderkey % 5 <> 0)
          GROUP BY side ORDER BY side""",
+
+    // the v2-checkpoint layer is result-invisible: final state recomputed
+    // from raw orders (odd slice minus the delete, plus the even tail)
+    "q134_delta_v2cp" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+         FROM orders
+         WHERE ((o_orderkey % 2 = 1
+                 AND NOT (o_orderstatus = 'O' AND o_custkey % 5 = 0))
+             OR (o_orderkey % 2 = 0 AND o_orderkey < 2000))
+           AND o_orderkey < 6000
+         ORDER BY o_orderkey""",
 
     // identity assignment replayed: first append assigns 1000 + 2·rank
     // over the even slice (doc_id order), the recorded high-water mark

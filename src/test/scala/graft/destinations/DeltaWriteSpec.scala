@@ -1182,6 +1182,67 @@ class DeltaWriteSpec extends SparkSpec {
     assert(back.map(_.getString(1)).toSeq == Seq("x y", "a+b"))
   }
 
+  test("v2 checkpoint WRITE round-trips through the reader in both manifest flavors") {
+    import spark.implicits._
+    for (json <- Seq(false, true)) {
+      val table = tmpDir(s"dw-v2cp-$json").resolve("t").toString
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType)))
+      DeltaWrite.createIfAbsent(spark, table, schema,
+        properties = Map("delta.checkpointPolicy" -> "v2"))
+      val proto = DeltaLog.snapshot(spark, table).protocol.get
+      assert(proto.minReaderVersion == 3 &&
+        proto.readerFeatures.contains("v2Checkpoint") &&
+        proto.writerFeatures.contains("v2Checkpoint"), proto.toString)
+      (1 to 6).foreach { i =>
+        DeltaWrite.append(spark, table,
+          Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+      }
+      DeltaWrite.delete(spark, table, "id = 3") // v7
+      // small partActions forces MULTIPLE sidecars
+      val cpv = DeltaWrite.checkpointV2(spark, table,
+        jsonManifest = json, partActions = 2L)
+      assert(cpv == 7L)
+      val logDir = java.nio.file.Paths.get(table, "_delta_log")
+      val sidecarDir = logDir.resolve("_sidecars")
+      val nSidecars = {
+        val l = java.nio.file.Files.list(sidecarDir)
+        try l.count() finally l.close()
+      }
+      assert(nSidecars >= 2, s"expected multiple sidecars, got $nSidecars")
+      // metadata cleanup: the v2 checkpoint alone must seed the snapshot
+      val deleted = DeltaWrite.cleanupMetadata(spark, table)
+      assert(deleted == 8, s"deleted=$deleted") // commits 0..7
+      def state() = DeltaLog.read(spark, table)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(state() == (1 to 6).filter(_ != 3)
+        .map(i => (i.toLong, s"v$i")).toSet)
+      // stats survive through sidecars: range predicate prunes
+      assert(DeltaLog.readWhere(spark, table, "id >= 5").collect()
+        .map(_.getLong(0)).toSet == Set(5L, 6L))
+      // the checkpoint-seeded table keeps accepting commits, and the next
+      // AUTO checkpoint (interval crossing) also comes out v2
+      (8 to 10).foreach { i =>
+        DeltaWrite.append(spark, table,
+          Seq((i.toLong, s"w$i")).toDF("id", "v").coalesce(1))
+      }
+      val names = {
+        val l = java.nio.file.Files.list(logDir)
+        try {
+          val b = Seq.newBuilder[String]
+          l.forEach(p => { b += p.getFileName.toString; () })
+          b.result()
+        } finally l.close()
+      }
+      assert(names.exists(_.matches(f"${10L}%020d\\.checkpoint\\.[^.]+\\.parquet")),
+        s"auto-checkpoint at v10 missing/classic: ${names.sorted.mkString(", ")}")
+      assert(state().size == 8)
+      // identity (metaData id) survives the checkpoint round-trip
+      val lines = java.nio.file.Files.readAllLines(logDir.resolve("_last_checkpoint"))
+      assert(mapper.readTree(lines.get(0)).get("version").asLong == 10L)
+    }
+  }
+
   test("setProperties flips config mid-life; restore across the ICT boundary re-commits the config") {
     import spark.implicits._
     val table = tmpDir("dw-setprops")

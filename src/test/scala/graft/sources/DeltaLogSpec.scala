@@ -470,18 +470,30 @@ class DeltaLogSpec extends SparkSpec {
     DeltaWrite.delete(spark, table, "id <= 5")
     assert(ids() == (6L to 31L).toSet)
 
-    // a table that formally DECLARES the v2Checkpoint feature stays
-    // readable; writing refuses — this writer emits classic checkpoints,
-    // which the feature forbids, and ignoring that would corrupt the
-    // table for conforming readers
+    // a table that formally DECLARES the v2Checkpoint feature stays both
+    // readable AND writable (r11: the write half landed) — and its
+    // checkpoints come out in v2 form, never classic (which the feature
+    // forbids for conforming readers)
     java.nio.file.Files.write(logDir.resolve(f"${6L}%020d.json"),
       ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""")
         .getBytes("UTF-8"))
     assert(ids() == (6L to 31L).toSet)
-    val err = intercept[IllegalArgumentException](
-      DeltaWrite.append(spark, table, Seq((99L, "z")).toDF("id", "v")))
-    assert(err.getMessage.contains("v2Checkpoint"), err.getMessage)
+    DeltaWrite.append(spark, table, Seq((99L, "z")).toDF("id", "v"))
+    assert(ids() == (6L to 31L).toSet + 99L)
+    val cpv = DeltaWrite.checkpoint(spark, table)
+    val names = {
+      val l = java.nio.file.Files.list(logDir)
+      try {
+        val b = Seq.newBuilder[String]
+        l.forEach(p => { b += p.getFileName.toString; () })
+        b.result()
+      } finally l.close()
+    }
+    assert(names.exists(n => n.matches(f"$cpv%020d\\.checkpoint\\.[^.]+\\.parquet")),
+      s"expected a v2 UUID-named manifest, got: ${names.sorted.mkString(", ")}")
+    assert(!names.contains(f"$cpv%020d.checkpoint.parquet"),
+      "classic checkpoint written on a v2Checkpoint-feature table")
   }
 
   test("v2 checkpoint: JSON manifest with INLINE adds on a partitioned table") {
