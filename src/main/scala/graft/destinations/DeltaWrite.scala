@@ -66,7 +66,49 @@ object DeltaWrite {
     Set("appendOnly", "invariants", "checkConstraints", "generatedColumns",
       "changeDataFeed", "timestampNtz", "vacuumProtocolCheck",
       "variantType-preview", "deletionVectors", "columnMapping",
-      "identityColumns", "inCommitTimestamp", "v2Checkpoint")
+      "identityColumns", "inCommitTimestamp", "v2Checkpoint",
+      "rowTracking", "domainMetadata")
+
+  /** The row-id assignment base for a commit: `Some(high-water mark)` when
+    * the table tracks rows (every adds-producing commit must then assign),
+    * None otherwise. */
+  private def rowIdBaseOf(snap: DeltaLog.Snapshot): Option[Long] =
+    if (DeltaLog.rowTrackingEnabled(snap))
+      Some(DeltaLog.rowIdHighWaterMark(snap))
+    else None
+
+  /** The table's materialized row-id / row-commit-version column names —
+    * required once row tracking is on (this writer records them at create).
+    */
+  private def materializedRowCols(snap: DeltaLog.Snapshot): (String, String) = (
+    snap.configuration.getOrElse("delta.rowTracking.materializedRowIdColumnName",
+      throw new IllegalStateException(
+        "row-tracking table lacks delta.rowTracking.materializedRowIdColumnName")),
+    snap.configuration.getOrElse(
+      "delta.rowTracking.materializedRowCommitVersionColumnName",
+      throw new IllegalStateException(
+        "row-tracking table lacks delta.rowTracking.materializedRowCommitVersionColumnName")))
+
+  /** Rewrite-side half of STABLE row ids: read `files` with the survivors'
+    * stable ids (and last-change commit versions) attached under the
+    * table's materialized column names, so a rewrite carries them INTO the
+    * new files — the spec's preservation mechanism. Plain read when the
+    * table doesn't track rows. Returns (frame, materialized col names).
+    */
+  private def readForRewrite(
+      spark: SparkSession,
+      tablePath: String,
+      snap: DeltaLog.Snapshot,
+      files: Seq[DeltaLog.AddFile]): (DataFrame, Seq[String]) =
+    if (!DeltaLog.rowTrackingEnabled(snap))
+      (DeltaLog.readFiles(spark, tablePath, snap, files), Nil)
+    else {
+      val (matId, matVer) = materializedRowCols(snap)
+      val df = DeltaLog.readFilesWithRowIds(spark, tablePath, snap, files)
+        .withColumnRenamed("_row_id", matId)
+        .withColumnRenamed("_row_commit_version", matVer)
+      (df, Seq(matId, matVer))
+    }
 
   /** Refuse to commit to tables whose protocol demands semantics we don't
     * implement — a commit that ignores row tracking, CDF, or a CHECK
@@ -493,12 +535,16 @@ object DeltaWrite {
     val wantIct = properties.get("delta.enableInCommitTimestamps")
       .exists(_.equalsIgnoreCase("true"))
     val wantV2Cp = properties.get("delta.checkpointPolicy").contains("v2")
+    val wantRowTracking = properties.get("delta.enableRowTracking")
+      .exists(_.equalsIgnoreCase("true"))
     val proto =
-      if (!wantIct && !wantV2Cp) proto0
+      if (!wantIct && !wantV2Cp && !wantRowTracking) proto0
       else {
         val feats = Set("invariants") ++
           (if (wantIct) Set("inCommitTimestamp") else Set.empty[String]) ++
           (if (wantV2Cp) Set("v2Checkpoint") else Set.empty[String]) ++
+          (if (wantRowTracking) Set("rowTracking", "domainMetadata")
+          else Set.empty[String]) ++
           (if (properties.keys.exists(_.startsWith("delta.constraints.")))
             Set("checkConstraints") else Set.empty[String]) ++
           (if (properties.get("delta.enableChangeDataFeed")
@@ -518,9 +564,18 @@ object DeltaWrite {
         Some(DeltaLog.Protocol(readerV, 7,
           readerFeatures = readerFeats, writerFeatures = feats))
       }
+    // row tracking reserves the materialized column names rewrites will
+    // preserve stable ids under (per spec, recorded in the table config)
+    val finalProps =
+      if (!wantRowTracking) outProps
+      else outProps ++ Map(
+        "delta.rowTracking.materializedRowIdColumnName" ->
+          s"_row-id-col-${java.util.UUID.randomUUID()}",
+        "delta.rowTracking.materializedRowCommitVersionColumnName" ->
+          s"_row-commit-version-col-${java.util.UUID.randomUUID()}")
     commit(spark, new Path(tablePath), 0L, "CREATE TABLE",
       withMeta = Some((outSchema, partitionBy)), adds = Nil, removes = Nil,
-      metaConfig = outProps, protocolUpgrade = proto)
+      metaConfig = finalProps, protocolUpgrade = proto)
     true
   }
 
@@ -588,7 +643,7 @@ object DeltaWrite {
       try {
         commit(spark, new Path(tablePath), version, "WRITE",
           withMeta = meta, adds = adds, removes = Nil,
-          metaConfig = metaCfg)
+          metaConfig = metaCfg, rowIdBase = rowIdBaseOf(snap))
         maybeCheckpoint(spark, tablePath, version)
         return version
       } catch {
@@ -663,7 +718,7 @@ object DeltaWrite {
     val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts)
     val v = commit(spark, new Path(tablePath), snap.version + 1, "WRITE",
       withMeta = meta, adds = adds, removes = snap.files.map(_.path),
-      metaConfig = metaCfg)
+      metaConfig = metaCfg, rowIdBase = rowIdBaseOf(snap))
     maybeCheckpoint(spark, tablePath, v)
     v
     } finally identityCleanup()
@@ -727,19 +782,53 @@ object DeltaWrite {
             new Path(f.makeQualified(new Path(table, DeltaLog.decodePath(c.path))).toString).toString))
         }
 
-      // survivors of touched files keep their non-matching rows
+      // survivors of touched files keep their non-matching rows. Row
+      // tracking: survivors carry their stable ids into the rewrite via
+      // the materialized columns; UPDATED rows INHERIT the replaced row's
+      // stable id (same logical row, new commit version — matVer stays
+      // null so the read-side coalesce falls to this commit); inserts get
+      // fresh ids (both materialized columns null).
+      val tracking = DeltaLog.rowTrackingEnabled(snap)
       val cols = snap.schema.fieldNames.toIndexedSeq.map(col)
-      val touchedDfOpt =
-        if (touched.isEmpty) None
-        else Some(DeltaLog.readFiles(spark, tablePath, snap, touched))
+      val (touchedDfOpt, matCols) =
+        if (touched.isEmpty) (None, if (tracking) materializedRowCols(snap) match {
+          case (a, b) => Seq(a, b)
+        } else Nil)
+        else {
+          val (df, mc) = readForRewrite(spark, tablePath, snap, touched)
+          (Some(df), mc)
+        }
+      val outCols = cols ++ matCols.map(col)
+      val incomingTracked =
+        if (!tracking) incoming
+        else {
+          val (matId, matVer) = materializedRowCols(snap)
+          val withId = touchedDfOpt match {
+            case None => incoming.withColumn(matId, lit(null).cast("long"))
+            case Some(tdf) =>
+              val condT = keys.map(k =>
+                ManagedTable.keyEquals(tdf(k), srcKeysB(k), keyTypes(k))).reduce(_ && _)
+              // min() disambiguates duplicate-key pre-images deterministically
+              val oldIds = ManagedTable.broadcastIfSmall(
+                tdf.join(srcKeysB, condT, "left_semi")
+                  .groupBy(keys.map(col): _*)
+                  .agg(org.apache.spark.sql.functions.min(col(matId)).as(matId))
+                  .select(keys.map(k => col(k).as(s"_k_$k")) :+ col(matId): _*))
+              val condI = keys.map(k =>
+                ManagedTable.keyEquals(incoming(k), oldIds(s"_k_$k"), keyTypes(k))).reduce(_ && _)
+              incoming.join(oldIds, condI, "left")
+                .drop(keys.map("_k_" + _): _*)
+          }
+          withId.withColumn(matVer, lit(null).cast("long"))
+        }
       val rewritten = touchedDfOpt match {
-        case None => incoming
+        case None => incomingTracked
         case Some(touchedDf) =>
           val cond = keys.map(k =>
             ManagedTable.keyEquals(touchedDf(k), srcKeysB(k), keyTypes(k))).reduce(_ && _)
           touchedDf.join(srcKeysB, cond, "left_anti")
-            .select(cols: _*)
-            .unionByName(incoming)
+            .select(outCols: _*)
+            .unionByName(incomingTracked.select(outCols: _*))
       }
       // CDF: matched old rows are update_preimage, their incoming
       // replacements update_postimage, unmatched incoming rows insert —
@@ -771,11 +860,13 @@ object DeltaWrite {
           writeChangeData(spark, new Path(tablePath), snap, changes)
         }
       val (phys, physParts) =
-        toPhysical(rewritten, snap.schema, snap.partitionColumns, snap.columnMappingMode)
-      val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts)
+        toPhysical(rewritten, snap.schema, snap.partitionColumns,
+          snap.columnMappingMode, passthrough = matCols)
+      val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts,
+        statsExclude = matCols.toSet)
       commit(spark, new Path(tablePath), snap.version + 1, "MERGE",
         withMeta = None, adds = adds, removes = touched.map(_.path),
-        cdcs = cdcs, ictEnabled = ictOn(snap))
+        cdcs = cdcs, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap))
     } finally incoming.unpersist()
   }
 
@@ -834,11 +925,20 @@ object DeltaWrite {
           new Path(f.makeQualified(new Path(table, DeltaLog.decodePath(c.path))).toString).toString))
       }
     val cols = snap.schema.fieldNames.toIndexedSeq.map(col)
+    // row tracking: survivors keep stable ids via the materialized columns;
+    // replace's incoming rows are NEW rows (fresh ids)
+    val tracking = DeltaLog.rowTrackingEnabled(snap)
+    val matCols =
+      if (!tracking) Nil
+      else materializedRowCols(snap) match { case (a, b) => Seq(a, b) }
+    val outCols = cols ++ matCols.map(col)
+    val incomingTracked = matCols.foldLeft(incoming)(
+      (d, c) => d.withColumn(c, lit(null).cast("long")))
     val rewritten =
-      if (touched.isEmpty) incoming
-      else DeltaLog.readFiles(spark, tablePath, snap, touched).filter(not(pred))
-        .select(cols: _*)
-        .unionByName(incoming)
+      if (touched.isEmpty) incomingTracked
+      else readForRewrite(spark, tablePath, snap, touched)._1.filter(not(pred))
+        .select(outCols: _*)
+        .unionByName(incomingTracked.select(outCols: _*))
     // CDF: predicate-matched rows are deletes, the new data inserts; the
     // copied-over survivors must NOT surface as changes (hence cdc files)
     val cdcs =
@@ -854,11 +954,13 @@ object DeltaWrite {
           (deleted.toSeq :+ inserted).reduce(_ unionByName _))
       }
     val (phys, physParts) =
-      toPhysical(rewritten, snap.schema, snap.partitionColumns, snap.columnMappingMode)
-    val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts)
+      toPhysical(rewritten, snap.schema, snap.partitionColumns,
+        snap.columnMappingMode, passthrough = matCols)
+    val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts,
+      statsExclude = matCols.toSet)
     commit(spark, new Path(tablePath), snap.version + 1, "DELETE+WRITE",
       withMeta = None, adds = adds, removes = touched.map(_.path),
-      cdcs = cdcs, ictEnabled = ictOn(snap))
+      cdcs = cdcs, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap))
   }
 
   /** DELETE rows matching `predicate` (SQL boolean over the table's
@@ -959,7 +1061,9 @@ object DeltaWrite {
         AddDescriptor(
           DeltaLog.decodePath(a.path),
           a.partitionValues.toSeq.sortBy(_._1).map { case (k, v) => k -> Option(v) },
-          a.size, a.modificationTime, a.stats, Some(dj))
+          a.size, a.modificationTime, a.stats, Some(dj),
+          // file bytes untouched: row-tracking ids ride through unchanged
+          a.baseRowId, a.defaultRowCommitVersion)
       }
       // CDF: the DV commit re-adds files with descriptors, which no reader
       // can derive changes from — emit the matched rows as delete cdc
@@ -996,7 +1100,8 @@ object DeltaWrite {
       commit(spark, table, snap.version + 1, "DELETE",
         withMeta = None, adds = adds,
         removes = (dead ++ marked).map(_._1.path),
-        protocolUpgrade = upgrade, cdcs = cdcs, ictEnabled = ictOn(snap))
+        protocolUpgrade = upgrade, cdcs = cdcs, ictEnabled = ictOn(snap),
+        rowIdBase = rowIdBaseOf(snap))
     } else {
       // copy-on-write: exact hit detection, rewrite only files with matches
       val cand = DeltaLog.readFiles(spark, tablePath, snap, candidates, withFilePath = true)
@@ -1004,10 +1109,12 @@ object DeltaWrite {
         .collect().map(r => new Path(r.getString(0)).toString).toSet
       val touched = candidates.filter(c => hit.contains(new Path(absOf(c)).toString))
       if (touched.isEmpty) return snap.version
-      // NULL-predicate rows are KEPT: not(pred) alone would drop them
-      val kept = DeltaLog.readFiles(spark, tablePath, snap, touched)
+      // NULL-predicate rows are KEPT: not(pred) alone would drop them.
+      // Row tracking: survivors carry their stable ids into the rewrite.
+      val (keptSrc, matCols) = readForRewrite(spark, tablePath, snap, touched)
+      val kept = keptSrc
         .filter(coalesce(not(expr(predicate)), lit(true)))
-        .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+        .select((snap.schema.fieldNames.toIndexedSeq ++ matCols).map(col): _*)
       // CDF: survivors are copied over, so only cdc files can tell a reader
       // which rows actually left
       val cdcs =
@@ -1017,11 +1124,13 @@ object DeltaWrite {
             .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
             .withColumn("_change_type", lit("delete")))
       val (phys, physParts) =
-        toPhysical(kept, snap.schema, snap.partitionColumns, snap.columnMappingMode)
-      val adds = writeDataFiles(spark, table, phys, physParts)
+        toPhysical(kept, snap.schema, snap.partitionColumns,
+          snap.columnMappingMode, passthrough = matCols)
+      val adds = writeDataFiles(spark, table, phys, physParts,
+        statsExclude = matCols.toSet)
       commit(spark, table, snap.version + 1, "DELETE",
         withMeta = None, adds = adds, removes = touched.map(_.path),
-        cdcs = cdcs, ictEnabled = ictOn(snap))
+        cdcs = cdcs, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap))
     }
   }
 
@@ -1155,7 +1264,8 @@ object DeltaWrite {
       }
       AddDescriptor(abs,
         a.partitionValues.toSeq.sortBy(_._1).map { case (k, v) => k -> Option(v) },
-        a.size, a.modificationTime, a.stats, dv)
+        a.size, a.modificationTime, a.stats, dv,
+        a.baseRowId, a.defaultRowCommitVersion)
     }
     commit(spark, new Path(dstPath), 0L, "CLONE",
       withMeta = Some((snap.schema, snap.partitionColumns)),
@@ -1189,7 +1299,8 @@ object DeltaWrite {
     val adds0 = statless.map(a => AddDescriptor(
       DeltaLog.decodePath(a.path),
       a.partitionValues.toSeq.sortBy(_._1).map { case (k, v) => k -> Option(v) },
-      a.size, a.modificationTime, None, a.deletionVector))
+      a.size, a.modificationTime, None, a.deletionVector,
+      a.baseRowId, a.defaultRowCommitVersion))
     val statsMap = computeStats(spark, table, adds0, dataSchema)
     val adds = adds0.map(a => a.copy(stats = statsMap.get(a.relPath)))
     commit(spark, table, snap.version + 1, "COMPUTE STATS",
@@ -1289,8 +1400,11 @@ object DeltaWrite {
     if (toCompact.isEmpty) return snap.version
     val totalBytes = toCompact.map(_.size).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val base = DeltaLog.readFiles(spark, tablePath, snap, toCompact)
-      .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+    // row tracking: a compaction moves every row — stable ids ride the
+    // materialized columns into the packed files
+    val (baseSrc, matCols) = readForRewrite(spark, tablePath, snap, toCompact)
+    val base = baseSrc
+      .select((snap.schema.fieldNames.toIndexedSeq ++ matCols).map(col): _*)
     val rewritten =
       if (clusterBy.isEmpty) base.coalesce(nOut)
       else if (clusterBy.size == 1)
@@ -1303,11 +1417,13 @@ object DeltaWrite {
         ZOrder.cluster(base, clusterBy, nOut, approxRows)
       }
     val (phys, physParts) =
-      toPhysical(rewritten, snap.schema, snap.partitionColumns, snap.columnMappingMode)
-    val adds = writeDataFiles(spark, table, phys, physParts)
+      toPhysical(rewritten, snap.schema, snap.partitionColumns,
+        snap.columnMappingMode, passthrough = matCols)
+    val adds = writeDataFiles(spark, table, phys, physParts,
+      statsExclude = matCols.toSet)
     commit(spark, table, snap.version + 1, "OPTIMIZE",
       withMeta = None, adds = adds, removes = toCompact.map(_.path),
-      dataChange = false, ictEnabled = ictOn(snap))
+      dataChange = false, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap))
   }
 
   /** RESTORE the table to an earlier version as a NEW commit (time travel
@@ -1353,7 +1469,8 @@ object DeltaWrite {
       tgtIdx.join(curIdx, Seq("path"), "left_outer")
         .filter(col("_in_cur").isNull || not(col("_dv_cur") <=> col("deletionVector")))
         .select(col("path"), col("partitionValues"), col("size"),
-          col("modificationTime"), col("stats"), col("deletionVector")))
+          col("modificationTime"), col("stats"), col("deletionVector"),
+          col("baseRowId"), col("defaultRowCommitVersion")))
     val table = new Path(tablePath)
     val f = fs(spark, table)
     readds.foreach { a =>
@@ -1371,7 +1488,10 @@ object DeltaWrite {
     val adds = readds.map(a => AddDescriptor(
       DeltaLog.decodePath(a.path),
       a.partitionValues.toSeq.sortBy(_._1).map { case (k, v) => k -> Option(v) },
-      a.size, a.modificationTime, a.stats, a.deletionVector))
+      a.size, a.modificationTime, a.stats, a.deletionVector,
+      // restored files keep their original row-id span (the mark never
+      // retreats, so the ids stay unique against post-restore writes)
+      a.baseRowId, a.defaultRowCommitVersion))
     // re-emit metaData when ANYTHING the metaData action carries changed —
     // schema, partitioning, or configuration. Config matters for the ICT
     // chain: restoring an ICT-enabled table to a pre-enablement version
@@ -1590,6 +1710,10 @@ object DeltaWrite {
         StructField("partitionColumns", ArrayType(StringType)),
         StructField("configuration", strMap),
         StructField("createdTime", LongType)))),
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType)))),
       StructField("add", StructType(Seq(
         StructField("path", StringType),
         StructField("partitionValues", strMap),
@@ -1604,7 +1728,11 @@ object DeltaWrite {
           StructField("pathOrInlineDv", StringType),
           StructField("offset", IntegerType),
           StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType)))))))))
+          StructField("cardinality", LongType)))),
+        // row tracking: ids live in the add actions; a checkpoint that
+        // dropped them would re-assign every row on the next replay
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType))))))
     val metaNode = snap.metaDataRaw.map(mapper.readTree)
     def metaField(f: String): Option[com.fasterxml.jackson.databind.JsonNode] =
       metaNode.flatMap(n => Option(n.get(f)).filterNot(_.isNull))
@@ -1620,9 +1748,12 @@ object DeltaWrite {
     val protoRow = Row(p.minReaderVersion, p.minWriterVersion,
       feats(p.readerFeatures), feats(p.writerFeatures))
     val metaRows: Seq[Row] =
-      Seq(Row(protoRow, null, null, null), Row(null, null, metaRow, null)) ++
+      Seq(Row(protoRow, null, null, null, null), Row(null, null, metaRow, null, null)) ++
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
-          Row(null, Row(app, v), null, null)
+          Row(null, Row(app, v), null, null, null)
+        } ++
+        snap.domainMetadata.toSeq.sortBy(_._1).map { case (d, cfg) =>
+          Row(null, null, null, Row(d, cfg, false), null)
         }
     val metaDf = spark.createDataFrame(
       spark.sparkContext.parallelize(metaRows, 1), cpSchema)
@@ -1633,11 +1764,13 @@ object DeltaWrite {
         lit(null).cast(cpSchema("protocol").dataType).as("protocol"),
         lit(null).cast(cpSchema("txn").dataType).as("txn"),
         lit(null).cast(cpSchema("metaData").dataType).as("metaData"),
+        lit(null).cast(cpSchema("domainMetadata").dataType).as("domainMetadata"),
         struct(
           col("path"), col("partitionValues"), col("size"),
           col("modificationTime"), lit(false).as("dataChange"), col("stats"),
           from_json(col("deletionVector"), graft.sources.DeltaLog.dvStructType)
-            .as("deletionVector")).as("add"))
+            .as("deletionVector"),
+          col("baseRowId"), col("defaultRowCommitVersion")).as("add"))
     }
     val nFiles = addDf.count()
     val nParts = math.max(1L, math.min(512L,
@@ -1750,7 +1883,8 @@ object DeltaWrite {
         col("path"), col("partitionValues"), col("size"),
         col("modificationTime"), lit(false).as("dataChange"), col("stats"),
         from_json(col("deletionVector"), graft.sources.DeltaLog.dvStructType)
-          .as("deletionVector")).as("add"),
+          .as("deletionVector"),
+        col("baseRowId"), col("defaultRowCommitVersion")).as("add"),
       lit(null).cast(removeType).as("remove"))
     val nFiles = addDf.count()
     val sidecars: Seq[(String, Long, Long)] =
@@ -1843,6 +1977,12 @@ object DeltaWrite {
         val txn = tn.putObject("txn")
         txn.put("appId", app); txn.put("version", v)
         lines += mapper.writeValueAsString(tn)
+      }
+      snap.domainMetadata.toSeq.sortBy(_._1).foreach { case (d, cfg) =>
+        val dn = mapper.createObjectNode()
+        val dm = dn.putObject("domainMetadata")
+        dm.put("domain", d); dm.put("configuration", cfg); dm.put("removed", false)
+        lines += mapper.writeValueAsString(dn)
       }
       sidecars.foreach { case (name, len, mt) =>
         val sn = mapper.createObjectNode()
@@ -2004,7 +2144,8 @@ object DeltaWrite {
       df: DataFrame,
       partitionColumns: Seq[String],
       subdir: String = "",
-      withStats: Boolean = true): Seq[AddDescriptor] = {
+      withStats: Boolean = true,
+      statsExclude: Set[String] = Set.empty): Seq[AddDescriptor] = {
     val f = fs(spark, table)
     val tmp = new Path(table, s"_tmp-${java.util.UUID.randomUUID()}")
     val writer = df.write.mode("overwrite")
@@ -2049,8 +2190,11 @@ object DeltaWrite {
     f.delete(tmp, true)
     val raw = adds.result()
     if (!withStats) return raw // cdc files carry no stats (nothing prunes them)
-    // one columnar scan of the new files attaches per-file pruning stats
-    val dataSchema = StructType(df.schema.fields.filterNot(fd => partitionColumns.contains(fd.name)))
+    // one columnar scan of the new files attaches per-file pruning stats;
+    // statsExclude keeps internal columns (materialized row ids) out of
+    // the stats object — they are not table data and must never prune
+    val dataSchema = StructType(df.schema.fields.filterNot(fd =>
+      partitionColumns.contains(fd.name) || statsExclude(fd.name)))
     val statsMap = computeStats(spark, table, raw, dataSchema)
     raw.map(a => a.copy(stats = statsMap.get(a.relPath)))
   }
@@ -2061,7 +2205,9 @@ object DeltaWrite {
       size: Long,
       modificationTime: Long,
       stats: Option[String] = None,
-      deletionVector: Option[String] = None)
+      deletionVector: Option[String] = None,
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   // ----------------------------------------------------------- file stats
 
@@ -2200,10 +2346,52 @@ object DeltaWrite {
       protocolUpgrade: Option[DeltaLog.Protocol] = None,
       metaConfig: Map[String, String] = Map.empty,
       cdcs: Seq[AddDescriptor] = Nil,
-      ictEnabled: Boolean = false): Long = {
+      ictEnabled: Boolean = false,
+      rowIdBase: Option[Long] = None): Long = {
     val now = System.currentTimeMillis()
     val nonce = java.util.UUID.randomUUID().toString
     val lines = Seq.newBuilder[String]
+
+    // row tracking: every add needs a baseRowId (its first fresh row id)
+    // and defaultRowCommitVersion. Fresh files take ids past the table's
+    // high-water mark in order (id space advances by numRecords per file);
+    // adds arriving WITH ids (restore re-adds) keep them, only bumping the
+    // mark. The new mark commits as a `delta.rowTracking` domainMetadata
+    // action in the SAME commit — the spec's atomicity requirement.
+    def nRecs(stats: Option[String]): Option[Long] =
+      stats.flatMap(s =>
+        try Option(mapper.readTree(s).get("numRecords")).filterNot(_.isNull).map(_.asLong())
+        catch { case scala.util.control.NonFatal(_) => None })
+    val (trackedAdds, rowDomain) = rowIdBase match {
+      case None => (adds, None)
+      case Some(prevHwm) =>
+        var hwm = prevHwm
+        val assigned = adds.map { a =>
+          a.baseRowId match {
+            case Some(b) =>
+              nRecs(a.stats).foreach(n => hwm = math.max(hwm, b + n - 1))
+              a
+            case None =>
+              val n = nRecs(a.stats).getOrElse(throw new IllegalStateException(
+                s"row tracking requires numRecords stats on ${a.relPath}"))
+              val b = hwm + 1
+              hwm += n
+              a.copy(baseRowId = Some(b),
+                defaultRowCommitVersion = Some(version))
+          }
+        }
+        val dm =
+          if (hwm == prevHwm) None
+          else Some {
+            val dn = mapper.createObjectNode()
+            val d = dn.putObject("domainMetadata")
+            d.put("domain", "delta.rowTracking")
+            d.put("configuration", s"""{"rowIdHighWaterMark":$hwm}""")
+            d.put("removed", false)
+            mapper.writeValueAsString(dn)
+          }
+        (assigned, dm)
+    }
 
     // in-commit timestamps: the authoritative monotonic clock lives in
     // commitInfo (file mtimes lie after copies/restores). Enablement comes
@@ -2286,7 +2474,8 @@ object DeltaWrite {
       rm.put("dataChange", dataChange)
       lines += mapper.writeValueAsString(rn)
     }
-    adds.foreach { a =>
+    rowDomain.foreach(lines += _)
+    trackedAdds.foreach { a =>
       val an = mapper.createObjectNode()
       val add = an.putObject("add")
       add.put("path", encodePath(a.relPath))
@@ -2301,6 +2490,8 @@ object DeltaWrite {
       a.stats.foreach(add.put("stats", _))
       a.deletionVector.foreach(dj => add.set[com.fasterxml.jackson.databind.JsonNode](
         "deletionVector", mapper.readTree(dj)))
+      a.baseRowId.foreach(add.put("baseRowId", _))
+      a.defaultRowCommitVersion.foreach(add.put("defaultRowCommitVersion", _))
       lines += mapper.writeValueAsString(an)
     }
     // change-data files (CDF): readers use these EXCLUSIVELY for this

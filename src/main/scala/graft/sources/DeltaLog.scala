@@ -38,7 +38,11 @@ object DeltaLog {
       size: Long = 0L,
       modificationTime: Long = 0L,
       stats: Option[String] = None,
-      deletionVector: Option[String] = None)
+      deletionVector: Option[String] = None,
+      // row tracking (writer feature `rowTracking`): the file's first
+      // fresh row id and the commit version its rows default to
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   /** The table's `protocol` action. Under `minReaderVersion` 3 /
     * `minWriterVersion` 7 the feature lists name exactly what a client
@@ -65,7 +69,10 @@ object DeltaLog {
       metaDataRaw: Option[String] = None,
       protocol: Option[Protocol] = None,
       configuration: Map[String, String] = Map.empty,
-      txns: Map[String, Long] = Map.empty) {
+      txns: Map[String, Long] = Map.empty,
+      // live domainMetadata actions: domain → configuration JSON string
+      // (row tracking keeps its rowIdHighWaterMark in `delta.rowTracking`)
+      domainMetadata: Map[String, String] = Map.empty) {
 
     def columnMappingMode: String =
       configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -118,7 +125,9 @@ object DeltaLog {
     val mt = Option(add.get("modificationTime")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L)
     val stats = Option(add.get("stats")).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
     val dv = Option(add.get("deletionVector")).filterNot(_.isNull).map(_.toString)
-    AddFile(p, pv, size, mt, stats, dv)
+    val bri = Option(add.get("baseRowId")).filterNot(_.isNull).map(_.asLong())
+    val dcv = Option(add.get("defaultRowCommitVersion")).filterNot(_.isNull).map(_.asLong())
+    AddFile(p, pv, size, mt, stats, dv, bri, dcv)
   }
 
   /** True when `path` holds a real Delta table (a `_delta_log` dir). */
@@ -176,7 +185,9 @@ object DeltaLog {
     StructField("size", LongType),
     StructField("modificationTime", LongType),
     StructField("stats", StringType),
-    StructField("deletionVector", dvStructType)))
+    StructField("deletionVector", dvStructType),
+    StructField("baseRowId", LongType),
+    StructField("defaultRowCommitVersion", LongType)))
 
   /** Rewrite a checkpoint frame's `add` column to ONE canonical struct so
     * every source shape feeds [[addIndex]] identically and mixed flavors
@@ -223,7 +234,9 @@ object DeltaLog {
         sub("size", LongType).as("size"),
         sub("modificationTime", LongType).as("modificationTime"),
         sub("stats", StringType).as("stats"),
-        dv.as("deletionVector")))
+        dv.as("deletionVector"),
+        sub("baseRowId", LongType).as("baseRowId"),
+        sub("defaultRowCommitVersion", LongType).as("defaultRowCommitVersion")))
         .otherwise(lit(null).cast(canonicalAddType)))
   }
 
@@ -333,6 +346,11 @@ object DeltaLog {
     // setTransaction high-water marks (streaming writers' exactly-once
     // state) — carried so OUR checkpoints don't erase THEIR guarantees
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // domainMetadata actions (row tracking's rowIdHighWaterMark lives
+    // here); removed=true tombstones the domain
+    val domains = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def applyDomain(domain: String, configuration: String, removed: Boolean): Unit =
+      if (removed) domains -= domain else domains += domain -> configuration
 
     def applyMeta(meta: JsonNode): Unit = {
       schema = DataType.fromJson(meta.get("schemaString").asText())
@@ -373,6 +391,13 @@ object DeltaLog {
         cp.filter(col("metaData.schemaString").isNotNull)
           .select(to_json(col("metaData")))
           .collect().lastOption.foreach(r => applyMeta(mapper.readTree(r.getString(0))))
+      if (cols.contains("domainMetadata"))
+        cp.filter(col("domainMetadata.domain").isNotNull)
+          .select(col("domainMetadata.domain"),
+            col("domainMetadata.configuration"),
+            coalesce(col("domainMetadata.removed"), lit(false)))
+          .collect().foreach(r =>
+            applyDomain(r.getString(0), r.getString(1), r.getBoolean(2)))
     }
 
     st.tail.foreach { case (_, c) =>
@@ -389,11 +414,17 @@ object DeltaLog {
         val txn = node.get("txn")
         if (txn != null && !txn.isNull)
           txns += txn.get("appId").asText() -> txn.get("version").asLong()
+        val dm = node.get("domainMetadata")
+        if (dm != null && !dm.isNull)
+          applyDomain(dm.get("domain").asText(),
+            Option(dm.get("configuration")).filterNot(_.isNull)
+              .map(_.asText()).getOrElse(""),
+            Option(dm.get("removed")).filterNot(_.isNull).exists(_.asBoolean()))
       }
     }
     require(schema != null, s"no metaData action found up to version ${st.targetVersion}")
     val snap = Snapshot(st.targetVersion, schema, partCols, Nil,
-      metaRaw, protocol, config, txns.toMap)
+      metaRaw, protocol, config, txns.toMap, domains.toMap)
     requireReadable(tablePath, snap)
     snap
   }
@@ -417,7 +448,9 @@ object DeltaLog {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("stats", StringType),
-      StructField("deletionVector", dvStructType)))),
+      StructField("deletionVector", dvStructType),
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType))))))
 
@@ -450,6 +483,8 @@ object DeltaLog {
         opt("stats", StringType).as("stats"),
         (if (addFields("deletionVector")) to_json(col("add.deletionVector"))
          else lit(null).cast(StringType)).as("deletionVector"),
+        opt("baseRowId", LongType).as("baseRowId"),
+        opt("defaultRowCommitVersion", LongType).as("defaultRowCommitVersion"),
         lit(cv).as("version"),
         lit(true).as("isAdd"))
     }
@@ -466,6 +501,8 @@ object DeltaLog {
         coalesce(col("add.modificationTime"), lit(0L)).as("modificationTime"),
         col("add.stats").as("stats"),
         to_json(col("add.deletionVector")).as("deletionVector"),
+        col("add.baseRowId").as("baseRowId"),
+        col("add.defaultRowCommitVersion").as("defaultRowCommitVersion"),
         col("version"),
         lit(true).as("isAdd"))
       val removes = raw.filter(col("remove.path").isNotNull).select(
@@ -475,6 +512,8 @@ object DeltaLog {
         lit(0L).as("modificationTime"),
         lit(null).cast(StringType).as("stats"),
         lit(null).cast(StringType).as("deletionVector"),
+        lit(null).cast(LongType).as("baseRowId"),
+        lit(null).cast(LongType).as("defaultRowCommitVersion"),
         col("version"),
         lit(false).as("isAdd"))
       adds.unionByName(removes)
@@ -501,10 +540,17 @@ object DeltaLog {
     * partitionValues, size, modificationTime, stats, deletionVector`) into
     * typed descriptors — for callers that have already pruned down to the
     * acted-on subset on executors. */
-  private[graft] def collectAdds(index: DataFrame): Seq[AddFile] =
-    index.select(col("path"), col("partitionValues"), col("size"),
-        col("modificationTime"), col("stats"), col("deletionVector"))
+  private[graft] def collectAdds(index: DataFrame): Seq[AddFile] = {
+    val withIds =
+      if (index.columns.contains("baseRowId")) index
+      else index // callers that pre-select the narrow shape: null-fill
+        .withColumn("baseRowId", lit(null).cast(LongType))
+        .withColumn("defaultRowCommitVersion", lit(null).cast(LongType))
+    withIds.select(col("path"), col("partitionValues"), col("size"),
+        col("modificationTime"), col("stats"), col("deletionVector"),
+        col("baseRowId"), col("defaultRowCommitVersion"))
       .as(addFileEncoder).collect().toSeq
+  }
 
   /** Resolve the snapshot at `versionAsOf` / `timestampAsOf` / latest,
     * materializing the full file list. The only remaining in-repo caller
@@ -551,7 +597,8 @@ object DeltaLog {
     private[graft] def indexDF: DataFrame =
       addIndex(spark, st)
         .select(col("path"), col("partitionValues"), col("size"),
-          col("modificationTime"), col("stats"), col("deletionVector"))
+          col("modificationTime"), col("stats"), col("deletionVector"),
+          col("baseRowId"), col("defaultRowCommitVersion"))
 
     /** Every table-relative path the snapshot keeps alive — decoded data
       * file paths plus the `.bin` sidecars its deletion vectors point into
@@ -703,7 +750,8 @@ object DeltaLog {
     // table's total file count
     val candidates = addIndex(spark, st)
       .select(col("path"), col("partitionValues"), col("size"),
-        col("modificationTime"), col("stats"), col("deletionVector"))
+        col("modificationTime"), col("stats"), col("deletionVector"),
+        col("baseRowId"), col("defaultRowCommitVersion"))
       .as(addFileEncoder)
       .filter((f: AddFile) => DeltaStats.mayMatch(meta, f, expr))
       .collect().toSeq
@@ -891,19 +939,24 @@ object DeltaLog {
       s: Snapshot,
       files: Seq[AddFile],
       withFilePath: Boolean = false,
-      withRowIndex: Boolean = false): DataFrame = {
+      withRowIndex: Boolean = false,
+      extraDataCols: Seq[StructField] = Nil): DataFrame = {
     val table = new Path(tablePath)
     val logicalData = s.schema.fields.filterNot(f => s.partitionColumns.contains(f.name))
     val mapped = s.columnMappingMode != "none"
     // under column mapping the files spell PHYSICAL names; scan with those
     // and restore logical names after (struct casts rename nested levels
-    // by position)
-    val dataSchema =
-      if (mapped) physicalDataType(StructType(logicalData)).asInstanceOf[StructType]
-      else StructType(logicalData)
+    // by position). `extraDataCols` are non-schema PHYSICAL columns some
+    // files may carry (materialized row ids) — appended to the scan schema
+    // so they surface, null-filled for files written without them.
+    val dataSchema = StructType(
+      (if (mapped) physicalDataType(StructType(logicalData)).asInstanceOf[StructType].fields
+      else logicalData) ++ extraDataCols)
     if (files.isEmpty) {
-      val empty0 = spark.createDataFrame(
+      var empty0 = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+      extraDataCols.foreach(f =>
+        empty0 = empty0.withColumn(f.name, lit(null).cast(f.dataType)))
       val empty1 =
         if (withFilePath) empty0.withColumn("_graft_file", lit(null).cast("string"))
         else empty0
@@ -951,7 +1004,7 @@ object DeltaLog {
         else {
           val renames = logicalData.toIndexedSeq.zipWithIndex.map { case (f, i) =>
             col(dataSchema(i).name).cast(f.dataType).as(f.name)
-          }
+          } ++ extraDataCols.map(f => col(f.name))
           withMeta.select(renames ++ metaCols: _*)
         }
       s.partitionColumns.foldLeft(base) { (df, pc) =>
@@ -963,8 +1016,90 @@ object DeltaLog {
       }
     }
     val cols = s.schema.fieldNames.toIndexedSeq.map(col) ++
+      extraDataCols.map(f => col(f.name)) ++
       (if (withFilePath) Seq(col("_graft_file")) else Nil) ++
       (if (withRowIndex) Seq(col("_graft_row_index")) else Nil)
     parts.reduce(_ unionByName _).select(cols: _*)
+  }
+
+  // ------------------------------------------------------------ row tracking
+
+  /** The table's row-id high-water mark from the `delta.rowTracking`
+    * domainMetadata (-1 when none assigned yet — fresh ids start at 0 per
+    * spec). */
+  private[graft] def rowIdHighWaterMark(s: Snapshot): Long =
+    s.domainMetadata.get("delta.rowTracking").flatMap { cfg =>
+      try Option(mapper.readTree(cfg).get("rowIdHighWaterMark")).map(_.asLong())
+      catch { case scala.util.control.NonFatal(_) => None }
+    }.getOrElse(-1L)
+
+  private[graft] def rowTrackingEnabled(s: Snapshot): Boolean =
+    s.configuration.get("delta.enableRowTracking").exists(_.equalsIgnoreCase("true"))
+
+  /** Read the table with row-tracking metadata: every row gains `_row_id`
+    * (STABLE — a rewrite-preserving writer materializes it into rewritten
+    * files; otherwise it derives fresh as `baseRowId + row position`) and
+    * `_row_commit_version` (materialized, else the add action's
+    * `defaultRowCommitVersion`) — the exact coalesce the public spec
+    * prescribes. The per-file (baseRowId, defaultRowCommitVersion) lookup
+    * joins broadcast against the scan; its size is the file count of the
+    * read, which this full-scan path has already collected driver-side —
+    * bounded reads at lake scale should prune files first (readWhere
+    * pattern) and join the pruned lookup.
+    */
+  def readWithRowIds(
+      spark: SparkSession,
+      tablePath: String,
+      versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[java.time.Instant] = None): DataFrame = {
+    val st = resolveState(spark, tablePath, versionAsOf, timestampAsOf)
+    val meta = metaReplay(spark, tablePath, st)
+    require(rowTrackingEnabled(meta),
+      s"$tablePath does not have row tracking enabled (delta.enableRowTracking)")
+    val files = collectAdds(
+      addIndex(spark, st).withColumn("stats", lit(null).cast(StringType)))
+    readFilesWithRowIds(spark, tablePath, meta, files)
+  }
+
+  /** [[readFiles]] + the spec's stable-row-id derivation over `files`. */
+  private[graft] def readFilesWithRowIds(
+      spark: SparkSession,
+      tablePath: String,
+      s: Snapshot,
+      files: Seq[AddFile]): DataFrame = {
+    val matId = s.configuration.get("delta.rowTracking.materializedRowIdColumnName")
+    val matVer = s.configuration.get("delta.rowTracking.materializedRowCommitVersionColumnName")
+    val extra = (matId.toSeq ++ matVer.toSeq).map(n => StructField(n, LongType))
+    val scan = readFiles(spark, tablePath, s, files,
+      withFilePath = true, withRowIndex = true, extraDataCols = extra)
+    val table = new Path(tablePath)
+    val fsys = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val lookupSchema = StructType(Seq(
+      StructField("_graft_key", StringType),
+      StructField("_graft_base", LongType),
+      StructField("_graft_defver", LongType)))
+    val lookupRows = files.map { a =>
+      val key = new Path(
+        fsys.makeQualified(new Path(table, decodePath(a.path))).toString).toString
+      org.apache.spark.sql.Row(key,
+        a.baseRowId.map(Long.box).orNull,
+        a.defaultRowCommitVersion.map(Long.box).orNull)
+    }
+    val lookup = spark.createDataFrame(
+      spark.sparkContext.parallelize(lookupRows, 1), lookupSchema)
+    // _metadata.file_path and makeQualified spell the same file differently
+    // (file:/// vs file:/) — Path normalizes both
+    val canon = udf((p: String) => new Path(p).toString)
+    val joined = scan.join(org.apache.spark.sql.functions.broadcast(lookup),
+      canon(col("_graft_file")) === col("_graft_key"), "left")
+    val rowId = coalesce(
+      (matId.map(col).toSeq :+ (col("_graft_base") + col("_graft_row_index"))): _*)
+    val rowVer = coalesce(
+      (matVer.map(col).toSeq :+ col("_graft_defver")): _*)
+    joined
+      .withColumn("_row_id", rowId)
+      .withColumn("_row_commit_version", rowVer)
+      .drop((Seq("_graft_file", "_graft_row_index", "_graft_key",
+        "_graft_base", "_graft_defver") ++ matId.toSeq ++ matVer.toSeq): _*)
   }
 }
