@@ -736,7 +736,7 @@ object DeltaWrite {
     * rewrites only the hit files.
     */
   def upsert(spark: SparkSession, tablePath: String, df: DataFrame, keys: Seq[String]): Long = {
-    import org.apache.spark.sql.functions.{col, max => smax, min => smin, sum}
+    import org.apache.spark.sql.functions.{col, lit, max => smax, min => smin, sum}
     require(keys.nonEmpty, "upsert requires at least one key column")
     val ls = DeltaLog.lazySnapshot(spark, tablePath)
     val snap = ls.meta
@@ -1552,6 +1552,14 @@ object DeltaWrite {
         "column mapping is assigned at table creation")
     def on(cfg: Map[String, String], k: String) =
       cfg.get(k).exists(_.equalsIgnoreCase("true"))
+    // enabling row tracking mid-life needs a backfill (materialize column
+    // names, protocol features, base row ids for every EXISTING file) —
+    // half-enabling via a property flip would break later rewrites, so
+    // refuse it the same way column mapping is refused
+    require(on(newCfg, "delta.enableRowTracking") ==
+        DeltaLog.rowTrackingEnabled(snap),
+      "delta.enableRowTracking cannot be changed via setProperties; " +
+        "row tracking is enabled at table creation")
     val need = Set.newBuilder[String]
     if (on(newCfg, "delta.enableInCommitTimestamps")) need += "inCommitTimestamp"
     if (on(newCfg, "delta.enableChangeDataFeed")) need += "changeDataFeed"
@@ -1864,14 +1872,6 @@ object DeltaWrite {
     val f = fs(spark, table)
     val uuid = java.util.UUID.randomUUID().toString
     val strMap = MapType(StringType, StringType, valueContainsNull = true)
-    val addType = StructType(Seq(
-      StructField("path", StringType),
-      StructField("partitionValues", strMap),
-      StructField("size", LongType),
-      StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType),
-      StructField("stats", StringType),
-      StructField("deletionVector", graft.sources.DeltaLog.dvStructType)))
     // sidecars carry exclusively file actions per spec: add rows here,
     // plus an always-null remove column so the schema names both
     val removeType = StructType(Seq(
@@ -1920,15 +1920,6 @@ object DeltaWrite {
         f.delete(tmp, true)
         out
       }
-
-    // idempotent re-checkpoint of this version: clear prior manifests
-    // (classic or v2, parquet or json) before publishing the new one
-    val CpName =
-      (f"${snap.version}%020d" + """\.checkpoint(\..*)?\.(parquet|json)""").r
-    f.listStatus(logDir(table)).foreach { st =>
-      if (CpName.pattern.matcher(st.getPath.getName).matches())
-        f.delete(st.getPath, false)
-    }
 
     val metaNode = snap.metaDataRaw.map(mapper.readTree)
     def metaField(n: String): Option[com.fasterxml.jackson.databind.JsonNode] =
@@ -2019,6 +2010,10 @@ object DeltaWrite {
         StructField("txn", StructType(Seq(
           StructField("appId", StringType),
           StructField("version", LongType)))),
+        StructField("domainMetadata", StructType(Seq(
+          StructField("domain", StringType),
+          StructField("configuration", StringType),
+          StructField("removed", BooleanType)))),
         StructField("sidecar", StructType(Seq(
           StructField("path", StringType),
           StructField("sizeInBytes", LongType),
@@ -2034,16 +2029,23 @@ object DeltaWrite {
         snap.partitionColumns,
         snap.configuration,
         metaField("createdTime").map(_.asLong()).getOrElse(System.currentTimeMillis()))
+      // domainMetadata MUST ride in the manifest (like the JSON flavor and
+      // the classic checkpoint): after metadata cleanup it is the only
+      // carrier of e.g. delta.rowTracking's rowIdHighWaterMark — dropping
+      // it would reassign stable row ids from 0 on the next commit
       val rows: Seq[Row] =
         Seq(
-          Row(Row(snap.version, null), null, null, null, null),
-          Row(null, protoRow, null, null, null),
-          Row(null, null, metaRow, null, null)) ++
+          Row(Row(snap.version, null), null, null, null, null, null),
+          Row(null, protoRow, null, null, null, null),
+          Row(null, null, metaRow, null, null, null)) ++
           snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
-            Row(null, null, null, Row(app, v), null)
+            Row(null, null, null, Row(app, v), null, null)
+          } ++
+          snap.domainMetadata.toSeq.sortBy(_._1).map { case (d, cfg) =>
+            Row(null, null, null, null, Row(d, cfg, false), null)
           } ++
           sidecars.map { case (name, len, mt) =>
-            Row(null, null, null, null, Row(name, len, mt, null))
+            Row(null, null, null, null, null, Row(name, len, mt, null))
           }
       val manifestDf = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), manifestSchema)
@@ -2064,9 +2066,22 @@ object DeltaWrite {
       f.delete(tmpManifest, true)
     }
 
+    // the new uuid-named manifest is live — NOW clear superseded manifests
+    // of this version (classic or prior-uuid v2). Publish-then-delete:
+    // after metadata cleanup a manifest can be the table's only replay
+    // seed, so there must never be a window with no manifest on disk.
+    val CpName =
+      (f"${snap.version}%020d" + """\.checkpoint(\..*)?\.(parquet|json)""").r
+    f.listStatus(logDir(table)).foreach { st =>
+      val n = st.getPath.getName
+      if (n != manifestName && CpName.pattern.matcher(n).matches())
+        f.delete(st.getPath, false)
+    }
+
     val lc = mapper.createObjectNode()
     lc.put("version", snap.version)
-    lc.put("size", 3L + snap.txns.size + sidecars.size)
+    lc.put("size",
+      3L + snap.txns.size + snap.domainMetadata.size + sidecars.size)
     lc.put("sizeInBytes", sidecars.map(_._2).sum)
     lc.put("numOfAddFiles", nFiles)
     val outLc = f.create(new Path(logDir(table), "_last_checkpoint"), true)
@@ -2085,11 +2100,27 @@ object DeltaWrite {
     val f = fs(spark, table)
     val CommitName = """(\d{20})\.json""".r
     val CpAnyName = """(\d{20})\.checkpoint(\..*)?\.(parquet|json)""".r
+    val CpMultiPart = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
     val entries = f.listStatus(logDir(table)).toSeq
+    // Only COMPLETE checkpoints count as replay seeds. Multi-part classic
+    // checkpoints publish part-by-part (sequential renames), so a crashed
+    // publish leaves a partial set — treating it as newest and deleting
+    // the commits below it would lose the table. Single-file classic and
+    // v2 manifests publish via one atomic rename: present ⇒ complete.
+    val multiParts = entries
+      .flatMap(_.getPath.getName match {
+        case CpMultiPart(v, part, n) => Some((v.toLong, n.toLong) -> part.toLong)
+        case _ => None
+      })
+      .groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2).toSet }
+    val completeMulti = multiParts.collect {
+      case ((v, n), parts) if parts == (1L to n).toSet => v
+    }
     val cpVersions = entries.flatMap(_.getPath.getName match {
+      case CpMultiPart(_, _, _) => None // judged by part-set completeness
       case CpAnyName(v, _, _) => Some(v.toLong)
       case _ => None
-    })
+    }) ++ completeMulti
     if (cpVersions.isEmpty) return 0
     val newest = cpVersions.max
     var n = 0

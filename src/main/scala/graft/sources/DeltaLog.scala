@@ -897,7 +897,8 @@ object DeltaLog {
               val remSet = rems.toSet
               val files = addIndex(spark, prevSt)
                 .select(col("path"), col("partitionValues"), col("size"),
-                  col("modificationTime"), col("stats"), col("deletionVector"))
+                  col("modificationTime"), col("stats"), col("deletionVector"),
+                  col("baseRowId"), col("defaultRowCommitVersion"))
                 .as(addFileEncoder)
                 .filter((f: AddFile) => remSet.contains(f.path))
                 .collect().toSeq

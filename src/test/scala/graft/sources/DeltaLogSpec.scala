@@ -293,13 +293,13 @@ class DeltaLogSpec extends SparkSpec {
       DeltaWrite.append(spark, idt.toString, row))
     assert(e2b.getMessage.contains("identity"), e2b.getMessage)
 
-    // v7 writer feature we don't implement (row tracking) refuses by name
-    val rt = freshTable("dw-rowtracking", Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
+    // v7 writer feature we don't implement (type widening) refuses by name
+    val rt = freshTable("dw-typewidening", Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["typeWidening"]}}""",
       metaLine))
     val e3 = intercept[IllegalArgumentException](
       DeltaWrite.append(spark, rt.toString, row))
-    assert(e3.getMessage.contains("rowTracking"), e3.getMessage)
+    assert(e3.getMessage.contains("typeWidening"), e3.getMessage)
   }
 
   test("checkpoint preserves a foreign table's protocol and txn state") {
