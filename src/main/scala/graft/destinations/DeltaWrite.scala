@@ -2100,27 +2100,12 @@ object DeltaWrite {
     val f = fs(spark, table)
     val CommitName = """(\d{20})\.json""".r
     val CpAnyName = """(\d{20})\.checkpoint(\..*)?\.(parquet|json)""".r
-    val CpMultiPart = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
     val entries = f.listStatus(logDir(table)).toSeq
-    // Only COMPLETE checkpoints count as replay seeds. Multi-part classic
-    // checkpoints publish part-by-part (sequential renames), so a crashed
-    // publish leaves a partial set — treating it as newest and deleting
-    // the commits below it would lose the table. Single-file classic and
-    // v2 manifests publish via one atomic rename: present ⇒ complete.
-    val multiParts = entries
-      .flatMap(_.getPath.getName match {
-        case CpMultiPart(v, part, n) => Some((v.toLong, n.toLong) -> part.toLong)
-        case _ => None
-      })
-      .groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2).toSet }
-    val completeMulti = multiParts.collect {
-      case ((v, n), parts) if parts == (1L to n).toSet => v
-    }
-    val cpVersions = entries.flatMap(_.getPath.getName match {
-      case CpMultiPart(_, _, _) => None // judged by part-set completeness
-      case CpAnyName(v, _, _) => Some(v.toLong)
-      case _ => None
-    }) ++ completeMulti
+    // Only COMPLETE checkpoints count as replay seeds — shared judgement
+    // with the read path (DeltaLog.resolveState) so cleanup can never
+    // delete a commit the reader still needs.
+    val cpVersions =
+      graft.sources.DeltaLog.completeCheckpointVersions(entries.map(_.getPath.getName))
     if (cpVersions.isEmpty) return 0
     val newest = cpVersions.max
     var n = 0

@@ -123,9 +123,16 @@ object Sampling {
     // null-key rows bucket to "zz" (> every hex prefix): same position the
     // old global asc_nulls_last rank order gave them
     val bucket = coalesce(substring(h, 1, 2), lit("zz"))
+    // bcounts is consumed three times (the exact-decimal scalar inside
+    // quotaFrame, the quota join, the stats window) — persist it so the
+    // input scans ONCE for stats. It is bounded at ≤257 buckets × #domains,
+    // and quotaFrame's eager head() fills the cache before any reuse;
+    // lifecycle follows the documented service convention (callers /
+    // Bench clear the cache between corpora).
     val bcounts = df.filter(col(domainCol).isNotNull)
       .groupBy(col(domainCol).as("_mix_d"), bucket.as("_mix_b"))
       .agg(count(lit(1)).as("_mix_n"))
+      .persist()
     val quotas = quotaFrame(
       bcounts.groupBy(col("_mix_d")).agg(sum(col("_mix_n")).as("_mix_dn")),
       col("_mix_d"), col("_mix_dn"), alpha, budget)

@@ -142,6 +142,36 @@ object DeltaLog {
   // v2 checkpoint manifests may be JSON (`<v>.checkpoint.<uuid>.json`);
   // the parquet flavor already matches CheckpointRe
   private val CheckpointJsonRe = """(\d{20})\.checkpoint\.[^.]+\.json""".r
+  private val CheckpointMultiPartRe =
+    """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+
+  /** Checkpoint versions among the given `_delta_log` file names that are
+    * COMPLETE replay seeds. Multi-part classic checkpoints publish
+    * part-by-part (sequential renames), so a crashed publish leaves a
+    * partial part set — seeding a read or a metadata cleanup from one
+    * silently drops every commit above it. Single-file classic and v2
+    * manifests publish via one atomic rename: present ⇒ complete.
+    * Shared by [[resolveState]] and `DeltaWrite.cleanupMetadata` so the
+    * read and cleanup paths can never disagree on what counts as a seed.
+    */
+  private[graft] def completeCheckpointVersions(names: Seq[String]): Seq[Long] = {
+    val multiParts = names
+      .flatMap {
+        case CheckpointMultiPartRe(v, part, n) => Some((v.toLong, n.toLong) -> part.toLong)
+        case _ => None
+      }
+      .groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2).toSet }
+    val completeMulti = multiParts.collect {
+      case ((v, n), parts) if parts == (1L to n).toSet => v
+    }
+    val atomic = names.flatMap {
+      case CheckpointMultiPartRe(_, _, _) => None // judged by part-set completeness
+      case CheckpointRe(v, _) => Some(v.toLong)
+      case CheckpointJsonRe(v) => Some(v.toLong)
+      case _ => None
+    }
+    (atomic ++ completeMulti).distinct.sorted
+  }
 
   /** The seeding checkpoint's actions as one DataFrame — the bridge that
     * makes every checkpoint flavor look alike to the two consumers
@@ -270,13 +300,10 @@ object DeltaLog {
         case _ => None
       }
     }.sortBy(_._1)
-    val allCheckpointVersions = entries.flatMap { st =>
-      st.getPath.getName match {
-        case CheckpointRe(v, _) => Some(v.toLong)
-        case CheckpointJsonRe(v) => Some(v.toLong)
-        case _ => None
-      }
-    }.distinct.sorted
+    // only COMPLETE checkpoints may seed a snapshot — a crashed multi-part
+    // publish must not hide the JSON commits above it
+    val allCheckpointVersions =
+      completeCheckpointVersions(entries.map(_.getPath.getName))
     require(commits.nonEmpty || allCheckpointVersions.nonEmpty,
       s"empty _delta_log at $tablePath")
 
@@ -321,11 +348,19 @@ object DeltaLog {
     // JSON commits after it replay on top
     val fromCheckpoint = allCheckpointVersions.filter(_ <= targetVersion).lastOption
     val checkpointParts = fromCheckpoint.map { cv =>
-      entries.filter(_.getPath.getName match {
+      val atVersion = entries.filter(_.getPath.getName match {
         case CheckpointRe(v, _) => v.toLong == cv
         case CheckpointJsonRe(v) => v.toLong == cv
         case _ => false
-      }).map(_.getPath.toString)
+      })
+      // never mix flavors: an atomic seed (single-file / v2 manifest)
+      // wins over any multi-part set at the same version, and stray
+      // partial parts alongside it must not duplicate its rows
+      val (multi, atomic) = atVersion.partition(_.getPath.getName match {
+        case CheckpointMultiPartRe(_, _, _) => true
+        case _ => false
+      })
+      (if (atomic.nonEmpty) atomic else multi).map(_.getPath.toString)
     }.getOrElse(Nil)
     LogState(table, fs, commits, checkpointParts, targetVersion, fromCheckpoint)
   }
@@ -1079,20 +1114,26 @@ object DeltaLog {
       StructField("_graft_key", StringType),
       StructField("_graft_base", LongType),
       StructField("_graft_defver", LongType)))
-    val lookupRows = files.map { a =>
-      val key = new Path(
-        fsys.makeQualified(new Path(table, decodePath(a.path))).toString).toString
-      org.apache.spark.sql.Row(key,
+    // _metadata.file_path and makeQualified spell the same file differently
+    // (file:/// vs file:/). Rather than normalize the SCAN side per row (a
+    // codegen-breaking UDF on every row of the read), emit every spelling
+    // of each file into the driver-side lookup — its size is the file
+    // count, so a few extra rows are free — and join the raw column.
+    val lookupRows = files.flatMap { a =>
+      val qualified = fsys.makeQualified(new Path(table, decodePath(a.path)))
+      val uri = qualified.toUri
+      val emptyAuthority =
+        uri.getScheme == "file" && (uri.getAuthority == null || uri.getAuthority.isEmpty)
+      val spellings = (Seq(qualified.toString, uri.toString) ++
+        (if (emptyAuthority) Seq("file://" + uri.getPath) else Nil)).distinct
+      spellings.map(key => org.apache.spark.sql.Row(key,
         a.baseRowId.map(Long.box).orNull,
-        a.defaultRowCommitVersion.map(Long.box).orNull)
+        a.defaultRowCommitVersion.map(Long.box).orNull))
     }
     val lookup = spark.createDataFrame(
       spark.sparkContext.parallelize(lookupRows, 1), lookupSchema)
-    // _metadata.file_path and makeQualified spell the same file differently
-    // (file:/// vs file:/) — Path normalizes both
-    val canon = udf((p: String) => new Path(p).toString)
     val joined = scan.join(org.apache.spark.sql.functions.broadcast(lookup),
-      canon(col("_graft_file")) === col("_graft_key"), "left")
+      col("_graft_file") === col("_graft_key"), "left")
     val rowId = coalesce(
       (matId.map(col).toSeq :+ (col("_graft_base") + col("_graft_row_index"))): _*)
     val rowVer = coalesce(

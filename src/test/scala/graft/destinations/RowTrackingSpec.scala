@@ -153,7 +153,8 @@ class RowTrackingSpec extends SparkSpec {
     assert(after == before - 2L, s"DV delete moved ids: $before -> $after")
 
     // replace rewrites the file (remove + add): survivors keep ids
-    DeltaWrite.replace(spark, t, Seq((3L, "C3")).toDF("k", "v"), Map("k" -> "3"))
+    DeltaWrite.replace(spark, t, Seq((3L, "C3")).toDF("k", "v"),
+      Seq(graft.config.ReplaceCondition("k", "3")))
     val afterR = idMap(t)
     assert(afterR(1L)._1 == before(1L)._1 && afterR(4L)._1 == before(4L)._1,
       s"replace moved survivor ids: $before -> $afterR")
@@ -211,7 +212,8 @@ class RowTrackingSpec extends SparkSpec {
     // delete-derivation path that reads the PREVIOUS version's add index —
     // whose rows now carry baseRowId columns
     DeltaWrite.restore(spark, t, 0L)
-    val cdf = DeltaLog.readCdf(spark, t, 1L, DeltaLog.snapshot(spark, t).version)
+    // third param is fromVersionExclusive: 0L includes version 1's inserts
+    val cdf = DeltaLog.readCdf(spark, t, 0L, Some(DeltaLog.snapshot(spark, t).version))
       .select(col("k"), col("_change_type")).collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted
     assert(cdf.count(_._2 == "insert") == 2 && cdf.count(_._2 == "delete") == 2, cdf.toSeq)
