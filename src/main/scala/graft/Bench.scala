@@ -70,7 +70,10 @@ object Bench {
     "q133_stream_full_outer")
   // queries added in round 11
   private[graft] val r11New = Set("q134_delta_v2cp")
-  private[graft] val laterRounds = Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New, r11New)
+  // queries added in round 13
+  private[graft] val r13New = Set("q135_delta_rowtracking")
+  private[graft] val laterRounds =
+    Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New, r11New, r13New)
   private def newer(from: Int)(k: String): Boolean =
     laterRounds.drop(from).exists(_(k))
   // ------------------------------------------------------------------------

@@ -288,6 +288,47 @@ private[graft] object DeltaQueries {
       graft.sources.DeltaLog.read(s, root)
         .select(col("row_id"), col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Row tracking (writer feature `rowTracking`, r12→r13): every physical
+    // row carries a table-unique STABLE id that survives rewrites, with the
+    // high-water mark riding a `delta.rowTracking` domainMetadata action in
+    // the consuming commit. The whole lifecycle runs through the gate:
+    // two sorted single-file appends (ids = hwm+1+position), a DV delete
+    // (ids stable, mark untouched), OPTIMIZE (ids preserved via the
+    // materialized columns; mark bumps by the rewritten row count), an
+    // append of re-keyed rows (fresh ids continue past the compact bump),
+    // and an UPDATE-only upsert (updated rows inherit their id, commit
+    // version falls to the upsert commit; survivors keep both). The oracle
+    // re-derives every id with window ranks over the same deterministic
+    // slices — an id the writer leaks, reuses, or moves hash-mismatches.
+    "q135_delta_rowtracking" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val tbl = tmp("graft-q135").resolve("t").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        StructType(Seq(StructField("doc_id", LongType), StructField("lang", StringType))),
+        properties = Map(
+          "delta.enableRowTracking" -> "true",
+          "delta.enableDeletionVectors" -> "true"))
+      def sorted1(df: DataFrame) =
+        df.repartition(1).sortWithinPartitions("doc_id")
+      DeltaWrite.append(s, tbl, sorted1(docs.filter(col("doc_id") % 2 === 0))) // v1
+      DeltaWrite.append(s, tbl, sorted1(docs.filter(col("doc_id") % 2 === 1))) // v2
+      DeltaWrite.delete(s, tbl, "doc_id % 7 = 0")                              // v3 (DV)
+      DeltaWrite.compact(s, tbl, targetFileBytes = 1L << 30)                   // v4
+      DeltaWrite.append(s, tbl, sorted1(                                       // v5
+        docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"))))
+      DeltaWrite.upsert(s, tbl,                                                // v6
+        docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), upper(col("lang")).as("lang")),
+        Seq("doc_id"))
+      graft.sources.DeltaLog.readWithRowIds(s, tbl)
+        .select(col("doc_id"), col("lang"), col("_row_id"),
+          col("_row_commit_version"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -401,6 +442,41 @@ private[graft] object DeltaQueries {
            FROM documents WHERE doc_id % 2 = 1)
          SELECT CAST(row_id AS BIGINT) AS row_id, doc_id, lang
          FROM (SELECT * FROM ev UNION ALL SELECT * FROM od)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // stable row ids replayed: v1 assigns rank-1 over the even slice, v2
+    // continues at the even count, the %7 DV delete removes rows without
+    // moving ids, compact preserves ids while bumping the mark by the live
+    // count, v5's re-keyed append continues past that bump, and the v6
+    // update flips lang + commit version in place without moving an id
+    "q135_delta_rowtracking" ->
+      """WITH ev AS (
+           SELECT doc_id, lang,
+                  -1 + row_number() OVER (ORDER BY doc_id) AS _row_id,
+                  CAST(1 AS BIGINT) AS _row_commit_version
+           FROM documents WHERE doc_id % 2 = 0),
+         od AS (
+           SELECT doc_id, lang,
+                  (SELECT count(*) FROM ev) - 1
+                    + row_number() OVER (ORDER BY doc_id) AS _row_id,
+                  CAST(2 AS BIGINT) AS _row_commit_version
+           FROM documents WHERE doc_id % 2 = 1),
+         base AS (SELECT * FROM ev UNION ALL SELECT * FROM od),
+         live AS (SELECT * FROM base WHERE doc_id % 7 <> 0),
+         appended AS (
+           SELECT doc_id + 1000000 AS doc_id, lang,
+                  (SELECT count(*) FROM base) - 1 + (SELECT count(*) FROM live)
+                    + row_number() OVER (ORDER BY doc_id) AS _row_id,
+                  CAST(5 AS BIGINT) AS _row_commit_version
+           FROM documents WHERE doc_id % 3 = 0),
+         allrows AS (SELECT * FROM live UNION ALL SELECT * FROM appended)
+         SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 AND doc_id < 1000000
+                     THEN upper(lang) ELSE lang END AS lang,
+                CAST(_row_id AS BIGINT) AS _row_id,
+                CASE WHEN doc_id % 5 = 0 AND doc_id < 1000000
+                     THEN CAST(6 AS BIGINT) ELSE _row_commit_version
+                END AS _row_commit_version
+         FROM allrows ORDER BY doc_id"""
   )
 }

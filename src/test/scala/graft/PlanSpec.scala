@@ -306,4 +306,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("q135: row-id derivation is a broadcast lookup join with no per-row UDF") {
+    val p = plan("q135_delta_rowtracking")
+    // the file→(baseRowId, defaultRowCommitVersion) lookup joins the RAW
+    // _metadata.file_path against a multi-spelling driver-side key table —
+    // a scan-side path-normalizing UDF would break codegen on every row
+    assert(!p.contains("UDF"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
