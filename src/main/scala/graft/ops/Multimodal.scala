@@ -190,47 +190,69 @@ object Multimodal {
     * [[audioNearDupPairs]] mines them through [[Dedup.hamming64Pairs]].
     * Undecodable or non-16-bit payloads hash to null.
     */
+  /** 64-bin envelope hash over an abstract sample accessor — shared by the
+    * javax-PCM and FLAC decode paths so both formats hash identically for
+    * identical audio.
+    */
+  private def envelope64(nSamples: Int, sample: Int => Double): Option[Long] = {
+    if (nSamples < 64) return None
+    val rms = new Array[Double](64)
+    var b = 0
+    while (b < 64) {
+      val from = (b.toLong * nSamples / 64).toInt
+      val until = ((b + 1).toLong * nSamples / 64).toInt
+      var sum = 0.0
+      var i = from
+      while (i < until) {
+        val s = sample(i)
+        sum += s * s
+        i += 1
+      }
+      rms(b) = math.sqrt(sum / math.max(1, until - from))
+      b += 1
+    }
+    val mean = rms.sum / 64
+    var h = 0L
+    b = 0
+    while (b < 64) {
+      if (rms(b) > mean) h |= 1L << (63 - b)
+      b += 1
+    }
+    Some(h)
+  }
+
+  private def isFlac(bytes: Array[Byte]): Boolean =
+    bytes.length > 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
+      bytes(2) == 'a' && bytes(3) == 'C'
+
   def audioFingerprint(df: DataFrame, idCol: String, dataCol: String): DataFrame = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long"), col(dataCol)).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           try {
-            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            val fmt = in.getFormat
-            if (fmt.getSampleSizeInBits != 16) (id, None: Option[Long])
-            else {
-              val data = in.readAllBytes()
-              val bb = java.nio.ByteBuffer.wrap(data).order(
-                if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
-                else java.nio.ByteOrder.LITTLE_ENDIAN)
-              val nSamples = data.length / 2
-              if (nSamples < 64) (id, None: Option[Long])
+            if (isFlac(bytes)) {
+              // real PCM via the pure-JVM decoder — javax.sound has no FLAC
+              val audio = Flac.decode(bytes)
+              if (audio.info.bitsPerSample != 16) (id, None: Option[Long])
               else {
-                val rms = new Array[Double](64)
-                var b = 0
-                while (b < 64) {
-                  val from = (b.toLong * nSamples / 64).toInt
-                  val until = ((b + 1).toLong * nSamples / 64).toInt
-                  var sum = 0.0
-                  var i = from
-                  while (i < until) {
-                    val s = bb.getShort(i * 2) / 32768.0
-                    sum += s * s
-                    i += 1
-                  }
-                  rms(b) = math.sqrt(sum / math.max(1, until - from))
-                  b += 1
-                }
-                val mean = rms.sum / 64
-                var h = 0L
-                b = 0
-                while (b < 64) {
-                  if (rms(b) > mean) h |= 1L << (63 - b)
-                  b += 1
-                }
-                (id, Some(h))
+                val ch = audio.samples
+                val n = ch(0).length * ch.length
+                // interleaved order matches the WAV path's sample stream
+                (id, envelope64(n,
+                  i => ch(i % ch.length)(i / ch.length) / 32768.0))
+              }
+            } else {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = in.getFormat
+              if (fmt.getSampleSizeInBits != 16) (id, None: Option[Long])
+              else {
+                val data = in.readAllBytes()
+                val bb = java.nio.ByteBuffer.wrap(data).order(
+                  if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                  else java.nio.ByteOrder.LITTLE_ENDIAN)
+                (id, envelope64(data.length / 2, i => bb.getShort(i * 2) / 32768.0))
               }
             }
           } catch { case _: Exception => (id, None: Option[Long]) }
@@ -246,7 +268,8 @@ object Multimodal {
     Dedup.hamming64Pairs(audioFingerprint(df, idCol, dataCol),
       idCol, "afp", maxDistance, maxBucketSize)
 
-  /** Decoded-audio features (JDK `javax.sound.sampled`: PCM WAV/AIFF/AU).
+  /** Decoded-audio features (JDK `javax.sound.sampled`: PCM WAV/AIFF/AU;
+    * FLAC via the pure-JVM [[Flac]] decoder since r13).
     * RMS amplitude is computed over 16-bit samples, normalized to [0, 1].
     */
   final case class AudioFeatures(
@@ -259,6 +282,30 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           try {
+            if (isFlac(bytes)) {
+              val audio = Flac.decode(bytes)
+              val si = audio.info
+              val frames = audio.samples(0).length.toLong
+              val durMs = (frames * 1000.0 / si.sampleRate).toLong
+              var rms = 0.0
+              if (si.bitsPerSample == 16 && frames > 0) {
+                var sum = 0.0
+                var c = 0
+                while (c < audio.samples.length) {
+                  val ch = audio.samples(c)
+                  var i = 0
+                  while (i < ch.length) {
+                    val s = ch(i) / 32768.0
+                    sum += s * s
+                    i += 1
+                  }
+                  c += 1
+                }
+                rms = math.sqrt(sum / (frames * audio.samples.length))
+              }
+              AudioFeatures(id, ok = true, si.sampleRate.toDouble, si.channels,
+                frames, durMs, rms)
+            } else {
             val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(bytes))
             val fmt = in.getFormat
@@ -283,6 +330,7 @@ object Multimodal {
             }
             AudioFeatures(id, ok = true, fmt.getSampleRate.toDouble,
               fmt.getChannels, frames, durMs, rms)
+            }
           } catch {
             case _: Exception => AudioFeatures(id, ok = false, 0.0, 0, 0L, 0L, 0.0)
           }
@@ -322,7 +370,8 @@ object Multimodal {
 
   /** STUB decoder ??? strictly for PIXEL/PCM work of CODECS the JDK does
     * not ship (h264/vp9 frame pixels, LOSSY webp pixels, mp3 PCM —
-    * lossless WebP is real since round 10, see [[Vp8l]]) —
+    * lossless WebP is real since round 10, see [[Vp8l]]; FLAC PCM is real
+    * since round 13, see [[Flac]]) —
     * deterministic fake features: byte length, a content hash, and a
     * pseudo-"brightness" (mean of a sampled byte prefix). The schema and
     * distribution contract match the real [[decodeImageFeatures]] path;

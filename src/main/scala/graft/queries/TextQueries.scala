@@ -123,6 +123,44 @@ private[graft] object TextQueries {
         .orderBy(col("img_id"))
     }),
 
+    // FLAC PCM decode, gated (r13 — the audio analogue of q130):
+    // deterministic sawtooth PCM (each sample a closed-form function of
+    // (t, channel, i)) is encoded by the independent fixture encoder —
+    // rotating stereo decorrelation modes, subframe strategies, Rice
+    // widths and partition depths across tracks — then decoded back
+    // through the PRODUCTION decodeAudioFeatures path. The 4-dp RMS
+    // covers every decoded sample: a bit error anywhere in the
+    // predictor/Rice/stereo chain shifts it (and the in-stream PCM MD5
+    // check inside the decoder would reject first).
+    "q136_flac_decode" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = (0 until 12).map { i =>
+        val n = 2048 + 256 * i
+        val nCh = 1 + (i % 2)
+        val rate = 8000 + 500 * i
+        val chans = Array.tabulate(nCh)(c => Array.tabulate(n)(t =>
+          ((t * (3 + i % 5) + c * 13 + i * 17) % 2048) - 1024 +
+            (t % 7) * (1 - 2 * (c % 2))))
+        val o = ops.FlacEncoder.Options(
+          blockSize = 256 + 128 * (i % 3),
+          stereo =
+            if (nCh == 2)
+              Seq(ops.FlacEncoder.LeftSide, ops.FlacEncoder.RightSide,
+                ops.FlacEncoder.MidSide)((i / 2) % 3)
+            else ops.FlacEncoder.Independent,
+          strategy =
+            if (i % 5 == 0) "verbatim" else if (i % 5 == 1) "lpc" else "fixed",
+          rice2 = i % 4 == 0,
+          maxPartitionOrder = i % 5)
+        (i.toLong, ops.FlacEncoder.encode(chans, rate, 16, o))
+      }
+      val df = fixtures.toDF("track_id", "data").repartition(4)
+      ops.Multimodal.decodeAudioFeatures(df, "track_id", "data")
+        .select(col("track_id"), col("ok"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("duration_ms"), round(col("rms"), 4).as("rms"))
+        .orderBy(col("track_id"))
+    }),
+
 
     // Composite document quality score (length sweet-spot, punctuation,
     // stopword density) — the formula is pure arithmetic over counts, so
@@ -382,6 +420,31 @@ private[graft] object TextQueries {
          SELECT CAST(i AS BIGINT) AS img_id, TRUE AS ok, CAST(w AS INT) AS width,
                 CAST(h AS INT) AS height, round(avg(l), 4) AS mean_luma
          FROM lum GROUP BY i, w, h ORDER BY img_id""",
+
+    // the same closed-form PCM the Spark side encoded, re-derived over
+    // generate_series — every decoded sample participates in the RMS
+    "q136_flac_decode" ->
+      """WITH tracks AS (SELECT unnest(generate_series(0, 11)) AS i),
+           params AS (SELECT i, 2048 + 256*i AS n, 1 + (i % 2) AS nch,
+                             8000 + 500*i AS rate FROM tracks),
+           samples AS (
+             SELECT i, n, nch, rate,
+               ((ts.t * (3 + i % 5) + ch.c * 13 + i * 17) % 2048) - 1024
+                 + (ts.t % 7) * (1 - 2 * (ch.c % 2)) AS s
+             FROM params,
+               LATERAL (SELECT unnest(generate_series(0, nch - 1)) AS c) ch,
+               LATERAL (SELECT unnest(generate_series(0, n - 1)) AS t) ts),
+           agg AS (
+             SELECT i, n, nch, rate,
+               sqrt(sum((CAST(s AS DOUBLE)/32768.0)*(CAST(s AS DOUBLE)/32768.0))
+                 / (n * nch)) AS rms
+             FROM samples GROUP BY i, n, nch, rate)
+         SELECT CAST(i AS BIGINT) AS track_id, TRUE AS ok,
+                CAST(rate AS DOUBLE) AS sample_rate, CAST(nch AS INT) AS channels,
+                CAST(n AS BIGINT) AS n_frames,
+                CAST(floor(n * 1000.0 / rate) AS BIGINT) AS duration_ms,
+                round(rms, 4) AS rms
+         FROM agg ORDER BY track_id""",
 
     "q38_multimodal" ->
       """SELECT doc_id, 'text/utf-8' AS format,
