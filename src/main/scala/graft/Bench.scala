@@ -71,7 +71,8 @@ object Bench {
   // queries added in round 11
   private[graft] val r11New = Set("q134_delta_v2cp")
   // queries added in round 13
-  private[graft] val r13New = Set("q135_delta_rowtracking")
+  private[graft] val r13New = Set("q135_delta_rowtracking", "q136_flac_decode",
+    "q137_stream_static_join", "q138_stream_dedup_expiry")
   private[graft] val laterRounds =
     Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New, r11New, r13New)
   private def newer(from: Int)(k: String): Boolean =

@@ -222,6 +222,65 @@ private[graft] object StreamingQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Stream-STATIC join, gated (r13 — completes the production join set):
+    // every event micro-batch enriches against a broadcast customer
+    // dimension; stateless, so the final table must equal the batch LEFT
+    // JOIN row for row. The dim drops every third customer so both the
+    // matched and the null-extended paths carry rows.
+    "q137_stream_static_join" -> ((s, dir) => withStatePartitions(s, 8) {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      val replay = cachedReplay(s"q137-$dir") { rd =>
+        writeReplay(ev, "ts", rd.resolve("e"), n = 2)
+      }
+      val stream = Streams.fileSource(s, replay.resolve("e").toString, ev.schema,
+        maxFilesPerTrigger = Some(1))
+      val joined = Streams.streamStaticJoin(stream, dim, Seq("user_id"), "left_outer")
+      Streams.runToMemory(joined,
+        s"q137_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+        OutputMode.Append())
+        .select(col("event_id"), col("user_id"), col("segment"))
+        .orderBy(col("event_id"))
+    }),
+
+    // dropDuplicatesWithinWatermark state EXPIRY, gated (r13): q123 pins
+    // the admit-once semantics under a horizon spanning the history; this
+    // gate pins the other half — state that outlives its watermark horizon
+    // is EVICTED, and the same key arriving after the horizon is admitted
+    // AGAIN. Replay: the full event set as one batch (1-hour horizon), two
+    // watermark-advancing sentinel batches (+60/+90 days — eviction lags
+    // the watermark by a batch), then the same events shifted +120 days.
+    // Every key must be admitted exactly twice; a dedup that never expires
+    // state (or evicts too early) shifts the count.
+    "q138_stream_dedup_expiry" -> ((s, dir) => withStatePartitions(s, 8) {
+      val ev = t(s, dir, "events").select(col("ts"), col("user_id"), col("event_type"))
+      def sentinel(uid: Long, plusDays: Int) = ev.agg(max(col("ts")).as("m"))
+        .select((col("m") + expr(s"INTERVAL $plusDays DAYS")).as("ts"),
+          lit(uid).as("user_id"), lit("__sentinel").as("event_type"))
+      val replay = cachedReplay(s"q138-$dir") { rd =>
+        appendReplayFile(ev, rd.resolve("e"), 0)
+        appendReplayFile(sentinel(-1L, 60), rd.resolve("e"), 100)
+        appendReplayFile(sentinel(-2L, 90), rd.resolve("e"), 101)
+        appendReplayFile(
+          ev.withColumn("ts", col("ts") + expr("INTERVAL 120 DAYS")),
+          rd.resolve("e"), 102)
+      }
+      val stream = Streams.fileSource(s, replay.resolve("e").toString, ev.schema,
+        maxFilesPerTrigger = Some(1))
+      val deduped = Streams.dedupedStream(stream, "ts",
+        Seq("user_id", "event_type"), watermark = "1 hour")
+      Streams.runToMemory(deduped,
+        s"q138_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+        OutputMode.Append())
+        .filter(col("event_type") =!= "__sentinel")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_admissions"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // Streaming gap sessionization, gated: the full event stream replays in
     // order; 30-minute-gap sessions close exactly once, each user's final
     // session stays open (NoTimeout) and is excluded by the oracle too.
@@ -279,6 +338,17 @@ private[graft] object StreamingQueries {
          ORDER BY window_start, event_type""",
     "q123_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+    "q137_stream_static_join" ->
+      """SELECT e.event_id, e.user_id,
+                CASE WHEN c.c_custkey % 3 <> 0 THEN c.c_mktsegment END AS segment
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY event_id""",
+    // each (user_id, event_type) admitted once per horizon epoch: the base
+    // replay and the +120-day replay = exactly two admissions per key
+    "q138_stream_dedup_expiry" ->
+      """SELECT user_id, event_type, CAST(2 AS BIGINT) AS n_admissions
+         FROM (SELECT DISTINCT user_id, event_type FROM events)
          ORDER BY user_id, event_type""",
     "q124_stream_running_totals" ->
       """SELECT user_id, count(*) AS n_events FROM events

@@ -131,6 +131,31 @@ object Streams {
       joinType)
   }
 
+  /** Stream-static join: every micro-batch of `stream` joins the batch
+    * `static` frame — the enrichment shape (events × dimension table).
+    * STATELESS: no watermark, no join state, nothing buffered — the static
+    * side is re-planned per trigger, so a Delta/parquet dim picks up new
+    * files between batches. The static side is explicitly broadcast: a
+    * dimension small enough to enrich a stream belongs on every executor,
+    * not behind a per-batch shuffle (the 1000-executor cost model; callers
+    * with a genuinely huge static side should pre-bucket instead and pass
+    * `broadcastStatic = false`).
+    *
+    * Spark supports inner and left_outer for a left-side stream — the
+    * right_outer/full variants would need unmatched-STATIC tracking, which
+    * has no bounded-state meaning (Spark rejects them too).
+    */
+  def streamStaticJoin(
+      stream: DataFrame, static: DataFrame,
+      keys: Seq[String],
+      joinType: String = "inner",
+      broadcastStatic: Boolean = true): DataFrame = {
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"stream-static joinType must be inner/left_outer, got $joinType")
+    val s = if (broadcastStatic) broadcast(static) else static
+    stream.join(s, keys, joinType)
+  }
+
   final case class SessionEvent(user_id: Long, ts_ms: Long)
   final case class SessionState(start_ms: Long, last_ms: Long, n_events: Long)
   final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
