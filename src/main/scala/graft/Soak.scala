@@ -31,7 +31,12 @@ object Soak {
     "q94_bpe_train", "q66_dedup_components", "q81_semantic_dedup",
     "q103_delta_dv", "q117_editdist_join", "q118_salted_join",
     // round 10: the newly driver-free temperature mix under sf1 stats
-    "q99_temperature_mix")
+    "q99_temperature_mix",
+    // round 13 (carried r11 task): the r10/r11 surfaces under sf1 stats —
+    // ANN recall floors, mapped CDF, stream full-outer, v2-checkpoint
+    // write — plus the r13 row-tracking lifecycle and stream-static join
+    "q128_ann_recall", "q131_delta_cdf_mapped", "q133_stream_full_outer",
+    "q134_delta_v2cp", "q135_delta_rowtracking", "q137_stream_static_join")
 
   private def replicate(df: DataFrame, copies: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until copies).map(k => shift(df, k)).reduce(_ unionByName _)

@@ -333,6 +333,7 @@ object Flac {
     require(crc8Read == crc8(br.data, frameStart, headerEnd),
       s"frame header CRC-8 mismatch at byte $frameStart")
 
+    require(chAsgn <= 10, s"reserved channel assignment $chAsgn")
     val channels = if (chAsgn <= 7) chAsgn + 1 else 2
     require(channels == si.channels, "frame channel count differs from STREAMINFO")
     val sub = new Array[Array[Int]](channels)
@@ -387,9 +388,11 @@ object Flac {
     val (si, framesAt) = readStreamInfo(bytes)
     val br = new BitReader(bytes, framesAt)
     val known = si.totalSamples > 0
-    val bufs = Array.fill(si.channels)(
-      if (known) new scala.collection.mutable.ArrayBuilder.ofInt
-      else new scala.collection.mutable.ArrayBuilder.ofInt)
+    val bufs = Array.fill(si.channels) {
+      val b = new scala.collection.mutable.ArrayBuilder.ofInt
+      if (known && si.totalSamples <= Int.MaxValue) b.sizeHint(si.totalSamples.toInt)
+      b
+    }
     var got = 0L
     while ((known && got < si.totalSamples) || (!known && !br.atEnd)) {
       val block = decodeFrame(br, si)
@@ -399,6 +402,12 @@ object Flac {
     }
     require(!known || got == si.totalSamples,
       s"decoded $got samples, STREAMINFO promised ${si.totalSamples}")
-    Audio(si, bufs.map(_.result()))
+    val audio = Audio(si, bufs.map(_.result()))
+    // verify the stream-level PCM MD5 when the encoder recorded one — the
+    // only layer that catches a decode-MATH bug (the CRCs protect the
+    // encoded bits, not the reconstruction)
+    require(si.md5.forall(_ == 0) || audio.md5Ok,
+      "decoded PCM fails the STREAMINFO MD5 — decoder/stream mismatch")
+    audio
   }
 }

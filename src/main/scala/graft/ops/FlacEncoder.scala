@@ -118,6 +118,7 @@ object FlacEncoder {
         var raw = 1
         var i = idx
         while (i < idx + n) { raw = math.max(raw, bitsNeededSigned(res(i))); i += 1 }
+        require(raw <= 31, s"escape residual needs $raw bits (5-bit width field)")
         bw.writeBits(escape.toLong, kBits)
         bw.writeBits(raw.toLong, 5)
         i = idx

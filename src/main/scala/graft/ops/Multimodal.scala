@@ -182,14 +182,6 @@ object Multimodal {
     Dedup.hamming64Pairs(perceptualHash(df, idCol, dataCol),
       idCol, "phash", maxDistance, maxBucketSize)
 
-  /** 64-bit audio fingerprint — the envelope analogue of [[perceptualHash]]:
-    * decode 16-bit PCM, split the sample stream into 64 equal-time bins,
-    * one bit per bin with RMS above the mean bin RMS. Robust to small
-    * noise/level changes (the mean threshold is self-normalizing), so
-    * re-encoded or slightly-degraded copies land within a few bits and
-    * [[audioNearDupPairs]] mines them through [[Dedup.hamming64Pairs]].
-    * Undecodable or non-16-bit payloads hash to null.
-    */
   /** 64-bin envelope hash over an abstract sample accessor — shared by the
     * javax-PCM and FLAC decode paths so both formats hash identically for
     * identical audio.
@@ -225,6 +217,15 @@ object Multimodal {
     bytes.length > 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
       bytes(2) == 'a' && bytes(3) == 'C'
 
+  /** 64-bit audio fingerprint — the envelope analogue of [[perceptualHash]]:
+    * decode 16-bit PCM (javax WAV/AIFF/AU, or [[Flac]] for fLaC payloads),
+    * split the sample stream into 64 equal-time bins, one bit per bin with
+    * RMS above the mean bin RMS. Robust to small noise/level changes (the
+    * mean threshold is self-normalizing), so re-encoded or
+    * slightly-degraded copies land within a few bits and
+    * [[audioNearDupPairs]] mines them through [[Dedup.hamming64Pairs]].
+    * Undecodable or non-16-bit payloads hash to null.
+    */
   def audioFingerprint(df: DataFrame, idCol: String, dataCol: String): DataFrame = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long"), col(dataCol)).as[(Long, Array[Byte])]

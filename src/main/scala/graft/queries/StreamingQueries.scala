@@ -252,9 +252,12 @@ private[graft] object StreamingQueries {
     // is EVICTED, and the same key arriving after the horizon is admitted
     // AGAIN. Replay: the full event set as one batch (1-hour horizon), two
     // watermark-advancing sentinel batches (+60/+90 days — eviction lags
-    // the watermark by a batch), then the same events shifted +120 days.
-    // Every key must be admitted exactly twice; a dedup that never expires
-    // state (or evicts too early) shifts the count.
+    // the watermark by a batch), then the same events shifted +150 days:
+    // the shift clears the +90d sentinel watermark by (150-90 days minus
+    // the event span), so no replayed row can be dropped as late even if
+    // the generated span grows past a month. Every key must be admitted
+    // exactly twice; a dedup that never expires state (or evicts too
+    // early) shifts the count.
     "q138_stream_dedup_expiry" -> ((s, dir) => withStatePartitions(s, 8) {
       val ev = t(s, dir, "events").select(col("ts"), col("user_id"), col("event_type"))
       def sentinel(uid: Long, plusDays: Int) = ev.agg(max(col("ts")).as("m"))
@@ -265,7 +268,7 @@ private[graft] object StreamingQueries {
         appendReplayFile(sentinel(-1L, 60), rd.resolve("e"), 100)
         appendReplayFile(sentinel(-2L, 90), rd.resolve("e"), 101)
         appendReplayFile(
-          ev.withColumn("ts", col("ts") + expr("INTERVAL 120 DAYS")),
+          ev.withColumn("ts", col("ts") + expr("INTERVAL 150 DAYS")),
           rd.resolve("e"), 102)
       }
       val stream = Streams.fileSource(s, replay.resolve("e").toString, ev.schema,
@@ -345,7 +348,7 @@ private[graft] object StreamingQueries {
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          ORDER BY event_id""",
     // each (user_id, event_type) admitted once per horizon epoch: the base
-    // replay and the +120-day replay = exactly two admissions per key
+    // replay and the +150-day replay = exactly two admissions per key
     "q138_stream_dedup_expiry" ->
       """SELECT user_id, event_type, CAST(2 AS BIGINT) AS n_admissions
          FROM (SELECT DISTINCT user_id, event_type FROM events)

@@ -353,14 +353,28 @@ object DeltaLog {
         case CheckpointJsonRe(v) => v.toLong == cv
         case _ => false
       })
-      // never mix flavors: an atomic seed (single-file / v2 manifest)
-      // wins over any multi-part set at the same version, and stray
-      // partial parts alongside it must not duplicate its rows
+      // never mix flavors or sets: an atomic seed (single-file / v2
+      // manifest) wins over any multi-part set at the same version, and
+      // when the seed IS multi-part, only the files of a COMPLETE part set
+      // load — stray parts of a different-part-count crashed attempt at
+      // the same version must not duplicate (or corrupt) the actions
       val (multi, atomic) = atVersion.partition(_.getPath.getName match {
         case CheckpointMultiPartRe(_, _, _) => true
         case _ => false
       })
-      (if (atomic.nonEmpty) atomic else multi).map(_.getPath.toString)
+      if (atomic.nonEmpty) atomic.map(_.getPath.toString)
+      else {
+        val byN = multi.groupBy(_.getPath.getName match {
+          case CheckpointMultiPartRe(_, _, n) => n.toLong
+        })
+        val completeN = byN.collectFirst {
+          case (n, fs) if fs.map(_.getPath.getName match {
+            case CheckpointMultiPartRe(_, p, _) => p.toLong
+          }).toSet == (1L to n).toSet => n
+        }.getOrElse(throw new IllegalStateException(
+          s"no complete checkpoint part set at version $cv"))
+        byN(completeN).map(_.getPath.toString)
+      }
     }.getOrElse(Nil)
     LogState(table, fs, commits, checkpointParts, targetVersion, fromCheckpoint)
   }
@@ -1115,17 +1129,22 @@ object DeltaLog {
       StructField("_graft_base", LongType),
       StructField("_graft_defver", LongType)))
     // _metadata.file_path and makeQualified spell the same file differently
-    // (file:/// vs file:/). Rather than normalize the SCAN side per row (a
-    // codegen-breaking UDF on every row of the read), emit every spelling
-    // of each file into the driver-side lookup — its size is the file
-    // count, so a few extra rows are free — and join the raw column.
+    // (file:/// vs file:/, percent-encoded vs decoded). Rather than
+    // normalize the SCAN side per row (a codegen-breaking UDF on every row
+    // of the read), emit every spelling of each file — decoded AND raw
+    // log-escaped rel path — into the driver-side lookup; its size is the
+    // file count, so a few extra rows are free, and the join stays on the
+    // raw column. A spelling this enumeration still misses fails LOUDLY
+    // below instead of silently null-ing row ids.
     val lookupRows = files.flatMap { a =>
-      val qualified = fsys.makeQualified(new Path(table, decodePath(a.path)))
-      val uri = qualified.toUri
-      val emptyAuthority =
-        uri.getScheme == "file" && (uri.getAuthority == null || uri.getAuthority.isEmpty)
-      val spellings = (Seq(qualified.toString, uri.toString) ++
-        (if (emptyAuthority) Seq("file://" + uri.getPath) else Nil)).distinct
+      val spellings = Seq(decodePath(a.path), a.path).distinct.flatMap { rel =>
+        val qualified = fsys.makeQualified(new Path(table, rel))
+        val uri = qualified.toUri
+        val emptyAuthority =
+          uri.getScheme == "file" && (uri.getAuthority == null || uri.getAuthority.isEmpty)
+        Seq(qualified.toString, uri.toString) ++
+          (if (emptyAuthority) Seq("file://" + uri.getPath) else Nil)
+      }.distinct
       spellings.map(key => org.apache.spark.sql.Row(key,
         a.baseRowId.map(Long.box).orNull,
         a.defaultRowCommitVersion.map(Long.box).orNull))
@@ -1134,10 +1153,17 @@ object DeltaLog {
       spark.sparkContext.parallelize(lookupRows, 1), lookupSchema)
     val joined = scan.join(org.apache.spark.sql.functions.broadcast(lookup),
       col("_graft_file") === col("_graft_key"), "left")
-    val rowId = coalesce(
-      (matId.map(col).toSeq :+ (col("_graft_base") + col("_graft_row_index"))): _*)
-    val rowVer = coalesce(
-      (matVer.map(col).toSeq :+ col("_graft_defver")): _*)
+    // every scanned file came from `files`, so a join miss can only be an
+    // unenumerated path spelling — raise instead of deriving null ids
+    val missGuard = org.apache.spark.sql.functions.raise_error(
+      concat(lit("row-id lookup missed file spelling: "), col("_graft_file")))
+    val derivedId = when(col("_graft_key").isNotNull,
+      col("_graft_base") + col("_graft_row_index"))
+      .otherwise(missGuard.cast("long"))
+    val derivedVer = when(col("_graft_key").isNotNull, col("_graft_defver"))
+      .otherwise(missGuard.cast("long"))
+    val rowId = coalesce((matId.map(col).toSeq :+ derivedId): _*)
+    val rowVer = coalesce((matVer.map(col).toSeq :+ derivedVer): _*)
     joined
       .withColumn("_row_id", rowId)
       .withColumn("_row_commit_version", rowVer)
