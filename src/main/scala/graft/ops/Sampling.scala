@@ -146,15 +146,21 @@ object Sampling {
       .withColumn("_mix_cum", sum(col("_mix_n")).over(cumW) - col("_mix_n"))
       .join(quotas.select(col("_mix_d"), col("_mix_q")), "_mix_d")
       .filter(col("_mix_q") - col("_mix_cum") > 0L)
+    // materialize the hash BEFORE the window exchange: the window sorts by
+    // it, and a raw md5(keyCol) sort key would force the (large) key
+    // column itself through the shuffle just to recompute the hash on the
+    // other side — as a column, pruning ships the 32-char hash instead
     val w = Window.partitionBy(col("_mix_d"), col("_mix_b"))
-      .orderBy(h.asc_nulls_last, col(idCol))
-    df.join(stats,
-        col(domainCol) === col("_mix_d") && bucket === col("_mix_b"))
+      .orderBy(col("_mix_h").asc_nulls_last, col(idCol))
+    df.withColumn("_mix_h", h)
+      .join(stats,
+        col(domainCol) === col("_mix_d") &&
+          coalesce(substring(col("_mix_h"), 1, 2), lit("zz")) === col("_mix_b"))
       .withColumn("sample_rank",
         (col("_mix_cum") + row_number().over(w)).cast("long"))
       .withColumn("mix_quota", col("_mix_q"))
       .filter(col("sample_rank") <= col("mix_quota"))
-      .drop("_mix_d", "_mix_b", "_mix_n", "_mix_cum", "_mix_q")
+      .drop("_mix_d", "_mix_b", "_mix_n", "_mix_cum", "_mix_q", "_mix_h")
   }
 
   /** The quota table behind [[temperatureMix]] as a DataFrame

@@ -143,9 +143,11 @@ private[graft] object QueryHelpers {
   /** q99's computed quota table, captured like the centroids/model above:
     * the quotas involve cross-libm pow() whose last ulp could flip a
     * floor(), so the oracle replays the captured integers rather than
-    * re-deriving them.
+    * re-deriving them. Captured as a THUNK: the independent quota scan is
+    * oracle apparatus, not operator work — Verify forces it when building
+    * oracle_sql.json, while a bench run of the mix never pays for it.
     */
-  @volatile private[graft] var q99QuotasCaptured: Option[Map[String, Long]] = None
+  @volatile private[graft] var q99QuotasCaptured: Option[() => Map[String, Long]] = None
 
   /** q105's trained PQ codebooks, captured like the IVF centroids: the
     * oracle embeds them and independently re-derives the per-block argmin

@@ -81,7 +81,7 @@ private[graft] object SamplingQueries {
     "q99_temperature_mix" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       q99QuotasCaptured =
-        Some(ops.Sampling.temperatureQuotas(docs, "lang", alpha = 0.5, budget = 300L))
+        Some(() => ops.Sampling.temperatureQuotas(docs, "lang", alpha = 0.5, budget = 300L))
       ops.Sampling.temperatureMix(docs, "doc_id", "text", "lang",
           alpha = 0.5, budget = 300L)
         .select(col("doc_id"), col("lang"), col("sample_rank"), col("mix_quota"))
@@ -210,7 +210,8 @@ private[graft] object SamplingQueries {
     },
 
     "q99_temperature_mix" -> q99QuotasCaptured
-      .map { qs =>
+      .map { qsThunk =>
+        val qs = qsThunk()
         // domain values come from DATA — escape for the SQL literal
         val vals = qs.toSeq.sortBy(_._1)
           .map { case (d, q) => s"('${d.replace("'", "''")}', CAST($q AS BIGINT))" }
