@@ -72,7 +72,8 @@ object Bench {
   private[graft] val r11New = Set("q134_delta_v2cp")
   // queries added in round 13
   private[graft] val r13New = Set("q135_delta_rowtracking", "q136_flac_decode",
-    "q137_stream_static_join", "q138_stream_dedup_expiry")
+    "q137_stream_static_join", "q138_stream_dedup_expiry", "q139_delta_liquid",
+    "q140_delta_widen", "q141_delta_rename")
   private[graft] val laterRounds =
     Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New, r11New, r13New)
   private def newer(from: Int)(k: String): Boolean =

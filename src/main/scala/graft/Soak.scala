@@ -36,7 +36,11 @@ object Soak {
     // ANN recall floors, mapped CDF, stream full-outer, v2-checkpoint
     // write — plus the r13 row-tracking lifecycle and stream-static join
     "q128_ann_recall", "q131_delta_cdf_mapped", "q133_stream_full_outer",
-    "q134_delta_v2cp", "q135_delta_rowtracking", "q137_stream_static_join")
+    "q134_delta_v2cp", "q135_delta_rowtracking", "q137_stream_static_join",
+    // round 13 late additions: hilbert-clustered OPTIMIZE, the widened
+    // narrow/wide file mix, and metadata-only rename/drop — all under
+    // 10× stats and the 2g heap cap
+    "q139_delta_liquid", "q140_delta_widen", "q141_delta_rename")
 
   private def replicate(df: DataFrame, copies: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until copies).map(k => shift(df, k)).reduce(_ unionByName _)

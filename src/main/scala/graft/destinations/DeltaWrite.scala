@@ -67,7 +67,7 @@ object DeltaWrite {
       "changeDataFeed", "timestampNtz", "vacuumProtocolCheck",
       "variantType-preview", "deletionVectors", "columnMapping",
       "identityColumns", "inCommitTimestamp", "v2Checkpoint",
-      "rowTracking", "domainMetadata")
+      "rowTracking", "domainMetadata", "clusteredTable", "typeWidening")
 
   /** The row-id assignment base for a commit: `Some(high-water mark)` when
     * the table tracks rows (every adds-producing commit must then assign),
@@ -537,12 +537,15 @@ object DeltaWrite {
     val wantV2Cp = properties.get("delta.checkpointPolicy").contains("v2")
     val wantRowTracking = properties.get("delta.enableRowTracking")
       .exists(_.equalsIgnoreCase("true"))
+    val wantWiden = properties.get("delta.enableTypeWidening")
+      .exists(_.equalsIgnoreCase("true"))
     val proto =
-      if (!wantIct && !wantV2Cp && !wantRowTracking) proto0
+      if (!wantIct && !wantV2Cp && !wantRowTracking && !wantWiden) proto0
       else {
         val feats = Set("invariants") ++
           (if (wantIct) Set("inCommitTimestamp") else Set.empty[String]) ++
           (if (wantV2Cp) Set("v2Checkpoint") else Set.empty[String]) ++
+          (if (wantWiden) Set("typeWidening") else Set.empty[String]) ++
           (if (wantRowTracking) Set("rowTracking", "domainMetadata")
           else Set.empty[String]) ++
           (if (properties.keys.exists(_.startsWith("delta.constraints.")))
@@ -556,11 +559,19 @@ object DeltaWrite {
           (if (wantMapping) Set("columnMapping") else Set.empty[String]) ++
           (if (properties.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
             Set("appendOnly") else Set.empty[String])
-        val readerV = if (wantV2Cp) 3 else if (wantMapping) 2 else 1
+        // typeWidening is ALSO a reader feature (old files carry the
+        // narrow type; readers must know to up-cast) — and a reader-3
+        // protocol must name EVERY reader-relevant feature, so DVs join
+        // the list when the table enables them
+        val readerV = if (wantV2Cp || wantWiden) 3 else if (wantMapping) 2 else 1
         val readerFeats =
           if (readerV < 3) Set.empty[String]
-          else Set("v2Checkpoint") ++
-            (if (wantMapping) Set("columnMapping") else Set.empty[String])
+          else (if (wantV2Cp) Set("v2Checkpoint") else Set.empty[String]) ++
+            (if (wantWiden) Set("typeWidening") else Set.empty[String]) ++
+            (if (wantMapping) Set("columnMapping") else Set.empty[String]) ++
+            (if (properties.get("delta.enableDeletionVectors")
+              .exists(_.equalsIgnoreCase("true"))) Set("deletionVectors")
+            else Set.empty[String])
         Some(DeltaLog.Protocol(readerV, 7,
           readerFeatures = readerFeats, writerFeatures = feats))
       }
@@ -616,7 +627,7 @@ object DeltaWrite {
     val baseSchema = identitySchema.getOrElse(snap.schema)
     val existing = snap.schema.fieldNames.map(_.toLowerCase).toSet
     val newCols = dfWithIds.schema.fields.filter(f => !existing.contains(f.name.toLowerCase))
-    val (schema, meta0, metaCfg) =
+    val (schema0, meta0, metaCfg) =
       if (!mergeSchema || newCols.isEmpty) (baseSchema, None, snap.configuration)
       else if (mode == "none") {
         val merged = StructType(baseSchema.fields ++ newCols.map(_.copy(nullable = true)))
@@ -630,8 +641,37 @@ object DeltaWrite {
         (merged, Some((merged, snap.partitionColumns)),
           snap.configuration + ("delta.columnMapping.maxColumnId" -> maxId.toString))
       }
+    // type widening (delta.enableTypeWidening): existing columns whose
+    // INCOMING type is strictly wider re-type the column instead of
+    // down-casting the batch — metaData re-emit, zero file rewrite (old
+    // files up-cast at scan). The protocol feature must already be named
+    // (create / setProperties add it with the property) so foreign readers
+    // see the reader requirement before any widened metaData exists.
+    val widened: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      if (!mergeSchema || !snap.configuration.get("delta.enableTypeWidening")
+          .exists(_.equalsIgnoreCase("true"))) Nil
+      else schema0.fields.toSeq.flatMap { f =>
+        dfWithIds.schema.fields
+          .find(_.name.equalsIgnoreCase(f.name)).map(_.dataType)
+          .filter(in => TypeWidening.allowed(f.dataType, in))
+          .map(in => f.name -> in)
+      }
+    val schema =
+      if (widened.isEmpty) schema0
+      else {
+        snap.protocol.foreach(p => require(
+          p.minWriterVersion >= 7 && p.writerFeatures.contains("typeWidening"),
+          s"table config enables type widening but the protocol does not " +
+            s"name the typeWidening feature: $p"))
+        StructType(schema0.fields.map { f =>
+          widened.find(_._1 == f.name) match {
+            case Some((_, to)) => TypeWidening.widenField(f, to, snap.version + 1)
+            case None => f
+          }
+        })
+      }
     val meta =
-      if (meta0.isEmpty && identitySchema.isDefined)
+      if (widened.nonEmpty || (meta0.isEmpty && identitySchema.isDefined))
         Some((schema, snap.partitionColumns))
       else meta0
     val data = ManagedTable.castToSchema(enforceObligations(snap, dfWithIds), schema)
@@ -655,8 +695,9 @@ object DeltaWrite {
           // append against the fresh snapshot to reassign. The restart
           // budget carries ACROSS restarts (each one re-spills the data,
           // so an uncapped loop under contention would also leak a full
-          // copy of the batch per round).
-          if (identityFields(snap.schema).nonEmpty) {
+          // copy of the batch per round). Widening appends restart for the
+          // same reason: the typeChanges entry embeds the commit version.
+          if (identityFields(snap.schema).nonEmpty || widened.nonEmpty) {
             if (identityRestarts == 0) throw e
             return appendAttempt(spark, tablePath, df, mergeSchema,
               identityRestarts - 1)
@@ -1351,17 +1392,27 @@ object DeltaWrite {
     * consumers must be able to skip it. `clusterBy` tightens every output
     * file's min/max stats so [[DeltaLog.readWhere]] and upsert pruning
     * skip more: one column gets linear range clustering (exact); two or
-    * more get Z-order via [[ZOrder.cluster]] (Morton interleave of
-    * range-bucket ids), so predicates on ANY clustered column skip files.
-    * Returns the new version (or the current one when there is nothing to
-    * compact).
+    * more get a space-filling-curve rewrite via [[ZOrder.cluster]] —
+    * `curve = "zorder"` (Morton, `OPTIMIZE … ZORDER BY`) or `"hilbert"`
+    * (the liquid-clustering curve) — so predicates on ANY clustered
+    * column skip files.
+    *
+    * Explicit `clusterBy` also records the table as CLUSTERED, liquid
+    * style (the public `clusteredTable` writer feature + the
+    * `delta.clustering` domain carrying the clustering columns, physical
+    * names under column mapping) in the same commit; a later bare
+    * `compact()` on such a table re-clusters by the recorded columns on
+    * the Hilbert curve — the "OPTIMIZE a clustered table" maintenance
+    * loop, no caller-side column bookkeeping. Returns the new version (or
+    * the current one when there is nothing to compact).
     */
   def compact(
       spark: SparkSession,
       tablePath: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       clusterBy: Seq[String] = Nil,
-      where: Map[String, String] = Map.empty): Long = {
+      where: Map[String, String] = Map.empty,
+      curve: String = "zorder"): Long = {
     import org.apache.spark.sql.functions.col
     val ls = DeltaLog.lazySnapshot(spark, tablePath)
     val snap = ls.meta
@@ -1376,6 +1427,20 @@ object DeltaWrite {
     val badKeys = where.keySet -- snap.partitionColumns.toSet
     require(badKeys.isEmpty,
       s"compact WHERE references non-partition columns: ${badKeys.mkString(", ")}")
+    require(curve == "zorder" || curve == "hilbert", s"unknown curve: $curve")
+    // clustering columns: explicit clusterBy wins (and records the table
+    // as clustered); a bare compact() on a clustered table re-clusters by
+    // the recorded columns on the liquid curve
+    val (effCols, effCurve) =
+      if (clusterBy.nonEmpty) (clusterBy, curve)
+      else (DeltaLog.clusteringColumns(snap), "hilbert")
+    val badCluster = effCols.filterNot(snap.schema.fieldNames.contains)
+    require(badCluster.isEmpty,
+      s"cluster columns not in table schema: ${badCluster.mkString(", ")}")
+    val partCluster = effCols.filter(snap.partitionColumns.contains)
+    require(partCluster.isEmpty,
+      "cluster columns cannot be partition columns (each partition already " +
+        s"holds one value): ${partCluster.mkString(", ")}")
     val physWhere = where.map { case (k, v) =>
       snap.physicalNames.getOrElse(k, k) -> v
     }
@@ -1406,15 +1471,35 @@ object DeltaWrite {
     val base = baseSrc
       .select((snap.schema.fieldNames.toIndexedSeq ++ matCols).map(col): _*)
     val rewritten =
-      if (clusterBy.isEmpty) base.coalesce(nOut)
-      else if (clusterBy.size == 1)
-        base.repartitionByRange(nOut, clusterBy.map(col): _*)
-          .sortWithinPartitions(clusterBy.map(col): _*)
+      if (effCols.isEmpty) base.coalesce(nOut)
+      else if (effCols.size == 1)
+        base.repartitionByRange(nOut, effCols.map(col): _*)
+          .sortWithinPartitions(effCols.map(col): _*)
       else {
         val counts = toCompact.map(graft.sources.DeltaStats.numRecords)
         val approxRows =
           if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
-        ZOrder.cluster(base, clusterBy, nOut, approxRows)
+        ZOrder.cluster(base, effCols, nOut, approxRows, curve = effCurve)
+      }
+    // explicit clusterBy ⇒ record/refresh the clustering spec in THIS
+    // commit (the clustered-table contract: the spec and the layout that
+    // satisfies it land atomically), upgrading the protocol to name
+    // domainMetadata + clusteredTable when the table predates them
+    val (clusterDomains, clusterProto) =
+      if (clusterBy.isEmpty) (Nil, None)
+      else {
+        val physCols = clusterBy.map(c => snap.physicalNames.getOrElse(c, c))
+        val cfg = physCols.map(c =>
+          "[" + mapper.writeValueAsString(c) + "]").mkString(
+          """{"clusteringColumns":[""", ",", "]}")
+        val cur = snap.protocol.getOrElse(DeltaLog.Protocol(1, 2))
+        val curFeats = impliedWriterFeatures(cur)
+        val need = Set("domainMetadata", "clusteredTable") -- curFeats
+        val proto =
+          if (need.isEmpty) None
+          else Some(DeltaLog.Protocol(cur.minReaderVersion, 7,
+            cur.readerFeatures, curFeats ++ need))
+        (Seq("delta.clustering" -> cfg), proto)
       }
     val (phys, physParts) =
       toPhysical(rewritten, snap.schema, snap.partitionColumns,
@@ -1423,7 +1508,9 @@ object DeltaWrite {
       statsExclude = matCols.toSet)
     commit(spark, table, snap.version + 1, "OPTIMIZE",
       withMeta = None, adds = adds, removes = toCompact.map(_.path),
-      dataChange = false, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap))
+      dataChange = false, protocolUpgrade = clusterProto,
+      ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap),
+      extraDomains = clusterDomains)
   }
 
   /** RESTORE the table to an earlier version as a NEW commit (time travel
@@ -1567,15 +1654,23 @@ object DeltaWrite {
       need += "checkConstraints"
     val wantV2Cp = newCfg.get("delta.checkpointPolicy").contains("v2")
     if (wantV2Cp) need += "v2Checkpoint"
+    // type widening may enable mid-life with NO backfill: it only governs
+    // future mergeSchema appends, so the property flip plus the protocol
+    // features is the whole enablement
+    val wantWiden = on(newCfg, "delta.enableTypeWidening")
+    if (wantWiden) need += "typeWidening"
     val cur = snap.protocol.getOrElse(DeltaLog.Protocol(1, 2))
     val curFeats = impliedWriterFeatures(cur)
     val missing = need.result() -- curFeats
-    // v2Checkpoint is also a READER feature: raising minReaderVersion to 3
-    // requires naming every reader-relevant feature explicitly
+    // v2Checkpoint and typeWidening are also READER features: raising
+    // minReaderVersion to 3 requires naming every reader-relevant feature
+    // explicitly
+    val readerNeeds = (if (wantV2Cp) Set("v2Checkpoint") else Set.empty[String]) ++
+      (if (wantWiden) Set("typeWidening") else Set.empty[String])
     val readerUp: Option[(Int, Set[String])] =
-      if (!wantV2Cp || (cur.minReaderVersion >= 3 &&
-          cur.readerFeatures.contains("v2Checkpoint"))) None
-      else Some((3, cur.readerFeatures ++ Set("v2Checkpoint") ++
+      if (readerNeeds.isEmpty || (cur.minReaderVersion >= 3 &&
+          readerNeeds.subsetOf(cur.readerFeatures))) None
+      else Some((3, cur.readerFeatures ++ readerNeeds ++
         (if (snap.columnMappingMode == "name") Set("columnMapping")
         else Set.empty[String]) ++
         (if (on(newCfg, "delta.enableDeletionVectors"))
@@ -1583,6 +1678,7 @@ object DeltaWrite {
     val proto: Option[DeltaLog.Protocol] =
       if (missing.isEmpty && readerUp.isEmpty) None
       else if (cur.minWriterVersion >= 7 || missing.contains("inCommitTimestamp") ||
+          missing.contains("typeWidening") ||
           missing.contains("v2Checkpoint")) {
         val (rv, rf) = readerUp.getOrElse((cur.minReaderVersion, cur.readerFeatures))
         Some(DeltaLog.Protocol(rv, 7, rf, curFeats ++ missing))
@@ -1595,6 +1691,104 @@ object DeltaWrite {
       metaConfig = newCfg)
     maybeCheckpoint(spark, tablePath, v)
     v
+  }
+
+  /** ALTER TABLE RENAME COLUMN, metadata-only (public protocol: column
+    * mapping decouples the logical name from the parquet field, so a
+    * rename re-emits metaData with the field renamed and its
+    * `delta.columnMapping.{id,physicalName}` UNCHANGED — zero file
+    * rewrite at any table size; every existing file, stat, partition
+    * value and DV keeps working because they all speak physical names).
+    * Requires mapping mode `name`; refuses when the old name is
+    * referenced by a CHECK constraint or a generation expression (those
+    * store logical-name SQL the rename would orphan). Renaming a
+    * partition column updates the metaData's partitionColumns list (also
+    * logical names). Returns the new version.
+    */
+  def renameColumn(
+      spark: SparkSession,
+      tablePath: String,
+      from: String,
+      to: String): Long = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    requireWritable(tablePath, snap, "renameColumn", removesData = false)
+    require(snap.columnMappingMode == "name",
+      s"RENAME COLUMN needs column mapping (mode 'name'); table " +
+        s"$tablePath has mode '${snap.columnMappingMode}' — files resolve " +
+        "columns by NAME there, so a metadata rename would orphan the data")
+    require(snap.schema.fieldNames.contains(from), s"no such column: $from")
+    require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"column $to already exists")
+    requireUnreferenced(snap, from, "RENAME COLUMN")
+    val newSchema = StructType(snap.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val newParts = snap.partitionColumns.map(p => if (p == from) to else p)
+    val v = commit(spark, new Path(tablePath), snap.version + 1,
+      "RENAME COLUMN", withMeta = Some((newSchema, newParts)),
+      adds = Nil, removes = Nil, dataChange = false,
+      metaConfig = snap.configuration, ictEnabled = ictOn(snap))
+    maybeCheckpoint(spark, tablePath, v)
+    v
+  }
+
+  /** ALTER TABLE DROP COLUMN, metadata-only (same mapping argument as
+    * [[renameColumn]]: old files keep the physical column, readers simply
+    * never project it). Refuses for partition columns (partitionValues in
+    * every add action spell it), clustering columns (the recorded spec
+    * would dangle), constraint/generated references, and the last data
+    * column. Returns the new version.
+    */
+  def dropColumn(
+      spark: SparkSession,
+      tablePath: String,
+      name: String): Long = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    requireWritable(tablePath, snap, "dropColumn", removesData = false)
+    require(snap.columnMappingMode == "name",
+      s"DROP COLUMN needs column mapping (mode 'name'); table $tablePath " +
+        s"has mode '${snap.columnMappingMode}'")
+    require(snap.schema.fieldNames.contains(name), s"no such column: $name")
+    require(snap.schema.fields.length > 1, "cannot drop the last column")
+    require(!snap.partitionColumns.contains(name),
+      s"cannot drop partition column $name")
+    require(!DeltaLog.clusteringColumns(snap).contains(name),
+      s"cannot drop clustering column $name (re-cluster on other columns first)")
+    requireUnreferenced(snap, name, "DROP COLUMN")
+    val newSchema = StructType(snap.schema.fields.filterNot(_.name == name))
+    val v = commit(spark, new Path(tablePath), snap.version + 1,
+      "DROP COLUMNS", withMeta = Some((newSchema, snap.partitionColumns)),
+      adds = Nil, removes = Nil, dataChange = false,
+      metaConfig = snap.configuration, ictEnabled = ictOn(snap))
+    maybeCheckpoint(spark, tablePath, v)
+    v
+  }
+
+  /** Refuse schema surgery on a column referenced by stored logical-name
+    * SQL — CHECK constraints (table config) or generation expressions
+    * (field metadata). Word-boundary match errs loud-and-conservative: a
+    * false positive costs the caller a constraint drop first; a false
+    * negative would orphan the expression for every reader.
+    */
+  private def requireUnreferenced(
+      snap: DeltaLog.Snapshot, column: String, op: String): Unit = {
+    val word = java.util.regex.Pattern.compile(
+      "(?i)(?<![A-Za-z0-9_`])" + java.util.regex.Pattern.quote(column) +
+        "(?![A-Za-z0-9_`])")
+    snap.configuration.filter(_._1.startsWith("delta.constraints."))
+      .foreach { case (k, sql) =>
+        require(!word.matcher(sql).find(),
+          s"$op: column $column is referenced by CHECK constraint " +
+            s"${k.stripPrefix("delta.constraints.")} ($sql); drop it first")
+      }
+    snap.schema.fields
+      .filter(f => f.name != column &&
+        f.metadata.contains("delta.generationExpression"))
+      .foreach { f =>
+        val sql = f.metadata.getString("delta.generationExpression")
+        require(!word.matcher(sql).find(),
+          s"$op: column $column is referenced by generated column " +
+            s"${f.name} ($sql); drop the generated column first")
+      }
   }
 
   /** Delete data files the CURRENT snapshot no longer references —
@@ -2363,7 +2557,8 @@ object DeltaWrite {
       metaConfig: Map[String, String] = Map.empty,
       cdcs: Seq[AddDescriptor] = Nil,
       ictEnabled: Boolean = false,
-      rowIdBase: Option[Long] = None): Long = {
+      rowIdBase: Option[Long] = None,
+      extraDomains: Seq[(String, String)] = Nil): Long = {
     val now = System.currentTimeMillis()
     val nonce = java.util.UUID.randomUUID().toString
     val lines = Seq.newBuilder[String]
@@ -2491,6 +2686,14 @@ object DeltaWrite {
       lines += mapper.writeValueAsString(rn)
     }
     rowDomain.foreach(lines += _)
+    extraDomains.foreach { case (domain, cfg) =>
+      val dn = mapper.createObjectNode()
+      val d = dn.putObject("domainMetadata")
+      d.put("domain", domain)
+      d.put("configuration", cfg)
+      d.put("removed", false)
+      lines += mapper.writeValueAsString(dn)
+    }
     trackedAdds.foreach { a =>
       val an = mapper.createObjectNode()
       val add = an.putObject("add")

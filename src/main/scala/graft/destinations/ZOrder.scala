@@ -32,25 +32,33 @@ object ZOrder {
 
   private val zCol = "_graft_z"
 
-  /** Repartition `df` into `nOut` z-ordered write partitions on `cols`.
-    * `approxRows` (from add-action numRecords stats) sizes the boundary
-    * sample without an extra count job; when absent, one column-pruned
-    * count pass runs. Columns with < 2 distinct sampled values contribute
-    * no bits; if no column contributes any, falls back to linear range
-    * clustering (which then degenerates gracefully the same way).
+  /** Repartition `df` into `nOut` curve-ordered write partitions on
+    * `cols`. `curve` picks the space-filling curve: `"zorder"` (Morton
+    * interleave — the default, `OPTIMIZE … ZORDER BY`) or `"hilbert"`
+    * (the liquid-clustering curve — unit-step locality, so each output
+    * file covers a tighter k-d box and box predicates skip strictly more
+    * files; see [[graft.functions.HilbertCurve]]). `approxRows` (from
+    * add-action numRecords stats) sizes the boundary sample without an
+    * extra count job; when absent, one column-pruned count pass runs.
+    * Columns with < 2 distinct sampled values contribute no bits; if no
+    * column contributes any, falls back to linear range clustering (which
+    * then degenerates gracefully the same way).
     */
   def cluster(
       df: DataFrame,
       cols: Seq[String],
       nOut: Int,
       approxRows: Option[Long],
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L,
+      curve: String = "zorder"): DataFrame = {
+    require(curve == "zorder" || curve == "hilbert", s"unknown curve: $curve")
     val bounds = sampleBoundaries(df, cols, approxRows, seed)
     val usable = bounds.filter(_._2.nonEmpty)
     if (usable.isEmpty)
       return df.repartitionByRange(nOut, cols.map(col): _*)
         .sortWithinPartitions(cols.map(col): _*)
-    df.withColumn(zCol, zValue(usable))
+    val key = if (curve == "hilbert") hilbertValue(usable) else zValue(usable)
+    df.withColumn(zCol, key)
       .repartitionByRange(nOut, col(zCol))
       .sortWithinPartitions(col(zCol))
       .drop(zCol)
@@ -94,22 +102,45 @@ object ZOrder {
     case _ => false
   }
 
-  /** The interleaved z-value: per column, bucket id = how many boundaries
-    * are ≤ the value (an array-literal filter — nulls land in bucket 0);
-    * bit i of column j's id goes to z bit `i * k + j` (Morton order, LSB
-    * first; columns with fewer boundaries simply contribute fewer bits).
+  /** Per-column bucket-id columns: bucket id = how many boundaries are ≤
+    * the value (an array-literal filter — nulls land in bucket 0), plus
+    * the bit width each id spans (ids run 0..bs.size).
+    */
+  private def bucketIds(bounds: Seq[(String, Seq[Any])]): Seq[(Column, Int)] =
+    bounds.map { case (c, bs) =>
+      val bucket = size(filter(array(bs.map(lit): _*), b => b <= col(c)))
+      (bucket, 32 - Integer.numberOfLeadingZeros(bs.size))
+    }
+
+  /** The interleaved z-value: bit i of column j's bucket id goes to z bit
+    * `i * k + j` (Morton order, LSB first; columns with fewer boundaries
+    * simply contribute fewer bits).
     */
   private def zValue(bounds: Seq[(String, Seq[Any])]): Column = {
     val k = bounds.size
-    val ids = bounds.map { case (c, bs) =>
-      val bucket = size(filter(array(bs.map(lit): _*), b => b <= col(c)))
-      val bits = 32 - Integer.numberOfLeadingZeros(bs.size) // ids span 0..bs.size
-      (bucket, bits)
-    }
     val terms = for {
-      ((bucket, bits), j) <- ids.zipWithIndex
+      ((bucket, bits), j) <- bucketIds(bounds).zipWithIndex
       i <- 0 until bits
     } yield shiftleft(shiftright(bucket, i).bitwiseAND(lit(1)).cast("long"), i * k + j)
     terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** The Hilbert curve position of the bucket ids ([[graft.functions
+    * .HilbertIndex]], codegen'd). The curve needs one uniform bit depth
+    * across dimensions, so every id rides at the widest column's depth —
+    * narrower columns just never set their high bits, which restricts the
+    * curve to a sub-box and costs nothing. Dimension count is bounded by
+    * the 63-bit key (10 dims at the default 6-bit buckets); beyond that,
+    * Morton — whose key packs the same bits — could not fit either, so
+    * callers clustering on that many columns have a modeling problem no
+    * curve fixes.
+    */
+  private def hilbertValue(bounds: Seq[(String, Seq[Any])]): Column = {
+    val ids = bucketIds(bounds)
+    val bits = ids.map(_._2).max
+    require(bounds.size * bits <= 63,
+      s"hilbert clustering on ${bounds.size} columns at $bits bits/column " +
+        "exceeds the 63-bit sort key; cluster on fewer columns")
+    graft.functions.HilbertIndex(bits, ids.map(_._1))
   }
 }

@@ -329,6 +329,109 @@ private[graft] object DeltaQueries {
         .select(col("doc_id"), col("lang"), col("_row_id"),
           col("_row_commit_version"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Liquid-style clustered table (r13 — writer feature `clusteredTable`
+    // + the `delta.clustering` domain): an explicit Hilbert-curve
+    // clustering OPTIMIZE records the clustering spec; a later append +
+    // BARE compact must re-cluster by the RECORDED columns (the liquid
+    // maintenance loop, replayed from the domain through a second commit
+    // and the physical-name translation). Two checks ride one frame: the
+    // table content must survive both curve rewrites byte-for-byte
+    // (dataChange=false means layout only), and every row carries the
+    // PRODUCTION HilbertIndex of a deterministic (x, y) grid — DuckDB
+    // replays the classic xy2d recurrence, so a single flipped bit
+    // anywhere in the Gray/undo/transpose chain hash-mismatches. The
+    // recorded spec itself is the constant `cluster_spec` column.
+    "q139_delta_liquid" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q139").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+      (0 until 4).foreach(i => DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 4 === i && col("o_orderkey") % 3 =!= 0)
+          .repartition(1)))
+      DeltaWrite.compact(s, tbl, targetFileBytes = 1L << 20,            // v5
+        clusterBy = Seq("o_custkey", "o_totalprice"), curve = "hilbert")
+      DeltaWrite.append(s, tbl,                                         // v6
+        orders.filter(col("o_orderkey") % 3 === 0).repartition(1))
+      DeltaWrite.compact(s, tbl, targetFileBytes = 1L << 20)            // v7
+      val spec = graft.sources.DeltaLog.clusteringColumns(
+        graft.sources.DeltaLog.snapshot(s, tbl)).mkString(",")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          graft.functions.HilbertIndex(6, Seq(
+            (col("o_orderkey") % 64).cast("int"),
+            ((col("o_orderkey") / 64) % 64).cast("int"))).as("hilbert_d"),
+          lit(spec).as("cluster_spec"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Type widening (r13 — reader+writer feature `typeWidening`): an INT/
+    // FLOAT table takes a LONG/DOUBLE mergeSchema batch by RE-TYPING the
+    // columns (metaData re-emit, `delta.typeChanges` history) instead of
+    // down-casting the batch or rewriting old files — the narrow files
+    // up-cast at scan. The read-back must be value-exact across the
+    // narrow/wide file mix (float 1.5f widening to 1.5d etc. — DuckDB
+    // replays the same IEEE promotion with CAST(CAST(x AS REAL) AS
+    // DOUBLE)), and the recorded history rides along as a constant column
+    // so a wrong from/to/version in the protocol metadata also mismatches.
+    "q140_delta_widen" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      import org.apache.spark.sql.types.{FloatType, IntegerType, StructField, StructType}
+      val tbl = tmp("graft-q140").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      DeltaWrite.createIfAbsent(s, tbl,
+        StructType(Seq(StructField("k", IntegerType), StructField("v", FloatType))),
+        properties = Map("delta.enableTypeWidening" -> "true"))
+      DeltaWrite.append(s, tbl,                                         // v1: narrow
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").cast("int").as("k"),
+            col("o_totalprice").cast("float").as("v")))
+      DeltaWrite.append(s, tbl,                                         // v2: widens
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select((col("o_orderkey") + 3000000000L).as("k"),
+            col("o_totalprice").cast("double").as("v")),
+        mergeSchema = true)
+      val schema = graft.sources.DeltaLog.snapshot(s, tbl).schema
+      val hist = Seq("k", "v").map { f =>
+        val h = schema(f).metadata.getMetadataArray("delta.typeChanges").head
+        s"$f:${h.getString("fromType")}->${h.getString("toType")}" +
+          s"@${h.getLong("tableVersion")}"
+      }.mkString(",")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("k"), col("v"), lit(hist).as("widen_hist"))
+        .orderBy(col("k"))
+    }),
+
+    // Metadata-only column RENAME + DROP under column mapping (r13):
+    // the logical name changes while every existing file, stat and
+    // partition value keeps working through the UNCHANGED physical name —
+    // zero bytes rewritten at any table size. The gate renames mid-life
+    // (old files written under the old logical name must read back under
+    // the new), drops a column (old files keep the physical column;
+    // readers must never project it), appends post-surgery under the NEW
+    // name, and proves stats skipping still prunes through the rename.
+    "q141_delta_rename" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q141").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType],
+        columnMapping = true)
+      DeltaWrite.append(s, tbl, orders.filter(col("o_orderkey") % 2 === 0)) // v1
+      DeltaWrite.renameColumn(s, tbl, "o_totalprice", "price")             // v2
+      DeltaWrite.dropColumn(s, tbl, "o_orderstatus")                       // v3
+      DeltaWrite.append(s, tbl,                                            // v4
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").as("price")))
+      graft.sources.DeltaLog.readWhere(s, tbl, "o_orderkey < 5000")
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -477,6 +580,59 @@ private[graft] object DeltaQueries {
                 CASE WHEN doc_id % 5 = 0 AND doc_id < 1000000
                      THEN CAST(6 AS BIGINT) ELSE _row_commit_version
                 END AS _row_commit_version
-         FROM allrows ORDER BY doc_id"""
+         FROM allrows ORDER BY doc_id""",
+
+    // the clustering layer must be RESULT-invisible (all orders rows
+    // survive the two curve rewrites) and the Hilbert position of each
+    // row's (key%64, key//64%64) cell replays via the classic xy2d
+    // recurrence: per level s = 32..1, d += s²·((3·rx) XOR ry) with the
+    // quadrant flip/swap — bit-identical to the Skilling form the engine
+    // codegens (HilbertSpec pins that equivalence exhaustively)
+    "q139_delta_liquid" ->
+      """WITH RECURSIVE hil AS (
+           SELECT o_orderkey,
+                  CAST(o_orderkey % 64 AS INT) AS x,
+                  CAST((o_orderkey // 64) % 64 AS INT) AS y,
+                  32 AS s, CAST(0 AS BIGINT) AS d
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey,
+                  CASE WHEN ry = 0 AND rx = 1 THEN s - 1 - y
+                       WHEN ry = 0 THEN y ELSE x END,
+                  CASE WHEN ry = 0 AND rx = 1 THEN s - 1 - x
+                       WHEN ry = 0 THEN x ELSE y END,
+                  s // 2,
+                  d + CAST(s AS BIGINT) * s * xor(3 * rx, ry)
+           FROM (SELECT o_orderkey, x, y, s, d,
+                        CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END AS rx,
+                        CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END AS ry
+                 FROM hil WHERE s > 0))
+         SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+                h.d AS hilbert_d,
+                'o_custkey,o_totalprice' AS cluster_spec
+         FROM orders o JOIN hil h ON o.o_orderkey = h.o_orderkey AND h.s = 0
+         ORDER BY o.o_orderkey""",
+
+    // the widened table state from first principles: even keys entered as
+    // INT/FLOAT (so the value that survives is the FLOAT-rounded price,
+    // replayed by the same IEEE promotion), odd keys entered wide
+    "q140_delta_widen" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+                CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS v,
+                'k:integer->long@2,v:float->double@2' AS widen_hist
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey + 3000000000,
+                CAST(o_totalprice AS DOUBLE),
+                'k:integer->long@2,v:float->double@2'
+         FROM orders WHERE o_orderkey % 2 = 1
+         ORDER BY k""",
+
+    // the rename/drop layer must be RESULT-invisible modulo names: same
+    // rows as raw orders, price under its new name, status gone
+    "q141_delta_rename" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice AS price
+         FROM orders WHERE o_orderkey < 5000
+         ORDER BY o_orderkey"""
   )
 }

@@ -690,7 +690,12 @@ object DeltaLog {
     */
   private val supportedReaderFeatures: Set[String] =
     Set("columnMapping", "deletionVectors", "timestampNtz",
-      "vacuumProtocolCheck", "variantType-preview", "v2Checkpoint")
+      "vacuumProtocolCheck", "variantType-preview", "v2Checkpoint",
+      // widened tables: old files carry the narrow parquet type; this
+      // bridge reads every file group with the TABLE schema and Spark 4's
+      // parquet readers up-cast natively (TypeWideningSpec pins the
+      // promotions the writer may record)
+      "typeWidening")
 
   private def requireReadable(tablePath: String, s: Snapshot): Unit = {
     s.protocol.foreach { p =>
@@ -1085,6 +1090,37 @@ object DeltaLog {
 
   private[graft] def rowTrackingEnabled(s: Snapshot): Boolean =
     s.configuration.get("delta.enableRowTracking").exists(_.equalsIgnoreCase("true"))
+
+  // ------------------------------------------------------- liquid clustering
+
+  /** The table's recorded clustering columns (LOGICAL names) from the
+    * `delta.clustering` domain — the spec a bare OPTIMIZE re-clusters by.
+    * Empty when the table is not clustered. The domain stores physical
+    * name PATHS (arrays, for nested columns); this engine clusters on
+    * top-level columns only, so anything else is refused loudly rather
+    * than silently mis-clustered.
+    */
+  private[graft] def clusteringColumns(s: Snapshot): Seq[String] =
+    s.domainMetadata.get("delta.clustering").map { cfg =>
+      val node =
+        try mapper.readTree(cfg).get("clusteringColumns")
+        catch {
+          case scala.util.control.NonFatal(e) => throw new IllegalStateException(
+            s"unparseable delta.clustering domain: $cfg", e)
+        }
+      if (node == null || !node.isArray) Nil
+      else {
+        val physToLogical =
+          s.schema.fieldNames.map(f => s.physicalName(f) -> f).toMap
+        (0 until node.size).toList.map { i =>
+          val path = node.get(i)
+          require(path.isArray && path.size == 1,
+            s"unsupported clustering column path in delta.clustering: $path")
+          val p = path.get(0).asText
+          physToLogical.getOrElse(p, p)
+        }
+      }
+    }.getOrElse(Nil)
 
   /** Read the table with row-tracking metadata: every row gains `_row_id`
     * (STABLE — a rewrite-preserving writer materializes it into rewritten

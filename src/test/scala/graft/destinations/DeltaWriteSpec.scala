@@ -545,6 +545,68 @@ class DeltaWriteSpec extends SparkSpec {
     assert(DeltaLog.read(spark, table.toString).count() == 400)
   }
 
+  test("liquid clustering: hilbert compact records the spec; a bare compact re-clusters by it") {
+    import spark.implicits._
+    val table = tmpDir("dw-liquid")
+    val schema = StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType),
+      StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, table.toString, schema)
+    val grid = for (x <- 0L until 20L; y <- 0L until 20L) yield (x, y, s"$x/$y")
+    val stripes = grid.groupBy(t => (t._1 + t._2) % 8).toSeq.sortBy(_._1)
+    stripes.foreach { case (_, slice) =>
+      DeltaWrite.append(spark, table.toString,
+        slice.toDF("x", "y", "v").repartition(1))
+    }
+    val sizes = DeltaLog.snapshot(spark, table.toString).files.map(_.size)
+    val target = sizes.sum * 3 / 10
+    assert(target / 2 > sizes.max, s"fixture sizes defeat the small-file cut: $sizes")
+
+    // explicit hilbert clusterBy: rewrite + record the clustering spec
+    DeltaWrite.compact(spark, table.toString, targetFileBytes = target,
+      clusterBy = Seq("x", "y"), curve = "hilbert")
+    val snap1 = DeltaLog.snapshot(spark, table.toString)
+    assert(DeltaLog.clusteringColumns(snap1) == Seq("x", "y"))
+    val p = snap1.protocol.get
+    assert(p.minWriterVersion == 7 && p.writerFeatures("clusteredTable") &&
+      p.writerFeatures("domainMetadata"), s"protocol not upgraded: $p")
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.toSeq
+      }.flatten
+    // hilbert boxes skip on EITHER clustered column, same as z-order
+    assert(scannedFiles(DeltaLog.readWhere(spark, table.toString, "x < 3")).size <
+      snap1.files.size, "x predicate skipped nothing")
+    assert(scannedFiles(DeltaLog.readWhere(spark, table.toString, "y < 3")).size <
+      snap1.files.size, "y predicate skipped nothing")
+
+    // fresh small stripes, then a BARE compact: the recorded spec drives
+    // the re-cluster (liquid OPTIMIZE), and the domain survives the commit
+    stripes.take(4).foreach { case (_, slice) =>
+      DeltaWrite.append(spark, table.toString,
+        slice.map { case (x, y, _) => (x, y, "fresh") }
+          .toDF("x", "y", "v").repartition(1))
+    }
+    DeltaWrite.compact(spark, table.toString, targetFileBytes = target)
+    val snap2 = DeltaLog.snapshot(spark, table.toString)
+    assert(DeltaLog.clusteringColumns(snap2) == Seq("x", "y"))
+    assert(scannedFiles(DeltaLog.readWhere(spark, table.toString, "x < 3")).size <
+      snap2.files.size)
+    assert(scannedFiles(DeltaLog.readWhere(spark, table.toString, "y < 3")).size <
+      snap2.files.size)
+    val expected = 400L + stripes.take(4).map(_._2.size).sum
+    assert(DeltaLog.read(spark, table.toString).count() == expected)
+
+    // guard rails: unknown / partition cluster columns refuse loudly
+    intercept[IllegalArgumentException](
+      DeltaWrite.compact(spark, table.toString, clusterBy = Seq("nope")))
+    intercept[IllegalArgumentException](
+      DeltaWrite.compact(spark, table.toString, clusterBy = Seq("x"),
+        curve = "not-a-curve"))
+  }
+
   test("mergeSchema append widens the table; old files null-fill and still prune sanely") {
     import spark.implicits._
     val table = tmpDir("dw-merge-schema")

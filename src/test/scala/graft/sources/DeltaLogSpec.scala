@@ -173,14 +173,14 @@ class DeltaLogSpec extends SparkSpec {
       p.minReaderVersion == 3 && p.readerFeatures.contains("deletionVectors")))
 
     // a feature we genuinely don't implement refuses loudly, naming it
-    // (v2Checkpoint moved to the supported set in r10)
+    // (v2Checkpoint moved to the supported set in r10, typeWidening in r13)
     val bad = tmpDir("delta-proto-bad")
     dataFile(bad, "part=a/f1.parquet", Seq((1L, "one")))
     commit(bad, 0L, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["collations-preview"],"writerFeatures":["collations-preview"]}}""",
       metaLine, addLine("part=a/f1.parquet", "a")))
     val e = intercept[IllegalArgumentException](DeltaLog.read(spark, bad.toString))
-    assert(e.getMessage.contains("typeWidening"), e.getMessage)
+    assert(e.getMessage.contains("collations-preview"), e.getMessage)
 
     // legacy minReaderVersion 2 implies column mapping, which IS
     // implemented — a v2 table (here with mode none) reads fine
@@ -293,13 +293,13 @@ class DeltaLogSpec extends SparkSpec {
       DeltaWrite.append(spark, idt.toString, row))
     assert(e2b.getMessage.contains("identity"), e2b.getMessage)
 
-    // v7 writer feature we don't implement (type widening) refuses by name
-    val rt = freshTable("dw-typewidening", Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["typeWidening"]}}""",
+    // v7 writer feature we don't implement (iceberg compat) refuses by name
+    val rt = freshTable("dw-icebergcompat", Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV2"]}}""",
       metaLine))
     val e3 = intercept[IllegalArgumentException](
       DeltaWrite.append(spark, rt.toString, row))
-    assert(e3.getMessage.contains("typeWidening"), e3.getMessage)
+    assert(e3.getMessage.contains("icebergCompatV2"), e3.getMessage)
   }
 
   test("checkpoint preserves a foreign table's protocol and txn state") {
