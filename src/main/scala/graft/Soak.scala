@@ -40,7 +40,8 @@ object Soak {
     // round 13 late additions: hilbert-clustered OPTIMIZE, the widened
     // narrow/wide file mix, and metadata-only rename/drop — all under
     // 10× stats and the 2g heap cap
-    "q139_delta_liquid", "q140_delta_widen", "q141_delta_rename")
+    "q139_delta_liquid", "q140_delta_widen", "q141_delta_rename",
+    "q142_stream_availablenow", "q144_delta_crc")
 
   private def replicate(df: DataFrame, copies: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until copies).map(k => shift(df, k)).reduce(_ unionByName _)

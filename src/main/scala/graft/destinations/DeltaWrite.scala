@@ -683,7 +683,8 @@ object DeltaWrite {
       try {
         commit(spark, new Path(tablePath), version, "WRITE",
           withMeta = meta, adds = adds, removes = Nil,
-          metaConfig = metaCfg, rowIdBase = rowIdBaseOf(snap))
+          metaConfig = metaCfg, rowIdBase = rowIdBaseOf(snap),
+          tableId = DeltaLog.tableId(snap))
         maybeCheckpoint(spark, tablePath, version)
         return version
       } catch {
@@ -759,7 +760,9 @@ object DeltaWrite {
     val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts)
     val v = commit(spark, new Path(tablePath), snap.version + 1, "WRITE",
       withMeta = meta, adds = adds, removes = snap.files.map(_.path),
-      metaConfig = metaCfg, rowIdBase = rowIdBaseOf(snap))
+      metaConfig = metaCfg, rowIdBase = rowIdBaseOf(snap),
+      tableId = DeltaLog.tableId(snap),
+      crc = CrcPlan.Incremental(snap.files.map(_.size)))
     maybeCheckpoint(spark, tablePath, v)
     v
     } finally identityCleanup()
@@ -907,7 +910,8 @@ object DeltaWrite {
         statsExclude = matCols.toSet)
       commit(spark, new Path(tablePath), snap.version + 1, "MERGE",
         withMeta = None, adds = adds, removes = touched.map(_.path),
-        cdcs = cdcs, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap))
+        cdcs = cdcs, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap),
+        crc = CrcPlan.Incremental(touched.map(_.size)))
     } finally incoming.unpersist()
   }
 
@@ -1001,7 +1005,8 @@ object DeltaWrite {
       statsExclude = matCols.toSet)
     commit(spark, new Path(tablePath), snap.version + 1, "DELETE+WRITE",
       withMeta = None, adds = adds, removes = touched.map(_.path),
-      cdcs = cdcs, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap))
+      cdcs = cdcs, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap),
+      crc = CrcPlan.Incremental(touched.map(_.size)))
   }
 
   /** DELETE rows matching `predicate` (SQL boolean over the table's
@@ -1142,7 +1147,8 @@ object DeltaWrite {
         withMeta = None, adds = adds,
         removes = (dead ++ marked).map(_._1.path),
         protocolUpgrade = upgrade, cdcs = cdcs, ictEnabled = ictOn(snap),
-        rowIdBase = rowIdBaseOf(snap))
+        rowIdBase = rowIdBaseOf(snap),
+        crc = CrcPlan.Incremental((dead ++ marked).map(_._1.size)))
     } else {
       // copy-on-write: exact hit detection, rewrite only files with matches
       val cand = DeltaLog.readFiles(spark, tablePath, snap, candidates, withFilePath = true)
@@ -1171,7 +1177,8 @@ object DeltaWrite {
         statsExclude = matCols.toSet)
       commit(spark, table, snap.version + 1, "DELETE",
         withMeta = None, adds = adds, removes = touched.map(_.path),
-        cdcs = cdcs, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap))
+        cdcs = cdcs, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap),
+        crc = CrcPlan.Incremental(touched.map(_.size)))
     }
   }
 
@@ -1345,6 +1352,7 @@ object DeltaWrite {
     val statsMap = computeStats(spark, table, adds0, dataSchema)
     val adds = adds0.map(a => a.copy(stats = statsMap.get(a.relPath)))
     commit(spark, table, snap.version + 1, "COMPUTE STATS",
+      crc = CrcPlan.Unchanged,
       withMeta = None, adds = adds, removes = Nil, dataChange = false,
       ictEnabled = ictOn(snap))
     adds.count(_.stats.isDefined)
@@ -1510,7 +1518,28 @@ object DeltaWrite {
       withMeta = None, adds = adds, removes = toCompact.map(_.path),
       dataChange = false, protocolUpgrade = clusterProto,
       ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap),
-      extraDomains = clusterDomains)
+      extraDomains = clusterDomains,
+      crc = CrcPlan.Incremental(toCompact.map(_.size)))
+  }
+
+  /** `ALTER TABLE … CLUSTER BY NONE`: stop maintaining the clustering
+    * spec — the `delta.clustering` domain re-commits with an empty column
+    * list (matching delta-spark; the `clusteredTable` feature stays on the
+    * protocol, features are never retired), so later bare [[compact]]
+    * calls bin-pack without re-clustering. Data and layout are untouched;
+    * this is a pure metadata commit. Returns the new version (current
+    * when the table has no clustering spec to clear).
+    */
+  def clusterByNone(spark: SparkSession, tablePath: String): Long = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    requireWritable(tablePath, snap, "clusterByNone", removesData = false)
+    if (DeltaLog.clusteringColumns(snap).isEmpty) return snap.version
+    val v = commit(spark, new Path(tablePath), snap.version + 1,
+      "CLUSTER BY", withMeta = None, adds = Nil, removes = Nil,
+      dataChange = false, ictEnabled = ictOn(snap),
+      extraDomains = Seq("delta.clustering" -> """{"clusteringColumns":[]}"""))
+    maybeCheckpoint(spark, tablePath, v)
+    v
   }
 
   /** RESTORE the table to an earlier version as a NEW commit (time travel
@@ -1591,9 +1620,19 @@ object DeltaWrite {
           target.configuration != cur.configuration)
         Some((target.schema, target.partitionColumns))
       else None
+    // checksum: the post-restore live set IS the target snapshot's — one
+    // distributed aggregate over the already-loaded target index (the
+    // incremental plan cannot express restore's re-add-without-remove)
+    val crcRow = lsTgt.indexDF.agg(
+      org.apache.spark.sql.functions.count(col("path")),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum(col("size")),
+        org.apache.spark.sql.functions.lit(0L))).head()
     val v = commit(spark, table, cur.version + 1, "RESTORE",
       withMeta = meta, adds = adds, removes = removes,
-      metaConfig = target.configuration)
+      metaConfig = target.configuration,
+      tableId = DeltaLog.tableId(cur),
+      crc = CrcPlan.Exact(crcRow.getLong(0), crcRow.getLong(1)))
     maybeCheckpoint(spark, tablePath, v)
     v
   }
@@ -1688,7 +1727,7 @@ object DeltaWrite {
     val v = commit(spark, new Path(tablePath), snap.version + 1,
       "SET TBLPROPERTIES", withMeta = Some((snap.schema, snap.partitionColumns)),
       adds = Nil, removes = Nil, dataChange = false, protocolUpgrade = proto,
-      metaConfig = newCfg)
+      metaConfig = newCfg, tableId = DeltaLog.tableId(snap))
     maybeCheckpoint(spark, tablePath, v)
     v
   }
@@ -1726,7 +1765,8 @@ object DeltaWrite {
     val v = commit(spark, new Path(tablePath), snap.version + 1,
       "RENAME COLUMN", withMeta = Some((newSchema, newParts)),
       adds = Nil, removes = Nil, dataChange = false,
-      metaConfig = snap.configuration, ictEnabled = ictOn(snap))
+      metaConfig = snap.configuration, ictEnabled = ictOn(snap),
+      tableId = DeltaLog.tableId(snap))
     maybeCheckpoint(spark, tablePath, v)
     v
   }
@@ -1758,7 +1798,8 @@ object DeltaWrite {
     val v = commit(spark, new Path(tablePath), snap.version + 1,
       "DROP COLUMNS", withMeta = Some((newSchema, snap.partitionColumns)),
       adds = Nil, removes = Nil, dataChange = false,
-      metaConfig = snap.configuration, ictEnabled = ictOn(snap))
+      metaConfig = snap.configuration, ictEnabled = ictOn(snap),
+      tableId = DeltaLog.tableId(snap))
     maybeCheckpoint(spark, tablePath, v)
     v
   }
@@ -2293,6 +2334,7 @@ object DeltaWrite {
     val table = new Path(tablePath)
     val f = fs(spark, table)
     val CommitName = """(\d{20})\.json""".r
+    val CrcName = """(\d{20})\.crc""".r
     val CpAnyName = """(\d{20})\.checkpoint(\..*)?\.(parquet|json)""".r
     val entries = f.listStatus(logDir(table)).toSeq
     // Only COMPLETE checkpoints count as replay seeds — shared judgement
@@ -2306,6 +2348,9 @@ object DeltaWrite {
     entries.foreach { st =>
       val del = st.getPath.getName match {
         case CommitName(v) => v.toLong <= newest
+        // keep the newest version's checksum: post-cleanup readers seed at
+        // `newest` and may still want to audit that state
+        case CrcName(v) => v.toLong < newest
         case CpAnyName(v, _, _) => v.toLong < newest
         case _ => false
       }
@@ -2544,6 +2589,27 @@ object DeltaWrite {
         .map(_.asLong())
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Per-commit version-checksum maintenance (`<v>.crc`, the delta-spark
+    * state summary a reader can audit the replay against).
+    *   - Incremental: new state = previous crc + this commit's adds −
+    *     removes (sizes supplied by the caller, who holds the removed
+    *     AddFiles). Correct whenever every re-added EXISTING path also
+    *     appears in removes (true for every rewrite path here — the
+    *     remove/re-add pair cancels); chain-breaking shapes must not use
+    *     it. No previous crc ⇒ nothing is written (foreign tables,
+    *     pre-checksum history).
+    *   - Exact: the caller supplies the post-commit numFiles/bytes (e.g.
+    *     restore, which re-adds live paths without removing them and
+    *     already holds the target index to aggregate).
+    */
+  private[graft] sealed trait CrcPlan
+  private[graft] object CrcPlan {
+    final case class Incremental(removedSizes: Seq[Long]) extends CrcPlan
+    final case class Exact(numFiles: Long, tableSizeBytes: Long) extends CrcPlan
+    /** Re-add-in-place commits (stats backfill): live set unchanged. */
+    case object Unchanged extends CrcPlan
+  }
+
   private def commit(
       spark: SparkSession,
       table: Path,
@@ -2558,7 +2624,9 @@ object DeltaWrite {
       cdcs: Seq[AddDescriptor] = Nil,
       ictEnabled: Boolean = false,
       rowIdBase: Option[Long] = None,
-      extraDomains: Seq[(String, String)] = Nil): Long = {
+      extraDomains: Seq[(String, String)] = Nil,
+      tableId: Option[String] = None,
+      crc: CrcPlan = CrcPlan.Incremental(Nil)): Long = {
     val now = System.currentTimeMillis()
     val nonce = java.util.UUID.randomUUID().toString
     val lines = Seq.newBuilder[String]
@@ -2593,14 +2661,7 @@ object DeltaWrite {
         }
         val dm =
           if (hwm == prevHwm) None
-          else Some {
-            val dn = mapper.createObjectNode()
-            val d = dn.putObject("domainMetadata")
-            d.put("domain", "delta.rowTracking")
-            d.put("configuration", s"""{"rowIdHighWaterMark":$hwm}""")
-            d.put("removed", false)
-            mapper.writeValueAsString(dn)
-          }
+          else Some("delta.rowTracking" -> s"""{"rowIdHighWaterMark":$hwm}""")
         (assigned, dm)
     }
 
@@ -2637,7 +2698,7 @@ object DeltaWrite {
     info.put("txnId", nonce)
     lines += mapper.writeValueAsString(ci)
 
-    protocolUpgrade match {
+    val protoJsonThisCommit: Option[String] = protocolUpgrade match {
       case Some(p) =>
         val pn = mapper.createObjectNode()
         val proto = pn.putObject("protocol")
@@ -2652,18 +2713,23 @@ object DeltaWrite {
           p.writerFeatures.toSeq.sorted.foreach(wf.add)
         }
         lines += mapper.writeValueAsString(pn)
+        Some(mapper.writeValueAsString(pn.get("protocol")))
       case None if version == 0L =>
         val pn = mapper.createObjectNode()
         val proto = pn.putObject("protocol")
         proto.put("minReaderVersion", 1)
         proto.put("minWriterVersion", 2)
         lines += mapper.writeValueAsString(pn)
-      case None => ()
+        Some(mapper.writeValueAsString(pn.get("protocol")))
+      case None => None
     }
-    withMeta.foreach { case (schema, partitionBy) =>
+    val metaJsonThisCommit: Option[String] = withMeta.map { case (schema, partitionBy) =>
       val mn = mapper.createObjectNode()
       val meta = mn.putObject("metaData")
-      meta.put("id", java.util.UUID.randomUUID().toString)
+      // the table id is its IDENTITY: a re-emit keeps the one assigned at
+      // create (a fresh id per schema change would make every evolution
+      // look like a table replacement to streaming readers)
+      meta.put("id", tableId.getOrElse(java.util.UUID.randomUUID().toString))
       val fmt = meta.putObject("format")
       fmt.put("provider", "parquet")
       fmt.putObject("options")
@@ -2676,6 +2742,7 @@ object DeltaWrite {
       metaConfig.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
       meta.put("createdTime", now)
       lines += mapper.writeValueAsString(mn)
+      mapper.writeValueAsString(mn.get("metaData"))
     }
     removes.foreach { p =>
       val rn = mapper.createObjectNode()
@@ -2685,8 +2752,8 @@ object DeltaWrite {
       rm.put("dataChange", dataChange)
       lines += mapper.writeValueAsString(rn)
     }
-    rowDomain.foreach(lines += _)
-    extraDomains.foreach { case (domain, cfg) =>
+    val domainsThisCommit = rowDomain.toSeq ++ extraDomains
+    domainsThisCommit.foreach { case (domain, cfg) =>
       val dn = mapper.createObjectNode()
       val d = dn.putObject("domainMetadata")
       d.put("domain", domain)
@@ -2731,7 +2798,70 @@ object DeltaWrite {
     }
 
     publishCommit(spark, table, version, lines.result().mkString("", "\n", "\n"))
+    // the commit is durable; checksum maintenance is best-effort on top
+    // (a crc write failure must not surface as a commit failure — the
+    // retry discipline above would then double-publish)
+    try maybeWriteCrc(spark, table, version, trackedAdds, removes, crc,
+      metaJsonThisCommit, protoJsonThisCommit, domainsThisCommit)
+    catch { case scala.util.control.NonFatal(_) => () }
     version
+  }
+
+  /** Write `<version>.crc` (delta-spark's VersionChecksum shape) when the
+    * state can be derived soundly — see [[CrcPlan]]. Never throws into the
+    * commit path; a missing crc is always legal, a wrong one never is.
+    */
+  private def maybeWriteCrc(
+      spark: SparkSession,
+      table: Path,
+      version: Long,
+      adds: Seq[AddDescriptor],
+      removes: Seq[String],
+      crc: CrcPlan,
+      metaJsonThisCommit: Option[String],
+      protoJsonThisCommit: Option[String],
+      domainsThisCommit: Seq[(String, String)]): Unit = {
+    val prev: Option[DeltaLog.VersionChecksum] =
+      if (version == 0L)
+        Some(DeltaLog.VersionChecksum(0L, 0L, "", "", Map.empty))
+      else DeltaLog.readCrc(spark, table.toString, version - 1)
+    val (nFiles, bytes) = crc match {
+      case CrcPlan.Exact(n, b) => (n, b)
+      case CrcPlan.Unchanged =>
+        val p = prev.getOrElse(return ())
+        (p.numFiles, p.tableSizeBytes)
+      case CrcPlan.Incremental(removedSizes) =>
+        val p = prev.getOrElse(return ()) // no chain to extend
+        // a caller that removes files MUST supply their sizes; breaking
+        // the chain (writing nothing) is safe, a guessed size is not
+        if (removedSizes.size != removes.size) return ()
+        (p.numFiles + adds.size - removes.size,
+          p.tableSizeBytes + adds.map(_.size).sum - removedSizes.sum)
+    }
+    val metaJson = metaJsonThisCommit.orElse(
+      prev.map(_.metadataJson).filter(_.nonEmpty)).getOrElse(return ())
+    val protoJson = protoJsonThisCommit.orElse(
+      prev.map(_.protocolJson).filter(_.nonEmpty)).getOrElse(return ())
+    val domains =
+      prev.map(_.domainMetadata).getOrElse(Map.empty) ++ domainsThisCommit
+    val n = mapper.createObjectNode()
+    n.put("tableSizeBytes", bytes)
+    n.put("numFiles", nFiles)
+    n.put("numMetadata", 1L)
+    n.put("numProtocol", 1L)
+    n.set[com.fasterxml.jackson.databind.JsonNode]("metadata", mapper.readTree(metaJson))
+    n.set[com.fasterxml.jackson.databind.JsonNode]("protocol", mapper.readTree(protoJson))
+    if (domains.nonEmpty) {
+      val arr = n.putArray("domainMetadata")
+      domains.toSeq.sortBy(_._1).foreach { case (d, cfg) =>
+        val dn = arr.addObject()
+        dn.put("domain", d); dn.put("configuration", cfg); dn.put("removed", false)
+      }
+    }
+    val f = fs(spark, table)
+    val out = f.create(DeltaLog.crcPath(table.toString, version), true)
+    try out.write((mapper.writeValueAsString(n) + "\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Atomic create-exclusive publication of a commit file — the same race

@@ -432,6 +432,42 @@ private[graft] object DeltaQueries {
             col("o_totalprice").as("price")))
       graft.sources.DeltaLog.readWhere(s, tbl, "o_orderkey < 5000")
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Version checksums (r13 — delta-spark's `<v>.crc` VersionChecksum):
+    // every commit summarizes the post-commit state (numFiles /
+    // tableSizeBytes / metadata / protocol / domains), maintained
+    // incrementally through every write shape. The gate drives a full
+    // lifecycle, then AUDITS every version — `verifyChecksum` re-derives
+    // the state from the actual log replay as one distributed aggregate
+    // and throws on divergence, so a drifted chain kills the query before
+    // any row comes back; the audited-version count rides the frame and
+    // the final rows hash against the from-first-principles oracle.
+    "q144_delta_crc" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q144").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType],
+        properties = Map("delta.enableDeletionVectors" -> "true"))
+      DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 0).repartition(2))     // v1
+      DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 1).repartition(1))     // v2
+      DeltaWrite.delete(s, tbl, "o_orderkey % 10 = 0")                 // v3 (DV)
+      DeltaWrite.compact(s, tbl, targetFileBytes = 1L << 20)           // v4
+      DeltaWrite.upsert(s, tbl,                                        // v5
+        orders.filter(col("o_orderkey") < 1000 && col("o_orderkey") % 10 =!= 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") + 1.0).as("o_totalprice")),
+        Seq("o_orderkey"))
+      val audited = (0L to 5L).count(v =>
+        graft.sources.DeltaLog.verifyChecksum(s, tbl, Some(v)))
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit(audited).as("crc_versions_audited"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -633,6 +669,17 @@ private[graft] object DeltaQueries {
     "q141_delta_rename" ->
       """SELECT o_orderkey, o_custkey, o_totalprice AS price
          FROM orders WHERE o_orderkey < 5000
+         ORDER BY o_orderkey""",
+
+    // the checksum layer must be RESULT-invisible; the audited-version
+    // count is the integrity signal (6 = versions 0..5 all carried an
+    // exact checksum)
+    "q144_delta_crc" ->
+      """SELECT o_orderkey, o_custkey,
+                CASE WHEN o_orderkey < 1000 THEN o_totalprice + 1.0
+                     ELSE o_totalprice END AS o_totalprice,
+                CAST(6 AS INT) AS crc_versions_audited
+         FROM orders WHERE o_orderkey % 10 <> 0
          ORDER BY o_orderkey"""
   )
 }

@@ -284,6 +284,60 @@ private[graft] object StreamingQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // Stream-stream LEFT SEMI join, gated (r13 — completes Spark's
+    // supported stream-stream matrix next to q119/q121/q133): each click
+    // emits AT MOST ONCE when its first in-window purchase arrives, right
+    // columns never exposed. The batch oracle is EXISTS over the same
+    // time bound — an extra emission per extra match (inner-join leak) or
+    // a dropped converting click hash-mismatches.
+    "q143_stream_semi_join" -> ((s, dir) => withStatePartitions(s, 8) {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val replay = cachedReplay(s"q143-$dir") { d =>
+        writeReplay(clicks, "ts", d.resolve("l"), n = 2)
+        writeReplay(purchases, "ts", d.resolve("r"), n = 2)
+      }
+      val l = Streams.fileSource(s, replay.resolve("l").toString, clicks.schema,
+        maxFilesPerTrigger = Some(1))
+      val r = Streams.fileSource(s, replay.resolve("r").toString, purchases.schema,
+        maxFilesPerTrigger = Some(1))
+      val joined = Streams.joinedStreams(l, r, key = "user_id", ts = "ts",
+        within = "30 minutes", joinType = "left_semi", watermark = "40 days")
+      Streams.runToMemory(joined,
+        s"q143_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+        OutputMode.Append())
+        .select(col("l_event_id").as("click_id"), col("l_user_id").as("user_id"))
+        .orderBy(col("click_id"))
+    }),
+
+    // Trigger.AvailableNow incremental batch, gated (r13): the cron'd-
+    // backfill shape — run 1 processes the first half of the events into a
+    // real Delta table and STOPS; the second half lands in the source dir;
+    // run 2 resumes from the SAME durable checkpoint and must process ONLY
+    // the new file (a re-read duplicates event_ids, a gap drops them —
+    // either hash-mismatches the batch oracle). Exactly-once across two
+    // separate query lifetimes is the whole point of the gate.
+    "q142_stream_availablenow" -> ((s, dir) => withStatePartitions(s, 8) {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val src = tmp("graft-q142").resolve("src")
+      val tbl = tmp("graft-q142").resolve("t").toString
+      val ck = tmp("graft-q142").resolve("ck").toString
+      graft.destinations.DeltaWrite.createIfAbsent(s, tbl,
+        ev.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+      appendReplayFile(ev.filter(col("event_id") % 2 === 0), src, 0)
+      Streams.availableNowAppend(s, src.toString, ev.schema, tbl, ck)
+      appendReplayFile(ev.filter(col("event_id") % 2 === 1), src, 1)
+      Streams.availableNowAppend(s, src.toString, ev.schema, tbl, ck)
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Streaming gap sessionization, gated: the full event stream replays in
     // order; 30-minute-gap sessions close exactly once, each user's final
     // session stays open (NoTimeout) and is excluded by the oracle too.
@@ -347,6 +401,24 @@ private[graft] object StreamingQueries {
                 CASE WHEN c.c_custkey % 3 <> 0 THEN c.c_mktsegment END AS segment
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          ORDER BY event_id""",
+    // the semi join's batch truth: clicks with ANY purchase in-window,
+    // each exactly once
+    "q143_stream_semi_join" ->
+      """SELECT c.event_id AS click_id, c.user_id AS user_id
+         FROM events c
+         WHERE c.event_type = 'click' AND EXISTS (
+           SELECT 1 FROM events p
+           WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+         ORDER BY click_id""",
+
+    // two incremental AvailableNow runs must reconstruct the batch table
+    // exactly once — any re-read or gap across the checkpoint boundary
+    // duplicates or drops event_ids
+    "q142_stream_availablenow" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM events ORDER BY event_id""",
+
     // each (user_id, event_type) admitted once per horizon epoch: the base
     // replay and the +150-day replay = exactly two admissions per key
     "q138_stream_dedup_expiry" ->

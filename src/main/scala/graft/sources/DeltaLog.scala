@@ -1091,6 +1091,97 @@ object DeltaLog {
   private[graft] def rowTrackingEnabled(s: Snapshot): Boolean =
     s.configuration.get("delta.enableRowTracking").exists(_.equalsIgnoreCase("true"))
 
+  /** The table's stable identity (`metaData.id`) — assigned at create and
+    * preserved by every metaData re-emit (schema evolution must not make
+    * the table look like a different table to streaming readers). */
+  private[graft] def tableId(s: Snapshot): Option[String] =
+    s.metaDataRaw.flatMap { raw =>
+      try Option(mapper.readTree(raw).get("id")).filterNot(_.isNull).map(_.asText)
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  // --------------------------------------------------- version checksums
+
+  final case class VersionChecksum(
+      tableSizeBytes: Long,
+      numFiles: Long,
+      metadataJson: String,
+      protocolJson: String,
+      domainMetadata: Map[String, String])
+
+  private[graft] def crcPath(tablePath: String, v: Long) =
+    new Path(new Path(tablePath, "_delta_log"), f"$v%020d.crc")
+
+  /** Read `<version>.crc` when present (the delta-spark-style per-version
+    * state summary this engine's writer maintains). */
+  private[graft] def readCrc(
+      spark: SparkSession, tablePath: String, version: Long): Option[VersionChecksum] = {
+    val p = crcPath(tablePath, version)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    try {
+      val n = mapper.readTree(content)
+      val domains = Option(n.get("domainMetadata")).filter(_.isArray).map { arr =>
+        (0 until arr.size).map { i =>
+          val d = arr.get(i)
+          d.get("domain").asText -> d.get("configuration").asText
+        }.toMap
+      }.getOrElse(Map.empty[String, String])
+      Some(VersionChecksum(
+        n.get("tableSizeBytes").asLong(),
+        n.get("numFiles").asLong(),
+        Option(n.get("metadata")).map(_.toString).getOrElse(""),
+        Option(n.get("protocol")).map(_.toString).getOrElse(""),
+        domains))
+    } catch {
+      case scala.util.control.NonFatal(e) => throw new IllegalStateException(
+        s"unparseable version checksum ${p}: ${content.take(200)}", e)
+    }
+  }
+
+  /** AUDIT the version checksum against the actually-replayed state: live
+    * file count and total bytes re-derived as one distributed aggregate
+    * over the log index (never a driver-side file list), plus the
+    * metadata/protocol/domain actions the replay resolved. Loud
+    * IllegalStateException on any divergence — a checksum that disagrees
+    * with the log means one of them is corrupt, and reading on would
+    * silently serve wrong data. Returns true when a checksum existed and
+    * matched, false when the version has no checksum (nothing to audit —
+    * foreign writers and pre-checksum history are legal).
+    */
+  def verifyChecksum(
+      spark: SparkSession, tablePath: String, version: Option[Long] = None): Boolean = {
+    val ls = lazySnapshot(spark, tablePath, versionAsOf = version)
+    val snap = ls.meta
+    val crc = readCrc(spark, tablePath, snap.version).getOrElse(return false)
+    val row = ls.indexDF.agg(
+      org.apache.spark.sql.functions.count(col("path")),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum(col("size")),
+        org.apache.spark.sql.functions.lit(0L))).head()
+    val (nFiles, bytes) = (row.getLong(0), row.getLong(1))
+    def fail(what: String, want: Any, got: Any) = throw new IllegalStateException(
+      s"version checksum mismatch for $tablePath@${snap.version} — $what: " +
+        s"checksum says $want, log replay says $got")
+    if (crc.numFiles != nFiles) fail("numFiles", crc.numFiles, nFiles)
+    if (crc.tableSizeBytes != bytes) fail("tableSizeBytes", crc.tableSizeBytes, bytes)
+    // protocol + domain cross-checks are cheap driver-side equality
+    snap.protocol.foreach { p =>
+      val pc = try mapper.readTree(crc.protocolJson) catch {
+        case scala.util.control.NonFatal(_) => fail("protocol", crc.protocolJson, p)
+      }
+      if (pc.get("minReaderVersion").asInt != p.minReaderVersion ||
+        pc.get("minWriterVersion").asInt != p.minWriterVersion)
+        fail("protocol", crc.protocolJson, p)
+    }
+    val liveDomains = snap.domainMetadata
+    if (crc.domainMetadata != liveDomains)
+      fail("domainMetadata", crc.domainMetadata, liveDomains)
+    true
+  }
+
   // ------------------------------------------------------- liquid clustering
 
   /** The table's recorded clustering columns (LOGICAL names) from the

@@ -118,8 +118,16 @@ object Streams {
       within: String = "10 minutes",
       joinType: String = "inner",
       watermark: String = "10 minutes"): DataFrame = {
-    require(Seq("inner", "left_outer", "right_outer", "full_outer").contains(joinType),
-      s"joinType must be inner/left_outer/right_outer/full_outer, got $joinType")
+    // left_semi completes Spark's supported stream-stream matrix: each left
+    // row emits AT MOST ONCE (first proof of a match, right columns never
+    // exposed) — the "did this click ever convert" shape without the inner
+    // join's per-match fan-out. left_anti has no bounded-state streaming
+    // meaning (absence is only provable at watermark close; Spark rejects
+    // it), so it is intentionally absent.
+    require(Seq("inner", "left_outer", "right_outer", "full_outer",
+      "left_semi").contains(joinType),
+      s"joinType must be inner/left_outer/right_outer/full_outer/left_semi, " +
+        s"got $joinType")
     val l = left.withWatermark(ts, watermark)
       .select(left.columns.map(c => col(c).as(s"l_$c")).toIndexedSeq: _*)
     val r = right.withWatermark(ts, watermark)
@@ -231,6 +239,37 @@ object Streams {
           graft.destinations.DeltaWrite.append(batch.sparkSession, tablePath, batch): Unit
       }
       .start()
+
+  /** One INCREMENTAL-BATCH pass (`Trigger.AvailableNow`): process every
+    * file in `srcDir` the durable checkpoint has not seen yet — as
+    * rate-limited micro-batches when `maxFilesPerTrigger` caps it — commit
+    * each batch to the Delta table, then STOP. This is the scheduled-job
+    * complement to a resident stream: each run resumes exactly where the
+    * previous one stopped (source offsets live under `checkpointDir`), so
+    * a cron'd backfill gets streaming's bookkeeping — no re-reads, no
+    * gaps, bounded per-run work — without a 24/7 driver. At 100 TB this
+    * is the shape nightly ingest actually runs as.
+    */
+  def availableNowAppend(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      tablePath: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val q = fileSource(spark, srcDir, schema,
+        maxFilesPerTrigger = maxFilesPerTrigger)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.destinations.DeltaWrite.append(batch.sparkSession, tablePath, batch): Unit
+      }
+      .start()
+    q.awaitTermination()
+  }
 
   /** Incrementally consume a Delta table's CHANGE DATA FEED with a durable
     * offset: reads the change rows in `(last consumed version, latest]`

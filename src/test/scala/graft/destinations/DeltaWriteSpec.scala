@@ -1274,7 +1274,10 @@ class DeltaWriteSpec extends SparkSpec {
       assert(nSidecars >= 2, s"expected multiple sidecars, got $nSidecars")
       // metadata cleanup: the v2 checkpoint alone must seed the snapshot
       val deleted = DeltaWrite.cleanupMetadata(spark, table)
-      assert(deleted == 8, s"deleted=$deleted") // commits 0..7
+      // commits 0..7 plus version checksums 0..6 (the newest crc stays so
+      // post-cleanup readers can still audit the seed state)
+      assert(deleted == 15, s"deleted=$deleted")
+      assert(java.nio.file.Files.exists(logDir.resolve("00000000000000000007.crc")))
       def state() = DeltaLog.read(spark, table)
         .collect().map(r => (r.getLong(0), r.getString(1))).toSet
       assert(state() == (1 to 6).filter(_ != 3)

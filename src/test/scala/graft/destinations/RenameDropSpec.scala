@@ -106,6 +106,12 @@ class RenameDropSpec extends SparkSpec {
     DeltaWrite.renameColumn(spark, table, "v", "label")
     assert(DeltaLog.clusteringColumns(DeltaLog.snapshot(spark, table)) ==
       Seq("id", "label"), "clustering spec must follow the rename (physical names)")
+    // CLUSTER BY NONE clears the spec; the formerly-blocked drop now works
+    DeltaWrite.clusterByNone(spark, table)
+    assert(DeltaLog.clusteringColumns(DeltaLog.snapshot(spark, table)).isEmpty)
+    DeltaWrite.dropColumn(spark, table, "label")
+    assert(DeltaLog.snapshot(spark, table).schema.fieldNames.toSeq ==
+      Seq("id", "score"))
   }
 
   test("partition column renames update partitionColumns; partition drop refuses") {

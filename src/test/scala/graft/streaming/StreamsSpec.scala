@@ -370,6 +370,40 @@ class StreamsSpec extends SparkSpec {
     assert(DeltaLog.read(spark, tbl, versionAsOf = Some(1L)).count() == 2)
   }
 
+  test("availableNowAppend: two runs share one checkpoint — each file processed exactly once") {
+    import graft.destinations.DeltaWrite
+    import graft.sources.DeltaLog
+    import org.apache.spark.sql.types._
+    val root = tmpDir("stream-availnow")
+    val src = root.resolve("src")
+    val tbl = root.resolve("tbl").toString
+    val ck = root.resolve("ck").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    DeltaWrite.createIfAbsent(spark, tbl, schema)
+
+    graft.QueryHelpers.appendReplayFile(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src, 0)
+    Streams.availableNowAppend(spark, src.toString, schema, tbl, ck)
+    val v1 = DeltaLog.snapshot(spark, tbl).version
+    assert(DeltaLog.read(spark, tbl).count() == 2)
+
+    // run 2 with NO new input: the checkpoint makes it a no-op (no empty
+    // commits, no re-reads)
+    Streams.availableNowAppend(spark, src.toString, schema, tbl, ck)
+    assert(DeltaLog.snapshot(spark, tbl).version == v1, "no-op run must not commit")
+
+    // run 3 after a new file arrives: ONLY the new file lands
+    graft.QueryHelpers.appendReplayFile(Seq((3L, "c")).toDF("id", "v"), src, 1)
+    Streams.availableNowAppend(spark, src.toString, schema, tbl, ck)
+    val rows = DeltaLog.read(spark, tbl).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // exactly one more data commit, carrying exactly the new row
+    assert(DeltaLog.snapshot(spark, tbl).version == v1 + 1)
+    assert(DeltaLog.read(spark, tbl, versionAsOf = Some(v1)).count() == 2)
+  }
+
   test("file streaming source processes incrementally-arriving files") {
     val dir = tmpDir("stream-files")
     import org.apache.spark.sql.types._
