@@ -606,15 +606,18 @@ object DeltaWrite {
       spark: SparkSession,
       tablePath: String,
       df: DataFrame,
-      mergeSchema: Boolean = false): Long =
-    appendAttempt(spark, tablePath, df, mergeSchema, identityRestarts = 5)
+      mergeSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): Long =
+    appendAttempt(spark, tablePath, df, mergeSchema, identityRestarts = 5,
+      txn = txn)
 
   private def appendAttempt(
       spark: SparkSession,
       tablePath: String,
       df: DataFrame,
       mergeSchema: Boolean,
-      identityRestarts: Int): Long = {
+      identityRestarts: Int,
+      txn: Option[(String, Long)] = None): Long = {
     // append never reads the file list — metadata-only snapshot, bounded
     // driver memory regardless of table size
     val snap = DeltaLog.lazySnapshot(spark, tablePath).meta
@@ -684,7 +687,7 @@ object DeltaWrite {
         commit(spark, new Path(tablePath), version, "WRITE",
           withMeta = meta, adds = adds, removes = Nil,
           metaConfig = metaCfg, rowIdBase = rowIdBaseOf(snap),
-          tableId = DeltaLog.tableId(snap))
+          tableId = DeltaLog.tableId(snap), txn = txn)
         maybeCheckpoint(spark, tablePath, version)
         return version
       } catch {
@@ -701,7 +704,7 @@ object DeltaWrite {
           if (identityFields(snap.schema).nonEmpty || widened.nonEmpty) {
             if (identityRestarts == 0) throw e
             return appendAttempt(spark, tablePath, df, mergeSchema,
-              identityRestarts - 1)
+              identityRestarts - 1, txn = txn)
           }
           version = DeltaLog.lazySnapshot(spark, tablePath).meta.version + 1
       }
@@ -1467,29 +1470,7 @@ object DeltaWrite {
         else a.copy(size =
           f.getFileStatus(new Path(table, DeltaLog.decodePath(a.path))).getLen))
       .filter(_.size < targetFileBytes / 2)
-    // only partitions holding 2+ small files shrink their file count
-    val byPart = small.groupBy(_.partitionValues).filter(_._2.size >= 2)
-    val toCompact = byPart.values.flatten.toSeq
-    if (toCompact.isEmpty) return snap.version
-    val totalBytes = toCompact.map(_.size).sum
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    // row tracking: a compaction moves every row — stable ids ride the
-    // materialized columns into the packed files
-    val (baseSrc, matCols) = readForRewrite(spark, tablePath, snap, toCompact)
-    val base = baseSrc
-      .select((snap.schema.fieldNames.toIndexedSeq ++ matCols).map(col): _*)
-    val rewritten =
-      if (effCols.isEmpty) base.coalesce(nOut)
-      else if (effCols.size == 1)
-        base.repartitionByRange(nOut, effCols.map(col): _*)
-          .sortWithinPartitions(effCols.map(col): _*)
-      else {
-        val counts = toCompact.map(graft.sources.DeltaStats.numRecords)
-        val approxRows =
-          if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
-        ZOrder.cluster(base, effCols, nOut, approxRows, curve = effCurve)
-      }
-    // explicit clusterBy ⇒ record/refresh the clustering spec in THIS
+    // explicit clusterBy ⇒ record/refresh the clustering spec in the same
     // commit (the clustered-table contract: the spec and the layout that
     // satisfies it land atomically), upgrading the protocol to name
     // domainMetadata + clusteredTable when the table predates them
@@ -1508,6 +1489,41 @@ object DeltaWrite {
           else Some(DeltaLog.Protocol(cur.minReaderVersion, 7,
             cur.readerFeatures, curFeats ++ need))
         (Seq("delta.clustering" -> cfg), proto)
+      }
+    // only partitions holding 2+ small files shrink their file count
+    val byPart = small.groupBy(_.partitionValues).filter(_._2.size >= 2)
+    val toCompact = byPart.values.flatten.toSeq
+    if (toCompact.isEmpty) {
+      // nothing to rewrite, but an explicit clusterBy must still RECORD
+      // the spec (ALTER TABLE CLUSTER BY semantics) — otherwise "compact
+      // on a big-file table" silently discards the caller's clustering
+      // intent and every later bare compact bin-packs unclustered
+      if (clusterBy.isEmpty ||
+          DeltaLog.clusteringColumns(snap) == clusterBy) return snap.version
+      val v = commit(spark, table, snap.version + 1, "CLUSTER BY",
+        withMeta = None, adds = Nil, removes = Nil, dataChange = false,
+        protocolUpgrade = clusterProto, ictEnabled = ictOn(snap),
+        extraDomains = clusterDomains)
+      maybeCheckpoint(spark, tablePath, v)
+      return v
+    }
+    val totalBytes = toCompact.map(_.size).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    // row tracking: a compaction moves every row — stable ids ride the
+    // materialized columns into the packed files
+    val (baseSrc, matCols) = readForRewrite(spark, tablePath, snap, toCompact)
+    val base = baseSrc
+      .select((snap.schema.fieldNames.toIndexedSeq ++ matCols).map(col): _*)
+    val rewritten =
+      if (effCols.isEmpty) base.coalesce(nOut)
+      else if (effCols.size == 1)
+        base.repartitionByRange(nOut, effCols.map(col): _*)
+          .sortWithinPartitions(effCols.map(col): _*)
+      else {
+        val counts = toCompact.map(graft.sources.DeltaStats.numRecords)
+        val approxRows =
+          if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+        ZOrder.cluster(base, effCols, nOut, approxRows, curve = effCurve)
       }
     val (phys, physParts) =
       toPhysical(rewritten, snap.schema, snap.partitionColumns,
@@ -1623,16 +1639,12 @@ object DeltaWrite {
     // checksum: the post-restore live set IS the target snapshot's — one
     // distributed aggregate over the already-loaded target index (the
     // incremental plan cannot express restore's re-add-without-remove)
-    val crcRow = lsTgt.indexDF.agg(
-      org.apache.spark.sql.functions.count(col("path")),
-      org.apache.spark.sql.functions.coalesce(
-        org.apache.spark.sql.functions.sum(col("size")),
-        org.apache.spark.sql.functions.lit(0L))).head()
+    val (crcFiles, crcBytes) = lsTgt.liveFileStats()
     val v = commit(spark, table, cur.version + 1, "RESTORE",
       withMeta = meta, adds = adds, removes = removes,
       metaConfig = target.configuration,
       tableId = DeltaLog.tableId(cur),
-      crc = CrcPlan.Exact(crcRow.getLong(0), crcRow.getLong(1)))
+      crc = CrcPlan.Exact(crcFiles, crcBytes))
     maybeCheckpoint(spark, tablePath, v)
     v
   }
@@ -1813,11 +1825,16 @@ object DeltaWrite {
   private def requireUnreferenced(
       snap: DeltaLog.Snapshot, column: String, op: String): Unit = {
     val word = java.util.regex.Pattern.compile(
-      "(?i)(?<![A-Za-z0-9_`])" + java.util.regex.Pattern.quote(column) +
-        "(?![A-Za-z0-9_`])")
+      "(?i)(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(column) +
+        "(?![A-Za-z0-9_])")
+    // match against the backtick-STRIPPED SQL: `score` must hit the same
+    // guard as bare score (stripping can only merge tokens, i.e. create
+    // MORE matches — the conservative-loud direction for a refusal guard)
+    def references(sql: String): Boolean =
+      word.matcher(sql.replace("`", "")).find()
     snap.configuration.filter(_._1.startsWith("delta.constraints."))
       .foreach { case (k, sql) =>
-        require(!word.matcher(sql).find(),
+        require(!references(sql),
           s"$op: column $column is referenced by CHECK constraint " +
             s"${k.stripPrefix("delta.constraints.")} ($sql); drop it first")
       }
@@ -1826,7 +1843,7 @@ object DeltaWrite {
         f.metadata.contains("delta.generationExpression"))
       .foreach { f =>
         val sql = f.metadata.getString("delta.generationExpression")
-        require(!word.matcher(sql).find(),
+        require(!references(sql),
           s"$op: column $column is referenced by generated column " +
             s"${f.name} ($sql); drop the generated column first")
       }
@@ -2626,7 +2643,8 @@ object DeltaWrite {
       rowIdBase: Option[Long] = None,
       extraDomains: Seq[(String, String)] = Nil,
       tableId: Option[String] = None,
-      crc: CrcPlan = CrcPlan.Incremental(Nil)): Long = {
+      crc: CrcPlan = CrcPlan.Incremental(Nil),
+      txn: Option[(String, Long)] = None): Long = {
     val now = System.currentTimeMillis()
     val nonce = java.util.UUID.randomUUID().toString
     val lines = Seq.newBuilder[String]
@@ -2697,6 +2715,17 @@ object DeltaWrite {
     info.put("engineInfo", "graft")
     info.put("txnId", nonce)
     lines += mapper.writeValueAsString(ci)
+
+    // idempotent-writer bookmark (SetTransaction): replay keeps the latest
+    // version per appId, so a restarted job can ask "did my batch N land?"
+    txn.foreach { case (appId, v) =>
+      val tn = mapper.createObjectNode()
+      val t = tn.putObject("txn")
+      t.put("appId", appId)
+      t.put("version", v)
+      t.put("lastUpdated", now)
+      lines += mapper.writeValueAsString(tn)
+    }
 
     val protoJsonThisCommit: Option[String] = protocolUpgrade match {
       case Some(p) =>
@@ -2859,9 +2888,18 @@ object DeltaWrite {
       }
     }
     val f = fs(spark, table)
-    val out = f.create(DeltaLog.crcPath(table.toString, version), true)
+    val target = DeltaLog.crcPath(table.toString, version)
+    // readers must never observe a half-written checksum (verifyChecksum
+    // would scream corruption on a healthy table): write aside, publish by
+    // rename. `version`'s crc has exactly one legal writer — the commit
+    // winner — so an existing target can only be our own earlier partial
+    // attempt, safe to replace.
+    val tmp = new Path(logDir(table), s".tmp-crc-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
     try out.write((mapper.writeValueAsString(n) + "\n").getBytes("UTF-8"))
     finally out.close()
+    if (f.exists(target)) f.delete(target, false)
+    if (!f.rename(tmp, target)) f.delete(tmp, false)
   }
 
   /** Atomic create-exclusive publication of a commit file — the same race

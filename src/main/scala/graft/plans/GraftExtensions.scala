@@ -54,6 +54,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "quantize_int8(v) expects one numeric-array column")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[graft.functions.HilbertIndex].getName, "hilbert_index"),
+      (args: Seq[Expression]) => args match {
+        case IntegerLiteral(bits) +: coords if coords.nonEmpty =>
+          import org.apache.spark.sql.catalyst.expressions.Cast
+          import org.apache.spark.sql.types.IntegerType
+          graft.functions.HilbertIndex(bits, coords.map(Cast(_, IntegerType)))
+        case _ => throw new IllegalArgumentException(
+          "hilbert_index(bits, c1, ..., ck) expects an integer-literal bit " +
+            "depth and k int coordinate columns")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[graft.functions.SortedIntersectCount].getName,
         "sorted_intersect_count"),

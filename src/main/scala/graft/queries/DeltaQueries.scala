@@ -456,13 +456,17 @@ private[graft] object DeltaQueries {
       DeltaWrite.append(s, tbl,
         orders.filter(col("o_orderkey") % 2 === 1).repartition(1))     // v2
       DeltaWrite.delete(s, tbl, "o_orderkey % 10 = 0")                 // v3 (DV)
-      DeltaWrite.compact(s, tbl, targetFileBytes = 1L << 20)           // v4
+      // 1 GiB target: every file is "small" at ANY test scale, so the
+      // compact always commits and the version numbering stays fixed
+      // (a scale-dependent no-op would shift the audited-version count)
+      DeltaWrite.compact(s, tbl, targetFileBytes = 1L << 30)           // v4
       DeltaWrite.upsert(s, tbl,                                        // v5
         orders.filter(col("o_orderkey") < 1000 && col("o_orderkey") % 10 =!= 0)
           .select(col("o_orderkey"), col("o_custkey"),
             (col("o_totalprice") + 1.0).as("o_totalprice")),
         Seq("o_orderkey"))
-      val audited = (0L to 5L).count(v =>
+      val latest = graft.sources.DeltaLog.snapshot(s, tbl).version
+      val audited = (0L to latest).count(v =>
         graft.sources.DeltaLog.verifyChecksum(s, tbl, Some(v)))
       graft.sources.DeltaLog.read(s, tbl)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),

@@ -649,6 +649,19 @@ object DeltaLog {
           col("modificationTime"), col("stats"), col("deletionVector"),
           col("baseRowId"), col("defaultRowCommitVersion"))
 
+    /** (live file count, total bytes) as ONE distributed aggregate over
+      * the add index — the state summary both [[DeltaLog.verifyChecksum]]
+      * audits against and restore's exact checksum derives from (one
+      * definition, or the audit and the writer silently diverge). */
+    private[graft] def liveFileStats(): (Long, Long) = {
+      val row = indexDF.agg(
+        org.apache.spark.sql.functions.count(col("path")),
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum(col("size")),
+          org.apache.spark.sql.functions.lit(0L))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+
     /** Every table-relative path the snapshot keeps alive — decoded data
       * file paths plus the `.bin` sidecars its deletion vectors point into
       * — as a distributed single-column (`rel`) frame. Vacuum anti-joins
@@ -1156,25 +1169,37 @@ object DeltaLog {
     val ls = lazySnapshot(spark, tablePath, versionAsOf = version)
     val snap = ls.meta
     val crc = readCrc(spark, tablePath, snap.version).getOrElse(return false)
-    val row = ls.indexDF.agg(
-      org.apache.spark.sql.functions.count(col("path")),
-      org.apache.spark.sql.functions.coalesce(
-        org.apache.spark.sql.functions.sum(col("size")),
-        org.apache.spark.sql.functions.lit(0L))).head()
-    val (nFiles, bytes) = (row.getLong(0), row.getLong(1))
+    val (nFiles, bytes) = ls.liveFileStats()
     def fail(what: String, want: Any, got: Any) = throw new IllegalStateException(
       s"version checksum mismatch for $tablePath@${snap.version} — $what: " +
         s"checksum says $want, log replay says $got")
     if (crc.numFiles != nFiles) fail("numFiles", crc.numFiles, nFiles)
     if (crc.tableSizeBytes != bytes) fail("tableSizeBytes", crc.tableSizeBytes, bytes)
-    // protocol + domain cross-checks are cheap driver-side equality
+    // protocol: version floors AND the feature lists must agree
     snap.protocol.foreach { p =>
       val pc = try mapper.readTree(crc.protocolJson) catch {
         case scala.util.control.NonFatal(_) => fail("protocol", crc.protocolJson, p)
       }
+      def feats(field: String): Set[String] =
+        Option(pc.get(field)).filter(_.isArray)
+          .map(a => (0 until a.size).map(a.get(_).asText).toSet)
+          .getOrElse(Set.empty)
       if (pc.get("minReaderVersion").asInt != p.minReaderVersion ||
-        pc.get("minWriterVersion").asInt != p.minWriterVersion)
+        pc.get("minWriterVersion").asInt != p.minWriterVersion ||
+        feats("readerFeatures") != p.readerFeatures ||
+        feats("writerFeatures") != p.writerFeatures)
         fail("protocol", crc.protocolJson, p)
+    }
+    // metadata: structural equality with the replayed metaData action
+    // (Jackson node equality is field-order-insensitive) — a checksum
+    // carrying a different schema/id/config than the log is corruption
+    snap.metaDataRaw.foreach { raw =>
+      if (crc.metadataJson.isEmpty) fail("metadata", "<absent>", raw)
+      val want = try mapper.readTree(crc.metadataJson) catch {
+        case scala.util.control.NonFatal(_) =>
+          fail("metadata", crc.metadataJson, raw)
+      }
+      if (want != mapper.readTree(raw)) fail("metadata", crc.metadataJson, raw)
     }
     val liveDomains = snap.domainMetadata
     if (crc.domainMetadata != liveDomains)

@@ -257,15 +257,26 @@ object Streams {
       tablePath: String,
       checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None): Unit = {
+    // exactly-once across crashes, not just across clean runs: the append
+    // commit carries a SetTransaction (appId derived from the checkpoint,
+    // version = batchId), so a batch that landed in Delta but died before
+    // the checkpoint's offset commit is SKIPPED on replay instead of
+    // double-appended — the delta-spark sink discipline
+    val appId = "graft-availablenow-" + java.util.UUID.nameUUIDFromBytes(
+      checkpointDir.getBytes("UTF-8")).toString
     val q = fileSource(spark, srcDir, schema,
         maxFilesPerTrigger = maxFilesPerTrigger)
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          graft.destinations.DeltaWrite.append(batch.sparkSession, tablePath, batch): Unit
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val applied = graft.sources.DeltaLog.lazySnapshot(sp, tablePath)
+          .meta.txns.getOrElse(appId, -1L)
+        if (batchId > applied && !batch.isEmpty)
+          graft.destinations.DeltaWrite.append(sp, tablePath, batch,
+            txn = Some((appId, batchId))): Unit
       }
       .start()
     q.awaitTermination()

@@ -86,6 +86,14 @@ class CrcSpec extends SparkSpec {
     val e = intercept[IllegalStateException](
       DeltaLog.verifyChecksum(spark, table, Some(1L)))
     assert(e.getMessage.contains("numFiles"), e.getMessage)
+    // a swapped-in metadata object (different schema/id) is also refused
+    val tampered2 = tampered
+      .replaceFirst("\"numFiles\":7", "\"numFiles\":1")
+      .replaceFirst("\"id\":\"", "\"id\":\"not-")
+    java.nio.file.Files.write(p, tampered2.getBytes("UTF-8"))
+    val e2 = intercept[IllegalStateException](
+      DeltaLog.verifyChecksum(spark, table, Some(1L)))
+    assert(e2.getMessage.contains("metadata"), e2.getMessage)
     // absent checksum = nothing to audit, never an error
     java.nio.file.Files.delete(p)
     assert(!DeltaLog.verifyChecksum(spark, table, Some(1L)))

@@ -605,6 +605,17 @@ class DeltaWriteSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       DeltaWrite.compact(spark, table.toString, clusterBy = Seq("x"),
         curve = "not-a-curve"))
+
+    // ALTER-CLUSTER-BY semantics: an explicit clusterBy with NOTHING to
+    // compact (tiny target ⇒ no small files) still RECORDS the new spec
+    // as a metadata-only commit
+    val vBefore = DeltaLog.snapshot(spark, table.toString).version
+    DeltaWrite.compact(spark, table.toString, targetFileBytes = 2L,
+      clusterBy = Seq("y", "x"))
+    val snap3 = DeltaLog.snapshot(spark, table.toString)
+    assert(snap3.version == vBefore + 1)
+    assert(DeltaLog.clusteringColumns(snap3) == Seq("y", "x"))
+    assert(DeltaLog.read(spark, table.toString).count() == expected)
   }
 
   test("mergeSchema append widens the table; old files null-fill and still prune sanely") {

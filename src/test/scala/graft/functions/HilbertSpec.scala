@@ -85,6 +85,20 @@ class HilbertSpec extends SparkSpec {
     assert(withNull.isNullAt(0))
   }
 
+  test("hilbert_index SQL registration matches the Scala API and stays codegen'd") {
+    val r = spark.sql(
+      "SELECT hilbert_index(6, 13, 27) AS d, hilbert_index(4, 3, 5, 7) AS d3").head()
+    assert(r.getLong(0) == xy2d(64, 13, 27))
+    assert(r.getLong(1) == HilbertCurve.index(Array(3, 5, 7), 4))
+    val df = spark.range(256).selectExpr(
+      "hilbert_index(6, CAST(id % 64 AS INT), CAST(id / 64 AS INT)) AS d")
+    assert(df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, df.queryExecution.executedPlan.toString)
+    assert(df.collect().length == 256)
+    intercept[Exception](spark.sql("SELECT hilbert_index(6)").head())
+  }
+
   test("hilbert clustering tightens BOTH columns' per-partition ranges") {
     // 64x64 grid shuffled into 16 range partitions by hilbert key: each
     // partition must cover a far tighter (x, y) box than 1/16th of one

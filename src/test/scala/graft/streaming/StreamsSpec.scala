@@ -402,6 +402,25 @@ class StreamsSpec extends SparkSpec {
     // exactly one more data commit, carrying exactly the new row
     assert(DeltaLog.snapshot(spark, tbl).version == v1 + 1)
     assert(DeltaLog.read(spark, tbl, versionAsOf = Some(v1)).count() == 2)
+
+    // the SetTransaction bookmark rode the commits (appId derived from
+    // the checkpoint path, version = batchId)
+    val txns = DeltaLog.snapshot(spark, tbl).txns
+    assert(txns.size == 1 && txns.head._2 == 1L, txns.toString)
+
+    // crash-replay dedup: wiping the checkpoint makes the source replay
+    // EVERYTHING as a fresh batch — the txn guard must skip it (the batch
+    // already landed in Delta), not double-append
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    rmrf(java.nio.file.Paths.get(ck))
+    Streams.availableNowAppend(spark, src.toString, schema, tbl, ck)
+    assert(DeltaLog.read(spark, tbl).count() == 3, "replayed batch was re-appended")
   }
 
   test("file streaming source processes incrementally-arriving files") {
