@@ -74,7 +74,7 @@ object Bench {
   private[graft] val r13New = Set("q135_delta_rowtracking", "q136_flac_decode",
     "q137_stream_static_join", "q138_stream_dedup_expiry", "q139_delta_liquid",
     "q140_delta_widen", "q141_delta_rename", "q142_stream_availablenow",
-    "q143_stream_semi_join", "q144_delta_crc")
+    "q143_stream_semi_join", "q144_delta_crc", "q145_delta_history")
   private[graft] val laterRounds =
     Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New, r11New, r13New)
   private def newer(from: Int)(k: String): Boolean =

@@ -687,7 +687,8 @@ object DeltaWrite {
         commit(spark, new Path(tablePath), version, "WRITE",
           withMeta = meta, adds = adds, removes = Nil,
           metaConfig = metaCfg, rowIdBase = rowIdBaseOf(snap),
-          tableId = DeltaLog.tableId(snap), txn = txn)
+          tableId = DeltaLog.tableId(snap), txn = txn,
+          opParams = Seq("mode" -> "Append"))
         maybeCheckpoint(spark, tablePath, version)
         return version
       } catch {
@@ -765,7 +766,8 @@ object DeltaWrite {
       withMeta = meta, adds = adds, removes = snap.files.map(_.path),
       metaConfig = metaCfg, rowIdBase = rowIdBaseOf(snap),
       tableId = DeltaLog.tableId(snap),
-      crc = CrcPlan.Incremental(snap.files.map(_.size)))
+      crc = CrcPlan.Incremental(snap.files.map(_.size)),
+      opParams = Seq("mode" -> "Overwrite"))
     maybeCheckpoint(spark, tablePath, v)
     v
     } finally identityCleanup()
@@ -914,7 +916,9 @@ object DeltaWrite {
       commit(spark, new Path(tablePath), snap.version + 1, "MERGE",
         withMeta = None, adds = adds, removes = touched.map(_.path),
         cdcs = cdcs, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap),
-        crc = CrcPlan.Incremental(touched.map(_.size)))
+        crc = CrcPlan.Incremental(touched.map(_.size)),
+        opParams = Seq("matchedPredicates" ->
+          keys.map(k => s"s.$k <=> t.$k").mkString(" AND ")))
     } finally incoming.unpersist()
   }
 
@@ -1151,7 +1155,8 @@ object DeltaWrite {
         removes = (dead ++ marked).map(_._1.path),
         protocolUpgrade = upgrade, cdcs = cdcs, ictEnabled = ictOn(snap),
         rowIdBase = rowIdBaseOf(snap),
-        crc = CrcPlan.Incremental((dead ++ marked).map(_._1.size)))
+        crc = CrcPlan.Incremental((dead ++ marked).map(_._1.size)),
+        opParams = Seq("predicate" -> predicate))
     } else {
       // copy-on-write: exact hit detection, rewrite only files with matches
       val cand = DeltaLog.readFiles(spark, tablePath, snap, candidates, withFilePath = true)
@@ -1181,7 +1186,8 @@ object DeltaWrite {
       commit(spark, table, snap.version + 1, "DELETE",
         withMeta = None, adds = adds, removes = touched.map(_.path),
         cdcs = cdcs, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap),
-        crc = CrcPlan.Incremental(touched.map(_.size)))
+        crc = CrcPlan.Incremental(touched.map(_.size)),
+        opParams = Seq("predicate" -> predicate))
     }
   }
 
@@ -1382,19 +1388,32 @@ object DeltaWrite {
         val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
         var op: String = null; var ts = st.getModificationTime
         var nAdd = 0; var nRemove = 0
+        var params = Map.empty[String, String]
+        var metrics = Map.empty[String, String]
+        def toMap(node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] = {
+          val b = Map.newBuilder[String, String]
+          val it = node.fields()
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+          b.result()
+        }
         content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
           val n = mapper.readTree(line)
           val ci = n.get("commitInfo")
           if (ci != null && !ci.isNull) {
             Option(ci.get("operation")).filterNot(_.isNull).foreach(o => op = o.asText)
             Option(ci.get("timestamp")).filterNot(_.isNull).foreach(t => ts = t.asLong)
+            Option(ci.get("operationParameters")).filterNot(_.isNull)
+              .foreach(p => params = toMap(p))
+            Option(ci.get("operationMetrics")).filterNot(_.isNull)
+              .foreach(m => metrics = toMap(m))
           }
           if (n.has("add") && !n.get("add").isNull) nAdd += 1
           if (n.has("remove") && !n.get("remove").isNull) nRemove += 1
         }
-        (v, ts, op, nAdd, nRemove)
+        (v, ts, op, nAdd, nRemove, params, metrics)
       }
-    rows.toDF("version", "timestamp_ms", "operation", "num_added_files", "num_removed_files")
+    rows.toDF("version", "timestamp_ms", "operation", "num_added_files",
+      "num_removed_files", "operation_parameters", "operation_metrics")
   }
 
   /** Bin-pack small live files (< target/2) into ~`targetFileBytes` files,
@@ -1503,7 +1522,10 @@ object DeltaWrite {
       val v = commit(spark, table, snap.version + 1, "CLUSTER BY",
         withMeta = None, adds = Nil, removes = Nil, dataChange = false,
         protocolUpgrade = clusterProto, ictEnabled = ictOn(snap),
-        extraDomains = clusterDomains)
+        extraDomains = clusterDomains,
+        opParams = Seq(
+          "clusterBy" -> clusterBy.mkString("[\"", "\",\"", "\"]"),
+          "curve" -> curve))
       maybeCheckpoint(spark, tablePath, v)
       return v
     }
@@ -1535,7 +1557,13 @@ object DeltaWrite {
       dataChange = false, protocolUpgrade = clusterProto,
       ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap),
       extraDomains = clusterDomains,
-      crc = CrcPlan.Incremental(toCompact.map(_.size)))
+      crc = CrcPlan.Incremental(toCompact.map(_.size)),
+      opParams = (if (effCols.isEmpty) Nil
+        else Seq("clusterBy" -> effCols.mkString("[\"", "\",\"", "\"]"),
+          "curve" -> effCurve)) ++
+        (if (where.isEmpty) Nil
+         else Seq("predicate" -> where.map { case (k, v) => s"$k = '$v'" }
+           .mkString(" AND "))))
   }
 
   /** `ALTER TABLE … CLUSTER BY NONE`: stop maintaining the clustering
@@ -1553,7 +1581,8 @@ object DeltaWrite {
     val v = commit(spark, new Path(tablePath), snap.version + 1,
       "CLUSTER BY", withMeta = None, adds = Nil, removes = Nil,
       dataChange = false, ictEnabled = ictOn(snap),
-      extraDomains = Seq("delta.clustering" -> """{"clusteringColumns":[]}"""))
+      extraDomains = Seq("delta.clustering" -> """{"clusteringColumns":[]}"""),
+      opParams = Seq("clusterBy" -> "[]"))
     maybeCheckpoint(spark, tablePath, v)
     v
   }
@@ -1644,7 +1673,8 @@ object DeltaWrite {
       withMeta = meta, adds = adds, removes = removes,
       metaConfig = target.configuration,
       tableId = DeltaLog.tableId(cur),
-      crc = CrcPlan.Exact(crcFiles, crcBytes))
+      crc = CrcPlan.Exact(crcFiles, crcBytes),
+      opParams = Seq("version" -> version.toString))
     maybeCheckpoint(spark, tablePath, v)
     v
   }
@@ -1778,7 +1808,8 @@ object DeltaWrite {
       "RENAME COLUMN", withMeta = Some((newSchema, newParts)),
       adds = Nil, removes = Nil, dataChange = false,
       metaConfig = snap.configuration, ictEnabled = ictOn(snap),
-      tableId = DeltaLog.tableId(snap))
+      tableId = DeltaLog.tableId(snap),
+      opParams = Seq("oldColumnPath" -> from, "newColumnPath" -> to))
     maybeCheckpoint(spark, tablePath, v)
     v
   }
@@ -1811,7 +1842,8 @@ object DeltaWrite {
       "DROP COLUMNS", withMeta = Some((newSchema, snap.partitionColumns)),
       adds = Nil, removes = Nil, dataChange = false,
       metaConfig = snap.configuration, ictEnabled = ictOn(snap),
-      tableId = DeltaLog.tableId(snap))
+      tableId = DeltaLog.tableId(snap),
+      opParams = Seq("columns" -> ("[\"" + name + "\"]")))
     maybeCheckpoint(spark, tablePath, v)
     v
   }
@@ -2644,7 +2676,8 @@ object DeltaWrite {
       extraDomains: Seq[(String, String)] = Nil,
       tableId: Option[String] = None,
       crc: CrcPlan = CrcPlan.Incremental(Nil),
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      opParams: Seq[(String, String)] = Nil): Long = {
     val now = System.currentTimeMillis()
     val nonce = java.util.UUID.randomUUID().toString
     val lines = Seq.newBuilder[String]
@@ -2711,7 +2744,20 @@ object DeltaWrite {
     info.put("timestamp", now)
     ict.foreach(t => info.put("inCommitTimestamp", t))
     info.put("operation", operation)
-    info.putObject("operationParameters")
+    // DESCRIBE HISTORY fidelity (delta-spark convention: both maps carry
+    // STRING values; metrics are the generic add/remove counts every
+    // operation can state truthfully)
+    val params = info.putObject("operationParameters")
+    opParams.foreach { case (k, v) => params.put(k, v) }
+    val metrics = info.putObject("operationMetrics")
+    metrics.put("numAddedFiles", trackedAdds.size.toString)
+    metrics.put("numRemovedFiles", removes.size.toString)
+    metrics.put("numAddedBytes", trackedAdds.map(_.size).sum.toString)
+    if (cdcs.nonEmpty)
+      metrics.put("numAddedChangeFiles", cdcs.size.toString)
+    val outRows = trackedAdds.map(a => nRecs(a.stats))
+    if (trackedAdds.nonEmpty && outRows.forall(_.isDefined))
+      metrics.put("numOutputRows", outRows.flatten.sum.toString)
     info.put("engineInfo", "graft")
     info.put("txnId", nonce)
     lines += mapper.writeValueAsString(ci)

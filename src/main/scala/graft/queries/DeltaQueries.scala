@@ -472,6 +472,39 @@ private[graft] object DeltaQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           lit(audited).as("crc_versions_audited"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // DESCRIBE HISTORY, gated (r13): a deterministic lifecycle's history
+    // must replay exactly — operation names, the operationParameters each
+    // op declares (mode / predicate / clusterBy+curve), and the metrics
+    // whose values are layout-independent (v1's file count is pinned by
+    // repartition(2); v2's single output row count by its single file;
+    // rewrite-side file counts vary with scan partitioning, so they stay
+    // spec territory). A commit that forgets its parameters, misnames its
+    // operation, or miscounts a pinned metric hash-mismatches.
+    "q145_delta_history" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q145").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+      DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 0).repartition(2))     // v1
+      DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 1).repartition(1))     // v2
+      DeltaWrite.delete(s, tbl, "o_orderkey % 100 = 7")                // v3
+      DeltaWrite.compact(s, tbl, targetFileBytes = 1L << 30,           // v4
+        clusterBy = Seq("o_custkey", "o_totalprice"), curve = "hilbert")
+      DeltaWrite.history(s, tbl)
+        .select(col("version"), col("operation"),
+          coalesce(col("operation_parameters")("mode"), lit("")).as("p_mode"),
+          coalesce(col("operation_parameters")("predicate"), lit("")).as("p_predicate"),
+          coalesce(col("operation_parameters")("clusterBy"), lit("")).as("p_cluster"),
+          coalesce(col("operation_parameters")("curve"), lit("")).as("p_curve"),
+          when(col("version") === 1L,
+            col("operation_metrics")("numAddedFiles")).otherwise(lit("")).as("m_added"))
+        .orderBy(col("version"))
     })
   )
 
@@ -674,6 +707,17 @@ private[graft] object DeltaQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice AS price
          FROM orders WHERE o_orderkey < 5000
          ORDER BY o_orderkey""",
+
+    // the lifecycle's history as ground-truth literals
+    "q145_delta_history" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), 'CREATE TABLE', '', '', '', '', ''),
+           (1, 'WRITE', 'Append', '', '', '', '2'),
+           (2, 'WRITE', 'Append', '', '', '', ''),
+           (3, 'DELETE', '', 'o_orderkey % 100 = 7', '', '', ''),
+           (4, 'OPTIMIZE', '', '', '["o_custkey","o_totalprice"]', 'hilbert', '')
+         ) AS t(version, operation, p_mode, p_predicate, p_cluster, p_curve, m_added)
+         ORDER BY version""",
 
     // the checksum layer must be RESULT-invisible; the audited-version
     // count is the integrity signal (6 = versions 0..5 all carried an

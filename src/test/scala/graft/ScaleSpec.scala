@@ -304,4 +304,26 @@ class ScaleSpec extends SparkSpec {
     assert(qf.filter(col("quota") =!= 1L).count() == 0L)
     assert(qf.count() == nDomains)
   }
+
+  test("hilbert clustering rewrite: one range exchange, no UDFs, curve key pruned away") {
+    // the OPTIMIZE-rewrite shape at any scale: bucket ids + the Hilbert
+    // key are codegen'd column arithmetic over plan-literal boundaries,
+    // placement is ONE repartitionByRange (distributed sketch) + local
+    // sort — no hash exchange, no global sort, no per-row UDF
+    val df = spark.range(50000).select(
+      (col("id") % 997).as("x"), ((col("id") * 31) % 983).as("y"),
+      col("id").as("payload"))
+    val clustered = graft.destinations.ZOrder.cluster(
+      df, Seq("x", "y"), nOut = 8, approxRows = Some(50000L), curve = "hilbert")
+    val plan = clustered.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      "curve key must be native expression work")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "clustering must not add a hash exchange")
+    assert(plan.contains("Exchange rangepartitioning"),
+      "placement must be range repartitioning on the curve key")
+    // the transient curve key is dropped before the output schema
+    assert(!clustered.columns.contains("_graft_z"))
+    assert(clustered.count() == 50000)
+  }
 }

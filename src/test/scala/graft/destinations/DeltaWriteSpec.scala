@@ -1203,6 +1203,13 @@ class DeltaWriteSpec extends SparkSpec {
     assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
     assert(hist.map(_.getString(2)).toSeq == Seq("CREATE TABLE", "WRITE", "WRITE", "WRITE"))
     assert(hist.map(_.getInt(3)).toSeq == Seq(0, 1, 1, 1)) // files added per commit
+    // operationParameters / operationMetrics ride commitInfo (DESCRIBE
+    // HISTORY fidelity): appends declare their mode and count their output
+    val p1 = hist(1).getMap[String, String](5)
+    val m1 = hist(1).getMap[String, String](6)
+    assert(p1.get("mode").contains("Append"), p1.toString)
+    assert(m1.get("numAddedFiles").contains("1") &&
+      m1.get("numOutputRows").contains("1"), m1.toString)
 
     val cv = DeltaWrite.compact(spark, table.toString)
     assert(cv == 4L)
