@@ -1912,19 +1912,16 @@ object DeltaWrite {
     try {
       import spark.implicits._
       val cutoff = System.currentTimeMillis() - retainMs
-      var removed = 0
       val qualifiedRoot = f.makeQualified(table).toString
-      val batch = scala.collection.mutable.ArrayBuffer.empty[String]
+      // the doomed list is the commit's acted-on set (same driver-memory
+      // convention as restore's diff / compact's small-file list); batches
+      // still anti-join against the DISTRIBUTED live set
+      val doomed = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val batch = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       def flush(): Unit = if (batch.nonEmpty) {
-        val doomed = batch.toSeq.toDF("rel")
+        doomed ++= batch.toSeq.toDF("rel", "bytes")
           .join(liveRel, Seq("rel"), "left_anti")
-          .select(col("rel")).as[String].collect()
-        doomed.foreach { rel =>
-          // dry run (delta-spark `VACUUM … DRY RUN`): count candidates,
-          // delete nothing — the safety check before a retention change
-          if (dryRun) removed += 1
-          else if (f.delete(new Path(table, rel), false)) removed += 1
-        }
+          .select(col("rel"), col("bytes")).as[(String, Long)].collect()
         batch.clear()
       }
       val it = f.listFiles(table, true)
@@ -1935,11 +1932,47 @@ object DeltaWrite {
         val rel = p.stripPrefix(qualifiedRoot).dropWhile(_ == '/')
         val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
         if (st.isFile && !hidden && st.getModificationTime < cutoff) {
-          batch += rel
+          batch += rel -> st.getLen
           if (batch.size >= listingBatch) flush()
         }
       }
       flush()
+      // dry run (delta-spark `VACUUM … DRY RUN`): count candidates, delete
+      // nothing, COMMIT nothing — the safety check before a retention change
+      if (dryRun || doomed.isEmpty) return doomed.size
+      // delta-spark's audit trail: VACUUM START declares what will go
+      // (metrics BEFORE deletion — a crashed vacuum leaves evidence of
+      // intent), VACUUM END what actually went. Both are dataChange=false
+      // metadata commits; the live set is untouched so the checksum chain
+      // carries straight through. Blind retry on lost commit races (a
+      // vacuum commit has no logical conflict to rebase).
+      def blindCommit(op: String, params: Seq[(String, String)],
+          metrics: Seq[(String, String)]): Unit = {
+        var attempts = 0
+        var version = DeltaLog.lazySnapshot(spark, tablePath).meta.version + 1
+        while (attempts < 5) {
+          try {
+            commit(spark, table, version, op, withMeta = None,
+              adds = Nil, removes = Nil, dataChange = false,
+              ictEnabled = ictOn(snap), opParams = params, opMetrics = metrics)
+            return
+          } catch {
+            case _: IllegalStateException =>
+              attempts += 1
+              version = DeltaLog.lazySnapshot(spark, tablePath).meta.version + 1
+          }
+        }
+      }
+      blindCommit("VACUUM START",
+        Seq("retentionMs" -> retainMs.toString),
+        Seq("numFilesToDelete" -> doomed.size.toString,
+          "sizeOfDataToDelete" -> doomed.map(_._2).sum.toString))
+      var removed = 0
+      doomed.foreach { case (rel, _) =>
+        if (f.delete(new Path(table, rel), false)) removed += 1
+      }
+      blindCommit("VACUUM END", Nil, Seq(
+        "numDeletedFiles" -> removed.toString))
       removed
     } finally liveRel.unpersist()
   }
@@ -2677,7 +2710,8 @@ object DeltaWrite {
       tableId: Option[String] = None,
       crc: CrcPlan = CrcPlan.Incremental(Nil),
       txn: Option[(String, Long)] = None,
-      opParams: Seq[(String, String)] = Nil): Long = {
+      opParams: Seq[(String, String)] = Nil,
+      opMetrics: Seq[(String, String)] = Nil): Long = {
     val now = System.currentTimeMillis()
     val nonce = java.util.UUID.randomUUID().toString
     val lines = Seq.newBuilder[String]
@@ -2758,6 +2792,7 @@ object DeltaWrite {
     val outRows = trackedAdds.map(a => nRecs(a.stats))
     if (trackedAdds.nonEmpty && outRows.forall(_.isDefined))
       metrics.put("numOutputRows", outRows.flatten.sum.toString)
+    opMetrics.foreach { case (k, v) => metrics.put(k, v) }
     info.put("engineInfo", "graft")
     info.put("txnId", nonce)
     lines += mapper.writeValueAsString(ci)

@@ -1,0 +1,147 @@
+package graft.destinations
+
+import graft.SparkSpec
+import graft.sources.DeltaLog
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Model-based randomized soak of the whole Delta write/read stack: a
+  * seeded op sequence (append / upsert / delete / overwrite / compact /
+  * restore / properties / checkpoint / cleanup / vacuum) runs against BOTH
+  * the real table and a trivial in-memory model, and after EVERY op the
+  * table must read back exactly as the model predicts, the version
+  * checksum must audit clean, and a random still-materialized historical
+  * version must time-travel correctly. Hand-written specs pin each op in
+  * isolation; this pins their COMPOSITIONS — the protocol bugs that only
+  * appear three ops deep (a restore after a checkpoint after a DV delete)
+  * are exactly the ones single-op tests never reach.
+  */
+class DeltaModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private type State = Map[Long, String]
+
+  private def runModel(seed: Long, dvTable: Boolean): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val table = tmpDir(s"dw-model-$seed-$dvTable").resolve("t").toString
+    val props =
+      if (dvTable) Map(
+        "delta.enableDeletionVectors" -> "true",
+        "delta.enableChangeDataFeed" -> "true")
+      else Map.empty[String, String]
+    DeltaWrite.createIfAbsent(spark, table,
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      properties = props)
+
+    var state: State = Map.empty
+    var nextId = 0L
+    // data versions the model can restore/travel to (version -> state);
+    // vacuum invalidates time travel to tombstoned files, so the map is
+    // cleared when one runs
+    var versions = Map[Long, State](0L -> state)
+    def fresh(n: Int): Seq[(Long, String)] = {
+      val rows = (0 until n).map(i => (nextId + i, s"v${nextId + i}"))
+      nextId += n
+      rows
+    }
+    def df(rows: Seq[(Long, String)]) = rows.toDF("id", "v")
+      .repartition(1 + rnd.nextInt(2))
+
+    (1 to 18).foreach { step =>
+      val op = rnd.nextInt(10)
+      op match {
+        case 0 | 1 | 2 => // append
+          val rows = fresh(1 + rnd.nextInt(120))
+          val v = DeltaWrite.append(spark, table, df(rows))
+          state = state ++ rows
+          versions += v -> state
+        case 3 | 4 => // upsert: update a sample of survivors + some fresh
+          val updates = state.keys.toSeq.sorted
+            .filter(_ => rnd.nextDouble() < 0.3)
+            .map(k => (k, s"u$step-$k"))
+          val inserts = fresh(rnd.nextInt(40))
+          if (updates.nonEmpty || inserts.nonEmpty) {
+            val v = DeltaWrite.upsert(spark, table, df(updates ++ inserts), Seq("id"))
+            state = state ++ updates ++ inserts
+            versions += v -> state
+          }
+        case 5 => // delete by modulus predicate (DV path on the DV table)
+          val m = 2 + rnd.nextInt(5)
+          val r = rnd.nextInt(m)
+          val before = DeltaLog.snapshot(spark, table).version
+          val v = DeltaWrite.delete(spark, table, s"id % $m = $r")
+          state = state.filterNot { case (k, _) => k % m == r }
+          if (v != before) versions += v -> state
+        case 6 => // compact, sometimes clustered
+          val v =
+            if (rnd.nextBoolean())
+              DeltaWrite.compact(spark, table, targetFileBytes = 1L << 30)
+            else DeltaWrite.compact(spark, table, targetFileBytes = 1L << 30,
+              clusterBy = Seq("id", "v"),
+              curve = if (rnd.nextBoolean()) "hilbert" else "zorder")
+          versions += v -> state
+        case 7 => // restore to a random still-materialized data version
+          if (versions.nonEmpty) {
+            val targets = versions.keys.toSeq.sorted
+            val tgt = targets(rnd.nextInt(targets.size))
+            val v = DeltaWrite.restore(spark, table, tgt)
+            state = versions(tgt)
+            versions += v -> state
+          }
+        case 8 => // overwrite with a small fresh set (rare full reset)
+          if (rnd.nextDouble() < 0.3) {
+            val rows = fresh(1 + rnd.nextInt(30))
+            val v = DeltaWrite.overwrite(spark, table, df(rows))
+            state = rows.toMap
+            versions += v -> state
+          } else {
+            val v = DeltaWrite.setProperties(spark, table,
+              Map(s"graft.model.step" -> step.toString))
+            if (v > 0) versions += v -> state
+          }
+        case 9 => // maintenance: checkpoint / metadata cleanup / vacuum
+          rnd.nextInt(3) match {
+            case 0 => DeltaWrite.checkpoint(spark, table)
+            case 1 =>
+              DeltaWrite.checkpoint(spark, table)
+              DeltaWrite.cleanupMetadata(spark, table)
+              // cleaned commits no longer resolve: only versions at/after
+              // the checkpoint seed stay travel/restore targets
+              val cur = DeltaLog.snapshot(spark, table).version
+              versions = versions.filter(_._1 >= cur)
+            case 2 =>
+              DeltaWrite.vacuum(spark, table, retainMs = 0L)
+              versions = Map.empty // tombstoned files gone: no more travel
+          }
+      }
+
+      // after EVERY op: exact state equality …
+      val got = DeltaLog.read(spark, table)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == state,
+        s"seed=$seed dv=$dvTable step=$step op=$op: " +
+          s"missing=${(state.keySet -- got.keySet).take(5)} " +
+          s"extra=${(got.keySet -- state.keySet).take(5)}")
+      // … the checksum chain audits clean (cleanup may drop old crcs;
+      // the latest must always exist and agree) …
+      assert(DeltaLog.verifyChecksum(spark, table, None),
+        s"seed=$seed dv=$dvTable step=$step: latest version lost its checksum")
+      // … and a random still-materialized old version time-travels right
+      if (versions.size > 1 && rnd.nextDouble() < 0.5) {
+        val old = versions.keys.toSeq.sorted.apply(rnd.nextInt(versions.size))
+        val tr = DeltaLog.read(spark, table, versionAsOf = Some(old))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(tr == versions(old),
+          s"seed=$seed dv=$dvTable step=$step travel to $old diverged")
+      }
+    }
+  }
+
+  test("random op compositions: plain table matches the model at every step") {
+    runModel(seed = 1013L, dvTable = false)
+  }
+
+  test("random op compositions: DV+CDF table matches the model at every step") {
+    runModel(seed = 2027L, dvTable = true)
+  }
+}

@@ -717,8 +717,23 @@ class DeltaWriteSpec extends SparkSpec {
     assert(removed == 8, s"removed=$removed")
     val rows = DeltaLog.read(spark, table.toString).collect()
     assert(rows.map(_.getString(1)).toSeq == Seq("kept"))
-    // idempotent: nothing dead remains
+    // the delta-spark audit trail: VACUUM START (intent, before deletion)
+    // and VACUUM END (outcome) as dataChange=false metadata commits
+    val hist = DeltaWrite.history(spark, table.toString)
+      .orderBy("version").collect()
+    val ops = hist.map(_.getString(2)).toSeq
+    assert(ops.takeRight(2) == Seq("VACUUM START", "VACUUM END"), ops.toString)
+    val startM = hist(hist.length - 2).getMap[String, String](6)
+    val endM = hist.last.getMap[String, String](6)
+    assert(startM.get("numFilesToDelete").contains("8"), startM.toString)
+    assert(startM.get("sizeOfDataToDelete").exists(_.toLong > 0), startM.toString)
+    assert(endM.get("numDeletedFiles").contains("8"), endM.toString)
+    // the metadata-only commits keep the checksum chain intact
+    assert(DeltaLog.verifyChecksum(spark, table.toString, None))
+    // idempotent: nothing dead remains, and a no-op vacuum commits NOTHING
+    val vBefore = DeltaLog.snapshot(spark, table.toString).version
     assert(DeltaWrite.vacuum(spark, table.toString, retainMs = 0L) == 0)
+    assert(DeltaLog.snapshot(spark, table.toString).version == vBefore)
   }
 
   test("partition-scoped compact merges only the targeted partition; dry-run vacuum deletes nothing") {
