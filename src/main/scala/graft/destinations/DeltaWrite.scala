@@ -1950,15 +1950,21 @@ object DeltaWrite {
           metrics: Seq[(String, String)]): Unit = {
         var attempts = 0
         var version = DeltaLog.lazySnapshot(spark, tablePath).meta.version + 1
-        while (attempts < 5) {
+        while (true) {
           try {
             commit(spark, table, version, op, withMeta = None,
               adds = Nil, removes = Nil, dataChange = false,
               ictEnabled = ictOn(snap), opParams = params, opMetrics = metrics)
             return
           } catch {
-            case _: IllegalStateException =>
+            case e: IllegalStateException =>
               attempts += 1
+              // losing forever must be LOUD: for START the caller aborts
+              // BEFORE any deletion (intent unrecorded = nothing deleted);
+              // for END the deletions are done and the failure surfaces
+              if (attempts >= 5) throw new IllegalStateException(
+                s"vacuum could not publish its $op commit after $attempts " +
+                  s"lost races on $tablePath", e)
               version = DeltaLog.lazySnapshot(spark, tablePath).meta.version + 1
           }
         }
@@ -2910,10 +2916,18 @@ object DeltaWrite {
     publishCommit(spark, table, version, lines.result().mkString("", "\n", "\n"))
     // the commit is durable; checksum maintenance is best-effort on top
     // (a crc write failure must not surface as a commit failure — the
-    // retry discipline above would then double-publish)
+    // retry discipline above would then double-publish). The failure IS
+    // logged: it severs the incremental chain until the next Exact-plan
+    // commit or an explicit [[repairChecksum]], and a silent severance
+    // would surface as a confusing audit failure far from the cause.
     try maybeWriteCrc(spark, table, version, trackedAdds, removes, crc,
       metaJsonThisCommit, protoJsonThisCommit, domainsThisCommit)
-    catch { case scala.util.control.NonFatal(_) => () }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        Console.err.println(
+          s"[graft] WARN: version checksum write failed for $table@$version " +
+            s"(chain severed until repairChecksum): $e")
+    }
     version
   }
 
@@ -2954,6 +2968,18 @@ object DeltaWrite {
       prev.map(_.protocolJson).filter(_.nonEmpty)).getOrElse(return ())
     val domains =
       prev.map(_.domainMetadata).getOrElse(Map.empty) ++ domainsThisCommit
+    writeCrcFile(spark, table, version, nFiles, bytes, metaJson, protoJson, domains)
+  }
+
+  private def writeCrcFile(
+      spark: SparkSession,
+      table: Path,
+      version: Long,
+      nFiles: Long,
+      bytes: Long,
+      metaJson: String,
+      protoJson: String,
+      domains: Map[String, String]): Unit = {
     val n = mapper.createObjectNode()
     n.put("tableSizeBytes", bytes)
     n.put("numFiles", nFiles)
@@ -2981,6 +3007,36 @@ object DeltaWrite {
     finally out.close()
     if (f.exists(target)) f.delete(target, false)
     if (!f.rename(tmp, target)) f.delete(tmp, false)
+  }
+
+  /** Recompute and publish the CURRENT version's checksum exactly from
+    * the replayed state (one distributed aggregate over the log index) —
+    * the chain-restart tool after a severed incremental chain (a crashed
+    * crc write, commits by a checksum-less foreign writer) or for
+    * adopting a pre-existing table into the audit regime. Subsequent
+    * commits extend the chain incrementally again.
+    */
+  def repairChecksum(spark: SparkSession, tablePath: String): Long = {
+    val ls = DeltaLog.lazySnapshot(spark, tablePath)
+    val snap = ls.meta
+    val (nFiles, bytes) = ls.liveFileStats()
+    val metaJson = snap.metaDataRaw.getOrElse(throw new IllegalStateException(
+      s"cannot repair checksum: $tablePath resolves no metaData"))
+    val p = snap.protocol.getOrElse(DeltaLog.Protocol(1, 2))
+    val pn = mapper.createObjectNode()
+    pn.put("minReaderVersion", p.minReaderVersion)
+    pn.put("minWriterVersion", p.minWriterVersion)
+    if (p.minReaderVersion >= 3) {
+      val rf = pn.putArray("readerFeatures")
+      p.readerFeatures.toSeq.sorted.foreach(rf.add)
+    }
+    if (p.minWriterVersion >= 7) {
+      val wf = pn.putArray("writerFeatures")
+      p.writerFeatures.toSeq.sorted.foreach(wf.add)
+    }
+    writeCrcFile(spark, new Path(tablePath), snap.version, nFiles, bytes,
+      metaJson, mapper.writeValueAsString(pn), snap.domainMetadata)
+    snap.version
   }
 
   /** Atomic create-exclusive publication of a commit file — the same race

@@ -59,8 +59,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case IntegerLiteral(bits) +: coords if coords.nonEmpty =>
           import org.apache.spark.sql.catalyst.expressions.Cast
-          import org.apache.spark.sql.types.IntegerType
-          graft.functions.HilbertIndex(bits, coords.map(Cast(_, IntegerType)))
+          import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+          // only LOSSLESS widening casts: a silent long/double truncation
+          // would compute a wrong curve position instead of erroring, and
+          // a wrong clustering key is invisible until skipping degrades.
+          // Anything else reaches HilbertIndex uncast and fails analysis
+          // with the expression's own int-coordinates type error.
+          graft.functions.HilbertIndex(bits, coords.map(c => c.dataType match {
+            case ByteType | ShortType => Cast(c, IntegerType)
+            case _ => c
+          }))
         case _ => throw new IllegalArgumentException(
           "hilbert_index(bits, c1, ..., ck) expects an integer-literal bit " +
             "depth and k int coordinate columns")

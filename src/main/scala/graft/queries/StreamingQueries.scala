@@ -324,9 +324,10 @@ private[graft] object StreamingQueries {
     "q142_stream_availablenow" -> ((s, dir) => withStatePartitions(s, 8) {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      val src = tmp("graft-q142").resolve("src")
-      val tbl = tmp("graft-q142").resolve("t").toString
-      val ck = tmp("graft-q142").resolve("ck").toString
+      val root = tmp("graft-q142")
+      val src = root.resolve("src")
+      val tbl = root.resolve("t").toString
+      val ck = root.resolve("ck").toString
       graft.destinations.DeltaWrite.createIfAbsent(s, tbl,
         ev.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
       appendReplayFile(ev.filter(col("event_id") % 2 === 0), src, 0)

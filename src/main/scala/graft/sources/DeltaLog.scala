@@ -1180,12 +1180,17 @@ object DeltaLog {
       val pc = try mapper.readTree(crc.protocolJson) catch {
         case scala.util.control.NonFatal(_) => fail("protocol", crc.protocolJson, p)
       }
+      // missing fields are the same verdict as wrong fields — a partially
+      // tampered-but-parseable checksum must still fail BY NAME, never NPE
+      def intField(field: String): Int =
+        Option(pc.get(field)).filterNot(_.isNull).map(_.asInt)
+          .getOrElse(fail("protocol", crc.protocolJson, p))
       def feats(field: String): Set[String] =
         Option(pc.get(field)).filter(_.isArray)
           .map(a => (0 until a.size).map(a.get(_).asText).toSet)
           .getOrElse(Set.empty)
-      if (pc.get("minReaderVersion").asInt != p.minReaderVersion ||
-        pc.get("minWriterVersion").asInt != p.minWriterVersion ||
+      if (intField("minReaderVersion") != p.minReaderVersion ||
+        intField("minWriterVersion") != p.minWriterVersion ||
         feats("readerFeatures") != p.readerFeatures ||
         feats("writerFeatures") != p.writerFeatures)
         fail("protocol", crc.protocolJson, p)

@@ -258,12 +258,29 @@ object Streams {
       checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None): Unit = {
     // exactly-once across crashes, not just across clean runs: the append
-    // commit carries a SetTransaction (appId derived from the checkpoint,
-    // version = batchId), so a batch that landed in Delta but died before
-    // the checkpoint's offset commit is SKIPPED on replay instead of
-    // double-appended — the delta-spark sink discipline
-    val appId = "graft-availablenow-" + java.util.UUID.nameUUIDFromBytes(
-      checkpointDir.getBytes("UTF-8")).toString
+    // commit carries a SetTransaction (version = batchId), so a batch that
+    // landed in Delta but died before the checkpoint's offset commit is
+    // SKIPPED on replay instead of double-appended — the delta-spark sink
+    // discipline. The appId is the STREAM's own id (the uuid Spark persists
+    // in <checkpoint>/metadata), NOT a hash of the checkpoint path: batch
+    // ids are only monotonic within one checkpoint lifetime, so a path-
+    // derived appId would make a RECREATED checkpoint's batch 0 look
+    // already-applied and silently drop never-processed data. With the
+    // stream id, a wiped checkpoint gets a fresh id and reprocesses
+    // (at-least-once across checkpoint loss; exactly-once within one).
+    var appId: String = null
+    def resolveAppId(sp: SparkSession): String = {
+      if (appId == null) {
+        val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+        val f = p.getFileSystem(sp.sessionState.newHadoopConf())
+        val in = f.open(p)
+        val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val id = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+          .readTree(content).get("id").asText
+        appId = s"graft-availablenow-$id"
+      }
+      appId
+    }
     val q = fileSource(spark, srcDir, schema,
         maxFilesPerTrigger = maxFilesPerTrigger)
       .writeStream
@@ -272,11 +289,12 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
+        val id = resolveAppId(sp)
         val applied = graft.sources.DeltaLog.lazySnapshot(sp, tablePath)
-          .meta.txns.getOrElse(appId, -1L)
+          .meta.txns.getOrElse(id, -1L)
         if (batchId > applied && !batch.isEmpty)
           graft.destinations.DeltaWrite.append(sp, tablePath, batch,
-            txn = Some((appId, batchId))): Unit
+            txn = Some((id, batchId))): Unit
       }
       .start()
     q.awaitTermination()

@@ -99,6 +99,28 @@ class CrcSpec extends SparkSpec {
     assert(!DeltaLog.verifyChecksum(spark, table, Some(1L)))
   }
 
+  test("repairChecksum restarts a severed chain; later commits extend it again") {
+    val table = tmpDir("crc-repair").resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, table,
+      StructType(Seq(StructField("k", LongType))))
+    DeltaWrite.append(spark, table, Seq(1L, 2L).toDF("k").repartition(1)) // v1
+    // sever: the latest crc vanishes (crashed write / foreign writer)
+    val p = java.nio.file.Paths.get(DeltaLog.crcPath(table, 1L).toUri.getPath)
+    java.nio.file.Files.delete(p)
+    java.nio.file.Files.deleteIfExists(
+      p.getParent.resolve("." + p.getFileName.toString + ".crc"))
+    assert(!DeltaLog.verifyChecksum(spark, table, Some(1L)))
+    // …and the severed chain does NOT resume by itself
+    DeltaWrite.append(spark, table, Seq(3L).toDF("k").repartition(1)) // v2
+    assert(!DeltaLog.verifyChecksum(spark, table, None))
+    // repair recomputes the CURRENT version exactly; the next commit
+    // extends incrementally from it
+    assert(DeltaWrite.repairChecksum(spark, table) == 2L)
+    assert(DeltaLog.verifyChecksum(spark, table, None))
+    DeltaWrite.append(spark, table, Seq(4L).toDF("k").repartition(1)) // v3
+    assert(DeltaLog.verifyChecksum(spark, table, None))
+  }
+
   test("restore recomputes the checksum exactly (re-add-without-remove shape)") {
     val table = tmpDir("crc-restore").resolve("t").toString
     DeltaWrite.createIfAbsent(spark, table,

@@ -97,6 +97,12 @@ class HilbertSpec extends SparkSpec {
     }.nonEmpty, df.queryExecution.executedPlan.toString)
     assert(df.collect().length == 256)
     intercept[Exception](spark.sql("SELECT hilbert_index(6)").head())
+    // lossy coordinate types must FAIL ANALYSIS, not silently truncate to
+    // a wrong curve position
+    intercept[Exception](
+      spark.sql("SELECT hilbert_index(6, CAST(1 AS BIGINT), 2)").head())
+    intercept[Exception](
+      spark.sql("SELECT hilbert_index(6, 1.5, 2)").head())
   }
 
   test("hilbert clustering tightens BOTH columns' per-partition ranges") {

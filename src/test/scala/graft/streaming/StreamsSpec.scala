@@ -403,14 +403,18 @@ class StreamsSpec extends SparkSpec {
     assert(DeltaLog.snapshot(spark, tbl).version == v1 + 1)
     assert(DeltaLog.read(spark, tbl, versionAsOf = Some(v1)).count() == 2)
 
-    // the SetTransaction bookmark rode the commits (appId derived from
-    // the checkpoint path, version = batchId)
+    // the SetTransaction bookmark rode the commits (appId = the stream's
+    // persisted id, version = batchId)
     val txns = DeltaLog.snapshot(spark, tbl).txns
     assert(txns.size == 1 && txns.head._2 == 1L, txns.toString)
+    assert(txns.head._1.startsWith("graft-availablenow-"), txns.head._1)
 
-    // crash-replay dedup: wiping the checkpoint makes the source replay
-    // EVERYTHING as a fresh batch — the txn guard must skip it (the batch
-    // already landed in Delta), not double-append
+    // checkpoint LOSS must mean reprocess, never skip: a wiped checkpoint
+    // gets a fresh stream id, so its batch 0 (everything, including any
+    // data that never processed) re-appends under a NEW appId —
+    // at-least-once across checkpoint loss, duplicates for downstream
+    // dedup, but no silent data loss (a path-derived appId would have
+    // marked never-processed files as already-applied)
     def rmrf(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
       if (java.nio.file.Files.exists(p)) {
@@ -420,7 +424,15 @@ class StreamsSpec extends SparkSpec {
     }
     rmrf(java.nio.file.Paths.get(ck))
     Streams.availableNowAppend(spark, src.toString, schema, tbl, ck)
-    assert(DeltaLog.read(spark, tbl).count() == 3, "replayed batch was re-appended")
+    assert(DeltaLog.read(spark, tbl).count() == 6,
+      "checkpoint loss must reprocess, not silently skip")
+    val txns2 = DeltaLog.snapshot(spark, tbl).txns
+    assert(txns2.size == 2, txns2.toString)
+    // …and the NEW checkpoint's own replay protection still holds: a
+    // no-new-data rerun with the fresh checkpoint is a no-op
+    val vAfter = DeltaLog.snapshot(spark, tbl).version
+    Streams.availableNowAppend(spark, src.toString, schema, tbl, ck)
+    assert(DeltaLog.snapshot(spark, tbl).version == vAfter)
   }
 
   test("file streaming source processes incrementally-arriving files") {
