@@ -369,7 +369,7 @@ object Multimodal {
   def frameCount(data: Column, frameSize: Int, stride: Int): Column =
     size(frameSample(data, frameSize, stride))
 
-  /** STUB decoder ??? strictly for PIXEL/PCM work of CODECS the JDK does
+  /** STUB decoder — strictly for PIXEL/PCM work of CODECS the JDK does
     * not ship (h264/vp9 frame pixels, LOSSY webp pixels, mp3 PCM —
     * lossless WebP is real since round 10, see [[Vp8l]]; FLAC PCM is real
     * since round 13, see [[Flac]]) —
