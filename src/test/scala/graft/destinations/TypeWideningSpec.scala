@@ -77,6 +77,32 @@ class TypeWideningSpec extends SparkSpec {
     assert(DeltaLog.read(spark, table).count() == 5)
   }
 
+  test("chained widenings accumulate history: byte→integer→long, two entries in order") {
+    val dir = tmpDir("tw-chain")
+    val table = dir.resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, table,
+      StructType(Seq(StructField("k", ByteType))),
+      properties = Map("delta.enableTypeWidening" -> "true"))
+    DeltaWrite.append(spark, table,
+      Seq(1.toByte, 2.toByte).toDF("k"))                              // v1: byte
+    DeltaWrite.append(spark, table,
+      Seq(70000).toDF("k"), mergeSchema = true)                      // v2: →int
+    DeltaWrite.append(spark, table,
+      Seq(9000000000L).toDF("k"), mergeSchema = true)                // v3: →long
+    val snap = DeltaLog.snapshot(spark, table)
+    assert(snap.schema("k").dataType == LongType)
+    val hist = snap.schema("k").metadata
+      .getMetadataArray("delta.typeChanges").toSeq
+    assert(hist.map(h => (h.getString("fromType"), h.getString("toType"),
+      h.getLong("tableVersion"))) ==
+      Seq(("byte", "integer", 2L), ("integer", "long", 3L)), hist.toString)
+    // all three physical layouts (int8, int32, int64 parquet) read as long
+    assert(DeltaLog.read(spark, table).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 70000L, 9000000000L))
+    // and the narrow-file stats still prune against long predicates
+    assert(DeltaLog.readWhere(spark, table, "k > 100000").count() == 1)
+  }
+
   test("without delta.enableTypeWidening a wider batch down-casts (old behavior)") {
     val dir = tmpDir("tw-off")
     val table = dir.resolve("t").toString
