@@ -539,8 +539,11 @@ object DeltaWrite {
       .exists(_.equalsIgnoreCase("true"))
     val wantWiden = properties.get("delta.enableTypeWidening")
       .exists(_.equalsIgnoreCase("true"))
+    val wantDv = properties.get("delta.enableDeletionVectors")
+      .exists(_.equalsIgnoreCase("true"))
     val proto =
-      if (!wantIct && !wantV2Cp && !wantRowTracking && !wantWiden) proto0
+      if (!wantIct && !wantV2Cp && !wantRowTracking && !wantWiden && !wantDv)
+        proto0
       else {
         val feats = Set("invariants") ++
           (if (wantIct) Set("inCommitTimestamp") else Set.empty[String]) ++
@@ -558,20 +561,22 @@ object DeltaWrite {
           else Set.empty[String]) ++
           (if (wantMapping) Set("columnMapping") else Set.empty[String]) ++
           (if (properties.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
-            Set("appendOnly") else Set.empty[String])
+            Set("appendOnly") else Set.empty[String]) ++
+          // deletionVectors is a reader-writer feature: the spec requires it
+          // in BOTH lists, so non-DV-aware writers are blocked too
+          (if (wantDv) Set("deletionVectors") else Set.empty[String])
         // typeWidening is ALSO a reader feature (old files carry the
         // narrow type; readers must know to up-cast) — and a reader-3
         // protocol must name EVERY reader-relevant feature, so DVs join
         // the list when the table enables them
-        val readerV = if (wantV2Cp || wantWiden) 3 else if (wantMapping) 2 else 1
+        val readerV =
+          if (wantV2Cp || wantWiden || wantDv) 3 else if (wantMapping) 2 else 1
         val readerFeats =
           if (readerV < 3) Set.empty[String]
           else (if (wantV2Cp) Set("v2Checkpoint") else Set.empty[String]) ++
             (if (wantWiden) Set("typeWidening") else Set.empty[String]) ++
             (if (wantMapping) Set("columnMapping") else Set.empty[String]) ++
-            (if (properties.get("delta.enableDeletionVectors")
-              .exists(_.equalsIgnoreCase("true"))) Set("deletionVectors")
-            else Set.empty[String])
+            (if (wantDv) Set("deletionVectors") else Set.empty[String])
         Some(DeltaLog.Protocol(readerV, 7,
           readerFeatures = readerFeats, writerFeatures = feats))
       }
@@ -668,7 +673,7 @@ object DeltaWrite {
             s"name the typeWidening feature: $p"))
         StructType(schema0.fields.map { f =>
           widened.find(_._1 == f.name) match {
-            case Some((_, to)) => TypeWidening.widenField(f, to, snap.version + 1)
+            case Some((_, to)) => TypeWidening.widenField(f, to)
             case None => f
           }
         })
@@ -1128,7 +1133,9 @@ object DeltaWrite {
             .withColumn("_change_type", lit("delete")))
       val upgrade =
         if (snap.protocol.exists(p =>
-          p.minReaderVersion >= 3 && p.readerFeatures.contains("deletionVectors"))) None
+          p.minReaderVersion >= 3 && p.readerFeatures.contains("deletionVectors") &&
+            p.minWriterVersion >= 7 && p.writerFeatures.contains("deletionVectors")))
+          None
         else Some {
           val p = snap.protocol.getOrElse(DeltaLog.Protocol(1, 2))
           val mapped = snap.columnMappingMode != "none"
@@ -1740,26 +1747,29 @@ object DeltaWrite {
     // features is the whole enablement
     val wantWiden = on(newCfg, "delta.enableTypeWidening")
     if (wantWiden) need += "typeWidening"
+    // deletionVectors is reader-writer: the spec requires it in BOTH lists
+    val wantDv = on(newCfg, "delta.enableDeletionVectors")
+    if (wantDv) need += "deletionVectors"
     val cur = snap.protocol.getOrElse(DeltaLog.Protocol(1, 2))
     val curFeats = impliedWriterFeatures(cur)
     val missing = need.result() -- curFeats
-    // v2Checkpoint and typeWidening are also READER features: raising
-    // minReaderVersion to 3 requires naming every reader-relevant feature
-    // explicitly
+    // v2Checkpoint, typeWidening and deletionVectors are also READER
+    // features: raising minReaderVersion to 3 requires naming every
+    // reader-relevant feature explicitly
     val readerNeeds = (if (wantV2Cp) Set("v2Checkpoint") else Set.empty[String]) ++
-      (if (wantWiden) Set("typeWidening") else Set.empty[String])
+      (if (wantWiden) Set("typeWidening") else Set.empty[String]) ++
+      (if (wantDv) Set("deletionVectors") else Set.empty[String])
     val readerUp: Option[(Int, Set[String])] =
       if (readerNeeds.isEmpty || (cur.minReaderVersion >= 3 &&
           readerNeeds.subsetOf(cur.readerFeatures))) None
       else Some((3, cur.readerFeatures ++ readerNeeds ++
         (if (snap.columnMappingMode == "name") Set("columnMapping")
-        else Set.empty[String]) ++
-        (if (on(newCfg, "delta.enableDeletionVectors"))
-          Set("deletionVectors") else Set.empty[String])))
+        else Set.empty[String])))
     val proto: Option[DeltaLog.Protocol] =
       if (missing.isEmpty && readerUp.isEmpty) None
       else if (cur.minWriterVersion >= 7 || missing.contains("inCommitTimestamp") ||
           missing.contains("typeWidening") ||
+          missing.contains("deletionVectors") ||
           missing.contains("v2Checkpoint")) {
         val (rv, rf) = readerUp.getOrElse((cur.minReaderVersion, cur.readerFeatures))
         Some(DeltaLog.Protocol(rv, 7, rf, curFeats ++ missing))
@@ -2947,7 +2957,7 @@ object DeltaWrite {
       domainsThisCommit: Seq[(String, String)]): Unit = {
     val prev: Option[DeltaLog.VersionChecksum] =
       if (version == 0L)
-        Some(DeltaLog.VersionChecksum(0L, 0L, "", "", Map.empty))
+        Some(DeltaLog.VersionChecksum(0L, 0L, "", "", Some(Map.empty)))
       else DeltaLog.readCrc(spark, table.toString, version - 1)
     val (nFiles, bytes) = crc match {
       case CrcPlan.Exact(n, b) => (n, b)
@@ -2967,7 +2977,7 @@ object DeltaWrite {
     val protoJson = protoJsonThisCommit.orElse(
       prev.map(_.protocolJson).filter(_.nonEmpty)).getOrElse(return ())
     val domains =
-      prev.map(_.domainMetadata).getOrElse(Map.empty) ++ domainsThisCommit
+      prev.flatMap(_.domainMetadata).getOrElse(Map.empty) ++ domainsThisCommit
     writeCrcFile(spark, table, version, nFiles, bytes, metaJson, protoJson, domains)
   }
 

@@ -9,8 +9,10 @@ import org.apache.spark.sql.types._
   * scans up-cast, which is exactly what a 100 TB table needs when a
   * counter outgrows INT (the alternative is rewriting every byte). Each
   * change is recorded in the field's `delta.typeChanges` metadata
-  * (fromType/toType/tableVersion) so readers and maintenance jobs can
-  * reason about which files predate the widening.
+  * (fromType/toType — the STABLE feature's entry shape; `tableVersion`
+  * belongs to the `typeWidening-preview` format and is deliberately NOT
+  * written, so strict foreign readers of the stable feature never see an
+  * unexpected field).
   *
   * The promotion matrix here is the subset of the protocol's matrix that
   * Spark 4's parquet readers (vectorized and parquet-mr) up-cast natively
@@ -42,14 +44,13 @@ object TypeWidening {
   }
 
   /** The field re-typed to `to`, with the change appended to its
-    * `delta.typeChanges` history (the protocol's record of WHICH commit
-    * widened, so old-file provenance stays reconstructable).
+    * `delta.typeChanges` history (the stable feature's fromType/toType
+    * entries, ordered — so the promotion chain stays reconstructable).
     */
-  def widenField(f: StructField, to: DataType, tableVersion: Long): StructField = {
+  def widenField(f: StructField, to: DataType): StructField = {
     val entry = new MetadataBuilder()
       .putString("fromType", deltaTypeName(f.dataType))
       .putString("toType", deltaTypeName(to))
-      .putLong("tableVersion", tableVersion)
       .build()
     val prior =
       if (f.metadata.contains("delta.typeChanges"))

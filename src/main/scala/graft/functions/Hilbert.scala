@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** k-dimensional Hilbert curve index (Skilling's transpose algorithm —
   * "Programming the Hilbert curve", AIP Conf. Proc. 707, 2004; public).
@@ -98,10 +98,16 @@ case class HilbertIndex(bits: Int, coords: Seq[Expression]) extends Expression {
   override def nullable: Boolean = coords.exists(_.nullable)
   override def prettyName: String = "hilbert_index"
 
+  // byte/short widen LOSSLESSLY to the int coordinate space, so they are
+  // accepted directly; long/double must fail analysis rather than silently
+  // truncate to a wrong curve position (ADVICE r13)
   override def checkInputDataTypes(): TypeCheckResult =
-    if (coords.forall(_.dataType == IntegerType)) TypeCheckResult.TypeCheckSuccess
+    if (coords.forall(c => c.dataType == IntegerType ||
+        c.dataType == ByteType || c.dataType == ShortType))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"hilbert_index expects int coordinates, got " +
+      s"hilbert_index expects int (or losslessly-widenable byte/short) " +
+        s"coordinates, got " +
         coords.map(_.dataType.catalogString).mkString(", "))
 
   override def eval(input: InternalRow): Any = {
@@ -110,7 +116,11 @@ case class HilbertIndex(bits: Int, coords: Seq[Expression]) extends Expression {
     while (i < arr.length) {
       val v = coords(i).eval(input)
       if (v == null) return null
-      arr(i) = v.asInstanceOf[Int]
+      arr(i) = v match {
+        case b: java.lang.Byte => b.intValue()
+        case s: java.lang.Short => s.intValue()
+        case x => x.asInstanceOf[Int]
+      }
       i += 1
     }
     HilbertCurve.index(arr, bits)
@@ -145,8 +155,12 @@ case class HilbertIndex(bits: Int, coords: Seq[Expression]) extends Expression {
 }
 
 object HilbertIndex {
-  /** DataFrame-API entry: `HilbertIndex(6, Seq(col("a"), col("b")))`. */
+  /** DataFrame-API entry: `HilbertIndex(6, Seq(col("a"), col("b")))`.
+    * No blanket `cast("int")` here: long/double coordinates must fail the
+    * expression's own analysis-time type check instead of silently
+    * truncating to a wrong curve position; byte/short are widened
+    * losslessly by the expression itself (ADVICE r13).
+    */
   def apply(bits: Int, cols: Seq[Column]): Column =
-    GraftShims.column(HilbertIndex(
-      bits, cols.map(c => GraftShims.expression(c.cast("int")))))
+    GraftShims.column(HilbertIndex(bits, cols.map(GraftShims.expression)))
 }

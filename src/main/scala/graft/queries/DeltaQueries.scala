@@ -398,8 +398,7 @@ private[graft] object DeltaQueries {
       val schema = graft.sources.DeltaLog.snapshot(s, tbl).schema
       val hist = Seq("k", "v").map { f =>
         val h = schema(f).metadata.getMetadataArray("delta.typeChanges").head
-        s"$f:${h.getString("fromType")}->${h.getString("toType")}" +
-          s"@${h.getLong("tableVersion")}"
+        s"$f:${h.getString("fromType")}->${h.getString("toType")}"
       }.mkString(",")
       graft.sources.DeltaLog.read(s, tbl)
         .select(col("k"), col("v"), lit(hist).as("widen_hist"))
@@ -692,12 +691,12 @@ private[graft] object DeltaQueries {
     "q140_delta_widen" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS k,
                 CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS v,
-                'k:integer->long@2,v:float->double@2' AS widen_hist
+                'k:integer->long,v:float->double' AS widen_hist
          FROM orders WHERE o_orderkey % 2 = 0
          UNION ALL
          SELECT o_orderkey + 3000000000,
                 CAST(o_totalprice AS DOUBLE),
-                'k:integer->long@2,v:float->double@2'
+                'k:integer->long,v:float->double'
          FROM orders WHERE o_orderkey % 2 = 1
          ORDER BY k""",
 

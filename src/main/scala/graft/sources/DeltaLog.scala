@@ -1115,12 +1115,17 @@ object DeltaLog {
 
   // --------------------------------------------------- version checksums
 
+  /** `metadataJson`/`protocolJson` are "" and `domainMetadata` is None when
+    * the crc omits the section — all three are OPTIONAL in delta-spark's
+    * VersionChecksum, so an absent section means "nothing to audit" (a
+    * healthy foreign-written crc), never corruption.
+    */
   final case class VersionChecksum(
       tableSizeBytes: Long,
       numFiles: Long,
       metadataJson: String,
       protocolJson: String,
-      domainMetadata: Map[String, String])
+      domainMetadata: Option[Map[String, String]])
 
   private[graft] def crcPath(tablePath: String, v: Long) =
     new Path(new Path(tablePath, "_delta_log"), f"$v%020d.crc")
@@ -1141,7 +1146,7 @@ object DeltaLog {
           val d = arr.get(i)
           d.get("domain").asText -> d.get("configuration").asText
         }.toMap
-      }.getOrElse(Map.empty[String, String])
+      }
       Some(VersionChecksum(
         n.get("tableSizeBytes").asLong(),
         n.get("numFiles").asLong(),
@@ -1175,8 +1180,10 @@ object DeltaLog {
         s"checksum says $want, log replay says $got")
     if (crc.numFiles != nFiles) fail("numFiles", crc.numFiles, nFiles)
     if (crc.tableSizeBytes != bytes) fail("tableSizeBytes", crc.tableSizeBytes, bytes)
-    // protocol: version floors AND the feature lists must agree
-    snap.protocol.foreach { p =>
+    // protocol: version floors AND the feature lists must agree — but only
+    // when the crc CARRIES a protocol (optional section per delta-spark's
+    // VersionChecksum; absent = nothing to audit, not divergence)
+    snap.protocol.filter(_ => crc.protocolJson.nonEmpty).foreach { p =>
       val pc = try mapper.readTree(crc.protocolJson) catch {
         case scala.util.control.NonFatal(_) => fail("protocol", crc.protocolJson, p)
       }
@@ -1198,17 +1205,17 @@ object DeltaLog {
     // metadata: structural equality with the replayed metaData action
     // (Jackson node equality is field-order-insensitive) — a checksum
     // carrying a different schema/id/config than the log is corruption
-    snap.metaDataRaw.foreach { raw =>
-      if (crc.metadataJson.isEmpty) fail("metadata", "<absent>", raw)
+    snap.metaDataRaw.filter(_ => crc.metadataJson.nonEmpty).foreach { raw =>
       val want = try mapper.readTree(crc.metadataJson) catch {
         case scala.util.control.NonFatal(_) =>
           fail("metadata", crc.metadataJson, raw)
       }
       if (want != mapper.readTree(raw)) fail("metadata", crc.metadataJson, raw)
     }
-    val liveDomains = snap.domainMetadata
-    if (crc.domainMetadata != liveDomains)
-      fail("domainMetadata", crc.domainMetadata, liveDomains)
+    crc.domainMetadata.foreach { doms =>
+      val liveDomains = snap.domainMetadata
+      if (doms != liveDomains) fail("domainMetadata", doms, liveDomains)
+    }
     true
   }
 

@@ -66,7 +66,7 @@ class CrcSpec extends SparkSpec {
       clusterBy = Seq("x", "y"), curve = "hilbert") // domain joins the chain
     assert(DeltaLog.verifyChecksum(spark, table, None))
     val crc = DeltaLog.readCrc(spark, table, 3L).get
-    assert(crc.domainMetadata.contains("delta.clustering"))
+    assert(crc.domainMetadata.exists(_.contains("delta.clustering")))
   }
 
   test("a tampered checksum is refused loudly, naming the divergent field") {

@@ -74,9 +74,19 @@ class DeltaDvWriteSpec extends SparkSpec {
     }
   }
 
-  test("DV delete marks rows without rewriting data files; protocol upgrades") {
+  test("DV delete marks rows without rewriting data files; protocol set at create") {
     val table = mkTable("dv-basic", (1L to 100L).map(i => (i, s"v$i")))
     val dataFilesBefore = DeltaLog.snapshot(spark, table.toString).files.map(_.path).toSet
+
+    // delta.enableDeletionVectors at CREATE enables the feature immediately —
+    // and deletionVectors is reader-WRITER, so it must appear in BOTH lists
+    // (ADVICE r13: an asymmetric protocol lets non-DV-aware foreign writers
+    // corrupt the table)
+    val createProto = action(logLines(table, 0L), "protocol").head
+    assert(createProto.get("minReaderVersion").asInt == 3)
+    assert(createProto.get("minWriterVersion").asInt == 7)
+    assert(createProto.get("readerFeatures").toString.contains("deletionVectors"))
+    assert(createProto.get("writerFeatures").toString.contains("deletionVectors"))
 
     val v = DeltaWrite.delete(spark, table.toString, "id % 10 = 0")
     assert(v == 2L)
@@ -89,11 +99,9 @@ class DeltaDvWriteSpec extends SparkSpec {
     val adds = action(lines, "add")
     assert(adds.nonEmpty && adds.forall(a => a.get("deletionVector") != null))
     assert(action(lines, "remove").nonEmpty)
-    val proto = action(lines, "protocol").head
-    assert(proto.get("minReaderVersion").asInt == 3)
-    assert(proto.get("minWriterVersion").asInt == 7)
-    val rf = proto.get("readerFeatures").toString
-    assert(rf.contains("deletionVectors"), rf)
+    // no second upgrade needed: the create protocol already carries DV in
+    // both lists
+    assert(action(lines, "protocol").isEmpty)
 
     val back = DeltaLog.read(spark, table.toString).collect().map(_.getLong(0)).toSet
     assert(back == (1L to 100L).filterNot(_ % 10 == 0).toSet)

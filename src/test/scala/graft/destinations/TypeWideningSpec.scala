@@ -52,12 +52,13 @@ class TypeWideningSpec extends SparkSpec {
     assert(snap.schema("v").dataType == DoubleType)
     // no rewrite: v1's files are still live
     assert(filesBefore.subsetOf(snap.files.map(_.path).toSet))
-    // delta.typeChanges history: from/to/tableVersion per field
+    // delta.typeChanges history: from/to per field (the STABLE feature's
+    // entry shape — no preview-only tableVersion field)
     def hist(f: String) = snap.schema(f).metadata
       .getMetadataArray("delta.typeChanges").toSeq
     val kh = hist("k"); val vh = hist("v")
     assert(kh.size == 1 && kh.head.getString("fromType") == "integer" &&
-      kh.head.getString("toType") == "long" && kh.head.getLong("tableVersion") == 2L)
+      kh.head.getString("toType") == "long" && !kh.head.contains("tableVersion"))
     assert(vh.size == 1 && vh.head.getString("fromType") == "float" &&
       vh.head.getString("toType") == "double")
 
@@ -93,9 +94,8 @@ class TypeWideningSpec extends SparkSpec {
     assert(snap.schema("k").dataType == LongType)
     val hist = snap.schema("k").metadata
       .getMetadataArray("delta.typeChanges").toSeq
-    assert(hist.map(h => (h.getString("fromType"), h.getString("toType"),
-      h.getLong("tableVersion"))) ==
-      Seq(("byte", "integer", 2L), ("integer", "long", 3L)), hist.toString)
+    assert(hist.map(h => (h.getString("fromType"), h.getString("toType"))) ==
+      Seq(("byte", "integer"), ("integer", "long")), hist.toString)
     // all three physical layouts (int8, int32, int64 parquet) read as long
     assert(DeltaLog.read(spark, table).orderBy("k").collect()
       .map(_.getLong(0)).toSeq == Seq(1L, 2L, 70000L, 9000000000L))
