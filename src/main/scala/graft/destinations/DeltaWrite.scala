@@ -685,37 +685,31 @@ object DeltaWrite {
     val data = ManagedTable.castToSchema(enforceObligations(snap, dfWithIds), schema)
     val (phys, physParts) = toPhysical(data, schema, snap.partitionColumns, mode)
     val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts)
-    var version = snap.version + 1
-    var attempts = 0
-    while (true) {
-      try {
-        commit(spark, new Path(tablePath), version, "WRITE",
-          withMeta = meta, adds = adds, removes = Nil,
-          metaConfig = metaCfg, rowIdBase = rowIdBaseOf(snap),
-          tableId = DeltaLog.tableId(snap), txn = txn,
-          opParams = Seq("mode" -> "Append"))
-        maybeCheckpoint(spark, tablePath, version)
-        return version
-      } catch {
-        case e: IllegalStateException if attempts < 5 =>
-          attempts += 1
-          // identity tables must NOT blind-retry: the lost race may have
-          // advanced the high-water mark, so the assigned values (and the
-          // metaData we were about to commit) are stale — restart the
-          // append against the fresh snapshot to reassign. The restart
-          // budget carries ACROSS restarts (each one re-spills the data,
-          // so an uncapped loop under contention would also leak a full
-          // copy of the batch per round). Widening appends restart for the
-          // same reason: the typeChanges entry embeds the commit version.
-          if (identityFields(snap.schema).nonEmpty || widened.nonEmpty) {
-            if (identityRestarts == 0) throw e
-            return appendAttempt(spark, tablePath, df, mergeSchema,
-              identityRestarts - 1, txn = txn)
-          }
-          version = DeltaLog.lazySnapshot(spark, tablePath).meta.version + 1
-      }
+    // identity tables must NOT rebase at the commit layer: a lost race may
+    // have advanced the identity high-water mark, so the assigned values
+    // (and the metaData we were about to commit) are stale — restart the
+    // WHOLE append against the fresh snapshot to reassign. The restart
+    // budget carries ACROSS restarts (each one re-spills the data, so an
+    // uncapped loop under contention would also leak a full copy of the
+    // batch per round). Everything else is a blind append: the commit
+    // layer rebases it over disjoint winners ([[Concurrency]]).
+    val restartOnRace = identityFields(snap.schema).nonEmpty
+    try {
+      val version = commit(spark, new Path(tablePath), snap.version + 1, "WRITE",
+        withMeta = meta, adds = adds, removes = Nil,
+        metaConfig = metaCfg, rowIdBase = rowIdBaseOf(snap),
+        tableId = DeltaLog.tableId(snap), txn = txn,
+        opParams = Seq("mode" -> "Append"),
+        readScope =
+          if (restartOnRace) None else Some(Concurrency.ReadScope.Blind))
+      maybeCheckpoint(spark, tablePath, version)
+      version
+    } catch {
+      case e: Concurrency.ConcurrentCommitException if restartOnRace =>
+        if (identityRestarts == 0) throw e
+        appendAttempt(spark, tablePath, df, mergeSchema,
+          identityRestarts - 1, txn = txn)
     }
-    version // unreachable
     } finally identityCleanup()
   }
 
@@ -772,7 +766,8 @@ object DeltaWrite {
       metaConfig = metaCfg, rowIdBase = rowIdBaseOf(snap),
       tableId = DeltaLog.tableId(snap),
       crc = CrcPlan.Incremental(snap.files.map(_.size)),
-      opParams = Seq("mode" -> "Overwrite"))
+      opParams = Seq("mode" -> "Overwrite"),
+      readScope = Some(Concurrency.ReadScope.Table))
     maybeCheckpoint(spark, tablePath, v)
     v
     } finally identityCleanup()
@@ -923,7 +918,8 @@ object DeltaWrite {
         cdcs = cdcs, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap),
         crc = CrcPlan.Incremental(touched.map(_.size)),
         opParams = Seq("matchedPredicates" ->
-          keys.map(k => s"s.$k <=> t.$k").mkString(" AND ")))
+          keys.map(k => s"s.$k <=> t.$k").mkString(" AND ")),
+        readScope = Some(Concurrency.ReadScope.Table))
     } finally incoming.unpersist()
   }
 
@@ -1018,7 +1014,8 @@ object DeltaWrite {
     commit(spark, new Path(tablePath), snap.version + 1, "DELETE+WRITE",
       withMeta = None, adds = adds, removes = touched.map(_.path),
       cdcs = cdcs, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap),
-      crc = CrcPlan.Incremental(touched.map(_.size)))
+      crc = CrcPlan.Incremental(touched.map(_.size)),
+      readScope = Some(Concurrency.ReadScope.Table))
   }
 
   /** DELETE rows matching `predicate` (SQL boolean over the table's
@@ -1163,7 +1160,8 @@ object DeltaWrite {
         protocolUpgrade = upgrade, cdcs = cdcs, ictEnabled = ictOn(snap),
         rowIdBase = rowIdBaseOf(snap),
         crc = CrcPlan.Incremental((dead ++ marked).map(_._1.size)),
-        opParams = Seq("predicate" -> predicate))
+        opParams = Seq("predicate" -> predicate),
+        readScope = Some(Concurrency.ReadScope.Table))
     } else {
       // copy-on-write: exact hit detection, rewrite only files with matches
       val cand = DeltaLog.readFiles(spark, tablePath, snap, candidates, withFilePath = true)
@@ -1194,7 +1192,8 @@ object DeltaWrite {
         withMeta = None, adds = adds, removes = touched.map(_.path),
         cdcs = cdcs, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap),
         crc = CrcPlan.Incremental(touched.map(_.size)),
-        opParams = Seq("predicate" -> predicate))
+        opParams = Seq("predicate" -> predicate),
+        readScope = Some(Concurrency.ReadScope.Table))
     }
   }
 
@@ -1370,7 +1369,10 @@ object DeltaWrite {
     commit(spark, table, snap.version + 1, "COMPUTE STATS",
       crc = CrcPlan.Unchanged,
       withMeta = None, adds = adds, removes = Nil, dataChange = false,
-      ictEnabled = ictOn(snap))
+      ictEnabled = ictOn(snap),
+      // re-adding a file a winner removed would resurrect it — the read
+      // set (the re-statted files) is exactly the conflict surface
+      readScope = Some(Concurrency.ReadScope.Files(statless.map(_.path).toSet)))
     adds.count(_.stats.isDefined)
   }
 
@@ -1532,7 +1534,8 @@ object DeltaWrite {
         extraDomains = clusterDomains,
         opParams = Seq(
           "clusterBy" -> clusterBy.mkString("[\"", "\",\"", "\"]"),
-          "curve" -> curve))
+          "curve" -> curve),
+        readScope = Some(Concurrency.ReadScope.Blind))
       maybeCheckpoint(spark, tablePath, v)
       return v
     }
@@ -1564,6 +1567,10 @@ object DeltaWrite {
       dataChange = false, protocolUpgrade = clusterProto,
       ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap),
       extraDomains = clusterDomains,
+      // a rearrange reads ONLY the files it compacts: winners' appends
+      // never conflict (they just stay un-compacted this round); a winner
+      // removing a compacted file does
+      readScope = Some(Concurrency.ReadScope.Files(toCompact.map(_.path).toSet)),
       crc = CrcPlan.Incremental(toCompact.map(_.size)),
       opParams = (if (effCols.isEmpty) Nil
         else Seq("clusterBy" -> effCols.mkString("[\"", "\",\"", "\"]"),
@@ -1589,7 +1596,8 @@ object DeltaWrite {
       "CLUSTER BY", withMeta = None, adds = Nil, removes = Nil,
       dataChange = false, ictEnabled = ictOn(snap),
       extraDomains = Seq("delta.clustering" -> """{"clusteringColumns":[]}"""),
-      opParams = Seq("clusterBy" -> "[]"))
+      opParams = Seq("clusterBy" -> "[]"),
+      readScope = Some(Concurrency.ReadScope.Blind))
     maybeCheckpoint(spark, tablePath, v)
     v
   }
@@ -1681,7 +1689,10 @@ object DeltaWrite {
       metaConfig = target.configuration,
       tableId = DeltaLog.tableId(cur),
       crc = CrcPlan.Exact(crcFiles, crcBytes),
-      opParams = Seq("version" -> version.toString))
+      opParams = Seq("version" -> version.toString),
+      // the commit is a diff against the observed current state — ANY
+      // winner data change invalidates it
+      readScope = Some(Concurrency.ReadScope.Exclusive))
     maybeCheckpoint(spark, tablePath, v)
     v
   }
@@ -1779,7 +1790,11 @@ object DeltaWrite {
     val v = commit(spark, new Path(tablePath), snap.version + 1,
       "SET TBLPROPERTIES", withMeta = Some((snap.schema, snap.partitionColumns)),
       adds = Nil, removes = Nil, dataChange = false, protocolUpgrade = proto,
-      metaConfig = newCfg, tableId = DeltaLog.tableId(snap))
+      metaConfig = newCfg, tableId = DeltaLog.tableId(snap),
+      // rebases over data-only winners (their commits don't move the
+      // config this was derived from); a concurrent metadata/protocol
+      // change aborts via the classifier
+      readScope = Some(Concurrency.ReadScope.Blind))
     maybeCheckpoint(spark, tablePath, v)
     v
   }
@@ -1819,7 +1834,8 @@ object DeltaWrite {
       adds = Nil, removes = Nil, dataChange = false,
       metaConfig = snap.configuration, ictEnabled = ictOn(snap),
       tableId = DeltaLog.tableId(snap),
-      opParams = Seq("oldColumnPath" -> from, "newColumnPath" -> to))
+      opParams = Seq("oldColumnPath" -> from, "newColumnPath" -> to),
+      readScope = Some(Concurrency.ReadScope.Blind))
     maybeCheckpoint(spark, tablePath, v)
     v
   }
@@ -1853,7 +1869,8 @@ object DeltaWrite {
       adds = Nil, removes = Nil, dataChange = false,
       metaConfig = snap.configuration, ictEnabled = ictOn(snap),
       tableId = DeltaLog.tableId(snap),
-      opParams = Seq("columns" -> ("[\"" + name + "\"]")))
+      opParams = Seq("columns" -> ("[\"" + name + "\"]")),
+      readScope = Some(Concurrency.ReadScope.Blind))
     maybeCheckpoint(spark, tablePath, v)
     v
   }
@@ -1954,30 +1971,18 @@ object DeltaWrite {
       // (metrics BEFORE deletion — a crashed vacuum leaves evidence of
       // intent), VACUUM END what actually went. Both are dataChange=false
       // metadata commits; the live set is untouched so the checksum chain
-      // carries straight through. Blind retry on lost commit races (a
-      // vacuum commit has no logical conflict to rebase).
+      // carries straight through. The Audit read scope rebases over
+      // anything but a protocol change (a vacuum bookkeeping commit has no
+      // logical conflict); losing forever is LOUD — for START the caller
+      // aborts BEFORE any deletion (intent unrecorded = nothing deleted),
+      // for END the deletions are done and the failure surfaces.
       def blindCommit(op: String, params: Seq[(String, String)],
           metrics: Seq[(String, String)]): Unit = {
-        var attempts = 0
-        var version = DeltaLog.lazySnapshot(spark, tablePath).meta.version + 1
-        while (true) {
-          try {
-            commit(spark, table, version, op, withMeta = None,
-              adds = Nil, removes = Nil, dataChange = false,
-              ictEnabled = ictOn(snap), opParams = params, opMetrics = metrics)
-            return
-          } catch {
-            case e: IllegalStateException =>
-              attempts += 1
-              // losing forever must be LOUD: for START the caller aborts
-              // BEFORE any deletion (intent unrecorded = nothing deleted);
-              // for END the deletions are done and the failure surfaces
-              if (attempts >= 5) throw new IllegalStateException(
-                s"vacuum could not publish its $op commit after $attempts " +
-                  s"lost races on $tablePath", e)
-              version = DeltaLog.lazySnapshot(spark, tablePath).meta.version + 1
-          }
-        }
+        val version = DeltaLog.lazySnapshot(spark, tablePath).meta.version + 1
+        commit(spark, table, version, op, withMeta = None,
+          adds = Nil, removes = Nil, dataChange = false,
+          ictEnabled = ictOn(snap), opParams = params, opMetrics = metrics,
+          readScope = Some(Concurrency.ReadScope.Audit))
       }
       blindCommit("VACUUM START",
         Seq("retentionMs" -> retainMs.toString),
@@ -2727,7 +2732,70 @@ object DeltaWrite {
       crc: CrcPlan = CrcPlan.Incremental(Nil),
       txn: Option[(String, Long)] = None,
       opParams: Seq[(String, String)] = Nil,
-      opMetrics: Seq[(String, String)] = Nil): Long = {
+      opMetrics: Seq[(String, String)] = Nil,
+      readScope: Option[Concurrency.ReadScope] = None): Long = {
+    // Optimistic concurrency: with a declared readScope, a lost commit race
+    // re-reads the winning commit(s), classifies the overlap
+    // (WriteSerializable rules, [[Concurrency.classify]]) and REBASES the
+    // same actions at the next free version when disjoint — re-deriving the
+    // row-id high-water mark from the winners so fresh ids never collide.
+    // Without a readScope (create/convert/clone, version-embedding paths)
+    // a lost race stays a loud ConcurrentCommitException.
+    var attemptVersion = version
+    var attemptRowIdBase = rowIdBase
+    var rebases = 0
+    while (readScope.isDefined) {
+      try {
+        return commitAttempt(spark, table, attemptVersion, operation, withMeta,
+          adds, removes, dataChange, protocolUpgrade, metaConfig, cdcs,
+          ictEnabled, attemptRowIdBase, extraDomains, tableId, crc, txn,
+          opParams, opMetrics)
+      } catch {
+        case e: Concurrency.ConcurrentCommitException =>
+          if (rebases >= 10) throw e
+          rebases += 1
+          val latest = DeltaLog.lazySnapshot(spark, table.toString).meta
+          val winners =
+            Concurrency.summarize(spark, table, attemptVersion, latest.version)
+          val serializable = latest.configuration
+            .get("delta.isolationLevel").exists(_.equalsIgnoreCase("Serializable"))
+          Concurrency.classify(readScope.get, removes.toSet,
+            txn.map(_._1).toSet, extraDomains.map(_._1).toSet,
+            serializable, winners) match {
+            case Some(reason) => throw new Concurrency.ConflictException(
+              s"cannot commit $operation to $table: $reason")
+            case None =>
+              attemptVersion = latest.version + 1
+              attemptRowIdBase = attemptRowIdBase
+                .map(_ => DeltaLog.rowIdHighWaterMark(latest))
+          }
+      }
+    }
+    commitAttempt(spark, table, version, operation, withMeta, adds, removes,
+      dataChange, protocolUpgrade, metaConfig, cdcs, ictEnabled, rowIdBase,
+      extraDomains, tableId, crc, txn, opParams, opMetrics)
+  }
+
+  private def commitAttempt(
+      spark: SparkSession,
+      table: Path,
+      version: Long,
+      operation: String,
+      withMeta: Option[(StructType, Seq[String])],
+      adds: Seq[AddDescriptor],
+      removes: Seq[String],
+      dataChange: Boolean,
+      protocolUpgrade: Option[DeltaLog.Protocol],
+      metaConfig: Map[String, String],
+      cdcs: Seq[AddDescriptor],
+      ictEnabled: Boolean,
+      rowIdBase: Option[Long],
+      extraDomains: Seq[(String, String)],
+      tableId: Option[String],
+      crc: CrcPlan,
+      txn: Option[(String, Long)],
+      opParams: Seq[(String, String)],
+      opMetrics: Seq[(String, String)]): Long = {
     val now = System.currentTimeMillis()
     val nonce = java.util.UUID.randomUUID().toString
     val lines = Seq.newBuilder[String]
@@ -3055,8 +3123,19 @@ object DeltaWrite {
     * read-back elsewhere so a lost race on object stores is a detected
     * IllegalStateException, never a silently dropped commit.
     */
+  /** Test seam: deterministic race injection. When set, runs ONCE (self-
+    * clearing, so the injected winner's own commits don't recurse) right
+    * before the atomic claim — the injected action commits the contended
+    * version first and this writer loses the race on purpose.
+    */
+  private[destinations] var racePublishHook: Option[(Path, Long) => Unit] = None
+
   private def publishCommit(
       spark: SparkSession, table: Path, version: Long, content: String): Unit = {
+    racePublishHook.foreach { h =>
+      racePublishHook = None
+      h(table, version)
+    }
     val f = fs(spark, table)
     f.mkdirs(logDir(table))
     val target = commitPath(table, version)
@@ -3084,7 +3163,7 @@ object DeltaWrite {
       }
     f.delete(tmp, false)
     if (!won)
-      throw new IllegalStateException(
+      throw new Concurrency.ConcurrentCommitException(
         s"Concurrent Delta commit detected for version $version at $table")
   }
 }

@@ -144,4 +144,122 @@ class DeltaModelSpec extends SparkSpec {
   test("random op compositions: DV+CDF table matches the model at every step") {
     runModel(seed = 2027L, dvTable = true)
   }
+
+  /** Interleaved-writer mode: every step's op RACES an injected winner that
+    * commits first (via `racePublishHook`). A blind-append winner must
+    * rebase cleanly under WriteSerializable — including the documented
+    * anomaly (a racing DELETE/overwrite does not see the winner's rows, so
+    * they survive, which the model encodes). A metadata-change winner must
+    * abort every data op loudly (and leave the table exactly as the winner
+    * wrote it); vacuum's audit commits alone tolerate it. After every step
+    * the table must match the model and the checksum chain must audit.
+    */
+  private def runInterleaved(seed: Long, dvTable: Boolean): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val table = tmpDir(s"dw-race-$seed-$dvTable").resolve("t").toString
+    val props =
+      if (dvTable) Map(
+        "delta.enableDeletionVectors" -> "true",
+        "delta.enableChangeDataFeed" -> "true")
+      else Map.empty[String, String]
+    DeltaWrite.createIfAbsent(spark, table,
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      properties = props)
+
+    var state: State = Map.empty
+    var nextId = 0L
+    def fresh(n: Int): Seq[(Long, String)] = {
+      val rows = (0 until n).map(i => (nextId + i, s"v${nextId + i}"))
+      nextId += n
+      rows
+    }
+    def df(rows: Seq[(Long, String)]) = rows.toDF("id", "v")
+      .repartition(1 + rnd.nextInt(2))
+
+    (1 to 14).foreach { step =>
+      // the racing winner: blind append (rebasable) or metadata change
+      // (aborts every non-audit loser)
+      val winnerIsMeta = rnd.nextInt(3) == 0
+      var winnerRows: Seq[(Long, String)] = Nil
+      val winner: (org.apache.hadoop.fs.Path, Long) => Unit =
+        if (winnerIsMeta) (_, _) =>
+          DeltaWrite.setProperties(spark, table,
+            Map(s"graft.race.step" -> step.toString))
+        else { (_, _) =>
+          winnerRows = fresh(1 + rnd.nextInt(30))
+          DeltaWrite.append(spark, table, df(winnerRows))
+        }
+
+      val op = rnd.nextInt(6)
+      DeltaWrite.racePublishHook = Some(winner)
+      try {
+        val attempt: Either[Throwable, State => State] =
+          try {
+            op match {
+              case 0 => // append
+                val rows = fresh(1 + rnd.nextInt(80))
+                DeltaWrite.append(spark, table, df(rows))
+                Right(s => s ++ rows)
+              case 1 => // upsert (updates of pre-step keys + fresh inserts)
+                val updates = state.keys.toSeq.sorted
+                  .filter(_ => rnd.nextDouble() < 0.3)
+                  .map(k => (k, s"u$step-$k"))
+                val inserts = fresh(1 + rnd.nextInt(30))
+                DeltaWrite.upsert(spark, table, df(updates ++ inserts), Seq("id"))
+                Right(s => s ++ updates ++ inserts)
+              case 2 => // delete: does NOT see the winner's rows (anomaly)
+                val m = 2 + rnd.nextInt(5)
+                val r = rnd.nextInt(m)
+                DeltaWrite.delete(spark, table, s"id % $m = $r")
+                Right(s => s.filterNot { case (k, _) =>
+                  k % m == r && !winnerRows.exists(_._1 == k) })
+              case 3 => // compact
+                DeltaWrite.compact(spark, table, targetFileBytes = 1L << 30)
+                Right(identity)
+              case 4 => // overwrite: winner's unseen file survives (anomaly)
+                val rows = fresh(1 + rnd.nextInt(20))
+                DeltaWrite.overwrite(spark, table, df(rows))
+                Right(_ => winnerRows.toMap ++ rows)
+              case 5 => // vacuum (audit commits tolerate even metadata winners)
+                DeltaWrite.vacuum(spark, table, retainMs = 0L)
+                Right(identity)
+            }
+          } catch { case e: Concurrency.ConflictException => Left(e) }
+
+        val winnerRan = DeltaWrite.racePublishHook.isEmpty
+        // winner-first ordering: its append lands in the model before the
+        // loser's effect (except where the op's effect already encodes the
+        // anomaly explicitly)
+        if (winnerRan && !winnerIsMeta && op != 4) state = state ++ winnerRows
+        attempt match {
+          case Right(effect) =>
+            assert(!(winnerRan && winnerIsMeta && op != 5),
+              s"seed=$seed dv=$dvTable step=$step op=$op: a metadata-change " +
+                "winner must abort a racing data op, but it rebased")
+            state = effect(state)
+          case Left(e) =>
+            assert(winnerRan && winnerIsMeta,
+              s"seed=$seed dv=$dvTable step=$step op=$op: unexpected " +
+                s"conflict abort against a blind-append winner: ${e.getMessage}")
+        }
+      } finally DeltaWrite.racePublishHook = None
+
+      val got = DeltaLog.read(spark, table)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == state,
+        s"seed=$seed dv=$dvTable step=$step op=$op winnerMeta=$winnerIsMeta: " +
+          s"missing=${(state.keySet -- got.keySet).take(5)} " +
+          s"extra=${(got.keySet -- state.keySet).take(5)}")
+      assert(DeltaLog.verifyChecksum(spark, table, None),
+        s"seed=$seed dv=$dvTable step=$step: checksum chain broke")
+    }
+  }
+
+  test("interleaved writers: plain table matches the model under constant races") {
+    runInterleaved(seed = 3041L, dvTable = false)
+  }
+
+  test("interleaved writers: DV+CDF table matches the model under constant races") {
+    runInterleaved(seed = 4057L, dvTable = true)
+  }
 }
