@@ -1057,7 +1057,9 @@ object DeltaLog {
       val withMeta = dv match {
         case None => withIdx
         case Some(bitmap) =>
-          val live = udf((idx: Long) => !bitmap.contains(idx))
+          // native codegen'd predicate — a UDF here would break whole-stage
+          // codegen for exactly the scans a merge-on-read table has most of
+          def live(c: org.apache.spark.sql.Column) = BitmapNotContains(bitmap, c)
           if (withRowIndex) withIdx.filter(live(col("_graft_row_index")))
           else withIdx
             .withColumn("_graft_row_index", col("_metadata.row_index"))

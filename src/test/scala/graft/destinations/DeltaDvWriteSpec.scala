@@ -243,4 +243,23 @@ class DeltaDvWriteSpec extends SparkSpec {
     assert(back.keySet == ((6L to 20L).toSet + 99L))
     assert(back(10L) == "TEN" && back(99L) == "NEW")
   }
+
+  test("DV read plan: row filter is the native codegen'd predicate, no UDF node") {
+    val table = mkTable("dv-plan", (1L to 100L).map(i => (i, s"v$i")), parts = 1)
+    DeltaWrite.delete(spark, table.toString, "id % 3 = 0")
+    val df = DeltaLog.read(spark, table.toString)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("UDF"), physical)
+    assert(physical.contains("dv_live_row"), physical)
+    // the DV filter stays inside a whole-stage-codegen span (the `*` prefix
+    // in formatted explain marks codegen'd operators)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.linesIterator.exists(l =>
+      l.contains("* Filter") || l.contains("*(")), formatted)
+    assert(formatted.linesIterator
+      .dropWhile(!_.startsWith("(4) Filter")).take(1)
+      .forall(_.contains("codegen id")), formatted)
+    assert(df.collect().map(_.getLong(0)).toSet == (1L to 100L).filter(_ % 3 != 0).toSet)
+  }
 }
