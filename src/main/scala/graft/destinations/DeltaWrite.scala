@@ -69,6 +69,34 @@ object DeltaWrite {
       "identityColumns", "inCommitTimestamp", "v2Checkpoint",
       "rowTracking", "domainMetadata", "clusteredTable", "typeWidening")
 
+  /** Reader-writer features: the spec requires these in BOTH protocol
+    * lists (readers that don't understand them would mis-read the data or
+    * — for vacuumProtocolCheck — skip a check the table demands).
+    */
+  private val readerWriterFeatures: Set[String] =
+    Set("deletionVectors", "typeWidening", "v2Checkpoint",
+      "vacuumProtocolCheck", "timestampNtz", "variantType-preview",
+      "columnMapping")
+
+  /** The feature names a property map explicitly marks supported via
+    * delta-spark's `delta.feature.<name> = supported` mechanism. Support
+    * is protocol-only (the feature joins the lists; nothing is enabled —
+    * for vacuumProtocolCheck the listed feature IS the whole contract).
+    * Unknown features are refused: emitting a protocol this writer itself
+    * couldn't honor would wedge the table.
+    */
+  private def featurePropSupports(props: Map[String, String]): Set[String] = {
+    val named = props.collect {
+      case (k, v) if k.startsWith("delta.feature.") &&
+        v.equalsIgnoreCase("supported") => k.stripPrefix("delta.feature.")
+    }.toSet
+    val unknown = named -- supportedWriterFeatures
+    require(unknown.isEmpty,
+      s"delta.feature.* marks features this engine cannot support: " +
+        s"${unknown.toSeq.sorted.mkString(", ")}")
+    named
+  }
+
   /** The row-id assignment base for a commit: `Some(high-water mark)` when
     * the table tracks rows (every adds-producing commit must then assign),
     * None otherwise. */
@@ -541,8 +569,15 @@ object DeltaWrite {
       .exists(_.equalsIgnoreCase("true"))
     val wantDv = properties.get("delta.enableDeletionVectors")
       .exists(_.equalsIgnoreCase("true"))
+    // delta-spark's explicit support mechanism: `delta.feature.<name> =
+    // supported` adds <name> to the protocol WITHOUT enabling it (support
+    // ≠ enablement — e.g. vacuumProtocolCheck has no config switch at all,
+    // the feature IS the contract). The keys are protocol directives, not
+    // table properties: stripped from the persisted metadata below.
+    val featSupports = featurePropSupports(properties)
     val proto =
-      if (!wantIct && !wantV2Cp && !wantRowTracking && !wantWiden && !wantDv)
+      if (!wantIct && !wantV2Cp && !wantRowTracking && !wantWiden && !wantDv &&
+          featSupports.isEmpty)
         proto0
       else {
         val feats = Set("invariants") ++
@@ -564,31 +599,38 @@ object DeltaWrite {
             Set("appendOnly") else Set.empty[String]) ++
           // deletionVectors is a reader-writer feature: the spec requires it
           // in BOTH lists, so non-DV-aware writers are blocked too
-          (if (wantDv) Set("deletionVectors") else Set.empty[String])
+          (if (wantDv) Set("deletionVectors") else Set.empty[String]) ++
+          featSupports
         // typeWidening is ALSO a reader feature (old files carry the
         // narrow type; readers must know to up-cast) — and a reader-3
         // protocol must name EVERY reader-relevant feature, so DVs join
         // the list when the table enables them
+        val readerFeatSupports = featSupports intersect readerWriterFeatures
         val readerV =
-          if (wantV2Cp || wantWiden || wantDv) 3 else if (wantMapping) 2 else 1
+          if (wantV2Cp || wantWiden || wantDv || readerFeatSupports.nonEmpty) 3
+          else if (wantMapping) 2 else 1
         val readerFeats =
           if (readerV < 3) Set.empty[String]
           else (if (wantV2Cp) Set("v2Checkpoint") else Set.empty[String]) ++
             (if (wantWiden) Set("typeWidening") else Set.empty[String]) ++
             (if (wantMapping) Set("columnMapping") else Set.empty[String]) ++
-            (if (wantDv) Set("deletionVectors") else Set.empty[String])
+            (if (wantDv) Set("deletionVectors") else Set.empty[String]) ++
+            readerFeatSupports
         Some(DeltaLog.Protocol(readerV, 7,
           readerFeatures = readerFeats, writerFeatures = feats))
       }
     // row tracking reserves the materialized column names rewrites will
     // preserve stable ids under (per spec, recorded in the table config)
-    val finalProps =
+    val finalProps0 =
       if (!wantRowTracking) outProps
       else outProps ++ Map(
         "delta.rowTracking.materializedRowIdColumnName" ->
           s"_row-id-col-${java.util.UUID.randomUUID()}",
         "delta.rowTracking.materializedRowCommitVersionColumnName" ->
           s"_row-commit-version-col-${java.util.UUID.randomUUID()}")
+    // delta.feature.* keys are commit-time protocol directives, never
+    // persisted table properties (delta-spark strips them the same way)
+    val finalProps = finalProps0.filterNot(_._1.startsWith("delta.feature."))
     commit(spark, new Path(tablePath), 0L, "CREATE TABLE",
       withMeta = Some((outSchema, partitionBy)), adds = Nil, removes = Nil,
       metaConfig = finalProps, protocolUpgrade = proto)
@@ -1730,8 +1772,13 @@ object DeltaWrite {
       unset: Seq[String] = Nil): Long = {
     val snap = DeltaLog.snapshot(spark, tablePath)
     requireWritable(tablePath, snap, "setProperties", removesData = false)
-    val newCfg = snap.configuration -- unset ++ set
-    if (newCfg == snap.configuration) return snap.version
+    // delta.feature.* keys are protocol directives (see featurePropSupports),
+    // applied to the protocol below and never persisted as table properties
+    val featSupports = featurePropSupports(set)
+    val newCfg = (snap.configuration -- unset ++ set)
+      .filterNot(_._1.startsWith("delta.feature."))
+    if (newCfg == snap.configuration && featSupports.isEmpty)
+      return snap.version
     require(newCfg.getOrElse("delta.columnMapping.mode", "none") ==
         snap.columnMappingMode,
       "delta.columnMapping.mode cannot be changed via setProperties; " +
@@ -1761,6 +1808,7 @@ object DeltaWrite {
     // deletionVectors is reader-writer: the spec requires it in BOTH lists
     val wantDv = on(newCfg, "delta.enableDeletionVectors")
     if (wantDv) need += "deletionVectors"
+    featSupports.foreach(need += _)
     val cur = snap.protocol.getOrElse(DeltaLog.Protocol(1, 2))
     val curFeats = impliedWriterFeatures(cur)
     val missing = need.result() -- curFeats
@@ -1769,7 +1817,8 @@ object DeltaWrite {
     // reader-relevant feature explicitly
     val readerNeeds = (if (wantV2Cp) Set("v2Checkpoint") else Set.empty[String]) ++
       (if (wantWiden) Set("typeWidening") else Set.empty[String]) ++
-      (if (wantDv) Set("deletionVectors") else Set.empty[String])
+      (if (wantDv) Set("deletionVectors") else Set.empty[String]) ++
+      (featSupports intersect readerWriterFeatures)
     val readerUp: Option[(Int, Set[String])] =
       if (readerNeeds.isEmpty || (cur.minReaderVersion >= 3 &&
           readerNeeds.subsetOf(cur.readerFeatures))) None
@@ -1781,7 +1830,8 @@ object DeltaWrite {
       else if (cur.minWriterVersion >= 7 || missing.contains("inCommitTimestamp") ||
           missing.contains("typeWidening") ||
           missing.contains("deletionVectors") ||
-          missing.contains("v2Checkpoint")) {
+          missing.contains("v2Checkpoint") ||
+          (missing intersect featSupports).nonEmpty) {
         val (rv, rf) = readerUp.getOrElse((cur.minReaderVersion, cur.readerFeatures))
         Some(DeltaLog.Protocol(rv, 7, rf, curFeats ++ missing))
       } else Some(cur.copy(minWriterVersion = (Seq(cur.minWriterVersion) ++

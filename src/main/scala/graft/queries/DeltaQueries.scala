@@ -504,6 +504,52 @@ private[graft] object DeltaQueries {
           when(col("version") === 1L,
             col("operation_metrics")("numAddedFiles")).otherwise(lit("")).as("m_added"))
         .orderBy(col("version"))
+    }),
+
+    // appendOnly + vacuumProtocolCheck lifecycle (r14): an append-only
+    // table must take appends, layout-only compaction and (protocol-
+    // checked) vacuum, and REFUSE every data-removing op until the
+    // property is unset — the refusals are counted into the frame, so a
+    // silently-succeeding delete shifts both the count and the row hash.
+    // vacuumProtocolCheck rides as a `delta.feature.*` protocol directive:
+    // support lands in BOTH protocol lists, never in the table config.
+    "q147_delta_append_only" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q147").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType],
+        properties = Map(
+          "delta.appendOnly" -> "true",
+          "delta.feature.vacuumProtocolCheck" -> "supported"))
+      DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 0).repartition(2))     // v1
+      DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 1).repartition(2))     // v2
+      var blocked = 0
+      def refuse(op: => Any): Unit =
+        try { op; () } catch {
+          case e: IllegalArgumentException
+            if e.getMessage.contains("append-only") => blocked += 1
+        }
+      refuse(DeltaWrite.delete(s, tbl, "o_orderkey % 10 = 0"))
+      refuse(DeltaWrite.overwrite(s, tbl, orders.limit(1)))
+      refuse(DeltaWrite.upsert(s, tbl,
+        orders.filter(col("o_orderkey") === 1), Seq("o_orderkey")))
+      DeltaWrite.compact(s, tbl, targetFileBytes = 1L << 30)           // v3
+      DeltaWrite.vacuum(s, tbl, retainMs = 0L)                         // v4+v5
+      DeltaWrite.setProperties(s, tbl, Map("delta.appendOnly" -> "false"))
+      DeltaWrite.delete(s, tbl, "o_orderkey % 10 = 0")                 // now lands
+      val p = graft.sources.DeltaLog.snapshot(s, tbl).protocol.get
+      val vpc =
+        if (p.readerFeatures.contains("vacuumProtocolCheck") &&
+          p.writerFeatures.contains("vacuumProtocolCheck")) 1 else 0
+      graft.sources.DeltaLog.read(s, tbl)
+        .filter(col("o_orderkey") < 5000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit(blocked).as("blocked_writes"), lit(vpc).as("vpc_in_both_lists"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -727,6 +773,16 @@ private[graft] object DeltaQueries {
                      ELSE o_totalprice END AS o_totalprice,
                 CAST(6 AS INT) AS crc_versions_audited
          FROM orders WHERE o_orderkey % 10 <> 0
+         ORDER BY o_orderkey""",
+
+    // the append-only layer must be RESULT-invisible: blocked ops changed
+    // nothing, only the post-unset delete did; 3 = the three refused ops
+    "q147_delta_append_only" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(3 AS INT) AS blocked_writes,
+                CAST(1 AS INT) AS vpc_in_both_lists
+         FROM orders
+         WHERE o_orderkey % 10 <> 0 AND o_orderkey < 5000
          ORDER BY o_orderkey"""
   )
 }
