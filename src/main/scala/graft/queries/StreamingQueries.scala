@@ -339,6 +339,44 @@ private[graft] object StreamingQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Continuous Delta streaming source, gated (r14): a rate-limited
+    // TAILING read of a Delta table (format("graft-delta") —
+    // [[graft.streaming.DeltaTailSource]]). Run 1 drains the initial
+    // snapshot (4 files at 1 file/trigger = exactly 4 batches) and stops;
+    // while the stream is down the table is COMPACTED (layout-only — must
+    // stay invisible) and a third of the rows lands as a new commit; run 2
+    // resumes from the same durable checkpoint and must deliver ONLY the
+    // new commit's 2 files (2 batches). Re-reads duplicate o_orderkeys,
+    // gaps drop them, a leaked compaction re-delivers everything — all
+    // hash-mismatch; the pinned batch counts prove the admission control.
+    "q146_delta_tail" -> ((s, dir) => withStatePartitions(s, 8) {
+      import graft.destinations.DeltaWrite
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val sch = orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType]
+      val root = tmp("graft-q146")
+      val src = root.resolve("src").toString
+      val dst = root.resolve("dst").toString
+      val ck = root.resolve("ck").toString
+      DeltaWrite.createIfAbsent(s, src, sch)
+      DeltaWrite.createIfAbsent(s, dst, sch)
+      DeltaWrite.append(s, src,
+        orders.filter(col("o_orderkey") % 3 === 0).repartition(2))     // v1
+      DeltaWrite.append(s, src,
+        orders.filter(col("o_orderkey") % 3 === 1).repartition(2))     // v2
+      val b1 = Streams.deltaTailToDelta(s, src, dst, ck,
+        maxFilesPerTrigger = Some(1))
+      DeltaWrite.compact(s, src, targetFileBytes = 1L << 30)           // v3
+      DeltaWrite.append(s, src,
+        orders.filter(col("o_orderkey") % 3 === 2).repartition(2))     // v4
+      val b2 = Streams.deltaTailToDelta(s, src, dst, ck,
+        maxFilesPerTrigger = Some(1))
+      graft.sources.DeltaLog.read(s, dst)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit(b1).as("batches_run1"), lit(b2).as("batches_run2"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Streaming gap sessionization, gated: the full event stream replays in
     // order; 30-minute-gap sessions close exactly once, each user's final
     // session stays open (NoTimeout) and is excluded by the oracle too.
@@ -419,6 +457,14 @@ private[graft] object StreamingQueries {
     "q142_stream_availablenow" ->
       """SELECT event_id, user_id, event_type, value
          FROM events ORDER BY event_id""",
+
+    // the tail reconstructs the source table exactly once; 4 + 2 are the
+    // pinned per-run batch counts under 1-file-per-trigger admission
+    "q146_delta_tail" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(4 AS INT) AS batches_run1,
+                CAST(2 AS INT) AS batches_run2
+         FROM orders ORDER BY o_orderkey""",
 
     // each (user_id, event_type) admitted once per horizon epoch: the base
     // replay and the +150-day replay = exactly two admissions per key

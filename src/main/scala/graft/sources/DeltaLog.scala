@@ -112,7 +112,7 @@ object DeltaLog {
 
   private def logDir(table: Path) = new Path(table, "_delta_log")
 
-  private def parseAddAction(add: JsonNode): AddFile = {
+  private[graft] def parseAddAction(add: JsonNode): AddFile = {
     val p = add.get("path").asText()
     // a JSON-null partition value is a NULL partition (the spec's
     // encoding) — asText() would stringify it to "null"

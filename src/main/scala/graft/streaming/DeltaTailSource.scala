@@ -1,0 +1,297 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, GraftShims, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => ConnectorOffset}
+import org.apache.spark.sql.execution.streaming.{Offset => LegacyOffset, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.DeltaLog
+
+/** Continuous (tailing) Structured Streaming source over a Delta table —
+  * `spark.readStream.format("graft-delta").load(tablePath)`.
+  *
+  * Semantics (delta-spark's Delta source, public behavior):
+  *  - **Initial snapshot**: the stream starts from the table's live state
+  *    at stream creation — every live file, in deterministic (sorted-path)
+  *    order — then tails commits beyond that version. `startingVersion`
+  *    skips the snapshot and begins incremental replay at the given
+  *    version (0 = from table creation; "latest" = new commits only).
+  *  - **Incremental tailing**: each later commit contributes its
+  *    `dataChange = true` adds, in log order. Layout-only commits
+  *    (OPTIMIZE's dataChange=false rearranges, metadata, protocol, vacuum
+  *    audits, checksums) are passed over silently — a compaction must be
+  *    invisible to the stream.
+  *  - **Changed/removed data**: a commit that REMOVES data (delete,
+  *    update, overwrite) cannot be represented in an append-only stream;
+  *    by default the stream fails loudly at that version. With
+  *    `skipChangeCommits = true` the whole commit is skipped (the
+  *    delta-spark option of the same name).
+  *  - **Rate limiting**: `maxFilesPerTrigger` caps the files admitted per
+  *    micro-batch ([[SupportsAdmissionControl]]); one batch may span
+  *    multiple commits. With `Trigger.AvailableNow`
+  *    ([[SupportsTriggerAvailableNow]]) the stream drains everything up
+  *    to the prepare-time latest version in rate-limited batches, then
+  *    stops — offsets are durable in the query checkpoint, so the next
+  *    run resumes exactly where this one stopped, even mid-log.
+  *
+  * Offsets are `{tableVersion, fileIndex, isInitialSnapshot}` — the count
+  * of files already delivered within a version, delta-spark's
+  * DeltaSourceOffset shape — so a batch is a pure log-derived function of
+  * (start, end]: replayable from the checkpoint with no source-side state.
+  *
+  * Scale: offset arithmetic parses only the commit JSONs in the tail
+  * window (driver-side, bounded by commits-per-trigger, never table
+  * size). The initial snapshot materializes the live-file list once
+  * (manifest-bounded, the same list any full read plans over) and serves
+  * slices of it; data files are only ever read on executors via
+  * [[DeltaLog.readFiles]] — deletion vectors, column mapping and type
+  * widening all apply, so a merge-on-read snapshot streams its LIVE rows
+  * only. The read schema is pinned at stream start (additive evolution
+  * upstream null-fills; delta-spark likewise fixes the schema per run).
+  */
+final class DeltaTailSource(
+    spark: SparkSession,
+    tablePath: String,
+    maxFilesPerTrigger: Option[Int],
+    skipChangeCommits: Boolean,
+    startingVersion: Option[String]) extends Source
+  with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  import DeltaTailSource._
+
+  // pinned at stream start: schema/protocol context for every batch read
+  // (requireReadable gates unsupported reader features here, once)
+  private val startSnap = DeltaLog.snapshot(spark, tablePath)
+
+  // the initial-snapshot file list, sorted for deterministic slicing; only
+  // materialized when the stream actually starts from a snapshot
+  private lazy val snapshotFiles: IndexedSeq[DeltaLog.AddFile] =
+    startSnap.files.sortBy(_.path).toIndexedSeq
+
+  private val startPos: Pos = startingVersion match {
+    case None => Pos(startSnap.version, 0, initial = true)
+    case Some("latest") => Pos(startSnap.version + 1, 0, initial = false)
+    case Some(v) => Pos(v.toLong, 0, initial = false)
+  }
+
+  /** Position already delivered to the engine (end of the last planned
+    * batch); recovered from the engine's offsets on restart. */
+  @volatile private var lastPlanned: Option[Pos] = None
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def schema: StructType = startSnap.schema
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(DeltaLog.lazySnapshot(spark, tablePath).meta.version)
+
+  // --------------------------------------------------------- offset planning
+
+  /** The adds of commit `v` that an append-only tail delivers, in log
+    * order — or None when the whole commit is passed over (layout-only,
+    * or data-changing under skipChangeCommits).
+    */
+  private def commitAdds(v: Long): IndexedSeq[DeltaLog.AddFile] = {
+    val (adds, removesData) = parseCommit(spark, tablePath, v)
+    if (!removesData) adds
+    else if (skipChangeCommits) IndexedSeq.empty
+    else throw new IllegalStateException(
+      s"version $v of $tablePath changed or removed existing data, which an " +
+        "append-only stream cannot represent; set skipChangeCommits=true to " +
+        "pass over such commits")
+  }
+
+  /** Walk forward from `from`, admitting up to `budget` files, never past
+    * version `cap`. Pure function of the log, with positions normalized
+    * (an exhausted version advances to `(v+1, 0)`) — latestOffset plans
+    * with a budget, getBatch re-walks the same span with the end offset as
+    * the wall, so both always derive identical file sets.
+    */
+  private def advance(from: Pos, budget: Int, cap: Long): Pos = {
+    var pos = from
+    var left = budget
+    var moved = true
+    while (left > 0 && moved) {
+      moved = false
+      if (pos.initial) {
+        val files = snapshotFiles
+        if (pos.index < files.size) {
+          val take = math.min(left, files.size - pos.index)
+          pos = pos.copy(index = pos.index + take)
+          left -= take
+        }
+        if (pos.index >= files.size) pos = Pos(pos.version + 1, 0, initial = false)
+        moved = true
+      } else if (pos.version <= cap) {
+        val adds = commitAdds(pos.version)
+        if (pos.index < adds.size) {
+          val take = math.min(left, adds.size - pos.index)
+          pos = pos.copy(index = pos.index + take)
+          left -= take
+        }
+        if (pos.index >= adds.size) pos = Pos(pos.version + 1, 0, initial = false)
+        moved = true
+      }
+    }
+    pos
+  }
+
+  override def latestOffset(start: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
+    val from = Option(start).map(parsePos)
+      .orElse(lastPlanned).getOrElse(startPos)
+    val budget = limit match {
+      case f: ReadMaxFiles => f.maxFiles()
+      case _ => Int.MaxValue
+    }
+    val cap = availableNowCap
+      .getOrElse(DeltaLog.lazySnapshot(spark, tablePath).meta.version)
+    // an unchanged position round-trips as an identical offset, which the
+    // engine reads as "no new batch"
+    val end = advance(from, budget, cap)
+    lastPlanned = Some(end)
+    DeltaTailOffset(end)
+  }
+
+  override def reportLatestOffset(): ConnectorOffset = {
+    val cap = DeltaLog.lazySnapshot(spark, tablePath).meta.version
+    val from = lastPlanned.getOrElse(startPos)
+    DeltaTailOffset(advance(from, Int.MaxValue, cap))
+  }
+
+  override def getOffset: Option[LegacyOffset] =
+    Option(latestOffset(lastPlanned.map(DeltaTailOffset.apply).orNull,
+      getDefaultReadLimit)).map(o => o.asInstanceOf[LegacyOffset])
+
+  // ------------------------------------------------------------- batch build
+
+  override def getBatch(start: Option[LegacyOffset], end: LegacyOffset): DataFrame = {
+    val from = start.map(parsePos).getOrElse(startPos)
+    val to = parsePos(end)
+    val files = IndexedSeq.newBuilder[DeltaLog.AddFile]
+    // re-walk the exact span: budget unbounded, wall = end position
+    var pos = from
+    while (pos != to && (pos.version < to.version ||
+        (pos.version == to.version && pos.index < to.index))) {
+      val adds: IndexedSeq[DeltaLog.AddFile] =
+        if (pos.initial) snapshotFiles else commitAdds(pos.version)
+      val upper =
+        if (pos.version == to.version && pos.initial == to.initial) to.index
+        else adds.size
+      files ++= adds.slice(pos.index, upper)
+      pos =
+        if (upper >= adds.size && !(pos.version == to.version && pos.initial == to.initial))
+          Pos(pos.version + 1, 0, initial = false)
+        else pos.copy(index = upper)
+    }
+    lastPlanned = Some(to)
+    val batch = DeltaLog.readFiles(spark, tablePath, startSnap, files.result())
+    GraftShims.asStreamingDataFrame(spark, batch)
+  }
+
+  override def commit(end: ConnectorOffset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"DeltaTailSource[$tablePath]"
+}
+
+object DeltaTailSource {
+
+  /** Stream position: `index` files of `version` already delivered.
+    * `initial = true` while slicing the stream-start snapshot (whose
+    * version the position carries); the first incremental version is
+    * `snapshotVersion + 1`.
+    */
+  final case class Pos(version: Long, index: Int, initial: Boolean) {
+    def pastAll(cap: Long): Boolean = !initial && version > cap
+  }
+
+  final case class DeltaTailOffset(pos: Pos) extends LegacyOffset {
+    override def json(): String =
+      s"""{"tableVersion":${pos.version},"fileIndex":${pos.index},""" +
+        s""""isInitialSnapshot":${pos.initial}}"""
+  }
+
+  private val mapper = new ObjectMapper()
+
+  private[streaming] def parsePos(o: AnyRef): Pos = o match {
+    case DeltaTailOffset(p) => p
+    case other =>
+      val json = other match {
+        case c: ConnectorOffset => c.json()
+        case s: String => s
+      }
+      val n = mapper.readTree(json)
+      Pos(n.get("tableVersion").asLong(), n.get("fileIndex").asInt(),
+        n.get("isInitialSnapshot").asBoolean())
+  }
+
+  /** Parse commit `v`: (dataChange adds in log order, whether the commit
+    * removed changed data). Refuses when the commit JSON is gone
+    * (checkpoint-cleaned) — the tail cannot be reconstructed and the
+    * consumer must full-refresh, same contract as
+    * [[DeltaLog.readChanges]].
+    */
+  private def parseCommit(spark: SparkSession, tablePath: String,
+      v: Long): (IndexedSeq[DeltaLog.AddFile], Boolean) = {
+    val p = new Path(new Path(tablePath, "_delta_log"), f"$v%020d.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"commit $v no longer in _delta_log of $tablePath (checkpoint-" +
+        "cleaned); streaming tail impossible — restart from a fresh snapshot")
+    val in = fs.open(p)
+    val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val adds = IndexedSeq.newBuilder[DeltaLog.AddFile]
+    var removesData = false
+    content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
+      val n = mapper.readTree(line)
+      Option(n.get("add")).filterNot(_.isNull).foreach { a =>
+        if (Option(a.get("dataChange")).forall(_.asBoolean(true)))
+          adds += DeltaLog.parseAddAction(a)
+      }
+      Option(n.get("remove")).filterNot(_.isNull).foreach { r =>
+        if (Option(r.get("dataChange")).forall(_.asBoolean(true)))
+          removesData = true
+      }
+    }
+    (adds.result(), removesData)
+  }
+}
+
+/** `format("graft-delta")` registration. The table path arrives as the
+  * `path` option (`.load(tablePath)`); `maxFilesPerTrigger`,
+  * `skipChangeCommits` and `startingVersion` ride alongside.
+  */
+final class DeltaTailSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-delta"
+
+  private def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-delta source requires a table path: .load(tablePath)"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      DeltaLog.snapshot(sqlContext.sparkSession, path(parameters)).schema))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new DeltaTailSource(
+      sqlContext.sparkSession,
+      path(parameters),
+      parameters.get("maxFilesPerTrigger").map(_.toInt),
+      parameters.get("skipChangeCommits").exists(_.equalsIgnoreCase("true")),
+      parameters.get("startingVersion").map(_.trim).filter(_.nonEmpty))
+}

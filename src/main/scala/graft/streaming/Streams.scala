@@ -300,6 +300,50 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Drain the CONTINUOUS Delta tail ([[DeltaTailSource]],
+    * `format("graft-delta")`) into another Delta table with
+    * `Trigger.AvailableNow`: initial snapshot + incremental commits, in
+    * micro-batches of at most `maxFilesPerTrigger` source files, stopping
+    * once everything up to run-start is processed. Offsets live in the
+    * query checkpoint, so successive runs resume exactly where the last
+    * stopped — even mid-log — and the appends carry a SetTransaction
+    * keyed on the stream's batch id, so a batch that committed to Delta
+    * but crashed before the offset write is SKIPPED on replay (the same
+    * exactly-once discipline as [[availableNowAppend]]). Returns the
+    * number of non-empty micro-batches this run processed.
+    */
+  def deltaTailToDelta(
+      spark: SparkSession,
+      sourceTable: String,
+      destTable: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      options: Map[String, String] = Map.empty): Int = {
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    val appId = s"graft-delta-tail-$checkpointDir"
+    val q = spark.readStream.format("graft-delta")
+      .options(options ++ maxFilesPerTrigger.map(n =>
+        "maxFilesPerTrigger" -> n.toString))
+      .load(sourceTable)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val applied = graft.sources.DeltaLog.lazySnapshot(sp, destTable)
+          .meta.txns.getOrElse(appId, -1L)
+        if (batchId > applied && !batch.isEmpty) {
+          batches.incrementAndGet()
+          graft.destinations.DeltaWrite.append(sp, destTable, batch,
+            txn = Some((appId, batchId))): Unit
+        }
+      }
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
   /** Incrementally consume a Delta table's CHANGE DATA FEED with a durable
     * offset: reads the change rows in `(last consumed version, latest]`
     * ([[graft.sources.DeltaLog.readCdf]] — inserts, update pre/post

@@ -23,4 +23,13 @@ object GraftShims {
     */
   def filesMaxPartitionBytes(spark: SparkSession): Long =
     spark.sessionState.conf.filesMaxPartitionBytes
+
+  /** Re-wrap a batch DataFrame's physical rows as a STREAMING DataFrame —
+    * what a v1 streaming `Source.getBatch` must return (MicroBatchExecution
+    * asserts `isStreaming`; the classic `internalCreateDataFrame` that sets
+    * the flag is sql-package-private, same pattern as FileStreamSource).
+    */
+  def asStreamingDataFrame(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
 }

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import graft.destinations.DeltaWrite
+import graft.sources.DeltaLog
+
+/** Continuous Delta streaming source ([[DeltaTailSource]],
+  * `format("graft-delta")`): initial snapshot + incremental tailing,
+  * maxFilesPerTrigger admission, layout-commit invisibility, change-commit
+  * policy, and offset durability across stop/restart mid-log.
+  */
+class DeltaTailSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def rows(from: Long, to: Long) = {
+    import spark.implicits._
+    (from to to).map(i => (i, s"v$i")).toDF("id", "v")
+  }
+
+  private def mkTable(name: String, props: Map[String, String] = Map.empty): String = {
+    val t = tmpDir(name).resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, t, schema, properties = props)
+    t
+  }
+
+  /** Drain the tail into a Delta sink with AvailableNow; returns the
+    * number of non-empty micro-batches the run processed.
+    */
+  private def drain(src: String, dst: String, cp: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      options: Map[String, String] = Map.empty): Int = {
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    val reader = spark.readStream.format("graft-delta")
+      .options(options ++ maxFilesPerTrigger.map(n =>
+        "maxFilesPerTrigger" -> n.toString))
+    val q = reader.load(src)
+      .writeStream
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batches.incrementAndGet()
+          DeltaWrite.append(batch.sparkSession, dst, batch,
+            txn = Some((s"tail-$cp", batchId))): Unit
+        }
+      }
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
+  private def ids(table: String): Seq[Long] =
+    DeltaLog.read(spark, table).select("id").collect().map(_.getLong(0)).toSeq
+
+  test("initial snapshot + rate-limited drain: every live row exactly once, bounded batches") {
+    val src = mkTable("tail-basic")
+    DeltaWrite.append(spark, src, rows(1, 20).repartition(2))
+    DeltaWrite.append(spark, src, rows(21, 40).repartition(2))
+    val dst = mkTable("tail-basic-dst")
+    val cp = tmpDir("tail-basic-cp").toString
+    val batches = drain(src, dst, cp, maxFilesPerTrigger = Some(1))
+    assert(batches == 4, s"4 files at 1 file/trigger must take 4 batches, got $batches")
+    assert(ids(dst).sorted == (1L to 40L))
+  }
+
+  test("restart mid-log: second run resumes from the durable offset, no re-reads") {
+    val src = mkTable("tail-restart")
+    DeltaWrite.append(spark, src, rows(1, 10).repartition(2))
+    val dst = mkTable("tail-restart-dst")
+    val cp = tmpDir("tail-restart-cp").toString
+    assert(drain(src, dst, cp) >= 1)
+    assert(ids(dst).sorted == (1L to 10L))
+    // new commits while the stream is down; a layout-only OPTIMIZE between
+    // them must stay invisible (its rearranged files never re-deliver)
+    DeltaWrite.append(spark, src, rows(11, 20).repartition(2))
+    DeltaWrite.compact(spark, src, targetFileBytes = 1L << 30)
+    DeltaWrite.append(spark, src, rows(21, 30).repartition(1))
+    drain(src, dst, cp)
+    assert(ids(dst).sorted == (1L to 30L), "tail must deliver each row exactly once")
+    // third run with nothing new: zero batches
+    assert(drain(src, dst, cp) == 0)
+    assert(ids(dst).sorted == (1L to 30L))
+  }
+
+  test("change commit: fails loudly by default; skipChangeCommits passes it over") {
+    val src = mkTable("tail-change")
+    DeltaWrite.append(spark, src, rows(1, 10).repartition(1))
+    val dst = mkTable("tail-change-dst")
+    val cp = tmpDir("tail-change-cp").toString
+    drain(src, dst, cp)
+    DeltaWrite.delete(spark, src, "id <= 3")
+    DeltaWrite.append(spark, src, rows(11, 15).repartition(1))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(src, dst, cp)
+    }
+    assert(e.getCause.getMessage.contains("skipChangeCommits"), e.getCause.getMessage)
+    // with the option the delete commit is skipped, the append still lands
+    drain(src, dst, cp, options = Map("skipChangeCommits" -> "true"))
+    assert(ids(dst).sorted == (1L to 15L))
+  }
+
+  test("initial snapshot respects deletion vectors: only live rows stream") {
+    val src = mkTable("tail-dv", props = Map("delta.enableDeletionVectors" -> "true"))
+    DeltaWrite.append(spark, src, rows(1, 100).repartition(1))
+    DeltaWrite.delete(spark, src, "id % 2 = 0") // merge-on-read DV
+    val dst = mkTable("tail-dv-dst")
+    drain(src, dst, tmpDir("tail-dv-cp").toString)
+    assert(ids(dst).sorted == (1L to 100L).filter(_ % 2 == 1))
+  }
+
+  test("startingVersion skips the snapshot: incremental replay from the given version only") {
+    val src = mkTable("tail-startver")
+    DeltaWrite.append(spark, src, rows(1, 10))  // v1
+    DeltaWrite.append(spark, src, rows(11, 20)) // v2
+    val dst = mkTable("tail-startver-dst")
+    drain(src, dst, tmpDir("tail-startver-cp").toString,
+      options = Map("startingVersion" -> "2"))
+    assert(ids(dst).sorted == (11L to 20L), "v0/v1 rows must NOT stream")
+
+    // "latest" = only commits after the stream starts: an AvailableNow run
+    // started at latest drains nothing, and the offset is durable, so new
+    // commits stream on the next run from the same checkpoint
+    val dst2 = mkTable("tail-latest-dst")
+    val cp2 = tmpDir("tail-latest-cp").toString
+    assert(drain(src, dst2, cp2, options = Map("startingVersion" -> "latest")) == 0)
+    DeltaWrite.append(spark, src, rows(21, 30)) // v3, while stream is down
+    drain(src, dst2, cp2, options = Map("startingVersion" -> "latest"))
+    assert(ids(dst2).sorted == (21L to 30L))
+  }
+
+  test("offsets are the documented delta-source shape and replay deterministically") {
+    val o = DeltaTailSource.DeltaTailOffset(DeltaTailSource.Pos(7L, 3, initial = true))
+    assert(o.json() ==
+      """{"tableVersion":7,"fileIndex":3,"isInitialSnapshot":true}""")
+    assert(DeltaTailSource.parsePos(o.json()) == o.pos)
+  }
+}
