@@ -65,7 +65,7 @@ object DeltaWrite {
   private val supportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "generatedColumns",
       "changeDataFeed", "timestampNtz", "vacuumProtocolCheck",
-      "variantType-preview", "deletionVectors", "columnMapping",
+      "variantType", "variantType-preview", "deletionVectors", "columnMapping",
       "identityColumns", "inCommitTimestamp", "v2Checkpoint",
       "rowTracking", "domainMetadata", "clusteredTable", "typeWidening")
 
@@ -75,8 +75,23 @@ object DeltaWrite {
     */
   private val readerWriterFeatures: Set[String] =
     Set("deletionVectors", "typeWidening", "v2Checkpoint",
-      "vacuumProtocolCheck", "timestampNtz", "variantType-preview",
-      "columnMapping")
+      "vacuumProtocolCheck", "timestampNtz", "variantType",
+      "variantType-preview", "columnMapping")
+
+  /** True when the type tree contains a VARIANT anywhere — the signal that
+    * the table needs the `variantType` reader-writer feature (the
+    * schemaString spells `variant`, and readers without the feature would
+    * mis-read the binary encoding as a plain struct).
+    */
+  private def containsVariant(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case s: StructType => s.fields.exists(f => containsVariant(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => containsVariant(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        containsVariant(m.keyType) || containsVariant(m.valueType)
+      case _: org.apache.spark.sql.types.VariantType => true
+      case _ => false
+    }
 
   /** The feature names a property map explicitly marks supported via
     * delta-spark's `delta.feature.<name> = supported` mechanism. Support
@@ -574,7 +589,10 @@ object DeltaWrite {
     // ≠ enablement — e.g. vacuumProtocolCheck has no config switch at all,
     // the feature IS the contract). The keys are protocol directives, not
     // table properties: stripped from the persisted metadata below.
-    val featSupports = featurePropSupports(properties)
+    val featSupports = featurePropSupports(properties) ++
+      // a VARIANT column anywhere in the schema demands the stable
+      // variantType reader-writer feature — it rides the same plumbing
+      (if (containsVariant(schema)) Set("variantType") else Set.empty[String])
     val proto =
       if (!wantIct && !wantV2Cp && !wantRowTracking && !wantWiden && !wantDv &&
           featSupports.isEmpty)
@@ -677,6 +695,17 @@ object DeltaWrite {
     val baseSchema = identitySchema.getOrElse(snap.schema)
     val existing = snap.schema.fieldNames.map(_.toLowerCase).toSet
     val newCols = dfWithIds.schema.fields.filter(f => !existing.contains(f.name.toLowerCase))
+    // a VARIANT column arriving via mergeSchema needs the variantType
+    // reader-writer feature BEFORE the evolved metaData exists — refuse
+    // unless the protocol already names it (create with a variant column,
+    // or delta.feature.variantType=supported), rather than emitting a
+    // schema foreign readers would mis-read
+    if (mergeSchema && newCols.exists(f => containsVariant(f.dataType)))
+      require(snap.protocol.exists(p =>
+          p.minWriterVersion >= 7 && p.writerFeatures.contains("variantType")),
+        s"cannot add a VARIANT column to $tablePath via mergeSchema: the " +
+          "protocol does not name the variantType feature; set " +
+          "delta.feature.variantType=supported first")
     val (schema0, meta0, metaCfg) =
       if (!mergeSchema || newCols.isEmpty) (baseSchema, None, snap.configuration)
       else if (mode == "none") {

@@ -506,6 +506,38 @@ private[graft] object DeltaQueries {
         .orderBy(col("version"))
     }),
 
+    // Delta VARIANT columns (r14 — the stable `variantType` reader-writer
+    // feature): events' JSON props parse ONCE into the binary variant
+    // encoding, land in a Delta table across two commits plus a
+    // compaction, then read back through the protocol bridge with typed
+    // variant_get extraction. The oracle replays the same field with
+    // DuckDB's JSON extraction over raw events, so the whole
+    // parse→store→scan→extract variant layer must be value-invisible;
+    // the protocol pin (feature in BOTH lists) rides the frame.
+    "q148_delta_variant" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q148").resolve("t").toString
+      val src = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("parse_json(props)").as("pv"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        src.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+      DeltaWrite.append(s, tbl,
+        src.filter(col("event_id") % 2 === 0).repartition(2))          // v1
+      DeltaWrite.append(s, tbl,
+        src.filter(col("event_id") % 2 === 1).repartition(2))          // v2
+      DeltaWrite.compact(s, tbl, targetFileBytes = 1L << 30)           // v3
+      val p = graft.sources.DeltaLog.snapshot(s, tbl).protocol.get
+      val vt =
+        if (p.readerFeatures.contains("variantType") &&
+          p.writerFeatures.contains("variantType")) 1 else 0
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("event_id"), col("user_id"),
+          expr("variant_get(pv, '$.k', 'long')").as("k"),
+          lit(vt).as("vt_in_both_lists"))
+        .orderBy(col("event_id"))
+    }),
+
     // appendOnly + vacuumProtocolCheck lifecycle (r14): an append-only
     // table must take appends, layout-only compaction and (protocol-
     // checked) vacuum, and REFUSE every data-removing op until the
@@ -774,6 +806,14 @@ private[graft] object DeltaQueries {
                 CAST(6 AS INT) AS crc_versions_audited
          FROM orders WHERE o_orderkey % 10 <> 0
          ORDER BY o_orderkey""",
+
+    // the variant layer must be value-invisible: DuckDB re-extracts the
+    // same field from the raw JSON
+    "q148_delta_variant" ->
+      """SELECT event_id, user_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                CAST(1 AS INT) AS vt_in_both_lists
+         FROM events ORDER BY event_id""",
 
     // the append-only layer must be RESULT-invisible: blocked ops changed
     // nothing, only the post-unset delete did; 3 = the three refused ops

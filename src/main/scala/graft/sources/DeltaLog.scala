@@ -703,7 +703,7 @@ object DeltaLog {
     */
   private val supportedReaderFeatures: Set[String] =
     Set("columnMapping", "deletionVectors", "timestampNtz",
-      "vacuumProtocolCheck", "variantType-preview", "v2Checkpoint",
+      "vacuumProtocolCheck", "variantType", "variantType-preview", "v2Checkpoint",
       // widened tables: old files carry the narrow parquet type; this
       // bridge reads every file group with the TABLE schema and Spark 4's
       // parquet readers up-cast natively (TypeWideningSpec pins the
