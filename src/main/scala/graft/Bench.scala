@@ -75,8 +75,11 @@ object Bench {
     "q137_stream_static_join", "q138_stream_dedup_expiry", "q139_delta_liquid",
     "q140_delta_widen", "q141_delta_rename", "q142_stream_availablenow",
     "q143_stream_semi_join", "q144_delta_crc", "q145_delta_history")
+  // queries added in round 14
+  private[graft] val r14New = Set("q146_delta_tail", "q147_delta_append_only",
+    "q148_delta_variant")
   private[graft] val laterRounds =
-    Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New, r11New, r13New)
+    Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New, r11New, r13New, r14New)
   private def newer(from: Int)(k: String): Boolean =
     laterRounds.drop(from).exists(_(k))
   // ------------------------------------------------------------------------

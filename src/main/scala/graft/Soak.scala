@@ -41,7 +41,10 @@ object Soak {
     // narrow/wide file mix, and metadata-only rename/drop — all under
     // 10× stats and the 2g heap cap
     "q139_delta_liquid", "q140_delta_widen", "q141_delta_rename",
-    "q142_stream_availablenow", "q144_delta_crc")
+    "q142_stream_availablenow", "q144_delta_crc",
+    // round 14: continuous Delta tail, appendOnly lifecycle, variant
+    // round-trip — the new protocol surfaces under 10× stats
+    "q146_delta_tail", "q147_delta_append_only", "q148_delta_variant")
 
   private def replicate(df: DataFrame, copies: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until copies).map(k => shift(df, k)).reduce(_ unionByName _)
@@ -114,6 +117,70 @@ object Soak {
       val sec = (System.nanoTime() - q0) / 1e9
       results += name -> (sec, outcome._1, outcome._2)
       println(f"[soak] $name%-28s ${sec}%8.2fs plan_ok=${outcome._1} ${outcome._2}")
+    }
+
+    // -------- non-query soak scenarios (r14): multi-writer rebase under
+    // real thread races, and clustered-compact + checksum-audit churn —
+    // the writer-side invariants a maintenance daemon leans on at scale,
+    // exercised against sf1 row volumes under the same heap cap.
+    def scenario(name: String)(run: () => Unit): Unit = {
+      val q0 = System.nanoTime()
+      val outcome =
+        try { run(); (true, "") }
+        catch { case e: Throwable =>
+          (false, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}") }
+      val sec = (System.nanoTime() - q0) / 1e9
+      results += name -> (sec, outcome._1, outcome._2)
+      println(f"[soak] $name%-28s ${sec}%8.2fs plan_ok=${outcome._1} ${outcome._2}")
+    }
+
+    scenario("soak_concurrent_writers") { () =>
+      import graft.destinations.DeltaWrite
+      import graft.sources.DeltaLog
+      val orders = spark.read.parquet(s"$out/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val tbl = java.nio.file.Files.createTempDirectory("soak-cc").resolve("t").toString
+      DeltaWrite.createIfAbsent(spark, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val fs = (0 until 4).map { w =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = (0 until 3).foreach { i =>
+              DeltaWrite.append(spark, tbl,
+                orders.filter(col("o_orderkey") % 12 === (w * 3 + i)))
+            }
+          })
+        }
+        fs.foreach(_.get(600, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdown()
+      val snap = DeltaLog.snapshot(spark, tbl)
+      require(snap.version == 12L, s"expected 12 rebased commits, got ${snap.version}")
+      val n = DeltaLog.read(spark, tbl).count()
+      val want = orders.count()
+      require(n == want, s"row loss under racing writers: $n != $want")
+      require(DeltaLog.verifyChecksum(spark, tbl, None), "checksum chain broke")
+    }
+
+    scenario("soak_cluster_churn") { () =>
+      import graft.destinations.DeltaWrite
+      import graft.sources.DeltaLog
+      val orders = spark.read.parquet(s"$out/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val tbl = java.nio.file.Files.createTempDirectory("soak-churn").resolve("t").toString
+      DeltaWrite.createIfAbsent(spark, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+      (0 until 4).foreach { i =>
+        DeltaWrite.append(spark, tbl,
+          orders.filter(col("o_orderkey") % 4 === i).repartition(2))
+        DeltaWrite.compact(spark, tbl, targetFileBytes = 1L << 30,
+          clusterBy = Seq("o_custkey", "o_totalprice"), curve = "hilbert")
+        require(DeltaLog.verifyChecksum(spark, tbl, None),
+          s"checksum audit failed after churn round $i")
+      }
+      val n = DeltaLog.read(spark, tbl).count()
+      val want = orders.count()
+      require(n == want, s"row drift under clustered churn: $n != $want")
     }
 
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
