@@ -1589,8 +1589,12 @@ object DeltaWrite {
             cur.readerFeatures, curFeats ++ need))
         (Seq("delta.clustering" -> cfg), proto)
       }
-    // only partitions holding 2+ small files shrink their file count
-    val byPart = small.groupBy(_.partitionValues).filter(_._2.size >= 2)
+    // only partitions holding 2+ small files shrink their file count — but
+    // a DV-carrying file is ALWAYS work (purging the deletion vector into a
+    // clean rewrite is exactly what OPTIMIZE is for on merge-on-read
+    // tables, delta-spark semantics), even alone in its partition
+    val byPart = small.groupBy(_.partitionValues)
+      .filter { case (_, g) => g.size >= 2 || g.exists(_.deletionVector.isDefined) }
     val toCompact = byPart.values.flatten.toSeq
     if (toCompact.isEmpty) {
       // nothing to rewrite, but an explicit clusterBy must still RECORD

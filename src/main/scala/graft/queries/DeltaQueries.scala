@@ -538,6 +538,35 @@ private[graft] object DeltaQueries {
         .orderBy(col("event_id"))
     }),
 
+    // UniForm-style Iceberg export (r14 — public Iceberg Table Spec v2):
+    // the Delta table's live state re-described as Iceberg metadata
+    // (HadoopTables layout: versioned metadata.json + avro manifest list +
+    // manifests), then read back THROUGH THE ICEBERG METADATA ONLY — the
+    // read path never consults _delta_log, so a wrong manifest, a leaked
+    // removed file, or a bad partition tuple all change the rows and
+    // hash-mismatch the DuckDB replay over raw orders. The lifecycle
+    // includes a copy-on-write delete and a re-export (snapshot lineage).
+    "q149_delta_iceberg" -> ((s, dir) => {
+      import graft.destinations.{DeltaWrite, IcebergExport}
+      val tbl = tmp("graft-q149").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+      DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 0).repartition(2))     // v1
+      IcebergExport.export(s, tbl)                                     // iceberg v1
+      DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 1).repartition(2))     // v2
+      DeltaWrite.delete(s, tbl, "o_orderkey % 10 = 0")                 // v3 (CoW)
+      val iceVersion = IcebergExport.export(s, tbl)                    // iceberg v2
+      IcebergExport.readThroughIceberg(s, tbl)
+        .filter(col("o_orderkey") < 5000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit(iceVersion).as("iceberg_version"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // appendOnly + vacuumProtocolCheck lifecycle (r14): an append-only
     // table must take appends, layout-only compaction and (protocol-
     // checked) vacuum, and REFUSE every data-removing op until the
@@ -805,6 +834,15 @@ private[graft] object DeltaQueries {
                      ELSE o_totalprice END AS o_totalprice,
                 CAST(6 AS INT) AS crc_versions_audited
          FROM orders WHERE o_orderkey % 10 <> 0
+         ORDER BY o_orderkey""",
+
+    // the Iceberg metadata layer must be state-invisible: the final Delta
+    // state recomputed from raw orders; 2 = the second export's version
+    "q149_delta_iceberg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(2 AS INT) AS iceberg_version
+         FROM orders
+         WHERE o_orderkey % 10 <> 0 AND o_orderkey < 5000
          ORDER BY o_orderkey""",
 
     // the variant layer must be value-invisible: DuckDB re-extracts the

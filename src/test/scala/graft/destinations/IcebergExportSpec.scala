@@ -1,0 +1,144 @@
+package graft.destinations
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import graft.sources.DeltaLog
+
+/** UniForm-style Iceberg metadata export ([[IcebergExport]]): the
+  * filesystem-table layout, v2 metadata shape, manifest record counts, and
+  * the export→read-through-Iceberg round trip that never consults
+  * `_delta_log`.
+  */
+class IcebergExportSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType),
+    StructField("p", StringType)))
+
+  private def rows(from: Long, to: Long, p: String) = {
+    import spark.implicits._
+    (from to to).map(i => (i, s"v$i", p)).toDF("id", "v", "p")
+  }
+
+  private def metaDir(t: String) = java.nio.file.Paths.get(t, "metadata")
+
+  test("export writes the HadoopTables layout with a v2 metadata file") {
+    val t = tmpDir("ice-layout").resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, t, schema)
+    DeltaWrite.append(spark, t, rows(1, 50, "a").repartition(2))
+    assert(IcebergExport.export(spark, t) == 1)
+    val md = metaDir(t)
+    assert(java.nio.file.Files.readString(md.resolve("version-hint.text")).trim == "1")
+    val j = mapper.readTree(java.nio.file.Files.readString(md.resolve("v1.metadata.json")))
+    assert(j.get("format-version").asInt() == 2)
+    assert(j.get("table-uuid").asText() ==
+      DeltaLog.tableId(DeltaLog.snapshot(spark, t)).get)
+    assert(j.get("schemas").get(0).get("fields").size() == 3)
+    assert(j.get("snapshots").size() == 1)
+    val snap = j.get("snapshots").get(0)
+    assert(snap.get("summary").get("operation").asText() == "overwrite")
+    assert(snap.get("summary").get("total-records").asText() == "50")
+    assert(j.get("properties").has("schema.name-mapping.default"))
+    // manifest list + manifest avro files exist where the metadata points
+    assert(new java.io.File(new java.net.URI(
+      snap.get("manifest-list").asText()).getPath.stripPrefix("file:")).exists() ||
+      java.nio.file.Files.exists(java.nio.file.Paths.get(
+        snap.get("manifest-list").asText().stripPrefix("file:"))))
+  }
+
+  test("read-through-Iceberg returns exactly the Delta rows (no _delta_log consulted)") {
+    val t = tmpDir("ice-roundtrip").resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, t, schema)
+    DeltaWrite.append(spark, t, rows(1, 40, "a").repartition(2))
+    DeltaWrite.append(spark, t, rows(41, 80, "b").repartition(2))
+    DeltaWrite.delete(spark, t, "id % 4 = 0") // copy-on-write rewrite
+    IcebergExport.export(spark, t)
+    val viaIceberg = IcebergExport.readThroughIceberg(spark, t)
+      .select("id", "v", "p").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val viaDelta = DeltaLog.read(spark, t)
+      .select("id", "v", "p").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(viaIceberg == viaDelta)
+    assert(viaIceberg.map(_._1) == (1L to 80L).filter(_ % 4 != 0).toSet)
+  }
+
+  test("partitioned table: identity spec, typed partition values, partition pruning data intact") {
+    val t = tmpDir("ice-part").resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, t, schema, partitionBy = Seq("p"))
+    DeltaWrite.append(spark, t, rows(1, 30, "x").unionByName(rows(31, 60, "y")))
+    IcebergExport.export(spark, t)
+    val j = mapper.readTree(java.nio.file.Files.readString(
+      metaDir(t).resolve("v1.metadata.json")))
+    val spec = j.get("partition-specs").get(0).get("fields").get(0)
+    assert(spec.get("name").asText() == "p")
+    assert(spec.get("transform").asText() == "identity")
+    assert(spec.get("field-id").asInt() == 1000)
+    val back = IcebergExport.readThroughIceberg(spark, t)
+      .groupBy("p").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(back == Map("x" -> 30L, "y" -> 30L))
+  }
+
+  test("re-export appends a snapshot with parent lineage and bumps the version") {
+    val t = tmpDir("ice-versions").resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, t, schema)
+    DeltaWrite.append(spark, t, rows(1, 10, "a"))
+    assert(IcebergExport.export(spark, t) == 1)
+    DeltaWrite.append(spark, t, rows(11, 20, "a"))
+    assert(IcebergExport.export(spark, t) == 2)
+    val j = mapper.readTree(java.nio.file.Files.readString(
+      metaDir(t).resolve("v2.metadata.json")))
+    assert(j.get("snapshots").size() == 2)
+    assert(j.get("snapshot-log").size() == 2)
+    val cur = j.get("current-snapshot-id").asLong()
+    val snap2 = j.get("snapshots").elements()
+    val s = Iterator.continually(snap2.next()).take(2).toSeq
+      .find(_.get("snapshot-id").asLong() == cur).get
+    assert(s.get("parent-snapshot-id").asLong() ==
+      s.get("snapshot-id").asLong() - 0 ||
+      s.has("parent-snapshot-id")) // parent recorded
+    assert(IcebergExport.readThroughIceberg(spark, t).count() == 20L)
+  }
+
+  test("live deletion vectors refuse export; compaction folds them and unblocks") {
+    val t = tmpDir("ice-dv").resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, t, schema,
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    DeltaWrite.append(spark, t, rows(1, 50, "a").repartition(1))
+    DeltaWrite.delete(spark, t, "id <= 10") // merge-on-read DV
+    val e = intercept[IllegalArgumentException](IcebergExport.export(spark, t))
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    DeltaWrite.compact(spark, t, targetFileBytes = 1L << 30) // folds the DV
+    IcebergExport.export(spark, t)
+    assert(IcebergExport.readThroughIceberg(spark, t)
+      .select("id").collect().map(_.getLong(0)).toSet == (11L to 50L).toSet)
+  }
+
+  test("column-mapped table: Iceberg schema speaks logical names, name mapping physical") {
+    val t = tmpDir("ice-mapped").resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, t, schema, columnMapping = true)
+    DeltaWrite.append(spark, t, rows(1, 20, "a"))
+    DeltaWrite.renameColumn(spark, t, "v", "val")
+    IcebergExport.export(spark, t)
+    val j = mapper.readTree(java.nio.file.Files.readString(
+      metaDir(t).resolve("v1.metadata.json")))
+    val names = j.get("schemas").get(0).get("fields").elements()
+    val logical = Iterator.continually(names.next()).take(3).map(_.get("name").asText()).toSet
+    assert(logical == Set("id", "val", "p"))
+    val nm = mapper.readTree(
+      j.get("properties").get("schema.name-mapping.default").asText())
+    // the mapping's first names are the PHYSICAL column names in the files
+    val mappedNames = nm.elements().asScala.flatMap(
+      _.get("names").elements().asScala.map(_.asText())).toSet
+    assert(mappedNames.exists(_.startsWith("col-")), mappedNames)
+    val back = IcebergExport.readThroughIceberg(spark, t)
+    assert(back.columns.toSet == Set("id", "val", "p"))
+    assert(back.count() == 20L)
+  }
+
+}
