@@ -538,6 +538,58 @@ private[graft] object DeltaQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Streaming CHANGE-DATA-FEED consumption (r14): the q111 lifecycle's
+    // change stream delivered through the continuous source in CDF mode
+    // (format("graft-delta"), readChangeFeed=true) — one COMMIT per
+    // trigger, so the pinned batch count proves commit-granular admission,
+    // and the accumulated change rows must hash-match the same
+    // from-first-principles oracle as the batch CDF read (q111): a
+    // duplicated, dropped, or split commit all mismatch.
+    "q150_delta_cdf_stream" -> ((s, dir) => withStatePartitions(s, 8) {
+      import graft.destinations.DeltaWrite
+      val root = tmp("graft-q150")
+      val tbl = root.resolve("src").toString
+      val dst = root.resolve("dst").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType],
+        properties = Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaWrite.append(s, tbl, orders.filter(col("o_orderkey") < 4000))  // v1
+      DeltaWrite.upsert(s, tbl,                                           // v2
+        orders.filter(col("o_orderkey") < 1000)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+          .unionByName(orders.filter(
+            col("o_orderkey") >= 4000 && col("o_orderkey") < 5000)),
+        Seq("o_orderkey"))
+      DeltaWrite.delete(s, tbl, "o_orderkey % 10 = 0")                    // v3
+      val stream = s.readStream.format("graft-delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("maxFilesPerTrigger", "1") // one COMMIT per trigger in CDF mode
+        .load(tbl)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("_change_type"), col("_commit_version"))
+      DeltaWrite.createIfAbsent(s, dst,
+        stream.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+      val batches = new java.util.concurrent.atomic.AtomicInteger
+      val q = stream.writeStream
+        .option("checkpointLocation", root.resolve("ck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            batches.incrementAndGet()
+            DeltaWrite.append(b.sparkSession, dst, b, txn = Some(("q150", id))): Unit
+          }
+        }
+        .start()
+      q.awaitTermination()
+      graft.sources.DeltaLog.read(s, dst)
+        .withColumn("cdf_batches", lit(batches.get()))
+        .orderBy(col("_commit_version"), col("o_orderkey"), col("_change_type"))
+    }),
+
     // UniForm-style Iceberg export (r14 — public Iceberg Table Spec v2):
     // the Delta table's live state re-described as Iceberg metadata
     // (HadoopTables layout: versioned metadata.json + avro manifest list +
@@ -645,6 +697,11 @@ private[graft] object DeltaQueries {
   def oracleSql: Map[String, String] = Map(
     "q111_delta_cdf" -> cdfOracleSql,
     "q131_delta_cdf_mapped" -> cdfOracleSql,
+    // the streamed change feed must equal the batch CDF truth; 3 = one
+    // batch per commit under commit-granular admission
+    "q150_delta_cdf_stream" -> cdfOracleSql.replaceFirst(
+      """SELECT \* FROM \(""",
+      "SELECT *, CAST(3 AS INT) AS cdf_batches FROM ("),
 
     // the in-commit-timestamp travel target is exactly the v1 slice
     "q132_delta_ict" ->

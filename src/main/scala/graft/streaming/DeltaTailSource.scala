@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, GraftShims, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => ConnectorOffset}
 import org.apache.spark.sql.execution.streaming.{Offset => LegacyOffset, Source}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 
 import graft.sources.DeltaLog
 
@@ -29,6 +29,13 @@ import graft.sources.DeltaLog
   *    by default the stream fails loudly at that version. With
   *    `skipChangeCommits = true` the whole commit is skipped (the
   *    delta-spark option of the same name).
+  *  - **Change-feed mode** (`readChangeFeed = true`, CDF-enabled tables):
+  *    the stream carries CHANGE rows (`_change_type` /
+  *    `_commit_version` / `_commit_timestamp`) instead of table rows —
+  *    each commit's changes via [[DeltaLog.readCdf]], commit-granular
+  *    admission (a commit's changes are indivisible), starting from
+  *    `startingVersion` or, by default, from new commits only (a change
+  *    stream has no initial snapshot: rows are not changes).
   *  - **Rate limiting**: `maxFilesPerTrigger` caps the files admitted per
   *    micro-batch ([[SupportsAdmissionControl]]); one batch may span
   *    multiple commits. With `Trigger.AvailableNow`
@@ -57,7 +64,8 @@ final class DeltaTailSource(
     tablePath: String,
     maxFilesPerTrigger: Option[Int],
     skipChangeCommits: Boolean,
-    startingVersion: Option[String]) extends Source
+    startingVersion: Option[String],
+    readChangeFeed: Boolean) extends Source
   with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   import DeltaTailSource._
@@ -66,12 +74,20 @@ final class DeltaTailSource(
   // (requireReadable gates unsupported reader features here, once)
   private val startSnap = DeltaLog.snapshot(spark, tablePath)
 
+  if (readChangeFeed)
+    require(startSnap.configuration.get("delta.enableChangeDataFeed")
+        .exists(_.equalsIgnoreCase("true")),
+      s"readChangeFeed requires delta.enableChangeDataFeed on $tablePath")
+
   // the initial-snapshot file list, sorted for deterministic slicing; only
   // materialized when the stream actually starts from a snapshot
   private lazy val snapshotFiles: IndexedSeq[DeltaLog.AddFile] =
     startSnap.files.sortBy(_.path).toIndexedSeq
 
   private val startPos: Pos = startingVersion match {
+    // CDF without startingVersion = new changes only (delta-spark default:
+    // a change stream has no "initial snapshot" — rows are not changes)
+    case None if readChangeFeed => Pos(startSnap.version + 1, 0, initial = false)
     case None => Pos(startSnap.version, 0, initial = true)
     case Some("latest") => Pos(startSnap.version + 1, 0, initial = false)
     case Some(v) => Pos(v.toLong, 0, initial = false)
@@ -82,7 +98,12 @@ final class DeltaTailSource(
   @volatile private var lastPlanned: Option[Pos] = None
   @volatile private var availableNowCap: Option[Long] = None
 
-  override def schema: StructType = startSnap.schema
+  override def schema: StructType =
+    if (!readChangeFeed) startSnap.schema
+    else StructType(startSnap.schema.fields ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_commit_version", LongType),
+      StructField("_commit_timestamp", TimestampType)))
 
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
@@ -113,6 +134,12 @@ final class DeltaTailSource(
     * the wall, so both always derive identical file sets.
     */
   private def advance(from: Pos, budget: Int, cap: Long): Pos = {
+    // CDF mode is commit-granular: a commit's change rows are indivisible,
+    // so the budget counts COMMITS per batch (maxFilesPerTrigger caps the
+    // trigger's commit span) and the index half of the position stays 0
+    if (readChangeFeed)
+      return Pos(math.min(from.version + budget, cap + 1).max(from.version),
+        0, initial = false)
     var pos = from
     var left = budget
     var moved = true
@@ -172,6 +199,18 @@ final class DeltaTailSource(
   override def getBatch(start: Option[LegacyOffset], end: LegacyOffset): DataFrame = {
     val from = start.map(parsePos).getOrElse(startPos)
     val to = parsePos(end)
+    if (readChangeFeed) {
+      lastPlanned = Some(to)
+      val batch =
+        if (to.version <= from.version)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else DeltaLog.readCdf(spark, tablePath,
+          from.version - 1, Some(to.version - 1))
+          .select(schema.fieldNames.toIndexedSeq.map(
+            org.apache.spark.sql.functions.col): _*)
+      return GraftShims.asStreamingDataFrame(spark, batch)
+    }
     val files = IndexedSeq.newBuilder[DeltaLog.AddFile]
     // re-walk the exact span: budget unbounded, wall = end position
     var pos = from
@@ -279,8 +318,15 @@ final class DeltaTailSourceProvider extends StreamSourceProvider with DataSource
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      DeltaLog.snapshot(sqlContext.sparkSession, path(parameters)).schema))
+    (shortName(), schema.getOrElse {
+      val base = DeltaLog.snapshot(sqlContext.sparkSession, path(parameters)).schema
+      if (parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true")))
+        StructType(base.fields ++ Seq(
+          StructField("_change_type", StringType),
+          StructField("_commit_version", LongType),
+          StructField("_commit_timestamp", TimestampType)))
+      else base
+    })
 
   override def createSource(
       sqlContext: SQLContext,
@@ -293,5 +339,6 @@ final class DeltaTailSourceProvider extends StreamSourceProvider with DataSource
       path(parameters),
       parameters.get("maxFilesPerTrigger").map(_.toInt),
       parameters.get("skipChangeCommits").exists(_.equalsIgnoreCase("true")),
-      parameters.get("startingVersion").map(_.trim).filter(_.nonEmpty))
+      parameters.get("startingVersion").map(_.trim).filter(_.nonEmpty),
+      parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true")))
 }

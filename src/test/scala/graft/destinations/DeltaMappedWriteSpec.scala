@@ -115,20 +115,24 @@ class DeltaMappedWriteSpec extends SparkSpec {
     assert(back(0).isNullAt(2) && back(1).getDouble(2) == 3.5) // old file null-fills
   }
 
-  test("DV delete on a mapped table: upgrade keeps the columnMapping feature") {
+  test("DV delete on a mapped table: complete protocol from CREATE, no upgrade at delete") {
     import spark.implicits._
     val table = tmpDir("cm-dv")
     DeltaWrite.createIfAbsent(spark, table.toString, schema,
       properties = Map("delta.enableDeletionVectors" -> "true"), columnMapping = true)
-    DeltaWrite.append(spark, table.toString,
-      (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v").repartition(1))
-    val v = DeltaWrite.delete(spark, table.toString, "id <= 5")
-    val proto = action(logLines(table, v), "protocol").head
+    // since the r13 feature-symmetry fix, create already emits the full
+    // (3,7) protocol naming BOTH features in BOTH lists...
+    val proto = action(logLines(table, 0L), "protocol").head
     assert(proto.get("minReaderVersion").asInt == 3)
     val rf = proto.get("readerFeatures").toString
     assert(rf.contains("columnMapping") && rf.contains("deletionVectors"), rf)
     val wf = proto.get("writerFeatures").toString
     assert(wf.contains("columnMapping") && wf.contains("deletionVectors"), wf)
+    DeltaWrite.append(spark, table.toString,
+      (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v").repartition(1))
+    // ...so the DV delete commits with NO protocol action (nothing to raise)
+    val v = DeltaWrite.delete(spark, table.toString, "id <= 5")
+    assert(action(logLines(table, v), "protocol").isEmpty)
     val back = DeltaLog.read(spark, table.toString).collect().map(_.getLong(0)).toSet
     assert(back == (6L to 20L).toSet)
   }

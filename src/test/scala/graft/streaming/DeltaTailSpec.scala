@@ -133,6 +133,45 @@ class DeltaTailSpec extends SparkSpec {
     assert(ids(dst2).sorted == (21L to 30L))
   }
 
+  test("readChangeFeed streams the CDF commit-by-commit, matching the batch CDF read") {
+    import org.apache.spark.sql.Row
+    val src = mkTable("tail-cdf", props = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWrite.append(spark, src, rows(1, 10).repartition(1))          // v1 inserts
+    DeltaWrite.upsert(spark, src,                                      // v2 updates+insert
+      rows(5, 6).withColumn("v", concat(col("v"), lit("!")))
+        .unionByName(rows(11, 12)), Seq("id"))
+    DeltaWrite.delete(spark, src, "id % 4 = 0")                        // v3 deletes
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .option("maxFilesPerTrigger", "1") // = one COMMIT per trigger in CDF mode
+      .load(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("tail-cdf-cp").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rs = batch.select("id", "v", "_change_type", "_commit_version").collect()
+        if (rs.nonEmpty) {
+          batches.incrementAndGet()
+          got.synchronized {
+            got ++= rs.map((r: Row) =>
+              (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+          }: Unit
+        }
+      }
+      .start()
+    q.awaitTermination()
+    assert(batches.get() == 3, s"3 commits at 1 commit/trigger, got ${batches.get()}")
+    val expect = graft.sources.DeltaLog.readCdf(spark, src, 0L)
+      .select("id", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.sorted == expect.toSeq.sorted)
+    // within one trigger, every row comes from one commit
+    assert(got.groupBy(_._4).keySet == Set(1L, 2L, 3L))
+  }
+
   test("offsets are the documented delta-source shape and replay deterministically") {
     val o = DeltaTailSource.DeltaTailOffset(DeltaTailSource.Pos(7L, 3, initial = true))
     assert(o.json() ==
