@@ -67,7 +67,18 @@ object DeltaWrite {
       "changeDataFeed", "timestampNtz", "vacuumProtocolCheck",
       "variantType", "variantType-preview", "deletionVectors", "columnMapping",
       "identityColumns", "inCommitTimestamp", "v2Checkpoint",
-      "rowTracking", "domainMetadata", "clusteredTable", "typeWidening")
+      "rowTracking", "domainMetadata", "clusteredTable", "typeWidening",
+      "icebergCompatV2")
+
+  /** delta.enableIcebergCompatV2: data files carry Iceberg field ids (the
+    * column-mapping ids, stamped as parquet field ids at write), so an
+    * Iceberg reader of the exported metadata resolves columns BY ID with
+    * no name-mapping crutch. Requires column mapping (the id space) and
+    * no deletion vectors (Iceberg v2 side has no DV representation).
+    */
+  private def icebergCompatOn(snap: DeltaLog.Snapshot): Boolean =
+    snap.configuration.get("delta.enableIcebergCompatV2")
+      .exists(_.equalsIgnoreCase("true"))
 
   /** Reader-writer features: the spec requires these in BOTH protocol
     * lists (readers that don't understand them would mis-read the data or
@@ -389,7 +400,7 @@ object DeltaWrite {
       changes: DataFrame): Seq[AddDescriptor] = {
     val (phys, physParts) = toPhysical(changes, snap.schema,
       snap.partitionColumns, snap.columnMappingMode,
-      passthrough = Seq("_change_type"))
+      passthrough = Seq("_change_type"), fieldIds = icebergCompatOn(snap))
     writeDataFiles(spark, table, phys, physParts,
       subdir = "_change_data", withStats = false)
   }
@@ -500,13 +511,22 @@ object DeltaWrite {
       schema: StructType,
       partCols: Seq[String],
       mode: String,
-      passthrough: Seq[String] = Nil): (DataFrame, Seq[String]) = {
+      passthrough: Seq[String] = Nil,
+      fieldIds: Boolean = false): (DataFrame, Seq[String]) = {
     if (mode == "none") return (df, partCols)
     import org.apache.spark.sql.functions.col
     val present = df.columns.toSet
     val cols = schema.fields.toIndexedSeq.filter(f => present(f.name)).map { f =>
-      col(f.name).cast(DeltaLog.physicalDataType(f.dataType))
-        .as(DeltaLog.physicalFieldName(f))
+      val cast = col(f.name).cast(DeltaLog.physicalDataType(f.dataType))
+      // icebergCompatV2: stamp the column-mapping id as the parquet field
+      // id (Spark's parquet writer emits ids from this metadata key), so
+      // Iceberg readers resolve columns by id with no name mapping
+      if (fieldIds && f.metadata.contains("delta.columnMapping.id"))
+        cast.as(DeltaLog.physicalFieldName(f),
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id",
+              f.metadata.getLong("delta.columnMapping.id")).build())
+      else cast.as(DeltaLog.physicalFieldName(f))
     } ++ passthrough.map(col) // non-schema columns (cdc `_change_type`) verbatim
     val byName = schema.fields.map(f => f.name -> f).toMap
     (df.select(cols: _*), partCols.map(c => DeltaLog.physicalFieldName(byName(c))))
@@ -589,10 +609,22 @@ object DeltaWrite {
     // ≠ enablement — e.g. vacuumProtocolCheck has no config switch at all,
     // the feature IS the contract). The keys are protocol directives, not
     // table properties: stripped from the persisted metadata below.
+    val wantIcebergCompat = properties.get("delta.enableIcebergCompatV2")
+      .exists(_.equalsIgnoreCase("true"))
+    if (wantIcebergCompat) {
+      require(wantMapping,
+        "delta.enableIcebergCompatV2 requires column mapping " +
+          "(delta.columnMapping.mode=name): the mapping ids ARE the Iceberg " +
+          "field ids")
+      require(!wantDv,
+        "delta.enableIcebergCompatV2 cannot combine with deletion vectors: " +
+          "Iceberg v2 metadata has no representation for DV-masked rows")
+    }
     val featSupports = featurePropSupports(properties) ++
       // a VARIANT column anywhere in the schema demands the stable
       // variantType reader-writer feature — it rides the same plumbing
-      (if (containsVariant(schema)) Set("variantType") else Set.empty[String])
+      (if (containsVariant(schema)) Set("variantType") else Set.empty[String]) ++
+      (if (wantIcebergCompat) Set("icebergCompatV2") else Set.empty[String])
     val proto =
       if (!wantIct && !wantV2Cp && !wantRowTracking && !wantWiden && !wantDv &&
           featSupports.isEmpty)
@@ -754,7 +786,8 @@ object DeltaWrite {
         Some((schema, snap.partitionColumns))
       else meta0
     val data = ManagedTable.castToSchema(enforceObligations(snap, dfWithIds), schema)
-    val (phys, physParts) = toPhysical(data, schema, snap.partitionColumns, mode)
+    val (phys, physParts) = toPhysical(data, schema, snap.partitionColumns, mode,
+      fieldIds = icebergCompatOn(snap))
     val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts)
     // identity tables must NOT rebase at the commit layer: a lost race may
     // have advanced the identity high-water mark, so the assigned values
@@ -830,7 +863,8 @@ object DeltaWrite {
             snap.configuration + ("delta.columnMapping.maxColumnId" -> maxId.toString))
         }
       }
-    val (phys, physParts) = toPhysical(data, outSchema, snap.partitionColumns, mode)
+    val (phys, physParts) = toPhysical(data, outSchema, snap.partitionColumns, mode,
+      fieldIds = icebergCompatOn(snap))
     val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts)
     val v = commit(spark, new Path(tablePath), snap.version + 1, "WRITE",
       withMeta = meta, adds = adds, removes = snap.files.map(_.path),
@@ -981,7 +1015,8 @@ object DeltaWrite {
         }
       val (phys, physParts) =
         toPhysical(rewritten, snap.schema, snap.partitionColumns,
-          snap.columnMappingMode, passthrough = matCols)
+          snap.columnMappingMode, passthrough = matCols,
+          fieldIds = icebergCompatOn(snap))
       val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts,
         statsExclude = matCols.toSet)
       commit(spark, new Path(tablePath), snap.version + 1, "MERGE",
@@ -1079,7 +1114,8 @@ object DeltaWrite {
       }
     val (phys, physParts) =
       toPhysical(rewritten, snap.schema, snap.partitionColumns,
-        snap.columnMappingMode, passthrough = matCols)
+        snap.columnMappingMode, passthrough = matCols,
+        fieldIds = icebergCompatOn(snap))
     val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts,
       statsExclude = matCols.toSet)
     commit(spark, new Path(tablePath), snap.version + 1, "DELETE+WRITE",
@@ -1256,7 +1292,8 @@ object DeltaWrite {
             .withColumn("_change_type", lit("delete")))
       val (phys, physParts) =
         toPhysical(kept, snap.schema, snap.partitionColumns,
-          snap.columnMappingMode, passthrough = matCols)
+          snap.columnMappingMode, passthrough = matCols,
+          fieldIds = icebergCompatOn(snap))
       val adds = writeDataFiles(spark, table, phys, physParts,
         statsExclude = matCols.toSet)
       commit(spark, table, snap.version + 1, "DELETE",
@@ -1634,7 +1671,8 @@ object DeltaWrite {
       }
     val (phys, physParts) =
       toPhysical(rewritten, snap.schema, snap.partitionColumns,
-        snap.columnMappingMode, passthrough = matCols)
+        snap.columnMappingMode, passthrough = matCols,
+        fieldIds = icebergCompatOn(snap))
     val adds = writeDataFiles(spark, table, phys, physParts,
       statsExclude = matCols.toSet)
     commit(spark, table, snap.version + 1, "OPTIMIZE",
@@ -1841,6 +1879,15 @@ object DeltaWrite {
     // deletionVectors is reader-writer: the spec requires it in BOTH lists
     val wantDv = on(newCfg, "delta.enableDeletionVectors")
     if (wantDv) need += "deletionVectors"
+    if (on(newCfg, "delta.enableIcebergCompatV2")) {
+      require(snap.columnMappingMode == "name",
+        "delta.enableIcebergCompatV2 requires column mapping mode 'name'")
+      require(!wantDv,
+        "delta.enableIcebergCompatV2 cannot combine with deletion vectors")
+      // only FUTURE files carry field ids; the name mapping in the Iceberg
+      // export keeps older files resolvable, so a mid-life flip is safe
+      need += "icebergCompatV2"
+    }
     featSupports.foreach(need += _)
     val cur = snap.protocol.getOrElse(DeltaLog.Protocol(1, 2))
     val curFeats = impliedWriterFeatures(cur)
@@ -1864,6 +1911,7 @@ object DeltaWrite {
           missing.contains("typeWidening") ||
           missing.contains("deletionVectors") ||
           missing.contains("v2Checkpoint") ||
+          missing.contains("icebergCompatV2") ||
           (missing intersect featSupports).nonEmpty) {
         val (rv, rf) = readerUp.getOrElse((cur.minReaderVersion, cur.readerFeatures))
         Some(DeltaLog.Protocol(rv, 7, rf, curFeats ++ missing))

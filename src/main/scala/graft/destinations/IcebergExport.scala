@@ -58,14 +58,20 @@ object IcebergExport {
 
   // ------------------------------------------------------------ field ids
 
-  /** Depth-first field-id assignment over the LOGICAL schema (Iceberg's
-    * own assignment order). Ids are export-internal — they only need to be
-    * consistent between the schema, the partition spec and the name
-    * mapping, which all regenerate together on every export.
+  /** Field-id assignment over the LOGICAL schema. Mapped tables REUSE the
+    * Delta column-mapping ids — under icebergCompatV2 those very ids are
+    * stamped into the parquet as field ids, so the exported schema, the
+    * name mapping and the files all agree on one id space (ids stay
+    * stable across renames too). Unmapped tables assign depth-first
+    * (Iceberg's own order); either way fresh ids (list/map elements)
+    * start past the highest assigned id.
     */
-  private final class IdGen {
-    private var next = 0
-    def id(f: StructField): Int = fresh()
+  private final class IdGen(startAfter: Int) {
+    private var next = startAfter
+    def id(f: StructField): Int =
+      if (f.metadata.contains("delta.columnMapping.id"))
+        f.metadata.getLong("delta.columnMapping.id").toInt
+      else fresh()
     def fresh(): Int = { next += 1; next }
     def max: Int = next
   }
@@ -200,7 +206,9 @@ object IcebergExport {
     fs.mkdirs(metaDir)
 
     // ---- schema + ids (logical names; physical names only in the mapping)
-    val ids = new IdGen
+    val ids = new IdGen(
+      snap.configuration.get("delta.columnMapping.maxColumnId")
+        .map(_.toInt).getOrElse(0))
     val schemaNode = icebergType(snap.schema, ids)
       .asInstanceOf[ObjectNode]
     schemaNode.put("schema-id", 0)

@@ -119,6 +119,51 @@ class IcebergExportSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet == (11L to 50L).toSet)
   }
 
+  test("icebergCompatV2: parquet files carry the mapping ids as field ids; export reuses them") {
+    val t = tmpDir("ice-compat").resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, t, schema, columnMapping = true,
+      properties = Map("delta.enableIcebergCompatV2" -> "true"))
+    val p = DeltaLog.snapshot(spark, t).protocol.get
+    assert(p.writerFeatures.contains("icebergCompatV2"), p.writerFeatures)
+    DeltaWrite.append(spark, t, rows(1, 20, "a").repartition(1))
+    // the physical parquet schema must carry the column-mapping ids
+    val snap = DeltaLog.snapshot(spark, t)
+    val file = new org.apache.hadoop.fs.Path(t, snap.files.head.path)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        file, spark.sessionState.newHadoopConf()))
+    val parquetFields =
+      try reader.getFileMetaData.getSchema.getFields.asScala.map(f =>
+        f.getName -> Option(f.getId).map(_.intValue())).toMap
+      finally reader.close()
+    val expectIds = snap.schema.fields.map(f =>
+      snap.physicalName(f.name) ->
+        Some(f.metadata.getLong("delta.columnMapping.id").toInt)).toMap
+    assert(parquetFields == expectIds, s"$parquetFields vs $expectIds")
+    // the exported Iceberg schema uses the SAME ids
+    IcebergExport.export(spark, t)
+    val j = mapper.readTree(java.nio.file.Files.readString(
+      metaDir(t).resolve("v1.metadata.json")))
+    val iceIds = j.get("schemas").get(0).get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    val mappingIds = snap.schema.fields.map(f =>
+      f.name -> f.metadata.getLong("delta.columnMapping.id").toInt).toMap
+    assert(iceIds == mappingIds)
+    assert(IcebergExport.readThroughIceberg(spark, t).count() == 20L)
+    // DV + icebergCompatV2 refuse to combine, in both directions
+    intercept[IllegalArgumentException] {
+      DeltaWrite.setProperties(spark, t,
+        Map("delta.enableDeletionVectors" -> "true"))
+    }
+    val t2 = tmpDir("ice-compat-dv").resolve("t").toString
+    intercept[IllegalArgumentException] {
+      DeltaWrite.createIfAbsent(spark, t2, schema, columnMapping = true,
+        properties = Map(
+          "delta.enableIcebergCompatV2" -> "true",
+          "delta.enableDeletionVectors" -> "true"))
+    }
+  }
+
   test("column-mapped table: Iceberg schema speaks logical names, name mapping physical") {
     val t = tmpDir("ice-mapped").resolve("t").toString
     DeltaWrite.createIfAbsent(spark, t, schema, columnMapping = true)
