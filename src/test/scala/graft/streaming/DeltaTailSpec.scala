@@ -133,6 +133,36 @@ class DeltaTailSpec extends SparkSpec {
     assert(ids(dst2).sorted == (21L to 30L))
   }
 
+  test("tail drains interleaved with racing writers: no loss, no duplication") {
+    val src = mkTable("tail-race")
+    val dst = mkTable("tail-race-dst")
+    val cp = tmpDir("tail-race-cp").toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      // two writers whose lost commit races REBASE (the r14 concurrency
+      // layer) while availableNow drains run concurrently — every drain
+      // sees a prefix-consistent log and the union must be exact
+      val writers: Seq[java.util.concurrent.Future[Unit]] = (0 until 2).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = (0 until 4).foreach { i =>
+            val base = (w * 1000 + i * 100).toLong
+            DeltaWrite.append(spark, src, rows(base + 1, base + 20))
+          }
+        })
+      }
+      while (!writers.forall(_.isDone)) {
+        drain(src, dst, cp)
+        Thread.sleep(50)
+      }
+      writers.foreach(_.get())
+    } finally pool.shutdown()
+    drain(src, dst, cp) // final catch-up after the last commit
+    val expected = (for (w <- 0 until 2; i <- 0 until 4; d <- 1 to 20)
+      yield (w * 1000 + i * 100 + d).toLong).sorted
+    assert(ids(dst).sorted == expected)
+    assert(ids(src).sorted == expected)
+  }
+
   test("readChangeFeed streams the CDF commit-by-commit, matching the batch CDF read") {
     import org.apache.spark.sql.Row
     val src = mkTable("tail-cdf", props = Map("delta.enableChangeDataFeed" -> "true"))
