@@ -1693,6 +1693,46 @@ object DeltaWrite {
            .mkString(" AND "))))
   }
 
+  /** `REORG TABLE … APPLY (PURGE)` (delta-spark): rewrite every file that
+    * carries a deletion vector — whatever its size — into clean files with
+    * the masked rows physically dropped. Rows are unchanged, so the commit
+    * is `dataChange = false` (a REORG is invisible to CDF and streaming
+    * tails, like any OPTIMIZE); row-tracking ids ride the materialized
+    * columns through the rewrite. The use cases are the spec's: shrink a
+    * heavily-deleted table, unblock DV-less interop (Iceberg export), and
+    * stop paying the merge-on-read filter at scan time. Candidate
+    * selection stays on executors (only DV-carrying files are collected);
+    * a no-op when the table has no DVs. Returns the committed version
+    * (or the current one when there was nothing to purge).
+    */
+  def reorgPurge(spark: SparkSession, tablePath: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val ls = DeltaLog.lazySnapshot(spark, tablePath)
+    val snap = ls.meta
+    requireWritable(tablePath, snap, "reorgPurge", removesData = false)
+    val table = new Path(tablePath)
+    val dvFiles = ls.filesWhere(_.deletionVector.isDefined)
+    if (dvFiles.isEmpty) return snap.version
+    val (baseSrc, matCols) = readForRewrite(spark, tablePath, snap, dvFiles)
+    val base = baseSrc
+      .select((snap.schema.fieldNames.toIndexedSeq ++ matCols).map(col): _*)
+    val (phys, physParts) =
+      toPhysical(base, snap.schema, snap.partitionColumns,
+        snap.columnMappingMode, passthrough = matCols,
+        fieldIds = icebergCompatOn(snap))
+    val adds = writeDataFiles(spark, table, phys, physParts,
+      statsExclude = matCols.toSet)
+    val v = commit(spark, table, snap.version + 1, "REORG",
+      withMeta = None, adds = adds, removes = dvFiles.map(_.path),
+      dataChange = false, ictEnabled = ictOn(snap),
+      rowIdBase = rowIdBaseOf(snap),
+      readScope = Some(Concurrency.ReadScope.Files(dvFiles.map(_.path).toSet)),
+      crc = CrcPlan.Incremental(dvFiles.map(_.size)),
+      opParams = Seq("applyPurge" -> "true"))
+    maybeCheckpoint(spark, tablePath, v)
+    v
+  }
+
   /** `ALTER TABLE … CLUSTER BY NONE`: stop maintaining the clustering
     * spec — the `delta.clustering` domain re-commits with an empty column
     * list (matching delta-spark; the `clusteredTable` feature stays on the

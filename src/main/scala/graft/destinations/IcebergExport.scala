@@ -198,7 +198,7 @@ object IcebergExport {
     val snap = DeltaLog.snapshot(spark, tablePath)
     require(!snap.files.exists(_.deletionVector.isDefined),
       s"$tablePath carries live deletion vectors; Iceberg export needs a " +
-        "copy-on-write state (run a compacting rewrite first)")
+        "copy-on-write state (run DeltaWrite.reorgPurge first)")
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val qualifiedTable = fs.makeQualified(table)

@@ -244,6 +244,26 @@ class DeltaDvWriteSpec extends SparkSpec {
     assert(back(10L) == "TEN" && back(99L) == "NEW")
   }
 
+  test("REORG APPLY PURGE rewrites every DV-carrying file; dataChange=false; rows exact") {
+    val table = mkTable("dv-reorg", (1L to 100L).map(i => (i, s"v$i")), parts = 2)
+    DeltaWrite.delete(spark, table.toString, "id % 3 = 0")
+    val before = DeltaLog.snapshot(spark, table.toString)
+    assert(before.files.exists(_.deletionVector.isDefined))
+    val v = DeltaWrite.reorgPurge(spark, table.toString)
+    val lines = logLines(table, v)
+    // all actions layout-only: REORG must stay invisible to CDF/streams
+    assert(action(lines, "add").forall(a => !a.get("dataChange").asBoolean(true)))
+    assert(action(lines, "remove").forall(r => !r.get("dataChange").asBoolean(true)))
+    assert(action(lines, "commitInfo").head.get("operation").asText == "REORG")
+    val after = DeltaLog.snapshot(spark, table.toString)
+    assert(after.files.forall(_.deletionVector.isEmpty), "no DV survives a purge")
+    val back = DeltaLog.read(spark, table.toString).collect().map(_.getLong(0)).toSet
+    assert(back == (1L to 100L).filterNot(_ % 3 == 0).toSet)
+    assert(DeltaLog.verifyChecksum(spark, table.toString, None))
+    // idempotent: nothing left to purge
+    assert(DeltaWrite.reorgPurge(spark, table.toString) == v)
+  }
+
   test("DV read plan: row filter is the native codegen'd predicate, no UDF node") {
     val table = mkTable("dv-plan", (1L to 100L).map(i => (i, s"v$i")), parts = 1)
     DeltaWrite.delete(spark, table.toString, "id % 3 = 0")
