@@ -1152,7 +1152,8 @@ object DeltaWrite {
     val ls = DeltaLog.lazySnapshot(spark, tablePath)
     val snap = ls.meta
     requireWritable(tablePath, snap, "delete", removesData = true)
-    val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
+    val parsed = graft.sources.GeneratedPruning.augment(spark, snap,
+      spark.sessionState.sqlParser.parseExpression(predicate))
     // stats pruning on executors; only candidates reach the driver
     val candidates = ls.filesWhere(f => graft.sources.DeltaStats.mayMatch(snap, f, parsed))
     if (candidates.isEmpty) return snap.version

@@ -810,7 +810,11 @@ object DeltaLog {
       timestampAsOf: Option[java.time.Instant] = None): DataFrame = {
     val st = resolveState(spark, tablePath, versionAsOf, timestampAsOf)
     val meta = metaReplay(spark, tablePath, st)
-    val expr = spark.sessionState.sqlParser.parseExpression(predicate)
+    // derived partition conjuncts for monotone generated partition columns
+    // ([[GeneratedPruning]]): predicates on the source column prune whole
+    // partitions, the time-series-table payoff
+    val expr = GeneratedPruning.augment(spark, meta,
+      spark.sessionState.sqlParser.parseExpression(predicate))
     // the stats evaluation runs ON EXECUTORS over the distributed add
     // index; only files that may hold a matching row are ever collected,
     // so driver memory is bounded by the MATCHED-file count, not the

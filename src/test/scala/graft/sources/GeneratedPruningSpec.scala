@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import graft.destinations.DeltaWrite
+
+/** Generated-column partition pruning ([[GeneratedPruning]]): predicates
+  * on the SOURCE column of a monotone generated partition column derive
+  * partition conjuncts that prune whole partitions — and never change the
+  * result.
+  */
+class GeneratedPruningSpec extends SparkSpec {
+
+  private def genMeta(sql: String) =
+    new MetadataBuilder().putString("delta.generationExpression", sql).build()
+
+  private def mkDateTable(name: String): String = {
+    import spark.implicits._
+    val t = tmpDir(name).resolve("t").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ts", TimestampType),
+      StructField("p_date", DateType, nullable = true,
+        metadata = genMeta("CAST(ts AS DATE)"))))
+    DeltaWrite.createIfAbsent(spark, t, schema, partitionBy = Seq("p_date"))
+    val rows = (1 to 60).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${1 + (i - 1) / 20}%02d 0${i % 9}:00:00"))
+    }
+    DeltaWrite.append(spark, t, rows.toDF("id", "ts"))
+    t
+  }
+
+  private def prunedFiles(t: String, predicate: String): Seq[DeltaLog.AddFile] = {
+    val snap = DeltaLog.snapshot(spark, t)
+    val expr = GeneratedPruning.augment(spark, snap,
+      spark.sessionState.sqlParser.parseExpression(predicate))
+    snap.files.filter(f => DeltaStats.mayMatch(snap, f, expr))
+  }
+
+  test("ts range predicate prunes partitions through CAST(ts AS DATE)") {
+    val t = mkDateTable("gp-date")
+    val snap = DeltaLog.snapshot(spark, t)
+    val partitions = snap.files.flatMap(_.partitionValues.values).distinct
+    assert(partitions.toSet == Set("2024-01-01", "2024-01-02", "2024-01-03"))
+    // day 1 prunes via the derived lower bound; day 3 must stay — the
+    // strict upper bound widens to `p_date <= 2024-01-03` (sound: a
+    // 00:00:00 row lives in that partition even though `<` excludes it)
+    val kept = prunedFiles(t, "ts >= '2024-01-02 00:00:00' AND ts < '2024-01-03 00:00:00'")
+    assert(kept.nonEmpty)
+    assert(kept.flatMap(_.partitionValues.values).toSet ==
+      Set("2024-01-02", "2024-01-03"),
+      kept.flatMap(_.partitionValues.values).toSet)
+    // a mid-day upper bound keeps the same boundary partition but a
+    // mid-day LOWER bound on day 2 still prunes day 1 exactly
+    val kept2 = prunedFiles(t, "ts >= '2024-01-02 06:00:00'")
+    assert(kept2.flatMap(_.partitionValues.values).toSet ==
+      Set("2024-01-02", "2024-01-03"))
+    // results stay exact (the derived conjunct only removes impossible files)
+    val back = DeltaLog.readWhere(spark, t,
+      "ts >= '2024-01-02 00:00:00' AND ts < '2024-01-03 00:00:00'")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(back == (21L to 40L).toSet)
+  }
+
+  test("equality and In on the source column derive partition equality") {
+    val t = mkDateTable("gp-eq")
+    val kept = prunedFiles(t, "ts = '2024-01-03 01:00:00'")
+    assert(kept.flatMap(_.partitionValues.values).toSet == Set("2024-01-03"))
+    val keptIn = prunedFiles(t,
+      "ts IN ('2024-01-01 01:00:00', '2024-01-03 01:00:00')")
+    assert(keptIn.flatMap(_.partitionValues.values).toSet ==
+      Set("2024-01-01", "2024-01-03"))
+  }
+
+  test("Or branches never derive (soundness): no partition is wrongly pruned") {
+    val t = mkDateTable("gp-or")
+    // a disjunction mentioning ts must NOT prune by its branches
+    val kept = prunedFiles(t, "ts >= '2024-01-03 00:00:00' OR id = 1")
+    assert(kept.flatMap(_.partitionValues.values).toSet ==
+      Set("2024-01-01", "2024-01-02", "2024-01-03"))
+    val back = DeltaLog.readWhere(spark, t,
+      "ts >= '2024-01-03 00:00:00' OR id = 1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(back == ((41L to 60L).toSet + 1L))
+  }
+
+  test("non-monotone or multi-source generation expressions derive nothing") {
+    val snapLike = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("p_m", IntegerType, nullable = true,
+        metadata = genMeta("month(ts)")))) // month alone is NOT monotone
+    val t = tmpDir("gp-month").resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, t, snapLike, partitionBy = Seq("p_m"))
+    val snap = DeltaLog.snapshot(spark, t)
+    val e0 = spark.sessionState.sqlParser.parseExpression("ts >= '2024-06-01'")
+    assert(GeneratedPruning.augment(spark, snap, e0) eq e0)
+  }
+
+  test("year() and substring prefix generations derive bounds") {
+    import spark.implicits._
+    val t = tmpDir("gp-year").resolve("t").toString
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("p_y", IntegerType, nullable = true,
+        metadata = genMeta("year(ts)"))))
+    DeltaWrite.createIfAbsent(spark, t, schema, partitionBy = Seq("p_y"))
+    DeltaWrite.append(spark, t, Seq(
+      java.sql.Timestamp.valueOf("2022-06-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2023-06-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00")).toDF("ts"))
+    val snap = DeltaLog.snapshot(spark, t)
+    val expr = GeneratedPruning.augment(spark, snap,
+      spark.sessionState.sqlParser.parseExpression("ts > '2023-01-15'"))
+    val kept = snap.files.filter(f => DeltaStats.mayMatch(snap, f, expr))
+    // year is derived non-strictly: 2023 and 2024 stay, 2022 prunes
+    assert(kept.flatMap(_.partitionValues.values).toSet == Set("2023", "2024"))
+  }
+}
