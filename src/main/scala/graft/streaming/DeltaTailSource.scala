@@ -3,7 +3,7 @@ package graft.streaming
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, GraftShims, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => ConnectorOffset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => ConnectorOffset}
 import org.apache.spark.sql.execution.streaming.{Offset => LegacyOffset, Source}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
@@ -63,8 +63,10 @@ final class DeltaTailSource(
     spark: SparkSession,
     tablePath: String,
     maxFilesPerTrigger: Option[Int],
+    maxBytesPerTrigger: Option[Long],
     skipChangeCommits: Boolean,
     startingVersion: Option[String],
+    startingTimestamp: Option[String],
     readChangeFeed: Boolean) extends Source
   with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
@@ -84,13 +86,28 @@ final class DeltaTailSource(
   private lazy val snapshotFiles: IndexedSeq[DeltaLog.AddFile] =
     startSnap.files.sortBy(_.path).toIndexedSeq
 
-  private val startPos: Pos = startingVersion match {
+  private val startPos: Pos = (startingVersion, startingTimestamp) match {
+    case (Some(_), Some(_)) => throw new IllegalArgumentException(
+      "startingVersion and startingTimestamp cannot both be set")
+    // earliest version committed at-or-after the timestamp (delta-spark
+    // semantics); a timestamp before the table's first commit starts at 0
+    case (None, Some(ts)) =>
+      val instant = java.sql.Timestamp.valueOf(
+        ts.replace("T", " ").stripSuffix("Z")).toInstant
+      val v =
+        try {
+          val at = DeltaLog.lazySnapshot(spark, tablePath,
+            timestampAsOf = Some(instant)).meta.version
+          at + 1 // resolved = latest commit AT-OR-BEFORE ts; start after it
+        } catch { case _: IllegalArgumentException => 0L }
+      Pos(v, 0, initial = false)
     // CDF without startingVersion = new changes only (delta-spark default:
     // a change stream has no "initial snapshot" — rows are not changes)
-    case None if readChangeFeed => Pos(startSnap.version + 1, 0, initial = false)
-    case None => Pos(startSnap.version, 0, initial = true)
-    case Some("latest") => Pos(startSnap.version + 1, 0, initial = false)
-    case Some(v) => Pos(v.toLong, 0, initial = false)
+    case (None, None) if readChangeFeed =>
+      Pos(startSnap.version + 1, 0, initial = false)
+    case (None, None) => Pos(startSnap.version, 0, initial = true)
+    case (Some("latest"), _) => Pos(startSnap.version + 1, 0, initial = false)
+    case (Some(v), _) => Pos(v.toLong, 0, initial = false)
   }
 
   /** Position already delivered to the engine (end of the last planned
@@ -105,8 +122,15 @@ final class DeltaTailSource(
       StructField("_commit_version", LongType),
       StructField("_commit_timestamp", TimestampType)))
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(DeltaLog.lazySnapshot(spark, tablePath).meta.version)
@@ -133,7 +157,7 @@ final class DeltaTailSource(
     * with a budget, getBatch re-walks the same span with the end offset as
     * the wall, so both always derive identical file sets.
     */
-  private def advance(from: Pos, budget: Int, cap: Long): Pos = {
+  private def advance(from: Pos, budget: Int, byteBudget: Long, cap: Long): Pos = {
     // CDF mode is commit-granular: a commit's change rows are indivisible,
     // so the budget counts COMMITS per batch (maxFilesPerTrigger caps the
     // trigger's commit span) and the index half of the position stays 0
@@ -142,25 +166,31 @@ final class DeltaTailSource(
         0, initial = false)
     var pos = from
     var left = budget
+    var bytesLeft = byteBudget
+    var admitted = 0
     var moved = true
-    while (left > 0 && moved) {
+    // admit files one at a time so the byte budget can stop mid-version;
+    // like delta-spark, at least ONE file is always admitted per batch
+    // even when it alone exceeds maxBytesPerTrigger
+    def admit(files: IndexedSeq[DeltaLog.AddFile]): Unit = {
+      while (pos.index < files.size && left > 0 &&
+          (bytesLeft > 0 || admitted == 0)) {
+        bytesLeft -= files(pos.index).size
+        pos = pos.copy(index = pos.index + 1)
+        left -= 1
+        admitted += 1
+      }
+    }
+    while (left > 0 && (bytesLeft > 0 || admitted == 0) && moved) {
       moved = false
       if (pos.initial) {
-        val files = snapshotFiles
-        if (pos.index < files.size) {
-          val take = math.min(left, files.size - pos.index)
-          pos = pos.copy(index = pos.index + take)
-          left -= take
-        }
-        if (pos.index >= files.size) pos = Pos(pos.version + 1, 0, initial = false)
+        admit(snapshotFiles)
+        if (pos.index >= snapshotFiles.size)
+          pos = Pos(pos.version + 1, 0, initial = false)
         moved = true
       } else if (pos.version <= cap) {
         val adds = commitAdds(pos.version)
-        if (pos.index < adds.size) {
-          val take = math.min(left, adds.size - pos.index)
-          pos = pos.copy(index = pos.index + take)
-          left -= take
-        }
+        admit(adds)
         if (pos.index >= adds.size) pos = Pos(pos.version + 1, 0, initial = false)
         moved = true
       }
@@ -171,15 +201,21 @@ final class DeltaTailSource(
   override def latestOffset(start: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
     val from = Option(start).map(parsePos)
       .orElse(lastPlanned).getOrElse(startPos)
-    val budget = limit match {
-      case f: ReadMaxFiles => f.maxFiles()
-      case _ => Int.MaxValue
+    def flat(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq
+      case one => Seq(one)
     }
+    val budget = flat(limit).collectFirst {
+      case f: ReadMaxFiles => f.maxFiles()
+    }.getOrElse(Int.MaxValue)
+    val byteBudget = flat(limit).collectFirst {
+      case b: ReadMaxBytes => b.maxBytes()
+    }.getOrElse(Long.MaxValue)
     val cap = availableNowCap
       .getOrElse(DeltaLog.lazySnapshot(spark, tablePath).meta.version)
     // an unchanged position round-trips as an identical offset, which the
     // engine reads as "no new batch"
-    val end = advance(from, budget, cap)
+    val end = advance(from, budget, byteBudget, cap)
     lastPlanned = Some(end)
     DeltaTailOffset(end)
   }
@@ -187,7 +223,7 @@ final class DeltaTailSource(
   override def reportLatestOffset(): ConnectorOffset = {
     val cap = DeltaLog.lazySnapshot(spark, tablePath).meta.version
     val from = lastPlanned.getOrElse(startPos)
-    DeltaTailOffset(advance(from, Int.MaxValue, cap))
+    DeltaTailOffset(advance(from, Int.MaxValue, Long.MaxValue, cap))
   }
 
   override def getOffset: Option[LegacyOffset] =
@@ -338,7 +374,9 @@ final class DeltaTailSourceProvider extends StreamSourceProvider with DataSource
       sqlContext.sparkSession,
       path(parameters),
       parameters.get("maxFilesPerTrigger").map(_.toInt),
+      parameters.get("maxBytesPerTrigger").map(_.toLong),
       parameters.get("skipChangeCommits").exists(_.equalsIgnoreCase("true")),
       parameters.get("startingVersion").map(_.trim).filter(_.nonEmpty),
+      parameters.get("startingTimestamp").map(_.trim).filter(_.nonEmpty),
       parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true")))
 }

@@ -133,6 +133,37 @@ class DeltaTailSpec extends SparkSpec {
     assert(ids(dst2).sorted == (21L to 30L))
   }
 
+  test("maxBytesPerTrigger admission: tiny budget still admits one file per batch") {
+    val src = mkTable("tail-bytes")
+    DeltaWrite.append(spark, src, rows(1, 20).repartition(2))
+    DeltaWrite.append(spark, src, rows(21, 40).repartition(2))
+    val dst = mkTable("tail-bytes-dst")
+    // 1-byte budget: every file alone exceeds it, so each batch admits
+    // exactly one file (the at-least-one rule) — 4 files, 4 batches
+    val batches = drain(src, dst, tmpDir("tail-bytes-cp").toString,
+      options = Map("maxBytesPerTrigger" -> "1"))
+    assert(batches == 4, s"got $batches")
+    assert(ids(dst).sorted == (1L to 40L))
+  }
+
+  test("startingTimestamp resolves to the earliest commit after the timestamp") {
+    val src = mkTable("tail-ts")
+    DeltaWrite.append(spark, src, rows(1, 10))
+    Thread.sleep(1200) // commit timestamps have ~second granularity
+    val cut = new java.sql.Timestamp(System.currentTimeMillis()).toString
+    Thread.sleep(1200)
+    DeltaWrite.append(spark, src, rows(11, 20))
+    val dst = mkTable("tail-ts-dst")
+    drain(src, dst, tmpDir("tail-ts-cp").toString,
+      options = Map("startingTimestamp" -> cut))
+    assert(ids(dst).sorted == (11L to 20L), s"got ${ids(dst).sorted}")
+    // both range options together refuse
+    intercept[Exception] {
+      drain(src, mkTable("tail-ts-dst2"), tmpDir("tail-ts-cp2").toString,
+        options = Map("startingTimestamp" -> cut, "startingVersion" -> "1"))
+    }
+  }
+
   test("tail drains interleaved with racing writers: no loss, no duplication") {
     val src = mkTable("tail-race")
     val dst = mkTable("tail-race-dst")
