@@ -77,7 +77,8 @@ object Bench {
     "q143_stream_semi_join", "q144_delta_crc", "q145_delta_history")
   // queries added in round 14
   private[graft] val r14New = Set("q146_delta_tail", "q147_delta_append_only",
-    "q148_delta_variant", "q149_delta_iceberg", "q150_delta_cdf_stream")
+    "q148_delta_variant", "q149_delta_iceberg", "q150_delta_cdf_stream",
+    "q151_delta_genpart")
   private[graft] val laterRounds =
     Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New, r11New, r13New, r14New)
   private def newer(from: Int)(k: String): Boolean =

@@ -538,6 +538,40 @@ private[graft] object DeltaQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Generated-column partition pruning (r14): a table partitioned on
+    // p_year GENERATED AS year(o_orderdate) — writes compute the column,
+    // and a predicate on o_orderdate alone must prune whole partitions
+    // through the derived p_year bound (timestamps carry no file stats
+    // here, so the derivation is the ONLY pruning signal). The pinned
+    // files_scanned count proves the pruning (7 year-partitions, 1 file
+    // each by construction; >= 1995-07-01 keeps exactly 1995..1998 = 4);
+    // the rows hash against the raw-orders replay, so the derived
+    // conjunct can never change results.
+    "q151_delta_genpart" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      import graft.sources.{DeltaLog, DeltaStats, GeneratedPruning}
+      val tbl = tmp("graft-q151").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      val genMeta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("delta.generationExpression", "year(o_orderdate)").build()
+      val schema = org.apache.spark.sql.types.StructType(
+        orders.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "p_year", org.apache.spark.sql.types.IntegerType,
+          nullable = true, metadata = genMeta))
+      DeltaWrite.createIfAbsent(s, tbl, schema, partitionBy = Seq("p_year"))
+      DeltaWrite.append(s, tbl, orders.repartition(1)) // 1 file per partition
+      val predicate = "o_orderdate >= '1998-07-01 00:00:00'"
+      val snap = DeltaLog.snapshot(s, tbl)
+      val expr = GeneratedPruning.augment(s, snap,
+        s.sessionState.sqlParser.parseExpression(predicate))
+      val nScanned = snap.files.count(f => DeltaStats.mayMatch(snap, f, expr))
+      DeltaLog.readWhere(s, tbl, predicate)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          lit(nScanned).as("files_scanned"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Streaming CHANGE-DATA-FEED consumption (r14): the q111 lifecycle's
     // change stream delivered through the continuous source in CDF mode
     // (format("graft-delta"), readChangeFeed=true) — one COMMIT per
@@ -891,6 +925,13 @@ private[graft] object DeltaQueries {
                      ELSE o_totalprice END AS o_totalprice,
                 CAST(6 AS INT) AS crc_versions_audited
          FROM orders WHERE o_orderkey % 10 <> 0
+         ORDER BY o_orderkey""",
+
+    // the partition layer must be result-invisible; 4 = the 1998..2001
+    // single-file partitions the derived p_year bound keeps
+    "q151_delta_genpart" ->
+      """SELECT o_orderkey, o_totalprice, CAST(4 AS INT) AS files_scanned
+         FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00'
          ORDER BY o_orderkey""",
 
     // the Iceberg metadata layer must be state-invisible: the final Delta
