@@ -72,13 +72,14 @@ class DeltaModelSpec extends SparkSpec {
           val v = DeltaWrite.delete(spark, table, s"id % $m = $r")
           state = state.filterNot { case (k, _) => k % m == r }
           if (v != before) versions += v -> state
-        case 6 => // compact, sometimes clustered
-          val v =
-            if (rnd.nextBoolean())
-              DeltaWrite.compact(spark, table, targetFileBytes = 1L << 30)
-            else DeltaWrite.compact(spark, table, targetFileBytes = 1L << 30,
+        case 6 => // layout maintenance: compact (sometimes clustered) or purge
+          val v = rnd.nextInt(3) match {
+            case 0 => DeltaWrite.compact(spark, table, targetFileBytes = 1L << 30)
+            case 1 => DeltaWrite.compact(spark, table, targetFileBytes = 1L << 30,
               clusterBy = Seq("id", "v"),
               curve = if (rnd.nextBoolean()) "hilbert" else "zorder")
+            case 2 => DeltaWrite.reorgPurge(spark, table) // no-op without DVs
+          }
           versions += v -> state
         case 7 => // restore to a random still-materialized data version
           if (versions.nonEmpty) {
@@ -135,6 +136,18 @@ class DeltaModelSpec extends SparkSpec {
           s"seed=$seed dv=$dvTable step=$step travel to $old diverged")
       }
     }
+
+    // end of run: purge any DVs, export Iceberg metadata, and read the
+    // table back THROUGH THE ICEBERG PATH only — the cross-format read
+    // must agree with the model whatever composition the run produced
+    DeltaWrite.reorgPurge(spark, table)
+    IcebergExport.export(spark, table)
+    val viaIceberg = IcebergExport.readThroughIceberg(spark, table)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaIceberg == state,
+      s"seed=$seed dv=$dvTable: Iceberg read diverged from the model: " +
+        s"missing=${(state.keySet -- viaIceberg.keySet).take(5)} " +
+        s"extra=${(viaIceberg.keySet -- state.keySet).take(5)}")
   }
 
   test("random op compositions: plain table matches the model at every step") {

@@ -160,8 +160,11 @@ class DeltaWriteSpec extends SparkSpec {
     val c2 = DeltaLog.readCdf(spark, t.toString, 1L).collect()
       .map(r => (r.getLong(0), r.getAs[String]("_change_type"))).toSet
     assert(c2 == Set((2L, "delete"), (5L, "delete")), c2)
-    // the upgraded v7 protocol keeps the CDF obligation visible
-    val proto = action(logLines(t, 2L), "protocol").head
+    // the v7 protocol (complete at CREATE since the r13 feature-symmetry
+    // fix) keeps the CDF obligation visible; the delete itself needs no
+    // upgrade action
+    assert(action(logLines(t, 2L), "protocol").isEmpty)
+    val proto = action(logLines(t, 0L), "protocol").head
     val wf = (0 until proto.get("writerFeatures").size)
       .map(proto.get("writerFeatures").get(_).asText).toSet
     assert(wf.contains("changeDataFeed") && wf.contains("deletionVectors"), wf.toString)

@@ -293,13 +293,14 @@ class DeltaLogSpec extends SparkSpec {
       DeltaWrite.append(spark, idt.toString, row))
     assert(e2b.getMessage.contains("identity"), e2b.getMessage)
 
-    // v7 writer feature we don't implement (iceberg compat) refuses by name
-    val rt = freshTable("dw-icebergcompat", Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV2"]}}""",
+    // a v7 writer feature we don't implement refuses by name
+    // (icebergCompatV2 graduated to supported in r14, so use a future one)
+    val rt = freshTable("dw-unknownfeat", Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV9"]}}""",
       metaLine))
     val e3 = intercept[IllegalArgumentException](
       DeltaWrite.append(spark, rt.toString, row))
-    assert(e3.getMessage.contains("icebergCompatV2"), e3.getMessage)
+    assert(e3.getMessage.contains("icebergCompatV9"), e3.getMessage)
   }
 
   test("checkpoint preserves a foreign table's protocol and txn state") {
