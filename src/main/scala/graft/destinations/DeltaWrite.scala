@@ -2726,7 +2726,25 @@ object DeltaWrite {
     val dataSchema = StructType(df.schema.fields.filterNot(fd =>
       partitionColumns.contains(fd.name) || statsExclude(fd.name)))
     val statsMap = computeStats(spark, table, raw, dataSchema)
-    raw.map(a => a.copy(stats = statsMap.get(a.relPath)))
+    val (statless, good) =
+      raw.map(a => a.copy(stats = statsMap.get(a.relPath))).partition(_.stats.isEmpty)
+    // a file the stats scan never saw is either EMPTY (Spark can emit a
+    // schema-only part file when a tiny batch repartitions wider than its
+    // row count) or evidence of a path-mapping bug. Empty files are log
+    // noise — every future scan would plan them and no stat would ever
+    // prune them — so verify via one footer read and drop them outright;
+    // a non-empty miss fails loudly rather than committing a blind add.
+    statless.foreach { a =>
+      val p = new Path(base, a.relPath.stripPrefix(if (subdir.isEmpty) "" else s"$subdir/"))
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          f.makeQualified(p), spark.sessionState.newHadoopConf()))
+      val n = try r.getRecordCount finally r.close()
+      if (n != 0L) throw new IllegalStateException(
+        s"stats scan missed non-empty new file ${a.relPath} ($n rows)")
+      f.delete(p, false)
+    }
+    good
   }
 
   private[destinations] final case class AddDescriptor(
@@ -2784,7 +2802,12 @@ object DeltaWrite {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     rows.flatMap { r =>
-      val abs = new Path(r.getString(0)).toString
+      // `_metadata.file_path` is the URI-ENCODED form (hive-escaped dirs
+      // surface as %xx); decode before matching the raw FS paths, or
+      // every special-char partition file silently loses its stats
+      val abs =
+        try new Path(new java.net.URI(r.getString(0))).toString
+        catch { case _: Exception => new Path(r.getString(0)).toString }
       absToRel.get(abs).orElse(
         absToRel.find { case (k, _) => new Path(k).toString == abs }.map(_._2)
       ).map { rel =>

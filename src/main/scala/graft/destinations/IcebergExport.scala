@@ -271,9 +271,16 @@ object IcebergExport {
       snap.files.sortBy(_.path).foreach { a =>
         val rc = a.stats.flatMap(s =>
           Option(mapper.readTree(s).get("numRecords")).map(_.asLong()))
-          .getOrElse(throw new IllegalStateException(
-            s"live file ${a.path} carries no numRecords stat; Iceberg " +
-              "manifests require record counts — run a stats backfill first"))
+          .getOrElse {
+            // stats-less add (foreign writers often omit stats): one
+            // driver-side footer read — bounded by the stats-less count,
+            // and exact (the footer's record count is authoritative)
+            val f = new Path(qualifiedTable, DeltaLog.decodePath(a.path))
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                f, spark.sessionState.newHadoopConf()))
+            try r.getRecordCount finally r.close()
+          }
         rows += rc
         val part = new GenericData.Record(partSchema)
         partAvro.foreach { case (c, _, _, conv) =>

@@ -150,6 +150,21 @@ class DeltaModelSpec extends SparkSpec {
         s"extra=${(viaIceberg.keySet -- state.keySet).take(5)}")
   }
 
+  // Opt-in extended hunt (the r13/r14 pre-wrap ritual): more seeds, both
+  // configs — GRAFT_MODEL_HUNT=seed1,seed2 sbt "testOnly …DeltaModelSpec"
+  // (tests fork, so the env var reaches the test JVM); absent, the suite
+  // keeps its fast fixed seeds.
+  sys.env.get("GRAFT_MODEL_HUNT").foreach { seeds =>
+    seeds.split(',').map(_.trim.toLong).foreach { s =>
+      test(s"hunt seed $s: plain table matches the model") {
+        runModel(seed = s, dvTable = false)
+      }
+      test(s"hunt seed $s: DV+CDF table matches the model") {
+        runModel(seed = s, dvTable = true)
+      }
+    }
+  }
+
   test("random op compositions: plain table matches the model at every step") {
     runModel(seed = 1013L, dvTable = false)
   }
