@@ -336,11 +336,59 @@ object DeltaTailSource {
   }
 }
 
+/** Streaming SINK half of `format("graft-delta")`: every micro-batch
+  * becomes one Delta append commit. With a `txnAppId` option each commit
+  * carries a SetTransaction keyed on the batch id, so a batch that landed
+  * in Delta but crashed before the engine's offset commit is SKIPPED on
+  * replay — exactly-once end-to-end (the delta-spark sink discipline;
+  * without the option delivery is at-least-once on crash replay).
+  * Appends are BLIND commits, so concurrent writers rebase underneath
+  * ([[graft.destinations.Concurrency]]) — many streams can feed one table.
+  * Only Append output mode is supported: Delta's log has no in-place
+  * update shape for Complete/Update modes (run aggregations with
+  * foreachBatch + upsert instead).
+  */
+final class DeltaTailSink(
+    tablePath: String,
+    txnAppId: Option[String]) extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = data.sparkSession
+    // the incoming frame is the engine's streaming relation — re-plan it
+    // as a batch frame before handing it to the batch writer
+    val batch = GraftShims.asBatchDataFrame(spark, data)
+    txnAppId match {
+      case Some(app) =>
+        val applied = DeltaLog.lazySnapshot(spark, tablePath)
+          .meta.txns.getOrElse(app, -1L)
+        if (batchId > applied)
+          graft.destinations.DeltaWrite.append(spark, tablePath, batch,
+            txn = Some((app, batchId))): Unit
+      case None =>
+        graft.destinations.DeltaWrite.append(spark, tablePath, batch): Unit
+    }
+  }
+  override def toString: String = s"DeltaTailSink[$tablePath]"
+}
+
 /** `format("graft-delta")` registration. The table path arrives as the
   * `path` option (`.load(tablePath)`); `maxFilesPerTrigger`,
   * `skipChangeCommits` and `startingVersion` ride alongside.
   */
-final class DeltaTailSourceProvider extends StreamSourceProvider with DataSourceRegister {
+final class DeltaTailSourceProvider extends StreamSourceProvider with DataSourceRegister
+  with org.apache.spark.sql.sources.StreamSinkProvider {
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-delta sink supports Append output mode only, got $outputMode")
+    require(partitionColumns.isEmpty,
+      "graft-delta sink writes to an EXISTING Delta table, whose partitioning " +
+        "is fixed at create — partitionBy on the stream is not supported")
+    new DeltaTailSink(path(parameters), parameters.get("txnAppId"))
+  }
 
   override def shortName(): String = "graft-delta"
 

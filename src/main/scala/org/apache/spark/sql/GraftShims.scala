@@ -32,4 +32,13 @@ object GraftShims {
   def asStreamingDataFrame(spark: SparkSession, df: DataFrame): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
+
+  /** The inverse, for v1 `Sink.addBatch`: the engine hands a
+    * streaming-flagged frame whose plan IS the executable micro-batch;
+    * re-wrap it as a batch frame so batch writers accept it (the
+    * ForeachBatchSink pattern).
+    */
+  def asBatchDataFrame(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = false)
 }

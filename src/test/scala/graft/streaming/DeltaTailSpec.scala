@@ -233,6 +233,46 @@ class DeltaTailSpec extends SparkSpec {
     assert(got.groupBy(_._4).keySet == Set(1L, 2L, 3L))
   }
 
+  test("sink: writeStream.format(graft-delta) lands micro-batches as Delta commits") {
+    val src = mkTable("sink-src")
+    DeltaWrite.append(spark, src, rows(1, 20).repartition(2))
+    DeltaWrite.append(spark, src, rows(21, 40).repartition(2))
+    val dst = mkTable("sink-dst")
+    val cp = tmpDir("sink-cp").toString
+    // end-to-end: delta source → delta sink, pure format API, exactly-once
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("maxFilesPerTrigger", "1").load(src)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", cp)
+        .option("txnAppId", s"sink-test-$cp")
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    run()
+    assert(ids(dst).sorted == (1L to 40L))
+    // 4 source files at 1/trigger = 4 sink commits on top of create
+    assert(graft.sources.DeltaLog.snapshot(spark, dst).version == 4L)
+    // restart with nothing new: no duplicate commits, no duplicate rows
+    run()
+    assert(ids(dst).sorted == (1L to 40L))
+    assert(graft.sources.DeltaLog.snapshot(spark, dst).version == 4L)
+    // non-append output modes refuse
+    val agg = spark.readStream.format("graft-delta").load(src)
+      .groupBy("v").count()
+    val e = intercept[Exception] {
+      val q = agg.writeStream.format("graft-delta")
+        .outputMode("complete")
+        .option("checkpointLocation", tmpDir("sink-cp2").toString)
+        .trigger(Trigger.AvailableNow())
+        .start(mkTable("sink-dst2"))
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("Append") || e.getMessage.toLowerCase.contains("complete"),
+      e.getMessage)
+  }
+
   test("offsets are the documented delta-source shape and replay deterministically") {
     val o = DeltaTailSource.DeltaTailOffset(DeltaTailSource.Pos(7L, 3, initial = true))
     assert(o.json() ==
