@@ -44,7 +44,8 @@ object Soak {
     "q142_stream_availablenow", "q144_delta_crc",
     // round 14: continuous Delta tail, appendOnly lifecycle, variant
     // round-trip — the new protocol surfaces under 10× stats
-    "q146_delta_tail", "q147_delta_append_only", "q148_delta_variant")
+    "q146_delta_tail", "q147_delta_append_only", "q148_delta_variant",
+    "q149_delta_iceberg", "q150_delta_cdf_stream", "q151_delta_genpart")
 
   private def replicate(df: DataFrame, copies: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until copies).map(k => shift(df, k)).reduce(_ unionByName _)
