@@ -104,6 +104,7 @@ object Concurrency {
       var hasProtocol = false
       var hasMetadata = false
       var op = ""
+      var blindInfo: Option[Boolean] = None
       val adds = Set.newBuilder[String]
       val removes = Set.newBuilder[String]
       val dcRemoves = Set.newBuilder[String]
@@ -114,8 +115,11 @@ object Concurrency {
         val n = mapper.readTree(line)
         if (n.has("protocol")) hasProtocol = true
         if (n.has("metaData")) hasMetadata = true
-        Option(n.get("commitInfo")).flatMap(ci => Option(ci.get("operation")))
-          .foreach(o => op = o.asText)
+        Option(n.get("commitInfo")).foreach { ci =>
+          Option(ci.get("operation")).foreach(o => op = o.asText)
+          Option(ci.get("isBlindAppend")).filterNot(_.isNull)
+            .foreach(b => blindInfo = Some(b.asBoolean()))
+        }
         Option(n.get("add")).foreach { a =>
           // dataChange=false adds are rearranged bytes, not new rows — they
           // never conflict as "appends" (their removes still conflict)
@@ -133,9 +137,20 @@ object Concurrency {
         Option(n.get("domainMetadata")).foreach(d => domains += d.get("domain").asText)
       }
       val addSet = adds.result()
+      // "adds without removes" is NOT sufficient for blindness: an
+      // insert-only MERGE reads the table and emits only adds, and a
+      // whole-table reader racing it must NOT rebase over those
+      // post-images (duplicate-key anomaly). The writer stamps
+      // commitInfo.isBlindAppend at commit time (delta-spark convention);
+      // when a foreign commit lacks the flag, fall back to the operation
+      // name — only known append shapes count as blind, read-based
+      // operations' adds are rewrites even with an empty remove set.
+      val appendOps = Set("WRITE", "STREAMING UPDATE", "Append",
+        "CREATE TABLE", "CONVERT", "CLONE")
+      val blind = !hasRemoves && blindInfo.getOrElse(appendOps.contains(op))
       WinnerSummary(v, op, hasProtocol, hasMetadata,
-        blindAdds = if (hasRemoves) Set.empty else addSet,
-        rewriteAdds = if (hasRemoves) addSet else Set.empty,
+        blindAdds = if (blind) addSet else Set.empty,
+        rewriteAdds = if (blind) Set.empty else addSet,
         removes = removes.result(), dataChangeRemoves = dcRemoves.result(),
         txnAppIds = txns.result(), domains = domains.result())
     }

@@ -2936,6 +2936,12 @@ object DeltaWrite {
     // row-id high-water mark from the winners so fresh ids never collide.
     // Without a readScope (create/convert/clone, version-embedding paths)
     // a lost race stays a loud ConcurrentCommitException.
+    // stamped into commitInfo so a racing writer can tell a true blind
+    // append from an insert-only read-based commit (MERGE with no matches
+    // emits only adds but its adds are post-images) — delta-spark's
+    // isBlindAppend convention, consumed by [[Concurrency.summarize]]
+    val blindAppend =
+      readScope.contains(Concurrency.ReadScope.Blind) && removes.isEmpty
     var attemptVersion = version
     var attemptRowIdBase = rowIdBase
     var rebases = 0
@@ -2944,7 +2950,7 @@ object DeltaWrite {
         return commitAttempt(spark, table, attemptVersion, operation, withMeta,
           adds, removes, dataChange, protocolUpgrade, metaConfig, cdcs,
           ictEnabled, attemptRowIdBase, extraDomains, tableId, crc, txn,
-          opParams, opMetrics)
+          opParams, opMetrics, blindAppend)
       } catch {
         case e: Concurrency.ConcurrentCommitException =>
           if (rebases >= 10) throw e
@@ -2968,7 +2974,7 @@ object DeltaWrite {
     }
     commitAttempt(spark, table, version, operation, withMeta, adds, removes,
       dataChange, protocolUpgrade, metaConfig, cdcs, ictEnabled, rowIdBase,
-      extraDomains, tableId, crc, txn, opParams, opMetrics)
+      extraDomains, tableId, crc, txn, opParams, opMetrics, blindAppend)
   }
 
   private def commitAttempt(
@@ -2990,7 +2996,8 @@ object DeltaWrite {
       crc: CrcPlan,
       txn: Option[(String, Long)],
       opParams: Seq[(String, String)],
-      opMetrics: Seq[(String, String)]): Long = {
+      opMetrics: Seq[(String, String)],
+      blindAppend: Boolean = false): Long = {
     val now = System.currentTimeMillis()
     val nonce = java.util.UUID.randomUUID().toString
     val lines = Seq.newBuilder[String]
@@ -3073,6 +3080,7 @@ object DeltaWrite {
       metrics.put("numOutputRows", outRows.flatten.sum.toString)
     opMetrics.foreach { case (k, v) => metrics.put(k, v) }
     info.put("engineInfo", "graft")
+    info.put("isBlindAppend", blindAppend)
     info.put("txnId", nonce)
     lines += mapper.writeValueAsString(ci)
 

@@ -285,6 +285,53 @@ object DeltaLog {
       commits.filter { case (v, _) => v >= replayFrom && v <= targetVersion }
   }
 
+  /** A commit's authoritative timestamp: `commitInfo.inCommitTimestamp`
+    * when the table carries the ICT feature (file mtimes lie after
+    * copies/restores), otherwise the file's modification time — the
+    * protocol's documented default. Reads only the commit's FIRST line.
+    */
+  private[graft] def commitTimestampOf(
+      fs: org.apache.hadoop.fs.FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Long = {
+    val in = fs.open(st.getPath)
+    val firstLine =
+      try {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+        br.readLine()
+      } finally in.close()
+    val ict =
+      try Option(firstLine).map(mapper.readTree)
+        .flatMap(n => Option(n.get("commitInfo")).filterNot(_.isNull))
+        .flatMap(ci => Option(ci.get("inCommitTimestamp")).filterNot(_.isNull))
+        .map(_.asLong())
+      catch { case scala.util.control.NonFatal(_) => None }
+    ict.getOrElse(st.getModificationTime)
+  }
+
+  /** Streaming-start resolution (delta-spark's `startingTimestamp`
+    * contract): the EARLIEST version whose commit timestamp is >= `ts` —
+    * a commit AT the timestamp is included. A timestamp past the last
+    * commit resolves to `latest + 1` (new commits only); one before the
+    * first available commit resolves to that earliest commit.
+    */
+  private[graft] def earliestVersionAtOrAfter(
+      spark: SparkSession, tablePath: String, ts: java.time.Instant): Long = {
+    val table = new Path(tablePath)
+    val fs = logDir(table).getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(logDir(table)), s"not a Delta table (no _delta_log): $tablePath")
+    val commits = fs.listStatus(logDir(table)).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case CommitRe(v) => Some((v.toLong, st))
+        case _ => None
+      }
+    }.sortBy(_._1)
+    require(commits.nonEmpty, s"empty _delta_log at $tablePath")
+    commits.collectFirst {
+      case (v, st) if commitTimestampOf(fs, st) >= ts.toEpochMilli => v
+    }.getOrElse(commits.last._1 + 1)
+  }
+
   private def resolveState(
       spark: SparkSession,
       tablePath: String,
@@ -314,22 +361,8 @@ object DeltaLog {
     // The commitInfo probe reads only each commit's FIRST line, only when
     // timestamp travel is actually requested.
     val latestVersion = (commits.map(_._1) ++ allCheckpointVersions).max
-    def commitTimestamp(st: org.apache.hadoop.fs.FileStatus): Long = {
-      val in = fs.open(st.getPath)
-      val firstLine =
-        try {
-          val br = new java.io.BufferedReader(
-            new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
-          br.readLine()
-        } finally in.close()
-      val ict =
-        try Option(firstLine).map(mapper.readTree)
-          .flatMap(n => Option(n.get("commitInfo")).filterNot(_.isNull))
-          .flatMap(ci => Option(ci.get("inCommitTimestamp")).filterNot(_.isNull))
-          .map(_.asLong())
-        catch { case scala.util.control.NonFatal(_) => None }
-      ict.getOrElse(st.getModificationTime)
-    }
+    def commitTimestamp(st: org.apache.hadoop.fs.FileStatus): Long =
+      commitTimestampOf(fs, st)
     val targetVersion = (versionAsOf, timestampAsOf) match {
       case (Some(v), _) =>
         // a version is reachable via its JSON commit OR a checkpoint at it

@@ -62,6 +62,7 @@ import graft.sources.DeltaLog
 final class DeltaTailSource(
     spark: SparkSession,
     tablePath: String,
+    metadataPath: String,
     maxFilesPerTrigger: Option[Int],
     maxBytesPerTrigger: Option[Long],
     skipChangeCommits: Boolean,
@@ -81,26 +82,32 @@ final class DeltaTailSource(
         .exists(_.equalsIgnoreCase("true")),
       s"readChangeFeed requires delta.enableChangeDataFeed on $tablePath")
 
-  // the initial-snapshot file list, sorted for deterministic slicing; only
-  // materialized when the stream actually starts from a snapshot
-  private lazy val snapshotFiles: IndexedSeq[DeltaLog.AddFile] =
-    startSnap.files.sortBy(_.path).toIndexedSeq
+  /** Initial-snapshot file lists keyed by SNAPSHOT VERSION, sorted for
+    * deterministic slicing. The common case is the stream-creation
+    * snapshot; a REPLAYED offset (crash recovery with an uncommitted
+    * initial-snapshot batch) pins the ORIGINAL snapshot version, and the
+    * table may have advanced while the stream was down — serving that
+    * span from the creation-time snapshot would silently return a
+    * different (or empty) file list. Time-travel back to the offset's
+    * version instead, exactly as delta-spark's DeltaSource does.
+    */
+  private val snapCache =
+    scala.collection.concurrent.TrieMap.empty[Long, IndexedSeq[DeltaLog.AddFile]]
+  private def snapshotFilesAt(version: Long): IndexedSeq[DeltaLog.AddFile] =
+    snapCache.getOrElseUpdate(version,
+      (if (version == startSnap.version) startSnap
+       else DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(version)))
+        .files.sortBy(_.path).toIndexedSeq)
 
-  private val startPos: Pos = (startingVersion, startingTimestamp) match {
+  private def computeStartPos(): Pos = (startingVersion, startingTimestamp) match {
     case (Some(_), Some(_)) => throw new IllegalArgumentException(
       "startingVersion and startingTimestamp cannot both be set")
     // earliest version committed at-or-after the timestamp (delta-spark
-    // semantics); a timestamp before the table's first commit starts at 0
+    // semantics: a commit AT the timestamp is included); one past the
+    // last commit ⇒ new commits only, before the first ⇒ from the start
     case (None, Some(ts)) =>
-      val instant = java.sql.Timestamp.valueOf(
-        ts.replace("T", " ").stripSuffix("Z")).toInstant
-      val v =
-        try {
-          val at = DeltaLog.lazySnapshot(spark, tablePath,
-            timestampAsOf = Some(instant)).meta.version
-          at + 1 // resolved = latest commit AT-OR-BEFORE ts; start after it
-        } catch { case _: IllegalArgumentException => 0L }
-      Pos(v, 0, initial = false)
+      Pos(DeltaLog.earliestVersionAtOrAfter(spark, tablePath, parseTs(spark, ts)),
+        0, initial = false)
     // CDF without startingVersion = new changes only (delta-spark default:
     // a change stream has no "initial snapshot" — rows are not changes)
     case (None, None) if readChangeFeed =>
@@ -108,6 +115,36 @@ final class DeltaTailSource(
     case (None, None) => Pos(startSnap.version, 0, initial = true)
     case (Some("latest"), _) => Pos(startSnap.version + 1, 0, initial = false)
     case (Some(v), _) => Pos(v.toLong, 0, initial = false)
+  }
+
+  /** The start position is DURABLE in the query's metadata directory: the
+    * default start is "snapshot at stream creation", which is a function
+    * of wall-clock, so a restarted query must recover the ORIGINAL
+    * resolved position (getBatch(None, end) replays from it) rather than
+    * re-resolving against the advanced table.
+    */
+  private val startPos: Pos = {
+    val marker = new Path(metadataPath, "graft-start")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      parsePos(content)
+    } else {
+      val pos = computeStartPos()
+      try {
+        val out = fs.create(marker, false)
+        try out.write(DeltaTailOffset(pos).json().getBytes("UTF-8"))
+        finally out.close()
+        pos
+      } catch {
+        // lost the create race against a concurrent restart: theirs wins
+        case _: java.io.IOException if fs.exists(marker) =>
+          val in = fs.open(marker)
+          val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          parsePos(content)
+      }
+    }
   }
 
   /** Position already delivered to the engine (end of the last planned
@@ -184,8 +221,9 @@ final class DeltaTailSource(
     while (left > 0 && (bytesLeft > 0 || admitted == 0) && moved) {
       moved = false
       if (pos.initial) {
-        admit(snapshotFiles)
-        if (pos.index >= snapshotFiles.size)
+        val snapFiles = snapshotFilesAt(pos.version)
+        admit(snapFiles)
+        if (pos.index >= snapFiles.size)
           pos = Pos(pos.version + 1, 0, initial = false)
         moved = true
       } else if (pos.version <= cap) {
@@ -253,7 +291,7 @@ final class DeltaTailSource(
     while (pos != to && (pos.version < to.version ||
         (pos.version == to.version && pos.index < to.index))) {
       val adds: IndexedSeq[DeltaLog.AddFile] =
-        if (pos.initial) snapshotFiles else commitAdds(pos.version)
+        if (pos.initial) snapshotFilesAt(pos.version) else commitAdds(pos.version)
       val upper =
         if (pos.version == to.version && pos.initial == to.initial) to.index
         else adds.size
@@ -291,6 +329,22 @@ object DeltaTailSource {
   }
 
   private val mapper = new ObjectMapper()
+
+  /** Parse a user-supplied `startingTimestamp`: ISO instants with an
+    * explicit offset (`...Z`, `...+02:00`) are honored as spelled;
+    * offset-less date-times and date-only strings resolve in the SESSION
+    * timezone (the SQL convention for timestamp literals). A space
+    * separator is accepted alongside `T`.
+    */
+  private[streaming] def parseTs(spark: SparkSession, s: String): java.time.Instant = {
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val t = s.trim.replace(' ', 'T')
+    try java.time.OffsetDateTime.parse(t).toInstant
+    catch { case _: java.time.format.DateTimeParseException =>
+      try java.time.LocalDateTime.parse(t).atZone(zone).toInstant
+      catch { case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDate.parse(t).atStartOfDay(zone).toInstant } }
+  }
 
   private[streaming] def parsePos(o: AnyRef): Pos = o match {
     case DeltaTailOffset(p) => p
@@ -421,6 +475,7 @@ final class DeltaTailSourceProvider extends StreamSourceProvider with DataSource
     new DeltaTailSource(
       sqlContext.sparkSession,
       path(parameters),
+      metadataPath,
       parameters.get("maxFilesPerTrigger").map(_.toInt),
       parameters.get("maxBytesPerTrigger").map(_.toLong),
       parameters.get("skipChangeCommits").exists(_.equalsIgnoreCase("true")),

@@ -41,4 +41,20 @@ object GraftShims {
   def asBatchDataFrame(spark: SparkSession, df: DataFrame): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = false)
+
+  /** Inspect a `Source.getBatch` result OUTSIDE a running micro-batch:
+    * re-flag the underlying row RDD as a batch frame without executing
+    * the streaming plan first (`asBatchDataFrame` calls `toRdd`, which
+    * batch execution refuses on an `isStreaming` plan).
+    */
+  def stripStreaming(spark: SparkSession, df: DataFrame): DataFrame = {
+    val rdd = df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.asInstanceOf[org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.catalyst.InternalRow]]
+    }.getOrElse(throw new IllegalArgumentException(
+      s"not a Source.getBatch frame: ${df.queryExecution.analyzed.nodeName}"))
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, df.schema, isStreaming = false)
+  }
 }

@@ -170,6 +170,25 @@ class ConcurrencySpec extends SparkSpec {
     assert(e.getMessage.contains("concurrent rewrite"))
   }
 
+  test("insert-only upsert x upsert: winner's adds are post-images, loser aborts (no dup keys)") {
+    val table = mkTable("cc-upsert-insertonly")
+    DeltaWrite.append(spark, table, rows(1, 10, "a").repartition(1))
+    // the winner upserts a NEW key: it read the table but emits only adds
+    // (no removes). commitInfo.isBlindAppend=false marks it non-blind, so
+    // the loser's whole-table read must NOT rebase over it — two racing
+    // upserts of the same new key would otherwise both land (dup rows)
+    val e = intercept[Concurrency.ConflictException] {
+      race {
+        DeltaWrite.upsert(spark, table, rows(50, 50, "w"), Seq("id"))
+      } {
+        DeltaWrite.upsert(spark, table, rows(50, 50, "l"), Seq("id"))
+      }
+    }
+    assert(e.getMessage.contains("concurrent rewrite added files"), e.getMessage)
+    assert(DeltaLog.read(spark, table).filter(col("id") === 50).count() == 1,
+      "exactly one id=50 row may land")
+  }
+
   test("compact x append: compaction rebases over the new file, leaves it uncompacted") {
     val table = mkTable("cc-compact-append")
     DeltaWrite.append(spark, table, rows(1, 10, "a").repartition(1))

@@ -146,6 +146,59 @@ class DeltaTailSpec extends SparkSpec {
     assert(ids(dst).sorted == (1L to 40L))
   }
 
+  test("crash recovery: replayed initial-snapshot offset serves the ORIGINAL snapshot") {
+    val src = mkTable("tail-crash")
+    DeltaWrite.append(spark, src, rows(1, 10).repartition(2))
+    val meta = tmpDir("tail-crash-meta").toString
+    def mkSource() = new DeltaTailSource(spark, src, meta,
+      maxFilesPerTrigger = Some(1), maxBytesPerTrigger = None,
+      skipChangeCommits = false, startingVersion = None,
+      startingTimestamp = None, readChangeFeed = false)
+    // plan the first 1-file batch of the 2-file initial snapshot, then
+    // "crash" before the engine commits the batch
+    val s1 = mkSource()
+    val end1 = s1.latestOffset(null, s1.getDefaultReadLimit)
+    s1.stop()
+    // the table advances while the stream is down
+    DeltaWrite.append(spark, src, rows(11, 20).repartition(1))
+    // restart: the engine replays getBatch(None, end1) on a FRESH source.
+    // The durable start marker pins the ORIGINAL snapshot version, and the
+    // file list is reconstructed by time travel — the replayed batch must
+    // be the exact original slice, not empty, and contain no post-crash rows
+    val s2 = mkSource()
+    val replayed = org.apache.spark.sql.GraftShims.stripStreaming(spark,
+      s2.getBatch(None, end1.asInstanceOf[org.apache.spark.sql.execution.streaming.Offset]))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(replayed.nonEmpty, "replayed initial-snapshot batch must not be empty")
+    assert(replayed.subsetOf((1L to 10L).toSet),
+      s"replay must serve the original snapshot only, got $replayed")
+    s2.stop()
+  }
+
+  test("startingTimestamp parsing: Z-offset honored, date-only accepted, at-timestamp included") {
+    // an explicit offset is honored as spelled (NOT re-read in local time)
+    assert(DeltaTailSource.parseTs(spark, "2024-03-01T12:00:00Z") ==
+      java.time.Instant.parse("2024-03-01T12:00:00Z"))
+    assert(DeltaTailSource.parseTs(spark, "2024-03-01 12:00:00+02:00") ==
+      java.time.Instant.parse("2024-03-01T10:00:00Z"))
+    // date-only input resolves at session-zone midnight instead of throwing
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    assert(DeltaTailSource.parseTs(spark, "2024-03-01") ==
+      java.time.LocalDate.parse("2024-03-01").atStartOfDay(zone).toInstant)
+    // a commit AT the exact timestamp is included (>= ts, delta-spark
+    // semantics), not skipped by an at-or-before-then-+1 resolution
+    val src = mkTable("tail-ts-incl")
+    Thread.sleep(1100) // separate v0's and v1's mtimes
+    DeltaWrite.append(spark, src, rows(1, 5)) // v1
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val c1 = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(src, f"_delta_log/${1L}%020d.json"))
+    val ts = java.time.Instant.ofEpochMilli(c1.getModificationTime)
+    assert(DeltaLog.earliestVersionAtOrAfter(spark, src, ts) == 1L)
+    assert(DeltaLog.earliestVersionAtOrAfter(spark, src, ts.plusMillis(1)) == 2L)
+  }
+
   test("startingTimestamp resolves to the earliest commit after the timestamp") {
     val src = mkTable("tail-ts")
     DeltaWrite.append(spark, src, rows(1, 10))
