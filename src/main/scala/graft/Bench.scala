@@ -79,8 +79,12 @@ object Bench {
   private[graft] val r14New = Set("q146_delta_tail", "q147_delta_append_only",
     "q148_delta_variant", "q149_delta_iceberg", "q150_delta_cdf_stream",
     "q151_delta_genpart")
+  // queries added in round 15
+  private[graft] val r15New = Set("q152_delta_merge", "q153_iceberg_dv_export",
+    "q154_iceberg_source", "q155_cdf_stream_snapshot")
   private[graft] val laterRounds =
-    Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New, r11New, r13New, r14New)
+    Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New, r11New, r13New,
+      r14New, r15New)
   private def newer(from: Int)(k: String): Boolean =
     laterRounds.drop(from).exists(_(k))
   // ------------------------------------------------------------------------

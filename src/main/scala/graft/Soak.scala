@@ -45,7 +45,11 @@ object Soak {
     // round 14: continuous Delta tail, appendOnly lifecycle, variant
     // round-trip — the new protocol surfaces under 10× stats
     "q146_delta_tail", "q147_delta_append_only", "q148_delta_variant",
-    "q149_delta_iceberg", "q150_delta_cdf_stream", "q151_delta_genpart")
+    "q149_delta_iceberg", "q150_delta_cdf_stream", "q151_delta_genpart",
+    // round 15: full MERGE, Iceberg DV export + foreign source read,
+    // CDF snapshot-start stream — the new surfaces under 10× stats
+    "q152_delta_merge", "q153_iceberg_dv_export", "q154_iceberg_source",
+    "q155_cdf_stream_snapshot")
 
   private def replicate(df: DataFrame, copies: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until copies).map(k => shift(df, k)).reduce(_ unionByName _)

@@ -2,7 +2,7 @@ package graft.destinations
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.sources.DeltaLog
@@ -516,11 +516,32 @@ object DeltaWrite {
     if (mode == "none") return (df, partCols)
     import org.apache.spark.sql.functions.col
     val present = df.columns.toSet
+    // icebergCompatV2: stamp each mapping id as the parquet field id at
+    // EVERY nesting depth (Spark's parquet writer emits ids from this
+    // metadata key on nested struct fields too), so Iceberg readers
+    // resolve nested columns by id with no name mapping
+    def stampIds(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+      dt match {
+        case st: StructType => StructType(st.fields.map { f =>
+          val meta =
+            if (f.metadata.contains("delta.columnMapping.id"))
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putLong("parquet.field.id",
+                  f.metadata.getLong("delta.columnMapping.id")).build()
+            else f.metadata
+          f.copy(dataType = stampIds(f.dataType), metadata = meta)
+        })
+        case org.apache.spark.sql.types.ArrayType(et, n) =>
+          org.apache.spark.sql.types.ArrayType(stampIds(et), n)
+        case org.apache.spark.sql.types.MapType(k, v, n) =>
+          org.apache.spark.sql.types.MapType(stampIds(k), stampIds(v), n)
+        case other => other
+      }
     val cols = schema.fields.toIndexedSeq.filter(f => present(f.name)).map { f =>
-      val cast = col(f.name).cast(DeltaLog.physicalDataType(f.dataType))
-      // icebergCompatV2: stamp the column-mapping id as the parquet field
-      // id (Spark's parquet writer emits ids from this metadata key), so
-      // Iceberg readers resolve columns by id with no name mapping
+      val physType = DeltaLog.physicalDataType(f.dataType)
+      val cast = col(f.name).cast(
+        if (fieldIds) stampIds(physType) else physType)
       if (fieldIds && f.metadata.contains("delta.columnMapping.id"))
         cast.as(DeltaLog.physicalFieldName(f),
           new org.apache.spark.sql.types.MetadataBuilder()
@@ -889,7 +910,8 @@ object DeltaWrite {
     * sparse upsert into a 100 TB table reads the candidate slice and
     * rewrites only the hit files.
     */
-  def upsert(spark: SparkSession, tablePath: String, df: DataFrame, keys: Seq[String]): Long = {
+  def upsert(spark: SparkSession, tablePath: String, df: DataFrame, keys: Seq[String],
+      txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{col, lit, max => smax, min => smin, sum}
     require(keys.nonEmpty, "upsert requires at least one key column")
     val ls = DeltaLog.lazySnapshot(spark, tablePath)
@@ -1022,11 +1044,355 @@ object DeltaWrite {
       commit(spark, new Path(tablePath), snap.version + 1, "MERGE",
         withMeta = None, adds = adds, removes = touched.map(_.path),
         cdcs = cdcs, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap),
-        crc = CrcPlan.Incremental(touched.map(_.size)),
+        crc = CrcPlan.Incremental(touched.map(_.size)), txn = txn,
         opParams = Seq("matchedPredicates" ->
           keys.map(k => s"s.$k <=> t.$k").mkString(" AND ")),
         readScope = Some(Concurrency.ReadScope.Table))
     } finally incoming.unpersist()
+  }
+
+  /** One `WHEN ...` clause of a full MERGE (delta-spark's `MERGE INTO`
+    * matrix). `condition`/`set`/`values` are SQL over the aliases `t`
+    * (target) and `s` (source); `set`/`values` keys are target columns
+    * (insert leaves unnamed columns null).
+    */
+  sealed trait MergeClause { def condition: Option[String] }
+  object MergeClause {
+    /** WHEN MATCHED [AND cond] THEN UPDATE SET ... */
+    final case class Update(condition: Option[String],
+        set: Map[String, String]) extends MergeClause
+    /** WHEN MATCHED [AND cond] THEN DELETE */
+    final case class Delete(condition: Option[String]) extends MergeClause
+    /** WHEN NOT MATCHED [AND cond] THEN INSERT (...) VALUES (...) */
+    final case class Insert(condition: Option[String],
+        values: Map[String, String]) extends MergeClause
+    /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ...
+      * (conditions/sets reference `t` only — there is no source row) */
+    final case class SourceUpdate(condition: Option[String],
+        set: Map[String, String]) extends MergeClause
+    /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE */
+    final case class SourceDelete(condition: Option[String]) extends MergeClause
+
+    /** UPDATE SET * / INSERT * over `schema`'s columns. */
+    def allColumns(schema: StructType): Map[String, String] =
+      schema.fieldNames.map(f => f -> s"s.`${f.replace("`", "``")}`").toMap
+  }
+
+  /** Full `MERGE INTO` (delta-spark's public matrix): `condition` joins
+    * target `t` against source `s`; `matched` clauses apply to join hits
+    * (FIRST match wins, evaluated in order), `notMatched` to source rows
+    * with no target hit, `notMatchedBySource` to target rows with no
+    * source hit. Multiple source rows matching one target row abort
+    * (delta-spark's cardinality rule — the result would be
+    * nondeterministic).
+    *
+    * Scale shape: equality conjuncts `t.k = s.k` in the condition
+    * stats-prune files driver-side exactly like [[upsert]]; the surviving
+    * candidates take one `_metadata.file_path` semi-join to find the
+    * files that really hold matches, and ONLY those are rewritten —
+    * unless a NOT MATCHED BY SOURCE clause exists, which by definition
+    * must see every target row (delta-spark scans the full table then
+    * too). CDF emits per-clause update_pre/postimage / delete / insert
+    * rows; row ids are preserved (updates inherit, copies keep, inserts
+    * mint). Commits under [[Concurrency.ReadScope.Table]].
+    */
+  def merge(
+      spark: SparkSession,
+      tablePath: String,
+      source: DataFrame,
+      condition: String,
+      matched: Seq[MergeClause] = Nil,
+      notMatched: Seq[MergeClause.Insert] = Nil,
+      notMatchedBySource: Seq[MergeClause] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, expr, lit, when, max => smax, min => smin, sum}
+    require(matched.forall(c =>
+      c.isInstanceOf[MergeClause.Update] || c.isInstanceOf[MergeClause.Delete]),
+      "matched clauses must be Update or Delete")
+    require(notMatchedBySource.forall(c =>
+      c.isInstanceOf[MergeClause.SourceUpdate] || c.isInstanceOf[MergeClause.SourceDelete]),
+      "notMatchedBySource clauses must be SourceUpdate or SourceDelete")
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "merge needs at least one WHEN clause")
+    // delta-spark's reachability rule: a clause after an unconditioned one
+    // in the same group can never apply
+    Seq(matched, notMatched, notMatchedBySource).foreach { group =>
+      group.dropRight(1).zipWithIndex.foreach { case (c, i) =>
+        require(c.condition.isDefined,
+          s"clause ${i + 1} of ${group.size} has no condition; later clauses are unreachable")
+      }
+    }
+    val ls = DeltaLog.lazySnapshot(spark, tablePath)
+    val snap = ls.meta
+    requireWritable(tablePath, snap, "merge",
+      removesData = matched.nonEmpty || notMatchedBySource.nonEmpty)
+    val schemaCols = snap.schema.fieldNames.toIndexedSeq
+    (matched ++ notMatched ++ notMatchedBySource).foreach {
+      case MergeClause.Update(_, set) => set.keys.foreach(k =>
+        require(schemaCols.contains(k), s"SET column $k not in table"))
+      case MergeClause.SourceUpdate(_, set) => set.keys.foreach(k =>
+        require(schemaCols.contains(k), s"SET column $k not in table"))
+      case MergeClause.Insert(_, values) => values.keys.foreach(k =>
+        require(schemaCols.contains(k), s"INSERT column $k not in table"))
+      case _ => ()
+    }
+    def q(n: String) = s"`${n.replace("`", "``")}`"
+    val src = source.cache()
+    try {
+      // ---- candidate files: equality conjuncts `t.k = s.k` range-prune on
+      // stats exactly like upsert; a NOT MATCHED BY SOURCE clause needs
+      // every target row, so pruning is off then
+      val parsed = spark.sessionState.sqlParser.parseExpression(condition)
+      def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      // (targetCol, sourceCol) pairs from t.k = s.k / s.k = t.k conjuncts
+      val equiKeys: Seq[(String, String)] = conjuncts(parsed).flatMap {
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(a, b) =>
+          def side(e: org.apache.spark.sql.catalyst.expressions.Expression)
+              : Option[(String, String)] = e match {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                if u.nameParts.length == 2 =>
+              Some((u.nameParts.head.toLowerCase, u.nameParts.last))
+            case _ => None
+          }
+          (side(a), side(b)) match {
+            case (Some(("t", tc)), Some(("s", sc))) => Some((tc, sc))
+            case (Some(("s", sc)), Some(("t", tc))) => Some((tc, sc))
+            case _ => None
+          }
+        case _ => None
+      }.filter { case (tc, _) => snap.schema.fieldNames.contains(tc) }
+      val candidates: Seq[DeltaLog.AddFile] =
+        if (notMatchedBySource.nonEmpty) ls.filesWhere(_ => true)
+        else if (equiKeys.isEmpty) ls.filesWhere(_ => true)
+        else {
+          val keyTypes = equiKeys.map { case (tc, _) => tc -> snap.schema(tc).dataType }.toMap
+          val aggs = equiKeys.flatMap { case (tc, sc) => Seq(
+            smin(col(q(sc))).as(s"_min_$tc"), smax(col(q(sc))).as(s"_max_$tc"),
+            sum(col(q(sc)).isNull.cast("long")).as(s"_null_$tc")) }
+          val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+          val inMin = equiKeys.map { case (tc, _) => tc -> r.get(r.fieldIndex(s"_min_$tc")) }.toMap
+          val inMax = equiKeys.map { case (tc, _) => tc -> r.get(r.fieldIndex(s"_max_$tc")) }.toMap
+          val inNull = equiKeys.map { case (tc, _) =>
+            tc -> (r.getLong(r.fieldIndex(s"_null_$tc")) > 0L) }.toMap
+          ls.filesWhere(f => equiKeys.forall { case (tc, _) =>
+            graft.sources.DeltaStats.mayContain(
+              graft.sources.DeltaStats.interval(snap, f, tc), keyTypes(tc),
+              inMin(tc), inMax(tc), inNull(tc)) })
+        }
+
+      // ---- touched files: exact hit detection, unless every target row is
+      // in play (NOT MATCHED BY SOURCE)
+      val touched: Seq[DeltaLog.AddFile] =
+        if (notMatchedBySource.nonEmpty) candidates
+        else if (candidates.isEmpty) Nil
+        else {
+          val cand = DeltaLog
+            .readFiles(spark, tablePath, snap, candidates, withFilePath = true)
+            .alias("t")
+          val hit = cand.join(src.alias("s"), expr(condition), "left_semi")
+            .select(col("_graft_file")).distinct()
+            .collect().map(r => new Path(r.getString(0)).toString).toSet
+          val table = new Path(tablePath)
+          val f = fs(spark, table)
+          candidates.filter(c => hit.contains(
+            new Path(f.makeQualified(new Path(table, DeltaLog.decodePath(c.path))).toString).toString))
+        }
+
+      val tracking = DeltaLog.rowTrackingEnabled(snap)
+      val (touchedDfOpt, matCols) =
+        if (touched.isEmpty)
+          (None, if (tracking) { val (a, b) = materializedRowCols(snap); Seq(a, b) } else Nil)
+        else {
+          val (df, mc) = readForRewrite(spark, tablePath, snap, touched)
+          (Some(df), mc)
+        }
+      val (matIdOpt, matVerOpt) = matCols match {
+        case Seq(a, b) => (Some(a), Some(b))
+        case _ => (None, None)
+      }
+
+      // ---- first-match-wins action index over a clause group (-1 = none)
+      def actionOf(group: Seq[MergeClause]): Column =
+        group.zipWithIndex.foldRight(lit(-1): Column) { case ((c, i), els) =>
+          when(c.condition.map(expr).getOrElse(lit(true)), lit(i)).otherwise(els)
+        }
+      def deleteIdxs(group: Seq[MergeClause]): Seq[Int] =
+        group.zipWithIndex.collect {
+          case (_: MergeClause.Delete, i) => i
+          case (_: MergeClause.SourceDelete, i) => i
+        }
+      def setOf(group: Seq[MergeClause], i: Int): Map[String, String] = group(i) match {
+        case MergeClause.Update(_, s) => s
+        case MergeClause.SourceUpdate(_, s) => s
+        case _ => Map.empty
+      }
+      // target column f under the group's action: CASE on _m_action
+      def outCol(group: Seq[MergeClause], f: StructField): Column = {
+        val base: Column = col(s"t.${q(f.name)}")
+        group.zipWithIndex.foldRight(base) { case ((c, i), els) =>
+          val v = c match {
+            case MergeClause.Update(_, set) =>
+              set.get(f.name).map(s => expr(s).cast(f.dataType)).getOrElse(base)
+            case MergeClause.SourceUpdate(_, set) =>
+              set.get(f.name).map(s => expr(s).cast(f.dataType)).getOrElse(base)
+            case _ => base // deletes are filtered out before projection
+          }
+          when(col("_m_action") === i, v).otherwise(els)
+        }.as(f.name)
+      }
+      def updatedIdxs(group: Seq[MergeClause]): Seq[Int] =
+        group.zipWithIndex.collect {
+          case (_: MergeClause.Update, i) => i
+          case (_: MergeClause.SourceUpdate, i) => i
+        }
+      // row-tracking columns: updates inherit the id (ver nulls to THIS
+      // commit), copies keep both, inserts mint fresh ids
+      def trackCols(group: Seq[MergeClause]): Seq[Column] =
+        (matIdOpt, matVerOpt) match {
+          case (Some(matId), Some(matVer)) =>
+            val upd = updatedIdxs(group)
+            Seq(col(s"t.${q(matId)}").as(matId),
+              when(col("_m_action").isin(upd.map(Integer.valueOf): _*),
+                lit(null).cast("long"))
+                .otherwise(col(s"t.${q(matVer)}")).as(matVer))
+          case _ => Nil
+        }
+
+      // ---- matched side
+      val matchedPairs: Option[DataFrame] = touchedDfOpt.map { tdf =>
+        tdf.alias("t").join(src.alias("s"), expr(condition), "inner")
+      }
+      if (matched.nonEmpty) matchedPairs.foreach { mp =>
+        // cardinality rule: a target row matched by >1 source rows makes
+        // update/delete nondeterministic — abort, delta-spark-style. The
+        // probe groups on the target's physical row identity.
+        val probe = touchedDfOpt.get.alias("t")
+          .withColumn("_t_tag", org.apache.spark.sql.functions.monotonically_increasing_id())
+          .join(src.alias("s"), expr(condition), "inner")
+          .groupBy(col("_t_tag")).count().filter(col("count") > 1).limit(1)
+        require(probe.isEmpty,
+          "MERGE cannot update/delete a target row matched by multiple source rows")
+      }
+      val matchedOut: Option[DataFrame] = matchedPairs.map { mp =>
+        val acted = mp.withColumn("_m_action", actionOf(matched))
+        val kept = acted.filter(!col("_m_action")
+          .isin((deleteIdxs(matched) :+ -999).map(Integer.valueOf): _*))
+        kept.select(snap.schema.fields.toIndexedSeq.map(outCol(matched, _)) ++
+          trackCols(matched): _*)
+      }
+
+      // ---- not-matched-by-source side (target rows with no source hit)
+      val nmbsOut: Option[DataFrame] = touchedDfOpt.map { tdf =>
+        val unmatched = tdf.alias("t").join(src.alias("s"), expr(condition), "left_anti")
+          .alias("t")
+        if (notMatchedBySource.isEmpty)
+          // no clause: unmatched rows in touched files copy through
+          unmatched.select(snap.schema.fieldNames.toIndexedSeq.map(f =>
+            col(s"t.${q(f)}").as(f)) ++ matCols.map(c => col(s"t.${q(c)}").as(c)): _*)
+        else {
+          val acted = unmatched.withColumn("_m_action", actionOf(notMatchedBySource))
+          val kept = acted.filter(!col("_m_action")
+            .isin((deleteIdxs(notMatchedBySource) :+ -999).map(Integer.valueOf): _*))
+          kept.select(snap.schema.fields.toIndexedSeq.map(outCol(notMatchedBySource, _)) ++
+            trackCols(notMatchedBySource): _*)
+        }
+      }
+
+      // ---- not-matched (insert) side: source rows with no target hit
+      val insertBase: DataFrame = touchedDfOpt match {
+        case Some(tdf) =>
+          src.alias("s").join(tdf.alias("t"), expr(condition), "left_anti").alias("s")
+        case None => src.alias("s")
+      }
+      val insertsOut: Option[DataFrame] =
+        if (notMatched.isEmpty) None
+        else Some {
+          val acted = insertBase.withColumn("_m_action",
+            actionOf(notMatched)).filter(col("_m_action") =!= -1)
+          val insCols = snap.schema.fields.toIndexedSeq.map { f =>
+            notMatched.zipWithIndex.foldRight(lit(null).cast(f.dataType): Column) {
+              case ((c, i), els) =>
+                val v = c.values.get(f.name)
+                  .map(s => expr(s).cast(f.dataType))
+                  .getOrElse(lit(null).cast(f.dataType))
+                when(col("_m_action") === i, v).otherwise(els)
+            }.as(f.name)
+          } ++ matCols.map(c => lit(null).cast("long").as(c)) // fresh row ids
+          acted.select(insCols: _*)
+        }
+
+      val pieces = matchedOut.toSeq ++ nmbsOut.toSeq ++ insertsOut.toSeq
+      if (pieces.isEmpty) return snap.version
+      val rewritten = enforceObligations(snap,
+        pieces.reduce(_ unionByName _), schemaObligations = true)
+
+      // ---- CDF per clause class
+      val cdcs =
+        if (!cdfEnabled(snap)) Nil
+        else {
+          val tCols = snap.schema.fieldNames.toIndexedSeq
+          def tSel(df: DataFrame) = df.select(tCols.map(f => col(s"t.${q(f)}").as(f)): _*)
+          val changes = Seq.newBuilder[DataFrame]
+          matchedPairs.foreach { mp =>
+            val acted = mp.withColumn("_m_action", actionOf(matched))
+            val updIdx = updatedIdxs(matched).map(Integer.valueOf)
+            val delIdx = deleteIdxs(matched).map(Integer.valueOf)
+            if (updIdx.nonEmpty) {
+              val upd = acted.filter(col("_m_action").isin(updIdx: _*))
+              changes += tSel(upd).withColumn("_change_type", lit("update_preimage"))
+              changes += upd.select(snap.schema.fields.toIndexedSeq.map(outCol(matched, _)): _*)
+                .withColumn("_change_type", lit("update_postimage"))
+            }
+            if (delIdx.nonEmpty)
+              changes += tSel(acted.filter(col("_m_action").isin(delIdx: _*)))
+                .withColumn("_change_type", lit("delete"))
+          }
+          if (notMatchedBySource.nonEmpty) touchedDfOpt.foreach { tdf =>
+            val unmatched = tdf.alias("t")
+              .join(src.alias("s"), expr(condition), "left_anti").alias("t")
+              .withColumn("_m_action", actionOf(notMatchedBySource))
+            val updIdx = updatedIdxs(notMatchedBySource).map(Integer.valueOf)
+            val delIdx = deleteIdxs(notMatchedBySource).map(Integer.valueOf)
+            if (updIdx.nonEmpty) {
+              val upd = unmatched.filter(col("_m_action").isin(updIdx: _*))
+              changes += tSel(upd).withColumn("_change_type", lit("update_preimage"))
+              changes += upd.select(snap.schema.fields.toIndexedSeq
+                .map(outCol(notMatchedBySource, _)): _*)
+                .withColumn("_change_type", lit("update_postimage"))
+            }
+            if (delIdx.nonEmpty)
+              changes += tSel(unmatched.filter(col("_m_action").isin(delIdx: _*)))
+                .withColumn("_change_type", lit("delete"))
+          }
+          insertsOut.foreach(ins => changes += ins
+            .select(tCols.map(col): _*).withColumn("_change_type", lit("insert")))
+          val all = changes.result()
+          if (all.isEmpty) Nil
+          else writeChangeData(spark, new Path(tablePath), snap,
+            all.reduce(_ unionByName _))
+        }
+
+      val (phys, physParts) =
+        toPhysical(rewritten, snap.schema, snap.partitionColumns,
+          snap.columnMappingMode, passthrough = matCols,
+          fieldIds = icebergCompatOn(snap))
+      val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts,
+        statsExclude = matCols.toSet)
+      if (adds.isEmpty && touched.isEmpty && cdcs.isEmpty) return snap.version
+      commit(spark, new Path(tablePath), snap.version + 1, "MERGE",
+        withMeta = None, adds = adds, removes = touched.map(_.path),
+        cdcs = cdcs, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap),
+        crc = CrcPlan.Incremental(touched.map(_.size)),
+        opParams = Seq("predicate" -> condition,
+          "matchedPredicates" -> matched.size.toString,
+          "notMatchedPredicates" -> notMatched.size.toString,
+          "notMatchedBySourcePredicates" -> notMatchedBySource.size.toString),
+        readScope = Some(Concurrency.ReadScope.Table))
+    } finally src.unpersist()
   }
 
   /** Delete rows matching ALL `conditions` (empty ⇒ full overwrite), then

@@ -44,9 +44,10 @@ import scala.jdk.CollectionConverters._
   * speaks the files' PHYSICAL names while the Iceberg schema speaks
   * logical names, so mapped tables export cleanly too.
   *
-  * Refused loudly: live deletion vectors (their masked rows need Iceberg
-  * delete files; export after a copy-on-write rewrite instead) and
-  * VARIANT columns (no Iceberg v2 type).
+  * Live deletion vectors export METADATA-ONLY as Iceberg v2 position
+  * delete files (one per DV-carrying data file, scoped to its partition)
+  * — no data rewrite at any table size. Refused loudly: VARIANT columns
+  * (no Iceberg v2 type).
   *
   * Scale: the export is metadata-bounded — one pass over the live-file
   * manifest (the same list any read plans over), zero data-file IO; stats
@@ -123,7 +124,57 @@ object IcebergExport {
 
   private def putType(o: ObjectNode, field: String, t: Any): Unit = t match {
     case s: String => o.put(field, s): Unit
-    case n: ObjectNode => o.set(field, n): Unit
+    // NB: set is generic in its return; an ascription would make scalac
+    // infer T = Unit and cast the returned node to BoxedUnit at runtime
+    case n: ObjectNode => o.set[com.fasterxml.jackson.databind.JsonNode](field, n): Unit
+  }
+
+  /** Hierarchical `schema.name-mapping.default` entries: nested `fields`
+    * arrays per the spec for struct/array/map types, so a standards
+    * reader resolves NESTED fields of id-less files too (top-level-only
+    * mapping silently reads nested columns as null). Walks the built
+    * Iceberg schema node in lockstep with the Spark type, so the ids are
+    * exactly the exported schema's.
+    */
+  private def mappingEntries(
+      typeNode: com.fasterxml.jackson.databind.JsonNode,
+      dt: DataType): Option[ArrayNode] = (typeNode, dt) match {
+    case (o: ObjectNode, st: StructType) if o.get("type").asText() == "struct" =>
+      val arr = mapper.createArrayNode()
+      o.get("fields").elements().asScala.toSeq.zip(st.fields.toSeq).foreach {
+        case (fn, sf) =>
+          val m = arr.addObject()
+          val names = m.putArray("names")
+          val phys = DeltaLog.physicalFieldName(sf)
+          names.add(phys)
+          if (phys != sf.name) names.add(sf.name)
+          m.put("field-id", fn.get("id").asInt())
+          mappingEntries(fn.get("type"), sf.dataType)
+            .foreach(nested => m.set[ObjectNode]("fields", nested))
+      }
+      Some(arr)
+    case (o: ObjectNode, a: ArrayType) if o.get("type").asText() == "list" =>
+      val arr = mapper.createArrayNode()
+      val m = arr.addObject()
+      m.putArray("names").add("element")
+      m.put("field-id", o.get("element-id").asInt())
+      mappingEntries(o.get("element"), a.elementType)
+        .foreach(nested => m.set[ObjectNode]("fields", nested))
+      Some(arr)
+    case (o: ObjectNode, mt: MapType) if o.get("type").asText() == "map" =>
+      val arr = mapper.createArrayNode()
+      val k = arr.addObject()
+      k.putArray("names").add("key")
+      k.put("field-id", o.get("key-id").asInt())
+      mappingEntries(o.get("key"), mt.keyType)
+        .foreach(nested => k.set[ObjectNode]("fields", nested))
+      val v = arr.addObject()
+      v.putArray("names").add("value")
+      v.put("field-id", o.get("value-id").asInt())
+      mappingEntries(o.get("value"), mt.valueType)
+        .foreach(nested => v.set[ObjectNode]("fields", nested))
+      Some(arr)
+    case _ => None // primitive
   }
 
   // --------------------------------------------------------- avro schemas
@@ -134,7 +185,7 @@ object IcebergExport {
     * fills; every column is name-addressed, so optional spec fields may be
     * absent entirely.
     */
-  private def manifestEntrySchema(partitionFields: Seq[(String, String, Int)]): Schema = {
+  private[graft] def manifestEntrySchema(partitionFields: Seq[(String, String, Int)]): Schema = {
     val partFields = partitionFields.map { case (name, avroType, fid) =>
       s"""{"name":${quote(name)},"type":["null",$avroType],"default":null,"field-id":$fid}"""
     }.mkString(",")
@@ -150,11 +201,12 @@ object IcebergExport {
          |  {"name":"file_format","type":"string","field-id":101},
          |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
          |  {"name":"record_count","type":"long","field-id":103},
-         |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+         |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
          |]}}]}""".stripMargin)
   }
 
-  private val manifestFileSchema: Schema = new Schema.Parser().parse(
+  private[graft] val manifestFileSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string","field-id":500},
       |{"name":"manifest_length","type":"long","field-id":501},
@@ -196,9 +248,6 @@ object IcebergExport {
     */
   def export(spark: SparkSession, tablePath: String): Int = {
     val snap = DeltaLog.snapshot(spark, tablePath)
-    require(!snap.files.exists(_.deletionVector.isDefined),
-      s"$tablePath carries live deletion vectors; Iceberg export needs a " +
-        "copy-on-write state (run DeltaWrite.reorgPurge first)")
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val qualifiedTable = fs.makeQualified(table)
@@ -217,15 +266,9 @@ object IcebergExport {
         .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
 
     // name mapping: the files carry no Iceberg field ids, so map the names
-    // they DO carry (physical under column mapping) to the schema's ids
-    val nameMapping = mapper.createArrayNode()
-    snap.schema.fields.foreach { f =>
-      val m = nameMapping.addObject()
-      val names = m.putArray("names")
-      names.add(snap.physicalName(f.name))
-      if (snap.physicalName(f.name) != f.name) names.add(f.name)
-      m.put("field-id", fieldIdOf(f.name))
-    }
+    // they DO carry (physical under column mapping) to the schema's ids —
+    // hierarchical entries so nested struct/list/map fields resolve too
+    val nameMapping = mappingEntries(schemaNode, snap.schema).get
 
     // ---- partition spec (identity transforms over the partition columns)
     val specFields = snap.partitionColumns.zipWithIndex.map { case (c, i) =>
@@ -307,6 +350,59 @@ object IcebergExport {
     } finally mw.close()
     val manifestLen = fs.getFileStatus(manifestPath).getLen
 
+    // ---- deletion vectors → Iceberg v2 position-delete files (spec
+    // §delete-files): each DV's masked rows become (file_path, pos) rows in
+    // a delete parquet scoped to the data file's partition — METADATA-ONLY
+    // DV export, no data rewrite at any table size (the rewrite UniForm
+    // exists to avoid). Driver memory is bounded per file by one DV's
+    // cardinality (the same bitmap any reader of that file decodes).
+    val dvFiles = snap.files.filter(_.deletionVector.isDefined).sortBy(_.path)
+    var deleteRows = 0L
+    val deleteManifestInfo: Option[(Path, Long)] = if (dvFiles.isEmpty) None else {
+      val dmName = s"${java.util.UUID.randomUUID()}-m1.avro"
+      val dmPath = new Path(metaDir, dmName)
+      val dw = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      dw.setMeta("format-version", "2")
+      dw.setMeta("content", "deletes")
+      dw.setMeta("schema", schemaNode.toString)
+      dw.setMeta("partition-spec", specNode.get("fields").toString)
+      dw.setMeta("partition-spec-id", "0")
+      dw.create(entrySchema, fs.create(dmPath, true))
+      try {
+        dvFiles.foreach { a =>
+          val d = graft.sources.DeletionVectors.parse(a.deletionVector.get)
+          val positions = graft.sources.DeletionVectors
+            .readBitmap(spark, tablePath, d).toLongArray.sorted
+          val dataPath = new Path(qualifiedTable, DeltaLog.decodePath(a.path)).toString
+          val (delPath, delLen) =
+            writePositionDelete(spark, fs, metaDir, dataPath, positions)
+          deleteRows += positions.length
+          val part = new GenericData.Record(partSchema)
+          partAvro.foreach { case (c, _, _, conv) =>
+            val raw = a.partitionValues.get(snap.physicalName(c))
+              .orElse(a.partitionValues.get(c)).filter(_ != null)
+            part.put(c, raw.map(conv).orNull)
+          }
+          val df = new GenericData.Record(dataFileSchema)
+          df.put("content", 1) // POSITION_DELETES
+          df.put("file_path", delPath.toString)
+          df.put("file_format", "PARQUET")
+          df.put("partition", part)
+          df.put("record_count", positions.length.toLong)
+          df.put("file_size_in_bytes", delLen)
+          val e = new GenericData.Record(entrySchema)
+          e.put("status", 1)
+          e.put("snapshot_id", snapshotId)
+          e.put("sequence_number", sequence)
+          e.put("file_sequence_number", sequence)
+          e.put("data_file", df)
+          dw.append(e)
+        }
+      } finally dw.close()
+      Some((dmPath, fs.getFileStatus(dmPath).getLen))
+    }
+
     // ---- manifest list
     val listName = s"snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro"
     val listPath = new Path(metaDir, listName)
@@ -331,6 +427,23 @@ object IcebergExport {
       m.put("existing_rows_count", 0L)
       m.put("deleted_rows_count", 0L)
       lw.append(m)
+      deleteManifestInfo.foreach { case (dmPath, dmLen) =>
+        val dm = new GenericData.Record(manifestFileSchema)
+        dm.put("manifest_path", dmPath.toString)
+        dm.put("manifest_length", dmLen)
+        dm.put("partition_spec_id", 0)
+        dm.put("content", 1) // DELETES manifest
+        dm.put("sequence_number", sequence)
+        dm.put("min_sequence_number", sequence)
+        dm.put("added_snapshot_id", snapshotId)
+        dm.put("added_files_count", dvFiles.size)
+        dm.put("existing_files_count", 0)
+        dm.put("deleted_files_count", 0)
+        dm.put("added_rows_count", deleteRows)
+        dm.put("existing_rows_count", 0L)
+        dm.put("deleted_rows_count", 0L)
+        lw.append(dm)
+      }
     } finally lw.close()
 
     // ---- table metadata
@@ -369,6 +482,12 @@ object IcebergExport {
     summary.put("added-records", rows.toString)
     summary.put("total-data-files", snap.files.size.toString)
     summary.put("total-records", rows.toString)
+    if (dvFiles.nonEmpty) {
+      summary.put("added-delete-files", dvFiles.size.toString)
+      summary.put("total-delete-files", dvFiles.size.toString)
+      summary.put("added-position-deletes", deleteRows.toString)
+      summary.put("total-position-deletes", deleteRows.toString)
+    }
     val snapshots = md.putArray("snapshots")
     prior.foreach(p => Option(p._2.get("snapshots")).foreach {
       case arr: com.fasterxml.jackson.databind.node.ArrayNode =>
@@ -395,6 +514,37 @@ object IcebergExport {
     version
   }
 
+  /** One Iceberg position-delete parquet for `dataFilePath`'s masked rows
+    * — columns `file_path` (field id 2147483546) / `pos` (2147483545) per
+    * the spec's reserved delete-file ids (Spark's parquet writer stamps
+    * them from the `parquet.field.id` metadata key), rows sorted by pos.
+    * Returns (path, length).
+    */
+  private def writePositionDelete(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      metaDir: Path,
+      dataFilePath: String,
+      positions: Array[Long]): (Path, Long) = {
+    val schema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false,
+        metadata = new MetadataBuilder().putLong("parquet.field.id", 2147483546L).build()),
+      StructField("pos", LongType, nullable = false,
+        metadata = new MetadataBuilder().putLong("parquet.field.id", 2147483545L).build())))
+    val rows = positions.map(p =>
+      org.apache.spark.sql.Row(dataFilePath, p)).toIndexedSeq
+    val tmp = new Path(metaDir, s"_tmp-delete-${java.util.UUID.randomUUID()}")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath).find(p =>
+      p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no parquet part under $tmp"))
+    val target = new Path(metaDir, s"delete-${java.util.UUID.randomUUID()}.parquet")
+    require(fs.rename(part, target), s"rename $part -> $target failed")
+    fs.delete(tmp, true)
+    (target, fs.getFileStatus(target).getLen)
+  }
+
   private def readCurrentMetadata(
       fs: org.apache.hadoop.fs.FileSystem,
       metaDir: Path): Option[(Int, ObjectNode)] = {
@@ -416,100 +566,6 @@ object IcebergExport {
     * Manifest IO is driver-side and manifest-bounded (exactly what an
     * Iceberg planner does); the data files scan distributed as usual.
     */
-  def readThroughIceberg(spark: SparkSession, tablePath: String): DataFrame = {
-    val table = new Path(tablePath)
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = table.getFileSystem(conf)
-    val metaDir = new Path(fs.makeQualified(table), "metadata")
-    val (_, md) = readCurrentMetadata(fs, metaDir).getOrElse(
-      throw new IllegalArgumentException(s"no Iceberg metadata under $tablePath"))
-    val snapId = md.get("current-snapshot-id").asLong()
-    val snapNode = md.get("snapshots").elements().asScala
-      .find(_.get("snapshot-id").asLong() == snapId)
-      .getOrElse(throw new IllegalStateException(s"snapshot $snapId missing"))
-    val listPath = new Path(snapNode.get("manifest-list").asText())
-
-    def avroRecords(p: Path): Seq[GenericRecord] = {
-      val r = new DataFileReader[GenericRecord](
-        new FsInput(p, conf), new GenericDatumReader[GenericRecord]())
-      try r.iterator().asScala.toVector finally r.close()
-    }
-
-    val manifests = avroRecords(listPath)
-      .map(m => new Path(m.get("manifest_path").toString))
-    val files = manifests.flatMap(avroRecords).flatMap { e =>
-      if (e.get("status").asInstanceOf[Int] == 2) None // DELETED
-      else {
-        val df = e.get("data_file").asInstanceOf[GenericRecord]
-        val part = df.get("partition").asInstanceOf[GenericRecord]
-        val pv = part.getSchema.getFields.asScala.map(f =>
-          f.name() -> Option(part.get(f.name())).map(_.toString)).toSeq
-        Some((df.get("file_path").toString, pv,
-          df.get("record_count").asInstanceOf[Long]))
-      }
-    }
-
-    // schema from the Iceberg metadata (id-keyed; names are logical)
-    val schemaNode = md.get("schemas").elements().asScala.next()
-    val fieldIds = schemaNode.get("fields").elements().asScala
-      .map(_.get("id").asInt()).toArray
-    val fields = schemaNode.get("fields").elements().asScala.map { f =>
-      StructField(f.get("name").asText(), f.get("type").asText() match {
-        case "boolean" => BooleanType
-        case "int" => IntegerType
-        case "long" => LongType
-        case "float" => FloatType
-        case "double" => DoubleType
-        case "string" => StringType
-        case "binary" => BinaryType
-        case "date" => DateType
-        case "timestamptz" => TimestampType
-        case "timestamp" => TimestampNTZType
-        case d if d.startsWith("decimal") =>
-          val Array(p, s) = d.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
-          DecimalType(p, s)
-        case other => throw new IllegalArgumentException(
-          s"readThroughIceberg does not cover type $other")
-      }, nullable = !f.get("required").asBoolean())
-    }.toArray
-    val partCols = md.get("partition-specs").elements().asScala.next()
-      .get("fields").elements().asScala.map(_.get("name").asText()).toSeq
-
-    // `schema.name-mapping.default` (the spec's mechanism for files without
-    // field ids): scan with the names the files actually carry, then
-    // restore the schema's logical names — what any Iceberg reader does
-    val fileNameOf: Map[Int, String] =
-      Option(md.get("properties"))
-        .flatMap(p => Option(p.get("schema.name-mapping.default")))
-        .map(nm => mapper.readTree(nm.asText()).elements().asScala.map { m =>
-          m.get("field-id").asInt() -> m.get("names").get(0).asText()
-        }.toMap)
-        .getOrElse(Map.empty)
-    val dataIdx = fields.indices.filterNot(i => partCols.contains(fields(i).name))
-    val dataSchema = StructType(dataIdx.map { i =>
-      fields(i).copy(name = fileNameOf.getOrElse(fieldIds(i), fields(i).name))
-    })
-    val restoreNames = dataIdx.map { i =>
-      col(dataSchema(dataIdx.indexOf(i)).name).as(fields(i).name)
-    }
-
-    val groups = files.groupBy(_._2).toSeq.sortBy(_._1.toString)
-    val parts = groups.map { case (pv, group) =>
-      val base = spark.read.schema(dataSchema).parquet(group.map(_._1): _*)
-        .select(restoreNames: _*)
-      pv.foldLeft(base) { case (d, (c, v)) =>
-        val dt = fields.find(_.name == c).get.dataType
-        // manifests store dates as epoch days (Iceberg's physical form)
-        val value = (dt, v) match {
-          case (DateType, Some(days)) =>
-            lit(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong)))
-          case (_, Some(x)) => lit(x).cast(dt)
-          case (_, None) => lit(null).cast(dt)
-        }
-        d.withColumn(c, value)
-      }
-    }
-    val unioned = parts.reduce(_ unionByName _)
-    unioned.select(fields.map(f => col(f.name)).toIndexedSeq: _*)
-  }
+  def readThroughIceberg(spark: SparkSession, tablePath: String): DataFrame =
+    graft.sources.IcebergRead.read(spark, tablePath)
 }

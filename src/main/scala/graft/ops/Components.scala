@@ -51,12 +51,18 @@ object Components {
     // lazy localCheckpoint: the signature aggregate below is the action
     // that materializes AND truncates each round — one job per round, not
     // an eager-checkpoint job plus a signature job
+    // DISK_ONLY checkpoint blocks: each round's edge set is read back
+    // exactly once (next round's shuffle), so caching it in unified memory
+    // buys nothing and competes with the very sorts/joins that need the
+    // heap — on the 2 GiB sf1 soak envelope that competition was the
+    // q66 spill-read OOM (r14 ledger)
+    val ckptLevel = StorageLevel.DISK_ONLY
     var e = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false, ckptLevel)
 
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.select(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
@@ -71,7 +77,8 @@ object Components {
       if (round > maxRounds)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxRounds rounds")
-      val next = smallStar(largeStar(e)).distinct().localCheckpoint(eager = false)
+      val next = smallStar(largeStar(e)).distinct()
+        .localCheckpoint(eager = false, ckptLevel)
       val nextSig = signature(next) // materializes next's checkpoint blocks
       // the previous round's blocks are dead weight once next is
       // materialized — without this, a long contraction holds EVERY

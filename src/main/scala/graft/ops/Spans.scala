@@ -82,12 +82,15 @@ object Spans {
       .filter(col("_h").isNotNull)
       .select(col("_id"), (col("_p0") + 1).cast("long").as("_pos"), col("_h"))
 
+    // the canonical-first struct is only needed under keepFirst — without
+    // it the duplicated-hash set is hash-only, halving the build side
+    val dupAggs = count(lit(1)).as("_cnt") +:
+      (if (keepFirst) Seq(min(struct(col("_id"), col("_pos"))).as("_first")) else Nil)
     val dup = postings
       .groupBy(col("_h"))
-      .agg(count(lit(1)).as("_cnt"),
-        min(struct(col("_id"), col("_pos"))).as("_first"))
+      .agg(dupAggs.head, dupAggs.tail: _*)
       .filter(col("_cnt") >= minCount)
-      .select(col("_h"), col("_first"))
+      .drop("_cnt")
 
     // merge-join, EXPLICITLY: the duplicated-hash set is unbounded (it
     // grows with corpus duplication), so a broadcast is never the
@@ -97,11 +100,15 @@ object Spans {
     // derives from postings' own groupBy(_h) exchange, so both join
     // branches hash-partition on _h and the postings exchange is reused.
     val joined = postings.join(dup.hint("merge"), Seq("_h"))
+    // project to (_id, _pos) BEFORE the per-document window: the span
+    // merge never looks at the hash (or the canonical struct) again, and
+    // this exchange+sort is the memory peak of the whole miner — narrow
+    // rows here are what fit the 2 GiB soak heap (r14 q98 OOM)
     val marked =
-      if (keepFirst)
+      (if (keepFirst)
         joined.filter(!(col("_id") === col("_first._id") &&
           col("_pos") === col("_first._pos")))
-      else joined
+      else joined).select(col("_id"), col("_pos"))
 
     val byDoc = Window.partitionBy(col("_id")).orderBy(col("_pos"))
     marked

@@ -624,6 +624,93 @@ private[graft] object DeltaQueries {
         .orderBy(col("_commit_version"), col("o_orderkey"), col("_change_type"))
     }),
 
+    // Full MERGE INTO (r15 — delta-spark's public matrix): one statement
+    // with conditional MATCHED DELETE + unconditional MATCHED UPDATE,
+    // conditional NOT MATCHED INSERT, and NOT MATCHED BY SOURCE
+    // DELETE + UPDATE — clause precedence, cardinality and per-branch
+    // values all reconstructed by the DuckDB replay over raw orders, so a
+    // wrong clause order or a leaked unmatched row hash-mismatches.
+    "q152_delta_merge" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      import graft.destinations.DeltaWrite.MergeClause
+      val tbl = tmp("graft-q152").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+      DeltaWrite.append(s, tbl, orders.repartition(4))                  // v1
+      // source: matched keys (%3=0) plus brand-new negative keys (%5=1)
+      val source = orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+          col("o_totalprice").as("tp"))
+        .unionByName(orders.filter(col("o_orderkey") % 5 === 1)
+          .select((-col("o_orderkey")).as("k"), col("o_custkey").as("ck"),
+            col("o_totalprice").as("tp")))
+      DeltaWrite.merge(s, tbl, source,
+        condition = "t.o_orderkey = s.k",
+        matched = Seq(
+          MergeClause.Delete(Some("t.o_totalprice >= 200000")),
+          MergeClause.Update(None, Map(
+            "o_totalprice" -> "t.o_totalprice + 1.0"))),
+        notMatched = Seq(
+          MergeClause.Insert(Some("s.tp < 50000"), Map(
+            "o_orderkey" -> "s.k", "o_custkey" -> "s.ck",
+            "o_totalprice" -> "s.tp"))),
+        notMatchedBySource = Seq(
+          MergeClause.SourceDelete(Some("t.o_totalprice < 1000")),
+          MergeClause.SourceUpdate(None, Map(
+            "o_custkey" -> "CAST(-1 AS BIGINT)"))))
+      graft.sources.DeltaLog.read(s, tbl)
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // CDF stream WITH initial snapshot (r15 — delta-spark default): no
+    // startingVersion, so the stream opens with the live state synthesized
+    // as `insert` rows AT the snapshot version, then tails changes from
+    // the durable offset across a restart. A reader that starts empty, or
+    // re-reads the snapshot on restart, changes rows or the batch count.
+    "q155_cdf_stream_snapshot" -> ((s, dir) => withStatePartitions(s, 8) {
+      import graft.destinations.DeltaWrite
+      val root = tmp("graft-q155")
+      val tbl = root.resolve("src").toString
+      val dst = root.resolve("dst").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType],
+        properties = Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaWrite.append(s, tbl, orders.filter(col("o_orderkey") < 3000))  // v1
+      DeltaWrite.delete(s, tbl, "o_orderkey % 10 = 0")                    // v2
+      val batches = new java.util.concurrent.atomic.AtomicInteger
+      def drain(): Unit = {
+        val stream = s.readStream.format("graft-delta")
+          .option("readChangeFeed", "true") // no startingVersion: snapshot start
+          .load(tbl)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("_change_type"), col("_commit_version"))
+        DeltaWrite.createIfAbsent(s, dst,
+          stream.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+        val q = stream.writeStream
+          .option("checkpointLocation", root.resolve("ck").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            if (!b.isEmpty) {
+              batches.incrementAndGet()
+              DeltaWrite.append(b.sparkSession, dst, b,
+                txn = Some(("q155", id))): Unit
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      drain() // snapshot-as-inserts (one batch: no file budget)
+      DeltaWrite.delete(s, tbl, "o_orderkey % 7 = 0")                     // v3
+      drain() // change tail from the durable offset (one batch)
+      graft.sources.DeltaLog.read(s, dst)
+        .withColumn("cdf_batches", lit(batches.get()))
+        .orderBy(col("_commit_version"), col("o_orderkey"), col("_change_type"))
+    }),
+
     // UniForm-style Iceberg export (r14 — public Iceberg Table Spec v2):
     // the Delta table's live state re-described as Iceberg metadata
     // (HadoopTables layout: versioned metadata.json + avro manifest list +
@@ -650,6 +737,67 @@ private[graft] object DeltaQueries {
         .filter(col("o_orderkey") < 5000)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           lit(iceVersion).as("iceberg_version"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // DV export via Iceberg position deletes (r15 — spec §delete-files):
+    // a deletion-vector table exports METADATA-ONLY (the DVs stay live, no
+    // purge/rewrite), the masked rows becoming position-delete files; the
+    // read-through path applies them, so a dropped or mis-scoped delete
+    // file resurrects rows and hash-mismatches the DuckDB replay. dv_live
+    // pins that the export really was rewrite-free.
+    "q153_iceberg_dv_export" -> ((s, dir) => {
+      import graft.destinations.{DeltaWrite, IcebergExport}
+      val tbl = tmp("graft-q153").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType],
+        properties = Map("delta.enableDeletionVectors" -> "true"))
+      DeltaWrite.append(s, tbl, orders.repartition(4))                 // v1
+      DeltaWrite.delete(s, tbl, "o_orderkey % 7 = 0")                  // v2: DVs
+      IcebergExport.export(s, tbl)
+      val dvLive = graft.sources.DeltaLog.snapshot(s, tbl)
+        .files.count(_.deletionVector.isDefined)
+      IcebergExport.readThroughIceberg(s, tbl)
+        .filter(col("o_orderkey") < 4000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit(dvLive > 0).as("dv_live"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Foreign-Iceberg source (r15): the table is read back through
+    // [[IcebergRead]] with SNAPSHOT SELECTION — the first export's
+    // snapshot-id, after the table moved on — exercising time travel over
+    // the snapshot list, name-mapping resolution and position-delete
+    // application in one pass. A reader that serves the CURRENT state (or
+    // skips the deletes) changes the rows.
+    "q154_iceberg_source" -> ((s, dir) => {
+      import graft.destinations.{DeltaWrite, IcebergExport}
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q154").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType],
+        properties = Map("delta.enableDeletionVectors" -> "true"))
+      DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 0).repartition(2))     // v1
+      DeltaWrite.delete(s, tbl, "o_orderkey % 10 = 0")                 // v2: DVs
+      IcebergExport.export(s, tbl)                                     // snap A
+      val fs = new org.apache.hadoop.fs.Path(tbl)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val snapA = IcebergRead.currentMetadata(fs,
+        new org.apache.hadoop.fs.Path(
+          fs.makeQualified(new org.apache.hadoop.fs.Path(tbl)), "metadata"))
+        .get("current-snapshot-id").asLong()
+      DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 1).repartition(2))     // v3
+      IcebergExport.export(s, tbl)                                     // snap B
+      IcebergRead.read(s, tbl,
+          IcebergRead.Options(snapshotId = Some(snapA)))
+        .filter(col("o_orderkey") < 5000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -932,6 +1080,56 @@ private[graft] object DeltaQueries {
     "q151_delta_genpart" ->
       """SELECT o_orderkey, o_totalprice, CAST(4 AS INT) AS files_scanned
          FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00'
+         ORDER BY o_orderkey""",
+
+    // every clause replayed from raw orders: matched %3=0 keys split on
+    // the 200k delete condition, unmatched target rows split on the 1k
+    // delete condition (else custkey=-1), negative-key inserts gated on
+    // tp<50000 — clause precedence is first-match-wins on both sides
+    "q152_delta_merge" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice
+           FROM orders WHERE o_orderkey % 3 = 0 AND o_totalprice < 200000
+           UNION ALL
+           SELECT o_orderkey, CAST(-1 AS BIGINT) AS o_custkey, o_totalprice
+           FROM orders WHERE o_orderkey % 3 <> 0 AND o_totalprice >= 1000
+           UNION ALL
+           SELECT -o_orderkey AS o_orderkey, o_custkey, o_totalprice
+           FROM orders WHERE o_orderkey % 5 = 1 AND o_totalprice < 50000)
+         ORDER BY o_orderkey""",
+
+    // snapshot-as-inserts at version 2, then the v3 delete's change rows;
+    // 2 batches = one snapshot drain + one tail drain (no re-reads)
+    "q155_cdf_stream_snapshot" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey < 3000 AND o_orderkey % 10 <> 0)
+         SELECT *, CAST(2 AS INT) AS cdf_batches FROM (
+           SELECT o_orderkey, o_totalprice,
+                  'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+           FROM base
+           UNION ALL
+           SELECT o_orderkey, o_totalprice,
+                  'delete' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
+           FROM base WHERE o_orderkey % 7 = 0)
+         ORDER BY _commit_version, o_orderkey, _change_type""",
+
+    // the delete-file layer must be row-invisible: live rows recomputed
+    // from raw orders; dv_live pins the metadata-only (rewrite-free) export
+    "q153_iceberg_dv_export" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(TRUE AS BOOLEAN) AS dv_live
+         FROM orders
+         WHERE o_orderkey % 7 <> 0 AND o_orderkey < 4000
+         ORDER BY o_orderkey""",
+
+    // snapshot A = evens minus the CoW-deleted %10 keys; later appends and
+    // the second export must be invisible to the snapshot-pinned read
+    "q154_iceberg_source" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0
+           AND o_orderkey < 5000
          ORDER BY o_orderkey""",
 
     // the Iceberg metadata layer must be state-invisible: the final Delta

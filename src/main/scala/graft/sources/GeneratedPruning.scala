@@ -19,6 +19,11 @@ import org.apache.spark.sql.types.DateType
   * queries (stats still prune per-file, but every partition's file list
   * is evaluated); with it the pruning is exact at the partition level.
   *
+  * PERIODIC shapes — `month(src)`, `day(src)`, `hour(src)` — are monotone
+  * only within one parent period (year / month / day); they derive
+  * two-sided bounds from a TWO-SIDED source range whose endpoints share
+  * the parent period (delta-spark derives the same shapes).
+  *
   * Soundness: derivation only looks at TOP-LEVEL conjuncts of the
   * predicate (an `Or` branch never contributes), only comparisons between
   * the source column and a literal, and derived bounds are widened to
@@ -32,22 +37,37 @@ import org.apache.spark.sql.types.DateType
 object GeneratedPruning {
 
   /** One derivable generated partition column: partition col `name`
-    * generated as `genSql` over source data column `source`.
+    * generated as `genSql` over source data column `source`. `guard` is
+    * None for a MONOTONE shape; for a PERIODIC shape it is the format of
+    * the parent-period expression (`year(%s)` for month, …) — g is
+    * non-decreasing only WITHIN one parent period, so range derivation
+    * additionally requires both endpoints to share the parent period.
     */
-  private final case class Derivable(name: String, source: String, genSql: String)
+  private final case class Derivable(
+      name: String, source: String, genSql: String, guard: Option[String])
 
   private def attrNames(e: Expression): Seq[String] = e.collect {
     case a: UnresolvedAttribute => a.name
   }
 
-  /** Monotone-shape whitelist over the PARSED generation expression. */
+  /** Monotone-shape whitelist over the PARSED generation expression. Every
+    * function argument standing in for the source must be the BARE
+    * attribute — `year(f(src))` with non-monotone f is a single-source,
+    * monotone-outer shape whose derived bound would be unsound.
+    */
   private def monotone(e: Expression): Boolean = e match {
     case Cast(_: UnresolvedAttribute, DateType, _, _) => true
     case f: UnresolvedFunction =>
       val name = f.nameParts.last.toLowerCase
       name match {
-        case "date_trunc" => f.arguments.sizeIs == 2
-        case "year" => f.arguments.sizeIs == 1
+        case "date_trunc" => f.arguments match {
+          case Seq(Literal(_, _), _: UnresolvedAttribute) => true
+          case _ => false
+        }
+        case "year" => f.arguments match {
+          case Seq(_: UnresolvedAttribute) => true
+          case _ => false
+        }
         case "substring" | "substr" => f.arguments match {
           case Seq(_: UnresolvedAttribute, Literal(pos, _), Literal(_, _)) =>
             pos == 1 // only a PREFIX is lexicographically monotone
@@ -56,6 +76,27 @@ object GeneratedPruning {
         case _ => false
       }
     case _ => false
+  }
+
+  /** Periodic-shape whitelist: `month`/`day`/`hour` of the bare source are
+    * non-decreasing within one parent period (year / month / day), so a
+    * TWO-SIDED source range whose endpoints share the parent period
+    * derives two-sided partition bounds (delta-spark derives the same
+    * shapes). Returns the parent-period guard format.
+    */
+  private def periodicGuard(e: Expression): Option[String] = e match {
+    case f: UnresolvedFunction =>
+      f.arguments match {
+        case Seq(_: UnresolvedAttribute) =>
+          f.nameParts.last.toLowerCase match {
+            case "month" => Some("year(%s)")
+            case "day" | "dayofmonth" => Some("date_trunc('MONTH', %s)")
+            case "hour" => Some("cast(%s as date)")
+            case _ => None
+          }
+        case _ => None
+      }
+    case _ => None
   }
 
   private def derivables(spark: SparkSession, s: DeltaLog.Snapshot): Seq[Derivable] =
@@ -67,9 +108,12 @@ object GeneratedPruning {
           try {
             val parsed = spark.sessionState.sqlParser.parseExpression(genSql)
             val srcs = attrNames(parsed).distinct
-            if (srcs.sizeIs == 1 && monotone(parsed) &&
+            val shape: Option[Option[String]] =
+              if (monotone(parsed)) Some(None)
+              else periodicGuard(parsed).map(Some(_))
+            if (srcs.sizeIs == 1 && shape.isDefined &&
                 !s.partitionColumns.contains(srcs.head))
-              Some(Derivable(p, srcs.head, genSql))
+              Some(Derivable(p, srcs.head, genSql, shape.get))
             else None
           } catch { case scala.util.control.NonFatal(_) => None }
         }
@@ -102,33 +146,67 @@ object GeneratedPruning {
       case a: UnresolvedAttribute => a.name.equalsIgnoreCase(d.source)
       case _ => false
     }
-    val derived = for {
-      d <- ds
-      c <- conjuncts(expr)
-      out <- {
-        val p = UnresolvedAttribute.quoted(d.name)
-        def ge(l: Literal) = applyGen(spark, d, l).map(GreaterThanOrEqual(p, _))
-        def le(l: Literal) = applyGen(spark, d, l).map(LessThanOrEqual(p, _))
-        def eq(l: Literal) = applyGen(spark, d, l).map(EqualTo(p, _))
-        c match {
-          case EqualTo(a, l: Literal) if isSrc(a, d) => eq(l)
-          case EqualTo(l: Literal, a) if isSrc(a, d) => eq(l)
-          case GreaterThan(a, l: Literal) if isSrc(a, d) => ge(l)
-          case GreaterThanOrEqual(a, l: Literal) if isSrc(a, d) => ge(l)
-          case LessThan(a, l: Literal) if isSrc(a, d) => le(l)
-          case LessThanOrEqual(a, l: Literal) if isSrc(a, d) => le(l)
-          case GreaterThan(l: Literal, a) if isSrc(a, d) => le(l) // l > src
-          case GreaterThanOrEqual(l: Literal, a) if isSrc(a, d) => le(l)
-          case LessThan(l: Literal, a) if isSrc(a, d) => ge(l)
-          case LessThanOrEqual(l: Literal, a) if isSrc(a, d) => ge(l)
-          case In(a, vs) if isSrc(a, d) && vs.forall(_.isInstanceOf[Literal]) =>
-            val mapped = vs.map(v => applyGen(spark, d, v.asInstanceOf[Literal]))
-            if (mapped.forall(_.isDefined)) Some(In(p, mapped.map(_.get).distinct))
-            else None
-          case _ => None
-        }
+    val cs = conjuncts(expr)
+    val derived = ds.flatMap { d =>
+      val p = UnresolvedAttribute.quoted(d.name)
+      def ge(l: Literal) = applyGen(spark, d, l).map(GreaterThanOrEqual(p, _))
+      def le(l: Literal) = applyGen(spark, d, l).map(LessThanOrEqual(p, _))
+      def eq(l: Literal) = applyGen(spark, d, l).map(EqualTo(p, _))
+      // equality/In derivation is sound for ANY deterministic g (the
+      // protocol requires generation expressions to be deterministic):
+      // src = l ⇒ g(src) = g(l), no monotonicity needed
+      val eqDerived = cs.flatMap {
+        case EqualTo(a, l: Literal) if isSrc(a, d) => eq(l)
+        case EqualTo(l: Literal, a) if isSrc(a, d) => eq(l)
+        case In(a, vs) if isSrc(a, d) && vs.forall(_.isInstanceOf[Literal]) =>
+          val mapped = vs.map(v => applyGen(spark, d, v.asInstanceOf[Literal]))
+          if (mapped.forall(_.isDefined)) Some(In(p, mapped.map(_.get).distinct))
+          else None
+        case _ => None
       }
-    } yield out
+      // range bounds: every conjunct bounding the source from below/above
+      // (strict bounds widen to non-strict before g is applied)
+      val los = cs.collect {
+        case GreaterThan(a, l: Literal) if isSrc(a, d) => l
+        case GreaterThanOrEqual(a, l: Literal) if isSrc(a, d) => l
+        case LessThan(l: Literal, a) if isSrc(a, d) => l
+        case LessThanOrEqual(l: Literal, a) if isSrc(a, d) => l
+      }
+      val his = cs.collect {
+        case LessThan(a, l: Literal) if isSrc(a, d) => l
+        case LessThanOrEqual(a, l: Literal) if isSrc(a, d) => l
+        case GreaterThan(l: Literal, a) if isSrc(a, d) => l
+        case GreaterThanOrEqual(l: Literal, a) if isSrc(a, d) => l
+      }
+      val rangeDerived = d.guard match {
+        case None =>
+          // monotone: each bound derives independently
+          los.flatMap(ge) ++ his.flatMap(le)
+        case Some(guardFmt) =>
+          // periodic: only a (lo, hi) PAIR sharing the parent period
+          // derives — g is non-decreasing within that period only. All
+          // conjuncts hold simultaneously, so every valid pair is sound.
+          for {
+            lo <- los
+            hi <- his
+            if samePeriod(spark, guardFmt, lo, hi)
+            bound <- ge(lo).toSeq ++ le(hi).toSeq
+          } yield bound
+      }
+      eqDerived ++ rangeDerived
+    }
     derived.foldLeft(expr)(And(_, _))
   }
+
+  /** True iff `guardFmt(lo)` and `guardFmt(hi)` evaluate equal and
+    * non-null — evaluated by Spark itself, driver-side, once per pair.
+    */
+  private def samePeriod(
+      spark: SparkSession, guardFmt: String, lo: Literal, hi: Literal): Boolean =
+    try {
+      val row = spark.sql(
+        s"SELECT (${guardFmt.format(lo.sql)}) <=> (${guardFmt.format(hi.sql)})" +
+          s" AND (${guardFmt.format(lo.sql)}) IS NOT NULL").head()
+      !row.isNullAt(0) && row.getBoolean(0)
+    } catch { case scala.util.control.NonFatal(_) => false }
 }

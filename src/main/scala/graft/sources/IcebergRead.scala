@@ -1,0 +1,428 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Reader for EXTERNAL Apache Iceberg v2 tables (public Table Spec,
+  * iceberg.apache.org/spec) in the filesystem-table ("HadoopTables")
+  * layout — not just this repo's own exports. Covers:
+  *
+  *   - metadata resolution via `version-hint.text` or the highest
+  *     `v<N>.metadata.json`;
+  *   - snapshot selection: current, by `snapshot-id`, or by timestamp
+  *     over the snapshot log (time travel);
+  *   - the snapshot's own `schema-id` (schema evolution: each snapshot
+  *     reads under the schema it was written with);
+  *   - column resolution by FIELD ID: `schema.name-mapping.default`
+  *     (hierarchical, covering nested struct/list/map levels) when
+  *     present, otherwise per-file parquet footer field ids — so renamed
+  *     columns resolve correctly across files written before/after the
+  *     rename;
+  *   - identity-transform partition specs (values injected from the
+  *     manifests for Hive-style files that omit the column, `coalesce`d
+  *     with the file's own column when present — Iceberg-written files
+  *     carry partition source columns);
+  *   - POSITION delete files (content=1): applied as a distributed
+  *     anti-join on (file_path, row position) for data files with
+  *     `data_seq <= delete_seq`;
+  *   - EQUALITY delete files (content=2): applied as null-safe anti-joins
+  *     over the delete file's `equality_ids` columns for data files with
+  *     `data_seq < delete_seq` (strict, per spec).
+  *
+  * Refused loudly: format-version 1, non-identity partition transforms,
+  * and types this engine has no equivalent for (uuid/fixed/time) —
+  * silently wrong rows are worse than an error for a lake reader.
+  *
+  * Scale: planning is metadata-bounded (manifest-list + manifest avro,
+  * driver-side — exactly what an Iceberg planner reads; plus one footer
+  * per data file ONLY when no name mapping exists). Data files scan
+  * distributed; delete application is a shuffle join bounded by delete
+  * size (small side broadcasts under AQE).
+  */
+object IcebergRead {
+
+  final case class Options(
+      snapshotId: Option[Long] = None,
+      asOfTimestampMs: Option[Long] = None)
+
+  private val mapper = new ObjectMapper()
+
+  // --------------------------------------------------------- schema parse
+
+  private def primitive(s: String): DataType = s match {
+    case "boolean" => BooleanType
+    case "int" => IntegerType
+    case "long" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "string" => StringType
+    case "binary" => BinaryType
+    case "date" => DateType
+    case "timestamptz" => TimestampType
+    case "timestamp" => TimestampNTZType
+    case d if d.startsWith("decimal") =>
+      val Array(p, sc) =
+        d.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
+      DecimalType(p, sc)
+    case other => throw new IllegalArgumentException(
+      s"Iceberg type '$other' has no engine equivalent (refusing rather " +
+        "than reading wrong rows)")
+  }
+
+  /** Iceberg type JSON → Spark type; struct fields carry their Iceberg id
+    * in metadata key `iceberg.id` (the resolution key for everything).
+    */
+  private def parseType(n: JsonNode): DataType =
+    if (n.isTextual) primitive(n.asText())
+    else n.get("type").asText() match {
+      case "struct" => StructType(n.get("fields").elements().asScala.map { f =>
+        StructField(f.get("name").asText(), parseType(f.get("type")),
+          nullable = !f.get("required").asBoolean(),
+          metadata = new MetadataBuilder()
+            .putLong("iceberg.id", f.get("id").asLong()).build())
+      }.toArray)
+      case "list" => ArrayType(parseType(n.get("element")),
+        containsNull = !Option(n.get("element-required")).exists(_.asBoolean()))
+      case "map" => MapType(parseType(n.get("key")), parseType(n.get("value")),
+        valueContainsNull = !Option(n.get("value-required")).exists(_.asBoolean()))
+      case other => throw new IllegalArgumentException(
+        s"Iceberg composite type '$other' not supported")
+    }
+
+  private def fieldId(f: StructField): Long = f.metadata.getLong("iceberg.id")
+
+  /** Strip resolution metadata for the final user-facing schema. */
+  private def clean(dt: DataType): DataType = dt match {
+    case st: StructType =>
+      StructType(st.fields.map(f =>
+        f.copy(dataType = clean(f.dataType), metadata = Metadata.empty)))
+    case ArrayType(et, n) => ArrayType(clean(et), n)
+    case MapType(k, v, n) => MapType(clean(k), clean(v), n)
+    case other => other
+  }
+
+  // --------------------------------------------- name-mapping physicalize
+
+  /** Rename every struct level to the FILE names per the hierarchical
+    * `schema.name-mapping.default` (first name = the name the files
+    * carry). Unmapped fields keep the schema name.
+    */
+  private def physicalize(st: StructType, mapping: Seq[JsonNode]): StructType = {
+    val byId: Map[Long, JsonNode] =
+      mapping.map(m => m.get("field-id").asLong() -> m).toMap
+    StructType(st.fields.map { f =>
+      byId.get(fieldId(f)) match {
+        case Some(m) =>
+          val fileName = m.get("names").get(0).asText()
+          f.copy(name = fileName,
+            dataType = physicalizeType(f.dataType, nestedOf(m)))
+        case None => f.copy(dataType = physicalizeType(f.dataType, Nil))
+      }
+    })
+  }
+
+  private def nestedOf(m: JsonNode): Seq[JsonNode] =
+    Option(m.get("fields")).map(_.elements().asScala.toSeq).getOrElse(Nil)
+
+  private def physicalizeType(dt: DataType, mapping: Seq[JsonNode]): DataType =
+    dt match {
+      case st: StructType => physicalize(st, mapping)
+      case ArrayType(et, n) =>
+        val elem = mapping.find(_.get("names").elements().asScala
+          .exists(_.asText() == "element"))
+        ArrayType(physicalizeType(et, elem.map(nestedOf).getOrElse(Nil)), n)
+      case MapType(k, v, n) =>
+        def sub(name: String) = mapping.find(_.get("names").elements().asScala
+          .exists(_.asText() == name)).map(nestedOf).getOrElse(Nil)
+        MapType(physicalizeType(k, sub("key")), physicalizeType(v, sub("value")), n)
+      case other => other
+    }
+
+  // ------------------------------------------------------------- metadata
+
+  private[graft] def currentMetadata(
+      fs: org.apache.hadoop.fs.FileSystem, metaDir: Path): ObjectNode = {
+    val hintPath = new Path(metaDir, "version-hint.text")
+    val mdPath =
+      if (fs.exists(hintPath)) {
+        val in = fs.open(hintPath)
+        val v = (try new String(in.readAllBytes(), "UTF-8") finally in.close()).trim.toInt
+        new Path(metaDir, s"v$v.metadata.json")
+      } else {
+        // foreign tables may lack the hint: highest v<N>.metadata.json
+        val re = "^v(\\d+)\\.metadata\\.json$".r
+        val versions = fs.listStatus(metaDir).toSeq.flatMap(_.getPath.getName match {
+          case re(v) => Some(v.toInt)
+          case _ => None
+        })
+        require(versions.nonEmpty, s"no Iceberg metadata under $metaDir")
+        new Path(metaDir, s"v${versions.max}.metadata.json")
+      }
+    val in = fs.open(mdPath)
+    try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
+  }
+
+  private def avroRecords(
+      conf: org.apache.hadoop.conf.Configuration, p: Path): Seq[GenericRecord] = {
+    val r = new DataFileReader[GenericRecord](
+      new FsInput(p, conf), new GenericDatumReader[GenericRecord]())
+    try r.iterator().asScala.toVector finally r.close()
+  }
+
+  /** Scheme/slash-normalized path so manifest-spelled and
+    * `_metadata.file_path`-spelled locations compare equal
+    * (`file:/x` == `file:///x`).
+    */
+  private def normPath(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+  // ------------------------------------------------------------ plan data
+
+  private final case class DataEntry(
+      path: String, partition: Seq[(String, Option[AnyRef])],
+      seq: Long)
+  private final case class DeleteEntry(
+      path: String, seq: Long, equalityIds: Seq[Int])
+
+  // ----------------------------------------------------------------- read
+
+  def read(
+      spark: SparkSession,
+      tablePath: String,
+      opts: Options = Options()): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    val metaDir = new Path(fs.makeQualified(table), "metadata")
+    val md = currentMetadata(fs, metaDir)
+    require(md.get("format-version").asInt() == 2,
+      s"only Iceberg format-version 2 is supported, got " +
+        s"${md.get("format-version").asInt()}")
+
+    // ---- snapshot selection
+    val snapshots = md.get("snapshots").elements().asScala.toSeq
+    val snapNode = (opts.snapshotId, opts.asOfTimestampMs) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "snapshotId and asOfTimestampMs cannot both be set")
+      case (Some(id), None) =>
+        snapshots.find(_.get("snapshot-id").asLong() == id).getOrElse(
+          throw new IllegalArgumentException(s"no Iceberg snapshot $id"))
+      case (None, Some(ts)) =>
+        val log = Option(md.get("snapshot-log"))
+          .map(_.elements().asScala.toSeq).getOrElse(Nil)
+        val at = log.filter(_.get("timestamp-ms").asLong() <= ts)
+        require(at.nonEmpty, s"no Iceberg snapshot at or before $ts")
+        val id = at.last.get("snapshot-id").asLong()
+        snapshots.find(_.get("snapshot-id").asLong() == id).getOrElse(
+          throw new IllegalStateException(s"snapshot-log points at missing $id"))
+      case (None, None) =>
+        val id = md.get("current-snapshot-id").asLong()
+        snapshots.find(_.get("snapshot-id").asLong() == id).getOrElse(
+          throw new IllegalStateException(s"current snapshot $id missing"))
+    }
+
+    // ---- schema (the snapshot's own schema-id: evolution-correct)
+    val schemaId = Option(snapNode.get("schema-id")).filterNot(_.isNull)
+      .map(_.asInt()).getOrElse(md.get("current-schema-id").asInt())
+    val schemaNode = md.get("schemas").elements().asScala
+      .find(s => Option(s.get("schema-id")).exists(_.asInt() == schemaId))
+      .getOrElse(throw new IllegalArgumentException(s"schema $schemaId missing"))
+    val logical = parseType(schemaNode).asInstanceOf[StructType]
+    val idToName: Map[Long, String] =
+      logical.fields.map(f => fieldId(f) -> f.name).toMap
+
+    // ---- partition spec: identity transforms only (refused otherwise)
+    val specId = md.get("default-spec-id").asInt()
+    val specNode = md.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt() == specId)
+      .getOrElse(throw new IllegalArgumentException(s"spec $specId missing"))
+    val partCols: Seq[String] = specNode.get("fields").elements().asScala.map { f =>
+      val transform = f.get("transform").asText()
+      require(transform == "identity",
+        s"partition transform '$transform' not supported (identity only)")
+      idToName.getOrElse(f.get("source-id").asLong(),
+        throw new IllegalArgumentException(
+          s"partition source-id ${f.get("source-id").asLong()} not in schema"))
+    }.toSeq
+
+    // ---- manifests
+    val listPath = new Path(snapNode.get("manifest-list").asText())
+    val manifestRecs = avroRecords(conf, listPath)
+    def manContent(m: GenericRecord): Int =
+      Option(m.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+    def entrySeq(e: GenericRecord, m: GenericRecord): Long =
+      Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(
+        Option(m.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L))
+
+    val dataEntries = Seq.newBuilder[DataEntry]
+    val posDeletes = Seq.newBuilder[DeleteEntry]
+    val eqDeletes = Seq.newBuilder[DeleteEntry]
+    manifestRecs.foreach { m =>
+      val mPath = new Path(m.get("manifest_path").toString)
+      avroRecords(conf, mPath).foreach { e =>
+        if (e.get("status").asInstanceOf[Int] != 2) { // not DELETED
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val content =
+            Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+          val seq = entrySeq(e, m)
+          val path = df.get("file_path").toString
+          (manContent(m), content) match {
+            case (0, 0) =>
+              val part = df.get("partition").asInstanceOf[GenericRecord]
+              val pv = part.getSchema.getFields.asScala.map(f =>
+                f.name() -> Option(part.get(f.name()))).toSeq
+              dataEntries += DataEntry(path, pv, seq)
+            case (_, 1) => posDeletes += DeleteEntry(path, seq, Nil)
+            case (_, 2) =>
+              val ids = Option(df.get("equality_ids"))
+                .map(_.asInstanceOf[java.util.Collection[Integer]]
+                  .asScala.map(_.intValue()).toSeq)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"equality delete $path carries no equality_ids"))
+              eqDeletes += DeleteEntry(path, seq, ids)
+            case (mc, dc) => throw new IllegalArgumentException(
+              s"unsupported manifest/content combination $mc/$dc for $path")
+          }
+        }
+      }
+    }
+    val data = dataEntries.result()
+    val pos = posDeletes.result()
+    val eqs = eqDeletes.result()
+    val needHelpers = pos.nonEmpty || eqs.nonEmpty
+
+    if (data.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        clean(logical).asInstanceOf[StructType])
+
+    // ---- column resolution: name mapping, else per-file footer field ids
+    val nameMapping: Option[Seq[JsonNode]] =
+      Option(md.get("properties"))
+        .flatMap(p => Option(p.get("schema.name-mapping.default")))
+        .map(nm => mapper.readTree(nm.asText()).elements().asScala.toSeq)
+
+    /** logical top-level name -> file name, for ONE data file. */
+    def footerRename(file: String): Map[String, String] = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf))
+      val msg = try r.getFooter.getFileMetaData.getSchema finally r.close()
+      val idToFile: Map[Long, String] = msg.getFields.asScala.flatMap(t =>
+        Option(t.getId).map(id => id.intValue().toLong -> t.getName)).toMap
+      logical.fields.flatMap(f =>
+        idToFile.get(fieldId(f)).map(f.name -> _)).toMap
+    }
+
+    // groups of files sharing (partition values, sequence number, rename):
+    // each group reads with one physical schema and one injected state
+    val grouped: Seq[(Seq[(String, Option[AnyRef])], Long, Map[String, String], Seq[String])] =
+      nameMapping match {
+        case Some(nm) =>
+          val phys = physicalize(logical, nm)
+          val rename = logical.fields.zip(phys.fields)
+            .map { case (lf, pf) => lf.name -> pf.name }.toMap
+          data.groupBy(d => (d.partition, d.seq)).toSeq
+            .sortBy(_._2.head.path)
+            .map { case ((pv, seq), g) => (pv, seq, rename, g.map(_.path)) }
+        case None =>
+          data.groupBy(d => (d.partition, d.seq, footerRename(d.path))).toSeq
+            .sortBy(_._2.head.path)
+            .map { case ((pv, seq, rn), g) => (pv, seq, rn, g.map(_.path)) }
+      }
+
+    val mappingForNested = nameMapping.getOrElse(Nil)
+    def scanSchemaFor(rename: Map[String, String]): StructType =
+      StructType(logical.fields.map { f =>
+        val nestedType = nameMapping match {
+          case Some(_) => physicalizeType(f.dataType, mappingForNested.find(
+            _.get("field-id").asLong() == fieldId(f)).map(nestedOf).getOrElse(Nil))
+          case None => f.dataType // nested names assumed stable without ids
+        }
+        f.copy(name = rename.getOrElse(f.name, f.name), dataType = nestedType)
+      })
+
+    val parts: Seq[DataFrame] = grouped.map { case (pv, seq, rename, paths) =>
+      val scanSchema = scanSchemaFor(rename)
+      val base0 = spark.read.schema(scanSchema).parquet(paths: _*)
+      // capture metadata columns against the scan relation itself
+      val base =
+        if (needHelpers)
+          base0.withColumn("_ib_file", col("_metadata.file_path"))
+            .withColumn("_ib_pos", col("_metadata.row_index"))
+        else base0
+      // restore logical names (struct casts rename nested levels by position)
+      val restored: Seq[Column] = logical.fields.toSeq.map { f =>
+        val fileName = rename.getOrElse(f.name, f.name)
+        col(quoteId(fileName)).cast(clean(f.dataType)).as(f.name)
+      } ++ (if (needHelpers) Seq(col("_ib_file"), col("_ib_pos"), lit(seq).as("_ib_seq"))
+            else Nil)
+      var dfr = base.select(restored: _*)
+      // identity partition values: Hive-style files omit the column (null
+      // after the scan), Iceberg-written files carry it — coalesce is
+      // exact for identity transforms (file value = partition value).
+      // Partition record fields are in SPEC order; the source column is
+      // the spec's source-id resolution, not the spec field's name.
+      pv.zipWithIndex.foreach { case ((_, raw), i) =>
+        val logicalName = partCols(i)
+        val dt = logical.fields.find(_.name == logicalName).map(f => clean(f.dataType))
+        dt.foreach { t =>
+          val value: Column = (t, raw) match {
+            case (DateType, Some(days: java.lang.Integer)) =>
+              lit(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.longValue())))
+            case (_, Some(x)) => lit(x.toString).cast(t)
+            case (_, None) => lit(null).cast(t)
+          }
+          dfr = dfr.withColumn(logicalName, coalesce(col(quoteId(logicalName)), value))
+        }
+      }
+      dfr
+    }
+    var out = parts.reduce(_ unionByName _)
+
+    // ---- position deletes: (path, pos) anti-join, data_seq <= delete_seq
+    if (pos.nonEmpty) {
+      val delSchema = StructType(Seq(
+        StructField("file_path", StringType), StructField("pos", LongType)))
+      val dels = pos.groupBy(_.seq).toSeq.map { case (seq, g) =>
+        spark.read.schema(delSchema).parquet(g.map(_.path): _*)
+          .withColumn("_del_seq", lit(seq))
+      }.reduce(_ unionByName _)
+        .select(normPath(col("file_path")).as("_del_file"),
+          col("pos").as("_del_pos"), col("_del_seq"))
+      out = out.join(dels,
+        normPath(col("_ib_file")) === col("_del_file") &&
+          col("_ib_pos") === col("_del_pos") &&
+          col("_ib_seq") <= col("_del_seq"),
+        "left_anti")
+    }
+
+    // ---- equality deletes: null-safe anti-join per delete file,
+    // applying only to data files with data_seq < delete_seq (spec)
+    eqs.sortBy(_.seq).foreach { e =>
+      val cols = e.equalityIds.map(id => idToName.getOrElse(id.toLong,
+        throw new IllegalArgumentException(
+          s"equality_id $id of ${e.path} not in schema")))
+      val delSchema = StructType(logical.fields.filter(f =>
+        cols.contains(f.name)).map(f => StructField(f.name, clean(f.dataType))))
+      val delDf = spark.read.schema(delSchema).parquet(e.path)
+        .select(cols.map(c => col(quoteId(c)).as(s"_del_$c")): _*)
+      val cond = cols.map(c => col(quoteId(c)) <=> col(s"_del_$c"))
+        .reduce(_ && _) && col("_ib_seq") < lit(e.seq)
+      out = out.join(delDf, cond, "left_anti")
+    }
+
+    if (needHelpers) out = out.drop("_ib_file", "_ib_pos", "_ib_seq")
+    out.select(logical.fields.toSeq.map(f => col(quoteId(f.name))): _*)
+  }
+
+  private def quoteId(name: String): String = s"`${name.replace("`", "``")}`"
+}

@@ -33,9 +33,12 @@ import graft.sources.DeltaLog
   *    the stream carries CHANGE rows (`_change_type` /
   *    `_commit_version` / `_commit_timestamp`) instead of table rows —
   *    each commit's changes via [[DeltaLog.readCdf]], commit-granular
-  *    admission (a commit's changes are indivisible), starting from
-  *    `startingVersion` or, by default, from new commits only (a change
-  *    stream has no initial snapshot: rows are not changes).
+  *    admission (a commit's changes are indivisible). By default the
+  *    stream STARTS WITH THE INITIAL SNAPSHOT synthesized as `insert`
+  *    rows at the snapshot's version/timestamp (delta-spark's behavior;
+  *    file-granular admission applies to that span), then tails changes;
+  *    `startingVersion` skips the snapshot and replays changes from the
+  *    given version.
   *  - **Rate limiting**: `maxFilesPerTrigger` caps the files admitted per
   *    micro-batch ([[SupportsAdmissionControl]]); one batch may span
   *    multiple commits. With `Trigger.AvailableNow`
@@ -108,10 +111,8 @@ final class DeltaTailSource(
     case (None, Some(ts)) =>
       Pos(DeltaLog.earliestVersionAtOrAfter(spark, tablePath, parseTs(spark, ts)),
         0, initial = false)
-    // CDF without startingVersion = new changes only (delta-spark default:
-    // a change stream has no "initial snapshot" — rows are not changes)
-    case (None, None) if readChangeFeed =>
-      Pos(startSnap.version + 1, 0, initial = false)
+    // with or without readChangeFeed, the default start is the initial
+    // snapshot (CDF synthesizes it as insert rows — delta-spark behavior)
     case (None, None) => Pos(startSnap.version, 0, initial = true)
     case (Some("latest"), _) => Pos(startSnap.version + 1, 0, initial = false)
     case (Some(v), _) => Pos(v.toLong, 0, initial = false)
@@ -172,6 +173,18 @@ final class DeltaTailSource(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(DeltaLog.lazySnapshot(spark, tablePath).meta.version)
 
+  /** Commit `v`'s authoritative timestamp (ICT when present, file mtime
+    * otherwise) — stamps synthesized snapshot-as-insert CDF rows.
+    */
+  private def commitTimeOf(v: Long): Long = {
+    val p = new Path(new Path(tablePath, "_delta_log"), f"$v%020d.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // checkpoint-cleaned commit: epoch 0 keeps replays deterministic
+    // (the version column still identifies the snapshot)
+    try DeltaLog.commitTimestampOf(fs, fs.getFileStatus(p))
+    catch { case _: java.io.FileNotFoundException => 0L }
+  }
+
   // --------------------------------------------------------- offset planning
 
   /** The adds of commit `v` that an append-only tail delivers, in log
@@ -195,12 +208,31 @@ final class DeltaTailSource(
     * the wall, so both always derive identical file sets.
     */
   private def advance(from: Pos, budget: Int, byteBudget: Long, cap: Long): Pos = {
-    // CDF mode is commit-granular: a commit's change rows are indivisible,
-    // so the budget counts COMMITS per batch (maxFilesPerTrigger caps the
-    // trigger's commit span) and the index half of the position stays 0
-    if (readChangeFeed)
-      return Pos(math.min(from.version + budget, cap + 1).max(from.version),
-        0, initial = false)
+    // CDF mode: the initial-snapshot span is FILE-granular (synthesized
+    // inserts slice like any snapshot read); the tail is COMMIT-granular —
+    // a commit's change rows are indivisible, so the budget counts commits
+    // there (maxFilesPerTrigger caps the trigger's commit span)
+    if (readChangeFeed) {
+      var pos = from
+      var left = budget
+      var moved = true
+      while (left > 0 && moved) {
+        moved = false
+        if (pos.initial) {
+          val files = snapshotFilesAt(pos.version)
+          val take = math.min(left, files.size - pos.index)
+          if (take > 0) { pos = pos.copy(index = pos.index + take); left -= take }
+          if (pos.index >= files.size) pos = Pos(pos.version + 1, 0, initial = false)
+          moved = true
+        } else if (pos.version <= cap) {
+          val take = math.min(left.toLong, cap + 1 - pos.version).toInt
+          pos = Pos(pos.version + take, 0, initial = false)
+          left -= take
+          moved = take > 0
+        }
+      }
+      return pos
+    }
     var pos = from
     var left = budget
     var bytesLeft = byteBudget
@@ -275,14 +307,35 @@ final class DeltaTailSource(
     val to = parsePos(end)
     if (readChangeFeed) {
       lastPlanned = Some(to)
-      val batch =
-        if (to.version <= from.version)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else DeltaLog.readCdf(spark, tablePath,
-          from.version - 1, Some(to.version - 1))
-          .select(schema.fieldNames.toIndexedSeq.map(
-            org.apache.spark.sql.functions.col): _*)
+      import org.apache.spark.sql.functions.{col, lit}
+      val pieces = Seq.newBuilder[DataFrame]
+      var pos = from
+      // initial-snapshot span: live rows synthesized as insert changes at
+      // the snapshot's version/timestamp (delta-spark's CDF stream start)
+      if (pos.initial && pos != to) {
+        val files = snapshotFilesAt(pos.version)
+        val upper =
+          if (to.initial && to.version == pos.version) to.index else files.size
+        val slice = files.slice(pos.index, upper)
+        if (slice.nonEmpty)
+          pieces += DeltaLog.readFiles(spark, tablePath, startSnap, slice)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(pos.version))
+            .withColumn("_commit_timestamp",
+              lit(new java.sql.Timestamp(commitTimeOf(pos.version))))
+        pos =
+          if (to.initial && to.version == pos.version) to
+          else Pos(pos.version + 1, 0, initial = false)
+      }
+      if (!pos.initial && !to.initial && to.version > pos.version)
+        pieces += DeltaLog.readCdf(spark, tablePath,
+          pos.version - 1, Some(to.version - 1))
+      val cols = schema.fieldNames.toIndexedSeq.map(col)
+      val batch = pieces.result() match {
+        case Seq() => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        case ps => ps.map(_.select(cols: _*)).reduce(_ unionByName _)
+      }
       return GraftShims.asStreamingDataFrame(spark, batch)
     }
     val files = IndexedSeq.newBuilder[DeltaLog.AddFile]

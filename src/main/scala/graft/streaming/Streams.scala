@@ -220,6 +220,35 @@ object Streams {
       }
       .start()
 
+  /** EXACTLY-ONCE streaming upsert into a REAL Delta table — the standard
+    * `foreachBatch` + `txnAppId` + MERGE recipe as one helper. Every
+    * micro-batch MERGEs by key ([[graft.destinations.DeltaWrite.upsert]]),
+    * and the commit carries a SetTransaction keyed on (`txnAppId`,
+    * batchId): a batch that LANDED in Delta but crashed before the
+    * engine's offset commit is recognized on replay (the recorded batch
+    * id is already at or past the replayed one) and SKIPPED — no lost
+    * rows, no double-applied batches, no extra table versions, even under
+    * crash-replay. Update output mode, the streaming-upsert contract.
+    */
+  def deltaUpsertSink(
+      df: DataFrame,
+      tablePath: String,
+      keys: Seq[String],
+      checkpointDir: String,
+      txnAppId: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val applied = graft.sources.DeltaLog.lazySnapshot(sp, tablePath)
+          .meta.txns.getOrElse(txnAppId, -1L)
+        if (batchId > applied && !batch.isEmpty)
+          graft.destinations.DeltaWrite.upsert(sp, tablePath, batch, keys,
+            txn = Some((txnAppId, batchId))): Unit
+      }
+      .start()
+
   /** Streaming append into a REAL Delta table (`foreachBatch` →
     * [[graft.destinations.DeltaWrite.append]]): each micro-batch is one
     * protocol commit, so any Delta reader tails the stream's output and

@@ -105,15 +105,39 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergExport.readThroughIceberg(spark, t).count() == 20L)
   }
 
-  test("live deletion vectors refuse export; compaction folds them and unblocks") {
+  test("live deletion vectors export as position-delete files: no rewrite, live rows only") {
     val t = tmpDir("ice-dv").resolve("t").toString
     DeltaWrite.createIfAbsent(spark, t, schema,
       properties = Map("delta.enableDeletionVectors" -> "true"))
     DeltaWrite.append(spark, t, rows(1, 50, "a").repartition(1))
+    val dataFilesBefore = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
     DeltaWrite.delete(spark, t, "id <= 10") // merge-on-read DV
-    val e = intercept[IllegalArgumentException](IcebergExport.export(spark, t))
-    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
-    DeltaWrite.compact(spark, t, targetFileBytes = 1L << 30) // folds the DV
+    // METADATA-ONLY: the DV-carrying table exports without any data rewrite
+    IcebergExport.export(spark, t)
+    assert(DeltaLog.snapshot(spark, t).files.map(_.path).toSet == dataFilesBefore,
+      "export must not rewrite data files")
+    assert(DeltaLog.snapshot(spark, t).files.exists(_.deletionVector.isDefined),
+      "the DV must still be live (no purge happened)")
+    // a position-delete parquet and a delete manifest exist in metadata/
+    val metaFiles = java.nio.file.Files.list(metaDir(t)).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(metaFiles.exists(f => f.startsWith("delete-") && f.endsWith(".parquet")),
+      metaFiles.mkString(","))
+    assert(metaFiles.exists(_.endsWith("-m1.avro")), metaFiles.mkString(","))
+    // the Iceberg read path applies the position deletes: live rows only
+    assert(IcebergExport.readThroughIceberg(spark, t)
+      .select("id").collect().map(_.getLong(0)).toSet == (11L to 50L).toSet)
+    // snapshot summary records the delete file counts
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      metaDir(t).resolve("version-hint.text")), "UTF-8").trim
+    val md = mapper.readTree(java.nio.file.Files.readAllBytes(
+      metaDir(t).resolve(s"v$hint.metadata.json")))
+    val cur = md.get("current-snapshot-id").asLong()
+    val snap = md.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == cur).get
+    assert(snap.get("summary").get("total-position-deletes").asText() == "10")
+    // compaction (copy-on-write fold) still round-trips identically
+    DeltaWrite.compact(spark, t, targetFileBytes = 1L << 30)
     IcebergExport.export(spark, t)
     assert(IcebergExport.readThroughIceberg(spark, t)
       .select("id").collect().map(_.getLong(0)).toSet == (11L to 50L).toSet)

@@ -85,15 +85,52 @@ class GeneratedPruningSpec extends SparkSpec {
     assert(back == ((41L to 60L).toSet + 1L))
   }
 
-  test("non-monotone or multi-source generation expressions derive nothing") {
-    val snapLike = StructType(Seq(
+  test("periodic month(ts): two-sided same-year range derives; one-sided and cross-year do not") {
+    import spark.implicits._
+    val t = tmpDir("gp-month").resolve("t").toString
+    val schema = StructType(Seq(
       StructField("ts", TimestampType),
       StructField("p_m", IntegerType, nullable = true,
-        metadata = genMeta("month(ts)")))) // month alone is NOT monotone
-    val t = tmpDir("gp-month").resolve("t").toString
-    DeltaWrite.createIfAbsent(spark, t, snapLike, partitionBy = Seq("p_m"))
+        metadata = genMeta("month(ts)")))) // periodic: monotone within a year
+    DeltaWrite.createIfAbsent(spark, t, schema, partitionBy = Seq("p_m"))
+    DeltaWrite.append(spark, t, Seq("2024-02-10", "2024-06-10", "2024-11-10")
+      .map(d => java.sql.Timestamp.valueOf(s"$d 00:00:00")).toDF("ts"))
     val snap = DeltaLog.snapshot(spark, t)
+    def kept(pred: String): Set[String] = {
+      val expr = GeneratedPruning.augment(spark, snap,
+        spark.sessionState.sqlParser.parseExpression(pred))
+      snap.files.filter(f => DeltaStats.mayMatch(snap, f, expr))
+        .flatMap(_.partitionValues.values).toSet
+    }
+    // one-sided: month is not monotone over an unbounded span — no pruning
     val e0 = spark.sessionState.sqlParser.parseExpression("ts >= '2024-06-01'")
+    assert(GeneratedPruning.augment(spark, snap, e0) eq e0)
+    // two-sided within one year: month(ts) ∈ [5, 7] prunes Feb and Nov
+    assert(kept("ts >= '2024-05-01' AND ts < '2024-07-15'") == Set("6"))
+    // two-sided across a year boundary: guard fails, nothing derives
+    // (Dec belongs to month 12 > Jan's 1 — a naive bound would be wrong)
+    assert(kept("ts >= '2023-12-01' AND ts < '2024-03-01'") == Set("2", "6", "11"))
+    // equality derives for ANY deterministic generation expression
+    assert(kept("ts = '2024-11-10 00:00:00'") == Set("11"))
+    // results stay exact through the derived conjuncts
+    val back = DeltaLog.readWhere(spark, t,
+      "ts >= '2024-05-01' AND ts < '2024-07-15'").count()
+    assert(back == 1L)
+  }
+
+  test("unsound shapes derive nothing: monotone-outer over non-monotone inner, multi-source") {
+    val t = tmpDir("gp-unsound").resolve("t").toString
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType),
+      // year(non-monotone f(ts)): single source, monotone OUTER — but the
+      // derived bound would be unsound; the whitelist requires the bare
+      // attribute as the function argument
+      StructField("p_y", IntegerType, nullable = true,
+        metadata = genMeta("year(date_add(ts, month(ts)))"))))
+    DeltaWrite.createIfAbsent(spark, t, schema, partitionBy = Seq("p_y"))
+    val snap = DeltaLog.snapshot(spark, t)
+    val e0 = spark.sessionState.sqlParser.parseExpression(
+      "ts >= '2024-06-01' AND ts < '2024-07-01'")
     assert(GeneratedPruning.augment(spark, snap, e0) eq e0)
   }
 

@@ -1,0 +1,272 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import graft.destinations.{DeltaWrite, IcebergExport}
+
+import scala.jdk.CollectionConverters._
+
+/** Foreign Iceberg v2 table reader ([[IcebergRead]]): snapshot selection,
+  * schema evolution by field id (per-file footer resolution, no name
+  * mapping), equality + position delete application with sequence-number
+  * rules, hierarchical name mapping for nested mapped exports, and loud
+  * refusal of unsupported transforms — over a hand-built spec-conformant
+  * fixture plus round trips through [[IcebergExport]].
+  */
+class IcebergReadSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+
+  private def fid(id: Long) =
+    new MetadataBuilder().putLong("parquet.field.id", id).build()
+
+  /** Write `rows` as ONE parquet file at exactly `target` (field ids from
+    * the schema's parquet.field.id metadata).
+    */
+  private def writeParquetFile(target: Path, schema: StructType, rows: Seq[Row]): Long = {
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(target.getParent, s"_tmp-${java.util.UUID.randomUUID()}")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet")).get
+    fs.mkdirs(target.getParent)
+    assert(fs.rename(part, target))
+    fs.delete(tmp, true)
+    fs.getFileStatus(target).getLen
+  }
+
+  private def writeManifest(
+      target: Path, entries: Seq[(String, Int, Long, Long, Option[Seq[Int]])]): Long = {
+    // entries: (file_path, data_file.content, record_count, seq, equality_ids)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val entrySchema = IcebergExport.manifestEntrySchema(Nil)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
+    w.create(entrySchema, fs.create(target, true))
+    try entries.foreach { case (path, content, rc, seq, eqIds) =>
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", content)
+      df.put("file_path", path)
+      df.put("file_format", "PARQUET")
+      df.put("partition", new GenericData.Record(partSchema))
+      df.put("record_count", rc)
+      df.put("file_size_in_bytes", 1L)
+      eqIds.foreach(ids => df.put("equality_ids",
+        new GenericData.Array[Integer](
+          dfSchema.getField("equality_ids").schema().getTypes.get(1),
+          ids.map(Integer.valueOf).asJava)))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", 1L)
+      e.put("sequence_number", seq)
+      e.put("file_sequence_number", seq)
+      e.put("data_file", df)
+      w.append(e)
+    } finally w.close()
+    fs.getFileStatus(target).getLen
+  }
+
+  private def writeManifestList(
+      target: Path, manifests: Seq[(String, Long, Int, Long)]): Unit = {
+    // manifests: (path, length, content, seq)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](IcebergExport.manifestFileSchema))
+    w.create(IcebergExport.manifestFileSchema, fs.create(target, true))
+    try manifests.foreach { case (p, len, content, seq) =>
+      val m = new GenericData.Record(IcebergExport.manifestFileSchema)
+      m.put("manifest_path", p)
+      m.put("manifest_length", len)
+      m.put("partition_spec_id", 0)
+      m.put("content", content)
+      m.put("sequence_number", seq)
+      m.put("min_sequence_number", seq)
+      m.put("added_snapshot_id", 1L)
+      m.put("added_files_count", 1)
+      m.put("existing_files_count", 0)
+      m.put("deleted_files_count", 0)
+      m.put("added_rows_count", 1L)
+      m.put("existing_rows_count", 0L)
+      m.put("deleted_rows_count", 0L)
+      w.append(m)
+    } finally w.close()
+  }
+
+  /** A hand-built two-snapshot foreign fixture:
+    *  - snapshot 1 (seq 1): two data files with FIELD IDS, one written
+    *    before a column rename (file spells `old_a`, id 1; current schema
+    *    spells `a`), no name mapping anywhere;
+    *  - snapshot 2 (seq 2): adds an equality delete on `b` (id 2) and a
+    *    position delete on file1's row 0.
+    * Returns (tableDir, snapshot1Id, ts1).
+    */
+  private def buildForeignFixture(name: String): (String, Long, Long) = {
+    val dir = tmpDir(name).toString
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val metaDir = new Path(fs.makeQualified(new Path(dir)), "metadata")
+    val dataDir = new Path(fs.makeQualified(new Path(dir)), "data")
+
+    val curSchema = StructType(Seq(
+      StructField("a", IntegerType, nullable = true, metadata = fid(1)),
+      StructField("b", StringType, nullable = true, metadata = fid(2))))
+    val oldSchema = StructType(Seq(
+      StructField("old_a", IntegerType, nullable = true, metadata = fid(1)),
+      StructField("b", StringType, nullable = true, metadata = fid(2))))
+
+    val f1 = new Path(dataDir, "file1.parquet")
+    writeParquetFile(f1, curSchema, Seq(Row(1, "x"), Row(2, "y")))
+    val f2 = new Path(dataDir, "file2.parquet") // pre-rename file
+    writeParquetFile(f2, oldSchema, Seq(Row(3, "x"), Row(4, "y")))
+
+    // deletes: equality on b='y' (removes a=2 and a=4), position (file1, 0)
+    // (removes a=1) — both at seq 2, applying to the seq-1 data files
+    val eqDel = new Path(dataDir, "eqdel.parquet")
+    writeParquetFile(eqDel,
+      StructType(Seq(StructField("b", StringType, nullable = true, metadata = fid(2)))),
+      Seq(Row("y")))
+    val posDel = new Path(dataDir, "posdel.parquet")
+    writeParquetFile(posDel, StructType(Seq(
+      StructField("file_path", StringType, nullable = false, metadata = fid(2147483546L)),
+      StructField("pos", LongType, nullable = false, metadata = fid(2147483545L)))),
+      Seq(Row(f1.toString, 0L)))
+
+    val m1 = new Path(metaDir, "m1.avro")
+    val m1len = writeManifest(m1, Seq(
+      (f1.toString, 0, 2L, 1L, None), (f2.toString, 0, 2L, 1L, None)))
+    val m2 = new Path(metaDir, "m2.avro")
+    val m2len = writeManifest(m2, Seq(
+      (eqDel.toString, 2, 1L, 2L, Some(Seq(2))),
+      (posDel.toString, 1, 1L, 2L, None)))
+
+    val l1 = new Path(metaDir, "snap-1.avro")
+    writeManifestList(l1, Seq((m1.toString, m1len, 0, 1L)))
+    val l2 = new Path(metaDir, "snap-2.avro")
+    writeManifestList(l2, Seq((m1.toString, m1len, 0, 1L), (m2.toString, m2len, 1, 2L)))
+
+    val ts1 = 1700000000000L
+    val ts2 = 1700000100000L
+    val md =
+      s"""{"format-version":2,"table-uuid":"${java.util.UUID.randomUUID()}",
+         |"location":"${fs.makeQualified(new Path(dir))}",
+         |"last-sequence-number":2,"last-updated-ms":$ts2,"last-column-id":2,
+         |"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[
+         |  {"id":1,"name":"a","required":false,"type":"int"},
+         |  {"id":2,"name":"b","required":false,"type":"string"}]}],
+         |"default-spec-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"last-partition-id":999,"default-sort-order-id":0,
+         |"sort-orders":[{"order-id":0,"fields":[]}],
+         |"properties":{"write.format.default":"parquet"},
+         |"current-snapshot-id":2,
+         |"snapshots":[
+         |  {"snapshot-id":1,"timestamp-ms":$ts1,"sequence-number":1,
+         |   "manifest-list":"$l1","schema-id":0,
+         |   "summary":{"operation":"append"}},
+         |  {"snapshot-id":2,"timestamp-ms":$ts2,"sequence-number":2,
+         |   "parent-snapshot-id":1,"manifest-list":"$l2","schema-id":0,
+         |   "summary":{"operation":"delete"}}],
+         |"snapshot-log":[
+         |  {"timestamp-ms":$ts1,"snapshot-id":1},
+         |  {"timestamp-ms":$ts2,"snapshot-id":2}],
+         |"metadata-log":[]}""".stripMargin
+    val out = fs.create(new Path(metaDir, "v1.metadata.json"), true)
+    try out.write(md.getBytes("UTF-8")) finally out.close()
+    // NO version-hint.text: exercises highest-vN discovery
+    (dir, 1L, ts1)
+  }
+
+  test("foreign fixture: field-id schema evolution, equality + position deletes, time travel") {
+    val (dir, snap1, ts1) = buildForeignFixture("iceread-foreign")
+    def vals(df: org.apache.spark.sql.DataFrame): Set[(Int, String)] =
+      df.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+
+    // current snapshot: eq delete removes b='y' (both files, seq 1 < 2);
+    // pos delete removes file1 row 0 (a=1). Only a=3 survives — and it
+    // comes from the PRE-RENAME file resolved by field id (old_a -> a)
+    val cur = IcebergRead.read(spark, dir)
+    assert(cur.schema.fieldNames.toSeq == Seq("a", "b"))
+    assert(vals(cur) == Set((3, "x")))
+
+    // snapshot 1 by id: no deletes yet, all four rows, rename resolved
+    val s1 = IcebergRead.read(spark, dir, IcebergRead.Options(snapshotId = Some(snap1)))
+    assert(vals(s1) == Set((1, "x"), (2, "y"), (3, "x"), (4, "y")))
+
+    // time travel by timestamp resolves through the snapshot log
+    val byTs = IcebergRead.read(spark, dir,
+      IcebergRead.Options(asOfTimestampMs = Some(ts1)))
+    assert(vals(byTs) == Set((1, "x"), (2, "y"), (3, "x"), (4, "y")))
+  }
+
+  test("non-identity partition transform refuses loudly") {
+    val (dir, _, _) = buildForeignFixture("iceread-transform")
+    // rewrite the spec with a bucket transform
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val mdPath = new Path(new Path(fs.makeQualified(new Path(dir)), "metadata"), "v1.metadata.json")
+    val in = fs.open(mdPath)
+    val md = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val hacked = md.replace(""""partition-specs":[{"spec-id":0,"fields":[]}]""",
+      """"partition-specs":[{"spec-id":0,"fields":[{"name":"a_bucket","transform":"bucket[4]","source-id":1,"field-id":1000}]}]""")
+    val out = fs.create(mdPath, true)
+    try out.write(hacked.getBytes("UTF-8")) finally out.close()
+    val e = intercept[IllegalArgumentException](IcebergRead.read(spark, dir))
+    assert(e.getMessage.contains("bucket[4]"), e.getMessage)
+  }
+
+  test("mapped Delta export with NESTED struct: hierarchical name mapping resolves nested fields") {
+    import spark.implicits._
+    val t = tmpDir("iceread-nested").resolve("t").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("info", StructType(Seq(
+        StructField("city", StringType),
+        StructField("zip", IntegerType))))))
+    DeltaWrite.createIfAbsent(spark, t, schema, columnMapping = true)
+    val rows = Seq((1L, ("berlin", 10115)), (2L, ("paris", 75001)))
+      .toDF("id", "info")
+    DeltaWrite.append(spark, t, rows)
+    IcebergExport.export(spark, t)
+    // nested fields under column mapping have PHYSICAL names in the files;
+    // a top-level-only mapping would read them as null
+    val back = IcebergRead.read(spark, t)
+      .selectExpr("id", "info.city", "info.zip")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(back == Set((1L, "berlin", 10115), (2L, "paris", 75001)))
+    // the exported mapping is hierarchical: the struct entry carries fields
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "metadata", "version-hint.text")), "UTF-8").trim
+    val md = mapper.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "metadata", s"v$hint.metadata.json")))
+    val nm = mapper.readTree(md.get("properties").get("schema.name-mapping.default").asText())
+    val infoEntry = nm.elements().asScala.find(e =>
+      e.get("names").elements().asScala.exists(_.asText() == "info")).get
+    assert(infoEntry.has("fields"), nm.toString)
+    assert(infoEntry.get("fields").size() == 2, nm.toString)
+  }
+
+  test("export round trip: snapshot selection over re-exports") {
+    val t = tmpDir("iceread-roundtrip").resolve("t").toString
+    val schema = StructType(Seq(StructField("id", LongType)))
+    DeltaWrite.createIfAbsent(spark, t, schema)
+    import spark.implicits._
+    DeltaWrite.append(spark, t, (1L to 5L).toDF("id"))
+    IcebergExport.export(spark, t)
+    val md1 = IcebergRead.currentMetadata(
+      new Path(t).getFileSystem(spark.sessionState.newHadoopConf()),
+      new Path(new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(new Path(t)), "metadata"))
+    val firstSnap = md1.get("current-snapshot-id").asLong()
+    DeltaWrite.append(spark, t, (6L to 10L).toDF("id"))
+    IcebergExport.export(spark, t)
+    assert(IcebergRead.read(spark, t).count() == 10L)
+    assert(IcebergRead.read(spark, t,
+      IcebergRead.Options(snapshotId = Some(firstSnap))).count() == 5L)
+  }
+}

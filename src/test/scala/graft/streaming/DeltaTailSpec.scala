@@ -247,6 +247,46 @@ class DeltaTailSpec extends SparkSpec {
     assert(ids(src).sorted == expected)
   }
 
+  test("readChangeFeed default: initial snapshot streams as insert rows, then changes") {
+    import org.apache.spark.sql.Row
+    val src = mkTable("tail-cdf-snap", props = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWrite.append(spark, src, rows(1, 10).repartition(2))          // v1
+    DeltaWrite.delete(spark, src, "id <= 2")                           // v2
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    val cp = tmpDir("tail-cdf-snap-cp").toString
+    def drainCdf(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("readChangeFeed", "true") // NO startingVersion: snapshot start
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rs = batch.select("id", "_change_type", "_commit_version").collect()
+          if (rs.nonEmpty) {
+            batches.incrementAndGet()
+            got.synchronized {
+              got ++= rs.map((r: Row) => (r.getLong(0), r.getString(1), r.getLong(2)))
+            }: Unit
+          }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drainCdf()
+    // snapshot at v2 = ids 3..10, synthesized as inserts AT the snapshot
+    // version; the 1-file budget slices the 2-file snapshot into 2 batches
+    assert(batches.get() == 2, s"got ${batches.get()}")
+    assert(got.toSet == (3L to 10L).map(i => (i, "insert", 2L)).toSet, got.toSet)
+    // post-snapshot commits stream as CHANGES from the durable offset
+    DeltaWrite.delete(spark, src, "id = 5")                            // v3
+    drainCdf()
+    assert(got.count(_ == ((5L, "delete", 3L))) == 1, got.toSeq)
+    assert(got.size == 9, got.toSeq) // 8 snapshot inserts + 1 delete change
+  }
+
   test("readChangeFeed streams the CDF commit-by-commit, matching the batch CDF read") {
     import org.apache.spark.sql.Row
     val src = mkTable("tail-cdf", props = Map("delta.enableChangeDataFeed" -> "true"))

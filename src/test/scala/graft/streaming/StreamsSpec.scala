@@ -342,6 +342,59 @@ class StreamsSpec extends SparkSpec {
       Seq("create", "upsert", "upsert"))
   }
 
+  test("deltaUpsertSink crash-replay: replayed batch is skipped — no dup/lost rows, no extra versions") {
+    import graft.destinations.DeltaWrite
+    import graft.sources.DeltaLog
+    import org.apache.spark.sql.types._
+    val root = tmpDir("delta-upsert-xo")
+    val src = root.resolve("in")
+    java.nio.file.Files.createDirectories(src)
+    val table = root.resolve("t").toString
+    val cp = root.resolve("ckpt")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("total", DoubleType)))
+    DeltaWrite.createIfAbsent(spark, table, schema)
+    import spark.implicits._
+    def drain(): Unit = {
+      val q = Streams.deltaUpsertSink(
+        Streams.fileSource(spark, src.toString, schema),
+        table, keys = Seq("user_id"), checkpointDir = cp.toString, txnAppId = "xo-test")
+      q.processAllAvailable()
+      q.stop()
+    }
+    Seq((1L, 10.0), (2L, 20.0)).toDF("user_id", "total")
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    drain()
+    // snapshot the checkpoint BEFORE batch 1 so we can roll the engine
+    // back to a "crashed after Delta commit, before offset commit" state
+    val cpCopy = root.resolve("ckpt-copy")
+    def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(from).forEach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+        else { java.nio.file.Files.createDirectories(dst.getParent)
+          java.nio.file.Files.copy(p, dst): Unit }
+      }
+    }
+    copyDir(cp, cpCopy)
+    Seq((2L, 25.0), (3L, 30.0)).toDF("user_id", "total")
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    drain() // batch 1 lands in Delta AND the engine checkpoint
+    val versionAfter = DeltaLog.snapshot(spark, table).version
+    def state() = DeltaLog.read(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state() == Map(1L -> 10.0, 2L -> 25.0, 3L -> 30.0))
+    // crash simulation: restore the PRE-batch-1 checkpoint; the restarted
+    // engine replays batch 1, but the SetTransaction bookmark says it
+    // already landed — the sink must skip it, committing NOTHING
+    org.apache.commons.io.FileUtils.deleteDirectory(cp.toFile)
+    copyDir(cpCopy, cp)
+    drain()
+    assert(state() == Map(1L -> 10.0, 2L -> 25.0, 3L -> 30.0), "replay changed rows")
+    assert(DeltaLog.snapshot(spark, table).version == versionAfter,
+      "replayed batch must not commit a new version")
+  }
+
   test("foreachBatch delta sink appends micro-batches as real Delta commits") {
     import graft.destinations.DeltaWrite
     import graft.sources.DeltaLog
