@@ -17,13 +17,6 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // AQE shuffles START finer than the parallelism and coalesce by
-      // byte size: big exchanges (posting-relation sorts, span windows)
-      // get 4× smaller per-task working sets — the difference between
-      // fitting and OOMing a tight heap at sf1 — while small exchanges
-      // coalesce right back, so task-count overhead stays flat
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus * 4).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

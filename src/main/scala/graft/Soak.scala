@@ -49,7 +49,7 @@ object Soak {
     // round 15: full MERGE, Iceberg DV export + foreign source read,
     // CDF snapshot-start stream — the new surfaces under 10× stats
     "q152_delta_merge", "q153_iceberg_dv_export", "q154_iceberg_source",
-    "q155_cdf_stream_snapshot")
+    "q155_cdf_stream_snapshot", "q156_iceberg_write")
 
   private def replicate(df: DataFrame, copies: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until copies).map(k => shift(df, k)).reduce(_ unionByName _)
@@ -92,6 +92,15 @@ object Soak {
     val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
     val artifact = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_r10.json")
     val spark = Sessions.local()
+    // tight-memory envelope knob (what a memory-constrained deployment
+    // sets): AQE shuffles start 4× finer than the parallelism and
+    // coalesce by byte size, so big exchanges get 4× smaller per-task
+    // working sets — the difference between fitting and OOMing the 2 GiB
+    // soak heap at sf1. Deliberately NOT in the default session: on a
+    // memory-rich box the extra map-output granularity costs ~25% on the
+    // shuffle-heavy pair miners for no benefit (measured, r15).
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      (spark.sparkContext.defaultParallelism * 4).toString)
     val t0 = System.nanoTime()
     buildSf1(spark, sf01, out)
     val buildSec = (System.nanoTime() - t0) / 1e9

@@ -67,7 +67,7 @@ object IcebergExport {
     * (Iceberg's own order); either way fresh ids (list/map elements)
     * start past the highest assigned id.
     */
-  private final class IdGen(startAfter: Int) {
+  private[graft] final class IdGen(startAfter: Int) {
     private var next = startAfter
     def id(f: StructField): Int =
       if (f.metadata.contains("delta.columnMapping.id"))
@@ -77,7 +77,7 @@ object IcebergExport {
     def max: Int = next
   }
 
-  private def icebergType(dt: DataType, ids: IdGen): Any =
+  private[graft] def icebergType(dt: DataType, ids: IdGen): Any =
     dt match {
       case BooleanType => "boolean"
       case ByteType | ShortType | IntegerType => "int"
@@ -228,7 +228,7 @@ object IcebergExport {
   /** Avro type + value converter for a PARTITION column (Delta partition
     * values are strings in the log; Iceberg manifests carry them typed).
     */
-  private def partitionAvro(dt: DataType): (String, String => AnyRef) = dt match {
+  private[graft] def partitionAvro(dt: DataType): (String, String => AnyRef) = dt match {
     case StringType => ("\"string\"", s => s)
     case LongType => ("\"long\"", s => java.lang.Long.valueOf(s))
     case ByteType | ShortType | IntegerType => ("\"int\"", s => java.lang.Integer.valueOf(s))

@@ -1,0 +1,314 @@
+package graft.destinations
+
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.sources.IcebergRead
+
+import scala.jdk.CollectionConverters._
+
+/** NATIVE Apache Iceberg v2 destination (public Table Spec,
+  * iceberg.apache.org/spec) in the filesystem-table ("HadoopTables")
+  * layout: create a table and append snapshots through the Iceberg
+  * metadata itself — the write-side complement of [[IcebergRead]], and a
+  * different thing from [[IcebergExport]] (which mirrors a Delta table's
+  * state; this owns the table).
+  *
+  * Append mechanics per the spec: data files (parquet, field ids stamped
+  * at every struct level from the schema's ids) land under `data/`; one
+  * new manifest lists them ADDED at the next sequence number; the new
+  * manifest list re-carries every prior manifest unchanged, so earlier
+  * snapshots stay readable (time travel) and planning stays incremental —
+  * an append touches ONLY its own manifest regardless of table size.
+  *
+  * Refused loudly: appending to a Delta-backed (UniForm-exported) table —
+  * its Iceberg metadata MIRRORS `_delta_log`, and a side-channel Iceberg
+  * commit would silently desync the two logs (write through the Delta
+  * path and re-export instead). Identity partition specs only, matching
+  * the reader.
+  *
+  * Scale: the commit is metadata-bounded (one manifest for the new files,
+  * one manifest-list rewrite linear in MANIFEST count, not file count);
+  * the data write is an ordinary distributed parquet write partitioned by
+  * the spec's columns. Record counts come from one footer read per new
+  * file (driver-side, bounded by the batch's file count).
+  */
+object IcebergWrite {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Create an empty native Iceberg v2 table (no snapshots yet). Field
+    * ids are assigned depth-first, Iceberg's own order.
+    */
+  def create(
+      spark: SparkSession,
+      tablePath: String,
+      schema: StructType,
+      partitionBy: Seq[String] = Nil): Unit = {
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in schema"))
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val qualified = fs.makeQualified(table)
+    val metaDir = new Path(qualified, "metadata")
+    require(!fs.exists(new Path(metaDir, "version-hint.text")),
+      s"Iceberg table already exists at $tablePath")
+    fs.mkdirs(metaDir)
+
+    val ids = new IcebergExport.IdGen(0)
+    val schemaNode = IcebergExport.icebergType(schema, ids).asInstanceOf[ObjectNode]
+    schemaNode.put("schema-id", 0)
+    val fieldIdOf: Map[String, Int] = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+
+    val md = mapper.createObjectNode()
+    md.put("format-version", 2)
+    md.put("table-uuid", java.util.UUID.randomUUID().toString)
+    md.put("location", qualified.toString)
+    md.put("last-sequence-number", 0L)
+    md.put("last-updated-ms", System.currentTimeMillis())
+    md.put("last-column-id", (fieldIdOf.values ++ Seq(ids.max)).max)
+    md.put("current-schema-id", 0)
+    md.putArray("schemas").add(schemaNode)
+    md.put("default-spec-id", 0)
+    val specNode = mapper.createObjectNode()
+    specNode.put("spec-id", 0)
+    val sf = specNode.putArray("fields")
+    partitionBy.zipWithIndex.foreach { case (c, i) =>
+      val f = sf.addObject()
+      f.put("name", c)
+      f.put("transform", "identity")
+      f.put("source-id", fieldIdOf(c))
+      f.put("field-id", 1000 + i)
+    }
+    md.putArray("partition-specs").add(specNode)
+    md.put("last-partition-id", if (partitionBy.isEmpty) 999 else 999 + partitionBy.size)
+    md.put("default-sort-order-id", 0)
+    val so = md.putArray("sort-orders").addObject()
+    so.put("order-id", 0)
+    so.putArray("fields")
+    md.putObject("properties").put("write.format.default", "parquet")
+    md.putArray("snapshots")
+    md.putArray("snapshot-log")
+    md.putArray("metadata-log")
+    writeMetadata(fs, metaDir, 1, md)
+  }
+
+  /** Append `df` as one new snapshot. Returns the new snapshot id. */
+  def append(spark: SparkSession, tablePath: String, df: DataFrame): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    val qualified = fs.makeQualified(table)
+    require(!fs.exists(new Path(qualified, "_delta_log")),
+      s"$tablePath is Delta-backed (UniForm export): an Iceberg-side append " +
+        "would desync the logs — write through Delta and re-export instead")
+    val metaDir = new Path(qualified, "metadata")
+    val md = IcebergRead.currentMetadata(fs, metaDir)
+    require(md.get("format-version").asInt() == 2, "format-version 2 required")
+
+    // ---- schema + spec from the CURRENT metadata
+    val csid = md.get("current-schema-id").asInt()
+    val schemaNode = md.get("schemas").elements().asScala
+      .find(s => Option(s.get("schema-id")).exists(_.asInt() == csid))
+      .getOrElse(throw new IllegalArgumentException(s"schema $csid missing"))
+    val logical = IcebergRead.parseType(schemaNode).asInstanceOf[StructType]
+    val idToName = logical.fields.map(f => IcebergRead.fieldId(f) -> f.name).toMap
+    val specId = md.get("default-spec-id").asInt()
+    val specNode = md.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt() == specId)
+      .getOrElse(throw new IllegalArgumentException(s"spec $specId missing"))
+    val partCols: Seq[String] = specNode.get("fields").elements().asScala.map { f =>
+      require(f.get("transform").asText() == "identity",
+        s"partition transform ${f.get("transform").asText()} not supported")
+      idToName(f.get("source-id").asLong())
+    }.toSeq
+
+    // ---- data write: cast to the table schema with field ids stamped at
+    // every struct level (Spark's writer emits them natively); identity
+    // partitions use partitionBy (Hive layout — Iceberg readers constant-
+    // fill identity source columns from the manifest partition tuple)
+    def stamp(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        f.copy(dataType = stamp(f.dataType),
+          metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("parquet.field.id", IcebergRead.fieldId(f)).build())
+      })
+      case ArrayType(et, n) => ArrayType(stamp(et), n)
+      case MapType(k, v, n) => MapType(stamp(k), stamp(v), n)
+      case other => other
+    }
+    val stamped = stamp(logical).asInstanceOf[StructType]
+    val out = df.select(stamped.fields.toIndexedSeq.map(f =>
+      col(s"`${f.name.replace("`", "``")}`")
+        .cast(f.dataType).as(f.name, f.metadata)): _*)
+    val tmp = new Path(qualified, s"_tmp-append-${java.util.UUID.randomUUID()}")
+    val writer = out.write.mode("overwrite")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(tmp.toString)
+
+    // collect written part files (+ their hive partition values), move
+    // them under data/ with fresh unique names
+    val dataDir = new Path(qualified, "data")
+    fs.mkdirs(dataDir)
+    val moved = Seq.newBuilder[(Path, Seq[(String, Option[String])], Long, Long)]
+    def walk(dir: Path, pv: Seq[(String, Option[String])]): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.contains("=")) {
+          val Array(k, v) = name.split("=", 2)
+          val dec = java.net.URLDecoder.decode(v, "UTF-8")
+          walk(st.getPath, pv :+ (k -> (if (dec == "__HIVE_DEFAULT_PARTITION__") None
+                                        else Some(dec))))
+        } else if (name.startsWith("part-") && name.endsWith(".parquet")) {
+          val target = new Path(dataDir, s"${java.util.UUID.randomUUID()}.parquet")
+          require(fs.rename(st.getPath, target), s"rename to $target failed")
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(target, conf))
+          val rc = try r.getRecordCount finally r.close()
+          moved += ((target, pv, rc, fs.getFileStatus(target).getLen))
+        }
+      }
+    walk(tmp, Nil)
+    fs.delete(tmp, true)
+    val files = moved.result()
+    val rows = files.map(_._3).sum
+
+    // ---- new manifest (ADDED entries at the next sequence number)
+    val prevSeq = md.get("last-sequence-number").asLong()
+    val sequence = prevSeq + 1
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
+    val partAvro = partCols.map { c =>
+      val dt = logical.fields.find(_.name == c).get.dataType
+      val (t, conv) = IcebergExport.partitionAvro(IcebergRead.clean(dt))
+      (c, t, conv)
+    }
+    val entrySchema = IcebergExport.manifestEntrySchema(
+      partAvro.zipWithIndex.map { case ((c, t, _), i) => (c, t, 1000 + i) })
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
+    val manifestPath = new Path(metaDir, s"${java.util.UUID.randomUUID()}-m0.avro")
+    val mw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    mw.setMeta("format-version", "2")
+    mw.setMeta("content", "data")
+    mw.setMeta("schema", schemaNode.toString)
+    mw.setMeta("partition-spec", specNode.get("fields").toString)
+    mw.setMeta("partition-spec-id", specId.toString)
+    mw.create(entrySchema, fs.create(manifestPath, true))
+    try files.foreach { case (p, pv, rc, len) =>
+      val part = new GenericData.Record(partSchema)
+      partAvro.foreach { case (c, _, conv) =>
+        val raw = pv.collectFirst { case (k, v) if k == c => v }.flatten
+        part.put(c, raw.map(conv).orNull)
+      }
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", 0)
+      d.put("file_path", p.toString)
+      d.put("file_format", "PARQUET")
+      d.put("partition", part)
+      d.put("record_count", rc)
+      d.put("file_size_in_bytes", len)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", sequence)
+      e.put("file_sequence_number", sequence)
+      e.put("data_file", d)
+      mw.append(e)
+    } finally mw.close()
+    val manifestLen = fs.getFileStatus(manifestPath).getLen
+
+    // ---- manifest list: prior manifests carried verbatim + the new one
+    val listPath = new Path(metaDir,
+      s"snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](IcebergExport.manifestFileSchema))
+    lw.setMeta("format-version", "2")
+    lw.setMeta("snapshot-id", snapshotId.toString)
+    lw.setMeta("sequence-number", sequence.toString)
+    lw.create(IcebergExport.manifestFileSchema, fs.create(listPath, true))
+    try {
+      val curSnapId = Option(md.get("current-snapshot-id")).filterNot(_.isNull)
+        .map(_.asLong()).filter(_ >= 0L)
+      curSnapId.foreach { id =>
+        val prior = md.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == id).get
+        val priorList = new Path(prior.get("manifest-list").asText())
+        val rd = new DataFileReader[GenericRecord](
+          new FsInput(priorList, conf), new GenericDatumReader[GenericRecord]())
+        try rd.iterator().asScala.foreach { rec =>
+          val m = new GenericData.Record(IcebergExport.manifestFileSchema)
+          IcebergExport.manifestFileSchema.getFields.asScala.foreach { f =>
+            m.put(f.name(), rec.get(f.name()) match {
+              case s: org.apache.avro.util.Utf8 => s.toString
+              case other => other
+            })
+          }
+          lw.append(m)
+        } finally rd.close()
+      }
+      val m = new GenericData.Record(IcebergExport.manifestFileSchema)
+      m.put("manifest_path", manifestPath.toString)
+      m.put("manifest_length", manifestLen)
+      m.put("partition_spec_id", specId)
+      m.put("content", 0)
+      m.put("sequence_number", sequence)
+      m.put("min_sequence_number", sequence)
+      m.put("added_snapshot_id", snapshotId)
+      m.put("added_files_count", files.size)
+      m.put("existing_files_count", 0)
+      m.put("deleted_files_count", 0)
+      m.put("added_rows_count", rows)
+      m.put("existing_rows_count", 0L)
+      m.put("deleted_rows_count", 0L)
+      lw.append(m)
+    } finally lw.close()
+
+    // ---- metadata: new snapshot appended, version bumped
+    val nowMs = System.currentTimeMillis()
+    md.put("last-sequence-number", sequence)
+    md.put("last-updated-ms", nowMs)
+    val snapNode = mapper.createObjectNode()
+    snapNode.put("snapshot-id", snapshotId)
+    Option(md.get("current-snapshot-id")).filterNot(_.isNull)
+      .map(_.asLong()).filter(_ >= 0L)
+      .foreach(p => snapNode.put("parent-snapshot-id", p): Unit)
+    snapNode.put("timestamp-ms", nowMs)
+    snapNode.put("sequence-number", sequence)
+    snapNode.put("manifest-list", listPath.toString)
+    snapNode.put("schema-id", csid)
+    val summary = snapNode.putObject("summary")
+    summary.put("operation", "append")
+    summary.put("added-data-files", files.size.toString)
+    summary.put("added-records", rows.toString)
+    md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+      .add(snapNode)
+    md.put("current-snapshot-id", snapshotId)
+    val sl = md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+      .addObject()
+    sl.put("timestamp-ms", nowMs)
+    sl.put("snapshot-id", snapshotId)
+
+    val hintPath = new Path(metaDir, "version-hint.text")
+    val in = fs.open(hintPath)
+    val v = (try new String(in.readAllBytes(), "UTF-8") finally in.close()).trim.toInt
+    writeMetadata(fs, metaDir, v + 1, md)
+    snapshotId
+  }
+
+  private def writeMetadata(
+      fs: org.apache.hadoop.fs.FileSystem, metaDir: Path,
+      version: Int, md: ObjectNode): Unit = {
+    val out = fs.create(new Path(metaDir, s"v$version.metadata.json"), true)
+    try out.write(md.toString.getBytes("UTF-8")) finally out.close()
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+  }
+}

@@ -14,6 +14,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *     rows stream through the driver via `toLocalIterator` (one partition in
   *     memory at a time, never a full collect). This mode trades scale for
   *     transactionality by design — same contract as the reference.
+  *     THROUGHPUT CEILING: one connection's insert rate (batched, but
+  *     serial) — right for dimension-sized loads that must be atomic;
+  *     `append` is the distributed scale path (one connection per
+  *     partition, no cross-partition transaction).
   */
 object Jdbc {
 

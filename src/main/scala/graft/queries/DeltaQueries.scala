@@ -624,6 +624,38 @@ private[graft] object DeltaQueries {
         .orderBy(col("_commit_version"), col("o_orderkey"), col("_change_type"))
     }),
 
+    // Native Iceberg DESTINATION (r15): the table is created and appended
+    // THROUGH the Iceberg metadata itself (no Delta log anywhere) —
+    // field-id-stamped parquet, per-append manifests, carried manifest
+    // lists — then read back via the foreign reader at the FIRST
+    // snapshot: a mis-carried manifest, bad partition tuple or wrong
+    // sequence number changes the rows vs the DuckDB replay.
+    "q156_iceberg_write" -> ((s, dir) => {
+      import graft.destinations.IcebergWrite
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q156").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      IcebergWrite.create(s, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType],
+        partitionBy = Seq("o_orderstatus"))
+      val snapA = IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 0).repartition(2))
+      IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 1).repartition(2))
+      val current = IcebergRead.read(s, tbl)
+        .filter(col("o_orderkey") < 3000)
+      val atA = IcebergRead.read(s, tbl,
+          IcebergRead.Options(snapshotId = Some(snapA)))
+        .filter(col("o_orderkey") < 3000)
+      current.withColumn("at_first_snapshot", lit(false))
+        .unionByName(atA.withColumn("at_first_snapshot", lit(true)))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("at_first_snapshot"))
+        .orderBy(col("at_first_snapshot"), col("o_orderkey"))
+    }),
+
     // Full MERGE INTO (r15 — delta-spark's public matrix): one statement
     // with conditional MATCHED DELETE + unconditional MATCHED UPDATE,
     // conditional NOT MATCHED INSERT, and NOT MATCHED BY SOURCE
@@ -1081,6 +1113,18 @@ private[graft] object DeltaQueries {
       """SELECT o_orderkey, o_totalprice, CAST(4 AS INT) AS files_scanned
          FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00'
          ORDER BY o_orderkey""",
+
+    // the Iceberg metadata layer must be state-invisible: current = all
+    // rows, first snapshot = evens only, both recomputed from raw orders
+    "q156_iceberg_write" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+                CAST(FALSE AS BOOLEAN) AS at_first_snapshot
+         FROM orders WHERE o_orderkey < 3000
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+                CAST(TRUE AS BOOLEAN) AS at_first_snapshot
+         FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 2 = 0
+         ORDER BY at_first_snapshot, o_orderkey""",
 
     // every clause replayed from raw orders: matched %3=0 keys split on
     // the 200k delete condition, unmatched target rows split on the 1k

@@ -81,7 +81,7 @@ object IcebergRead {
   /** Iceberg type JSON → Spark type; struct fields carry their Iceberg id
     * in metadata key `iceberg.id` (the resolution key for everything).
     */
-  private def parseType(n: JsonNode): DataType =
+  private[graft] def parseType(n: JsonNode): DataType =
     if (n.isTextual) primitive(n.asText())
     else n.get("type").asText() match {
       case "struct" => StructType(n.get("fields").elements().asScala.map { f =>
@@ -98,10 +98,10 @@ object IcebergRead {
         s"Iceberg composite type '$other' not supported")
     }
 
-  private def fieldId(f: StructField): Long = f.metadata.getLong("iceberg.id")
+  private[graft] def fieldId(f: StructField): Long = f.metadata.getLong("iceberg.id")
 
   /** Strip resolution metadata for the final user-facing schema. */
-  private def clean(dt: DataType): DataType = dt match {
+  private[graft] def clean(dt: DataType): DataType = dt match {
     case st: StructType =>
       StructType(st.fields.map(f =>
         f.copy(dataType = clean(f.dataType), metadata = Metadata.empty)))
@@ -225,9 +225,21 @@ object IcebergRead {
         snapshots.find(_.get("snapshot-id").asLong() == id).getOrElse(
           throw new IllegalStateException(s"snapshot-log points at missing $id"))
       case (None, None) =>
-        val id = md.get("current-snapshot-id").asLong()
-        snapshots.find(_.get("snapshot-id").asLong() == id).getOrElse(
-          throw new IllegalStateException(s"current snapshot $id missing"))
+        // a freshly created table has NO snapshot yet (-1 / absent):
+        // schema-true empty frame, not an error
+        val cur = Option(md.get("current-snapshot-id")).filterNot(_.isNull)
+          .map(_.asLong()).getOrElse(-1L)
+        if (cur < 0L) {
+          val csid = md.get("current-schema-id").asInt()
+          val sn = md.get("schemas").elements().asScala
+            .find(s => Option(s.get("schema-id")).exists(_.asInt() == csid))
+            .getOrElse(throw new IllegalArgumentException(s"schema $csid missing"))
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            clean(parseType(sn)).asInstanceOf[StructType])
+        }
+        snapshots.find(_.get("snapshot-id").asLong() == cur).getOrElse(
+          throw new IllegalStateException(s"current snapshot $cur missing"))
     }
 
     // ---- schema (the snapshot's own schema-id: evolution-correct)
