@@ -49,7 +49,8 @@ object Soak {
     // round 15: full MERGE, Iceberg DV export + foreign source read,
     // CDF snapshot-start stream — the new surfaces under 10× stats
     "q152_delta_merge", "q153_iceberg_dv_export", "q154_iceberg_source",
-    "q155_cdf_stream_snapshot", "q156_iceberg_write")
+    "q155_cdf_stream_snapshot", "q156_iceberg_write",
+    "q157_iceberg_eq_delete")
 
   private def replicate(df: DataFrame, copies: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until copies).map(k => shift(df, k)).reduce(_ unionByName _)

@@ -235,25 +235,7 @@ object IcebergWrite {
     lw.setMeta("sequence-number", sequence.toString)
     lw.create(IcebergExport.manifestFileSchema, fs.create(listPath, true))
     try {
-      val curSnapId = Option(md.get("current-snapshot-id")).filterNot(_.isNull)
-        .map(_.asLong()).filter(_ >= 0L)
-      curSnapId.foreach { id =>
-        val prior = md.get("snapshots").elements().asScala
-          .find(_.get("snapshot-id").asLong() == id).get
-        val priorList = new Path(prior.get("manifest-list").asText())
-        val rd = new DataFileReader[GenericRecord](
-          new FsInput(priorList, conf), new GenericDatumReader[GenericRecord]())
-        try rd.iterator().asScala.foreach { rec =>
-          val m = new GenericData.Record(IcebergExport.manifestFileSchema)
-          IcebergExport.manifestFileSchema.getFields.asScala.foreach { f =>
-            m.put(f.name(), rec.get(f.name()) match {
-              case s: org.apache.avro.util.Utf8 => s.toString
-              case other => other
-            })
-          }
-          lw.append(m)
-        } finally rd.close()
-      }
+      carryPriorManifests(lw, md, conf)
       val m = new GenericData.Record(IcebergExport.manifestFileSchema)
       m.put("manifest_path", manifestPath.toString)
       m.put("manifest_length", manifestLen)
@@ -301,6 +283,178 @@ object IcebergWrite {
     val v = (try new String(in.readAllBytes(), "UTF-8") finally in.close()).trim.toInt
     writeMetadata(fs, metaDir, v + 1, md)
     snapshotId
+  }
+
+  /** METADATA-ONLY DELETE via an Iceberg v2 EQUALITY delete file: every
+    * row of `values` (whose columns name the equality fields) marks all
+    * table rows equal on those columns as deleted — applying to data
+    * files with `data_seq < delete_seq` per the spec, i.e. everything
+    * committed so far; nulls match nulls. No data rewrite at any table
+    * size; the reader ([[IcebergRead]]) applies it as a null-safe
+    * anti-join. Returns the new snapshot id.
+    */
+  def deleteWhere(spark: SparkSession, tablePath: String, values: DataFrame): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    val qualified = fs.makeQualified(table)
+    require(!fs.exists(new Path(qualified, "_delta_log")),
+      s"$tablePath is Delta-backed (UniForm export): an Iceberg-side delete " +
+        "would desync the logs — write through Delta and re-export instead")
+    val metaDir = new Path(qualified, "metadata")
+    val md = IcebergRead.currentMetadata(fs, metaDir)
+    val csid = md.get("current-schema-id").asInt()
+    val schemaNode = md.get("schemas").elements().asScala
+      .find(s => Option(s.get("schema-id")).exists(_.asInt() == csid))
+      .getOrElse(throw new IllegalArgumentException(s"schema $csid missing"))
+    val logical = IcebergRead.parseType(schemaNode).asInstanceOf[StructType]
+    val byName = logical.fields.map(f => f.name -> f).toMap
+    val eqFields = values.columns.toSeq.map(c => byName.getOrElse(c,
+      throw new IllegalArgumentException(s"equality column $c not in table schema")))
+    require(eqFields.nonEmpty, "deleteWhere needs at least one equality column")
+
+    // the delete file: exactly the equality columns, field-id stamped
+    val delSchema = StructType(eqFields.map(f =>
+      StructField(f.name, IcebergRead.clean(f.dataType), nullable = true,
+        metadata = new MetadataBuilder()
+          .putLong("parquet.field.id", IcebergRead.fieldId(f)).build())))
+    val out = values.select(delSchema.fields.toIndexedSeq.map(f =>
+      col(s"`${f.name.replace("`", "``")}`")
+        .cast(f.dataType).as(f.name, f.metadata)): _*)
+    val tmp = new Path(qualified, s"_tmp-del-${java.util.UUID.randomUUID()}")
+    out.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath).find(p =>
+      p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no parquet part under $tmp"))
+    val dataDir = new Path(qualified, "data")
+    fs.mkdirs(dataDir)
+    val delPath = new Path(dataDir, s"eq-delete-${java.util.UUID.randomUUID()}.parquet")
+    require(fs.rename(part, delPath), s"rename to $delPath failed")
+    fs.delete(tmp, true)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(delPath, conf))
+    val delRows = try r.getRecordCount finally r.close()
+    val delLen = fs.getFileStatus(delPath).getLen
+
+    // delete manifest (content=1 in the list; data_file.content=2) with
+    // the equality ids; unpartitioned-scoped, so it applies table-wide
+    val prevSeq = md.get("last-sequence-number").asLong()
+    val sequence = prevSeq + 1
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
+    val entrySchema = IcebergExport.manifestEntrySchema(Nil)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val manifestPath = new Path(metaDir, s"${java.util.UUID.randomUUID()}-m1.avro")
+    val mw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    mw.setMeta("format-version", "2")
+    mw.setMeta("content", "deletes")
+    mw.create(entrySchema, fs.create(manifestPath, true))
+    try {
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", 2) // EQUALITY_DELETES
+      d.put("file_path", delPath.toString)
+      d.put("file_format", "PARQUET")
+      d.put("partition",
+        new GenericData.Record(dfSchema.getField("partition").schema()))
+      d.put("record_count", delRows)
+      d.put("file_size_in_bytes", delLen)
+      d.put("equality_ids", new GenericData.Array[Integer](
+        dfSchema.getField("equality_ids").schema().getTypes.get(1),
+        eqFields.map(f => Integer.valueOf(IcebergRead.fieldId(f).toInt)).asJava))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", sequence)
+      e.put("file_sequence_number", sequence)
+      e.put("data_file", d)
+      mw.append(e)
+    } finally mw.close()
+    val manifestLen = fs.getFileStatus(manifestPath).getLen
+
+    val listPath = new Path(metaDir,
+      s"snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](IcebergExport.manifestFileSchema))
+    lw.setMeta("format-version", "2")
+    lw.setMeta("snapshot-id", snapshotId.toString)
+    lw.setMeta("sequence-number", sequence.toString)
+    lw.create(IcebergExport.manifestFileSchema, fs.create(listPath, true))
+    try {
+      carryPriorManifests(lw, md, conf)
+      val m = new GenericData.Record(IcebergExport.manifestFileSchema)
+      m.put("manifest_path", manifestPath.toString)
+      m.put("manifest_length", manifestLen)
+      m.put("partition_spec_id", md.get("default-spec-id").asInt())
+      m.put("content", 1) // DELETES manifest
+      m.put("sequence_number", sequence)
+      m.put("min_sequence_number", sequence)
+      m.put("added_snapshot_id", snapshotId)
+      m.put("added_files_count", 1)
+      m.put("existing_files_count", 0)
+      m.put("deleted_files_count", 0)
+      m.put("added_rows_count", delRows)
+      m.put("existing_rows_count", 0L)
+      m.put("deleted_rows_count", 0L)
+      lw.append(m)
+    } finally lw.close()
+
+    val nowMs = System.currentTimeMillis()
+    md.put("last-sequence-number", sequence)
+    md.put("last-updated-ms", nowMs)
+    val snapNode = mapper.createObjectNode()
+    snapNode.put("snapshot-id", snapshotId)
+    Option(md.get("current-snapshot-id")).filterNot(_.isNull)
+      .map(_.asLong()).filter(_ >= 0L)
+      .foreach(p => snapNode.put("parent-snapshot-id", p): Unit)
+    snapNode.put("timestamp-ms", nowMs)
+    snapNode.put("sequence-number", sequence)
+    snapNode.put("manifest-list", listPath.toString)
+    snapNode.put("schema-id", csid)
+    val summary = snapNode.putObject("summary")
+    summary.put("operation", "delete")
+    summary.put("added-delete-files", "1")
+    summary.put("added-equality-deletes", delRows.toString)
+    md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+      .add(snapNode)
+    md.put("current-snapshot-id", snapshotId)
+    val sl = md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+      .addObject()
+    sl.put("timestamp-ms", nowMs)
+    sl.put("snapshot-id", snapshotId)
+
+    val hintPath = new Path(metaDir, "version-hint.text")
+    val in = fs.open(hintPath)
+    val v = (try new String(in.readAllBytes(), "UTF-8") finally in.close()).trim.toInt
+    writeMetadata(fs, metaDir, v + 1, md)
+    snapshotId
+  }
+
+  /** Re-emit every manifest of the current snapshot into `lw` unchanged —
+    * snapshots are cumulative manifest lists in this writer.
+    */
+  private def carryPriorManifests(
+      lw: DataFileWriter[GenericRecord],
+      md: ObjectNode,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val curSnapId = Option(md.get("current-snapshot-id")).filterNot(_.isNull)
+      .map(_.asLong()).filter(_ >= 0L)
+    curSnapId.foreach { id =>
+      val prior = md.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == id).get
+      val priorList = new Path(prior.get("manifest-list").asText())
+      val rd = new DataFileReader[GenericRecord](
+        new FsInput(priorList, conf), new GenericDatumReader[GenericRecord]())
+      try rd.iterator().asScala.foreach { rec =>
+        val m = new GenericData.Record(IcebergExport.manifestFileSchema)
+        IcebergExport.manifestFileSchema.getFields.asScala.foreach { f =>
+          m.put(f.name(), rec.get(f.name()) match {
+            case s: org.apache.avro.util.Utf8 => s.toString
+            case other => other
+          })
+        }
+        lw.append(m)
+      } finally rd.close()
+    }
   }
 
   private def writeMetadata(

@@ -656,6 +656,34 @@ private[graft] object DeltaQueries {
         .orderBy(col("at_first_snapshot"), col("o_orderkey"))
     }),
 
+    // Iceberg EQUALITY DELETE (r15): rows are deleted METADATA-ONLY — an
+    // equality-delete file + delete manifest, zero data rewrite — and the
+    // sequence rule is exercised: an append AFTER the delete re-admits
+    // the same key values untouched. A reader that drops the delete, or
+    // applies it to the later files, changes the rows vs the replay.
+    "q157_iceberg_eq_delete" -> ((s, dir) => {
+      import graft.destinations.IcebergWrite
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q157").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      IcebergWrite.create(s, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+      IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") < 4000).repartition(2))
+      // metadata-only delete of every key divisible by 5
+      IcebergWrite.deleteWhere(s, tbl,
+        orders.filter(col("o_orderkey") < 4000 && col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey")))
+      // later append: %5 keys in 4000..4999 must SURVIVE (seq rule)
+      IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") >= 4000 && col("o_orderkey") < 5000)
+          .repartition(1))
+      IcebergRead.read(s, tbl)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Full MERGE INTO (r15 — delta-spark's public matrix): one statement
     // with conditional MATCHED DELETE + unconditional MATCHED UPDATE,
     // conditional NOT MATCHED INSERT, and NOT MATCHED BY SOURCE
@@ -1112,6 +1140,14 @@ private[graft] object DeltaQueries {
     "q151_delta_genpart" ->
       """SELECT o_orderkey, o_totalprice, CAST(4 AS INT) AS files_scanned
          FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00'
+         ORDER BY o_orderkey""",
+
+    // the equality-delete layer must be row-invisible: keys < 4000 lose
+    // their %5 members, the post-delete 4000..4999 append keeps ALL keys
+    "q157_iceberg_eq_delete" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE (o_orderkey < 4000 AND o_orderkey % 5 <> 0)
+            OR (o_orderkey >= 4000 AND o_orderkey < 5000)
          ORDER BY o_orderkey""",
 
     // the Iceberg metadata layer must be state-invisible: current = all

@@ -48,7 +48,7 @@ class DeltaModelSpec extends SparkSpec {
       .repartition(1 + rnd.nextInt(2))
 
     (1 to 18).foreach { step =>
-      val op = rnd.nextInt(10)
+      val op = rnd.nextInt(12)
       op match {
         case 0 | 1 | 2 => // append
           val rows = fresh(1 + rnd.nextInt(120))
@@ -113,6 +113,38 @@ class DeltaModelSpec extends SparkSpec {
             case 2 =>
               DeltaWrite.vacuum(spark, table, retainMs = 0L)
               versions = Map.empty // tombstoned files gone: no more travel
+          }
+        case 10 | 11 => // full MERGE: conditional delete + update, insert, NMBS
+          import DeltaWrite.MergeClause
+          val updates = state.keys.toSeq.sorted
+            .filter(_ => rnd.nextDouble() < 0.25)
+            .map(k => (k, s"m$step-$k"))
+          val inserts = fresh(rnd.nextInt(30))
+          val srcRows = updates ++ inserts
+          if (srcRows.nonEmpty) {
+            val nmbs = rnd.nextBoolean()
+            val before = DeltaLog.snapshot(spark, table).version
+            val v = DeltaWrite.merge(spark, table, df(srcRows),
+              condition = "t.id = s.id",
+              matched = Seq(
+                MergeClause.Delete(Some("t.id % 7 = 0")),
+                MergeClause.Update(None, Map("v" -> "concat(s.v, '!')"))),
+              notMatched = Seq(MergeClause.Insert(None,
+                Map("id" -> "s.id", "v" -> "s.v"))),
+              notMatchedBySource =
+                if (!nmbs) Nil
+                else Seq(MergeClause.SourceUpdate(Some("t.id % 11 = 3"),
+                  Map("v" -> "concat(t.v, '~')"))))
+            val srcMap = srcRows.toMap
+            val matchedKeys = srcMap.keySet intersect state.keySet
+            state = state.filterNot { case (k, _) => matchedKeys(k) && k % 7 == 0 }
+            state = state.map { case (k, vv) =>
+              if (matchedKeys(k)) k -> (srcMap(k) + "!")
+              else if (nmbs && !srcMap.contains(k) && k % 11 == 3) k -> (vv + "~")
+              else k -> vv
+            }
+            state = state ++ srcRows.filterNot { case (k, _) => matchedKeys(k) }
+            if (v != before) versions += v -> state
           }
       }
 

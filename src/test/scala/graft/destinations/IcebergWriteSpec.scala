@@ -5,6 +5,8 @@ import org.apache.spark.sql.types._
 import graft.SparkSpec
 import graft.sources.IcebergRead
 
+import scala.jdk.CollectionConverters._
+
 /** Native Iceberg v2 destination ([[IcebergWrite]]): create + multi-append
   * through the Iceberg metadata itself, partition handling (incl. null
   * partitions), time travel over appended snapshots, field-id resolution
@@ -52,6 +54,36 @@ class IcebergWriteSpec extends SparkSpec {
     assert(back == Set((1L, Some("x")), (2L, Some("y")), (3L, None)))
     // partition pruning data intact under a filter
     assert(IcebergRead.read(spark, t).filter("p = 'x'").count() == 1L)
+  }
+
+  test("equality delete: metadata-only, null-safe, applies only to PRIOR sequence numbers") {
+    import spark.implicits._
+    val t = tmpDir("icew-eqdel").resolve("t").toString
+    IcebergWrite.create(spark, t, schema)
+    IcebergWrite.append(spark, t,
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(1L, "a", "x"), Row(2L, "b", "y"), Row(3L, "c", null)), 1), schema))
+    def parquetFiles(): Set[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(t, "data"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    val dataFilesBefore = parquetFiles()
+    // delete every row whose p is 'y' OR null (null matches null, per spec)
+    IcebergWrite.deleteWhere(spark, t,
+      Seq(Option("y"), Option.empty[String]).toDF("p"))
+    assert(IcebergRead.read(spark, t).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+    // metadata-only: the original data files are untouched, one
+    // equality-delete file was added
+    val after = parquetFiles()
+    assert(dataFilesBefore.subsetOf(after), s"$dataFilesBefore vs $after")
+    assert((after -- dataFilesBefore).sizeIs == 1, s"$dataFilesBefore vs $after")
+    // sequence rule: a LATER append of p='y' is untouched by the old delete
+    IcebergWrite.append(spark, t, rows((4, "d", "y")))
+    assert(IcebergRead.read(spark, t).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 4L))
   }
 
   test("appending to a Delta-backed (UniForm-exported) table refuses loudly") {
