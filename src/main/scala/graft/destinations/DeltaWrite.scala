@@ -1103,7 +1103,8 @@ object DeltaWrite {
       condition: String,
       matched: Seq[MergeClause] = Nil,
       notMatched: Seq[MergeClause.Insert] = Nil,
-      notMatchedBySource: Seq[MergeClause] = Nil): Long = {
+      notMatchedBySource: Seq[MergeClause] = Nil,
+      mergeSchema: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, expr, lit, when, max => smax, min => smin, sum}
     require(matched.forall(c =>
       c.isInstanceOf[MergeClause.Update] || c.isInstanceOf[MergeClause.Delete]),
@@ -1122,22 +1123,56 @@ object DeltaWrite {
       }
     }
     val ls = DeltaLog.lazySnapshot(spark, tablePath)
-    val snap = ls.meta
-    requireWritable(tablePath, snap, "merge",
+    val snap0 = ls.meta
+    requireWritable(tablePath, snap0, "merge",
       removesData = matched.nonEmpty || notMatchedBySource.nonEmpty)
-    val schemaCols = snap.schema.fieldNames.toIndexedSeq
-    (matched ++ notMatched ++ notMatchedBySource).foreach {
-      case MergeClause.Update(_, set) => set.keys.foreach(k =>
-        require(schemaCols.contains(k), s"SET column $k not in table"))
-      case MergeClause.SourceUpdate(_, set) => set.keys.foreach(k =>
-        require(schemaCols.contains(k), s"SET column $k not in table"))
-      case MergeClause.Insert(_, values) => values.keys.foreach(k =>
-        require(schemaCols.contains(k), s"INSERT column $k not in table"))
-      case _ => ()
-    }
+    val schemaCols = snap0.schema.fieldNames.toIndexedSeq
     def q(n: String) = s"`${n.replace("`", "``")}`"
     val src = source.cache()
     try {
+    // schema evolution (delta-spark autoMerge): SET/INSERT columns absent
+    // from the target become new NULLABLE columns — types inferred from
+    // the defining expression analyzed against the SOURCE (the expression
+    // cannot reference target columns: there is no target value to read)
+    val targeted: Seq[(String, String)] =
+      (matched ++ notMatched ++ notMatchedBySource).flatMap {
+        case MergeClause.Update(_, set) => set.toSeq
+        case MergeClause.SourceUpdate(_, set) => set.toSeq
+        case MergeClause.Insert(_, values) => values.toSeq
+        case _ => Nil
+      }
+    val existingLower = schemaCols.map(_.toLowerCase).toSet
+    val evolving = targeted.filterNot(kv => existingLower(kv._1.toLowerCase))
+    require(evolving.isEmpty || mergeSchema,
+      s"SET/INSERT columns not in table: ${evolving.map(_._1).distinct.mkString(", ")} " +
+        "(pass mergeSchema = true to evolve the schema)")
+    val newCols: Seq[StructField] = evolving.map(_._1).distinct.map { c =>
+      val dt = evolving.collect { case (`c`, e) => e }.view.flatMap { e =>
+        scala.util.Try(src.alias("s").selectExpr(e).schema.head.dataType).toOption
+      }.headOption.getOrElse(throw new IllegalArgumentException(
+        s"cannot infer the type of evolved column $c: its expression must " +
+          "be analyzable against the source alone (reference s.* only)"))
+      StructField(c, dt, nullable = true)
+    }
+    if (newCols.exists(f => containsVariant(f.dataType)))
+      require(snap0.protocol.exists(p =>
+          p.minWriterVersion >= 7 && p.writerFeatures.contains("variantType")),
+        s"cannot add a VARIANT column to $tablePath via merge schema " +
+          "evolution: set delta.feature.variantType=supported first")
+    val (snap, withMeta, metaCfg) =
+      if (newCols.isEmpty) (snap0, None, Map.empty[String, String])
+      else if (snap0.columnMappingMode == "none") {
+        val merged = StructType(snap0.schema.fields ++ newCols)
+        (snap0.copy(schema = merged),
+          Some((merged, snap0.partitionColumns)), snap0.configuration)
+      } else {
+        val (mappedNew, maxId) =
+          assignMapping(StructType(newCols), maxColumnId(snap0))
+        val merged = StructType(snap0.schema.fields ++ mappedNew.fields)
+        (snap0.copy(schema = merged),
+          Some((merged, snap0.partitionColumns)),
+          snap0.configuration + ("delta.columnMapping.maxColumnId" -> maxId.toString))
+      }
       // ---- candidate files: equality conjuncts `t.k = s.k` range-prune on
       // stats exactly like upsert; a NOT MATCHED BY SOURCE clause needs
       // every target row, so pruning is off then
@@ -1382,9 +1417,11 @@ object DeltaWrite {
           fieldIds = icebergCompatOn(snap))
       val adds = writeDataFiles(spark, new Path(tablePath), phys, physParts,
         statsExclude = matCols.toSet)
-      if (adds.isEmpty && touched.isEmpty && cdcs.isEmpty) return snap.version
+      if (adds.isEmpty && touched.isEmpty && cdcs.isEmpty && withMeta.isEmpty)
+        return snap.version
       commit(spark, new Path(tablePath), snap.version + 1, "MERGE",
-        withMeta = None, adds = adds, removes = touched.map(_.path),
+        withMeta = withMeta, adds = adds, removes = touched.map(_.path),
+        metaConfig = metaCfg,
         cdcs = cdcs, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap),
         crc = CrcPlan.Incremental(touched.map(_.size)),
         opParams = Seq("predicate" -> condition,

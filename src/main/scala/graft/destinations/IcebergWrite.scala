@@ -429,6 +429,52 @@ object IcebergWrite {
     snapshotId
   }
 
+  /** EXPIRE SNAPSHOTS (Iceberg maintenance): drop snapshots with
+    * `timestamp-ms < olderThanMs` (the current snapshot always survives),
+    * delete their manifest-list files, and prune the snapshot log. With
+    * this writer's cumulative manifest lists every MANIFEST (and every
+    * data/delete file) stays referenced by the current snapshot, so
+    * expiration frees exactly the expired lists and bounds the snapshot
+    * array — time travel to an expired snapshot then refuses. Returns the
+    * number of snapshots expired.
+    */
+  def expireSnapshots(
+      spark: SparkSession, tablePath: String, olderThanMs: Long): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    val metaDir = new Path(fs.makeQualified(table), "metadata")
+    val md = IcebergRead.currentMetadata(fs, metaDir)
+    val cur = Option(md.get("current-snapshot-id")).filterNot(_.isNull)
+      .map(_.asLong()).getOrElse(-1L)
+    val snaps = md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+    val keep = mapper.createArrayNode()
+    var expired = 0
+    snaps.elements().asScala.foreach { s =>
+      val id = s.get("snapshot-id").asLong()
+      if (id == cur || s.get("timestamp-ms").asLong() >= olderThanMs)
+        keep.add(s): Unit
+      else {
+        expired += 1
+        fs.delete(new Path(s.get("manifest-list").asText()), false): Unit
+      }
+    }
+    if (expired == 0) return 0
+    val keptIds = keep.elements().asScala.map(_.get("snapshot-id").asLong()).toSet
+    md.set[ObjectNode]("snapshots", keep)
+    val log = md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+    val keptLog = mapper.createArrayNode()
+    log.elements().asScala.foreach(e =>
+      if (keptIds(e.get("snapshot-id").asLong())) keptLog.add(e): Unit)
+    md.set[ObjectNode]("snapshot-log", keptLog)
+    md.put("last-updated-ms", System.currentTimeMillis())
+    val hintPath = new Path(metaDir, "version-hint.text")
+    val in = fs.open(hintPath)
+    val v = (try new String(in.readAllBytes(), "UTF-8") finally in.close()).trim.toInt
+    writeMetadata(fs, metaDir, v + 1, md)
+    expired
+  }
+
   /** Re-emit every manifest of the current snapshot into `lw` unchanged —
     * snapshots are cumulative manifest lists in this writer.
     */

@@ -86,6 +86,31 @@ class IcebergWriteSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(1L, 4L))
   }
 
+  test("expireSnapshots: old snapshots drop, their lists delete, current stays readable") {
+    val t = tmpDir("icew-expire").resolve("t").toString
+    IcebergWrite.create(spark, t, schema)
+    val snap1 = IcebergWrite.append(spark, t, rows((1, "a", "x")))
+    IcebergWrite.append(spark, t, rows((2, "b", "y")))
+    val listsBefore = java.nio.file.Files.list(java.nio.file.Paths.get(t, "metadata"))
+      .iterator().asScala.count(_.getFileName.toString.startsWith("snap-"))
+    assert(listsBefore == 2)
+    // expire everything older than now: snapshot 1 goes, current survives
+    val n = IcebergWrite.expireSnapshots(spark, t, System.currentTimeMillis() + 1)
+    assert(n == 1)
+    val listsAfter = java.nio.file.Files.list(java.nio.file.Paths.get(t, "metadata"))
+      .iterator().asScala.count(_.getFileName.toString.startsWith("snap-"))
+    assert(listsAfter == 1, "expired manifest list must be deleted")
+    // current state intact (cumulative manifests keep all data reachable)
+    assert(IcebergRead.read(spark, t).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+    // time travel to the expired snapshot refuses
+    intercept[IllegalArgumentException] {
+      IcebergRead.read(spark, t, IcebergRead.Options(snapshotId = Some(snap1)))
+    }
+    // idempotent: nothing more to expire
+    assert(IcebergWrite.expireSnapshots(spark, t, System.currentTimeMillis() + 1) == 0)
+  }
+
   test("appending to a Delta-backed (UniForm-exported) table refuses loudly") {
     val t = tmpDir("icew-delta").resolve("t").toString
     DeltaWrite.createIfAbsent(spark, t, schema)

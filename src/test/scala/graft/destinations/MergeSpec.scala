@@ -181,6 +181,43 @@ class MergeSpec extends SparkSpec {
     assert(!idsBefore.values.toSet.contains(after(9L)), "insert must mint a fresh id")
   }
 
+  test("schema evolution: new SET/INSERT columns widen the table; old rows null-fill") {
+    val t = mkTable("mg-evolve")
+    DeltaWrite.append(spark, t, rows((1, "a", 10), (2, "b", 20)))
+    // without the flag: refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.merge(spark, t, rows((1, "A", 0)), "t.id = s.id",
+        matched = Seq(MergeClause.Update(None, Map("tag" -> "s.v"))))
+    }
+    assert(e.getMessage.contains("mergeSchema"), e.getMessage)
+    // with it: `tag` (string, from s.v) and `score` (long) join the schema
+    DeltaWrite.merge(spark, t,
+      source = rows((1, "A", 7), (9, "I", 90)),
+      condition = "t.id = s.id",
+      matched = Seq(MergeClause.Update(None,
+        Map("v" -> "s.v", "tag" -> "upper(s.v)", "score" -> "s.n * 2"))),
+      notMatched = Seq(MergeClause.Insert(None,
+        Map("id" -> "s.id", "v" -> "s.v", "n" -> "s.n", "tag" -> "s.v"))),
+      mergeSchema = true)
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "v", "n", "tag", "score"))
+    val got = DeltaLog.read(spark, t)
+      .select("id", "v", "tag", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got == Set(
+      (1L, "A", Some("A"), Some(14L)),   // updated: both new cols set
+      (2L, "b", None, None),             // untouched-file row: null-filled
+      (9L, "I", Some("I"), None)))       // inserted: tag set, score absent
+    // an expression needing TARGET columns cannot define a new column
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWrite.merge(spark, t, rows((1, "x", 0)), "t.id = s.id",
+        matched = Seq(MergeClause.Update(None, Map("other" -> "t.v"))),
+        mergeSchema = true)
+    }
+    assert(e2.getMessage.contains("source alone"), e2.getMessage)
+  }
+
   test("insert-only merge races a whole-table reader: loser aborts (non-blind adds)") {
     val t = mkTable("mg-concurrency")
     DeltaWrite.append(spark, t, rows((1, "a", 10)))
