@@ -50,9 +50,16 @@ import scala.jdk.CollectionConverters._
   */
 object IcebergRead {
 
+  /** `where` is a plan-time pruning hint: its top-level conjuncts that
+    * reference ONLY identity partition columns eliminate whole partitions
+    * from the scan (what an Iceberg planner does with manifest partition
+    * tuples). It does NOT filter rows — apply the full predicate on the
+    * returned frame; pruning only removes files that cannot match.
+    */
   final case class Options(
       snapshotId: Option[Long] = None,
-      asOfTimestampMs: Option[Long] = None)
+      asOfTimestampMs: Option[Long] = None,
+      where: Option[String] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -307,10 +314,61 @@ object IcebergRead {
         }
       }
     }
-    val data = dataEntries.result()
+    val dataAll = dataEntries.result()
     val pos = posDeletes.result()
     val eqs = eqDeletes.result()
     val needHelpers = pos.nonEmpty || eqs.nonEmpty
+
+    // plan-time partition pruning: conjuncts of `where` that reference
+    // only partition columns eliminate whole partitions before any file
+    // is opened — evaluated by Spark itself over the DISTINCT partition
+    // tuples (metadata-bounded: one row per live partition)
+    val data = (opts.where, partCols) match {
+      case (Some(pred), pcs) if pcs.nonEmpty && dataAll.nonEmpty =>
+        val parsed = spark.sessionState.sqlParser.parseExpression(pred)
+        def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+            conjuncts(l) ++ conjuncts(r)
+          case other => Seq(other)
+        }
+        val pcSet = pcs.map(_.toLowerCase).toSet
+        val usable = conjuncts(parsed).filter(_.collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+        }.forall(n => pcSet(n.toLowerCase)))
+        if (usable.isEmpty) dataAll
+        else {
+          val types = pcs.map(c =>
+            clean(logical.fields.find(_.name == c).get.dataType))
+          // string-spelled tuple + a join key; the CASTs below convert to
+          // the real types with Spark's own semantics (dates arrive as
+          // epoch days in the manifests)
+          def strVals(pv: Seq[(String, Option[AnyRef])]): Seq[Option[String]] =
+            pv.zipWithIndex.map { case ((_, raw), i) =>
+              (types(i), raw) match {
+                case (DateType, Some(d: java.lang.Integer)) =>
+                  Some(java.time.LocalDate.ofEpochDay(d.longValue()).toString)
+                case (_, r) => r.map(_.toString)
+              }
+            }
+          def keyOf(vs: Seq[Option[String]]): String =
+            vs.map(_.getOrElse("\u0000null")).mkString("\u0001")
+          val tuples = dataAll.map(e => strVals(e.partition)).distinct
+          val strSchema = StructType(
+            pcs.map(c => StructField(c, StringType)) :+ StructField("_k", StringType))
+          val frame = spark.createDataFrame(
+            spark.sparkContext.parallelize(tuples.map(vs =>
+              org.apache.spark.sql.Row((vs.map(_.orNull) :+ keyOf(vs)): _*)), 1),
+            strSchema)
+            .select(pcs.zipWithIndex.map { case (c, i) =>
+              col(quoteId(c)).cast(types(i)).as(c) } :+ col("_k"): _*)
+          val keepSql = usable.map(_.sql).mkString(" AND ")
+          val kept = frame.filter(keepSql)
+            .select(col("_k")).collect().map(_.getString(0)).toSet
+          dataAll.filter(e => kept(keyOf(strVals(e.partition))))
+        }
+      case _ => dataAll
+    }
 
     if (data.isEmpty)
       return spark.createDataFrame(

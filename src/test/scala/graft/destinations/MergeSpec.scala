@@ -218,6 +218,25 @@ class MergeSpec extends SparkSpec {
     assert(e2.getMessage.contains("source alone"), e2.getMessage)
   }
 
+  test("schema evolution on a CDF table: change rows carry the evolved column") {
+    val t = mkTable("mg-evolve-cdf", props = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWrite.append(spark, t, rows((1, "a", 10)))
+    val v = DeltaWrite.merge(spark, t,
+      source = rows((1, "A", 7), (9, "I", 90)),
+      condition = "t.id = s.id",
+      matched = Seq(MergeClause.Update(None, Map("tag" -> "upper(s.v)"))),
+      notMatched = Seq(MergeClause.Insert(None,
+        Map("id" -> "s.id", "v" -> "s.v", "tag" -> "s.v"))),
+      mergeSchema = true)
+    val cdf = DeltaLog.readCdf(spark, t, v - 1, Some(v))
+      .select("id", "tag", "_change_type").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSet
+    assert(cdf == Set(
+      (1L, None, "update_preimage"),      // pre-image: column did not exist
+      (1L, Some("A"), "update_postimage"),
+      (9L, Some("I"), "insert")), cdf)
+  }
+
   test("insert-only merge races a whole-table reader: loser aborts (non-blind adds)") {
     val t = mkTable("mg-concurrency")
     DeltaWrite.append(spark, t, rows((1, "a", 10)))

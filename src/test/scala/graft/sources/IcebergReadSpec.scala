@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 import graft.SparkSpec
-import graft.destinations.{DeltaWrite, IcebergExport}
+import graft.destinations.{DeltaWrite, IcebergExport, IcebergWrite}
 
 import scala.jdk.CollectionConverters._
 
@@ -249,6 +249,47 @@ class IcebergReadSpec extends SparkSpec {
       e.get("names").elements().asScala.exists(_.asText() == "info")).get
     assert(infoEntry.has("fields"), nm.toString)
     assert(infoEntry.get("fields").size() == 2, nm.toString)
+  }
+
+  test("where option prunes whole partitions at PLAN time (pinned by a missing file)") {
+    val t = tmpDir("iceread-prune").resolve("t").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("p", StringType)))
+    IcebergWrite.create(spark, t, schema, partitionBy = Seq("p"))
+    import spark.implicits._
+    IcebergWrite.append(spark, t,
+      Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z")).toDF("id", "p"))
+    // pruning is result-invisible for rows the predicate keeps
+    val pruned = IcebergRead.read(spark, t,
+      IcebergRead.Options(where = Some("p = 'x' AND id >= 0")))
+      .filter("p = 'x'")
+    assert(pruned.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // the PIN: physically delete the 'z' partition's data file — a read
+    // pruned to p='x' must never touch it, an unpruned one fails loudly
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(t).getFileSystem(conf)
+    val md = IcebergRead.currentMetadata(fs,
+      new Path(fs.makeQualified(new Path(t)), "metadata"))
+    // find the z-file via an unpruned plan over the manifests: easier to
+    // just list data/ and probe each file for p values via footer-free
+    // read; instead read per-file with the pruner itself
+    val dataDir = java.nio.file.Paths.get(t, "data")
+    val files = java.nio.file.Files.list(dataDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val zFile = files.find { f =>
+      spark.read.parquet(f.toString).filter("id = 4").count() == 1
+    }.get
+    java.nio.file.Files.delete(zFile)
+    java.nio.file.Files.deleteIfExists(
+      zFile.getParent.resolve("." + zFile.getFileName.toString + ".crc")): Unit
+    // pruned: plans only the x partition — succeeds
+    assert(IcebergRead.read(spark, t,
+      IcebergRead.Options(where = Some("p = 'x'")))
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // unpruned: must fail on the missing file (proves the pin is real)
+    intercept[Exception] {
+      IcebergRead.read(spark, t).count()
+    }
   }
 
   test("export round trip: snapshot selection over re-exports") {
