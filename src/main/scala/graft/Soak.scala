@@ -50,7 +50,7 @@ object Soak {
     // CDF snapshot-start stream — the new surfaces under 10× stats
     "q152_delta_merge", "q153_iceberg_dv_export", "q154_iceberg_source",
     "q155_cdf_stream_snapshot", "q156_iceberg_write",
-    "q157_iceberg_eq_delete")
+    "q157_iceberg_eq_delete", "q158_delta_update")
 
   private def replicate(df: DataFrame, copies: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until copies).map(k => shift(df, k)).reduce(_ unionByName _)

@@ -1104,7 +1104,8 @@ object DeltaWrite {
       matched: Seq[MergeClause] = Nil,
       notMatched: Seq[MergeClause.Insert] = Nil,
       notMatchedBySource: Seq[MergeClause] = Nil,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false,
+      operation: String = "MERGE"): Long = {
     import org.apache.spark.sql.functions.{col, expr, lit, when, max => smax, min => smin, sum}
     require(matched.forall(c =>
       c.isInstanceOf[MergeClause.Update] || c.isInstanceOf[MergeClause.Delete]),
@@ -1200,9 +1201,33 @@ object DeltaWrite {
           }
         case _ => None
       }.filter { case (tc, _) => snap.schema.fieldNames.contains(tc) }
+      // conjuncts over TARGET columns only (t.x > 5) stats-prune files
+      // exactly like DELETE — the UPDATE-shaped merges live on this
+      val tOnlyPred: Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+        def stripT(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+          e.transform {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                if a.nameParts.length == 2 && a.nameParts.head.equalsIgnoreCase("t") =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+                Seq(a.nameParts.last))
+          }
+        val tOnly = conjuncts(parsed).filter { c =>
+          val attrs = c.collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a
+          }
+          attrs.nonEmpty && attrs.forall(a =>
+            a.nameParts.length == 2 && a.nameParts.head.equalsIgnoreCase("t") &&
+              snap.schema.fieldNames.exists(_.equalsIgnoreCase(a.nameParts.last)))
+        }
+        tOnly.map(stripT).reduceOption(
+          org.apache.spark.sql.catalyst.expressions.And(_, _))
+          .map(p => graft.sources.GeneratedPruning.augment(spark, snap, p))
+      }
+      def tOnlyKeep(f: DeltaLog.AddFile): Boolean =
+        tOnlyPred.forall(p => graft.sources.DeltaStats.mayMatch(snap, f, p))
       val candidates: Seq[DeltaLog.AddFile] =
         if (notMatchedBySource.nonEmpty) ls.filesWhere(_ => true)
-        else if (equiKeys.isEmpty) ls.filesWhere(_ => true)
+        else if (equiKeys.isEmpty) ls.filesWhere(tOnlyKeep)
         else {
           val keyTypes = equiKeys.map { case (tc, _) => tc -> snap.schema(tc).dataType }.toMap
           val aggs = equiKeys.flatMap { case (tc, sc) => Seq(
@@ -1213,7 +1238,7 @@ object DeltaWrite {
           val inMax = equiKeys.map { case (tc, _) => tc -> r.get(r.fieldIndex(s"_max_$tc")) }.toMap
           val inNull = equiKeys.map { case (tc, _) =>
             tc -> (r.getLong(r.fieldIndex(s"_null_$tc")) > 0L) }.toMap
-          ls.filesWhere(f => equiKeys.forall { case (tc, _) =>
+          ls.filesWhere(f => tOnlyKeep(f) && equiKeys.forall { case (tc, _) =>
             graft.sources.DeltaStats.mayContain(
               graft.sources.DeltaStats.interval(snap, f, tc), keyTypes(tc),
               inMin(tc), inMax(tc), inNull(tc)) })
@@ -1419,7 +1444,7 @@ object DeltaWrite {
         statsExclude = matCols.toSet)
       if (adds.isEmpty && touched.isEmpty && cdcs.isEmpty && withMeta.isEmpty)
         return snap.version
-      commit(spark, new Path(tablePath), snap.version + 1, "MERGE",
+      commit(spark, new Path(tablePath), snap.version + 1, operation,
         withMeta = withMeta, adds = adds, removes = touched.map(_.path),
         metaConfig = metaCfg,
         cdcs = cdcs, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap),
@@ -1430,6 +1455,41 @@ object DeltaWrite {
           "notMatchedBySourcePredicates" -> notMatchedBySource.size.toString),
         readScope = Some(Concurrency.ReadScope.Table))
     } finally src.unpersist()
+  }
+
+  /** `UPDATE <table> SET ... WHERE <predicate>` — delta-spark's UPDATE as
+    * a self-contained composition over the MERGE machinery: a one-row
+    * dummy source joins every predicate-matching target row exactly once,
+    * so the rewrite, CDF update_pre/postimages, row-id inheritance and
+    * Table-scope concurrency all come from one code path. The predicate
+    * (and any generated-column partition derivation over it) stats-prunes
+    * files before any read; only files that really hold matching rows
+    * rewrite. `set` values are SQL over the target's columns (bare names).
+    */
+  def update(
+      spark: SparkSession,
+      tablePath: String,
+      predicate: String,
+      set: Map[String, String]): Long = {
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    val snap = DeltaLog.lazySnapshot(spark, tablePath).meta
+    // qualify bare target-column references so the MERGE layer's t-only
+    // conjunct pruning sees them (and the dummy source can't shadow them)
+    def qualify(sql: String): String =
+      spark.sessionState.sqlParser.parseExpression(sql).transform {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.length == 1 && snap.schema.fieldNames
+              .exists(_.equalsIgnoreCase(a.name)) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq("t", a.nameParts.head))
+      }.sql
+    import spark.implicits._
+    merge(spark, tablePath,
+      source = Seq(1).toDF("_graft_one"),
+      condition = s"_graft_one = 1 AND (${qualify(predicate)})",
+      matched = Seq(MergeClause.Update(None,
+        set.map { case (k, v) => k -> qualify(v) })),
+      operation = "UPDATE")
   }
 
   /** Delete rows matching ALL `conditions` (empty ⇒ full overwrite), then

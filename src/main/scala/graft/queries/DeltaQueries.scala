@@ -656,6 +656,28 @@ private[graft] object DeltaQueries {
         .orderBy(col("at_first_snapshot"), col("o_orderkey"))
     }),
 
+    // UPDATE statement (r15): predicate-pruned in-place rewrite through
+    // the MERGE machinery — SET expressions over the target's own
+    // columns, CDF update images, only hit files rewritten. The DuckDB
+    // replay recomputes the post-update state from raw orders, so a
+    // leaked unmatched row or a wrong SET value hash-mismatches.
+    "q158_delta_update" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q158").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+      DeltaWrite.append(s, tbl, orders.repartition(4))
+      DeltaWrite.update(s, tbl,
+        "o_totalprice >= 100000 AND o_orderkey % 3 = 0",
+        Map("o_custkey" -> "CAST(-o_custkey AS BIGINT)",
+          "o_totalprice" -> "o_totalprice + 1.0"))
+      graft.sources.DeltaLog.read(s, tbl)
+        .filter(col("o_orderkey") < 6000)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Iceberg EQUALITY DELETE (r15): rows are deleted METADATA-ONLY — an
     // equality-delete file + delete manifest, zero data rewrite — and the
     // sequence rule is exercised: an append AFTER the delete re-admits
@@ -1140,6 +1162,17 @@ private[graft] object DeltaQueries {
     "q151_delta_genpart" ->
       """SELECT o_orderkey, o_totalprice, CAST(4 AS INT) AS files_scanned
          FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00'
+         ORDER BY o_orderkey""",
+
+    // the UPDATE layer must be value-exact: the replay applies the same
+    // SET arithmetic to exactly the predicate rows
+    "q158_delta_update" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_totalprice >= 100000 AND o_orderkey % 3 = 0
+                     THEN CAST(-o_custkey AS BIGINT) ELSE o_custkey END AS o_custkey,
+                CASE WHEN o_totalprice >= 100000 AND o_orderkey % 3 = 0
+                     THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+         FROM orders WHERE o_orderkey < 6000
          ORDER BY o_orderkey""",
 
     // the equality-delete layer must be row-invisible: keys < 4000 lose

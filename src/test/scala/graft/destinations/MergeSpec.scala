@@ -237,6 +237,30 @@ class MergeSpec extends SparkSpec {
       (9L, Some("I"), "insert")), cdf)
   }
 
+  test("UPDATE: predicate-pruned rewrite, CDF pre/postimages, untouched files intact") {
+    val t = mkTable("mg-update", props = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWrite.append(spark, t, rows((1, "a", 10), (2, "b", 20)).repartition(1))
+    DeltaWrite.append(spark, t, rows((1000, "z", 99)).repartition(1))
+    val before = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+    val v = DeltaWrite.update(spark, t, "n >= 20 AND id < 100",
+      Map("v" -> "concat(v, '+')", "n" -> "n * 10"))
+    assert(state(t) == Set((1L, "a", 10L), (2L, "b+", 200L), (1000L, "z", 99L)))
+    // stats pruning: the high-key file cannot match id < 100 — untouched
+    val after = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+    assert((before intersect after).size == 1, s"$before vs $after")
+    // history records the op as UPDATE; CDF carries pre/postimages
+    val hist = DeltaWrite.history(spark, t).filter(col("version") === v)
+      .select("operation").head().getString(0)
+    assert(hist == "UPDATE")
+    val cdf = DeltaLog.readCdf(spark, t, v - 1, Some(v))
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(cdf == Set(
+      (2L, "b", "update_preimage"), (2L, "b+", "update_postimage")), cdf)
+    // no-match update commits nothing
+    assert(DeltaWrite.update(spark, t, "id = -5", Map("v" -> "'x'")) == v)
+  }
+
   test("insert-only merge races a whole-table reader: loser aborts (non-blind adds)") {
     val t = mkTable("mg-concurrency")
     DeltaWrite.append(spark, t, rows((1, "a", 10)))
