@@ -114,6 +114,15 @@ class DeltaModelSpec extends SparkSpec {
               DeltaWrite.vacuum(spark, table, retainMs = 0L)
               versions = Map.empty // tombstoned files gone: no more travel
           }
+        case 10 | 11 if rnd.nextInt(3) == 0 => // UPDATE by modulus predicate
+          val m = 2 + rnd.nextInt(5)
+          val r = rnd.nextInt(m)
+          val before = DeltaLog.snapshot(spark, table).version
+          val v = DeltaWrite.update(spark, table, s"id % $m = $r",
+            Map("v" -> "concat(v, '*')"))
+          state = state.map { case (k, vv) =>
+            if (k % m == r) k -> (vv + "*") else k -> vv }
+          if (v != before) versions += v -> state
         case 10 | 11 => // full MERGE: conditional delete + update, insert, NMBS
           import DeltaWrite.MergeClause
           val updates = state.keys.toSeq.sorted
