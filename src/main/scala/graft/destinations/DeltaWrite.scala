@@ -68,7 +68,7 @@ object DeltaWrite {
       "variantType", "variantType-preview", "deletionVectors", "columnMapping",
       "identityColumns", "inCommitTimestamp", "v2Checkpoint",
       "rowTracking", "domainMetadata", "clusteredTable", "typeWidening",
-      "icebergCompatV2")
+      "icebergCompatV2", "allowColumnDefaults")
 
   /** delta.enableIcebergCompatV2: data files carry Iceberg field ids (the
     * column-mapping ids, stamped as parquet field ids at write), so an
@@ -248,6 +248,59 @@ object DeltaWrite {
     StructField(name, org.apache.spark.sql.types.LongType, nullable = true,
       metadata = md)
   }
+
+  // ------------------------------------------------------- column defaults
+
+  /** Fields carrying a column DEFAULT — Delta writer feature
+    * `allowColumnDefaults`: the SQL expression in the field's
+    * `CURRENT_DEFAULT` metadata key (the protocol's key, shared with
+    * Spark's own default-column machinery) fills the column whenever an
+    * insert-shaped write does not provide it. The protocol permits
+    * defaults only at CREATE or on an EXISTING column (never ADD COLUMN
+    * WITH DEFAULT), so no read path ever consults them — old files always
+    * physically contain the column.
+    */
+  private def defaultFields(schema: StructType) =
+    schema.fields.filter(_.metadata.contains("CURRENT_DEFAULT"))
+
+  private def defaultSqlOf(f: StructField): String =
+    f.metadata.getString("CURRENT_DEFAULT")
+
+  /** Build a defaulted StructField for [[createIfAbsent]] — `defaultSql`
+    * must be literal-foldable (no column references): every conforming
+    * writer has to reproduce the value with no row context.
+    */
+  def defaultField(
+      name: String, dataType: org.apache.spark.sql.types.DataType,
+      defaultSql: String, nullable: Boolean = true): StructField =
+    StructField(name, dataType, nullable,
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("CURRENT_DEFAULT", defaultSql).build())
+
+  /** Validate every default in `schema`: no column references (the
+    * expression must evaluate without a row), no stacking on
+    * generated/identity columns (each already dictates the value), and
+    * analyzable + castable to the column type — proven once here so a bad
+    * default fails the DDL, not some later insert.
+    */
+  private def validateDefaults(spark: SparkSession, schema: StructType): Unit =
+    defaultFields(schema).foreach { f =>
+      require(!f.metadata.contains("delta.generationExpression") &&
+          !f.metadata.contains("delta.identity.start"),
+        s"column ${f.name}: a DEFAULT cannot combine with a generated or " +
+          "identity column — both already dictate the value")
+      val sql = defaultSqlOf(f)
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      require(!parsed.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute]),
+        s"column ${f.name}: DEFAULT must be literal-foldable (no column " +
+          s"references), got: $sql")
+      // analyzability + cast-to-type proven against a one-row frame
+      spark.range(1)
+        .select(org.apache.spark.sql.functions.expr(sql).cast(f.dataType))
+        .queryExecution.analyzed
+      ()
+    }
 
   /** Honor the table's identity columns on an append: columns the incoming
     * frame LACKS are generated as `hwm + step·(1..n)` in the frame's
@@ -446,6 +499,12 @@ object DeltaWrite {
       out = out.filter(assert_true(cond, lit(msg)).isNull)
     if (schemaObligations) {
       val present = df.schema.fieldNames.map(_.toLowerCase).toSet
+      // column DEFAULTs first: a generated column or invariant may read
+      // the defaulted column, so it must exist before those evaluate.
+      // Explicit values always win (the column being present skips the
+      // fill); rewrite paths read the full schema, so this is insert-only.
+      for (f <- defaultFields(snap.schema) if !present.contains(f.name.toLowerCase))
+        out = out.withColumn(f.name, expr(defaultSqlOf(f)).cast(f.dataType))
       for (f <- snap.schema.fields if f.metadata.contains("delta.generationExpression")) {
         val genSql = f.metadata.getString("delta.generationExpression")
         if (!present.contains(f.name.toLowerCase))
@@ -585,6 +644,10 @@ object DeltaWrite {
       require(f.metadata.getLong("delta.identity.step") != 0L,
         s"identity column ${f.name} has step 0")
     }
+    // column DEFAULTs have no legacy writer version — they force a
+    // feature-listed v7 protocol naming allowColumnDefaults (writer-only)
+    validateDefaults(spark, schema)
+    val hasDefaults = defaultFields(schema).nonEmpty
     // legacy writer floors: CHECK constraints need >= 3, generated
     // columns and change data feed >= 4, identity columns >= 6; column
     // mapping implies (2, 5)
@@ -648,10 +711,11 @@ object DeltaWrite {
       (if (wantIcebergCompat) Set("icebergCompatV2") else Set.empty[String])
     val proto =
       if (!wantIct && !wantV2Cp && !wantRowTracking && !wantWiden && !wantDv &&
-          featSupports.isEmpty)
+          featSupports.isEmpty && !hasDefaults)
         proto0
       else {
         val feats = Set("invariants") ++
+          (if (hasDefaults) Set("allowColumnDefaults") else Set.empty[String]) ++
           (if (wantIct) Set("inCommitTimestamp") else Set.empty[String]) ++
           (if (wantV2Cp) Set("v2Checkpoint") else Set.empty[String]) ++
           (if (wantWiden) Set("typeWidening") else Set.empty[String]) ++
@@ -753,6 +817,13 @@ object DeltaWrite {
     // unless the protocol already names it (create with a variant column,
     // or delta.feature.variantType=supported), rather than emitting a
     // schema foreign readers would mis-read
+    // the protocol forbids ADDING a column with a default: old files were
+    // written without it, and nothing backfills them — defaults attach at
+    // CREATE or via setDefault on an existing column only
+    require(!newCols.exists(_.metadata.contains("CURRENT_DEFAULT")),
+      "cannot add a column carrying a DEFAULT via mergeSchema (Delta " +
+        "protocol: defaults attach at create, or via setDefault on an " +
+        "existing column)")
     if (mergeSchema && newCols.exists(f => containsVariant(f.dataType)))
       require(snap.protocol.exists(p =>
           p.minWriterVersion >= 7 && p.writerFeatures.contains("variantType")),
@@ -1374,11 +1445,18 @@ object DeltaWrite {
           val acted = insertBase.withColumn("_m_action",
             actionOf(notMatched)).filter(col("_m_action") =!= -1)
           val insCols = snap.schema.fields.toIndexedSeq.map { f =>
-            notMatched.zipWithIndex.foldRight(lit(null).cast(f.dataType): Column) {
+            // an INSERT clause that doesn't name the column takes its
+            // DEFAULT when one is declared (allowColumnDefaults), NULL
+            // otherwise — delta-spark's insert semantics
+            val unnamed: Column =
+              if (f.metadata.contains("CURRENT_DEFAULT"))
+                expr(defaultSqlOf(f)).cast(f.dataType)
+              else lit(null).cast(f.dataType)
+            notMatched.zipWithIndex.foldRight(unnamed) {
               case ((c, i), els) =>
                 val v = c.values.get(f.name)
                   .map(s => expr(s).cast(f.dataType))
-                  .getOrElse(lit(null).cast(f.dataType))
+                  .getOrElse(unnamed)
                 when(col("_m_action") === i, v).otherwise(els)
             }.as(f.name)
           } ++ matCols.map(c => lit(null).cast("long").as(c)) // fresh row ids
@@ -1997,6 +2075,74 @@ object DeltaWrite {
       "num_removed_files", "operation_parameters", "operation_metrics")
   }
 
+  /** `DESCRIBE DETAIL` (delta-spark's column set): a one-row summary of
+    * the table's current state. `numFiles`/`sizeInBytes` come from ONE
+    * distributed aggregate over the add index — never a driver-side file
+    * list, so the call is metadata-bounded at any table size. `createdAt`
+    * is the metaData action's `createdTime`; `lastModified` is the newest
+    * commit's timestamp (in-commit timestamp when the table records one);
+    * `tableFeatures` is the protocol's combined reader+writer feature set.
+    */
+  def describeDetail(spark: SparkSession, tablePath: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val ls = DeltaLog.lazySnapshot(spark, tablePath)
+    val snap = ls.meta
+    val (numFiles, sizeInBytes) = ls.liveFileStats()
+    val createdAt: Option[Long] = snap.metaDataRaw.flatMap { raw =>
+      val n = mapper.readTree(raw)
+      Option(n.get("createdTime")).filterNot(_.isNull).map(_.asLong())
+    }
+    val table = new Path(tablePath)
+    val f = fs(spark, table)
+    val latest = commitPath(table, snap.version)
+    val lastModified: Long = {
+      var ts = f.getFileStatus(latest).getModificationTime
+      val in = f.open(latest)
+      val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
+        val ci = mapper.readTree(line).get("commitInfo")
+        if (ci != null && !ci.isNull) {
+          val t = Option(ci.get("inCommitTimestamp")).filterNot(_.isNull)
+            .orElse(Option(ci.get("timestamp")).filterNot(_.isNull))
+          t.foreach(n => ts = n.asLong())
+        }
+      }
+      ts
+    }
+    val proto = snap.protocol.getOrElse(DeltaLog.Protocol(1, 2))
+    val feats = (proto.readerFeatures ++ proto.writerFeatures).toSeq.sorted
+    val schema = StructType(Seq(
+      StructField("format", org.apache.spark.sql.types.StringType),
+      StructField("id", org.apache.spark.sql.types.StringType),
+      StructField("name", org.apache.spark.sql.types.StringType),
+      StructField("description", org.apache.spark.sql.types.StringType),
+      StructField("location", org.apache.spark.sql.types.StringType),
+      StructField("createdAt", org.apache.spark.sql.types.TimestampType),
+      StructField("lastModified", org.apache.spark.sql.types.TimestampType),
+      StructField("partitionColumns", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)),
+      StructField("clusteringColumns", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)),
+      StructField("numFiles", org.apache.spark.sql.types.LongType),
+      StructField("sizeInBytes", org.apache.spark.sql.types.LongType),
+      StructField("properties",
+        org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)),
+      StructField("minReaderVersion", org.apache.spark.sql.types.IntegerType),
+      StructField("minWriterVersion", org.apache.spark.sql.types.IntegerType),
+      StructField("tableFeatures", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))))
+    val row = Row("delta", DeltaLog.tableId(snap).orNull, null, null,
+      f.makeQualified(table).toString,
+      createdAt.map(new java.sql.Timestamp(_)).orNull,
+      new java.sql.Timestamp(lastModified),
+      snap.partitionColumns, DeltaLog.clusteringColumns(snap),
+      numFiles, sizeInBytes, snap.configuration,
+      proto.minReaderVersion, proto.minWriterVersion, feats)
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
+  }
+
   /** Bin-pack small live files (< target/2) into ~`targetFileBytes` files,
     * per partition. The commit carries `dataChange: false` on both sides —
     * a compaction changes layout, not data, and downstream incremental
@@ -2429,6 +2575,75 @@ object DeltaWrite {
       // rebases over data-only winners (their commits don't move the
       // config this was derived from); a concurrent metadata/protocol
       // change aborts via the classifier
+      readScope = Some(Concurrency.ReadScope.Blind))
+    maybeCheckpoint(spark, tablePath, v)
+    v
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN … SET DEFAULT <sql>` — records the
+    * literal-foldable `defaultSql` in the column's `CURRENT_DEFAULT`
+    * metadata and upgrades the protocol to a feature-listed v7 naming
+    * `allowColumnDefaults` (writer-only) when it doesn't yet. Only an
+    * EXISTING column can gain a default — the protocol forbids ADD COLUMN
+    * WITH DEFAULT, so no read path ever consults defaults; they govern
+    * FUTURE insert-shaped writes that omit the column (explicit values
+    * always win). Metadata-only commit; returns the new version.
+    */
+  def setDefault(
+      spark: SparkSession,
+      tablePath: String,
+      column: String,
+      defaultSql: String): Long =
+    alterDefault(spark, tablePath, column, Some(defaultSql))
+
+  /** `ALTER TABLE … ALTER COLUMN … DROP DEFAULT` — removes the column's
+    * `CURRENT_DEFAULT`; later writes that omit the column null-fill it
+    * again. The protocol keeps naming the feature (features never
+    * retract). Returns the new version.
+    */
+  def dropDefault(
+      spark: SparkSession,
+      tablePath: String,
+      column: String): Long =
+    alterDefault(spark, tablePath, column, None)
+
+  private def alterDefault(
+      spark: SparkSession,
+      tablePath: String,
+      column: String,
+      defaultSql: Option[String]): Long = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    requireWritable(tablePath, snap, "alterDefault", removesData = false)
+    require(snap.schema.fieldNames.contains(column), s"no such column: $column")
+    val newSchema = StructType(snap.schema.fields.map { f =>
+      if (f.name != column) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        defaultSql match {
+          case Some(sql) => f.copy(metadata = mb.putString("CURRENT_DEFAULT", sql).build())
+          case None => f.copy(metadata = mb.remove("CURRENT_DEFAULT").build())
+        }
+      }
+    })
+    if (defaultSql.isEmpty)
+      require(snap.schema(column).metadata.contains("CURRENT_DEFAULT"),
+        s"column $column has no DEFAULT to drop")
+    validateDefaults(spark, newSchema)
+    val cur = snap.protocol.getOrElse(DeltaLog.Protocol(1, 2))
+    val proto: Option[DeltaLog.Protocol] =
+      if (defaultSql.isEmpty ||
+          (cur.minWriterVersion >= 7 &&
+            cur.writerFeatures.contains("allowColumnDefaults"))) None
+      else Some(DeltaLog.Protocol(cur.minReaderVersion, 7, cur.readerFeatures,
+        impliedWriterFeatures(cur) + "allowColumnDefaults"))
+    val v = commit(spark, new Path(tablePath), snap.version + 1,
+      "ALTER COLUMN", withMeta = Some((newSchema, snap.partitionColumns)),
+      adds = Nil, removes = Nil, dataChange = false, protocolUpgrade = proto,
+      metaConfig = snap.configuration, ictEnabled = ictOn(snap),
+      tableId = DeltaLog.tableId(snap),
+      opParams = Seq("column" -> column,
+        "default" -> defaultSql.getOrElse("(dropped)")),
       readScope = Some(Concurrency.ReadScope.Blind))
     maybeCheckpoint(spark, tablePath, v)
     v

@@ -927,6 +927,77 @@ private[graft] object DeltaQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           lit(blocked).as("blocked_writes"), lit(vpc).as("vpc_in_both_lists"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Column DEFAULTs (r15, writer feature allowColumnDefaults): batches
+    // that omit the defaulted column fill it — first under the
+    // CREATE-time default, then under a setDefault'd replacement —
+    // explicit values always win, and a MERGE INSERT clause that doesn't
+    // name the column takes the default too. The DuckDB replay
+    // reconstructs every batch's status from raw orders, so a mis-filled
+    // or mis-timed default hash-mismatches.
+    "q159_delta_defaults" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q159").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        DeltaWrite.defaultField("status", StringType, "'new'")))
+      DeltaWrite.createIfAbsent(s, tbl, schema)                          // v0
+      DeltaWrite.append(s, tbl,                                          // v1: 'new'
+        orders.filter(col("o_orderkey") % 4 === 0).repartition(2))
+      DeltaWrite.setDefault(s, tbl, "status", "'bulk'")                  // v2
+      DeltaWrite.append(s, tbl,                                          // v3: 'bulk'
+        orders.filter(col("o_orderkey") % 4 === 1).repartition(2))
+      DeltaWrite.append(s, tbl,                                          // v4: explicit wins
+        orders.filter(col("o_orderkey") % 4 === 2)
+          .withColumn("status", lit("explicit")))
+      val src = orders.filter(col("o_orderkey") % 4 === 3)
+        .select((-col("o_orderkey")).as("k"), col("o_custkey").as("ck"),
+          col("o_totalprice").as("tp"))
+      DeltaWrite.merge(s, tbl, src,                                      // v5: 'bulk'
+        condition = "t.o_orderkey = s.k",
+        notMatched = Seq(DeltaWrite.MergeClause.Insert(Some("s.tp < 150000"),
+          Map("o_orderkey" -> "s.k", "o_custkey" -> "s.ck",
+            "o_totalprice" -> "s.tp"))))
+      graft.sources.DeltaLog.read(s, tbl)
+        .filter(abs(col("o_orderkey")) < 6000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("status"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // DESCRIBE DETAIL (r15, delta-spark's table-state summary): numFiles
+    // and sizeInBytes come from one distributed aggregate over the add
+    // index. The gate pins the deterministic fields — file count under
+    // known repartitioning, protocol floor, properties, row count —
+    // against constants the DuckDB replay recomputes.
+    "q160_describe_detail" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q160").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        orders.schema.asInstanceOf[StructType],
+        properties = Map("graft.tier" -> "gold"))
+      DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 0).repartition(3))      // 3 files
+      DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 1).repartition(2))      // 2 files
+      val nRows = graft.sources.DeltaLog.read(s, tbl).count()
+      DeltaWrite.describeDetail(s, tbl).select(
+        col("format"),
+        col("numFiles").as("num_files"),
+        (col("sizeInBytes") > 0).as("has_bytes"),
+        size(col("partitionColumns")).as("n_part_cols"),
+        col("minReaderVersion").as("min_reader"),
+        col("minWriterVersion").as("min_writer"),
+        col("properties").getItem("graft.tier").as("tier"),
+        (col("lastModified") >= col("createdAt")).as("modified_after_create"),
+        lit(nRows).as("n_rows"))
     })
   )
 
@@ -959,6 +1030,35 @@ private[graft] object DeltaQueries {
          ORDER BY _commit_version, o_orderkey, _change_type"""
 
   def oracleSql: Map[String, String] = Map(
+    // the defaults layer must be batch-exact: each batch's status is
+    // reconstructed from raw orders by WHICH default (or explicit value)
+    // governed that write
+    "q159_delta_defaults" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_custkey, o_totalprice, 'new' AS status
+           FROM orders WHERE o_orderkey % 4 = 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_totalprice, 'bulk'
+           FROM orders WHERE o_orderkey % 4 = 1
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_totalprice, 'explicit'
+           FROM orders WHERE o_orderkey % 4 = 2
+           UNION ALL
+           SELECT -o_orderkey, o_custkey, o_totalprice, 'bulk'
+           FROM orders WHERE o_orderkey % 4 = 3 AND o_totalprice < 150000)
+         WHERE abs(o_orderkey) < 6000
+         ORDER BY o_orderkey""",
+
+    // the detail summary's deterministic fields replayed as constants:
+    // 3+2 files under the pinned repartitioning, legacy (1,2) protocol,
+    // the created-time property, and the true row count from raw orders
+    "q160_describe_detail" ->
+      """SELECT 'delta' AS format, CAST(5 AS BIGINT) AS num_files,
+                TRUE AS has_bytes, CAST(0 AS INT) AS n_part_cols,
+                CAST(1 AS INT) AS min_reader, CAST(2 AS INT) AS min_writer,
+                'gold' AS tier, TRUE AS modified_after_create,
+                (SELECT count(*) FROM orders) AS n_rows""",
+
     "q111_delta_cdf" -> cdfOracleSql,
     "q131_delta_cdf_mapped" -> cdfOracleSql,
     // the streamed change feed must equal the batch CDF truth; 3 = one

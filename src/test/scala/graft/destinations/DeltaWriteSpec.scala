@@ -1420,4 +1420,35 @@ class DeltaWriteSpec extends SparkSpec {
     assert(hwm == written,
       s"recorded mark $hwm must equal the written extremum $written")
   }
+
+  test("describeDetail: partition/clustering columns, features, id, and index-aggregated file stats") {
+    import spark.implicits._
+    val table = tmpDir("dw-detail")
+    DeltaWrite.createIfAbsent(spark, table.toString, StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("x", DoubleType))),
+      partitionBy = Seq("g"),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 1.5))
+      .toDF("k", "g", "x")
+    DeltaWrite.append(spark, table.toString, df.repartition(2))
+    DeltaWrite.compact(spark, table.toString, clusterBy = Seq("k", "x"),
+      curve = "hilbert")
+    val d = DeltaWrite.describeDetail(spark, table.toString).collect()(0)
+    assert(d.getAs[String]("format") == "delta")
+    assert(d.getAs[String]("id") == DeltaLog.tableId(
+      DeltaLog.snapshot(spark, table.toString)).get)
+    assert(d.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq == Seq("g"))
+    assert(d.getAs[scala.collection.Seq[String]]("clusteringColumns").toSeq == Seq("k", "x"))
+    assert(d.getAs[scala.collection.Seq[String]]("tableFeatures").contains("deletionVectors"))
+    assert(d.getAs[scala.collection.Seq[String]]("tableFeatures").contains("clusteredTable"))
+    // 2 partitions × (≤2 input splits) compacted to one file per partition
+    val live = DeltaLog.snapshot(spark, table.toString).files
+    assert(d.getAs[Long]("numFiles") == live.size.toLong)
+    assert(d.getAs[Long]("sizeInBytes") == live.map(_.size).sum)
+    assert(d.getAs[scala.collection.Map[String, String]]("properties")
+      .get("delta.enableDeletionVectors").contains("true"))
+    assert(d.getAs[java.sql.Timestamp]("lastModified").getTime >=
+      d.getAs[java.sql.Timestamp]("createdAt").getTime)
+  }
 }
