@@ -101,7 +101,59 @@ object IcebergWrite {
   }
 
   /** Append `df` as one new snapshot. Returns the new snapshot id. */
-  def append(spark: SparkSession, tablePath: String, df: DataFrame): Long = {
+  def append(spark: SparkSession, tablePath: String, df: DataFrame): Long =
+    commitDataSnapshot(spark, tablePath, df, "append", carryPrior = true)
+
+  /** OPTIMIZE (rewrite-data-files, whole-table): read the CURRENT live
+    * rows — position and equality deletes applied — and commit them back
+    * as ~`targetFileBytes` files in a `replace` snapshot whose manifest
+    * list carries ONLY the new manifest: stale delete files drop out with
+    * the data files they masked (their effect is baked into the rewrite),
+    * and the new files' higher sequence number keeps the spec's delete
+    * rules vacuous for them. Prior snapshots keep their own manifest
+    * lists, so time travel is untouched. Metadata-bounded planning (one
+    * distributed aggregate over the live-entry index sizes the output);
+    * the data pass is one distributed read + write. No-op (current
+    * snapshot returned) on a table with no live data files.
+    */
+  def rewriteDataFiles(
+      spark: SparkSession,
+      tablePath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    import org.apache.spark.sql.functions.{sum, when}
+    val stats = IcebergRead.files(spark, tablePath).agg(
+      sum(when(col("content") === 0, 1L).otherwise(0L)).as("n_data"),
+      sum(when(col("content") =!= 0, 1L).otherwise(0L)).as("n_del"),
+      sum(when(col("content") === 0, col("file_size_in_bytes"))
+        .otherwise(0L)).as("bytes")).head()
+    val (nData, nDel, bytes) =
+      (Option(stats.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(stats.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(stats.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    if (nData == 0L) {
+      val table = new Path(tablePath)
+      val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+      val md = IcebergRead.currentMetadata(
+        fs, new Path(fs.makeQualified(table), "metadata"))
+      return Option(md.get("current-snapshot-id")).filterNot(_.isNull)
+        .map(_.asLong()).getOrElse(-1L)
+    }
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    commitDataSnapshot(spark, tablePath,
+      IcebergRead.read(spark, tablePath).repartition(parts),
+      "replace", carryPrior = false,
+      extraSummary = Seq(
+        "deleted-data-files" -> nData.toString,
+        "removed-delete-files" -> nDel.toString))
+  }
+
+  private def commitDataSnapshot(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      operation: String,
+      carryPrior: Boolean,
+      extraSummary: Seq[(String, String)] = Nil): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val table = new Path(tablePath)
     val fs = table.getFileSystem(conf)
@@ -235,7 +287,7 @@ object IcebergWrite {
     lw.setMeta("sequence-number", sequence.toString)
     lw.create(IcebergExport.manifestFileSchema, fs.create(listPath, true))
     try {
-      carryPriorManifests(lw, md, conf)
+      if (carryPrior) carryPriorManifests(lw, md, conf)
       val m = new GenericData.Record(IcebergExport.manifestFileSchema)
       m.put("manifest_path", manifestPath.toString)
       m.put("manifest_length", manifestLen)
@@ -267,9 +319,10 @@ object IcebergWrite {
     snapNode.put("manifest-list", listPath.toString)
     snapNode.put("schema-id", csid)
     val summary = snapNode.putObject("summary")
-    summary.put("operation", "append")
+    summary.put("operation", operation)
     summary.put("added-data-files", files.size.toString)
     summary.put("added-records", rows.toString)
+    extraSummary.foreach { case (k, v) => summary.put(k, v): Unit }
     md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
       .add(snapNode)
     md.put("current-snapshot-id", snapshotId)

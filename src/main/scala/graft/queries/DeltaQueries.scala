@@ -998,6 +998,88 @@ private[graft] object DeltaQueries {
         col("properties").getItem("graft.tier").as("tier"),
         (col("lastModified") >= col("createdAt")).as("modified_after_create"),
         lit(nRows).as("n_rows"))
+    }),
+
+    // Iceberg METADATA TABLES (r15): snapshots / history / files over a
+    // native-written table — per-snapshot operations and summary counts,
+    // ancestry flags, and the live-entry rollup, all replayed as
+    // constants + raw-orders counts by the oracle. A wrong sequence
+    // number, summary count, manifest entry or ancestry walk
+    // hash-mismatches.
+    "q161_iceberg_meta_tables" -> ((s, dir) => {
+      import graft.destinations.IcebergWrite
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q161").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      IcebergWrite.create(s, tbl,
+        orders.schema.asInstanceOf[StructType])
+      IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 0).repartition(2))
+      IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") < 2000)
+          .repartition(1))
+      IcebergWrite.deleteWhere(s, tbl,
+        orders.filter(col("o_orderkey") % 10 === 0).select(col("o_orderkey")))
+      val snapRows = IcebergRead.snapshots(s, tbl).select(
+        col("sequence_number").as("seq"),
+        col("operation"),
+        coalesce(col("summary").getItem("added-data-files"), lit("0"))
+          .cast("int").as("added_data_files"),
+        coalesce(col("summary").getItem("added-records"), lit("0"))
+          .cast("long").as("added_records"),
+        coalesce(col("summary").getItem("added-delete-files"), lit("0"))
+          .cast("int").as("added_delete_files"))
+      val fileRollup = IcebergRead.files(s, tbl).agg(
+        sum(when(col("content") === 0, 1).otherwise(0))
+          .cast("int").as("live_data_files"),
+        sum(when(col("content") === 2, 1).otherwise(0))
+          .cast("int").as("live_eq_delete_files"),
+        sum(when(col("content") === 0, col("record_count")).otherwise(0L))
+          .as("data_records"))
+      val histRollup = IcebergRead.history(s, tbl).agg(
+        count(lit(1)).cast("int").as("history_entries"),
+        sum(when(col("is_current_ancestor"), 1).otherwise(0))
+          .cast("int").as("ancestors"))
+      snapRows.crossJoin(fileRollup).crossJoin(histRollup)
+        .orderBy(col("seq"))
+    }),
+
+    // Iceberg REWRITE DATA FILES (r15, OPTIMIZE): the delete-applying
+    // whole-table compaction — live rows re-land as one file in a
+    // `replace` snapshot, stale equality-delete files drop out, and the
+    // PRE-rewrite snapshot stays time-travelable with identical rows.
+    // Both reads and the post-rewrite manifest rollup are replayed from
+    // raw orders.
+    "q162_iceberg_rewrite" -> ((s, dir) => {
+      import graft.destinations.IcebergWrite
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q162").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      IcebergWrite.create(s, tbl,
+        orders.schema.asInstanceOf[StructType])
+      IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 0).repartition(2))
+      IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 1).repartition(2))
+      val preSnap = IcebergWrite.deleteWhere(s, tbl,
+        orders.filter(col("o_orderkey") % 7 === 0).select(col("o_orderkey")))
+      IcebergWrite.rewriteDataFiles(s, tbl, targetFileBytes = 1L << 30)
+      val rollup = IcebergRead.files(s, tbl).agg(
+        sum(when(col("content") === 0, 1).otherwise(0))
+          .cast("int").as("live_data_files"),
+        sum(when(col("content") =!= 0, 1).otherwise(0))
+          .cast("int").as("live_delete_files"))
+      val cur = IcebergRead.read(s, tbl)
+        .filter(col("o_orderkey") < 4000)
+        .withColumn("at_pre_rewrite", lit(false))
+      val old = IcebergRead.read(s, tbl,
+          IcebergRead.Options(snapshotId = Some(preSnap)))
+        .filter(col("o_orderkey") < 4000)
+        .withColumn("at_pre_rewrite", lit(true))
+      cur.unionByName(old).crossJoin(rollup)
+        .orderBy(col("at_pre_rewrite"), col("o_orderkey"))
     })
   )
 
@@ -1058,6 +1140,50 @@ private[graft] object DeltaQueries {
                 CAST(1 AS INT) AS min_reader, CAST(2 AS INT) AS min_writer,
                 'gold' AS tier, TRUE AS modified_after_create,
                 (SELECT count(*) FROM orders) AS n_rows""",
+
+    // snapshots/history/files replayed as constants + raw-orders counts:
+    // two appends (2 files / 1 file), one equality delete, all three
+    // snapshots current-ancestors, live entries 3 data + 1 delete
+    "q161_iceberg_meta_tables" ->
+      """WITH ev AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 2 = 0),
+              od AS (SELECT count(*) AS n FROM orders
+                     WHERE o_orderkey % 2 = 1 AND o_orderkey < 2000)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS seq, 'append' AS operation,
+                  CAST(2 AS INT) AS added_data_files,
+                  (SELECT CAST(n AS BIGINT) FROM ev) AS added_records,
+                  CAST(0 AS INT) AS added_delete_files
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), 'append', CAST(1 AS INT),
+                  (SELECT CAST(n AS BIGINT) FROM od), CAST(0 AS INT)
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), 'delete', CAST(0 AS INT),
+                  CAST(0 AS BIGINT), CAST(1 AS INT))
+         CROSS JOIN (
+           SELECT CAST(3 AS INT) AS live_data_files,
+                  CAST(1 AS INT) AS live_eq_delete_files,
+                  (SELECT CAST(ev.n + od.n AS BIGINT) FROM ev, od) AS data_records)
+         CROSS JOIN (
+           SELECT CAST(3 AS INT) AS history_entries, CAST(3 AS INT) AS ancestors)
+         ORDER BY seq""",
+
+    // the rewrite must be row-invisible (current AND pre-rewrite reads
+    // both equal raw orders minus the %7 delete) and layout-visible
+    // (1 live data file, 0 delete files after)
+    "q162_iceberg_rewrite" ->
+      """WITH live AS (
+           SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           WHERE o_orderkey % 7 <> 0 AND o_orderkey < 4000)
+         SELECT o_orderkey, o_custkey, o_totalprice,
+                FALSE AS at_pre_rewrite,
+                CAST(1 AS INT) AS live_data_files,
+                CAST(0 AS INT) AS live_delete_files
+         FROM live
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice, TRUE,
+                CAST(1 AS INT), CAST(0 AS INT)
+         FROM live
+         ORDER BY at_pre_rewrite, o_orderkey""",
 
     "q111_delta_cdf" -> cdfOracleSql,
     "q131_delta_cdf_mapped" -> cdfOracleSql,

@@ -495,4 +495,195 @@ object IcebergRead {
   }
 
   private def quoteId(name: String): String = s"`${name.replace("`", "``")}`"
+
+  // ------------------------------------------------------ metadata tables
+
+  private def metadataOf(
+      spark: SparkSession, tablePath: String)
+      : (org.apache.hadoop.conf.Configuration, ObjectNode) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    (conf, currentMetadata(fs, new Path(fs.makeQualified(table), "metadata")))
+  }
+
+  private def jsonMap(n: JsonNode): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    val it = n.fields()
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+    b.result()
+  }
+
+  private def optLong(n: JsonNode, k: String): Option[Long] =
+    Option(n.get(k)).filterNot(_.isNull).map(_.asLong())
+
+  /** The `snapshots` metadata table (Iceberg's own column set): one row
+    * per snapshot still in the table metadata — committed_at, ids,
+    * operation, manifest-list path and the full summary map. Pure
+    * metadata-JSON work; driver memory bounded by the snapshot count
+    * (which [[graft.destinations.IcebergWrite.expireSnapshots]] bounds).
+    */
+  def snapshots(spark: SparkSession, tablePath: String): DataFrame = {
+    val (_, md) = metadataOf(spark, tablePath)
+    val rows = md.get("snapshots").elements().asScala.toSeq.map { s =>
+      org.apache.spark.sql.Row(
+        new java.sql.Timestamp(s.get("timestamp-ms").asLong()),
+        s.get("snapshot-id").asLong(),
+        optLong(s, "parent-snapshot-id").map(java.lang.Long.valueOf).orNull,
+        optLong(s, "sequence-number").map(java.lang.Long.valueOf).orNull,
+        Option(s.get("summary")).filterNot(_.isNull)
+          .flatMap(n => Option(n.get("operation")).filterNot(_.isNull))
+          .map(_.asText()).orNull,
+        s.get("manifest-list").asText(),
+        Option(s.get("summary")).filterNot(_.isNull).map(jsonMap)
+          .getOrElse(Map.empty[String, String]))
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("committed_at", TimestampType),
+      StructField("snapshot_id", LongType),
+      StructField("parent_id", LongType),
+      StructField("sequence_number", LongType),
+      StructField("operation", StringType),
+      StructField("manifest_list", StringType),
+      StructField("summary", MapType(StringType, StringType)))))
+  }
+
+  /** The `history` metadata table: the snapshot log — when each snapshot
+    * became current, and whether it is an ancestor of the CURRENT snapshot
+    * (rolled-back branches are not).
+    */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    val (_, md) = metadataOf(spark, tablePath)
+    val parentOf: Map[Long, Option[Long]] =
+      md.get("snapshots").elements().asScala.toSeq.map(s =>
+        s.get("snapshot-id").asLong() -> optLong(s, "parent-snapshot-id")).toMap
+    val ancestors: Set[Long] = {
+      val b = Set.newBuilder[Long]
+      var cur = Option(md.get("current-snapshot-id")).filterNot(_.isNull)
+        .map(_.asLong()).filter(_ >= 0L)
+      while (cur.isDefined) {
+        b += cur.get
+        cur = parentOf.getOrElse(cur.get, None)
+      }
+      b.result()
+    }
+    val rows = Option(md.get("snapshot-log")).filterNot(_.isNull)
+      .map(_.elements().asScala.toSeq).getOrElse(Nil).map { e =>
+        val id = e.get("snapshot-id").asLong()
+        org.apache.spark.sql.Row(
+          new java.sql.Timestamp(e.get("timestamp-ms").asLong()),
+          id,
+          parentOf.getOrElse(id, None).map(java.lang.Long.valueOf).orNull,
+          ancestors.contains(id))
+      }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("made_current_at", TimestampType),
+      StructField("snapshot_id", LongType),
+      StructField("parent_id", LongType),
+      StructField("is_current_ancestor", BooleanType))))
+  }
+
+  /** The `manifests` metadata table: the selected snapshot's manifest
+    * list, one row per manifest (content 0=data, 1=deletes) with the
+    * spec's counts. Metadata-bounded: manifest COUNT, never file count.
+    */
+  def manifests(
+      spark: SparkSession, tablePath: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val (conf, md) = metadataOf(spark, tablePath)
+    val rows = selectedManifestList(md, snapshotId).toSeq.flatMap { listPath =>
+      avroRecords(conf, new Path(listPath)).map { m =>
+        def i(k: String) = Option(m.get(k)).map(_.asInstanceOf[Int]).getOrElse(0)
+        def l(k: String) = Option(m.get(k)).map(_.asInstanceOf[Long]).getOrElse(0L)
+        org.apache.spark.sql.Row(
+          m.get("manifest_path").toString,
+          l("manifest_length"),
+          i("partition_spec_id"),
+          i("content"),
+          l("sequence_number"),
+          l("min_sequence_number"),
+          Option(m.get("added_snapshot_id")).map(_.asInstanceOf[Long])
+            .map(java.lang.Long.valueOf).orNull,
+          i("added_files_count"), i("existing_files_count"),
+          i("deleted_files_count"),
+          l("added_rows_count"), l("existing_rows_count"),
+          l("deleted_rows_count"))
+      }
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("path", StringType),
+      StructField("length", LongType),
+      StructField("partition_spec_id", IntegerType),
+      StructField("content", IntegerType),
+      StructField("sequence_number", LongType),
+      StructField("min_sequence_number", LongType),
+      StructField("added_snapshot_id", LongType),
+      StructField("added_data_files_count", IntegerType),
+      StructField("existing_data_files_count", IntegerType),
+      StructField("deleted_data_files_count", IntegerType),
+      StructField("added_rows_count", LongType),
+      StructField("existing_rows_count", LongType),
+      StructField("deleted_rows_count", LongType))))
+  }
+
+  /** The `files` metadata table: every LIVE entry (status != DELETED) of
+    * the selected snapshot's manifests — data files (content 0) and
+    * delete files (1=position, 2=equality) — with the partition tuple as
+    * a string map. Driver work = exactly an Iceberg planner's manifest
+    * scan (the same entries [[read]] plans from).
+    */
+  def files(
+      spark: SparkSession, tablePath: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val (conf, md) = metadataOf(spark, tablePath)
+    val rows = selectedManifestList(md, snapshotId).toSeq.flatMap { listPath =>
+      avroRecords(conf, new Path(listPath)).flatMap { m =>
+        avroRecords(conf, new Path(m.get("manifest_path").toString))
+          .filter(_.get("status").asInstanceOf[Int] != 2)
+          .map { e =>
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val part = df.get("partition").asInstanceOf[GenericRecord]
+            val pv: Map[String, String] =
+              part.getSchema.getFields.asScala.map(f =>
+                f.name() -> Option(part.get(f.name())).map(_.toString).orNull)
+              .toMap
+            val seq = Option(e.get("sequence_number"))
+              .map(_.asInstanceOf[Long]).getOrElse(
+                Option(m.get("sequence_number"))
+                  .map(_.asInstanceOf[Long]).getOrElse(0L))
+            org.apache.spark.sql.Row(
+              Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0),
+              df.get("file_path").toString,
+              df.get("file_format").toString,
+              pv,
+              df.get("record_count").asInstanceOf[Long],
+              df.get("file_size_in_bytes").asInstanceOf[Long],
+              seq)
+          }
+      }
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("content", IntegerType),
+      StructField("file_path", StringType),
+      StructField("file_format", StringType),
+      StructField("partition", MapType(StringType, StringType)),
+      StructField("record_count", LongType),
+      StructField("file_size_in_bytes", LongType),
+      StructField("sequence_number", LongType))))
+  }
+
+  /** Manifest-list path of the chosen snapshot (None = current); None
+    * result = table has no snapshot yet (metadata tables are empty). */
+  private def selectedManifestList(
+      md: ObjectNode, snapshotId: Option[Long]): Option[String] = {
+    val id = snapshotId.orElse(
+      Option(md.get("current-snapshot-id")).filterNot(_.isNull)
+        .map(_.asLong()).filter(_ >= 0L))
+    id.map { i =>
+      md.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == i)
+        .getOrElse(throw new IllegalArgumentException(s"no Iceberg snapshot $i"))
+        .get("manifest-list").asText()
+    }
+  }
 }

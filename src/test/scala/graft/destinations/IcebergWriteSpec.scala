@@ -142,4 +142,72 @@ class IcebergWriteSpec extends SparkSpec {
     assert(back.select("v_renamed").head().getString(0) == "a",
       "pre-rename file must resolve by field id")
   }
+
+  test("metadata tables: snapshots/history/manifests/files agree with the lifecycle") {
+    import org.apache.spark.sql.functions._
+    val t = tmpDir("icew-meta").resolve("t").toString
+    IcebergWrite.create(spark, t, schema, partitionBy = Seq("p"))
+    val s1 = IcebergWrite.append(spark, t, rows((1, "a", "x"), (2, "b", "y")))
+    val s2 = IcebergWrite.append(spark, t, rows((3, "c", "x")))
+    IcebergWrite.deleteWhere(spark, t, rows((1, "a", "x")).select("id"))
+    val snaps = IcebergRead.snapshots(spark, t).orderBy("sequence_number").collect()
+    assert(snaps.map(_.getAs[String]("operation")).toSeq ==
+      Seq("append", "append", "delete"))
+    assert(snaps.map(_.getAs[Long]("sequence_number")).toSeq == Seq(1L, 2L, 3L))
+    assert(snaps(0).getAs[Long]("snapshot_id") == s1)
+    assert(snaps(1).getAs[Any]("parent_id") == s1)
+    val hist = IcebergRead.history(spark, t).collect()
+    assert(hist.length == 3 && hist.forall(_.getAs[Boolean]("is_current_ancestor")))
+    val mans = IcebergRead.manifests(spark, t)
+    // cumulative lists: 2 data manifests + 1 delete manifest at current
+    assert(mans.filter(col("content") === 0).count() == 2L)
+    assert(mans.filter(col("content") === 1).count() == 1L)
+    val files = IcebergRead.files(spark, t).collect()
+    assert(files.count(_.getAs[Int]("content") == 0) >= 2)
+    assert(files.count(_.getAs[Int]("content") == 2) == 1)
+    // partition tuple surfaces as a string map on data entries
+    val parts = files.filter(_.getAs[Int]("content") == 0)
+      .flatMap(_.getAs[Map[String, String]]("partition").get("p")).toSet
+    assert(parts == Set("x", "y"))
+    // at the FIRST snapshot, only its own entries are visible
+    assert(IcebergRead.files(spark, t, Some(s1)).count() ==
+      IcebergRead.files(spark, t, Some(s2)).count() - 1)
+  }
+
+  test("rewriteDataFiles: deletes baked in, delete files dropped, time travel intact, partitions preserved") {
+    import org.apache.spark.sql.functions._
+    val t = tmpDir("icew-rewrite").resolve("t").toString
+    IcebergWrite.create(spark, t, schema, partitionBy = Seq("p"))
+    IcebergWrite.append(spark, t, rows((1, "a", "x"), (2, "b", "y")))
+    IcebergWrite.append(spark, t, rows((3, "c", "x"), (4, "d", "y")))
+    val pre = IcebergWrite.deleteWhere(spark, t, rows((2, "b", "y")).select("id"))
+    val rw = IcebergWrite.rewriteDataFiles(spark, t)
+    val snap = IcebergRead.snapshots(spark, t)
+      .filter(col("snapshot_id") === rw).collect()(0)
+    assert(snap.getAs[String]("operation") == "replace")
+    assert(snap.getAs[Map[String, String]]("summary")
+      .get("removed-delete-files").contains("1"))
+    // current state: live rows only, no delete entries, partitions intact
+    val cur = IcebergRead.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(cur == Set((1L, "x"), (3L, "x"), (4L, "y")))
+    val files = IcebergRead.files(spark, t).collect()
+    assert(files.forall(_.getAs[Int]("content") == 0), "delete files must drop out")
+    // pre-rewrite snapshot still reads identically (manifest list carried)
+    val old = IcebergRead.read(spark, t,
+      IcebergRead.Options(snapshotId = Some(pre))).collect()
+      .map(_.getLong(0)).toSet
+    assert(old == Set(1L, 3L, 4L))
+    // rewriting a fully-compacted table again is a fresh replace snapshot
+    // over the same rows (idempotent content)
+    IcebergWrite.rewriteDataFiles(spark, t)
+    assert(IcebergRead.read(spark, t).count() == 3L)
+  }
+
+  test("rewriteDataFiles on an empty table is a no-op") {
+    val t = tmpDir("icew-rewrite-empty").resolve("t").toString
+    IcebergWrite.create(spark, t, schema)
+    assert(IcebergWrite.rewriteDataFiles(spark, t) == -1L)
+    assert(IcebergRead.snapshots(spark, t).count() == 0L)
+  }
 }
