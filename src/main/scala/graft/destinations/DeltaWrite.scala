@@ -766,9 +766,17 @@ object DeltaWrite {
     // delta.feature.* keys are commit-time protocol directives, never
     // persisted table properties (delta-spark strips them the same way)
     val finalProps = finalProps0.filterNot(_._1.startsWith("delta.feature."))
+    // UniForm (delta.universalFormat.enabledFormats=iceberg): validate at
+    // the DDL, then write the FIRST Iceberg metadata eagerly — after this,
+    // every commit auto-refreshes it (maybeUniformSync)
+    if (uniformIceberg(finalProps))
+      require(!containsVariant(outSchema),
+        "delta.universalFormat.enabledFormats=iceberg cannot combine with " +
+          "VARIANT columns: Iceberg v2 has no variant representation")
     commit(spark, new Path(tablePath), 0L, "CREATE TABLE",
       withMeta = Some((outSchema, partitionBy)), adds = Nil, removes = Nil,
       metaConfig = finalProps, protocolUpgrade = proto)
+    if (uniformIceberg(finalProps)) IcebergExport.export(spark, tablePath): Unit
     true
   }
 
@@ -824,12 +832,16 @@ object DeltaWrite {
       "cannot add a column carrying a DEFAULT via mergeSchema (Delta " +
         "protocol: defaults attach at create, or via setDefault on an " +
         "existing column)")
-    if (mergeSchema && newCols.exists(f => containsVariant(f.dataType)))
+    if (mergeSchema && newCols.exists(f => containsVariant(f.dataType))) {
       require(snap.protocol.exists(p =>
           p.minWriterVersion >= 7 && p.writerFeatures.contains("variantType")),
         s"cannot add a VARIANT column to $tablePath via mergeSchema: the " +
           "protocol does not name the variantType feature; set " +
           "delta.feature.variantType=supported first")
+      require(!uniformIceberg(snap.configuration),
+        s"cannot add a VARIANT column to UniForm table $tablePath: Iceberg " +
+          "v2 has no variant representation, so the auto-sync would wedge")
+    }
     val (schema0, meta0, metaCfg) =
       if (!mergeSchema || newCols.isEmpty) (baseSchema, None, snap.configuration)
       else if (mode == "none") {
@@ -1226,11 +1238,15 @@ object DeltaWrite {
           "be analyzable against the source alone (reference s.* only)"))
       StructField(c, dt, nullable = true)
     }
-    if (newCols.exists(f => containsVariant(f.dataType)))
+    if (newCols.exists(f => containsVariant(f.dataType))) {
       require(snap0.protocol.exists(p =>
           p.minWriterVersion >= 7 && p.writerFeatures.contains("variantType")),
         s"cannot add a VARIANT column to $tablePath via merge schema " +
           "evolution: set delta.feature.variantType=supported first")
+      require(!uniformIceberg(snap0.configuration),
+        s"cannot add a VARIANT column to UniForm table $tablePath: Iceberg " +
+          "v2 has no variant representation, so the auto-sync would wedge")
+    }
     val (snap, withMeta, metaCfg) =
       if (newCols.isEmpty) (snap0, None, Map.empty[String, String])
       else if (snap0.columnMappingMode == "none") {
@@ -2568,6 +2584,14 @@ object DeltaWrite {
       } else Some(cur.copy(minWriterVersion = (Seq(cur.minWriterVersion) ++
         (if (missing.contains("checkConstraints")) Seq(3) else Nil) ++
         (if (missing.contains("changeDataFeed")) Seq(4) else Nil)).max))
+    // UniForm enablement mid-life: validate at the DDL, commit, then write
+    // the first Iceberg metadata — later commits auto-refresh it
+    val enablingUniform =
+      uniformIceberg(newCfg) && !uniformIceberg(snap.configuration)
+    if (enablingUniform)
+      require(!containsVariant(snap.schema),
+        "delta.universalFormat.enabledFormats=iceberg cannot combine with " +
+          "VARIANT columns: Iceberg v2 has no variant representation")
     val v = commit(spark, new Path(tablePath), snap.version + 1,
       "SET TBLPROPERTIES", withMeta = Some((snap.schema, snap.partitionColumns)),
       adds = Nil, removes = Nil, dataChange = false, protocolUpgrade = proto,
@@ -2576,6 +2600,7 @@ object DeltaWrite {
       // config this was derived from); a concurrent metadata/protocol
       // change aborts via the classifier
       readScope = Some(Concurrency.ReadScope.Blind))
+    if (enablingUniform) IcebergExport.export(spark, tablePath): Unit
     maybeCheckpoint(spark, tablePath, v)
     v
   }
@@ -3607,6 +3632,75 @@ object DeltaWrite {
       opParams: Seq[(String, String)] = Nil,
       opMetrics: Seq[(String, String)] = Nil,
       readScope: Option[Concurrency.ReadScope] = None): Long = {
+    val committed = commitRebasing(spark, table, version, operation, withMeta,
+      adds, removes, dataChange, protocolUpgrade, metaConfig, cdcs, ictEnabled,
+      rowIdBase, extraDomains, tableId, crc, txn, opParams, opMetrics,
+      readScope)
+    maybeUniformSync(spark, table, operation)
+    committed
+  }
+
+  /** UniForm auto-sync (`delta.universalFormat.enabledFormats=iceberg`,
+    * delta-spark's Universal Format): after every durable commit to an
+    * enabled table, refresh the Iceberg metadata so foreign Iceberg
+    * readers see the new state with NO manual export step. Matching
+    * delta-spark's asynchronous-conversion contract, a failed refresh
+    * warns loudly and never undoes the (already durable) Delta commit —
+    * the next commit's export regenerates the FULL state from the
+    * current snapshot, so a lagging Iceberg view self-heals. Cost is
+    * metadata-bounded: one manifest listing the live files (plus
+    * position-delete files for DVs), no data rewrite.
+    */
+  private def uniformIceberg(cfg: Map[String, String]): Boolean =
+    cfg.get("delta.universalFormat.enabledFormats")
+      .exists(_.toLowerCase.split(",").map(_.trim).contains("iceberg"))
+
+  private def maybeUniformSync(
+      spark: SparkSession, table: Path, operation: String): Unit = {
+    // cheap short-circuit: enablement eagerly writes the FIRST Iceberg
+    // metadata (createIfAbsent/setProperties below), so a table with no
+    // version-hint can't be UniForm-enabled — one FS stat instead of a
+    // log replay on every ordinary table's commit
+    val hint = new Path(new Path(table, "metadata"), "version-hint.text")
+    val maybe =
+      try fs(spark, table).exists(hint)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!maybe) return
+    val enabled =
+      try uniformIceberg(
+        DeltaLog.lazySnapshot(spark, table.toString).meta.configuration)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (enabled)
+      try { IcebergExport.export(spark, table.toString); () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] UniForm Iceberg sync after " +
+            s"$operation on $table failed (Delta commit stands; next " +
+            s"commit re-syncs): ${e.getMessage}")
+      }
+  }
+
+  private def commitRebasing(
+      spark: SparkSession,
+      table: Path,
+      version: Long,
+      operation: String,
+      withMeta: Option[(StructType, Seq[String])],
+      adds: Seq[AddDescriptor],
+      removes: Seq[String],
+      dataChange: Boolean,
+      protocolUpgrade: Option[DeltaLog.Protocol],
+      metaConfig: Map[String, String],
+      cdcs: Seq[AddDescriptor],
+      ictEnabled: Boolean,
+      rowIdBase: Option[Long],
+      extraDomains: Seq[(String, String)],
+      tableId: Option[String],
+      crc: CrcPlan,
+      txn: Option[(String, Long)],
+      opParams: Seq[(String, String)],
+      opMetrics: Seq[(String, String)],
+      readScope: Option[Concurrency.ReadScope]): Long = {
     // Optimistic concurrency: with a declared readScope, a lost commit race
     // re-reads the winning commit(s), classifies the overlap
     // (WriteSerializable rules, [[Concurrency.classify]]) and REBASES the

@@ -1080,6 +1080,34 @@ private[graft] object DeltaQueries {
         .withColumn("at_pre_rewrite", lit(true))
       cur.unionByName(old).crossJoin(rollup)
         .orderBy(col("at_pre_rewrite"), col("o_orderkey"))
+    }),
+
+    // UniForm AUTO-SYNC (r15, delta.universalFormat.enabledFormats):
+    // every Delta commit refreshes the Iceberg metadata — append, DV
+    // delete (exported as position deletes), append again — and the
+    // FOREIGN Iceberg reader sees the exact live Delta state with no
+    // manual export call anywhere. A missed sync, stale manifest or
+    // mis-sequenced delete file changes the rows vs the DuckDB replay.
+    "q163_delta_uniform" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q163").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        orders.schema.asInstanceOf[StructType],
+        properties = Map(
+          "delta.universalFormat.enabledFormats" -> "iceberg",
+          "delta.enableDeletionVectors" -> "true"))
+      DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 0).repartition(2))      // v1
+      DeltaWrite.delete(s, tbl, "o_orderkey % 10 = 0")                  // v2: DVs
+      DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderkey") < 3000))                                    // v3
+      IcebergRead.read(s, tbl)
+        .filter(col("o_orderkey") < 5000)
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -1184,6 +1212,15 @@ private[graft] object DeltaQueries {
                 CAST(1 AS INT), CAST(0 AS INT)
          FROM live
          ORDER BY at_pre_rewrite, o_orderkey""",
+
+    // the auto-synced Iceberg view must equal the live Delta state: evens
+    // minus the %10 DV-deletes, plus the second append's odds
+    "q163_delta_uniform" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE ((o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0)
+                OR (o_orderkey % 2 = 1 AND o_orderkey < 3000))
+           AND o_orderkey < 5000
+         ORDER BY o_orderkey""",
 
     "q111_delta_cdf" -> cdfOracleSql,
     "q131_delta_cdf_mapped" -> cdfOracleSql,

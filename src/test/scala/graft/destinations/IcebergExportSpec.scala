@@ -210,4 +210,64 @@ class IcebergExportSpec extends SparkSpec {
     assert(back.count() == 20L)
   }
 
+  test("UniForm auto-sync: every commit on an enabled table refreshes the Iceberg view") {
+    import graft.sources.IcebergRead
+    val t = tmpDir("uniform-auto").resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, t, schema,
+      properties = Map("delta.universalFormat.enabledFormats" -> "iceberg"))
+    // create already exported: foreign reader sees the (empty) table
+    assert(IcebergRead.read(spark, t).count() == 0L)
+    DeltaWrite.append(spark, t, rows(1, 10, "a"))
+    assert(IcebergRead.read(spark, t).count() == 10L)
+    DeltaWrite.delete(spark, t, "id % 2 = 0")
+    assert(IcebergRead.read(spark, t).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 5L, 7L, 9L))
+    DeltaWrite.append(spark, t, rows(11, 12, "b"))
+    assert(IcebergRead.read(spark, t).count() == 7L)
+  }
+
+  test("UniForm enablement mid-life via setProperties exports immediately; disabled tables never sync") {
+    import graft.sources.IcebergRead
+    val t = tmpDir("uniform-midlife").resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, t, schema)
+    DeltaWrite.append(spark, t, rows(1, 5, "a"))
+    // not enabled: no Iceberg metadata appears
+    assert(!java.nio.file.Files.exists(
+      metaDir(t).resolve("version-hint.text")))
+    DeltaWrite.setProperties(spark, t,
+      Map("delta.universalFormat.enabledFormats" -> "iceberg"))
+    assert(IcebergRead.read(spark, t).count() == 5L)
+    // later commits keep the view fresh
+    DeltaWrite.append(spark, t, rows(6, 8, "b"))
+    assert(IcebergRead.read(spark, t).count() == 8L)
+    // disabling stops the refresh (the stale view stays at 8 rows)
+    DeltaWrite.setProperties(spark, t, Map.empty,
+      unset = Seq("delta.universalFormat.enabledFormats"))
+    DeltaWrite.append(spark, t, rows(9, 9, "b"))
+    assert(IcebergRead.read(spark, t).count() == 8L)
+    assert(DeltaLog.read(spark, t).count() == 9L)
+  }
+
+  test("UniForm refuses VARIANT at enablement and via evolution") {
+    val t = tmpDir("uniform-variant").resolve("t").toString
+    val vSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", org.apache.spark.sql.types.VariantType)))
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaWrite.createIfAbsent(spark, t, vSchema, properties = Map(
+        "delta.universalFormat.enabledFormats" -> "iceberg"))
+    }
+    assert(e1.getMessage.contains("VARIANT"))
+    DeltaWrite.createIfAbsent(spark, t, schema, properties = Map(
+      "delta.universalFormat.enabledFormats" -> "iceberg",
+      "delta.feature.variantType" -> "supported"))
+    DeltaWrite.append(spark, t, rows(1, 3, "a"))
+    import spark.implicits._
+    val withVariant = Seq((4L, "v4", "a", "{\"k\":1}")).toDF("id", "v", "p", "j")
+      .withColumn("payload", parse_json(col("j"))).drop("j")
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, t, withVariant, mergeSchema = true)
+    }
+    assert(e2.getMessage.contains("UniForm"))
+  }
 }
