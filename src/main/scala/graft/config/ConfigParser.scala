@@ -86,6 +86,11 @@ object ConfigParser {
         version = Option(n.get("version")).filterNot(_.isNull).map(_.asLong()),
         timestamp = str(n, "timestamp").map(java.time.Instant.parse),
         storageConfig = stringMap(n, "storage_config", "storage_options"))
+    case "iceberg" =>
+      IcebergSource(req(n, "name"), loc(n),
+        snapshotId = Option(n.get("snapshot_id")).filterNot(_.isNull).map(_.asLong()),
+        timestamp = str(n, "timestamp").map(java.time.Instant.parse),
+        storageConfig = stringMap(n, "storage_config", "storage_options"))
     case "odbc" | "database" | "jdbc" =>
       JdbcSource(req(n, "name"),
         str(n, "load_query").orElse(str(n, "query"))

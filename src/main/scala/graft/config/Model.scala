@@ -58,6 +58,18 @@ final case class ManagedTableSource(
     timestamp: Option[java.time.Instant] = None,
     storageConfig: Map[String, String] = Map.empty) extends Source
 
+/** External Apache Iceberg v2 table source (`type: iceberg`, beyond
+  * reference) with snapshot time travel — read through
+  * [[graft.sources.IcebergRead]] (foreign HadoopTables layout: snapshot
+  * selection, field-id resolution, position/equality deletes).
+  */
+final case class IcebergSource(
+    name: String,
+    location: Location,
+    snapshotId: Option[Long] = None,
+    timestamp: Option[java.time.Instant] = None,
+    storageConfig: Map[String, String] = Map.empty) extends Source
+
 /** External-database source (`type: odbc`); executed via Spark JDBC, which is
   * lazy and pushes the query down to the database (strictly better than the
   * reference's eager full-table pull, odbc/src/lib.rs:50-82).

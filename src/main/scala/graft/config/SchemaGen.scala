@@ -55,6 +55,11 @@ object SchemaGen {
         props = Seq("name" -> typed("string"), "location" -> typed("string"),
           "version" -> typed("integer"), "timestamp" -> typed("string", "RFC3339"),
           "storage_config" -> stringMapSchema)),
+      "iceberg" -> objSchema("External Apache Iceberg v2 table with snapshot time travel",
+        req = Seq("type", "name", "location"),
+        props = Seq("name" -> typed("string"), "location" -> typed("string"),
+          "snapshot_id" -> typed("integer"), "timestamp" -> typed("string", "RFC3339"),
+          "storage_config" -> stringMapSchema)),
       "odbc" -> objSchema("External database via JDBC (query pushed down)",
         req = Seq("type", "name", "load_query", "connection_string"),
         props = Seq("name" -> typed("string"), "load_query" -> typed("string"),

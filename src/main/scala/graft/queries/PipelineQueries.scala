@@ -312,6 +312,36 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // Iceberg pipeline SOURCE (r15, beyond reference): `type: iceberg`
+    // configs read external Iceberg v2 tables — current state AND a
+    // snapshot-pinned time travel — through the foreign reader, inside
+    // one pipeline whose SQL stage aggregates both. The table carries an
+    // equality delete, so the current read must apply it and the pinned
+    // read must not.
+    "p17_pipeline_iceberg" -> ((s, dir) => {
+      import graft.destinations.IcebergWrite
+      val tbl = tmp("graft-p17").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      IcebergWrite.create(s, tbl,
+        orders.schema.asInstanceOf[StructType])
+      val snap1 = IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 0))
+      IcebergWrite.append(s, tbl, orders.filter(col("o_orderkey") % 2 === 1))
+      IcebergWrite.deleteWhere(s, tbl,
+        orders.filter(col("o_orderkey") % 5 === 0).select(col("o_orderkey")))
+      pipe(s, Aqueduct(
+        sources = Seq(
+          IcebergSource("p17_cur", Location(tbl)),
+          IcebergSource("p17_snap1", Location(tbl), snapshotId = Some(snap1))),
+        stages = Seq(Seq(Stage("p17_result",
+          """SELECT
+               (SELECT count(*) FROM p17_cur) AS live_rows,
+               (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                FROM p17_cur) AS live_total,
+               (SELECT count(*) FROM p17_snap1) AS snap1_rows""")))))
+    }),
+
     // ORC round-trip through the engine front door (beyond reference: the
     // reference reads only CSV/JSONL/Parquet, sources/mod.rs:224-299; ORC is
     // native to spark-sql so lakehouse estates holding ORC ingest with zero
@@ -446,6 +476,13 @@ private[graft] object PipelineQueries {
          o_orderstatus
          FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 2 = 0
          ORDER BY o_orderkey""",
+
+    "p17_pipeline_iceberg" ->
+      """SELECT
+           (SELECT count(*) FROM orders WHERE o_orderkey % 5 <> 0) AS live_rows,
+           (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            FROM orders WHERE o_orderkey % 5 <> 0) AS live_total,
+           (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS snap1_rows""",
 
     "p15_pipeline_orc" ->
       """SELECT l_returnflag, count(*) AS n,

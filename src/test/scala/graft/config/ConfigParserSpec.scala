@@ -92,6 +92,29 @@ class ConfigParserSpec extends AnyFunSuite {
     assert(dest.writeMode == TableReplace(Seq(ReplaceCondition("year", "2024"))))
   }
 
+  test("iceberg source: snapshot_id / timestamp time travel options") {
+    val yaml =
+      """sources:
+        |  - type: iceberg
+        |    name: ice
+        |    location: /tmp/ice
+        |    snapshot_id: 12345
+        |  - type: iceberg
+        |    name: ice_ts
+        |    location: /tmp/ice
+        |    timestamp: "2024-03-01T00:00:00Z"
+        |stages:
+        |  - - name: s1
+        |      query: SELECT * FROM ice
+        |""".stripMargin
+    val aq = ConfigParser.fromYaml(yaml)
+    val a = aq.sources.head.asInstanceOf[IcebergSource]
+    assert(a.snapshotId.contains(12345L) && a.timestamp.isEmpty)
+    val b = aq.sources(1).asInstanceOf[IcebergSource]
+    assert(b.snapshotId.isEmpty &&
+      b.timestamp.contains(java.time.Instant.parse("2024-03-01T00:00:00Z")))
+  }
+
   test("csv source options with declared schema") {
     val yaml =
       """sources:
