@@ -197,9 +197,13 @@ object IcebergWrite {
       case other => other
     }
     val stamped = stamp(logical).asInstanceOf[StructType]
-    val out = df.select(stamped.fields.toIndexedSeq.map(f =>
-      col(s"`${f.name.replace("`", "``")}`")
-        .cast(f.dataType).as(f.name, f.metadata)): _*)
+    val present = df.columns.toSet
+    val out = df.select(stamped.fields.toIndexedSeq.map { f =>
+      val c =
+        if (present(f.name)) col(s"`${f.name.replace("`", "``")}`")
+        else org.apache.spark.sql.functions.lit(null) // evolved column absent from this batch
+      c.cast(f.dataType).as(f.name, f.metadata)
+    }: _*)
     val tmp = new Path(qualified, s"_tmp-append-${java.util.UUID.randomUUID()}")
     val writer = out.write.mode("overwrite")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
@@ -555,6 +559,99 @@ object IcebergWrite {
       } finally rd.close()
     }
   }
+
+  // ------------------------------------------------ schema evolution (DDL)
+
+  /** Append a NEW schema entry (copy of the current one mutated by
+    * `evolve`), make it current, bump the metadata version — Iceberg's
+    * metadata-only schema evolution: no snapshot, no data file touched.
+    * Old snapshots keep their own `schema-id`, so pinned time travel
+    * still shows the world as written. Returns the new schema id.
+    */
+  private def withEvolvedSchema(
+      spark: SparkSession, tablePath: String)(
+      evolve: (ObjectNode, com.fasterxml.jackson.databind.node.ArrayNode) => Unit): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    val qualified = fs.makeQualified(table)
+    require(!fs.exists(new Path(qualified, "_delta_log")),
+      s"$tablePath is Delta-backed (UniForm export): evolve the schema " +
+        "through Delta and re-export instead")
+    val metaDir = new Path(qualified, "metadata")
+    val md = IcebergRead.currentMetadata(fs, metaDir)
+    val csid = md.get("current-schema-id").asInt()
+    val cur = md.get("schemas").elements().asScala
+      .find(s => Option(s.get("schema-id")).exists(_.asInt() == csid))
+      .getOrElse(throw new IllegalArgumentException(s"schema $csid missing"))
+    val next = cur.deepCopy[ObjectNode]()
+    val newId = md.get("schemas").elements().asScala
+      .map(s => Option(s.get("schema-id")).map(_.asInt()).getOrElse(0)).max + 1
+    next.put("schema-id", newId)
+    evolve(md, next.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields"))
+    md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas").add(next)
+    md.put("current-schema-id", newId)
+    md.put("last-updated-ms", System.currentTimeMillis())
+    val hintPath = new Path(metaDir, "version-hint.text")
+    val in = fs.open(hintPath)
+    val v = (try new String(in.readAllBytes(), "UTF-8") finally in.close()).trim.toInt
+    writeMetadata(fs, metaDir, v + 1, md)
+    newId
+  }
+
+  /** ADD COLUMN: a new nullable field with a FRESH field id (continuing
+    * `last-column-id` — retired ids are never reused). Current reads show
+    * it immediately, null-filled for files written before; later appends
+    * may omit it (null-filled) or provide it.
+    */
+  def addColumn(
+      spark: SparkSession, tablePath: String,
+      name: String, dataType: DataType): Int =
+    withEvolvedSchema(spark, tablePath) { (md, fields) =>
+      require(!fields.elements().asScala.exists(_.get("name").asText() == name),
+        s"column $name already exists")
+      val ids = new IcebergExport.IdGen(md.get("last-column-id").asInt())
+      val one = IcebergExport.icebergType(
+        StructType(Seq(StructField(name, dataType, nullable = true))), ids)
+        .asInstanceOf[ObjectNode]
+      fields.add(one.get("fields").get(0))
+      md.put("last-column-id", ids.max): Unit
+    }
+
+  /** RENAME COLUMN: the field keeps its id, so every existing data file
+    * resolves under the new name by FIELD ID — zero rewrite. */
+  def renameColumn(
+      spark: SparkSession, tablePath: String, from: String, to: String): Int =
+    withEvolvedSchema(spark, tablePath) { (_, fields) =>
+      val fs = fields.elements().asScala.toSeq
+      require(fs.exists(_.get("name").asText() == from), s"no such column: $from")
+      require(!fs.exists(_.get("name").asText() == to), s"column $to already exists")
+      fs.foreach { f =>
+        if (f.get("name").asText() == from)
+          f.asInstanceOf[ObjectNode].put("name", to): Unit
+      }
+    }
+
+  /** DROP COLUMN: the field leaves the current schema (its id is retired,
+    * never reused — addColumn continues past it); data files keep the
+    * physical column, readers simply never project it. Refused for
+    * partition source columns and the last data column. */
+  def dropColumn(
+      spark: SparkSession, tablePath: String, name: String): Int =
+    withEvolvedSchema(spark, tablePath) { (md, fields) =>
+      val seq = fields.elements().asScala.toSeq
+      val hit = seq.find(_.get("name").asText() == name).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $name"))
+      require(seq.size > 1, "cannot drop the last column")
+      val fid = hit.get("id").asInt()
+      val referenced = md.get("partition-specs").elements().asScala.exists(
+        _.get("fields").elements().asScala.exists(
+          _.get("source-id").asInt() == fid))
+      require(!referenced,
+        s"cannot drop $name: a partition spec derives from it")
+      fields.removeAll()
+      seq.filterNot(_ eq hit).foreach(fields.add)
+    }
 
   private def writeMetadata(
       fs: org.apache.hadoop.fs.FileSystem, metaDir: Path,

@@ -1108,6 +1108,38 @@ private[graft] object DeltaQueries {
       IcebergRead.read(s, tbl)
         .filter(col("o_orderkey") < 5000)
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Iceberg SCHEMA EVOLUTION (r15): ADD COLUMN (fresh field id, old
+    // files null-fill immediately under the current schema), RENAME
+    // (same id — every existing file resolves under the new name with
+    // zero rewrite), and the snapshot-pinned read must still show the
+    // ORIGINAL schema (its own schema-id). All three layers replayed
+    // from raw orders.
+    "q164_iceberg_evolution" -> ((s, dir) => {
+      import graft.destinations.IcebergWrite
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q164").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      IcebergWrite.create(s, tbl,
+        orders.schema.asInstanceOf[StructType])
+      val snap1 = IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 0))
+      IcebergWrite.addColumn(s, tbl, "note", StringType)
+      IcebergWrite.renameColumn(s, tbl, "o_custkey", "cust_id")
+      IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey").as("cust_id"),
+            col("o_totalprice"),
+            concat(lit("n"), col("o_orderkey")).as("note")))
+      val pinnedCols = IcebergRead.read(s, tbl,
+        IcebergRead.Options(snapshotId = Some(snap1))).columns.toSeq
+      IcebergRead.read(s, tbl)
+        .filter(col("o_orderkey") < 4000)
+        .withColumn("snap1_cols", lit(pinnedCols.size))
+        .withColumn("snap1_has_note", lit(pinnedCols.contains("note")))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -1220,6 +1252,18 @@ private[graft] object DeltaQueries {
          WHERE ((o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0)
                 OR (o_orderkey % 2 = 1 AND o_orderkey < 3000))
            AND o_orderkey < 5000
+         ORDER BY o_orderkey""",
+
+    // the evolution layers replayed: evens (pre-evolution files) carry a
+    // NULL note and resolve cust_id by field id; odds carry their note;
+    // the pinned read kept the original 3-column schema
+    "q164_iceberg_evolution" ->
+      """SELECT o_orderkey, o_custkey AS cust_id, o_totalprice,
+                CASE WHEN o_orderkey % 2 = 1
+                     THEN 'n' || CAST(o_orderkey AS VARCHAR) END AS note,
+                CAST(3 AS INT) AS snap1_cols,
+                FALSE AS snap1_has_note
+         FROM orders WHERE o_orderkey < 4000
          ORDER BY o_orderkey""",
 
     "q111_delta_cdf" -> cdfOracleSql,

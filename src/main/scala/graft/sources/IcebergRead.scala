@@ -249,9 +249,15 @@ object IcebergRead {
           throw new IllegalStateException(s"current snapshot $cur missing"))
     }
 
-    // ---- schema (the snapshot's own schema-id: evolution-correct)
-    val schemaId = Option(snapNode.get("schema-id")).filterNot(_.isNull)
-      .map(_.asInt()).getOrElse(md.get("current-schema-id").asInt())
+    // ---- schema: CURRENT reads use the table's current schema (Iceberg
+    // semantics — an evolved column appears immediately, null-filled for
+    // files that predate it); snapshot-PINNED reads use the snapshot's own
+    // schema-id (time travel shows the world as written)
+    val pinned = opts.snapshotId.isDefined || opts.asOfTimestampMs.isDefined
+    val schemaId =
+      if (!pinned) md.get("current-schema-id").asInt()
+      else Option(snapNode.get("schema-id")).filterNot(_.isNull)
+        .map(_.asInt()).getOrElse(md.get("current-schema-id").asInt())
     val schemaNode = md.get("schemas").elements().asScala
       .find(s => Option(s.get("schema-id")).exists(_.asInt() == schemaId))
       .getOrElse(throw new IllegalArgumentException(s"schema $schemaId missing"))

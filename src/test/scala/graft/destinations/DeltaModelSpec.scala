@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
 class DeltaModelSpec extends SparkSpec {
   import spark.implicits._
 
-  private type State = Map[Long, String]
+  private type State = Map[Long, (String, String)] // id -> (v, tag)
 
   private def runModel(seed: Long, dvTable: Boolean): Unit = {
     val rnd = new scala.util.Random(seed)
@@ -29,16 +29,24 @@ class DeltaModelSpec extends SparkSpec {
         "delta.enableDeletionVectors" -> "true",
         "delta.enableChangeDataFeed" -> "true")
       else Map.empty[String, String]
+    // the model table carries a DEFAULTed column (allowColumnDefaults):
+    // writes below mostly OMIT `tag`, so every op shape's fill semantics
+    // are pinned in composition — append/overwrite/upsert-rewrite take the
+    // CURRENT default, merge/UPDATE rewrites keep the stored tag, merge
+    // inserts default — across a mid-run setDefault flip and restores
+    // (which revert the default with the schema they re-emit).
     DeltaWrite.createIfAbsent(spark, table,
-      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType),
+        DeltaWrite.defaultField("tag", StringType, "'d0'"))),
       properties = props)
 
     var state: State = Map.empty
+    var curDefault = "d0"
     var nextId = 0L
-    // data versions the model can restore/travel to (version -> state);
-    // vacuum invalidates time travel to tombstoned files, so the map is
-    // cleared when one runs
-    var versions = Map[Long, State](0L -> state)
+    // data versions the model can restore/travel to (version -> (state,
+    // default-at-that-version)); vacuum invalidates time travel to
+    // tombstoned files, so the map is cleared when one runs
+    var versions = Map[Long, (State, String)](0L -> ((state, curDefault)))
     def fresh(n: Int): Seq[(Long, String)] = {
       val rows = (0 until n).map(i => (nextId + i, s"v${nextId + i}"))
       nextId += n
@@ -46,15 +54,23 @@ class DeltaModelSpec extends SparkSpec {
     }
     def df(rows: Seq[(Long, String)]) = rows.toDF("id", "v")
       .repartition(1 + rnd.nextInt(2))
+    def tagged(rows: Seq[(Long, String)]) = rows.map { case (k, v) => k -> ((v, curDefault)) }
 
     (1 to 18).foreach { step =>
       val op = rnd.nextInt(12)
       op match {
-        case 0 | 1 | 2 => // append
+        case 0 | 1 | 2 => // append (sometimes providing the defaulted column)
           val rows = fresh(1 + rnd.nextInt(120))
-          val v = DeltaWrite.append(spark, table, df(rows))
-          state = state ++ rows
-          versions += v -> state
+          val explicitTag = rnd.nextDouble() < 0.3
+          val v =
+            if (explicitTag)
+              DeltaWrite.append(spark, table,
+                rows.map { case (k, vv) => (k, vv, s"x$k") }.toDF("id", "v", "tag")
+                  .repartition(1 + rnd.nextInt(2)))
+            else DeltaWrite.append(spark, table, df(rows))
+          state = state ++ rows.map { case (k, vv) =>
+            k -> ((vv, if (explicitTag) s"x$k" else curDefault)) }
+          versions += v -> ((state, curDefault))
         case 3 | 4 => // upsert: update a sample of survivors + some fresh
           val updates = state.keys.toSeq.sorted
             .filter(_ => rnd.nextDouble() < 0.3)
@@ -62,8 +78,10 @@ class DeltaModelSpec extends SparkSpec {
           val inserts = fresh(rnd.nextInt(40))
           if (updates.nonEmpty || inserts.nonEmpty) {
             val v = DeltaWrite.upsert(spark, table, df(updates ++ inserts), Seq("id"))
-            state = state ++ updates ++ inserts
-            versions += v -> state
+            // upsert REPLACES matched rows with the source row cast to
+            // schema: the absent tag takes the current default
+            state = state ++ tagged(updates ++ inserts)
+            versions += v -> ((state, curDefault))
           }
         case 5 => // delete by modulus predicate (DV path on the DV table)
           val m = 2 + rnd.nextInt(5)
@@ -71,7 +89,7 @@ class DeltaModelSpec extends SparkSpec {
           val before = DeltaLog.snapshot(spark, table).version
           val v = DeltaWrite.delete(spark, table, s"id % $m = $r")
           state = state.filterNot { case (k, _) => k % m == r }
-          if (v != before) versions += v -> state
+          if (v != before) versions += v -> ((state, curDefault))
         case 6 => // layout maintenance: compact (sometimes clustered) or purge
           val v = rnd.nextInt(3) match {
             case 0 => DeltaWrite.compact(spark, table, targetFileBytes = 1L << 30)
@@ -80,25 +98,32 @@ class DeltaModelSpec extends SparkSpec {
               curve = if (rnd.nextBoolean()) "hilbert" else "zorder")
             case 2 => DeltaWrite.reorgPurge(spark, table) // no-op without DVs
           }
-          versions += v -> state
+          versions += v -> ((state, curDefault))
         case 7 => // restore to a random still-materialized data version
           if (versions.nonEmpty) {
             val targets = versions.keys.toSeq.sorted
             val tgt = targets(rnd.nextInt(targets.size))
             val v = DeltaWrite.restore(spark, table, tgt)
-            state = versions(tgt)
-            versions += v -> state
+            // restore re-emits the target schema, so the DEFAULT reverts
+            // with the data
+            state = versions(tgt)._1
+            curDefault = versions(tgt)._2
+            versions += v -> ((state, curDefault))
           }
         case 8 => // overwrite with a small fresh set (rare full reset)
           if (rnd.nextDouble() < 0.3) {
             val rows = fresh(1 + rnd.nextInt(30))
             val v = DeltaWrite.overwrite(spark, table, df(rows))
-            state = rows.toMap
-            versions += v -> state
-          } else {
+            state = tagged(rows).toMap
+            versions += v -> ((state, curDefault))
+          } else if (rnd.nextBoolean()) {
             val v = DeltaWrite.setProperties(spark, table,
               Map(s"graft.model.step" -> step.toString))
-            if (v > 0) versions += v -> state
+            if (v > 0) versions += v -> ((state, curDefault))
+          } else { // flip the column default mid-life
+            val v = DeltaWrite.setDefault(spark, table, "tag", s"'d$step'")
+            curDefault = s"d$step"
+            versions += v -> ((state, curDefault))
           }
         case 9 => // maintenance: checkpoint / metadata cleanup / vacuum
           rnd.nextInt(3) match {
@@ -120,9 +145,10 @@ class DeltaModelSpec extends SparkSpec {
           val before = DeltaLog.snapshot(spark, table).version
           val v = DeltaWrite.update(spark, table, s"id % $m = $r",
             Map("v" -> "concat(v, '*')"))
-          state = state.map { case (k, vv) =>
-            if (k % m == r) k -> (vv + "*") else k -> vv }
-          if (v != before) versions += v -> state
+          // UPDATE rewrites through merge: the un-SET tag column is KEPT
+          state = state.map { case (k, (vv, tg)) =>
+            if (k % m == r) k -> ((vv + "*", tg)) else k -> ((vv, tg)) }
+          if (v != before) versions += v -> ((state, curDefault))
         case 10 | 11 => // full MERGE: conditional delete + update, insert, NMBS
           import DeltaWrite.MergeClause
           val updates = state.keys.toSeq.sorted
@@ -147,23 +173,29 @@ class DeltaModelSpec extends SparkSpec {
             val srcMap = srcRows.toMap
             val matchedKeys = srcMap.keySet intersect state.keySet
             state = state.filterNot { case (k, _) => matchedKeys(k) && k % 7 == 0 }
-            state = state.map { case (k, vv) =>
-              if (matchedKeys(k)) k -> (srcMap(k) + "!")
-              else if (nmbs && !srcMap.contains(k) && k % 11 == 3) k -> (vv + "~")
-              else k -> vv
+            // merge UPDATE/SourceUpdate keep the stored tag (un-SET
+            // columns stay); INSERT clauses take the current default
+            state = state.map { case (k, (vv, tg)) =>
+              if (matchedKeys(k)) k -> ((srcMap(k) + "!", tg))
+              else if (nmbs && !srcMap.contains(k) && k % 11 == 3) k -> ((vv + "~", tg))
+              else k -> ((vv, tg))
             }
-            state = state ++ srcRows.filterNot { case (k, _) => matchedKeys(k) }
-            if (v != before) versions += v -> state
+            state = state ++ tagged(
+              srcRows.filterNot { case (k, _) => matchedKeys(k) })
+            if (v != before) versions += v -> ((state, curDefault))
           }
       }
 
-      // after EVERY op: exact state equality …
+      // after EVERY op: exact state equality (values AND default-filled tags)
       val got = DeltaLog.read(spark, table)
-        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
       assert(got == state,
         s"seed=$seed dv=$dvTable step=$step op=$op: " +
           s"missing=${(state.keySet -- got.keySet).take(5)} " +
-          s"extra=${(got.keySet -- state.keySet).take(5)}")
+          s"extra=${(got.keySet -- state.keySet).take(5)} " +
+          s"diff=${state.keySet.intersect(got.keySet)
+            .filter(k => state(k) != got(k)).take(3)
+            .map(k => s"$k:${state(k)}!=${got(k)}")}")
       // … the checksum chain audits clean (cleanup may drop old crcs;
       // the latest must always exist and agree) …
       assert(DeltaLog.verifyChecksum(spark, table, None),
@@ -172,8 +204,8 @@ class DeltaModelSpec extends SparkSpec {
       if (versions.size > 1 && rnd.nextDouble() < 0.5) {
         val old = versions.keys.toSeq.sorted.apply(rnd.nextInt(versions.size))
         val tr = DeltaLog.read(spark, table, versionAsOf = Some(old))
-          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-        assert(tr == versions(old),
+          .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+        assert(tr == versions(old)._1,
           s"seed=$seed dv=$dvTable step=$step travel to $old diverged")
       }
     }
@@ -184,7 +216,7 @@ class DeltaModelSpec extends SparkSpec {
     DeltaWrite.reorgPurge(spark, table)
     IcebergExport.export(spark, table)
     val viaIceberg = IcebergExport.readThroughIceberg(spark, table)
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
     assert(viaIceberg == state,
       s"seed=$seed dv=$dvTable: Iceberg read diverged from the model: " +
         s"missing=${(state.keySet -- viaIceberg.keySet).take(5)} " +
@@ -235,7 +267,7 @@ class DeltaModelSpec extends SparkSpec {
       StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
       properties = props)
 
-    var state: State = Map.empty
+    var state: Map[Long, String] = Map.empty
     var nextId = 0L
     def fresh(n: Int): Seq[(Long, String)] = {
       val rows = (0 until n).map(i => (nextId + i, s"v${nextId + i}"))
@@ -262,7 +294,7 @@ class DeltaModelSpec extends SparkSpec {
       val op = rnd.nextInt(6)
       DeltaWrite.racePublishHook = Some(winner)
       try {
-        val attempt: Either[Throwable, State => State] =
+        val attempt: Either[Throwable, Map[Long, String] => Map[Long, String]] =
           try {
             op match {
               case 0 => // append

@@ -204,6 +204,47 @@ class IcebergWriteSpec extends SparkSpec {
     assert(IcebergRead.read(spark, t).count() == 3L)
   }
 
+  test("schema evolution: add/rename/drop — field ids stable, retired ids never reused, pinned snapshots keep their schema") {
+    import org.apache.spark.sql.functions._
+    val t = tmpDir("icew-evolve").resolve("t").toString
+    IcebergWrite.create(spark, t, schema, partitionBy = Seq("p"))
+    val snap1 = IcebergWrite.append(spark, t, rows((1, "a", "x"), (2, "b", "y")))
+    IcebergWrite.addColumn(spark, t, "n", LongType)
+    IcebergWrite.renameColumn(spark, t, "v", "val")
+    // post-evolution append provides the new column
+    import spark.implicits._
+    IcebergWrite.append(spark, t,
+      Seq((3L, "c", "x", 30L)).toDF("id", "val", "p", "n"))
+    val cur = IcebergRead.read(spark, t)
+    assert(cur.columns.toSeq == Seq("id", "val", "p", "n"))
+    val byId = cur.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), Option(r.get(3))))).toMap
+    // old files resolve `val` by FIELD ID and null-fill `n`
+    assert(byId == Map(1L -> (("a", None)), 2L -> (("b", None)),
+      3L -> (("c", Some(30L)))))
+    // pinned read shows the original schema
+    val pinned = IcebergRead.read(spark, t,
+      IcebergRead.Options(snapshotId = Some(snap1)))
+    assert(pinned.columns.toSeq == Seq("id", "v", "p"))
+    assert(pinned.count() == 2L)
+    // drop n, then add n2: the retired id must NOT be reused — rows
+    // written with n=30 must not resurrect into n2
+    IcebergWrite.dropColumn(spark, t, "n")
+    assert(IcebergRead.read(spark, t).columns.toSeq == Seq("id", "val", "p"))
+    IcebergWrite.addColumn(spark, t, "n2", LongType)
+    val n2s = IcebergRead.read(spark, t).select("id", "n2").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(n2s.values.forall(_.isEmpty),
+      s"retired field id leaked old values into n2: $n2s")
+    // guards
+    intercept[IllegalArgumentException](
+      IcebergWrite.dropColumn(spark, t, "p")) // partition source
+    intercept[IllegalArgumentException](
+      IcebergWrite.renameColumn(spark, t, "val", "id")) // collision
+    intercept[IllegalArgumentException](
+      IcebergWrite.addColumn(spark, t, "id", LongType)) // exists
+  }
+
   test("rewriteDataFiles on an empty table is a no-op") {
     val t = tmpDir("icew-rewrite-empty").resolve("t").toString
     IcebergWrite.create(spark, t, schema)
