@@ -100,9 +100,37 @@ object IcebergWrite {
     writeMetadata(fs, metaDir, 1, md)
   }
 
-  /** Append `df` as one new snapshot. Returns the new snapshot id. */
-  def append(spark: SparkSession, tablePath: String, df: DataFrame): Long =
-    commitDataSnapshot(spark, tablePath, df, "append", carryPrior = true)
+  /** Append `df` as one new snapshot. Returns the new snapshot id.
+    * `summary` entries join the snapshot summary — the Iceberg
+    * commit-dedup convention streaming sinks use for exactly-once
+    * ([[lastAppliedBatch]]).
+    */
+  def append(
+      spark: SparkSession, tablePath: String, df: DataFrame,
+      summary: Seq[(String, String)] = Nil): Long =
+    commitDataSnapshot(spark, tablePath, df, "append", carryPrior = true,
+      extraSummary = summary)
+
+  /** The highest `graft.txn-batch` recorded in any snapshot summary whose
+    * `graft.txn-app-id` equals `appId` (-1 when none) — the read half of
+    * the streaming sink's exactly-once contract. Snapshot-metadata-only.
+    * Caveat (same as Delta's SetTransaction retention): expireSnapshots
+    * must keep at least the newest stamped snapshot, or a crash-replay
+    * older than the retention horizon re-applies.
+    */
+  def lastAppliedBatch(
+      spark: SparkSession, tablePath: String, appId: String): Long = {
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val md = IcebergRead.currentMetadata(
+      fs, new Path(fs.makeQualified(table), "metadata"))
+    md.get("snapshots").elements().asScala.flatMap { s =>
+      Option(s.get("summary")).filterNot(_.isNull)
+        .filter(n => Option(n.get("graft.txn-app-id"))
+          .exists(_.asText() == appId))
+        .flatMap(n => Option(n.get("graft.txn-batch")).map(_.asText().toLong))
+    }.foldLeft(-1L)(math.max)
+  }
 
   /** OPTIMIZE (rewrite-data-files, whole-table): read the CURRENT live
     * rows — position and equality deletes applied — and commit them back

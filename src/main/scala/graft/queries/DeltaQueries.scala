@@ -1140,6 +1140,45 @@ private[graft] object DeltaQueries {
         .withColumn("snap1_cols", lit(pinnedCols.size))
         .withColumn("snap1_has_note", lit(pinnedCols.contains("note")))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Streaming ICEBERG sink (r15): two separate stream runs append into
+    // a native Iceberg table through the exactly-once summary-stamped
+    // sink — each run commits exactly one snapshot, the second run
+    // resumes from the durable checkpoint (no re-read of run 1's file),
+    // and the final table equals the raw-orders replay.
+    "q165_iceberg_stream_sink" -> ((s, dir) => {
+      import graft.destinations.IcebergWrite
+      import graft.sources.IcebergRead
+      import graft.streaming.Streams
+      val root = tmp("graft-q165")
+      val tbl = root.resolve("t").toString
+      val src = root.resolve("in")
+      java.nio.file.Files.createDirectories(src)
+      val cp = root.resolve("ckpt").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      IcebergWrite.create(s, tbl,
+        orders.schema.asInstanceOf[StructType])
+      def drain(): Unit = {
+        val q = Streams.icebergAppendSink(
+          Streams.fileSource(s, src.toString,
+            orders.schema.asInstanceOf[StructType]),
+          tbl, checkpointDir = cp, appId = "q165")
+        q.processAllAvailable()
+        q.stop()
+      }
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(src.toString)
+      drain()
+      orders.filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") < 3000)
+        .coalesce(1).write.mode("append").parquet(src.toString)
+      drain()
+      val snaps = IcebergRead.snapshots(s, tbl).count()
+      IcebergRead.read(s, tbl)
+        .filter(col("o_orderkey") < 5000)
+        .withColumn("snapshots", lit(snaps))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -1264,6 +1303,16 @@ private[graft] object DeltaQueries {
                 CAST(3 AS INT) AS snap1_cols,
                 FALSE AS snap1_has_note
          FROM orders WHERE o_orderkey < 4000
+         ORDER BY o_orderkey""",
+
+    // the streamed table equals the replay; 2 = one snapshot per run
+    "q165_iceberg_stream_sink" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(2 AS BIGINT) AS snapshots
+         FROM orders
+         WHERE (o_orderkey % 2 = 0
+                OR (o_orderkey % 2 = 1 AND o_orderkey < 3000))
+           AND o_orderkey < 5000
          ORDER BY o_orderkey""",
 
     "q111_delta_cdf" -> cdfOracleSql,

@@ -249,6 +249,34 @@ object Streams {
       }
       .start()
 
+  /** Streaming append into a native ICEBERG table, exactly-once per
+    * micro-batch: each batch commits one snapshot stamping the stream's
+    * id + batch id into the snapshot summary (Iceberg's commit-dedup
+    * convention, the analog of Delta's SetTransaction); on restart, a
+    * replayed batch id at or below the table's recorded high-water is
+    * skipped — crash-replays neither duplicate nor lose rows. Keep
+    * snapshot retention past the checkpoint recovery horizon
+    * ([[graft.destinations.IcebergWrite.lastAppliedBatch]] caveat).
+    */
+  def icebergAppendSink(
+      df: DataFrame,
+      tablePath: String,
+      checkpointDir: String,
+      appId: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val applied = graft.destinations.IcebergWrite
+          .lastAppliedBatch(sp, tablePath, appId)
+        if (batchId > applied && !batch.isEmpty)
+          graft.destinations.IcebergWrite.append(sp, tablePath, batch,
+            summary = Seq("graft.txn-app-id" -> appId,
+              "graft.txn-batch" -> batchId.toString)): Unit
+      }
+      .start()
+
   /** Streaming append into a REAL Delta table (`foreachBatch` →
     * [[graft.destinations.DeltaWrite.append]]): each micro-batch is one
     * protocol commit, so any Delta reader tails the stream's output and

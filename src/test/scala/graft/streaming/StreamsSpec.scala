@@ -395,6 +395,56 @@ class StreamsSpec extends SparkSpec {
       "replayed batch must not commit a new version")
   }
 
+  test("icebergAppendSink crash-replay: summary-stamped batch ids dedupe — no dup/lost rows, no extra snapshots") {
+    import graft.destinations.IcebergWrite
+    import graft.sources.IcebergRead
+    import org.apache.spark.sql.types._
+    val root = tmpDir("iceberg-sink-xo")
+    val src = root.resolve("in")
+    java.nio.file.Files.createDirectories(src)
+    val table = root.resolve("t").toString
+    val cp = root.resolve("ckpt")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("total", DoubleType)))
+    IcebergWrite.create(spark, table, schema)
+    import spark.implicits._
+    def drain(): Unit = {
+      val q = Streams.icebergAppendSink(
+        Streams.fileSource(spark, src.toString, schema),
+        table, checkpointDir = cp.toString, appId = "ice-xo")
+      q.processAllAvailable()
+      q.stop()
+    }
+    Seq((1L, 10.0), (2L, 20.0)).toDF("user_id", "total")
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    drain()
+    val cpCopy = root.resolve("ckpt-copy")
+    def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(from).forEach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+        else { java.nio.file.Files.createDirectories(dst.getParent)
+          java.nio.file.Files.copy(p, dst): Unit }
+      }
+    }
+    copyDir(cp, cpCopy)
+    Seq((3L, 30.0)).toDF("user_id", "total")
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    drain() // batch 1 lands in Iceberg AND the engine checkpoint
+    def state() = IcebergRead.read(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val snapsAfter = IcebergRead.snapshots(spark, table).count()
+    assert(state() == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    // crash simulation: pre-batch-1 checkpoint restored; the replayed
+    // batch's id is at the table's summary high-water — skipped entirely
+    org.apache.commons.io.FileUtils.deleteDirectory(cp.toFile)
+    copyDir(cpCopy, cp)
+    drain()
+    assert(state() == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0), "replay changed rows")
+    assert(IcebergRead.snapshots(spark, table).count() == snapsAfter,
+      "replayed batch must not commit a new snapshot")
+  }
+
   test("foreachBatch delta sink appends micro-batches as real Delta commits") {
     import graft.destinations.DeltaWrite
     import graft.sources.DeltaLog
