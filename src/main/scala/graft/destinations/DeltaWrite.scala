@@ -2674,6 +2674,106 @@ object DeltaWrite {
     v
   }
 
+  // --------------------------------------------------------- DROP FEATURE
+
+  /** Features [[dropFeature]] can remove, with the TRACE each one must
+    * have cleared first — a dropped feature whose artifacts remain would
+    * let a non-supporting writer corrupt the table, so validation refuses
+    * until the trace is gone. Structural features (columnMapping,
+    * rowTracking, typeWidening, v2Checkpoint, icebergCompatV2,
+    * variantType, inCommitTimestamp, domainMetadata, clusteredTable,
+    * identityColumns) are NOT droppable: their traces live in file
+    * layouts / schema history that no validation can cheaply prove clean
+    * — delta-spark restricts its droppable set the same way.
+    */
+  private val droppableFeatures: Set[String] =
+    Set("deletionVectors", "allowColumnDefaults", "checkConstraints",
+      "changeDataFeed", "appendOnly", "invariants", "generatedColumns",
+      "vacuumProtocolCheck")
+
+  /** `ALTER TABLE … DROP FEATURE <name>` — protocol DOWNGRADE: removes the
+    * feature from the writer (and reader) list after validating the table
+    * carries no trace of it. For `deletionVectors` (a reader-writer
+    * feature whose ACTIONS live in old commits) the drop is delta-spark's
+    * TRUNCATE HISTORY flow: checkpoint the current state, truncate the
+    * pre-checkpoint log, then commit the downgraded protocol — a reader
+    * without the feature replays checkpoint + tail and never sees a DV
+    * action. Time travel below the checkpoint is gone (that is the
+    * contract). The reader version drops to 1 when no reader feature
+    * remains (2 under column mapping). Returns the new version.
+    */
+  def dropFeature(
+      spark: SparkSession,
+      tablePath: String,
+      name: String): Long = {
+    val snap0 = DeltaLog.snapshot(spark, tablePath)
+    requireWritable(tablePath, snap0, "dropFeature", removesData = false)
+    val cur = snap0.protocol.getOrElse(DeltaLog.Protocol(1, 2))
+    require(cur.minWriterVersion >= 7 && cur.writerFeatures.contains(name),
+      s"table protocol does not name feature $name (protocol $cur)")
+    require(droppableFeatures.contains(name),
+      s"feature $name is not droppable: its traces are structural " +
+        s"(droppable: ${droppableFeatures.toSeq.sorted.mkString(", ")})")
+    def cfgOn(k: String) =
+      snap0.configuration.get(k).exists(_.equalsIgnoreCase("true"))
+    val trace: Option[String] = name match {
+      case "deletionVectors" =>
+        if (cfgOn("delta.enableDeletionVectors"))
+          Some("delta.enableDeletionVectors is still true — unset it first")
+        else if (DeltaLog.lazySnapshot(spark, tablePath)
+            .filesWhere(_.deletionVector.isDefined).nonEmpty)
+          Some("live files still carry deletion vectors — run reorgPurge first")
+        else None
+      case "allowColumnDefaults" =>
+        if (defaultFields(snap0.schema).nonEmpty)
+          Some("columns still declare DEFAULTs — dropDefault them first")
+        else None
+      case "checkConstraints" =>
+        if (snap0.configuration.keys.exists(_.startsWith("delta.constraints.")))
+          Some("CHECK constraints still defined — unset delta.constraints.* first")
+        else None
+      case "changeDataFeed" =>
+        if (cfgOn("delta.enableChangeDataFeed"))
+          Some("delta.enableChangeDataFeed is still true — unset it first")
+        else None
+      case "appendOnly" =>
+        if (cfgOn("delta.appendOnly"))
+          Some("delta.appendOnly is still true — unset it first")
+        else None
+      case "invariants" =>
+        if (snap0.schema.fields.exists(_.metadata.contains("delta.invariants")))
+          Some("column invariants still defined") else None
+      case "generatedColumns" =>
+        if (snap0.schema.fields.exists(
+            _.metadata.contains("delta.generationExpression")))
+          Some("generated columns still defined") else None
+      case _ => None // vacuumProtocolCheck: the listed feature IS the contract
+    }
+    trace.foreach(t => throw new IllegalArgumentException(
+      s"cannot drop feature $name from $tablePath: $t"))
+    // reader-writer features with ACTION traces in old commits truncate
+    // history so a non-supporting reader can never replay into them
+    if (name == "deletionVectors") {
+      checkpoint(spark, tablePath)
+      cleanupMetadata(spark, tablePath): Unit
+    }
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val p = snap.protocol.getOrElse(cur)
+    val newReaderFeats = p.readerFeatures - name
+    val newProto = DeltaLog.Protocol(
+      if (newReaderFeats.nonEmpty) 3
+      else if (snap.columnMappingMode == "name") 2 else 1,
+      7, newReaderFeats, p.writerFeatures - name)
+    val v = commit(spark, new Path(tablePath), snap.version + 1,
+      "DROP FEATURE", withMeta = Some((snap.schema, snap.partitionColumns)),
+      adds = Nil, removes = Nil, dataChange = false,
+      protocolUpgrade = Some(newProto), metaConfig = snap.configuration,
+      ictEnabled = ictOn(snap), tableId = DeltaLog.tableId(snap),
+      opParams = Seq("feature" -> name))
+    maybeCheckpoint(spark, tablePath, v)
+    v
+  }
+
   /** ALTER TABLE RENAME COLUMN, metadata-only (public protocol: column
     * mapping decouples the logical name from the parquet field, so a
     * rename re-emits metaData with the field renamed and its

@@ -1179,6 +1179,46 @@ private[graft] object DeltaQueries {
         .filter(col("o_orderkey") < 5000)
         .withColumn("snapshots", lit(snaps))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // DROP FEATURE (r15, protocol downgrade + TRUNCATE HISTORY): a
+    // DV-deleting lifecycle purges its vectors, unsets the property, and
+    // drops `deletionVectors` — the log truncates to a checkpoint a
+    // non-DV reader can replay, the protocol loses the feature from BOTH
+    // lists (reader floor back to 1), and the data survives bit-exact.
+    // A premature drop (live DVs) must refuse.
+    "q166_delta_drop_feature" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      val tbl = tmp("graft-q166").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        orders.schema.asInstanceOf[StructType],
+        properties = Map("delta.enableDeletionVectors" -> "true"))
+      DeltaWrite.append(s, tbl, orders.repartition(3))                 // v1
+      DeltaWrite.delete(s, tbl, "o_orderkey % 6 = 0")                  // v2: DVs
+      var premature = 0
+      try DeltaWrite.dropFeature(s, tbl, "deletionVectors")
+      catch { case e: IllegalArgumentException
+        if e.getMessage.contains("deletion vectors") ||
+           e.getMessage.contains("enableDeletionVectors") => premature += 1 }
+      DeltaWrite.reorgPurge(s, tbl)                                    // v3
+      DeltaWrite.setProperties(s, tbl, Map.empty,
+        unset = Seq("delta.enableDeletionVectors"))                    // v4
+      try DeltaWrite.dropFeature(s, tbl, "deletionVectors")
+      catch { case e: IllegalArgumentException
+        if e.getMessage.contains("deletion vectors") => premature += 1 }
+      val p = graft.sources.DeltaLog.snapshot(s, tbl).protocol.get
+      val dropped =
+        !p.readerFeatures.contains("deletionVectors") &&
+        !p.writerFeatures.contains("deletionVectors")
+      graft.sources.DeltaLog.read(s, tbl)
+        .filter(col("o_orderkey") < 5000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit(premature).as("premature_refusals"),
+          lit(dropped).as("feature_dropped"),
+          lit(p.minReaderVersion).as("min_reader"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -1313,6 +1353,18 @@ private[graft] object DeltaQueries {
          WHERE (o_orderkey % 2 = 0
                 OR (o_orderkey % 2 = 1 AND o_orderkey < 3000))
            AND o_orderkey < 5000
+         ORDER BY o_orderkey""",
+
+    // the drop must be data-invisible (survivors of the %6 delete) and
+    // protocol-visible (feature gone from both lists, reader floor 1);
+    // exactly ONE premature refusal (live DVs before the purge)
+    "q166_delta_drop_feature" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(1 AS INT) AS premature_refusals,
+                TRUE AS feature_dropped,
+                CAST(1 AS INT) AS min_reader
+         FROM orders
+         WHERE o_orderkey % 6 <> 0 AND o_orderkey < 5000
          ORDER BY o_orderkey""",
 
     "q111_delta_cdf" -> cdfOracleSql,

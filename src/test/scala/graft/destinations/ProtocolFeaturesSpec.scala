@@ -131,4 +131,62 @@ class ProtocolFeaturesSpec extends SparkSpec {
     DeltaWrite.delete(spark, table, "id <= 5") // allowed: config is unset
     assert(DeltaLog.read(spark, table).count() == 5L)
   }
+
+  test("dropFeature: writer-only feature drops after its trace clears; guards refuse otherwise") {
+    val table = tmpDir("feat-drop-writer").resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, table, StructType(Seq(
+      StructField("id", LongType),
+      DeltaWrite.defaultField("v", StringType, "'d'"))))
+    DeltaWrite.append(spark, table, { import spark.implicits._
+      Seq(1L, 2L).toDF("id") })
+    // trace present: refuse
+    val e1 = intercept[IllegalArgumentException](
+      DeltaWrite.dropFeature(spark, table, "allowColumnDefaults"))
+    assert(e1.getMessage.contains("DEFAULT"))
+    DeltaWrite.dropDefault(spark, table, "v")
+    DeltaWrite.dropFeature(spark, table, "allowColumnDefaults")
+    val p = proto(table)
+    assert(!p.writerFeatures.contains("allowColumnDefaults"), p)
+    // not named / not droppable both refuse
+    intercept[IllegalArgumentException](
+      DeltaWrite.dropFeature(spark, table, "allowColumnDefaults"))
+    intercept[IllegalArgumentException](
+      DeltaWrite.dropFeature(spark, table, "rowTracking"))
+    // table keeps working; omitted column now null-fills
+    DeltaWrite.append(spark, table, { import spark.implicits._
+      Seq(3L).toDF("id") })
+    val got = DeltaLog.read(spark, table).orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(got.toSeq == Seq((1L, Some("d")), (2L, Some("d")), (3L, None)))
+  }
+
+  test("dropFeature deletionVectors: TRUNCATE HISTORY — pre-drop travel gone, replay clean, reader floor back to 1") {
+    val table = tmpDir("feat-drop-dv").resolve("t").toString
+    DeltaWrite.createIfAbsent(spark, table, schema,
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    DeltaWrite.append(spark, table, rows(1, 20))                       // v1
+    DeltaWrite.delete(spark, table, "id % 2 = 0")                      // v2: DVs
+    intercept[IllegalArgumentException](
+      DeltaWrite.dropFeature(spark, table, "deletionVectors"))
+    DeltaWrite.reorgPurge(spark, table)                                // v3
+    intercept[IllegalArgumentException]( // property still on
+      DeltaWrite.dropFeature(spark, table, "deletionVectors"))
+    DeltaWrite.setProperties(spark, table, Map.empty,
+      unset = Seq("delta.enableDeletionVectors"))                      // v4
+    val v = DeltaWrite.dropFeature(spark, table, "deletionVectors")
+    val p = proto(table)
+    assert(p.minReaderVersion == 1 && p.readerFeatures.isEmpty, p)
+    assert(!p.writerFeatures.contains("deletionVectors"), p)
+    assert(DeltaLog.read(spark, table).collect().map(_.getLong(0)).toSet ==
+      (1L to 20L).filter(_ % 2 == 1).toSet)
+    assert(DeltaLog.verifyChecksum(spark, table, None))
+    // pre-truncation versions no longer resolve (the history is GONE —
+    // that is the drop's contract)
+    intercept[Exception](
+      DeltaLog.read(spark, table, versionAsOf = Some(1L)).collect())
+    // post-drop lifecycle stays healthy
+    DeltaWrite.append(spark, table, rows(21, 25))
+    assert(DeltaLog.read(spark, table).count() == 15L)
+    assert(DeltaLog.snapshot(spark, table).version == v + 1)
+  }
 }
