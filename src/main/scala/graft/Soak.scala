@@ -50,7 +50,16 @@ object Soak {
     // CDF snapshot-start stream — the new surfaces under 10× stats
     "q152_delta_merge", "q153_iceberg_dv_export", "q154_iceberg_source",
     "q155_cdf_stream_snapshot", "q156_iceberg_write",
-    "q157_iceberg_eq_delete", "q158_delta_update")
+    "q157_iceberg_eq_delete", "q158_delta_update",
+    // round 15 continuation: column defaults, metadata-table scans,
+    // delete-applying Iceberg rewrite, UniForm auto-sync (an export per
+    // commit at 10× stats), schema evolution, streaming Iceberg sink,
+    // DROP FEATURE's truncate-history flow, the iceberg pipeline source
+    "q159_delta_defaults", "q160_describe_detail",
+    "q161_iceberg_meta_tables", "q162_iceberg_rewrite",
+    "q163_delta_uniform", "q164_iceberg_evolution",
+    "q165_iceberg_stream_sink", "q166_delta_drop_feature",
+    "p17_pipeline_iceberg")
 
   private def replicate(df: DataFrame, copies: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until copies).map(k => shift(df, k)).reduce(_ unionByName _)

@@ -1030,18 +1030,25 @@ private[graft] object DeltaQueries {
           .cast("long").as("added_records"),
         coalesce(col("summary").getItem("added-delete-files"), lit("0"))
           .cast("int").as("added_delete_files"))
-      val fileRollup = IcebergRead.files(s, tbl).agg(
-        sum(when(col("content") === 0, 1).otherwise(0))
-          .cast("int").as("live_data_files"),
-        sum(when(col("content") === 2, 1).otherwise(0))
-          .cast("int").as("live_eq_delete_files"),
+      // single-row rollups ride as plan literals (the aggregate-to-driver
+      // scalar contract) — a crossJoin of a 1-row frame would plan as a
+      // BroadcastNestedLoopJoin, which the sf1 soak's no-product pin
+      // rightly refuses to let near a query shape
+      val fr = IcebergRead.files(s, tbl).agg(
+        sum(when(col("content") === 0, 1).otherwise(0)).cast("int"),
+        sum(when(col("content") === 2, 1).otherwise(0)).cast("int"),
         sum(when(col("content") === 0, col("record_count")).otherwise(0L))
-          .as("data_records"))
-      val histRollup = IcebergRead.history(s, tbl).agg(
-        count(lit(1)).cast("int").as("history_entries"),
-        sum(when(col("is_current_ancestor"), 1).otherwise(0))
-          .cast("int").as("ancestors"))
-      snapRows.crossJoin(fileRollup).crossJoin(histRollup)
+      ).head()
+      val hr = IcebergRead.history(s, tbl).agg(
+        count(lit(1)).cast("int"),
+        sum(when(col("is_current_ancestor"), 1).otherwise(0)).cast("int")
+      ).head()
+      snapRows
+        .withColumn("live_data_files", lit(fr.getInt(0)))
+        .withColumn("live_eq_delete_files", lit(fr.getInt(1)))
+        .withColumn("data_records", lit(fr.getLong(2)))
+        .withColumn("history_entries", lit(hr.getInt(0)))
+        .withColumn("ancestors", lit(hr.getInt(1)))
         .orderBy(col("seq"))
     }),
 
@@ -1066,11 +1073,11 @@ private[graft] object DeltaQueries {
       val preSnap = IcebergWrite.deleteWhere(s, tbl,
         orders.filter(col("o_orderkey") % 7 === 0).select(col("o_orderkey")))
       IcebergWrite.rewriteDataFiles(s, tbl, targetFileBytes = 1L << 30)
-      val rollup = IcebergRead.files(s, tbl).agg(
-        sum(when(col("content") === 0, 1).otherwise(0))
-          .cast("int").as("live_data_files"),
-        sum(when(col("content") =!= 0, 1).otherwise(0))
-          .cast("int").as("live_delete_files"))
+      // 1-row rollup as plan literals (not a crossJoin → BNL; see q161)
+      val rl = IcebergRead.files(s, tbl).agg(
+        sum(when(col("content") === 0, 1).otherwise(0)).cast("int"),
+        sum(when(col("content") =!= 0, 1).otherwise(0)).cast("int")
+      ).head()
       val cur = IcebergRead.read(s, tbl)
         .filter(col("o_orderkey") < 4000)
         .withColumn("at_pre_rewrite", lit(false))
@@ -1078,7 +1085,9 @@ private[graft] object DeltaQueries {
           IcebergRead.Options(snapshotId = Some(preSnap)))
         .filter(col("o_orderkey") < 4000)
         .withColumn("at_pre_rewrite", lit(true))
-      cur.unionByName(old).crossJoin(rollup)
+      cur.unionByName(old)
+        .withColumn("live_data_files", lit(rl.getInt(0)))
+        .withColumn("live_delete_files", lit(rl.getInt(1)))
         .orderBy(col("at_pre_rewrite"), col("o_orderkey"))
     }),
 
