@@ -140,6 +140,11 @@ object ConfigParser {
         tableProperties = stringMap(n, "table_properties"),
         metadata = stringMap(n, "metadata", "custom_metadata"),
         schema = parseFields(n.get("schema")))
+    case "iceberg" =>
+      IcebergDestination(req(n, "name"), loc(n),
+        partitionColumns = strArr(first(n, "partition_columns", "partition_cols")),
+        schema = parseFields(n.get("schema")),
+        storageConfig = stringMap(n, "storage_config", "storage_options"))
     case "odbc" | "database" | "jdbc" =>
       JdbcDestination(req(n, "name"), req(n, "connection_string"),
         writeMode = parseJdbcWriteMode(Option(n.get("write_mode"))

@@ -174,6 +174,18 @@ final case class JdbcDestination(
     writeMode: JdbcWriteMode,
     batchSize: Int = 1000) extends Destination
 
+/** Native Apache Iceberg v2 destination (`type: iceberg`, beyond
+  * reference; append mode): the table is created if absent (declared
+  * schema required then) and each run appends one snapshot — readable by
+  * any Iceberg client, time travel included.
+  */
+final case class IcebergDestination(
+    name: String,
+    location: Location,
+    partitionColumns: Seq[String] = Nil,
+    schema: Seq[Types.FieldSpec] = Nil,
+    storageConfig: Map[String, String] = Map.empty) extends Destination
+
 sealed trait JdbcWriteMode
 case object JdbcAppend extends JdbcWriteMode
 /** Single transaction: optional pre-statement + prepared inserts, rollback on

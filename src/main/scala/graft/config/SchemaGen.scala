@@ -102,6 +102,12 @@ object SchemaGen {
           "single_file" -> withDefault(typed("boolean"), true),
           "partition_columns" -> arrayOf(typed("string")),
           "storage_config" -> stringMapSchema)),
+      "iceberg" -> objSchema("Native Apache Iceberg v2 table (append; created if absent)",
+        req = Seq("type", "name", "location"),
+        props = Seq("name" -> typed("string"), "location" -> typed("string"),
+          "partition_columns" -> arrayOf(typed("string")),
+          "schema" -> arrayOf(ref("Field")),
+          "storage_config" -> stringMapSchema)),
       "delta" -> objSchema("Managed versioned table (append/upsert/replace)",
         req = Seq("type", "name", "location", "write_mode"),
         props = Seq("name" -> typed("string"), "location" -> typed("string"),

@@ -37,6 +37,14 @@ object Destinations {
     case d: InMemoryDestination =>
       require(!spark.catalog.tableExists(d.name),
         s"InMemory destination '${d.name}' already exists in the session")
+    case d: IcebergDestination =>
+      ObjectStores.configure(spark, d.location, d.storageConfig)
+      if (!IcebergWrite.exists(spark, d.location.spark)) {
+        require(d.schema.nonEmpty,
+          s"Creating an Iceberg table at ${d.location.spark} requires a declared schema")
+        IcebergWrite.create(spark, d.location.spark,
+          graft.config.Types.toStruct(d.schema), d.partitionColumns)
+      }
     case _ => ()
   }
 
@@ -62,6 +70,12 @@ object Destinations {
           case TableUpsert(keys) => ManagedTable.upsert(spark, d.location, df, keys)
           case TableReplace(conds) => ManagedTable.replace(spark, d.location, df, conds)
         }
+
+    case d: IcebergDestination =>
+      val data =
+        if (d.schema.isEmpty) df
+        else ManagedTable.castToSchema(df, graft.config.Types.toStruct(d.schema))
+      IcebergWrite.append(spark, d.location.spark, data): Unit
 
     case d: JdbcDestination => Jdbc.write(spark, d, df)
   }

@@ -100,6 +100,17 @@ object IcebergWrite {
     writeMetadata(fs, metaDir, 1, md)
   }
 
+  /** True when an Iceberg table (version-hint or any `v<N>.metadata.json`)
+    * exists at `tablePath`. */
+  def exists(spark: SparkSession, tablePath: String): Boolean = {
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val metaDir = new Path(fs.makeQualified(table), "metadata")
+    fs.exists(new Path(metaDir, "version-hint.text")) ||
+      (fs.exists(metaDir) && fs.listStatus(metaDir).exists(
+        _.getPath.getName.matches("""v\d+\.metadata\.json""")))
+  }
+
   /** Append `df` as one new snapshot. Returns the new snapshot id.
     * `summary` entries join the snapshot summary — the Iceberg
     * commit-dedup convention streaming sinks use for exactly-once
@@ -586,6 +597,79 @@ object IcebergWrite {
         lw.append(m)
       } finally rd.close()
     }
+  }
+
+  /** REMOVE ORPHAN FILES (Iceberg maintenance, the third leg of the
+    * OPTIMIZE → EXPIRE SNAPSHOTS → orphan-clean loop): delete files under
+    * the table that NO live snapshot's metadata references and whose
+    * modification time is older than `olderThanMs` (grace window so
+    * in-flight writes survive). Protected by construction: every
+    * data/delete file any manifest mentions (ANY entry status — a
+    * DELETED entry's file may still be read through an older list),
+    * every referenced manifest, every live manifest list, all
+    * `v<N>.metadata.json` + `version-hint.text`, and hidden/temp names.
+    * The referenced set is planner-bounded driver work; the LISTING
+    * streams in bounded batches anti-joined on executors — the driver
+    * collects only the doomed subset, never a full-table path set.
+    * Returns the deleted table-relative paths; `dryRun` lists only.
+    */
+  def removeOrphanFiles(
+      spark: SparkSession,
+      tablePath: String,
+      olderThanMs: Long,
+      listingBatch: Int = 100000,
+      dryRun: Boolean = false): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    val qualified = fs.makeQualified(table)
+    val metaDir = new Path(qualified, "metadata")
+    val md = IcebergRead.currentMetadata(fs, metaDir)
+    val listPaths = md.get("snapshots").elements().asScala
+      .map(_.get("manifest-list").asText()).toSeq.distinct
+    val manifestPaths = listPaths.flatMap(lp =>
+      IcebergRead.avroRecords(conf, new Path(lp))
+        .map(_.get("manifest_path").toString)).distinct
+    val referencedData = manifestPaths.flatMap { mp =>
+      IcebergRead.avroRecords(conf, new Path(mp)).map(
+        _.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString)
+    }.distinct
+    val protectedPaths =
+      (referencedData ++ manifestPaths ++ listPaths)
+        .map(p => fs.makeQualified(new Path(p)).toString)
+    import spark.implicits._
+    val refDF = protectedPaths.toDF("p").persist()
+    try {
+      val MetaName = """(v\d+\.metadata\.json|version-hint\.text)""".r
+      val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
+      val batch = scala.collection.mutable.ArrayBuffer.empty[String]
+      def flush(): Unit = if (batch.nonEmpty) {
+        doomed ++= batch.toSeq.toDF("p").join(refDF, Seq("p"), "left_anti")
+          .as[String].collect()
+        batch.clear()
+      }
+      val it = fs.listFiles(qualified, true)
+      val rootStr = qualified.toString
+      while (it.hasNext) {
+        val st = it.next()
+        val p = fs.makeQualified(st.getPath).toString
+        val rel = p.stripPrefix(rootStr).dropWhile(_ == '/')
+        val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
+        val isMetaRoot = st.getPath.getName match {
+          case MetaName(_) => true
+          case _ => false
+        }
+        if (st.isFile && !hidden && !isMetaRoot &&
+            st.getModificationTime < olderThanMs) {
+          batch += p
+          if (batch.size >= listingBatch) flush()
+        }
+      }
+      flush()
+      if (!dryRun) doomed.foreach(p => fs.delete(new Path(p), false))
+      doomed.toSeq.map(_.stripPrefix(rootStr).dropWhile(_ == '/')).sorted
+    } finally { refDF.unpersist(false); () }
   }
 
   // ------------------------------------------------ schema evolution (DDL)

@@ -1228,6 +1228,41 @@ private[graft] object DeltaQueries {
           lit(dropped).as("feature_dropped"),
           lit(p.minReaderVersion).as("min_reader"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Iceberg MAINTENANCE LOOP (r15): OPTIMIZE (delete-applying rewrite)
+    // → EXPIRE SNAPSHOTS → REMOVE ORPHAN FILES. The orphan clean must
+    // reclaim EXACTLY the files no live snapshot references — 4 data + 1
+    // equality-delete file (pinned) — while the live state reads
+    // bit-exact against the raw-orders replay and a second pass finds
+    // nothing.
+    "q167_iceberg_orphans" -> ((s, dir) => {
+      import graft.destinations.IcebergWrite
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q167").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      IcebergWrite.create(s, tbl,
+        orders.schema.asInstanceOf[StructType])
+      IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 0).repartition(2))
+      IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 2 === 1).repartition(2))
+      IcebergWrite.deleteWhere(s, tbl,
+        orders.filter(col("o_orderkey") % 9 === 0).select(col("o_orderkey")))
+      IcebergWrite.rewriteDataFiles(s, tbl, targetFileBytes = 1L << 30)
+      IcebergWrite.expireSnapshots(s, tbl,
+        olderThanMs = System.currentTimeMillis() + 60000)
+      val gone = IcebergWrite.removeOrphanFiles(s, tbl,
+        olderThanMs = System.currentTimeMillis() + 60000)
+      val second = IcebergWrite.removeOrphanFiles(s, tbl,
+        olderThanMs = System.currentTimeMillis() + 60000)
+      IcebergRead.read(s, tbl)
+        .filter(col("o_orderkey") < 4000)
+        .withColumn("orphan_data_files",
+          lit(gone.count(_.startsWith("data/"))))
+        .withColumn("second_pass_orphans", lit(second.size))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -1374,6 +1409,16 @@ private[graft] object DeltaQueries {
                 CAST(1 AS INT) AS min_reader
          FROM orders
          WHERE o_orderkey % 6 <> 0 AND o_orderkey < 5000
+         ORDER BY o_orderkey""",
+
+    // maintenance must be row-invisible (survivors of the %9 delete) and
+    // reclaim exactly the 4 pre-rewrite data files + 1 delete file
+    "q167_iceberg_orphans" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(5 AS INT) AS orphan_data_files,
+                CAST(0 AS INT) AS second_pass_orphans
+         FROM orders
+         WHERE o_orderkey % 9 <> 0 AND o_orderkey < 4000
          ORDER BY o_orderkey""",
 
     "q111_delta_cdf" -> cdfOracleSql,

@@ -342,6 +342,39 @@ private[graft] object PipelineQueries {
                (SELECT count(*) FROM p17_snap1) AS snap1_rows""")))))
     }),
 
+    // Iceberg pipeline DESTINATION (r15, beyond reference): two pipeline
+    // runs append into a `type: iceberg` destination (created from the
+    // declared schema on the first run, identity-partitioned), then a
+    // third pipeline reads the table back through the iceberg SOURCE and
+    // aggregates — the whole round trip never touches a Delta log.
+    "p18_pipeline_iceberg_dest" -> ((s, dir) => {
+      val tbl = tmp("graft-p18").resolve("t").toString
+      val schema = Seq(
+        Types.FieldSpec("o_orderkey", LongType),
+        Types.FieldSpec("o_totalprice", DoubleType),
+        Types.FieldSpec("o_orderstatus", StringType))
+      val src = FileSource("p18_orders", ParquetFormat(),
+        Location(s"$dir/orders.parquet"))
+      def run(pred: String): Unit = {
+        pipe(s, Aqueduct(
+          sources = Seq(src),
+          stages = Seq(Seq(Stage("p18_sel",
+            s"""SELECT o_orderkey, o_totalprice, o_orderstatus
+                FROM p18_orders WHERE $pred"""))),
+          destination = Some(IcebergDestination("p18_out", Location(tbl),
+            partitionColumns = Seq("o_orderstatus"), schema = schema))))
+        ()
+      }
+      run("o_orderstatus = 'F' AND o_orderkey < 4000")
+      run("o_orderstatus <> 'F' AND o_orderkey < 4000")
+      pipe(s, Aqueduct(
+        sources = Seq(IcebergSource("p18_ice", Location(tbl))),
+        stages = Seq(Seq(Stage("p18_result",
+          """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             FROM p18_ice GROUP BY o_orderstatus ORDER BY o_orderstatus""")))))
+    }),
+
     // ORC round-trip through the engine front door (beyond reference: the
     // reference reads only CSV/JSONL/Parquet, sources/mod.rs:224-299; ORC is
     // native to spark-sql so lakehouse estates holding ORC ingest with zero
@@ -476,6 +509,12 @@ private[graft] object PipelineQueries {
          o_orderstatus
          FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 2 = 0
          ORDER BY o_orderkey""",
+
+    "p18_pipeline_iceberg_dest" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders WHERE o_orderkey < 4000
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "p17_pipeline_iceberg" ->
       """SELECT

@@ -178,7 +178,7 @@ object IcebergRead {
     try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
   }
 
-  private def avroRecords(
+  private[graft] def avroRecords(
       conf: org.apache.hadoop.conf.Configuration, p: Path): Seq[GenericRecord] = {
     val r = new DataFileReader[GenericRecord](
       new FsInput(p, conf), new GenericDatumReader[GenericRecord]())

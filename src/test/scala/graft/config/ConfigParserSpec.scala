@@ -115,6 +115,30 @@ class ConfigParserSpec extends AnyFunSuite {
       b.timestamp.contains(java.time.Instant.parse("2024-03-01T00:00:00Z")))
   }
 
+  test("iceberg destination: partition columns + declared schema") {
+    val yaml =
+      """sources:
+        |  - type: file
+        |    name: f
+        |    format: { type: parquet }
+        |    location: /tmp/f.parquet
+        |stages:
+        |  - - name: s1
+        |      query: SELECT * FROM f
+        |destination:
+        |  type: iceberg
+        |  name: out
+        |  location: /tmp/ice_out
+        |  partition_columns: [status]
+        |  schema:
+        |    - { name: id, data_type: int64 }
+        |    - { name: status, data_type: utf8 }
+        |""".stripMargin
+    val d = ConfigParser.fromYaml(yaml).destination.get.asInstanceOf[IcebergDestination]
+    assert(d.partitionColumns == Seq("status"))
+    assert(d.schema.map(_.name) == Seq("id", "status"))
+  }
+
   test("csv source options with declared schema") {
     val yaml =
       """sources:

@@ -245,6 +245,49 @@ class IcebergWriteSpec extends SparkSpec {
       IcebergWrite.addColumn(spark, t, "id", LongType)) // exists
   }
 
+  test("removeOrphanFiles: the OPTIMIZE -> EXPIRE -> orphan-clean loop reclaims exactly the unreferenced files") {
+    import org.apache.spark.sql.functions._
+    val t = tmpDir("icew-orphans").resolve("t").toString
+    IcebergWrite.create(spark, t, schema)
+    IcebergWrite.append(spark, t, rows((1, "a", "x"), (2, "b", "y")))
+    IcebergWrite.append(spark, t, rows((3, "c", "x")))
+    IcebergWrite.deleteWhere(spark, t, rows((2, "b", "y")).select("id"))
+    // a stray file (a crashed writer's leftover) in data/
+    val stray = java.nio.file.Paths.get(t, "data", "stray-leftover.parquet")
+    java.nio.file.Files.write(stray, Array[Byte](1, 2, 3))
+    // grace window: a FUTURE cutoff collects everything unreferenced; a
+    // PAST cutoff collects nothing (in-flight writes survive)
+    assert(IcebergWrite.removeOrphanFiles(spark, t, olderThanMs = 0L).isEmpty)
+    // before any expiration, only the stray is orphaned (every data file
+    // is referenced by some snapshot's manifests)
+    val first = IcebergWrite.removeOrphanFiles(spark, t,
+      olderThanMs = System.currentTimeMillis() + 60000)
+    assert(first == Seq("data/stray-leftover.parquet"), first)
+    assert(!java.nio.file.Files.exists(stray))
+    // compact, expire everything but the current snapshot, then clean:
+    // the pre-rewrite data files + the delete file + their manifests are
+    // now unreferenced by any LIVE snapshot and get reclaimed
+    IcebergWrite.rewriteDataFiles(spark, t)
+    IcebergWrite.expireSnapshots(spark, t,
+      olderThanMs = System.currentTimeMillis() + 60000)
+    val dry = IcebergWrite.removeOrphanFiles(spark, t,
+      olderThanMs = System.currentTimeMillis() + 60000, dryRun = true)
+    assert(dry.count(_.startsWith("data/")) == 4, dry) // 3 data + 1 eq-delete
+    assert(dry.exists(_.startsWith("metadata/")), dry) // orphaned manifests
+    val gone = IcebergWrite.removeOrphanFiles(spark, t,
+      olderThanMs = System.currentTimeMillis() + 60000)
+    assert(gone == dry)
+    // the table still reads exactly its live rows, and nothing doomed
+    // remains on disk
+    assert(IcebergRead.read(spark, t).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L))
+    gone.foreach(rel => assert(
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(t, rel)), rel))
+    // a second pass finds nothing
+    assert(IcebergWrite.removeOrphanFiles(spark, t,
+      olderThanMs = System.currentTimeMillis() + 60000).isEmpty)
+  }
+
   test("rewriteDataFiles on an empty table is a no-op") {
     val t = tmpDir("icew-rewrite-empty").resolve("t").toString
     IcebergWrite.create(spark, t, schema)
