@@ -85,7 +85,8 @@ object Bench {
     "q157_iceberg_eq_delete", "q158_delta_update", "q159_delta_defaults",
     "q160_describe_detail", "q161_iceberg_meta_tables", "q162_iceberg_rewrite",
     "q163_delta_uniform", "q164_iceberg_evolution", "q165_iceberg_stream_sink",
-    "q166_delta_drop_feature", "q167_iceberg_orphans", "p17_pipeline_iceberg",
+    "q166_delta_drop_feature", "q167_iceberg_orphans",
+    "q168_iceberg_stream_source", "p17_pipeline_iceberg",
     "p18_pipeline_iceberg_dest")
   private[graft] val laterRounds =
     Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New, r11New, r13New,

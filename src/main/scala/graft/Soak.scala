@@ -59,8 +59,8 @@ object Soak {
     "q161_iceberg_meta_tables", "q162_iceberg_rewrite",
     "q163_delta_uniform", "q164_iceberg_evolution",
     "q165_iceberg_stream_sink", "q166_delta_drop_feature",
-    "q167_iceberg_orphans", "p17_pipeline_iceberg",
-    "p18_pipeline_iceberg_dest")
+    "q167_iceberg_orphans", "q168_iceberg_stream_source",
+    "p17_pipeline_iceberg", "p18_pipeline_iceberg_dest")
 
   private def replicate(df: DataFrame, copies: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until copies).map(k => shift(df, k)).reduce(_ unionByName _)

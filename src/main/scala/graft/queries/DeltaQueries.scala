@@ -1263,6 +1263,50 @@ private[graft] object DeltaQueries {
           lit(gone.count(_.startsWith("data/"))))
         .withColumn("second_pass_orphans", lit(second.size))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Iceberg STREAMING SOURCE (r15, format("graft-iceberg")): the
+    // cross-format tail — an Iceberg table streams INTO a Delta table.
+    // Run 1 delivers the initial snapshot; run 2 resumes from the durable
+    // checkpoint and delivers exactly the new append (the interleaved
+    // rewriteDataFiles compaction must be invisible). Pinned 2 batches;
+    // final Delta state vs the raw-orders replay.
+    "q168_iceberg_stream_source" -> ((s, dir) => {
+      import graft.destinations.{DeltaWrite, IcebergWrite}
+      val root = tmp("graft-q168")
+      val ice = root.resolve("ice").toString
+      val dst = root.resolve("delta").toString
+      val cp = root.resolve("cp").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      IcebergWrite.create(s, ice,
+        orders.schema.asInstanceOf[StructType])
+      IcebergWrite.append(s, ice, orders.filter(col("o_orderkey") % 2 === 0))
+      DeltaWrite.createIfAbsent(s, dst,
+        orders.schema.asInstanceOf[StructType])
+      val batches = new java.util.concurrent.atomic.AtomicInteger()
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-iceberg").load(ice)
+          .writeStream.option("checkpointLocation", cp)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              batches.incrementAndGet()
+              DeltaWrite.append(b.sparkSession, dst, b): Unit
+            }
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      drain()
+      IcebergWrite.append(s, ice,
+        orders.filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") < 3000))
+      IcebergWrite.rewriteDataFiles(s, ice)
+      drain()
+      graft.sources.DeltaLog.read(s, dst)
+        .filter(col("o_orderkey") < 5000)
+        .withColumn("stream_batches", lit(batches.get()))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -1419,6 +1463,17 @@ private[graft] object DeltaQueries {
                 CAST(0 AS INT) AS second_pass_orphans
          FROM orders
          WHERE o_orderkey % 9 <> 0 AND o_orderkey < 4000
+         ORDER BY o_orderkey""",
+
+    // the streamed-through-Delta state equals the replay; 2 = initial
+    // snapshot + one tail batch (the compaction contributed nothing)
+    "q168_iceberg_stream_source" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(2 AS INT) AS stream_batches
+         FROM orders
+         WHERE (o_orderkey % 2 = 0
+                OR (o_orderkey % 2 = 1 AND o_orderkey < 3000))
+           AND o_orderkey < 5000
          ORDER BY o_orderkey""",
 
     "q111_delta_cdf" -> cdfOracleSql,

@@ -59,7 +59,12 @@ object IcebergRead {
   final case class Options(
       snapshotId: Option[Long] = None,
       asOfTimestampMs: Option[Long] = None,
-      where: Option[String] = None)
+      where: Option[String] = None,
+      // streaming use ([[graft.streaming.IcebergTailSource]]): keep ONLY
+      // the data files this snapshot ADDED (entry status 1, matching
+      // snapshot id) and apply NO deletes — the incremental slice of an
+      // append snapshot, not the table state
+      addedInSnapshotId: Option[Long] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -291,10 +296,22 @@ object IcebergRead {
     val dataEntries = Seq.newBuilder[DataEntry]
     val posDeletes = Seq.newBuilder[DeleteEntry]
     val eqDeletes = Seq.newBuilder[DeleteEntry]
+    // incremental mode: only this snapshot's ADDED data entries count,
+    // and no delete is applied (the slice is "what the append brought")
+    def entryKeep(e: GenericRecord, m: GenericRecord): Boolean =
+      opts.addedInSnapshotId match {
+        case None => e.get("status").asInstanceOf[Int] != 2 // not DELETED
+        case Some(id) =>
+          e.get("status").asInstanceOf[Int] == 1 &&
+            Option(e.get("snapshot_id")).map(_.asInstanceOf[Long])
+              .orElse(Option(m.get("added_snapshot_id"))
+                .map(_.asInstanceOf[Long]))
+              .contains(id)
+      }
     manifestRecs.foreach { m =>
       val mPath = new Path(m.get("manifest_path").toString)
       avroRecords(conf, mPath).foreach { e =>
-        if (e.get("status").asInstanceOf[Int] != 2) { // not DELETED
+        if (entryKeep(e, m)) {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val content =
             Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
@@ -321,8 +338,10 @@ object IcebergRead {
       }
     }
     val dataAll = dataEntries.result()
-    val pos = posDeletes.result()
-    val eqs = eqDeletes.result()
+    val pos =
+      if (opts.addedInSnapshotId.isDefined) Nil else posDeletes.result()
+    val eqs =
+      if (opts.addedInSnapshotId.isDefined) Nil else eqDeletes.result()
     val needHelpers = pos.nonEmpty || eqs.nonEmpty
 
     // plan-time partition pruning: conjuncts of `where` that reference
@@ -522,6 +541,16 @@ object IcebergRead {
 
   private def optLong(n: JsonNode, k: String): Option[Long] =
     Option(n.get(k)).filterNot(_.isNull).map(_.asLong())
+
+  /** The table's CURRENT schema (clean Spark types) from metadata alone. */
+  def tableSchema(spark: SparkSession, tablePath: String): StructType = {
+    val (_, md) = metadataOf(spark, tablePath)
+    val csid = md.get("current-schema-id").asInt()
+    val sn = md.get("schemas").elements().asScala
+      .find(s => Option(s.get("schema-id")).exists(_.asInt() == csid))
+      .getOrElse(throw new IllegalArgumentException(s"schema $csid missing"))
+    clean(parseType(sn)).asInstanceOf[StructType]
+  }
 
   /** The `snapshots` metadata table (Iceberg's own column set): one row
     * per snapshot still in the table metadata — committed_at, ids,
