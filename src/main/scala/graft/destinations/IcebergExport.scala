@@ -220,8 +220,33 @@ object IcebergExport {
       |{"name":"deleted_files_count","type":"int","field-id":506},
       |{"name":"added_rows_count","type":"long","field-id":512},
       |{"name":"existing_rows_count","type":"long","field-id":513},
-      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |{"name":"deleted_rows_count","type":"long","field-id":514},
+      |{"name":"partitions","field-id":507,"default":null,"type":["null",
+      |  {"type":"array","items":{"type":"record","name":"r508","fields":[
+      |    {"name":"contains_null","type":"boolean","field-id":509},
+      |    {"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
+      |    {"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
+      |    {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
+      |  ]}}]}
       |]}""".stripMargin)
+
+  /** The manifest-list `partitions` field-summary array (spec-field
+    * order): (contains_null, lower, upper) with single-value-serialized
+    * bounds — None bounds mean "no information" (readers must keep). */
+  private[graft] def partitionsSummary(
+      sums: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])]): AnyRef = {
+    val arrSchema = manifestFileSchema.getField("partitions").schema().getTypes.get(1)
+    val recSchema = arrSchema.getElementType
+    val arr = new GenericData.Array[GenericRecord](sums.size, arrSchema)
+    sums.foreach { case (cn, lo, hi) =>
+      val r = new GenericData.Record(recSchema)
+      r.put("contains_null", cn)
+      lo.foreach(b => r.put("lower_bound", java.nio.ByteBuffer.wrap(b)))
+      hi.foreach(b => r.put("upper_bound", java.nio.ByteBuffer.wrap(b)))
+      arr.add(r)
+    }
+    arr
+  }
 
   private def quote(s: String): String = mapper.writeValueAsString(s)
 

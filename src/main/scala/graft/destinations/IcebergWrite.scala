@@ -43,16 +43,61 @@ object IcebergWrite {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  private val TransformSyntax = """(\w+)\(([^)]*)\)""".r
+
+  /** Parse one `partitionBy` entry: a bare column name (identity) or a
+    * transform call — `identity(c)`, `year(c)`, `month(c)`, `day(c)`,
+    * `hour(c)`, `bucket(N, c)`, `truncate(W, c)` (Iceberg's own DDL
+    * spellings). Returns (transform, source column).
+    */
+  private[graft] def parsePartitionField(
+      s: String): (graft.sources.IcebergTransforms.Transform, String) = {
+    import graft.sources.IcebergTransforms._
+    s.trim match {
+      case TransformSyntax(fn, args) =>
+        val parts = args.split(",").map(_.trim).filter(_.nonEmpty)
+        def one: String = {
+          require(parts.length == 1, s"$fn() takes one column: $s"); parts(0)
+        }
+        fn.toLowerCase(java.util.Locale.ROOT) match {
+          case "identity" => (Identity, one)
+          case "year" | "years" => (Year, one)
+          case "month" | "months" => (Month, one)
+          case "day" | "days" | "date" => (Day, one)
+          case "hour" | "hours" | "date_hour" => (Hour, one)
+          case "bucket" =>
+            require(parts.length == 2, s"bucket(N, col) expected: $s")
+            (Bucket(parts(0).toInt), parts(1))
+          case "truncate" =>
+            require(parts.length == 2, s"truncate(W, col) expected: $s")
+            (Truncate(parts(0).toInt), parts(1))
+          case other => throw new IllegalArgumentException(
+            s"unknown partition transform '$other' in '$s'")
+        }
+      case plain => (Identity, plain)
+    }
+  }
+
   /** Create an empty native Iceberg v2 table (no snapshots yet). Field
-    * ids are assigned depth-first, Iceberg's own order.
+    * ids are assigned depth-first, Iceberg's own order. `partitionBy`
+    * accepts bare columns (identity) and transform calls — see
+    * [[parsePartitionField]].
     */
   def create(
       spark: SparkSession,
       tablePath: String,
       schema: StructType,
       partitionBy: Seq[String] = Nil): Unit = {
-    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column $c not in schema"))
+    val partFields = partitionBy.map(parsePartitionField)
+    partFields.foreach { case (t, c) =>
+      require(schema.fieldNames.contains(c),
+        s"partition column $c not in schema")
+      graft.sources.IcebergTransforms.validate(t, schema(c).dataType, c)
+      val pname = graft.sources.IcebergTransforms.fieldName(t, c)
+      require(t == graft.sources.IcebergTransforms.Identity ||
+        !schema.fieldNames.contains(pname),
+        s"derived partition field name $pname collides with a table column")
+    }
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val qualified = fs.makeQualified(table)
@@ -80,15 +125,15 @@ object IcebergWrite {
     val specNode = mapper.createObjectNode()
     specNode.put("spec-id", 0)
     val sf = specNode.putArray("fields")
-    partitionBy.zipWithIndex.foreach { case (c, i) =>
+    partFields.zipWithIndex.foreach { case ((t, c), i) =>
       val f = sf.addObject()
-      f.put("name", c)
-      f.put("transform", "identity")
+      f.put("name", graft.sources.IcebergTransforms.fieldName(t, c))
+      f.put("transform", graft.sources.IcebergTransforms.render(t))
       f.put("source-id", fieldIdOf(c))
       f.put("field-id", 1000 + i)
     }
     md.putArray("partition-specs").add(specNode)
-    md.put("last-partition-id", if (partitionBy.isEmpty) 999 else 999 + partitionBy.size)
+    md.put("last-partition-id", if (partFields.isEmpty) 999 else 999 + partFields.size)
     md.put("default-sort-order-id", 0)
     val so = md.putArray("sort-orders").addObject()
     so.put("order-id", 0)
@@ -215,11 +260,17 @@ object IcebergWrite {
     val specNode = md.get("partition-specs").elements().asScala
       .find(_.get("spec-id").asInt() == specId)
       .getOrElse(throw new IllegalArgumentException(s"spec $specId missing"))
-    val partCols: Seq[String] = specNode.get("fields").elements().asScala.map { f =>
-      require(f.get("transform").asText() == "identity",
-        s"partition transform ${f.get("transform").asText()} not supported")
-      idToName(f.get("source-id").asLong())
-    }.toSeq
+    // (spec field name, transform, source column, clean source type, field id)
+    val specFields: Seq[(String, graft.sources.IcebergTransforms.Transform,
+        String, DataType, Int)] =
+      specNode.get("fields").elements().asScala.map { f =>
+        val t = graft.sources.IcebergTransforms.parse(f.get("transform").asText())
+        val src = idToName(f.get("source-id").asLong())
+        val srcType = IcebergRead.clean(
+          logical.fields.find(_.name == src).get.dataType)
+        (f.get("name").asText(), t, src, srcType,
+          Option(f.get("field-id")).map(_.asInt()).getOrElse(1000))
+      }.toSeq
 
     // ---- data write: cast to the table schema with field ids stamped at
     // every struct level (Spark's writer emits them natively); identity
@@ -243,9 +294,19 @@ object IcebergWrite {
         else org.apache.spark.sql.functions.lit(null) // evolved column absent from this batch
       c.cast(f.dataType).as(f.name, f.metadata)
     }: _*)
+    // derive the partition TUPLE columns (codegen'd transform of the
+    // source column): identity reuses the source name, so hive layout
+    // drops it from the file (readers re-inject from the manifest tuple);
+    // a non-identity derived column is an EXTRA name partitionBy drops,
+    // and the source column stays in the file — required, since a
+    // transform value cannot reconstruct the source
+    val withParts = specFields.foldLeft(out) { case (d, (name, t, src, srcType, _)) =>
+      d.withColumn(name, graft.sources.IcebergTransforms.column(
+        t, col(s"`${src.replace("`", "``")}`"), srcType))
+    }
     val tmp = new Path(qualified, s"_tmp-append-${java.util.UUID.randomUUID()}")
-    val writer = out.write.mode("overwrite")
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+    val writer = withParts.write.mode("overwrite")
+    (if (specFields.nonEmpty) writer.partitionBy(specFields.map(_._1): _*) else writer)
       .parquet(tmp.toString)
 
     // collect written part files (+ their hive partition values), move
@@ -279,13 +340,17 @@ object IcebergWrite {
     val prevSeq = md.get("last-sequence-number").asLong()
     val sequence = prevSeq + 1
     val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
-    val partAvro = partCols.map { c =>
-      val dt = logical.fields.find(_.name == c).get.dataType
-      val (t, conv) = IcebergExport.partitionAvro(IcebergRead.clean(dt))
-      (c, t, conv)
-    }
+    // avro type + hive-dir-string converter per spec field, typed by the
+    // TRANSFORM RESULT (int for year/month/hour/bucket, date for day, the
+    // source type for identity/truncate)
+    val partAvro: Seq[(String, String, Int, String => AnyRef)] =
+      specFields.map { case (name, t, _, srcType, fid) =>
+        val (at, conv) = IcebergExport.partitionAvro(
+          graft.sources.IcebergTransforms.resultSparkType(t, srcType))
+        (name, at, fid, conv)
+      }
     val entrySchema = IcebergExport.manifestEntrySchema(
-      partAvro.zipWithIndex.map { case ((c, t, _), i) => (c, t, 1000 + i) })
+      partAvro.map { case (c, t, fid, _) => (c, t, fid) })
     val dfSchema = entrySchema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
     val manifestPath = new Path(metaDir, s"${java.util.UUID.randomUUID()}-m0.avro")
@@ -299,7 +364,7 @@ object IcebergWrite {
     mw.create(entrySchema, fs.create(manifestPath, true))
     try files.foreach { case (p, pv, rc, len) =>
       val part = new GenericData.Record(partSchema)
-      partAvro.foreach { case (c, _, conv) =>
+      partAvro.foreach { case (c, _, _, conv) =>
         val raw = pv.collectFirst { case (k, v) if k == c => v }.flatten
         part.put(c, raw.map(conv).orNull)
       }
@@ -345,6 +410,32 @@ object IcebergWrite {
       m.put("added_rows_count", rows)
       m.put("existing_rows_count", 0L)
       m.put("deleted_rows_count", 0L)
+      // per-field partition summaries (contains_null + single-value-
+      // serialized bounds): what lets a reader SKIP this manifest without
+      // opening it when a predicate cannot overlap — plan cost at scale
+      // becomes proportional to surviving manifests
+      if (partAvro.nonEmpty) {
+        import graft.sources.IcebergTransforms
+        val sums = partAvro.map { case (c, _, _, conv) =>
+          val vals = files.map(
+            _._2.collectFirst { case (k, v) if k == c => v }.flatten)
+          val containsNull = vals.exists(_.isEmpty)
+          val normalized = vals.flatten.map(v =>
+            IcebergTransforms.normalizeRaw(conv(v)))
+          if (normalized.isEmpty || normalized.exists(_.isEmpty))
+            (containsNull, None, None)
+          else {
+            val vsn = normalized.flatten
+            val lo = vsn.reduceLeft((a, b) =>
+              if (IcebergTransforms.cmp(a, b) <= 0) a else b)
+            val hi = vsn.reduceLeft((a, b) =>
+              if (IcebergTransforms.cmp(a, b) >= 0) a else b)
+            (containsNull, Some(IcebergTransforms.boundBytes(lo)),
+              Some(IcebergTransforms.boundBytes(hi)))
+          }
+        }
+        m.put("partitions", IcebergExport.partitionsSummary(sums))
+      }
       lw.append(m)
     } finally lw.close()
 
@@ -539,7 +630,12 @@ object IcebergWrite {
     val conf = spark.sessionState.newHadoopConf()
     val table = new Path(tablePath)
     val fs = table.getFileSystem(conf)
-    val metaDir = new Path(fs.makeQualified(table), "metadata")
+    val qualified = fs.makeQualified(table)
+    require(!fs.exists(new Path(qualified, "_delta_log")),
+      s"$tablePath is Delta-backed (UniForm export): its Iceberg metadata " +
+        "mirrors _delta_log and is regenerated on every export — expire " +
+        "history through Delta (vacuum / log retention) instead")
+    val metaDir = new Path(qualified, "metadata")
     val md = IcebergRead.currentMetadata(fs, metaDir)
     val cur = Option(md.get("current-snapshot-id")).filterNot(_.isNull)
       .map(_.asLong()).getOrElse(-1L)

@@ -41,6 +41,9 @@ object Jdbc {
         val ps = conn.prepareStatement(insert)
         try {
           var inBatch = 0
+          // single-connection transactional path: throughput is bounded by
+          // one JDBC connection's serial (batched) insert rate and rows
+          // stream through the driver — use `append` for bulk loads
           val it = df.toLocalIterator()
           while (it.hasNext) {
             val row = it.next()

@@ -64,7 +64,13 @@ object IcebergRead {
       // the data files this snapshot ADDED (entry status 1, matching
       // snapshot id) and apply NO deletes — the incremental slice of an
       // append snapshot, not the table state
-      addedInSnapshotId: Option[Long] = None)
+      addedInSnapshotId: Option[Long] = None,
+      // pin the snapshot's FILE SET but project the table's CURRENT
+      // schema (field-id resolution makes renamed/added columns land
+      // right) — Iceberg's streaming-read semantics, where the initial
+      // snapshot serves under the schema the stream declared, not the
+      // schema the snapshot was written with
+      projectCurrentSchema: Boolean = false)
 
   private val mapper = new ObjectMapper()
 
@@ -205,6 +211,18 @@ object IcebergRead {
   private final case class DeleteEntry(
       path: String, seq: Long, equalityIds: Seq[Int])
 
+  /** Planning counters of the most recent [[read]] on this thread —
+    * test/diagnostic surface pinning that transform-aware pruning really
+    * skips manifests (never opened) and files (never planned).
+    */
+  final case class PlanStats(
+      manifestsTotal: Int,
+      manifestsOpened: Int,
+      dataFilesSeen: Int,
+      dataFilesPlanned: Int)
+  private val planStats = new ThreadLocal[PlanStats]
+  def lastPlanStats: Option[PlanStats] = Option(planStats.get())
+
   // ----------------------------------------------------------------- read
 
   def read(
@@ -258,7 +276,8 @@ object IcebergRead {
     // semantics — an evolved column appears immediately, null-filled for
     // files that predate it); snapshot-PINNED reads use the snapshot's own
     // schema-id (time travel shows the world as written)
-    val pinned = opts.snapshotId.isDefined || opts.asOfTimestampMs.isDefined
+    val pinned = (opts.snapshotId.isDefined || opts.asOfTimestampMs.isDefined) &&
+      !opts.projectCurrentSchema
     val schemaId =
       if (!pinned) md.get("current-schema-id").asInt()
       else Option(snapNode.get("schema-id")).filterNot(_.isNull)
@@ -270,19 +289,45 @@ object IcebergRead {
     val idToName: Map[Long, String] =
       logical.fields.map(f => fieldId(f) -> f.name).toMap
 
-    // ---- partition spec: identity transforms only (refused otherwise)
+    // ---- partition spec: every spec transform (identity, year/month/
+    // day/hour, bucket[N], truncate[W], void) via [[IcebergTransforms]]
     val specId = md.get("default-spec-id").asInt()
     val specNode = md.get("partition-specs").elements().asScala
       .find(_.get("spec-id").asInt() == specId)
       .getOrElse(throw new IllegalArgumentException(s"spec $specId missing"))
-    val partCols: Seq[String] = specNode.get("fields").elements().asScala.map { f =>
-      val transform = f.get("transform").asText()
-      require(transform == "identity",
-        s"partition transform '$transform' not supported (identity only)")
-      idToName.getOrElse(f.get("source-id").asLong(),
-        throw new IllegalArgumentException(
-          s"partition source-id ${f.get("source-id").asLong()} not in schema"))
-    }.toSeq
+    val specFields: Seq[IcebergPruning.SpecField] =
+      specNode.get("fields").elements().asScala.map { f =>
+        val t = IcebergTransforms.parse(f.get("transform").asText())
+        val srcName = idToName.getOrElse(f.get("source-id").asLong(),
+          throw new IllegalArgumentException(
+            s"partition source-id ${f.get("source-id").asLong()} not in schema"))
+        val srcType = clean(logical.fields.find(_.name == srcName).get.dataType)
+        IcebergPruning.SpecField(f.get("name").asText(), t, srcName, srcType,
+          Option(f.get("field-id")).map(_.asInt()).getOrElse(1000))
+      }.toSeq
+    // identity fields (position in the spec tuple, field): the only ones
+    // whose tuple value IS the source value — injection + legacy pruning
+    val identityIdx: Seq[(Int, IcebergPruning.SpecField)] =
+      specFields.zipWithIndex.collect {
+        case (f, i) if f.transform == IcebergTransforms.Identity => (i, f)
+      }
+
+    // ---- transform-space pruning checks from the where hint
+    val conjs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      opts.where.toSeq.flatMap { pred =>
+        val parsed = spark.sessionState.sqlParser.parseExpression(pred)
+        def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+            split(l) ++ split(r)
+          case other => Seq(other)
+        }
+        split(parsed)
+      }
+    val checks =
+      if (conjs.isEmpty || specFields.isEmpty) Map.empty[String, Seq[IcebergPruning.Check]]
+      else IcebergPruning.derive(conjs, specFields,
+        spark.sessionState.conf.sessionLocalTimeZone)
 
     // ---- manifests
     val listPath = new Path(snapNode.get("manifest-list").asText())
@@ -308,31 +353,44 @@ object IcebergRead {
                 .map(_.asInstanceOf[Long]))
               .contains(id)
       }
+    var manifestsOpened = 0
+    var dataFilesSeen = 0
     manifestRecs.foreach { m =>
-      val mPath = new Path(m.get("manifest_path").toString)
-      avroRecords(conf, mPath).foreach { e =>
-        if (entryKeep(e, m)) {
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
-          val content =
-            Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
-          val seq = entrySeq(e, m)
-          val path = df.get("file_path").toString
-          (manContent(m), content) match {
-            case (0, 0) =>
-              val part = df.get("partition").asInstanceOf[GenericRecord]
-              val pv = part.getSchema.getFields.asScala.map(f =>
-                f.name() -> Option(part.get(f.name()))).toSeq
-              dataEntries += DataEntry(path, pv, seq)
-            case (_, 1) => posDeletes += DeleteEntry(path, seq, Nil)
-            case (_, 2) =>
-              val ids = Option(df.get("equality_ids"))
-                .map(_.asInstanceOf[java.util.Collection[Integer]]
-                  .asScala.map(_.intValue()).toSeq)
-                .getOrElse(throw new IllegalArgumentException(
-                  s"equality delete $path carries no equality_ids"))
-              eqDeletes += DeleteEntry(path, seq, ids)
-            case (mc, dc) => throw new IllegalArgumentException(
-              s"unsupported manifest/content combination $mc/$dc for $path")
+      // manifest-level pruning: a DATA manifest whose partition field
+      // summaries (bounds + contains_null from the manifest list) cannot
+      // overlap the predicate is never even opened — plan cost stays
+      // proportional to surviving manifests. Delete manifests always open
+      // (their scope rules differ and they are few).
+      if (manContent(m) != 0 ||
+          IcebergPruning.manifestOk(checks, specFields, m)) {
+        manifestsOpened += 1
+        val mPath = new Path(m.get("manifest_path").toString)
+        avroRecords(conf, mPath).foreach { e =>
+          if (entryKeep(e, m)) {
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val content =
+              Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+            val seq = entrySeq(e, m)
+            val path = df.get("file_path").toString
+            (manContent(m), content) match {
+              case (0, 0) =>
+                dataFilesSeen += 1
+                val part = df.get("partition").asInstanceOf[GenericRecord]
+                val pv = part.getSchema.getFields.asScala.map(f =>
+                  f.name() -> Option(part.get(f.name()))).toSeq
+                if (IcebergPruning.entryOk(checks, pv))
+                  dataEntries += DataEntry(path, pv, seq)
+              case (_, 1) => posDeletes += DeleteEntry(path, seq, Nil)
+              case (_, 2) =>
+                val ids = Option(df.get("equality_ids"))
+                  .map(_.asInstanceOf[java.util.Collection[Integer]]
+                    .asScala.map(_.intValue()).toSeq)
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"equality delete $path carries no equality_ids"))
+                eqDeletes += DeleteEntry(path, seq, ids)
+              case (mc, dc) => throw new IllegalArgumentException(
+                s"unsupported manifest/content combination $mc/$dc for $path")
+            }
           }
         }
       }
@@ -344,32 +402,30 @@ object IcebergRead {
       if (opts.addedInSnapshotId.isDefined) Nil else eqDeletes.result()
     val needHelpers = pos.nonEmpty || eqs.nonEmpty
 
-    // plan-time partition pruning: conjuncts of `where` that reference
-    // only partition columns eliminate whole partitions before any file
-    // is opened — evaluated by Spark itself over the DISTINCT partition
-    // tuples (metadata-bounded: one row per live partition)
-    val data = (opts.where, partCols) match {
-      case (Some(pred), pcs) if pcs.nonEmpty && dataAll.nonEmpty =>
-        val parsed = spark.sessionState.sqlParser.parseExpression(pred)
-        def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
-            : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
-          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-            conjuncts(l) ++ conjuncts(r)
-          case other => Seq(other)
-        }
-        val pcSet = pcs.map(_.toLowerCase).toSet
-        val usable = conjuncts(parsed).filter(_.collect {
+    // legacy identity fallback: conjuncts that reference only IDENTITY
+    // partition columns but fall outside the transform grammar (function
+    // calls, OR trees, ...) are evaluated by Spark itself over the
+    // DISTINCT identity tuples (metadata-bounded: one row per live
+    // partition) -- exact for identity because the tuple value IS the
+    // source value. Transform-aware pruning already ran at manifest and
+    // entry level above; this is a strictly additive second subtraction.
+    val data =
+      if (conjs.isEmpty || identityIdx.isEmpty || dataAll.isEmpty) dataAll
+      else {
+        val pcSet = identityIdx.map(_._2.sourceName.toLowerCase).toSet
+        val usable = conjs.filter(_.collect {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
         }.forall(n => pcSet(n.toLowerCase)))
         if (usable.isEmpty) dataAll
         else {
-          val types = pcs.map(c =>
-            clean(logical.fields.find(_.name == c).get.dataType))
+          val names = identityIdx.map(_._2.sourceName)
+          val types = identityIdx.map(_._2.sourceType)
           // string-spelled tuple + a join key; the CASTs below convert to
           // the real types with Spark's own semantics (dates arrive as
           // epoch days in the manifests)
           def strVals(pv: Seq[(String, Option[AnyRef])]): Seq[Option[String]] =
-            pv.zipWithIndex.map { case ((_, raw), i) =>
+            identityIdx.zipWithIndex.map { case ((pos, _), i) =>
+              val raw = if (pos < pv.size) pv(pos)._2 else None
               (types(i), raw) match {
                 case (DateType, Some(d: java.lang.Integer)) =>
                   Some(java.time.LocalDate.ofEpochDay(d.longValue()).toString)
@@ -380,20 +436,25 @@ object IcebergRead {
             vs.map(_.getOrElse("\u0000null")).mkString("\u0001")
           val tuples = dataAll.map(e => strVals(e.partition)).distinct
           val strSchema = StructType(
-            pcs.map(c => StructField(c, StringType)) :+ StructField("_k", StringType))
+            names.map(c => StructField(c, StringType)) :+ StructField("_k", StringType))
           val frame = spark.createDataFrame(
             spark.sparkContext.parallelize(tuples.map(vs =>
               org.apache.spark.sql.Row((vs.map(_.orNull) :+ keyOf(vs)): _*)), 1),
             strSchema)
-            .select(pcs.zipWithIndex.map { case (c, i) =>
+            .select(names.zipWithIndex.map { case (c, i) =>
               col(quoteId(c)).cast(types(i)).as(c) } :+ col("_k"): _*)
           val keepSql = usable.map(_.sql).mkString(" AND ")
           val kept = frame.filter(keepSql)
             .select(col("_k")).collect().map(_.getString(0)).toSet
           dataAll.filter(e => kept(keyOf(strVals(e.partition))))
         }
-      case _ => dataAll
-    }
+      }
+
+    planStats.set(PlanStats(
+      manifestsTotal = manifestRecs.size,
+      manifestsOpened = manifestsOpened,
+      dataFilesSeen = dataFilesSeen,
+      dataFilesPlanned = data.size))
 
     if (data.isEmpty)
       return spark.createDataFrame(
@@ -461,23 +522,23 @@ object IcebergRead {
       } ++ (if (needHelpers) Seq(col("_ib_file"), col("_ib_pos"), lit(seq).as("_ib_seq"))
             else Nil)
       var dfr = base.select(restored: _*)
-      // identity partition values: Hive-style files omit the column (null
+      // IDENTITY partition values: Hive-style files omit the column (null
       // after the scan), Iceberg-written files carry it — coalesce is
       // exact for identity transforms (file value = partition value).
       // Partition record fields are in SPEC order; the source column is
       // the spec's source-id resolution, not the spec field's name.
-      pv.zipWithIndex.foreach { case ((_, raw), i) =>
-        val logicalName = partCols(i)
-        val dt = logical.fields.find(_.name == logicalName).map(f => clean(f.dataType))
-        dt.foreach { t =>
-          val value: Column = (t, raw) match {
-            case (DateType, Some(days: java.lang.Integer)) =>
-              lit(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.longValue())))
-            case (_, Some(x)) => lit(x.toString).cast(t)
-            case (_, None) => lit(null).cast(t)
-          }
-          dfr = dfr.withColumn(logicalName, coalesce(col(quoteId(logicalName)), value))
+      // Non-identity transforms never inject: their tuple value is a
+      // DERIVED value and the source column always lives in the file.
+      identityIdx.foreach { case (pos, f) =>
+        val raw = if (pos < pv.size) pv(pos)._2 else None
+        val t = f.sourceType
+        val value: Column = (t, raw) match {
+          case (DateType, Some(days: java.lang.Integer)) =>
+            lit(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.longValue())))
+          case (_, Some(x)) => lit(x.toString).cast(t)
+          case (_, None) => lit(null).cast(t)
         }
+        dfr = dfr.withColumn(f.sourceName, coalesce(col(quoteId(f.sourceName)), value))
       }
       dfr
     }

@@ -21,7 +21,10 @@ import scala.jdk.CollectionConverters._
   *  - **Initial snapshot**: the first batch is the table's live state at
   *    stream creation (all deletes applied), pinned by SNAPSHOT ID in
   *    the offset — a crash-replayed first batch reads the ORIGINAL
-  *    snapshot even after the table advanced.
+  *    snapshot's file set even after the table advanced — but projected
+  *    under the table's CURRENT schema (what the source declared), so a
+  *    schema evolved between the last data snapshot and stream start
+  *    cannot fail the output-attribute match.
   *  - **Incremental tailing**: each later `append` snapshot contributes
   *    exactly the data files it ADDED (entry status 1, matching snapshot
   *    id), one batch per trigger window. `replace` snapshots
@@ -38,11 +41,15 @@ import scala.jdk.CollectionConverters._
   *
   * Offsets are `{sequence, snapshotId, initial}` — pure metadata-derived,
   * so any (start, end] batch replays from the checkpoint with no
-  * source-side state. Sequence numbers are dense per the spec's
-  * single-writer increment, which lets a restart PROVE no mid-range
-  * snapshot expired under it (refusing loudly instead of silently
-  * dropping a batch); keep snapshot retention past the checkpoint
-  * recovery horizon, as with any Iceberg streaming consumer.
+  * source-side state. Completeness of a replayed range is PROVEN by
+  * walking snapshot parent pointers from the end offset back to the
+  * start offset's snapshot id: a broken link means a mid-range snapshot
+  * expired under the checkpoint (refused loudly instead of silently
+  * dropping a batch). The spec only guarantees MONOTONIC sequence
+  * numbers — foreign writers may leave gaps — so the chain, not
+  * sequence density, is the integrity witness; keep snapshot retention
+  * past the checkpoint recovery horizon, as with any Iceberg streaming
+  * consumer.
   *
   * Scale: offset arithmetic reads table metadata only (snapshot-array
   * bounded); batch reads plan exactly like [[IcebergRead.read]] — data
@@ -61,9 +68,9 @@ final class IcebergTailSource(
   private val schema0 = IcebergRead.tableSchema(spark, tablePath)
   override def schema: StructType = schema0
 
-  /** (sequence, snapshotId, operation) ascending by sequence — re-read
-    * from metadata each call so new commits become visible. */
-  private def snapshotsAsc(): IndexedSeq[(Long, Long, String)] = {
+  /** (sequence, snapshotId, operation, parentId) ascending by sequence —
+    * re-read from metadata each call so new commits become visible. */
+  private def snapshotsAsc(): IndexedSeq[(Long, Long, String, Option[Long])] = {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val md = IcebergRead.currentMetadata(
@@ -73,7 +80,9 @@ final class IcebergTailSource(
       val op = Option(s.get("summary")).filterNot(_.isNull)
         .flatMap(n => Option(n.get("operation")).filterNot(_.isNull))
         .map(_.asText()).getOrElse("append")
-      (seq, s.get("snapshot-id").asLong(), op)
+      val parent = Option(s.get("parent-snapshot-id")).filterNot(_.isNull)
+        .map(_.asLong())
+      (seq, s.get("snapshot-id").asLong(), op, parent)
     }.toIndexedSeq.sortBy(_._1)
   }
 
@@ -102,32 +111,80 @@ final class IcebergTailSource(
     next.map(IcebergTailOffset.apply)
   }
 
+  /** The (startId, to.id] snapshot range, proven COMPLETE by walking
+    * parent pointers back from `to.id`: every link in the chain must
+    * still be in the metadata until `startId` (or the root, for a stream
+    * that began on an empty table) is reached. Unlike the previous
+    * dense-sequence-number check this tolerates foreign writers that
+    * legally leave sequence gaps (failed-commit allocations, rollbacks) —
+    * the spec only promises monotonic sequences — while still failing
+    * loudly when a mid-range snapshot genuinely expired under the
+    * checkpoint.
+    */
+  private def chainRange(
+      toId: Long, startId: Option[Long]): Seq[(Long, String)] = {
+    val byId = snapshotsAsc().map(t => t._2 -> t).toMap
+    var acc = List.empty[(Long, String)]
+    var cur: Option[Long] = Some(toId)
+    while (cur.isDefined && !startId.contains(cur.get)) {
+      val id = cur.get
+      val (_, _, op, parent) = byId.getOrElse(id,
+        throw new IllegalStateException(
+          s"snapshot $id in the offset range of $tablePath is no longer " +
+            "in the metadata (expired under the stream) — full refresh " +
+            "required"))
+      acc = (id, op) :: acc
+      cur = parent
+      if (cur.isEmpty && startId.isDefined) throw new IllegalStateException(
+        s"snapshot chain of $tablePath from $toId reached the root " +
+          s"without meeting stream offset ${startId.get} — the branch was " +
+          "rolled back or rewritten under the stream; full refresh required")
+    }
+    acc
+  }
+
+  /** Conform `df` to the stream's declared schema: evolved-in columns the
+    * declaration predates are dropped, declared columns a batch lacks are
+    * null-filled, types cast. Keeps MicroBatchExecution's output-attribute
+    * match intact across mid-stream schema evolution (a restart picks up
+    * the new schema).
+    */
+  private def alignToDeclared(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val present = df.columns.toSet
+    df.select(schema0.fields.toIndexedSeq.map { f =>
+      val q = s"`${f.name.replace("`", "``")}`"
+      (if (present(f.name)) col(q).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    }: _*)
+  }
+
   override def getBatch(start: Option[LegacyOffset], end: LegacyOffset): DataFrame = {
     val to = parsePos(end)
     lastPlanned = Some(to)
     val pieces = Seq.newBuilder[DataFrame]
-    val fromSeq: Long = start.map(parsePos) match {
+    val startPos = start.map(parsePos)
+    val fromSeq: Long = startPos match {
       case Some(p) => p.seq
       case None if to.initial =>
-        // first / replayed initial batch: the full state AT THAT snapshot
+        // first / replayed initial batch: the full row state AT THAT
+        // snapshot (pinned file set), projected under the CURRENT schema —
+        // the source's declared schema is the table's live schema, so a
+        // snapshot written under an older schema-id must still surface
+        // with today's column set (Iceberg's own streaming-read behavior)
         pieces += IcebergRead.read(spark, tablePath,
-          IcebergRead.Options(snapshotId = Some(to.id)))
+          IcebergRead.Options(snapshotId = Some(to.id),
+            projectCurrentSchema = true))
         to.seq
       case None => 0L // table was empty at stream creation
     }
     if (!to.initial || fromSeq < to.seq) {
-      val range = snapshotsAsc().filter(t => t._1 > fromSeq && t._1 <= to.seq)
-      // dense sequence numbers prove completeness: a mid-range snapshot
-      // expired under the checkpoint would silently lose a batch
-      require(range.map(_._1) == (fromSeq + 1 to to.seq),
-        s"snapshots in sequence range ($fromSeq, ${to.seq}] of $tablePath " +
-          "are no longer in the metadata (expired under the stream) — " +
-          "full refresh required")
-      range.foreach { case (_, id, op) =>
+      chainRange(to.id, startPos.map(_.id)).foreach { case (id, op) =>
         op match {
           case "append" =>
             pieces += IcebergRead.read(spark, tablePath, IcebergRead.Options(
-              snapshotId = Some(id), addedInSnapshotId = Some(id)))
+              snapshotId = Some(id), addedInSnapshotId = Some(id),
+              projectCurrentSchema = true))
           case "replace" => () // layout-only compaction: rows unchanged
           case "delete" =>
             if (!skipDeleteSnapshots) throw new IllegalStateException(
@@ -148,7 +205,7 @@ final class IcebergTailSource(
       if (ps.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0)
-      else ps.reduce(_ unionByName _)
+      else alignToDeclared(ps.reduce(_ unionByName _))
     GraftShims.asStreamingDataFrame(spark, batch)
   }
 

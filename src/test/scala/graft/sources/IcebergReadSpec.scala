@@ -205,19 +205,27 @@ class IcebergReadSpec extends SparkSpec {
     assert(vals(byTs) == Set((1, "x"), (2, "y"), (3, "x"), (4, "y")))
   }
 
-  test("non-identity partition transform refuses loudly") {
+  test("foreign bucket-transform spec reads through; unknown transforms refuse loudly") {
     val (dir, _, _) = buildForeignFixture("iceread-transform")
-    // rewrite the spec with a bucket transform
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val mdPath = new Path(new Path(fs.makeQualified(new Path(dir)), "metadata"), "v1.metadata.json")
     val in = fs.open(mdPath)
     val md = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    val hacked = md.replace(""""partition-specs":[{"spec-id":0,"fields":[]}]""",
+    // bucket transforms are SUPPORTED now (r16): the read plans normally —
+    // entries whose partition record predates the spec just skip pruning
+    val bucketed = md.replace(""""partition-specs":[{"spec-id":0,"fields":[]}]""",
       """"partition-specs":[{"spec-id":0,"fields":[{"name":"a_bucket","transform":"bucket[4]","source-id":1,"field-id":1000}]}]""")
     val out = fs.create(mdPath, true)
-    try out.write(hacked.getBytes("UTF-8")) finally out.close()
+    try out.write(bucketed.getBytes("UTF-8")) finally out.close()
+    assert(IcebergRead.read(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet == Set((3, "x")))
+    // an unknown transform still refuses rather than reading wrong rows
+    val unknown = bucketed.replace(""""transform":"bucket[4]"""",
+      """"transform":"zorder[2]"""")
+    val out2 = fs.create(mdPath, true)
+    try out2.write(unknown.getBytes("UTF-8")) finally out2.close()
     val e = intercept[IllegalArgumentException](IcebergRead.read(spark, dir))
-    assert(e.getMessage.contains("bucket[4]"), e.getMessage)
+    assert(e.getMessage.contains("zorder[2]"), e.getMessage)
   }
 
   test("mapped Delta export with NESTED struct: hierarchical name mapping resolves nested fields") {
