@@ -88,9 +88,12 @@ object Bench {
     "q166_delta_drop_feature", "q167_iceberg_orphans",
     "q168_iceberg_stream_source", "p17_pipeline_iceberg",
     "p18_pipeline_iceberg_dest")
+  // queries added in round 16
+  private[graft] val r16New = Set("q169_iceberg_transforms",
+    "q170_iceberg_v1_source")
   private[graft] val laterRounds =
     Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New, r11New, r13New,
-      r14New, r15New)
+      r14New, r15New, r16New)
   private def newer(from: Int)(k: String): Boolean =
     laterRounds.drop(from).exists(_(k))
   // ------------------------------------------------------------------------

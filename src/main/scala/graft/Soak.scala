@@ -112,12 +112,26 @@ object Soak {
     // shuffle-heavy pair miners for no benefit (measured, r15).
     spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
       (spark.sparkContext.defaultParallelism * 4).toString)
+    // second envelope knob (r16, q98 margin): coalesce exchanges toward
+    // 16 MiB targets instead of the 64 MiB default — per-task working
+    // sets (sort buffers, join builds) shrink 4×, which is what keeps 32
+    // concurrent tasks inside the 2 GiB heap when the pair miners' big
+    // exchanges and the Delta lifecycle gates share one old gen
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
     val t0 = System.nanoTime()
     buildSf1(spark, sf01, out)
     val buildSec = (System.nanoTime() - t0) / 1e9
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Boolean, String)]
-    soakQueries.foreach { name =>
+    // comma-separated name-substring subset for isolated reproduction
+    // (e.g. SPARK_GRAFT_SOAK_SUBSET=q97,q98) — full list when unset
+    val subset = sys.env.get("SPARK_GRAFT_SOAK_SUBSET")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    val selected = subset match {
+      case Some(pats) => soakQueries.filter(n => pats.exists(n.contains))
+      case None => soakQueries
+    }
+    selected.foreach { name =>
       val fn = SparkEntry.queries(name)
       val q0 = System.nanoTime()
       val outcome =
@@ -159,6 +173,9 @@ object Soak {
       println(f"[soak] $name%-28s ${sec}%8.2fs plan_ok=${outcome._1} ${outcome._2}")
     }
 
+    if (subset.isDefined) {
+      // isolated-reproduction mode: queries only
+    } else {
     scenario("soak_concurrent_writers") { () =>
       import graft.destinations.DeltaWrite
       import graft.sources.DeltaLog
@@ -206,6 +223,7 @@ object Soak {
       val n = DeltaLog.read(spark, tbl).count()
       val want = orders.count()
       require(n == want, s"row drift under clustered churn: $n != $want")
+    }
     }
 
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

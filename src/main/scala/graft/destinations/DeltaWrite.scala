@@ -1188,7 +1188,10 @@ object DeltaWrite {
       notMatched: Seq[MergeClause.Insert] = Nil,
       notMatchedBySource: Seq[MergeClause] = Nil,
       mergeSchema: Boolean = false,
-      operation: String = "MERGE"): Long = {
+      operation: String = "MERGE",
+      // SetTransaction stamped into the commit — the exactly-once handle
+      // for streaming foreachBatch MERGE (same contract as append/upsert)
+      txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{col, expr, lit, when, max => smax, min => smin, sum}
     require(matched.forall(c =>
       c.isInstanceOf[MergeClause.Update] || c.isInstanceOf[MergeClause.Delete]),
@@ -1542,7 +1545,7 @@ object DeltaWrite {
         withMeta = withMeta, adds = adds, removes = touched.map(_.path),
         metaConfig = metaCfg,
         cdcs = cdcs, ictEnabled = ictOn(snap), rowIdBase = rowIdBaseOf(snap),
-        crc = CrcPlan.Incremental(touched.map(_.size)),
+        crc = CrcPlan.Incremental(touched.map(_.size)), txn = txn,
         opParams = Seq("predicate" -> condition,
           "matchedPredicates" -> matched.size.toString,
           "notMatchedPredicates" -> notMatched.size.toString,

@@ -704,9 +704,13 @@ object IcebergWrite {
     * DELETED entry's file may still be read through an older list),
     * every referenced manifest, every live manifest list, all
     * `v<N>.metadata.json` + `version-hint.text`, and hidden/temp names.
-    * The referenced set is planner-bounded driver work; the LISTING
-    * streams in bounded batches anti-joined on executors — the driver
-    * collects only the doomed subset, never a full-table path set.
+    * The referenced set is built DISTRIBUTED — manifests are read on
+    * executors, the driver holds only manifest/list paths — and the
+    * LISTING streams in bounded batches anti-joined against it; the
+    * driver collects only the doomed subset. Driver memory bound:
+    * O(#manifests + #orphans), never O(#referenced files) or a
+    * full-table path set. Refused on Delta-backed (UniForm) tables —
+    * their Iceberg metadata mirrors only the CURRENT Delta snapshot.
     * Returns the deleted table-relative paths; `dryRun` lists only.
     */
   def removeOrphanFiles(
@@ -719,23 +723,53 @@ object IcebergWrite {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(conf)
     val qualified = fs.makeQualified(table)
+    // UniForm guard: the Iceberg metadata of a Delta-backed table mirrors
+    // ONLY the current Delta snapshot (and maybeUniformSync tolerates a
+    // lagging export) — an orphan sweep here would irreversibly delete
+    // files older Delta versions (time travel/RESTORE/CDF) still
+    // reference, or even CURRENT files if the export lags. Vacuum the
+    // Delta side instead; its audits know the whole log.
+    require(!fs.exists(new Path(qualified, "_delta_log")),
+      s"$tablePath is Delta-backed (UniForm export): its Iceberg metadata " +
+        "mirrors only the current Delta snapshot — removeOrphanFiles " +
+        "would delete files older Delta versions reference. Use Delta " +
+        "vacuum instead")
     val metaDir = new Path(qualified, "metadata")
     val md = IcebergRead.currentMetadata(fs, metaDir)
-    val listPaths = md.get("snapshots").elements().asScala
-      .map(_.get("manifest-list").asText()).toSeq.distinct
-    val manifestPaths = listPaths.flatMap(lp =>
+    // v1 legacy snapshots may list manifests INLINE instead of a list file
+    val snapNodes = md.get("snapshots").elements().asScala.toSeq
+    val listPaths = snapNodes.flatMap(s =>
+      Option(s.get("manifest-list")).filterNot(_.isNull).map(_.asText()))
+      .distinct
+    val inlineManifests = snapNodes
+      .filter(s => Option(s.get("manifest-list")).forall(_.isNull))
+      .flatMap(s => Option(s.get("manifests")).filterNot(_.isNull)
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
+    val manifestPaths = (inlineManifests ++ listPaths.flatMap(lp =>
       IcebergRead.avroRecords(conf, new Path(lp))
-        .map(_.get("manifest_path").toString)).distinct
-    val referencedData = manifestPaths.flatMap { mp =>
-      IcebergRead.avroRecords(conf, new Path(mp)).map(
-        _.get("data_file").asInstanceOf[GenericRecord]
-          .get("file_path").toString)
-    }.distinct
-    val protectedPaths =
-      (referencedData ++ manifestPaths ++ listPaths)
-        .map(p => fs.makeQualified(new Path(p)).toString)
+        .map(_.get("manifest_path").toString))).distinct
     import spark.implicits._
-    val refDF = protectedPaths.toDF("p").persist()
+    // referenced DATA/DELETE paths: extracted on EXECUTORS (one task per
+    // manifest slice) — the driver holds only manifest/list paths, so the
+    // memory bound is O(#manifests + #orphans), never O(#referenced files)
+    val confThunk = org.apache.spark.sql.GraftShims.serializableConfThunk(conf)
+    val refData = spark.createDataset(manifestPaths)
+      .repartition(math.max(1, math.min(manifestPaths.size, 32)))
+      .mapPartitions { it =>
+        val c = confThunk()
+        it.flatMap { mp =>
+          val p = new Path(mp)
+          val pfs = p.getFileSystem(c)
+          IcebergRead.avroRecords(c, p).map(e =>
+            pfs.makeQualified(new Path(
+              e.get("data_file").asInstanceOf[GenericRecord]
+                .get("file_path").toString)).toString)
+        }
+      }
+    val metaProtected = (manifestPaths ++ listPaths)
+      .map(p => fs.makeQualified(new Path(p)).toString)
+    val refDF = refData.toDF("p")
+      .union(metaProtected.toDF("p")).distinct().persist()
     try {
       val MetaName = """(v\d+\.metadata\.json|version-hint\.text)""".r
       val doomed = scala.collection.mutable.ArrayBuffer.empty[String]

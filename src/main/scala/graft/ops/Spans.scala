@@ -80,7 +80,11 @@ object Spans {
           graft.functions.PositionalHashes64(lower(col(textCol)), n))
           .as(Seq("_p0", "_h")))
       .filter(col("_h").isNotNull)
-      .select(col("_id"), (col("_p0") + 1).cast("long").as("_pos"), col("_h"))
+      // _pos as INT (a document beyond 2^31 codepoints predates this
+      // miner's posting fan-out anyway): the posting relation transits
+      // two corpus-wide exchanges and one sort-merge join — 4 bytes per
+      // row here is measurable heap headroom at the 2 GiB soak envelope
+      .select(col("_id"), (col("_p0") + 1).cast("int").as("_pos"), col("_h"))
 
     // the canonical-first struct is only needed under keepFirst — without
     // it the duplicated-hash set is hash-only, halving the build side
@@ -121,8 +125,8 @@ object Spans {
       // HashPartitioning(_id) already clusters (_id, _sid): no extra shuffle
       .groupBy(col("_id"), col("_sid"))
       .agg(
-        min(col("_pos")).as("span_start"),
-        (max(col("_pos")) + (n - 1)).as("span_end"),
+        min(col("_pos")).cast("long").as("span_start"),
+        (max(col("_pos")) + (n - 1)).cast("long").as("span_end"),
         count(lit(1)).as("n_windows"))
       .select(col("_id").as(idCol),
         col("span_start"), col("span_end"), col("n_windows"))

@@ -1307,6 +1307,75 @@ private[graft] object DeltaQueries {
         .filter(col("o_orderkey") < 5000)
         .withColumn("stream_batches", lit(batches.get()))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Transform-partitioned Iceberg scan (r16): day(ts) × bucket(4,
+    // user_id), three DAY-DISJOINT appends → three manifests whose
+    // manifest-list day summaries do not overlap. The read carries a
+    // pruning hint on both dimensions and the plan counters are pinned
+    // into the frame: exactly 1 of 3 manifests opened (the other two are
+    // excluded by their summaries BEFORE being read), and within it the
+    // bucket-equality must drop files (planned < seen). A reader that
+    // ignores transform pruning shifts the pinned counters; one that
+    // over-prunes loses rows against the raw replay.
+    "q169_iceberg_transforms" -> ((s, dir) => {
+      import graft.destinations.IcebergWrite
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q169").resolve("t").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      IcebergWrite.create(s, tbl, ev.schema,
+        partitionBy = Seq("day(ts)", "bucket(4, user_id)"))
+      def day(d: String) = lit(d).cast("timestamp")
+      IcebergWrite.append(s, tbl,
+        ev.filter(col("ts") < day("2024-01-11")).repartition(2))
+      IcebergWrite.append(s, tbl,
+        ev.filter(col("ts") >= day("2024-01-11") &&
+          col("ts") < day("2024-01-21")).repartition(2))
+      IcebergWrite.append(s, tbl,
+        ev.filter(col("ts") >= day("2024-01-21")).repartition(2))
+      val pred = "ts >= TIMESTAMP '2024-01-12 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-15 00:00:00' AND user_id = 7"
+      val out = IcebergRead.read(s, tbl,
+        IcebergRead.Options(where = Some(pred)))
+      val st = IcebergRead.lastPlanStats.get
+      out.filter(col("ts") >= day("2024-01-12") &&
+          col("ts") < day("2024-01-15") && col("user_id") === 7)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .withColumn("manifests_total", lit(st.manifestsTotal))
+        .withColumn("manifests_opened", lit(st.manifestsOpened))
+        .withColumn("bucket_pruned",
+          lit(if (st.dataFilesPlanned < st.dataFilesSeen) 1 else 0))
+        .orderBy(col("event_id"))
+    }),
+
+    // Iceberg FORMAT-VERSION 1 source (r16): a hand-built legacy fixture
+    // — singular `schema`/`partition-spec` metadata, no version hint, the
+    // first snapshot's manifests INLINE, the second a v1 manifest list
+    // (`added_data_files_count` spellings, no sequence columns), data
+    // parquet without field ids. The current read must serve both
+    // commits; time travel to snapshot 1 must serve exactly the first
+    // batch (travel_ok pins it: no odd keys, non-empty). A reader that
+    // trips on any legacy shape errors; one that mis-scopes the inline
+    // snapshot shifts travel_ok.
+    "q170_iceberg_v1_source" -> ((s, dir) => {
+      import graft.destinations.IcebergV1Fixture
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q170").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val snaps = IcebergV1Fixture.write(s, tbl, Seq(
+        orders.filter(col("o_orderkey") % 2 === 0),
+        orders.filter(col("o_orderkey") % 2 === 1)))
+      val v1 = IcebergRead.read(s, tbl,
+        IcebergRead.Options(snapshotId = Some(snaps.head)))
+      val travelOk =
+        if (v1.filter(col("o_orderkey") % 2 === 1).isEmpty && !v1.isEmpty) 1
+        else 0
+      IcebergRead.read(s, tbl)
+        .filter(col("o_orderkey") < 5000)
+        .withColumn("travel_ok", lit(travelOk))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -1474,6 +1543,28 @@ private[graft] object DeltaQueries {
          WHERE (o_orderkey % 2 = 0
                 OR (o_orderkey % 2 = 1 AND o_orderkey < 3000))
            AND o_orderkey < 5000
+         ORDER BY o_orderkey""",
+
+    // pruning must be result-invisible (raw-events replay of the same
+    // predicate) while the pinned counters prove it happened: 1 of 3
+    // manifests opened (day summaries), files dropped inside it (bucket)
+    "q169_iceberg_transforms" ->
+      """SELECT event_id, ts, user_id, value,
+                CAST(3 AS INT) AS manifests_total,
+                CAST(1 AS INT) AS manifests_opened,
+                CAST(1 AS INT) AS bucket_pruned
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-15'
+           AND user_id = 7
+         ORDER BY event_id""",
+
+    // the v1 metadata layer must be state-invisible: both batches union
+    // to raw orders, and the snapshot-1 travel check passes (1)
+    "q170_iceberg_v1_source" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(1 AS INT) AS travel_ok
+         FROM orders
+         WHERE o_orderkey < 5000
          ORDER BY o_orderkey""",
 
     "q111_delta_cdf" -> cdfOracleSql,

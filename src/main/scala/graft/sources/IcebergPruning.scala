@@ -141,7 +141,8 @@ private[graft] object IcebergPruning {
       fields: Seq[SpecField],
       m: GenericRecord): Boolean = {
     if (checks.isEmpty) return true
-    val sums: Seq[GenericRecord] = m.get("partitions") match {
+    val sums: Seq[GenericRecord] = IcebergRead.fieldOpt(m, "partitions")
+        .orNull match {
       case null => return true
       case a: java.util.Collection[_] =>
         a.toArray.toSeq.map(_.asInstanceOf[GenericRecord])

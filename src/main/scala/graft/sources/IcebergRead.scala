@@ -196,6 +196,59 @@ object IcebergRead {
     try r.iterator().asScala.toVector finally r.close()
   }
 
+  /** Minimal manifest-file record for v1 INLINE `manifests` snapshot
+    * entries (path only — the reader's fieldOpt defaults fill the rest). */
+  private lazy val inlineManifestSchema: org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"}]}""".stripMargin)
+
+  /** Avro field-by-name access tolerating ABSENT fields: v1 manifest
+    * schemas lack v2's `content`/`sequence_number` columns, and
+    * `GenericData.Record.get(String)` throws on unknown names. */
+  private[graft] def fieldOpt(r: GenericRecord, name: String): Option[AnyRef] =
+    Option(r.getSchema.getField(name)).flatMap(f => Option(r.get(f.pos())))
+
+  // ---------------------------------------------- v1 legacy metadata shapes
+
+  /** v1 COMPAT (spec "Table Metadata", format-version 1): pre-v2 metadata
+    * may carry only the SINGULAR `schema` / `partition-spec` fields and no
+    * `current-schema-id` / `default-spec-id`. These resolvers normalize
+    * both shapes; ids default to 0 exactly as v1 writers assumed. */
+  private[graft] def currentSchemaIdOf(md: JsonNode): Int =
+    Option(md.get("current-schema-id")).filterNot(_.isNull)
+      .map(_.asInt()).getOrElse(0)
+
+  private[graft] def schemaNodeById(md: JsonNode, id: Int): JsonNode =
+    Option(md.get("schemas")).filterNot(_.isNull) match {
+      case Some(list) =>
+        list.elements().asScala.find(s =>
+          Option(s.get("schema-id")).filterNot(_.isNull).map(_.asInt())
+            .getOrElse(0) == id)
+          .getOrElse(throw new IllegalArgumentException(s"schema $id missing"))
+      case None =>
+        Option(md.get("schema")).filterNot(_.isNull).getOrElse(
+          throw new IllegalArgumentException("metadata carries no schema"))
+    }
+
+  private[graft] def defaultSpecIdOf(md: JsonNode): Int =
+    Option(md.get("default-spec-id")).filterNot(_.isNull)
+      .map(_.asInt()).getOrElse(0)
+
+  /** The FIELDS array of the partition spec `specId` — from
+    * `partition-specs`, else the v1 legacy flat `partition-spec` array
+    * (spec-id 0), else empty (unpartitioned). */
+  private[graft] def specFieldsNode(md: JsonNode, specId: Int): Seq[JsonNode] =
+    Option(md.get("partition-specs")).filterNot(_.isNull) match {
+      case Some(specs) =>
+        specs.elements().asScala.find(_.get("spec-id").asInt() == specId)
+          .map(_.get("fields").elements().asScala.toSeq)
+          .getOrElse(throw new IllegalArgumentException(s"spec $specId missing"))
+      case None =>
+        Option(md.get("partition-spec")).filterNot(_.isNull)
+          .map(_.elements().asScala.toSeq).getOrElse(Nil)
+    }
+
   /** Scheme/slash-normalized path so manifest-spelled and
     * `_metadata.file_path`-spelled locations compare equal
     * (`file:/x` == `file:///x`).
@@ -234,9 +287,9 @@ object IcebergRead {
     val fs = table.getFileSystem(conf)
     val metaDir = new Path(fs.makeQualified(table), "metadata")
     val md = currentMetadata(fs, metaDir)
-    require(md.get("format-version").asInt() == 2,
-      s"only Iceberg format-version 2 is supported, got " +
-        s"${md.get("format-version").asInt()}")
+    val formatVersion = md.get("format-version").asInt()
+    require(formatVersion == 1 || formatVersion == 2,
+      s"only Iceberg format-versions 1 and 2 are supported, got $formatVersion")
 
     // ---- snapshot selection
     val snapshots = md.get("snapshots").elements().asScala.toSeq
@@ -260,10 +313,7 @@ object IcebergRead {
         val cur = Option(md.get("current-snapshot-id")).filterNot(_.isNull)
           .map(_.asLong()).getOrElse(-1L)
         if (cur < 0L) {
-          val csid = md.get("current-schema-id").asInt()
-          val sn = md.get("schemas").elements().asScala
-            .find(s => Option(s.get("schema-id")).exists(_.asInt() == csid))
-            .getOrElse(throw new IllegalArgumentException(s"schema $csid missing"))
+          val sn = schemaNodeById(md, currentSchemaIdOf(md))
           return spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             clean(parseType(sn)).asInstanceOf[StructType])
@@ -279,24 +329,19 @@ object IcebergRead {
     val pinned = (opts.snapshotId.isDefined || opts.asOfTimestampMs.isDefined) &&
       !opts.projectCurrentSchema
     val schemaId =
-      if (!pinned) md.get("current-schema-id").asInt()
+      if (!pinned) currentSchemaIdOf(md)
       else Option(snapNode.get("schema-id")).filterNot(_.isNull)
-        .map(_.asInt()).getOrElse(md.get("current-schema-id").asInt())
-    val schemaNode = md.get("schemas").elements().asScala
-      .find(s => Option(s.get("schema-id")).exists(_.asInt() == schemaId))
-      .getOrElse(throw new IllegalArgumentException(s"schema $schemaId missing"))
+        .map(_.asInt()).getOrElse(currentSchemaIdOf(md))
+    val schemaNode = schemaNodeById(md, schemaId)
     val logical = parseType(schemaNode).asInstanceOf[StructType]
     val idToName: Map[Long, String] =
       logical.fields.map(f => fieldId(f) -> f.name).toMap
 
     // ---- partition spec: every spec transform (identity, year/month/
     // day/hour, bucket[N], truncate[W], void) via [[IcebergTransforms]]
-    val specId = md.get("default-spec-id").asInt()
-    val specNode = md.get("partition-specs").elements().asScala
-      .find(_.get("spec-id").asInt() == specId)
-      .getOrElse(throw new IllegalArgumentException(s"spec $specId missing"))
+    val specId = defaultSpecIdOf(md)
     val specFields: Seq[IcebergPruning.SpecField] =
-      specNode.get("fields").elements().asScala.map { f =>
+      specFieldsNode(md, specId).iterator.map { f =>
         val t = IcebergTransforms.parse(f.get("transform").asText())
         val srcName = idToName.getOrElse(f.get("source-id").asLong(),
           throw new IllegalArgumentException(
@@ -329,14 +374,26 @@ object IcebergRead {
       else IcebergPruning.derive(conjs, specFields,
         spark.sessionState.conf.sessionLocalTimeZone)
 
-    // ---- manifests
-    val listPath = new Path(snapNode.get("manifest-list").asText())
-    val manifestRecs = avroRecords(conf, listPath)
+    // ---- manifests: `manifest-list` file, else the v1 legacy INLINE
+    // `manifests` path array (synthesized records: data content, seq 0,
+    // no partition summaries -> no manifest-level pruning, all open)
+    val manifestRecs: Seq[GenericRecord] =
+      Option(snapNode.get("manifest-list")).filterNot(_.isNull) match {
+        case Some(ml) => avroRecords(conf, new Path(ml.asText()))
+        case None =>
+          Option(snapNode.get("manifests")).filterNot(_.isNull)
+            .map(_.elements().asScala.toSeq).getOrElse(Nil).map { pn =>
+              val r = new org.apache.avro.generic.GenericData.Record(
+                inlineManifestSchema)
+              r.put("manifest_path", pn.asText())
+              r
+            }
+      }
     def manContent(m: GenericRecord): Int =
-      Option(m.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+      fieldOpt(m, "content").map(_.asInstanceOf[Int]).getOrElse(0)
     def entrySeq(e: GenericRecord, m: GenericRecord): Long =
-      Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(
-        Option(m.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L))
+      fieldOpt(e, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(
+        fieldOpt(m, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L))
 
     val dataEntries = Seq.newBuilder[DataEntry]
     val posDeletes = Seq.newBuilder[DeleteEntry]
@@ -348,8 +405,8 @@ object IcebergRead {
         case None => e.get("status").asInstanceOf[Int] != 2 // not DELETED
         case Some(id) =>
           e.get("status").asInstanceOf[Int] == 1 &&
-            Option(e.get("snapshot_id")).map(_.asInstanceOf[Long])
-              .orElse(Option(m.get("added_snapshot_id"))
+            fieldOpt(e, "snapshot_id").map(_.asInstanceOf[Long])
+              .orElse(fieldOpt(m, "added_snapshot_id")
                 .map(_.asInstanceOf[Long]))
               .contains(id)
       }
@@ -369,7 +426,7 @@ object IcebergRead {
           if (entryKeep(e, m)) {
             val df = e.get("data_file").asInstanceOf[GenericRecord]
             val content =
-              Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+              fieldOpt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0)
             val seq = entrySeq(e, m)
             val path = df.get("file_path").toString
             (manContent(m), content) match {
@@ -382,7 +439,7 @@ object IcebergRead {
                   dataEntries += DataEntry(path, pv, seq)
               case (_, 1) => posDeletes += DeleteEntry(path, seq, Nil)
               case (_, 2) =>
-                val ids = Option(df.get("equality_ids"))
+                val ids = fieldOpt(df, "equality_ids")
                   .map(_.asInstanceOf[java.util.Collection[Integer]]
                     .asScala.map(_.intValue()).toSeq)
                   .getOrElse(throw new IllegalArgumentException(
@@ -606,10 +663,7 @@ object IcebergRead {
   /** The table's CURRENT schema (clean Spark types) from metadata alone. */
   def tableSchema(spark: SparkSession, tablePath: String): StructType = {
     val (_, md) = metadataOf(spark, tablePath)
-    val csid = md.get("current-schema-id").asInt()
-    val sn = md.get("schemas").elements().asScala
-      .find(s => Option(s.get("schema-id")).exists(_.asInt() == csid))
-      .getOrElse(throw new IllegalArgumentException(s"schema $csid missing"))
+    val sn = schemaNodeById(md, currentSchemaIdOf(md))
     clean(parseType(sn)).asInstanceOf[StructType]
   }
 
@@ -630,7 +684,8 @@ object IcebergRead {
         Option(s.get("summary")).filterNot(_.isNull)
           .flatMap(n => Option(n.get("operation")).filterNot(_.isNull))
           .map(_.asText()).orNull,
-        s.get("manifest-list").asText(),
+        Option(s.get("manifest-list")).filterNot(_.isNull)
+          .map(_.asText()).orNull,
         Option(s.get("summary")).filterNot(_.isNull).map(jsonMap)
           .getOrElse(Map.empty[String, String]))
     }
@@ -689,8 +744,8 @@ object IcebergRead {
     val (conf, md) = metadataOf(spark, tablePath)
     val rows = selectedManifestList(md, snapshotId).toSeq.flatMap { listPath =>
       avroRecords(conf, new Path(listPath)).map { m =>
-        def i(k: String) = Option(m.get(k)).map(_.asInstanceOf[Int]).getOrElse(0)
-        def l(k: String) = Option(m.get(k)).map(_.asInstanceOf[Long]).getOrElse(0L)
+        def i(k: String) = fieldOpt(m, k).map(_.asInstanceOf[Int]).getOrElse(0)
+        def l(k: String) = fieldOpt(m, k).map(_.asInstanceOf[Long]).getOrElse(0L)
         org.apache.spark.sql.Row(
           m.get("manifest_path").toString,
           l("manifest_length"),
@@ -698,10 +753,12 @@ object IcebergRead {
           i("content"),
           l("sequence_number"),
           l("min_sequence_number"),
-          Option(m.get("added_snapshot_id")).map(_.asInstanceOf[Long])
+          fieldOpt(m, "added_snapshot_id").map(_.asInstanceOf[Long])
             .map(java.lang.Long.valueOf).orNull,
-          i("added_files_count"), i("existing_files_count"),
-          i("deleted_files_count"),
+          // v1 lists spell these added_DATA_files_count (spec field 504-506)
+          i("added_files_count") + i("added_data_files_count"),
+          i("existing_files_count") + i("existing_data_files_count"),
+          i("deleted_files_count") + i("deleted_data_files_count"),
           l("added_rows_count"), l("existing_rows_count"),
           l("deleted_rows_count"))
       }
@@ -743,12 +800,12 @@ object IcebergRead {
               part.getSchema.getFields.asScala.map(f =>
                 f.name() -> Option(part.get(f.name())).map(_.toString).orNull)
               .toMap
-            val seq = Option(e.get("sequence_number"))
+            val seq = fieldOpt(e, "sequence_number")
               .map(_.asInstanceOf[Long]).getOrElse(
-                Option(m.get("sequence_number"))
+                fieldOpt(m, "sequence_number")
                   .map(_.asInstanceOf[Long]).getOrElse(0L))
             org.apache.spark.sql.Row(
-              Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0),
+              fieldOpt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0),
               df.get("file_path").toString,
               df.get("file_format").toString,
               pv,

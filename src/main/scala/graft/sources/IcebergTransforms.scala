@@ -99,19 +99,22 @@ object IcebergTransforms {
         s"$source: ${srcType.catalogString}")
     t match {
       case Identity | Void => ()
+      // Iceberg `timestamp` (without zone) is Spark's TimestampNTZType:
+      // temporal transforms apply to BOTH flavors (the ntz value bins by
+      // its wall-clock micros, the tz one by its UTC instant — spec exact)
       case Year | Month | Day => srcType match {
-        case DateType | TimestampType => ()
+        case DateType | TimestampType | TimestampNTZType => ()
         case _ => bad()
       }
       case Hour => srcType match {
-        case TimestampType => ()
+        case TimestampType | TimestampNTZType => ()
         case _ => bad()
       }
       case Bucket(n) =>
         require(n > 0, s"bucket[$n] needs a positive bucket count")
         srcType match {
           case IntegerType | LongType | DateType | TimestampType |
-               StringType | BinaryType | _: DecimalType => ()
+               TimestampNTZType | StringType | BinaryType | _: DecimalType => ()
           case _ => bad()
         }
       case Truncate(w) =>
@@ -205,24 +208,24 @@ object IcebergTransforms {
       case Identity => normalizeInternal(srcType, internal)
       case Year => srcType match {
         case DateType => Some(yearOfDays(internal.asInstanceOf[Int].toLong))
-        case TimestampType =>
+        case TimestampType | TimestampNTZType =>
           Some(yearOfDays(epochDayOfMicros(internal.asInstanceOf[Long])))
         case _ => None
       }
       case Month => srcType match {
         case DateType => Some(monthOfDays(internal.asInstanceOf[Int].toLong))
-        case TimestampType =>
+        case TimestampType | TimestampNTZType =>
           Some(monthOfDays(epochDayOfMicros(internal.asInstanceOf[Long])))
         case _ => None
       }
       case Day => srcType match {
         case DateType => Some(internal.asInstanceOf[Int])
-        case TimestampType =>
+        case TimestampType | TimestampNTZType =>
           Some(epochDayOfMicros(internal.asInstanceOf[Long]).toInt)
         case _ => None
       }
       case Hour => srcType match {
-        case TimestampType =>
+        case TimestampType | TimestampNTZType =>
           Some(Math.floorDiv(internal.asInstanceOf[Long], 3600000000L).toInt)
         case _ => None
       }
@@ -230,7 +233,8 @@ object IcebergTransforms {
         case IntegerType => Some(bucketLong(internal.asInstanceOf[Int].toLong, n))
         case LongType => Some(bucketLong(internal.asInstanceOf[Long], n))
         case DateType => Some(bucketLong(internal.asInstanceOf[Int].toLong, n))
-        case TimestampType => Some(bucketLong(internal.asInstanceOf[Long], n))
+        case TimestampType | TimestampNTZType =>
+          Some(bucketLong(internal.asInstanceOf[Long], n))
         case StringType => Some(bucketUtf8(internal.asInstanceOf[UTF8String], n))
         case _: DecimalType =>
           Some(bucketDecimal(internal.asInstanceOf[Decimal], n))
@@ -256,7 +260,7 @@ object IcebergTransforms {
     * domain (Int / Long / String; None = a type pruning does not model). */
   private def normalizeInternal(srcType: DataType, v: Any): Option[Any] = srcType match {
     case IntegerType | DateType => Some(v.asInstanceOf[Int])
-    case LongType | TimestampType => Some(v.asInstanceOf[Long])
+    case LongType | TimestampType | TimestampNTZType => Some(v.asInstanceOf[Long])
     case StringType => Some(v.asInstanceOf[UTF8String].toString)
     case _ => None
   }
@@ -297,13 +301,22 @@ object IcebergTransforms {
     * [[IcebergBucket]] expression for `bucket`.
     */
   def column(t: Transform, src: Column, srcType: DataType): Column = {
+    // wall-clock micros for ntz via an EXPLICIT-UTC cast (never the
+    // session zone); instant micros for tz — the spec's value domains
+    def micros: Column = srcType match {
+      case TimestampType => unix_micros(src)
+      case TimestampNTZType => unix_micros(GraftShims.column(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          GraftShims.convertedExpression(src), TimestampType, Some("UTC"))))
+      case _ => refuse(t, srcType)
+    }
     def tsDays: Column = {
-      val us = unix_micros(src)
+      val us = micros
       ((us - pmod(us, lit(86400000000L))) / 86400000000L).cast(IntegerType)
     }
     def dayDate: Column = srcType match {
       case DateType => src
-      case TimestampType => date_from_unix_date(tsDays)
+      case TimestampType | TimestampNTZType => date_from_unix_date(tsDays)
       case _ => refuse(t, srcType)
     }
     t match {
@@ -312,8 +325,8 @@ object IcebergTransforms {
       case Month => (year(dayDate) - 1970) * 12 + month(dayDate) - 1
       case Day => dayDate
       case Hour => srcType match {
-        case TimestampType =>
-          val us = unix_micros(src)
+        case TimestampType | TimestampNTZType =>
+          val us = micros
           ((us - pmod(us, lit(3600000000L))) / 3600000000L).cast(IntegerType)
         case _ => refuse(t, srcType)
       }
@@ -321,7 +334,7 @@ object IcebergTransforms {
         val normalized: Column = srcType match {
           case IntegerType | LongType => src.cast(LongType)
           case DateType => unix_date(src).cast(LongType)
-          case TimestampType => unix_micros(src)
+          case TimestampType | TimestampNTZType => micros
           case StringType | BinaryType | _: DecimalType => src
           case _ => refuse(t, srcType)
         }
@@ -388,7 +401,7 @@ object IcebergTransforms {
       case Year | Month | Day | Hour | Bucket(_) => Some(le32)
       case Identity | Truncate(_) => srcType match {
         case IntegerType | DateType => Some(le32)
-        case LongType | TimestampType => Some(le64)
+        case LongType | TimestampType | TimestampNTZType => Some(le64)
         case StringType => Some(new String(bytes, "UTF-8"))
         case _ => None
       }

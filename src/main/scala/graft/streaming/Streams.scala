@@ -249,6 +249,42 @@ object Streams {
       }
       .start()
 
+  /** EXACTLY-ONCE streaming MERGE into a REAL Delta table — the full
+    * multi-clause MERGE as a sink (CDC apply: upserts AND deletes in one
+    * stream, or aggregation-style `SET t.c = t.c + s.c` updates that
+    * plain upsert idempotence cannot protect). Each micro-batch runs
+    * [[graft.destinations.DeltaWrite.merge]] with the caller's clauses;
+    * the commit carries a SetTransaction on (`txnAppId`, batchId), so a
+    * batch that LANDED but crashed before the engine's offset commit is
+    * SKIPPED on replay — non-idempotent merge effects (deletes,
+    * accumulating updates) apply exactly once. `clauses` builds the
+    * WHEN lists from each batch's alias pair (target `t`, source `s`).
+    */
+  def deltaMergeSink(
+      df: DataFrame,
+      tablePath: String,
+      condition: String,
+      matched: Seq[graft.destinations.DeltaWrite.MergeClause],
+      notMatched: Seq[graft.destinations.DeltaWrite.MergeClause.Insert],
+      checkpointDir: String,
+      txnAppId: String,
+      notMatchedBySource: Seq[graft.destinations.DeltaWrite.MergeClause] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val applied = graft.sources.DeltaLog.lazySnapshot(sp, tablePath)
+          .meta.txns.getOrElse(txnAppId, -1L)
+        if (batchId > applied && !batch.isEmpty)
+          graft.destinations.DeltaWrite.merge(sp, tablePath, batch,
+            condition, matched = matched, notMatched = notMatched,
+            notMatchedBySource = notMatchedBySource,
+            txn = Some((txnAppId, batchId))): Unit
+      }
+      .start()
+
   /** Streaming append into a native ICEBERG table, exactly-once per
     * micro-batch: each batch commits one snapshot stamping the stream's
     * id + batch id into the snapshot summary (Iceberg's commit-dedup

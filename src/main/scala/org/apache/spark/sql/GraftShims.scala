@@ -18,6 +18,17 @@ object GraftShims {
   def convertedExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** A serializable thunk yielding the Hadoop configuration on executors
+    * (`org.apache.spark.util.SerializableConfiguration` is spark-package-
+    * private, so it cannot appear in a graft-visible signature).
+    */
+  def serializableConfThunk(
+      conf: org.apache.hadoop.conf.Configuration)
+      : () => org.apache.hadoop.conf.Configuration = {
+    val sc = new org.apache.spark.util.SerializableConfiguration(conf)
+    () => sc.value
+  }
+
   /** `spark.sql.files.maxPartitionBytes` as a Long (the typed SQLConf
     * accessor is sql-package-private).
     */

@@ -120,6 +120,11 @@ class IcebergWriteSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       IcebergWrite.append(spark, t, rows((2, "b", "y"))))
     assert(e.getMessage.contains("desync"), e.getMessage)
+    // maintenance is refused too: the Iceberg metadata mirrors only the
+    // CURRENT Delta snapshot, so an orphan sweep would eat time travel
+    val e2 = intercept[IllegalArgumentException](
+      IcebergWrite.removeOrphanFiles(spark, t, olderThanMs = Long.MaxValue))
+    assert(e2.getMessage.contains("vacuum"), e2.getMessage)
   }
 
   test("written files carry field ids: a rename in metadata still resolves old files") {

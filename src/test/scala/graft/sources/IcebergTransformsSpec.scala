@@ -70,6 +70,43 @@ class IcebergTransformsSpec extends SparkSpec {
     assert(applyScalar(Month, DateType, -1) == Some(-1))
   }
 
+  test("timestamp_ntz (Iceberg `timestamp`) binned by wall-clock micros") {
+    def us(s: String): Long = {
+      val ldt = java.time.LocalDateTime.parse(s)
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L
+    }
+    val t = us("2017-11-16T22:31:08")
+    assert(applyScalar(Day, TimestampNTZType, t) == Some(17486))
+    assert(applyScalar(Hour, TimestampNTZType, t) == Some(17486 * 24 + 22))
+    assert(applyScalar(Month, TimestampNTZType, t) ==
+      Some((2017 - 1970) * 12 + 10))
+    assert(applyScalar(Year, TimestampNTZType, t) == Some(47))
+    // bucket hashes the same 8-byte long layout as tz timestamps
+    assert(applyScalar(Bucket(16), TimestampNTZType, 1510871468000000L) ==
+      applyScalar(Bucket(16), TimestampType, 1510871468000000L))
+    validate(Day, TimestampNTZType, "ts")
+    validate(Hour, TimestampNTZType, "ts")
+    // write-side derived column agrees with the scalar path, regardless of
+    // the session zone (EXPLICIT-UTC cast inside column())
+    val old = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      import org.apache.spark.sql.functions._
+      val df = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2017-11-16 22:31:08' AS ts")
+      val got = df.select(
+        IcebergTransforms.column(Day, col("ts"), TimestampNTZType).as("d"),
+        IcebergTransforms.column(Hour, col("ts"), TimestampNTZType).as("h"),
+        IcebergTransforms.column(Bucket(4), col("ts"), TimestampNTZType)
+          .as("b")).head()
+      assert(got.getDate(0).toLocalDate ==
+        java.time.LocalDate.ofEpochDay(17486))
+      assert(got.getInt(1) == 17486 * 24 + 22)
+      assert(got.getInt(2) == bucketLong(1510871468000000L, 4))
+    } finally spark.conf.set("spark.sql.session.timeZone", old)
+  }
+
   test("truncate floors negatives and counts code points") {
     assert(applyScalar(Truncate(10), IntegerType, 7) == Some(0))
     assert(applyScalar(Truncate(10), IntegerType, -3) == Some(-10))

@@ -395,6 +395,69 @@ class StreamsSpec extends SparkSpec {
       "replayed batch must not commit a new version")
   }
 
+  test("deltaMergeSink crash-replay: non-idempotent MERGE effects (deletes, accumulating updates) apply exactly once") {
+    import graft.destinations.DeltaWrite
+    import graft.destinations.DeltaWrite.MergeClause
+    import graft.sources.DeltaLog
+    import org.apache.spark.sql.types._
+    val root = tmpDir("delta-merge-xo")
+    val src = root.resolve("in")
+    java.nio.file.Files.createDirectories(src)
+    val table = root.resolve("t").toString
+    val cp = root.resolve("ckpt")
+    val srcSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("total", DoubleType),
+      StructField("op", StringType)))
+    DeltaWrite.createIfAbsent(spark, table, StructType(Seq(
+      StructField("user_id", LongType), StructField("total", DoubleType))))
+    import spark.implicits._
+    def drain(): Unit = {
+      val q = Streams.deltaMergeSink(
+        Streams.fileSource(spark, src.toString, srcSchema),
+        table, condition = "t.user_id = s.user_id",
+        // CDC apply: delete on op='D', otherwise ACCUMULATE (t.total +
+        // s.total — visibly double-applies if a replay is not skipped)
+        matched = Seq(
+          MergeClause.Delete(Some("s.op = 'D'")),
+          MergeClause.Update(None, Map("total" -> "t.total + s.total"))),
+        notMatched = Seq(MergeClause.Insert(Some("s.op <> 'D'"),
+          Map("user_id" -> "s.user_id", "total" -> "s.total"))),
+        checkpointDir = cp.toString, txnAppId = "merge-xo")
+      q.processAllAvailable()
+      q.stop()
+    }
+    Seq((1L, 10.0, "I"), (2L, 20.0, "I")).toDF("user_id", "total", "op")
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    drain()
+    val cpCopy = root.resolve("ckpt-copy")
+    def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(from).forEach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+        else { java.nio.file.Files.createDirectories(dst.getParent)
+          java.nio.file.Files.copy(p, dst): Unit }
+      }
+    }
+    copyDir(cp, cpCopy)
+    Seq((1L, 5.0, "U"), (2L, 0.0, "D"), (3L, 30.0, "I"))
+      .toDF("user_id", "total", "op")
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    drain() // batch 1: 1 accumulates to 15, 2 deleted, 3 inserted
+    def state() = DeltaLog.read(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state() == Map(1L -> 15.0, 3L -> 30.0))
+    val versionAfter = DeltaLog.snapshot(spark, table).version
+    // crash simulation: restore the PRE-batch-1 checkpoint; the replayed
+    // merge would re-accumulate (1 -> 20.0) and re-insert 3 — the
+    // SetTransaction bookmark must skip it outright
+    org.apache.commons.io.FileUtils.deleteDirectory(cp.toFile)
+    copyDir(cpCopy, cp)
+    drain()
+    assert(state() == Map(1L -> 15.0, 3L -> 30.0), "replay re-applied MERGE")
+    assert(DeltaLog.snapshot(spark, table).version == versionAfter,
+      "replayed batch must not commit a new version")
+  }
+
   test("icebergAppendSink crash-replay: summary-stamped batch ids dedupe — no dup/lost rows, no extra snapshots") {
     import graft.destinations.IcebergWrite
     import graft.sources.IcebergRead
