@@ -60,7 +60,11 @@ object Soak {
     "q163_delta_uniform", "q164_iceberg_evolution",
     "q165_iceberg_stream_sink", "q166_delta_drop_feature",
     "q167_iceberg_orphans", "q168_iceberg_stream_source",
-    "p17_pipeline_iceberg", "p18_pipeline_iceberg_dest")
+    "p17_pipeline_iceberg", "p18_pipeline_iceberg_dest",
+    // round 16: transform-partitioned scan, the v1 legacy fixture read,
+    // and the mixed-spec evolution table
+    "q169_iceberg_transforms", "q170_iceberg_v1_source",
+    "q171_iceberg_spec_evolution")
 
   private def replicate(df: DataFrame, copies: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until copies).map(k => shift(df, k)).reduce(_ unionByName _)

@@ -802,6 +802,87 @@ object IcebergWrite {
     } finally { refDF.unpersist(false); () }
   }
 
+  /** UPDATE PARTITION SPEC — Iceberg partition EVOLUTION (spec
+    * "Partition Evolution"): append a NEW spec built from `partitionBy`
+    * (same grammar as [[create]]) with a fresh spec-id, and make it the
+    * default for FUTURE writes. Metadata-only: no snapshot, no data file
+    * touched. Existing manifests keep their own `partition_spec_id`, so
+    * a table carries data under several specs at once and the reader
+    * ([[graft.sources.IcebergRead]]) resolves each manifest against ITS
+    * spec — old files keep pruning under the old layout, new files under
+    * the new. Partition field ids continue from `last-partition-id`
+    * (1000-based, never reused); a field with the same (source column,
+    * transform) as one in ANY earlier spec keeps that field's id, the
+    * spec's cross-spec identity rule. Returns the new spec id.
+    */
+  def updateSpec(
+      spark: SparkSession, tablePath: String,
+      partitionBy: Seq[String]): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    val qualified = fs.makeQualified(table)
+    require(!fs.exists(new Path(qualified, "_delta_log")),
+      s"$tablePath is Delta-backed (UniForm export): its layout follows " +
+        "the Delta table — repartition through Delta and re-export instead")
+    val metaDir = new Path(qualified, "metadata")
+    val md = IcebergRead.currentMetadata(fs, metaDir)
+    require(md.get("format-version").asInt() == 2, "format-version 2 required")
+
+    val csid = md.get("current-schema-id").asInt()
+    val schemaNode = md.get("schemas").elements().asScala
+      .find(s => Option(s.get("schema-id")).exists(_.asInt() == csid))
+      .getOrElse(throw new IllegalArgumentException(s"schema $csid missing"))
+    val logical = IcebergRead.parseType(schemaNode).asInstanceOf[StructType]
+    val fieldIdOf: Map[String, Long] =
+      logical.fields.map(f => f.name -> IcebergRead.fieldId(f)).toMap
+
+    val partFields = partitionBy.map(parsePartitionField)
+    partFields.foreach { case (t, c) =>
+      require(fieldIdOf.contains(c), s"partition column $c not in schema")
+      graft.sources.IcebergTransforms.validate(t,
+        IcebergRead.clean(logical.fields.find(_.name == c).get.dataType), c)
+      val pname = graft.sources.IcebergTransforms.fieldName(t, c)
+      require(t == graft.sources.IcebergTransforms.Identity ||
+        !fieldIdOf.contains(pname),
+        s"derived partition field name $pname collides with a table column")
+    }
+
+    val specs = md.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+      "partition-specs")
+    val newSpecId = specs.elements().asScala
+      .map(_.get("spec-id").asInt()).foldLeft(-1)(math.max) + 1
+    // (source-id, transform) -> existing field id, for cross-spec reuse
+    val priorIds: Map[(Long, String), Int] =
+      specs.elements().asScala.flatMap(_.get("fields").elements().asScala
+        .map(f => (f.get("source-id").asLong(),
+          f.get("transform").asText()) -> f.get("field-id").asInt())).toMap
+    var lastPartId = Option(md.get("last-partition-id"))
+      .filterNot(_.isNull).map(_.asInt()).getOrElse(999)
+    val specNode = mapper.createObjectNode()
+    specNode.put("spec-id", newSpecId)
+    val sf = specNode.putArray("fields")
+    partFields.foreach { case (t, c) =>
+      val transform = graft.sources.IcebergTransforms.render(t)
+      val fid = priorIds.getOrElse((fieldIdOf(c), transform),
+        { lastPartId += 1; lastPartId })
+      val f = sf.addObject()
+      f.put("name", graft.sources.IcebergTransforms.fieldName(t, c))
+      f.put("transform", transform)
+      f.put("source-id", fieldIdOf(c))
+      f.put("field-id", fid): Unit
+    }
+    specs.add(specNode)
+    md.put("default-spec-id", newSpecId)
+    md.put("last-partition-id", lastPartId)
+    md.put("last-updated-ms", System.currentTimeMillis())
+    val hintPath = new Path(metaDir, "version-hint.text")
+    val in = fs.open(hintPath)
+    val v = (try new String(in.readAllBytes(), "UTF-8") finally in.close()).trim.toInt
+    writeMetadata(fs, metaDir, v + 1, md)
+    newSpecId
+  }
+
   // ------------------------------------------------ schema evolution (DDL)
 
   /** Append a NEW schema entry (copy of the current one mutated by

@@ -1376,6 +1376,49 @@ private[graft] object DeltaQueries {
         .filter(col("o_orderkey") < 5000)
         .withColumn("travel_ok", lit(travelOk))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Iceberg PARTITION EVOLUTION (r16): three appends under three specs
+    // — unpartitioned, then day(ts), then day(ts) × bucket(4, user_id) —
+    // in ONE table; the reader must resolve each manifest against ITS
+    // OWN spec. The pruning hint proves per-spec behavior with pinned
+    // counters: the spec-0 manifest has no day tuple (must open), the
+    // non-overlapping day manifest is skipped by its summary, and the
+    // bucket equality drops files only where that spec derives it. The
+    // full row set replays from raw events in DuckDB.
+    "q171_iceberg_spec_evolution" -> ((s, dir) => {
+      import graft.destinations.IcebergWrite
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q171").resolve("t").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      def day(d: String) = lit(d).cast("timestamp")
+      IcebergWrite.create(s, tbl, ev.schema)                 // spec 0
+      IcebergWrite.append(s, tbl,
+        ev.filter(col("ts") < day("2024-01-11")).repartition(2))
+      IcebergWrite.updateSpec(s, tbl, Seq("day(ts)"))        // spec 1
+      IcebergWrite.append(s, tbl,
+        ev.filter(col("ts") >= day("2024-01-11") &&
+          col("ts") < day("2024-01-21")).repartition(2))
+      IcebergWrite.updateSpec(s, tbl,                        // spec 2
+        Seq("day(ts)", "bucket(4, user_id)"))
+      IcebergWrite.append(s, tbl,
+        ev.filter(col("ts") >= day("2024-01-21")).repartition(2))
+      val pred = "ts >= TIMESTAMP '2024-01-22 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-25 00:00:00' AND user_id = 7"
+      val out = IcebergRead.read(s, tbl,
+        IcebergRead.Options(where = Some(pred)))
+      val st = IcebergRead.lastPlanStats.get
+      out.filter(col("ts") >= day("2024-01-22") &&
+          col("ts") < day("2024-01-25") && col("user_id") === 7)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .withColumn("manifests_total", lit(st.manifestsTotal))
+        // spec-0 (no tuple, must open) + the overlapping spec-2 one; the
+        // spec-1 January-11..20 manifest is summary-skipped
+        .withColumn("manifests_opened", lit(st.manifestsOpened))
+        .withColumn("bucket_pruned",
+          lit(if (st.dataFilesPlanned < st.dataFilesSeen) 1 else 0))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1566,6 +1609,19 @@ private[graft] object DeltaQueries {
          FROM orders
          WHERE o_orderkey < 5000
          ORDER BY o_orderkey""",
+
+    // mixed-spec metadata must be result-invisible; 2-of-3 manifests
+    // opened (the unpartitioned spec-0 one cannot be skipped, the
+    // non-overlapping day manifest must be), bucket pruning inside
+    "q171_iceberg_spec_evolution" ->
+      """SELECT event_id, ts, user_id, value,
+                CAST(3 AS INT) AS manifests_total,
+                CAST(2 AS INT) AS manifests_opened,
+                CAST(1 AS INT) AS bucket_pruned
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-25'
+           AND user_id = 7
+         ORDER BY event_id""",
 
     "q111_delta_cdf" -> cdfOracleSql,
     "q131_delta_cdf_mapped" -> cdfOracleSql,

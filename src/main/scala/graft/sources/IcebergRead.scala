@@ -260,7 +260,7 @@ object IcebergRead {
 
   private final case class DataEntry(
       path: String, partition: Seq[(String, Option[AnyRef])],
-      seq: Long)
+      seq: Long, spec: Int)
   private final case class DeleteEntry(
       path: String, seq: Long, equalityIds: Seq[Int])
 
@@ -339,9 +339,16 @@ object IcebergRead {
 
     // ---- partition spec: every spec transform (identity, year/month/
     // day/hour, bucket[N], truncate[W], void) via [[IcebergTransforms]]
-    val specId = defaultSpecIdOf(md)
-    val specFields: Seq[IcebergPruning.SpecField] =
-      specFieldsNode(md, specId).iterator.map { f =>
+    // ---- partition specs: resolved LAZILY per spec-id — a table that
+    // evolved its partition spec (updateSpec) carries manifests under
+    // SEVERAL specs at once, each resolved and pruned against its own
+    // field list; an old spec whose source column was since dropped only
+    // errors if a manifest actually uses it
+    val defaultSpec = defaultSpecIdOf(md)
+    val specCache =
+      scala.collection.mutable.Map.empty[Int, Seq[IcebergPruning.SpecField]]
+    def specFieldsOf(id: Int): Seq[IcebergPruning.SpecField] =
+      specCache.getOrElseUpdate(id, specFieldsNode(md, id).map { f =>
         val t = IcebergTransforms.parse(f.get("transform").asText())
         val srcName = idToName.getOrElse(f.get("source-id").asLong(),
           throw new IllegalArgumentException(
@@ -349,13 +356,9 @@ object IcebergRead {
         val srcType = clean(logical.fields.find(_.name == srcName).get.dataType)
         IcebergPruning.SpecField(f.get("name").asText(), t, srcName, srcType,
           Option(f.get("field-id")).map(_.asInt()).getOrElse(1000))
-      }.toSeq
-    // identity fields (position in the spec tuple, field): the only ones
-    // whose tuple value IS the source value — injection + legacy pruning
-    val identityIdx: Seq[(Int, IcebergPruning.SpecField)] =
-      specFields.zipWithIndex.collect {
-        case (f, i) if f.transform == IcebergTransforms.Identity => (i, f)
-      }
+      })
+    def identityFieldsOf(id: Int): Seq[IcebergPruning.SpecField] =
+      specFieldsOf(id).filter(_.transform == IcebergTransforms.Identity)
 
     // ---- transform-space pruning checks from the where hint
     val conjs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
@@ -369,10 +372,14 @@ object IcebergRead {
         }
         split(parsed)
       }
-    val checks =
-      if (conjs.isEmpty || specFields.isEmpty) Map.empty[String, Seq[IcebergPruning.Check]]
-      else IcebergPruning.derive(conjs, specFields,
-        spark.sessionState.conf.sessionLocalTimeZone)
+    val checksCache = scala.collection.mutable
+      .Map.empty[Int, Map[String, Seq[IcebergPruning.Check]]]
+    def checksOf(id: Int): Map[String, Seq[IcebergPruning.Check]] =
+      checksCache.getOrElseUpdate(id,
+        if (conjs.isEmpty || specFieldsOf(id).isEmpty)
+          Map.empty[String, Seq[IcebergPruning.Check]]
+        else IcebergPruning.derive(conjs, specFieldsOf(id),
+          spark.sessionState.conf.sessionLocalTimeZone))
 
     // ---- manifests: `manifest-list` file, else the v1 legacy INLINE
     // `manifests` path array (synthesized records: data content, seq 0,
@@ -418,8 +425,10 @@ object IcebergRead {
       // overlap the predicate is never even opened — plan cost stays
       // proportional to surviving manifests. Delete manifests always open
       // (their scope rules differ and they are few).
+      val mSpec = fieldOpt(m, "partition_spec_id")
+        .map(_.asInstanceOf[Int]).getOrElse(defaultSpec)
       if (manContent(m) != 0 ||
-          IcebergPruning.manifestOk(checks, specFields, m)) {
+          IcebergPruning.manifestOk(checksOf(mSpec), specFieldsOf(mSpec), m)) {
         manifestsOpened += 1
         val mPath = new Path(m.get("manifest_path").toString)
         avroRecords(conf, mPath).foreach { e =>
@@ -435,8 +444,8 @@ object IcebergRead {
                 val part = df.get("partition").asInstanceOf[GenericRecord]
                 val pv = part.getSchema.getFields.asScala.map(f =>
                   f.name() -> Option(part.get(f.name()))).toSeq
-                if (IcebergPruning.entryOk(checks, pv))
-                  dataEntries += DataEntry(path, pv, seq)
+                if (IcebergPruning.entryOk(checksOf(mSpec), pv))
+                  dataEntries += DataEntry(path, pv, seq, mSpec)
               case (_, 1) => posDeletes += DeleteEntry(path, seq, Nil)
               case (_, 2) =>
                 val ids = fieldOpt(df, "equality_ids")
@@ -467,43 +476,50 @@ object IcebergRead {
     // source value. Transform-aware pruning already ran at manifest and
     // entry level above; this is a strictly additive second subtraction.
     val data =
-      if (conjs.isEmpty || identityIdx.isEmpty || dataAll.isEmpty) dataAll
-      else {
-        val pcSet = identityIdx.map(_._2.sourceName.toLowerCase).toSet
-        val usable = conjs.filter(_.collect {
-          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
-        }.forall(n => pcSet(n.toLowerCase)))
-        if (usable.isEmpty) dataAll
+      if (conjs.isEmpty || dataAll.isEmpty) dataAll
+      else dataAll.groupBy(_.spec).toSeq.sortBy(_._1).flatMap {
+        case (sid, entries) =>
+        val idFields = identityFieldsOf(sid)
+        if (idFields.isEmpty) entries
         else {
-          val names = identityIdx.map(_._2.sourceName)
-          val types = identityIdx.map(_._2.sourceType)
-          // string-spelled tuple + a join key; the CASTs below convert to
-          // the real types with Spark's own semantics (dates arrive as
-          // epoch days in the manifests)
-          def strVals(pv: Seq[(String, Option[AnyRef])]): Seq[Option[String]] =
-            identityIdx.zipWithIndex.map { case ((pos, _), i) =>
-              val raw = if (pos < pv.size) pv(pos)._2 else None
-              (types(i), raw) match {
-                case (DateType, Some(d: java.lang.Integer)) =>
-                  Some(java.time.LocalDate.ofEpochDay(d.longValue()).toString)
-                case (_, r) => r.map(_.toString)
+          val pcSet = idFields.map(_.sourceName.toLowerCase).toSet
+          val usable = conjs.filter(_.collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+          }.forall(n => pcSet(n.toLowerCase)))
+          if (usable.isEmpty) entries
+          else {
+            val names = idFields.map(_.sourceName)
+            val types = idFields.map(_.sourceType)
+            // string-spelled tuple + a join key; the CASTs below convert to
+            // the real types with Spark's own semantics (dates arrive as
+            // epoch days in the manifests); pv is addressed by the SPEC
+            // FIELD NAME (evolution-safe — tuple order differs per spec)
+            def strVals(pv: Seq[(String, Option[AnyRef])]): Seq[Option[String]] =
+              idFields.zipWithIndex.map { case (f, i) =>
+                val raw = pv.collectFirst {
+                  case (n, v) if n == f.name => v }.flatten
+                (types(i), raw) match {
+                  case (DateType, Some(d: java.lang.Integer)) =>
+                    Some(java.time.LocalDate.ofEpochDay(d.longValue()).toString)
+                  case (_, r) => r.map(_.toString)
+                }
               }
-            }
-          def keyOf(vs: Seq[Option[String]]): String =
-            vs.map(_.getOrElse("\u0000null")).mkString("\u0001")
-          val tuples = dataAll.map(e => strVals(e.partition)).distinct
-          val strSchema = StructType(
-            names.map(c => StructField(c, StringType)) :+ StructField("_k", StringType))
-          val frame = spark.createDataFrame(
-            spark.sparkContext.parallelize(tuples.map(vs =>
-              org.apache.spark.sql.Row((vs.map(_.orNull) :+ keyOf(vs)): _*)), 1),
-            strSchema)
-            .select(names.zipWithIndex.map { case (c, i) =>
-              col(quoteId(c)).cast(types(i)).as(c) } :+ col("_k"): _*)
-          val keepSql = usable.map(_.sql).mkString(" AND ")
-          val kept = frame.filter(keepSql)
-            .select(col("_k")).collect().map(_.getString(0)).toSet
-          dataAll.filter(e => kept(keyOf(strVals(e.partition))))
+            def keyOf(vs: Seq[Option[String]]): String =
+              vs.map(_.getOrElse("\u0000null")).mkString("\u0001")
+            val tuples = entries.map(e => strVals(e.partition)).distinct
+            val strSchema = StructType(
+              names.map(c => StructField(c, StringType)) :+ StructField("_k", StringType))
+            val frame = spark.createDataFrame(
+              spark.sparkContext.parallelize(tuples.map(vs =>
+                org.apache.spark.sql.Row((vs.map(_.orNull) :+ keyOf(vs)): _*)), 1),
+              strSchema)
+              .select(names.zipWithIndex.map { case (c, i) =>
+                col(quoteId(c)).cast(types(i)).as(c) } :+ col("_k"): _*)
+            val keepSql = usable.map(_.sql).mkString(" AND ")
+            val kept = frame.filter(keepSql)
+              .select(col("_k")).collect().map(_.getString(0)).toSet
+            entries.filter(e => kept(keyOf(strVals(e.partition))))
+          }
         }
       }
 
@@ -535,21 +551,25 @@ object IcebergRead {
         idToFile.get(fieldId(f)).map(f.name -> _)).toMap
     }
 
-    // groups of files sharing (partition values, sequence number, rename):
-    // each group reads with one physical schema and one injected state
-    val grouped: Seq[(Seq[(String, Option[AnyRef])], Long, Map[String, String], Seq[String])] =
+    // groups of files sharing (spec, partition values, sequence number,
+    // rename): each group reads with one physical schema and one
+    // injected state
+    val grouped: Seq[(Int, Seq[(String, Option[AnyRef])], Long, Map[String, String], Seq[String])] =
       nameMapping match {
         case Some(nm) =>
           val phys = physicalize(logical, nm)
           val rename = logical.fields.zip(phys.fields)
             .map { case (lf, pf) => lf.name -> pf.name }.toMap
-          data.groupBy(d => (d.partition, d.seq)).toSeq
+          data.groupBy(d => (d.spec, d.partition, d.seq)).toSeq
             .sortBy(_._2.head.path)
-            .map { case ((pv, seq), g) => (pv, seq, rename, g.map(_.path)) }
+            .map { case ((sid, pv, seq), g) =>
+              (sid, pv, seq, rename, g.map(_.path)) }
         case None =>
-          data.groupBy(d => (d.partition, d.seq, footerRename(d.path))).toSeq
+          data.groupBy(d => (d.spec, d.partition, d.seq, footerRename(d.path)))
+            .toSeq
             .sortBy(_._2.head.path)
-            .map { case ((pv, seq, rn), g) => (pv, seq, rn, g.map(_.path)) }
+            .map { case ((sid, pv, seq, rn), g) =>
+              (sid, pv, seq, rn, g.map(_.path)) }
       }
 
     val mappingForNested = nameMapping.getOrElse(Nil)
@@ -563,7 +583,7 @@ object IcebergRead {
         f.copy(name = rename.getOrElse(f.name, f.name), dataType = nestedType)
       })
 
-    val parts: Seq[DataFrame] = grouped.map { case (pv, seq, rename, paths) =>
+    val parts: Seq[DataFrame] = grouped.map { case (sid, pv, seq, rename, paths) =>
       val scanSchema = scanSchemaFor(rename)
       val base0 = spark.read.schema(scanSchema).parquet(paths: _*)
       // capture metadata columns against the scan relation itself
@@ -582,12 +602,12 @@ object IcebergRead {
       // IDENTITY partition values: Hive-style files omit the column (null
       // after the scan), Iceberg-written files carry it — coalesce is
       // exact for identity transforms (file value = partition value).
-      // Partition record fields are in SPEC order; the source column is
-      // the spec's source-id resolution, not the spec field's name.
+      // The tuple is addressed by THIS GROUP's spec field name; the
+      // injected column is the spec's source-id resolution.
       // Non-identity transforms never inject: their tuple value is a
       // DERIVED value and the source column always lives in the file.
-      identityIdx.foreach { case (pos, f) =>
-        val raw = if (pos < pv.size) pv(pos)._2 else None
+      identityFieldsOf(sid).foreach { f =>
+        val raw = pv.collectFirst { case (n, v) if n == f.name => v }.flatten
         val t = f.sourceType
         val value: Column = (t, raw) match {
           case (DateType, Some(days: java.lang.Integer)) =>

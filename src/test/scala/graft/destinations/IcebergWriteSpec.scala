@@ -299,4 +299,68 @@ class IcebergWriteSpec extends SparkSpec {
     assert(IcebergWrite.rewriteDataFiles(spark, t) == -1L)
     assert(IcebergRead.snapshots(spark, t).count() == 0L)
   }
+
+  test("partition evolution: each manifest resolves and prunes under ITS OWN spec") {
+    import org.apache.spark.sql.functions._
+    val t = tmpDir("icew-evolve-spec").resolve("t").toString
+    val sch = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType),
+      StructField("v", DoubleType)))
+    def batch(ids: Range, day: String) = {
+      import spark.implicits._
+      ids.map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(s"$day 0${i % 10}:00:00"), i * 1.5))
+        .toDF("id", "ts", "v")
+    }
+    IcebergWrite.create(spark, t, sch)                     // spec 0: unpartitioned
+    IcebergWrite.append(spark, t, batch(0 until 4, "2024-01-05"))
+    val spec1 = IcebergWrite.updateSpec(spark, t, Seq("day(ts)"))
+    assert(spec1 == 1)
+    IcebergWrite.append(spark, t, batch(4 until 8, "2024-02-10"))
+    val spec2 = IcebergWrite.updateSpec(spark, t, Seq("day(ts)", "bucket(4, id)"))
+    assert(spec2 == 2)
+    IcebergWrite.append(spark, t, batch(8 until 12, "2024-03-15"))
+
+    // cross-spec identity rule: day(ts) keeps its field id in spec 2
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val md = IcebergRead.currentMetadata(fs,
+      new org.apache.hadoop.fs.Path(
+        fs.makeQualified(new org.apache.hadoop.fs.Path(t)), "metadata"))
+    val specsById = md.get("partition-specs").elements().asScala
+      .map(sp => sp.get("spec-id").asInt() ->
+        sp.get("fields").elements().asScala.map(f =>
+          f.get("name").asText() -> f.get("field-id").asInt()).toMap).toMap
+    assert(specsById(1)("ts_day") == specsById(2)("ts_day"))
+    assert(specsById(2)("id_bucket") == specsById(1)("ts_day") + 1)
+
+    // unpruned read serves all three layouts at once
+    val all = IcebergRead.read(spark, t)
+    assert(all.count() == 12L)
+    assert(all.agg(sum(col("id"))).head().getLong(0) == (0 until 12).sum)
+
+    // a ts predicate prunes ONLY manifests whose own spec derives day
+    // bounds: the spec-0 manifest (no tuple) and spec-1/2 manifests that
+    // overlap survive; the non-overlapping day manifests are never opened
+    val hit = IcebergRead.read(spark, t, IcebergRead.Options(
+      where = Some("ts >= TIMESTAMP '2024-03-01 00:00:00'")))
+    val st = IcebergRead.lastPlanStats.get
+    assert(st.manifestsTotal == 3, st.toString)
+    assert(st.manifestsOpened == 2, st.toString) // spec-0 + the March one
+    assert(hit.filter(col("ts") >= lit("2024-03-01").cast("timestamp"))
+      .collect().map(_.getLong(0)).toSet == (8 until 12).map(_.toLong).toSet)
+
+    // bucket equality prunes within the spec-2 manifest only (entry level)
+    IcebergRead.read(spark, t, IcebergRead.Options(
+      where = Some("id = 9"))).collect()
+    val st2 = IcebergRead.lastPlanStats.get
+    assert(st2.dataFilesPlanned < st2.dataFilesSeen, st2.toString)
+
+    // time travel to the pre-evolution snapshot still reads spec 0
+    val snaps = IcebergRead.snapshots(spark, t)
+      .orderBy("committed_at").collect().map(_.getAs[Long]("snapshot_id"))
+    val s0 = IcebergRead.read(spark, t,
+      IcebergRead.Options(snapshotId = Some(snaps.head)))
+    assert(s0.count() == 4L)
+  }
 }
