@@ -90,7 +90,8 @@ object Bench {
     "p18_pipeline_iceberg_dest")
   // queries added in round 16
   private[graft] val r16New = Set("q169_iceberg_transforms",
-    "q170_iceberg_v1_source", "q171_iceberg_spec_evolution")
+    "q170_iceberg_v1_source", "q171_iceberg_spec_evolution",
+    "q172_iceberg_refs")
   private[graft] val laterRounds =
     Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New, r11New, r13New,
       r14New, r15New, r16New)

@@ -64,7 +64,7 @@ object Soak {
     // round 16: transform-partitioned scan, the v1 legacy fixture read,
     // and the mixed-spec evolution table
     "q169_iceberg_transforms", "q170_iceberg_v1_source",
-    "q171_iceberg_spec_evolution")
+    "q171_iceberg_spec_evolution", "q172_iceberg_refs")
 
   private def replicate(df: DataFrame, copies: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until copies).map(k => shift(df, k)).reduce(_ unionByName _)

@@ -90,6 +90,7 @@ object ConfigParser {
       IcebergSource(req(n, "name"), loc(n),
         snapshotId = Option(n.get("snapshot_id")).filterNot(_.isNull).map(_.asLong()),
         timestamp = str(n, "timestamp").map(java.time.Instant.parse),
+        ref = str(n, "ref"),
         storageConfig = stringMap(n, "storage_config", "storage_options"))
     case "odbc" | "database" | "jdbc" =>
       JdbcSource(req(n, "name"),

@@ -68,6 +68,9 @@ final case class IcebergSource(
     location: Location,
     snapshotId: Option[Long] = None,
     timestamp: Option[java.time.Instant] = None,
+    // named snapshot ref (branch serves its head under the current
+    // schema, tag time-travels) — `ref: audit`
+    ref: Option[String] = None,
     storageConfig: Map[String, String] = Map.empty) extends Source
 
 /** External-database source (`type: odbc`); executed via Spark JDBC, which is

@@ -59,6 +59,7 @@ object SchemaGen {
         req = Seq("type", "name", "location"),
         props = Seq("name" -> typed("string"), "location" -> typed("string"),
           "snapshot_id" -> typed("integer"), "timestamp" -> typed("string", "RFC3339"),
+          "ref" -> typed("string", "branch or tag name"),
           "storage_config" -> stringMapSchema)),
       "odbc" -> objSchema("External database via JDBC (query pushed down)",
         req = Seq("type", "name", "load_query", "connection_string"),

@@ -163,9 +163,10 @@ object IcebergWrite {
     */
   def append(
       spark: SparkSession, tablePath: String, df: DataFrame,
-      summary: Seq[(String, String)] = Nil): Long =
+      summary: Seq[(String, String)] = Nil,
+      branch: Option[String] = None): Long =
     commitDataSnapshot(spark, tablePath, df, "append", carryPrior = true,
-      extraSummary = summary)
+      extraSummary = summary, toBranch = branch)
 
   /** The highest `graft.txn-batch` recorded in any snapshot summary whose
     * `graft.txn-app-id` equals `appId` (-1 when none) — the read half of
@@ -237,7 +238,11 @@ object IcebergWrite {
       df: DataFrame,
       operation: String,
       carryPrior: Boolean,
-      extraSummary: Seq[(String, String)] = Nil): Long = {
+      extraSummary: Seq[(String, String)] = Nil,
+      // write-audit-publish: commit onto a BRANCH head instead of main —
+      // current-snapshot-id and the snapshot-log stay untouched, only
+      // refs[branch] advances (created from the current state if absent)
+      toBranch: Option[String] = None): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val table = new Path(tablePath)
     val fs = table.getFileSystem(conf)
@@ -303,6 +308,18 @@ object IcebergWrite {
     val withParts = specFields.foldLeft(out) { case (d, (name, t, src, srcType, _)) =>
       d.withColumn(name, graft.sources.IcebergTransforms.column(
         t, col(s"`${src.replace("`", "``")}`"), srcType))
+    }
+    // the PARENT state this commit builds on: the branch head for a
+    // branch commit (falling back to the current state when the branch
+    // does not exist yet), the current snapshot otherwise
+    val baseSnapshotId: Option[Long] = toBranch.filter(_ != "main") match {
+      case Some(b) =>
+        refSnapshotId(md, b).orElse(
+          Option(md.get("current-snapshot-id")).filterNot(_.isNull)
+            .map(_.asLong()).filter(_ >= 0L))
+      case None =>
+        Option(md.get("current-snapshot-id")).filterNot(_.isNull)
+          .map(_.asLong()).filter(_ >= 0L)
     }
     val tmp = new Path(qualified, s"_tmp-append-${java.util.UUID.randomUUID()}")
     val writer = withParts.write.mode("overwrite")
@@ -395,7 +412,7 @@ object IcebergWrite {
     lw.setMeta("sequence-number", sequence.toString)
     lw.create(IcebergExport.manifestFileSchema, fs.create(listPath, true))
     try {
-      if (carryPrior) carryPriorManifests(lw, md, conf)
+      if (carryPrior) carryPriorManifests(lw, md, conf, baseSnapshotId)
       val m = new GenericData.Record(IcebergExport.manifestFileSchema)
       m.put("manifest_path", manifestPath.toString)
       m.put("manifest_length", manifestLen)
@@ -445,8 +462,7 @@ object IcebergWrite {
     md.put("last-updated-ms", nowMs)
     val snapNode = mapper.createObjectNode()
     snapNode.put("snapshot-id", snapshotId)
-    Option(md.get("current-snapshot-id")).filterNot(_.isNull)
-      .map(_.asLong()).filter(_ >= 0L)
+    baseSnapshotId
       .foreach(p => snapNode.put("parent-snapshot-id", p): Unit)
     snapNode.put("timestamp-ms", nowMs)
     snapNode.put("sequence-number", sequence)
@@ -459,11 +475,19 @@ object IcebergWrite {
     extraSummary.foreach { case (k, v) => summary.put(k, v): Unit }
     md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
       .add(snapNode)
-    md.put("current-snapshot-id", snapshotId)
-    val sl = md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
-      .addObject()
-    sl.put("timestamp-ms", nowMs)
-    sl.put("snapshot-id", snapshotId)
+    toBranch.filter(_ != "main") match {
+      case Some(b) =>
+        // branch commit: ONLY the ref head moves — main (current-
+        // snapshot-id + snapshot-log) is untouched until fastForward
+        setRef(md, b, snapshotId, "branch")
+      case None =>
+        md.put("current-snapshot-id", snapshotId)
+        setRef(md, "main", snapshotId, "branch")
+        val sl = md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+          .addObject()
+        sl.put("timestamp-ms", nowMs)
+        sl.put("snapshot-id", snapshotId): Unit
+    }
 
     val hintPath = new Path(metaDir, "version-hint.text")
     val in = fs.open(hintPath)
@@ -604,6 +628,7 @@ object IcebergWrite {
     md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
       .add(snapNode)
     md.put("current-snapshot-id", snapshotId)
+    setRef(md, "main", snapshotId, "branch")
     val sl = md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
       .addObject()
     sl.put("timestamp-ms", nowMs)
@@ -640,11 +665,37 @@ object IcebergWrite {
     val cur = Option(md.get("current-snapshot-id")).filterNot(_.isNull)
       .map(_.asLong()).getOrElse(-1L)
     val snaps = md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+    // ref protection: every tag target and every BRANCH head plus its
+    // ancestor chain stays (a branch is living history; a tag pins one
+    // snapshot) — dropRef is the release valve
+    val parentOf: Map[Long, Option[Long]] =
+      snaps.elements().asScala.map(sn =>
+        sn.get("snapshot-id").asLong() ->
+          Option(sn.get("parent-snapshot-id")).filterNot(_.isNull)
+            .map(_.asLong())).toMap
+    val protectedIds: Set[Long] = {
+      val b = Set.newBuilder[Long]
+      Option(md.get("refs")).filterNot(_.isNull).foreach { refs =>
+        // main is NOT ref-protected: its history expires by age like any
+        // Iceberg table's (the head survives as `cur`) — only named
+        // branches and tags pin snapshots past retention
+        refs.fields().asScala.filterNot(_.getKey == "main").foreach { e =>
+          val id = e.getValue.get("snapshot-id").asLong()
+          if (e.getValue.get("type").asText() == "tag") b += id
+          else {
+            var c = Option(id)
+            while (c.isDefined) { b += c.get; c = parentOf.getOrElse(c.get, None) }
+          }
+        }
+      }
+      b.result()
+    }
     val keep = mapper.createArrayNode()
     var expired = 0
     snaps.elements().asScala.foreach { s =>
       val id = s.get("snapshot-id").asLong()
-      if (id == cur || s.get("timestamp-ms").asLong() >= olderThanMs)
+      if (id == cur || protectedIds(id) ||
+          s.get("timestamp-ms").asLong() >= olderThanMs)
         keep.add(s): Unit
       else {
         expired += 1
@@ -673,9 +724,11 @@ object IcebergWrite {
   private def carryPriorManifests(
       lw: DataFileWriter[GenericRecord],
       md: ObjectNode,
-      conf: org.apache.hadoop.conf.Configuration): Unit = {
-    val curSnapId = Option(md.get("current-snapshot-id")).filterNot(_.isNull)
-      .map(_.asLong()).filter(_ >= 0L)
+      conf: org.apache.hadoop.conf.Configuration,
+      baseSnapshotId: Option[Long] = None): Unit = {
+    val curSnapId = baseSnapshotId.orElse(
+      Option(md.get("current-snapshot-id")).filterNot(_.isNull)
+        .map(_.asLong()).filter(_ >= 0L))
     curSnapId.foreach { id =>
       val prior = md.get("snapshots").elements().asScala
         .find(_.get("snapshot-id").asLong() == id).get
@@ -801,6 +854,134 @@ object IcebergWrite {
       doomed.toSeq.map(_.stripPrefix(rootStr).dropWhile(_ == '/')).sorted
     } finally { refDF.unpersist(false); () }
   }
+
+  // ------------------------------------------------- snapshot refs (WAP)
+
+  /** refs[name].snapshot-id, if the ref exists ("main" falls back to
+    * current-snapshot-id — every table has an implicit main branch). */
+  private[graft] def refSnapshotId(md: ObjectNode, name: String): Option[Long] =
+    Option(md.get("refs")).filterNot(_.isNull)
+      .flatMap(r => Option(r.get(name)).filterNot(_.isNull))
+      .map(_.get("snapshot-id").asLong())
+      .orElse(if (name == "main")
+        Option(md.get("current-snapshot-id")).filterNot(_.isNull)
+          .map(_.asLong()).filter(_ >= 0L)
+      else None)
+
+  private def setRef(
+      md: ObjectNode, name: String, snapshotId: Long, tpe: String): Unit = {
+    val refs = Option(md.get("refs")).filterNot(_.isNull)
+      .map(_.asInstanceOf[ObjectNode])
+      .getOrElse(md.putObject("refs"))
+    val r = refs.putObject(name)
+    r.put("snapshot-id", snapshotId)
+    r.put("type", tpe): Unit
+  }
+
+  private def withMetadataBump(
+      spark: SparkSession, tablePath: String)(
+      mutate: ObjectNode => Unit): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    val metaDir = new Path(fs.makeQualified(table), "metadata")
+    val md = IcebergRead.currentMetadata(fs, metaDir)
+    mutate(md)
+    md.put("last-updated-ms", System.currentTimeMillis())
+    val hintPath = new Path(metaDir, "version-hint.text")
+    val in = fs.open(hintPath)
+    val v = (try new String(in.readAllBytes(), "UTF-8") finally in.close()).trim.toInt
+    writeMetadata(fs, metaDir, v + 1, md)
+  }
+
+  /** CREATE BRANCH (spec "refs"): a named head starting at `at` (default:
+    * the current snapshot). Appends with `branch = Some(name)` advance
+    * ONLY this head — main is untouched until [[fastForward]] publishes it
+    * (write-audit-publish). Metadata-only. */
+  def createBranch(
+      spark: SparkSession, tablePath: String, name: String,
+      at: Option[Long] = None): Unit =
+    withMetadataBump(spark, tablePath) { md =>
+      require(name != "main", "main exists implicitly")
+      require(refSnapshotId(md, name).isEmpty, s"ref $name already exists")
+      val target = at.orElse(refSnapshotId(md, "main")).getOrElse(
+        throw new IllegalArgumentException("table has no snapshot to branch from"))
+      requireSnapshot(md, target)
+      setRef(md, name, target, "branch")
+    }
+
+  /** CREATE TAG: an immutable named snapshot. Tag reads time-travel
+    * (snapshot schema); [[expireSnapshots]] never expires a tagged
+    * snapshot while the tag lives. Metadata-only. */
+  def createTag(
+      spark: SparkSession, tablePath: String, name: String,
+      at: Option[Long] = None): Unit =
+    withMetadataBump(spark, tablePath) { md =>
+      require(name != "main", "main is a branch, not a tag")
+      require(refSnapshotId(md, name).isEmpty, s"ref $name already exists")
+      val target = at.orElse(refSnapshotId(md, "main")).getOrElse(
+        throw new IllegalArgumentException("table has no snapshot to tag"))
+      requireSnapshot(md, target)
+      setRef(md, name, target, "tag")
+    }
+
+  /** DROP a branch or tag. Snapshots it protected become expirable. */
+  def dropRef(spark: SparkSession, tablePath: String, name: String): Unit =
+    withMetadataBump(spark, tablePath) { md =>
+      require(name != "main", "cannot drop main")
+      val refs = Option(md.get("refs")).filterNot(_.isNull)
+        .map(_.asInstanceOf[ObjectNode])
+        .getOrElse(throw new IllegalArgumentException(s"no ref $name"))
+      require(refs.has(name), s"no ref $name")
+      refs.remove(name): Unit
+    }
+
+  /** FAST-FORWARD `to` onto `from`'s head — the PUBLISH step of
+    * write-audit-publish: after auditing a staged branch, main jumps to
+    * the branch head in one metadata commit (the branch head must be a
+    * descendant of `to`'s head, so no history is lost). Fast-forwarding
+    * main also stamps current-snapshot-id and the snapshot-log. */
+  def fastForward(
+      spark: SparkSession, tablePath: String,
+      to: String, from: String): Long = {
+    var head = -1L
+    withMetadataBump(spark, tablePath) { md =>
+      val fromId = refSnapshotId(md, from).getOrElse(
+        throw new IllegalArgumentException(s"no ref $from"))
+      val toId = refSnapshotId(md, to)
+      // ancestry check: walk from the source head down its parent chain
+      val parentOf: Map[Long, Option[Long]] =
+        md.get("snapshots").elements().asScala.map(sn =>
+          sn.get("snapshot-id").asLong() ->
+            Option(sn.get("parent-snapshot-id")).filterNot(_.isNull)
+              .map(_.asLong())).toMap
+      toId.foreach { t =>
+        var cur = Option(fromId)
+        var found = false
+        while (cur.isDefined && !found) {
+          if (cur.get == t) found = true
+          cur = parentOf.getOrElse(cur.get, None)
+        }
+        require(found,
+          s"$from ($fromId) is not a descendant of $to ($t): fast-forward " +
+            "would lose history — rebase the branch instead")
+      }
+      setRef(md, to, fromId, "branch")
+      if (to == "main") {
+        md.put("current-snapshot-id", fromId)
+        val sl = md.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+          "snapshot-log").addObject()
+        sl.put("timestamp-ms", System.currentTimeMillis())
+        sl.put("snapshot-id", fromId): Unit
+      }
+      head = fromId
+    }
+    head
+  }
+
+  private def requireSnapshot(md: ObjectNode, id: Long): Unit =
+    require(md.get("snapshots").elements().asScala
+      .exists(_.get("snapshot-id").asLong() == id), s"no snapshot $id")
 
   /** UPDATE PARTITION SPEC — Iceberg partition EVOLUTION (spec
     * "Partition Evolution"): append a NEW spec built from `partitionBy`

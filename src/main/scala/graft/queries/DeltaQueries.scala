@@ -1419,6 +1419,43 @@ private[graft] object DeltaQueries {
         .withColumn("bucket_pruned",
           lit(if (st.dataFilesPlanned < st.dataFilesSeen) 1 else 0))
         .orderBy(col("event_id"))
+    }),
+
+    // Iceberg snapshot REFS (r16): the write-audit-publish flow — staged
+    // appends land on an "audit" branch (main must NOT see them), the
+    // branch head publishes to main via fast-forward, and a pre-publish
+    // tag keeps time-traveling afterward. staged_hidden pins isolation
+    // (main rowcount while the branch was ahead), tag_rows pins the
+    // tag's frozen view; the published state replays from raw orders.
+    "q172_iceberg_refs" -> ((s, dir) => {
+      import graft.destinations.IcebergWrite
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q172").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      IcebergWrite.create(s, tbl, orders.schema)
+      IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 3 === 0).repartition(2))
+      IcebergWrite.createTag(s, tbl, "baseline")
+      IcebergWrite.createBranch(s, tbl, "audit")
+      IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 3 === 1).repartition(2),
+        branch = Some("audit"))
+      IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 3 === 2).repartition(2),
+        branch = Some("audit"))
+      val mainBefore = IcebergRead.read(s, tbl).count()
+      val baseRows = orders.filter(col("o_orderkey") % 3 === 0).count()
+      val stagedHidden = if (mainBefore == baseRows) 1 else 0
+      IcebergWrite.fastForward(s, tbl, to = "main", from = "audit")
+      val tagRows = IcebergRead.read(s, tbl,
+        IcebergRead.Options(ref = Some("baseline"))).count()
+      val tagFrozen = if (tagRows == baseRows) 1 else 0
+      IcebergRead.read(s, tbl, IcebergRead.Options(ref = Some("main")))
+        .filter(col("o_orderkey") < 5000)
+        .withColumn("staged_hidden", lit(stagedHidden))
+        .withColumn("tag_frozen", lit(tagFrozen))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -1622,6 +1659,16 @@ private[graft] object DeltaQueries {
          WHERE ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-25'
            AND user_id = 7
          ORDER BY event_id""",
+
+    // the published (fast-forwarded) state is the whole table; both
+    // staged-isolation and tag-freeze probes must have held (1)
+    "q172_iceberg_refs" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(1 AS INT) AS staged_hidden,
+                CAST(1 AS INT) AS tag_frozen
+         FROM orders
+         WHERE o_orderkey < 5000
+         ORDER BY o_orderkey""",
 
     "q111_delta_cdf" -> cdfOracleSql,
     "q131_delta_cdf_mapped" -> cdfOracleSql,

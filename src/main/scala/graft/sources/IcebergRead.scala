@@ -70,7 +70,11 @@ object IcebergRead {
       // right) — Iceberg's streaming-read semantics, where the initial
       // snapshot serves under the schema the stream declared, not the
       // schema the snapshot was written with
-      projectCurrentSchema: Boolean = false)
+      projectCurrentSchema: Boolean = false,
+      // read a named snapshot ref: a BRANCH serves its head under the
+      // table's CURRENT schema (living history); a TAG time-travels
+      // (the snapshot's own schema) — Iceberg's ref-read semantics
+      ref: Option[String] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -291,9 +295,28 @@ object IcebergRead {
     require(formatVersion == 1 || formatVersion == 2,
       s"only Iceberg format-versions 1 and 2 are supported, got $formatVersion")
 
-    // ---- snapshot selection
+    // ---- snapshot selection (a ref resolves to its head first)
+    require(opts.ref.isEmpty ||
+      (opts.snapshotId.isEmpty && opts.asOfTimestampMs.isEmpty),
+      "ref cannot combine with snapshotId/asOfTimestampMs")
+    val refTarget: Option[(Long, Boolean)] = opts.ref.map { name =>
+      val node = Option(md.get("refs")).filterNot(_.isNull)
+        .flatMap(r => Option(r.get(name)).filterNot(_.isNull))
+      node match {
+        case Some(n) =>
+          (n.get("snapshot-id").asLong(), n.get("type").asText() == "tag")
+        case None if name == "main" =>
+          val cur = Option(md.get("current-snapshot-id")).filterNot(_.isNull)
+            .map(_.asLong()).filter(_ >= 0L).getOrElse(
+              throw new IllegalArgumentException("table has no snapshot"))
+          (cur, false)
+        case None =>
+          throw new IllegalArgumentException(s"no such ref: $name")
+      }
+    }
+    val effSnapshotId = opts.snapshotId.orElse(refTarget.map(_._1))
     val snapshots = md.get("snapshots").elements().asScala.toSeq
-    val snapNode = (opts.snapshotId, opts.asOfTimestampMs) match {
+    val snapNode = (effSnapshotId, opts.asOfTimestampMs) match {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
         "snapshotId and asOfTimestampMs cannot both be set")
       case (Some(id), None) =>
@@ -326,8 +349,8 @@ object IcebergRead {
     // semantics — an evolved column appears immediately, null-filled for
     // files that predate it); snapshot-PINNED reads use the snapshot's own
     // schema-id (time travel shows the world as written)
-    val pinned = (opts.snapshotId.isDefined || opts.asOfTimestampMs.isDefined) &&
-      !opts.projectCurrentSchema
+    val pinned = (opts.snapshotId.isDefined || opts.asOfTimestampMs.isDefined ||
+      refTarget.exists(_._2)) && !opts.projectCurrentSchema
     val schemaId =
       if (!pinned) currentSchemaIdOf(md)
       else Option(snapNode.get("schema-id")).filterNot(_.isNull)

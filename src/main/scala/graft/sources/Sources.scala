@@ -61,11 +61,12 @@ object Sources {
         DeltaLog.read(spark, location.spark, version, timestamp)
       else ManagedTable.read(spark, location, version, timestamp)
 
-    case IcebergSource(_, location, snapshotId, timestamp, storage) =>
+    case IcebergSource(_, location, snapshotId, timestamp, ref, storage) =>
       ObjectStores.configure(spark, location, storage)
       IcebergRead.read(spark, location.spark, IcebergRead.Options(
         snapshotId = snapshotId,
-        asOfTimestampMs = timestamp.map(_.toEpochMilli)))
+        asOfTimestampMs = timestamp.map(_.toEpochMilli),
+        ref = ref))
 
     case JdbcSource(_, loadQuery, connectionString) =>
       // Lazy JDBC scan with the query pushed down to the database — strictly

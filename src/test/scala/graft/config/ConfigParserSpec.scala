@@ -113,6 +113,22 @@ class ConfigParserSpec extends AnyFunSuite {
     val b = aq.sources(1).asInstanceOf[IcebergSource]
     assert(b.snapshotId.isEmpty &&
       b.timestamp.contains(java.time.Instant.parse("2024-03-01T00:00:00Z")))
+    assert(a.ref.isEmpty && b.ref.isEmpty)
+  }
+
+  test("iceberg source: named ref (branch/tag)") {
+    val yaml =
+      """sources:
+        |  - type: iceberg
+        |    name: ice
+        |    location: /tmp/ice
+        |    ref: audit
+        |stages:
+        |  - - name: s1
+        |      query: SELECT * FROM ice
+        |""".stripMargin
+    val aq = ConfigParser.fromYaml(yaml)
+    assert(aq.sources.head.asInstanceOf[IcebergSource].ref.contains("audit"))
   }
 
   test("iceberg destination: partition columns + declared schema") {

@@ -300,6 +300,57 @@ class IcebergWriteSpec extends SparkSpec {
     assert(IcebergRead.snapshots(spark, t).count() == 0L)
   }
 
+  test("refs: write-audit-publish on a branch, tag time travel, ref-protected expiry") {
+    val t = tmpDir("icew-refs").resolve("t").toString
+    IcebergWrite.create(spark, t, schema)
+    IcebergWrite.append(spark, t, rows((1, "a", "x"), (2, "b", "x")))
+    IcebergWrite.createTag(spark, t, "v1")
+    IcebergWrite.createBranch(spark, t, "audit")
+    IcebergWrite.append(spark, t, rows((3, "c", "y")), branch = Some("audit"))
+    IcebergWrite.append(spark, t, rows((4, "d", "y")), branch = Some("audit"))
+    def ids(opts: IcebergRead.Options = IcebergRead.Options()): Set[Long] =
+      IcebergRead.read(spark, t, opts).collect().map(_.getLong(0)).toSet
+
+    // staged commits are invisible on main until published
+    assert(ids() == Set(1L, 2L))
+    assert(ids(IcebergRead.Options(ref = Some("main"))) == Set(1L, 2L))
+    assert(ids(IcebergRead.Options(ref = Some("audit"))) == Set(1L, 2L, 3L, 4L))
+
+    // publish: main fast-forwards to the audited branch head
+    IcebergWrite.fastForward(spark, t, to = "main", from = "audit")
+    assert(ids() == Set(1L, 2L, 3L, 4L))
+
+    // the tag still reads the pre-publish state, under ITS schema even
+    // after evolution (branch/current reads see the new column)
+    assert(ids(IcebergRead.Options(ref = Some("v1"))) == Set(1L, 2L))
+    IcebergWrite.addColumn(spark, t, "extra", LongType)
+    assert(!IcebergRead.read(spark, t,
+      IcebergRead.Options(ref = Some("v1"))).columns.contains("extra"))
+    assert(IcebergRead.read(spark, t,
+      IcebergRead.Options(ref = Some("main"))).columns.contains("extra"))
+
+    // expiry: the tagged snapshot survives a sweep that would drop it
+    IcebergWrite.expireSnapshots(spark, t,
+      olderThanMs = System.currentTimeMillis() + 60000)
+    assert(ids(IcebergRead.Options(ref = Some("v1"))) == Set(1L, 2L))
+    // ...until the tag is dropped
+    IcebergWrite.dropRef(spark, t, "v1")
+    IcebergWrite.expireSnapshots(spark, t,
+      olderThanMs = System.currentTimeMillis() + 60000)
+    val e = intercept[IllegalArgumentException](
+      ids(IcebergRead.Options(ref = Some("v1"))))
+    assert(e.getMessage.contains("no such ref"), e.getMessage)
+
+    // fast-forward refuses to lose history: a stale branch cannot publish
+    IcebergWrite.createBranch(spark, t, "stale",
+      at = Some(IcebergRead.snapshots(spark, t)
+        .orderBy("committed_at").head().getAs[Long]("snapshot_id")))
+    IcebergWrite.append(spark, t, rows((5, "e", "z")))
+    val e2 = intercept[IllegalArgumentException](
+      IcebergWrite.fastForward(spark, t, to = "main", from = "stale"))
+    assert(e2.getMessage.contains("descendant"), e2.getMessage)
+  }
+
   test("partition evolution: each manifest resolves and prunes under ITS OWN spec") {
     import org.apache.spark.sql.functions._
     val t = tmpDir("icew-evolve-spec").resolve("t").toString
