@@ -64,7 +64,8 @@ object Soak {
     // round 16: transform-partitioned scan, the v1 legacy fixture read,
     // and the mixed-spec evolution table
     "q169_iceberg_transforms", "q170_iceberg_v1_source",
-    "q171_iceberg_spec_evolution", "q172_iceberg_refs")
+    "q171_iceberg_spec_evolution", "q172_iceberg_refs",
+    "q173_iceberg_stats_skip", "q174_iceberg_incremental")
 
   private def replicate(df: DataFrame, copies: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until copies).map(k => shift(df, k)).reduce(_ unionByName _)

@@ -202,6 +202,15 @@ object IcebergExport {
          |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
          |  {"name":"record_count","type":"long","field-id":103},
          |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |  {"name":"null_value_counts","field-id":110,"default":null,"type":["null",
+         |    {"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[
+         |      {"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]}}]},
+         |  {"name":"lower_bounds","field-id":125,"default":null,"type":["null",
+         |    {"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[
+         |      {"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}]},
+         |  {"name":"upper_bounds","field-id":128,"default":null,"type":["null",
+         |    {"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
+         |      {"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}]},
          |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
          |]}}]}""".stripMargin)
   }

@@ -232,6 +232,106 @@ object IcebergWrite {
         "removed-delete-files" -> nDel.toString))
   }
 
+  /** Per-column min/max/null-count for the manifest entry's
+    * `lower_bounds`/`upper_bounds`/`null_value_counts` maps (the Iceberg
+    * analog of Delta's stats skipping), keyed by FIELD ID and
+    * single-value-serialized (spec Appendix D). Top-level primitives
+    * only; float/double are EXCLUDED (NaN poisons bound ordering — the
+    * spec's nan_value_counts dance is not worth the risk); string bounds
+    * truncate to 16 code points (lower as a prefix, upper with the last
+    * code point incremented so it stays a valid upper bound). Reads the
+    * footer ALREADY OPEN for the record count — zero extra I/O.
+    */
+  private def columnStats(
+      r: org.apache.parquet.hadoop.ParquetFileReader,
+      logical: StructType)
+      : Map[Int, (Option[Array[Byte]], Option[Array[Byte]], Long)] = {
+    import graft.sources.IcebergTransforms
+    val blocks = r.getFooter.getBlocks.asScala
+    val out = Map.newBuilder[Int, (Option[Array[Byte]], Option[Array[Byte]], Long)]
+    logical.fields.foreach { f =>
+      val t = IcebergRead.clean(f.dataType)
+      val ok = t match {
+        case IntegerType | LongType | DateType | TimestampType |
+             TimestampNTZType | StringType => true
+        case _ => false
+      }
+      if (ok) {
+        // trust stats ONLY when the physical encoding is the expected one
+        // (INT96 timestamps carry deprecated garbage stats) and the
+        // decoded JVM type matches the logical column exactly
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        val expectedPhys = t match {
+          case IntegerType | DateType => PrimitiveTypeName.INT32
+          case StringType => PrimitiveTypeName.BINARY
+          case _ => PrimitiveTypeName.INT64
+        }
+        val expectJvm: Any => Boolean = t match {
+          case IntegerType | DateType => _.isInstanceOf[Int]
+          case StringType => _.isInstanceOf[String]
+          case _ => _.isInstanceOf[Long]
+        }
+        val chunks = blocks.flatMap(_.getColumns.asScala.filter(c =>
+          c.getPath.size() == 1 && c.getPath.toDotString == f.name &&
+            c.getPrimitiveType.getPrimitiveTypeName == expectedPhys))
+        val sts = chunks.map(_.getStatistics)
+        if (chunks.nonEmpty && sts.forall(s =>
+            s != null && !s.isEmpty && s.isNumNullsSet)) {
+          val nulls = sts.map(_.getNumNulls).sum
+          val withVals = sts.filter(_.hasNonNullValue)
+          // normalized comparison domain (Int / Long / String)
+          def norm(v: Any): Any = v match {
+            case i: java.lang.Integer => i.intValue()
+            case l: java.lang.Long => l.longValue()
+            case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+            case other => other
+          }
+          val mins = withVals.map(s => norm(s.genericGetMin))
+          val maxs = withVals.map(s => norm(s.genericGetMax))
+          val usable = (mins ++ maxs).forall(expectJvm)
+          if (withVals.isEmpty) {
+            // ALL-NULL column: no bounds, but the null count alone lets
+            // readers drop the file under IS NOT NULL / comparisons
+            out += IcebergRead.fieldId(f).toInt -> ((None, None, nulls))
+          } else if (usable) {
+            val lo = mins.reduceLeft((a, b) =>
+              if (IcebergTransforms.cmp(a, b) <= 0) a else b)
+            val hi = maxs.reduceLeft((a, b) =>
+              if (IcebergTransforms.cmp(a, b) >= 0) a else b)
+            val loSer = lo match {
+              case s: String =>
+                Some(IcebergTransforms.boundBytes(
+                  IcebergTransforms.truncateString(s, 16)))
+              case other => Some(IcebergTransforms.boundBytes(other))
+            }
+            val hiSer = hi match {
+              case s: String => upperBoundString(s, 16)
+                .map(IcebergTransforms.boundBytes)
+              case other => Some(IcebergTransforms.boundBytes(other))
+            }
+            out += IcebergRead.fieldId(f).toInt -> ((loSer, hiSer, nulls))
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** A 16-code-point VALID upper bound for `s`: the truncated prefix with
+    * its last code point incremented (None when un-incrementable). */
+  private[graft] def upperBoundString(s: String, w: Int): Option[String] = {
+    if (s.codePointCount(0, s.length) <= w) return Some(s)
+    val pre = graft.sources.IcebergTransforms.truncateString(s, w)
+    val lastStart = pre.offsetByCodePoints(pre.length, -1)
+    val cp = pre.codePointAt(lastStart)
+    if (cp >= 0x10FFFF) None
+    else {
+      // never land in the surrogate range (unencodable as UTF-8)
+      val next = if (cp + 1 >= 0xD800 && cp + 1 <= 0xDFFF) 0xE000 else cp + 1
+      Some(pre.substring(0, lastStart) + new String(Character.toChars(next)))
+    }
+  }
+
   private def commitDataSnapshot(
       spark: SparkSession,
       tablePath: String,
@@ -322,15 +422,24 @@ object IcebergWrite {
           .map(_.asLong()).filter(_ >= 0L)
     }
     val tmp = new Path(qualified, s"_tmp-append-${java.util.UUID.randomUUID()}")
-    val writer = withParts.write.mode("overwrite")
-    (if (specFields.nonEmpty) writer.partitionBy(specFields.map(_._1): _*) else writer)
-      .parquet(tmp.toString)
+    // Iceberg REQUIRES timestamps as int64 micros (spec "Parquet" map);
+    // Spark's default INT96 is non-conformant for foreign readers AND
+    // poisons footer stats (deprecated INT96 stats decode as garbage)
+    val prevTsType = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      val writer = withParts.write.mode("overwrite")
+      (if (specFields.nonEmpty) writer.partitionBy(specFields.map(_._1): _*) else writer)
+        .parquet(tmp.toString)
+    } finally
+      spark.conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
 
     // collect written part files (+ their hive partition values), move
     // them under data/ with fresh unique names
     val dataDir = new Path(qualified, "data")
     fs.mkdirs(dataDir)
-    val moved = Seq.newBuilder[(Path, Seq[(String, Option[String])], Long, Long)]
+    val moved = Seq.newBuilder[(Path, Seq[(String, Option[String])], Long, Long,
+      Map[Int, (Option[Array[Byte]], Option[Array[Byte]], Long)])]
     def walk(dir: Path, pv: Seq[(String, Option[String])]): Unit =
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
@@ -344,8 +453,9 @@ object IcebergWrite {
           require(fs.rename(st.getPath, target), s"rename to $target failed")
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(target, conf))
-          val rc = try r.getRecordCount finally r.close()
-          moved += ((target, pv, rc, fs.getFileStatus(target).getLen))
+          val (rc, stats) =
+            try (r.getRecordCount, columnStats(r, logical)) finally r.close()
+          moved += ((target, pv, rc, fs.getFileStatus(target).getLen, stats))
         }
       }
     walk(tmp, Nil)
@@ -379,7 +489,7 @@ object IcebergWrite {
     mw.setMeta("partition-spec", specNode.get("fields").toString)
     mw.setMeta("partition-spec-id", specId.toString)
     mw.create(entrySchema, fs.create(manifestPath, true))
-    try files.foreach { case (p, pv, rc, len) =>
+    try files.foreach { case (p, pv, rc, len, stats) =>
       val part = new GenericData.Record(partSchema)
       partAvro.foreach { case (c, _, _, conv) =>
         val raw = pv.collectFirst { case (k, v) if k == c => v }.flatten
@@ -392,6 +502,28 @@ object IcebergWrite {
       d.put("partition", part)
       d.put("record_count", rc)
       d.put("file_size_in_bytes", len)
+      if (stats.nonEmpty) {
+        def kv(field: String, entries: Seq[(Int, AnyRef)]): Unit =
+          if (entries.nonEmpty) {
+            val arrSchema = dfSchema.getField(field).schema().getTypes.get(1)
+            val rec = arrSchema.getElementType
+            val arr = new GenericData.Array[GenericRecord](entries.size, arrSchema)
+            entries.foreach { case (fid, v) =>
+              val e = new GenericData.Record(rec)
+              e.put("key", fid)
+              e.put("value", v)
+              arr.add(e)
+            }
+            d.put(field, arr)
+          }
+        val fids = stats.keys.toSeq.sorted
+        kv("null_value_counts",
+          fids.map(fid => fid -> java.lang.Long.valueOf(stats(fid)._3)))
+        kv("lower_bounds", fids.flatMap(fid =>
+          stats(fid)._1.map(b => fid -> java.nio.ByteBuffer.wrap(b))))
+        kv("upper_bounds", fids.flatMap(fid =>
+          stats(fid)._2.map(b => fid -> java.nio.ByteBuffer.wrap(b))))
+      }
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1)
       e.put("snapshot_id", snapshotId)
@@ -978,6 +1110,23 @@ object IcebergWrite {
     }
     head
   }
+
+  /** ROLLBACK to an earlier snapshot (Iceberg's rollback_to_snapshot):
+    * current-snapshot-id moves BACK to `snapshotId` in one metadata
+    * commit — no snapshot is deleted (the rolled-past ones stay in the
+    * metadata until expireSnapshots; the snapshot-log records the jump,
+    * so `history` shows the abandoned lineage as non-ancestors). */
+  def rollbackTo(
+      spark: SparkSession, tablePath: String, snapshotId: Long): Unit =
+    withMetadataBump(spark, tablePath) { md =>
+      requireSnapshot(md, snapshotId)
+      md.put("current-snapshot-id", snapshotId)
+      setRef(md, "main", snapshotId, "branch")
+      val sl = md.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "snapshot-log").addObject()
+      sl.put("timestamp-ms", System.currentTimeMillis())
+      sl.put("snapshot-id", snapshotId): Unit
+    }
 
   private def requireSnapshot(md: ObjectNode, id: Long): Unit =
     require(md.get("snapshots").elements().asScala

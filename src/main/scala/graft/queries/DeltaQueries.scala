@@ -1327,13 +1327,16 @@ private[graft] object DeltaQueries {
       IcebergWrite.create(s, tbl, ev.schema,
         partitionBy = Seq("day(ts)", "bucket(4, user_id)"))
       def day(d: String) = lit(d).cast("timestamp")
+      // coalesce(1): one file per (day, bucket) hive dir — the pinned
+      // counters need manifest/file structure, not write parallelism,
+      // and day x bucket already fans out ~40 files per append
       IcebergWrite.append(s, tbl,
-        ev.filter(col("ts") < day("2024-01-11")).repartition(2))
+        ev.filter(col("ts") < day("2024-01-11")).coalesce(1))
       IcebergWrite.append(s, tbl,
         ev.filter(col("ts") >= day("2024-01-11") &&
-          col("ts") < day("2024-01-21")).repartition(2))
+          col("ts") < day("2024-01-21")).coalesce(1))
       IcebergWrite.append(s, tbl,
-        ev.filter(col("ts") >= day("2024-01-21")).repartition(2))
+        ev.filter(col("ts") >= day("2024-01-21")).coalesce(1))
       val pred = "ts >= TIMESTAMP '2024-01-12 00:00:00' AND " +
         "ts < TIMESTAMP '2024-01-15 00:00:00' AND user_id = 7"
       val out = IcebergRead.read(s, tbl,
@@ -1395,15 +1398,15 @@ private[graft] object DeltaQueries {
       def day(d: String) = lit(d).cast("timestamp")
       IcebergWrite.create(s, tbl, ev.schema)                 // spec 0
       IcebergWrite.append(s, tbl,
-        ev.filter(col("ts") < day("2024-01-11")).repartition(2))
+        ev.filter(col("ts") < day("2024-01-11")).coalesce(1))
       IcebergWrite.updateSpec(s, tbl, Seq("day(ts)"))        // spec 1
       IcebergWrite.append(s, tbl,
         ev.filter(col("ts") >= day("2024-01-11") &&
-          col("ts") < day("2024-01-21")).repartition(2))
+          col("ts") < day("2024-01-21")).coalesce(1))
       IcebergWrite.updateSpec(s, tbl,                        // spec 2
         Seq("day(ts)", "bucket(4, user_id)"))
       IcebergWrite.append(s, tbl,
-        ev.filter(col("ts") >= day("2024-01-21")).repartition(2))
+        ev.filter(col("ts") >= day("2024-01-21")).coalesce(1))
       val pred = "ts >= TIMESTAMP '2024-01-22 00:00:00' AND " +
         "ts < TIMESTAMP '2024-01-25 00:00:00' AND user_id = 7"
       val out = IcebergRead.read(s, tbl,
@@ -1455,6 +1458,69 @@ private[graft] object DeltaQueries {
         .filter(col("o_orderkey") < 5000)
         .withColumn("staged_hidden", lit(stagedHidden))
         .withColumn("tag_frozen", lit(tagFrozen))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Iceberg per-file COLUMN STATS skipping (r16): an UNPARTITIONED
+    // table whose three appends cover disjoint key ranges; the manifest
+    // entries carry lower/upper bounds + null counts per field id, so a
+    // range predicate on the DATA column plans exactly 1 of 3 files —
+    // Delta-style stats skipping with zero partitioning. The pinned
+    // counters catch both failure modes: no skipping (planned=3) and
+    // over-skipping (rows lost vs the raw replay).
+    "q173_iceberg_stats_skip" -> ((s, dir) => {
+      import graft.destinations.IcebergWrite
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q173").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      IcebergWrite.create(s, tbl, orders.schema)
+      IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") < 500).coalesce(1))
+      IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") >= 500 &&
+          col("o_orderkey") < 1000).coalesce(1))
+      IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") >= 1000).coalesce(1))
+      val out = IcebergRead.read(s, tbl, IcebergRead.Options(
+        where = Some("o_orderkey >= 500 AND o_orderkey < 900")))
+      val st = IcebergRead.lastPlanStats.get
+      out.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 900)
+        .withColumn("files_seen", lit(st.dataFilesSeen))
+        .withColumn("files_planned", lit(st.dataFilesPlanned))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Iceberg INCREMENTAL APPEND scan (r16) + ROLLBACK: rows added
+    // strictly AFTER snapshot A (two later appends), with an interleaved
+    // compaction that must contribute NOTHING (its rewrite is not new
+    // data); then the table rolls back to the second snapshot and the
+    // incremental range re-resolves over the new lineage. rollback_ok
+    // pins the post-rollback state; the incremental slice replays from
+    // raw orders in DuckDB.
+    "q174_iceberg_incremental" -> ((s, dir) => {
+      import graft.destinations.IcebergWrite
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q174").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      IcebergWrite.create(s, tbl, orders.schema)
+      val snapA = IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 3 === 0).repartition(2))
+      val snapB = IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 3 === 1).repartition(2))
+      IcebergWrite.rewriteDataFiles(s, tbl, targetFileBytes = 1L << 30)
+      IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") % 3 === 2).repartition(2))
+      val inc = IcebergRead.readIncremental(s, tbl, fromSnapshotId = snapA)
+      // rollback: the table returns to snapshot B; the %3==2 append and
+      // the compaction become non-ancestors
+      IcebergWrite.rollbackTo(s, tbl, snapB)
+      val afterRollback = IcebergRead.read(s, tbl).count()
+      val expect = orders.filter(col("o_orderkey") % 3 < 2).count()
+      inc.filter(col("o_orderkey") < 5000)
+        .withColumn("rollback_ok",
+          lit(if (afterRollback == expect) 1 else 0))
         .orderBy(col("o_orderkey"))
     })
   )
@@ -1668,6 +1734,25 @@ private[graft] object DeltaQueries {
                 CAST(1 AS INT) AS tag_frozen
          FROM orders
          WHERE o_orderkey < 5000
+         ORDER BY o_orderkey""",
+
+    // stats skipping must be result-invisible (raw replay of the same
+    // range) while the counters prove it planned 1 of the 3 files
+    "q173_iceberg_stats_skip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(3 AS INT) AS files_seen,
+                CAST(1 AS INT) AS files_planned
+         FROM orders
+         WHERE o_orderkey >= 500 AND o_orderkey < 900
+         ORDER BY o_orderkey""",
+
+    // the incremental slice is exactly what landed after snapshot A
+    // (%3 in {1,2}), the compaction invisible; rollback re-pins B
+    "q174_iceberg_incremental" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(1 AS INT) AS rollback_ok
+         FROM orders
+         WHERE o_orderkey % 3 <> 0 AND o_orderkey < 5000
          ORDER BY o_orderkey""",
 
     "q111_delta_cdf" -> cdfOracleSql,

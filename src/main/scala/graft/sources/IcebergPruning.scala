@@ -136,6 +136,54 @@ private[graft] object IcebergPruning {
     * `partitions` array (spec-field order); absent summaries keep the
     * manifest.
     */
+  /** Per-FILE column-stats pruning over the manifest entry's
+    * `lower_bounds`/`upper_bounds`/`null_value_counts` maps (field-id
+    * keyed) — the Iceberg analog of Delta's stats skipping, applied to
+    * DATA columns rather than partition tuples. `fields` are
+    * pseudo-identity SpecFields over the table's top-level primitive
+    * columns (named `#<fieldId>` to never collide with spec names).
+    * Missing stats keep the file; an all-null column can never satisfy a
+    * comparison or IN (the caller re-applies the full predicate, which
+    * drops NULL rows), so those files drop.
+    */
+  def statsOk(
+      checks: Map[String, Seq[Check]],
+      fields: Seq[SpecField],
+      lower: Map[Int, Array[Byte]],
+      upper: Map[Int, Array[Byte]],
+      nullCounts: Map[Int, Long],
+      recordCount: Option[Long]): Boolean = {
+    if (checks.isEmpty) return true
+    fields.forall { f =>
+      val cs = checks.getOrElse(f.name, Nil)
+      if (cs.isEmpty) true
+      else {
+        val lo = lower.get(f.fieldId).flatMap(b =>
+          boundValue(f.transform, f.sourceType, b))
+        val hi = upper.get(f.fieldId).flatMap(b =>
+          boundValue(f.transform, f.sourceType, b))
+        val nc = nullCounts.get(f.fieldId)
+        val allNull = (nc, recordCount) match {
+          case (Some(n), Some(r)) => r > 0 && n >= r
+          case _ => false
+        }
+        val mayHaveNull = nc.forall(_ > 0)
+        cs.forall {
+          case InSet(vs) =>
+            !allNull && ((lo, hi) match {
+              case (Some(l), Some(h)) =>
+                vs.exists(v => cmp(v, l) >= 0 && cmp(v, h) <= 0)
+              case _ => true
+            })
+          case AtLeast(v) => !allNull && hi.forall(h => cmp(h, v) >= 0)
+          case AtMost(v) => !allNull && lo.forall(l => cmp(l, v) <= 0)
+          case NullOnly => mayHaveNull
+          case NonNull => !allNull
+        }
+      }
+    }
+  }
+
   def manifestOk(
       checks: Map[String, Seq[Check]],
       fields: Seq[SpecField],

@@ -38,9 +38,17 @@ import scala.jdk.CollectionConverters._
   *     over the delete file's `equality_ids` columns for data files with
   *     `data_seq < delete_seq` (strict, per spec).
   *
-  * Refused loudly: format-version 1, non-identity partition transforms,
-  * and types this engine has no equivalent for (uuid/fixed/time) —
-  * silently wrong rows are worse than an error for a lake reader.
+  * Also read: format-version 1 legacy shapes (singular schema/spec
+  * metadata, inline `manifests`, v1 avro spellings — everything at
+  * sequence 0, no deletes), every spec partition transform (scan-time
+  * pruning THROUGH the transform via [[IcebergTransforms]]), evolved
+  * partition specs (each manifest under ITS `partition_spec_id`),
+  * snapshot refs (branch = current schema, tag = time travel), and
+  * per-file column stats (`lower_bounds`/`upper_bounds`/
+  * `null_value_counts` — Delta-style stats skipping on data columns).
+  * Refused loudly: format-version 3 and types this engine has no
+  * equivalent for (uuid/fixed/time) — silently wrong rows are worse
+  * than an error for a lake reader.
   *
   * Scale: planning is metadata-bounded (manifest-list + manifest avro,
   * driver-side — exactly what an Iceberg planner reads; plus one footer
@@ -404,6 +412,52 @@ object IcebergRead {
         else IcebergPruning.derive(conjs, specFieldsOf(id),
           spark.sessionState.conf.sessionLocalTimeZone))
 
+    // per-FILE column-stats pruning (lower/upper bounds + null counts in
+    // the manifest entries): pseudo-identity fields over the top-level
+    // primitive DATA columns, named #<fieldId> so they never collide
+    // with partition-spec field names
+    val statsFields: Seq[IcebergPruning.SpecField] =
+      if (conjs.isEmpty) Nil
+      else logical.fields.toSeq.flatMap { f =>
+        val t = clean(f.dataType)
+        t match {
+          case IntegerType | LongType | StringType | DateType |
+               TimestampType | TimestampNTZType =>
+            Some(IcebergPruning.SpecField(s"#${fieldId(f)}",
+              IcebergTransforms.Identity, f.name, t, fieldId(f).toInt))
+          case _ => None
+        }
+      }
+    val statsChecks: Map[String, Seq[IcebergPruning.Check]] =
+      if (conjs.isEmpty || statsFields.isEmpty) Map.empty
+      else IcebergPruning.derive(conjs, statsFields,
+        spark.sessionState.conf.sessionLocalTimeZone)
+    def kvBytes(df: GenericRecord, name: String): Map[Int, Array[Byte]] =
+      fieldOpt(df, name) match {
+        case Some(a: java.util.Collection[_]) =>
+          a.toArray.toSeq.map(_.asInstanceOf[GenericRecord]).flatMap { r =>
+            val k = r.get("key").asInstanceOf[Int]
+            r.get("value") match {
+              case bb: java.nio.ByteBuffer =>
+                val arr = new Array[Byte](bb.remaining())
+                bb.duplicate().get(arr)
+                Some(k -> arr)
+              case b: Array[Byte] => Some(k -> b)
+              case _ => None
+            }
+          }.toMap
+        case _ => Map.empty
+      }
+    def kvLongs(df: GenericRecord, name: String): Map[Int, Long] =
+      fieldOpt(df, name) match {
+        case Some(a: java.util.Collection[_]) =>
+          a.toArray.toSeq.map(_.asInstanceOf[GenericRecord]).flatMap { r =>
+            Option(r.get("value")).map(v =>
+              r.get("key").asInstanceOf[Int] -> v.asInstanceOf[Long])
+          }.toMap
+        case _ => Map.empty
+      }
+
     // ---- manifests: `manifest-list` file, else the v1 legacy INLINE
     // `manifests` path array (synthesized records: data content, seq 0,
     // no partition summaries -> no manifest-level pruning, all open)
@@ -467,7 +521,11 @@ object IcebergRead {
                 val part = df.get("partition").asInstanceOf[GenericRecord]
                 val pv = part.getSchema.getFields.asScala.map(f =>
                   f.name() -> Option(part.get(f.name()))).toSeq
-                if (IcebergPruning.entryOk(checksOf(mSpec), pv))
+                if (IcebergPruning.entryOk(checksOf(mSpec), pv) &&
+                    IcebergPruning.statsOk(statsChecks, statsFields,
+                      kvBytes(df, "lower_bounds"), kvBytes(df, "upper_bounds"),
+                      kvLongs(df, "null_value_counts"),
+                      fieldOpt(df, "record_count").map(_.asInstanceOf[Long])))
                   dataEntries += DataEntry(path, pv, seq, mSpec)
               case (_, 1) => posDeletes += DeleteEntry(path, seq, Nil)
               case (_, 2) =>
@@ -708,6 +766,67 @@ object IcebergRead {
     val (_, md) = metadataOf(spark, tablePath)
     val sn = schemaNodeById(md, currentSchemaIdOf(md))
     clean(parseType(sn)).asInstanceOf[StructType]
+  }
+
+  /** INCREMENTAL APPEND scan (Iceberg's incremental read): all rows added
+    * by `append` snapshots AFTER `fromSnapshotId` (exclusive) up to
+    * `toSnapshotId` (inclusive; default the current head), walking the
+    * parent chain — the batch analog of the streaming tail
+    * ([[graft.streaming.IcebergTailSource]]). `replace` snapshots
+    * (compactions) contribute nothing (their data is a rewrite, not new
+    * rows); `delete`/`overwrite` snapshots in range are REFUSED loudly —
+    * an incremental consumer would silently miss their removals.
+    * Planning is metadata-bounded per snapshot; each slice reads only
+    * the files that snapshot ADDED.
+    */
+  def readIncremental(
+      spark: SparkSession, tablePath: String,
+      fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    val (_, md) = metadataOf(spark, tablePath)
+    val byId: Map[Long, JsonNode] =
+      md.get("snapshots").elements().asScala.map(s =>
+        s.get("snapshot-id").asLong() -> s).toMap
+    val to = toSnapshotId.getOrElse(
+      Option(md.get("current-snapshot-id")).filterNot(_.isNull)
+        .map(_.asLong()).filter(_ >= 0L).getOrElse(
+          throw new IllegalArgumentException("table has no snapshot")))
+    // walk to -> from via parent ids
+    val chain = Seq.newBuilder[Long]
+    var cur: Option[Long] = Some(to)
+    var found = false
+    while (cur.isDefined && !found) {
+      if (cur.get == fromSnapshotId) found = true
+      else {
+        val n = byId.getOrElse(cur.get, throw new IllegalArgumentException(
+          s"snapshot ${cur.get} expired under the incremental range — " +
+            "cannot prove completeness"))
+        chain += cur.get
+        cur = Option(n.get("parent-snapshot-id")).filterNot(_.isNull)
+          .map(_.asLong())
+      }
+    }
+    require(found,
+      s"$fromSnapshotId is not an ancestor of $to: no incremental path")
+    val slices = chain.result().reverse.flatMap { id =>
+      val op = Option(byId(id).get("summary")).filterNot(_.isNull)
+        .flatMap(s => Option(s.get("operation"))).map(_.asText())
+        .getOrElse("append")
+      op match {
+        case "append" => Some(read(spark, tablePath,
+          Options(snapshotId = Some(id), addedInSnapshotId = Some(id),
+            projectCurrentSchema = true)))
+        case "replace" => None // compaction: rewrite, no new rows
+        case other => throw new IllegalArgumentException(
+          s"snapshot $id is a '$other': incremental append scan would " +
+            "miss its removals — read the full state instead")
+      }
+    }
+    if (slices.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        tableSchema(spark, tablePath))
+    else slices.reduce(_ unionByName _)
   }
 
   /** The `snapshots` metadata table (Iceberg's own column set): one row

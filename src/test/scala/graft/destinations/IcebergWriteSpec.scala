@@ -351,6 +351,101 @@ class IcebergWriteSpec extends SparkSpec {
     assert(e2.getMessage.contains("descendant"), e2.getMessage)
   }
 
+  test("per-file column stats: bounds skip files on an UNPARTITIONED table") {
+    import org.apache.spark.sql.functions._
+    val t = tmpDir("icew-stats").resolve("t").toString
+    val sch = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("v", DoubleType)))
+    def batch(lo: Long, hi: Long) = {
+      import spark.implicits._
+      (lo until hi).map(i => (i, s"name-$i", i * 0.5)).toDF("id", "name", "v")
+    }
+    IcebergWrite.create(spark, t, sch)
+    IcebergWrite.append(spark, t, batch(0, 100).coalesce(1))    // ids 0-99
+    IcebergWrite.append(spark, t, batch(100, 200).coalesce(1))  // ids 100-199
+    IcebergWrite.append(spark, t, batch(200, 300).coalesce(1))  // ids 200-299
+
+    // a range predicate on a DATA column prunes whole files by bounds
+    val hit = IcebergRead.read(spark, t,
+      IcebergRead.Options(where = Some("id >= 250")))
+    val st = IcebergRead.lastPlanStats.get
+    assert(st.dataFilesSeen == 3 && st.dataFilesPlanned == 1, st.toString)
+    assert(hit.filter(col("id") >= 250).count() == 50L)
+
+    // equality on the string column: lexicographic bounds overlap
+    // legitimately ("name-150" sorts inside file 1's [name-0, name-99]
+    // too), so 2-of-3 survive; a probe past every bound prunes ALL files
+    IcebergRead.read(spark, t,
+      IcebergRead.Options(where = Some("name = 'name-150'"))).collect()
+    assert(IcebergRead.lastPlanStats.get.dataFilesPlanned == 2)
+    IcebergRead.read(spark, t,
+      IcebergRead.Options(where = Some("name = 'zzz'"))).collect()
+    assert(IcebergRead.lastPlanStats.get.dataFilesPlanned == 0)
+
+    // double column never participates (NaN-safe) — no pruning, no loss
+    IcebergRead.read(spark, t,
+      IcebergRead.Options(where = Some("v >= 100.0"))).collect()
+    assert(IcebergRead.lastPlanStats.get.dataFilesPlanned == 3)
+
+    // IS NOT NULL with an all-null file: nulls-only files drop
+    import spark.implicits._
+    IcebergWrite.append(spark, t,
+      Seq((300L, null.asInstanceOf[String], 1.0)).toDF("id", "name", "v")
+        .coalesce(1))
+    IcebergRead.read(spark, t,
+      IcebergRead.Options(where = Some("name IS NOT NULL"))).collect()
+    assert(IcebergRead.lastPlanStats.get.dataFilesPlanned == 3, "all-null file kept")
+    // and the complete read still serves every row
+    assert(IcebergRead.read(spark, t).count() == 301L)
+  }
+
+  test("upperBoundString increments the truncated prefix validly") {
+    assert(IcebergWrite.upperBoundString("short", 16).contains("short"))
+    val long = "abcdefghijklmnopqrstuvwxyz"
+    val ub = IcebergWrite.upperBoundString(long, 16).get
+    assert(ub.length == 16 && ub > long.substring(0, 16) && ub > long)
+    // surrogate-range skip: U+D7FF increments to U+E000, never a surrogate
+    val tricky = "a" * 15 + "퟿" + "tail"
+    val ub2 = IcebergWrite.upperBoundString(tricky, 16).get
+    assert(ub2.codePointAt(15) == 0xE000)
+  }
+
+  test("rollbackTo + incremental append scan between snapshots") {
+    val t = tmpDir("icew-rollback").resolve("t").toString
+    IcebergWrite.create(spark, t, schema)
+    val s1 = IcebergWrite.append(spark, t, rows((1, "a", "x"), (2, "b", "x")))
+    val s2 = IcebergWrite.append(spark, t, rows((3, "c", "y")))
+    IcebergWrite.append(spark, t, rows((4, "d", "y")))
+    def inc(from: Long, to: Option[Long] = None): Set[Long] =
+      IcebergRead.readIncremental(spark, t, from, to)
+        .collect().map(_.getLong(0)).toSet
+    assert(inc(s1) == Set(3L, 4L))
+    assert(inc(s1, Some(s2)) == Set(3L))
+    assert(inc(s2) == Set(4L))
+
+    // rollback: current moves back, nothing deleted; the abandoned
+    // snapshot drops out of the ancestor flags
+    IcebergWrite.rollbackTo(spark, t, s2)
+    assert(IcebergRead.read(spark, t).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    val hist = IcebergRead.history(spark, t).collect()
+    assert(hist.count(!_.getAs[Boolean]("is_current_ancestor")) == 1)
+
+    // divergent lineage after the rollback: incremental follows the NEW
+    // parent chain (4 was abandoned, 5 is the successor)
+    IcebergWrite.append(spark, t, rows((5, "e", "z")))
+    assert(inc(s1) == Set(3L, 5L))
+
+    // a compaction in range contributes nothing; a delete refuses
+    IcebergWrite.rewriteDataFiles(spark, t, targetFileBytes = 1L << 30)
+    assert(inc(s1) == Set(3L, 5L))
+    import spark.implicits._
+    IcebergWrite.deleteWhere(spark, t, Seq(1L).toDF("id"))
+    val e = intercept[IllegalArgumentException](inc(s1))
+    assert(e.getMessage.contains("incremental"), e.getMessage)
+  }
+
   test("partition evolution: each manifest resolves and prunes under ITS OWN spec") {
     import org.apache.spark.sql.functions._
     val t = tmpDir("icew-evolve-spec").resolve("t").toString
