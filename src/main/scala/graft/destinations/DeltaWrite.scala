@@ -3566,18 +3566,26 @@ object DeltaWrite {
   // ----------------------------------------------------------- file stats
 
   /** Columns that get per-file stats: top-level atomic types whose min/max
-    * compare unambiguously from their JSON form. Timestamps are skipped
-    * (documented: their canonical stats form is ISO-with-timezone, whose
-    * cross-engine ordering semantics aren't worth the pruning they'd buy
-    * here); skipped columns simply never prune.
+    * compare unambiguously. Timestamps (r16) serialize as ISO-8601 UTC
+    * with microsecond precision ("2024-01-05T01:00:00.000000Z" —
+    * delta-spark's convention at full precision, so no upper-bound
+    * adjustment is needed); [[graft.sources.DeltaStats]] compares them as
+    * INSTANTS, never strings, so foreign millisecond-precision stats
+    * order correctly too. TimestampNTZ still skips (no canonical
+    * zone-free stats form across engines).
     */
   private def statsEligible(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case _: org.apache.spark.sql.types.NumericType => true
     case org.apache.spark.sql.types.StringType => true
     case org.apache.spark.sql.types.DateType => true
     case org.apache.spark.sql.types.BooleanType => true
+    case org.apache.spark.sql.types.TimestampType => true
     case _ => false
   }
+
+  private val statsTsFormat = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    .withZone(java.time.ZoneOffset.UTC)
 
   private val StatsStringPrefix = 32
 
@@ -3632,6 +3640,8 @@ object DeltaWrite {
                 else o.put(c, s.substring(0, StatsStringPrefix))
               case b: Boolean => o.put(c, b)
               case d: java.sql.Date => o.put(c, d.toString)
+              case t: java.sql.Timestamp =>
+                o.put(c, statsTsFormat.format(t.toInstant))
               case n: java.math.BigDecimal => o.put(c, n)
               case n: Number =>
                 // NaN/Infinity have no JSON-number form — omit (never prunes)

@@ -1522,6 +1522,43 @@ private[graft] object DeltaQueries {
         .withColumn("rollback_ok",
           lit(if (afterRollback == expect) 1 else 0))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Delta TIMESTAMP stats skipping (r16): ts columns now carry
+    // ISO-micros-UTC min/max in the add stats (compared as INSTANTS, so
+    // foreign millisecond stats order too), closing the documented
+    // "timestamps never prune" gap. Three day-disjoint appends; a ts
+    // range readWhere plans exactly 1 file, a broad one all 3 — both
+    // pinned; rows replay from raw events.
+    "q175_delta_ts_stats" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      import graft.sources.DeltaLog
+      val tbl = tmp("graft-q175").resolve("t").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        // events parquet surfaces as ntz in this engine's session: the
+        // Delta table under test carries a true TIMESTAMP column
+        .withColumn("ts", col("ts").cast("timestamp"))
+      def day(d: String) = lit(d).cast("timestamp")
+      DeltaWrite.createIfAbsent(s, tbl,
+        ev.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+      DeltaWrite.append(s, tbl,
+        ev.filter(col("ts") < day("2024-01-11")).coalesce(1))
+      DeltaWrite.append(s, tbl,
+        ev.filter(col("ts") >= day("2024-01-11") &&
+          col("ts") < day("2024-01-21")).coalesce(1))
+      DeltaWrite.append(s, tbl,
+        ev.filter(col("ts") >= day("2024-01-21")).coalesce(1))
+      val out = DeltaLog.readWhere(s, tbl,
+        "ts >= TIMESTAMP '2024-01-12 00:00:00' AND " +
+          "ts < TIMESTAMP '2024-01-15 00:00:00'")
+      val planned = DeltaLog.lastReadWherePlan.get.planned
+      DeltaLog.readWhere(s, tbl, "event_id >= 0").collect()
+      val broad = DeltaLog.lastReadWherePlan.get.planned
+      out
+        .withColumn("files_planned", lit(planned))
+        .withColumn("files_broad", lit(broad))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1754,6 +1791,16 @@ private[graft] object DeltaQueries {
          FROM orders
          WHERE o_orderkey % 3 <> 0 AND o_orderkey < 5000
          ORDER BY o_orderkey""",
+
+    // ts stats must prune to the single overlapping file (1) while a
+    // broad predicate keeps all three — and lose nothing vs the replay
+    "q175_delta_ts_stats" ->
+      """SELECT event_id, ts, user_id, value,
+                CAST(1 AS INT) AS files_planned,
+                CAST(3 AS INT) AS files_broad
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-15'
+         ORDER BY event_id""",
 
     "q111_delta_cdf" -> cdfOracleSql,
     "q131_delta_cdf_mapped" -> cdfOracleSql,

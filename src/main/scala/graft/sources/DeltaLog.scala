@@ -859,8 +859,16 @@ object DeltaLog {
       .as(addFileEncoder)
       .filter((f: AddFile) => DeltaStats.mayMatch(meta, f, expr))
       .collect().toSeq
+    lastPlannedFiles.set(PlannedFiles(candidates.size))
     readFiles(spark, tablePath, meta, candidates).filter(predicate)
   }
+
+  /** Planning counters of the most recent [[readWhere]] on this thread —
+    * the test/gate surface pinning that stats/partition pruning really
+    * subtracted files (same pattern as `IcebergRead.lastPlanStats`). */
+  final case class PlannedFiles(planned: Int)
+  private val lastPlannedFiles = new ThreadLocal[PlannedFiles]
+  def lastReadWherePlan: Option[PlannedFiles] = Option(lastPlannedFiles.get())
 
   /** Incremental tail WITHOUT change-data-feed: the rows appended by
     * commits in `(fromVersionExclusive, latest]`. The contract every

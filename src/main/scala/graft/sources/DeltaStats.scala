@@ -34,6 +34,24 @@ private[graft] object DeltaStats {
     Integer.compare(xi.length, yi.length)
   }
 
+  /** Timestamp stats value → instant. Accepts instants (literal probes),
+    * ISO-with-offset ("...Z" — this engine and delta-spark), naive ISO
+    * (assumed UTC — some engines omit the zone), and the hive partition
+    * spelling ("yyyy-MM-dd HH:mm:ss[.S]"). None = unparseable (callers
+    * keep the file). Parsing — never string comparison — is what makes
+    * MIXED-precision stats (millis vs micros) order correctly.
+    */
+  private def tsInstant(a: Any): Option[java.time.Instant] = a match {
+    case i: java.time.Instant => Some(i)
+    case other =>
+      val s0 = str(other)
+      try Some(java.time.OffsetDateTime.parse(s0).toInstant)
+      catch { case NonFatal(_) =>
+        try Some(java.time.LocalDateTime.parse(s0.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC))
+        catch { case NonFatal(_) => None } }
+  }
+
   /** None = incomparable (caller must treat as overlapping). Strings
     * compare by code point — UTF-16 `compareTo` disagrees with Spark's
     * UTF-8 binary ordering for astral characters.
@@ -46,6 +64,8 @@ private[graft] object DeltaStats {
       case DateType => Some(str(a).compareTo(str(b))) // ISO yyyy-MM-dd
       case BooleanType =>
         Some(java.lang.Boolean.compare(str(a).toBoolean, str(b).toBoolean))
+      case TimestampType =>
+        for (x <- tsInstant(a); y <- tsInstant(b)) yield x.compareTo(y)
       case _ => None
     } catch { case NonFatal(_) => None }
 
@@ -112,12 +132,19 @@ private[graft] object DeltaStats {
   // --------------------------------------------- predicate-driven pruning
 
   /** Extract a literal's comparable form for [[cmp]] against stats values
-    * (DateType literals are epoch days internally — stats store ISO).
-    * None = a form we don't prune on (timestamps, intervals, …).
+    * (DateType literals are epoch days internally — stats store ISO;
+    * TimestampType literals are epoch micros — compared as instants).
+    * None = a form we don't prune on (ntz timestamps, intervals, …).
     */
   private def literalValue(l: Literal): Option[Any] = l.dataType match {
     case DateType =>
       Option(l.value).map(d => java.time.LocalDate.ofEpochDay(d.asInstanceOf[Int].toLong).toString)
+    case TimestampType =>
+      Option(l.value).map { v =>
+        val us = v.asInstanceOf[Long]
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      }
     case _: NumericType | StringType | BooleanType => Option(l.value).map(_.toString)
     case _ => None
   }
