@@ -92,7 +92,8 @@ object Bench {
   private[graft] val r16New = Set("q169_iceberg_transforms",
     "q170_iceberg_v1_source", "q171_iceberg_spec_evolution",
     "q172_iceberg_refs", "q173_iceberg_stats_skip",
-    "q174_iceberg_incremental", "q175_delta_ts_stats")
+    "q174_iceberg_incremental", "q175_delta_ts_stats",
+    "q176_uniform_bounds")
   private[graft] val laterRounds =
     Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New, r11New, r13New,
       r14New, r15New, r16New)

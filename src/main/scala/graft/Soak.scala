@@ -66,7 +66,7 @@ object Soak {
     "q169_iceberg_transforms", "q170_iceberg_v1_source",
     "q171_iceberg_spec_evolution", "q172_iceberg_refs",
     "q173_iceberg_stats_skip", "q174_iceberg_incremental",
-    "q175_delta_ts_stats")
+    "q175_delta_ts_stats", "q176_uniform_bounds")
 
   private def replicate(df: DataFrame, copies: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until copies).map(k => shift(df, k)).reduce(_ unionByName _)

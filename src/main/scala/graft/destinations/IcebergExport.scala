@@ -275,6 +275,89 @@ object IcebergExport {
       s"unsupported Iceberg partition type ${other.catalogString}")
   }
 
+  /** Delta add-action stats JSON → the manifest entry's Iceberg bounds
+    * maps (field-id keyed, spec Appendix-D serialization): integral,
+    * string, date and timestamptz columns only — the forms that convert
+    * losslessly from Delta's JSON spellings (dates ISO, timestamps
+    * ISO-UTC; Delta's truncated string maxima already carry the U+FFFF
+    * tie-breaker, so they stay VALID upper bounds). Unconvertible
+    * columns are omitted and simply never prune. Foreign engines
+    * reading the UniForm export get file skipping for free.
+    */
+  private def statsBounds(
+      statsJson: String,
+      snap: DeltaLog.Snapshot,
+      fieldIdOf: Map[String, Int])
+      : (Map[Int, Array[Byte]], Map[Int, Array[Byte]], Map[Int, Long]) = {
+    import graft.sources.IcebergTransforms.boundBytes
+    val lower = Map.newBuilder[Int, Array[Byte]]
+    val upper = Map.newBuilder[Int, Array[Byte]]
+    val nulls = Map.newBuilder[Int, Long]
+    try {
+      val n = mapper.readTree(statsJson)
+      snap.schema.fields.foreach { f =>
+        val key = snap.physicalName(f.name)
+        fieldIdOf.get(f.name).foreach { fid =>
+          def ser(group: String): Option[Array[Byte]] =
+            Option(n.get(group)).flatMap(g =>
+              Option(g.get(key)).orElse(Option(g.get(f.name))))
+              .filterNot(_.isNull).flatMap { v =>
+                try f.dataType match {
+                  case ByteType | ShortType | IntegerType =>
+                    Some(boundBytes(v.asInt()))
+                  case LongType => Some(boundBytes(v.asLong()))
+                  case StringType => Some(boundBytes(v.asText()))
+                  case DateType => Some(boundBytes(
+                    java.time.LocalDate.parse(v.asText()).toEpochDay.toInt))
+                  case TimestampType =>
+                    val i = try java.time.OffsetDateTime.parse(v.asText()).toInstant
+                    catch { case _: Exception =>
+                      java.time.LocalDateTime.parse(v.asText().replace(' ', 'T'))
+                        .toInstant(java.time.ZoneOffset.UTC) }
+                    Some(boundBytes(
+                      i.getEpochSecond * 1000000L + i.getNano / 1000L))
+                  case _ => None
+                } catch { case scala.util.control.NonFatal(_) => None }
+              }
+          ser("minValues").foreach(b => lower += fid -> b)
+          ser("maxValues").foreach(b => upper += fid -> b)
+          Option(n.get("nullCount")).flatMap(g =>
+            Option(g.get(key)).orElse(Option(g.get(f.name))))
+            .filterNot(_.isNull).foreach(c => nulls += fid -> c.asLong())
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    (lower.result(), upper.result(), nulls.result())
+  }
+
+  /** Stamp bounds/null-count maps onto a data_file avro record. */
+  private def putBounds(
+      df: GenericRecord,
+      dataFileSchema: org.apache.avro.Schema,
+      lower: Map[Int, Array[Byte]],
+      upper: Map[Int, Array[Byte]],
+      nulls: Map[Int, Long]): Unit = {
+    def kv(field: String, entries: Seq[(Int, AnyRef)]): Unit =
+      if (entries.nonEmpty) {
+        val arrSchema = dataFileSchema.getField(field).schema().getTypes.get(1)
+        val rec = arrSchema.getElementType
+        val arr = new GenericData.Array[GenericRecord](entries.size, arrSchema)
+        entries.sortBy(_._1).foreach { case (fid, v) =>
+          val e = new GenericData.Record(rec)
+          e.put("key", fid)
+          e.put("value", v)
+          arr.add(e)
+        }
+        df.put(field, arr)
+      }
+    kv("lower_bounds",
+      lower.toSeq.map { case (k, b) => k -> java.nio.ByteBuffer.wrap(b) })
+    kv("upper_bounds",
+      upper.toSeq.map { case (k, b) => k -> java.nio.ByteBuffer.wrap(b) })
+    kv("null_value_counts",
+      nulls.toSeq.map { case (k, c) => k -> java.lang.Long.valueOf(c) })
+  }
+
   // --------------------------------------------------------------- export
 
   /** Export/refresh Iceberg metadata for the Delta table at `tablePath`.
@@ -373,6 +456,10 @@ object IcebergExport {
         df.put("partition", part)
         df.put("record_count", rc)
         df.put("file_size_in_bytes", a.size)
+        a.stats.foreach { sj =>
+          val (lo, hi, nc) = statsBounds(sj, snap, fieldIdOf)
+          putBounds(df, dataFileSchema, lo, hi, nc)
+        }
         val e = new GenericData.Record(entrySchema)
         e.put("status", 1) // ADDED under this snapshot
         e.put("snapshot_id", snapshotId)

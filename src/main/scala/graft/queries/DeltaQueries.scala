@@ -1559,6 +1559,37 @@ private[graft] object DeltaQueries {
         .withColumn("files_planned", lit(planned))
         .withColumn("files_broad", lit(broad))
         .orderBy(col("event_id"))
+    }),
+
+    // UniForm export carries Delta stats as Iceberg BOUNDS (r16): the
+    // exported table's manifest entries hold lower/upper per field id
+    // translated from the add-action stats, so a FOREIGN Iceberg reader
+    // prunes files on data-column predicates without ever touching
+    // _delta_log. Pinned: 1 of 3 exported files planned for the key
+    // range; rows replay from raw orders.
+    "q176_uniform_bounds" -> ((s, dir) => {
+      import graft.destinations.{DeltaWrite, IcebergExport}
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q176").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      DeltaWrite.createIfAbsent(s, tbl,
+        orders.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+      DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") < 500).coalesce(1))
+      DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") >= 500 &&
+          col("o_orderkey") < 1000).coalesce(1))
+      DeltaWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") >= 1000).coalesce(1))
+      IcebergExport.export(s, tbl)
+      val out = IcebergRead.read(s, tbl, IcebergRead.Options(
+        where = Some("o_orderkey >= 500 AND o_orderkey < 900")))
+      val st = IcebergRead.lastPlanStats.get
+      out.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 900)
+        .withColumn("files_seen", lit(st.dataFilesSeen))
+        .withColumn("files_planned", lit(st.dataFilesPlanned))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -1801,6 +1832,15 @@ private[graft] object DeltaQueries {
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-15'
          ORDER BY event_id""",
+
+    // the foreign-side prune must be result-invisible and real: 1 of 3
+    "q176_uniform_bounds" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(3 AS INT) AS files_seen,
+                CAST(1 AS INT) AS files_planned
+         FROM orders
+         WHERE o_orderkey >= 500 AND o_orderkey < 900
+         ORDER BY o_orderkey""",
 
     "q111_delta_cdf" -> cdfOracleSql,
     "q131_delta_cdf_mapped" -> cdfOracleSql,
