@@ -664,7 +664,18 @@ object IcebergRead {
         f.copy(name = rename.getOrElse(f.name, f.name), dataType = nestedType)
       })
 
-    val parts: Seq[DataFrame] = grouped.map { case (sid, pv, seq, rename, paths) =>
+    // one scan per (spec, partition tuple, seq, rename) keeps plans tiny
+    // for the common few-tuple case — but a table with THOUSANDS of live
+    // partitions would explode into thousands of union branches. Past
+    // this threshold, tuples sharing (spec, seq, rename) CONSOLIDATE into
+    // ONE scan over all their files, with identity values injected by a
+    // broadcast file->tuple join instead of per-branch literals: plan
+    // size becomes O(specs x seqs), never O(partitions).
+    val consolidateThreshold = 32
+
+    def litInjected(
+        sid: Int, pv: Seq[(String, Option[AnyRef])], seq: Long,
+        rename: Map[String, String], paths: Seq[String]): DataFrame = {
       val scanSchema = scanSchemaFor(rename)
       val base0 = spark.read.schema(scanSchema).parquet(paths: _*)
       // capture metadata columns against the scan relation itself
@@ -700,6 +711,73 @@ object IcebergRead {
       }
       dfr
     }
+
+    /** normPath's driver-side twin over the `_metadata.file_path`
+      * spelling of a manifest-recorded path (URI-encoded). */
+    def metaSpelling(raw: String): String =
+      new Path(raw).toUri.toString
+        .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+    def joinInjected(
+        sid: Int, seq: Long, rename: Map[String, String],
+        tuples: Seq[(Seq[(String, Option[AnyRef])], Seq[String])]): DataFrame = {
+      val idFields = identityFieldsOf(sid)
+      val scanSchema = scanSchemaFor(rename)
+      val allPaths = tuples.flatMap(_._2)
+      val base = spark.read.schema(scanSchema).parquet(allPaths: _*)
+        .withColumn("_ib_file", col("_metadata.file_path"))
+        .withColumn("_ib_pos", col("_metadata.row_index"))
+      val restored: Seq[Column] = logical.fields.toSeq.map { f =>
+        val fileName = rename.getOrElse(f.name, f.name)
+        col(quoteId(fileName)).cast(clean(f.dataType)).as(f.name)
+      } ++ Seq(col("_ib_file"), col("_ib_pos"), lit(seq).as("_ib_seq"))
+      var dfr = base.select(restored: _*)
+      if (idFields.nonEmpty) {
+        // (normalized file path, identity values as STRINGS) rows; the
+        // casts below convert with Spark's own semantics, dates from
+        // their ISO spelling
+        def strOf(f: IcebergPruning.SpecField,
+            pv: Seq[(String, Option[AnyRef])]): Option[String] = {
+          val raw = pv.collectFirst { case (n, v) if n == f.name => v }.flatten
+          (f.sourceType, raw) match {
+            case (DateType, Some(d: java.lang.Integer)) =>
+              Some(java.time.LocalDate.ofEpochDay(d.longValue()).toString)
+            case (_, r) => r.map(_.toString)
+          }
+        }
+        val injSchema = StructType(StructField("_inj_path", StringType) +:
+          idFields.map(f => StructField(s"_inj_${f.sourceName}", StringType)))
+        val rows = tuples.flatMap { case (pv, paths) =>
+          val vals = idFields.map(f => strOf(f, pv).orNull)
+          paths.map(p => org.apache.spark.sql.Row(
+            (metaSpelling(p) +: vals): _*))
+        }
+        val inj = broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), injSchema)
+          .select(col("_inj_path") +: idFields.map(f =>
+            col(s"`_inj_${f.sourceName}`").cast(f.sourceType)
+              .as(s"_inj_${f.sourceName}")): _*))
+        dfr = dfr.join(inj, normPath(col("_ib_file")) === col("_inj_path"), "left")
+        idFields.foreach { f =>
+          dfr = dfr.withColumn(f.sourceName,
+            coalesce(col(quoteId(f.sourceName)), col(s"`_inj_${f.sourceName}`")))
+        }
+        dfr = dfr.drop(("_inj_path" +: idFields.map(f => s"_inj_${f.sourceName}")): _*)
+      }
+      if (needHelpers) dfr else dfr.drop("_ib_file", "_ib_pos", "_ib_seq")
+    }
+
+    val parts: Seq[DataFrame] = grouped
+      .groupBy(g => (g._1, g._3, g._4)).toSeq
+      .sortBy(_._2.head._5.head)
+      .flatMap { case ((sid, seq, rename), gs) =>
+        if (gs.size <= consolidateThreshold)
+          gs.map { case (_, pv, _, _, paths) =>
+            litInjected(sid, pv, seq, rename, paths) }
+        else
+          Seq(joinInjected(sid, seq, rename,
+            gs.map { case (_, pv, _, _, paths) => (pv, paths) }))
+      }
     var out = parts.reduce(_ unionByName _)
 
     // ---- position deletes: (path, pos) anti-join, data_seq <= delete_seq

@@ -411,6 +411,30 @@ class IcebergWriteSpec extends SparkSpec {
     assert(ub2.codePointAt(15) == 0xE000)
   }
 
+  test("many-partition reads consolidate: one scan + broadcast injection, not a union per tuple") {
+    import org.apache.spark.sql.functions._
+    val t = tmpDir("icew-manypart").resolve("t").toString
+    IcebergWrite.create(spark, t, schema, partitionBy = Seq("p"))
+    import spark.implicits._
+    // 40 distinct partition values (> the 32-tuple consolidation cap)
+    val df = (0 until 120).map(i => (i.toLong, s"v$i", s"p${i % 40}"))
+      .toDF("id", "v", "p")
+    IcebergWrite.append(spark, t, df)
+    val back = IcebergRead.read(spark, t)
+    // plan stays O(1) in partition count: a single consolidated scan plus
+    // the broadcast injection frame — never 40 union branches
+    assert(back.queryExecution.logical.collectLeaves().size <= 4,
+      back.queryExecution.logical.collectLeaves().size.toString)
+    // identity injection is exact through the join path
+    val got = back.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == (0 until 120).map(i => (i.toLong, s"p${i % 40}")).toSet)
+    // deletes still apply through the consolidated scan (helper columns)
+    IcebergWrite.deleteWhere(spark, t, Seq("p7").toDF("p"))
+    val after = IcebergRead.read(spark, t)
+    assert(after.filter(col("p") === "p7").count() == 0L)
+    assert(after.count() == 117L)
+  }
+
   test("rollbackTo + incremental append scan between snapshots") {
     val t = tmpDir("icew-rollback").resolve("t").toString
     IcebergWrite.create(spark, t, schema)
