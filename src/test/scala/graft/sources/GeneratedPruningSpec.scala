@@ -43,13 +43,14 @@ class GeneratedPruningSpec extends SparkSpec {
     val snap = DeltaLog.snapshot(spark, t)
     val partitions = snap.files.flatMap(_.partitionValues.values).distinct
     assert(partitions.toSet == Set("2024-01-01", "2024-01-02", "2024-01-03"))
-    // day 1 prunes via the derived lower bound; day 3 must stay — the
-    // strict upper bound widens to `p_date <= 2024-01-03` (sound: a
-    // 00:00:00 row lives in that partition even though `<` excludes it)
+    // day 1 prunes via the derived lower bound. The PARTITION derivation
+    // alone would keep day 3 (the strict upper bound widens to
+    // `p_date <= 2024-01-03`), but the r16 per-file TIMESTAMP stats are
+    // exact: day 3's min ts is 00:00:00, outside `<` — pruned too.
     val kept = prunedFiles(t, "ts >= '2024-01-02 00:00:00' AND ts < '2024-01-03 00:00:00'")
     assert(kept.nonEmpty)
     assert(kept.flatMap(_.partitionValues.values).toSet ==
-      Set("2024-01-02", "2024-01-03"),
+      Set("2024-01-02"),
       kept.flatMap(_.partitionValues.values).toSet)
     // a mid-day upper bound keeps the same boundary partition but a
     // mid-day LOWER bound on day 2 still prunes day 1 exactly
@@ -75,10 +76,14 @@ class GeneratedPruningSpec extends SparkSpec {
 
   test("Or branches never derive (soundness): no partition is wrongly pruned") {
     val t = mkDateTable("gp-or")
-    // a disjunction mentioning ts must NOT prune by its branches
+    // a disjunction must NOT derive PARTITION conjuncts from its
+    // branches; per-file COLUMN stats (r16) still evaluate Or soundly
+    // branch-wise — day 2 drops because NEITHER branch can match it
+    // (ts max 02T08 < 03T00 and id range [21,40] misses 1), while day 1
+    // survives on the id branch and day 3 on the ts branch
     val kept = prunedFiles(t, "ts >= '2024-01-03 00:00:00' OR id = 1")
     assert(kept.flatMap(_.partitionValues.values).toSet ==
-      Set("2024-01-01", "2024-01-02", "2024-01-03"))
+      Set("2024-01-01", "2024-01-03"))
     val back = DeltaLog.readWhere(spark, t,
       "ts >= '2024-01-03 00:00:00' OR id = 1")
       .select("id").collect().map(_.getLong(0)).toSet
