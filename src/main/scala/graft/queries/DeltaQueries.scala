@@ -1322,8 +1322,14 @@ private[graft] object DeltaQueries {
       import graft.destinations.IcebergWrite
       import graft.sources.IcebergRead
       val tbl = tmp("graft-q169").resolve("t").toString
+      // fixture bounded to the base January window: the oracle's probe
+      // dates all fall inside it, so the cut is result-invisible — and
+      // the day-partitioned file count stays ~30 days at EVERY scale
+      // (the sf1 soak replicates events across 10 months; unbounded,
+      // the third append alone would fan out ~1000 tiny files)
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .filter(col("ts") < lit("2024-02-01").cast("timestamp"))
       IcebergWrite.create(s, tbl, ev.schema,
         partitionBy = Seq("day(ts)", "bucket(4, user_id)"))
       def day(d: String) = lit(d).cast("timestamp")
@@ -1393,8 +1399,11 @@ private[graft] object DeltaQueries {
       import graft.destinations.IcebergWrite
       import graft.sources.IcebergRead
       val tbl = tmp("graft-q171").resolve("t").toString
+      // January-bounded for the same scale reason as q169 (oracle probes
+      // live inside the window; the cut is result-invisible)
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .filter(col("ts") < lit("2024-02-01").cast("timestamp"))
       def day(d: String) = lit(d).cast("timestamp")
       IcebergWrite.create(s, tbl, ev.schema)                 // spec 0
       IcebergWrite.append(s, tbl,
