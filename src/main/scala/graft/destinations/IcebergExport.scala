@@ -279,11 +279,57 @@ object IcebergExport {
     * maps (field-id keyed, spec Appendix-D serialization): integral,
     * string, date and timestamptz columns only — the forms that convert
     * losslessly from Delta's JSON spellings (dates ISO, timestamps
-    * ISO-UTC; Delta's truncated string maxima already carry the U+FFFF
-    * tie-breaker, so they stay VALID upper bounds). Unconvertible
-    * columns are omitted and simply never prune. Foreign engines
-    * reading the UniForm export get file skipping for free.
+    * ISO-UTC). Two Delta max-side conventions are NOT valid Iceberg
+    * upper bounds verbatim and get re-derived: (1) truncated string
+    * maxima end in delta-spark's U+FFFF tie-breaker, an upper bound only
+    * in UTF-16 order (an astral char after the prefix exceeds U+FFFF in
+    * Iceberg's UTF-8 byte order) — the prefix's last code point is
+    * incremented instead (omitted when un-incrementable); (2) a foreign
+    * millisecond-truncated timestamp max would become an exact-micros
+    * bound BELOW the true max — it is padded by the sub-precision
+    * remainder. Unconvertible columns are omitted and simply never
+    * prune. Foreign engines reading the UniForm export get file
+    * skipping for free.
     */
+  /** UTF-8-valid upper bound for a Delta-truncated string max whose
+    * U+FFFF tie-breaker has been stripped: the prefix with its last code
+    * point incremented (skipping the unencodable surrogate range). None
+    * when the prefix is empty or ends at U+10FFFF — the column then
+    * simply carries no upper bound. Sound either way: the increment also
+    * covers the rare verbatim value that genuinely ends in U+FFFF.
+    */
+  private[graft] def upperAfterTieBreaker(prefix: String): Option[String] = {
+    if (prefix.isEmpty) return None
+    val lastStart = prefix.offsetByCodePoints(prefix.length, -1)
+    val cp = prefix.codePointAt(lastStart)
+    if (cp >= 0x10FFFF) None
+    else {
+      val next = if (cp + 1 >= 0xD800 && cp + 1 <= 0xDFFF) 0xE000 else cp + 1
+      Some(prefix.substring(0, lastStart) + new String(Character.toChars(next)))
+    }
+  }
+
+  /** Micros to ADD to a parsed timestamp max whose textual form carries
+    * fewer than 6 fractional digits (a coarser-precision writer may have
+    * truncated downward): 999 for milliseconds, 999999 for bare seconds,
+    * 0 for this engine's own full-micros spelling.
+    */
+  private[graft] def tsSubPrecisionPad(txt: String): Long = {
+    val dot = txt.indexOf('.')
+    var digits = 0
+    if (dot >= 0) {
+      var k = dot + 1
+      while (k < txt.length && Character.isDigit(txt.charAt(k))) { digits += 1; k += 1 }
+    }
+    if (digits >= 6) 0L
+    else {
+      var pad = 1L
+      var d = digits
+      while (d < 6) { pad *= 10L; d += 1 }
+      pad - 1L
+    }
+  }
+
   private def statsBounds(
       statsJson: String,
       snap: DeltaLog.Snapshot,
@@ -298,7 +344,7 @@ object IcebergExport {
       snap.schema.fields.foreach { f =>
         val key = snap.physicalName(f.name)
         fieldIdOf.get(f.name).foreach { fid =>
-          def ser(group: String): Option[Array[Byte]] =
+          def ser(group: String, isUpper: Boolean): Option[Array[Byte]] =
             Option(n.get(group)).flatMap(g =>
               Option(g.get(key)).orElse(Option(g.get(f.name))))
               .filterNot(_.isNull).flatMap { v =>
@@ -306,21 +352,28 @@ object IcebergExport {
                   case ByteType | ShortType | IntegerType =>
                     Some(boundBytes(v.asInt()))
                   case LongType => Some(boundBytes(v.asLong()))
-                  case StringType => Some(boundBytes(v.asText()))
+                  case StringType =>
+                    val s = v.asText()
+                    if (isUpper && s.nonEmpty && s.charAt(s.length - 1) == '￿')
+                      upperAfterTieBreaker(s.substring(0, s.length - 1))
+                        .map(boundBytes)
+                    else Some(boundBytes(s))
                   case DateType => Some(boundBytes(
                     java.time.LocalDate.parse(v.asText()).toEpochDay.toInt))
                   case TimestampType =>
-                    val i = try java.time.OffsetDateTime.parse(v.asText()).toInstant
+                    val txt = v.asText()
+                    val i = try java.time.OffsetDateTime.parse(txt).toInstant
                     catch { case _: Exception =>
-                      java.time.LocalDateTime.parse(v.asText().replace(' ', 'T'))
+                      java.time.LocalDateTime.parse(txt.replace(' ', 'T'))
                         .toInstant(java.time.ZoneOffset.UTC) }
+                    val micros = i.getEpochSecond * 1000000L + i.getNano / 1000L
                     Some(boundBytes(
-                      i.getEpochSecond * 1000000L + i.getNano / 1000L))
+                      if (isUpper) micros + tsSubPrecisionPad(txt) else micros))
                   case _ => None
                 } catch { case scala.util.control.NonFatal(_) => None }
               }
-          ser("minValues").foreach(b => lower += fid -> b)
-          ser("maxValues").foreach(b => upper += fid -> b)
+          ser("minValues", isUpper = false).foreach(b => lower += fid -> b)
+          ser("maxValues", isUpper = true).foreach(b => upper += fid -> b)
           Option(n.get("nullCount")).flatMap(g =>
             Option(g.get(key)).orElse(Option(g.get(f.name))))
             .filterNot(_.isNull).foreach(c => nulls += fid -> c.asLong())

@@ -6,7 +6,7 @@ import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWri
 import org.apache.avro.mapred.FsInput
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.types._
 
 import graft.sources.IcebergRead
@@ -36,8 +36,11 @@ import scala.jdk.CollectionConverters._
   * Scale: the commit is metadata-bounded (one manifest for the new files,
   * one manifest-list rewrite linear in MANIFEST count, not file count);
   * the data write is an ordinary distributed parquet write partitioned by
-  * the spec's columns. Record counts come from one footer read per new
-  * file (driver-side, bounded by the batch's file count).
+  * the spec's columns. Record counts AND per-file column stats come from
+  * ONE distributed scan over the new files (r17,
+  * [[IcebergWrite.computeIcebergStats]]), and the staged→data renames run
+  * on a bounded pool — per-commit driver work is O(1) Spark jobs plus the
+  * manifest write, regardless of file count.
   */
 object IcebergWrite {
 
@@ -168,6 +171,43 @@ object IcebergWrite {
     commitDataSnapshot(spark, tablePath, df, "append", carryPrior = true,
       extraSummary = summary, toBranch = branch)
 
+  /** ONE-SNAPSHOT MERGE (the CDC-apply shape of Iceberg's MERGE INTO
+    * commit): every key tuple of `batch` becomes an equality delete at
+    * the new sequence number N, and the rows NOT marked deleted append
+    * at the SAME N — the spec applies equality deletes only to
+    * `data_seq < delete_seq`, so the new rows survive while every prior
+    * version of the same keys drops. Upserts and deletes thus land
+    * ATOMICALLY in one `overwrite` snapshot: there is no window where a
+    * crash leaves the delete committed but the re-insert missing (the
+    * failure mode of composing `deleteWhere` + `append`), which is what
+    * makes the exactly-once streaming sink
+    * ([[graft.streaming.Streams.icebergMergeSink]]) safe under
+    * crash-replay. `opCol`, when set, names a column whose value
+    * `deleteOp` marks delete-without-replacement rows (CDC tombstones);
+    * it never reaches the table. `summary` carries the sink's commit-
+    * dedup stamp. No data rewrite: the delete is metadata + one small
+    * parquet of keys, the append only the batch's own rows.
+    */
+  def mergeBatch(
+      spark: SparkSession,
+      tablePath: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      opCol: Option[String] = None,
+      deleteOp: String = "D",
+      summary: Seq[(String, String)] = Nil): Long = {
+    require(keys.nonEmpty, "mergeBatch needs at least one key column")
+    def q(n: String) = col(s"`${n.replace("`", "``")}`")
+    val dels = batch.select(keys.map(q): _*).distinct()
+    val appends = opCol match {
+      case Some(c) =>
+        batch.filter(!coalesce(q(c) === lit(deleteOp), lit(false))).drop(c)
+      case None => batch
+    }
+    commitDataSnapshot(spark, tablePath, appends, "overwrite",
+      carryPrior = true, extraSummary = summary, eqDeletes = Some(dels))
+  }
+
   /** The highest `graft.txn-batch` recorded in any snapshot summary whose
     * `graft.txn-app-id` equals `appId` (-1 when none) — the read half of
     * the streaming sink's exactly-once contract. Snapshot-metadata-only.
@@ -241,8 +281,13 @@ object IcebergWrite {
     * truncate to 16 code points (lower as a prefix, upper with the last
     * code point incremented so it stays a valid upper bound). Reads the
     * footer ALREADY OPEN for the record count — zero extra I/O.
+    *
+    * r17: the commit path now derives stats from ONE distributed scan
+    * ([[computeIcebergStats]]); this footer-based twin is kept as the
+    * reference implementation — IcebergWriteSpec pins the two paths
+    * equal on a mixed-null fixture.
     */
-  private def columnStats(
+  private[graft] def columnStats(
       r: org.apache.parquet.hadoop.ParquetFileReader,
       logical: StructType)
       : Map[Int, (Option[Array[Byte]], Option[Array[Byte]], Long)] = {
@@ -317,6 +362,101 @@ object IcebergWrite {
     out.result()
   }
 
+  /** ONE distributed columnar scan over freshly committed files →
+    * per-file (record count, field-id-keyed Iceberg column stats). This
+    * makes the commit path's driver work O(1) Spark jobs regardless of
+    * file count — r16 opened each parquet footer serially on the driver,
+    * which at a 100 TB-scale append (thousands of files) serializes
+    * thousands of round-trips through one thread. Eligibility and
+    * serialization match the footer path ([[columnStats]]): top-level
+    * int/long/date/timestamp[_ntz]/string only, float/double excluded
+    * (NaN poisons bound ordering), string bounds truncated to 16 code
+    * points (upper via [[upperBoundString]]). `skip` names the identity-
+    * partition source columns, which hive layout drops from the files —
+    * their per-file values live in the manifest partition tuple instead.
+    * Returns Map.empty when no column is eligible (callers fall back to
+    * footer record counts).
+    */
+  private[graft] def computeIcebergStats(
+      spark: SparkSession,
+      paths: Seq[String],
+      logical: StructType,
+      skip: Set[String])
+      : Map[String, (Long, Map[Int, (Option[Array[Byte]], Option[Array[Byte]], Long)])] = {
+    import graft.sources.IcebergTransforms
+    import org.apache.spark.sql.functions.{count, lit, max => smax, min => smin, sum}
+    if (paths.isEmpty) return Map.empty
+    val eligible = logical.fields.filter { f =>
+      !skip.contains(f.name) && (IcebergRead.clean(f.dataType) match {
+        case IntegerType | LongType | DateType | TimestampType |
+             TimestampNTZType | StringType => true
+        case _ => false
+      })
+    }.toSeq
+    if (eligible.isEmpty) return Map.empty
+    val scanSchema = StructType(eligible.map(f =>
+      StructField(f.name, IcebergRead.clean(f.dataType))))
+    def q(n: String) = col(s"`${n.replace("`", "``")}`")
+    val aggs = count(lit(1)).as("_n") +: eligible.zipWithIndex.flatMap { case (f, i) =>
+      Seq(smin(q(f.name)).as(s"_min_$i"), smax(q(f.name)).as(s"_max_$i"),
+        sum(q(f.name).isNull.cast("long")).as(s"_null_$i"))
+    }
+    val rows = spark.read.schema(scanSchema).parquet(paths: _*)
+      .groupBy(col("_metadata.file_path").as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    // `_metadata.file_path` is the URI-encoded spelling — decode before
+    // matching the raw FS paths (same dance as DeltaWrite.computeStats)
+    val wanted: Map[String, String] = paths.map(p => new Path(p).toString -> p).toMap
+    rows.flatMap { r =>
+      val abs =
+        try new Path(new java.net.URI(r.getString(0))).toString
+        catch { case _: Exception => new Path(r.getString(0)).toString }
+      wanted.get(abs).map { orig =>
+        val stats = Map.newBuilder[Int, (Option[Array[Byte]], Option[Array[Byte]], Long)]
+        eligible.zipWithIndex.foreach { case (f, i) =>
+          val nulls = r.getLong(r.fieldIndex(s"_null_$i"))
+          val mn = r.get(r.fieldIndex(s"_min_$i"))
+          val mx = r.get(r.fieldIndex(s"_max_$i"))
+          val fid = IcebergRead.fieldId(f).toInt
+          if (mn == null) stats += fid -> ((None, None, nulls)) // all-null column
+          else {
+            // collect()-JVM value → the pruning domain the footer path
+            // used (Int / Long micros / Int days / String)
+            def norm(v: Any): Any = v match {
+              case x: java.lang.Integer => x.intValue()
+              case x: java.lang.Long => x.longValue()
+              case s: String => s
+              case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+              case d: java.time.LocalDate => d.toEpochDay.toInt
+              case t: java.sql.Timestamp =>
+                val inst = t.toInstant
+                inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+              case t: java.time.Instant =>
+                t.getEpochSecond * 1000000L + t.getNano / 1000L
+              case l: java.time.LocalDateTime =>
+                l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+                  l.getNano / 1000L
+              case other => other
+            }
+            val lo = norm(mn); val hi = norm(mx)
+            val loSer = lo match {
+              case s: String => Some(IcebergTransforms.boundBytes(
+                IcebergTransforms.truncateString(s, 16)))
+              case other => Some(IcebergTransforms.boundBytes(other))
+            }
+            val hiSer = hi match {
+              case s: String => upperBoundString(s, 16).map(IcebergTransforms.boundBytes)
+              case other => Some(IcebergTransforms.boundBytes(other))
+            }
+            stats += fid -> ((loSer, hiSer, nulls))
+          }
+        }
+        orig -> ((r.getLong(r.fieldIndex("_n")), stats.result()))
+      }
+    }.toMap
+  }
+
   /** A 16-code-point VALID upper bound for `s`: the truncated prefix with
     * its last code point incremented (None when un-incrementable). */
   private[graft] def upperBoundString(s: String, w: Int): Option[String] = {
@@ -332,6 +472,94 @@ object IcebergWrite {
     }
   }
 
+  /** Write ONE equality-delete parquet under `data/` for `values`, whose
+    * columns name the equality fields (resolved against `logical` for
+    * types + field ids). int64-micros timestamps enforced. Returns
+    * (path, equality fields, row count, byte length).
+    */
+  private def writeEqDeleteFile(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      qualified: Path,
+      logical: StructType,
+      values: DataFrame): (Path, Seq[StructField], Long, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val byName = logical.fields.map(f => f.name -> f).toMap
+    val eqFields = values.columns.toSeq.map(c => byName.getOrElse(c,
+      throw new IllegalArgumentException(s"equality column $c not in table schema")))
+    require(eqFields.nonEmpty, "equality delete needs at least one column")
+    val delSchema = StructType(eqFields.map(f =>
+      StructField(f.name, IcebergRead.clean(f.dataType), nullable = true,
+        metadata = new MetadataBuilder()
+          .putLong("parquet.field.id", IcebergRead.fieldId(f)).build())))
+    val out = values.select(delSchema.fields.toIndexedSeq.map(f =>
+      col(s"`${f.name.replace("`", "``")}`")
+        .cast(f.dataType).as(f.name, f.metadata)): _*)
+    val tmp = new Path(qualified, s"_tmp-del-${java.util.UUID.randomUUID()}")
+    // same int64-micros discipline as commitDataSnapshot: a timestamp
+    // equality column written as Spark's default INT96 would make the
+    // delete file undecodable for spec-conformant foreign readers
+    val prevTsType = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try out.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
+    val part = fs.listStatus(tmp).map(_.getPath).find(p =>
+      p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no parquet part under $tmp"))
+    val dataDir = new Path(qualified, "data")
+    fs.mkdirs(dataDir)
+    val delPath = new Path(dataDir, s"eq-delete-${java.util.UUID.randomUUID()}.parquet")
+    require(fs.rename(part, delPath), s"rename to $delPath failed")
+    fs.delete(tmp, true)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(delPath, conf))
+    val delRows = try r.getRecordCount finally r.close()
+    (delPath, eqFields, delRows, fs.getFileStatus(delPath).getLen)
+  }
+
+  /** Write an equality-delete MANIFEST (content = deletes) holding one
+    * delete-file entry at `sequence`. Returns (manifest path, length).
+    */
+  private def writeEqDeleteManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      metaDir: Path,
+      delPath: Path,
+      eqFields: Seq[StructField],
+      delRows: Long,
+      delLen: Long,
+      sequence: Long,
+      snapshotId: Long): (Path, Long) = {
+    val entrySchema = IcebergExport.manifestEntrySchema(Nil)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val manifestPath = new Path(metaDir, s"${java.util.UUID.randomUUID()}-m1.avro")
+    val mw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    mw.setMeta("format-version", "2")
+    mw.setMeta("content", "deletes")
+    mw.create(entrySchema, fs.create(manifestPath, true))
+    try {
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", 2) // EQUALITY_DELETES
+      d.put("file_path", delPath.toString)
+      d.put("file_format", "PARQUET")
+      d.put("partition",
+        new GenericData.Record(dfSchema.getField("partition").schema()))
+      d.put("record_count", delRows)
+      d.put("file_size_in_bytes", delLen)
+      d.put("equality_ids", new GenericData.Array[Integer](
+        dfSchema.getField("equality_ids").schema().getTypes.get(1),
+        eqFields.map(f => Integer.valueOf(IcebergRead.fieldId(f).toInt)).asJava))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", sequence)
+      e.put("file_sequence_number", sequence)
+      e.put("data_file", d)
+      mw.append(e)
+    } finally mw.close()
+    (manifestPath, fs.getFileStatus(manifestPath).getLen)
+  }
+
   private def commitDataSnapshot(
       spark: SparkSession,
       tablePath: String,
@@ -342,7 +570,16 @@ object IcebergWrite {
       // write-audit-publish: commit onto a BRANCH head instead of main —
       // current-snapshot-id and the snapshot-log stay untouched, only
       // refs[branch] advances (created from the current state if absent)
-      toBranch: Option[String] = None): Long = {
+      toBranch: Option[String] = None,
+      // r17 (single-snapshot MERGE): an equality-delete frame committed
+      // ATOMICALLY with the data at the SAME sequence number N — the spec
+      // applies equality deletes only to data_seq < delete_seq, so the
+      // new rows survive while prior versions of the same keys drop
+      eqDeletes: Option[DataFrame] = None,
+      // r17 (dynamic partition overwrite): prior data files whose
+      // partition tuple matches one of the NEW files' tuples are dropped
+      // from the carried manifests — [[replacePartitions]]
+      dropTouchedPartitions: Boolean = false): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val table = new Path(tablePath)
     val fs = table.getFileSystem(conf)
@@ -435,11 +672,15 @@ object IcebergWrite {
       spark.conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
 
     // collect written part files (+ their hive partition values), move
-    // them under data/ with fresh unique names
+    // them under data/ with fresh unique names — renames run on a BOUNDED
+    // POOL (r17: thousands of object-store renames must not serialize
+    // through one thread), and per-file column stats come from ONE
+    // distributed columnar scan (r17, mirroring DeltaWrite.computeStats —
+    // r16 opened every parquet footer serially on the driver, O(#files)
+    // round-trips per commit)
     val dataDir = new Path(qualified, "data")
     fs.mkdirs(dataDir)
-    val moved = Seq.newBuilder[(Path, Seq[(String, Option[String])], Long, Long,
-      Map[Int, (Option[Array[Byte]], Option[Array[Byte]], Long)])]
+    val staged = Seq.newBuilder[(Path, Seq[(String, Option[String])], Long)]
     def walk(dir: Path, pv: Seq[(String, Option[String])]): Unit =
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
@@ -449,18 +690,55 @@ object IcebergWrite {
           walk(st.getPath, pv :+ (k -> (if (dec == "__HIVE_DEFAULT_PARTITION__") None
                                         else Some(dec))))
         } else if (name.startsWith("part-") && name.endsWith(".parquet")) {
-          val target = new Path(dataDir, s"${java.util.UUID.randomUUID()}.parquet")
-          require(fs.rename(st.getPath, target), s"rename to $target failed")
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(target, conf))
-          val (rc, stats) =
-            try (r.getRecordCount, columnStats(r, logical)) finally r.close()
-          moved += ((target, pv, rc, fs.getFileStatus(target).getLen, stats))
+          staged += ((st.getPath, pv, st.getLen))
         }
       }
     walk(tmp, Nil)
+    val stagedFiles = staged.result()
+    val renamed: Seq[(Path, Seq[(String, Option[String])], Long)] =
+      if (stagedFiles.isEmpty) Nil
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, stagedFiles.size))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(stagedFiles.map { case (src, pv, len) =>
+            scala.concurrent.Future {
+              val target = new Path(dataDir, s"${java.util.UUID.randomUUID()}.parquet")
+              require(fs.rename(src, target), s"rename to $target failed")
+              (target, pv, len)
+            }
+          }),
+          scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+      }
     fs.delete(tmp, true)
-    val files = moved.result()
+    val identitySources: Set[String] = specFields.collect {
+      case (_, graft.sources.IcebergTransforms.Identity, src, _, _) => src }.toSet
+    val statsByPath = computeIcebergStats(
+      spark, renamed.map(_._1.toString), logical, identitySources)
+    val files: Seq[(Path, Seq[(String, Option[String])], Long, Long,
+        Map[Int, (Option[Array[Byte]], Option[Array[Byte]], Long)])] =
+      renamed.map { case (target, pv, len) =>
+        statsByPath.get(target.toString) match {
+          case Some((rc, stats)) => (target, pv, rc, len, stats)
+          case None =>
+            // not seen by the scan: an EMPTY part file (a tiny batch
+            // repartitioned wider than its row count) — or, when the
+            // table has no stats-eligible column at all, the scan was
+            // skipped entirely. One footer read resolves the count; a
+            // non-empty miss with eligible columns fails loudly rather
+            // than committing a blind entry.
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(target, conf))
+            val rc = try r.getRecordCount finally r.close()
+            require(rc == 0L || statsByPath.isEmpty,
+              s"stats scan missed non-empty new file $target ($rc rows)")
+            (target, pv, rc, len,
+              Map.empty[Int, (Option[Array[Byte]], Option[Array[Byte]], Long)])
+        }
+      }
     val rows = files.map(_._3).sum
 
     // ---- new manifest (ADDED entries at the next sequence number)
@@ -534,6 +812,16 @@ object IcebergWrite {
     } finally mw.close()
     val manifestLen = fs.getFileStatus(manifestPath).getLen
 
+    // single-snapshot MERGE: the equality-delete file + its manifest land
+    // at the SAME sequence as the data above (r17)
+    val delManifest: Option[(Path, Long, Long)] = eqDeletes.map { values =>
+      val (delPath, eqFields, delRows, delLen) =
+        writeEqDeleteFile(spark, fs, qualified, logical, values)
+      val (mp, ml) = writeEqDeleteManifest(
+        fs, metaDir, delPath, eqFields, delRows, delLen, sequence, snapshotId)
+      (mp, ml, delRows)
+    }
+
     // ---- manifest list: prior manifests carried verbatim + the new one
     val listPath = new Path(metaDir,
       s"snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro")
@@ -543,8 +831,28 @@ object IcebergWrite {
     lw.setMeta("snapshot-id", snapshotId.toString)
     lw.setMeta("sequence-number", sequence.toString)
     lw.create(IcebergExport.manifestFileSchema, fs.create(listPath, true))
+    var overwriteDropped = (0L, 0L) // (files, rows) replaced by the overwrite
     try {
-      if (carryPrior) carryPriorManifests(lw, md, conf, baseSnapshotId)
+      if (carryPrior) {
+        if (dropTouchedPartitions) {
+          // tuples the NEW files land in, in the pruning's normalized
+          // domain (unmodeled value types fall back to a tagged raw
+          // string — identical on both sides, never equal to a null)
+          val touched: Set[Seq[Option[Any]]] = files.map { case (_, pv, _, _, _) =>
+            partAvro.map { case (c, _, _, conv) =>
+              pv.collectFirst { case (k, v) if k == c => v }.flatten
+                .map { s =>
+                  val typed = conv(s)
+                  graft.sources.IcebergTransforms.normalizeRaw(typed)
+                    .getOrElse("raw:" + String.valueOf(typed))
+                }
+            }
+          }.toSet
+          overwriteDropped = carryPriorManifestsDropping(
+            lw, md, conf, metaDir, specId, partAvro.map(_._1), touched,
+            snapshotId)
+        } else carryPriorManifests(lw, md, conf, baseSnapshotId)
+      }
       val m = new GenericData.Record(IcebergExport.manifestFileSchema)
       m.put("manifest_path", manifestPath.toString)
       m.put("manifest_length", manifestLen)
@@ -586,6 +894,23 @@ object IcebergWrite {
         m.put("partitions", IcebergExport.partitionsSummary(sums))
       }
       lw.append(m)
+      delManifest.foreach { case (mp, ml, delRows) =>
+        val dm = new GenericData.Record(IcebergExport.manifestFileSchema)
+        dm.put("manifest_path", mp.toString)
+        dm.put("manifest_length", ml)
+        dm.put("partition_spec_id", specId)
+        dm.put("content", 1) // DELETES manifest
+        dm.put("sequence_number", sequence)
+        dm.put("min_sequence_number", sequence)
+        dm.put("added_snapshot_id", snapshotId)
+        dm.put("added_files_count", 1)
+        dm.put("existing_files_count", 0)
+        dm.put("deleted_files_count", 0)
+        dm.put("added_rows_count", delRows)
+        dm.put("existing_rows_count", 0L)
+        dm.put("deleted_rows_count", 0L)
+        lw.append(dm)
+      }
     } finally lw.close()
 
     // ---- metadata: new snapshot appended, version bumped
@@ -604,6 +929,14 @@ object IcebergWrite {
     summary.put("operation", operation)
     summary.put("added-data-files", files.size.toString)
     summary.put("added-records", rows.toString)
+    delManifest.foreach { case (_, _, delRows) =>
+      summary.put("added-delete-files", "1")
+      summary.put("added-equality-deletes", delRows.toString): Unit
+    }
+    if (dropTouchedPartitions) {
+      summary.put("deleted-data-files", overwriteDropped._1.toString)
+      summary.put("deleted-records", overwriteDropped._2.toString): Unit
+    }
     extraSummary.foreach { case (k, v) => summary.put(k, v): Unit }
     md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
       .add(snapNode)
@@ -651,68 +984,16 @@ object IcebergWrite {
       .find(s => Option(s.get("schema-id")).exists(_.asInt() == csid))
       .getOrElse(throw new IllegalArgumentException(s"schema $csid missing"))
     val logical = IcebergRead.parseType(schemaNode).asInstanceOf[StructType]
-    val byName = logical.fields.map(f => f.name -> f).toMap
-    val eqFields = values.columns.toSeq.map(c => byName.getOrElse(c,
-      throw new IllegalArgumentException(s"equality column $c not in table schema")))
-    require(eqFields.nonEmpty, "deleteWhere needs at least one equality column")
 
-    // the delete file: exactly the equality columns, field-id stamped
-    val delSchema = StructType(eqFields.map(f =>
-      StructField(f.name, IcebergRead.clean(f.dataType), nullable = true,
-        metadata = new MetadataBuilder()
-          .putLong("parquet.field.id", IcebergRead.fieldId(f)).build())))
-    val out = values.select(delSchema.fields.toIndexedSeq.map(f =>
-      col(s"`${f.name.replace("`", "``")}`")
-        .cast(f.dataType).as(f.name, f.metadata)): _*)
-    val tmp = new Path(qualified, s"_tmp-del-${java.util.UUID.randomUUID()}")
-    out.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = fs.listStatus(tmp).map(_.getPath).find(p =>
-      p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"no parquet part under $tmp"))
-    val dataDir = new Path(qualified, "data")
-    fs.mkdirs(dataDir)
-    val delPath = new Path(dataDir, s"eq-delete-${java.util.UUID.randomUUID()}.parquet")
-    require(fs.rename(part, delPath), s"rename to $delPath failed")
-    fs.delete(tmp, true)
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(delPath, conf))
-    val delRows = try r.getRecordCount finally r.close()
-    val delLen = fs.getFileStatus(delPath).getLen
-
-    // delete manifest (content=1 in the list; data_file.content=2) with
-    // the equality ids; unpartitioned-scoped, so it applies table-wide
+    // delete file + manifest (content=1 in the list; data_file.content=2)
+    // with the equality ids; unpartitioned-scoped, so it applies table-wide
     val prevSeq = md.get("last-sequence-number").asLong()
     val sequence = prevSeq + 1
     val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
-    val entrySchema = IcebergExport.manifestEntrySchema(Nil)
-    val dfSchema = entrySchema.getField("data_file").schema()
-    val manifestPath = new Path(metaDir, s"${java.util.UUID.randomUUID()}-m1.avro")
-    val mw = new DataFileWriter[GenericRecord](
-      new GenericDatumWriter[GenericRecord](entrySchema))
-    mw.setMeta("format-version", "2")
-    mw.setMeta("content", "deletes")
-    mw.create(entrySchema, fs.create(manifestPath, true))
-    try {
-      val d = new GenericData.Record(dfSchema)
-      d.put("content", 2) // EQUALITY_DELETES
-      d.put("file_path", delPath.toString)
-      d.put("file_format", "PARQUET")
-      d.put("partition",
-        new GenericData.Record(dfSchema.getField("partition").schema()))
-      d.put("record_count", delRows)
-      d.put("file_size_in_bytes", delLen)
-      d.put("equality_ids", new GenericData.Array[Integer](
-        dfSchema.getField("equality_ids").schema().getTypes.get(1),
-        eqFields.map(f => Integer.valueOf(IcebergRead.fieldId(f).toInt)).asJava))
-      val e = new GenericData.Record(entrySchema)
-      e.put("status", 1)
-      e.put("snapshot_id", snapshotId)
-      e.put("sequence_number", sequence)
-      e.put("file_sequence_number", sequence)
-      e.put("data_file", d)
-      mw.append(e)
-    } finally mw.close()
-    val manifestLen = fs.getFileStatus(manifestPath).getLen
+    val (delPath, eqFields, delRows, delLen) =
+      writeEqDeleteFile(spark, fs, qualified, logical, values)
+    val (manifestPath, manifestLen) = writeEqDeleteManifest(
+      fs, metaDir, delPath, eqFields, delRows, delLen, sequence, snapshotId)
 
     val listPath = new Path(metaDir,
       s"snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro")
@@ -880,6 +1161,146 @@ object IcebergWrite {
     }
   }
 
+  /** Selective carry for DYNAMIC PARTITION OVERWRITE: prior manifests
+    * stream into `lw`, but any DATA manifest holding entries whose
+    * partition tuple is in `touched` is REWRITTEN without them (survivors
+    * carry as status EXISTING with their original snapshot/sequence, so
+    * nothing about their read semantics moves); manifests with no touched
+    * entries — and all delete manifests — carry byte-identical. Refuses
+    * across partition-spec evolution: a tuple comparison between specs
+    * would be meaningless. Returns (dropped file count, dropped rows).
+    */
+  private def carryPriorManifestsDropping(
+      lw: DataFileWriter[GenericRecord],
+      md: ObjectNode,
+      conf: org.apache.hadoop.conf.Configuration,
+      metaDir: Path,
+      currentSpecId: Int,
+      specFieldNames: Seq[String],
+      touched: Set[Seq[Option[Any]]],
+      newSnapshotId: Long): (Long, Long) = {
+    var droppedFiles = 0L
+    var droppedRows = 0L
+    def copyListRec(rec: GenericRecord): GenericData.Record = {
+      val m = new GenericData.Record(IcebergExport.manifestFileSchema)
+      IcebergExport.manifestFileSchema.getFields.asScala.foreach { f =>
+        m.put(f.name(), rec.get(f.name()) match {
+          case s: org.apache.avro.util.Utf8 => s.toString
+          case other => other
+        })
+      }
+      m
+    }
+    val curSnapId = Option(md.get("current-snapshot-id")).filterNot(_.isNull)
+      .map(_.asLong()).filter(_ >= 0L)
+    curSnapId.foreach { id =>
+      val prior = md.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == id).get
+      val priorList = new Path(prior.get("manifest-list").asText())
+      val rd = new DataFileReader[GenericRecord](
+        new FsInput(priorList, conf), new GenericDatumReader[GenericRecord]())
+      try rd.iterator().asScala.foreach { rec =>
+        val content = rec.get("content") match {
+          case i: java.lang.Integer => i.intValue()
+          case _ => 0
+        }
+        if (content != 0) lw.append(copyListRec(rec)) // delete manifest: verbatim
+        else {
+          val manSpec = rec.get("partition_spec_id") match {
+            case i: java.lang.Integer => i.intValue()
+            case _ => currentSpecId
+          }
+          require(manSpec == currentSpecId || touched.isEmpty,
+            "replacePartitions across partition-spec evolution is not " +
+              "supported — rewriteDataFiles (which re-tuples under the " +
+              "current spec) first")
+          val mPath = new Path(rec.get("manifest_path").toString)
+          val mrd = new DataFileReader[GenericRecord](
+            new FsInput(mPath, conf), new GenericDatumReader[GenericRecord]())
+          val (entrySchema, metas, entries) =
+            try {
+              val ms = Seq("format-version", "content", "schema",
+                "partition-spec", "partition-spec-id")
+                .flatMap(k => Option(mrd.getMetaString(k)).map(k -> _))
+              (mrd.getSchema, ms, mrd.iterator().asScala.toVector)
+            } finally mrd.close()
+          def tupleOf(e: GenericRecord): Seq[Option[Any]] = {
+            val d = e.get("data_file").asInstanceOf[GenericRecord]
+            val part = d.get("partition").asInstanceOf[GenericRecord]
+            specFieldNames.map { n =>
+              Option(part.get(n)).map { v =>
+                graft.sources.IcebergTransforms.normalizeRaw(v)
+                  .getOrElse("raw:" + String.valueOf(v))
+              }
+            }
+          }
+          val live = entries.filter(e =>
+            e.get("status") match { case i: java.lang.Integer => i != 2; case _ => true })
+          val (drop, keep) = live.partition(e => touched.contains(tupleOf(e)))
+          if (drop.isEmpty) lw.append(copyListRec(rec)) // untouched: verbatim
+          else {
+            def rows(e: GenericRecord): Long =
+              e.get("data_file").asInstanceOf[GenericRecord]
+                .get("record_count") match {
+                case l: java.lang.Long => l.longValue(); case _ => 0L
+              }
+            droppedFiles += drop.size
+            droppedRows += drop.map(rows).sum
+            if (keep.nonEmpty) {
+              val fsm = metaDir.getFileSystem(conf)
+              val newPath = new Path(metaDir,
+                s"${java.util.UUID.randomUUID()}-m0.avro")
+              val mw = new DataFileWriter[GenericRecord](
+                new GenericDatumWriter[GenericRecord](entrySchema))
+              metas.foreach { case (k, v) => mw.setMeta(k, v) }
+              mw.create(entrySchema, fsm.create(newPath, true))
+              try keep.foreach { e =>
+                e.put("status", 0) // EXISTING: original snapshot/seq kept
+                mw.append(e)
+              } finally mw.close()
+              val keptRows = keep.map(rows).sum
+              val m = copyListRec(rec)
+              m.put("manifest_path", newPath.toString)
+              m.put("manifest_length", fsm.getFileStatus(newPath).getLen)
+              m.put("added_snapshot_id", newSnapshotId)
+              m.put("added_files_count", 0)
+              m.put("existing_files_count", keep.size)
+              m.put("deleted_files_count", 0)
+              m.put("added_rows_count", 0L)
+              m.put("existing_rows_count", keptRows)
+              m.put("deleted_rows_count", 0L)
+              // original `partitions` summaries stay on the copied record:
+              // survivors are a subset, so the old bounds remain SOUND
+              // (conservative) for manifest-level pruning
+              lw.append(m)
+            }
+            // keep.isEmpty: the whole manifest was replaced — omit it
+          }
+        }
+      } finally rd.close()
+    }
+    (droppedFiles, droppedRows)
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE (Iceberg's ReplacePartitions, the
+    * nightly-recompute write shape): ONE `overwrite` snapshot atomically
+    * drops every data file in the partitions `df` touches and appends
+    * `df`'s rows. Untouched partitions' files AND manifests carry
+    * byte-identical (only manifests holding touched entries rewrite);
+    * time travel to any prior snapshot sees the pre-overwrite state.
+    * On an unpartitioned table every file shares the empty tuple, so
+    * this degenerates to a full replace — the Iceberg behavior. An empty
+    * `df` commits an empty overwrite (touches nothing, drops nothing).
+    * Refuses across partition-spec evolution (rewriteDataFiles first).
+    */
+  def replacePartitions(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      summary: Seq[(String, String)] = Nil): Long =
+    commitDataSnapshot(spark, tablePath, df, "overwrite", carryPrior = true,
+      extraSummary = summary, dropTouchedPartitions = true)
+
   /** REMOVE ORPHAN FILES (Iceberg maintenance, the third leg of the
     * OPTIMIZE → EXPIRE SNAPSHOTS → orphan-clean loop): delete files under
     * the table that NO live snapshot's metadata references and whose
@@ -889,14 +1310,18 @@ object IcebergWrite {
     * DELETED entry's file may still be read through an older list),
     * every referenced manifest, every live manifest list, all
     * `v<N>.metadata.json` + `version-hint.text`, and hidden/temp names.
-    * The referenced set is built DISTRIBUTED — manifests are read on
-    * executors, the driver holds only manifest/list paths — and the
-    * LISTING streams in bounded batches anti-joined against it; the
-    * driver collects only the doomed subset. Driver memory bound:
-    * O(#manifests + #orphans), never O(#referenced files) or a
-    * full-table path set. Refused on Delta-backed (UniForm) tables —
-    * their Iceberg metadata mirrors only the CURRENT Delta snapshot.
-    * Returns the deleted table-relative paths; `dryRun` lists only.
+    * The referenced set AND the listing are both built DISTRIBUTED —
+    * manifests are read on executors, and the table walk runs as one
+    * recursive listing task per top-level prefix (r17; the r16 walk was
+    * a single driver iterator, wall-clock O(#total files) through one
+    * thread) — anti-joined on executors; the driver collects only the
+    * doomed subset. Driver bound: O(#manifests + #orphans + #top-level
+    * dirs), never O(#referenced files) or a full-table path set.
+    * Refused on Delta-backed (UniForm) tables — their Iceberg metadata
+    * mirrors only the CURRENT Delta snapshot. Returns the deleted
+    * table-relative paths; `dryRun` lists only. (`listingBatch` is
+    * retained for API compatibility; the r17 distributed listing no
+    * longer batches on the driver.)
     */
   def removeOrphanFiles(
       spark: SparkSession,
@@ -956,32 +1381,60 @@ object IcebergWrite {
     val refDF = refData.toDF("p")
       .union(metaProtected.toDF("p")).distinct().persist()
     try {
-      val MetaName = """(v\d+\.metadata\.json|version-hint\.text)""".r
-      val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
-      val batch = scala.collection.mutable.ArrayBuffer.empty[String]
-      def flush(): Unit = if (batch.nonEmpty) {
-        doomed ++= batch.toSeq.toDF("p").join(refDF, Seq("p"), "left_anti")
-          .as[String].collect()
-        batch.clear()
-      }
-      val it = fs.listFiles(qualified, true)
+      // r17: the LISTING runs on executors too — one recursive walk per
+      // top-level prefix (r16 streamed a single driver-side fs.listFiles
+      // iterator: memory-bounded, but wall-clock O(#total files) through
+      // one thread; at 10^7 objects on S3 that is hours). The driver
+      // lists only the root level; candidates anti-join the referenced
+      // set distributed, and only the doomed subset is ever collected —
+      // the driver bound stays O(#manifests + #orphans + #top-level dirs).
+      val metaNamePattern = """(v\d+\.metadata\.json|version-hint\.text)"""
       val rootStr = qualified.toString
-      while (it.hasNext) {
-        val st = it.next()
-        val p = fs.makeQualified(st.getPath).toString
+      def eligible(p: String, name: String, modMs: Long): Boolean = {
         val rel = p.stripPrefix(rootStr).dropWhile(_ == '/')
-        val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
-        val isMetaRoot = st.getPath.getName match {
-          case MetaName(_) => true
-          case _ => false
-        }
-        if (st.isFile && !hidden && !isMetaRoot &&
-            st.getModificationTime < olderThanMs) {
-          batch += p
-          if (batch.size >= listingBatch) flush()
-        }
+        !rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")) &&
+          !name.matches(metaNamePattern) && modMs < olderThanMs
       }
-      flush()
+      val top = fs.listStatus(qualified).toSeq
+      val rootCandidates = top.filter(_.isFile)
+        .map(st => (fs.makeQualified(st.getPath).toString, st.getPath.getName,
+          st.getModificationTime))
+        .collect { case (p, n, m) if eligible(p, n, m) => p }
+      val topDirs = top.filter(_.isDirectory)
+        .map(st => fs.makeQualified(st.getPath).toString)
+        .filter(d => !d.stripPrefix(rootStr).dropWhile(_ == '/').split('/')
+          .exists(s => s.startsWith("_") || s.startsWith(".")))
+      val olderThan = olderThanMs
+      val root = rootStr
+      val metaPat = metaNamePattern
+      val dirCandidates =
+        if (topDirs.isEmpty) spark.emptyDataset[String]
+        else spark.createDataset(topDirs)
+          .repartition(math.max(1, math.min(topDirs.size, 32)))
+          .mapPartitions { it =>
+            val c = confThunk()
+            it.flatMap { d =>
+              val dp = new Path(d)
+              val dfs = dp.getFileSystem(c)
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              val walk = dfs.listFiles(dp, true)
+              while (walk.hasNext) {
+                val st = walk.next()
+                val p = dfs.makeQualified(st.getPath).toString
+                val rel = p.stripPrefix(root).dropWhile(_ == '/')
+                val hidden = rel.split('/')
+                  .exists(s => s.startsWith("_") || s.startsWith("."))
+                if (st.isFile && !hidden && !st.getPath.getName.matches(metaPat) &&
+                    st.getModificationTime < olderThan)
+                  out += p
+              }
+              out.iterator
+            }
+          }
+      val doomed = dirCandidates.toDF("p")
+        .union(rootCandidates.toDF("p"))
+        .join(refDF, Seq("p"), "left_anti")
+        .as[String].collect()
       if (!dryRun) doomed.foreach(p => fs.delete(new Path(p), false))
       doomed.toSeq.map(_.stripPrefix(rootStr).dropWhile(_ == '/')).sorted
     } finally { refDF.unpersist(false); () }

@@ -70,10 +70,56 @@ private[graft] object DeltaStats {
     } catch { case NonFatal(_) => None }
 
   /** What a file's stats (or a partition value) say about one column.
-    * `lo`/`hi` of None = unknown bound.
+    * `lo`/`hi` of None = unknown bound. `hiExact` marks a bound that IS
+    * the column's value (partition values): stats-derived maxima stay
+    * false and get the coarse-precision pad in [[padHi]].
     */
   final case class ColInterval(
-      lo: Option[Any], hi: Option[Any], nullsPossible: Boolean, allNull: Boolean)
+      lo: Option[Any], hi: Option[Any], nullsPossible: Boolean, allNull: Boolean,
+      hiExact: Boolean = false)
+
+  /** A timestamp stats MAX may have been truncated DOWN by a coarser-
+    * precision writer (delta-spark serializes milliseconds and pads +1ms
+    * back at skip time, its DataSkippingReader compensation): a file
+    * whose true max is 10:00:00.000999 records "…00.000", and an exact
+    * hi>v check would wrongly drop it for v = 10:00:00.000500. When the
+    * parsed value carries fewer than 6 fractional digits, pad the max by
+    * the sub-precision remainder (999µs for millis, 999999µs for bare
+    * seconds) — still a valid upper bound, never below the true max.
+    * This engine's own stats are full micros (6 digits) → pad 0, and the
+    * MIN side needs no change (a floor is a valid lower bound).
+    */
+  private def padHi(iv: ColInterval, dt: DataType): Option[Any] =
+    iv.hi.map { h =>
+      if (iv.hiExact) h
+      else dt match {
+        case TimestampType => h match {
+          case i: java.time.Instant => i
+          case other =>
+            val s0 = str(other)
+            tsInstant(s0) match {
+              case Some(i) =>
+                val dot = s0.indexOf('.')
+                var digits = 0
+                if (dot >= 0) {
+                  var k = dot + 1
+                  while (k < s0.length && Character.isDigit(s0.charAt(k))) {
+                    digits += 1; k += 1
+                  }
+                }
+                if (digits >= 6) i
+                else {
+                  var padMicros = 1L
+                  var d = digits
+                  while (d < 6) { padMicros *= 10L; d += 1 }
+                  i.plusNanos((padMicros - 1L) * 1000L)
+                }
+              case None => h
+            }
+        }
+        case _ => h
+      }
+    }
 
   private val Unknown = ColInterval(None, None, nullsPossible = true, allNull = false)
 
@@ -86,7 +132,8 @@ private[graft] object DeltaStats {
     if (s.partitionColumns.contains(colName))
       return f.partitionValues.get(key).orElse(f.partitionValues.get(colName)) match {
         case Some(null) => ColInterval(None, None, nullsPossible = true, allNull = true)
-        case Some(v) => ColInterval(Some(v), Some(v), nullsPossible = false, allNull = false)
+        case Some(v) => ColInterval(Some(v), Some(v), nullsPossible = false,
+          allNull = false, hiExact = true)
         case None => Unknown
       }
     f.stats match {
@@ -119,7 +166,7 @@ private[graft] object DeltaStats {
       else if (iv.allNull) false
       else
         iv.lo.forall(lo => cmp(dt, lo, inMax).forall(_ <= 0)) &&
-          iv.hi.forall(hi => cmp(dt, inMin, hi).forall(_ <= 0))
+          padHi(iv, dt).forall(hi => cmp(dt, inMin, hi).forall(_ <= 0))
     nullHit || rangeHit
   }
 
@@ -176,12 +223,12 @@ private[graft] object DeltaStats {
         possible(EqualTo(a, v))
       case GreaterThan(a, v: Literal) if attrName(a).isDefined => // col > v: need hi > v
         bound(attrName(a).get, v)((iv, dt, value) =>
-          !iv.allNull && iv.hi.forall(hi => cmp(dt, hi, value).forall(_ > 0)))
+          !iv.allNull && padHi(iv, dt).forall(hi => cmp(dt, hi, value).forall(_ > 0)))
       case GreaterThan(v: Literal, a) if attrName(a).isDefined => // v > col ⇔ col < v
         possible(LessThan(a, v))
       case GreaterThanOrEqual(a, v: Literal) if attrName(a).isDefined =>
         bound(attrName(a).get, v)((iv, dt, value) =>
-          !iv.allNull && iv.hi.forall(hi => cmp(dt, hi, value).forall(_ >= 0)))
+          !iv.allNull && padHi(iv, dt).forall(hi => cmp(dt, hi, value).forall(_ >= 0)))
       case GreaterThanOrEqual(v: Literal, a) if attrName(a).isDefined =>
         possible(LessThanOrEqual(a, v))
       case LessThan(a, v: Literal) if attrName(a).isDefined => // col < v: need lo < v

@@ -228,6 +228,10 @@ private[graft] object IcebergPruning {
             case AtLeast(v) => hi.forall(h => cmp(h, v) >= 0)
             case AtMost(v) => lo.forall(l => cmp(l, v) <= 0)
             case NullOnly => containsNull
+            // prune on contains_null with NO bounds = every value in the
+            // manifest is null — the Iceberg Java ManifestEvaluator's
+            // notNull() convention (a summary records bounds whenever any
+            // non-null value exists)
             case NonNull => !(containsNull && !hasLo && !hasHi)
           }
         }

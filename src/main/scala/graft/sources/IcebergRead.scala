@@ -797,20 +797,32 @@ object IcebergRead {
         "left_anti")
     }
 
-    // ---- equality deletes: null-safe anti-join per delete file,
-    // applying only to data files with data_seq < delete_seq (spec)
-    eqs.sortBy(_.seq).foreach { e =>
-      val cols = e.equalityIds.map(id => idToName.getOrElse(id.toLong,
-        throw new IllegalArgumentException(
-          s"equality_id $id of ${e.path} not in schema")))
-      val delSchema = StructType(logical.fields.filter(f =>
-        cols.contains(f.name)).map(f => StructField(f.name, clean(f.dataType))))
-      val delDf = spark.read.schema(delSchema).parquet(e.path)
-        .select(cols.map(c => col(quoteId(c)).as(s"_del_$c")): _*)
-      val cond = cols.map(c => col(quoteId(c)) <=> col(s"_del_$c"))
-        .reduce(_ && _) && col("_ib_seq") < lit(e.seq)
-      out = out.join(delDf, cond, "left_anti")
-    }
+    // ---- equality deletes: ONE null-safe anti-join per DISTINCT
+    // equality-id SET, applying only to data files with data_seq <
+    // delete_seq (spec). r17: r16 joined once per delete FILE, so a
+    // CDC-heavy foreign table with hundreds of un-compacted equality-
+    // delete files produced hundreds of chained left-anti joins —
+    // analyzer/codegen cost alone hurts before execution does. Files
+    // sharing an id set now union with a per-row `_del_seq`, exactly
+    // as the position-delete path above; in the common single-id-set
+    // case the whole delete history is one join whatever the file count.
+    eqs.groupBy(_.equalityIds.sorted).toSeq.sortBy(_._2.map(_.seq).min)
+      .foreach { case (ids, group) =>
+        val cols = ids.map(id => idToName.getOrElse(id.toLong,
+          throw new IllegalArgumentException(
+            s"equality_id $id of ${group.head.path} not in schema")))
+        val delSchema = StructType(logical.fields.filter(f =>
+          cols.contains(f.name)).map(f => StructField(f.name, clean(f.dataType))))
+        val delDf = group.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, g) =>
+          spark.read.schema(delSchema).parquet(g.map(_.path).sorted: _*)
+            .withColumn("_del_seq", lit(seq))
+        }.reduce(_ unionByName _)
+          .select(cols.map(c => col(quoteId(c)).as(s"_del_$c")) :+
+            col("_del_seq"): _*)
+        val cond = cols.map(c => col(quoteId(c)) <=> col(s"_del_$c"))
+          .reduce(_ && _) && col("_ib_seq") < col("_del_seq")
+        out = out.join(delDf, cond, "left_anti")
+      }
 
     if (needHelpers) out = out.drop("_ib_file", "_ib_pos", "_ib_seq")
     out.select(logical.fields.toSeq.map(f => col(quoteId(f.name))): _*)
@@ -887,9 +899,17 @@ object IcebergRead {
     require(found,
       s"$fromSnapshotId is not an ancestor of $to: no incremental path")
     val slices = chain.result().reverse.flatMap { id =>
+      // a snapshot with NO summary/operation must be refused, not assumed
+      // an append: a foreign writer's overwrite/delete without a summary
+      // would contribute its added files while its removals were missed —
+      // the exact failure the explicit refusal below guards against
+      // (format-version 2 requires the operation field, so a conformant
+      // table never hits this)
       val op = Option(byId(id).get("summary")).filterNot(_.isNull)
         .flatMap(s => Option(s.get("operation"))).map(_.asText())
-        .getOrElse("append")
+        .getOrElse(throw new IllegalArgumentException(
+          s"snapshot $id carries no summary.operation: cannot prove it " +
+            "was an append — incremental read would miss any removals"))
       op match {
         case "append" => Some(read(spark, tablePath,
           Options(snapshotId = Some(id), addedInSnapshotId = Some(id),

@@ -275,13 +275,26 @@ object IcebergTransforms {
     case _ => None
   }
 
-  /** Total order over the normalized pruning domain (Int/Long unify). */
+  /** Total order over the normalized pruning domain (Int/Long unify).
+    * Strings compare by CODE POINT — the order of their unsigned UTF-8
+    * bytes, which is what Iceberg bound ordering is defined over. UTF-16
+    * `compareTo` disagrees for astral characters (BMP U+E000..U+FFFF
+    * sorts above surrogate pairs in UTF-16 but below them in UTF-8), so
+    * it would mis-prune files whose bounds or probes leave the BMP.
+    */
   def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
     case (x: Int, y: Long) => java.lang.Long.compare(x.toLong, y)
     case (x: Long, y: Int) => java.lang.Long.compare(x, y.toLong)
-    case (x: String, y: String) => x.compareTo(y)
+    case (x: String, y: String) =>
+      var i = 0; var j = 0
+      while (i < x.length && j < y.length) {
+        val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+        if (cx != cy) return java.lang.Integer.compare(cx, cy)
+        i += Character.charCount(cx); j += Character.charCount(cy)
+      }
+      java.lang.Integer.compare(x.length - i, y.length - j)
     case _ => throw new IllegalArgumentException(
       s"incomparable pruning values: ${a.getClass} vs ${b.getClass}")
   }

@@ -313,6 +313,57 @@ object Streams {
       }
       .start()
 
+  /** EXACTLY-ONCE streaming CDC apply into a native ICEBERG table — the
+    * Iceberg twin of [[deltaMergeSink]] (r17, completing the sink
+    * matrix): each micro-batch commits ONE `overwrite` snapshot
+    * ([[graft.destinations.IcebergWrite.mergeBatch]]) holding an
+    * equality delete over the batch's keys AND the replacement rows at
+    * the same sequence number, so upserts and tombstone deletes land
+    * atomically — no crash window between "old rows deleted" and "new
+    * rows appended". The snapshot summary carries (`appId`, batchId)
+    * (Iceberg's commit-dedup convention); a replayed batch at or below
+    * the recorded high-water is SKIPPED, so non-idempotent effects apply
+    * exactly once under crash-replay. `opCol`/`deleteOp` mark CDC
+    * tombstones; when `orderCol` is set, the LATEST event per key within
+    * the batch wins (ties broken arbitrarily-but-deterministically by
+    * Spark's row_number) — the standard CDC compaction before apply.
+    */
+  def icebergMergeSink(
+      df: DataFrame,
+      tablePath: String,
+      keys: Seq[String],
+      checkpointDir: String,
+      appId: String,
+      opCol: Option[String] = None,
+      deleteOp: String = "D",
+      orderCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val applied = graft.destinations.IcebergWrite
+          .lastAppliedBatch(sp, tablePath, appId)
+        if (batchId > applied && !batch.isEmpty) {
+          import org.apache.spark.sql.expressions.Window
+          import org.apache.spark.sql.functions.{col, row_number}
+          val compacted = orderCol match {
+            case Some(o) =>
+              batch.withColumn("_rn", row_number().over(
+                  Window.partitionBy(keys.map(col): _*)
+                    .orderBy(col(o).desc)))
+                .filter(col("_rn") === 1).drop("_rn")
+            case None => batch
+          }
+          graft.destinations.IcebergWrite.mergeBatch(sp, tablePath,
+            compacted, keys, opCol = opCol, deleteOp = deleteOp,
+            summary = Seq("graft.txn-app-id" -> appId,
+              "graft.txn-batch" -> batchId.toString)): Unit
+        }
+      }
+      .start()
+
   /** Streaming append into a REAL Delta table (`foreachBatch` →
     * [[graft.destinations.DeltaWrite.append]]): each micro-batch is one
     * protocol commit, so any Delta reader tails the stream's output and

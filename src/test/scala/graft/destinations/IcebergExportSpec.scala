@@ -248,6 +248,25 @@ class IcebergExportSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t).count() == 9L)
   }
 
+  // r17 (ADVICE): Delta max-side stats conventions are not verbatim-valid
+  // Iceberg upper bounds — U+FFFF string tie-breakers only bound in
+  // UTF-16 order, millisecond-truncated timestamps undershoot true maxima.
+  test("statsBounds helpers: U+FFFF tie-breaker re-derived, coarse ts maxima padded") {
+    assert(IcebergExport.upperAfterTieBreaker("abc") == Some("abd"))
+    // increment never lands in the surrogate range
+    assert(IcebergExport.upperAfterTieBreaker("a퟿") == Some("a"))
+    assert(IcebergExport.upperAfterTieBreaker("") == None)
+    val maxCp = new String(Character.toChars(0x10FFFF))
+    assert(IcebergExport.upperAfterTieBreaker(maxCp) == None)
+    // the derived bound exceeds any astral continuation in code-point order
+    val cont = "abc" + new String(Character.toChars(0x1F600))
+    assert(graft.sources.IcebergTransforms.cmp("abd", cont) > 0)
+
+    assert(IcebergExport.tsSubPrecisionPad("2024-01-05T01:00:00.000000Z") == 0L)
+    assert(IcebergExport.tsSubPrecisionPad("2024-01-05T01:00:00.000Z") == 999L)
+    assert(IcebergExport.tsSubPrecisionPad("2024-01-05T01:00:00Z") == 999999L)
+  }
+
   test("UniForm refuses VARIANT at enablement and via evolution") {
     val t = tmpDir("uniform-variant").resolve("t").toString
     val vSchema = StructType(Seq(

@@ -411,6 +411,73 @@ class IcebergWriteSpec extends SparkSpec {
     assert(ub2.codePointAt(15) == 0xE000)
   }
 
+  // r17 (VERDICT item 1): the commit path derives per-file stats from ONE
+  // distributed scan instead of driver-serial footer reads. Pin the two
+  // implementations equal on a mixed-null fixture: nulls in eligible
+  // columns, an all-null column, >16-code-point strings with an astral
+  // char (truncation + upper-bound increment), a timestamp column, and an
+  // ineligible double column.
+  test("r17: distributed stats scan equals the footer reference per file") {
+    val dir = tmpDir("icew-statscan")
+    def fid(n: Long) = new MetadataBuilder().putLong("parquet.field.id", n).build()
+    val logical = StructType(Seq(
+      StructField("i", IntegerType, nullable = true, fid(1)),
+      StructField("l", LongType, nullable = true, fid(2)),
+      StructField("s", StringType, nullable = true, fid(3)),
+      StructField("d", DateType, nullable = true, fid(4)),
+      StructField("ts", TimestampType, nullable = true, fid(5)),
+      StructField("nul", StringType, nullable = true, fid(6)),
+      StructField("f", DoubleType, nullable = true, fid(7))))
+    val data = (0 until 50).map { k =>
+      Row(
+        if (k % 7 == 0) null else Integer.valueOf(k - 25),
+        java.lang.Long.valueOf(k.toLong * 1000003L),
+        if (k % 5 == 0) null else s"prefix-that-is-long-$k-😀-pad",
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(k.toLong)),
+        java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-05T00:00:00Z").plusSeconds(k * 977L)),
+        null,
+        java.lang.Double.valueOf(k * 0.5))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(data, 3), logical)
+    val out = dir.resolve("files").toString
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try df.write.parquet(out)
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(out)).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .map(fs.makeQualified)
+    assert(parts.length >= 2, "fixture must span multiple files")
+    val dist = IcebergWrite.computeIcebergStats(
+      spark, parts.map(_.toString).toSeq, logical, Set.empty)
+    assert(dist.keySet == parts.map(_.toString).toSet)
+    parts.foreach { p =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      val (rc, ref) =
+        try (r.getRecordCount, IcebergWrite.columnStats(r, logical))
+        finally r.close()
+      val (n, got) = dist(p.toString)
+      assert(n == rc, s"record count of $p")
+      assert(got.keySet == ref.keySet, s"stats column set of $p")
+      ref.foreach { case (k, (lo, hi, nc)) =>
+        val (glo, ghi, gnc) = got(k)
+        assert(gnc == nc, s"null count fid=$k of $p")
+        assert(glo.map(_.toSeq) == lo.map(_.toSeq), s"lower bound fid=$k of $p")
+        assert(ghi.map(_.toSeq) == hi.map(_.toSeq), s"upper bound fid=$k of $p")
+      }
+    }
+    // identity-partition sources are excluded (hive layout drops them)
+    val noSkip = IcebergWrite.computeIcebergStats(
+      spark, parts.map(_.toString).toSeq, logical, Set("i", "s"))
+    noSkip.values.foreach { case (_, stats) =>
+      assert(!stats.contains(1) && !stats.contains(3) && stats.contains(2))
+    }
+  }
+
   test("many-partition reads consolidate: one scan + broadcast injection, not a union per tuple") {
     import org.apache.spark.sql.functions._
     val t = tmpDir("icew-manypart").resolve("t").toString
@@ -433,6 +500,69 @@ class IcebergWriteSpec extends SparkSpec {
     val after = IcebergRead.read(spark, t)
     assert(after.filter(col("p") === "p7").count() == 0L)
     assert(after.count() == 117L)
+  }
+
+  // r17 (VERDICT item 3): the single-snapshot MERGE commit — equality
+  // delete + replacement rows at the SAME sequence number, atomically.
+  test("r17: mergeBatch commits upserts + tombstones as ONE overwrite snapshot") {
+    import spark.implicits._
+    val t = tmpDir("icew-merge").resolve("t").toString
+    IcebergWrite.create(spark, t, schema)
+    val s0 = IcebergWrite.append(spark, t, rows((1L, "a", "x"), (2L, "b", "x")))
+    val snapsBefore = IcebergRead.snapshots(spark, t).count()
+    val batch = Seq(
+      (1L, "a2", "x", "U"), // upsert existing key
+      (2L, "", "", "D"),    // tombstone
+      (3L, "c", "y", "U"))  // new key
+      .toDF("id", "v", "p", "op")
+    IcebergWrite.mergeBatch(spark, t, batch, keys = Seq("id"),
+      opCol = Some("op"))
+    val got = IcebergRead.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a2", 3L -> "c"))
+    // exactly ONE new snapshot, operation=overwrite
+    val snaps = IcebergRead.snapshots(spark, t).collect()
+    assert(snaps.length == snapsBefore.toInt + 1)
+    assert(snaps.map(_.getAs[String]("operation")).contains("overwrite"))
+    // time travel still sees the pre-merge state
+    val pre = IcebergRead.read(spark, t,
+      IcebergRead.Options(snapshotId = Some(s0))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pre == Map(1L -> "a", 2L -> "b"))
+    // a second merge hitting key 3 replaces the first merge's row too
+    // (the new delete's sequence exceeds the prior merge's data sequence)
+    IcebergWrite.mergeBatch(spark, t,
+      Seq((3L, "c2", "y", "U")).toDF("id", "v", "p", "op"),
+      keys = Seq("id"), opCol = Some("op"))
+    assert(IcebergRead.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a2", 3L -> "c2"))
+  }
+
+  // r17 (VERDICT item 2): equality deletes batch into ONE anti-join per
+  // DISTINCT equality-id set — ten un-compacted delete files must not
+  // build ten chained joins.
+  test("r17: many equality-delete files apply as one anti-join per id set") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val t = tmpDir("icew-eqbatch").resolve("t").toString
+    IcebergWrite.create(spark, t, schema)
+    IcebergWrite.append(spark, t,
+      rows((1L to 12L).map(i => (i, s"v$i", "x")): _*))
+    // 8 delete files over {id}, 2 over {v} — 10 files, 2 id sets
+    (1 to 8).foreach(i =>
+      IcebergWrite.deleteWhere(spark, t, Seq(i.toLong).toDF("id")))
+    Seq("v9", "v10").foreach(v =>
+      IcebergWrite.deleteWhere(spark, t, Seq(v).toDF("v")))
+    val back = IcebergRead.read(spark, t)
+    val joins = back.queryExecution.logical.collect { case j: Join => j }
+    assert(joins.size == 2, s"expected one join per id set, got ${joins.size}")
+    assert(back.collect().map(_.getLong(0)).toSet == Set(11L, 12L))
+    // a later append is NOT affected by earlier deletes (seq ordering
+    // rides the unioned _del_seq column)
+    IcebergWrite.append(spark, t, rows((1L, "v1", "y")))
+    assert(IcebergRead.read(spark, t).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 11L, 12L))
   }
 
   test("rollbackTo + incremental append scan between snapshots") {

@@ -35,4 +35,38 @@ class DeltaStatsSpec extends AnyFunSuite {
   test("garbage keeps the file (None, never a wrong order)") {
     assert(c("not-a-timestamp", "2024-01-05T01:00:00Z").isEmpty)
   }
+
+  // r17 (ADVICE): a millisecond-precision stats max (delta-spark's
+  // serialization truncates downward) must be padded on the hi side —
+  // the file's true max may lie in the dropped sub-millisecond.
+  test("ms-truncated stats max pads +999µs before hi-side comparison") {
+    val iv = DeltaStats.ColInterval(
+      Some("2024-01-05T00:00:00.000Z"), Some("2024-01-05T01:00:00.000Z"),
+      nullsPossible = false, allNull = false)
+    val in = java.time.Instant.parse("2024-01-05T01:00:00.000500Z")
+    assert(DeltaStats.mayContain(iv, TimestampType, in, in, inHasNull = false),
+      "probe inside the truncated sub-millisecond must keep the file")
+    val past = java.time.Instant.parse("2024-01-05T01:00:00.001Z")
+    assert(!DeltaStats.mayContain(iv, TimestampType, past, past, inHasNull = false),
+      "probe past the padded window still prunes")
+  }
+
+  test("full-micros stats max (this engine's format) pads nothing") {
+    val iv = DeltaStats.ColInterval(
+      Some("2024-01-05T00:00:00.000000Z"), Some("2024-01-05T01:00:00.000000Z"),
+      nullsPossible = false, allNull = false)
+    val just = java.time.Instant.parse("2024-01-05T01:00:00.000001Z")
+    assert(!DeltaStats.mayContain(iv, TimestampType, just, just, inHasNull = false))
+  }
+
+  test("bare-seconds stats max pads the whole second; exact partition values do not") {
+    val stats = DeltaStats.ColInterval(
+      Some("2024-01-05 00:00:00"), Some("2024-01-05 01:00:00"),
+      nullsPossible = false, allNull = false)
+    val in = java.time.Instant.parse("2024-01-05T01:00:00.999999Z")
+    assert(DeltaStats.mayContain(stats, TimestampType, in, in, inHasNull = false))
+    val part = stats.copy(hiExact = true)
+    assert(!DeltaStats.mayContain(part, TimestampType, in, in, inHasNull = false),
+      "a partition value IS the value — sub-second probes above it prune")
+  }
 }

@@ -118,6 +118,20 @@ class IcebergTransformsSpec extends SparkSpec {
     assert(truncateString(astral, 2) == "a😀")
   }
 
+  // r17 (ADVICE): Iceberg bounds order is unsigned UTF-8 bytes = code
+  // points. UTF-16 compareTo inverts BMP U+E000..U+FFFF vs astral chars.
+  test("cmp orders strings by code point (UTF-8 byte order), not UTF-16") {
+    val bmpHigh = "�"   // U+FFFD, single UTF-16 unit 0xFFFD
+    val astral = "😀" // U+1F600, surrogate pair (UTF-16 lead 0xD83D)
+    assert(bmpHigh.compareTo(astral) > 0, "UTF-16 order puts U+FFFD above")
+    assert(cmp(bmpHigh, astral) < 0, "code-point order puts U+1F600 above")
+    assert(cmp(astral, bmpHigh) > 0)
+    // prefix ordering and equality unchanged
+    assert(cmp("ab", "abc") < 0)
+    assert(cmp("abc", "abc") == 0)
+    assert(cmp("b", "a") > 0)
+  }
+
   private def mkRows(n: Int): Seq[Row] = (0 until n).map { i =>
     Row(i.toLong,
       SqlTimestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
