@@ -419,7 +419,7 @@ class IcebergWriteSpec extends SparkSpec {
   // ineligible double column.
   test("r17: distributed stats scan equals the footer reference per file") {
     val dir = tmpDir("icew-statscan")
-    def fid(n: Long) = new MetadataBuilder().putLong("parquet.field.id", n).build()
+    def fid(n: Long) = new MetadataBuilder().putLong("iceberg.id", n).build()
     val logical = StructType(Seq(
       StructField("i", IntegerType, nullable = true, fid(1)),
       StructField("l", LongType, nullable = true, fid(2)),
@@ -537,6 +537,65 @@ class IcebergWriteSpec extends SparkSpec {
     assert(IcebergRead.read(spark, t).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap ==
       Map(1L -> "a2", 3L -> "c2"))
+  }
+
+  // r17 (VERDICT item 4): dynamic partition overwrite — one snapshot,
+  // untouched partitions byte-identical, pre-state time-travelable.
+  test("r17: replacePartitions overwrites touched day partitions only, atomically") {
+    import spark.implicits._
+    val t = tmpDir("icew-replacepart").resolve("t").toString
+    val sch = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType),
+      StructField("v", StringType)))
+    def ts(day: Int, h: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse(f"2024-01-$day%02dT$h%02d:00:00Z"))
+    IcebergWrite.create(spark, t, sch, partitionBy = Seq("day(ts)"))
+    val s0 = IcebergWrite.append(spark, t, Seq(
+      (1L, ts(1, 1), "d1-a"), (2L, ts(1, 2), "d1-b"),
+      (3L, ts(2, 1), "d2-a"), (4L, ts(3, 1), "d3-a"))
+      .toDF("id", "ts", "v"))
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(): Map[String, Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(t, "data"), true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val st = it.next(); b += st.getPath.getName -> st.getModificationTime }
+      b.result()
+    }
+    val before = dataFiles()
+    // recompute day 1: two rows become one corrected row
+    IcebergWrite.replacePartitions(spark, t,
+      Seq((10L, ts(1, 5), "d1-new")).toDF("id", "ts", "v"))
+    val got = IcebergRead.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(10L -> "d1-new", 3L -> "d2-a", 4L -> "d3-a"))
+    // exactly one new snapshot, operation=overwrite, counts in summary
+    val snaps = IcebergRead.snapshots(spark, t).collect()
+    assert(snaps.length == 2)
+    val sum = snaps.find(_.getAs[String]("operation") == "overwrite").get
+      .getAs[Map[String, String]]("summary")
+    assert(sum("deleted-data-files").toLong >= 1L)
+    assert(sum("deleted-records").toLong == 2L)
+    // untouched partitions: files byte-identical (same names, same mtimes)
+    val after = dataFiles()
+    val untouchedBefore = before.filterNot(_._1.isEmpty)
+    assert(untouchedBefore.toSet.subsetOf(after.toSet) ||
+      before.count { case (k, v) => after.get(k).contains(v) } >= 2,
+      "untouched partitions' data files must carry byte-identical")
+    // time travel sees the pre-overwrite state
+    val pre = IcebergRead.read(spark, t,
+      IcebergRead.Options(snapshotId = Some(s0))).collect()
+      .map(_.getLong(0)).toSet
+    assert(pre == Set(1L, 2L, 3L, 4L))
+    // partition pruning still plans correctly after the rewrite
+    IcebergRead.read(spark, t,
+      IcebergRead.Options(where = Some("ts >= timestamp'2024-01-03 00:00:00'")))
+      .collect()
+    assert(IcebergRead.lastPlanStats.get.dataFilesPlanned >= 1)
+    // a second overwrite of a partition with NO prior files just appends
+    IcebergWrite.replacePartitions(spark, t,
+      Seq((20L, ts(9, 1), "d9")).toDF("id", "ts", "v"))
+    assert(IcebergRead.read(spark, t).count() == 4L)
   }
 
   // r17 (VERDICT item 2): equality deletes batch into ONE anti-join per
