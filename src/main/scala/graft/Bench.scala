@@ -94,9 +94,12 @@ object Bench {
     "q172_iceberg_refs", "q173_iceberg_stats_skip",
     "q174_iceberg_incremental", "q175_delta_ts_stats",
     "q176_uniform_bounds")
+  // queries added in round 17
+  private[graft] val r17New = Set("q177_iceberg_merge_stream",
+    "q178_iceberg_replace_partitions", "q179_delta_ntz_stats")
   private[graft] val laterRounds =
     Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New, r11New, r13New,
-      r14New, r15New, r16New)
+      r14New, r15New, r16New, r17New)
   private def newer(from: Int)(k: String): Boolean =
     laterRounds.drop(from).exists(_(k))
   // ------------------------------------------------------------------------

@@ -3571,8 +3571,11 @@ object DeltaWrite {
     * delta-spark's convention at full precision, so no upper-bound
     * adjustment is needed); [[graft.sources.DeltaStats]] compares them as
     * INSTANTS, never strings, so foreign millisecond-precision stats
-    * order correctly too. TimestampNTZ still skips (no canonical
-    * zone-free stats form across engines).
+    * order correctly too. TimestampNTZ (r17) serializes the same ISO form
+    * WITHOUT the zone suffix ("2024-01-05T01:00:00.000000", delta-spark's
+    * zone-free spelling) and compares as wall-clock LocalDateTime; a
+    * foreign coarser-precision max gets the same read-side pad as tz
+    * timestamps ([[graft.sources.DeltaStats]]).
     */
   private def statsEligible(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case _: org.apache.spark.sql.types.NumericType => true
@@ -3580,12 +3583,16 @@ object DeltaWrite {
     case org.apache.spark.sql.types.DateType => true
     case org.apache.spark.sql.types.BooleanType => true
     case org.apache.spark.sql.types.TimestampType => true
+    case org.apache.spark.sql.types.TimestampNTZType => true
     case _ => false
   }
 
   private val statsTsFormat = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
     .withZone(java.time.ZoneOffset.UTC)
+
+  private val statsNtzFormat = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
 
   private val StatsStringPrefix = 32
 
@@ -3642,6 +3649,9 @@ object DeltaWrite {
               case d: java.sql.Date => o.put(c, d.toString)
               case t: java.sql.Timestamp =>
                 o.put(c, statsTsFormat.format(t.toInstant))
+              case t: java.time.Instant => o.put(c, statsTsFormat.format(t))
+              case l: java.time.LocalDateTime => // ntz: zone-free wall clock
+                o.put(c, statsNtzFormat.format(l))
               case n: java.math.BigDecimal => o.put(c, n)
               case n: Number =>
                 // NaN/Infinity have no JSON-number form — omit (never prunes)

@@ -1599,6 +1599,158 @@ private[graft] object DeltaQueries {
         .withColumn("files_seen", lit(st.dataFilesSeen))
         .withColumn("files_planned", lit(st.dataFilesPlanned))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Exactly-once streaming CDC apply into ICEBERG (r17, the Iceberg
+    // twin of q152's Delta MERGE sink): upserts AND tombstone deletes
+    // flow through icebergMergeSink — every micro-batch is ONE atomic
+    // `overwrite` snapshot (equality delete over the batch's keys + the
+    // replacement rows at the SAME sequence number), summary-stamped
+    // with the batch id. The checkpoint is then rolled back to a copy
+    // taken before batch 1 and the stream re-run: the replayed batch is
+    // SKIPPED (a re-applied delete would kill batch 1's own rows).
+    // Pinned: snapshot count 2 (atomicity — two batches, two snapshots,
+    // none from the replay) and replay_ok; the post-replay state itself
+    // is the hashed frame, replayed from raw orders in DuckDB.
+    "q177_iceberg_merge_stream" -> ((s, dir) => withStatePartitions(s, 8) {
+      import graft.destinations.IcebergWrite
+      import graft.sources.IcebergRead
+      val root = tmp("graft-q177")
+      val tbl = root.resolve("t").toString
+      val src = root.resolve("in")
+      val cp = root.resolve("cp")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      IcebergWrite.create(s, tbl,
+        orders.schema.asInstanceOf[StructType])
+      // CDC batch 0: inserts for keys < 3000
+      val b0 = orders.filter(col("o_orderkey") < 3000)
+        .withColumn("op", lit("U")).withColumn("ver", lit(1L))
+      // CDC batch 1: +1.0 updates (<1000), tombstones [1000,2000),
+      // fresh inserts [3000,4000) — all in one micro-batch
+      val b1 = orders.filter(col("o_orderkey") < 1000)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+        .withColumn("op", lit("U")).withColumn("ver", lit(2L))
+        .unionByName(orders
+          .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000)
+          .withColumn("op", lit("D")).withColumn("ver", lit(2L)))
+        .unionByName(orders
+          .filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 4000)
+          .withColumn("op", lit("U")).withColumn("ver", lit(2L)))
+      val evSchema = b0.schema.asInstanceOf[StructType]
+      def drain(): Unit = {
+        val q = graft.streaming.Streams.icebergMergeSink(
+          graft.streaming.Streams.fileSource(s, src.toString, evSchema,
+            maxFilesPerTrigger = Some(1)),
+          tbl, keys = Seq("o_orderkey"), checkpointDir = cp.toString,
+          appId = "q177", opCol = Some("op"), orderCol = Some("ver"))
+        q.processAllAvailable()
+        q.stop()
+      }
+      appendReplayFile(b0, src, 0)
+      drain()
+      val cpCopy = root.resolve("cp-copy") // crash point: before batch 1
+      copyDir(cp, cpCopy)
+      appendReplayFile(b1, src, 1)
+      drain()
+      val rowsAfter = IcebergRead.read(s, tbl).count()
+      val snapsAfter = IcebergRead.snapshots(s, tbl).count()
+      // crash simulation: restore the pre-batch-1 checkpoint and re-run —
+      // the replayed batch id is at the summary high-water, so nothing
+      // moves (the final frame below IS the post-replay state)
+      deleteDir(cp)
+      copyDir(cpCopy, cp)
+      drain()
+      val replayOk =
+        if (IcebergRead.read(s, tbl).count() == rowsAfter &&
+            IcebergRead.snapshots(s, tbl).count() == snapsAfter) 1 else 0
+      IcebergRead.read(s, tbl)
+        .withColumn("snapshots", lit(snapsAfter))
+        .withColumn("replay_ok", lit(replayOk))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // DYNAMIC PARTITION OVERWRITE on a day(ts)-transform-partitioned
+    // Iceberg table (r17): the nightly-recompute shape — one `overwrite`
+    // snapshot drops the three recomputed day partitions' files and
+    // appends the corrected rows; untouched days carry byte-identical
+    // manifest entries. Pinned: exactly 3 files replaced (one per day —
+    // the coalesced first append wrote one file per day dir), time
+    // travel to the pre-overwrite snapshot still counts the original
+    // rows, and the merged state (doubled values inside the window,
+    // originals outside) replays from raw events in DuckDB.
+    "q178_iceberg_replace_partitions" -> ((s, dir) => {
+      import graft.destinations.IcebergWrite
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q178").resolve("t").toString
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val tsNorm = raw.schema("ts").dataType match {
+        case LongType => expr("timestamp_micros(ts div 1000)")
+        case _ => col("ts").cast("timestamp")
+      }
+      def day(d: String) = lit(d).cast("timestamp")
+      val ev = raw.withColumn("ts", tsNorm)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .filter(col("ts") >= day("2024-01-01") && col("ts") < day("2024-02-01"))
+      IcebergWrite.create(s, tbl,
+        ev.schema.asInstanceOf[StructType], partitionBy = Seq("day(ts)"))
+      val s0 = IcebergWrite.append(s, tbl, ev.coalesce(1))
+      val baseRows = ev.count()
+      // recompute three days: value doubles, row set unchanged
+      val window = col("ts") >= day("2024-01-12") && col("ts") < day("2024-01-15")
+      IcebergWrite.replacePartitions(s, tbl,
+        ev.filter(window).withColumn("value", col("value") * 2).coalesce(1))
+      val snaps = IcebergRead.snapshots(s, tbl).collect()
+      val replacedFiles = snaps
+        .find(_.getAs[String]("operation") == "overwrite").get
+        .getAs[Map[String, String]]("summary")("deleted-data-files").toInt
+      val travelOk =
+        if (IcebergRead.read(s, tbl,
+          IcebergRead.Options(snapshotId = Some(s0))).count() == baseRows) 1
+        else 0
+      IcebergRead.read(s, tbl)
+        .withColumn("replaced_files", lit(replacedFiles))
+        .withColumn("travel_ok", lit(travelOk))
+        .orderBy(col("event_id"))
+    }),
+
+    // Delta TIMESTAMP_NTZ stats skipping (r17, closing the gap q175 left
+    // documented): ntz columns now carry zone-free ISO-micros min/max in
+    // the add stats, compared as WALL-CLOCK LocalDateTime (never strings,
+    // so foreign millisecond stats order too, with the same max-side
+    // precision pad as tz timestamps). Three day-disjoint appends; an
+    // ntz range readWhere plans exactly 1 file, a broad one all 3.
+    "q179_delta_ntz_stats" -> ((s, dir) => {
+      import graft.destinations.DeltaWrite
+      import graft.sources.DeltaLog
+      val tbl = tmp("graft-q179").resolve("t").toString
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val tsNorm = raw.schema("ts").dataType match {
+        case LongType => expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+        case _ => col("ts").cast("timestamp_ntz")
+      }
+      val ev = raw.withColumn("ts", tsNorm)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      def day(d: String) = lit(d).cast("timestamp_ntz")
+      DeltaWrite.createIfAbsent(s, tbl,
+        ev.schema.asInstanceOf[StructType])
+      DeltaWrite.append(s, tbl,
+        ev.filter(col("ts") < day("2024-01-11")).coalesce(1))
+      DeltaWrite.append(s, tbl,
+        ev.filter(col("ts") >= day("2024-01-11") &&
+          col("ts") < day("2024-01-21")).coalesce(1))
+      DeltaWrite.append(s, tbl,
+        ev.filter(col("ts") >= day("2024-01-21")).coalesce(1))
+      val out = DeltaLog.readWhere(s, tbl,
+        "ts >= TIMESTAMP_NTZ '2024-01-12 00:00:00' AND " +
+          "ts < TIMESTAMP_NTZ '2024-01-15 00:00:00'")
+      val planned = DeltaLog.lastReadWherePlan.get.planned
+      DeltaLog.readWhere(s, tbl, "event_id >= 0").collect()
+      val broad = DeltaLog.lastReadWherePlan.get.planned
+      out
+        .withColumn("files_planned", lit(planned))
+        .withColumn("files_broad", lit(broad))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1850,6 +2002,42 @@ private[graft] object DeltaQueries {
          FROM orders
          WHERE o_orderkey >= 500 AND o_orderkey < 900
          ORDER BY o_orderkey""",
+
+    // post-replay CDC state: updates applied once, tombstones gone, late
+    // inserts present; 2 snapshots = one atomic commit per micro-batch
+    "q177_iceberg_merge_stream" ->
+      """SELECT o_orderkey, o_custkey,
+                CASE WHEN o_orderkey < 1000 THEN o_totalprice + 1.0
+                     ELSE o_totalprice END AS o_totalprice,
+                CAST(2 AS BIGINT) AS snapshots,
+                CAST(1 AS INT) AS replay_ok
+         FROM orders
+         WHERE o_orderkey < 1000
+            OR (o_orderkey >= 2000 AND o_orderkey < 4000)
+         ORDER BY o_orderkey""",
+
+    // dynamic overwrite: doubled values exactly inside the recomputed
+    // window, originals outside; 3 day-files replaced; pre-state travels
+    "q178_iceberg_replace_partitions" ->
+      """SELECT event_id, ts, user_id,
+                CASE WHEN ts >= TIMESTAMP '2024-01-12'
+                      AND ts < TIMESTAMP '2024-01-15'
+                     THEN value * 2 ELSE value END AS value,
+                CAST(3 AS INT) AS replaced_files,
+                CAST(1 AS INT) AS travel_ok
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+         ORDER BY event_id""",
+
+    // ntz stats must prune to the single overlapping file (1) while a
+    // broad predicate keeps all three — and lose nothing vs the replay
+    "q179_delta_ntz_stats" ->
+      """SELECT event_id, ts, user_id, value,
+                CAST(1 AS INT) AS files_planned,
+                CAST(3 AS INT) AS files_broad
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-15'
+         ORDER BY event_id""",
 
     "q111_delta_cdf" -> cdfOracleSql,
     "q131_delta_cdf_mapped" -> cdfOracleSql,

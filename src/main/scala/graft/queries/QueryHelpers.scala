@@ -172,6 +172,23 @@ private[graft] object QueryHelpers {
 
   // shortest-round-trip double literal: both JVM and DuckDB parse it back
   // to the identical bits, so embedded plane/centroid constants are exact
+  /** Recursive copy — crash-simulation gates snapshot a streaming
+    * checkpoint before a batch and restore it afterwards (r17, q177). */
+  def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    java.nio.file.Files.walk(from).forEach { p =>
+      val dst = to.resolve(from.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(dst)
+      else {
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.copy(p, dst): Unit
+      }
+    }
+  }
+
+  def deleteDir(p: java.nio.file.Path): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+
   def dlit(d: Double): String =
     if (d == Math.floor(d) && !d.isInfinite && math.abs(d) < 1e15) s"${d.toLong}.0"
     else d.toString

@@ -52,6 +52,22 @@ private[graft] object DeltaStats {
         catch { case NonFatal(_) => None } }
   }
 
+  /** TimestampNTZ stats value → zone-free wall clock. Accepts
+    * LocalDateTime (literal probes), naive ISO (this engine's and
+    * delta-spark's spelling), the hive space form, and tolerates a
+    * spurious zone suffix (taken as the wall-clock part). None =
+    * unparseable (callers keep the file).
+    */
+  private def ntzLocal(a: Any): Option[java.time.LocalDateTime] = a match {
+    case l: java.time.LocalDateTime => Some(l)
+    case other =>
+      val s0 = str(other).replace(' ', 'T')
+      try Some(java.time.LocalDateTime.parse(s0))
+      catch { case NonFatal(_) =>
+        try Some(java.time.OffsetDateTime.parse(s0).toLocalDateTime)
+        catch { case NonFatal(_) => None } }
+  }
+
   /** None = incomparable (caller must treat as overlapping). Strings
     * compare by code point — UTF-16 `compareTo` disagrees with Spark's
     * UTF-8 binary ordering for astral characters.
@@ -66,6 +82,8 @@ private[graft] object DeltaStats {
         Some(java.lang.Boolean.compare(str(a).toBoolean, str(b).toBoolean))
       case TimestampType =>
         for (x <- tsInstant(a); y <- tsInstant(b)) yield x.compareTo(y)
+      case TimestampNTZType =>
+        for (x <- ntzLocal(a); y <- ntzLocal(b)) yield x.compareTo(y)
       case _ => None
     } catch { case NonFatal(_) => None }
 
@@ -89,6 +107,24 @@ private[graft] object DeltaStats {
     * This engine's own stats are full micros (6 digits) → pad 0, and the
     * MIN side needs no change (a floor is a valid lower bound).
     */
+  private def fracDigits(s0: String): Int = {
+    val dot = s0.indexOf('.')
+    var digits = 0
+    if (dot >= 0) {
+      var k = dot + 1
+      while (k < s0.length && Character.isDigit(s0.charAt(k))) { digits += 1; k += 1 }
+    }
+    digits
+  }
+
+  private def padMicrosFor(digits: Int): Long =
+    if (digits >= 6) 0L
+    else {
+      var p = 1L; var d = digits
+      while (d < 6) { p *= 10L; d += 1 }
+      p - 1L
+    }
+
   private def padHi(iv: ColInterval, dt: DataType): Option[Any] =
     iv.hi.map { h =>
       if (iv.hiExact) h
@@ -97,25 +133,17 @@ private[graft] object DeltaStats {
           case i: java.time.Instant => i
           case other =>
             val s0 = str(other)
-            tsInstant(s0) match {
-              case Some(i) =>
-                val dot = s0.indexOf('.')
-                var digits = 0
-                if (dot >= 0) {
-                  var k = dot + 1
-                  while (k < s0.length && Character.isDigit(s0.charAt(k))) {
-                    digits += 1; k += 1
-                  }
-                }
-                if (digits >= 6) i
-                else {
-                  var padMicros = 1L
-                  var d = digits
-                  while (d < 6) { padMicros *= 10L; d += 1 }
-                  i.plusNanos((padMicros - 1L) * 1000L)
-                }
-              case None => h
-            }
+            tsInstant(s0)
+              .map(_.plusNanos(padMicrosFor(fracDigits(s0)) * 1000L))
+              .getOrElse(h)
+        }
+        case TimestampNTZType => h match {
+          case l: java.time.LocalDateTime => l
+          case other =>
+            val s0 = str(other)
+            ntzLocal(s0)
+              .map(_.plusNanos(padMicrosFor(fracDigits(s0)) * 1000L))
+              .getOrElse(h)
         }
         case _ => h
       }
@@ -180,8 +208,9 @@ private[graft] object DeltaStats {
 
   /** Extract a literal's comparable form for [[cmp]] against stats values
     * (DateType literals are epoch days internally — stats store ISO;
-    * TimestampType literals are epoch micros — compared as instants).
-    * None = a form we don't prune on (ntz timestamps, intervals, …).
+    * TimestampType literals are epoch micros — compared as instants;
+    * TimestampNTZ literals are WALL-CLOCK micros — compared as
+    * LocalDateTime, r17). None = a form we don't prune on (intervals, …).
     */
   private def literalValue(l: Literal): Option[Any] = l.dataType match {
     case DateType =>
@@ -191,6 +220,14 @@ private[graft] object DeltaStats {
         val us = v.asInstanceOf[Long]
         java.time.Instant.ofEpochSecond(
           Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      }
+    case TimestampNTZType =>
+      Option(l.value).map { v =>
+        val us = v.asInstanceOf[Long]
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
       }
     case _: NumericType | StringType | BooleanType => Option(l.value).map(_.toString)
     case _ => None
