@@ -597,6 +597,7 @@ object IcebergWrite {
       .find(s => Option(s.get("schema-id")).exists(_.asInt() == csid))
       .getOrElse(throw new IllegalArgumentException(s"schema $csid missing"))
     val logical = IcebergRead.parseType(schemaNode).asInstanceOf[StructType]
+    IcebergRead.refuseDivergentWrite(logical, "commitDataSnapshot")
     val idToName = logical.fields.map(f => IcebergRead.fieldId(f) -> f.name).toMap
     val specId = md.get("default-spec-id").asInt()
     val specNode = md.get("partition-specs").elements().asScala
@@ -984,6 +985,7 @@ object IcebergWrite {
       .find(s => Option(s.get("schema-id")).exists(_.asInt() == csid))
       .getOrElse(throw new IllegalArgumentException(s"schema $csid missing"))
     val logical = IcebergRead.parseType(schemaNode).asInstanceOf[StructType]
+    IcebergRead.refuseDivergentWrite(logical, "deleteWhere")
 
     // delete file + manifest (content=1 in the list; data_file.content=2)
     // with the equality ids; unpartitioned-scoped, so it applies table-wide

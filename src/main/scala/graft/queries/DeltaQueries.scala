@@ -1751,6 +1751,102 @@ private[graft] object DeltaQueries {
         .withColumn("files_planned", lit(planned))
         .withColumn("files_broad", lit(broad))
         .orderBy(col("event_id"))
+    }),
+
+    // FOREIGN-ONLY Iceberg primitives (r17): a hand-built foreign table
+    // with `uuid` (FLBA(16)+UUID), `fixed[8]` (FLBA(8)) and `time`
+    // (INT64 TIME MICROS) columns — physical shapes Spark cannot write —
+    // reads back as string/binary/long micros, INCLUDING an equality
+    // delete keyed on the uuid column (binary→canonical-text restore
+    // inside the anti-join). Values derive from md5(p_partkey), so
+    // DuckDB replays the whole thing from `part`; the pre-delete row
+    // count pins the time-travel path over the same fixture.
+    "q180_iceberg_foreign_types" -> ((s, dir) => {
+      import graft.destinations.IcebergForeignTypesFixture
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q180").resolve("t").toString
+      val src = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_partkey") <= 400)
+        .select(col("p_partkey").cast("int").as("id"),
+          md5(col("p_partkey").cast("string")).as("h"))
+        .orderBy("id").collect()
+      def hexBytes(h: String): Array[Byte] =
+        h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      val rows = src.toSeq.map { r =>
+        val id = r.getInt(0)
+        val u = hexBytes(r.getString(1))
+        (id, u, u.take(8), (id.toLong * 1234567L) % 86400000000L)
+      }
+      IcebergForeignTypesFixture.write(s, tbl, rows,
+        rows.filter(_._1 % 7 == 0).map(_._2))
+      val pre = IcebergRead.read(s, tbl,
+        IcebergRead.Options(snapshotId = Some(1L))).count()
+      IcebergRead.read(s, tbl)
+        .select(col("id"), col("u"), lower(hex(col("fx"))).as("fx_hex"),
+          col("tm"), lit(pre).as("pre_rows"))
+        .orderBy(col("id"))
+    }),
+
+    // Single-call BATCH MERGE into Iceberg (r17): one `overwrite`
+    // snapshot carries the equality delete over the batch's keys AND the
+    // replacement/insert rows at the same sequence — the batch twin of
+    // q177's streaming sink. Pinned: 2 snapshots total (seed append +
+    // ONE atomic merge, no delete-then-append pair).
+    "q181_iceberg_merge_batch" -> ((s, dir) => {
+      import graft.destinations.IcebergWrite
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q181").resolve("t").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      IcebergWrite.create(s, tbl,
+        orders.schema.asInstanceOf[StructType])
+      IcebergWrite.append(s, tbl,
+        orders.filter(col("o_orderkey") < 3000).coalesce(2))
+      val batch = orders.filter(col("o_orderkey") < 1000)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+        .withColumn("op", lit("U"))
+        .unionByName(orders
+          .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000)
+          .withColumn("op", lit("D")))
+        .unionByName(orders
+          .filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 4000)
+          .withColumn("op", lit("U")))
+      IcebergWrite.mergeBatch(s, tbl, batch,
+        keys = Seq("o_orderkey"), opCol = Some("op"))
+      val snaps = IcebergRead.snapshots(s, tbl).count()
+      IcebergRead.read(s, tbl)
+        .withColumn("snapshots", lit(snaps))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Iceberg FORMAT-VERSION 3 read (r17): a hand-built foreign v3 table
+    // whose second snapshot is a DELETION VECTOR — a puffin
+    // `deletion-vector-v1` blob (Delta-framed roaring64, the framing v3
+    // adopted for UniForm interop) addressed straight from the manifest's
+    // referenced_data_file/content_offset/content_size — plus an
+    // `initial-default` column the data file predates. The DV kills the
+    // positions of keys divisible by 5; every surviving row must carry
+    // the declared default; time travel to snapshot 1 (pre-DV) pins the
+    // full count. All replayed from raw orders in DuckDB.
+    "q182_iceberg_v3_dv" -> ((s, dir) => {
+      import graft.destinations.IcebergV3Fixture
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q182").resolve("t").toString
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+      val keys = base.select(col("o_orderkey")).collect().map(_.getLong(0))
+      val positions = keys.zipWithIndex.collect {
+        case (k, i) if k % 5 == 0 => i.toLong
+      }
+      IcebergV3Fixture.write(s, tbl, base.coalesce(1), positions.toSeq,
+        extraColumn = Some(("src", "string", "\"legacy\"")))
+      val pre = IcebergRead.read(s, tbl,
+        IcebergRead.Options(snapshotId = Some(1L))).count()
+      IcebergRead.read(s, tbl)
+        .withColumn("pre_rows", lit(pre))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -2038,6 +2134,47 @@ private[graft] object DeltaQueries {
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-15'
          ORDER BY event_id""",
+
+    // foreign uuid/fixed/time replayed from md5(p_partkey): canonical
+    // 8-4-4-4-12 uuid text, first-8-bytes hex, micros-of-day; keys
+    // divisible by 7 fall to the uuid-keyed equality delete, the
+    // pre-delete snapshot still counts all 400
+    "q180_iceberg_foreign_types" ->
+      """SELECT CAST(p_partkey AS INT) AS id,
+                substr(h,1,8)||'-'||substr(h,9,4)||'-'||substr(h,13,4)||'-'||
+                  substr(h,17,4)||'-'||substr(h,21,12) AS u,
+                substr(h,1,16) AS fx_hex,
+                (CAST(p_partkey AS BIGINT) * 1234567) % 86400000000 AS tm,
+                CAST((SELECT count(*) FROM part WHERE p_partkey <= 400)
+                  AS BIGINT) AS pre_rows
+         FROM (SELECT p_partkey, md5(CAST(p_partkey AS VARCHAR)) AS h
+               FROM part WHERE p_partkey <= 400)
+         WHERE p_partkey % 7 <> 0
+         ORDER BY id""",
+
+    // v3 deletion vector: keys % 5 == 0 positionally dead, every
+    // surviving row carries the pre-addition default; pre-DV snapshot
+    // still counts everything
+    "q182_iceberg_v3_dv" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                'legacy' AS src,
+                CAST((SELECT count(*) FROM orders WHERE o_orderkey < 2000)
+                  AS BIGINT) AS pre_rows
+         FROM orders
+         WHERE o_orderkey < 2000 AND o_orderkey % 5 <> 0
+         ORDER BY o_orderkey""",
+
+    // post-merge state: +1.0 updates under 1000, [1000,2000) tombstoned,
+    // [3000,4000) inserted; 2 snapshots = seed + ONE atomic merge
+    "q181_iceberg_merge_batch" ->
+      """SELECT o_orderkey, o_custkey,
+                CASE WHEN o_orderkey < 1000 THEN o_totalprice + 1.0
+                     ELSE o_totalprice END AS o_totalprice,
+                CAST(2 AS BIGINT) AS snapshots
+         FROM orders
+         WHERE o_orderkey < 1000
+            OR (o_orderkey >= 2000 AND o_orderkey < 4000)
+         ORDER BY o_orderkey""",
 
     "q111_delta_cdf" -> cdfOracleSql,
     "q131_delta_cdf_mapped" -> cdfOracleSql,

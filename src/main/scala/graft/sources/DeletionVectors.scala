@@ -143,6 +143,39 @@ private[graft] object DeletionVectors {
     arr
   }
 
+  /** Iceberg v3 `deletion-vector-v1` puffin blob (public Iceberg Table
+    * Spec v3, "Deletion vectors" — which adopted Delta's DV framing
+    * verbatim for UniForm interop): 4-byte big-endian length of
+    * (magic + vector), the portable magic, the 64-bit roaring bitmap,
+    * then a 4-byte big-endian CRC-32 of (magic + vector). `offset` and
+    * `size` come straight from the manifest entry (`content_offset` /
+    * `content_size_in_bytes`), so the puffin FOOTER is never consulted
+    * to read. Every mismatch (size, magic, CRC) fails loudly — a wrong
+    * guess about a foreign writer's framing must never read wrong rows.
+    */
+  def readIcebergDv(
+      fs: org.apache.hadoop.fs.FileSystem, path: Path,
+      offset: Long, size: Long): RoaringArray = {
+    val in = fs.open(path)
+    try {
+      in.seek(offset)
+      val lenBuf = new Array[Byte](4)
+      in.readFully(lenBuf)
+      val len = ByteBuffer.wrap(lenBuf).getInt // big-endian
+      require(size < 0 || size == len + 8L,
+        s"DV blob size $size != 4 + $len + 4 at $path:$offset")
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      val crcBuf = new Array[Byte](4)
+      in.readFully(crcBuf)
+      val crc = new java.util.zip.CRC32
+      crc.update(buf)
+      require(crc.getValue.toInt == ByteBuffer.wrap(crcBuf).getInt,
+        s"DV checksum mismatch at $path:$offset")
+      decode(buf)
+    } finally in.close()
+  }
+
   /** Decode serialized RoaringBitmapArray bytes (LE magic + bitmaps). */
   def decode(data: Array[Byte]): RoaringArray = {
     val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)

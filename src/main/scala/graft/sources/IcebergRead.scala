@@ -46,9 +46,29 @@ import scala.jdk.CollectionConverters._
   * snapshot refs (branch = current schema, tag = time travel), and
   * per-file column stats (`lower_bounds`/`upper_bounds`/
   * `null_value_counts` — Delta-style stats skipping on data columns).
-  * Refused loudly: format-version 3 and types this engine has no
-  * equivalent for (uuid/fixed/time) — silently wrong rows are worse
-  * than an error for a lake reader.
+  *
+  * Format-version 3 (r17): DELETION VECTORS — puffin
+  * `deletion-vector-v1` blobs addressed straight from the manifest's
+  * `referenced_data_file`/`content_offset`/`content_size_in_bytes`
+  * (v3 adopted Delta's DV framing verbatim, so the bitmap codec is
+  * [[DeletionVectors]]), applied as a codegen'd per-row filter
+  * ([[DvLookupLive]]); `initial-default` columns materialize per file
+  * group (absent field → default, present field → stored values);
+  * row-lineage metadata (`next-row-id`/`first_row_id`) is tolerated and
+  * not exposed. v3-only types (timestamp_ns, unknown, geometry, variant)
+  * refuse loudly — silently wrong rows are worse than an error for a
+  * lake reader.
+  *
+  * Foreign-only primitive types map to deliberate §1.2-style
+  * divergences (read side only; [[graft.destinations.IcebergWrite]]
+  * refuses to append to tables carrying them):
+  *   - `uuid` → string (the 16-byte FLBA reads as binary and restores
+  *     to the canonical lowercase hex-dash spelling; top-level columns
+  *     only — nested uuid refuses, since the per-column restore cannot
+  *     reach inside composite casts);
+  *   - `fixed[N]` → binary (parquet reads FLBA as variable binary);
+  *   - `time` → long micros since midnight (Iceberg's own physical
+  *     representation; stats bounds stay comparable as-is).
   *
   * Scale: planning is metadata-bounded (manifest-list + manifest avro,
   * driver-side — exactly what an Iceberg planner reads; plus one footer
@@ -103,26 +123,129 @@ object IcebergRead {
       val Array(p, sc) =
         d.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
       DecimalType(p, sc)
+    // §1.2-style divergences for foreign-only primitives (read only —
+    // IcebergWrite refuses tables carrying these; see scaladoc above)
+    case "uuid" => StringType // FLBA(16) reads binary, restores canonical
+    case "time" => LongType // micros since midnight (Iceberg physical)
+    case f if f.startsWith("fixed[") && f.endsWith("]") => BinaryType
     case other => throw new IllegalArgumentException(
       s"Iceberg type '$other' has no engine equivalent (refusing rather " +
         "than reading wrong rows)")
   }
 
-  /** Iceberg type JSON → Spark type; struct fields carry their Iceberg id
-    * in metadata key `iceberg.id` (the resolution key for everything).
+  /** Raw Iceberg spellings that diverge from their Spark read type —
+    * tagged in field metadata so the scan/restore/pruning layers can
+    * special-case them (key survives until [[clean]]).
     */
-  private[graft] def parseType(n: JsonNode): DataType =
-    if (n.isTextual) primitive(n.asText())
-    else n.get("type").asText() match {
+  private val DivergentTypeKey = "iceberg.type"
+
+  private[graft] def icebergTypeOf(f: StructField): Option[String] =
+    if (f.metadata.contains(DivergentTypeKey))
+      Some(f.metadata.getString(DivergentTypeKey))
+    else None
+
+  private[graft] def isUuid(f: StructField): Boolean =
+    icebergTypeOf(f).contains("uuid")
+
+  private val InitialDefaultKey = "iceberg.initial-default"
+
+  private def hasInitialDefault(f: StructField): Boolean =
+    f.metadata.contains(InitialDefaultKey)
+
+  /** The v3 `initial-default` as a literal Column of the field's read
+    * type, from the spec's JSON single-value serialization. Only the
+    * primitive spellings this engine can pin exactly are accepted —
+    * anything else refuses (a silently-wrong default is a silently-wrong
+    * column for every pre-addition row).
+    */
+  private def initialDefaultColumn(f: StructField): Column = {
+    val node = mapper.readTree(f.metadata.getString(InitialDefaultKey))
+    val t = clean(f.dataType)
+    def bad(why: String) = throw new IllegalArgumentException(
+      s"initial-default for '${f.name}' ($t): $why")
+    if (node.isNull) lit(null).cast(t)
+    else t match {
+      case BooleanType if node.isBoolean => lit(node.asBoolean())
+      case IntegerType if node.isNumber => lit(node.asInt())
+      case LongType if node.isNumber => lit(node.asLong())
+      case FloatType if node.isNumber => lit(node.asDouble().toFloat)
+      case DoubleType if node.isNumber => lit(node.asDouble())
+      case _: DecimalType if node.isNumber || node.isTextual =>
+        lit(new java.math.BigDecimal(node.asText())).cast(t)
+      case StringType if node.isTextual => lit(node.asText())
+      case DateType if node.isTextual =>
+        lit(java.sql.Date.valueOf(java.time.LocalDate.parse(node.asText())))
+      case TimestampType | TimestampNTZType if node.isTextual =>
+        lit(node.asText()).cast(t)
+      case _ => bad(s"unsupported default spelling ${node.toString.take(40)}")
+    }
+  }
+
+  /** Write-side guard: a table whose current schema carries foreign-only
+    * primitives (uuid/fixed/time) cannot be APPENDED to by this engine —
+    * the Spark-mapped frame would write string/binary/long physical
+    * columns where the Iceberg schema promises FLBA(16)/FLBA(N)/TIME,
+    * corrupting the table for foreign readers. Read-side support stays.
+    */
+  private[graft] def refuseDivergentWrite(
+      logical: StructType, context: String): Unit = {
+    val bad = logical.fields.flatMap(f => icebergTypeOf(f).map(t => s"${f.name}: $t"))
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$context refuses a table with foreign-only column types " +
+          s"(${bad.mkString(", ")}) — this engine reads them as " +
+          "string/binary/long but cannot write their physical " +
+          "parquet forms (FLBA/TIME annotations)")
+  }
+
+  /** Canonical lowercase 8-4-4-4-12 spelling of a 16-byte uuid column;
+    * null-propagating, codegen-friendly (hex + substring + concat).
+    */
+  private def uuidText(c: Column): Column = {
+    val h = lower(hex(c))
+    concat(substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
+      substring(h, 13, 4), lit("-"), substring(h, 17, 4), lit("-"),
+      substring(h, 21, 12))
+  }
+
+  /** Iceberg type JSON → Spark type; struct fields carry their Iceberg id
+    * in metadata key `iceberg.id` (the resolution key for everything) and,
+    * for divergent foreign-only primitives (uuid/fixed/time), the raw
+    * Iceberg spelling under `iceberg.type`. `depth` 0 = the schema struct
+    * itself, 1 = a top-level column: `uuid` is allowed only at depth 1
+    * (the binary→string restore is per top-level column; a uuid buried in
+    * a composite would cast silently wrong, so it refuses).
+    */
+  private[graft] def parseType(n: JsonNode, depth: Int = 0): DataType =
+    if (n.isTextual) {
+      if (n.asText() == "uuid" && depth != 1)
+        throw new IllegalArgumentException(
+          "Iceberg 'uuid' is supported only as a top-level column " +
+            "(nested occurrences cannot be restored to canonical text)")
+      primitive(n.asText())
+    } else n.get("type").asText() match {
       case "struct" => StructType(n.get("fields").elements().asScala.map { f =>
-        StructField(f.get("name").asText(), parseType(f.get("type")),
+        val meta = new MetadataBuilder()
+          .putLong("iceberg.id", f.get("id").asLong())
+        val tn = f.get("type")
+        if (tn.isTextual) {
+          val raw = tn.asText()
+          if (raw == "uuid" || raw == "time" || raw.startsWith("fixed["))
+            meta.putString(DivergentTypeKey, raw)
+        }
+        // v3 `initial-default`: the value data files written BEFORE the
+        // field existed must read back (JSON single-value serialization);
+        // kept raw here, materialized per FILE GROUP in restoreCol
+        Option(f.get("initial-default")).filterNot(_.isNull).foreach(d =>
+          meta.putString(InitialDefaultKey, d.toString))
+        StructField(f.get("name").asText(), parseType(tn, depth + 1),
           nullable = !f.get("required").asBoolean(),
-          metadata = new MetadataBuilder()
-            .putLong("iceberg.id", f.get("id").asLong()).build())
+          metadata = meta.build())
       }.toArray)
-      case "list" => ArrayType(parseType(n.get("element")),
+      case "list" => ArrayType(parseType(n.get("element"), depth + 1),
         containsNull = !Option(n.get("element-required")).exists(_.asBoolean()))
-      case "map" => MapType(parseType(n.get("key")), parseType(n.get("value")),
+      case "map" => MapType(parseType(n.get("key"), depth + 1),
+        parseType(n.get("value"), depth + 1),
         valueContainsNull = !Option(n.get("value-required")).exists(_.asBoolean()))
       case other => throw new IllegalArgumentException(
         s"Iceberg composite type '$other' not supported")
@@ -275,6 +398,10 @@ object IcebergRead {
       seq: Long, spec: Int)
   private final case class DeleteEntry(
       path: String, seq: Long, equalityIds: Seq[Int])
+  /** v3 deletion vector: a puffin `deletion-vector-v1` blob replacing all
+    * position deletes of ONE data file (at most one DV per file). */
+  private final case class DvEntry(
+      path: String, offset: Long, size: Long, referencedFile: String)
 
   /** Planning counters of the most recent [[read]] on this thread —
     * test/diagnostic surface pinning that transform-aware pruning really
@@ -300,8 +427,8 @@ object IcebergRead {
     val metaDir = new Path(fs.makeQualified(table), "metadata")
     val md = currentMetadata(fs, metaDir)
     val formatVersion = md.get("format-version").asInt()
-    require(formatVersion == 1 || formatVersion == 2,
-      s"only Iceberg format-versions 1 and 2 are supported, got $formatVersion")
+    require(formatVersion >= 1 && formatVersion <= 3,
+      s"only Iceberg format-versions 1-3 are supported, got $formatVersion")
 
     // ---- snapshot selection (a ref resolves to its head first)
     require(opts.ref.isEmpty ||
@@ -384,7 +511,13 @@ object IcebergRead {
         val srcName = idToName.getOrElse(f.get("source-id").asLong(),
           throw new IllegalArgumentException(
             s"partition source-id ${f.get("source-id").asLong()} not in schema"))
-        val srcType = clean(logical.fields.find(_.name == srcName).get.dataType)
+        val srcField = logical.fields.find(_.name == srcName).get
+        if (isUuid(srcField))
+          throw new IllegalArgumentException(
+            s"partition transform over uuid column '$srcName' is not " +
+              "supported (uuid reads as restored text; its partition " +
+              "tuples and bounds stay 16-byte and would prune wrong)")
+        val srcType = clean(srcField.dataType)
         IcebergPruning.SpecField(f.get("name").asText(), t, srcName, srcType,
           Option(f.get("field-id")).map(_.asInt()).getOrElse(1000))
       })
@@ -421,6 +554,11 @@ object IcebergRead {
       else logical.fields.toSeq.flatMap { f =>
         val t = clean(f.dataType)
         t match {
+          // uuid bounds are 16 raw bytes, not UTF-8 — decoding them as a
+          // string against text probes would prune wrong; never skip on
+          // them. (`time`-as-long is fine: bounds are LE micros, exactly
+          // what predicates over the long column compare.)
+          case StringType if isUuid(f) => None
           case IntegerType | LongType | StringType | DateType |
                TimestampType | TimestampNTZType =>
             Some(IcebergPruning.SpecField(s"#${fieldId(f)}",
@@ -482,6 +620,7 @@ object IcebergRead {
     val dataEntries = Seq.newBuilder[DataEntry]
     val posDeletes = Seq.newBuilder[DeleteEntry]
     val eqDeletes = Seq.newBuilder[DeleteEntry]
+    val dvDeletes = Seq.newBuilder[DvEntry]
     // incremental mode: only this snapshot's ADDED data entries count,
     // and no delete is applied (the slice is "what the append brought")
     def entryKeep(e: GenericRecord, m: GenericRecord): Boolean =
@@ -527,6 +666,22 @@ object IcebergRead {
                       kvLongs(df, "null_value_counts"),
                       fieldOpt(df, "record_count").map(_.asInstanceOf[Long])))
                   dataEntries += DataEntry(path, pv, seq, mSpec)
+              case (_, 1)
+                  if df.get("file_format").toString
+                    .equalsIgnoreCase("PUFFIN") =>
+                // v3 DELETION VECTOR: one blob per referenced data file,
+                // addressed directly by (offset, size) from the manifest —
+                // the puffin footer is never needed to plan or read
+                def req(n: String): Long = fieldOpt(df, n)
+                  .map(_.asInstanceOf[Long]).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"puffin delete $path carries no $n"))
+                dvDeletes += DvEntry(path, req("content_offset"),
+                  req("content_size_in_bytes"),
+                  Option(fieldOpt(df, "referenced_data_file").orNull)
+                    .map(_.toString).getOrElse(
+                      throw new IllegalArgumentException(
+                        s"puffin delete $path carries no referenced_data_file")))
               case (_, 1) => posDeletes += DeleteEntry(path, seq, Nil)
               case (_, 2) =>
                 val ids = fieldOpt(df, "equality_ids")
@@ -547,7 +702,9 @@ object IcebergRead {
       if (opts.addedInSnapshotId.isDefined) Nil else posDeletes.result()
     val eqs =
       if (opts.addedInSnapshotId.isDefined) Nil else eqDeletes.result()
-    val needHelpers = pos.nonEmpty || eqs.nonEmpty
+    val dvs =
+      if (opts.addedInSnapshotId.isDefined) Nil else dvDeletes.result()
+    val needHelpers = pos.nonEmpty || eqs.nonEmpty || dvs.nonEmpty
 
     // legacy identity fallback: conjuncts that reference only IDENTITY
     // partition columns but fall outside the transform grammar (function
@@ -620,6 +777,11 @@ object IcebergRead {
       Option(md.get("properties"))
         .flatMap(p => Option(p.get("schema.name-mapping.default")))
         .map(nm => mapper.readTree(nm.asText()).elements().asScala.toSeq)
+    if (nameMapping.isDefined && logical.fields.exists(hasInitialDefault))
+      throw new IllegalArgumentException(
+        "initial-default columns cannot be served under a name mapping: " +
+          "per-file field presence (which decides default vs stored null) " +
+          "is only provable from footer field ids")
 
     /** logical top-level name -> file name, for ONE data file. */
     def footerRename(file: String): Map[String, String] = {
@@ -661,8 +823,27 @@ object IcebergRead {
             _.get("field-id").asLong() == fieldId(f)).map(nestedOf).getOrElse(Nil))
           case None => f.dataType // nested names assumed stable without ids
         }
-        f.copy(name = rename.getOrElse(f.name, f.name), dataType = nestedType)
+        // uuid scans as its physical FLBA(16) → binary; restore converts
+        val readType = if (isUuid(f)) BinaryType else nestedType
+        f.copy(name = rename.getOrElse(f.name, f.name), dataType = readType)
       })
+
+    /** file column → logical column: plain cast, except uuid (binary →
+      * canonical text) and v3 initial-defaults (a field ABSENT from this
+      * file group's footers reads its declared default, not null — a file
+      * that HAS the field keeps its stored nulls). Presence comes from
+      * the footer field-id resolution: `rename` carries a key exactly for
+      * the fields the group's files contain. Name-mapped tables cannot
+      * prove per-file presence without extra footer reads, so defaults +
+      * name mapping refuse above rather than silently null.
+      */
+    def restoreCol(f: StructField, rename: Map[String, String]): Column = {
+      val fileName = rename.getOrElse(f.name, f.name)
+      if (nameMapping.isEmpty && !rename.contains(f.name) && hasInitialDefault(f))
+        initialDefaultColumn(f).cast(clean(f.dataType)).as(f.name)
+      else if (isUuid(f)) uuidText(col(quoteId(fileName))).as(f.name)
+      else col(quoteId(fileName)).cast(clean(f.dataType)).as(f.name)
+    }
 
     // one scan per (spec, partition tuple, seq, rename) keeps plans tiny
     // for the common few-tuple case — but a table with THOUSANDS of live
@@ -685,11 +866,9 @@ object IcebergRead {
             .withColumn("_ib_pos", col("_metadata.row_index"))
         else base0
       // restore logical names (struct casts rename nested levels by position)
-      val restored: Seq[Column] = logical.fields.toSeq.map { f =>
-        val fileName = rename.getOrElse(f.name, f.name)
-        col(quoteId(fileName)).cast(clean(f.dataType)).as(f.name)
-      } ++ (if (needHelpers) Seq(col("_ib_file"), col("_ib_pos"), lit(seq).as("_ib_seq"))
-            else Nil)
+      val restored: Seq[Column] = logical.fields.toSeq.map(restoreCol(_, rename)) ++
+        (if (needHelpers) Seq(col("_ib_file"), col("_ib_pos"), lit(seq).as("_ib_seq"))
+         else Nil)
       var dfr = base.select(restored: _*)
       // IDENTITY partition values: Hive-style files omit the column (null
       // after the scan), Iceberg-written files carry it — coalesce is
@@ -727,10 +906,8 @@ object IcebergRead {
       val base = spark.read.schema(scanSchema).parquet(allPaths: _*)
         .withColumn("_ib_file", col("_metadata.file_path"))
         .withColumn("_ib_pos", col("_metadata.row_index"))
-      val restored: Seq[Column] = logical.fields.toSeq.map { f =>
-        val fileName = rename.getOrElse(f.name, f.name)
-        col(quoteId(fileName)).cast(clean(f.dataType)).as(f.name)
-      } ++ Seq(col("_ib_file"), col("_ib_pos"), lit(seq).as("_ib_seq"))
+      val restored: Seq[Column] = logical.fields.toSeq.map(restoreCol(_, rename)) ++
+        Seq(col("_ib_file"), col("_ib_pos"), lit(seq).as("_ib_seq"))
       var dfr = base.select(restored: _*)
       if (idFields.nonEmpty) {
         // (normalized file path, identity values as STRINGS) rows; the
@@ -797,6 +974,25 @@ object IcebergRead {
         "left_anti")
     }
 
+    // ---- v3 deletion vectors: ONE bitmap per referenced data file (spec
+    // invariant — duplicates refuse), applied as a codegen'd row filter
+    // over the consolidated scan. Bitmaps decode once on the driver and
+    // ship as a plan reference object — KB-scale each, the same bound the
+    // Delta DV path carries; no join, no shuffle.
+    if (dvs.nonEmpty) {
+      val dup = dvs.groupBy(_.referencedFile).filter(_._2.size > 1)
+      require(dup.isEmpty,
+        s"data files with more than one live deletion vector: ${dup.keys.take(3).mkString(", ")}")
+      val byFile: Map[String, DeletionVectors.RoaringArray] = dvs.map { d =>
+        val p = new Path(d.path)
+        metaSpelling(d.referencedFile) ->
+          DeletionVectors.readIcebergDv(
+            p.getFileSystem(conf), p, d.offset, d.size)
+      }.toMap
+      out = out.filter(
+        DvLookupLive(byFile, normPath(col("_ib_file")), col("_ib_pos")))
+    }
+
     // ---- equality deletes: ONE null-safe anti-join per DISTINCT
     // equality-id SET, applying only to data files with data_seq <
     // delete_seq (spec). r17: r16 joined once per delete FILE, so a
@@ -811,13 +1007,17 @@ object IcebergRead {
         val cols = ids.map(id => idToName.getOrElse(id.toLong,
           throw new IllegalArgumentException(
             s"equality_id $id of ${group.head.path} not in schema")))
-        val delSchema = StructType(logical.fields.filter(f =>
-          cols.contains(f.name)).map(f => StructField(f.name, clean(f.dataType))))
+        val delFields = cols.map(c => logical.fields.find(_.name == c).get)
+        // delete files carry the table's physical types: uuid columns are
+        // FLBA(16) there too — scan binary, restore to text for the join
+        val delSchema = StructType(delFields.map(f => StructField(f.name,
+          if (isUuid(f)) BinaryType else clean(f.dataType))))
         val delDf = group.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, g) =>
           spark.read.schema(delSchema).parquet(g.map(_.path).sorted: _*)
             .withColumn("_del_seq", lit(seq))
         }.reduce(_ unionByName _)
-          .select(cols.map(c => col(quoteId(c)).as(s"_del_$c")) :+
+          .select(delFields.map(f => (if (isUuid(f)) uuidText(col(quoteId(f.name)))
+            else col(quoteId(f.name))).as(s"_del_${f.name}")) :+
             col("_del_seq"): _*)
         val cond = cols.map(c => col(quoteId(c)) <=> col(s"_del_$c"))
           .reduce(_ && _) && col("_ib_seq") < col("_del_seq")

@@ -318,4 +318,199 @@ class IcebergReadSpec extends SparkSpec {
     assert(IcebergRead.read(spark, t,
       IcebergRead.Options(snapshotId = Some(firstSnap))).count() == 5L)
   }
+
+  // ------------------------------ foreign-only primitives (uuid/fixed/time)
+
+  /** One parquet file with the physical shapes only foreign writers
+    * produce: FLBA(16)+UUID annotation, plain FLBA(8), INT64 TIME(MICROS).
+    * Spark cannot write these — parquet-mr example writer does.
+    */
+  private def writeDivergentParquet(
+      target: Path, rows: Seq[(Int, Option[java.util.UUID], Option[Array[Byte]], Option[Long])]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.Type.Repetition
+    val msg = Types.buildMessage()
+      .addField(Types.primitive(PrimitiveTypeName.INT32, Repetition.REQUIRED)
+        .id(1).named("id"))
+      .addField(Types.primitive(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY, Repetition.OPTIONAL)
+        .length(16).as(LogicalTypeAnnotation.uuidType()).id(2).named("u"))
+      .addField(Types.primitive(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY, Repetition.OPTIONAL)
+        .length(8).id(3).named("fx"))
+      .addField(Types.primitive(PrimitiveTypeName.INT64, Repetition.OPTIONAL)
+        .as(LogicalTypeAnnotation.timeType(false, LogicalTypeAnnotation.TimeUnit.MICROS))
+        .id(4).named("tm"))
+      .named("table")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(msg, conf)
+    val w = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(target, conf))
+      .withConf(conf).build()
+    val gf = new SimpleGroupFactory(msg)
+    try rows.foreach { case (id, u, fx, tm) =>
+      val g = gf.newGroup()
+      g.add("id", id)
+      u.foreach { uu =>
+        val bb = java.nio.ByteBuffer.allocate(16)
+        bb.putLong(uu.getMostSignificantBits)
+        bb.putLong(uu.getLeastSignificantBits)
+        g.add("u", Binary.fromConstantByteArray(bb.array()))
+      }
+      fx.foreach(b => g.add("fx", Binary.fromConstantByteArray(b)))
+      tm.foreach(t => g.add("tm", t))
+      w.write(g)
+    } finally w.close()
+  }
+
+  private val divergentSchemaJson =
+    """[{"id":1,"name":"id","required":true,"type":"int"},
+      |{"id":2,"name":"u","required":false,"type":"uuid"},
+      |{"id":3,"name":"fx","required":false,"type":"fixed[8]"},
+      |{"id":4,"name":"tm","required":false,"type":"time"}]""".stripMargin
+
+  private def divergentMetadata(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      l1: Path, l2: Path): String =
+    s"""{"format-version":2,"table-uuid":"${java.util.UUID.randomUUID()}",
+       |"location":"${fs.makeQualified(new Path(dir))}",
+       |"last-sequence-number":2,"last-updated-ms":1700000100000,
+       |"last-column-id":4,"current-schema-id":0,
+       |"schemas":[{"schema-id":0,"type":"struct","fields":$divergentSchemaJson}],
+       |"default-spec-id":0,
+       |"partition-specs":[{"spec-id":0,"fields":[]}],
+       |"last-partition-id":999,"default-sort-order-id":0,
+       |"sort-orders":[{"order-id":0,"fields":[]}],
+       |"properties":{},
+       |"current-snapshot-id":2,
+       |"snapshots":[
+       |  {"snapshot-id":1,"timestamp-ms":1700000000000,"sequence-number":1,
+       |   "manifest-list":"$l1","schema-id":0,"summary":{"operation":"append"}},
+       |  {"snapshot-id":2,"timestamp-ms":1700000100000,"sequence-number":2,
+       |   "parent-snapshot-id":1,"manifest-list":"$l2","schema-id":0,
+       |   "summary":{"operation":"delete"}}],
+       |"snapshot-log":[
+       |  {"timestamp-ms":1700000000000,"snapshot-id":1},
+       |  {"timestamp-ms":1700000100000,"snapshot-id":2}],
+       |"metadata-log":[]}""".stripMargin
+
+  test("foreign-only primitives: uuid→string, fixed→binary, time→long micros") {
+    val dir = tmpDir("iceread-divergent").toString
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val metaDir = new Path(fs.makeQualified(new Path(dir)), "metadata")
+    val dataDir = new Path(fs.makeQualified(new Path(dir)), "data")
+
+    val u1 = java.util.UUID.fromString("12345678-9abc-def0-1122-334455667788")
+    val u2 = java.util.UUID.fromString("00000000-0000-0001-0000-0000000000ff")
+    val fx1 = Array.tabulate[Byte](8)(i => (i + 1).toByte)
+    val noon = 12L * 3600000000L + 34L * 60000000L + 56000000L // 12:34:56
+    val f1 = new Path(dataDir, "file1.parquet")
+    fs.mkdirs(dataDir)
+    writeDivergentParquet(f1, Seq(
+      (1, Some(u1), Some(fx1), Some(noon)),
+      (2, Some(u2), None, Some(0L)),
+      (3, None, None, None)))
+
+    // equality delete ON THE UUID COLUMN (id 2) at seq 2: FLBA(16) there too
+    val eqDel = new Path(dataDir, "eqdel.parquet")
+    locally {
+      import org.apache.parquet.example.data.simple.SimpleGroupFactory
+      import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+      import org.apache.parquet.io.api.Binary
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      import org.apache.parquet.schema.Type.Repetition
+      val msg = Types.buildMessage()
+        .addField(Types.primitive(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY, Repetition.OPTIONAL)
+          .length(16).as(LogicalTypeAnnotation.uuidType()).id(2).named("u"))
+        .named("table")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      GroupWriteSupport.setSchema(msg, conf)
+      val w = ExampleParquetWriter.builder(
+          org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(eqDel, conf))
+        .withConf(conf).build()
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putLong(u2.getMostSignificantBits)
+      bb.putLong(u2.getLeastSignificantBits)
+      val g = new SimpleGroupFactory(msg).newGroup()
+      g.add("u", Binary.fromConstantByteArray(bb.array()))
+      try w.write(g) finally w.close()
+    }
+
+    val m1 = new Path(metaDir, "m1.avro")
+    val m1len = writeManifest(m1, Seq((f1.toString, 0, 3L, 1L, None)))
+    val m2 = new Path(metaDir, "m2.avro")
+    val m2len = writeManifest(m2, Seq((eqDel.toString, 2, 1L, 2L, Some(Seq(2)))))
+    val l1 = new Path(metaDir, "snap-1.avro")
+    writeManifestList(l1, Seq((m1.toString, m1len, 0, 1L)))
+    val l2 = new Path(metaDir, "snap-2.avro")
+    writeManifestList(l2, Seq((m1.toString, m1len, 0, 1L), (m2.toString, m2len, 1, 2L)))
+    val out = fs.create(new Path(metaDir, "v1.metadata.json"), true)
+    try out.write(divergentMetadata(fs, dir, l1, l2).getBytes("UTF-8"))
+    finally out.close()
+
+    // snapshot 1 (pre-delete): all three rows, canonical uuid spelling
+    val snap1 = IcebergRead.read(spark, dir,
+      IcebergRead.Options(snapshotId = Some(1L)))
+    assert(snap1.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("id", IntegerType), ("u", StringType), ("fx", BinaryType),
+        ("tm", LongType)))
+    val rows1 = snap1.orderBy("id").collect()
+    assert(rows1.length == 3)
+    assert(rows1(0).getString(1) == "12345678-9abc-def0-1122-334455667788")
+    assert(rows1(0).getAs[Array[Byte]](2).toSeq == fx1.toSeq)
+    assert(rows1(0).getLong(3) == noon)
+    assert(rows1(1).getString(1) == "00000000-0000-0001-0000-0000000000ff")
+    assert(rows1(1).isNullAt(2) && rows1(1).getLong(3) == 0L)
+    assert(rows1(2).isNullAt(1) && rows1(2).isNullAt(2) && rows1(2).isNullAt(3))
+
+    // current: equality delete on the uuid column removes id=2 only (the
+    // null-uuid row survives the null-safe anti-join)
+    val cur = IcebergRead.read(spark, dir).orderBy("id").collect()
+    assert(cur.map(_.getInt(0)).toSeq == Seq(1, 3))
+
+    // a where-hint over the time column must not mis-prune (long micros)
+    val filtered = IcebergRead.read(spark, dir,
+      IcebergRead.Options(where = Some(s"tm >= $noon")))
+      .filter(s"tm >= $noon").collect()
+    assert(filtered.map(_.getInt(0)).toSeq == Seq(1))
+
+    // write side refuses: appending Spark-typed rows would corrupt the
+    // table's FLBA/TIME physical contract for foreign readers
+    import spark.implicits._
+    val probe = Seq((9, "x")).toDF("id", "u")
+    val e = intercept[IllegalArgumentException] {
+      IcebergWrite.append(spark, dir, probe)
+    }
+    assert(e.getMessage.contains("foreign-only"))
+  }
+
+  test("nested uuid refuses loudly") {
+    val dir = tmpDir("iceread-nested-uuid").toString
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val metaDir = new Path(fs.makeQualified(new Path(dir)), "metadata")
+    fs.mkdirs(metaDir)
+    val md =
+      s"""{"format-version":2,"table-uuid":"${java.util.UUID.randomUUID()}",
+         |"location":"${fs.makeQualified(new Path(dir))}",
+         |"last-sequence-number":0,"last-updated-ms":1700000000000,
+         |"last-column-id":3,"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[
+         |  {"id":1,"name":"id","required":true,"type":"int"},
+         |  {"id":2,"name":"s","required":false,"type":{"type":"struct","fields":[
+         |    {"id":3,"name":"u","required":false,"type":"uuid"}]}}]}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"last-partition-id":999,"default-sort-order-id":0,
+         |"sort-orders":[{"order-id":0,"fields":[]}],
+         |"properties":{},"current-snapshot-id":-1,
+         |"snapshots":[],"snapshot-log":[],"metadata-log":[]}""".stripMargin
+    val out = fs.create(new Path(metaDir, "v1.metadata.json"), true)
+    try out.write(md.getBytes("UTF-8")) finally out.close()
+    val e = intercept[IllegalArgumentException] {
+      IcebergRead.tableSchema(spark, dir)
+    }
+    assert(e.getMessage.contains("top-level"))
+  }
 }

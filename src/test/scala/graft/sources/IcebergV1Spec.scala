@@ -83,15 +83,15 @@ class IcebergV1Spec extends SparkSpec {
     assert(got.toSeq == Seq(4L, 5L))
   }
 
-  test("format-version 3 still refused loudly") {
+  test("format-version 4 still refused loudly (v3 reads since r17)") {
     val (tbl, _) = fixture()
-    // rewrite the metadata to claim v3
+    // rewrite the metadata to claim a future version
     val fs = new org.apache.hadoop.fs.Path(tbl)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val metaDir = new org.apache.hadoop.fs.Path(
       fs.makeQualified(new org.apache.hadoop.fs.Path(tbl)), "metadata")
     val md = IcebergRead.currentMetadata(fs, metaDir)
-    md.put("format-version", 3)
+    md.put("format-version", 4)
     val out = fs.create(
       new org.apache.hadoop.fs.Path(metaDir, "v3.metadata.json"), true)
     try out.write(md.toString.getBytes("UTF-8")) finally out.close()

@@ -1,0 +1,84 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.destinations.IcebergV3Fixture
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types._
+
+/** Format-version 3 foreign tables ([[IcebergRead]]): puffin deletion
+  * vectors (Delta-framed roaring64 blobs addressed by manifest offsets),
+  * `initial-default` columns materialized only for files that predate the
+  * field, v3 metadata tolerance (next-row-id / first-row-id), and loud
+  * integrity failures (CRC) — over the hand-built spec-conformant
+  * [[IcebergV3Fixture]].
+  */
+class IcebergV3Spec extends SparkSpec {
+
+  test("v3: deletion vector applies; initial-default fills pre-addition files") {
+    val dir = tmpDir("icev3-dv").toString
+    import spark.implicits._
+    val df = (0 until 10).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(1).orderBy("id")
+    IcebergV3Fixture.write(spark, dir, df,
+      deletedPositions = Seq(1L, 3L, 5L),
+      extraColumn = Some(("src", "string", "\"legacy\"")))
+
+    val cur = IcebergRead.read(spark, dir)
+    assert(cur.schema.fieldNames.toSeq == Seq("id", "name", "src"))
+    val rows = cur.orderBy("id").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 2, 4, 6, 7, 8, 9))
+    // the file predates `src`: every row reads the declared default
+    assert(rows.forall(_.getString(2) == "legacy"))
+    // stored column unaffected
+    assert(rows.head.getString(1) == "n0")
+
+    // snapshot 1 (before the DV): all ten rows, default still applies
+    val snap1 = IcebergRead.read(spark, dir,
+      IcebergRead.Options(snapshotId = Some(1L))).orderBy("id").collect()
+    assert(snap1.length == 10)
+    assert(snap1.forall(_.getString(2) == "legacy"))
+  }
+
+  test("v3: corrupted DV blob fails loudly (CRC)") {
+    val dir = tmpDir("icev3-crc").toString
+    import spark.implicits._
+    val df = (0 until 5).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(1).orderBy("id")
+    IcebergV3Fixture.write(spark, dir, df, deletedPositions = Seq(0L))
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val dv = new Path(fs.makeQualified(new Path(dir)), "data/dv-00000.puffin")
+    val bytes = {
+      val in = fs.open(dv)
+      val len = fs.getFileStatus(dv).getLen.toInt
+      val b = new Array[Byte](len)
+      try in.readFully(b) finally in.close()
+      b
+    }
+    bytes(9) = (bytes(9) ^ 0x7f).toByte // inside the bitmap payload
+    val out = fs.create(dv, true)
+    try out.write(bytes) finally out.close()
+    val e = intercept[Exception] { IcebergRead.read(spark, dir).count() }
+    assert(e.getMessage != null)
+  }
+
+  test("v3: default spellings cover primitives; unsupported refuses") {
+    val dir = tmpDir("icev3-defaults").toString
+    import spark.implicits._
+    val df = (0 until 3).map(i => (i, i.toLong)).toDF("id", "v")
+      .coalesce(1).orderBy("id")
+    IcebergV3Fixture.write(spark, dir, df, deletedPositions = Nil,
+      extraColumn = Some(("score", "double", "2.5")))
+    val rows = IcebergRead.read(spark, dir).orderBy("id").collect()
+    assert(rows.forall(_.getDouble(2) == 2.5))
+
+    val dir2 = tmpDir("icev3-defaults-bad").toString
+    val df2 = (0 until 3).map(i => (i, i.toLong)).toDF("id", "v")
+      .coalesce(1).orderBy("id")
+    IcebergV3Fixture.write(spark, dir2, df2, deletedPositions = Nil,
+      extraColumn = Some(("blob", "binary", "\"AAAA\"")))
+    val e = intercept[IllegalArgumentException] {
+      IcebergRead.read(spark, dir2).collect()
+    }
+    assert(e.getMessage.contains("initial-default"))
+  }
+}
