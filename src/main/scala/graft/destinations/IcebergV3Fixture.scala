@@ -10,6 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import java.nio.ByteBuffer
 
+import scala.jdk.CollectionConverters._
+
 /** Hand-built **format-version 3** Iceberg table, as a FOREIGN v3 writer
   * would leave it (public Table Spec v3) — the shapes
   * [[graft.sources.IcebergRead]] reads but [[IcebergWrite]] (v2-native)
@@ -77,10 +79,31 @@ object IcebergV3Fixture {
     fs.mkdirs(dataDir)
 
     // ---- schema: ids 1..n in field order (stamped into the parquet) +
-    // the optional defaulted column at id n+1
+    // the optional defaulted column at id n+1. Variant (v3-only) is
+    // spelled here rather than in IcebergExport.icebergType — the
+    // UniForm exporter targets v2 metadata, where emitting "variant"
+    // would be spec-invalid for foreign readers.
     val ids = new IcebergExport.IdGen(0)
-    val schemaNode =
-      IcebergExport.icebergType(df.schema, ids).asInstanceOf[ObjectNode]
+    val schemaNode = mapper.createObjectNode()
+    schemaNode.put("type", "struct")
+    locally {
+      val fieldsArr = schemaNode.putArray("fields")
+      df.schema.fields.foreach { f =>
+        val fo = fieldsArr.addObject()
+        fo.put("id", ids.fresh())
+        fo.put("name", f.name)
+        fo.put("required", !f.nullable)
+        f.dataType match {
+          case org.apache.spark.sql.types.VariantType =>
+            fo.put("type", "variant")
+          case dt => IcebergExport.icebergType(dt, ids) match {
+            case s: String => fo.put("type", s)
+            case n: ObjectNode => fo.set[ObjectNode]("type", n)
+            case other => throw new IllegalStateException(s"$other")
+          }
+        }
+      }
+    }
     var lastColumnId = ids.max
     extraColumn.foreach { case (name, typ, dflt) =>
       lastColumnId += 1
@@ -93,12 +116,16 @@ object IcebergV3Fixture {
     }
     schemaNode.put("schema-id", 0)
 
-    // ---- data file: Spark parquet WITH field ids (v3 requires them)
+    // ---- data file: Spark parquet WITH field ids (v3 requires them);
+    // top-level ids come back from the schema node so they stay aligned
+    // even when a nested type consumed intermediate ids
+    val topIds = schemaNode.withArray("fields").elements()
+      .asScala.map(_.get("id").asLong()).toArray
     val stamped = spark.createDataFrame(df.rdd.coalesce(1),
       org.apache.spark.sql.types.StructType(df.schema.fields.zipWithIndex.map {
         case (f, i) => f.copy(metadata =
           new org.apache.spark.sql.types.MetadataBuilder()
-            .putLong("parquet.field.id", i + 1L).build())
+            .putLong("parquet.field.id", topIds(i)).build())
       }))
     val tmp = new Path(qualified, "_tmp-v3")
     stamped.write.mode("overwrite").parquet(tmp.toString)

@@ -1847,6 +1847,27 @@ private[graft] object DeltaQueries {
       IcebergRead.read(s, tbl)
         .withColumn("pre_rows", lit(pre))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Iceberg v3 VARIANT column (r17): Iceberg v3 and Spark share the
+    // Parquet Variant binary encoding (metadata+value pair), so the
+    // column maps to the native VariantType with no transcoding — the
+    // Iceberg twin of q148's Delta variant gate. The fixture table's
+    // schema declares `variant`; variant_get extraction replays from the
+    // raw JSON in DuckDB.
+    "q183_iceberg_v3_variant" -> ((s, dir) => {
+      import graft.destinations.IcebergV3Fixture
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q183").resolve("t").toString
+      val src = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("parse_json(props)").as("pv"))
+        .orderBy(col("event_id"))
+      IcebergV3Fixture.write(s, tbl, src.coalesce(1), deletedPositions = Nil)
+      IcebergRead.read(s, tbl)
+        .select(col("event_id"), col("user_id"),
+          expr("variant_get(pv, '$.k', 'long')").as("k"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -2151,6 +2172,12 @@ private[graft] object DeltaQueries {
                FROM part WHERE p_partkey <= 400)
          WHERE p_partkey % 7 <> 0
          ORDER BY id""",
+
+    // v3 variant extraction must equal the raw-JSON replay
+    "q183_iceberg_v3_variant" ->
+      """SELECT event_id, user_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
 
     // v3 deletion vector: keys % 5 == 0 positionally dead, every
     // surviving row carries the pre-addition default; pre-DV snapshot

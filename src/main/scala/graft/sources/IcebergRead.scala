@@ -128,6 +128,9 @@ object IcebergRead {
     case "uuid" => StringType // FLBA(16) reads binary, restores canonical
     case "time" => LongType // micros since midnight (Iceberg physical)
     case f if f.startsWith("fixed[") && f.endsWith("]") => BinaryType
+    // v3 variant: Iceberg and Spark share the Parquet Variant encoding
+    // (metadata+value binary pair), so the native type maps faithfully
+    case "variant" => VariantType
     case other => throw new IllegalArgumentException(
       s"Iceberg type '$other' has no engine equivalent (refusing rather " +
         "than reading wrong rows)")
@@ -193,9 +196,9 @@ object IcebergRead {
     if (bad.nonEmpty)
       throw new IllegalArgumentException(
         s"$context refuses a table with foreign-only column types " +
-          s"(${bad.mkString(", ")}) — this engine reads them as " +
-          "string/binary/long but cannot write their physical " +
-          "parquet forms (FLBA/TIME annotations)")
+          s"(${bad.mkString(", ")}) — this engine reads them but its " +
+          "v2-native writer cannot produce their physical parquet forms " +
+          "(FLBA/TIME annotations; variant is format-version 3 only)")
   }
 
   /** Canonical lowercase 8-4-4-4-12 spelling of a 16-byte uuid column;
@@ -230,7 +233,8 @@ object IcebergRead {
         val tn = f.get("type")
         if (tn.isTextual) {
           val raw = tn.asText()
-          if (raw == "uuid" || raw == "time" || raw.startsWith("fixed["))
+          if (raw == "uuid" || raw == "time" || raw.startsWith("fixed[") ||
+              raw == "variant")
             meta.putString(DivergentTypeKey, raw)
         }
         // v3 `initial-default`: the value data files written BEFORE the
@@ -842,6 +846,8 @@ object IcebergRead {
       if (nameMapping.isEmpty && !rename.contains(f.name) && hasInitialDefault(f))
         initialDefaultColumn(f).cast(clean(f.dataType)).as(f.name)
       else if (isUuid(f)) uuidText(col(quoteId(fileName))).as(f.name)
+      else if (clean(f.dataType) == VariantType) // no variant-to-variant cast
+        col(quoteId(fileName)).as(f.name)
       else col(quoteId(fileName)).cast(clean(f.dataType)).as(f.name)
     }
 

@@ -61,6 +61,27 @@ class IcebergV3Spec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("v3: variant column reads natively; write-side append refuses") {
+    val dir = tmpDir("icev3-variant").toString
+    import spark.implicits._
+    val df = spark.sql(
+      """SELECT id, parse_json(concat('{"k":', id * 7, '}')) AS pv
+        |FROM range(5)""".stripMargin).coalesce(1).orderBy("id")
+    IcebergV3Fixture.write(spark, dir, df, deletedPositions = Seq(2L))
+    val out = IcebergRead.read(spark, dir)
+      .selectExpr("id", "variant_get(pv, '$.k', 'long') AS k")
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 0L), (1L, 7L), (3L, 21L), (4L, 28L)))
+    // the v2-native writer refuses v3 tables outright (before it would
+    // even reach the foreign-only column guard)
+    val e = intercept[IllegalArgumentException] {
+      graft.destinations.IcebergWrite.append(spark, dir,
+        Seq((9L, "x")).toDF("id", "pv"))
+    }
+    assert(e.getMessage.contains("format-version 2"))
+  }
+
   test("v3: default spellings cover primitives; unsupported refuses") {
     val dir = tmpDir("icev3-defaults").toString
     import spark.implicits._
