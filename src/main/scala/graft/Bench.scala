@@ -98,7 +98,8 @@ object Bench {
   private[graft] val r17New = Set("q177_iceberg_merge_stream",
     "q178_iceberg_replace_partitions", "q179_delta_ntz_stats",
     "q180_iceberg_foreign_types", "q181_iceberg_merge_batch",
-    "q182_iceberg_v3_dv", "q183_iceberg_v3_variant")
+    "q182_iceberg_v3_dv", "q183_iceberg_v3_variant",
+    "q184_iceberg_v3_row_lineage")
   private[graft] val laterRounds =
     Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New, r11New, r13New,
       r14New, r15New, r16New, r17New)

@@ -52,6 +52,7 @@ object IcebergV3Fixture {
       |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |  {"name":"record_count","type":"long","field-id":103},
       |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |  {"name":"first_row_id","type":["null","long"],"default":null,"field-id":142},
       |  {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
       |  {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
       |  {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
@@ -207,6 +208,8 @@ object IcebergV3Fixture {
           new GenericData.Record(dfSchema.getField("partition").schema()))
         d.put("record_count", rc)
         d.put("file_size_in_bytes", fs.getFileStatus(filePath).getLen)
+        // row lineage: the single data file starts the table's id space
+        if (content == 0) d.put("first_row_id", 0L)
         dv.foreach { case (ref, off, size) =>
           d.put("referenced_data_file", ref)
           d.put("content_offset", off)

@@ -1868,6 +1868,34 @@ private[graft] object DeltaQueries {
         .select(col("event_id"), col("user_id"),
           expr("variant_get(pv, '$.k', 'long')").as("k"))
         .orderBy(col("event_id"))
+    }),
+
+    // Iceberg v3 ROW LINEAGE (r17): `_row_id` = the data file's explicit
+    // first_row_id + row position, `_last_updated_sequence_number` = the
+    // row's data sequence. The defining property — surviving rows keep
+    // their ORIGINAL ids across a deletion vector (deleted positions
+    // leave holes, nothing renumbers) — is exactly what the oracle
+    // replays: row_number() over the full pre-delete order, THEN the
+    // delete filter.
+    "q184_iceberg_v3_row_lineage" -> ((s, dir) => {
+      import graft.destinations.IcebergV3Fixture
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q184").resolve("t").toString
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+      val keys = base.select(col("o_orderkey")).collect().map(_.getLong(0))
+      val positions = keys.zipWithIndex.collect {
+        case (k, i) if k % 5 == 0 => i.toLong
+      }
+      IcebergV3Fixture.write(s, tbl, base.coalesce(1), positions.toSeq)
+      IcebergRead.read(s, tbl,
+        IcebergRead.Options(exposeRowLineage = true))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("_row_id").as("row_id"),
+          col("_last_updated_sequence_number").as("last_seq"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -2172,6 +2200,19 @@ private[graft] object DeltaQueries {
                FROM part WHERE p_partkey <= 400)
          WHERE p_partkey % 7 <> 0
          ORDER BY id""",
+
+    // v3 row lineage: ids are the PRE-delete positional order — holes
+    // where the DV hit, survivors un-renumbered; every row last-updated
+    // at the data sequence (1)
+    "q184_iceberg_v3_row_lineage" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                rn - 1 AS row_id,
+                CAST(1 AS BIGINT) AS last_seq
+         FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                      row_number() OVER (ORDER BY o_orderkey) AS rn
+               FROM orders WHERE o_orderkey < 2000)
+         WHERE o_orderkey % 5 <> 0
+         ORDER BY o_orderkey""",
 
     // v3 variant extraction must equal the raw-JSON replay
     "q183_iceberg_v3_variant" ->

@@ -102,7 +102,13 @@ object IcebergRead {
       // read a named snapshot ref: a BRANCH serves its head under the
       // table's CURRENT schema (living history); a TAG time-travels
       // (the snapshot's own schema) — Iceberg's ref-read semantics
-      ref: Option[String] = None)
+      ref: Option[String] = None,
+      // v3 row lineage: append `_row_id` (file's first_row_id + position,
+      // stable across deletes/updates-in-place) and
+      // `_last_updated_sequence_number` (the row's data sequence).
+      // Explicitly-stamped files only — a null first_row_id means
+      // write-time inheritance this reader does not reconstruct: refuse.
+      exposeRowLineage: Boolean = false)
 
   private val mapper = new ObjectMapper()
 
@@ -399,7 +405,7 @@ object IcebergRead {
 
   private final case class DataEntry(
       path: String, partition: Seq[(String, Option[AnyRef])],
-      seq: Long, spec: Int)
+      seq: Long, spec: Int, firstRowId: Option[Long] = None)
   private final case class DeleteEntry(
       path: String, seq: Long, equalityIds: Seq[Int])
   /** v3 deletion vector: a puffin `deletion-vector-v1` blob replacing all
@@ -669,7 +675,8 @@ object IcebergRead {
                       kvBytes(df, "lower_bounds"), kvBytes(df, "upper_bounds"),
                       kvLongs(df, "null_value_counts"),
                       fieldOpt(df, "record_count").map(_.asInstanceOf[Long])))
-                  dataEntries += DataEntry(path, pv, seq, mSpec)
+                  dataEntries += DataEntry(path, pv, seq, mSpec,
+                    fieldOpt(df, "first_row_id").map(_.asInstanceOf[Long]))
               case (_, 1)
                   if df.get("file_format").toString
                     .equalsIgnoreCase("PUFFIN") =>
@@ -708,7 +715,8 @@ object IcebergRead {
       if (opts.addedInSnapshotId.isDefined) Nil else eqDeletes.result()
     val dvs =
       if (opts.addedInSnapshotId.isDefined) Nil else dvDeletes.result()
-    val needHelpers = pos.nonEmpty || eqs.nonEmpty || dvs.nonEmpty
+    val needHelpers =
+      pos.nonEmpty || eqs.nonEmpty || dvs.nonEmpty || opts.exposeRowLineage
 
     // legacy identity fallback: conjuncts that reference only IDENTITY
     // partition columns but fall outside the transform grammar (function
@@ -771,10 +779,15 @@ object IcebergRead {
       dataFilesSeen = dataFilesSeen,
       dataFilesPlanned = data.size))
 
+    val lineageFields =
+      if (!opts.exposeRowLineage) Nil
+      else Seq(StructField("_row_id", LongType),
+        StructField("_last_updated_sequence_number", LongType))
     if (data.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        clean(logical).asInstanceOf[StructType])
+        StructType(clean(logical).asInstanceOf[StructType].fields ++
+          lineageFields))
 
     // ---- column resolution: name mapping, else per-file footer field ids
     val nameMapping: Option[Seq[JsonNode]] =
@@ -1030,8 +1043,32 @@ object IcebergRead {
         out = out.join(delDf, cond, "left_anti")
       }
 
+    // ---- v3 row lineage: _row_id = the file's explicit first_row_id +
+    // row position (stable across DV deletes — surviving rows keep their
+    // ids, the whole point of lineage); _last_updated_sequence_number =
+    // the row's data sequence. One broadcast join against a
+    // metadata-bounded (file -> first_row_id) frame.
+    if (opts.exposeRowLineage) {
+      val missing = data.filter(_.firstRowId.isEmpty)
+      require(missing.isEmpty,
+        s"row lineage requested but ${missing.head.path} carries no " +
+          "explicit first_row_id (write-time inheritance is not " +
+          "reconstructed by this reader)")
+      val linSchema = StructType(Seq(
+        StructField("_lin_path", StringType),
+        StructField("_lin_first", LongType)))
+      val linRows = data.map(d => org.apache.spark.sql.Row(
+        metaSpelling(d.path), d.firstRowId.get))
+      val lin = broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(linRows, 1), linSchema))
+      out = out.join(lin, normPath(col("_ib_file")) === col("_lin_path"), "left")
+        .withColumn("_row_id", col("_lin_first") + col("_ib_pos"))
+        .withColumn("_last_updated_sequence_number", col("_ib_seq"))
+        .drop("_lin_path", "_lin_first")
+    }
     if (needHelpers) out = out.drop("_ib_file", "_ib_pos", "_ib_seq")
-    out.select(logical.fields.toSeq.map(f => col(quoteId(f.name))): _*)
+    out.select((logical.fields.toSeq.map(f => col(quoteId(f.name))) ++
+      lineageFields.map(f => col(f.name))): _*)
   }
 
   private def quoteId(name: String): String = s"`${name.replace("`", "``")}`"

@@ -82,6 +82,35 @@ class IcebergV3Spec extends SparkSpec {
     assert(e.getMessage.contains("format-version 2"))
   }
 
+  test("v3: row lineage — ids stay stable across a deletion vector") {
+    val dir = tmpDir("icev3-lineage").toString
+    import spark.implicits._
+    val df = (0 until 8).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(1).orderBy("id")
+    IcebergV3Fixture.write(spark, dir, df, deletedPositions = Seq(2L, 5L))
+    val rows = IcebergRead.read(spark, dir,
+      IcebergRead.Options(exposeRowLineage = true))
+      .orderBy("id").collect()
+    // survivors keep their ORIGINAL positional ids — the deleted 2 and 5
+    // leave holes, nothing renumbers
+    assert(rows.map(r => (r.getInt(0), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0, 0L, 1L), (1, 1L, 1L), (3, 3L, 1L), (4, 4L, 1L),
+        (6, 6L, 1L), (7, 7L, 1L)))
+
+    // a v2 table (no first_row_id anywhere) refuses rather than invent ids
+    val dir2 = tmpDir("icev3-lineage-v2").toString
+    graft.destinations.IcebergWrite.create(spark, dir2,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+    graft.destinations.IcebergWrite.append(spark, dir2, (1L to 3L).toDF("id"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergRead.read(spark, dir2,
+        IcebergRead.Options(exposeRowLineage = true)).collect()
+    }
+    assert(e.getMessage.contains("first_row_id"))
+  }
+
   test("v3: default spellings cover primitives; unsupported refuses") {
     val dir = tmpDir("icev3-defaults").toString
     import spark.implicits._
