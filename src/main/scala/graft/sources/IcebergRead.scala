@@ -994,22 +994,53 @@ object IcebergRead {
     }
 
     // ---- v3 deletion vectors: ONE bitmap per referenced data file (spec
-    // invariant — duplicates refuse), applied as a codegen'd row filter
-    // over the consolidated scan. Bitmaps decode once on the driver and
-    // ship as a plan reference object — KB-scale each, the same bound the
-    // Delta DV path carries; no join, no shuffle.
+    // invariant — duplicates refuse). Two application shapes by combined
+    // blob size:
+    //  - small (the overwhelmingly common case): bitmaps decode once on
+    //    the driver and ship as a plan reference object probed by a
+    //    codegen'd row filter — no join, no shuffle, KB-scale each (the
+    //    same bound the Delta DV path carries);
+    //  - large (a CDC-heavy table with very many DV'd files): shipping
+    //    every bitmap in the plan would bloat the driver and every task
+    //    closure, so blobs decode on EXECUTORS (one slice per blob),
+    //    positions explode distributed, and ONE anti-join applies them —
+    //    the position-delete shape, bounded by deleted-row count.
     if (dvs.nonEmpty) {
       val dup = dvs.groupBy(_.referencedFile).filter(_._2.size > 1)
       require(dup.isEmpty,
         s"data files with more than one live deletion vector: ${dup.keys.take(3).mkString(", ")}")
-      val byFile: Map[String, DeletionVectors.RoaringArray] = dvs.map { d =>
-        val p = new Path(d.path)
-        metaSpelling(d.referencedFile) ->
-          DeletionVectors.readIcebergDv(
-            p.getFileSystem(conf), p, d.offset, d.size)
-      }.toMap
-      out = out.filter(
-        DvLookupLive(byFile, normPath(col("_ib_file")), col("_ib_pos")))
+      val threshold = spark.conf.getOption("graft.iceberg.dvBroadcastBytes")
+        .map(_.toLong).getOrElse(64L << 20)
+      if (dvs.map(d => math.max(d.size, 0L)).sum <= threshold) {
+        val byFile: Map[String, DeletionVectors.RoaringArray] = dvs.map { d =>
+          val p = new Path(d.path)
+          metaSpelling(d.referencedFile) ->
+            DeletionVectors.readIcebergDv(
+              p.getFileSystem(conf), p, d.offset, d.size)
+        }.toMap
+        out = out.filter(
+          DvLookupLive(byFile, normPath(col("_ib_file")), col("_ib_pos")))
+      } else {
+        val confThunk = org.apache.spark.sql.GraftShims.serializableConfThunk(conf)
+        val slices = math.max(1, math.min(dvs.size,
+          spark.sparkContext.defaultParallelism * 2))
+        val posRdd = spark.sparkContext.parallelize(
+          dvs.map(d => (d.path, d.offset, d.size,
+            metaSpelling(d.referencedFile))), slices)
+          .flatMap { case (p, off, sz, ref) =>
+            val hp = new Path(p)
+            DeletionVectors.readIcebergDv(hp.getFileSystem(confThunk()),
+              hp, off, sz).toLongArray.iterator.map(pos =>
+              org.apache.spark.sql.Row(ref, pos))
+          }
+        val dels = spark.createDataFrame(posRdd, StructType(Seq(
+          StructField("_dv_file", StringType),
+          StructField("_dv_pos", LongType))))
+        out = out.join(dels,
+          normPath(col("_ib_file")) === col("_dv_file") &&
+            col("_ib_pos") === col("_dv_pos"),
+          "left_anti")
+      }
     }
 
     // ---- equality deletes: ONE null-safe anti-join per DISTINCT

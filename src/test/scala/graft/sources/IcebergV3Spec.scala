@@ -39,6 +39,22 @@ class IcebergV3Spec extends SparkSpec {
     assert(snap1.forall(_.getString(2) == "legacy"))
   }
 
+  test("v3: DV join path (forced) equals the broadcast-filter path") {
+    val dir = tmpDir("icev3-dv-join").toString
+    import spark.implicits._
+    val df = (0 until 12).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(1).orderBy("id")
+    IcebergV3Fixture.write(spark, dir, df, deletedPositions = Seq(0L, 4L, 11L))
+    val expected = Seq(1, 2, 3, 5, 6, 7, 8, 9, 10)
+    assert(IcebergRead.read(spark, dir).orderBy("id")
+      .collect().map(_.getInt(0)).toSeq == expected)
+    // force the executor-decode anti-join shape (big-DV fallback)
+    spark.conf.set("graft.iceberg.dvBroadcastBytes", "0")
+    try assert(IcebergRead.read(spark, dir).orderBy("id")
+      .collect().map(_.getInt(0)).toSeq == expected)
+    finally spark.conf.unset("graft.iceberg.dvBroadcastBytes")
+  }
+
   test("v3: corrupted DV blob fails loudly (CRC)") {
     val dir = tmpDir("icev3-crc").toString
     import spark.implicits._
