@@ -1256,8 +1256,32 @@ object IcebergWrite {
                 new GenericDatumWriter[GenericRecord](entrySchema))
               metas.foreach { case (k, v) => mw.setMeta(k, v) }
               mw.create(entrySchema, fsm.create(newPath, true))
+              // foreign writers leave seq/snapshot NULL on ADDED entries
+              // (inherited from the list record); the spec allows that
+              // only for ADDED, and the rewritten list record's
+              // added_snapshot_id now points at THIS snapshot — so
+              // materialize the ORIGINAL inherited values before
+              // re-emitting as EXISTING
+              val inheritedSeq = rec.get("sequence_number") match {
+                case l: java.lang.Long => l.longValue()
+                case i: java.lang.Integer => i.longValue()
+                case _ => 0L
+              }
+              val inheritedSnap = rec.get("added_snapshot_id") match {
+                case l: java.lang.Long => l.longValue()
+                case i: java.lang.Integer => i.longValue()
+                case _ => 0L
+              }
+              def hasF(n: String) = entrySchema.getField(n) != null
               try keep.foreach { e =>
                 e.put("status", 0) // EXISTING: original snapshot/seq kept
+                if (hasF("sequence_number") && e.get("sequence_number") == null)
+                  e.put("sequence_number", inheritedSeq)
+                if (hasF("file_sequence_number") &&
+                    e.get("file_sequence_number") == null)
+                  e.put("file_sequence_number", inheritedSeq)
+                if (hasF("snapshot_id") && e.get("snapshot_id") == null)
+                  e.put("snapshot_id", inheritedSnap)
                 mw.append(e)
               } finally mw.close()
               val keptRows = keep.map(rows).sum

@@ -175,7 +175,11 @@ private[graft] object QueryHelpers {
   /** Recursive copy — crash-simulation gates snapshot a streaming
     * checkpoint before a batch and restore it afterwards (r17, q177). */
   def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
-    java.nio.file.Files.walk(from).forEach { p =>
+    // Files.walk holds directory handles open until closed (javadoc
+    // requires try-with-resources) — leak-free even across many
+    // checkpoint snapshot/restore cycles
+    val walk = java.nio.file.Files.walk(from)
+    try walk.forEach { p =>
       val dst = to.resolve(from.relativize(p))
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.createDirectories(dst)
@@ -183,7 +187,7 @@ private[graft] object QueryHelpers {
         java.nio.file.Files.createDirectories(dst.getParent)
         java.nio.file.Files.copy(p, dst): Unit
       }
-    }
+    } finally walk.close()
   }
 
   def deleteDir(p: java.nio.file.Path): Unit =

@@ -198,7 +198,16 @@ object IcebergRead {
     */
   private[graft] def refuseDivergentWrite(
       logical: StructType, context: String): Unit = {
-    val bad = logical.fields.flatMap(f => icebergTypeOf(f).map(t => s"${f.name}: $t"))
+    def collect(st: StructType, prefix: String): Seq[String] =
+      st.fields.toSeq.flatMap { f =>
+        val here = icebergTypeOf(f).map(t => s"$prefix${f.name}: $t").toSeq
+        val below = f.dataType match {
+          case s: StructType => collect(s, s"$prefix${f.name}.")
+          case _ => Nil
+        }
+        here ++ below
+      }
+    val bad = collect(logical, "")
     if (bad.nonEmpty)
       throw new IllegalArgumentException(
         s"$context refuses a table with foreign-only column types " +
@@ -242,12 +251,34 @@ object IcebergRead {
           if (raw == "uuid" || raw == "time" || raw.startsWith("fixed[") ||
               raw == "variant")
             meta.putString(DivergentTypeKey, raw)
+        } else {
+          // composite type: tag the field if ANY type position in its
+          // subtree spells a divergent primitive (list elements, map
+          // keys/values, nested struct fields) — the write guard must see
+          // e.g. array<fixed[8]>, whose Spark type is indistinguishable
+          // from array<binary>. Type positions are exactly the JSON keys
+          // type/element/key/value, so a field NAMED "time" cannot match.
+          val m = java.util.regex.Pattern.compile(
+            "\"(?:type|element|key|value)\"\\s*:\\s*\"(uuid|time|variant|fixed\\[)")
+            .matcher(tn.toString)
+          if (m.find())
+            meta.putString(DivergentTypeKey, s"nested ${m.group(1)}")
         }
         // v3 `initial-default`: the value data files written BEFORE the
         // field existed must read back (JSON single-value serialization);
-        // kept raw here, materialized per FILE GROUP in restoreCol
-        Option(f.get("initial-default")).filterNot(_.isNull).foreach(d =>
-          meta.putString(InitialDefaultKey, d.toString))
+        // kept raw here, materialized per FILE GROUP in restoreCol.
+        // Top-level columns only — a default buried in a composite would
+        // silently read null (restoreCol works per top-level column), so
+        // nested occurrences refuse like nested uuid does.
+        Option(f.get("initial-default")).filterNot(_.isNull).foreach { d =>
+          if (depth != 0)
+            throw new IllegalArgumentException(
+              s"initial-default on nested field '${f.get("name").asText()}' " +
+                "is supported only for top-level columns (a composite " +
+                "restore cannot materialize it; refusing rather than " +
+                "reading null)")
+          meta.putString(InitialDefaultKey, d.toString)
+        }
         StructField(f.get("name").asText(), parseType(tn, depth + 1),
           nullable = !f.get("required").asBoolean(),
           metadata = meta.build())
@@ -976,14 +1007,40 @@ object IcebergRead {
       }
     var out = parts.reduce(_ unionByName _)
 
+    /** Load delete files with a per-row `_del_seq`: one scan + a literal
+      * when every file shares a sequence (the compacted/simple case —
+      * plan unchanged), else ONE scan over every file + a broadcast
+      * (file → seq) join — never one scan per sequence, so the plan
+      * stays O(1) in delete-file count however many un-compacted CDC
+      * commits piled up.
+      */
+    def deletesWithSeq(schema: StructType, files: Seq[(String, Long)]): DataFrame = {
+      val paths = files.map(_._1).distinct.sorted
+      val seqs = files.map(_._2).distinct
+      if (seqs.size == 1)
+        spark.read.schema(schema).parquet(paths: _*)
+          .withColumn("_del_seq", lit(seqs.head))
+      else {
+        val seqSchema = StructType(Seq(
+          StructField("_dseq_path", StringType),
+          StructField("_dseq", LongType)))
+        val rowsSeq = files.map { case (p, s) =>
+          org.apache.spark.sql.Row(metaSpelling(p), s) }
+        val seqFrame = broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(rowsSeq, 1), seqSchema))
+        spark.read.schema(schema).parquet(paths: _*)
+          .withColumn("_dseq_file", col("_metadata.file_path"))
+          .join(seqFrame, normPath(col("_dseq_file")) === col("_dseq_path"))
+          .withColumn("_del_seq", col("_dseq"))
+          .drop("_dseq_file", "_dseq_path", "_dseq")
+      }
+    }
+
     // ---- position deletes: (path, pos) anti-join, data_seq <= delete_seq
     if (pos.nonEmpty) {
       val delSchema = StructType(Seq(
         StructField("file_path", StringType), StructField("pos", LongType)))
-      val dels = pos.groupBy(_.seq).toSeq.map { case (seq, g) =>
-        spark.read.schema(delSchema).parquet(g.map(_.path): _*)
-          .withColumn("_del_seq", lit(seq))
-      }.reduce(_ unionByName _)
+      val dels = deletesWithSeq(delSchema, pos.map(d => (d.path, d.seq)))
         .select(normPath(col("file_path")).as("_del_file"),
           col("pos").as("_del_pos"), col("_del_seq"))
       out = out.join(dels,
@@ -1006,7 +1063,11 @@ object IcebergRead {
     //    positions explode distributed, and ONE anti-join applies them —
     //    the position-delete shape, bounded by deleted-row count.
     if (dvs.nonEmpty) {
-      val dup = dvs.groupBy(_.referencedFile).filter(_._2.size > 1)
+      // duplicate guard compares NORMALIZED spellings — two DVs naming
+      // one file as 'file:///t/f.parquet' and '/t/f.parquet' must refuse,
+      // not silently collapse to whichever builds the lookup map last
+      val dup = dvs.groupBy(d => metaSpelling(d.referencedFile))
+        .filter(_._2.size > 1)
       require(dup.isEmpty,
         s"data files with more than one live deletion vector: ${dup.keys.take(3).mkString(", ")}")
       val threshold = spark.conf.getOption("graft.iceberg.dvBroadcastBytes")
@@ -1062,10 +1123,7 @@ object IcebergRead {
         // FLBA(16) there too — scan binary, restore to text for the join
         val delSchema = StructType(delFields.map(f => StructField(f.name,
           if (isUuid(f)) BinaryType else clean(f.dataType))))
-        val delDf = group.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, g) =>
-          spark.read.schema(delSchema).parquet(g.map(_.path).sorted: _*)
-            .withColumn("_del_seq", lit(seq))
-        }.reduce(_ unionByName _)
+        val delDf = deletesWithSeq(delSchema, group.map(d => (d.path, d.seq)))
           .select(delFields.map(f => (if (isUuid(f)) uuidText(col(quoteId(f.name)))
             else col(quoteId(f.name))).as(s"_del_${f.name}")) :+
             col("_del_seq"): _*)
@@ -1080,6 +1138,22 @@ object IcebergRead {
     // the row's data sequence. One broadcast join against a
     // metadata-bounded (file -> first_row_id) frame.
     if (opts.exposeRowLineage) {
+      // a conformant v3 writer that REWRITES data files (compaction =
+      // 'replace', copy-on-write merges = 'overwrite') materializes the
+      // surviving rows' original ids INTO the rewritten parquet; deriving
+      // first_row_id + position there would silently renumber. This
+      // reader reconstructs lineage only for append/delete histories
+      // (merge-on-read, where files are never rewritten) — refuse loudly
+      // otherwise.
+      val rewriting = md.get("snapshots").elements().asScala
+        .filter(s => Option(s.get("summary")).flatMap(su =>
+          Option(su.get("operation"))).exists(o =>
+          o.asText() == "replace" || o.asText() == "overwrite"))
+        .map(_.get("snapshot-id").asLong()).toSeq
+      require(rewriting.isEmpty,
+        s"row lineage requested but snapshots ${rewriting.take(3).mkString(", ")} " +
+          "rewrite data files — their materialized per-row lineage " +
+          "columns are not reconstructed by this reader")
       val missing = data.filter(_.firstRowId.isEmpty)
       require(missing.isEmpty,
         s"row lineage requested but ${missing.head.path} carries no " +

@@ -614,8 +614,15 @@ class IcebergWriteSpec extends SparkSpec {
     Seq("v9", "v10").foreach(v =>
       IcebergWrite.deleteWhere(spark, t, Seq(v).toDF("v")))
     val back = IcebergRead.read(spark, t)
-    val joins = back.queryExecution.logical.collect { case j: Join => j }
-    assert(joins.size == 2, s"expected one join per id set, got ${joins.size}")
+    // ONE anti-join per id set; the per-set broadcast (file -> seq) inner
+    // join is constant per set, not O(#files), so the plan as a whole
+    // stays O(#id sets) however many delete files pile up
+    val anti = back.queryExecution.logical.collect {
+      case j: Join if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(anti.size == 2, s"expected one anti-join per id set, got ${anti.size}")
+    val all = back.queryExecution.logical.collect { case j: Join => j }
+    assert(all.size <= 4, s"plan joins must stay O(#id sets), got ${all.size}")
     assert(back.collect().map(_.getLong(0)).toSet == Set(11L, 12L))
     // a later append is NOT affected by earlier deletes (seq ordering
     // rides the unioned _del_seq column)

@@ -487,6 +487,27 @@ class IcebergReadSpec extends SparkSpec {
     assert(e.getMessage.contains("foreign-only"))
   }
 
+  test("write guard catches divergent types nested in structs and containers") {
+    // struct-nested fixed[8]: tagged by the parser on the inner field
+    val node = new ObjectMapper().readTree(
+      """{"type":"struct","fields":[
+        |  {"id":1,"name":"id","required":true,"type":"int"},
+        |  {"id":2,"name":"s","required":false,"type":{"type":"struct","fields":[
+        |    {"id":3,"name":"f","required":false,"type":"fixed[8]"}]}},
+        |  {"id":4,"name":"times","required":false,
+        |   "type":{"type":"list","element-id":5,"element":"time",
+        |           "element-required":false}}]}""".stripMargin)
+    val logical = IcebergRead.parseType(node).asInstanceOf[StructType]
+    val e = intercept[IllegalArgumentException] {
+      IcebergRead.refuseDivergentWrite(logical, "test")
+    }
+    assert(e.getMessage.contains("s.f: fixed[8]"))
+    assert(e.getMessage.contains("times: nested time"))
+    // reads of the same shapes stay fine: binary/long at any depth
+    assert(logical("s").dataType.asInstanceOf[StructType]("f").dataType == BinaryType)
+    assert(logical("times").dataType == ArrayType(LongType, containsNull = true))
+  }
+
   test("nested uuid refuses loudly") {
     val dir = tmpDir("iceread-nested-uuid").toString
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
