@@ -717,8 +717,30 @@ object IcebergWrite {
     fs.delete(tmp, true)
     val identitySources: Set[String] = specFields.collect {
       case (_, graft.sources.IcebergTransforms.Identity, src, _, _) => src }.toSet
-    val statsByPath = computeIcebergStats(
-      spark, renamed.map(_._1.toString), logical, identitySources)
+    // Stats dispatch by staged-file count (the DV read path's size-gate
+    // shape): a SMALL commit's footers read in driver-milliseconds, and
+    // launching a Spark job (scan + groupBy + collect) for 1-2 files is
+    // a fixed ~0.3-0.5s tax per commit — felt hardest by per-micro-batch
+    // streaming sinks. A LARGE commit (thousands of files at 100 TB
+    // appends) must NOT serialize thousands of footer round-trips through
+    // the driver — there the one distributed scan wins. Both paths are
+    // spec-pinned equal in IcebergWriteSpec, so this is pure dispatch.
+    val statsScanMinFiles = spark.conf
+      .getOption("graft.iceberg.statsScanMinFiles").map(_.toInt).getOrElse(17)
+    val statsByPath: Map[String, (Long, Map[Int, (Option[Array[Byte]], Option[Array[Byte]], Long)])] =
+      if (renamed.size < statsScanMinFiles) {
+        val statsLogical =
+          StructType(logical.fields.filterNot(f => identitySources(f.name)))
+        renamed.map { case (target, _, _) =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(target, conf))
+          val (rc, stats) =
+            try (r.getRecordCount, columnStats(r, statsLogical))
+            finally r.close()
+          target.toString -> ((rc, stats))
+        }.toMap
+      } else computeIcebergStats(
+        spark, renamed.map(_._1.toString), logical, identitySources)
     val files: Seq[(Path, Seq[(String, Option[String])], Long, Long,
         Map[Int, (Option[Array[Byte]], Option[Array[Byte]], Long)])] =
       renamed.map { case (target, pv, len) =>
@@ -1248,32 +1270,39 @@ object IcebergWrite {
               }
             droppedFiles += drop.size
             droppedRows += drop.map(rows).sum
-            if (keep.nonEmpty) {
-              val fsm = metaDir.getFileSystem(conf)
-              val newPath = new Path(metaDir,
-                s"${java.util.UUID.randomUUID()}-m0.avro")
-              val mw = new DataFileWriter[GenericRecord](
-                new GenericDatumWriter[GenericRecord](entrySchema))
-              metas.foreach { case (k, v) => mw.setMeta(k, v) }
-              mw.create(entrySchema, fsm.create(newPath, true))
-              // foreign writers leave seq/snapshot NULL on ADDED entries
-              // (inherited from the list record); the spec allows that
-              // only for ADDED, and the rewritten list record's
-              // added_snapshot_id now points at THIS snapshot — so
-              // materialize the ORIGINAL inherited values before
-              // re-emitting as EXISTING
-              val inheritedSeq = rec.get("sequence_number") match {
-                case l: java.lang.Long => l.longValue()
-                case i: java.lang.Integer => i.longValue()
-                case _ => 0L
-              }
-              val inheritedSnap = rec.get("added_snapshot_id") match {
-                case l: java.lang.Long => l.longValue()
-                case i: java.lang.Integer => i.longValue()
-                case _ => 0L
-              }
-              def hasF(n: String) = entrySchema.getField(n) != null
-              try keep.foreach { e =>
+            // spec: files removed by a snapshot must appear with status
+            // DELETED and the REMOVING snapshot's id in that snapshot's
+            // manifests — so the rewritten manifest always materializes,
+            // carrying survivors as EXISTING and the replaced files as
+            // DELETED (foreign incremental/changelog consumers read the
+            // removals from it; omitting them would silently lose the
+            // delete half of the overwrite)
+            val fsm = metaDir.getFileSystem(conf)
+            val newPath = new Path(metaDir,
+              s"${java.util.UUID.randomUUID()}-m0.avro")
+            val mw = new DataFileWriter[GenericRecord](
+              new GenericDatumWriter[GenericRecord](entrySchema))
+            metas.foreach { case (k, v) => mw.setMeta(k, v) }
+            mw.create(entrySchema, fsm.create(newPath, true))
+            // foreign writers leave seq/snapshot NULL on ADDED entries
+            // (inherited from the list record); the spec allows that
+            // only for ADDED, and the rewritten list record's
+            // added_snapshot_id now points at THIS snapshot — so
+            // materialize the ORIGINAL inherited values before
+            // re-emitting as EXISTING/DELETED
+            val inheritedSeq = rec.get("sequence_number") match {
+              case l: java.lang.Long => l.longValue()
+              case i: java.lang.Integer => i.longValue()
+              case _ => 0L
+            }
+            val inheritedSnap = rec.get("added_snapshot_id") match {
+              case l: java.lang.Long => l.longValue()
+              case i: java.lang.Integer => i.longValue()
+              case _ => 0L
+            }
+            def hasF(n: String) = entrySchema.getField(n) != null
+            try {
+              keep.foreach { e =>
                 e.put("status", 0) // EXISTING: original snapshot/seq kept
                 if (hasF("sequence_number") && e.get("sequence_number") == null)
                   e.put("sequence_number", inheritedSeq)
@@ -1283,24 +1312,36 @@ object IcebergWrite {
                 if (hasF("snapshot_id") && e.get("snapshot_id") == null)
                   e.put("snapshot_id", inheritedSnap)
                 mw.append(e)
-              } finally mw.close()
-              val keptRows = keep.map(rows).sum
-              val m = copyListRec(rec)
-              m.put("manifest_path", newPath.toString)
-              m.put("manifest_length", fsm.getFileStatus(newPath).getLen)
-              m.put("added_snapshot_id", newSnapshotId)
-              m.put("added_files_count", 0)
-              m.put("existing_files_count", keep.size)
-              m.put("deleted_files_count", 0)
-              m.put("added_rows_count", 0L)
-              m.put("existing_rows_count", keptRows)
-              m.put("deleted_rows_count", 0L)
-              // original `partitions` summaries stay on the copied record:
-              // survivors are a subset, so the old bounds remain SOUND
-              // (conservative) for manifest-level pruning
-              lw.append(m)
-            }
-            // keep.isEmpty: the whole manifest was replaced — omit it
+              }
+              drop.foreach { e =>
+                e.put("status", 2) // DELETED by THIS snapshot
+                // data sequence stays the file's ORIGINAL (read semantics
+                // of the history don't move); snapshot_id becomes the
+                // snapshot performing the removal, per spec
+                if (hasF("sequence_number") && e.get("sequence_number") == null)
+                  e.put("sequence_number", inheritedSeq)
+                if (hasF("file_sequence_number") &&
+                    e.get("file_sequence_number") == null)
+                  e.put("file_sequence_number", inheritedSeq)
+                if (hasF("snapshot_id")) e.put("snapshot_id", newSnapshotId)
+                mw.append(e)
+              }
+            } finally mw.close()
+            val keptRows = keep.map(rows).sum
+            val m = copyListRec(rec)
+            m.put("manifest_path", newPath.toString)
+            m.put("manifest_length", fsm.getFileStatus(newPath).getLen)
+            m.put("added_snapshot_id", newSnapshotId)
+            m.put("added_files_count", 0)
+            m.put("existing_files_count", keep.size)
+            m.put("deleted_files_count", drop.size)
+            m.put("added_rows_count", 0L)
+            m.put("existing_rows_count", keptRows)
+            m.put("deleted_rows_count", drop.map(rows).sum)
+            // original `partitions` summaries stay on the copied record:
+            // survivors are a subset, so the old bounds remain SOUND
+            // (conservative) for manifest-level pruning
+            lw.append(m)
           }
         }
       } finally rd.close()
@@ -1461,7 +1502,22 @@ object IcebergWrite {
         .union(rootCandidates.toDF("p"))
         .join(refDF, Seq("p"), "left_anti")
         .as[String].collect()
-      if (!dryRun) doomed.foreach(p => fs.delete(new Path(p), false))
+      // deletes run on a bounded pool (the commit path's rename-pool
+      // shape): one blocking delete RPC at a time through the driver is
+      // hours at 10^5 orphans on an object store — Hadoop FileSystem
+      // clients are thread-safe, so issue up to 16 in flight
+      if (!dryRun && doomed.nonEmpty) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, doomed.length))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.traverse(doomed.toSeq) { p =>
+            scala.concurrent.Future { fs.delete(new Path(p), false); () }
+          },
+          scala.concurrent.duration.Duration.Inf): Unit
+        finally pool.shutdown()
+      }
       doomed.toSeq.map(_.stripPrefix(rootStr).dropWhile(_ == '/')).sorted
     } finally { refDF.unpersist(false); () }
   }

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.avro.generic.GenericRecord
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
 
 import IcebergTransforms._
 
@@ -231,8 +231,20 @@ private[graft] object IcebergPruning {
             // prune on contains_null with NO bounds = every value in the
             // manifest is null — the Iceberg Java ManifestEvaluator's
             // notNull() convention (a summary records bounds whenever any
-            // non-null value exists)
-            case NonNull => !(containsNull && !hasLo && !hasHi)
+            // non-null value exists). EXCEPT floating sources: bounds are
+            // also omitted when only NaN values exist, so nulls + NaNs
+            // would pass IS NOT NULL — there, additionally require
+            // contains_nan KNOWN false (ManifestEvaluator does the same).
+            case NonNull =>
+              val floating =
+                f.sourceType == FloatType || f.sourceType == DoubleType
+              val nanKnownAbsent = IcebergRead.fieldOpt(s, "contains_nan")
+                .exists {
+                  case b: java.lang.Boolean => !b.booleanValue()
+                  case _ => false
+                }
+              !(containsNull && !hasLo && !hasHi &&
+                (!floating || nanKnownAbsent))
           }
         }
       }

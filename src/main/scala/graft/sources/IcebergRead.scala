@@ -258,11 +258,16 @@ object IcebergRead {
           // e.g. array<fixed[8]>, whose Spark type is indistinguishable
           // from array<binary>. Type positions are exactly the JSON keys
           // type/element/key/value, so a field NAMED "time" cannot match.
+          // The value must be anchored through its closing quote (or the
+          // '[' that opens a fixed length): a bare (uuid|time|...)
+          // alternative would prefix-match "timestamp"/"timestamptz" as
+          // `time` and reject every composite holding a timestamp column.
           val m = java.util.regex.Pattern.compile(
-            "\"(?:type|element|key|value)\"\\s*:\\s*\"(uuid|time|variant|fixed\\[)")
+            "\"(?:type|element|key|value)\"\\s*:\\s*\"(uuid\"|time\"|variant\"|fixed\\[)")
             .matcher(tn.toString)
           if (m.find())
-            meta.putString(DivergentTypeKey, s"nested ${m.group(1)}")
+            meta.putString(DivergentTypeKey,
+              s"nested ${m.group(1).stripSuffix("\"")}")
         }
         // v3 `initial-default`: the value data files written BEFORE the
         // field existed must read back (JSON single-value serialization);
@@ -838,6 +843,17 @@ object IcebergRead {
       val msg = try r.getFooter.getFileMetaData.getSchema finally r.close()
       val idToFile: Map[Long, String] = msg.getFields.asScala.flatMap(t =>
         Option(t.getId).map(id => id.intValue().toLong -> t.getName)).toMap
+      // Default-vs-stored-null is decided by field presence, and presence
+      // is only provable from footer field ids. A footer with NO ids at
+      // all (foreign writer, no name mapping) would make every defaulted
+      // column look absent and silently overwrite its stored values with
+      // the declared default — refuse, mirroring the name-mapping case.
+      if (idToFile.isEmpty && msg.getFieldCount > 0 &&
+          logical.fields.exists(hasInitialDefault))
+        throw new IllegalArgumentException(
+          s"initial-default columns cannot be served for data file '$file': " +
+            "its parquet footer carries no field ids, so per-file field " +
+            "presence (which decides default vs stored value) is unprovable")
       logical.fields.flatMap(f =>
         idToFile.get(fieldId(f)).map(f.name -> _)).toMap
     }

@@ -598,6 +598,54 @@ class IcebergWriteSpec extends SparkSpec {
     assert(IcebergRead.read(spark, t).count() == 4L)
   }
 
+  test("r18: replacePartitions records replaced files as DELETED entries") {
+    import spark.implicits._
+    val t = tmpDir("icew-replacepart-del").resolve("t").toString
+    IcebergWrite.create(spark, t, schema, partitionBy = Seq("p"))
+    val s0 = IcebergWrite.append(spark, t,
+      rows((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")))
+    IcebergWrite.replacePartitions(spark, t,
+      Seq((10L, "new", "x")).toDF("id", "v", "p"))
+    // manifest-list counters: the rewritten manifest must account the
+    // replaced partition-x file(s) as deleted, not silently omit them
+    val mans = IcebergRead.manifests(spark, t).collect()
+    val deletedFiles = mans.map(_.getAs[Int]("deleted_data_files_count")).sum
+    val deletedRows = mans.map(_.getAs[Long]("deleted_rows_count")).sum
+    assert(deletedFiles >= 1, mans.mkString("\n"))
+    assert(deletedRows == 2L, mans.mkString("\n"))
+    // entry level: status=2 entries carry the OVERWRITE snapshot's id
+    // (the spec's removed-by-this-snapshot contract for foreign
+    // incremental/changelog consumers) and their original data sequence
+    val snaps = IcebergRead.snapshots(spark, t).collect()
+    val over = snaps.find(_.getAs[String]("operation") == "overwrite").get
+    val overId = over.getAs[Long]("snapshot_id")
+    val conf = spark.sessionState.newHadoopConf()
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import org.apache.avro.mapred.FsInput
+    val deletedEntries = mans.filter(_.getAs[Int]("deleted_data_files_count") > 0)
+      .flatMap { m =>
+        val rd = new DataFileReader[GenericRecord](
+          new FsInput(new org.apache.hadoop.fs.Path(m.getAs[String]("path")), conf),
+          new GenericDatumReader[GenericRecord]())
+        try rd.iterator().asScala.toVector.filter(
+          _.get("status").asInstanceOf[Int] == 2)
+        finally rd.close()
+      }
+    assert(deletedEntries.nonEmpty)
+    deletedEntries.foreach { e =>
+      assert(e.get("snapshot_id").asInstanceOf[Long] == overId, e.toString)
+      assert(e.get("sequence_number").asInstanceOf[Long] == 1L,
+        s"DELETED entry must keep its ORIGINAL data sequence: $e")
+    }
+    // reads stay correct: DELETED entries are dead for scans
+    assert(IcebergRead.read(spark, t).collect()
+      .map(r => r.getLong(0)).toSet == Set(10L, 3L))
+    // and time travel to the pre-overwrite snapshot is untouched
+    assert(IcebergRead.read(spark, t,
+      IcebergRead.Options(snapshotId = Some(s0))).count() == 3L)
+  }
+
   // r17 (VERDICT item 2): equality deletes batch into ONE anti-join per
   // DISTINCT equality-id set — ten un-compacted delete files must not
   // build ten chained joins.

@@ -508,6 +508,26 @@ class IcebergReadSpec extends SparkSpec {
     assert(logical("times").dataType == ArrayType(LongType, containsNull = true))
   }
 
+  test("write guard does NOT fire on nested timestamp-family columns") {
+    // "timestamp"/"timestamptz" must not prefix-match the `time`
+    // alternative of the composite tag regex — a struct<ts: timestamptz>
+    // is a perfectly writable shape this engine itself produces
+    val node = new ObjectMapper().readTree(
+      """{"type":"struct","fields":[
+        |  {"id":1,"name":"id","required":true,"type":"int"},
+        |  {"id":2,"name":"s","required":false,"type":{"type":"struct","fields":[
+        |    {"id":3,"name":"ts","required":false,"type":"timestamptz"},
+        |    {"id":4,"name":"tn","required":false,"type":"timestamp"}]}},
+        |  {"id":5,"name":"stamps","required":false,
+        |   "type":{"type":"list","element-id":6,"element":"timestamptz",
+        |           "element-required":false}}]}""".stripMargin)
+    val logical = IcebergRead.parseType(node).asInstanceOf[StructType]
+    IcebergRead.refuseDivergentWrite(logical, "test") // must not throw
+    assert(logical("s").dataType.asInstanceOf[StructType]("ts").dataType == TimestampType)
+    assert(logical("stamps").dataType ==
+      ArrayType(TimestampType, containsNull = true))
+  }
+
   test("nested uuid refuses loudly") {
     val dir = tmpDir("iceread-nested-uuid").toString
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
