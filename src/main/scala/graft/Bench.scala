@@ -100,9 +100,11 @@ object Bench {
     "q180_iceberg_foreign_types", "q181_iceberg_merge_batch",
     "q182_iceberg_v3_dv", "q183_iceberg_v3_variant",
     "q184_iceberg_v3_row_lineage")
+  // queries added in round 18
+  private[graft] val r18New = Set("q185_iceberg_v3_dv_delete")
   private[graft] val laterRounds =
     Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New, r11New, r13New,
-      r14New, r15New, r16New, r17New)
+      r14New, r15New, r16New, r17New, r18New)
   private def newer(from: Int)(k: String): Boolean =
     laterRounds.drop(from).exists(_(k))
   // ------------------------------------------------------------------------

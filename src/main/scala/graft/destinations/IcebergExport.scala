@@ -185,10 +185,20 @@ object IcebergExport {
     * fills; every column is name-addressed, so optional spec fields may be
     * absent entirely.
     */
-  private[graft] def manifestEntrySchema(partitionFields: Seq[(String, String, Int)]): Schema = {
+  private[graft] def manifestEntrySchema(
+      partitionFields: Seq[(String, String, Int)],
+      v3: Boolean = false): Schema = {
     val partFields = partitionFields.map { case (name, avroType, fid) =>
       s"""{"name":${quote(name)},"type":["null",$avroType],"default":null,"field-id":$fid}"""
     }.mkString(",")
+    // v3 additions (spec field ids 142-145): row-lineage start id on data
+    // files, and the deletion-vector addressing triple on puffin deletes
+    val v3Fields = if (!v3) "" else
+      """,
+        |  {"name":"first_row_id","type":["null","long"],"default":null,"field-id":142},
+        |  {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+        |  {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+        |  {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}""".stripMargin
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int","field-id":0},
@@ -211,7 +221,7 @@ object IcebergExport {
          |  {"name":"upper_bounds","field-id":128,"default":null,"type":["null",
          |    {"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
          |      {"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}]},
-         |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
+         |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}$v3Fields
          |]}}]}""".stripMargin)
   }
 

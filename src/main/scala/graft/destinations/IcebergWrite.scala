@@ -1009,6 +1009,16 @@ object IcebergWrite {
     val logical = IcebergRead.parseType(schemaNode).asInstanceOf[StructType]
     IcebergRead.refuseDivergentWrite(logical, "deleteWhere")
 
+    // v3: position deletes MUST be deletion vectors (the spec deprecates
+    // new position-delete files and this engine's v2 equality-delete
+    // shape would mix protocols) — resolve the matching rows to
+    // per-file positions and write ONE puffin of consolidated DVs
+    val fv = md.get("format-version").asInt()
+    if (fv == 3)
+      return deleteWhereDv(spark, tablePath, qualified, metaDir, fs, md,
+        logical, values, csid)
+    require(fv == 2, s"format-version $fv not supported for deleteWhere")
+
     // delete file + manifest (content=1 in the list; data_file.content=2)
     // with the equality ids; unpartitioned-scoped, so it applies table-wide
     val prevSeq = md.get("last-sequence-number").asLong()
@@ -1076,6 +1086,431 @@ object IcebergWrite {
     val v = (try new String(in.readAllBytes(), "UTF-8") finally in.close()).trim.toInt
     writeMetadata(fs, metaDir, v + 1, md)
     snapshotId
+  }
+
+  /** v3 DELETE via DELETION VECTORS (Table Spec v3, which deprecates new
+    * position-delete files): rows matching `values` (null-safe equality
+    * on its columns, like the v2 equality path) resolve to per-file
+    * positions; each affected data file gets ONE consolidated
+    * `deletion-vector-v1` blob — existing DV ∪ new positions, the spec's
+    * one-live-DV-per-file invariant the reader enforces — and all blobs
+    * land in a single puffin container. Superseded DV entries re-emit as
+    * status DELETED in rewritten delete manifests (the removals contract
+    * for incremental consumers). Scale shape: bitmap union + roaring
+    * serialization run on EXECUTORS keyed by file; the driver handles
+    * only compressed DV bytes and metadata. Returns the new snapshot id
+    * (the current one when nothing matched).
+    */
+  private def deleteWhereDv(
+      spark: SparkSession,
+      tablePath: String,
+      qualified: Path,
+      metaDir: Path,
+      fs: org.apache.hadoop.fs.FileSystem,
+      md: ObjectNode,
+      logical: StructType,
+      values: DataFrame,
+      csid: Int): Long = {
+    import graft.sources.DeletionVectors
+    val conf = spark.sessionState.newHadoopConf()
+    // DV manifest entries here carry an EMPTY partition tuple, so every
+    // declared spec must be unpartitioned (a partitioned v3 table needs
+    // per-file tuple copying this writer does not do yet — refuse rather
+    // than write spec-invalid entries)
+    md.get("partition-specs").elements().asScala.foreach { sp =>
+      require(!sp.get("fields").elements().hasNext,
+        "v3 DV deletes support unpartitioned tables only")
+    }
+    def norm(raw: String): String =
+      new Path(raw).toUri.toString
+        .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    val curSnapId = Option(md.get("current-snapshot-id")).filterNot(_.isNull)
+      .map(_.asLong()).filter(_ >= 0L)
+    if (curSnapId.isEmpty) return -1L // empty table: nothing to delete
+
+    // ---- current live DV entries + data file spellings (driver scan,
+    // bounded by manifest entry count — the same bound every read plans)
+    val priorList = md.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == curSnapId.get).get
+      .get("manifest-list").asText()
+    val dataRefByNorm = Map.newBuilder[String, String]
+    // norm(referenced data file) -> (puffin path, offset, size, ref spelling)
+    val liveDvs = Map.newBuilder[String, (String, Long, Long, String)]
+    IcebergRead.avroRecords(conf, new Path(priorList)).foreach { m =>
+      val content = IcebergRead.fieldOpt(m, "content")
+        .map(_.asInstanceOf[Int]).getOrElse(0)
+      IcebergRead.avroRecords(conf, new Path(m.get("manifest_path").toString))
+        .foreach { e =>
+          if (e.get("status").asInstanceOf[Int] != 2) {
+            val d = e.get("data_file").asInstanceOf[GenericRecord]
+            val path = d.get("file_path").toString
+            val dContent = IcebergRead.fieldOpt(d, "content")
+              .map(_.asInstanceOf[Int]).getOrElse(0)
+            if (content == 0 && dContent == 0)
+              dataRefByNorm += norm(path) -> path
+            else if (dContent == 1 &&
+                d.get("file_format").toString.equalsIgnoreCase("PUFFIN")) {
+              val ref = IcebergRead.fieldOpt(d, "referenced_data_file")
+                .map(_.toString).getOrElse(throw new IllegalArgumentException(
+                  s"puffin delete $path carries no referenced_data_file"))
+              liveDvs += norm(ref) -> ((path,
+                IcebergRead.fieldOpt(d, "content_offset")
+                  .map(_.asInstanceOf[Long]).get,
+                IcebergRead.fieldOpt(d, "content_size_in_bytes")
+                  .map(_.asInstanceOf[Long]).get, ref))
+            }
+          }
+        }
+    }
+    val dataRefs = dataRefByNorm.result()
+    val existingDvs = liveDvs.result()
+
+    // ---- resolve matching rows to (file, position); null-safe equality
+    val byName = logical.fields.map(f => f.name -> f).toMap
+    val vcols = values.columns.toSeq
+    require(vcols.nonEmpty, "DV delete needs at least one column")
+    val typed = values.select(vcols.map { c =>
+      val f = byName.getOrElse(c, throw new IllegalArgumentException(
+        s"delete column $c not in table schema"))
+      values.col(c).cast(IcebergRead.clean(f.dataType)).as("_dw_" + c)
+    }: _*).distinct()
+    val withPos = IcebergRead.read(spark, tablePath,
+      IcebergRead.Options(exposeFilePos = true))
+    val cond = vcols.map(c => withPos.col(c) <=> typed.col("_dw_" + c))
+      .reduce(_ && _)
+    val matched = withPos
+      .join(org.apache.spark.sql.functions.broadcast(typed), cond, "left_semi")
+      .select(col("_ib_file"), col("_ib_pos"))
+
+    // existing serialized bitmaps ride a broadcast; union + re-serialize
+    // per file on executors
+    val existingBytes: Map[String, Array[Byte]] = existingDvs.map {
+      case (n, (p, off, size, _)) =>
+        n -> DeletionVectors.readIcebergDvBytes(fs, new Path(p), off, size)
+    }
+    val bcExisting = spark.sparkContext.broadcast(existingBytes)
+    import spark.implicits._
+    val perFile: Array[(String, Array[Byte], Long, Long)] =
+      matched.as[(String, Long)]
+        .groupByKey { case (f, _) =>
+          f.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/") }
+        .mapGroups { (fileNorm, it) =>
+          val fresh = it.map(_._2).toArray
+          val prior = bcExisting.value.get(fileNorm)
+            .map(b => DeletionVectors.decode(b).toLongArray)
+            .getOrElse(Array.emptyLongArray)
+          val priorSet = prior.toSet
+          val addedNew = fresh.count(p => !priorSet.contains(p)).toLong
+          val all = (prior ++ fresh).distinct.sorted
+          (fileNorm, DeletionVectors.serialize(all), all.length.toLong, addedNew)
+        }.collect().sortBy(_._1)
+    if (perFile.isEmpty) return curSnapId.get
+
+    // ---- one puffin container: header magic, per-file Delta-framed blob
+    // (4B BE length | magic+bitmap | 4B BE CRC — the framing v3 adopted),
+    // then the JSON footer a foreign puffin tool expects
+    val prevSeq = md.get("last-sequence-number").asLong()
+    val sequence = prevSeq + 1
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
+    val puffinMagic = Array[Byte]('P', 'F', 'A', '1')
+    val dataDir = new Path(qualified, "data")
+    fs.mkdirs(dataDir)
+    val puffinPath = new Path(dataDir,
+      s"dv-${java.util.UUID.randomUUID()}.puffin")
+    var blobOff = 4L
+    val blobMeta: Seq[(String, Long, Long, Long)] = perFile.toSeq.map {
+      case (n, bytes, card, _) =>
+        val size = bytes.length + 8L
+        val m = (n, blobOff, size, card)
+        blobOff += size
+        m
+    }
+    locally {
+      val footer = mapper.createObjectNode()
+      val blobsArr = footer.putArray("blobs")
+      blobMeta.foreach { case (n, off, size, card) =>
+        val b = blobsArr.addObject()
+        b.put("type", "deletion-vector-v1")
+        b.putArray("fields")
+        b.put("snapshot-id", snapshotId)
+        b.put("sequence-number", sequence)
+        b.put("offset", off)
+        b.put("length", size)
+        val props = b.putObject("properties")
+        props.put("referenced-data-file",
+          dataRefs.getOrElse(n, existingDvs.get(n).map(_._4).getOrElse(n)))
+        props.put("cardinality", card.toString): Unit
+      }
+      footer.putObject("properties")
+      val payload = footer.toString.getBytes("UTF-8")
+      val out = fs.create(puffinPath, true)
+      try {
+        out.write(puffinMagic)
+        perFile.foreach { case (_, bytes, _, _) =>
+          val crc = new java.util.zip.CRC32
+          crc.update(bytes)
+          val frame = java.nio.ByteBuffer.allocate(bytes.length + 8)
+            .putInt(bytes.length).put(bytes).putInt(crc.getValue.toInt)
+          out.write(frame.array())
+        }
+        out.write(puffinMagic)
+        out.write(payload)
+        val tail = java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(payload.length).putInt(0) // size, flags (uncompressed)
+        out.write(tail.array())
+        out.write(puffinMagic)
+      } finally out.close()
+    }
+    val puffinLen = fs.getFileStatus(puffinPath).getLen
+
+    // ---- new DV delete manifest (v3 entry schema, empty partition)
+    val entrySchema = IcebergExport.manifestEntrySchema(Nil, v3 = true)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val manifestPath = new Path(metaDir, s"${java.util.UUID.randomUUID()}-m1.avro")
+    val mw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    mw.setMeta("format-version", "3")
+    mw.setMeta("content", "deletes")
+    mw.create(entrySchema, fs.create(manifestPath, true))
+    val totalCard = blobMeta.map(_._4).sum
+    try blobMeta.foreach { case (n, off, size, card) =>
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", 1) // POSITION_DELETES (DV)
+      d.put("file_path", puffinPath.toString)
+      d.put("file_format", "PUFFIN")
+      d.put("partition",
+        new GenericData.Record(dfSchema.getField("partition").schema()))
+      d.put("record_count", card)
+      d.put("file_size_in_bytes", puffinLen)
+      d.put("referenced_data_file",
+        dataRefs.getOrElse(n, existingDvs.get(n).map(_._4).getOrElse(n)))
+      d.put("content_offset", off)
+      d.put("content_size_in_bytes", size)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", sequence)
+      e.put("file_sequence_number", sequence)
+      e.put("data_file", d)
+      mw.append(e)
+    } finally mw.close()
+    val manifestLen = fs.getFileStatus(manifestPath).getLen
+
+    // ---- new manifest list: carry prior manifests, rewriting delete
+    // manifests whose live DV entries this commit supersedes
+    val superseded: Set[String] = perFile.iterator.map(_._1)
+      .filter(existingDvs.contains).toSet
+    val listPath = new Path(metaDir,
+      s"snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](IcebergExport.manifestFileSchema))
+    lw.setMeta("format-version", "3")
+    lw.setMeta("snapshot-id", snapshotId.toString)
+    lw.setMeta("sequence-number", sequence.toString)
+    lw.create(IcebergExport.manifestFileSchema, fs.create(listPath, true))
+    try {
+      carryPriorManifestsDroppingDvs(lw, md, conf, metaDir, superseded,
+        snapshotId, norm)
+      val m = new GenericData.Record(IcebergExport.manifestFileSchema)
+      m.put("manifest_path", manifestPath.toString)
+      m.put("manifest_length", manifestLen)
+      m.put("partition_spec_id", md.get("default-spec-id").asInt())
+      m.put("content", 1) // DELETES manifest
+      m.put("sequence_number", sequence)
+      m.put("min_sequence_number", sequence)
+      m.put("added_snapshot_id", snapshotId)
+      m.put("added_files_count", blobMeta.size)
+      m.put("existing_files_count", 0)
+      m.put("deleted_files_count", 0)
+      m.put("added_rows_count", totalCard)
+      m.put("existing_rows_count", 0L)
+      m.put("deleted_rows_count", 0L)
+      lw.append(m)
+    } finally lw.close()
+
+    // ---- metadata: new snapshot (v3 row-lineage fields: a delete adds
+    // no rows, so first-row-id pins at the current next-row-id)
+    val nowMs = System.currentTimeMillis()
+    md.put("last-sequence-number", sequence)
+    md.put("last-updated-ms", nowMs)
+    val snapNode = mapper.createObjectNode()
+    snapNode.put("snapshot-id", snapshotId)
+    curSnapId.foreach(p => snapNode.put("parent-snapshot-id", p): Unit)
+    snapNode.put("timestamp-ms", nowMs)
+    snapNode.put("sequence-number", sequence)
+    Option(md.get("next-row-id")).filterNot(_.isNull).foreach { nri =>
+      snapNode.put("first-row-id", nri.asLong())
+      snapNode.put("added-rows", 0L): Unit
+    }
+    snapNode.put("manifest-list", listPath.toString)
+    snapNode.put("schema-id", csid)
+    val summary = snapNode.putObject("summary")
+    summary.put("operation", "delete")
+    summary.put("added-delete-files", blobMeta.size.toString)
+    summary.put("added-dvs", blobMeta.size.toString)
+    summary.put("removed-dvs", superseded.size.toString)
+    summary.put("added-position-deletes",
+      perFile.iterator.map(_._4).sum.toString)
+    md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+      .add(snapNode)
+    md.put("current-snapshot-id", snapshotId)
+    setRef(md, "main", snapshotId, "branch")
+    val sl = md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+      .addObject()
+    sl.put("timestamp-ms", nowMs)
+    sl.put("snapshot-id", snapshotId)
+    writeMetadata(fs, metaDir, currentMetadataVersion(fs, metaDir) + 1, md)
+    snapshotId
+  }
+
+  /** Carry every prior manifest into `lw`, rewriting delete manifests
+    * whose live PUFFIN DV entries reference a file in `superseded`: those
+    * entries re-emit as status DELETED under the new snapshot (the
+    * consolidated DV replaces them), survivors as EXISTING with original
+    * sequence. Data manifests and untouched delete manifests carry
+    * byte-identical.
+    */
+  private def carryPriorManifestsDroppingDvs(
+      lw: DataFileWriter[GenericRecord],
+      md: ObjectNode,
+      conf: org.apache.hadoop.conf.Configuration,
+      metaDir: Path,
+      superseded: Set[String],
+      newSnapshotId: Long,
+      norm: String => String): Unit = {
+    def copyListRec(rec: GenericRecord): GenericData.Record = {
+      val m = new GenericData.Record(IcebergExport.manifestFileSchema)
+      IcebergExport.manifestFileSchema.getFields.asScala.foreach { f =>
+        m.put(f.name(), rec.get(f.name()) match {
+          case s: org.apache.avro.util.Utf8 => s.toString
+          case other => other
+        })
+      }
+      m
+    }
+    val curSnapId = Option(md.get("current-snapshot-id")).filterNot(_.isNull)
+      .map(_.asLong()).filter(_ >= 0L)
+    curSnapId.foreach { id =>
+      val prior = md.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == id).get
+      val priorList = new Path(prior.get("manifest-list").asText())
+      val rd = new DataFileReader[GenericRecord](
+        new FsInput(priorList, conf), new GenericDatumReader[GenericRecord]())
+      try rd.iterator().asScala.foreach { rec =>
+        val content = rec.get("content") match {
+          case i: java.lang.Integer => i.intValue()
+          case _ => 0
+        }
+        if (content == 0 || superseded.isEmpty) lw.append(copyListRec(rec))
+        else {
+          val mPath = new Path(rec.get("manifest_path").toString)
+          val mrd = new DataFileReader[GenericRecord](
+            new FsInput(mPath, conf), new GenericDatumReader[GenericRecord]())
+          val (entrySchema, metas, entries) =
+            try {
+              val ms = Seq("format-version", "content", "schema",
+                "partition-spec", "partition-spec-id")
+                .flatMap(k => Option(mrd.getMetaString(k)).map(k -> _))
+              (mrd.getSchema, ms, mrd.iterator().asScala.toVector)
+            } finally mrd.close()
+          def isSuperseded(e: GenericRecord): Boolean = {
+            val d = e.get("data_file").asInstanceOf[GenericRecord]
+            val dContent = IcebergRead.fieldOpt(d, "content")
+              .map(_.asInstanceOf[Int]).getOrElse(0)
+            dContent == 1 &&
+              d.get("file_format").toString.equalsIgnoreCase("PUFFIN") &&
+              IcebergRead.fieldOpt(d, "referenced_data_file")
+                .map(_.toString).exists(r => superseded(norm(r)))
+          }
+          val live = entries.filter(e =>
+            e.get("status") match {
+              case i: java.lang.Integer => i != 2; case _ => true })
+          val (drop, keep) = live.partition(isSuperseded)
+          if (drop.isEmpty) lw.append(copyListRec(rec))
+          else {
+            def rows(e: GenericRecord): Long =
+              e.get("data_file").asInstanceOf[GenericRecord]
+                .get("record_count") match {
+                case l: java.lang.Long => l.longValue(); case _ => 0L
+              }
+            val fsm = metaDir.getFileSystem(conf)
+            val newPath = new Path(metaDir,
+              s"${java.util.UUID.randomUUID()}-m1.avro")
+            val mw = new DataFileWriter[GenericRecord](
+              new GenericDatumWriter[GenericRecord](entrySchema))
+            metas.foreach { case (k, v) => mw.setMeta(k, v) }
+            mw.create(entrySchema, fsm.create(newPath, true))
+            val inheritedSeq = rec.get("sequence_number") match {
+              case l: java.lang.Long => l.longValue()
+              case i: java.lang.Integer => i.longValue()
+              case _ => 0L
+            }
+            val inheritedSnap = rec.get("added_snapshot_id") match {
+              case l: java.lang.Long => l.longValue()
+              case i: java.lang.Integer => i.longValue()
+              case _ => 0L
+            }
+            def hasF(n: String) = entrySchema.getField(n) != null
+            try {
+              keep.foreach { e =>
+                e.put("status", 0) // EXISTING
+                if (hasF("sequence_number") && e.get("sequence_number") == null)
+                  e.put("sequence_number", inheritedSeq)
+                if (hasF("file_sequence_number") &&
+                    e.get("file_sequence_number") == null)
+                  e.put("file_sequence_number", inheritedSeq)
+                if (hasF("snapshot_id") && e.get("snapshot_id") == null)
+                  e.put("snapshot_id", inheritedSnap)
+                mw.append(e)
+              }
+              drop.foreach { e =>
+                e.put("status", 2) // DELETED: replaced by the new DV
+                if (hasF("sequence_number") && e.get("sequence_number") == null)
+                  e.put("sequence_number", inheritedSeq)
+                if (hasF("file_sequence_number") &&
+                    e.get("file_sequence_number") == null)
+                  e.put("file_sequence_number", inheritedSeq)
+                if (hasF("snapshot_id")) e.put("snapshot_id", newSnapshotId)
+                mw.append(e)
+              }
+            } finally mw.close()
+            val m = copyListRec(rec)
+            m.put("manifest_path", newPath.toString)
+            m.put("manifest_length", fsm.getFileStatus(newPath).getLen)
+            m.put("added_snapshot_id", newSnapshotId)
+            m.put("added_files_count", 0)
+            m.put("existing_files_count", keep.size)
+            m.put("deleted_files_count", drop.size)
+            m.put("added_rows_count", 0L)
+            m.put("existing_rows_count", keep.map(rows).sum)
+            m.put("deleted_rows_count", drop.map(rows).sum)
+            lw.append(m)
+          }
+        }
+      } finally rd.close()
+    }
+  }
+
+  /** The current vN metadata version number — from `version-hint.text`
+    * when present, else the highest `v<N>.metadata.json` listed (foreign
+    * tables may lack the hint).
+    */
+  private def currentMetadataVersion(
+      fs: org.apache.hadoop.fs.FileSystem, metaDir: Path): Int = {
+    val hintPath = new Path(metaDir, "version-hint.text")
+    if (fs.exists(hintPath)) {
+      val in = fs.open(hintPath)
+      (try new String(in.readAllBytes(), "UTF-8") finally in.close()).trim.toInt
+    } else {
+      val re = "^v(\\d+)\\.metadata\\.json$".r
+      val versions = fs.listStatus(metaDir).toSeq.flatMap(_.getPath.getName match {
+        case re(v) => Some(v.toInt)
+        case _ => None
+      })
+      require(versions.nonEmpty, s"no Iceberg metadata under $metaDir")
+      versions.max
+    }
   }
 
   /** EXPIRE SNAPSHOTS (Iceberg maintenance): drop snapshots with

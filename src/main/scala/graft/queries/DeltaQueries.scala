@@ -1896,6 +1896,46 @@ private[graft] object DeltaQueries {
           col("_row_id").as("row_id"),
           col("_last_updated_sequence_number").as("last_seq"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Iceberg v3 DV WRITE (r18): this engine's own deleteWhere on a
+    // format-version-3 table — the matching rows resolve to per-file
+    // positions and land as puffin `deletion-vector-v1` blobs; a second
+    // overlapping delete CONSOLIDATES into one live DV per file (old ∪
+    // new — earlier deletes must not resurrect), the superseded entry
+    // re-emitted DELETED. Pinned into the hashed frame: the live-DV
+    // count (the spec's one-DV-per-file invariant), the pre-delete
+    // snapshot count (time travel intact), and both delete waves
+    // replayed from raw orders in DuckDB.
+    "q185_iceberg_v3_dv_delete" -> ((s, dir) => {
+      import graft.destinations.{IcebergV3Fixture, IcebergWrite}
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q185").resolve("t").toString
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+      IcebergV3Fixture.write(s, tbl, base.coalesce(1), deletedPositions = Nil)
+      IcebergWrite.deleteWhere(s, tbl,
+        base.filter(col("o_orderkey") % 4 === 0).select(col("o_orderkey")))
+      IcebergWrite.deleteWhere(s, tbl,
+        base.filter(col("o_orderkey") % 6 === 0).select(col("o_orderkey")))
+      val conf = s.sessionState.newHadoopConf()
+      val liveDvs = IcebergRead.manifests(s, tbl).collect().iterator.flatMap {
+        m => IcebergRead.avroRecords(conf,
+          new org.apache.hadoop.fs.Path(m.getAs[String]("path"))).filter { e =>
+            e.get("status").asInstanceOf[Int] != 2 &&
+              e.get("data_file")
+                .asInstanceOf[org.apache.avro.generic.GenericRecord]
+                .get("file_format").toString.equalsIgnoreCase("PUFFIN")
+          }
+      }.size
+      val pre = IcebergRead.read(s, tbl,
+        IcebergRead.Options(snapshotId = Some(1L))).count()
+      IcebergRead.read(s, tbl)
+        .withColumn("pre_rows", lit(pre))
+        .withColumn("live_dvs", lit(liveDvs))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -2219,6 +2259,19 @@ private[graft] object DeltaQueries {
       """SELECT event_id, user_id,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events ORDER BY event_id""",
+
+    // v3 DV WRITE: two delete waves (keys %4, then %6 — overlapping at
+    // %12, consolidation territory) applied as deletion vectors; exactly
+    // ONE live DV survives; the pre-delete snapshot counts everything
+    "q185_iceberg_v3_dv_delete" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST((SELECT count(*) FROM orders WHERE o_orderkey < 2000)
+                  AS BIGINT) AS pre_rows,
+                1 AS live_dvs
+         FROM orders
+         WHERE o_orderkey < 2000
+           AND o_orderkey % 4 <> 0 AND o_orderkey % 6 <> 0
+         ORDER BY o_orderkey""",
 
     // v3 deletion vector: keys % 5 == 0 positionally dead, every
     // surviving row carries the pre-addition default; pre-DV snapshot

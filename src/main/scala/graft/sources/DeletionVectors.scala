@@ -155,7 +155,17 @@ private[graft] object DeletionVectors {
     */
   def readIcebergDv(
       fs: org.apache.hadoop.fs.FileSystem, path: Path,
-      offset: Long, size: Long): RoaringArray = {
+      offset: Long, size: Long): RoaringArray =
+    decode(readIcebergDvBytes(fs, path, offset, size))
+
+  /** The CRC-verified serialized bitmap bytes (portable magic + roaring64)
+    * of one blob, WITHOUT decoding — the v3 DV write path broadcasts these
+    * to executors for consolidation, so the driver never materializes
+    * position arrays.
+    */
+  def readIcebergDvBytes(
+      fs: org.apache.hadoop.fs.FileSystem, path: Path,
+      offset: Long, size: Long): Array[Byte] = {
     val in = fs.open(path)
     try {
       in.seek(offset)
@@ -172,7 +182,7 @@ private[graft] object DeletionVectors {
       crc.update(buf)
       require(crc.getValue.toInt == ByteBuffer.wrap(crcBuf).getInt,
         s"DV checksum mismatch at $path:$offset")
-      decode(buf)
+      buf
     } finally in.close()
   }
 

@@ -108,7 +108,11 @@ object IcebergRead {
       // `_last_updated_sequence_number` (the row's data sequence).
       // Explicitly-stamped files only — a null first_row_id means
       // write-time inheritance this reader does not reconstruct: refuse.
-      exposeRowLineage: Boolean = false)
+      exposeRowLineage: Boolean = false,
+      // internal (the v3 DV write path): append `_ib_file` (the
+      // `_metadata.file_path` spelling) and `_ib_pos` (row position in
+      // its file) so a delete can resolve matched rows to positions
+      exposeFilePos: Boolean = false)
 
   private val mapper = new ObjectMapper()
 
@@ -752,7 +756,8 @@ object IcebergRead {
     val dvs =
       if (opts.addedInSnapshotId.isDefined) Nil else dvDeletes.result()
     val needHelpers =
-      pos.nonEmpty || eqs.nonEmpty || dvs.nonEmpty || opts.exposeRowLineage
+      pos.nonEmpty || eqs.nonEmpty || dvs.nonEmpty || opts.exposeRowLineage ||
+        opts.exposeFilePos
 
     // legacy identity fallback: conjuncts that reference only IDENTITY
     // partition columns but fall outside the transform grammar (function
@@ -819,11 +824,15 @@ object IcebergRead {
       if (!opts.exposeRowLineage) Nil
       else Seq(StructField("_row_id", LongType),
         StructField("_last_updated_sequence_number", LongType))
+    val filePosFields =
+      if (!opts.exposeFilePos) Nil
+      else Seq(StructField("_ib_file", StringType),
+        StructField("_ib_pos", LongType))
     if (data.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(clean(logical).asInstanceOf[StructType].fields ++
-          lineageFields))
+          lineageFields ++ filePosFields))
 
     // ---- column resolution: name mapping, else per-file footer field ids
     val nameMapping: Option[Seq[JsonNode]] =
@@ -1187,9 +1196,15 @@ object IcebergRead {
         .withColumn("_last_updated_sequence_number", col("_ib_seq"))
         .drop("_lin_path", "_lin_first")
     }
+    if (opts.exposeFilePos)
+      out = out.withColumnRenamed("_ib_file", "_pos_file")
+        .withColumnRenamed("_ib_pos", "_pos_idx")
     if (needHelpers) out = out.drop("_ib_file", "_ib_pos", "_ib_seq")
     out.select((logical.fields.toSeq.map(f => col(quoteId(f.name))) ++
-      lineageFields.map(f => col(f.name))): _*)
+      lineageFields.map(f => col(f.name)) ++
+      (if (opts.exposeFilePos)
+         Seq(col("_pos_file").as("_ib_file"), col("_pos_idx").as("_ib_pos"))
+       else Nil)): _*)
   }
 
   private def quoteId(name: String): String = s"`${name.replace("`", "``")}`"

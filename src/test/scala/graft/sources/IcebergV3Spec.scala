@@ -147,4 +147,93 @@ class IcebergV3Spec extends SparkSpec {
     }
     assert(e.getMessage.contains("initial-default"))
   }
+
+  test("r18: v3 deleteWhere writes puffin DVs; repeat deletes consolidate") {
+    val dir = tmpDir("icev3-dv-write").toString
+    import spark.implicits._
+    val df = (0 until 10).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(1).orderBy("id")
+    IcebergV3Fixture.write(spark, dir, df, deletedPositions = Nil)
+
+    // first DV delete: two rows positionally dead
+    val s2 = graft.destinations.IcebergWrite.deleteWhere(
+      spark, dir, Seq(2, 5).toDF("id"))
+    assert(IcebergRead.read(spark, dir).orderBy("id")
+      .collect().map(_.getInt(0)).toSeq == Seq(0, 1, 3, 4, 6, 7, 8, 9))
+
+    // second delete on the SAME file: consolidates — 2 and 5 must stay
+    // dead (the new DV is old ∪ new, not a replacement of positions)
+    graft.destinations.IcebergWrite.deleteWhere(spark, dir, Seq(7).toDF("id"))
+    assert(IcebergRead.read(spark, dir).orderBy("id")
+      .collect().map(_.getInt(0)).toSeq == Seq(0, 1, 3, 4, 6, 8, 9))
+
+    // one-live-DV-per-file invariant: exactly one live PUFFIN entry
+    val conf = spark.sessionState.newHadoopConf()
+    val mans = IcebergRead.manifests(spark, dir).collect()
+    val liveDvEntries = mans.flatMap { m =>
+      IcebergRead.avroRecords(conf,
+        new Path(m.getAs[String]("path"))).filter { e =>
+        val d = e.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        e.get("status").asInstanceOf[Int] != 2 &&
+          d.get("file_format").toString.equalsIgnoreCase("PUFFIN")
+      }
+    }
+    assert(liveDvEntries.length == 1, s"got ${liveDvEntries.length} live DVs")
+    // the superseded first DV re-emits as DELETED under the new snapshot
+    val deadDvEntries = mans.flatMap { m =>
+      IcebergRead.avroRecords(conf,
+        new Path(m.getAs[String]("path"))).filter { e =>
+        val d = e.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        e.get("status").asInstanceOf[Int] == 2 &&
+          d.get("file_format").toString.equalsIgnoreCase("PUFFIN")
+      }
+    }
+    assert(deadDvEntries.nonEmpty)
+
+    // snapshot summaries carry the DV accounting
+    val snaps = IcebergRead.snapshots(spark, dir).collect()
+      .sortBy(_.getAs[Long]("sequence_number"))
+    val sum2 = snaps(1).getAs[Map[String, String]]("summary")
+    assert(sum2("added-dvs") == "1")
+    assert(sum2("added-position-deletes") == "2")
+    val sum3 = snaps(2).getAs[Map[String, String]]("summary")
+    assert(sum3("added-dvs") == "1")
+    assert(sum3("removed-dvs") == "1")
+    assert(sum3("added-position-deletes") == "1")
+
+    // time travel: snapshot 1 sees everything, s2 sees the first delete
+    assert(IcebergRead.read(spark, dir,
+      IcebergRead.Options(snapshotId = Some(1L))).count() == 10L)
+    assert(IcebergRead.read(spark, dir,
+      IcebergRead.Options(snapshotId = Some(s2))).orderBy("id")
+      .collect().map(_.getInt(0)).toSeq == Seq(0, 1, 3, 4, 6, 7, 8, 9))
+
+    // deleting nothing commits nothing
+    val cur = IcebergRead.snapshots(spark, dir).count()
+    graft.destinations.IcebergWrite.deleteWhere(spark, dir, Seq(99).toDF("id"))
+    assert(IcebergRead.snapshots(spark, dir).count() == cur)
+  }
+
+  test("r18: v3 deleteWhere consolidates with a FOREIGN fixture DV") {
+    val dir = tmpDir("icev3-dv-union").toString
+    import spark.implicits._
+    val df = (0 until 8).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(1).orderBy("id")
+    // the fixture's own snapshot-2 DV kills positions 1 and 3
+    IcebergV3Fixture.write(spark, dir, df, deletedPositions = Seq(1L, 3L))
+    assert(IcebergRead.read(spark, dir).orderBy("id")
+      .collect().map(_.getInt(0)).toSeq == Seq(0, 2, 4, 5, 6, 7))
+    // our delete must fold the foreign DV into the consolidated one
+    graft.destinations.IcebergWrite.deleteWhere(spark, dir, Seq(4).toDF("id"))
+    assert(IcebergRead.read(spark, dir).orderBy("id")
+      .collect().map(_.getInt(0)).toSeq == Seq(0, 2, 5, 6, 7))
+    // null-safe: a null key deletes nothing here (no null ids)
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(null: Integer)), 1),
+      StructType(Seq(StructField("id", IntegerType))))
+    graft.destinations.IcebergWrite.deleteWhere(spark, dir, withNull)
+    assert(IcebergRead.read(spark, dir).count() == 5L)
+  }
 }
