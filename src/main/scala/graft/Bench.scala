@@ -101,7 +101,9 @@ object Bench {
     "q182_iceberg_v3_dv", "q183_iceberg_v3_variant",
     "q184_iceberg_v3_row_lineage")
   // queries added in round 18
-  private[graft] val r18New = Set("q185_iceberg_v3_dv_delete")
+  private[graft] val r18New = Set("q185_iceberg_v3_dv_delete",
+    "q186_iceberg_v3_ts_ns", "q187_iceberg_v3_lineage_rewrite",
+    "q188_iceberg_rewrite_eq_deletes")
   private[graft] val laterRounds =
     Seq(r3New, r4New, r5New, r6New, r8New, r9New, r10New, r11New, r13New,
       r14New, r15New, r16New, r17New, r18New)

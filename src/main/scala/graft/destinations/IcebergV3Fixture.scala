@@ -68,7 +68,12 @@ object IcebergV3Fixture {
       tablePath: String,
       df: DataFrame,
       deletedPositions: Seq[Long],
-      extraColumn: Option[(String, String, String)] = None): Unit = {
+      extraColumn: Option[(String, String, String)] = None,
+      // declare a column's Iceberg type explicitly instead of deriving it
+      // from the Spark type — how a v3-only spelling whose physical form
+      // Spark can't annotate (timestamp_ns over INT64 nanos) gets into
+      // the table schema
+      typeOverrides: Map[String, String] = Map.empty): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val table = new Path(tablePath)
     val fs = table.getFileSystem(conf)
@@ -94,13 +99,16 @@ object IcebergV3Fixture {
         fo.put("id", ids.fresh())
         fo.put("name", f.name)
         fo.put("required", !f.nullable)
-        f.dataType match {
-          case org.apache.spark.sql.types.VariantType =>
-            fo.put("type", "variant")
-          case dt => IcebergExport.icebergType(dt, ids) match {
-            case s: String => fo.put("type", s)
-            case n: ObjectNode => fo.set[ObjectNode]("type", n)
-            case other => throw new IllegalStateException(s"$other")
+        typeOverrides.get(f.name) match {
+          case Some(spelled) => fo.put("type", spelled): Unit
+          case None => f.dataType match {
+            case org.apache.spark.sql.types.VariantType =>
+              fo.put("type", "variant")
+            case dt => IcebergExport.icebergType(dt, ids) match {
+              case s: String => fo.put("type", s)
+              case n: ObjectNode => fo.set[ObjectNode]("type", n)
+              case other => throw new IllegalStateException(s"$other")
+            }
           }
         }
       }

@@ -5,8 +5,8 @@ import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.mapred.FsInput
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, regexp_replace}
 import org.apache.spark.sql.types._
 
 import graft.sources.IcebergRead
@@ -90,7 +90,12 @@ object IcebergWrite {
       spark: SparkSession,
       tablePath: String,
       schema: StructType,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      // r18: format-version 3 tables track row lineage (`next-row-id`
+      // starts the id space) and take DELETES as deletion vectors
+      formatVersion: Int = 2): Unit = {
+    require(formatVersion == 2 || formatVersion == 3,
+      s"format-version $formatVersion not supported")
     val partFields = partitionBy.map(parsePartitionField)
     partFields.foreach { case (t, c) =>
       require(schema.fieldNames.contains(c),
@@ -116,7 +121,8 @@ object IcebergWrite {
       .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
 
     val md = mapper.createObjectNode()
-    md.put("format-version", 2)
+    md.put("format-version", formatVersion)
+    if (formatVersion == 3) md.put("next-row-id", 0L): Unit
     md.put("table-uuid", java.util.UUID.randomUUID().toString)
     md.put("location", qualified.toString)
     md.put("last-sequence-number", 0L)
@@ -264,12 +270,24 @@ object IcebergWrite {
         .map(_.asLong()).getOrElse(-1L)
     }
     val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    commitDataSnapshot(spark, tablePath,
-      IcebergRead.read(spark, tablePath).repartition(parts),
+    // v3: a rewrite must PRESERVE row lineage — read the live rows WITH
+    // their lineage and materialize it into the compacted files (reserved
+    // field ids), so surviving rows keep their original `_row_id`s
+    val fsRw = new Path(tablePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val mdRw = IcebergRead.currentMetadata(
+      fsRw, new Path(fsRw.makeQualified(new Path(tablePath)), "metadata"))
+    val v3 = mdRw.get("format-version").asInt() == 3
+    val live =
+      if (v3) IcebergRead.read(spark, tablePath,
+        IcebergRead.Options(exposeRowLineage = true))
+      else IcebergRead.read(spark, tablePath)
+    commitDataSnapshot(spark, tablePath, live.repartition(parts),
       "replace", carryPrior = false,
       extraSummary = Seq(
         "deleted-data-files" -> nData.toString,
-        "removed-delete-files" -> nDel.toString))
+        "removed-delete-files" -> nDel.toString),
+      materializeLineage = v3)
   }
 
   /** Per-column min/max/null-count for the manifest entry's
@@ -528,13 +546,14 @@ object IcebergWrite {
       delRows: Long,
       delLen: Long,
       sequence: Long,
-      snapshotId: Long): (Path, Long) = {
-    val entrySchema = IcebergExport.manifestEntrySchema(Nil)
+      snapshotId: Long,
+      fv: Int = 2): (Path, Long) = {
+    val entrySchema = IcebergExport.manifestEntrySchema(Nil, v3 = fv == 3)
     val dfSchema = entrySchema.getField("data_file").schema()
     val manifestPath = new Path(metaDir, s"${java.util.UUID.randomUUID()}-m1.avro")
     val mw = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](entrySchema))
-    mw.setMeta("format-version", "2")
+    mw.setMeta("format-version", fv.toString)
     mw.setMeta("content", "deletes")
     mw.create(entrySchema, fs.create(manifestPath, true))
     try {
@@ -579,7 +598,13 @@ object IcebergWrite {
       // r17 (dynamic partition overwrite): prior data files whose
       // partition tuple matches one of the NEW files' tuples are dropped
       // from the carried manifests — [[replacePartitions]]
-      dropTouchedPartitions: Boolean = false): Long = {
+      dropTouchedPartitions: Boolean = false,
+      // r18 (v3 rewrite): `df` carries `_row_id`/
+      // `_last_updated_sequence_number` columns that must MATERIALIZE
+      // into the data files under the spec's reserved field ids (the
+      // preserve-lineage contract for rewritten rows); entries then omit
+      // first_row_id and the snapshot consumes no new row ids
+      materializeLineage: Boolean = false): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val table = new Path(tablePath)
     val fs = table.getFileSystem(conf)
@@ -589,7 +614,11 @@ object IcebergWrite {
         "would desync the logs — write through Delta and re-export instead")
     val metaDir = new Path(qualified, "metadata")
     val md = IcebergRead.currentMetadata(fs, metaDir)
-    require(md.get("format-version").asInt() == 2, "format-version 2 required")
+    // v2 AND v3 (r18): a v3 commit additionally assigns row-lineage ids
+    // (entry first_row_id from the metadata's next-row-id; snapshot
+    // first-row-id/added-rows) and spells format-version 3 in manifests
+    val fv = md.get("format-version").asInt()
+    require(fv == 2 || fv == 3, s"format-version $fv not supported")
 
     // ---- schema + spec from the CURRENT metadata
     val csid = md.get("current-schema-id").asInt()
@@ -631,12 +660,24 @@ object IcebergWrite {
     }
     val stamped = stamp(logical).asInstanceOf[StructType]
     val present = df.columns.toSet
+    require(!materializeLineage || fv == 3,
+      "lineage materialization is a format-version 3 contract")
+    // v3 rewrite: the reserved lineage columns ride into the parquet with
+    // their spec field ids, invisible to the logical schema
+    val lineageOut: Seq[Column] =
+      if (!materializeLineage) Nil
+      else Seq(
+        col("`_row_id`").as("_row_id", new MetadataBuilder()
+          .putLong("parquet.field.id", IcebergRead.RowIdFieldId).build()),
+        col("`_last_updated_sequence_number`")
+          .as("_last_updated_sequence_number", new MetadataBuilder()
+            .putLong("parquet.field.id", IcebergRead.LastUpdatedFieldId).build()))
     val out = df.select(stamped.fields.toIndexedSeq.map { f =>
       val c =
         if (present(f.name)) col(s"`${f.name.replace("`", "``")}`")
         else org.apache.spark.sql.functions.lit(null) // evolved column absent from this batch
       c.cast(f.dataType).as(f.name, f.metadata)
-    }: _*)
+    } ++ lineageOut: _*)
     // derive the partition TUPLE columns (codegen'd transform of the
     // source column): identity reuses the source name, so hive layout
     // drops it from the file (readers re-inject from the manifest tuple);
@@ -778,18 +819,26 @@ object IcebergWrite {
         (name, at, fid, conv)
       }
     val entrySchema = IcebergExport.manifestEntrySchema(
-      partAvro.map { case (c, t, fid, _) => (c, t, fid) })
+      partAvro.map { case (c, t, fid, _) => (c, t, fid) }, v3 = fv == 3)
     val dfSchema = entrySchema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
     val manifestPath = new Path(metaDir, s"${java.util.UUID.randomUUID()}-m0.avro")
     val mw = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](entrySchema))
-    mw.setMeta("format-version", "2")
+    mw.setMeta("format-version", fv.toString)
     mw.setMeta("content", "data")
     mw.setMeta("schema", schemaNode.toString)
     mw.setMeta("partition-spec", specNode.get("fields").toString)
     mw.setMeta("partition-spec-id", specId.toString)
     mw.create(entrySchema, fs.create(manifestPath, true))
+    // v3 row lineage: each data file's first_row_id assigns sequentially
+    // from the metadata's next-row-id (rewrites materialize per-row ids
+    // into the files instead and consume none)
+    val firstRowIdBase: Long =
+      if (fv == 3) Option(md.get("next-row-id")).filterNot(_.isNull)
+        .map(_.asLong()).getOrElse(0L)
+      else 0L
+    var rowIdCursor = firstRowIdBase
     try files.foreach { case (p, pv, rc, len, stats) =>
       val part = new GenericData.Record(partSchema)
       partAvro.foreach { case (c, _, _, conv) =>
@@ -803,6 +852,10 @@ object IcebergWrite {
       d.put("partition", part)
       d.put("record_count", rc)
       d.put("file_size_in_bytes", len)
+      if (fv == 3 && !materializeLineage) {
+        d.put("first_row_id", rowIdCursor)
+        rowIdCursor += rc
+      }
       if (stats.nonEmpty) {
         def kv(field: String, entries: Seq[(Int, AnyRef)]): Unit =
           if (entries.nonEmpty) {
@@ -841,7 +894,8 @@ object IcebergWrite {
       val (delPath, eqFields, delRows, delLen) =
         writeEqDeleteFile(spark, fs, qualified, logical, values)
       val (mp, ml) = writeEqDeleteManifest(
-        fs, metaDir, delPath, eqFields, delRows, delLen, sequence, snapshotId)
+        fs, metaDir, delPath, eqFields, delRows, delLen, sequence, snapshotId,
+        fv)
       (mp, ml, delRows)
     }
 
@@ -850,7 +904,7 @@ object IcebergWrite {
       s"snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro")
     val lw = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](IcebergExport.manifestFileSchema))
-    lw.setMeta("format-version", "2")
+    lw.setMeta("format-version", fv.toString)
     lw.setMeta("snapshot-id", snapshotId.toString)
     lw.setMeta("sequence-number", sequence.toString)
     lw.create(IcebergExport.manifestFileSchema, fs.create(listPath, true))
@@ -946,6 +1000,15 @@ object IcebergWrite {
       .foreach(p => snapNode.put("parent-snapshot-id", p): Unit)
     snapNode.put("timestamp-ms", nowMs)
     snapNode.put("sequence-number", sequence)
+    if (fv == 3) {
+      // row-lineage accounting: the snapshot claims [first-row-id,
+      // first-row-id + added-rows) of the table's id space; a
+      // materializing rewrite preserves ids and claims none
+      snapNode.put("first-row-id", firstRowIdBase)
+      snapNode.put("added-rows",
+        if (materializeLineage) 0L else rowIdCursor - firstRowIdBase)
+      md.put("next-row-id", rowIdCursor): Unit
+    }
     snapNode.put("manifest-list", listPath.toString)
     snapNode.put("schema-id", csid)
     val summary = snapNode.putObject("summary")
@@ -977,10 +1040,7 @@ object IcebergWrite {
         sl.put("snapshot-id", snapshotId): Unit
     }
 
-    val hintPath = new Path(metaDir, "version-hint.text")
-    val in = fs.open(hintPath)
-    val v = (try new String(in.readAllBytes(), "UTF-8") finally in.close()).trim.toInt
-    writeMetadata(fs, metaDir, v + 1, md)
+    writeMetadata(fs, metaDir, currentMetadataVersion(fs, metaDir) + 1, md)
     snapshotId
   }
 
@@ -1007,17 +1067,19 @@ object IcebergWrite {
       .find(s => Option(s.get("schema-id")).exists(_.asInt() == csid))
       .getOrElse(throw new IllegalArgumentException(s"schema $csid missing"))
     val logical = IcebergRead.parseType(schemaNode).asInstanceOf[StructType]
-    IcebergRead.refuseDivergentWrite(logical, "deleteWhere")
 
     // v3: position deletes MUST be deletion vectors (the spec deprecates
     // new position-delete files and this engine's v2 equality-delete
     // shape would mix protocols) — resolve the matching rows to
-    // per-file positions and write ONE puffin of consolidated DVs
+    // per-file positions and write ONE puffin of consolidated DVs. The
+    // divergent-type guard does NOT apply here: a DV delete writes no
+    // row data, so variant/ns columns in the schema are harmless.
     val fv = md.get("format-version").asInt()
     if (fv == 3)
       return deleteWhereDv(spark, tablePath, qualified, metaDir, fs, md,
         logical, values, csid)
     require(fv == 2, s"format-version $fv not supported for deleteWhere")
+    IcebergRead.refuseDivergentWrite(logical, "deleteWhere")
 
     // delete file + manifest (content=1 in the list; data_file.content=2)
     // with the equality ids; unpartitioned-scoped, so it applies table-wide
@@ -1085,6 +1147,241 @@ object IcebergWrite {
     val in = fs.open(hintPath)
     val v = (try new String(in.readAllBytes(), "UTF-8") finally in.close()).trim.toInt
     writeMetadata(fs, metaDir, v + 1, md)
+    snapshotId
+  }
+
+  /** DELETE-FILE COMPACTION (the maintenance complement of r17's
+    * read-side delete batching): every live EQUALITY delete file converts
+    * into ONE sorted position-delete file, so a long CDC history's
+    * delete-union cost stops growing with delete-file count — the read
+    * plan afterwards is a single (file_path, pos) anti-join however many
+    * equality deletes had piled up. Exactness: a row is position-killed
+    * iff some equality delete with `data_seq < delete_seq` matched it —
+    * the spec's rule, applied here once at compaction time; equality
+    * deletes never affect FUTURE appends, so the conversion loses
+    * nothing. Data files are untouched (position deletes apply at
+    * `data_seq <= delete_seq`, and the new file's sequence covers every
+    * current data file); replaced equality entries re-emit DELETED.
+    * Position-delete files and DVs already in place carry unchanged.
+    * Scale shape: one distributed scan of the data + one broadcast
+    * semi-join per distinct equality-id set; the killed positions never
+    * visit the driver. Returns the new snapshot id (the current one when
+    * no equality delete is live). v2 only — v3 tables consolidate
+    * through [[deleteWhere]]'s DV path instead.
+    */
+  def rewriteDeleteFiles(spark: SparkSession, tablePath: String): Long = {
+    import org.apache.spark.sql.functions.broadcast
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    val qualified = fs.makeQualified(table)
+    require(!fs.exists(new Path(qualified, "_delta_log")),
+      s"$tablePath is Delta-backed (UniForm export): compact deletes " +
+        "through Delta and re-export instead")
+    val metaDir = new Path(qualified, "metadata")
+    val md = IcebergRead.currentMetadata(fs, metaDir)
+    require(md.get("format-version").asInt() == 2,
+      "rewriteDeleteFiles is the v2 maintenance op — a v3 table's " +
+        "deletes consolidate as deletion vectors through deleteWhere")
+    val curSnapId = Option(md.get("current-snapshot-id")).filterNot(_.isNull)
+      .map(_.asLong()).filter(_ >= 0L)
+    if (curSnapId.isEmpty) return -1L
+
+    // ---- live equality-delete entries + data file spellings
+    val priorList = md.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == curSnapId.get).get
+      .get("manifest-list").asText()
+    def norm(raw: String): String =
+      new Path(raw).toUri.toString
+        .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    val eqFiles = Seq.newBuilder[(String, Long, Seq[Int])] // path, seq, ids
+    val dataRefByNorm = Map.newBuilder[String, String]
+    IcebergRead.avroRecords(conf, new Path(priorList)).foreach { m =>
+      val mContent = IcebergRead.fieldOpt(m, "content")
+        .map(_.asInstanceOf[Int]).getOrElse(0)
+      IcebergRead.avroRecords(conf, new Path(m.get("manifest_path").toString))
+        .foreach { e =>
+          if (e.get("status").asInstanceOf[Int] != 2) {
+            val d = e.get("data_file").asInstanceOf[GenericRecord]
+            val dContent = IcebergRead.fieldOpt(d, "content")
+              .map(_.asInstanceOf[Int]).getOrElse(0)
+            val path = d.get("file_path").toString
+            if (mContent == 0 && dContent == 0)
+              dataRefByNorm += norm(path) -> path
+            else if (dContent == 2) {
+              val seq = IcebergRead.fieldOpt(e, "sequence_number")
+                .map(_.asInstanceOf[Long]).getOrElse(
+                  IcebergRead.fieldOpt(m, "sequence_number")
+                    .map(_.asInstanceOf[Long]).getOrElse(0L))
+              val ids = IcebergRead.fieldOpt(d, "equality_ids")
+                .map(_.asInstanceOf[java.util.Collection[Integer]]
+                  .asScala.map(_.intValue()).toSeq).getOrElse(Nil)
+              eqFiles += ((path, seq, ids))
+            }
+          }
+        }
+    }
+    val eqs = eqFiles.result()
+    if (eqs.isEmpty) return curSnapId.get
+    val dataRefs = dataRefByNorm.result()
+
+    // ---- killed positions: raw rows (NO deletes planned) semi-joined
+    // per distinct id set against that set's delete values, under the
+    // spec's data_seq < delete_seq rule
+    val csid = md.get("current-schema-id").asInt()
+    val schemaNode = md.get("schemas").elements().asScala
+      .find(s => Option(s.get("schema-id")).exists(_.asInt() == csid))
+      .getOrElse(throw new IllegalArgumentException(s"schema $csid missing"))
+    val logical = IcebergRead.parseType(schemaNode).asInstanceOf[StructType]
+    val idToName = logical.fields.map(f =>
+      IcebergRead.fieldId(f).toInt -> f.name).toMap
+    val raw = IcebergRead.read(spark, tablePath,
+      IcebergRead.Options(exposeFilePos = true, skipDeletes = true))
+    val killedParts: Seq[DataFrame] = eqs.groupBy(_._3).toSeq.map {
+      case (ids, files) =>
+        val names = ids.map(id => idToName.getOrElse(id,
+          throw new IllegalArgumentException(
+            s"equality id $id not in current schema")))
+        val dels = files.map { case (p, seq, _) =>
+          spark.read.parquet(p)
+            .select(names.map(n => col(s"`${n.replace("`", "``")}`")): _*)
+            .withColumn("_del_seq", lit(seq))
+        }.reduce(_ unionByName _)
+          .withColumnsRenamed(names.map(n => n -> s"_dw_$n").toMap)
+        val cond = names.map(n =>
+          raw.col(n) <=> dels.col(s"_dw_$n")).reduce(_ && _) &&
+          raw.col("_ib_seq") < dels.col("_del_seq")
+        raw.join(broadcast(dels), cond, "left_semi")
+          .select(col("_ib_file"), col("_ib_pos"))
+    }
+    val killed = killedParts.reduce(_ unionByName _)
+
+    // map the scan's URI spellings back to the manifest-recorded ones
+    // (exact file_path match is the foreign-reader contract)
+    import spark.implicits._
+    val refFrame = broadcast(
+      dataRefs.toSeq.toDF("_norm", "_manifest_path"))
+    val posRows = killed
+      .withColumn("_norm", regexp_replace(col("_ib_file"),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+      .join(refFrame, Seq("_norm"))
+      .select(col("_manifest_path").as("file_path", new MetadataBuilder()
+        .putLong("parquet.field.id", 2147483546L).build()),
+        col("_ib_pos").as("pos", new MetadataBuilder()
+          .putLong("parquet.field.id", 2147483545L).build()))
+
+    // ---- ONE sorted position-delete parquet (spec: ordered by
+    // file_path, then position)
+    val tmp = new Path(qualified, s"_tmp-posdel-${java.util.UUID.randomUUID()}")
+    posRows.coalesce(1).sortWithinPartitions("file_path", "pos")
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath).find(p =>
+      p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no parquet part under $tmp"))
+    val dataDir = new Path(qualified, "data")
+    fs.mkdirs(dataDir)
+    val delPath = new Path(dataDir,
+      s"pos-delete-${java.util.UUID.randomUUID()}.parquet")
+    require(fs.rename(part, delPath), s"rename to $delPath failed")
+    fs.delete(tmp, true)
+    val delRows = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(delPath, conf))
+      try r.getRecordCount finally r.close()
+    }
+
+    // ---- new delete manifest: the position-delete entry
+    val prevSeq = md.get("last-sequence-number").asLong()
+    val sequence = prevSeq + 1
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
+    val entrySchema = IcebergExport.manifestEntrySchema(Nil)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val manifestPath = new Path(metaDir, s"${java.util.UUID.randomUUID()}-m1.avro")
+    val mw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    mw.setMeta("format-version", "2")
+    mw.setMeta("content", "deletes")
+    mw.create(entrySchema, fs.create(manifestPath, true))
+    try {
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", 1) // POSITION_DELETES
+      d.put("file_path", delPath.toString)
+      d.put("file_format", "PARQUET")
+      d.put("partition",
+        new GenericData.Record(dfSchema.getField("partition").schema()))
+      d.put("record_count", delRows)
+      d.put("file_size_in_bytes", fs.getFileStatus(delPath).getLen)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", sequence)
+      e.put("file_sequence_number", sequence)
+      e.put("data_file", d)
+      mw.append(e)
+    } finally mw.close()
+    val manifestLen = fs.getFileStatus(manifestPath).getLen
+
+    // ---- manifest list: carry everything, re-emitting every live
+    // equality entry as DELETED (replaced by the position file)
+    val listPath = new Path(metaDir,
+      s"snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](IcebergExport.manifestFileSchema))
+    lw.setMeta("format-version", "2")
+    lw.setMeta("snapshot-id", snapshotId.toString)
+    lw.setMeta("sequence-number", sequence.toString)
+    lw.create(IcebergExport.manifestFileSchema, fs.create(listPath, true))
+    try {
+      carryPriorManifestsDroppingDeletes(lw, md, conf, metaDir,
+        doomed = { e =>
+          val d = e.get("data_file").asInstanceOf[GenericRecord]
+          IcebergRead.fieldOpt(d, "content")
+            .map(_.asInstanceOf[Int]).getOrElse(0) == 2
+        },
+        newSnapshotId = snapshotId)
+      val m = new GenericData.Record(IcebergExport.manifestFileSchema)
+      m.put("manifest_path", manifestPath.toString)
+      m.put("manifest_length", manifestLen)
+      m.put("partition_spec_id", md.get("default-spec-id").asInt())
+      m.put("content", 1)
+      m.put("sequence_number", sequence)
+      m.put("min_sequence_number", sequence)
+      m.put("added_snapshot_id", snapshotId)
+      m.put("added_files_count", 1)
+      m.put("existing_files_count", 0)
+      m.put("deleted_files_count", 0)
+      m.put("added_rows_count", delRows)
+      m.put("existing_rows_count", 0L)
+      m.put("deleted_rows_count", 0L)
+      lw.append(m)
+    } finally lw.close()
+
+    // ---- metadata
+    val nowMs = System.currentTimeMillis()
+    md.put("last-sequence-number", sequence)
+    md.put("last-updated-ms", nowMs)
+    val snapNode = mapper.createObjectNode()
+    snapNode.put("snapshot-id", snapshotId)
+    curSnapId.foreach(p => snapNode.put("parent-snapshot-id", p): Unit)
+    snapNode.put("timestamp-ms", nowMs)
+    snapNode.put("sequence-number", sequence)
+    snapNode.put("manifest-list", listPath.toString)
+    snapNode.put("schema-id", csid)
+    val summary = snapNode.putObject("summary")
+    summary.put("operation", "replace")
+    summary.put("added-delete-files", "1")
+    summary.put("added-position-deletes", delRows.toString)
+    summary.put("removed-delete-files", eqs.size.toString)
+    summary.put("removed-equality-deletes", eqs.size.toString)
+    md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+      .add(snapNode)
+    md.put("current-snapshot-id", snapshotId)
+    setRef(md, "main", snapshotId, "branch")
+    val sl = md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+      .addObject()
+    sl.put("timestamp-ms", nowMs)
+    sl.put("snapshot-id", snapshotId)
+    writeMetadata(fs, metaDir, currentMetadataVersion(fs, metaDir) + 1, md)
     snapshotId
   }
 
@@ -1310,8 +1607,17 @@ object IcebergWrite {
     lw.setMeta("sequence-number", sequence.toString)
     lw.create(IcebergExport.manifestFileSchema, fs.create(listPath, true))
     try {
-      carryPriorManifestsDroppingDvs(lw, md, conf, metaDir, superseded,
-        snapshotId, norm)
+      carryPriorManifestsDroppingDeletes(lw, md, conf, metaDir,
+        doomed = { e =>
+          val d = e.get("data_file").asInstanceOf[GenericRecord]
+          val dContent = IcebergRead.fieldOpt(d, "content")
+            .map(_.asInstanceOf[Int]).getOrElse(0)
+          dContent == 1 &&
+            d.get("file_format").toString.equalsIgnoreCase("PUFFIN") &&
+            IcebergRead.fieldOpt(d, "referenced_data_file")
+              .map(_.toString).exists(r => superseded(norm(r)))
+        },
+        newSnapshotId = snapshotId)
       val m = new GenericData.Record(IcebergExport.manifestFileSchema)
       m.put("manifest_path", manifestPath.toString)
       m.put("manifest_length", manifestLen)
@@ -1365,20 +1671,20 @@ object IcebergWrite {
   }
 
   /** Carry every prior manifest into `lw`, rewriting delete manifests
-    * whose live PUFFIN DV entries reference a file in `superseded`: those
-    * entries re-emit as status DELETED under the new snapshot (the
-    * consolidated DV replaces them), survivors as EXISTING with original
-    * sequence. Data manifests and untouched delete manifests carry
-    * byte-identical.
+    * whose live entries satisfy `doomed`: those entries re-emit as status
+    * DELETED under the new snapshot (a replacement supersedes them),
+    * survivors as EXISTING with original sequence. Data manifests and
+    * untouched delete manifests carry byte-identical. Used by the v3 DV
+    * consolidation (doomed = superseded PUFFIN DVs) and the equality-
+    * delete compaction (doomed = every live equality-delete entry).
     */
-  private def carryPriorManifestsDroppingDvs(
+  private def carryPriorManifestsDroppingDeletes(
       lw: DataFileWriter[GenericRecord],
       md: ObjectNode,
       conf: org.apache.hadoop.conf.Configuration,
       metaDir: Path,
-      superseded: Set[String],
-      newSnapshotId: Long,
-      norm: String => String): Unit = {
+      doomed: GenericRecord => Boolean,
+      newSnapshotId: Long): Unit = {
     def copyListRec(rec: GenericRecord): GenericData.Record = {
       val m = new GenericData.Record(IcebergExport.manifestFileSchema)
       IcebergExport.manifestFileSchema.getFields.asScala.foreach { f =>
@@ -1402,7 +1708,7 @@ object IcebergWrite {
           case i: java.lang.Integer => i.intValue()
           case _ => 0
         }
-        if (content == 0 || superseded.isEmpty) lw.append(copyListRec(rec))
+        if (content == 0) lw.append(copyListRec(rec))
         else {
           val mPath = new Path(rec.get("manifest_path").toString)
           val mrd = new DataFileReader[GenericRecord](
@@ -1414,19 +1720,10 @@ object IcebergWrite {
                 .flatMap(k => Option(mrd.getMetaString(k)).map(k -> _))
               (mrd.getSchema, ms, mrd.iterator().asScala.toVector)
             } finally mrd.close()
-          def isSuperseded(e: GenericRecord): Boolean = {
-            val d = e.get("data_file").asInstanceOf[GenericRecord]
-            val dContent = IcebergRead.fieldOpt(d, "content")
-              .map(_.asInstanceOf[Int]).getOrElse(0)
-            dContent == 1 &&
-              d.get("file_format").toString.equalsIgnoreCase("PUFFIN") &&
-              IcebergRead.fieldOpt(d, "referenced_data_file")
-                .map(_.toString).exists(r => superseded(norm(r)))
-          }
           val live = entries.filter(e =>
             e.get("status") match {
               case i: java.lang.Integer => i != 2; case _ => true })
-          val (drop, keep) = live.partition(isSuperseded)
+          val (drop, keep) = live.partition(doomed)
           if (drop.isEmpty) lw.append(copyListRec(rec))
           else {
             def rows(e: GenericRecord): Long =

@@ -1936,6 +1936,101 @@ private[graft] object DeltaQueries {
         .withColumn("pre_rows", lit(pre))
         .withColumn("live_dvs", lit(liveDvs))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Iceberg v3 `timestamptz_ns` read (r18): a foreign v3 table whose
+    // INT64 column is declared nanosecond-precision — the engine's µs
+    // domain means values TRUNCATE (floor), never reinterpret; the
+    // 1234567891-ns stride guarantees sub-µs residue on most rows, so a
+    // rounding (instead of floor) implementation hash-mismatches. DuckDB
+    // replays the same floor-divide from raw orders.
+    "q186_iceberg_v3_ts_ns" -> ((s, dir) => {
+      import graft.destinations.IcebergV3Fixture
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q186").resolve("t").toString
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          (col("o_orderkey") * lit(1234567891L) +
+            lit(1700000000000000000L)).as("ev"))
+        .orderBy(col("o_orderkey"))
+      IcebergV3Fixture.write(s, tbl, base.coalesce(1), deletedPositions = Nil,
+        typeOverrides = Map("ev" -> "timestamptz_ns"))
+      IcebergRead.read(s, tbl).orderBy(col("o_orderkey"))
+    }),
+
+    // Iceberg v3 row-lineage WRITE path (r18): a NATIVE v3 lifecycle —
+    // create(formatVersion=3), two appends claiming sequential id ranges
+    // from next-row-id, a DV delete leaving holes, then compaction
+    // (rewriteDataFiles) MATERIALIZING the reserved lineage columns into
+    // the rewritten file. The defining property: survivors keep their
+    // ORIGINAL `_row_id`s and last-updated sequences across the rewrite,
+    // which the oracle replays as row_number over the pre-delete append
+    // order THEN the delete filter — a renumbering rewrite hash-fails.
+    "q187_iceberg_v3_lineage_rewrite" -> ((s, dir) => {
+      import graft.destinations.IcebergWrite
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q187").resolve("t").toString
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+      IcebergWrite.create(s, tbl, base.schema, formatVersion = 3)
+      IcebergWrite.append(s, tbl,
+        base.filter(col("o_orderkey") < 1000).coalesce(1)
+          .orderBy(col("o_orderkey")))
+      IcebergWrite.append(s, tbl,
+        base.filter(col("o_orderkey") >= 1000).coalesce(1)
+          .orderBy(col("o_orderkey")))
+      IcebergWrite.deleteWhere(s, tbl,
+        base.filter(col("o_orderkey") % 5 === 0).select(col("o_orderkey")))
+      IcebergWrite.rewriteDataFiles(s, tbl, targetFileBytes = 1L << 30)
+      IcebergRead.read(s, tbl,
+        IcebergRead.Options(exposeRowLineage = true))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("_row_id").as("row_id"),
+          col("_last_updated_sequence_number").as("last_seq"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Equality-delete COMPACTION (r18, the write-side complement of
+    // r17's read-side delete batching): two equality-delete waves over
+    // DIFFERENT id sets, a re-append that the data_seq < delete_seq rule
+    // keeps alive, then rewriteDeleteFiles converts everything into ONE
+    // sorted position-delete file. Pinned into the hashed frame: zero
+    // live equality entries and exactly one live position entry after the
+    // compaction — and the row set itself must be invariant, which the
+    // oracle replays (deletes minus, re-append back) from raw orders.
+    "q188_iceberg_rewrite_eq_deletes" -> ((s, dir) => {
+      import graft.destinations.IcebergWrite
+      import graft.sources.IcebergRead
+      val tbl = tmp("graft-q188").resolve("t").toString
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+      IcebergWrite.create(s, tbl, base.schema)
+      IcebergWrite.append(s, tbl, base.coalesce(1))
+      IcebergWrite.deleteWhere(s, tbl,
+        base.filter(col("o_orderkey") % 7 === 0).select(col("o_orderkey")))
+      IcebergWrite.deleteWhere(s, tbl,
+        base.filter(col("o_custkey") % 11 === 0).select(col("o_custkey"))
+          .distinct())
+      IcebergWrite.append(s, tbl,
+        base.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") < 500)
+          .coalesce(1))
+      IcebergWrite.rewriteDeleteFiles(s, tbl)
+      val conf = s.sessionState.newHadoopConf()
+      val entries = IcebergRead.manifests(s, tbl).collect().iterator.flatMap {
+        m => IcebergRead.avroRecords(conf,
+          new org.apache.hadoop.fs.Path(m.getAs[String]("path")))
+      }.filter(_.get("status").asInstanceOf[Int] != 2).map(
+        _.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("content").asInstanceOf[Int]).toSeq
+      IcebergRead.read(s, tbl)
+        .withColumn("live_eq", lit(entries.count(_ == 2)))
+        .withColumn("live_pos", lit(entries.count(_ == 1)))
+        .orderBy(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     })
   )
 
@@ -2271,6 +2366,44 @@ private[graft] object DeltaQueries {
          FROM orders
          WHERE o_orderkey < 2000
            AND o_orderkey % 4 <> 0 AND o_orderkey % 6 <> 0
+         ORDER BY o_orderkey""",
+
+    // compacted equality deletes: both delete waves minus, the late
+    // re-append back (it postdates the deletes), exactly one live
+    // position-delete entry and no equality entry afterwards
+    "q188_iceberg_rewrite_eq_deletes" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice
+                       FROM orders WHERE o_orderkey < 3000),
+            kept AS (SELECT * FROM base
+                     WHERE o_orderkey % 7 <> 0 AND o_custkey % 11 <> 0),
+            readd AS (SELECT * FROM base
+                      WHERE o_orderkey % 7 = 0 AND o_orderkey < 500)
+         SELECT o_orderkey, o_custkey, o_totalprice,
+                0 AS live_eq, 1 AS live_pos
+         FROM (SELECT * FROM kept UNION ALL SELECT * FROM readd)
+         ORDER BY o_orderkey, o_custkey, o_totalprice""",
+
+    // v3 lineage across a rewrite: ids are the pre-delete append order
+    // (both appends sort by key, keys < 1000 append first, so the global
+    // key order IS the id order); deletes leave holes; the materializing
+    // compaction changes NOTHING the reader can see
+    "q187_iceberg_v3_lineage_rewrite" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                rn - 1 AS row_id,
+                CAST(CASE WHEN o_orderkey < 1000 THEN 1 ELSE 2 END
+                  AS BIGINT) AS last_seq
+         FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                      row_number() OVER (ORDER BY o_orderkey) AS rn
+               FROM orders WHERE o_orderkey < 2000)
+         WHERE o_orderkey % 5 <> 0
+         ORDER BY o_orderkey""",
+
+    // v3 ns timestamps: floor-divide the nanos to µs, build the instant
+    "q186_iceberg_v3_ts_ns" ->
+      """SELECT o_orderkey,
+                make_timestamp((o_orderkey * 1234567891
+                  + 1700000000000000000) // 1000) AS ev
+         FROM orders WHERE o_orderkey < 2000
          ORDER BY o_orderkey""",
 
     // v3 deletion vector: keys % 5 == 0 positionally dead, every

@@ -110,9 +110,14 @@ object IcebergRead {
       // write-time inheritance this reader does not reconstruct: refuse.
       exposeRowLineage: Boolean = false,
       // internal (the v3 DV write path): append `_ib_file` (the
-      // `_metadata.file_path` spelling) and `_ib_pos` (row position in
-      // its file) so a delete can resolve matched rows to positions
-      exposeFilePos: Boolean = false)
+      // `_metadata.file_path` spelling), `_ib_pos` (row position in its
+      // file) and `_ib_seq` (the file's data sequence) so a delete can
+      // resolve matched rows to positions
+      exposeFilePos: Boolean = false,
+      // internal (delete-file compaction): plan NO deletes at all — the
+      // raw union of live data files, from which the compactor derives
+      // killed positions itself
+      skipDeletes: Boolean = false)
 
   private val mapper = new ObjectMapper()
 
@@ -138,6 +143,14 @@ object IcebergRead {
     case "uuid" => StringType // FLBA(16) reads binary, restores canonical
     case "time" => LongType // micros since midnight (Iceberg physical)
     case f if f.startsWith("fixed[") && f.endsWith("]") => BinaryType
+    // v3 nanosecond timestamps: §1.2-style documented divergence — the
+    // engine's timestamp domain is MICROseconds, so values TRUNCATE
+    // (floor) to µs on read, never reinterpret; the physical INT64 scans
+    // as long (the session's nanosAsLong contract) and restoreCol
+    // converts. Stats/partition pruning never engages on these columns
+    // (bounds are ns-domain; µs probes would prune wrong).
+    case "timestamptz_ns" => TimestampType
+    case "timestamp_ns" => TimestampNTZType
     // v3 variant: Iceberg and Spark share the Parquet Variant encoding
     // (metadata+value binary pair), so the native type maps faithfully
     case "variant" => VariantType
@@ -159,6 +172,11 @@ object IcebergRead {
 
   private[graft] def isUuid(f: StructField): Boolean =
     icebergTypeOf(f).contains("uuid")
+
+  /** v3 nanosecond-precision timestamp (either zone flavor): scans as
+    * long, truncates to the µs domain in restoreCol. */
+  private[graft] def isTsNs(f: StructField): Boolean =
+    icebergTypeOf(f).exists(t => t == "timestamp_ns" || t == "timestamptz_ns")
 
   private val InitialDefaultKey = "iceberg.initial-default"
 
@@ -244,6 +262,11 @@ object IcebergRead {
         throw new IllegalArgumentException(
           "Iceberg 'uuid' is supported only as a top-level column " +
             "(nested occurrences cannot be restored to canonical text)")
+      if (n.asText().endsWith("_ns") && depth != 1)
+        throw new IllegalArgumentException(
+          s"Iceberg '${n.asText()}' is supported only as a top-level " +
+            "column (the ns-to-µs restore is per top-level column; a " +
+            "nested occurrence would read wrong values)")
       primitive(n.asText())
     } else n.get("type").asText() match {
       case "struct" => StructType(n.get("fields").elements().asScala.map { f =>
@@ -253,7 +276,8 @@ object IcebergRead {
         if (tn.isTextual) {
           val raw = tn.asText()
           if (raw == "uuid" || raw == "time" || raw.startsWith("fixed[") ||
-              raw == "variant")
+              raw == "variant" || raw == "timestamp_ns" ||
+              raw == "timestamptz_ns")
             meta.putString(DivergentTypeKey, raw)
         } else {
           // composite type: tag the field if ANY type position in its
@@ -441,6 +465,11 @@ object IcebergRead {
   private def normPath(c: Column): Column =
     regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
+  /** Reserved field ids of the v3 row-lineage columns a REWRITING writer
+    * materializes into data files (Table Spec v3, "Reserved field IDs"). */
+  private[graft] val RowIdFieldId = 2147483540L
+  private[graft] val LastUpdatedFieldId = 2147483539L
+
   // ------------------------------------------------------------ plan data
 
   private final case class DataEntry(
@@ -567,6 +596,11 @@ object IcebergRead {
             s"partition transform over uuid column '$srcName' is not " +
               "supported (uuid reads as restored text; its partition " +
               "tuples and bounds stay 16-byte and would prune wrong)")
+        if (isTsNs(srcField))
+          throw new IllegalArgumentException(
+            s"partition transform over ns-timestamp column '$srcName' is " +
+              "not supported (its tuple values are nanosecond-domain; " +
+              "µs-domain probes would prune wrong)")
         val srcType = clean(srcField.dataType)
         IcebergPruning.SpecField(f.get("name").asText(), t, srcName, srcType,
           Option(f.get("field-id")).map(_.asInt()).getOrElse(1000))
@@ -607,8 +641,11 @@ object IcebergRead {
           // uuid bounds are 16 raw bytes, not UTF-8 — decoding them as a
           // string against text probes would prune wrong; never skip on
           // them. (`time`-as-long is fine: bounds are LE micros, exactly
-          // what predicates over the long column compare.)
+          // what predicates over the long column compare.) ns timestamps
+          // carry NANOsecond bounds while predicates probe the µs-domain
+          // logical column — never skip on them either.
           case StringType if isUuid(f) => None
+          case TimestampType | TimestampNTZType if isTsNs(f) => None
           case IntegerType | LongType | StringType | DateType |
                TimestampType | TimestampNTZType =>
             Some(IcebergPruning.SpecField(s"#${fieldId(f)}",
@@ -749,12 +786,10 @@ object IcebergRead {
       }
     }
     val dataAll = dataEntries.result()
-    val pos =
-      if (opts.addedInSnapshotId.isDefined) Nil else posDeletes.result()
-    val eqs =
-      if (opts.addedInSnapshotId.isDefined) Nil else eqDeletes.result()
-    val dvs =
-      if (opts.addedInSnapshotId.isDefined) Nil else dvDeletes.result()
+    val noDeletes = opts.addedInSnapshotId.isDefined || opts.skipDeletes
+    val pos = if (noDeletes) Nil else posDeletes.result()
+    val eqs = if (noDeletes) Nil else eqDeletes.result()
+    val dvs = if (noDeletes) Nil else dvDeletes.result()
     val needHelpers =
       pos.nonEmpty || eqs.nonEmpty || dvs.nonEmpty || opts.exposeRowLineage ||
         opts.exposeFilePos
@@ -827,7 +862,7 @@ object IcebergRead {
     val filePosFields =
       if (!opts.exposeFilePos) Nil
       else Seq(StructField("_ib_file", StringType),
-        StructField("_ib_pos", LongType))
+        StructField("_ib_pos", LongType), StructField("_ib_seq", LongType))
     if (data.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -863,8 +898,20 @@ object IcebergRead {
           s"initial-default columns cannot be served for data file '$file': " +
             "its parquet footer carries no field ids, so per-file field " +
             "presence (which decides default vs stored value) is unprovable")
+      // v3 MATERIALIZED row lineage: a conformant rewriting writer stamps
+      // the reserved lineage columns (spec ids 2147483540/2147483539)
+      // into rewritten files — surface them under pseudo keys so the
+      // grouping splits on their presence and the scan can read them
+      val lineagePseudo: Map[String, String] =
+        if (!opts.exposeRowLineage) Map.empty
+        else Seq("_row_id" -> RowIdFieldId,
+          "_last_updated_sequence_number" -> LastUpdatedFieldId).flatMap {
+          case (n, id) if !logical.fieldNames.contains(n) =>
+            idToFile.get(id).map(n -> _)
+          case _ => None
+        }.toMap
       logical.fields.flatMap(f =>
-        idToFile.get(fieldId(f)).map(f.name -> _)).toMap
+        idToFile.get(fieldId(f)).map(f.name -> _)).toMap ++ lineagePseudo
     }
 
     // groups of files sharing (spec, partition values, sequence number,
@@ -889,6 +936,23 @@ object IcebergRead {
       }
 
     val mappingForNested = nameMapping.getOrElse(Nil)
+    def lineageScanFields(rename: Map[String, String]): Seq[StructField] =
+      Seq("_row_id", "_last_updated_sequence_number")
+        .flatMap(n => rename.get(n).filterNot(_ => logical.fieldNames.contains(n))
+          .map(fn => StructField(fn, LongType)))
+    /** Per-group MATERIALIZED lineage columns (null when this file group
+      * predates a rewrite and carries none) — the union across groups
+      * needs the columns to exist on every branch. */
+    def matLineageCols(rename: Map[String, String]): Seq[Column] =
+      if (!opts.exposeRowLineage) Nil
+      else Seq(
+        rename.get("_row_id").filterNot(_ => logical.fieldNames.contains("_row_id"))
+          .map(fn => col(quoteId(fn))).getOrElse(lit(null).cast(LongType))
+          .as("_mat_row"),
+        rename.get("_last_updated_sequence_number")
+          .filterNot(_ => logical.fieldNames.contains("_last_updated_sequence_number"))
+          .map(fn => col(quoteId(fn))).getOrElse(lit(null).cast(LongType))
+          .as("_mat_last"))
     def scanSchemaFor(rename: Map[String, String]): StructType =
       StructType(logical.fields.map { f =>
         val nestedType = nameMapping match {
@@ -896,10 +960,15 @@ object IcebergRead {
             _.get("field-id").asLong() == fieldId(f)).map(nestedOf).getOrElse(Nil))
           case None => f.dataType // nested names assumed stable without ids
         }
-        // uuid scans as its physical FLBA(16) → binary; restore converts
-        val readType = if (isUuid(f)) BinaryType else nestedType
+        // uuid scans as its physical FLBA(16) → binary; ns timestamps as
+        // their physical INT64 → long (the session's nanosAsLong
+        // contract); restore converts both
+        val readType =
+          if (isUuid(f)) BinaryType
+          else if (isTsNs(f)) LongType
+          else nestedType
         f.copy(name = rename.getOrElse(f.name, f.name), dataType = readType)
-      })
+      } ++ lineageScanFields(rename))
 
     /** file column → logical column: plain cast, except uuid (binary →
       * canonical text) and v3 initial-defaults (a field ABSENT from this
@@ -915,6 +984,15 @@ object IcebergRead {
       if (nameMapping.isEmpty && !rename.contains(f.name) && hasInitialDefault(f))
         initialDefaultColumn(f).cast(clean(f.dataType)).as(f.name)
       else if (isUuid(f)) uuidText(col(quoteId(fileName))).as(f.name)
+      else if (isTsNs(f)) {
+        // ns → µs truncation (floor, exact integer arithmetic — a double
+        // division would lose precision above 2^52 ns); timestamp_micros
+        // builds the instant, and the NTZ flavor casts through it under
+        // the engine's UTC session contract (graft.Sessions)
+        val q = quoteId(fileName)
+        val us = expr(s"($q - pmod($q, 1000L)) DIV 1000L")
+        timestamp_micros(us).cast(clean(f.dataType)).as(f.name)
+      }
       else if (clean(f.dataType) == VariantType) // no variant-to-variant cast
         col(quoteId(fileName)).as(f.name)
       else col(quoteId(fileName)).cast(clean(f.dataType)).as(f.name)
@@ -943,7 +1021,7 @@ object IcebergRead {
       // restore logical names (struct casts rename nested levels by position)
       val restored: Seq[Column] = logical.fields.toSeq.map(restoreCol(_, rename)) ++
         (if (needHelpers) Seq(col("_ib_file"), col("_ib_pos"), lit(seq).as("_ib_seq"))
-         else Nil)
+         else Nil) ++ matLineageCols(rename)
       var dfr = base.select(restored: _*)
       // IDENTITY partition values: Hive-style files omit the column (null
       // after the scan), Iceberg-written files carry it — coalesce is
@@ -982,7 +1060,8 @@ object IcebergRead {
         .withColumn("_ib_file", col("_metadata.file_path"))
         .withColumn("_ib_pos", col("_metadata.row_index"))
       val restored: Seq[Column] = logical.fields.toSeq.map(restoreCol(_, rename)) ++
-        Seq(col("_ib_file"), col("_ib_pos"), lit(seq).as("_ib_seq"))
+        Seq(col("_ib_file"), col("_ib_pos"), lit(seq).as("_ib_seq")) ++
+        matLineageCols(rename)
       var dfr = base.select(restored: _*)
       if (idFields.nonEmpty) {
         // (normalized file path, identity values as STRINGS) rows; the
@@ -1163,47 +1242,66 @@ object IcebergRead {
     // the row's data sequence. One broadcast join against a
     // metadata-bounded (file -> first_row_id) frame.
     if (opts.exposeRowLineage) {
-      // a conformant v3 writer that REWRITES data files (compaction =
-      // 'replace', copy-on-write merges = 'overwrite') materializes the
-      // surviving rows' original ids INTO the rewritten parquet; deriving
-      // first_row_id + position there would silently renumber. This
-      // reader reconstructs lineage only for append/delete histories
-      // (merge-on-read, where files are never rewritten) — refuse loudly
-      // otherwise.
+      // Two per-file lineage sources, per spec: files REWRITTEN by a
+      // conformant writer (compaction = 'replace', copy-on-write merges)
+      // carry MATERIALIZED `_row_id`/`_last_updated_sequence_number`
+      // columns under the reserved field ids — those win; files written
+      // by append/delete histories derive `_row_id` = first_row_id +
+      // position and `_last_updated` = the file's data sequence. A null
+      // materialized value falls back to inheritance (the spec's null-
+      // means-inherit rule). A file with NEITHER a materialized column
+      // NOR an explicit first_row_id refuses — silently-renumbered
+      // lineage is worse than no lineage. Name-mapped tables cannot
+      // resolve the reserved ids (no footer ids): old refusals stand.
+      val matFiles: Set[String] =
+        if (nameMapping.isDefined) Set.empty
+        else grouped.collect {
+          case (_, _, _, rn, paths) if rn.contains("_row_id") => paths
+        }.flatten.toSet
+      // a rewriting history with NO materialized lineage anywhere means
+      // the rewriter did not preserve ids — first_row_id + position on a
+      // rewritten file would silently renumber: refuse (a name-mapped
+      // table cannot resolve the reserved ids at all, same refusal)
       val rewriting = md.get("snapshots").elements().asScala
         .filter(s => Option(s.get("summary")).flatMap(su =>
           Option(su.get("operation"))).exists(o =>
           o.asText() == "replace" || o.asText() == "overwrite"))
         .map(_.get("snapshot-id").asLong()).toSeq
-      require(rewriting.isEmpty,
+      require(rewriting.isEmpty || matFiles.nonEmpty,
         s"row lineage requested but snapshots ${rewriting.take(3).mkString(", ")} " +
-          "rewrite data files — their materialized per-row lineage " +
-          "columns are not reconstructed by this reader")
-      val missing = data.filter(_.firstRowId.isEmpty)
+          "rewrite data files and no live file materializes the reserved " +
+          "lineage columns — ids would silently renumber")
+      val missing = data.filter(d =>
+        d.firstRowId.isEmpty && !matFiles.contains(d.path))
       require(missing.isEmpty,
-        s"row lineage requested but ${missing.head.path} carries no " +
-          "explicit first_row_id (write-time inheritance is not " +
-          "reconstructed by this reader)")
+        s"row lineage requested but ${missing.head.path} carries neither " +
+          "materialized lineage columns nor an explicit first_row_id " +
+          "(write-time inheritance is not reconstructed by this reader)")
       val linSchema = StructType(Seq(
         StructField("_lin_path", StringType),
         StructField("_lin_first", LongType)))
-      val linRows = data.map(d => org.apache.spark.sql.Row(
-        metaSpelling(d.path), d.firstRowId.get))
+      val linRows = data.filter(_.firstRowId.isDefined).map(d =>
+        org.apache.spark.sql.Row(metaSpelling(d.path), d.firstRowId.get))
       val lin = broadcast(spark.createDataFrame(
         spark.sparkContext.parallelize(linRows, 1), linSchema))
       out = out.join(lin, normPath(col("_ib_file")) === col("_lin_path"), "left")
-        .withColumn("_row_id", col("_lin_first") + col("_ib_pos"))
-        .withColumn("_last_updated_sequence_number", col("_ib_seq"))
+        .withColumn("_row_id",
+          coalesce(col("_mat_row"), col("_lin_first") + col("_ib_pos")))
+        .withColumn("_last_updated_sequence_number",
+          coalesce(col("_mat_last"), col("_ib_seq")))
         .drop("_lin_path", "_lin_first")
     }
+    if (opts.exposeRowLineage) out = out.drop("_mat_row", "_mat_last")
     if (opts.exposeFilePos)
       out = out.withColumnRenamed("_ib_file", "_pos_file")
         .withColumnRenamed("_ib_pos", "_pos_idx")
+        .withColumnRenamed("_ib_seq", "_pos_seq")
     if (needHelpers) out = out.drop("_ib_file", "_ib_pos", "_ib_seq")
     out.select((logical.fields.toSeq.map(f => col(quoteId(f.name))) ++
       lineageFields.map(f => col(f.name)) ++
       (if (opts.exposeFilePos)
-         Seq(col("_pos_file").as("_ib_file"), col("_pos_idx").as("_ib_pos"))
+         Seq(col("_pos_file").as("_ib_file"), col("_pos_idx").as("_ib_pos"),
+           col("_pos_seq").as("_ib_seq"))
        else Nil)): _*)
   }
 

@@ -679,6 +679,70 @@ class IcebergWriteSpec extends SparkSpec {
       Set(1L, 11L, 12L))
   }
 
+  test("r18: rewriteDeleteFiles compacts equality deletes into ONE position file") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val t = tmpDir("icew-eqcompact").resolve("t").toString
+    IcebergWrite.create(spark, t, schema)
+    IcebergWrite.append(spark, t,
+      rows((1L to 12L).map(i => (i, s"v$i", "x")): _*))
+    (1 to 8).foreach(i =>
+      IcebergWrite.deleteWhere(spark, t, Seq(i.toLong).toDF("id")))
+    Seq("v9", "v10").foreach(v =>
+      IcebergWrite.deleteWhere(spark, t, Seq(v).toDF("v")))
+    // a re-append AFTER the deletes: the spec's data_seq < delete_seq rule
+    // keeps it alive, and compaction must preserve exactly that
+    IcebergWrite.append(spark, t, rows((1L, "v1", "y")))
+    val before = IcebergRead.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(before == Set((1L, "y"), (11L, "x"), (12L, "x")))
+
+    val snap = IcebergWrite.rewriteDeleteFiles(spark, t)
+    // result invariance
+    val back = IcebergRead.read(spark, t)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(2))).toSet == before)
+    // plan shape: the 10 equality files collapsed into ONE position
+    // anti-join — no equality joins remain
+    val anti = back.queryExecution.logical.collect {
+      case j: Join if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(anti.size == 1, s"expected one position anti-join, got ${anti.size}")
+    // every equality entry re-emitted DELETED; one live position entry
+    val conf = spark.sessionState.newHadoopConf()
+    val entries = IcebergRead.manifests(spark, t).collect().flatMap { m =>
+      IcebergRead.avroRecords(conf,
+        new org.apache.hadoop.fs.Path(m.getAs[String]("path")))
+    }
+    def dContent(e: org.apache.avro.generic.GenericRecord): Int =
+      e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .get("content").asInstanceOf[Int]
+    val liveEq = entries.filter(e =>
+      e.get("status").asInstanceOf[Int] != 2 && dContent(e) == 2)
+    val deadEq = entries.filter(e =>
+      e.get("status").asInstanceOf[Int] == 2 && dContent(e) == 2)
+    val livePos = entries.filter(e =>
+      e.get("status").asInstanceOf[Int] != 2 && dContent(e) == 1)
+    assert(liveEq.isEmpty && deadEq.length == 10 && livePos.length == 1,
+      s"eq live=${liveEq.length} dead=${deadEq.length} pos=${livePos.length}")
+    // the position file is SORTED by (file_path, pos) per spec
+    val posFile = livePos.head.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("file_path").toString
+    val posRows = spark.read.parquet(posFile)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(posRows == posRows.sorted)
+    // summary accounting + idempotence (second run is a no-op)
+    val sum = IcebergRead.snapshots(spark, t).collect()
+      .find(_.getAs[Long]("snapshot_id") == snap).get
+      .getAs[Map[String, String]]("summary")
+    assert(sum("removed-delete-files") == "10")
+    assert(sum("added-position-deletes").toLong == posRows.size.toLong)
+    assert(IcebergWrite.rewriteDeleteFiles(spark, t) == snap)
+    // time travel to the pre-compaction snapshot still applies eq deletes
+    assert(IcebergRead.read(spark, t,
+      IcebergRead.Options(snapshotId = Some(snap))).count() == 3L)
+  }
+
   test("rollbackTo + incremental append scan between snapshots") {
     val t = tmpDir("icew-rollback").resolve("t").toString
     IcebergWrite.create(spark, t, schema)

@@ -89,13 +89,14 @@ class IcebergV3Spec extends SparkSpec {
       .orderBy("id").collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((0L, 0L), (1L, 7L), (3L, 21L), (4L, 28L)))
-    // the v2-native writer refuses v3 tables outright (before it would
-    // even reach the foreign-only column guard)
+    // v3 appends are supported since r18, but a variant COLUMN still
+    // refuses at the divergent-type guard (this writer cannot produce
+    // the Variant physical form)
     val e = intercept[IllegalArgumentException] {
       graft.destinations.IcebergWrite.append(spark, dir,
         Seq((9L, "x")).toDF("id", "pv"))
     }
-    assert(e.getMessage.contains("format-version 2"))
+    assert(e.getMessage.contains("foreign-only"))
   }
 
   test("v3: row lineage — ids stay stable across a deletion vector") {
@@ -146,6 +147,59 @@ class IcebergV3Spec extends SparkSpec {
       IcebergRead.read(spark, dir2).collect()
     }
     assert(e.getMessage.contains("initial-default"))
+  }
+
+  test("r18: timestamp_ns reads truncate to µs; nested/partition/write refuse") {
+    val dir = tmpDir("icev3-tsns").toString
+    import spark.implicits._
+    // nanos with sub-µs residue (truncation, not rounding, must show) and
+    // a pre-1970 value (floor semantics on negatives)
+    val base = 1700000000000000000L
+    val rows = Seq(
+      (1, base + 1999L),        // floor → ...000001 µs
+      (2, base + 2500L),        // floor → ...000002 µs (not 3)
+      (3, -1999L))              // floor(-1999/1000) = -2 µs
+    val df = rows.toDF("id", "ev").coalesce(1).orderBy("id")
+    IcebergV3Fixture.write(spark, dir, df, deletedPositions = Nil,
+      typeOverrides = Map("ev" -> "timestamptz_ns"))
+    val got = IcebergRead.read(spark, dir).orderBy("id").collect()
+    assert(IcebergRead.read(spark, dir).schema("ev").dataType == TimestampType)
+    def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    assert(got.map(r => us(r.getTimestamp(1))).toSeq ==
+      Seq(base / 1000L + 1L, base / 1000L + 2L, -2L))
+
+    // NTZ flavor maps to TimestampNTZType with the same truncation
+    val dir2 = tmpDir("icev3-tsns-ntz").toString
+    IcebergV3Fixture.write(spark, dir2, df, deletedPositions = Nil,
+      typeOverrides = Map("ev" -> "timestamp_ns"))
+    val ntz = IcebergRead.read(spark, dir2)
+    assert(ntz.schema("ev").dataType == TimestampNTZType)
+    assert(ntz.orderBy("id").collect().map(r =>
+      r.getAs[java.time.LocalDateTime](1)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        r.getAs[java.time.LocalDateTime](1).getNano / 1000L).toSeq ==
+      Seq(base / 1000L + 1L, base / 1000L + 2L, -2L))
+
+    // writes refuse (the v2 writer cannot produce NANOS physical forms)
+    val e = intercept[IllegalArgumentException] {
+      graft.destinations.IcebergWrite.append(spark, dir, df)
+    }
+    assert(e.getMessage.contains("format-version") ||
+      e.getMessage.contains("foreign-only"))
+
+    // nested ns refuses loudly at schema parse
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      """{"type":"struct","fields":[
+        |  {"id":1,"name":"s","required":false,"type":{"type":"struct","fields":[
+        |    {"id":2,"name":"ts","required":false,"type":"timestamp_ns"}]}}]}"""
+        .stripMargin)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergRead.parseType(node)
+    }
+    assert(e2.getMessage.contains("top-level"))
   }
 
   test("r18: v3 deleteWhere writes puffin DVs; repeat deletes consolidate") {
@@ -214,6 +268,59 @@ class IcebergV3Spec extends SparkSpec {
     val cur = IcebergRead.snapshots(spark, dir).count()
     graft.destinations.IcebergWrite.deleteWhere(spark, dir, Seq(99).toDF("id"))
     assert(IcebergRead.snapshots(spark, dir).count() == cur)
+  }
+
+  test("r18: native v3 lifecycle — appends assign row ids, rewrite preserves them") {
+    import graft.destinations.IcebergWrite
+    val dir = tmpDir("icev3-native").resolve("t").toString
+    import spark.implicits._
+    val sch = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    IcebergWrite.create(spark, dir, sch, formatVersion = 3)
+    IcebergWrite.append(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+        .coalesce(1).orderBy("id"))
+    IcebergWrite.append(spark, dir,
+      Seq((5L, "e"), (6L, "f")).toDF("id", "v").coalesce(1).orderBy("id"))
+
+    def lineage(): Map[Long, (Long, Long)] =
+      IcebergRead.read(spark, dir,
+        IcebergRead.Options(exposeRowLineage = true))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getAs[Long]("_row_id"),
+            r.getAs[Long]("_last_updated_sequence_number")))).toMap
+
+    // appends claim sequential id ranges: batch 1 → 0..3 at seq 1,
+    // batch 2 → 4..5 at seq 2
+    assert(lineage() == Map(
+      1L -> ((0L, 1L)), 2L -> ((1L, 1L)), 3L -> ((2L, 1L)), 4L -> ((3L, 1L)),
+      5L -> ((4L, 2L)), 6L -> ((5L, 2L))))
+
+    // a DV delete leaves holes, nothing renumbers
+    IcebergWrite.deleteWhere(spark, dir, Seq(2L).toDF("id"))
+    val afterDel = lineage()
+    assert(afterDel.keySet == Set(1L, 3L, 4L, 5L, 6L))
+    assert(afterDel(3L) == ((2L, 1L)) && afterDel(5L) == ((4L, 2L)))
+
+    // compaction MATERIALIZES lineage: survivors keep their original ids
+    // and last-updated sequences across the rewrite
+    IcebergWrite.rewriteDataFiles(spark, dir, targetFileBytes = 1L << 30)
+    assert(lineage() == afterDel)
+    // rows live in ONE rewritten file now (deletes baked in)
+    assert(IcebergRead.read(spark, dir).count() == 5L)
+
+    // the id space is untouched by the rewrite: a later append continues
+    // from next-row-id = 6 (at sequence 5: two appends, the DV delete,
+    // the rewrite came before)
+    IcebergWrite.append(spark, dir,
+      Seq((7L, "g")).toDF("id", "v").coalesce(1))
+    val afterApp = lineage()
+    assert(afterApp(7L) == ((6L, 5L)))
+    assert(afterApp(1L) == ((0L, 1L)))
+
+    // and a DV delete STILL works on the rewritten (materialized) table
+    IcebergWrite.deleteWhere(spark, dir, Seq(4L).toDF("id"))
+    assert(lineage().keySet == Set(1L, 3L, 5L, 6L, 7L))
   }
 
   test("r18: v3 deleteWhere consolidates with a FOREIGN fixture DV") {
