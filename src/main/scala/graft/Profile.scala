@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+
+/** Measurement tooling (optimization rounds, guide §1): run one or more
+  * declared queries through the same noop-sink materialization the bench
+  * uses, and attribute wall time to the individual Spark JOBS each query
+  * launches (call site + duration). Lifecycle queries (Delta/Iceberg
+  * commits, streaming sinks) run many internal jobs — write jobs, stats
+  * scans, log replays — and this is the cheapest way to see which of them
+  * the seconds actually go to, without the UI.
+  *
+  * Usage: Profile <sfDir> <ignored> <namePatterns>   (run_verify.sh shape)
+  * Output: per-query total + a per-job table on stdout; gaps between jobs
+  * (driver-side work: commit JSON I/O, footer reads, planning) show up as
+  * the difference between the query wall and the summed job time.
+  */
+object Profile {
+  private final case class JobRow(id: Int, desc: String, site: String,
+      submitted: Long, var finished: Long = -1L)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val pats = (if (args.length > 2) args(2) else args(1))
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val spark = Sessions.local()
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRow]()
+    val order = java.util.Collections.synchronizedList(new java.util.ArrayList[Int]())
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        val desc = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+        val site = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+        jobs.put(e.jobId, JobRow(e.jobId, desc, site, e.time))
+        order.add(e.jobId)
+      }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+        val r = jobs.get(e.jobId); if (r != null) r.finished = e.time
+      }
+    })
+    val selected = SparkEntry.queries.filter { case (n, _) => pats.exists(n.contains) }
+    selected.foreach { case (name, fn) =>  // untimed warm-up, like Bench
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => println(s"[profile] warmup $name failed: $e") }
+      spark.catalog.clearCache()
+    }
+    selected.foreach { case (name, fn) =>
+      jobs.clear(); order.clear()
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => println(s"[profile] $name failed: $e") }
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      import scala.jdk.CollectionConverters._
+      val rows = order.asScala.toSeq.flatMap(id => Option(jobs.get(id)))
+      val jobSum = rows.collect { case r if r.finished > 0 => (r.finished - r.submitted) / 1e3 }.sum
+      println(f"== $name  wall=$wall%.3fs  jobs=${rows.size}  jobSum=$jobSum%.3fs  driverGap=${wall - jobSum}%.3fs")
+      var prevEnd = -1L
+      rows.foreach { r =>
+        val dur = if (r.finished > 0) (r.finished - r.submitted) / 1e3 else Double.NaN
+        val gap = if (prevEnd > 0) (r.submitted - prevEnd) / 1e3 else 0.0
+        prevEnd = math.max(prevEnd, r.finished)
+        val label = (if (r.desc.nonEmpty) r.desc else r.site).take(90)
+        println(f"   job ${r.id}%4d  ${dur}%7.3fs  (gap before: ${gap}%6.3fs)  $label")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -291,16 +291,22 @@ final class Server(
     handles.put(requestId, handle)
 
     // queue-position forwarder: report the initial position and every change
-    // until the pipeline starts running (reference api/mod.rs:110-131)
+    // until the pipeline starts running (reference api/mod.rs:110-131). The
+    // INITIAL position goes out synchronously, before this connection's
+    // reader dispatches its next message — a cancel arriving right behind
+    // the submit could otherwise remove the submission before the async
+    // forwarder ever observed (and reported) a position.
+    val initial = math.max(handle.queuePosition, 0)
+    send(Protocol.QueuePosition(requestId, initial))
     ec.execute { () =>
-      var last = Int.MinValue
+      var last = initial
       var pos = handle.queuePosition
       while (pos > 0 && !closed) {
         if (pos != last) { send(Protocol.QueuePosition(requestId, pos)); last = pos }
         Thread.sleep(50)
         pos = handle.queuePosition
       }
-      if (pos == 0) send(Protocol.QueuePosition(requestId, 0))
+      if (pos == 0 && last != 0) send(Protocol.QueuePosition(requestId, 0))
     }
 
     handle.result.onComplete { r =>
