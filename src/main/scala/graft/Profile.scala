@@ -39,6 +39,12 @@ object Profile {
         val r = jobs.get(e.jobId); if (r != null) r.finished = e.time
       }
     })
+    // whole-stage-codegen compile cost per query: Janino compile time is a
+    // real per-micro-batch tax for streaming plans whose generated source
+    // changes every trigger (watermark literals) — attribute it directly
+    def codegenN(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
     val selected = SparkEntry.queries.filter { case (n, _) => pats.exists(n.contains) }
     selected.foreach { case (name, fn) =>  // untimed warm-up, like Bench
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -47,15 +53,44 @@ object Profile {
     }
     selected.foreach { case (name, fn) =>
       jobs.clear(); order.clear()
+      val cg0 = codegenN()
+      // sample the driver (query) thread every 10ms: the aggregated top
+      // frames attribute inter-job "driver gap" time (log replay, commit
+      // I/O, planning) that the job listener cannot see
+      val qThread = Thread.currentThread()
+      val samples = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      @volatile var sampling = true
+      val sampler = new Thread(() => {
+        while (sampling) {
+          val st = qThread.getStackTrace
+          if (st.nonEmpty) {
+            // signature: innermost graft frame + innermost interesting spark frame
+            val g = st.find(f => f.getClassName.startsWith("graft."))
+              .map(f => s"${f.getClassName.stripPrefix("graft.")}.${f.getMethodName}:${f.getLineNumber}")
+              .getOrElse("")
+            val s = st.find(f => f.getClassName.startsWith("org.apache.spark") &&
+                !f.getClassName.contains("Profile"))
+              .map(f => s"${f.getClassName.split('.').last}.${f.getMethodName}")
+              .getOrElse(st.head.getClassName.split('.').last + "." + st.head.getMethodName)
+            samples.merge(s"$s | $g", 1, (a, b) => a + b)
+          }
+          Thread.sleep(10)
+        }
+      })
+      sampler.setDaemon(true); sampler.start()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => println(s"[profile] $name failed: $e") }
       val wall = (System.nanoTime() - t0) / 1e9
+      sampling = false
+      val cgn = codegenN() - cg0
       spark.catalog.clearCache()
       import scala.jdk.CollectionConverters._
       val rows = order.asScala.toSeq.flatMap(id => Option(jobs.get(id)))
       val jobSum = rows.collect { case r if r.finished > 0 => (r.finished - r.submitted) / 1e3 }.sum
-      println(f"== $name  wall=$wall%.3fs  jobs=${rows.size}  jobSum=$jobSum%.3fs  driverGap=${wall - jobSum}%.3fs")
+      println(f"== $name  wall=$wall%.3fs  jobs=${rows.size}  jobSum=$jobSum%.3fs  driverGap=${wall - jobSum}%.3fs  codegenCompiles=$cgn")
+      val top = samples.asScala.toSeq.sortBy(-_._2).take(18)
+      top.foreach { case (sig, n) => println(f"   ${n * 10}%6dms  $sig") }
       var prevEnd = -1L
       rows.foreach { r =>
         val dur = if (r.finished > 0) (r.finished - r.submitted) / 1e3 else Double.NaN

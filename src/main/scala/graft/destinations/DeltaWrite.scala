@@ -2033,7 +2033,7 @@ object DeltaWrite {
       a.partitionValues.toSeq.sortBy(_._1).map { case (k, v) => k -> Option(v) },
       a.size, a.modificationTime, None, a.deletionVector,
       a.baseRowId, a.defaultRowCommitVersion))
-    val statsMap = computeStats(spark, table, adds0, dataSchema)
+    val statsMap = computeStatsDispatch(spark, table, adds0, dataSchema)
     val adds = adds0.map(a => a.copy(stats = statsMap.get(a.relPath)))
     commit(spark, table, snap.version + 1, "COMPUTE STATS",
       crc = CrcPlan.Unchanged,
@@ -3490,8 +3490,16 @@ object DeltaWrite {
 
     val base = if (subdir.isEmpty) table else new Path(table, subdir)
     val adds = Seq.newBuilder[AddDescriptor]
-    val qtmp = f.makeQualified(tmp) // listFiles returns qualified paths
-    val it = f.listFiles(tmp, true)
+    val qtmp = f.makeQualified(tmp)
+    // manual listStatus walk, NOT listFiles: LocatedFileStatus eagerly
+    // copies owner/permission, which on RawLocalFileSystem forks a
+    // process per file (visible in driver profiles); plain FileStatus
+    // loads permissions lazily and this loop never asks for them
+    def walkStatuses(dir: Path): Iterator[org.apache.hadoop.fs.FileStatus] =
+      f.listStatus(dir).iterator.flatMap { st =>
+        if (st.isDirectory) walkStatuses(st.getPath) else Iterator(st)
+      }
+    val it = walkStatuses(tmp)
     while (it.hasNext) {
       val s = it.next()
       val name = s.getPath.getName
@@ -3531,7 +3539,7 @@ object DeltaWrite {
     // the stats object — they are not table data and must never prune
     val dataSchema = StructType(df.schema.fields.filterNot(fd =>
       partitionColumns.contains(fd.name) || statsExclude(fd.name)))
-    val statsMap = computeStats(spark, table, raw, dataSchema)
+    val statsMap = computeStatsDispatch(spark, table, raw, dataSchema)
     val (statless, good) =
       raw.map(a => a.copy(stats = statsMap.get(a.relPath))).partition(_.stats.isEmpty)
     // a file the stats scan never saw is either EMPTY (Spark can emit a
@@ -3602,7 +3610,7 @@ object DeltaWrite {
     * to a prefix (safe — only widens the interval), max to a prefix plus
     * U+FFFF (delta-spark's tie-breaker, keeping it an upper bound).
     */
-  private def computeStats(
+  private[destinations] def computeStats(
       spark: SparkSession,
       table: Path,
       adds: Seq[AddDescriptor],
@@ -3632,40 +3640,208 @@ object DeltaWrite {
       absToRel.get(abs).orElse(
         absToRel.find { case (k, _) => new Path(k).toString == abs }.map(_._2)
       ).map { rel =>
-        val node = mapper.createObjectNode()
-        node.put("numRecords", r.getLong(r.fieldIndex("_n")))
-        val minV = node.putObject("minValues")
-        val maxV = node.putObject("maxValues")
-        val nullC = node.putObject("nullCount")
-        cols.foreach { c =>
-          def put(o: com.fasterxml.jackson.databind.node.ObjectNode, v: Any, upper: Boolean): Unit =
-            v match {
-              case null => ()
-              case s: String =>
-                if (s.length <= StatsStringPrefix) o.put(c, s)
-                else if (upper) o.put(c, s.substring(0, StatsStringPrefix) + "￿")
-                else o.put(c, s.substring(0, StatsStringPrefix))
-              case b: Boolean => o.put(c, b)
-              case d: java.sql.Date => o.put(c, d.toString)
-              case t: java.sql.Timestamp =>
-                o.put(c, statsTsFormat.format(t.toInstant))
-              case t: java.time.Instant => o.put(c, statsTsFormat.format(t))
-              case l: java.time.LocalDateTime => // ntz: zone-free wall clock
-                o.put(c, statsNtzFormat.format(l))
-              case n: java.math.BigDecimal => o.put(c, n)
-              case n: Number =>
-                // NaN/Infinity have no JSON-number form — omit (never prunes)
-                try o.put(c, new java.math.BigDecimal(n.toString))
-                catch { case _: NumberFormatException => () }
-              case other => o.put(c, other.toString)
-            }
-          put(minV, r.get(r.fieldIndex(s"_min_$c")), upper = false)
-          put(maxV, r.get(r.fieldIndex(s"_max_$c")), upper = true)
-          nullC.put(c, r.getLong(r.fieldIndex(s"_null_$c")))
-        }
-        rel -> mapper.writeValueAsString(node)
+        rel -> statsJsonOf(r.getLong(r.fieldIndex("_n")), cols,
+          c => r.get(r.fieldIndex(s"_min_$c")),
+          c => r.get(r.fieldIndex(s"_max_$c")),
+          c => r.getLong(r.fieldIndex(s"_null_$c")))
       }
     }.toMap
+  }
+
+  /** Stats-JSON serializer shared by the scan path ([[computeStats]]) and
+    * the footer path ([[footerStats]]) — ONE definition, so the
+    * small-commit dispatch can never change what lands in the log.
+    */
+  private def statsJsonOf(
+      numRecords: Long, cols: Seq[String],
+      minOf: String => Any, maxOf: String => Any, nullOf: String => Long): String = {
+    val node = mapper.createObjectNode()
+    node.put("numRecords", numRecords)
+    val minV = node.putObject("minValues")
+    val maxV = node.putObject("maxValues")
+    val nullC = node.putObject("nullCount")
+    def put(o: com.fasterxml.jackson.databind.node.ObjectNode,
+        c: String, v: Any, upper: Boolean): Unit =
+      v match {
+        case null => ()
+        case s: String =>
+          if (s.length <= StatsStringPrefix) o.put(c, s)
+          else if (upper) o.put(c, s.substring(0, StatsStringPrefix) + "￿")
+          else o.put(c, s.substring(0, StatsStringPrefix))
+        case b: Boolean => o.put(c, b)
+        case d: java.sql.Date => o.put(c, d.toString)
+        case ld: java.time.LocalDate => o.put(c, ld.toString)
+        case t: java.sql.Timestamp =>
+          o.put(c, statsTsFormat.format(t.toInstant))
+        case t: java.time.Instant => o.put(c, statsTsFormat.format(t))
+        case l: java.time.LocalDateTime => // ntz: zone-free wall clock
+          o.put(c, statsNtzFormat.format(l))
+        case n: java.math.BigDecimal => o.put(c, n)
+        case n: Number =>
+          // NaN/Infinity have no JSON-number form — omit (never prunes)
+          try o.put(c, new java.math.BigDecimal(n.toString))
+          catch { case _: NumberFormatException => () }
+        case other => o.put(c, other.toString)
+      }
+    cols.foreach { c =>
+      put(minV, c, minOf(c), upper = false)
+      put(maxV, c, maxOf(c), upper = true)
+      nullC.put(c, nullOf(c))
+    }
+    mapper.writeValueAsString(node)
+  }
+
+  /** Small-commit dispatch between the footer path and the distributed
+    * scan — the Iceberg commit path's `statsScanMinFiles` shape. A 1-2
+    * file commit's footers read in driver-milliseconds (pooled beyond
+    * that), while the scan is a fixed ~0.3s Spark job per commit — a
+    * real tax on multi-commit lifecycles and per-micro-batch streaming
+    * sinks. A LARGE commit (thousands of files at a 100 TB append) must
+    * NOT serialize thousands of footer round-trips through the driver —
+    * there the one distributed scan wins. DeltaFooterStatsSpec pins the
+    * two paths byte-equal; any file/column the footer path cannot decode
+    * EXACTLY like the scan (INT96 timestamps, missing chunk statistics,
+    * unknown null counts) falls back to the scan for the whole commit.
+    */
+  private def computeStatsDispatch(
+      spark: SparkSession,
+      table: Path,
+      adds: Seq[AddDescriptor],
+      dataSchema: StructType): Map[String, String] = {
+    val gate = spark.conf.getOption("graft.delta.statsScanMinFiles")
+      .map(_.toInt).getOrElse(64)
+    if (adds.nonEmpty && adds.size < gate)
+      footerStats(spark, table, adds, dataSchema)
+        .getOrElse(computeStats(spark, table, adds, dataSchema))
+    else computeStats(spark, table, adds, dataSchema)
+  }
+
+  /** Per-file stats from parquet FOOTERS — the driver-side twin of
+    * [[computeStats]] for small commits. Returns None (caller falls back
+    * to the scan) unless every file and column decodes into exactly the
+    * values the scan would have produced:
+    *   - timestamp/ntz columns bail out entirely (Spark writes INT96,
+    *     whose footer statistics are deprecated garbage);
+    *   - every column chunk must carry statistics with a known null
+    *     count and the expected physical type;
+    *   - row-group min/max merge under parquet's own comparator for the
+    *     physical type (for strings that is unsigned byte order — the
+    *     same order Spark's UTF8String aggregate min/max uses);
+    *   - float/double NaN maxima fall out identically in both paths (no
+    *     JSON-number form — omitted by the shared serializer); a
+    *     float/double chunk with no min/max but non-null values (a
+    *     NaN-suppressing writer) bails out.
+    * Empty files (numRecords 0) get NO entry, mirroring the scan (whose
+    * groupBy never sees them) — the caller's empty-file handling drops
+    * them either way.
+    */
+  private[destinations] def footerStats(
+      spark: SparkSession,
+      table: Path,
+      adds: Seq[AddDescriptor],
+      dataSchema: StructType): Option[Map[String, String]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val cols = dataSchema.fields.filter(f => statsEligible(f.dataType)).toSeq
+    if (cols.exists(f => f.dataType == TimestampType || f.dataType == TimestampNTZType))
+      return None
+    val conf = spark.sessionState.newHadoopConf()
+    val f = fs(spark, table)
+    def fileStats(a: AddDescriptor): Option[Option[(String, String)]] = {
+      // outer None = undecodable (whole commit falls back); inner None =
+      // empty file (no stats entry, like the scan)
+      val p = f.makeQualified(new Path(table, a.relPath))
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        val n = r.getRecordCount
+        if (n == 0L) return Some(None)
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        val mins = scala.collection.mutable.Map.empty[String, Any]
+        val maxs = scala.collection.mutable.Map.empty[String, Any]
+        val nulls = scala.collection.mutable.Map.empty[String, Long]
+        cols.foreach { field =>
+          val expectedPhys = field.dataType match {
+            case ByteType | ShortType | IntegerType | DateType => PrimitiveTypeName.INT32
+            case LongType => PrimitiveTypeName.INT64
+            case FloatType => PrimitiveTypeName.FLOAT
+            case DoubleType => PrimitiveTypeName.DOUBLE
+            case BooleanType => PrimitiveTypeName.BOOLEAN
+            case StringType => PrimitiveTypeName.BINARY
+            case d: DecimalType => null // any of INT32/INT64/BINARY/FLBA
+            case _ => return None
+          }
+          val chunks = blocks.flatMap(_.getColumns.asScala.filter(c =>
+            c.getPath.size() == 1 && c.getPath.toDotString == field.name))
+          if (chunks.isEmpty) return None
+          if (expectedPhys != null &&
+              chunks.exists(_.getPrimitiveType.getPrimitiveTypeName != expectedPhys))
+            return None
+          val sts = chunks.map(_.getStatistics)
+          if (sts.exists(s => s == null || s.isEmpty || !s.isNumNullsSet))
+            return None
+          val nc = sts.map(_.getNumNulls).sum
+          val withVals = chunks.zip(sts).filter(_._2.hasNonNullValue)
+          if (withVals.isEmpty) {
+            // all-null column IF the null count covers every row; a
+            // NaN-suppressing float writer (values but no bounds) must
+            // fall back — the scan would emit a min the footer cannot
+            if (nc != n) return None
+            nulls(field.name) = nc
+          } else {
+            val cmp = withVals.head._1.getPrimitiveType.comparator()
+              .asInstanceOf[java.util.Comparator[Any]]
+            val lo = withVals.map(_._2.genericGetMin)
+              .reduceLeft((a, b) => if (cmp.compare(a, b) <= 0) a else b)
+            val hi = withVals.map(_._2.genericGetMax)
+              .reduceLeft((a, b) => if (cmp.compare(a, b) >= 0) a else b)
+            def jvm(v: Any): Option[Any] = (field.dataType, v) match {
+              case (ByteType | ShortType | IntegerType, i: java.lang.Integer) => Some(i)
+              case (DateType, i: java.lang.Integer) =>
+                Some(java.time.LocalDate.ofEpochDay(i.longValue()))
+              case (LongType, l: java.lang.Long) => Some(l)
+              case (FloatType, x: java.lang.Float) => Some(x)
+              case (DoubleType, x: java.lang.Double) => Some(x)
+              case (BooleanType, b: java.lang.Boolean) => Some(b)
+              case (StringType, b: org.apache.parquet.io.api.Binary) =>
+                Some(b.toStringUsingUTF8)
+              case (d: DecimalType, i: java.lang.Integer) =>
+                Some(java.math.BigDecimal.valueOf(i.longValue(), d.scale))
+              case (d: DecimalType, l: java.lang.Long) =>
+                Some(java.math.BigDecimal.valueOf(l.longValue(), d.scale))
+              case (d: DecimalType, b: org.apache.parquet.io.api.Binary) =>
+                Some(new java.math.BigDecimal(
+                  new java.math.BigInteger(b.getBytes), d.scale))
+              case _ => None
+            }
+            (jvm(lo), jvm(hi)) match {
+              case (Some(l), Some(h)) =>
+                mins(field.name) = l; maxs(field.name) = h; nulls(field.name) = nc
+              case _ => return None
+            }
+          }
+        }
+        Some(Some(a.relPath -> statsJsonOf(n, cols.map(_.name),
+          c => mins.getOrElse(c, null), c => maxs.getOrElse(c, null),
+          c => nulls(c))))
+      } finally r.close()
+    }
+    val results: Seq[Option[Option[(String, String)]]] =
+      if (adds.size <= 2) adds.map(fileStats)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, adds.size))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.traverse(adds) { a =>
+            scala.concurrent.Future(fileStats(a))
+          }, scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+      }
+    if (results.exists(_.isEmpty)) None
+    else Some(results.flatMap(_.get).toMap)
   }
 
   // --------------------------------------------------------------- commits

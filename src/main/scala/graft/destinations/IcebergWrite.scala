@@ -766,20 +766,38 @@ object IcebergWrite {
     // appends) must NOT serialize thousands of footer round-trips through
     // the driver — there the one distributed scan wins. Both paths are
     // spec-pinned equal in IcebergWriteSpec, so this is pure dispatch.
+    // 64 (r18, was 17): with the footer reads issued from the SAME bounded
+    // pool the renames use, the driver-side cost of N footers is
+    // ceil(N/16) round-trip latencies, not N — so the fixed ~0.3-0.5s
+    // Spark-job tax of the distributed scan only pays for itself on
+    // commits large enough that shipping per-file work to executors wins
     val statsScanMinFiles = spark.conf
-      .getOption("graft.iceberg.statsScanMinFiles").map(_.toInt).getOrElse(17)
+      .getOption("graft.iceberg.statsScanMinFiles").map(_.toInt).getOrElse(64)
     val statsByPath: Map[String, (Long, Map[Int, (Option[Array[Byte]], Option[Array[Byte]], Long)])] =
       if (renamed.size < statsScanMinFiles) {
         val statsLogical =
           StructType(logical.fields.filterNot(f => identitySources(f.name)))
-        renamed.map { case (target, _, _) =>
+        def footer(target: Path) = {
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(target, conf))
           val (rc, stats) =
             try (r.getRecordCount, columnStats(r, statsLogical))
             finally r.close()
           target.toString -> ((rc, stats))
-        }.toMap
+        }
+        if (renamed.size <= 2) renamed.map(t => footer(t._1)).toMap
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(16, renamed.size))
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          try scala.concurrent.Await.result(
+            scala.concurrent.Future.traverse(renamed) { case (target, _, _) =>
+              scala.concurrent.Future(footer(target))
+            },
+            scala.concurrent.duration.Duration.Inf).toMap
+          finally pool.shutdown()
+        }
       } else computeIcebergStats(
         spark, renamed.map(_._1.toString), logical, identitySources)
     val files: Seq[(Path, Seq[(String, Option[String])], Long, Long,

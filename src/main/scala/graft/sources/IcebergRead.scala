@@ -327,6 +327,39 @@ object IcebergRead {
 
   private[graft] def fieldId(f: StructField): Long = f.metadata.getLong("iceberg.id")
 
+  /** Process-wide cache of a parquet footer's (top-level field id -> file
+    * column name, field count). Safe because committed data files are
+    * immutable — writers always publish under fresh unique names — and a
+    * pure footer property can never go stale for a given path. Bounded
+    * LRU (8192 entries, access-ordered, synchronized): long-running
+    * services scan unboundedly many files, and the map must not. A
+    * multi-snapshot lifecycle re-reads the same live files once per
+    * snapshot; without this every read re-opens every footer.
+    */
+  private val footerIdsCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (Map[Long, String], Int)](
+          1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Map[Long, String], Int)]): Boolean =
+          size() > 8192
+      })
+
+  private[graft] def footerFieldIds(
+      file: String, conf: org.apache.hadoop.conf.Configuration)
+      : (Map[Long, String], Int) = {
+    val hit = footerIdsCache.get(file)
+    if (hit != null) return hit
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf))
+    val msg = try r.getFooter.getFileMetaData.getSchema finally r.close()
+    val idToFile: Map[Long, String] = msg.getFields.asScala.flatMap(t =>
+      Option(t.getId).map(id => id.intValue().toLong -> t.getName)).toMap
+    val v = (idToFile, msg.getFieldCount)
+    footerIdsCache.put(file, v)
+    v
+  }
+
   /** Strip resolution metadata for the final user-facing schema. */
   private[graft] def clean(dt: DataType): DataType = dt match {
     case st: StructType =>
@@ -880,19 +913,24 @@ object IcebergRead {
           "per-file field presence (which decides default vs stored null) " +
           "is only provable from footer field ids")
 
-    /** logical top-level name -> file name, for ONE data file. */
+    /** logical top-level name -> file name, for ONE data file. The
+      * footer-derived (field id -> file column name, field count) pair is a
+      * pure function of the file's bytes, and Iceberg data files are
+      * immutable once committed (every writer publishes under a fresh
+      * unique name) — so it caches process-wide, and a multi-snapshot
+      * lifecycle's repeated reads stop re-opening every footer
+      * (measured: the footer open dominated q178's read side). The
+      * refusal decisions below stay per-call: they depend on the TABLE
+      * schema, which changes across reads.
+      */
     def footerRename(file: String): Map[String, String] = {
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf))
-      val msg = try r.getFooter.getFileMetaData.getSchema finally r.close()
-      val idToFile: Map[Long, String] = msg.getFields.asScala.flatMap(t =>
-        Option(t.getId).map(id => id.intValue().toLong -> t.getName)).toMap
+      val (idToFile, fieldCount) = IcebergRead.footerFieldIds(file, conf)
       // Default-vs-stored-null is decided by field presence, and presence
       // is only provable from footer field ids. A footer with NO ids at
       // all (foreign writer, no name mapping) would make every defaulted
       // column look absent and silently overwrite its stored values with
       // the declared default — refuse, mirroring the name-mapping case.
-      if (idToFile.isEmpty && msg.getFieldCount > 0 &&
+      if (idToFile.isEmpty && fieldCount > 0 &&
           logical.fields.exists(hasInitialDefault))
         throw new IllegalArgumentException(
           s"initial-default columns cannot be served for data file '$file': " +
