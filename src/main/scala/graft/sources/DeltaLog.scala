@@ -618,6 +618,91 @@ object DeltaLog {
 
   private val addFileEncoder = org.apache.spark.sql.Encoders.product[AddFile]
 
+  /** Driver-side replay of the add index for SMALL, checkpoint-free logs —
+    * the size-dispatch twin of [[addIndex]] (r18). A lifecycle of a few
+    * commits pays a fixed Spark job (JSON scan + window + collect, plus
+    * AQE re-planning) for every snapshot/filesWhere/liveFileStats call,
+    * when the whole segment is a few KB the driver has often already read
+    * once for [[metaReplay]]. At 100 TB the distributed index is the only
+    * safe shape — so this engages ONLY below
+    * `graft.delta.driverReplayMaxBytes` (default 4 MiB of tail commit
+    * JSON) and never when a checkpoint seeds the state (checkpoint
+    * parquet stays a distributed read). Semantics are pinned equal to
+    * the distributed path by DeltaDriverReplaySpec: same canonical add
+    * shape (null-filled defaults, DV descriptor re-serialized exactly
+    * like `to_json` — struct field order, null fields omitted), same
+    * latest-action-wins reconciliation with the same same-version
+    * add-beats-remove tie. Any parse surprise returns None and the
+    * caller falls back to the distributed index.
+    */
+  private def driverReplay(
+      spark: SparkSession, st: LogState): Option[Seq[AddFile]] = {
+    if (st.fromCheckpoint.isDefined) return None
+    val maxBytes = spark.conf.getOption("graft.delta.driverReplayMaxBytes")
+      .map(_.toLong).getOrElse(4L << 20)
+    val tail = st.tail
+    if (tail.map(_._2.getLen).sum > maxBytes) return None
+    try {
+      // (version, isAdd, add): latest version wins; same-version tie goes
+      // to the ADD regardless of line order — the distributed window's
+      // (version desc, isAdd desc) order exactly
+      val latest = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Long, Boolean, AddFile)]
+      def update(path: String, v: Long, isAdd: Boolean, a: AddFile): Unit =
+        latest.get(path) match {
+          case Some((v0, isAdd0, _)) if v0 > v || (v0 == v && (isAdd0 || !isAdd)) => ()
+          case _ => latest += path -> ((v, isAdd, a))
+        }
+      def optText(n: JsonNode, f: String): Option[String] =
+        Option(n.get(f)).filterNot(_.isNull).flatMap(x => Option(x.textValue()))
+      def optLong(n: JsonNode, f: String): Option[Long] =
+        Option(n.get(f)).filterNot(_.isNull).filter(_.isNumber).map(_.asLong())
+      // DV descriptor re-serialized like to_json over dvStructType: field
+      // order fixed, null/absent fields omitted
+      def dvJson(n: JsonNode): Option[String] = {
+        val o = mapper.createObjectNode()
+        optText(n, "storageType").foreach(o.put("storageType", _))
+        optText(n, "pathOrInlineDv").foreach(o.put("pathOrInlineDv", _))
+        Option(n.get("offset")).filterNot(_.isNull).filter(_.isNumber)
+          .foreach(x => o.put("offset", x.asInt()))
+        Option(n.get("sizeInBytes")).filterNot(_.isNull).filter(_.isNumber)
+          .foreach(x => o.put("sizeInBytes", x.asInt()))
+        optLong(n, "cardinality").foreach(o.put("cardinality", _))
+        Some(mapper.writeValueAsString(o))
+      }
+      tail.sortBy(_._1).foreach { case (v, cst) =>
+        val in = st.fs.open(cst.getPath)
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
+          val node = mapper.readTree(line)
+          val add = node.get("add")
+          if (add != null && !add.isNull) optText(add, "path").foreach { p =>
+            val pv = Option(add.get("partitionValues")).filterNot(_.isNull)
+              .map(_.fields().asScala.map(e =>
+                e.getKey -> (if (e.getValue.isNull) null
+                             else e.getValue.asText())).toMap)
+              .getOrElse(Map.empty[String, String])
+            update(p, v, isAdd = true, AddFile(p, pv,
+              optLong(add, "size").getOrElse(0L),
+              optLong(add, "modificationTime").getOrElse(0L),
+              optText(add, "stats"),
+              Option(add.get("deletionVector")).filterNot(_.isNull)
+                .flatMap(dvJson),
+              optLong(add, "baseRowId"),
+              optLong(add, "defaultRowCommitVersion")))
+          }
+          val rem = node.get("remove")
+          if (rem != null && !rem.isNull) optText(rem, "path").foreach { p =>
+            update(p, v, isAdd = false, null)
+          }
+        }
+      }
+      Some(latest.values.collect { case (_, true, a) => a }.toSeq)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Collect a DataFrame in [[AddFile]] column shape (`path,
     * partitionValues, size, modificationTime, stats, deletionVector`) into
     * typed descriptors — for callers that have already pruned down to the
@@ -650,7 +735,8 @@ object DeltaLog {
       timestampAsOf: Option[java.time.Instant] = None): Snapshot = {
     val st = resolveState(spark, tablePath, versionAsOf, timestampAsOf)
     val meta = metaReplay(spark, tablePath, st)
-    meta.copy(files = collectAdds(addIndex(spark, st)))
+    meta.copy(files = driverReplay(spark, st)
+      .getOrElse(collectAdds(addIndex(spark, st))))
   }
 
   /** Metadata-resolved snapshot whose file list stays DISTRIBUTED until a
@@ -663,36 +749,56 @@ object DeltaLog {
   final class LazySnapshot private[DeltaLog](
       spark: SparkSession, st: LogState, val meta: Snapshot) {
 
+    // small checkpoint-free logs replay once on the driver; every
+    // filesWhere / liveFileStats / indexDF call then skips its Spark job
+    private lazy val driverAdds: Option[Seq[AddFile]] =
+      driverReplay(spark, st)
+
     /** Collect the files passing `keep`, evaluated ON EXECUTORS over the
       * distributed add index — driver memory bounded by the kept count.
+      * (Small checkpoint-free logs filter the driver replay directly.)
       */
     def filesWhere(keep: AddFile => Boolean): Seq[AddFile] =
-      indexDF
-        .as(addFileEncoder)
-        .filter(keep)
-        .collect().toSeq
+      driverAdds match {
+        case Some(as) => as.filter(keep)
+        case None =>
+          indexDF
+            .as(addFileEncoder)
+            .filter(keep)
+            .collect().toSeq
+      }
 
     /** The live-file state as a DataFrame in [[AddFile]] column shape
       * (`deletionVector` as raw descriptor JSON) — checkpoint writers
       * stream this straight back out without a driver materialization.
       */
-    private[graft] def indexDF: DataFrame =
-      addIndex(spark, st)
-        .select(col("path"), col("partitionValues"), col("size"),
-          col("modificationTime"), col("stats"), col("deletionVector"),
-          col("baseRowId"), col("defaultRowCommitVersion"))
+    private[graft] def indexDF: DataFrame = driverAdds match {
+      case Some(as) =>
+        spark.createDataset(as)(addFileEncoder).toDF()
+          .select(col("path"), col("partitionValues"), col("size"),
+            col("modificationTime"), col("stats"), col("deletionVector"),
+            col("baseRowId"), col("defaultRowCommitVersion"))
+      case None =>
+        addIndex(spark, st)
+          .select(col("path"), col("partitionValues"), col("size"),
+            col("modificationTime"), col("stats"), col("deletionVector"),
+            col("baseRowId"), col("defaultRowCommitVersion"))
+    }
 
-    /** (live file count, total bytes) as ONE distributed aggregate over
-      * the add index — the state summary both [[DeltaLog.verifyChecksum]]
-      * audits against and restore's exact checksum derives from (one
-      * definition, or the audit and the writer silently diverge). */
-    private[graft] def liveFileStats(): (Long, Long) = {
-      val row = indexDF.agg(
-        org.apache.spark.sql.functions.count(col("path")),
-        org.apache.spark.sql.functions.coalesce(
-          org.apache.spark.sql.functions.sum(col("size")),
-          org.apache.spark.sql.functions.lit(0L))).head()
-      (row.getLong(0), row.getLong(1))
+    /** (live file count, total bytes) — ONE distributed aggregate over
+      * the add index (the state summary both [[DeltaLog.verifyChecksum]]
+      * audits against and restore's exact checksum derives from; one
+      * definition, or the audit and the writer silently diverge), or
+      * plain arithmetic over the driver replay. */
+    private[graft] def liveFileStats(): (Long, Long) = driverAdds match {
+      case Some(as) => (as.size.toLong, as.map(_.size).sum)
+      case None =>
+        val row = indexDF.agg(
+          org.apache.spark.sql.functions.count(col("path")),
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.sum(col("size")),
+            org.apache.spark.sql.functions.lit(0L))).head()
+        (row.getLong(0), row.getLong(1))
     }
 
     /** Every table-relative path the snapshot keeps alive — decoded data
@@ -820,8 +926,9 @@ object DeltaLog {
     // a full scan needs paths + partition values, never the stats strings —
     // null them out before the collect (they are the bulk of a large
     // table's add metadata)
-    val files = collectAdds(
-      addIndex(spark, st).withColumn("stats", lit(null).cast(StringType)))
+    val files = driverReplay(spark, st).map(_.map(_.copy(stats = None)))
+      .getOrElse(collectAdds(
+        addIndex(spark, st).withColumn("stats", lit(null).cast(StringType))))
     readFiles(spark, tablePath, meta, files)
   }
 
@@ -852,13 +959,15 @@ object DeltaLog {
     // index; only files that may hold a matching row are ever collected,
     // so driver memory is bounded by the MATCHED-file count, not the
     // table's total file count
-    val candidates = addIndex(spark, st)
-      .select(col("path"), col("partitionValues"), col("size"),
-        col("modificationTime"), col("stats"), col("deletionVector"),
-        col("baseRowId"), col("defaultRowCommitVersion"))
-      .as(addFileEncoder)
-      .filter((f: AddFile) => DeltaStats.mayMatch(meta, f, expr))
-      .collect().toSeq
+    val candidates = driverReplay(spark, st)
+      .map(_.filter(f => DeltaStats.mayMatch(meta, f, expr)))
+      .getOrElse(addIndex(spark, st)
+        .select(col("path"), col("partitionValues"), col("size"),
+          col("modificationTime"), col("stats"), col("deletionVector"),
+          col("baseRowId"), col("defaultRowCommitVersion"))
+        .as(addFileEncoder)
+        .filter((f: AddFile) => DeltaStats.mayMatch(meta, f, expr))
+        .collect().toSeq)
     lastPlannedFiles.set(PlannedFiles(candidates.size))
     readFiles(spark, tablePath, meta, candidates).filter(predicate)
   }
@@ -1317,8 +1426,9 @@ object DeltaLog {
     val meta = metaReplay(spark, tablePath, st)
     require(rowTrackingEnabled(meta),
       s"$tablePath does not have row tracking enabled (delta.enableRowTracking)")
-    val files = collectAdds(
-      addIndex(spark, st).withColumn("stats", lit(null).cast(StringType)))
+    val files = driverReplay(spark, st).map(_.map(_.copy(stats = None)))
+      .getOrElse(collectAdds(
+        addIndex(spark, st).withColumn("stats", lit(null).cast(StringType))))
     readFilesWithRowIds(spark, tablePath, meta, files)
   }
 
