@@ -465,10 +465,18 @@ object ManagedTable {
 
   /** Broadcast the key set when small enough for a map-side semi/anti join —
     * the common case (incremental upserts are small vs the table).
+    *
+    * r18: decided from the OPTIMIZER'S size estimate, not a counting job —
+    * the old `limit(100001).count()` launched a Spark job (and recomputed
+    * the incoming frame, which may itself be expensive) on every
+    * upsert/delete just to pick a join strategy. A wrong estimate only
+    * changes the plan, never the result, and AQE converts the sort-merge
+    * fallback back to broadcast at runtime when the built side turns out
+    * small — the estimate is a fast path, not a correctness gate.
     */
   private[destinations] def broadcastIfSmall(df: DataFrame): DataFrame = {
-    val n = df.limit(100001).count()
-    if (n <= 100000) broadcast(df) else df
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(32L << 20)) broadcast(df) else df
   }
 
   private def readFiles(spark: SparkSession, loc: Location, c: Commit, rel: Seq[String]): DataFrame = {

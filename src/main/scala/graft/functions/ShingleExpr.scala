@@ -379,3 +379,209 @@ object PositionalHashes64 {
   def apply(c: Column, n: Int): Column =
     GraftShims.column(PositionalHashes64(GraftShims.expression(c), n))
 }
+
+/** Fused shingle→xxhash64 expressions (r18): the jaccard miners only ever
+  * consume `xxhash64(shingle)` — the shingle STRINGS died immediately
+  * after an explode, so materializing an `Array[UTF8String]` (one UTF-16→
+  * UTF-8 encode + object per window), exploding STRING rows and hashing
+  * them per row was pure allocation overhead on the hottest scan stage.
+  * These emit the distinct window hashes directly as an `Array[Long]`,
+  * hashing UTF-8 byte slices of the input IN PLACE with the exact
+  * function/seed `functions.xxhash64` uses (XXH64, seed 42) — so every
+  * emitted value equals `xxhash64(<shingle string>)` bit-for-bit and the
+  * posting lists are unchanged. Distinctness is per-doc first-occurrence,
+  * now keyed by the 64-bit hash rather than the string: the two differ
+  * only if two distinct windows of one document collide in 64 bits
+  * (p ≈ windows²/2⁶⁴ — the same collision the pair miner already accepts
+  * across documents, see [[graft.ops.Dedup.minePairs]]).
+  */
+object ShingleHashUtil {
+  private final val Seed = 42L
+
+  /** Minimal open-addressed long set (power-of-two capacity, linear
+    * probing) — per-document window dedup without boxing. */
+  private final class LongSet(expected: Int) {
+    private var cap = {
+      var c = 8
+      while (c < expected * 2 && c < (1 << 30)) c <<= 1
+      c
+    }
+    private var keys = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var n = 0
+    def add(h: Long): Boolean = {
+      if ((n + 1) * 2 > cap) grow()
+      // cap is a power of two and cap-1 has a clear sign bit, so the AND
+      // is non-negative even for negative int hashes
+      var i = java.lang.Long.hashCode(h) & (cap - 1)
+      while (used(i)) {
+        if (keys(i) == h) return false
+        i = (i + 1) & (cap - 1)
+      }
+      used(i) = true; keys(i) = h; n += 1; true
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ou = used
+      cap <<= 1
+      keys = new Array[Long](cap); used = new Array[Boolean](cap); n = 0
+      var j = 0
+      while (j < ok.length) { if (ou(j)) add(ok(j)); j += 1 }
+    }
+  }
+
+  private def utf8Len(lead: Byte): Int =
+    if (lead >= 0) 1
+    else if ((lead & 0xE0) == 0xC0) 2
+    else if ((lead & 0xF0) == 0xE0) 3
+    else 4
+
+  private def isWs(b: Byte): Boolean = // java regex \s (ASCII): [ \t\n\x0B\f\r]
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  private val empty = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    .fromPrimitiveArray(Array.empty[Long])
+
+  /** Distinct char-n-gram (codepoint windows, `stride`) hashes of `s` —
+    * each value == xxhash64 of the window's string. */
+  def charHashes(s: UTF8String, n: Int, stride: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // codepoint byte offsets (UTF-8 lead bytes; one slot per codepoint)
+    val offs = new Array[Int](len + 1)
+    var nc = 0
+    var i = 0
+    while (i < len) { offs(nc) = i; nc += 1; i += utf8Len(bytes(i)) }
+    offs(nc) = len
+    if (nc < n) return empty
+    val count = (nc - n) / stride + 1
+    val set = new LongSet(count)
+    val out = new Array[Long](count)
+    var k = 0
+    var p = 0
+    while (p <= nc - n) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + offs(p),
+        offs(p + n) - offs(p), Seed)
+      if (set.add(h)) { out(k) = h; k += 1 }
+      p += stride
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(if (k == out.length) out else java.util.Arrays.copyOf(out, k))
+  }
+
+  private val scratch = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](256)
+  }
+
+  /** Distinct word-n-gram hashes of `s` (ASCII-whitespace split, single
+    * spaces between words — [[ShingleUtil.shingles]]' exact strings),
+    * each value == xxhash64 of the shingle string. */
+  def wordHashes(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // word boundaries as byte ranges (regex \s is ASCII-only, so the
+    // byte scan splits exactly like Whitespace.split on the string)
+    var wc = 0
+    val starts = new Array[Int](len / 2 + 1)
+    val ends = new Array[Int](len / 2 + 1)
+    var i = 0
+    while (i < len) {
+      if (!isWs(bytes(i))) {
+        starts(wc) = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        ends(wc) = i
+        wc += 1
+      } else i += 1
+    }
+    if (wc < n) return empty
+    val count = wc - n + 1
+    val set = new LongSet(count)
+    val out = new Array[Long](count)
+    var k = 0
+    var buf = scratch.get()
+    i = 0
+    while (i <= wc - n) {
+      var need = n - 1
+      var j = 0
+      while (j < n) { need += ends(i + j) - starts(i + j); j += 1 }
+      if (buf.length < need) {
+        buf = new Array[Byte](java.lang.Integer.highestOneBit(need) << 1)
+        scratch.set(buf)
+      }
+      var pos = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(pos) = ' '; pos += 1 }
+        val wl = ends(i + j) - starts(i + j)
+        System.arraycopy(bytes, starts(i + j), buf, pos, wl)
+        pos += wl
+        j += 1
+      }
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, pos, Seed)
+      if (set.add(h)) { out(k) = h; k += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(if (k == out.length) out else java.util.Arrays.copyOf(out, k))
+  }
+}
+
+case class WordShingleHashes64(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == org.apache.spark.sql.types.NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_hashes64 expects a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes64"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashUtil.wordHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashUtil.wordHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes64 =
+    copy(child = newChild)
+}
+
+object WordShingleHashes64 {
+  def apply(c: Column, n: Int): Column =
+    GraftShims.column(WordShingleHashes64(GraftShims.expression(c), n))
+}
+
+case class CharShingleHashes64(child: Expression, n: Int, stride: Int)
+  extends UnaryExpression {
+
+  require(n >= 1, "shingle size must be >= 1")
+  require(stride >= 1, "stride must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == org.apache.spark.sql.types.NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_shingle_hashes64 expects a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "char_shingle_hashes64"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashUtil.charHashes(input.asInstanceOf[UTF8String], n, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashUtil.charHashes($c, $n, $stride)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingleHashes64 =
+    copy(child = newChild)
+}
+
+object CharShingleHashes64 {
+  def apply(c: Column, n: Int, stride: Int): Column =
+    GraftShims.column(CharShingleHashes64(GraftShims.expression(c), n, stride))
+}

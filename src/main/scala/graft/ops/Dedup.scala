@@ -254,11 +254,13 @@ object Dedup {
     // InferFiltersFromGenerate, whose size() pre-filter is pushed below the
     // projection and re-derives the whole shingle pass in a scan Filter
     // (2× the dominant cost; see bpePairCounts for the measured case)
+    // fused shingle→hash expression (r18): the miner only consumes
+    // xxhash64(shingle), so the strings never materialize — the emitted
+    // longs are bit-identical to xxhash64 over the shingle strings
     val posting = spread(tagged)
       .select(col("side"), col("doc_id"),
-        explode_outer(graft.functions.WordShingles(col("_text"), n)).as("sh_str"))
-      .filter(col("sh_str").isNotNull)
-      .select(col("side"), col("doc_id"), xxhash64(col("sh_str")).as("h"))
+        explode_outer(graft.functions.WordShingleHashes64(col("_text"), n)).as("h"))
+      .filter(col("h").isNotNull)
     val prof0 = buildProfiles(posting, Seq("side", "doc_id"), threshold, capSpec)
     val prof = if (persistProfiles) prof0.persist(StorageLevel.MEMORY_AND_DISK) else prof0
     def pre(s: Int, idName: String, nName: String, pName: String): DataFrame =
@@ -315,7 +317,7 @@ object Dedup {
     // empty arrays for free.
     val shingled = spread(docs)
       .select(col(idCol).as("doc_id"),
-        graft.functions.WordShingles(col(textCol), n).as("shingles"))
+        graft.functions.WordShingleHashes64(col(textCol), n).as("shingles"))
     minePairs(shingled, docs, idCol, threshold, maxShingleDocFreq, withCounts)
   }
 
@@ -337,7 +339,7 @@ object Dedup {
     // native codegen'd expression; lowercasing mirrors Text.charShingles
     val shingled = spread(docs)
       .select(col(idCol).as("doc_id"),
-        graft.functions.CharShingles(lower(col(textCol)), n, stride).as("shingles"))
+        graft.functions.CharShingleHashes64(lower(col(textCol)), n, stride).as("shingles"))
     minePairs(shingled, docs, idCol, threshold, maxShingleDocFreq, withCounts)
   }
 
@@ -359,10 +361,11 @@ object Dedup {
       threshold: Double, maxShingleDocFreq: CapSpec, withCounts: Boolean): DataFrame = {
     // explode_outer + null filter: see ngramJaccardAgainst — the inferred
     // generate filter would re-run the native shingle expression at the scan
+    // `shingles` already carries the xxhash64 values (fused expressions,
+    // r18) — the posting list explodes 8-byte longs, never strings
     val posting = shingled
-      .select(col("doc_id"), explode_outer(col("shingles")).as("sh_str"))
-      .filter(col("sh_str").isNotNull)
-      .select(col("doc_id"), xxhash64(col("sh_str")).as("h"))
+      .select(col("doc_id"), explode_outer(col("shingles")).as("h"))
+      .filter(col("h").isNotNull)
     // Persist the compact profile frame (arrays of longs, one row per doc):
     // the prefix explode and both verification joins read it, and the
     // alias-differing subtrees defeat exchange reuse. The raw posting list
@@ -422,16 +425,15 @@ object Dedup {
     // explode_outer + null filter on both sides: the inferred generate
     // filter would re-run the shingle expression at the scan (see minePairs)
     val refHashes = spread(reference)
-      .select(explode_outer(graft.functions.WordShingles(col(refTextCol), n)).as("sh"))
-      .filter(col("sh").isNotNull)
-      .select(xxhash64(col("sh")).as("h"))
+      .select(explode_outer(
+        graft.functions.WordShingleHashes64(col(refTextCol), n)).as("h"))
+      .filter(col("h").isNotNull)
       .distinct()
     val docHashes = spread(docs)
       .select(col(idCol).as("doc_id"),
-        graft.functions.WordShingles(col(textCol), n).as("shingles"))
-      .select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
-      .filter(col("sh").isNotNull)
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+        graft.functions.WordShingleHashes64(col(textCol), n).as("shingles"))
+      .select(col("doc_id"), explode_outer(col("shingles")).as("h"))
+      .filter(col("h").isNotNull)
     // one shingle pass: a left join against the (distinct) reference set
     // marks matches, and a single aggregate counts both totals — count(_m)
     // skips the nulls of unmatched shingles

@@ -459,27 +459,44 @@ object DeltaLog {
       // addIndex); serializing the structs back to JSON funnels both log
       // representations through one parser. Sidecars carry only file
       // actions per the v2 spec, so they are not opened here.
+      // ONE filtered collect for all four action kinds (r18; was four
+      // separate jobs): the filter keeps driver rows bounded by metadata
+      // actions — add rows, the bulk of any checkpoint, never collect —
+      // and row order (hence lastOption) matches the per-kind collects.
       val cp = checkpointActions(spark, st, withSidecars = false)
       val cols = cp.columns.toSet
-      if (cols.contains("protocol"))
-        cp.filter(col("protocol.minReaderVersion").isNotNull)
-          .select(to_json(col("protocol")))
-          .collect().lastOption.foreach(r => applyProtocol(mapper.readTree(r.getString(0))))
-      if (cols.contains("txn"))
-        cp.filter(col("txn.appId").isNotNull)
-          .select(col("txn.appId"), col("txn.version"))
-          .collect().foreach(r => txns += r.getString(0) -> r.getLong(1))
-      if (cols.contains("metaData"))
-        cp.filter(col("metaData.schemaString").isNotNull)
-          .select(to_json(col("metaData")))
-          .collect().lastOption.foreach(r => applyMeta(mapper.readTree(r.getString(0))))
-      if (cols.contains("domainMetadata"))
-        cp.filter(col("domainMetadata.domain").isNotNull)
-          .select(col("domainMetadata.domain"),
-            col("domainMetadata.configuration"),
-            coalesce(col("domainMetadata.removed"), lit(false)))
-          .collect().foreach(r =>
-            applyDomain(r.getString(0), r.getString(1), r.getBoolean(2)))
+      def nullS: org.apache.spark.sql.Column = lit(null).cast(StringType)
+      val proto = if (cols.contains("protocol"))
+        when(col("protocol.minReaderVersion").isNotNull, to_json(col("protocol")))
+      else nullS
+      val txnApp = if (cols.contains("txn")) col("txn.appId") else nullS
+      val txnVer = if (cols.contains("txn")) col("txn.version")
+        else lit(null).cast(LongType)
+      val metaJ = if (cols.contains("metaData"))
+        when(col("metaData.schemaString").isNotNull, to_json(col("metaData")))
+      else nullS
+      val dmDomain = if (cols.contains("domainMetadata"))
+        col("domainMetadata.domain") else nullS
+      val dmConfig = if (cols.contains("domainMetadata"))
+        col("domainMetadata.configuration") else nullS
+      val dmRemoved = if (cols.contains("domainMetadata"))
+        coalesce(col("domainMetadata.removed"), lit(false)) else lit(false)
+      val rows = cp
+        .select(proto.as("_p"), txnApp.as("_ta"), txnVer.as("_tv"),
+          metaJ.as("_m"), dmDomain.as("_dd"), dmConfig.as("_dc"),
+          dmRemoved.as("_dr"))
+        .filter(col("_p").isNotNull || col("_ta").isNotNull ||
+          col("_m").isNotNull || col("_dd").isNotNull)
+        .collect()
+      rows.flatMap(r => Option(r.getString(0))).lastOption
+        .foreach(s => applyProtocol(mapper.readTree(s)))
+      rows.foreach(r =>
+        if (!r.isNullAt(1)) txns += r.getString(1) -> r.getLong(2))
+      rows.flatMap(r => Option(r.getString(3))).lastOption
+        .foreach(s => applyMeta(mapper.readTree(s)))
+      rows.foreach(r =>
+        if (!r.isNullAt(4))
+          applyDomain(r.getString(4), r.getString(5), r.getBoolean(6)))
     }
 
     st.tail.foreach { case (_, c) =>
