@@ -231,6 +231,70 @@ object LangModel {
 
   final case class BpeMerge(rank: Int, a: String, b: String, n: Long)
 
+  /** UTF-8 byte order — Spark's string `orderBy` — for the driver loop's
+    * tie-break, so driver and distributed training pick identical argmax
+    * pairs even off the ASCII plane. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The merge loop of [[bpeTrain]], in memory, over the collected
+    * `(delimited string, freq)` vocabulary — IDENTICAL arithmetic to the
+    * distributed iterations (adjacent-pair counts weighted by freq, argmax
+    * by count desc then (a, b) ascending in UTF-8 byte order, Java
+    * `String.replace`'s left-to-right non-overlapping apply — the same
+    * semantics Spark's `replace` has). BpeTrainSpec pins the two paths'
+    * merge lists equal on random corpora.
+    */
+  private def bpeTrainDriver(
+      vocab0: Array[(String, Long)], numMerges: Int): Seq[BpeMerge] = {
+    var vocab = vocab0
+    val merges = Seq.newBuilder[BpeMerge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+      vocab.foreach { case (s, freq) =>
+        val toks = s.split(BpeSep).filter(_.nonEmpty)
+        var i = 0
+        while (i < toks.length - 1) {
+          counts.merge((toks(i), toks(i + 1)), freq, (x, y) => x + y)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestA: String = null
+        var bestB: String = null
+        var bestN = Long.MinValue
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val (a, b) = e.getKey
+          val n = e.getValue.longValue()
+          if (n > bestN || (n == bestN &&
+              (utf8Less(a, bestA) || (a == bestA && utf8Less(b, bestB))))) {
+            bestA = a; bestB = b; bestN = n
+          }
+        }
+        merges += BpeMerge(rank, bestA, bestB, bestN)
+        val (pat, rep) = bpeMergeLits(bestA, bestB)
+        vocab = vocab.map { case (s, f) => (s.replace(pat, rep), f) }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
   /** Learn `numMerges` BPE merges (Sennrich et al., ACL'16 — the
     * byte-pair-encoding tokenizer-training loop) over the whitespace words
     * of lowercased `textCol`.
@@ -253,12 +317,26 @@ object LangModel {
   def bpeTrain(corpus: DataFrame, textCol: String, numMerges: Int): Seq[BpeMerge] = {
     require(numMerges >= 1 && numMerges <= 64,
       "numMerges beyond 64: train offline and pass the merge list to bpeEncode")
-    var vocab = corpus
+    val vocab0 = corpus
       .select(explode_outer(Text.words(lower(col(textCol)))).as("w"))
       .filter(col("w").isNotNull)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(bpeDelimited(col("w")).as("s"), col("freq"))
-      .localCheckpoint(eager = false)
+    // Small-vocabulary dispatch (r18): the iteration loop is K sequential
+    // Spark jobs over a vocabulary-sized frame — pure fixed job cost when
+    // the vocabulary fits the driver comfortably. One bounded collect
+    // decides: at or under the cap the SAME algorithm runs in memory
+    // (BpeTrainSpec pins the merge lists identical — same pair counting,
+    // same count-desc/(a,b)-byte-order tie, same left-to-right replace);
+    // over the cap (real tokenizer training over a 100 TB corpus's
+    // vocabulary) the distributed loop below is unchanged.
+    val cap = corpus.sparkSession.conf
+      .getOption("graft.bpe.driverTrainMaxVocab").map(_.toInt).getOrElse(200000)
+    val head = vocab0.limit(cap + 1).collect()
+    if (head.length <= cap)
+      return bpeTrainDriver(
+        head.map(r => (r.getString(0), r.getLong(1))), numMerges)
+    var vocab = vocab0.localCheckpoint(eager = false)
     val merges = Seq.newBuilder[BpeMerge]
     var rank = 1
     var exhausted = false
