@@ -64,6 +64,66 @@ object Components {
       .distinct()
       .localCheckpoint(eager = false, ckptLevel)
 
+    // Small-graph dispatch (r18): the contraction loop costs ~2 Spark jobs
+    // per round; a near-dup graph whose DISTINCT canonical edge set fits
+    // the driver comfortably contracts in microseconds with union-find —
+    // by construction the same labeling (min id per component). One
+    // bounded collect off the already-checkpointed edge frame decides;
+    // larger graphs (the 100 TB case) run the distributed loop unchanged
+    // on the same cached blocks. Integral ids only — other orderable
+    // types keep the distributed path rather than re-deriving Spark's
+    // ordering per type. ComponentsSpec pins both paths against each
+    // other on random graphs.
+    val spark = edges.sparkSession
+    val driverCap = spark.conf.getOption("graft.components.driverMaxEdges")
+      .map(_.toInt).getOrElse(2000000)
+    val integral = e.schema("u").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    if (integral && driverCap > 0) {
+      val head = e.limit(driverCap + 1).collect()
+      if (head.length <= driverCap) {
+        val intType = e.schema("u").dataType ==
+          org.apache.spark.sql.types.IntegerType
+        def idOf(v: Any): Long = v match {
+          case i: java.lang.Integer => i.longValue(); case l: java.lang.Long => l
+        }
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        head.foreach { r =>
+          val u = idOf(r.get(0)); val v = idOf(r.get(1))
+          parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+        }
+        val minOf = new java.util.HashMap[Long, Long]()
+        parent.keySet().forEach { n =>
+          minOf.merge(find(n), n, (a, b) => math.min(a, b))
+        }
+        uncheckpoint(e)
+        val rows = new scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.Row](parent.size)
+        parent.keySet().forEach { n =>
+          val c = minOf.get(find(n))
+          rows += (if (intType) org.apache.spark.sql.Row(n.toInt, c.toInt)
+                   else org.apache.spark.sql.Row(n, c))
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", e.schema("u").dataType),
+          org.apache.spark.sql.types.StructField("component", e.schema("u").dataType)))
+        return spark.createDataFrame(
+          java.util.Arrays.asList(rows.toSeq: _*), schema)
+      }
+    }
+
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.select(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))

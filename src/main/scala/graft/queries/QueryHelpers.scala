@@ -94,7 +94,12 @@ private[graft] object QueryHelpers {
   def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
+    // per-gate default, overridable for measurement / other deployments
+    // (spark.graft.stream.statePartitions) — state-store fixed cost per
+    // trigger is linear in this, state size per partition inverse in it
+    val eff = s.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt).getOrElse(n)
+    s.conf.set(key, eff.toString)
     try body finally s.conf.set(key, prev)
   }
 

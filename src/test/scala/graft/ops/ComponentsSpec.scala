@@ -40,6 +40,19 @@ class ComponentsSpec extends SparkSpec {
     assert(labels(edges) == brute(edges))
   }
 
+  test("r18 dispatch: driver union-find equals the distributed contraction") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(600)((rnd.nextLong(300), rnd.nextLong(300)))
+      .filter { case (a, b) => a != b }
+    val driver = labels(edges) // default cap: driver path
+    spark.conf.set("graft.components.driverMaxEdges", "0")
+    val dist =
+      try labels(edges) // cap 0: distributed loop
+      finally spark.conf.unset("graft.components.driverMaxEdges")
+    assert(driver == dist)
+    assert(driver == brute(edges))
+  }
+
   test("connectedComponents: self-loops and duplicates are harmless; empty in, empty out") {
     val got = labels(Seq((1L, 1L), (2L, 3L), (3L, 2L), (2L, 3L)))
     assert(got == Map(2L -> 2L, 3L -> 2L))
