@@ -3799,7 +3799,14 @@ object DeltaWrite {
             def jvm(v: Any): Option[Any] = (field.dataType, v) match {
               case (ByteType | ShortType | IntegerType, i: java.lang.Integer) => Some(i)
               case (DateType, i: java.lang.Integer) =>
-                Some(java.time.LocalDate.ofEpochDay(i.longValue()))
+                // pre-Gregorian-cutover dates: the scan serializes
+                // java.sql.Date.toString (hybrid Julian/Gregorian) while
+                // this path would serialize proleptic LocalDate — the
+                // strings diverge below 1582-10-15, so refuse and let the
+                // whole commit fall back to the scan (ADVICE r18)
+                if (i.longValue() >= gregorianCutoverEpochDay)
+                  Some(java.time.LocalDate.ofEpochDay(i.longValue()))
+                else None
               case (LongType, l: java.lang.Long) => Some(l)
               case (FloatType, x: java.lang.Float) => Some(x)
               case (DoubleType, x: java.lang.Double) => Some(x)
@@ -3827,8 +3834,15 @@ object DeltaWrite {
           c => nulls(c))))
       } finally r.close()
     }
+    // catch-all on the documented "any surprise refuses" contract (ADVICE
+    // r18): an unexpected decode exception — corrupt footer metadata, a
+    // zero-length FLBA decimal bound feeding BigInteger, an I/O hiccup —
+    // must demote THIS commit to the scan path, not fail it
+    def fileStatsSafe(a: AddDescriptor): Option[Option[(String, String)]] =
+      try fileStats(a)
+      catch { case scala.util.control.NonFatal(_) => None }
     val results: Seq[Option[Option[(String, String)]]] =
-      if (adds.size <= 2) adds.map(fileStats)
+      if (adds.size <= 2) adds.map(fileStatsSafe)
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(16, adds.size))
@@ -3836,13 +3850,18 @@ object DeltaWrite {
           scala.concurrent.ExecutionContext.fromExecutor(pool)
         try scala.concurrent.Await.result(
           scala.concurrent.Future.traverse(adds) { a =>
-            scala.concurrent.Future(fileStats(a))
+            scala.concurrent.Future(fileStatsSafe(a))
           }, scala.concurrent.duration.Duration.Inf)
         finally pool.shutdown()
       }
     if (results.exists(_.isEmpty)) None
     else Some(results.flatMap(_.get).toMap)
   }
+
+  /** 1582-10-15 as an epoch day — below it the hybrid and proleptic
+    * calendars render different date strings. */
+  private val gregorianCutoverEpochDay: Long =
+    java.time.LocalDate.of(1582, 10, 15).toEpochDay
 
   // --------------------------------------------------------------- commits
 

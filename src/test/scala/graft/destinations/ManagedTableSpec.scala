@@ -25,6 +25,30 @@ class ManagedTableSpec extends SparkSpec {
     loc
   }
 
+  test("broadcastIfSmall hints only estimate-reliable plans (r19)") {
+    // small leaf-backed frame: estimate is real file/local bytes → hinted
+    val small = spark.range(100).toDF("id").select(col("id")).distinct()
+    assert(!(ManagedTable.broadcastIfSmall(small) eq small),
+      "a provably small frame should carry the broadcast hint")
+    // a Generate (explode) fans out past what size-only estimation models:
+    // the estimate may be tiny while the true frame is unbounded — the
+    // explicit hint (which bypasses AQE's runtime size checks) must NOT
+    // be added, however small the estimate reads
+    val exploded = spark.range(100)
+      .select(explode(array_repeat(col("id"), 3)).as("id")).distinct()
+    assert(
+      exploded.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(32L << 20),
+      "precondition: the fan-out frame must look small to the estimator")
+    assert(ManagedTable.broadcastIfSmall(exploded) eq exploded,
+      "a fan-out (Generate) frame must never be hint-broadcast")
+    // a join's output can dwarf its inputs: same rule
+    val other = spark.range(100).toDF("id2")
+    val joined = spark.range(100).toDF("id")
+      .join(other, col("id") === col("id2")).select(col("id")).distinct()
+    assert(ManagedTable.broadcastIfSmall(joined) eq joined,
+      "a join-bearing frame must never be hint-broadcast")
+  }
+
   test("create is idempotent; empty table reads back with declared schema") {
     val loc = newTable("mt-create")
     ManagedTable.createIfAbsent(spark, loc, schema, Nil, Map.empty) // second call: no-op

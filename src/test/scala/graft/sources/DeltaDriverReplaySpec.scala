@@ -72,7 +72,7 @@ class DeltaDriverReplaySpec extends SparkSpec {
     assert(outD === outX)
   }
 
-  test("checkpointed logs keep the distributed path; results stay identical") {
+  test("small checkpointed logs driver-replay; results equal the distributed path") {
     import spark.implicits._
     val dir = tmpDir("ddr-cp")
     val t = dir.resolve("t").toString
@@ -83,7 +83,76 @@ class DeltaDriverReplaySpec extends SparkSpec {
     }
     val snap = DeltaLog.snapshot(spark, t)
     val dist = withDistributed(DeltaLog.snapshot(spark, t))
-    assert(snap.files.sortBy(_.path) === dist.files.sortBy(_.path))
+    assertSnapshotsEqual(snap, dist)
     assert(DeltaLog.read(spark, t).count() === 100L)
+  }
+
+  /** Snapshot equality with flavor-robust metaDataRaw: the JSON-manifest
+    * distributed path renders metaData through an INFERRED schema whose
+    * field order may differ from the file's — every consumer parses it by
+    * name, so compare as parsed nodes and the rest structurally. */
+  private def assertSnapshotsEqual(a: DeltaLog.Snapshot, b: DeltaLog.Snapshot): Unit = {
+    assert(a.version === b.version)
+    assert(a.schema === b.schema)
+    assert(a.partitionColumns === b.partitionColumns)
+    assert(a.files.sortBy(_.path) === b.files.sortBy(_.path))
+    assert(a.protocol === b.protocol)
+    assert(a.configuration === b.configuration)
+    assert(a.txns === b.txns)
+    assert(a.domainMetadata === b.domainMetadata)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(a.metaDataRaw.isDefined === b.metaDataRaw.isDefined)
+    a.metaDataRaw.zip(b.metaDataRaw).foreach { case (x, y) =>
+      assert(m.readTree(x) === m.readTree(y), s"metaDataRaw diverges: $x vs $y")
+    }
+  }
+
+  test("driver checkpoint parse equals the distributed path: classic, multi-part, v2+sidecars") {
+    import spark.implicits._
+    val dir = tmpDir("ddr-cpkinds")
+    val docs = (1L to 300L).map(i => (i, s"g${i % 3}", s"text-$i"))
+      .toDF("id", "g", "txt")
+
+    def lifecycle(t: String, props: Map[String, String])(
+        mkCheckpoint: String => Unit): Unit = {
+      DeltaWrite.createIfAbsent(spark, t,
+        docs.schema.asInstanceOf[StructType], partitionBy = Seq("g"),
+        properties = props)
+      DeltaWrite.append(spark, t, docs.filter(col("id") <= 200).repartition(2))
+      DeltaWrite.upsert(spark, t,
+        docs.filter(col("id") % 5 === 0)
+          .select(col("id"), col("g"), upper(col("txt")).as("txt")), Seq("id"))
+      mkCheckpoint(t)
+      // tail commits on top of the checkpoint: the replay must reconcile
+      // checkpoint adds with post-checkpoint adds AND removes
+      DeltaWrite.append(spark, t, docs.filter(col("id") > 200))
+      DeltaWrite.delete(spark, t, "id % 7 = 0")
+      val driver = DeltaLog.snapshot(spark, t)
+      val dist = withDistributed(DeltaLog.snapshot(spark, t))
+      assertSnapshotsEqual(driver, dist)
+      val lsD = DeltaLog.lazySnapshot(spark, t)
+      val lsX = withDistributed(DeltaLog.lazySnapshot(spark, t))
+      assertSnapshotsEqual(lsD.meta, lsX.meta)
+      assert(lsD.liveFileStats() === withDistributed(lsX.liveFileStats()))
+      assert(lsD.filesWhere(_.partitionValues.get("g").contains("g1")).sortBy(_.path)
+        === withDistributed(lsX.filesWhere(_.partitionValues.get("g").contains("g1"))
+          .sortBy(_.path)))
+    }
+
+    // classic single-file checkpoint, DV + row tracking in the adds
+    lifecycle(dir.resolve("classic").toString,
+      Map("delta.enableRowTracking" -> "true",
+        "delta.enableDeletionVectors" -> "true")) { t =>
+      DeltaWrite.checkpoint(spark, t): Unit
+    }
+    // multi-part classic checkpoint (tiny partActions forces several parts)
+    lifecycle(dir.resolve("multipart").toString, Map.empty) { t =>
+      DeltaWrite.checkpoint(spark, t, partActions = 2): Unit
+    }
+    // v2 checkpoint: parquet manifest + parquet sidecars
+    lifecycle(dir.resolve("v2").toString,
+      Map("delta.checkpointPolicy" -> "v2")) { t =>
+      DeltaWrite.checkpointV2(spark, t, partActions = 2): Unit
+    }
   }
 }
