@@ -21,20 +21,20 @@ import org.apache.spark.sql.functions._
   * here is exactly a maximal region assembled from length-`n` substrings
   * each occurring ≥ `minCount` times — the paper's duplicate criterion.
   *
-  * Scale design: two corpus passes over the posting relation (build the
-  * duplicated-window set, then mark positions), both keyed on the md5
-  * window hash —
-  *   1. `groupBy(hash).count`: map-side partial aggregation collapses
-  *      within-partition repeats before the exchange, so a boilerplate
-  *      window that occurs 10M times ships one partial per partition, not
-  *      10M rows;
-  *   2. hash equi-join of postings against the duplicated-hash set (never
-  *      all-pairs; AQE's skew-join splits an oversized build side);
-  *   3. one window + one aggregate per document id to merge runs — per-key
+  * Scale design: ONE corpus pass over the posting relation (r19; it was
+  * two — dup-set aggregate + equi-join — each re-running the positional
+  * hash scan behind its own exchange) —
+  *   1. one exchange keyed on the 64-bit window hash; the corpus-wide
+  *      occurrence count (and the keepFirst canonical pick) are
+  *      whole-partition window aggregates over that keying, so marking
+  *      duplicated positions needs no join and no second pass;
+  *   2. one window + one aggregate per document id to merge runs — per-key
   *      work is bounded by document length.
   * The posting relation is ~chars-per-doc rows per document (the same
   * fan-out the char-shingle Jaccard miner carries), so the exchanges are
-  * linear in corpus size with bounded keys; nothing lands on the driver.
+  * linear in corpus size with bounded keys; nothing lands on the driver —
+  * a corpus-hot hash's group stays in WindowExec's spillable buffer, the
+  * same rows a merge join would stream through a single partition.
   */
 object Spans {
 
@@ -86,33 +86,41 @@ object Spans {
       // row here is measurable heap headroom at the 2 GiB soak envelope
       .select(col("_id"), (col("_p0") + 1).cast("int").as("_pos"), col("_h"))
 
-    // the canonical-first struct is only needed under keepFirst — without
-    // it the duplicated-hash set is hash-only, halving the build side
-    val dupAggs = count(lit(1)).as("_cnt") +:
-      (if (keepFirst) Seq(min(struct(col("_id"), col("_pos"))).as("_first")) else Nil)
-    val dup = postings
-      .groupBy(col("_h"))
-      .agg(dupAggs.head, dupAggs.tail: _*)
+    // ONE corpus pass, ONE corpus exchange (r19; guide §2.4/§1.2). The
+    // old shape — groupBy(_h) dup-set + merge-join of postings against it
+    // — re-ran the whole scan + positional-hash + explode pass TWICE
+    // behind two separate corpus-wide exchanges: the groupBy's exchange
+    // carries a partial aggregate (and, after column pruning, a narrower
+    // projection) below it, so the subtrees never canonicalize equal and
+    // exchange reuse cannot fire. The per-hash occurrence count and the
+    // keepFirst canonical pick are whole-partition window aggregates over
+    // the SAME keying the join needed anyway, so computing them as window
+    // functions folds the dup-set build, the probe exchange and the merge
+    // join into one exchange + one per-group pass. Identical semantics:
+    // same corpus-wide count per hash, same (id, pos) struct-min canonical
+    // pick. Every posting row crossed an _h exchange before too (as the
+    // join probe), so shuffled bytes strictly shrink (the partials
+    // exchange disappears); a corpus-hot window hash buffers its group in
+    // WindowExec's spillable buffer — the same rows the merge join
+    // streamed through a single partition before, still disk-bounded.
+    val byHash = Window.partitionBy(col("_h"))
+    val cntCol = count(lit(1)).over(byHash)
+    val withAggs = postings
+      .withColumn("_cnt", cntCol)
+      .transform(df => if (keepFirst)
+        df.withColumn("_first",
+          min(struct(col("_id"), col("_pos"))).over(byHash))
+      else df)
       .filter(col("_cnt") >= minCount)
-      .drop("_cnt")
-
-    // merge-join, EXPLICITLY: the duplicated-hash set is unbounded (it
-    // grows with corpus duplication), so a broadcast is never the
-    // scale-safe shape — and AQE's runtime byte stats undercount its
-    // in-memory size badly enough to pick one that OOMs a small driver
-    // (2g soak, round 10). The merge join costs no extra shuffle: `dup`
-    // derives from postings' own groupBy(_h) exchange, so both join
-    // branches hash-partition on _h and the postings exchange is reused.
-    val joined = postings.join(dup.hint("merge"), Seq("_h"))
     // project to (_id, _pos) BEFORE the per-document window: the span
     // merge never looks at the hash (or the canonical struct) again, and
     // this exchange+sort is the memory peak of the whole miner — narrow
     // rows here are what fit the 2 GiB soak heap (r14 q98 OOM)
     val marked =
       (if (keepFirst)
-        joined.filter(!(col("_id") === col("_first._id") &&
+        withAggs.filter(!(col("_id") === col("_first._id") &&
           col("_pos") === col("_first._pos")))
-      else joined).select(col("_id"), col("_pos"))
+      else withAggs).select(col("_id"), col("_pos"))
 
     val byDoc = Window.partitionBy(col("_id")).orderBy(col("_pos"))
     marked

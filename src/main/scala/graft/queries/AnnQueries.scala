@@ -231,8 +231,15 @@ private[graft] object AnnQueries {
     // is a bounded driver scalar (one count per method).
     "q128_ann_recall" -> ((s, dir) => {
       import s.implicits._
+      // One corpus scan shared by the brute-force truth pass and all four
+      // index builds (r19; guide §5-caching: reused ≥5×, recompute = a
+      // parquet scan + per-element double cast each time). persist() is
+      // layout-invisible — a recompute yields byte-identical partitions in
+      // the same file-split order, so every build trains on exactly the
+      // data it saw uncached; unpersisted before returning.
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val k = 10
@@ -254,6 +261,7 @@ private[graft] object AnnQueries {
         ksub = 16, maxTrainVectors = 16384)
       val rIvfPq = recall(Ann.ivfPqSearch(ivfpq, queries, "qid", "qv", k, nprobe = 3))
       truth.unpersist()
+      emb.unpersist()
       System.err.println(f"[q128] recall ivf=$rIvf%.4f lsh=$lsh%.4f pq=$rPq%.4f ivfpq=$rIvfPq%.4f")
       annRecallThresholds.map { case (method, (nprobe, th)) =>
         val r = method match {
