@@ -118,10 +118,20 @@ object Dedup {
     */
   private def buildProfiles(posting: DataFrame, groupCols: Seq[String],
       threshold: Double, cap: Option[Long]): DataFrame = {
-    val freq = posting.groupBy("h").agg(count(lit(1)).as("df"))
+    // ONE posting pass (r19; guide §2.4): document frequency as a
+    // whole-partition window aggregate over the same keying the old
+    // groupBy(h) + join-back needed. The join re-ran the scan + shingle
+    // hash pass behind a SECOND corpus exchange — the aggregate's
+    // partial/column-pruned subtree never canonicalizes equal to the
+    // probe's, so exchange reuse cannot fire (same fix as Spans.dupSpans).
+    // Every posting row crossed an h-exchange before (as the join probe);
+    // a capped-out hot shingle's group sits in WindowExec's spillable
+    // buffer — the same rows the merge join streamed through one partition.
+    val withDf = posting.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
     val kept = cap match {
-      case Some(c) => posting.join(freq, Seq("h")).filter(col("df") <= c)
-      case None => posting.join(freq, Seq("h"))
+      case Some(c) => withDf.filter(col("df") <= c)
+      case None => withDf
     }
     kept
       .groupBy(groupCols.map(col): _*)
@@ -369,8 +379,8 @@ object Dedup {
     // Persist the compact profile frame (arrays of longs, one row per doc):
     // the prefix explode and both verification joins read it, and the
     // alias-differing subtrees defeat exchange reuse. The raw posting list
-    // is NOT persisted — its two consumers (frequency aggregate and the
-    // frequency join) shuffle on the same key, so the exchange is reused.
+    // is NOT persisted — its single consumer (the windowed df pass in
+    // buildProfiles, r19) shuffles it exactly once.
     val prof = buildProfiles(posting, Seq("doc_id"), threshold,
         resolveCap(maxShingleDocFreq, docs, idCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -705,7 +715,13 @@ object Dedup {
     val posting = base.select(col("doc_id"),
       explode(array_distinct(graft.functions.CharShingles(col("txt"), q, 1))).as("g"))
     // global frequency order, ties by gram text — both sides must rank
-    // prefixes under ONE total order for the filter lemma to hold
+    // prefixes under ONE total order for the filter lemma to hold.
+    // groupBy + join-back is the RIGHT shape here, unlike
+    // buildProfiles/Spans (r19): q-gram vocabularies are |Σ|^q-bounded and
+    // tiny next to the posting list, so the freq side broadcasts (checked:
+    // BroadcastHashJoin BuildRight in the q117 plan) and the posting list
+    // is never exchanged for the df attachment — a window would force a
+    // full posting exchange for the same values (measured +5% at sf0.1).
     val freq = posting.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
     val prefix = posting.join(freq, Seq("g"))
