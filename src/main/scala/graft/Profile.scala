@@ -61,18 +61,36 @@ object Profile {
       val samples = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
       @volatile var sampling = true
       val sampler = new Thread(() => {
+        def sig(st: Array[StackTraceElement], tag: String): Option[String] = {
+          if (st.isEmpty) return None
+          // skip idle threads: parked/waiting/polling top frames
+          val top = st.head
+          val idle = Set("park", "wait", "wait0", "sleep", "epollWait",
+            "poll", "accept", "read0", "socketAccept", "park0")
+          if (idle.contains(top.getMethodName)) return None
+          // signature: innermost graft frame + innermost interesting spark frame
+          val g = st.find(f => f.getClassName.startsWith("graft."))
+            .map(f => s"${f.getClassName.stripPrefix("graft.")}.${f.getMethodName}:${f.getLineNumber}")
+            .getOrElse("")
+          val s = st.find(f => f.getClassName.startsWith("org.apache.spark") &&
+              !f.getClassName.contains("Profile"))
+            .map(f => s"${f.getClassName.split('.').last}.${f.getMethodName}")
+            .getOrElse(st.head.getClassName.split('.').last + "." + st.head.getMethodName)
+          Some(s"$tag$s | $g")
+        }
         while (sampling) {
-          val st = qThread.getStackTrace
-          if (st.nonEmpty) {
-            // signature: innermost graft frame + innermost interesting spark frame
-            val g = st.find(f => f.getClassName.startsWith("graft."))
-              .map(f => s"${f.getClassName.stripPrefix("graft.")}.${f.getMethodName}:${f.getLineNumber}")
-              .getOrElse("")
-            val s = st.find(f => f.getClassName.startsWith("org.apache.spark") &&
-                !f.getClassName.contains("Profile"))
-              .map(f => s"${f.getClassName.split('.').last}.${f.getMethodName}")
-              .getOrElse(st.head.getClassName.split('.').last + "." + st.head.getMethodName)
-            samples.merge(s"$s | $g", 1, (a, b) => a + b)
+          sig(qThread.getStackTrace, "").foreach(k =>
+            samples.merge(k, 1, (a, b) => a + b))
+          // also sample OTHER driver-side worker threads (micro-batch
+          // execution, commit pools): streaming per-trigger work happens
+          // off the query thread, which only waits in processAllAvailable
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
+            val n = t.getName
+            if ((t ne qThread) && (t ne Thread.currentThread()) &&
+                !n.startsWith("Executor task launch") && !n.contains("dispatcher") &&
+                !n.contains("shuffle") && !n.contains("netty"))
+              sig(st, s"[$n] ").foreach(k => samples.merge(k, 1, (a, b) => a + b))
           }
           Thread.sleep(10)
         }

@@ -1770,7 +1770,7 @@ object DeltaWrite {
         else {
           val uuid = java.util.UUID.randomUUID()
           val (blob, offsets) = DeletionVectors.frameBinFile(filed.map(_._2))
-          val out = f.create(new Path(table, s"deletion_vector_$uuid.bin"), false)
+          val out = LocalIo.create(f, new Path(table, s"deletion_vector_$uuid.bin"), false)
           try out.write(blob) finally out.close()
           filed.zip(offsets).map { case ((a, bytes, card), off) =>
             a -> DeletionVectors.uuidDescriptorJson(uuid, off, bytes.length, card)
@@ -3138,7 +3138,7 @@ object DeltaWrite {
     lc.put("version", snap.version)
     lc.put("size", metaRows.length.toLong + nFiles)
     if (parts.size > 1) lc.put("parts", parts.size)
-    val outLc = f.create(new Path(logDir(table), "_last_checkpoint"), true)
+    val outLc = LocalIo.create(f, new Path(logDir(table), "_last_checkpoint"), true)
     try outLc.write(mapper.writeValueAsBytes(lc)) finally outLc.close()
     snap.version
   }
@@ -3299,7 +3299,7 @@ object DeltaWrite {
         lines += mapper.writeValueAsString(sn)
       }
       val tmpManifest = new Path(logDir(table), s".tmp-manifest-$uuid")
-      val out = f.create(tmpManifest, false)
+      val out = LocalIo.create(f, tmpManifest, false)
       try out.write(lines.result().mkString("", "\n", "\n").getBytes("UTF-8"))
       finally out.close()
       if (!f.rename(tmpManifest, manifestPath))
@@ -3400,7 +3400,7 @@ object DeltaWrite {
       3L + snap.txns.size + snap.domainMetadata.size + sidecars.size)
     lc.put("sizeInBytes", sidecars.map(_._2).sum)
     lc.put("numOfAddFiles", nFiles)
-    val outLc = f.create(new Path(logDir(table), "_last_checkpoint"), true)
+    val outLc = LocalIo.create(f, new Path(logDir(table), "_last_checkpoint"), true)
     try outLc.write(mapper.writeValueAsBytes(lc)) finally outLc.close()
     snap.version
   }
@@ -4373,7 +4373,7 @@ object DeltaWrite {
     // winner — so an existing target can only be our own earlier partial
     // attempt, safe to replace.
     val tmp = new Path(logDir(table), s".tmp-crc-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, false)
+    val out = LocalIo.create(f, tmp, false)
     try out.write((mapper.writeValueAsString(n) + "\n").getBytes("UTF-8"))
     finally out.close()
     if (f.exists(target)) f.delete(target, false)
@@ -4434,7 +4434,7 @@ object DeltaWrite {
     val target = commitPath(table, version)
     val bytes = content.getBytes("UTF-8")
     val tmp = new Path(logDir(table), s".tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, false)
+    val out = LocalIo.create(f, tmp, false)
     try out.write(bytes) finally out.close()
     val won =
       if (f.getUri.getScheme == "file") {

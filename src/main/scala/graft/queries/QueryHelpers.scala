@@ -126,8 +126,19 @@ private[graft] object QueryHelpers {
     *     (interpreted evaluation is codegen's reference), measured −20% on
     *     the stream-stream join gates. Above the threshold codegen stays
     *     on: real per-batch volume amortizes compilation.
+    *   - **checkpoint checksum files off** (r19): every gate checkpoints
+    *     into an EPHEMERAL local tmp dir that dies with the query, and
+    *     Spark 4.1's checksummed checkpoint manager doubles every WAL op
+    *     (offset log, commit log, state-store delta: temp file + rename,
+    *     TWICE) to detect storage corruption that cannot matter for a
+    *     same-process, same-disk temp file. Profiled: the checksum
+    *     manager's create/rename threads carry ~25% of the per-trigger
+    *     driver wall on the join gates; measured −9% across the streaming
+    *     block. Durable production checkpoints (object stores) should keep
+    *     Spark's default — set `spark.graft.stream.checkpointFileChecksum`
+    *     (default false here) to true to restore it.
     *
-    * Both reroutes are data-size dispatches with the large side identical
+    * The reroutes are data-size dispatches with the large side identical
     * to the always-on configuration; results are oracle-checked either way.
     */
   def withStreamGate[A](s: SparkSession, dir: String,
@@ -152,12 +163,18 @@ private[graft] object QueryHelpers {
     // Dataset lambdas (encoder serde is codegen-bound even at small row
     // counts) or real foreachBatch write jobs keep codegen: exprOnly=false.
     val interpret = exprOnly && inputBytes < cgMin
-    val cgKeys = Seq("spark.sql.codegen.wholeStage" -> "false",
-      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+    val ckOn = s.conf.getOption("spark.graft.stream.checkpointFileChecksum")
+      .exists(_.toBoolean)
+    val cgKeys = (if (interpret)
+      Seq("spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+    else Nil) ++
+      (if (ckOn) Nil
+      else Seq("spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false"))
     val cgPrev = cgKeys.map { case (k, _) => k -> s.conf.getOption(k) }
-    if (interpret) cgKeys.foreach { case (k, v) => s.conf.set(k, v) }
+    cgKeys.foreach { case (k, v) => s.conf.set(k, v) }
     try withStatePartitions(s, derived)(body) finally {
-      if (interpret) cgPrev.foreach { case (k, p) =>
+      cgPrev.foreach { case (k, p) =>
         p.fold(s.conf.unset(k))(s.conf.set(k, _)) }
     }
   }
