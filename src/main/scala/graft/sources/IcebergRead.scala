@@ -1140,7 +1140,16 @@ object IcebergRead {
       .groupBy(g => (g._1, g._3, g._4)).toSeq
       .sortBy(_._2.head._5.head)
       .flatMap { case ((sid, seq, rename), gs) =>
-        if (gs.size <= consolidateThreshold)
+        if (gs.size > 1 && identityFieldsOf(sid).isEmpty)
+          // no identity fields ⇒ the per-tuple branches inject NOTHING and
+          // differ only in their path lists (non-identity transform values
+          // are derived, never injected), so every tuple of this
+          // (spec, seq, rename) group reads through ONE scan: one
+          // DataFrameReader/FileIndex/hadoopConf instead of one per
+          // partition tuple (r19 — a day(ts)-partitioned month was paying
+          // 31 scan setups per read), and the plan stays one branch
+          Seq(litInjected(sid, Nil, seq, rename, gs.flatMap(_._5)))
+        else if (gs.size <= consolidateThreshold)
           gs.map { case (_, pv, _, _, paths) =>
             litInjected(sid, pv, seq, rename, paths) }
         else
