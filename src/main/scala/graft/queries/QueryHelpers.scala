@@ -165,10 +165,18 @@ private[graft] object QueryHelpers {
     val interpret = exprOnly && inputBytes < cgMin
     val ckOn = s.conf.getOption("spark.graft.stream.checkpointFileChecksum")
       .exists(_.toBoolean)
+    // NIO checkpoint manager (r19): local checkpoint WAL + state-store
+    // files skip Hadoop's forking local-FS shims; non-local schemes
+    // delegate to Spark's default inside the manager itself. Override:
+    // spark.sql.streaming.checkpointFileManagerClass (set = respected).
+    val cfmKey = "spark.sql.streaming.checkpointFileManagerClass"
+    val cfm =
+      if (s.conf.getOption(cfmKey).isDefined) Nil
+      else Seq(cfmKey -> classOf[graft.streaming.NioCheckpointFileManager].getName)
     val cgKeys = (if (interpret)
       Seq("spark.sql.codegen.wholeStage" -> "false",
         "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
-    else Nil) ++
+    else Nil) ++ cfm ++
       (if (ckOn) Nil
       else Seq("spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false"))
     val cgPrev = cgKeys.map { case (k, _) => k -> s.conf.getOption(k) }
